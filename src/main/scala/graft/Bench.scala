@@ -1,24 +1,44 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Headline set = every operator family at its scale-relevant size
+  * (aggregate scan, star join, top-k, window rank, event windows, vector
+  * top-k/kNN-join, dedup families, text analysis). Quadratic verification
+  * queries (q31/q34, exact all-pairs) are excluded — their scale path is
+  * the MinHash/LSH variants, which ARE benched. Each query is run once to
+  * warm the JVM/code cache and once timed (steady-state, what a long-lived
+  * cluster job sees).
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_revenue_by_nation", "q03_topk_orders",
+    "q04_window_rank", "q05_market_share", "q06_set_ops",
+    "q07_cust_no_orders", "q08_events_hourly", "q09_json_props",
+    "q10_part_stats",
+    "q20_vec_dot_topk", "q21_vec_l2_knn", "q22_vec_cosine_topk",
+    "q23_vec_knn_join", "q24_meta_filter_cosine",
+    "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash",
+    "q40_token_stats", "q41_quality_scores", "q42_langid",
+    "q43_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.local()
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
+      val fn = qs(name)
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

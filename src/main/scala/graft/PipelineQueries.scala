@@ -1,0 +1,203 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators over the `documents`/`embeddings` testdata:
+  * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding cosine),
+  * text analysis (tokens, quality, language-ID, fingerprints) — the
+  * north-star extension surface (BASELINE.json; absent from the reference,
+  * SURVEY.md §2.3).
+  *
+  * Oracle notes: queries whose logic is SQL-expressible carry a DuckDB
+  * oracle; MinHash/SimHash/LSH use xxhash64, which DuckDB cannot
+  * reproduce, so those entries are declared without oracle SQL (the driver
+  * records a rows-only check — per the driver contract).
+  */
+object PipelineQueries {
+
+  /** Exact-dedup groups on the md5 fingerprint of normalized text. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"fp")
+  }
+
+  /** Exact 3-gram Jaccard similarity pairs (doc_id < 200 slice; the
+    * full-corpus scale path is MinHash candidates + this as verifier). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).filter($"doc_id" < 200)
+    Dedup.jaccardPairs(docs, "doc_id", "text", w = 3, threshold = 0.2)
+      .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** MinHash + LSH banding near-dup candidates (no oracle: xxhash64). */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minHashCandidates(Tables.documents(s, dir), "doc_id", "text",
+      numHashes = 32, bands = 8, w = 3, threshold = 0.4)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** 64-bit SimHash fingerprints (no oracle: xxhash64). */
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact; threshold 0.4 on this
+    * corpus — see Similarity.nearDupPairs for the LSH-bucketed scale path). */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    Similarity.nearDupPairs(
+      e.select($"vec_id".as("id"), $"embedding"), "id", "embedding", 0.0)
+      .select($"a_id", $"b_id", round($"cos_sim", 6).as("cos_sim"))
+      .filter($"cos_sim" >= 0.4)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Per-language token statistics. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount($"text").cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        sum($"n_chars").as("sum_chars"))
+      .withColumn("avg_chars", $"sum_chars".cast("double") / $"n_docs")
+      .orderBy($"lang")
+  }
+
+  /** Per-document quality metrics + bucket. */
+  def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.qualityMetrics(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID confusion matrix: labeled lang × heuristic prediction. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.langIdScores(Tables.documents(s, dir), "text")
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** md5 content fingerprint per document. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact"     -> (dedupExact _),
+    "q31_ngram_jaccard"   -> (ngramJaccard _),
+    "q32_minhash_lsh"     -> (minhashCandidates _),
+    "q33_simhash"         -> (simhashFingerprints _),
+    "q34_embed_neardup"   -> (embeddingNearDups _),
+    "q40_token_stats"     -> (tokenStats _),
+    "q41_quality_scores"  -> (qualityScores _),
+    "q42_langid"          -> (langIdConfusion _),
+    "q43_fingerprint"     -> (fingerprints _))
+
+  private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      s"""SELECT md5($norm) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY fp""".stripMargin,
+    "q31_ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS w
+         |  FROM documents WHERE doc_id < 200),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+         |      i -> array_to_string(w[i:i+2], ' '))) AS s
+         |    FROM t WHERE len(w) >= 3) u),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ni
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON a_id = sa.doc_id
+         |JOIN sz sb ON b_id = sb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q34_embed_neardup" ->
+      """SELECT a_id, b_id, cos_sim FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ROUND(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+        |      (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+        |       SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM embeddings a, embeddings b, generate_series(1, 64) i(i)
+        |  WHERE a.vec_id < b.vec_id
+        |  GROUP BY 1, 2) t
+        |WHERE cos_sim >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q40_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(len(string_split($norm, ' '))) AS sum_tokens,
+         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         |  SUM(n_chars) AS sum_chars,
+         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
+    "q41_quality_scores" ->
+      s"""SELECT doc_id, length(text) AS len,
+         |  len(string_split($norm, ' ')) AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE) / length(text) AS vowel_ratio,
+         |  CASE
+         |    WHEN len(string_split($norm, ' ')) >= 50
+         |      AND CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE) / length(text) > 0.2 THEN 'good'
+         |    WHEN len(string_split($norm, ' ')) >= 20 THEN 'fair'
+         |    ELSE 'short' END AS quality
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "q42_langid" ->
+      s"""WITH s AS (
+         |  SELECT lang,
+         |    len(list_filter(string_split($norm, ' '), t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
+         |    len(list_filter(string_split($norm, ' '), t -> t IN ('der','die','das','und','ist','ein'))) AS c_de,
+         |    len(list_filter(string_split($norm, ' '), t -> t IN ('le','la','les','et','est','une'))) AS c_fr,
+         |    len(list_filter(string_split($norm, ' '), t -> t IN ('el','los','las','y','es','una'))) AS c_es,
+         |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS c_zh
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, CASE
+         |    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 AND c_zh = 0 THEN 'und'
+         |    WHEN c_zh > 0 THEN 'zh'
+         |    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         |    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+         |    WHEN c_fr >= c_es THEN 'fr'
+         |    ELSE 'es' END AS predicted
+         |  FROM s)
+         |SELECT lang, predicted, COUNT(*) AS n
+         |FROM p
+         |GROUP BY lang, predicted
+         |ORDER BY lang, predicted""".stripMargin,
+    "q43_fingerprint" ->
+      s"""SELECT doc_id, md5($norm) AS fp
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin)
+}

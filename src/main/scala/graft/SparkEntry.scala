@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2's inventory;
+  * [[oracleSql]] carries the DuckDB-equivalent SQL for the driver's
+  * correctness gate. Column names are aliased identically on both sides.
+  *
+  * Float determinism convention: any aggregate over double columns goes
+  * through exact DECIMAL arithmetic and is cast back to DOUBLE at the end,
+  * so Spark and DuckDB produce bit-identical results (testdata values have
+  * <= 4 decimal digits, see FIXTURES.md). Ratios are computed in double
+  * from exact components (IEEE-deterministic in both engines).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The valentinus-style pipeline: metadata-filtered cosine top-k over the
+    * documents corpus with its precomputed embeddings (SURVEY.md §2.1 #5).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    VectorQueries.metaFilterCosine(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ VectorQueries.queries ++ PipelineQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (MinHash/SimHash — hash functions have no DuckDB equivalent). */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++ PipelineQueries.oracleSql
 }

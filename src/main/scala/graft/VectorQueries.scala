@@ -1,0 +1,178 @@
+package graft
+
+import graft.expr.{MetaFilter, VectorExprs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The vector-query surface (reference ops #5, #7, #15, #16 — SURVEY.md
+  * §2.1) over the driver's `documents`/`embeddings` testdata.
+  *
+  * Pattern used throughout: the query vector is a one-row DataFrame
+  * broadcast into a crossJoin — never a driver-side `.collect()` — so the
+  * same plan works when "the query side" grows to millions of vectors
+  * (it becomes a broadcast or shuffle join on the same code path).
+  * Similarities are computed by the codegen'd kernels in
+  * [[graft.expr.VectorExprs]] and rounded to 6 decimals so results are
+  * bit-comparable with the DuckDB oracle; ordering ties are broken by id.
+  */
+object VectorQueries {
+
+  /** Query vector: the embedding of vec_id = 0, as a broadcastable 1-row DF. */
+  private def queryVec(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" === 0).select($"embedding".as("qv"))
+  }
+
+  /** Raw dot-product top-k — the reference's (unnormalized) "cosine" score
+    * (embeddings.rs:365) with true top-k (divergence, SURVEY.md §7.4). */
+  def dotTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select($"vec_id",
+        round(VectorExprs.dot($"embedding", $"qv"), 6).as("dot_sim"))
+      .orderBy($"dot_sim".desc, $"vec_id")
+      .limit(20)
+  }
+
+  /** Exact k-NN under L2 (reference: nearest_query, embeddings.rs:386-417)
+    * as TakeOrderedAndProject — no per-query index build. */
+  def l2TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select($"vec_id",
+        round(VectorExprs.l2($"embedding", $"qv"), 6).as("l2_dist"))
+      .orderBy($"l2_dist".asc, $"vec_id")
+      .limit(10)
+  }
+
+  /** True (normalized) cosine top-k — offered alongside the raw dot per
+    * SURVEY.md §7.4. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select($"vec_id",
+        round(VectorExprs.cosine($"embedding", $"qv"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(20)
+  }
+
+  /** Batch k-NN join: for each query vector (vec_id < 5), the top-3 most
+    * cosine-similar candidates with label = 1 — the per-group top-k window
+    * pattern (SURVEY.md §2.3 "Window functions"). The query side is
+    * broadcast; at scale the candidate side stays partitioned and the rank
+    * is computed with per-partition heaps via row_number. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cands = e.filter($"label" === 1 && $"vec_id" >= 5)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    cands.crossJoin(broadcast(qs))
+      .withColumn("sim", round(VectorExprs.cosine($"nv", $"qv"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"n_id", $"sim", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** The reference's flagship pipeline (cosine_query with a WHERE filter,
+    * embeddings.rs:334-382): metadata DSL compiled to pushdown-friendly
+    * typed predicates ({"n_chars":{"gt":200}} AND {"lang":{"eq":"en"}}),
+    * similarity > 0 cutoff (embeddings.rs:366), top-10 by similarity. */
+  def metaFilterCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pred = MetaFilter.compileTyped(Seq(
+      """{"n_chars": {"gt": 200}}""",
+      """{"lang": {"eq": "en"}}"""))
+    val d = Tables.documents(s, dir).filter(pred)
+    val e = Tables.embeddings(s, dir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select($"doc_id", $"lang", $"n_chars",
+        round(VectorExprs.dot($"embedding", $"qv"), 6).as("sim"))
+      .filter($"sim" > 0.0d)
+      .orderBy($"sim".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_vec_dot_topk"       -> (dotTopK _),
+    "q21_vec_l2_knn"         -> (l2TopK _),
+    "q22_vec_cosine_topk"    -> (cosineTopK _),
+    "q23_vec_knn_join"       -> (knnJoin _),
+    "q24_meta_filter_cosine" -> (metaFilterCosine _))
+
+  private val dotSum =
+    "SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_vec_dot_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND($dotSum, 6) AS dot_sim
+         |FROM embeddings e, q, generate_series(1, 64) i(i)
+         |WHERE e.vec_id <> 0
+         |GROUP BY e.vec_id
+         |ORDER BY dot_sim DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "q21_vec_l2_knn" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  ROUND(SQRT(SUM((CAST(e.embedding[i.i] AS DOUBLE) - CAST(q.qv[i.i] AS DOUBLE))
+        |                * (CAST(e.embedding[i.i] AS DOUBLE) - CAST(q.qv[i.i] AS DOUBLE)))), 6) AS l2_dist
+        |FROM embeddings e, q, generate_series(1, 64) i(i)
+        |WHERE e.vec_id <> 0
+        |GROUP BY e.vec_id
+        |ORDER BY l2_dist ASC, vec_id
+        |LIMIT 10""".stripMargin,
+    "q22_vec_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / (SQRT(na) * SQRT(nb)) END, 6) AS cos_sim
+        |FROM (
+        |  SELECT e.vec_id,
+        |    SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+        |    SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+        |    SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS nb
+        |  FROM embeddings e, q, generate_series(1, 64) i(i)
+        |  WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id) t
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 20""".stripMargin,
+    "q23_vec_knn_join" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS dp,
+        |    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS na,
+        |    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nb
+        |  FROM embeddings q, embeddings c, generate_series(1, 64) i(i)
+        |  WHERE q.vec_id < 5 AND c.label = 1 AND c.vec_id >= 5
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT q_id, n_id,
+        |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / (SQRT(na) * SQRT(nb)) END, 6) AS sim
+        |  FROM p),
+        |rk AS (
+        |  SELECT q_id, n_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+        |  FROM r)
+        |SELECT q_id, n_id, sim, rnk FROM rk WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin,
+    "q24_meta_filter_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |j AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars,
+         |    ROUND($dotSum, 6) AS sim
+         |  FROM documents d
+         |  JOIN embeddings e ON d.doc_id = e.vec_id, q, generate_series(1, 64) i(i)
+         |  WHERE d.n_chars > 200 AND d.lang = 'en'
+         |  GROUP BY d.doc_id, d.lang, d.n_chars)
+         |SELECT doc_id, lang, n_chars, sim FROM j
+         |WHERE sim > 0
+         |ORDER BY sim DESC, doc_id
+         |LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,119 @@
+package graft.core
+
+import graft.embed.{Embed, Embedder}
+import graft.query.{CosineQuery, NearestQuery}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A collection: the reference's `EmbeddingCollection`
+  * (src/embeddings.rs:218-236) re-expressed as a Parquet-backed DataFrame
+  * with schema (id: string, document: string, metadata: array<string>,
+  * embedding: array<float>) plus a catalog row for the collection-level
+  * config — per the mapping in SURVEY.md §1.5.
+  *
+  * The reference serializes all columns and the embedding matrix into one
+  * bincode blob loaded fully into RAM per query (embeddings.rs:342,
+  * 563-567) — its fundamental scalability wall. Here data lives in
+  * partitioned Parquet: queries are distributed scans with column pruning
+  * and predicate pushdown, and nothing is materialized on the driver.
+  */
+final class Collection private[core] (
+    val spark: SparkSession,
+    val info: CollectionInfo) {
+
+  /** The collection DataFrame (id, document, metadata, embedding). */
+  def df: DataFrame = spark.read.parquet(info.path)
+
+  /** Accessors (reference: embeddings.rs:456-479). */
+  def documents: DataFrame = df.select("id", "document")
+  def metadata: DataFrame = df.select("id", "metadata")
+  def ids: DataFrame = df.select("id")
+
+  /** Metadata-filtered cosine similarity query (reference:
+    * cosine_query, embeddings.rs:334-382). Embeds the query text with the
+    * collection's embedder, filters by the metadata DSL, computes the dot
+    * product, keeps sim > 0, and returns true top-k by similarity
+    * (documented divergence from the reference's unsorted first-k,
+    * SURVEY.md §7.4). k <= 0 returns all matches (embeddings.rs:327,373).
+    */
+  def cosineQuery(
+      queryText: String,
+      embedder: Embedder,
+      numResults: Int,
+      whereFilters: Seq[String] = Seq.empty): DataFrame =
+    cosineQueryVec(embedder.embedBatch(Seq(queryText)).head, numResults, whereFilters)
+
+  def cosineQueryVec(
+      queryVec: Array[Float],
+      numResults: Int,
+      whereFilters: Seq[String] = Seq.empty): DataFrame =
+    CosineQuery.run(df, queryVec, numResults, whereFilters)
+
+  /** Exact nearest neighbor under L2 (reference: nearest_query,
+    * embeddings.rs:386-417 — KdTree rebuilt per query there; a distributed
+    * top-1 scan here, same asymptotics, no driver materialization). */
+  def nearestQuery(queryText: String, embedder: Embedder): DataFrame =
+    nearestQueryVec(embedder.embedBatch(Seq(queryText)).head)
+
+  def nearestQueryVec(queryVec: Array[Float], k: Int = 1): DataFrame =
+    NearestQuery.run(df, queryVec, k)
+}
+
+object Collection {
+  /** Reference view-name rule (embeddings.rs:106-109). */
+  private val ViewNameRe = "^[a-zA-Z0-9_]+$".r
+
+  def catalog(spark: SparkSession, warehouse: String): Catalog =
+    new Catalog(spark, warehouse)
+
+  /** Create + save: validate name, enforce uniqueness, embed documents,
+    * persist (reference: EmbeddingCollection::new + save(),
+    * embeddings.rs:240-306). `docs` must have columns (id, document,
+    * metadata: array<string>). */
+  def create(
+      spark: SparkSession,
+      warehouse: String,
+      name: String,
+      docs: DataFrame,
+      embedder: Embedder,
+      modelType: String = "hash"): Collection = {
+    if (ViewNameRe.findFirstIn(name).isEmpty) throw InvalidViewName(name)
+    val cat = catalog(spark, warehouse)
+    if (cat.find(name).isDefined) throw DuplicateView(name)
+    val key = s"key-${java.util.UUID.randomUUID()}"
+    val path = s"$warehouse/collections/$name"
+    Embed.withEmbedding(docs, "document", "embedding", embedder)
+      .write.mode("overwrite").parquet(path)
+    val info = CollectionInfo(
+      view = name, key = key, path = path, modelType = modelType,
+      dim = embedder.dim, createdAt = System.currentTimeMillis())
+    cat.add(info)
+    new Collection(spark, info)
+  }
+
+  /** Point lookup by key or view; key overrides view (reference: find,
+    * embeddings.rs:545-569). */
+  def find(
+      spark: SparkSession,
+      warehouse: String,
+      view: Option[String],
+      key: Option[String] = None): Collection = {
+    val cat = catalog(spark, warehouse)
+    val info = key.flatMap(cat.findByKey)
+      .orElse(view.flatMap(cat.find))
+      .getOrElse(throw ViewNotFound(key.orElse(view).getOrElse("<none>")))
+    new Collection(spark, info)
+  }
+
+  /** Delete collection data + catalog entry (reference: delete,
+    * embeddings.rs:419-455 — which panics on a missing view; we raise
+    * [[ViewNotFound]], SURVEY.md §2.1 #8). */
+  def delete(spark: SparkSession, warehouse: String, view: String): Unit = {
+    val cat = catalog(spark, warehouse)
+    val info = cat.find(view).getOrElse(throw ViewNotFound(view))
+    val p = new Path(info.path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    cat.remove(view)
+  }
+}

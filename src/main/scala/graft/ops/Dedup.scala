@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation — the north-star
+  * extension surface (BASELINE.json; absent from the reference, SURVEY.md
+  * §2.3 "Dedup"). All variants are pure DataFrame transformations: shuffles
+  * only on the grouping keys, no driver-side materialization, deterministic
+  * hashing (xxhash64 — stable across JVMs/partitions).
+  *
+  * Scale ladder (100 TB design):
+  *  1. [[exactGroups]]/[[dropExactDuplicates]] — one shuffle on a 128-bit
+  *     content fingerprint; combiner-friendly (map-side partial agg).
+  *  2. [[minHashSignatures]]/[[minHashCandidates]] — MinHash + LSH banding:
+  *     near-dup candidates with one shuffle per explode + a self-equi-join
+  *     on (band, bucket) — never an O(N²) cross join.
+  *  3. [[simHash]] — 64-bit SimHash fingerprints; near-dups are fingerprint
+  *     pairs within small Hamming distance, found by banding the 64 bits.
+  *  4. n-gram Jaccard verification of candidates (exact, but only over the
+  *     candidate pairs, not all pairs) — see [[jaccardPairs]].
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by all text dedup ops. */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** 128-bit content fingerprint (md5 hex of normalized text). */
+  def fingerprint(text: Column): Column = md5(normText(text))
+
+  /** Exact dedup groups: fingerprint → (group size, representative id). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Keep one row per distinct normalized text (the representative = min id).
+    * Implemented as an aggregate + semi-join (not dropDuplicates, whose
+    * survivor is partition-order-dependent — nondeterministic at scale). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Word w-shingles of the normalized text, one row per (id, shingle),
+    * deduplicated — the set representation used by MinHash and Jaccard. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val words = split(normText(col(textCol)), " ")
+    df.select(col(idCol), words.as("w"))
+      .filter(size(col("w")) >= w)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(w) - $w), i -> concat_ws(' ', slice(w, i + 1, $w)))"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  // MinHash universe: affine permutations over a Mersenne prime keep all
+  // arithmetic inside non-overflowing Long range (xxhash64 % P < 2^31).
+  private val P = 2147483647L // 2^31 - 1
+  private def perm(i: Int): (Long, Long) = {
+    // deterministic per-permutation coefficients from splitmix64
+    var x = i.toLong + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    val a = 1L + java.lang.Math.floorMod(x, P - 1)
+    val b = java.lang.Math.floorMod(x ^ (x >>> 31), P)
+    (a, b)
+  }
+
+  /** MinHash signatures: one row per id, `sig` = array of `numHashes`
+    * min-hash values over the document's shingle set. One shuffle
+    * (groupBy id), all mins computed map-side first. */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, w: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, w)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+    val minCols = (0 until numHashes).map { i =>
+      val (a, b) = perm(i)
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"mh_$i")
+    }
+    sh.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: explode each signature into `bands` band-hashes and
+    * self-join on (band, bucket) — candidate pairs whose estimated Jaccard
+    * (fraction of agreeing minhashes) ≥ `threshold`. The join key is
+    * (band index, band hash): only genuinely colliding documents meet,
+    * never a cross join. */
+  def minHashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, w: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, w)
+    val banded = sigs.select(
+      col(idCol), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws('_', slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col(idCol).as("a_id"), col("sig").as("a_sig"))
+    val r = banded.select(col("band"), col("bucket"),
+      col(idCol).as("b_id"), col("sig").as("b_sig"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (expr("size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v))").cast("double")
+          / lit(numHashes)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact w-shingle Jaccard over all pairs sharing ≥1 shingle (equi-join
+    * on the shingle — bounded by real overlap, not N²). For verification
+    * of candidate pairs or small corpora; at scale run it only on
+    * [[minHashCandidates]] output. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sh = shingles(df, idCol, textCol, w)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("a_id"), col("shingle"))
+    val b = sh.select(col(idCol).as("b_id"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("n_a")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("n_b")), Seq("b_id"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per document: token-frequency-weighted
+    * ±1 vote per bit of xxhash64(token); fingerprint bit j = sign of the
+    * vote sum. Two shuffles (token explode+count, then per-doc agg of the
+    * 64 vote sums — computed as expressions, no UDF). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(normText(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("tok")))
+    val voteCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"v_$j")
+    }
+    val votes = toks.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val fpExpr = (0 until 64).map { j =>
+      when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+    votes.select(col(idCol), fpExpr.as("simhash"))
+  }
+}

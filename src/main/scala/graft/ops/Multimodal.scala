@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (north-star extension; the reference is
+  * text-only — SURVEY.md §2.3 "Multimodal columns").
+  *
+  * Model: media is an opaque `binary` payload column + a typed metadata
+  * struct (modality, mime, width/height/duration). Feature extraction runs
+  * as batched `mapPartitions` over the binary payloads — the same
+  * executor-side batching shape as the embed operator, so a real decoder
+  * drops in without plan changes.
+  *
+  * STUB boundary (explicitly marked, per the build brief): this container
+  * has no image/audio codecs, so [[decodeStub]] computes a deterministic
+  * 16-bin byte histogram as the stand-in "decoded feature" — the Spark-side
+  * plumbing (schema, batching, partitioning, output shape) is real and
+  * tested; swap `decodeStub` for a JNI/Java codec call to go live.
+  */
+object Multimodal {
+
+  /** Typed metadata struct for a media column. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("modality", StringType),  // image | audio | video
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** STUB decode: byte-value histogram (16 bins) normalized to [0,1].
+    * Deterministic placeholder for a real image/audio decoder. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    if (payload == null || payload.isEmpty) return bins
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < 16) { bins(j) /= payload.length.toFloat; j += 1 }
+    bins
+  }
+
+  /** Frame/segment sampling on the raw payload: every `stride`-th chunk of
+    * `chunkSize` bytes (the Spark-side shape of video frame sampling). */
+  def sampleChunks(payload: Array[Byte], chunkSize: Int, stride: Int): Seq[Array[Byte]] =
+    if (payload == null) Seq.empty
+    else payload.grouped(chunkSize).zipWithIndex
+      .collect { case (c, i) if i % stride == 0 => c }.toSeq
+
+  /** Adds a `features: array<float>` column extracted from a binary payload
+    * column via batched mapPartitions (batch shape = the embed operator's,
+    * Embed.withEmbedding). */
+  def withFeatures(df: DataFrame, payloadCol: String,
+      featuresCol: String = "features", batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(featuresCol, ArrayType(FloatType, containsNull = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real decoder would decode the whole batch in one native call
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ decodeStub(r.getAs[Array[Byte]](idx)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Partition-friendly media table layout helper: modality + size bucket
+    * make good partition columns (bounded cardinality) for 100 TB media
+    * lakes; the payload stays unsplit inside parquet binary pages. */
+  def withLayoutColumns(df: DataFrame, payloadCol: String, metaCol: String): DataFrame =
+    df.withColumn("modality", col(s"$metaCol.modality"))
+      .withColumn("size_bucket",
+        (floor(log2(length(col(payloadCol)).cast("double") + 1d))).cast("int"))
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.expr.VectorExprs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star extension).
+  *
+  * Two tiers, per the build brief:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline,
+  *    a broadcast cross join + per-group top-k window. O(|Q|·N) but fully
+  *    distributed and codegen'd; right for small query batches.
+  *  - [[lshBucketTopK]]: the scale path — sign-random-projection (SRP)
+  *    bucketing: 'planes' deterministic hyperplanes hash every vector to a
+  *    b-bit bucket; candidates are vectors sharing the query's bucket (or
+  *    any bucket within Hamming distance 1 when 'multiProbe'), so the
+  *    pairwise work drops from N to N / 2^b per query on average. Exact
+  *    cosine re-ranks the candidates. Build is one pass (batch index
+  *    build, not online serving — BASELINE.json north star).
+  */
+object Similarity {
+
+  /** Exact cosine top-k of `candidates` for every row of `queries`.
+    * Schemas: queries (q_id, qv: array<float>), candidates (n_id,
+    * nv: array<float>). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    candidates.crossJoin(broadcast(queries))
+      .withColumn("sim", VectorExprs.cosine(col("nv"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rnk"))
+  }
+
+  /** Deterministic SRP hyperplanes: planes × dim, values in [-1, 1). */
+  private[ops] def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      var x = seed + p.toLong * 7919L + d.toLong * 104729L + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      (((x ^ (x >>> 31)) >> 11).toDouble / (1L << 52).toDouble).toFloat
+    }
+
+  /** Add an SRP `bucket` column (b-bit integer) to a vector DataFrame. */
+  def withBucket(df: DataFrame, vecCol: String, numPlanes: Int = 12,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = planes(numPlanes, dim, seed)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      when(VectorExprs.dot(col(vecCol), lit(p)) > 0d, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's SRP bucket
+    * (plus all Hamming-distance-1 buckets when multiProbe), re-ranked by
+    * exact cosine. The join is an equi-join on `bucket` — shuffle-
+    * partitioned by bucket, never a cross join. */
+  def lshBucketTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      numPlanes: Int = 12, dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
+    val cb = withBucket(candidates, "nv", numPlanes, dim)
+    val qb0 = withBucket(queries, "qv", numPlanes, dim)
+    val qb =
+      if (!multiProbe) qb0
+      else qb0.withColumn("bucket", explode(expr(
+        s"array_union(array(bucket), transform(sequence(0, ${numPlanes - 1}), " +
+          "i -> cast(bucket as bigint) ^ shiftleft(1L, i)))")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    cb.join(qb, Seq("bucket"))
+      .withColumn("sim", VectorExprs.cosine(col("nv"), col("qv")))
+      .select(col("q_id"), col("n_id"), col("sim")).distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Exact all-pairs cosine ≥ threshold (the embedding near-dup check).
+    * O(N²) by construction — at 100 TB, call it on LSH buckets instead:
+    * `withBucket(...).groupBy(bucket)` bounds each quadratic block. */
+  def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+    val b = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", VectorExprs.cosine(col("av"), col("bv")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
+}

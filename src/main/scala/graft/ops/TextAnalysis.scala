@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation (north-star extension,
+  * SURVEY.md §2.3 "Text analysis"): token counting, quality scoring,
+  * language identification, document fingerprinting. All are pure
+  * `org.apache.spark.sql.functions` expressions — fully codegen'd, no UDFs,
+  * so they fuse into the scan's WholeStageCodegen at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token list of the normalized text. */
+  def tokens(text: Column): Column = split(Dedup.normText(text), " ")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Rough BPE-ish subword count: word-ish runs + digit runs + isolated
+    * punctuation, each ≈ one token (regex heuristic, no external
+    * tokenizer). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,8}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of characters matching a regex character class. */
+  def charClassCount(text: Column, classRe: String): Column =
+    length(text) - length(regexp_replace(text, classRe, ""))
+
+  /** Per-document quality metrics: length, tokens, vowel/digit/punct
+    * ratios. Ratios are exact int/int IEEE divisions (oracle-stable). */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("len"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      charClassCount(t, "[aeiou]").cast("long").as("n_vowels"),
+      charClassCount(t, "[0-9]").cast("long").as("n_digits"),
+      charClassCount(t, "[.,;:!?]").cast("long").as("n_punct"))
+      .withColumn("vowel_ratio", col("n_vowels").cast("double") / col("len"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 50 && col("vowel_ratio") > 0.2, "good")
+          .when(col("n_tokens") >= 20, "fair")
+          .otherwise("short"))
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  /** Marker-word language-ID heuristic: count stopword hits per language
+    * over the token list; predict the argmax with a fixed priority order
+    * (en, de, fr, es), 'und' when nothing matches. CJK text is classed 'zh'
+    * by codepoint-range count. Purely expression-based — the same logic is
+    * expressible in the DuckDB oracle (PipelineQueries.q42). */
+  def langIdScores(df: DataFrame, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val scored = markers.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"c_$lang",
+        size(filter(w, t => t.isin(words.map(x => x: Any): _*))).cast("long"))
+    }.withColumn("c_zh", charClassCount(col(textCol), "[一-鿿]").cast("long"))
+    scored.withColumn("predicted",
+      when(col("c_en") === 0 && col("c_de") === 0 && col("c_fr") === 0
+        && col("c_es") === 0 && col("c_zh") === 0, "und")
+        .when(col("c_zh") > 0, "zh")
+        .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr")
+          && col("c_en") >= col("c_es"), "en")
+        .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+        .when(col("c_fr") >= col("c_es"), "fr")
+        .otherwise("es"))
+  }
+
+  /** Content fingerprint (md5 of normalized text) per document —
+    * the exact-dedup key and a stable doc identity for lineage. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), Dedup.fingerprint(col(textCol)).as("fp"))
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension over the `events` table schema
+  * (event_id, ts, user_id, event_type, value, props — TESTDATA.md).
+  *
+  * The reference is strictly batch (SURVEY.md §2.3 "Streaming: Absent");
+  * this module adds the planned streaming surface: watermarked tumbling /
+  * sliding / session windows and custom per-key state via
+  * flatMapGroupsWithState. Each transform takes any events-shaped
+  * DataFrame — batch or streaming — so the logic is testable with
+  * MemoryStream and runnable as `readStream` in production. Streaming
+  * ingest appends to collections (batch-first engine; see
+  * graft.core.Collection).
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked tumbling-window counts/sums per event type. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window aggregate (overlapping windows). */
+  def slidingAvg(events: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("avg_value"), col("n"))
+
+  /** Session windows per user (gap-based). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+  final case class UserRunningState(n: Long, total: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state: running per-user totals via
+    * flatMapGroupsWithState (the reference has no stateful ops at all). */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserRunningState]) => {
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          var n = prev.n; var total = prev.total
+          rows.foreach { r => n += 1; total += r.value }
+          state.update(UserRunningState(n, total))
+          Iterator(UserRunning(uid, n, total))
+        })
+      .toDF()
+  }
+
+  /** Production entry: tail a parquet/json/kafka-style source directory as
+    * a stream and maintain the tumbling aggregate. */
+  def streamFromDirectory(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame =
+    tumblingCounts(
+      spark.readStream.schema(eventSchema).format(format).load(path))
+}
