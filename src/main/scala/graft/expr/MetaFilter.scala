@@ -3,7 +3,10 @@ package graft.expr
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.core.{MalformedFilter, UnknownFilterOp}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.LongType
 
 import scala.jdk.CollectionConverters._
 
@@ -99,6 +102,12 @@ object MetaFilter {
     }
   }
 
+  /** TRY-mode cast to long: a non-numeric metadata value simply fails the
+    * numeric filter (reference semantics: type mismatch ⇒ no match,
+    * md2f.rs:186-225) instead of raising under ANSI mode. */
+  private def tryCastLong(c: Column): Column =
+    ColumnBridge.column(Cast(ColumnBridge.expression(c), LongType, None, EvalMode.TRY))
+
   private def cmp(op: Op, lhs: Column, value: FValue): Column = (op, value) match {
     case (Eq, IntVal(v))  => lhs === lit(v)
     case (Eq, StrVal(v))  => lhs === lit(v)
@@ -123,7 +132,7 @@ object MetaFilter {
   def compileTyped(filters: Seq[String]): Column =
     filters.map(parse).map { f =>
       val base = col(f.key)
-      val lhs = if (isIntFilter(f)) base.cast("long") else base
+      val lhs = if (isIntFilter(f)) tryCastLong(base) else base
       cmp(f.op, lhs, f.value)
     }.reduceOption(_ && _).getOrElse(lit(true))
 
@@ -133,7 +142,7 @@ object MetaFilter {
     filters.map(parse).map { f =>
       exists(metaCol, { m =>
         val extracted = get_json_object(m, s"$$.${f.key}")
-        val lhs = if (isIntFilter(f)) extracted.cast("long") else extracted
+        val lhs = if (isIntFilter(f)) tryCastLong(extracted) else extracted
         lhs.isNotNull && cmp(f.op, lhs, f.value)
       })
     }.reduceOption(_ && _).getOrElse(lit(true))

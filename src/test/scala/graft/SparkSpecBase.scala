@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One SparkSession shared across all suites (tests run in a single forked
+  * JVM — Test/fork := true in build.sbt). */
+object SharedSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", "4").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+trait SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+}

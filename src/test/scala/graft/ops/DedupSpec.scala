@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "The quick  brown fox jumps over the lazy dog"), // exact dup after norm
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near dup (1 word)
+    (3L, "completely different content about spark engines and parquet files"),
+    (4L, "completely different content about spark engines and parquet files"), // exact dup
+    (5L, "unrelated tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized fingerprint, keeps min id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_id"))).toSet
+    assert(groups == Set((2L, 0L), (1L, 2L), (2L, 3L), (1L, 5L)))
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 5L))
+  }
+
+  test("shingles: w-gram sets of normalized text") {
+    val sh = Dedup.shingles(Seq((0L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select("shingle").as[String].collect().toSet
+    assert(sh == Set("a b c", "b c d"))
+  }
+
+  test("jaccard pairs: exact overlap values") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard"))).toList.sortBy(p => (p._1, p._2))
+    // docs 0/1 identical after norm → jaccard 1.0; 3/4 identical → 1.0
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 4L && p._3 == 1.0))
+    // docs 0/2 (9 words → 7 shingles each) share the 6 shingles not
+    // touching the last word; union = 7+7-6 = 8 → jaccard 6/8 = 0.75
+    val p02 = pairs.find(p => p._1 == 0L && p._2 == 2L).get
+    assert(math.abs(p02._3 - 0.75) < 1e-12)
+  }
+
+  test("minhash LSH finds exact and near dups as candidates") {
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, w = 3, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(cands.contains((0L, 1L))) // identical → all bands collide
+    assert(cands.contains((3L, 4L)))
+    // est_jaccard of identical docs is 1.0
+    val est = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .filter($"a_id" === 0 && $"b_id" === 1)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical normalized texts share fingerprints; near dups are close") {
+    val fps = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(3L) == fps(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(0L), fps(2L)) < hamming(fps(0L), fps(3L)))
+  }
+}
