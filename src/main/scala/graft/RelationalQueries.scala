@@ -162,6 +162,85 @@ object RelationalQueries {
       .orderBy($"p_brand")
   }
 
+  /** Month-granularity date rollup (date_trunc), epoch-keyed. */
+  def ordersMonthly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(unix_timestamp(date_trunc("month", $"o_orderdate"))
+        .cast("long").as("month_epoch"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2($"o_totalprice")).cast("double").as("sum_total"))
+      .orderBy($"month_epoch")
+  }
+
+  /** ROLLUP grouping sets over returnflag × linestatus. */
+  def pricingRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec4($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Exact multi-column DISTINCT aggregation (expand-based in Spark). */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("nd_parts"),
+        countDistinct($"l_suppkey").as("nd_supps"),
+        countDistinct($"l_orderkey").as("nd_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Running (prefix) totals per customer — analytic window frame.
+    * DECIMAL-exact prefix sums over a deterministic order. */
+  def runningTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < 100)
+      .select($"o_custkey", $"o_orderkey",
+        unix_timestamp($"o_orderdate").cast("long").as("od_epoch"),
+        sum(dec2($"o_totalprice")).over(w).cast("double").as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy($"o_custkey", $"od_epoch", $"o_orderkey")
+  }
+
+  /** lag(): inter-event gap seconds per user — analytic offset function. */
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .filter($"user_id" < 5)
+      .select($"user_id", $"event_id",
+        (unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)))
+          .as("gap_sec"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Orders above their customer's average — the correlated-scalar-
+    * subquery shape, decorrelated into a window aggregate (one pass,
+    * no per-row subquery execution — the 100 TB-friendly form). */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < 200)
+      .withColumn("avg_total",
+        sum(dec2($"o_totalprice")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter($"o_totalprice" > $"avg_total")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"avg_total")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
@@ -172,7 +251,13 @@ object RelationalQueries {
     "q07_cust_no_orders"   -> (customersWithoutOrders _),
     "q08_events_hourly"    -> (eventsHourly _),
     "q09_json_props"       -> (eventsJsonProps _),
-    "q10_part_stats"       -> (partStats _))
+    "q10_part_stats"       -> (partStats _),
+    "q11_orders_monthly"   -> (ordersMonthly _),
+    "q12_rollup"           -> (pricingRollup _),
+    "q13_distinct_counts"  -> (distinctCounts _),
+    "q14_running_totals"   -> (runningTotals _),
+    "q15_event_gaps"       -> (eventGaps _),
+    "q16_above_avg"        -> (aboveAvgOrders _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -247,5 +332,54 @@ object RelationalQueries {
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_retail
         |FROM part
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin)
+        |ORDER BY p_brand""".stripMargin,
+    "q11_orders_monthly" ->
+      """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month_epoch""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q13_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  COUNT(DISTINCT l_orderkey) AS nd_orders
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q14_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS od_epoch,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, od_epoch, o_orderkey""".stripMargin,
+    "q15_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |    - CAST(FLOOR(epoch(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+        |    AS gap_sec
+        |FROM events
+        |WHERE user_id < 5
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q16_above_avg" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY o_custkey) AS avg_total
+        |  FROM orders WHERE o_custkey < 200)
+        |SELECT o_custkey, o_orderkey, o_totalprice, avg_total FROM t
+        |WHERE o_totalprice > avg_total
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }

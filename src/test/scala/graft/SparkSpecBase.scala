@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * JVM — Test/fork := true in build.sbt). */
 object SharedSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", "4").getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft_spark_wh_").toString
+    val s = GraftSession.builder("local[4]", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
