@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,22 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Multimodal pipeline through the real binary plumbing: text bytes as
+    * an opaque payload column → batched mapPartitions feature extraction
+    * (Multimodal.withFeatures) → per-bin byte-histogram ratios. Ratios are
+    * float-divided on both sides (JVM float ÷ == DuckDB FLOAT ÷) then
+    * widened, so the oracle matches bit-for-bit. Docs are printable ASCII
+    * (verified), so byte bins 2–7 cover every payload byte. */
+  def multimodalHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val feats = Multimodal.withFeatures(media, "payload")
+    val binCols = (2 to 7).map(j =>
+      $"features".getItem(j).cast("double").as(s"b$j"))
+    feats.select(($"doc_id" +: binCols): _*).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -109,7 +125,8 @@ object PipelineQueries {
     "q40_token_stats"     -> (tokenStats _),
     "q41_quality_scores"  -> (qualityScores _),
     "q42_langid"          -> (langIdConfusion _),
-    "q43_fingerprint"     -> (fingerprints _))
+    "q43_fingerprint"     -> (fingerprints _),
+    "q50_multimodal_hist" -> (multimodalHist _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -199,5 +216,16 @@ object PipelineQueries {
     "q43_fingerprint" ->
       s"""SELECT doc_id, md5($norm) AS fp
          |FROM documents
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q50_multimodal_hist" -> {
+      val bins = Seq(2 -> "2f", 3 -> "3f", 4 -> "4f", 5 -> "5f", 6 -> "6f", 7 -> "7e")
+        .map { case (j, hi) =>
+          s"""CAST(CAST(length(text) - length(regexp_replace(text, '[\\x${j}0-\\x$hi]', '', 'g')) AS FLOAT)
+             |    / CAST(length(text) AS FLOAT) AS DOUBLE) AS b$j""".stripMargin
+        }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $bins
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    })
 }

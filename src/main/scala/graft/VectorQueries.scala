@@ -101,12 +101,32 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** Approximate nearest neighbors via SRP-LSH bucketing (the 100 TB scale
+    * path: equi-join on bucket, never a cross join; see
+    * graft.ops.Similarity). No oracle — approximate by design; the exact
+    * counterpart q23 is the oracle-checked baseline. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cands = e.filter($"vec_id" >= 3)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    // 6 planes = 64 buckets: sized so a bucket holds ~N/64 candidates at
+    // this corpus scale (the knob to retune as N grows — buckets should
+    // stay in the thousands of rows at 100 TB)
+    graft.ops.Similarity.lshBucketTopK(qs, cands, k = 5, numPlanes = 6, dim = 64)
+      .select($"q_id", $"n_id", round($"sim", 6).as("sim"), $"rnk".cast("long").as("rnk"))
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
     "q22_vec_cosine_topk"    -> (cosineTopK _),
     "q23_vec_knn_join"       -> (knnJoin _),
-    "q24_meta_filter_cosine" -> (metaFilterCosine _))
+    "q24_meta_filter_cosine" -> (metaFilterCosine _),
+    "q35_ann_lsh"            -> (annLsh _))
 
   private val dotSum =
     "SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))"
