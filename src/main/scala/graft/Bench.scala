@@ -17,12 +17,15 @@ object Bench {
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_topk_orders",
     "q04_window_rank", "q05_market_share", "q06_set_ops",
     "q07_cust_no_orders", "q08_events_hourly", "q09_json_props",
-    "q10_part_stats",
+    "q10_part_stats", "q11_orders_monthly", "q12_rollup",
+    "q13_distinct_counts", "q14_running_totals", "q15_event_gaps",
+    "q16_above_avg",
     "q20_vec_dot_topk", "q21_vec_l2_knn", "q22_vec_cosine_topk",
-    "q23_vec_knn_join", "q24_meta_filter_cosine",
+    "q23_vec_knn_join", "q24_meta_filter_cosine", "q25_label_centroids",
+    "q35_ann_lsh",
     "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash",
     "q40_token_stats", "q41_quality_scores", "q42_langid",
-    "q43_fingerprint")
+    "q43_fingerprint", "q50_multimodal_hist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

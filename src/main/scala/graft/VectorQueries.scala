@@ -101,6 +101,22 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** Per-label centroids: per-dimension mean of the embedding matrix —
+    * the corpus-stats aggregation over vectors (SURVEY.md §2.3 "UDF/UDAF"
+    * centroid case). posexplode → two-level hash aggregate; at scale this
+    * is one shuffle on (label, pos) with map-side partial sums. Averages
+    * rounded to 5 dp (cross-engine float-sum order). */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos".cast("long").as("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg($"v".cast("double")), 5).as("centroid_v"))
+      .orderBy($"label", $"pos")
+  }
+
   /** Approximate nearest neighbors via SRP-LSH bucketing (the 100 TB scale
     * path: equi-join on bucket, never a cross join; see
     * graft.ops.Similarity). No oracle — approximate by design; the exact
@@ -126,6 +142,7 @@ object VectorQueries {
     "q22_vec_cosine_topk"    -> (cosineTopK _),
     "q23_vec_knn_join"       -> (knnJoin _),
     "q24_meta_filter_cosine" -> (metaFilterCosine _),
+    "q25_label_centroids"    -> (labelCentroids _),
     "q35_ann_lsh"            -> (annLsh _))
 
   private val dotSum =
@@ -182,6 +199,12 @@ object VectorQueries {
         |  FROM r)
         |SELECT q_id, n_id, sim, rnk FROM rk WHERE rnk <= 3
         |ORDER BY q_id, rnk""".stripMargin,
+    "q25_label_centroids" ->
+      """SELECT label, i.i - 1 AS pos, COUNT(*) AS n,
+        |  ROUND(AVG(CAST(embedding[i.i] AS DOUBLE)), 5) AS centroid_v
+        |FROM embeddings, generate_series(1, 64) i(i)
+        |GROUP BY 1, 2
+        |ORDER BY label, pos""".stripMargin,
     "q24_meta_filter_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |j AS (
