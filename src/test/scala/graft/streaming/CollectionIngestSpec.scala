@@ -1,0 +1,37 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.core.Collection
+import graft.embed.HashEmbedder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+class CollectionIngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming docs append to a collection and are queryable") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_ingest_wh_").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_ck_").toString
+    val embedder = HashEmbedder(dim = 32)
+    val seed = Seq(("id0", "first document about spark", Seq.empty[String]))
+      .toDF("id", "document", "metadata")
+    val coll = Collection.create(spark, wh, "stream_coll", seed, embedder)
+    assert(coll.df.count() == 1)
+
+    val mem = MemoryStream[(String, String, Seq[String])]
+    val stream = mem.toDF().toDF("id", "document", "metadata")
+    val q = CollectionIngest.appendStream(coll, stream, embedder, ckpt)
+    mem.addData(("id1", "second document about parquet", Seq.empty[String]),
+      ("id2", "third document about vectors", Seq.empty[String]))
+    q.processAllAvailable()
+    q.stop()
+
+    val df = coll.df
+    assert(df.count() == 3)
+    assert(df.select("embedding").as[Array[Float]].collect().forall(_.length == 32))
+    // appended rows are immediately queryable through the cosine path
+    val hits = coll.cosineQuery("document about vectors", embedder, 3)
+    assert(hits.count() > 0)
+  }
+}
