@@ -95,8 +95,22 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, w: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    // The signature table is consumed twice (both sides of the band
+    // self-join); without a persist Spark would recompute the whole
+    // shingle→signature pipeline per side. In-session: cache. At 100 TB:
+    // signatures are a batch-built index — persist them as a table
+    // (Sinks.parquet) and call minHashCandidatesFromSigs instead.
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minHashCandidatesFromSigs(sigs, idCol, numHashes, bands, threshold)
+  }
+
+  /** LSH banding over a precomputed signature table (the indexed path). */
+  def minHashCandidatesFromSigs(
+      sigs: DataFrame, idCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val banded = sigs.select(
       col(idCol), col("sig"),
       posexplode(expr(

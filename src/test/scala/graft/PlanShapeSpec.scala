@@ -1,0 +1,71 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties claimed in SCALE.md,
+  * asserted on the actual optimized plans so they can't silently regress.
+  * (Plans at sf0.001 — shapes, not sizes, are under test.)
+  */
+class PlanShapeSpec extends SparkSpecBase {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: aggregate is partial+final (map-side combine before shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"expected two-phase hash aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q02: star join broadcasts dims; no cartesian; pruned fact scan") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan must be pruned to 3 columns:\n$p")
+  }
+
+  test("q03: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q03_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q04: rank filter plans as WindowGroupLimit (bounded per-group heap)") {
+    val p = plan("q04_window_rank")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("q20: vector kernel compiles into whole-stage generated code") {
+    // AQE reports 0 codegen subtrees pre-execution; disable it to inspect
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val codegen =
+      try SparkEntry.queries("q20_vec_dot_topk")(spark, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(codegen.contains("WholeStageCodegen subtree"),
+      s"expected codegen subtrees:\n${codegen.take(500)}")
+    // the DotProduct doGenCode loop reads floats directly from ArrayData
+    assert(codegen.contains(".getFloat("),
+      "expected the generated dot-product loop (no CodegenFallback)")
+  }
+
+  test("q24: metadata DSL predicates are pushed to the parquet scan") {
+    val p = plan("q24_meta_filter_cosine")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_chars,200)"),
+      s"expected n_chars>200 in PushedFilters:\n$p")
+    assert(p.contains("EqualTo(lang,en)"), s"expected lang=en pushed:\n$p")
+  }
+
+  test("q30: dedup is a single-shuffle aggregate, no join") {
+    val p = plan("q30_dedup_exact")
+    assert(!p.contains("Join"), s"exact dedup must not join:\n$p")
+  }
+
+  test("q32: LSH candidate generation joins on (band, bucket), never cross") {
+    val p = plan("q32_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"LSH must be an equi-join:\n$p")
+  }
+}
