@@ -128,10 +128,11 @@ object VectorQueries {
       .select($"vec_id".as("q_id"), $"embedding".as("qv"))
     val cands = e.filter($"vec_id" >= 3)
       .select($"vec_id".as("n_id"), $"embedding".as("nv"))
-    // 6 planes = 64 buckets: sized so a bucket holds ~N/64 candidates at
-    // this corpus scale (the knob to retune as N grows — buckets should
-    // stay in the thousands of rows at 100 TB)
-    graft.ops.Similarity.lshBucketTopK(qs, cands, k = 5, numPlanes = 6, dim = 64)
+    // 6 planes = 64 buckets/table × 4 tables: buckets hold ~N/64
+    // candidates at this corpus scale (retune as N grows — buckets should
+    // stay in the thousands of rows at 100 TB; recall compounds over tables)
+    graft.ops.Similarity.lshBucketTopK(qs, cands, k = 5,
+      numPlanes = 6, dim = 64, numTables = 4)
       .select($"q_id", $"n_id", round($"sim", 6).as("sim"), $"rnk".cast("long").as("rnk"))
       .orderBy($"q_id", $"rnk")
   }

@@ -42,7 +42,8 @@ object Similarity {
       (((x ^ (x >>> 31)) >> 11).toDouble / (1L << 52).toDouble).toFloat
     }
 
-  /** Add an SRP `bucket` column (b-bit integer) to a vector DataFrame. */
+  /** Add an SRP `bucket` column (b-bit integer) to a vector DataFrame,
+    * for one hash table (`seed` selects the table's plane set). */
   def withBucket(df: DataFrame, vecCol: String, numPlanes: Int = 12,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val ps = planes(numPlanes, dim, seed)
@@ -53,24 +54,38 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
-  /** Approximate top-k: candidates restricted to the query's SRP bucket
-    * (plus all Hamming-distance-1 buckets when multiProbe), re-ranked by
-    * exact cosine. The join is an equi-join on `bucket` — shuffle-
-    * partitioned by bucket, never a cross join. */
+  /** Multi-table SRP index rows: one (table, bucket) per input row per
+    * hash table — the standard L-tables LSH layout. Candidate storage is
+    * ×L (an index, built in batch); recall compounds as 1-(1-p)^L. */
+  def withBuckets(df: DataFrame, vecCol: String, numPlanes: Int,
+      dim: Int, numTables: Int, seed: Long = 42L): DataFrame =
+    (0 until numTables).map { t =>
+      withBucket(df, vecCol, numPlanes, dim, seed + 1000L * t)
+        .withColumn("table", lit(t))
+    }.reduce(_ unionByName _)
+
+  /** Approximate top-k: candidates restricted to the query's SRP bucket in
+    * any of `numTables` independent hash tables (plus all Hamming-
+    * distance-1 buckets per table when multiProbe), re-ranked by exact
+    * cosine. The join is an equi-join on (table, bucket) — shuffle-
+    * partitioned, never a cross join. */
   def lshBucketTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
-      numPlanes: Int = 12, dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
-    val cb = withBucket(candidates, "nv", numPlanes, dim)
-    val qb0 = withBucket(queries, "qv", numPlanes, dim)
+      numPlanes: Int = 12, dim: Int = 64, numTables: Int = 4,
+      multiProbe: Boolean = true): DataFrame = {
+    val cb = withBuckets(candidates, "nv", numPlanes, dim, numTables)
+    val qb0 = withBuckets(queries, "qv", numPlanes, dim, numTables)
     val qb =
       if (!multiProbe) qb0
       else qb0.withColumn("bucket", explode(expr(
         s"array_union(array(bucket), transform(sequence(0, ${numPlanes - 1}), " +
           "i -> cast(bucket as bigint) ^ shiftleft(1L, i)))")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    cb.join(qb, Seq("bucket"))
+    cb.join(qb, Seq("table", "bucket"))
+      .select(col("q_id"), col("n_id"), col("nv"), col("qv"))
+      .distinct()
       .withColumn("sim", VectorExprs.cosine(col("nv"), col("qv")))
-      .select(col("q_id"), col("n_id"), col("sim")).distinct()
+      .select(col("q_id"), col("n_id"), col("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }

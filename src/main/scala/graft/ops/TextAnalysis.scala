@@ -57,11 +57,14 @@ object TextAnalysis {
     * by codepoint-range count. Purely expression-based — the same logic is
     * expressible in the DuckDB oracle (PipelineQueries.q42). */
   def langIdScores(df: DataFrame, textCol: String): DataFrame = {
-    val w = tokens(col(textCol))
-    val scored = markers.foldLeft(df) { case (acc, (lang, words)) =>
+    // tokenize once (materialized column) — four per-language filters then
+    // scan the same array instead of re-splitting the text per language
+    val withToks = df.withColumn("_w", tokens(col(textCol)))
+    val scored = markers.foldLeft(withToks) { case (acc, (lang, words)) =>
       acc.withColumn(s"c_$lang",
-        size(filter(w, t => t.isin(words.map(x => x: Any): _*))).cast("long"))
+        size(filter(col("_w"), t => t.isin(words.map(x => x: Any): _*))).cast("long"))
     }.withColumn("c_zh", charClassCount(col(textCol), "[一-鿿]").cast("long"))
+      .drop("_w")
     scored.withColumn("predicted",
       when(col("c_en") === 0 && col("c_de") === 0 && col("c_fr") === 0
         && col("c_es") === 0 && col("c_zh") === 0, "und")

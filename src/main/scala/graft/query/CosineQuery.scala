@@ -26,7 +26,8 @@ object CosineQuery {
       numResults: Int,
       whereFilters: Seq[String] = Seq.empty,
       embeddingCol: String = "embedding",
-      metadataCol: String = "metadata"): DataFrame = {
+      metadataCol: String = "metadata",
+      sortBySimilarity: Boolean = true): DataFrame = {
     val filtered =
       if (whereFilters.isEmpty) collectionDf
       else collectionDf.filter(MetaFilter.compileArray(col(metadataCol), whereFilters))
@@ -34,7 +35,12 @@ object CosineQuery {
       .withColumn("similarity", VectorExprs.dot(col(embeddingCol), lit(queryVec)))
       .filter(col("similarity") > 0.0d)
       .select(col("id"), col("document"), col("similarity"), col(metadataCol))
-      .orderBy(col("similarity").desc, col("id"))
-    if (numResults > 0) scored.limit(numResults) else scored
+    // strict reference-compat mode (sortBySimilarity=false): first-k in
+    // collection (id) order, like the reference's unsorted truncate —
+    // still deterministic here because ids are a total order.
+    val ordered =
+      if (sortBySimilarity) scored.orderBy(col("similarity").desc, col("id"))
+      else scored.orderBy(col("id"))
+    if (numResults > 0) ordered.limit(numResults) else ordered
   }
 }
