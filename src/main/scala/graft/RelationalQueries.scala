@@ -241,6 +241,31 @@ object RelationalQueries {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Gap-based sessionization (30-min gap) via lag + cumulative sum — the
+    * batch twin of EventStreams.userSessions (session_window), expressed
+    * in portable window functions so the DuckDB oracle checks the same
+    * semantics. Microsecond-exact gap comparison (unix_micros) — no float
+    * boundary effects. */
+  def sessionization(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val order = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    Tables.events(s, dir)
+      .filter($"user_id" < 10)
+      .withColumn("new_s",
+        when(lag($"ts", 1).over(order).isNull ||
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(order)) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_s").over(cum))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        floor(min(unix_micros($"ts")) / lit(1000000L)).cast("long").as("start_epoch"),
+        sum(dec2($"value")).cast("double").as("session_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
@@ -257,7 +282,8 @@ object RelationalQueries {
     "q13_distinct_counts"  -> (distinctCounts _),
     "q14_running_totals"   -> (runningTotals _),
     "q15_event_gaps"       -> (eventGaps _),
-    "q16_above_avg"        -> (aboveAvgOrders _))
+    "q16_above_avg"        -> (aboveAvgOrders _),
+    "q17_sessionization"   -> (sessionization _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -373,6 +399,25 @@ object RelationalQueries {
         |FROM events
         |WHERE user_id < 5
         |ORDER BY user_id, event_id""".stripMargin,
+    "q17_sessionization" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WHERE user_id < 10),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(FLOOR(MIN(epoch_us(ts)) / 1000000) AS BIGINT) AS start_epoch,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q16_above_avg" ->
       """WITH t AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
