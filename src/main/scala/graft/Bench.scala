@@ -25,7 +25,8 @@ object Bench {
     "q35_ann_lsh",
     "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash",
     "q40_token_stats", "q41_quality_scores", "q42_langid",
-    "q43_fingerprint", "q50_multimodal_hist")
+    "q43_fingerprint", "q44_chunking", "q45_top_terms",
+    "q50_multimodal_hist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

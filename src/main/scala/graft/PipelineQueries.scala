@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,30 @@ object PipelineQueries {
     feats.select(($"doc_id" +: binCols): _*).orderBy($"doc_id")
   }
 
+  /** Character-window chunking (256-char windows, 32 overlap) with chunk
+    * fingerprints — the pre-embedding chunk grid. */
+  def chunkedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Chunking.chunkedFingerprints(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 256, overlap = 32)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Corpus vocabulary: top-50 tokens by document frequency (integer-exact:
+    * df + total term frequency, deterministic tie-breaks). */
+  def topTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split(Dedup.normText($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token")
+      .agg(
+        countDistinct($"doc_id").as("doc_freq"),
+        count(lit(1)).as("total_tf"))
+      .orderBy($"doc_freq".desc, $"total_tf".desc, $"token")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -126,6 +150,8 @@ object PipelineQueries {
     "q41_quality_scores"  -> (qualityScores _),
     "q42_langid"          -> (langIdConfusion _),
     "q43_fingerprint"     -> (fingerprints _),
+    "q44_chunking"        -> (chunkedDocs _),
+    "q45_top_terms"       -> (topTerms _),
     "q50_multimodal_hist" -> (multimodalHist _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -217,6 +243,25 @@ object PipelineQueries {
       s"""SELECT doc_id, md5($norm) AS fp
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "q44_chunking" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text), 224)) AS s
+        |  FROM documents)
+        |SELECT doc_id, (s - 1) // 224 AS chunk_idx,
+        |  CAST(length(substr(text, CAST(s AS INTEGER), 256)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(s AS INTEGER), 256)) AS chunk_fp
+        |FROM starts
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q45_top_terms" ->
+      s"""SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_tf
+         |FROM (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token
+         |  FROM documents) t
+         |WHERE length(token) > 0
+         |GROUP BY token
+         |ORDER BY doc_freq DESC, total_tf DESC, token
+         |LIMIT 50""".stripMargin,
     "q50_multimodal_hist" -> {
       val bins = Seq(2 -> "2f", 3 -> "3f", 4 -> "4f", 5 -> "5f", 6 -> "6f", 7 -> "7e")
         .map { case (j, hi) =>

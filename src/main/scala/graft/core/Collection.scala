@@ -70,20 +70,26 @@ object Collection {
     * persist (reference: EmbeddingCollection::new + save(),
     * embeddings.rs:240-306). `docs` must have columns (id, document,
     * metadata: array<string>). */
+  /** @param partitionBy optional hive-partition columns for the collection
+    *   layout (e.g. a language or source column) — at 100 TB, partition
+    *   pruning on these eliminates whole directories before the scan. */
   def create(
       spark: SparkSession,
       warehouse: String,
       name: String,
       docs: DataFrame,
       embedder: Embedder,
-      modelType: String = "hash"): Collection = {
+      modelType: String = "hash",
+      partitionBy: Seq[String] = Seq.empty): Collection = {
     if (ViewNameRe.findFirstIn(name).isEmpty) throw InvalidViewName(name)
     val cat = catalog(spark, warehouse)
     if (cat.find(name).isDefined) throw DuplicateView(name)
     val key = s"key-${java.util.UUID.randomUUID()}"
     val path = s"$warehouse/collections/$name"
-    Embed.withEmbedding(docs, "document", "embedding", embedder)
-      .write.mode("overwrite").parquet(path)
+    val writer = Embed.withEmbedding(docs, "document", "embedding", embedder)
+      .write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(path)
     val info = CollectionInfo(
       view = name, key = key, path = path, modelType = modelType,
       dim = embedder.dim, createdAt = System.currentTimeMillis())

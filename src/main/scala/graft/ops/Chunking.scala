@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document chunking for embedding pipelines (LLM-data staple): split each
+  * document into fixed-size character windows with overlap, one output row
+  * per (doc, chunk index). Pure expression pipeline (sequence + transform +
+  * posexplode) — fuses into the scan, shuffles nothing; at 100 TB this is
+  * a map-only stage that multiplies rows by ~len/step.
+  *
+  * The chunk grid starts at 1, 1+step, 1+2·step, … while ≤ len(text)
+  * (step = chunk − overlap); the tail chunk may be shorter. Deterministic
+  * and portable (same semantics as SQL substr grids — see the q44 oracle).
+  */
+object Chunking {
+
+  def chunkByChars(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
+    val step = chunkSize - overlap
+    df.select(col(idCol),
+      posexplode(expr(
+        s"transform(sequence(1, length($textCol), $step), s -> substring($textCol, s, $chunkSize))"))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+  }
+
+  /** Chunk + fingerprint, the usual pre-embedding shape: stable chunk ids
+    * (doc, idx) plus a content hash for downstream dedup. */
+  def chunkedFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame =
+    chunkByChars(df, idCol, textCol, chunkSize, overlap)
+      .select(col(idCol), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_fp"))
+}

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+class ChunkingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("chunk grid covers the text with the configured overlap") {
+    val text = "abcdefghijklmnopqrstuvwxyz" // 26 chars
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.chunkByChars(df, "doc_id", "text", chunkSize = 10, overlap = 4)
+      .orderBy("chunk_idx").select("chunk").as[String].collect()
+    // step 6: starts 1,7,13,19,25
+    assert(chunks.toSeq == Seq(
+      "abcdefghij", "ghijklmnop", "mnopqrstuv", "stuvwxyz", "yz"))
+    // reassembling non-overlap prefixes reproduces the text
+    val rebuilt = chunks.init.map(_.take(6)).mkString + chunks.last
+    assert(rebuilt == text)
+  }
+
+  test("short document yields exactly one chunk") {
+    val df = Seq((1L, "tiny")).toDF("doc_id", "text")
+    val chunks = Chunking.chunkByChars(df, "doc_id", "text", 100, 10)
+      .select("chunk").as[String].collect()
+    assert(chunks.toSeq == Seq("tiny"))
+  }
+
+  test("invalid sizes are rejected") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Chunking.chunkByChars(df, "doc_id", "text", 10, 10))
+  }
+
+  test("chunk fingerprints are stable ids for dedup") {
+    val df = Seq((1L, "aaaa bbbb aaaa bbbb")).toDF("doc_id", "text")
+    val fps = Chunking.chunkedFingerprints(df, "doc_id", "text", 9, 0)
+      .select("chunk_fp").as[String].collect()
+    assert(fps.length == 3 && fps.distinct.length >= 2)
+  }
+}
