@@ -22,8 +22,9 @@ object Bench {
     "q16_above_avg", "q17_sessionization",
     "q20_vec_dot_topk", "q21_vec_l2_knn", "q22_vec_cosine_topk",
     "q23_vec_knn_join", "q24_meta_filter_cosine", "q25_label_centroids",
-    "q35_ann_lsh",
+    "q26_meta_array_filter", "q35_ann_lsh",
     "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash",
+    "q36_dedup_clusters",
     "q40_token_stats", "q41_quality_scores", "q42_langid",
     "q43_fingerprint", "q44_chunking", "q45_top_terms",
     "q50_multimodal_hist")

@@ -61,6 +61,17 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Near-dup clusters: MinHash LSH candidates folded transitively into
+    * components, one row per clustered doc with its representative (no
+    * oracle: xxhash64-based candidates). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minHashCandidates(Tables.documents(s, dir),
+      "doc_id", "text", threshold = 0.4).select($"a_id", $"b_id")
+    graft.ops.Components.connectedComponents(pairs)
+      .orderBy($"id")
+  }
+
   /** Per-language token statistics. */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -146,6 +157,7 @@ object PipelineQueries {
     "q32_minhash_lsh"     -> (minhashCandidates _),
     "q33_simhash"         -> (simhashFingerprints _),
     "q34_embed_neardup"   -> (embeddingNearDups _),
+    "q36_dedup_clusters"  -> (dedupClusters _),
     "q40_token_stats"     -> (tokenStats _),
     "q41_quality_scores"  -> (qualityScores _),
     "q42_langid"          -> (langIdConfusion _),

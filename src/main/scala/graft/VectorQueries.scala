@@ -101,6 +101,28 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** The reference-fidelity metadata path: an array-of-JSON-strings
+    * metadata column (the reference's exact storage shape,
+    * embeddings.rs:224-225) filtered through MetaFilter.compileArray —
+    * EXISTS(get_json_object(...)) per entry, AND across filters. The
+    * oracle states the same predicate over the source columns, proving the
+    * DSL compilation is semantics-preserving. */
+  def metaArrayFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withMeta = Tables.documents(s, dir)
+      .withColumn("metadata", array(
+        concat(lit("""{"lang": """"), $"lang", lit(""""}""")),
+        concat(lit("""{"n_chars": """), $"n_chars", lit("}")),
+        concat(lit("""{"source": """"), $"source", lit(""""}"""))))
+    withMeta
+      .filter(MetaFilter.compileArray($"metadata", Seq(
+        """{"n_chars": {"gte": 150}}""",
+        """{"n_chars": {"lt": 400}}""",
+        """{"lang": {"in": ["en", "fr"]}}""")))
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Per-label centroids: per-dimension mean of the embedding matrix —
     * the corpus-stats aggregation over vectors (SURVEY.md §2.3 "UDF/UDAF"
     * centroid case). posexplode → two-level hash aggregate; at scale this
@@ -144,6 +166,7 @@ object VectorQueries {
     "q23_vec_knn_join"       -> (knnJoin _),
     "q24_meta_filter_cosine" -> (metaFilterCosine _),
     "q25_label_centroids"    -> (labelCentroids _),
+    "q26_meta_array_filter"  -> (metaArrayFilter _),
     "q35_ann_lsh"            -> (annLsh _))
 
   private val dotSum =
@@ -200,6 +223,11 @@ object VectorQueries {
         |  FROM r)
         |SELECT q_id, n_id, sim, rnk FROM rk WHERE rnk <= 3
         |ORDER BY q_id, rnk""".stripMargin,
+    "q26_meta_array_filter" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE n_chars >= 150 AND n_chars < 400 AND lang IN ('en', 'fr')
+        |ORDER BY doc_id""".stripMargin,
     "q25_label_centroids" ->
       """SELECT label, i.i - 1 AS pos, COUNT(*) AS n,
         |  ROUND(AVG(CAST(embedding[i.i] AS DOUBLE)), 5) AS centroid_v

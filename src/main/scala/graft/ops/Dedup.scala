@@ -94,18 +94,22 @@ object Dedup {
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, w: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    // The signature table is consumed twice (both sides of the band
-    // self-join); without a persist Spark would recompute the whole
-    // shingle→signature pipeline per side. In-session: cache. At 100 TB:
-    // signatures are a batch-built index — persist them as a table
-    // (Sinks.parquet) and call minHashCandidatesFromSigs instead.
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minHashCandidatesFromSigs(sigs, idCol, numHashes, bands, threshold)
-  }
+      threshold: Double = 0.5): DataFrame =
+    minHashCandidatesFromSigs(
+      minHashSignatures(df, idCol, textCol, numHashes, w),
+      idCol, numHashes, bands, threshold)
 
-  /** LSH banding over a precomputed signature table (the indexed path). */
+  /** LSH banding over a signature table (use a persisted signature table —
+    * the batch-built index — when calling repeatedly).
+    *
+    * Pairs are generated *within* each (band, bucket) group via
+    * collect_list + pair expansion rather than a bucket self-join: the
+    * signature pipeline is consumed exactly once (a self-join would
+    * recompute it per side or force a cache), and the quadratic work is
+    * confined to individual buckets, whose size LSH keeps small by
+    * construction (a pathological mega-bucket means the banding parameters
+    * are wrong for the corpus, not that the join should globally explode).
+    */
   def minHashCandidatesFromSigs(
       sigs: DataFrame, idCol: String,
       numHashes: Int = 32, bands: Int = 8,
@@ -116,15 +120,20 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws('_', slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
         .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
-      col(idCol).as("a_id"), col("sig").as("a_sig"))
-    val r = banded.select(col("band"), col("bucket"),
-      col(idCol).as("b_id"), col("sig").as("b_sig"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (expr("size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v))").cast("double")
-          / lit(numHashes)).as("est_jaccard"))
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sig").as("sig"))))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2)
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), y ->
+          |    named_struct('a_id', x.id, 'b_id', y.id,
+          |      'est_jaccard', cast(size(filter(zip_with(x.sig, y.sig, (u, v) -> u = v), b -> b)) as double)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        (col("p.est_jaccard") / lit(numHashes)).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
