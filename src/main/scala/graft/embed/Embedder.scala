@@ -41,7 +41,10 @@ object Embed {
     val enc = Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        val vecs = embedder.embedBatch(batch.map(_.getString(textIdx)))
+        // null documents embed as empty text (zero vector) rather than NPE
+        val vecs = embedder.embedBatch(batch.map { r =>
+          if (r.isNullAt(textIdx)) "" else r.getString(textIdx)
+        })
         batch.iterator.zip(vecs.iterator).map { case (r, v) =>
           Row.fromSeq(r.toSeq :+ v)
         }

@@ -131,7 +131,9 @@ object MetaFilter {
   /** Compile to a predicate over typed top-level columns (pushdown path). */
   def compileTyped(filters: Seq[String]): Column =
     filters.map(parse).map { f =>
-      val base = col(f.key)
+      // backtick-quote: a key like "a.b" is a literal column name in the
+      // DSL, never a nested-field path
+      val base = col(s"`${f.key}`")
       val lhs = if (isIntFilter(f)) tryCastLong(base) else base
       cmp(f.op, lhs, f.value)
     }.reduceOption(_ && _).getOrElse(lit(true))

@@ -109,6 +109,18 @@ class CollectionSpec extends SparkSpecBase {
       Collection.create(spark, wh, "dup", docs, embedder))
   }
 
+  test("null documents embed as zero vectors instead of failing") {
+    val wh = freshWarehouse()
+    val docs = Seq(("id0", "real text", Seq.empty[String]),
+      ("id1", null.asInstanceOf[String], Seq.empty[String]))
+      .toDF("id", "document", "metadata")
+    val coll = Collection.create(spark, wh, "null_doc", docs, embedder)
+    val vecs = coll.df.orderBy("id").select("embedding")
+      .as[Array[Float]].collect()
+    assert(vecs.length == 2)
+    assert(vecs(1).forall(_ == 0f))
+  }
+
   test("embedding column: correct dim, deterministic across saves") {
     val wh = freshWarehouse()
     val docs = Seq(("id0", "alpha beta", Seq.empty[String]),

@@ -82,6 +82,13 @@ class MetaFilterSpec extends SparkSpecBase {
     assert(run(rows, Seq("""{"Year": {"gte": 0}}""")) == Set.empty[String])
   }
 
+  test("typed mode treats dotted keys as literal column names, not paths") {
+    import org.apache.spark.sql.functions.lit
+    val df = spark.range(1).toDF("id").withColumn("a.b", lit(5L))
+    assert(df.filter(MetaFilter.compileTyped(Seq("""{"a.b": {"gte": 5}}""")))
+      .count() == 1)
+  }
+
   test("typed-column compilation matches array compilation semantics") {
     val typed = Seq(("a", 2017L, "en"), ("b", 2016L, "fr"), ("c", 2018L, "en"))
       .toDF("id", "Year", "lang")
