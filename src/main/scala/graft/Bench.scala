@@ -33,20 +33,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+    // a failing query must NOT be folded in as a fake near-zero timing —
+    // it is excluded from `queries` and reported under `errors`
+    val runs = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count() // warm-up
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> Right(times.min): (String, Either[String, Double])
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        name -> Left(e.getClass.getSimpleName): (String, Either[String, Double])
       }
-      name -> times.min // steady-state: min of 2 timed runs
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = runs.collect { case (n, Right(t)) => n -> t }
+    val failed = runs.collect { case (n, Left(err)) => n -> err }
+    val qJson = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val eJson = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One collection's catalog entry — the Spark-native form of the
@@ -20,28 +22,44 @@ final case class CollectionInfo(
   *
   * The reference keeps three LMDB keys ("keys", "views", "key-{view}") that
   * it read-modify-writes on every mutation (embeddings.rs:481-539); here
-  * that collapses into a single small table rewritten atomically
-  * (write-new-then-swap) on add/remove. At 100 TB the catalog stays tiny
-  * (one row per collection) — only collection *data* scales.
+  * that collapses into one small table, made reader-safe with a versioned
+  * layout: each write lands in a fresh `v_{nonce}` directory and a CURRENT
+  * pointer file is swapped over it with an atomic OVERWRITE rename —
+  * readers always resolve a complete version, never a half-written or
+  * momentarily-deleted directory. At 100 TB the catalog stays tiny (one
+  * row per collection) — only collection *data* scales. (Concurrent
+  * *writers* still need external coordination — same single-writer model
+  * as the reference's lock, database.rs:28-31.)
   */
 final class Catalog(spark: SparkSession, warehouse: String) {
   import spark.implicits._
 
   private val catalogPath = s"$warehouse/_catalog"
+  private val currentPtr = new Path(s"$catalogPath/CURRENT")
 
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def exists: Boolean = fs.exists(new Path(catalogPath))
+  /** Resolve the current version's data dir via the pointer file. */
+  private def currentDir(): Option[String] = {
+    if (!fs.exists(currentPtr)) return None
+    val in = fs.open(currentPtr)
+    try {
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      Some(s"$catalogPath/${new String(bytes, StandardCharsets.UTF_8).trim}")
+    } finally in.close()
+  }
 
-  def list(): Seq[CollectionInfo] =
-    if (!exists) Seq.empty
-    else spark.read.parquet(catalogPath).as[CollectionInfo].collect().toSeq
-      .sortBy(_.view)
+  def list(): Seq[CollectionInfo] = currentDir() match {
+    case None => Seq.empty
+    case Some(dir) =>
+      spark.read.parquet(dir).as[CollectionInfo].collect().toSeq.sortBy(_.view)
+  }
 
-  def listDf(): DataFrame =
-    if (!exists) spark.emptyDataset[CollectionInfo].toDF()
-    else spark.read.parquet(catalogPath)
+  def listDf(): DataFrame = currentDir() match {
+    case None => spark.emptyDataset[CollectionInfo].toDF()
+    case Some(dir) => spark.read.parquet(dir)
+  }
 
   /** All view names (reference: fetch_collection_keys(views=true),
     * embeddings.rs:312-324). */
@@ -67,13 +85,26 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   }
 
   private def write(rows: Seq[CollectionInfo]): Unit = {
-    // tiny table: write to a fresh dir, then swap — readers never see a
-    // half-written catalog (the reference's read-modify-write of its LMDB
-    // index lists has the same races single-threaded-only, SURVEY.md §3.4)
-    val tmp = new Path(catalogPath + ".tmp")
-    val dst = new Path(catalogPath)
-    spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    val prev = currentDir()
+    val version = s"v_${System.nanoTime()}"
+    spark.createDataset(rows).coalesce(1).write.mode("overwrite")
+      .parquet(s"$catalogPath/$version")
+    // atomic pointer swap (FileContext rename with OVERWRITE — atomic on
+    // posix-local and HDFS): readers see either the old or the new version
+    val tmp = new Path(s"$catalogPath/CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, currentPtr, Options.Rename.OVERWRITE)
+    // best-effort cleanup: keep current + immediately-previous version (an
+    // in-flight reader may have resolved the old pointer); drop older ones
+    val keep = Set(Some(s"$catalogPath/$version"), prev).flatten
+      .map(p => new Path(p).getName)
+    try {
+      fs.listStatus(new Path(catalogPath)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v_") && !keep.contains(n)) fs.delete(st.getPath, true)
+      }
+    } catch { case _: Exception => () }
   }
 }

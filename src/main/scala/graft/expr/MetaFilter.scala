@@ -143,7 +143,14 @@ object MetaFilter {
   def compileArray(metaCol: Column, filters: Seq[String]): Column =
     filters.map(parse).map { f =>
       exists(metaCol, { m =>
-        val extracted = get_json_object(m, s"$$.${f.key}")
+        // extract via a string map, not a get_json_object path: the DSL key
+        // is a literal name, and '$.a.b'-style paths would reinterpret
+        // dotted/special keys as nesting (mirrors compileTyped's quoting)
+        val extracted = element_at(
+          from_json(m, org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+          f.key)
         val lhs = if (isIntFilter(f)) tryCastLong(extracted) else extracted
         lhs.isNotNull && cmp(f.op, lhs, f.value)
       })

@@ -21,9 +21,12 @@ object Chunking {
     require(chunkSize > overlap && overlap >= 0,
       s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
     val step = chunkSize - overlap
+    // empty/null text yields zero chunks (sequence(1, 0) would throw)
     df.select(col(idCol),
       posexplode(expr(
-        s"transform(sequence(1, length($textCol), $step), s -> substring($textCol, s, $chunkSize))"))
+        s"""CASE WHEN $textCol IS NULL OR length($textCol) = 0 THEN array()
+           |ELSE transform(sequence(1, length($textCol), $step), s -> substring($textCol, s, $chunkSize)) END"""
+          .stripMargin))
         .as(Seq("chunk_idx", "chunk")))
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
   }

@@ -20,7 +20,11 @@ object Components {
 
   /** pairs(a_id, b_id) → (id, component) for every id appearing in a pair;
     * component = min id reachable through the pair graph. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** @throws IllegalStateException when maxIter rounds did not converge —
+    *   a silent partial result would under-deduplicate; clusters deeper
+    *   than maxIter hops indicate either a pathological pair graph or a
+    *   maxIter too small for the corpus. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
@@ -45,6 +49,10 @@ object Components {
       converged = changed == 0L
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "raise maxIter or inspect the pair graph for pathological chains")
     labels
   }
 

@@ -114,6 +114,9 @@ object Dedup {
       sigs: DataFrame, idCol: String,
       numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
+        "bands > numHashes would hash empty slices into one global mega-bucket")
     val rowsPerBand = numHashes / bands
     val banded = sigs.select(
       col(idCol), col("sig"),

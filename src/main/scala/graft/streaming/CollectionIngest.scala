@@ -10,10 +10,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Each micro-batch of (id, document, metadata) rows is embedded with the
   * collection's embedder (same batched mapPartitions operator as the batch
-  * save path) and appended to the collection's parquet. foreachBatch keeps
-  * the write idempotent per micro-batch via the (batchId-scoped) append,
-  * and the embed stage scales with executor count — ingest throughput is a
-  * map-only stage plus a parquet append.
+  * save path) and appended to the collection's parquet; the embed stage
+  * scales with executor count — ingest throughput is a map-only stage plus
+  * a parquet append.
+  *
+  * Delivery semantics: **at-least-once**. A crash between the parquet
+  * append and the checkpoint commit replays the micro-batch on restart,
+  * duplicating its rows (a blind parquet append is not transactional).
+  * Exactly-once needs a transactional table format; with plain parquet,
+  * run Dedup.dropExactDuplicates (content fingerprints) downstream or
+  * treat the collection as append-only with id-based dedup at query time.
   */
 object CollectionIngest {
 

@@ -82,6 +82,13 @@ class MetaFilterSpec extends SparkSpecBase {
     assert(run(rows, Seq("""{"Year": {"gte": 0}}""")) == Set.empty[String])
   }
 
+  test("array mode treats dotted keys as literal names (map extraction, not JSONPath)") {
+    val rows = Seq(
+      "flat" -> Seq("""{"a.b": 5}"""),
+      "nested" -> Seq("""{"a": {"b": 5}}"""))
+    assert(run(rows, Seq("""{"a.b": {"eq": 5}}""")) == Set("flat"))
+  }
+
   test("typed mode treats dotted keys as literal column names, not paths") {
     import org.apache.spark.sql.functions.lit
     val df = spark.range(1).toDF("id").withColumn("a.b", lit(5L))

@@ -25,6 +25,14 @@ class ChunkingSpec extends SparkSpecBase {
     assert(chunks.toSeq == Seq("tiny"))
   }
 
+  test("empty and null texts yield zero chunks, not a crash") {
+    val df = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "ok"))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkByChars(df, "doc_id", "text", 10, 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
+
   test("invalid sizes are rejected") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](

@@ -55,6 +55,13 @@ class DedupSpec extends SparkSpecBase {
     assert(est == 1.0)
   }
 
+  test("minhash rejects bands not dividing numHashes (mega-bucket guard)") {
+    intercept[IllegalArgumentException](
+      Dedup.minHashCandidates(docs, "doc_id", "text", numHashes = 8, bands = 16))
+    intercept[IllegalArgumentException](
+      Dedup.minHashCandidates(docs, "doc_id", "text", numHashes = 32, bands = 5))
+  }
+
   test("simhash: identical normalized texts share fingerprints; near dups are close") {
     val fps = Dedup.simHash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
