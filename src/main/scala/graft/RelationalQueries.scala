@@ -266,6 +266,26 @@ object RelationalQueries {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** As-of join: each event picks up the user's most recent order at event
+    * time (graft.ops.AsOfJoin — union + window composition, one shuffle,
+    * no range-join explosion). Oracle: DuckDB's native ASOF LEFT JOIN —
+    * matching results prove the composition implements true point-in-time
+    * semantics. Orders deduped to one per (custkey, date) so ties can't
+    * differ between engines. */
+  def eventsAsOfOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).filter($"user_id" < 10)
+      .select($"event_id", $"user_id", $"ts")
+    val o = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+      .agg(max($"o_orderkey").as("last_orderkey"))
+    graft.ops.AsOfJoin.asOf(e, o, "user_id", "ts", "o_orderdate",
+      Seq("last_orderkey", "o_orderdate"))
+      .select($"event_id", $"user_id", $"last_orderkey",
+        unix_timestamp($"o_orderdate").cast("long").as("last_order_epoch"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
@@ -283,7 +303,8 @@ object RelationalQueries {
     "q14_running_totals"   -> (runningTotals _),
     "q15_event_gaps"       -> (eventGaps _),
     "q16_above_avg"        -> (aboveAvgOrders _),
-    "q17_sessionization"   -> (sessionization _))
+    "q17_sessionization"   -> (sessionization _),
+    "q18_asof_join"        -> (eventsAsOfOrders _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -418,6 +439,17 @@ object RelationalQueries {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q18_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    MAX(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE user_id < 10)
+        |SELECT e.event_id, e.user_id, o.last_orderkey,
+        |  CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS last_order_epoch
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "q16_above_avg" ->
       """WITH t AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
