@@ -286,6 +286,25 @@ object RelationalQueries {
       .orderBy($"event_id")
   }
 
+  /** Exact continuous quantiles per event type (order statistics — the
+    * sort-based aggregate family). Exact percentile, not approx sketches:
+    * approximate quantile implementations differ across engines and can't
+    * be oracle-checked; the approx path at scale is
+    * `approx_percentile`/t-digest, same query shape. */
+  def valueQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        min($"value").as("min_v"),
+        max($"value").as("max_v"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
@@ -304,7 +323,8 @@ object RelationalQueries {
     "q15_event_gaps"       -> (eventGaps _),
     "q16_above_avg"        -> (aboveAvgOrders _),
     "q17_sessionization"   -> (sessionization _),
-    "q18_asof_join"        -> (eventsAsOfOrders _))
+    "q18_asof_join"        -> (eventsAsOfOrders _),
+    "q19_quantiles"        -> (valueQuantiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -439,6 +459,15 @@ object RelationalQueries {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q19_quantiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99,
+        |  MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q18_asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey AS user_id, o_orderdate,
