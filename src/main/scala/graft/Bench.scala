@@ -27,7 +27,7 @@ object Bench {
     "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash",
     "q36_dedup_clusters",
     "q40_token_stats", "q41_quality_scores", "q42_langid",
-    "q43_fingerprint", "q44_chunking", "q45_top_terms",
+    "q43_fingerprint", "q44_chunking", "q45_top_terms", "q46_hash_split",
     "q50_multimodal_hist")
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Chunking, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,20 +72,37 @@ object PipelineQueries {
       .orderBy($"id")
   }
 
-  /** Per-language token statistics. */
+  /** Per-language token statistics (whitespace tokens + BPE-ish subwords). */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("n_tokens", TextAnalysis.tokenCount($"text").cast("long"))
+      .withColumn("n_subwords", TextAnalysis.subwordCount($"text").cast("long"))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("sum_tokens"),
+        sum($"n_subwords").as("sum_subwords"),
         min($"n_chars").as("min_chars"),
         max($"n_chars").as("max_chars"),
         sum($"n_chars").as("sum_chars"))
       .withColumn("avg_chars", $"sum_chars".cast("double") / $"n_docs")
       .orderBy($"lang")
+  }
+
+  /** Deterministic train/val/test split assignment (Sampling.hashSplit) —
+    * engine-independent by construction, which the oracle proves (DuckDB
+    * recomputes the md5 bucket and gets identical membership). */
+  def splitCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"split")
   }
 
   /** Per-document quality metrics + bucket. */
@@ -164,6 +181,7 @@ object PipelineQueries {
     "q43_fingerprint"     -> (fingerprints _),
     "q44_chunking"        -> (chunkedDocs _),
     "q45_top_terms"       -> (topTerms _),
+    "q46_hash_split"      -> (splitCounts _),
     "q50_multimodal_hist" -> (multimodalHist _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -209,12 +227,29 @@ object PipelineQueries {
     "q40_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  SUM(len(string_split($norm, ' '))) AS sum_tokens,
+         |  SUM(len(regexp_extract_all(text, '[A-Za-z]{1,8}|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS sum_subwords,
          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
          |  SUM(n_chars) AS sum_chars,
          |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
          |FROM documents
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
+    "q46_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+        |  MAX(doc_id) AS max_id, SUM(n_chars) AS sum_chars
+        |FROM s
+        |GROUP BY split
+        |ORDER BY split""".stripMargin,
     "q41_quality_scores" ->
       s"""SELECT doc_id, length(text) AS len,
          |  len(string_split($norm, ' ')) AS n_tokens,

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * Assignment is a pure function of the row's id — stable across runs,
+  * partitionings, cluster sizes, and engines (md5-based, so even the
+  * DuckDB oracle reproduces it) — unlike randomSplit, whose assignment
+  * depends on partition layout. At 100 TB the split is a map-only
+  * projection; no shuffle, no sampling pass.
+  */
+object Sampling {
+
+  /** Uniform [0, 100) bucket from the id's md5 (first 8 hex chars). */
+  def hashBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(100L))
+
+  /** Adds a `split` column: train / val / test by hash bucket.
+    * trainPct + valPct <= 100; test gets the remainder. */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages $trainPct/$valPct")
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic p-percent sample (same hash family, disjoint use of
+    * buckets from hashSplit is up to the caller's seed column choice). */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < pct)
+}
