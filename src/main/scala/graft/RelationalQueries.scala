@@ -305,6 +305,21 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** Pivot: event counts per user bucket, one column per event type
+    * (Spark's relational pivot operator; missing combos coalesced to 0 to
+    * match SQL's COUNT(CASE ...) semantics). */
+  def eventTypePivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, dir)
+      .groupBy(pmod($"user_id", lit(10L)).as("user_bucket"))
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(p) { (df, t) =>
+      df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
+    }.orderBy($"user_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
@@ -324,7 +339,8 @@ object RelationalQueries {
     "q16_above_avg"        -> (aboveAvgOrders _),
     "q17_sessionization"   -> (sessionization _),
     "q18_asof_join"        -> (eventsAsOfOrders _),
-    "q19_quantiles"        -> (valueQuantiles _))
+    "q19_quantiles"        -> (valueQuantiles _),
+    "q47_pivot"            -> (eventTypePivot _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -459,6 +475,16 @@ object RelationalQueries {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q47_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY user_bucket""".stripMargin,
     "q19_quantiles" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
