@@ -84,6 +84,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     write(current.filterNot(_.view == view))
   }
 
+  /** Replace an existing entry (same view) — e.g. after compaction moves
+    * the collection's data path. */
+  def update(info: CollectionInfo): Unit = {
+    val current = list()
+    if (!current.exists(_.view == info.view)) throw ViewNotFound(info.view)
+    write(current.filterNot(_.view == info.view) :+ info)
+  }
+
   private def write(rows: Seq[CollectionInfo]): Unit = {
     val prev = currentDir()
     val version = s"v_${System.nanoTime()}"

@@ -57,6 +57,25 @@ final class Collection private[core] (
 
   def nearestQueryVec(queryVec: Array[Float], k: Int = 1): DataFrame =
     NearestQuery.run(df, queryVec, k)
+
+  /** Compact the collection into `numFiles` parquet files — the small-file
+    * remedy after many streaming appends (CollectionIngest). Writes a new
+    * versioned data dir, swaps the catalog entry's path (atomic pointer
+    * swap inside Catalog), then best-effort deletes the old dir. Readers
+    * holding the old path keep a consistent snapshot until it is removed.
+    * Returns the updated Collection handle. */
+  def compact(warehouse: String, numFiles: Int = 1): Collection = {
+    require(numFiles > 0, "numFiles must be positive")
+    val newPath = s"${info.path}_c${System.nanoTime()}"
+    df.repartition(numFiles).write.mode("overwrite").parquet(newPath)
+    val cat = Collection.catalog(spark, warehouse)
+    val updated = info.copy(path = newPath)
+    cat.update(updated)
+    val old = new Path(info.path)
+    val fs = old.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.delete(old, true) catch { case _: Exception => () }
+    new Collection(spark, updated)
+  }
 }
 
 object Collection {

@@ -34,4 +34,23 @@ class CollectionIngestSpec extends SparkSpecBase {
     val hits = coll.cosineQuery("document about vectors", embedder, 3)
     assert(hits.count() > 0)
   }
+
+  test("compact collapses small files and swaps the catalog path") {
+    val wh = Files.createTempDirectory("graft_compact_wh_").toString
+    val embedder = HashEmbedder(dim = 16)
+    val docs = (0 until 20).map(i => (s"id$i", s"doc number $i", Seq.empty[String]))
+      .toDF("id", "document", "metadata")
+    val coll = Collection.create(spark, wh, "compact_me", docs.repartition(8), embedder)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(coll.info.path) > 1)
+
+    val compacted = coll.compact(wh, numFiles = 1)
+    assert(parquetFiles(compacted.info.path) == 1)
+    assert(compacted.df.count() == 20)
+    // catalog now resolves the new path; old dir gone
+    val found = Collection.find(spark, wh, Some("compact_me"))
+    assert(found.info.path == compacted.info.path)
+    assert(!new java.io.File(coll.info.path).exists())
+  }
 }
