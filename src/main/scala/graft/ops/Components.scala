@@ -20,7 +20,7 @@ object Components {
 
   /** pairs(a_id, b_id) → (id, component) for every id appearing in a pair;
     * component = min id reachable through the pair graph. */
-  /** @throws IllegalStateException when maxIter rounds did not converge —
+  /** @throws java.lang.IllegalStateException when maxIter rounds did not converge —
     *   a silent partial result would under-deduplicate; clusters deeper
     *   than maxIter hops indicate either a pathological pair graph or a
     *   maxIter too small for the corpus. */
