@@ -320,6 +320,36 @@ object RelationalQueries {
     }.orderBy($"user_bucket")
   }
 
+  /** Statistical aggregates: correlation, sample stddev/variance per
+    * group (rounded — incremental-moment algorithms differ in last-ulp
+    * across engines). */
+  def statsAggregates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("cov_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** HLL sketch distinct counts (approx_count_distinct). No oracle —
+    * sketch implementations differ across engines by design; the exact
+    * counterpart q13 is the oracle-checked baseline. Deterministic for a
+    * given dataset (hash-register merge is commutative). */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("apx_parts"),
+        approx_count_distinct($"l_suppkey").as("apx_supps"),
+        approx_count_distinct($"l_orderkey").as("apx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
@@ -340,7 +370,9 @@ object RelationalQueries {
     "q17_sessionization"   -> (sessionization _),
     "q18_asof_join"        -> (eventsAsOfOrders _),
     "q19_quantiles"        -> (valueQuantiles _),
-    "q47_pivot"            -> (eventTypePivot _))
+    "q47_pivot"            -> (eventTypePivot _),
+    "q48_stats_agg"        -> (statsAggregates _),
+    "q49_approx_distinct"  -> (approxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -475,6 +507,15 @@ object RelationalQueries {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q48_stats_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q47_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
