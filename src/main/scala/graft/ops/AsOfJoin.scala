@@ -24,7 +24,9 @@ object AsOfJoin {
     * @param key        equi-join key column name (same name both sides)
     * @param leftTime   left timestamp column name
     * @param rightTime  right timestamp column name
-    * @param rightCols  right columns to attach (null when no match)
+    * @param rightCols  right columns to attach (null when no match);
+    *                    names must not collide with left column names —
+    *                    alias on the right side first if they do
     */
   def asOf(
       left: DataFrame, right: DataFrame, key: String,
