@@ -72,6 +72,14 @@ object PipelineQueries {
       .orderBy($"id")
   }
 
+  /** SimHash near-dup candidates via bit-banding (no oracle: xxhash64). */
+  def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simHashCandidates(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3, bands = 4)
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Per-language token statistics (whitespace tokens + BPE-ish subwords). */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -175,6 +183,7 @@ object PipelineQueries {
     "q33_simhash"         -> (simhashFingerprints _),
     "q34_embed_neardup"   -> (embeddingNearDups _),
     "q36_dedup_clusters"  -> (dedupClusters _),
+    "q37_simhash_neardup" -> (simhashNearDups _),
     "q40_token_stats"     -> (tokenStats _),
     "q41_quality_scores"  -> (qualityScores _),
     "q42_langid"          -> (langIdConfusion _),

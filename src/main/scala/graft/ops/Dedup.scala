@@ -165,6 +165,37 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** SimHash near-dup candidate pairs: band the 64-bit fingerprints into
+    * `bands` chunks; pairs sharing any chunk are candidates (pigeonhole:
+    * any pair within Hamming distance < bands must share a chunk), then
+    * filtered to true Hamming distance ≤ maxHamming via bit_count(xor).
+    * Same LSH shape as MinHash banding — equi-join on (band, chunk),
+    * never a cross join. */
+  def simHashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands ($bands) must divide 64")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands) for full recall")
+    val width = 64 / bands
+    val fps = simHash(df, idCol, textCol)
+    val banded = fps.select(
+      col(idCol), col("simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> (simhash >> (b * $width)) & ${(1L << width) - 1}L)"))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"),
+      col(idCol).as("a_id"), col("simhash").as("a_fp"))
+    val r = banded.select(col("band"), col("chunk"),
+      col(idCol).as("b_id"), col("simhash").as("b_fp"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 64-bit SimHash fingerprint per document: token-frequency-weighted
     * ±1 vote per bit of xxhash64(token); fingerprint bit j = sign of the
     * vote sum. Two shuffles (token explode+count, then per-doc agg of the

@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpecBase {
       Dedup.minHashCandidates(docs, "doc_id", "text", numHashes = 32, bands = 5))
   }
 
+  test("simhash banding finds near-dup candidates within the hamming budget") {
+    val cands = Dedup.simHashCandidates(docs, "doc_id", "text",
+      maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toList
+    // exact dups (hamming 0) must be found
+    assert(cands.exists(c => c._1 == 0L && c._2 == 1L && c._3 == 0L))
+    assert(cands.exists(c => c._1 == 3L && c._2 == 4L && c._3 == 0L))
+    // everything returned respects the budget
+    assert(cands.forall(_._3 <= 3))
+    // parameter validation
+    intercept[IllegalArgumentException](
+      Dedup.simHashCandidates(docs, "doc_id", "text", maxHamming = 4, bands = 4))
+  }
+
   test("simhash: identical normalized texts share fingerprints; near dups are close") {
     val fps = Dedup.simHash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
