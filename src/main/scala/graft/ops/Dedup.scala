@@ -179,19 +179,26 @@ object Dedup {
       s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands) for full recall")
     val width = 64 / bands
     val fps = simHash(df, idCol, textCol)
+    // pair expansion inside each (band, chunk) group — single pass over
+    // the fingerprint pipeline (a bucket self-join would recompute it per
+    // side), quadratic work confined to buckets (same shape as MinHash)
     val banded = fps.select(
       col(idCol), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> (simhash >> (b * $width)) & ${(1L << width) - 1}L)"))
         .as(Seq("band", "chunk")))
-    val l = banded.select(col("band"), col("chunk"),
-      col(idCol).as("a_id"), col("simhash").as("a_fp"))
-    val r = banded.select(col("band"), col("chunk"),
-      col(idCol).as("b_id"), col("simhash").as("b_fp"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+    banded
+      .groupBy(col("band"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash").as("fp"))))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), y ->
+          |    named_struct('a_id', x.id, 'b_id', y.id,
+          |      'hamming', bit_count(x.fp ^ y.fp)))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.hamming").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
