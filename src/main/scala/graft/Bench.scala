@@ -25,7 +25,7 @@ object Bench {
     "q23_vec_knn_join", "q24_meta_filter_cosine", "q25_label_centroids",
     "q26_meta_array_filter", "q35_ann_lsh",
     "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash",
-    "q36_dedup_clusters", "q37_simhash_neardup",
+    "q36_dedup_clusters", "q37_simhash_neardup", "q38_winnow_fp",
     "q40_token_stats", "q41_quality_scores", "q42_langid",
     "q43_fingerprint", "q44_chunking", "q45_top_terms", "q46_hash_split",
     "q50_multimodal_hist")

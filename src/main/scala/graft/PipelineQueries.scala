@@ -80,6 +80,19 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Winnowing (rolling-hash) fingerprint summary per document. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_fps"),
+        min($"winnow_fp").as("min_fp"),
+        max($"winnow_fp").as("max_fp"),
+        sum($"winnow_fp").as("sum_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-language token statistics (whitespace tokens + BPE-ish subwords). */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -190,6 +203,7 @@ object PipelineQueries {
     "q43_fingerprint"     -> (fingerprints _),
     "q44_chunking"        -> (chunkedDocs _),
     "q45_top_terms"       -> (topTerms _),
+    "q38_winnow_fp"       -> (winnowFingerprints _),
     "q46_hash_split"      -> (splitCounts _),
     "q50_multimodal_hist" -> (multimodalHist _))
 
@@ -243,6 +257,26 @@ object PipelineQueries {
          |FROM documents
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
+    "q38_winnow_fp" -> {
+      val P = 1000000007L; val B = 131L
+      val coef = (0 until 8).map(j => (0 until j).foldLeft(1L)((a, _) => a * B % P))
+      val terms = coef.zipWithIndex
+        .map { case (c, j) => s"CAST(ascii(substr(nt, i + $j, 1)) AS BIGINT) * $c" }
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $norm AS nt FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, length(nt) - 7), i -> ($terms) % $P) AS h
+         |  FROM t WHERE length(nt) >= 11),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(generate_series(1, len(h) - 3),
+         |      w -> list_min(h[w:w+3])))) AS fp
+         |  FROM f)
+         |SELECT doc_id, COUNT(*) AS n_fps, MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+         |  CAST(SUM(fp) AS BIGINT) AS sum_fp
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q46_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id, n_chars,

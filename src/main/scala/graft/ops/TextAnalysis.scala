@@ -80,4 +80,28 @@ object TextAnalysis {
     * the exact-dedup key and a stable doc identity for lineage. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), Dedup.fingerprint(col(textCol)).as("fp"))
+
+  /** Winnowing fingerprints (MOSS-style rolling-hash document
+    * fingerprinting): polynomial hash of every k-char window of the
+    * normalized text, then the minimum of each run of t consecutive
+    * hashes, deduplicated — a compact, position-robust fingerprint set
+    * whose overlap measures local content reuse. All integer arithmetic
+    * (64-bit safe: 8 × 126 × (P-1) < 2^63), expression-only, so the
+    * DuckDB oracle reproduces it exactly. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, t: Int = 4): DataFrame = {
+    require(k > 0 && t > 0 && k <= 16, s"need 0 < k <= 16 and t > 0, got $k/$t")
+    val P = 1000000007L; val B = 131L
+    val coef = (0 until k).map(j => (0 until j).foldLeft(1L)((a, _) => a * B % P))
+    val hashTerm = (0 until k)
+      .map(j => s"ascii(substring(_nt, i + $j, 1)) * ${coef(j)}L")
+      .mkString(" + ")
+    df.select(col(idCol), Dedup.normText(col(textCol)).as("_nt"))
+      .filter(length(col("_nt")) >= k + t - 1)
+      .withColumn("_h", expr(
+        s"transform(sequence(1, length(_nt) - ${k - 1}), i -> ($hashTerm) % ${P}L)"))
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(1, size(_h) - ${t - 1}), w -> array_min(slice(_h, w, $t))))"))
+        .as("winnow_fp"))
+  }
 }
