@@ -249,10 +249,10 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin,
     "q40_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(len(string_split($norm, ' '))) AS sum_tokens,
-         |  SUM(len(regexp_extract_all(text, '[A-Za-z]{1,8}|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS sum_subwords,
+         |  CAST(SUM(len(string_split($norm, ' '))) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{1,8}|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_subwords,
          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-         |  SUM(n_chars) AS sum_chars,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
          |FROM documents
          |GROUP BY lang
@@ -289,7 +289,7 @@ object PipelineQueries {
         |         ELSE 'test' END AS split
         |  FROM b)
         |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
-        |  MAX(doc_id) AS max_id, SUM(n_chars) AS sum_chars
+        |  MAX(doc_id) AS max_id, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM s
         |GROUP BY split
         |ORDER BY split""".stripMargin,

@@ -69,7 +69,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
+            # check_dtype=True: the driver hash-compares arrow values, so a
+            # DuckDB HUGEINT vs Spark int64 difference must fail here too.
+            pd.testing.assert_frame_equal(g, w, check_dtype=True,
                                           check_exact=True)
             print(f"PASS {name}: {len(g)} rows")
             n_pass += 1
