@@ -15,7 +15,8 @@ final case class CollectionInfo(
     path: String,
     modelType: String,
     dim: Int,
-    createdAt: Long)
+    createdAt: Long,
+    partitionCols: Seq[String] = Seq.empty)
 
 /** The collections catalog: a tiny Parquet table under
   * `{warehouse}/_catalog` mapping view → (key, data path, model config).

@@ -58,22 +58,45 @@ final class Collection private[core] (
   def nearestQueryVec(queryVec: Array[Float], k: Int = 1): DataFrame =
     NearestQuery.run(df, queryVec, k)
 
-  /** Compact the collection into `numFiles` parquet files — the small-file
-    * remedy after many streaming appends (CollectionIngest). Writes a new
-    * versioned data dir, swaps the catalog entry's path (atomic pointer
-    * swap inside Catalog), then best-effort deletes the old dir. Readers
-    * holding the old path keep a consistent snapshot until it is removed.
+  /** Compact the collection into `numFiles` parquet files per partition —
+    * the small-file remedy after many streaming appends (CollectionIngest).
+    * Writes a new versioned data dir under `.compact/{view}/` (view names
+    * are `[a-zA-Z0-9_]+`, so the dot-prefixed sibling can never collide
+    * with another collection's directory), re-applying the hive
+    * `partitionBy` layout chosen at create(), then swaps the catalog
+    * entry's path (atomic pointer swap inside Catalog).
+    *
+    * Deletion is deferred: the immediately-previous version is kept so a
+    * concurrent reader that resolved the old path before the swap keeps a
+    * consistent snapshot; only versions older than that are removed (the
+    * same keep-current-plus-previous policy as Catalog.write).
     * Returns the updated Collection handle. */
   def compact(warehouse: String, numFiles: Int = 1): Collection = {
     require(numFiles > 0, "numFiles must be positive")
-    val newPath = s"${info.path}_c${System.nanoTime()}"
-    df.repartition(numFiles).write.mode("overwrite").parquet(newPath)
+    val versionsDir = s"$warehouse/collections/.compact/${info.view}"
+    val newPath = s"$versionsDir/v${System.nanoTime()}"
+    val writer = df.repartition(numFiles).write.mode("overwrite")
+    (if (info.partitionCols.nonEmpty) writer.partitionBy(info.partitionCols: _*)
+     else writer).parquet(newPath)
     val cat = Collection.catalog(spark, warehouse)
     val updated = info.copy(path = newPath)
     cat.update(updated)
-    val old = new Path(info.path)
-    val fs = old.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try fs.delete(old, true) catch { case _: Exception => () }
+    // Best-effort cleanup of versions older than the previous one.
+    val keep = Set(newPath, info.path).map(p => new Path(p).getName)
+    val vd = new Path(versionsDir)
+    val fs = vd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (fs.exists(vd)) fs.listStatus(vd).foreach { st =>
+        if (!keep(st.getPath.getName)) fs.delete(st.getPath, true)
+      }
+      // The original create() dir is a version too — drop it once it is
+      // no longer the immediately-previous version (i.e. from the second
+      // compact onward, when `info.path` already points into .compact/).
+      val orig = new Path(s"$warehouse/collections/${info.view}")
+      val prevIsOrig =
+        new Path(info.path).toUri.getPath == orig.toUri.getPath
+      if (!prevIsOrig && fs.exists(orig)) fs.delete(orig, true)
+    } catch { case _: Exception => () }
     new Collection(spark, updated)
   }
 }
@@ -111,7 +134,8 @@ object Collection {
       .parquet(path)
     val info = CollectionInfo(
       view = name, key = key, path = path, modelType = modelType,
-      dim = embedder.dim, createdAt = System.currentTimeMillis())
+      dim = embedder.dim, createdAt = System.currentTimeMillis(),
+      partitionCols = partitionBy)
     cat.add(info)
     new Collection(spark, info)
   }
@@ -139,6 +163,9 @@ object Collection {
     val p = new Path(info.path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    // Also drop any compacted versions kept for concurrent readers.
+    val versions = new Path(s"$warehouse/collections/.compact/$view")
+    if (fs.exists(versions)) fs.delete(versions, true)
     cat.remove(view)
   }
 }

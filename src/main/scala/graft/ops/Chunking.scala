@@ -21,11 +21,15 @@ object Chunking {
     require(chunkSize > overlap && overlap >= 0,
       s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
     val step = chunkSize - overlap
+    // backtick-quote the interpolated identifier (same policy as
+    // MetaFilter) so column names with dots/spaces/hyphens parse as a
+    // literal column, not a nested-field path
+    val t = s"`${textCol.replace("`", "``")}`"
     // empty/null text yields zero chunks (sequence(1, 0) would throw)
     df.select(col(idCol),
       posexplode(expr(
-        s"""CASE WHEN $textCol IS NULL OR length($textCol) = 0 THEN array()
-           |ELSE transform(sequence(1, length($textCol), $step), s -> substring($textCol, s, $chunkSize)) END"""
+        s"""CASE WHEN $t IS NULL OR length($t) = 0 THEN array()
+           |ELSE transform(sequence(1, length($t), $step), s -> substring($t, s, $chunkSize)) END"""
           .stripMargin))
         .as(Seq("chunk_idx", "chunk")))
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))

@@ -27,15 +27,24 @@ object Sources {
     * Rating = rating as u64, id = "id{rowNumber}"; metadata kept both as
     * typed columns (pushdown path) and as the reference's array-of-JSON
     * strings (fidelity path). */
-  def carReviews(spark: SparkSession, path: String): DataFrame =
+  def carReviews(spark: SparkSession, path: String): DataFrame = {
+    // id = "id{n}" with n from row_number() over a stable ordering of the
+    // CSV columns — deterministic across runs and partitionings, unlike
+    // monotonically_increasing_id() (which encodes the partition layout).
+    // The single-partition window is fine here: the reference's dataset is
+    // a 141-line CSV (BASELINE.md); for big sources use a content hash id.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("review"), col("vehicle_title"), col("rating"))
     csv(spark, path)
+      .withColumn("id",
+        concat(lit("id"), (row_number().over(w) - 1).cast("string")))
       .select(
+        col("id"),
         col("review").as("document"),
         trim(substring(col("vehicle_title"), 1, 5)).cast("long").as("Year"),
         col("rating").cast("long").as("Rating"))
-      .withColumn("id", concat(lit("id"),
-        (monotonically_increasing_id()).cast("string")))
       .withColumn("metadata", array(
         concat(lit("""{"Year": """), col("Year"), lit("}")),
         concat(lit("""{"Rating": """), col("Rating"), lit("}"))))
+  }
 }

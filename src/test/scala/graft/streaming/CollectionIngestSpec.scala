@@ -48,9 +48,39 @@ class CollectionIngestSpec extends SparkSpecBase {
     val compacted = coll.compact(wh, numFiles = 1)
     assert(parquetFiles(compacted.info.path) == 1)
     assert(compacted.df.count() == 20)
-    // catalog now resolves the new path; old dir gone
+    // catalog now resolves the new path; the immediately-previous version
+    // is KEPT (deferred deletion — a concurrent reader that resolved the
+    // old path before the swap keeps a consistent snapshot)
     val found = Collection.find(spark, wh, Some("compact_me"))
     assert(found.info.path == compacted.info.path)
+    assert(new java.io.File(coll.info.path).exists())
+    // a second compact retires the original dir (now two versions old)
+    val again = compacted.compact(wh, numFiles = 1)
+    assert(again.df.count() == 20)
     assert(!new java.io.File(coll.info.path).exists())
+    assert(new java.io.File(compacted.info.path).exists())
+    // delete() removes current data, kept versions, and the catalog entry
+    Collection.delete(spark, wh, "compact_me")
+    assert(!new java.io.File(again.info.path).exists())
+    assert(!new java.io.File(s"$wh/collections/.compact/compact_me").exists())
+  }
+
+  test("compact preserves the hive partitionBy layout chosen at create()") {
+    val wh = Files.createTempDirectory("graft_compact_part_wh_").toString
+    val embedder = HashEmbedder(dim = 16)
+    val docs = (0 until 12).map(i =>
+      (s"id$i", s"doc number $i", Seq.empty[String], if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "document", "metadata", "lang")
+    val coll = Collection.create(spark, wh, "compact_part", docs.repartition(6),
+      embedder, partitionBy = Seq("lang"))
+    assert(coll.info.partitionCols == Seq("lang"))
+    val compacted = coll.compact(wh, numFiles = 1)
+    // hive layout re-applied: lang=en / lang=fr subdirs in the new version
+    val subdirs = new java.io.File(compacted.info.path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs == Set("lang=en", "lang=fr"))
+    assert(compacted.df.count() == 12)
+    // partition pruning still works post-compact
+    assert(compacted.df.where($"lang" === "en").count() == 6)
   }
 }
