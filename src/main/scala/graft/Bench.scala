@@ -34,9 +34,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     val qs = SparkEntry.queries
+    // dev convenience: `runMain graft.Bench q38_winnow_fp ...` times only
+    // the named queries (driver passes no args → full headline set)
+    val selected = if (args.nonEmpty) headline.filter(args.toSet) else headline
     // a failing query must NOT be folded in as a fake near-zero timing —
     // it is excluded from `queries` and reported under `errors`
-    val runs = headline.filter(qs.contains).map { name =>
+    val runs = selected.filter(qs.contains).map { name =>
       val fn = qs(name)
       try {
         fn(spark, sfDir).count() // warm-up

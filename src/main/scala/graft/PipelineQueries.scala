@@ -80,16 +80,22 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Winnowing (rolling-hash) fingerprint summary per document. */
+  /** Winnowing (rolling-hash) fingerprint summary per document.
+    * Winnowing is embarrassingly per-document, so the summary aggregates
+    * the kernel's array<long> in place — a map-only plan (scan → project
+    * → sort for presentation), vs the naive explode + groupBy(doc_id)
+    * which shuffles ~L·docs fingerprint rows to regroup what was never
+    * apart. sum_fp is 64-bit safe: ≤ L distinct fps per doc × (P−1). */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text")
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_fps"),
-        min($"winnow_fp").as("min_fp"),
-        max($"winnow_fp").as("max_fp"),
-        sum($"winnow_fp").as("sum_fp"))
+    Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.winnowFps($"text").as("_fps"))
+      .filter(size($"_fps") > 0)
+      .select($"doc_id",
+        size($"_fps").cast("long").as("n_fps"),
+        array_min($"_fps").as("min_fp"),
+        array_max($"_fps").as("max_fp"),
+        aggregate($"_fps", lit(0L), (acc, x) => acc + x).as("sum_fp"))
       .orderBy($"doc_id")
   }
 

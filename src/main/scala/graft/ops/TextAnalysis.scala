@@ -89,17 +89,39 @@ object TextAnalysis {
     * (64-bit safe: 8 × 126 × (P-1) < 2^63), expression-only, so the
     * DuckDB oracle reproduces it exactly. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, t: Int = 4): DataFrame =
+    df.select(col(idCol), winnowFps(col(textCol), k, t).as("_fps"))
+      .filter(size(col("_fps")) > 0)
+      .select(col(idCol), explode(col("_fps")).as("winnow_fp"))
+
+  /** Distinct winnow fingerprints of a document as one `array<long>` —
+    * normalize, then the single-pass codegen kernel
+    * ([[graft.expr.WinnowKernel]]). Per-document summaries should
+    * aggregate this array directly (size/array_min/array_max/aggregate):
+    * winnowing is embarrassingly per-document, so exploding and
+    * re-grouping would shuffle L·(docs) rows for no reason. */
+  def winnowFps(text: Column, k: Int = 8, t: Int = 4): Column =
+    graft.expr.WinnowKernel.fps(Dedup.normText(text), k, t)
+
+  /** Portable expression-only variant of [[winnowFingerprints]] (no
+    * custom Expression — `split`/`transform`/`slice` built-ins only):
+    * identical output, used to cross-check the kernel in tests and as the
+    * template for the DuckDB oracle (q38). O(k·L) via element_at on a
+    * code-point array (substring(s, i, 1) would be O(i) on UTF-8 →
+    * O(L²) per document). */
+  def winnowFingerprintsPortable(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, t: Int = 4): DataFrame = {
     require(k > 0 && t > 0 && k <= 16, s"need 0 < k <= 16 and t > 0, got $k/$t")
     val P = 1000000007L; val B = 131L
     val coef = (0 until k).map(j => (0 until j).foldLeft(1L)((a, _) => a * B % P))
     val hashTerm = (0 until k)
-      .map(j => s"ascii(substring(_nt, i + $j, 1)) * ${coef(j)}L")
+      .map(j => s"element_at(_a, i + $j) * ${coef(j)}L")
       .mkString(" + ")
     df.select(col(idCol), Dedup.normText(col(textCol)).as("_nt"))
       .filter(length(col("_nt")) >= k + t - 1)
+      .withColumn("_a", expr("transform(split(_nt, ''), c -> cast(ascii(c) as bigint))"))
       .withColumn("_h", expr(
-        s"transform(sequence(1, length(_nt) - ${k - 1}), i -> ($hashTerm) % ${P}L)"))
+        s"transform(sequence(1, size(_a) - ${k - 1}), i -> ($hashTerm) % ${P}L)"))
       .select(col(idCol), explode(expr(
         s"array_distinct(transform(sequence(1, size(_h) - ${t - 1}), w -> array_min(slice(_h, w, $t))))"))
         .as("winnow_fp"))

@@ -49,4 +49,48 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fps(0) == fps(1))
     assert(fps(0).matches("[0-9a-f]{32}"))
   }
+
+  test("winnow kernel matches the portable expression pipeline exactly") {
+    // seeded random ASCII-ish docs + hand-picked edge cases (empty, too
+    // short, boundary length k+t-1 = 11, repeated chars → duplicate mins,
+    // non-ASCII code points, whitespace runs collapsed by normText)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghij klmnop  qrstuvwxyz0189 é漢"
+    val gen = (1 to 60).map { i =>
+      val len = rnd.nextInt(120)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val edge = Seq(
+      (1000L, ""), (1001L, "ab"), (1002L, "abcdefghij"), // < 11 chars
+      (1003L, "abcdefghijk"),                            // exactly 11
+      (1004L, "aaaaaaaaaaaaaaaaaaaaaa"),                 // all-equal hashes
+      (1005L, "the quick brown fox jumps over the lazy dog"))
+    val docs = (gen ++ edge).toDF("doc_id", "text")
+    val fast = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .groupBy("doc_id").agg(collect_list("winnow_fp").as("fps"))
+    val slow = TextAnalysis.winnowFingerprintsPortable(docs, "doc_id", "text")
+      .groupBy("doc_id").agg(collect_list("winnow_fp").as("fps"))
+    val f = fast.as[(Long, Seq[Long])].collect().toMap
+    val s = slow.as[(Long, Seq[Long])].collect().toMap
+    assert(f.keySet == s.keySet)
+    // same multiset per doc AND same first-occurrence order (array_distinct
+    // and the kernel's HashSet both preserve it)
+    f.keySet.foreach { id => assert(f(id) == s(id), s"doc $id") }
+    // boundary doc produces exactly one window; short docs absent
+    assert(f.contains(1003L) && f(1003L).length == 1)
+    assert(!f.contains(1000L) && !f.contains(1001L) && !f.contains(1002L))
+    assert(f(1004L).length == 1) // all windows share one min hash
+  }
+
+  test("winnow fps array form: per-doc stats without explode") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val row = docs.select(TextAnalysis.winnowFps($"text").as("fps"))
+      .select(size($"fps").as("n"), array_min($"fps").as("mn"), array_max($"fps").as("mx"))
+      .as[(Int, Long, Long)].head()
+    val exploded = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .agg(count(lit(1)), min($"winnow_fp"), max($"winnow_fp"))
+      .as[(Long, Long, Long)].head()
+    assert((row._1.toLong, row._2, row._3) == exploded)
+  }
 }
