@@ -37,15 +37,18 @@ object Components {
     while (iter < maxIter && !converged) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+        .select(col("src").as("id"), col("component"), lit(false).as("own"))
+      // carry each node's previous label through the same aggregation
+      // (`own` marks the labels-side row — exactly one per id), so change
+      // detection is a scan of the checkpointed result, not an extra join
+      val next = labels.select(col("id"), col("component"), lit(true).as("own"))
         .union(viaNeighbors)
         .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
+        .agg(min(col("component")).as("component"),
+          max(when(col("own"), col("component"))).as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("old")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0L
       iter += 1
     }

@@ -57,21 +57,30 @@ object Dedup {
 
   // MinHash universe: affine permutations over a Mersenne prime keep all
   // arithmetic inside non-overflowing Long range (xxhash64 % P < 2^31).
-  private val P = 2147483647L // 2^31 - 1
-  private def perm(i: Int): (Long, Long) = {
-    // deterministic per-permutation coefficients from splitmix64
-    var x = i.toLong + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    val a = 1L + java.lang.Math.floorMod(x, P - 1)
-    val b = java.lang.Math.floorMod(x ^ (x >>> 31), P)
-    (a, b)
-  }
+  // P and the splitmix64 permutation live in DedupKernel (shared with the
+  // codegen kernel so pipeline and kernel can never drift).
+  private val P = graft.expr.DedupKernel.P
+  private def perm(i: Int): (Long, Long) = graft.expr.DedupKernel.perm(i)
 
   /** MinHash signatures: one row per id, `sig` = array of `numHashes`
-    * min-hash values over the document's shingle set. One shuffle
-    * (groupBy id), all mins computed map-side first. */
+    * min-hash values over the document's shingle multiset, via the
+    * one-pass codegen kernel ([[graft.expr.DedupKernel.minHashSig]]) —
+    * map-only, zero shuffle (a signature is a function of one document).
+    * Bit-identical to [[minHashSignaturesPortable]]: min over the shingle
+    * multiset equals min over the distinct set. */
   def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, w: Int = 3): DataFrame =
+    df.select(col(idCol),
+        graft.expr.DedupKernel.minHashSigCol(normText(col(textCol)), numHashes, w)
+          .as("sig"))
+      .filter(size(col("sig")) > 0)
+
+  /** Portable expression-only MinHash signatures (built-ins: shingle
+    * explode + distinct + groupBy mins — two shuffles). Kept as the
+    * differential-test target for the kernel; prefer
+    * [[minHashSignatures]]. */
+  def minHashSignaturesPortable(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, w: Int = 3): DataFrame = {
     val sh = shingles(df, idCol, textCol, w)
@@ -205,9 +214,19 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint per document: token-frequency-weighted
     * ±1 vote per bit of xxhash64(token); fingerprint bit j = sign of the
-    * vote sum. Two shuffles (token explode+count, then per-doc agg of the
-    * 64 vote sums — computed as expressions, no UDF). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * vote sum. One-pass codegen kernel
+    * ([[graft.expr.DedupKernel.simHash64]]) — map-only, zero shuffle.
+    * Bit-identical to [[simHashPortable]]: per-occurrence ±1 votes sum to
+    * the tf-weighted votes. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.expr.DedupKernel.simHash64Col(normText(col(textCol))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** Portable expression-only SimHash (built-ins: token explode + tf
+    * groupBy + 64 vote sums — two shuffles). Kept as the differential-test
+    * target for the kernel; prefer [[simHash]]. */
+  def simHashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol), explode(split(normText(col(textCol)), " ")).as("tok"))
       .filter(length(col("tok")) > 0)

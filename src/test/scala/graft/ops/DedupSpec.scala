@@ -85,4 +85,40 @@ class DedupSpec extends SparkSpecBase {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(fps(0L), fps(2L)) < hamming(fps(0L), fps(3L)))
   }
+
+  // seeded random corpus shared by the two kernel-vs-portable tests:
+  // messy whitespace, repeated words (tf > 1), docs below/at/above the
+  // w=3 shingle threshold, multi-byte chars, empty and blank docs
+  private def randomDocs(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("the", "quick", "brown", "fox", "fox", "über",
+      "漢字", "data", "spark", "engine", "a", "b9")
+    (1 to 80).map { i =>
+      val n = rnd.nextInt(12)
+      val sep = if (rnd.nextBoolean()) " " else "   "
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(sep))
+    }.toDF("doc_id", "text")
+  }
+
+  test("minhash kernel signatures are bit-identical to the portable pipeline") {
+    val docs = randomDocs(7)
+    val fast = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 16, w = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    val slow = Dedup.minHashSignaturesPortable(docs, "doc_id", "text", numHashes = 16, w = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fast.keySet == slow.keySet) // same docs survive the <w-words filter
+    assert(fast.keySet.nonEmpty)
+    fast.keySet.foreach { id => assert(fast(id) == slow(id), s"doc $id") }
+  }
+
+  test("simhash kernel fingerprints are bit-identical to the portable pipeline") {
+    val docs = randomDocs(11)
+    val fast = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val slow = Dedup.simHashPortable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fast.keySet == slow.keySet) // same docs survive the empty filter
+    assert(fast.keySet.nonEmpty)
+    fast.keySet.foreach { id => assert(fast(id) == slow(id), s"doc $id") }
+  }
 }
