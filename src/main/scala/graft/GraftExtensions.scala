@@ -1,6 +1,7 @@
 package graft
 
-import graft.expr.{CosineSimilarity, DotProduct, L2Distance}
+import graft.expr.{CosineSimilarity, DotProduct, L2Distance, TopKBy}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,7 +36,21 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     binary("vec_dot", DotProduct),
     binary("vec_cosine", CosineSimilarity),
-    binary("vec_l2", L2Distance))
+    binary("vec_l2", L2Distance),
+    // topk_by(payload, order, k[, desc=true]) — aggregate: array of the
+    // top-k payloads per group by order key (bounded heap, no sort)
+    "topk_by" -> { args =>
+      require(args.length == 3 || args.length == 4,
+        s"topk_by expects (payload, order, k[, desc]), got ${args.length} args")
+      def lit[T](e: Expression, what: String): T = e match {
+        case Literal(v, _) if v != null => v.asInstanceOf[T]
+        case other => throw new IllegalArgumentException(
+          s"topk_by: $what must be a literal, got $other")
+      }
+      val k = lit[Int](args(2), "k")
+      val desc = if (args.length == 4) lit[Boolean](args(3), "desc") else true
+      TopKBy(args(0), args(1), k, desc).toAggregateExpression()
+    })
 
   /** Imperative registration on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -350,6 +350,29 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Per-customer top-3 orders via the bounded-heap aggregate
+    * ([[graft.expr.TopKBy]]) — the scale path for per-group top-k: no
+    * Sort node, partial heaps shrink each (group, mapper) to ≤ k rows
+    * before the exchange. q04 is the window-function twin (row_number
+    * sorts every group); this entry proves the aggregate form returns
+    * the identical ranking. Order key is the unique composite
+    * (o_totalprice, o_orderkey) desc, so ties are deterministic. */
+  def topkHeapPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < 300)
+      .groupBy($"o_custkey")
+      .agg(graft.expr.TopKBy.top(
+        struct($"o_orderkey", $"o_totalprice"),
+        struct($"o_totalprice", $"o_orderkey"), 3).as("top"))
+      .select($"o_custkey", posexplode($"top").as(Seq("i", "t")))
+      .select($"o_custkey",
+        ($"i" + 1).cast("long").as("rk"),
+        $"t.o_orderkey".as("o_orderkey"),
+        $"t.o_totalprice".as("o_totalprice"))
+      .orderBy($"o_custkey", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
@@ -372,7 +395,8 @@ object RelationalQueries {
     "q19_quantiles"        -> (valueQuantiles _),
     "q47_pivot"            -> (eventTypePivot _),
     "q48_stats_agg"        -> (statsAggregates _),
-    "q49_approx_distinct"  -> (approxDistinct _))
+    "q49_approx_distinct"  -> (approxDistinct _),
+    "q51_topk_heap"        -> (topkHeapPerCustomer _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -554,5 +578,14 @@ object RelationalQueries {
         |  FROM orders WHERE o_custkey < 200)
         |SELECT o_custkey, o_orderkey, o_totalprice, avg_total FROM t
         |WHERE o_totalprice > avg_total
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q51_topk_heap" ->
+      """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+        |  FROM orders WHERE o_custkey < 300)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin)
 }
