@@ -24,7 +24,7 @@ object Bench {
     "q51_topk_heap",
     "q20_vec_dot_topk", "q21_vec_l2_knn", "q22_vec_cosine_topk",
     "q23_vec_knn_join", "q24_meta_filter_cosine", "q25_label_centroids",
-    "q26_meta_array_filter", "q35_ann_lsh",
+    "q26_meta_array_filter", "q35_ann_lsh", "q52_ann_ivf",
     "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash",
     "q36_dedup_clusters", "q37_simhash_neardup", "q38_winnow_fp",
     "q40_token_stats", "q41_quality_scores", "q42_langid",

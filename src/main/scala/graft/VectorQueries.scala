@@ -159,6 +159,27 @@ object VectorQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** IVF ANN twin of q35: coarse k-means cells + nprobe probing + exact
+    * cosine re-rank (no oracle: the trained quantizer is not expressible
+    * in the DuckDB oracle; recall vs brute force is spec-checked in
+    * IvfSpec). Deterministic end to end — seeded init, fixed rounds,
+    * lexicographic tie-breaks. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cands = e.filter($"vec_id" >= 3)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val model = graft.ops.Ivf.train(
+      cands.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 16, iters = 2)
+    graft.ops.Ivf.topK(qs, cands, model, k = 5, nprobe = 6)
+      .select($"q_id", $"n_id", round($"sim", 6).as("sim"),
+        $"rnk".cast("long").as("rnk"))
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
@@ -167,7 +188,8 @@ object VectorQueries {
     "q24_meta_filter_cosine" -> (metaFilterCosine _),
     "q25_label_centroids"    -> (labelCentroids _),
     "q26_meta_array_filter"  -> (metaArrayFilter _),
-    "q35_ann_lsh"            -> (annLsh _))
+    "q35_ann_lsh"            -> (annLsh _),
+    "q52_ann_ivf"            -> (annIvf _))
 
   private val dotSum =
     "SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))"

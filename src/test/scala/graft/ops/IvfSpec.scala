@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** IVF coarse-quantizer ANN: determinism, plan shape, and recall against
+  * the exact brute-force top-k on the real testdata embeddings. */
+class IvfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select($"vec_id".as("id"), $"embedding".as("v"))
+
+  test("training is deterministic and partition-layout-independent") {
+    val a = Ivf.train(corpus, "id", "v", nc = 8, iters = 2)
+    val b = Ivf.train(corpus.repartition(13), "id", "v", nc = 8, iters = 2)
+    assert(a.centroids.length == 8)
+    (a.centroids zip b.centroids).foreach { case (x, y) =>
+      assert(x.toSeq == y.toSeq)
+    }
+  }
+
+  test("assignment is map-only (no exchange) and covers every row with a valid cell") {
+    val m = Ivf.train(corpus, "id", "v", nc = 8, iters = 1)
+    val assigned = Ivf.assign(corpus, "v", m)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val cells = assigned.select($"ivf_cell").as[Int].collect()
+    assert(cells.length == 500)
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(cells.distinct.length > 1, "degenerate quantizer: one cell")
+  }
+
+  test("probeCells returns the nprobe truly nearest centroids") {
+    val m = Ivf.train(corpus, "id", "v", nc = 8, iters = 2)
+    val row = corpus.limit(1)
+      .select(Ivf.probeCells($"v", m, 3).as("p"), $"v")
+      .head()
+    val probes = row.getSeq[Int](0)
+    val raw = row.getSeq[Float](1).toArray
+    // mirror the kernel: distances are measured in unit space
+    val norm = math.sqrt(raw.map(x => x.toDouble * x).sum)
+    val v = if (norm == 0) raw else raw.map(x => (x / norm).toFloat)
+    def l2(a: Array[Float], b: Array[Float]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val byDist = m.centroids.zipWithIndex
+      .sortBy { case (c, i) => (l2(v, c), i) }.map(_._2).take(3).toSeq
+    assert(probes == byDist)
+  }
+
+  // The testdata embeddings are uniform random unit vectors (norms == 1.0,
+  // no cluster structure) — the worst case for any cell-based ANN, where
+  // recall ~= scan fraction (measured curve: nc=16 gives 0.42/0.64/0.76
+  // recall at nprobe 4/6/8). On real clustered embeddings the cells carry
+  // far more signal; this spec pins the uniform-data floor.
+  test("ivf topK recall@5 >= 0.5 vs brute force on sf0.001 embeddings") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cands = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val m = Ivf.train(cands.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 16, iters = 2)
+    val exact = Similarity.bruteForceTopK(qs, cands, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.topK(qs, cands, m, k = 5, nprobe = 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"recall@5 = $recall%.2f (${approx.size} approx results, nprobe=6/16 cells)")
+    assert(recall >= 0.5, f"recall@5 $recall%.2f below 0.5")
+  }
+}
