@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * north-star extension surface (BASELINE.json; absent from the reference,
   * SURVEY.md §2.3).
   *
-  * Oracle notes: queries whose logic is SQL-expressible carry a DuckDB
-  * oracle; MinHash/SimHash/LSH use xxhash64, which DuckDB cannot
-  * reproduce, so those entries are declared without oracle SQL (the driver
-  * records a rows-only check — per the driver contract).
+  * Oracle notes: every query here carries a DuckDB oracle. The
+  * MinHash/SimHash sketches hash with a portable polynomial code-point
+  * fold (graft.expr.DedupKernel — base 131/137 mod 2³¹−1), so the oracle
+  * recomputes signatures, fingerprints, LSH candidate pairs and even the
+  * transitive dedup clusters (recursive CTE) exactly; the permutation
+  * constants are generated from the same `DedupKernel.perm` the kernels
+  * use, so the two engines cannot drift.
   */
 object PipelineQueries {
 
@@ -34,7 +37,8 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** MinHash + LSH banding near-dup candidates (no oracle: xxhash64). */
+  /** MinHash + LSH banding near-dup candidates (oracle-exact: portable
+    * polynomial shingle hash). */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.minHashCandidates(Tables.documents(s, dir), "doc_id", "text",
@@ -42,7 +46,8 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** 64-bit SimHash fingerprints (no oracle: xxhash64). */
+  /** 62-bit SimHash fingerprints (oracle-exact: portable two-lane
+    * polynomial token hash). */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")
@@ -62,8 +67,9 @@ object PipelineQueries {
   }
 
   /** Near-dup clusters: MinHash LSH candidates folded transitively into
-    * components, one row per clustered doc with its representative (no
-    * oracle: xxhash64-based candidates). */
+    * components, one row per clustered doc with its representative
+    * (oracle-exact: the DuckDB oracle rebuilds the candidate pairs and
+    * closes them with a recursive CTE). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = Dedup.minHashCandidates(Tables.documents(s, dir),
@@ -72,7 +78,7 @@ object PipelineQueries {
       .orderBy($"id")
   }
 
-  /** SimHash near-dup candidates via bit-banding (no oracle: xxhash64). */
+  /** SimHash near-dup candidates via bit-banding (oracle-exact). */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.simHashCandidates(Tables.documents(s, dir), "doc_id", "text",
@@ -215,7 +221,93 @@ object PipelineQueries {
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
+  // ---- portable-hash oracle building blocks (mirror DedupKernel exactly) --
+
+  /** DuckDB polynomial code-point fold over a string column — identical
+    * arithmetic to DedupKernel.polyFold / Dedup.polyHashCol. */
+  private def duckFold(sCol: String, base: Long): String = {
+    val P = graft.expr.DedupKernel.P
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($sCol)), ci -> CAST(ascii(substr($sCol, ci, 1)) AS BIGINT))), " +
+      s"(acc, c) -> (acc * $base + c) % $P)"
+  }
+
+  /** CTE chain `t → hh → sig → banded → cand(a_id, b_id, est)`: MinHash
+    * signatures (numHashes=32, w=3, perms inlined from DedupKernel.perm),
+    * LSH banding (8 bands × 4 rows), candidate pairs with est ≥ 0.4 —
+    * the DuckDB re-derivation of Dedup.minHashCandidates' defaults as
+    * used by q32 and q36. */
+  private def minhashCtes: String = {
+    val P = graft.expr.DedupKernel.P
+    val sigItems = (0 until 32).map { i =>
+      val (a, b) = graft.expr.DedupKernel.perm(i)
+      s"list_min(list_transform(hh, h -> (h * $a + $b) % $P))"
+    }.mkString(",\n    ")
+    s"""t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+       |hh AS (
+       |  SELECT doc_id, list_transform(
+       |    list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' ')),
+       |    s -> ${duckFold("s", graft.expr.DedupKernel.B1)}) AS hh
+       |  FROM t WHERE len(w) >= 3),
+       |sig AS (SELECT doc_id, [$sigItems] AS sig FROM hh),
+       |banded AS (
+       |  SELECT doc_id, sig, b.b AS band, list_slice(sig, b.b*4 + 1, b.b*4 + 4) AS key
+       |  FROM sig, generate_series(0, 7) b(b)),
+       |cand AS (
+       |  SELECT a_id, b_id, est FROM (
+       |    SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |      CAST(len(list_filter(generate_series(1, 32), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 32 AS est
+       |    FROM banded x JOIN banded y
+       |      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) d
+       |  WHERE est >= 0.4)""".stripMargin
+  }
+
+  /** CTE chain `t → tok → th → d → fps(doc_id, simhash)`: 62-bit two-lane
+    * SimHash fingerprints — the DuckDB re-derivation of Dedup.simHash. */
+  private def simhashCtes: String = {
+    val l1 = duckFold("tk", graft.expr.DedupKernel.B1)
+    val l2 = duckFold("tk", graft.expr.DedupKernel.B2)
+    s"""t AS (SELECT doc_id, $norm AS nt FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM t),
+       |th AS (SELECT doc_id, ($l1 << 31) | $l2 AS h FROM tok WHERE length(tk) > 0),
+       |d AS (SELECT doc_id, list(h) AS hs FROM th GROUP BY doc_id),
+       |fps AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 61), j ->
+       |    CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+       |  FROM d)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q32_minhash_lsh" ->
+      s"""WITH $minhashCtes
+         |SELECT a_id, b_id, est AS est_jaccard FROM cand ORDER BY a_id, b_id""".stripMargin,
+    "q33_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM fps ORDER BY doc_id""".stripMargin,
+    "q36_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (
+         |  SELECT a_id AS a, b_id AS b FROM cand
+         |  UNION SELECT b_id, a_id FROM cand
+         |  UNION SELECT a_id, a_id FROM cand
+         |  UNION SELECT b_id, b_id FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    "q37_simhash_neardup" ->
+      s"""WITH $simhashCtes,
+         |banded AS (
+         |  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 16)) & 65535 AS chunk
+         |  FROM fps, generate_series(0, 3) b(b)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
     "q30_dedup_exact" ->
       s"""SELECT md5($norm) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
          |FROM documents

@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -18,9 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * kernel instead makes one pass over the normalized text's UTF-8 bytes
   * (tokens/shingles are contiguous byte ranges — normText collapses
   * whitespace to single 0x20 bytes, which in UTF-8 never occur inside a
-  * multi-byte sequence), hashing ranges in place with the same XXH64
-  * (seed 42) that `functions.xxhash64` uses, so outputs are bit-identical
-  * to the portable pipelines. Map-only at any scale.
+  * multi-byte sequence), hashing ranges in place. Map-only at any scale.
+  *
+  * The inner hash is a **portable polynomial hash over Unicode code
+  * points** (base 131 / 137, modulus P = 2³¹−1): the same fold any other
+  * engine can express with `ascii(substring(s, i, 1))`-style built-ins,
+  * which is what makes the MinHash/SimHash query entries DuckDB-oracle
+  * checkable (q32/q33/q36/q37) — unlike an engine-private hash such as
+  * xxhash64. All arithmetic stays in non-overflowing Long range:
+  * acc·base + cp < 2³¹·137 + 2²¹ < 2³⁹.
   *
   * Precondition: input is already normalized (trimmed, single-space
   * separated) — compose via [[graft.ops.Dedup.normText]] as the builders
@@ -33,11 +39,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    SimHash needs no token-frequency grouping.
   */
 object DedupKernel {
-  final val P = 2147483647L // 2^31 - 1, the MinHash permutation modulus
-  final val Seed = 42L // functions.xxhash64 default seed
+  final val P = 2147483647L // 2^31 - 1, hash range and permutation modulus
+  final val B1 = 131L // polynomial base, lane 1 (MinHash + SimHash low lane)
+  final val B2 = 137L // polynomial base, lane 2 (SimHash high lane)
+  final val SimHashBits = 62 // two 31-bit lanes
 
   /** Deterministic per-permutation affine coefficients from splitmix64 —
-    * must match Dedup.perm exactly (same constants). */
+    * inlined into the DuckDB oracle SQL (PipelineQueries) so both engines
+    * use identical permutations. */
   def perm(i: Int): (Long, Long) = {
     var x = i.toLong + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -47,13 +56,37 @@ object DedupKernel {
     (a, b)
   }
 
+  /** Polynomial fold over the Unicode code points of the UTF-8 byte range
+    * [from, until): acc ← (acc·base + codePoint) mod P. Decodes UTF-8
+    * inline so the result equals a per-character fold over the string —
+    * the form other engines express with ascii(substr(s, i, 1)). */
+  private def polyFold(s: UTF8String, from: Int, until: Int, base: Long): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      val b = s.getByte(i) & 0xff
+      var cp = 0
+      var n = 1
+      if (b < 0x80) { cp = b }
+      else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; n = 2 }
+      else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; n = 3 }
+      else { cp = b & 0x07; n = 4 }
+      var k = 1
+      while (k < n && i + k < until) {
+        cp = (cp << 6) | (s.getByte(i + k) & 0x3f)
+        k += 1
+      }
+      acc = (acc * base + cp) % P
+      i += n
+    }
+    acc
+  }
+
   /** MinHash signature of the w-shingle multiset: for every run of w
     * consecutive words (= the byte range from the first word's start to
-    * the last word's end), h = xxhash64(range) mod P, then numHashes
+    * the last word's end), h = polyFold(range, B1), then numHashes
     * affine-permuted minima. Empty array when the text has < w words. */
   def minHashSig(s: UTF8String, numHashes: Int, w: Int): ArrayData = {
-    val base = s.getBaseObject
-    val off = s.getBaseOffset
     val n = s.numBytes
     // word start/end byte offsets (single-space separated input)
     var nWords = 0
@@ -83,10 +116,7 @@ object DedupKernel {
     val nSh = nWords - w + 1
     var sh = 0
     while (sh < nSh) {
-      val from = starts(sh)
-      val len = ends(sh + w - 1) - from
-      val h = java.lang.Math.floorMod(
-        XXH64.hashUnsafeBytes(base, off + from, len, Seed), P)
+      val h = polyFold(s, starts(sh), ends(sh + w - 1), B1)
       j = 0
       while (j < numHashes) {
         val v = (h * as(j) + bs(j)) % P
@@ -98,15 +128,14 @@ object DedupKernel {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
-  /** 64-bit SimHash: ±1 vote per bit of xxhash64(token) per token
-    * occurrence; bit j of the fingerprint = sign of vote j. Returns
-    * boxed null when the text has no tokens (matching the pipeline,
-    * which drops empty documents before grouping). */
-  def simHash64(s: UTF8String): java.lang.Long = {
-    val base = s.getBaseObject
-    val off = s.getBaseOffset
+  /** 62-bit SimHash: per token the two-lane hash
+    * h = (polyFold(tok, B1) << 31) | polyFold(tok, B2), then ±1 vote per
+    * bit of h per token occurrence; bit j of the fingerprint = sign of
+    * vote j. Returns boxed null when the text has no tokens (matching the
+    * pipeline, which drops empty documents before grouping). */
+  def simHash62(s: UTF8String): java.lang.Long = {
     val n = s.numBytes
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](SimHashBits)
     var any = false
     var ws = 0
     var i = 0
@@ -114,9 +143,9 @@ object DedupKernel {
       if (i == n || s.getByte(i) == ' ') {
         if (i > ws) { // skip empty tokens, as the pipeline's length>0 filter does
           any = true
-          val h = XXH64.hashUnsafeBytes(base, off + ws, i - ws, Seed)
+          val h = (polyFold(s, ws, i, B1) << 31) | polyFold(s, ws, i, B2)
           var j = 0
-          while (j < 64) {
+          while (j < SimHashBits) {
             votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
             j += 1
           }
@@ -128,15 +157,15 @@ object DedupKernel {
     if (!any) return null
     var fp = 0L
     var j = 0
-    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    while (j < SimHashBits) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
     java.lang.Long.valueOf(fp)
   }
 
   def minHashSigCol(normText: Column, numHashes: Int = 32, w: Int = 3): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(normText), numHashes, w))
 
-  def simHash64Col(normText: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(normText)))
+  def simHash62Col(normText: Column): Column =
+    ColumnBridge.column(SimHash62(ColumnBridge.expression(normText)))
 }
 
 /** array<long> MinHash signature of a normalized document (see
@@ -165,10 +194,10 @@ case class MinHashSig(child: Expression, numHashes: Int, w: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash fingerprint of a normalized document; null when the
-  * document has no tokens (see [[DedupKernel.simHash64]]). */
-case class SimHash64(child: Expression) extends UnaryExpression {
-  override def prettyName: String = "simhash64"
+/** 62-bit SimHash fingerprint of a normalized document; null when the
+  * document has no tokens (see [[DedupKernel.simHash62]]). */
+case class SimHash62(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash62"
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -179,13 +208,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    DedupKernel.simHash64(input.asInstanceOf[UTF8String])
+    DedupKernel.simHash62(input.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val boxed = ctx.freshName("boxed")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |java.lang.Long $boxed = graft.expr.DedupKernel.simHash64($c);
+         |java.lang.Long $boxed = graft.expr.DedupKernel.simHash62($c);
          |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
        """.stripMargin)
   }

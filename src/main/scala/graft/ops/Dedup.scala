@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
   * extension surface (BASELINE.json; absent from the reference, SURVEY.md
   * §2.3 "Dedup"). All variants are pure DataFrame transformations: shuffles
   * only on the grouping keys, no driver-side materialization, deterministic
-  * hashing (xxhash64 — stable across JVMs/partitions).
+  * hashing. The sketch hashes (MinHash / SimHash) are portable polynomial
+  * code-point hashes ([[graft.expr.DedupKernel]]) — stable across JVMs and
+  * partitions AND reproducible by any engine with per-character built-ins,
+  * which is what lets the DuckDB oracle recompute them (q32/q33/q36/q37).
   *
   * Scale ladder (100 TB design):
   *  1. [[exactGroups]]/[[dropExactDuplicates]] — one shuffle on a 128-bit
@@ -15,8 +18,8 @@ import org.apache.spark.sql.functions._
   *  2. [[minHashSignatures]]/[[minHashCandidates]] — MinHash + LSH banding:
   *     near-dup candidates with one shuffle per explode + a self-equi-join
   *     on (band, bucket) — never an O(N²) cross join.
-  *  3. [[simHash]] — 64-bit SimHash fingerprints; near-dups are fingerprint
-  *     pairs within small Hamming distance, found by banding the 64 bits.
+  *  3. [[simHash]] — 62-bit SimHash fingerprints; near-dups are fingerprint
+  *     pairs within small Hamming distance, found by banding the bits.
   *  4. n-gram Jaccard verification of candidates (exact, but only over the
   *     candidate pairs, not all pairs) — see [[jaccardPairs]].
   */
@@ -56,11 +59,21 @@ object Dedup {
   }
 
   // MinHash universe: affine permutations over a Mersenne prime keep all
-  // arithmetic inside non-overflowing Long range (xxhash64 % P < 2^31).
-  // P and the splitmix64 permutation live in DedupKernel (shared with the
-  // codegen kernel so pipeline and kernel can never drift).
+  // arithmetic inside non-overflowing Long range (shingle hash < 2^31).
+  // P, the polynomial bases and the splitmix64 permutation live in
+  // DedupKernel (shared with the codegen kernel so pipeline and kernel can
+  // never drift).
   private val P = graft.expr.DedupKernel.P
   private def perm(i: Int): (Long, Long) = graft.expr.DedupKernel.perm(i)
+
+  /** Portable polynomial code-point hash of a string column (Spark
+    * built-ins only): acc ← (acc·base + codepoint) mod P — the exact
+    * arithmetic of [[graft.expr.DedupKernel]]'s one-pass kernels, and of
+    * the DuckDB oracle SQL. Differential-test / oracle template; the
+    * kernels are the production path. */
+  def polyHashCol(s: String, base: Long): Column = expr(
+    s"aggregate(sequence(1, length($s)), CAST(0 AS BIGINT), " +
+      s"(acc, i) -> (acc * $base + ascii(substring($s, i, 1))) % $P)")
 
   /** MinHash signatures: one row per id, `sig` = array of `numHashes`
     * min-hash values over the document's shingle multiset, via the
@@ -84,7 +97,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, w: Int = 3): DataFrame = {
     val sh = shingles(df, idCol, textCol, w)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+      .withColumn("h", polyHashCol("shingle", graft.expr.DedupKernel.B1))
     val minCols = (0 until numHashes).map { i =>
       val (a, b) = perm(i)
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"mh_$i")
@@ -174,7 +187,8 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** SimHash near-dup candidate pairs: band the 64-bit fingerprints into
+  /** SimHash near-dup candidate pairs: band the fingerprints' 64 stored
+    * bits (62 populated — the top band is 2 bits lighter) into
     * `bands` chunks; pairs sharing any chunk are candidates (pigeonhole:
     * any pair within Hamming distance < bands must share a chunk), then
     * filtered to true Hamming distance ≤ maxHamming via bit_count(xor).
@@ -212,33 +226,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** 64-bit SimHash fingerprint per document: token-frequency-weighted
-    * ±1 vote per bit of xxhash64(token); fingerprint bit j = sign of the
-    * vote sum. One-pass codegen kernel
-    * ([[graft.expr.DedupKernel.simHash64]]) — map-only, zero shuffle.
-    * Bit-identical to [[simHashPortable]]: per-occurrence ±1 votes sum to
-    * the tf-weighted votes. */
+  /** 62-bit SimHash fingerprint per document: token-frequency-weighted
+    * ±1 vote per bit of the two-lane polynomial hash
+    * (h₁ << 31) | h₂; fingerprint bit j = sign of the vote sum. One-pass
+    * codegen kernel ([[graft.expr.DedupKernel.simHash62]]) — map-only,
+    * zero shuffle. Bit-identical to [[simHashPortable]]: per-occurrence
+    * ±1 votes sum to the tf-weighted votes. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-        graft.expr.DedupKernel.simHash64Col(normText(col(textCol))).as("simhash"))
+        graft.expr.DedupKernel.simHash62Col(normText(col(textCol))).as("simhash"))
       .filter(col("simhash").isNotNull)
 
   /** Portable expression-only SimHash (built-ins: token explode + tf
-    * groupBy + 64 vote sums — two shuffles). Kept as the differential-test
+    * groupBy + 62 vote sums — two shuffles). Kept as the differential-test
     * target for the kernel; prefer [[simHash]]. */
   def simHashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.expr.DedupKernel.{B1, B2, SimHashBits}
     val toks = df
       .select(col(idCol), explode(split(normText(col(textCol)), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("th", xxhash64(col("tok")))
-    val voteCols = (0 until 64).map { j =>
+      .withColumn("th",
+        shiftleft(polyHashCol("tok", B1), 31).bitwiseOR(polyHashCol("tok", B2)))
+    val voteCols = (0 until SimHashBits).map { j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, col("tf"))
         .otherwise(-col("tf"))).as(s"v_$j")
     }
     val votes = toks.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
-    val fpExpr = (0 until 64).map { j =>
+    val fpExpr = (0 until SimHashBits).map { j =>
       when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
     votes.select(col(idCol), fpExpr.as("simhash"))
