@@ -141,8 +141,10 @@ object VectorQueries {
 
   /** Approximate nearest neighbors via SRP-LSH bucketing (the 100 TB scale
     * path: equi-join on bucket, never a cross join; see
-    * graft.ops.Similarity). No oracle — approximate by design; the exact
-    * counterpart q23 is the oracle-checked baseline. */
+    * graft.ops.Similarity). Oracle-exact despite being approximate: the
+    * SRP planes are deterministic integers, vectors are micro-quantized
+    * for the bucket bits, and ranking uses the 6-dp-rounded cosine — so
+    * DuckDB re-derives the very same buckets, candidates and top-k. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -194,7 +196,60 @@ object VectorQueries {
   private val dotSum =
     "SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))"
 
+  /** DuckDB re-derivation of q35's SRP-LSH: the plane weights come from
+    * the same Similarity.planesInt the engine uses (inlined as a VALUES
+    * table), bucket bits are integer-exact, and the final rank key is the
+    * 6-dp-rounded cosine with vec_id tie-break — matching
+    * Similarity.lshBucketTopK's window exactly. */
+  private def annLshOracle: String = {
+    val numPlanes = 6; val dim = 64; val numTables = 4
+    val rows = (for {
+      t <- 0 until numTables
+      ps = graft.ops.Similarity.planesInt(numPlanes, dim, 42L + 1000L * t)
+      p <- 0 until numPlanes
+      d <- 0 until dim
+    } yield s"($t,$p,$d,${ps(p)(d)})").grouped(16).map(_.mkString(",")).mkString(",\n  ")
+    s"""WITH pl(t, p, d, w) AS (VALUES
+       |  $rows),
+       |vm AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT v.vec_id, pl.t, pl.p, SUM(pl.w * v.vm[pl.d + 1]) AS dot
+       |  FROM vm v, pl GROUP BY 1, 2, 3),
+       |buck AS (
+       |  SELECT vec_id, t,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, t,
+       |    unnest(list_prepend(bucket, list_transform(generate_series(0, ${numPlanes - 1}),
+       |      i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS bucket
+       |  FROM buck WHERE vec_id < 3),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id AS n_id
+       |  FROM qprobe q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE c.vec_id >= 3),
+       |sims AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    ROUND(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+       |      (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+       |       SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS sim
+       |  FROM cand
+       |  JOIN embeddings a ON a.vec_id = cand.n_id
+       |  JOIN embeddings b ON b.vec_id = cand.q_id,
+       |  generate_series(1, $dim) i(i)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk
+       |  FROM sims)
+       |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q35_ann_lsh" -> annLshOracle,
     "q20_vec_dot_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND($dotSum, 6) AS dot_sim

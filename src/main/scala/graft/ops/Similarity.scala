@@ -33,25 +33,42 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rnk"))
   }
 
-  /** Deterministic SRP hyperplanes: planes × dim, values in [-1, 1). */
-  private[ops] def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] =
+  /** Deterministic SRP hyperplanes as small integers in [-1000, 1000]
+    * (splitmix64 of (seed, plane, dim)). Integer weights — together with
+    * [[microQuantized]] vectors — make every bucket bit an exact integer
+    * comparison, identical on any engine: no float-summation-order
+    * dependence at a bucket boundary. Recall is unaffected (a random
+    * integer direction is as good as a random float one). */
+  private[graft] def planesInt(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Long]] =
     Array.tabulate(numPlanes, dim) { (p, d) =>
       var x = seed + p.toLong * 7919L + d.toLong * 104729L + 0x9e3779b97f4a7c15L
       x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
       x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      (((x ^ (x >>> 31)) >> 11).toDouble / (1L << 52).toDouble).toFloat
+      java.lang.Math.floorMod(x ^ (x >>> 31), 2001L) - 1000L
     }
 
+  /** Micro-quantized copy of a float vector: round(x · 10⁶) as long —
+    * exact and engine-portable (float→double widening and the single
+    * double multiply are IEEE-deterministic; ties round away from zero in
+    * both Spark and DuckDB). */
+  private def microQuantized(vecCol: String): org.apache.spark.sql.Column =
+    expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+
   /** Add an SRP `bucket` column (b-bit integer) to a vector DataFrame,
-    * for one hash table (`seed` selects the table's plane set). */
+    * for one hash table (`seed` selects the table's plane set). Bit i =
+    * sign of the integer dot product ⟨round(v·10⁶), plane_i⟩. */
   def withBucket(df: DataFrame, vecCol: String, numPlanes: Int = 12,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val ps = planes(numPlanes, dim, seed)
+    val ps = planesInt(numPlanes, dim, seed)
     val bucket = ps.zipWithIndex.map { case (p, i) =>
-      when(VectorExprs.dot(col(vecCol), lit(p)) > 0d, shiftleft(lit(1L), i))
-        .otherwise(lit(0L))
+      val idot = expr(
+        s"aggregate(zip_with(_vm, array(${p.mkString(",")}), (x, w) -> x * w), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      when(idot > 0L, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
-    df.withColumn("bucket", bucket)
+    df.withColumn("_vm", microQuantized(vecCol))
+      .withColumn("bucket", bucket)
+      .drop("_vm")
   }
 
   /** Multi-table SRP index rows: one (table, bucket) per input row per
@@ -80,7 +97,11 @@ object Similarity {
       else qb0.withColumn("bucket", explode(expr(
         s"array_union(array(bucket), transform(sequence(0, ${numPlanes - 1}), " +
           "i -> cast(bucket as bigint) ^ shiftleft(1L, i)))")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    // rank on the 6-dp-rounded cosine (ties → n_id): float-sum order at
+    // full precision is engine- and partitioning-dependent, so the rounded
+    // key is what makes the top-k cross-engine reproducible (oracle q35)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id"))
     cb.join(qb, Seq("table", "bucket"))
       .select(col("q_id"), col("n_id"), col("nv"), col("qv"))
       .distinct()
