@@ -185,6 +185,44 @@ object RelationalQueries {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** CUBE grouping sets (all four combinations of status × order year)
+    * with grouping_id — the grouping-sets twin of q12's ROLLUP. */
+  def ordersCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .withColumn("o_year", year($"o_orderdate").cast("long"))
+      .cube($"o_orderstatus", $"o_year")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2($"o_totalprice")).cast("double").as("sum_total"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_year".asc_nulls_first)
+  }
+
+  /** Range (interval) join: clicks landing in the 10-minute window after
+    * each purchase by the same user — RangeJoin.pointInInterval's bucketed
+    * equi-join on (user, time bucket) + exact filter, never a per-key
+    * cartesian. Aggregated per purchase; oracle = DuckDB's native
+    * inequality join (plan shape differs, result must not). */
+  def purchaseClickWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val points = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("t"))
+    val intervals = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("lo"),
+        (unix_micros($"ts") + lit(600000000L)).as("hi"))
+    graft.ops.RangeJoin.pointInInterval(points, intervals, "user_id",
+        "t", "lo", "hi", bucketWidth = 600000000L)
+      .groupBy($"purchase_id", $"user_id")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        min($"click_id").as("min_click_id"),
+        max($"click_id").as("max_click_id"))
+      .orderBy($"purchase_id")
+  }
+
   /** Exact multi-column DISTINCT aggregation (expand-based in Spark). */
   def distinctCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -396,9 +434,34 @@ object RelationalQueries {
     "q47_pivot"            -> (eventTypePivot _),
     "q48_stats_agg"        -> (statsAggregates _),
     "q49_approx_distinct"  -> (approxDistinct _),
-    "q51_topk_heap"        -> (topkHeapPerCustomer _))
+    "q51_topk_heap"        -> (topkHeapPerCustomer _),
+    "q53_range_join"       -> (purchaseClickWindows _),
+    "q54_cube"             -> (ordersCube _))
 
   val oracleSql: Map[String, String] = Map(
+    "q53_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'click'),
+        |iv AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 600000000 AS hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT iv.purchase_id, iv.user_id, COUNT(*) AS n_clicks,
+        |  MIN(p.click_id) AS min_click_id, MAX(p.click_id) AS max_click_id
+        |FROM iv JOIN p ON iv.user_id = p.user_id AND p.t >= iv.lo AND p.t <= iv.hi
+        |GROUP BY 1, 2
+        |ORDER BY purchase_id""".stripMargin,
+    "q54_cube" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+        |  FROM orders)
+        |SELECT o_orderstatus, o_year, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |  CAST(GROUPING(o_orderstatus, o_year) AS BIGINT) AS gid
+        |FROM t
+        |GROUP BY CUBE (o_orderstatus, o_year)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
