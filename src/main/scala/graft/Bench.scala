@@ -36,7 +36,13 @@ object Bench {
     val spark = GraftSession.local()
     val qs = SparkEntry.queries
     // dev convenience: `runMain graft.Bench q38_winnow_fp ...` times only
-    // the named queries (driver passes no args → full headline set)
+    // the named queries (driver passes no args → full headline set);
+    // unknown names fail loudly — a silent empty filter would report a
+    // successful zero-query "benchmark" on a typo
+    val unknown = args.filterNot(headline.contains)
+    require(unknown.isEmpty,
+      s"unknown headline quer${if (unknown.length == 1) "y" else "ies"}: " +
+        s"${unknown.mkString(", ")} (known: ${headline.mkString(", ")})")
     val selected = if (args.nonEmpty) headline.filter(args.toSet) else headline
     // a failing query must NOT be folded in as a fake near-zero timing —
     // it is excluded from `queries` and reported under `errors`

@@ -42,13 +42,18 @@ object GraftExtensions {
     "topk_by" -> { args =>
       require(args.length == 3 || args.length == 4,
         s"topk_by expects (payload, order, k[, desc]), got ${args.length} args")
-      def lit[T](e: Expression, what: String): T = e match {
-        case Literal(v, _) if v != null => v.asInstanceOf[T]
+      // match the unboxed type explicitly: an erased asInstanceOf would let
+      // e.g. CAST(3 AS BIGINT) through here and die later as a bare CCE
+      val k = args(2) match {
+        case Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
-          s"topk_by: $what must be a literal, got $other")
+          s"topk_by: k must be an INT literal, got $other")
       }
-      val k = lit[Int](args(2), "k")
-      val desc = if (args.length == 4) lit[Boolean](args(3), "desc") else true
+      val desc = if (args.length < 4) true else args(3) match {
+        case Literal(v: Boolean, _) => v
+        case other => throw new IllegalArgumentException(
+          s"topk_by: desc must be a BOOLEAN literal, got $other")
+      }
       TopKBy(args(0), args(1), k, desc).toAggregateExpression()
     })
 

@@ -28,8 +28,11 @@ object SparkEntry {
     RelationalQueries.queries ++ VectorQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (MinHash/SimHash — hash functions have no DuckDB equivalent). */
+    * the same parquet tables. All sketch hashes (MinHash/SimHash/SRP) use
+    * portable polynomial/integer arithmetic, so even those queries carry
+    * exact oracles; only irreducibly engine-internal state is omitted
+    * (q49 HLL sketch, q52 trained IVF quantizer) → driver records a
+    * rows-only check for those two. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++ PipelineQueries.oracleSql
 }

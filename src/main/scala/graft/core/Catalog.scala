@@ -51,15 +51,28 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     } finally in.close()
   }
 
+  /** Forward-compatible read of a catalog version dir: columns added to
+    * CollectionInfo after a warehouse was written (e.g. partitionCols)
+    * are filled with their defaults — encoder resolution alone would
+    * throw on the missing column and brick every pre-existing warehouse. */
+  private def readVersion(dir: String): DataFrame = {
+    val raw = spark.read.parquet(dir)
+    val withPartitionCols =
+      if (raw.columns.contains("partitionCols")) raw
+      else raw.withColumn("partitionCols",
+        org.apache.spark.sql.functions.typedLit(Seq.empty[String]))
+    withPartitionCols
+  }
+
   def list(): Seq[CollectionInfo] = currentDir() match {
     case None => Seq.empty
     case Some(dir) =>
-      spark.read.parquet(dir).as[CollectionInfo].collect().toSeq.sortBy(_.view)
+      readVersion(dir).as[CollectionInfo].collect().toSeq.sortBy(_.view)
   }
 
   def listDf(): DataFrame = currentDir() match {
     case None => spark.emptyDataset[CollectionInfo].toDF()
-    case Some(dir) => spark.read.parquet(dir)
+    case Some(dir) => readVersion(dir)
   }
 
   /** All view names (reference: fetch_collection_keys(views=true),

@@ -60,6 +60,13 @@ final class Collection private[core] (
 
   /** Compact the collection into `numFiles` parquet files per partition —
     * the small-file remedy after many streaming appends (CollectionIngest).
+    *
+    * Single-writer contract (same model as [[Catalog]] and the reference's
+    * DB lock): compact() must not run concurrently with an active
+    * appender — a micro-batch appended to the old path after the snapshot
+    * read would be absent from the compacted version and deleted with the
+    * old dir by a later compact. Stop (or checkpoint-quiesce) the
+    * CollectionIngest stream before compacting.
     * Writes a new versioned data dir under `.compact/{view}/` (view names
     * are `[a-zA-Z0-9_]+`, so the dot-prefixed sibling can never collide
     * with another collection's directory), re-applying the hive
@@ -163,9 +170,15 @@ object Collection {
     val p = new Path(info.path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    // Also drop any compacted versions kept for concurrent readers.
+    // Also drop any compacted versions kept for concurrent readers, AND
+    // the original create() dir — after exactly one compact() the catalog
+    // points into .compact/ while the create() dir is still retained as
+    // the previous version; without this, delete would silently keep the
+    // full pre-compact corpus on disk.
     val versions = new Path(s"$warehouse/collections/.compact/$view")
     if (fs.exists(versions)) fs.delete(versions, true)
+    val orig = new Path(s"$warehouse/collections/$view")
+    if (fs.exists(orig)) fs.delete(orig, true)
     cat.remove(view)
   }
 }

@@ -1,8 +1,8 @@
 package graft.ops
 
 import graft.expr.VectorExprs
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   * ~N·nprobe/nc, and a corpus *partitioned/bucketed by cell* turns the
   * probe into partition pruning before the scan.
   *
-  * Everything is deterministic (seeded init, fixed iteration count,
-  * lexicographic tie-breaks) and expression-based:
+  * Everything is deterministic — bit-for-bit independent of partition
+  * layout, not merely "probably stable":
+  *  - init = the `nc` rows with lexicographically smallest
+  *    md5(id) (a seeded pseudo-random sample, portable to any engine);
+  *  - per-cell centroid sums are **integer** sums of micro-quantized
+  *    (round(x·10⁶)) unit vectors — long addition is associative and
+  *    commutative, so the merge order Spark picks cannot change the
+  *    result (double summation would be order-dependent at the low bits);
   *  - assignment = argmin over per-centroid L2 kernels via `least()` on
   *    (distance, index) structs — map-only, codegen'd, no shuffle;
-  *  - training shuffles only nc × dim doubles per Lloyd round (the
-  *    [[graft.expr.CentroidAggregator]] sketch property);
+  *    lexicographic tie-breaks;
+  *  - training shuffles only nc × dim longs per Lloyd round;
   *  - probing computes each query's nprobe nearest cells with
   *    sort_array over the same struct trick — map-only on the (small,
   *    broadcast) query side.
@@ -44,31 +50,78 @@ object Ivf {
   }
 
   /** (distance, cellIdx) struct per centroid; least()/sort_array pick the
-    * argmin lexicographically — distance first, index breaks exact ties. */
-  private def distStructs(vec: Column, m: IvfModel): Seq[Column] =
+    * argmin lexicographically — distance first, index breaks exact ties.
+    * `uv` must already be unit-normalized: callers project `unit(vec)`
+    * once instead of embedding nc copies of the normalization subtree. */
+  private def distStructs(uv: Column, m: IvfModel): Seq[Column] =
     m.centroids.zipWithIndex.toSeq.map { case (c, i) =>
-      struct(VectorExprs.l2(unit(vec), lit(c)).as("d"), lit(i).as("i"))
+      struct(VectorExprs.l2(uv, lit(c)).as("d"), lit(i).as("i"))
     }
 
-  /** Nearest-centroid cell id, as a map-only codegen expression. */
-  def cellOf(vec: Column, m: IvfModel): Column = {
-    val ds = distStructs(vec, m)
+  /** Nearest-centroid cell id of a pre-normalized (unit) vector —
+    * a map-only codegen expression. */
+  def cellOfUnit(uv: Column, m: IvfModel): Column = {
+    val ds = distStructs(uv, m)
     (if (ds.size == 1) ds.head else least(ds: _*)).getField("i")
   }
 
-  /** The query's `nprobe` nearest cells as an array<int>. */
-  def probeCells(vec: Column, m: IvfModel, nprobe: Int): Column = {
+  /** Nearest-centroid cell id; normalizes internally. When composing into
+    * a projection, prefer projecting `unit(vec)` once and calling
+    * [[cellOfUnit]] (as [[assign]] does) so the plan carries one
+    * normalization, not one per centroid. */
+  def cellOf(vec: Column, m: IvfModel): Column = cellOfUnit(unit(vec), m)
+
+  /** The query's `nprobe` nearest cells as an array<int>, over a
+    * pre-normalized (unit) vector. */
+  def probeCellsUnit(uv: Column, m: IvfModel, nprobe: Int): Column = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     transform(
-      slice(sort_array(array(distStructs(vec, m): _*)), 1, math.min(nprobe, m.nc)),
+      slice(sort_array(array(distStructs(uv, m): _*)), 1, math.min(nprobe, m.nc)),
       s => s.getField("i"))
   }
 
-  /** Deterministic k-means training: init = the `nc` vectors with the
-    * smallest xxhash64(id, seed) (a seeded pseudo-random sample that is
-    * independent of partition layout), then `iters` Lloyd rounds. Each
-    * round is one map-only assignment plus a groupBy(cell) centroid
-    * aggregation that shuffles nc × dim doubles total. Cells that lose
+  /** The query's `nprobe` nearest cells as an array<int> (normalizes
+    * internally — see the [[cellOf]] note). */
+  def probeCells(vec: Column, m: IvfModel, nprobe: Int): Column =
+    probeCellsUnit(unit(vec), m, nprobe)
+
+  /** Micro-quantization scale for centroid sums: unit-vector components
+    * carry ~7 significant digits as floats, so the 10⁻⁶ grid loses nothing
+    * that matters to a coarse quantizer. */
+  final val Micro = 1000000L
+
+  /** Elementwise long-sum aggregator over micro-quantized vectors —
+    * buffer (Array[Long], count). Integer addition commutes, so the
+    * result is independent of Spark's partition/merge order; one buffer
+    * of dim longs per cell crosses the shuffle, regardless of row count.
+    * (MicroSum is public: encoder-generated code instantiates it from
+    * outside this object — a private class would force the interpreted
+    * fallback with per-row codegen-compile error noise.) */
+  final case class MicroSum(sums: Array[Long], count: Long)
+  private class MicroCentroidAggregator(dim: Int)
+    extends Aggregator[Array[Long], MicroSum, MicroSum] {
+    override def zero: MicroSum = MicroSum(new Array[Long](dim), 0L)
+    override def reduce(b: MicroSum, a: Array[Long]): MicroSum = {
+      val n = math.min(b.sums.length, a.length)
+      var i = 0
+      while (i < n) { b.sums(i) += a(i); i += 1 }
+      MicroSum(b.sums, b.count + 1)
+    }
+    override def merge(x: MicroSum, y: MicroSum): MicroSum = {
+      var i = 0
+      while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
+      MicroSum(x.sums, x.count + y.count)
+    }
+    override def finish(b: MicroSum): MicroSum = b
+    override def bufferEncoder: Encoder[MicroSum] = Encoders.product[MicroSum]
+    override def outputEncoder: Encoder[MicroSum] = Encoders.product[MicroSum]
+  }
+
+  /** Deterministic k-means training: init = the `nc` rows with smallest
+    * md5(id) (independent of partition layout and portable across
+    * engines), then `iters` Lloyd rounds over micro-quantized unit
+    * vectors with integer centroid sums — the whole procedure is
+    * bit-for-bit reproducible under any partitioning. Cells that lose
     * all members keep their previous centroid. */
   def train(df: DataFrame, idCol: String, vecCol: String,
       nc: Int, iters: Int = 2, seed: Long = 42L): IvfModel = {
@@ -76,24 +129,35 @@ object Ivf {
     // train in unit space (spherical k-means): centroids quantize
     // direction, matching the cosine re-rank metric
     val init = df
-      .select(unit(col(vecCol)).as("_uv"), xxhash64(col(idCol), lit(seed)).as("_h"))
-      .orderBy(col("_h"))
+      .select(unit(col(vecCol)).as("_graft_uv"),
+        md5(concat(col(idCol).cast("string"), lit(s"_$seed"))).as("_graft_h"))
+      .orderBy(col("_graft_h"))
       .limit(nc)
-      .select(col("_uv"))
+      .select(col("_graft_uv"))
       .collect()
       .map(_.getSeq[Float](0).toArray)
     require(init.length == nc,
       s"corpus has only ${init.length} rows for nc = $nc centroids")
     var model = IvfModel(init)
-    val centroidOf = udaf(new graft.expr.CentroidAggregator(init.head.length))
+    val dim = init.head.length
+    val microSumOf = udaf(new MicroCentroidAggregator(dim))
     var it = 0
     while (it < iters) {
       val next = df
-        .select(cellOf(col(vecCol), model).as("_cell"), unit(col(vecCol)).as("_uv"))
+        .select(unit(col(vecCol)).as("_graft_uv"))
+        .select(
+          cellOfUnit(col("_graft_uv"), model).as("_cell"),
+          expr(s"transform(_graft_uv, x -> CAST(round(CAST(x AS DOUBLE) * $Micro) AS BIGINT))")
+            .as("_uvm"))
         .groupBy(col("_cell"))
-        .agg(centroidOf(col("_uv")).as("_c"))
+        .agg(microSumOf(col("_uvm")).as("_c"))
+        .select(col("_cell"), col("_c.sums"), col("_c.count"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .map { r =>
+          val sums = r.getSeq[Long](1)
+          val count = r.getLong(2)
+          r.getInt(0) -> sums.map(s => (s.toDouble / (Micro.toDouble * count)).toFloat).toArray
+        }
         .toMap
       model = IvfModel(Array.tabulate(nc)(i => next.getOrElse(i, model.centroids(i))))
       it += 1
@@ -101,10 +165,13 @@ object Ivf {
     model
   }
 
-  /** Add the `ivf_cell` assignment column — map-only; write the result
-    * partitioned/bucketed by ivf_cell to make probes prune partitions. */
+  /** Add the `ivf_cell` assignment column — map-only, with the unit
+    * normalization projected once; write the result partitioned/bucketed
+    * by ivf_cell to make probes prune partitions. */
   def assign(df: DataFrame, vecCol: String, m: IvfModel): DataFrame =
-    df.withColumn("ivf_cell", cellOf(col(vecCol), m))
+    df.withColumn("_graft_uv", unit(col(vecCol)))
+      .withColumn("ivf_cell", cellOfUnit(col("_graft_uv"), m))
+      .drop("_graft_uv")
 
   /** Approximate top-k: each query probes its `nprobe` nearest cells;
     * candidates in those cells are re-ranked by exact cosine. Equi-join
@@ -114,8 +181,9 @@ object Ivf {
   def topK(queries: DataFrame, candidates: DataFrame, m: IvfModel,
       k: Int, nprobe: Int = 2): DataFrame = {
     val probes = queries
+      .withColumn("_graft_qu", unit(col("qv")))
       .select(col("q_id"), col("qv"),
-        explode(probeCells(col("qv"), m, nprobe)).as("ivf_cell"))
+        explode(probeCellsUnit(col("_graft_qu"), m, nprobe)).as("ivf_cell"))
     val cands = assign(candidates, "nv", m)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     cands.join(broadcast(probes), Seq("ivf_cell"))

@@ -60,15 +60,19 @@ object Similarity {
   def withBucket(df: DataFrame, vecCol: String, numPlanes: Int = 12,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val ps = planesInt(numPlanes, dim, seed)
+    // temp column name chosen to not collide with caller columns (and
+    // restored semantics either way: only `bucket` is added to the output)
+    val tmp = "_graft_vm_srp"
+    require(!df.columns.contains(tmp), s"input must not carry a $tmp column")
     val bucket = ps.zipWithIndex.map { case (p, i) =>
       val idot = expr(
-        s"aggregate(zip_with(_vm, array(${p.mkString(",")}), (x, w) -> x * w), " +
+        s"aggregate(zip_with($tmp, array(${p.mkString(",")}), (x, w) -> x * w), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
       when(idot > 0L, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
-    df.withColumn("_vm", microQuantized(vecCol))
+    df.withColumn(tmp, microQuantized(vecCol))
       .withColumn("bucket", bucket)
-      .drop("_vm")
+      .drop(tmp)
   }
 
   /** Multi-table SRP index rows: one (table, bucket) per input row per

@@ -20,6 +20,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Exactly-once needs a transactional table format; with plain parquet,
   * run Dedup.dropExactDuplicates (content fingerprints) downstream or
   * treat the collection as append-only with id-based dedup at query time.
+  *
+  * Single-writer contract: the stream appends to the data path captured
+  * from `coll.info` at start — do not run [[Collection.compact]] while
+  * the stream is active (stop or quiesce it first), or batches landing in
+  * the retired path after compact's snapshot are lost when that path is
+  * cleaned up (see the contract note on compact()).
   */
 object CollectionIngest {
 

@@ -132,4 +132,33 @@ class CollectionSpec extends SparkSpecBase {
     assert(v1.length == 2 && v1.forall(_.length == 64))
     assert(v1.zip(v2).forall { case (a, b) => a.sameElements(b) })
   }
+
+  test("catalog reads version dirs written before partitionCols existed") {
+    val wh = freshWarehouse()
+    Collection.create(spark, wh, "old_schema", reviewDocs(), embedder)
+    // simulate a warehouse written by the pre-partitionCols code: rewrite
+    // the current catalog version without that column
+    val cat = Collection.catalog(spark, wh)
+    val dir = {
+      val cur = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$wh/_catalog/CURRENT")).trim
+      s"$wh/_catalog/$cur"
+    }
+    val legacy = spark.read.parquet(dir).drop("partitionCols")
+    val legacyDir = s"$wh/_catalog/v_legacy"
+    legacy.coalesce(1).write.parquet(legacyDir)
+    // swap the pointer through the Hadoop FS (keeps the .crc sidecar valid)
+    val ptr = new org.apache.hadoop.fs.Path(s"$wh/_catalog/CURRENT")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(ptr, true)
+    try out.write("v_legacy".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // list/find must still decode (partitionCols defaults to empty) …
+    val info = cat.find("old_schema").getOrElse(fail("view not found"))
+    assert(info.partitionCols.isEmpty)
+    assert(cat.listDf().columns.contains("partitionCols"))
+    // … and the collection remains fully usable
+    val found = Collection.find(spark, wh, Some("old_schema"))
+    assert(found.df.count() == 6)
+  }
 }

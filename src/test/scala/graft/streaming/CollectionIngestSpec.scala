@@ -83,4 +83,22 @@ class CollectionIngestSpec extends SparkSpecBase {
     // partition pruning still works post-compact
     assert(compacted.df.where($"lang" === "en").count() == 6)
   }
+
+  test("delete after exactly ONE compact removes the original create() dir too") {
+    val wh = Files.createTempDirectory("graft_del1_wh_").toString
+    val embedder = HashEmbedder(dim = 16)
+    val docs = (0 until 6).map(i => (s"id$i", s"doc $i", Seq.empty[String]))
+      .toDF("id", "document", "metadata")
+    val coll = Collection.create(spark, wh, "del_once", docs, embedder)
+    val origPath = coll.info.path
+    val compacted = coll.compact(wh, numFiles = 1)
+    // after one compact the create() dir is still the kept previous version
+    assert(new java.io.File(origPath).exists())
+    Collection.delete(spark, wh, "del_once")
+    // nothing of the collection survives deletion — not the compacted
+    // version, not the version store, and not the pre-compact original
+    assert(!new java.io.File(compacted.info.path).exists())
+    assert(!new java.io.File(s"$wh/collections/.compact/del_once").exists())
+    assert(!new java.io.File(origPath).exists())
+  }
 }
