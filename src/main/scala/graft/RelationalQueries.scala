@@ -223,6 +223,37 @@ object RelationalQueries {
       .orderBy($"purchase_id")
   }
 
+  /** Sliding (overlapping) windows: 10-minute windows every 5 minutes per
+    * event type — the batch twin of EventStreams.slidingAvg, over the same
+    * `window()` builtin the streaming path uses (each event lands in
+    * exactly 2 windows). DECIMAL-exact sums; epoch-keyed output. */
+  def slidingWindowStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2($"value")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp($"window.start").as("window_start"),
+        $"event_type", $"n_events", $"sum_value",
+        ($"sum_value" / $"n_events").as("avg_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Skew-mitigated two-phase aggregation (Skew.saltedSumCount): partial
+    * agg on (key, salt) then final on key. The oracle is the PLAIN
+    * group-by — proving the salted plan is semantics-preserving (DECIMAL
+    * sums are associative, so re-association by salt changes nothing). */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).withColumn("qty", dec4($"l_quantity"))
+    graft.ops.Skew.saltedSumCount(li, "l_returnflag", "qty",
+        salts = 8, saltBy = col("l_orderkey"))
+      .select($"l_returnflag", $"sum_qty".cast("double").as("sum_qty"), $"n")
+      .orderBy($"l_returnflag")
+  }
+
   /** Exact multi-column DISTINCT aggregation (expand-based in Spark). */
   def distinctCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -436,9 +467,32 @@ object RelationalQueries {
     "q49_approx_distinct"  -> (approxDistinct _),
     "q51_topk_heap"        -> (topkHeapPerCustomer _),
     "q53_range_join"       -> (purchaseClickWindows _),
-    "q54_cube"             -> (ordersCube _))
+    "q54_cube"             -> (ordersCube _),
+    "q55_sliding_window"   -> (slidingWindowStats _),
+    "q56_salted_agg"       -> (saltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q55_sliding_window" ->
+      """WITH e AS (SELECT epoch(ts) AS t, event_type, value FROM events),
+        |w AS (
+        |  SELECT event_type, value, t,
+        |    unnest(generate_series(
+        |      CAST(floor(t/300)*300 - 300 AS BIGINT),
+        |      CAST(floor(t/300)*300 AS BIGINT), 300)) AS ws
+        |  FROM e)
+        |SELECT ws AS window_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM w
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q56_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q53_range_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS t
