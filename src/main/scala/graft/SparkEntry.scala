@@ -28,11 +28,11 @@ object SparkEntry {
     RelationalQueries.queries ++ VectorQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. All sketch hashes (MinHash/SimHash/SRP) use
-    * portable polynomial/integer arithmetic, so even those queries carry
-    * exact oracles; only irreducibly engine-internal state is omitted
-    * (q49 HLL sketch, q52 trained IVF quantizer) → driver records a
-    * rows-only check for those two. */
+    * the same parquet tables. All sketch/index arithmetic (MinHash,
+    * SimHash, SRP-LSH, even IVF k-means training) is portable polynomial/
+    * integer math, so those queries carry exact oracles; the only
+    * omission is q49's HLL sketch (engine-internal state by design) →
+    * driver records a rows-only check for it. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++ PipelineQueries.oracleSql
 }

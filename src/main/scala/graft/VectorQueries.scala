@@ -162,10 +162,12 @@ object VectorQueries {
   }
 
   /** IVF ANN twin of q35: coarse k-means cells + nprobe probing + exact
-    * cosine re-rank (no oracle: the trained quantizer is not expressible
-    * in the DuckDB oracle; recall vs brute force is spec-checked in
-    * IvfSpec). Deterministic end to end — seeded init, fixed rounds,
-    * lexicographic tie-breaks. */
+    * cosine re-rank. Oracle-exact INCLUDING the k-means training: init
+    * keys on portable md5(id), centroid sums are order-independent
+    * integer sums of micro-quantized unit vectors, and the top-k ranks on
+    * the 6-dp-rounded cosine — so the DuckDB oracle re-runs both Lloyd
+    * rounds and lands on the identical model, cells, probes and top-k
+    * (recall vs brute force is additionally spec-checked in IvfSpec). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -248,8 +250,92 @@ object VectorQueries {
        |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** DuckDB re-derivation of q52's IVF ANN *including the k-means
+    * training*: unit-normalize, init = nc rows with smallest md5(id||'_42')
+    * (Ivf.train's portable init), two unrolled Lloyd rounds with integer
+    * micro-quantized centroid sums (Ivf's order-independent arithmetic),
+    * then cell assignment, nprobe probing, and the rounded-cosine top-k.
+    * Works because every training step was made deterministic and
+    * engine-portable — the only float arithmetic (unit norm, distances)
+    * is compared after sqrt exactly as the Spark kernels compute it. */
+  private def annIvfOracle: String = {
+    val dim = 64; val nc = 16; val nprobe = 6; val k = 5
+    val micro = graft.ops.Ivf.Micro
+    def lloyd(r: Int): String =
+      s"""dist$r AS (
+         |  SELECT v.vec_id, c.cell,
+         |    sqrt(SUM(power(CAST(v.u[c.d + 1] AS DOUBLE) - CAST(c.val AS DOUBLE), 2))) AS dist
+         |  FROM vm v, c${r - 1} c
+         |  WHERE v.vec_id >= 3
+         |  GROUP BY 1, 2),
+         |a$r AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM dist$r) t WHERE rn = 1),
+         |s$r AS (
+         |  SELECT a.cell, d.d AS d,
+         |    SUM(CAST(round(CAST(v.u[d.d + 1] AS DOUBLE) * $micro) AS BIGINT)) AS sm,
+         |    COUNT(*) AS cnt
+         |  FROM a$r a JOIN vm v USING (vec_id), generate_series(0, ${dim - 1}) d(d)
+         |  GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT p.cell, p.d,
+         |    COALESCE(CAST(s.sm / ($micro.0 * s.cnt) AS FLOAT), p.val) AS val
+         |  FROM c${r - 1} p LEFT JOIN s$r s ON p.cell = s.cell AND p.d = s.d)""".stripMargin
+    s"""WITH vm AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN nrm = 0 THEN embedding
+       |         ELSE list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) END AS u
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |    FROM embeddings) t),
+       |init AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cell, u
+       |  FROM (
+       |    SELECT u, md5(concat(CAST(vec_id AS VARCHAR), '_42')) AS h
+       |    FROM vm WHERE vec_id >= 3
+       |    ORDER BY h LIMIT $nc) s),
+       |c0 AS (
+       |  SELECT cell, d.d AS d, CAST(u[d.d + 1] AS FLOAT) AS val
+       |  FROM init, generate_series(0, ${dim - 1}) d(d)),
+       |${lloyd(1)},
+       |${lloyd(2)},
+       |cdist AS (
+       |  SELECT v.vec_id, c.cell,
+       |    sqrt(SUM(power(CAST(v.u[c.d + 1] AS DOUBLE) - CAST(c.val AS DOUBLE), 2))) AS dist
+       |  FROM vm v, c2 c
+       |  GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT vec_id AS n_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM cdist WHERE vec_id >= 3) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM cdist WHERE vec_id < 3) t WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, c.n_id FROM probes p JOIN cells c USING (cell)),
+       |sims AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    ROUND(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+       |      (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+       |       SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS sim
+       |  FROM cand
+       |  JOIN embeddings a ON a.vec_id = cand.n_id
+       |  JOIN embeddings b ON b.vec_id = cand.q_id,
+       |  generate_series(1, $dim) i(i)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk
+       |  FROM sims)
+       |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q35_ann_lsh" -> annLshOracle,
+    "q52_ann_ivf" -> annIvfOracle,
     "q20_vec_dot_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND($dotSum, 6) AS dot_sim

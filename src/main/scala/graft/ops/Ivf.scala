@@ -185,7 +185,10 @@ object Ivf {
       .select(col("q_id"), col("qv"),
         explode(probeCellsUnit(col("_graft_qu"), m, nprobe)).as("ivf_cell"))
     val cands = assign(candidates, "nv", m)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    // rank on the 6-dp-rounded cosine (ties → n_id) — same cross-engine
+    // reproducibility rationale as Similarity.lshBucketTopK (oracle q52)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id"))
     cands.join(broadcast(probes), Seq("ivf_cell"))
       .withColumn("sim", VectorExprs.cosine(col("nv"), col("qv")))
       .select(col("q_id"), col("n_id"), col("sim"))
