@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimilarity, DotProduct, L2Distance, TopKBy}
+import graft.expr.{CosineSimilarity, DotProduct, L2Distance, MinHashSig, SimHash62, TopKBy, WinnowFp}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -55,6 +55,30 @@ object GraftExtensions {
           s"topk_by: desc must be a BOOLEAN literal, got $other")
       }
       TopKBy(args(0), args(1), k, desc).toAggregateExpression()
+    },
+    // the one-pass text-sketch kernels (inputs must be pre-normalized —
+    // compose with lower/trim/regexp_replace as graft.ops.Dedup.normText)
+    "minhash_sig" -> { args =>
+      require(args.length == 3,
+        s"minhash_sig expects (normText, numHashes, w), got ${args.length} args")
+      (args(1), args(2)) match {
+        case (Literal(n: Int, _), Literal(w: Int, _)) => MinHashSig(args(0), n, w)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig: numHashes and w must be INT literals")
+      }
+    },
+    "simhash62" -> { args =>
+      require(args.length == 1, s"simhash62 expects (normText), got ${args.length} args")
+      SimHash62(args(0))
+    },
+    "winnow_fp" -> { args =>
+      require(args.length == 3,
+        s"winnow_fp expects (text, k, t), got ${args.length} args")
+      (args(1), args(2)) match {
+        case (Literal(k: Int, _), Literal(t: Int, _)) => WinnowFp(args(0), k, t)
+        case _ => throw new IllegalArgumentException(
+          "winnow_fp: k and t must be INT literals")
+      }
     })
 
   /** Imperative registration on an already-built session. */

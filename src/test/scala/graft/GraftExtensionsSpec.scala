@@ -24,4 +24,31 @@ class GraftExtensionsSpec extends SparkSpecBase {
       spark.sql("SELECT vec_dot(CAST(array(1.0) AS ARRAY<FLOAT>))").head())
     assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("vec_dot"))
   }
+
+  test("text-sketch kernels callable from SQL, equal to the ops builders") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT
+        |  minhash_sig(text, 8, 3) AS sig,
+        |  simhash62(text) AS fp,
+        |  winnow_fp(text, 8, 4) AS wf
+        |FROM ext_docs""".stripMargin).head()
+    val viaOps = docs.select(
+      graft.expr.DedupKernel.minHashSigCol(
+        graft.ops.Dedup.normText($"text"), 8, 3).as("sig"),
+      graft.expr.DedupKernel.simHash62Col(
+        graft.ops.Dedup.normText($"text")).as("fp"),
+      graft.ops.TextAnalysis.winnowFps($"text").as("wf")).head()
+    assert(viaSql.getSeq[Long](0) == viaOps.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaOps.getLong(1))
+    assert(viaSql.getSeq[Long](2) == viaOps.getSeq[Long](2))
+    // non-literal sketch params are rejected with a named error
+    val e = intercept[Exception](
+      spark.sql("SELECT minhash_sig(text, doc_id, 3) FROM ext_docs").head())
+    assert(e.getMessage.contains("minhash_sig"))
+  }
 }
