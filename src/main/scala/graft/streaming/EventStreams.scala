@@ -82,6 +82,20 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exact dedup: drop events whose `idCols` were already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
+    * is evicted once the watermark passes, so memory is bounded by the
+    * duplicate-arrival horizon, not the stream length). This is the
+    * streaming twin of Dedup.dropExactDuplicates: at-least-once sources
+    * (e.g. CollectionIngest replays) become effectively exactly-once for
+    * any downstream aggregate as long as duplicates arrive within the
+    * horizon. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes",
+      idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Production entry: tail a parquet/json/kafka-style source directory as
     * a stream and maintain the tumbling aggregate. */
   def streamFromDirectory(spark: SparkSession, path: String,

@@ -77,4 +77,22 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(got(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
     assert(got(Timestamp.valueOf("2024-01-01 10:05:00")) == 1L)
   }
+
+  test("dedupedEvents drops within-watermark duplicate event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.dedupedEvents(mem.toDF(), "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // a replayed micro-batch: event 0 and 1 arrive twice (same id)
+      mem.addData(sampleEvents.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(sampleEvents(0), sampleEvents(1), sampleEvents(3))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(0L, 1L, 2L, 3L), s"duplicates must be dropped, got $ids")
+    } finally q.stop()
+  }
 }
