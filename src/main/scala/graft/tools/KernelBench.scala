@@ -56,6 +56,40 @@ object KernelBench {
     val hf = time("HoF zip_with+aggregate")(hof)
     val ud = time("Scala UDF")(udf_(col("a"), col("b")))
     println(f"speedup vs HoF: ${hf / ce}%.1fx; vs UDF: ${ud / ce}%.1fx")
+
+    // ---- text-sketch kernels: one-pass codegen vs expression pipelines --
+    val nDocs = math.max(n / 20, 1000L)
+    val docs = spark.range(nDocs).select(
+      col("id"),
+      expr("""array_join(transform(sequence(1, 60),
+              i -> concat('w', pmod(id * i + i, 211))), ' ')""").as("text"))
+      .persist()
+    docs.count()
+    def timeDf(label: String)(mk: => org.apache.spark.sql.DataFrame): Double = {
+      mk.count() // warm
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = runs.min
+      println(f"| $label%-22s | $best%8.3f s | ${nDocs / best / 1e3}%8.1f K docs/s |")
+      best
+    }
+    println(s"\nText sketches over $nDocs docs x 60 words (local, min of 3):")
+    println("| kernel                 | time       | throughput      |")
+    println("|------------------------|------------|-----------------|")
+    val mk = timeDf("minhash kernel")(
+      graft.ops.Dedup.minHashSignatures(docs, "id", "text"))
+    val mp = timeDf("minhash portable")(
+      graft.ops.Dedup.minHashSignaturesPortable(docs, "id", "text"))
+    val sk = timeDf("simhash kernel")(
+      graft.ops.Dedup.simHash(docs, "id", "text"))
+    val sp = timeDf("simhash portable")(
+      graft.ops.Dedup.simHashPortable(docs, "id", "text"))
+    val wk = timeDf("winnow kernel")(
+      graft.ops.TextAnalysis.winnowFingerprints(docs, "id", "text"))
+    println(f"minhash kernel vs pipeline: ${mp / mk}%.1fx; simhash: ${sp / sk}%.1fx")
     spark.stop()
   }
 }

@@ -92,7 +92,7 @@ class DedupSpec extends SparkSpecBase {
   private def randomDocs(seed: Int) = {
     val rnd = new scala.util.Random(seed)
     val vocab = Vector("the", "quick", "brown", "fox", "fox", "über",
-      "漢字", "data", "spark", "engine", "a", "b9")
+      "漢字", "data", "spark", "engine", "a", "b9", "🚀x", "naïve")
     (1 to 80).map { i =>
       val n = rnd.nextInt(12)
       val sep = if (rnd.nextBoolean()) " " else "   "
