@@ -177,6 +177,24 @@ object PipelineQueries {
     feats.select(($"doc_id" +: binCols): _*).orderBy($"doc_id")
   }
 
+  /** Video-frame-shaped sampling through the multimodal plumbing: payload
+    * → every 2nd 256-byte chunk → per-frame stub features (byte-histogram
+    * ratios, bins 2–7 = printable ASCII). Map-only: the explode happens
+    * executor-side inside the batched extraction; payloads never shuffle.
+    * Docs are printable ASCII (q50's verified premise), so the oracle
+    * recomputes each frame's bins with substring + byte-class regexes. */
+  def frameFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val frames = Multimodal.withFrameFeatures(media, "payload",
+      chunkSize = 256, stride = 2)
+    val binCols = (2 to 7).map(j =>
+      $"frame_features".getItem(j).cast("double").as(s"b$j"))
+    frames.select(($"doc_id" +: $"frame_idx".cast("long").as("frame_idx") +: binCols): _*)
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** Character-window chunking (256-char windows, 32 overlap) with chunk
     * fingerprints — the pre-embedding chunk grid. */
   def chunkedDocs(s: SparkSession, dir: String): DataFrame = {
@@ -217,7 +235,8 @@ object PipelineQueries {
     "q45_top_terms"       -> (topTerms _),
     "q38_winnow_fp"       -> (winnowFingerprints _),
     "q46_hash_split"      -> (splitCounts _),
-    "q50_multimodal_hist" -> (multimodalHist _))
+    "q50_multimodal_hist" -> (multimodalHist _),
+    "q57_frame_features"  -> (frameFeatures _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -450,6 +469,27 @@ object PipelineQueries {
          |GROUP BY token
          |ORDER BY doc_freq DESC, total_tf DESC, token
          |LIMIT 50""".stripMargin,
+    "q57_frame_features" -> {
+      val bins = Seq(2 -> "2f", 3 -> "3f", 4 -> "4f", 5 -> "5f", 6 -> "6f", 7 -> "7e")
+        .map { case (j, hi) =>
+          s"""CAST(CAST(length(ch) - length(regexp_replace(ch, '[\\x${j}0-\\x$hi]', '', 'g')) AS FLOAT)
+             |    / CAST(length(ch) AS FLOAT) AS DOUBLE) AS b$j""".stripMargin
+        }.mkString(",\n  ")
+      s"""WITH fr AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(CAST(0 AS BIGINT),
+         |      CAST((length(text) - 1) // 256 AS BIGINT), 2)) AS frame_idx,
+         |    text
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, frame_idx,
+         |    substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256) AS ch
+         |  FROM fr)
+         |SELECT doc_id, frame_idx,
+         |  $bins
+         |FROM c
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
     "q50_multimodal_hist" -> {
       val bins = Seq(2 -> "2f", 3 -> "3f", 4 -> "4f", 5 -> "5f", 6 -> "6f", 7 -> "7e")
         .map { case (j, hi) =>

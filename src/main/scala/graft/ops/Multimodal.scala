@@ -69,6 +69,36 @@ object Multimodal {
     }(enc)
   }
 
+  /** One row per sampled frame: every `stride`-th chunk of `chunkSize`
+    * payload bytes becomes (frame_idx = original chunk index, frame
+    * features via [[decodeStub]]) — the Spark-side shape of video frame
+    * sampling (decode a subset of frames, one feature row each). Runs in
+    * the same batched mapPartitions as [[withFeatures]]: map-only, the
+    * explode happens executor-side after extraction, payload bytes never
+    * shuffle. */
+  def withFrameFeatures(df: DataFrame, payloadCol: String,
+      chunkSize: Int = 4096, stride: Int = 2,
+      featuresCol: String = "frame_features", batchSize: Int = 64): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType)
+      .add(featuresCol, ArrayType(FloatType, containsNull = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](idx)
+          if (payload == null) Iterator.empty
+          else payload.grouped(chunkSize).zipWithIndex
+            .collect { case (c, i) if i % stride == 0 =>
+              Row.fromSeq(r.toSeq :+ i :+ decodeStub(c))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-friendly media table layout helper: modality + size bucket
     * make good partition columns (bounded cardinality) for 100 TB media
     * lakes; the payload stays unsplit inside parquet binary pages. */

@@ -68,4 +68,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"LSH must be an equi-join:\n$p")
   }
+
+  test("q35: SRP-LSH candidates join on (table, bucket), never cross") {
+    val p = plan("q35_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"SRP-LSH must be an equi-join:\n$p")
+  }
+
+  test("q51: bounded-heap top-k aggregates without Window or global Sort") {
+    val p = plan("q51_topk_heap")
+    assert(!p.contains("Window"), s"topk_by must not plan a Window:\n$p")
+    assert(p.contains("topkby") || p.contains("TopKBy") || p.contains("ObjectHashAggregate"),
+      s"expected the TypedImperativeAggregate path:\n$p")
+  }
+
+  test("q53: range join is a bucketed equi-join with pushed filters, no cartesian") {
+    val p = plan("q53_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range join must stay an equi-join:\n$p")
+    assert(p.contains("EqualTo(event_type,click)"),
+      s"event_type filter must reach the parquet scan:\n$p")
+  }
+
+  test("q54: cube plans one Expand feeding a two-phase aggregate") {
+    val p = plan("q54_cube")
+    assert(p.contains("Expand"), s"cube must plan Expand:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

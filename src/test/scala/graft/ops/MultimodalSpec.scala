@@ -46,4 +46,26 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(got == Set((0L, "image", 8), (1L, "audio", 6), (2L, "video", 0)))
   }
+
+  test("withFrameFeatures explodes sampled chunks with original frame indices") {
+    import spark.implicits._
+    val payload = Array.tabulate(100)(_.toByte)
+    val df = Seq((7L, payload)).toDF("media_id", "payload")
+    val frames = Multimodal.withFrameFeatures(df, "payload",
+        chunkSize = 10, stride = 3)
+      .select($"media_id", $"frame_idx", $"frame_features")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    // 10 chunks, stride 3 → frames 0, 3, 6, 9
+    assert(frames.map(_._2).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.forall(_._1 == 7L))
+    // each frame's features equal the stub decode of exactly that chunk
+    frames.foreach { case (_, i, feats) =>
+      val expect = Multimodal.decodeStub(payload.slice(i * 10, (i + 1) * 10))
+      assert(feats == expect.toSeq, s"frame $i")
+    }
+    // null payloads produce no frames
+    val withNull = Seq((8L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    assert(Multimodal.withFrameFeatures(withNull, "payload").count() == 0L)
+  }
 }
