@@ -254,6 +254,40 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** RANGE window frames (value-based, vs q14's ROWS frames): per user,
+    * count/sum of events in the trailing 10 minutes — ties on the order
+    * key all join the frame, exactly the RANGE semantics both engines
+    * define. DECIMAL-exact sums. */
+  def rangeFrameTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t")
+      .rangeBetween(-600000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("t", unix_micros($"ts"))
+      .select($"event_id", $"user_id",
+        count(lit(1)).over(w).as("n_10min"),
+        sum(dec2($"value")).over(w).cast("double").as("sum_10min"))
+      .orderBy($"event_id")
+  }
+
+  /** Map functions over JSON props: from_json → map<string,bigint>,
+    * element_at lookup, grouped aggregates (the §2.3 "Map fns" row —
+    * JSON objects promoted to a typed MapType instead of string
+    * re-parsing per access). */
+  def mapProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    Tables.events(s, dir)
+      .select($"event_type",
+        element_at(from_json($"props", MapType(StringType, LongType)), "k").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n_with_k"),
+        sum($"k").as("sum_k"),
+        countDistinct($"k").as("nd_k"))
+      .orderBy($"event_type")
+  }
+
   /** Exact multi-column DISTINCT aggregation (expand-based in Spark). */
   def distinctCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -469,9 +503,29 @@ object RelationalQueries {
     "q53_range_join"       -> (purchaseClickWindows _),
     "q54_cube"             -> (ordersCube _),
     "q55_sliding_window"   -> (slidingWindowStats _),
-    "q56_salted_agg"       -> (saltedAgg _))
+    "q56_salted_agg"       -> (saltedAgg _),
+    "q58_range_frame"      -> (rangeFrameTotals _),
+    "q59_map_props"        -> (mapProps _))
 
   val oracleSql: Map[String, String] = Map(
+    "q58_range_frame" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_10min,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10min
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q59_map_props" ->
+      """SELECT event_type,
+        |  COUNT(k) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT k) AS nd_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q55_sliding_window" ->
       """WITH e AS (SELECT epoch(ts) AS t, event_type, value FROM events),
         |w AS (
