@@ -27,36 +27,48 @@ object AsOfJoin {
     * @param rightCols  right columns to attach (null when no match);
     *                    names must not collide with left column names —
     *                    alias on the right side first if they do
+    * @param forward    false (default): greatest right-time ≤ left-time
+    *                    (backward as-of); true: SMALLEST right-time ≥
+    *                    left-time (forward as-of — "next quote after")
+    * @param strict     true drops the equality: simultaneous right rows
+    *                    are not visible (< instead of ≤, > instead of ≥)
     */
   def asOf(
       left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String],
+      forward: Boolean = false, strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val payload = struct(rightCols.map(right(_)): _*)
     val payloadType = StructType(rightCols.map(c => right.schema(c)))
     val leftRowType = StructType(left.schema.fields)
     val leftStruct = struct(left.columns.map(left(_)): _*)
+    // Visibility at equal times is encoded purely in the sort order: a
+    // right row is visible to a left row iff it sorts before it inside
+    // the frame — right-before-left at ties = inclusive, left-before-right
+    // = strict. Direction flips the time order (the frame is always
+    // "everything sorted earlier"), so all four variants are the same
+    // one-shuffle union+window plan.
+    val rightSide = if (strict) 1 else 0
     val taggedRight = right.select(
       right(key).as("_k"), right(rightTime).as("_t"),
-      lit(0).as("_side"),
+      lit(rightSide).as("_side"),
       lit(null).cast(leftRowType).as("_lrow"),
       payload.as("_p"))
     val taggedLeft = left.select(
       left(key).as("_k"), left(leftTime).as("_t"),
-      lit(1).as("_side"),
+      lit(1 - rightSide).as("_side"),
       leftStruct.as("_lrow"),
       lit(null).cast(payloadType).as("_p"))
-    // right rows sort before left rows at equal time (side 0 < 1), so an
-    // exactly-simultaneous right row IS visible to the left row (t >= t')
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
+    val w = Window.partitionBy(col("_k")).orderBy(timeOrder, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedCols =
       left.columns.map(c => col(s"_lrow.$c").as(c)) ++
         rightCols.map(c => col(s"_asof.$c").as(c))
     taggedRight.unionByName(taggedLeft)
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .filter(col("_side") === lit(1 - rightSide))
       .select(matchedCols: _*)
   }
 }
