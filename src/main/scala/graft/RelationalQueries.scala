@@ -288,6 +288,23 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** Correlated EXISTS subquery through the SQL surface: suppliers with at
+    * least one large-quantity lineitem. Catalyst decorrelates the EXISTS
+    * into a left-semi hash join — the plan q06/q07 build via the DataFrame
+    * API, proven here from raw SQL (the reference has no subqueries at
+    * all; this is the SQL facade's decorrelation guarantee). */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("_g_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("_g_lineitem")
+    s.sql(
+      """SELECT s_suppkey, s_name
+        |FROM _g_supplier s
+        |WHERE EXISTS (
+        |  SELECT 1 FROM _g_lineitem l
+        |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49.0)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** Exact multi-column DISTINCT aggregation (expand-based in Spark). */
   def distinctCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -505,9 +522,17 @@ object RelationalQueries {
     "q55_sliding_window"   -> (slidingWindowStats _),
     "q56_salted_agg"       -> (saltedAgg _),
     "q58_range_frame"      -> (rangeFrameTotals _),
-    "q59_map_props"        -> (mapProps _))
+    "q59_map_props"        -> (mapProps _),
+    "q60_exists_subquery"  -> (existsSubquery _))
 
   val oracleSql: Map[String, String] = Map(
+    "q60_exists_subquery" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier s
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49.0)
+        |ORDER BY s_suppkey""".stripMargin,
     "q58_range_frame" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_10min,

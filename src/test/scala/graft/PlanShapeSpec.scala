@@ -90,6 +90,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"event_type filter must reach the parquet scan:\n$p")
   }
 
+  test("q60: correlated EXISTS decorrelates to a semi join, never a loop") {
+    val p = plan("q60_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no nested-loop fallback:\n$p")
+  }
+
   test("q54: cube plans one Expand feeding a two-phase aggregate") {
     val p = plan("q54_cube")
     assert(p.contains("Expand"), s"cube must plan Expand:\n$p")
