@@ -480,7 +480,8 @@ object PipelineQueries {
          |    unnest(generate_series(CAST(0 AS BIGINT),
          |      CAST((length(text) - 1) // 256 AS BIGINT), 2)) AS frame_idx,
          |    text
-         |  FROM documents),
+         |  FROM documents
+         |  WHERE length(text) > 0),
          |c AS (
          |  SELECT doc_id, frame_idx,
          |    substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256) AS ch

@@ -270,16 +270,21 @@ object RelationalQueries {
       .orderBy($"event_id")
   }
 
-  /** Map functions over JSON props: from_json → map<string,bigint>,
-    * element_at lookup, grouped aggregates (the §2.3 "Map fns" row —
-    * JSON objects promoted to a typed MapType instead of string
-    * re-parsing per access). */
+  /** Map functions over JSON props: from_json → map, element_at lookup,
+    * grouped aggregates (the §2.3 "Map fns" row — JSON objects promoted
+    * to a typed MapType instead of string re-parsing per access). The map
+    * value type is STRING + per-key try_cast, not LONG: a typed-long map
+    * nulls the ENTIRE map when any value fails to parse, which would
+    * diverge from the oracle's per-key extraction on mixed-value props —
+    * string+try_cast makes both engines fail per key, identically. */
   def mapProps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    import org.apache.spark.sql.types.{MapType, StringType}
     Tables.events(s, dir)
       .select($"event_type",
-        element_at(from_json($"props", MapType(StringType, LongType)), "k").as("k"))
+        element_at(from_json($"props", MapType(StringType, StringType)), "k")
+          .as("ks"))
+      .select($"event_type", expr("try_cast(ks AS BIGINT)").as("k"))
       .groupBy($"event_type")
       .agg(
         count($"k").as("n_with_k"),
@@ -547,7 +552,7 @@ object RelationalQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_k,
         |  COUNT(DISTINCT k) AS nd_k
         |FROM (SELECT event_type,
-        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events) t
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,

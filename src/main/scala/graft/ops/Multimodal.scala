@@ -44,12 +44,20 @@ object Multimodal {
     bins
   }
 
-  /** Frame/segment sampling on the raw payload: every `stride`-th chunk of
-    * `chunkSize` bytes (the Spark-side shape of video frame sampling). */
-  def sampleChunks(payload: Array[Byte], chunkSize: Int, stride: Int): Seq[Array[Byte]] =
+  /** Frame/segment sampling on the raw payload, with original chunk
+    * indices: every `stride`-th chunk of `chunkSize` bytes (the
+    * Spark-side shape of video frame sampling). Single home for the
+    * sampling policy — [[sampleChunks]] and [[withFrameFeatures]] both
+    * delegate here so the two can never drift. */
+  def sampleChunksIndexed(payload: Array[Byte], chunkSize: Int,
+      stride: Int): Seq[(Int, Array[Byte])] =
     if (payload == null) Seq.empty
     else payload.grouped(chunkSize).zipWithIndex
-      .collect { case (c, i) if i % stride == 0 => c }.toSeq
+      .collect { case (c, i) if i % stride == 0 => (i, c) }.toSeq
+
+  /** Sampled chunks without indices — see [[sampleChunksIndexed]]. */
+  def sampleChunks(payload: Array[Byte], chunkSize: Int, stride: Int): Seq[Array[Byte]] =
+    sampleChunksIndexed(payload, chunkSize, stride).map(_._2)
 
   /** Adds a `features: array<float>` column extracted from a binary payload
     * column via batched mapPartitions (batch shape = the embed operator's,
@@ -88,10 +96,8 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
-          val payload = r.getAs[Array[Byte]](idx)
-          if (payload == null) Iterator.empty
-          else payload.grouped(chunkSize).zipWithIndex
-            .collect { case (c, i) if i % stride == 0 =>
+          sampleChunksIndexed(r.getAs[Array[Byte]](idx), chunkSize, stride)
+            .iterator.map { case (i, c) =>
               Row.fromSeq(r.toSeq :+ i :+ decodeStub(c))
             }
         }
