@@ -138,6 +138,23 @@ object PipelineQueries {
       .orderBy($"split")
   }
 
+  /** Deterministic 10% hash sample (Sampling.hashSample): membership is a
+    * pure function of doc_id, so the oracle recomputes the identical
+    * sample — the property that makes distributed TABLESAMPLE
+    * reproducible across engines and reruns (unlike rand()-based
+    * sampling). Summarized so the entry stays compact. */
+  def sampleSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.hashSample(Tables.documents(s, dir), "doc_id", pct = 10)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
   /** Per-document quality metrics + bucket. */
   def qualityScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -236,7 +253,8 @@ object PipelineQueries {
     "q38_winnow_fp"       -> (winnowFingerprints _),
     "q46_hash_split"      -> (splitCounts _),
     "q50_multimodal_hist" -> (multimodalHist _),
-    "q57_frame_features"  -> (frameFeatures _))
+    "q57_frame_features"  -> (frameFeatures _),
+    "q61_hash_sample"     -> (sampleSummary _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -469,6 +487,13 @@ object PipelineQueries {
          |GROUP BY token
          |ORDER BY doc_freq DESC, total_tf DESC, token
          |LIMIT 50""".stripMargin,
+    "q61_hash_sample" ->
+      """SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+        |  MAX(doc_id) AS max_id, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q57_frame_features" -> {
       val bins = Seq(2 -> "2f", 3 -> "3f", 4 -> "4f", 5 -> "5f", 6 -> "6f", 7 -> "7e")
         .map { case (j, hi) =>
