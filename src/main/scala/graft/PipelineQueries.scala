@@ -221,6 +221,16 @@ object PipelineQueries {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Token-window chunking (64-token windows, 16 overlap) with chunk
+    * fingerprints — the token-budget chunk grid (q44's char-window twin). */
+  def tokenChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Chunking.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+      .select($"doc_id", $"chunk_idx", $"n_tokens", md5($"chunk").as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** Corpus vocabulary: top-50 tokens by document frequency (integer-exact:
     * df + total term frequency, deterministic tie-breaks). */
   def topTerms(s: SparkSession, dir: String): DataFrame = {
@@ -254,7 +264,8 @@ object PipelineQueries {
     "q46_hash_split"      -> (splitCounts _),
     "q50_multimodal_hist" -> (multimodalHist _),
     "q57_frame_features"  -> (frameFeatures _),
-    "q61_hash_sample"     -> (sampleSummary _))
+    "q61_hash_sample"     -> (sampleSummary _),
+    "q62_token_chunks"    -> (tokenChunks _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -487,6 +498,20 @@ object PipelineQueries {
          |GROUP BY token
          |ORDER BY doc_freq DESC, total_tf DESC, token
          |LIMIT 50""".stripMargin,
+    "q62_token_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS w FROM documents
+         |  WHERE length($norm) > 0),
+         |c AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(1, len(w), 48)) AS s, w
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(len(w[s : s + 63]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(w[s : s + 63], ' ')) AS chunk_fp
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q61_hash_sample" ->
       """SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
         |  MAX(doc_id) AS max_id, CAST(SUM(n_chars) AS BIGINT) AS sum_chars

@@ -44,4 +44,32 @@ object Chunking {
       .select(col(idCol), col("chunk_idx"),
         length(col("chunk")).cast("long").as("chunk_len"),
         md5(col("chunk")).as("chunk_fp"))
+
+  /** Token-window chunking: fixed-size windows of whitespace tokens with
+    * overlap, rejoined with single spaces — the chunk grid embedding
+    * pipelines actually use (token budgets, not characters). Same
+    * expression-only map-only shape as [[chunkByChars]]: grid starts at
+    * token 1, 1+step, … while ≤ nTokens; tail window may be shorter.
+    * Input is normalized (trim + collapse whitespace) first, so token
+    * boundaries are unambiguous and the output is engine-portable. */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"need chunkTokens > overlapTokens >= 0, got $chunkTokens/$overlapTokens")
+    val step = chunkTokens - overlapTokens
+    val t = s"`${textCol.replace("`", "``")}`"
+    val norm = s"regexp_replace(trim(lower($t)), '\\\\s+', ' ')"
+    df.select(col(idCol),
+      posexplode(expr(
+        s"""CASE WHEN $t IS NULL OR length($norm) = 0 THEN array()
+           |ELSE transform(
+           |  sequence(1, size(split($norm, ' ')), $step),
+           |  s -> concat_ws(' ', slice(split($norm, ' '), s, $chunkTokens))) END"""
+          .stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("n_tokens",
+        size(split(col("chunk"), " ")).cast("long"))
+  }
 }

@@ -45,4 +45,19 @@ class ChunkingSpec extends SparkSpecBase {
       .select("chunk_fp").as[String].collect()
     assert(fps.length == 3 && fps.distinct.length >= 2)
   }
+
+  test("chunkByTokens: window/overlap grid over tokens, messy whitespace normalized") {
+    val df = Seq((1L, "  a  b c d e f G ")).toDF("doc_id", "text") // 7 tokens
+    val got = Chunking.chunkByTokens(df, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 2)
+      .select("chunk_idx", "chunk", "n_tokens")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    // step 2 → windows at tokens 1, 3, 5, 7 (tail windows shorter)
+    assert(got == Seq(
+      (0L, "a b c d", 4L), (1L, "c d e f", 4L),
+      (2L, "e f g", 3L), (3L, "g", 1L)))
+    // empty and null text produce no chunks
+    val empty = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Chunking.chunkByTokens(empty, "doc_id", "text", 4, 2).count() == 0L)
+  }
 }
