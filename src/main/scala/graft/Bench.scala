@@ -6,9 +6,10 @@ package graft
   *
   * Headline set = every operator family at its scale-relevant size
   * (aggregate scan, star join, top-k, window rank, event windows, vector
-  * top-k/kNN-join, dedup families, text analysis). Quadratic verification
-  * queries (q31/q34, exact all-pairs) are excluded — their scale path is
-  * the MinHash/LSH variants, which ARE benched. Each query is run once to
+  * top-k/kNN-join, dedup families, text analysis). The one quadratic
+  * verification query (q31, exact all-pairs Jaccard on a slice) is
+  * excluded — its scale path is the MinHash candidates (q32), which ARE
+  * benched. Each query is run once to
   * warm the JVM/code cache and once timed (steady-state, what a long-lived
   * cluster job sees).
   */
@@ -27,7 +28,7 @@ object Bench {
     "q20_vec_dot_topk", "q21_vec_l2_knn", "q22_vec_cosine_topk",
     "q23_vec_knn_join", "q24_meta_filter_cosine", "q25_label_centroids",
     "q26_meta_array_filter", "q35_ann_lsh", "q52_ann_ivf",
-    "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash",
+    "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash", "q34_embed_neardup",
     "q36_dedup_clusters", "q37_simhash_neardup", "q38_winnow_fp",
     "q40_token_stats", "q41_quality_scores", "q42_langid",
     "q43_fingerprint", "q44_chunking", "q45_top_terms", "q46_hash_split",

@@ -54,13 +54,20 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
-  /** Embedding-cosine near-duplicate pairs (exact; threshold 0.4 on this
-    * corpus — see Similarity.nearDupPairs for the LSH-bucketed scale path). */
+  /** Embedding-cosine near-duplicate pairs via SRP-LSH candidate
+    * generation (Similarity.bucketedNearDupPairs): self-equi-join on
+    * (table, bucket), exact cosine only within buckets — never a
+    * cartesian, so the plan survives a 100× corpus. Oracle-exact despite
+    * being approximate: the integer SRP planes and micro-quantized
+    * bucket bits let DuckDB re-derive the identical candidate set
+    * (same pattern as q35). Threshold 0.4 applied on the 6-dp-rounded
+    * cosine on both sides; the op-level prefilter sits 1e-6 below it so
+    * the rounded boundary can't be clipped by raw-float noise. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    Similarity.nearDupPairs(
-      e.select($"vec_id".as("id"), $"embedding"), "id", "embedding", 0.0)
+    val e = Tables.embeddings(s, dir).select($"vec_id".as("id"), $"embedding")
+    Similarity.bucketedNearDupPairs(e, "id", "embedding", threshold = 0.399999,
+        numPlanes = 5, dim = 64, numTables = 10)
       .select($"a_id", $"b_id", round($"cos_sim", 6).as("cos_sim"))
       .filter($"cos_sim" >= 0.4)
       .orderBy($"a_id", $"b_id")
@@ -383,16 +390,24 @@ object PipelineQueries {
          |WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.2
          |ORDER BY a_id, b_id""".stripMargin,
     "q34_embed_neardup" ->
-      """SELECT a_id, b_id, cos_sim FROM (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    ROUND(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
-        |      (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
-        |       SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
-        |  FROM embeddings a, embeddings b, generate_series(1, 64) i(i)
-        |  WHERE a.vec_id < b.vec_id
-        |  GROUP BY 1, 2) t
-        |WHERE cos_sim >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH ${VectorQueries.srpBucketCtes(numPlanes = 5, dim = 64, numTables = 10)},
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM buck x JOIN buck y
+         |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |sims AS (
+         |  SELECT cand.a_id, cand.b_id,
+         |    ROUND(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+         |      (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+         |       SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.a_id
+         |  JOIN embeddings b ON b.vec_id = cand.b_id,
+         |  generate_series(1, 64) i(i)
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, cos_sim FROM sims
+         |WHERE cos_sim >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
     "q40_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len(string_split($norm, ' '))) AS BIGINT) AS sum_tokens,

@@ -198,20 +198,22 @@ object VectorQueries {
   private val dotSum =
     "SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))"
 
-  /** DuckDB re-derivation of q35's SRP-LSH: the plane weights come from
-    * the same Similarity.planesInt the engine uses (inlined as a VALUES
-    * table), bucket bits are integer-exact, and the final rank key is the
-    * 6-dp-rounded cosine with vec_id tie-break — matching
-    * Similarity.lshBucketTopK's window exactly. */
-  private def annLshOracle: String = {
-    val numPlanes = 6; val dim = 64; val numTables = 4
+  /** Shared DuckDB re-derivation of Similarity.withBuckets: CTEs
+    * `pl(t, p, d, w) → vm → dots → buck(vec_id, t, bucket)` for the given
+    * SRP geometry. The plane weights come from the same
+    * Similarity.planesInt the engine uses (inlined as a VALUES table) and
+    * the bucket bits are integer dot signs over micro-quantized vectors —
+    * exact on any engine. Used by the q35 ANN oracle here and the q34
+    * bucketed-near-dup oracle in PipelineQueries. */
+  private[graft] def srpBucketCtes(numPlanes: Int, dim: Int,
+      numTables: Int, seed: Long = 42L): String = {
     val rows = (for {
       t <- 0 until numTables
-      ps = graft.ops.Similarity.planesInt(numPlanes, dim, 42L + 1000L * t)
+      ps = graft.ops.Similarity.planesInt(numPlanes, dim, seed + 1000L * t)
       p <- 0 until numPlanes
       d <- 0 until dim
     } yield s"($t,$p,$d,${ps(p)(d)})").grouped(16).map(_.mkString(",")).mkString(",\n  ")
-    s"""WITH pl(t, p, d, w) AS (VALUES
+    s"""pl(t, p, d, w) AS (VALUES
        |  $rows),
        |vm AS (
        |  SELECT vec_id,
@@ -223,7 +225,15 @@ object VectorQueries {
        |buck AS (
        |  SELECT vec_id, t,
        |    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-       |  FROM dots GROUP BY 1, 2),
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB re-derivation of q35's SRP-LSH: buckets from [[srpBucketCtes]],
+    * multiprobe expansion, and a final rank on the 6-dp-rounded cosine with
+    * vec_id tie-break — matching Similarity.lshBucketTopK's window exactly. */
+  private def annLshOracle: String = {
+    val numPlanes = 6; val dim = 64; val numTables = 4
+    s"""WITH ${srpBucketCtes(numPlanes, dim, numTables)},
        |qprobe AS (
        |  SELECT vec_id AS q_id, t,
        |    unnest(list_prepend(bucket, list_transform(generate_series(0, ${numPlanes - 1}),

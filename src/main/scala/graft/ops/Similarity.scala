@@ -47,43 +47,26 @@ object Similarity {
       java.lang.Math.floorMod(x ^ (x >>> 31), 2001L) - 1000L
     }
 
-  /** Micro-quantized copy of a float vector: round(x · 10⁶) as long —
-    * exact and engine-portable (float→double widening and the single
-    * double multiply are IEEE-deterministic; ties round away from zero in
-    * both Spark and DuckDB). */
-  private def microQuantized(vecCol: String): org.apache.spark.sql.Column =
-    expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-
   /** Add an SRP `bucket` column (b-bit integer) to a vector DataFrame,
     * for one hash table (`seed` selects the table's plane set). Bit i =
-    * sign of the integer dot product ⟨round(v·10⁶), plane_i⟩. */
+    * sign of the integer dot product ⟨round(v·10⁶), plane_i⟩, computed by
+    * the codegen [[graft.expr.SrpBuckets]] kernel. */
   def withBucket(df: DataFrame, vecCol: String, numPlanes: Int = 12,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val ps = planesInt(numPlanes, dim, seed)
-    // temp column name chosen to not collide with caller columns (and
-    // restored semantics either way: only `bucket` is added to the output)
-    val tmp = "_graft_vm_srp"
-    require(!df.columns.contains(tmp), s"input must not carry a $tmp column")
-    val bucket = ps.zipWithIndex.map { case (p, i) =>
-      val idot = expr(
-        s"aggregate(zip_with($tmp, array(${p.mkString(",")}), (x, w) -> x * w), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-      when(idot > 0L, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
-    df.withColumn(tmp, microQuantized(vecCol))
-      .withColumn("bucket", bucket)
-      .drop(tmp)
-  }
+      dim: Int = 64, seed: Long = 42L): DataFrame =
+    df.withColumn("bucket",
+      element_at(VectorExprs.srpBuckets(col(vecCol), numPlanes, dim, 1, seed), 1))
 
   /** Multi-table SRP index rows: one (table, bucket) per input row per
     * hash table — the standard L-tables LSH layout. Candidate storage is
-    * ×L (an index, built in batch); recall compounds as 1-(1-p)^L. */
+    * ×L (an index, built in batch); recall compounds as 1-(1-p)^L.
+    * Single-pass: ONE scan, one codegen kernel call computing all L codes
+    * (quantize once, L×b integer dots in a generated loop), then a
+    * posexplode — not L unioned re-scans of the source. */
   def withBuckets(df: DataFrame, vecCol: String, numPlanes: Int,
       dim: Int, numTables: Int, seed: Long = 42L): DataFrame =
-    (0 until numTables).map { t =>
-      withBucket(df, vecCol, numPlanes, dim, seed + 1000L * t)
-        .withColumn("table", lit(t))
-    }.reduce(_ unionByName _)
+    df.select(col("*"), posexplode(
+        VectorExprs.srpBuckets(col(vecCol), numPlanes, dim, numTables, seed))
+      .as(Seq("table", "bucket")))
 
   /** Approximate top-k: candidates restricted to the query's SRP bucket in
     * any of `numTables` independent hash tables (plus all Hamming-
@@ -116,8 +99,8 @@ object Similarity {
   }
 
   /** Exact all-pairs cosine ≥ threshold (the embedding near-dup check).
-    * O(N²) by construction — at 100 TB, call it on LSH buckets instead:
-    * `withBucket(...).groupBy(bucket)` bounds each quadratic block. */
+    * O(N²) by construction — the small-slice verifier for
+    * [[bucketedNearDupPairs]], which is the scale path. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av"))
@@ -126,5 +109,49 @@ object Similarity {
       .withColumn("cos_sim", VectorExprs.cosine(col("av"), col("bv")))
       .filter(col("cos_sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs at scale: SRP-LSH candidate
+    * generation + exact cosine verification *within buckets only*.
+    *
+    * Plan shape: map-only bucketing (one (table, bucket) row per vector
+    * per hash table) → self-equi-join on (table, bucket) → distinct
+    * pairs → codegen cosine ≥ threshold. Never a cartesian: pairwise
+    * work is Σ_buckets |bucket|² ≈ N²·L/2^b instead of N² — tune
+    * `numPlanes` so buckets stay in the thousands of rows as N grows
+    * (b ≈ log₂(N/target) keeps per-bucket blocks constant-size at
+    * 100 TB). Recall is approximate by construction (a pair missing
+    * from every table's bucket is not emitted): a pair at angle θ
+    * collides per table with p = (1-θ/π)^numPlanes and is found with
+    * 1-(1-p)^numTables — AND over planes, OR over tables, exactly the
+    * MinHash banding law — so recall→1 for true near-dups (θ→0) and
+    * drops deliberately for distant pairs; raise numTables (recall) or
+    * numPlanes (pruning) per corpus. The exact verifier [[nearDupPairs]]
+    * bounds realized recall on slices. Deterministic + engine-portable:
+    * integer SRP planes and micro-quantized bucket bits (see
+    * [[withBucket]]), so an external oracle re-derives the very same
+    * candidate set. */
+  def bucketedNearDupPairs(embeddings: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, numPlanes: Int = 5,
+      dim: Int = 64, numTables: Int = 10, seed: Long = 42L): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Shuffle is bounded by the INDEX (N·numTables wide rows into the
+    // bucket equi-join), never by the candidate pairs: cosine + threshold
+    // run map-side inside the join stage, so only surviving pairs (a tiny
+    // fraction when threshold targets near-dups) reach the cross-table
+    // distinct. cos_sim is bitwise-identical across a pair's duplicate
+    // bucket hits (same codegen over the same vectors), so distinct on
+    // (a_id, b_id, cos_sim) is distinct-by-pair.
+    val bk = withBuckets(base, "v", numPlanes, dim, numTables, seed)
+    val left = bk.select(col("table"), col("bucket"),
+      col("id").as("a_id"), col("v").as("av"))
+    val right = bk.select(col("table"), col("bucket"),
+      col("id").as("b_id"), col("v").as("bv"))
+    left.join(right, Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", VectorExprs.cosine(col("av"), col("bv")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+      .distinct()
   }
 }

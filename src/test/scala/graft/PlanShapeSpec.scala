@@ -75,6 +75,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"SRP-LSH must be an equi-join:\n$p")
   }
 
+  test("q34: bucketed near-dup joins on (table, bucket), never cross") {
+    val p = plan("q34_embed_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"near-dup candidates must come from an equi-join:\n$p")
+  }
+
   test("q51: bounded-heap top-k aggregates without Window or global Sort") {
     val p = plan("q51_topk_heap")
     assert(!p.contains("Window"), s"topk_by must not plan a Window:\n$p")

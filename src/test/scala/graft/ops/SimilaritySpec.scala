@@ -52,6 +52,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.nonEmpty && got.minBy(_._1)._2 == 7L)
   }
 
+  test("bucketedNearDupPairs: subset of exact pairs; full recall on planted dups") {
+    val base = (0 until 60).map(i => (i.toLong, vec(i)))
+    // three exact copies — true near-dups (θ=0) must ALWAYS be found
+    val planted = base ++ Seq((100L, vec(3)), (101L, vec(17)), (102L, vec(42)))
+    val df = planted.toDF("id", "embedding")
+    val exact = Similarity.nearDupPairs(df, "id", "embedding", 0.2)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val bucketed = Similarity.bucketedNearDupPairs(df, "id", "embedding", 0.2,
+      numPlanes = 5, dim = 16, numTables = 10)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(bucketed.subsetOf(exact), "bucketed candidates must verify exactly")
+    assert(Set((3L, 100L), (17L, 101L), (42L, 102L)).subsetOf(bucketed),
+      "identical vectors share every bucket — recall 1.0 for true dups")
+  }
+
+  test("bucketedNearDupPairs plans an equi-join — no cartesian, no nested loop") {
+    val df = (0 until 40).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
+    val p = Similarity.bucketedNearDupPairs(df, "id", "embedding", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bucketed near-dup must join on (table, bucket):\n$p")
+  }
+
   test("nearDupPairs finds planted duplicates at high threshold") {
     val base = (0 until 30).map(i => (i.toLong, vec(i)))
     val planted = base :+ (100L, vec(3)) // exact copy of id 3
