@@ -15,8 +15,13 @@ import org.apache.spark.sql.types.DecimalType
   * joins and pushdown for free.
   *
   * Scale notes (100 TB design point):
-  *  - dimension tables (region/nation/customer/part/supplier) are broadcast
-  *    explicitly; the fact tables (lineitem/orders) never leave executors;
+  *  - FIXED-size dimensions (region: 5 rows, nation: 25 — constant at any
+  *    SF) are broadcast explicitly; SCALING dimensions (customer/part/
+  *    supplier grow ~linearly with SF: 1.5M customers/SF in TPC-H) carry NO
+  *    broadcast hint — AQE picks broadcast vs shuffle-hash from runtime
+  *    sizes, so the same plan that broadcasts at sf0.1 switches to a
+  *    shuffle join at 100 TB instead of OOMing the driver on a forced hint;
+  *    the fact tables (lineitem/orders) never leave executors;
   *  - every aggregate is a map-side-partial hash aggregate (Catalyst);
   *  - top-k uses orderBy+limit => TakeOrderedAndProject (no global sort);
   *  - all money arithmetic is DECIMAL-exact then cast to double (bit-equal
@@ -53,7 +58,7 @@ object RelationalQueries {
     val n  = Tables.nation(s, dir)
     val r  = Tables.region(s, dir)
     li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey") // scaling dim: no hint, AQE sizes it
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r.filter($"r_name" === "ASIA")),
         $"n_regionkey" === $"r_regionkey")
@@ -84,12 +89,14 @@ object RelationalQueries {
       .orderBy($"o_custkey", $"rn")
   }
 
-  /** Broadcast join + multi-aggregate per market segment. */
+  /** Fact ⋈ scaling-dim join + multi-aggregate per market segment.
+    * customer is unhinted — AQE broadcasts it while it fits and shuffle-
+    * joins it at scale. */
   def marketSegmentStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+    o.join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(
         count(lit(1)).as("n_orders"),

@@ -26,6 +26,28 @@ class PlanShapeSpec extends SparkSpecBase {
       s"lineitem scan must be pruned to 3 columns:\n$p")
   }
 
+  test("q02/q05: scaling dims carry no forced broadcast hint (AQE sizes them)") {
+    // region/nation are constant-size (5/25 rows at ANY SF) and stay
+    // hinted; customer grows with SF, so its join strategy must be
+    // size-driven — a forced hint OOMs at the 100 TB design point.
+    val hints02 = SparkEntry.queries("q02_revenue_by_nation")(spark, sfDir)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hints02.length == 2, s"q02 must hint only nation+region, got: $hints02")
+    assert(!hints02.exists(_.toString.contains("c_custkey")),
+      "customer must not be hint-forced")
+    val hints05 = SparkEntry.queries("q05_market_share")(spark, sfDir)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hints05.isEmpty, s"q05 must carry no join hints, got: $hints05")
+    // …and the size-driven outcome at this (tiny) SF is still a broadcast:
+    val p = plan("q05_market_share")
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should pick broadcast for a tiny customer table:\n$p")
+  }
+
   test("q03: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val p = plan("q03_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
