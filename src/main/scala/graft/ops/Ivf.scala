@@ -173,6 +173,62 @@ object Ivf {
       .withColumn("ivf_cell", cellOfUnit(col("_graft_uv"), m))
       .drop("_graft_uv")
 
+  /** Persist an IVF index under `path`: the corpus with its cell
+    * assignment hive-partitioned by `ivf_cell` (so probes prune to
+    * nprobe directories before any scan), plus the coarse quantizer
+    * itself at `path`/model (plain parquet — the model is data, not JVM
+    * state, and any engine can read it). Build once, probe many — the
+    * operational ANN shape; the reference instead rebuilds its KdTree on
+    * every query (embeddings.rs:402-408), which this deliberately beats. */
+  def writeIndex(df: DataFrame, vecCol: String, m: IvfModel,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    assign(df, vecCol, m)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/cells")
+    m.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Load the coarse quantizer persisted by [[writeIndex]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfModel = {
+    val rows = spark.read.parquet(s"$path/model")
+      .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
+    IvfModel(rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Probe a prebuilt index (written by [[writeIndex]], candidate schema
+    * (n_id, nv)): each query's `nprobe` nearest cells are computed from
+    * the loaded quantizer and pushed as a LITERAL partition filter, so
+    * the cells scan reads only the probed directories — partition pruning
+    * visible in the plan as PartitionFilters, no full-index scan. The
+    * probed-cell set is collected driver-side: it is nprobe ints per
+    * query on the serving path (bounded, tiny); large batch query sets
+    * should join on ivf_cell instead and rely on dynamic partition
+    * pruning. Re-rank is identical to [[topK]]. */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val m = loadModel(spark, path)
+    val probes = queries
+      .withColumn("_graft_qu", unit(col("qv")))
+      .select(col("q_id"), col("qv"),
+        explode(probeCellsUnit(col("_graft_qu"), m, nprobe)).as("ivf_cell"))
+    val probedCells = probes.select(col("ivf_cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("ivf_cell").isin(probedCells.toIndexedSeq: _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id"))
+    cells.join(broadcast(probes), Seq("ivf_cell"))
+      .withColumn("sim", VectorExprs.cosine(col("nv"), col("qv")))
+      .select(col("q_id"), col("n_id"), col("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k: each query probes its `nprobe` nearest cells;
     * candidates in those cells are re-ranked by exact cosine. Equi-join
     * on the cell id with the (small) probe side broadcast — never a

@@ -103,6 +103,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"near-dup candidates must come from an equi-join:\n$p")
   }
 
+  test("q52: prebuilt-IVF probe partition-prunes the cells scan") {
+    val p = plan("q52_ann_ivf")
+    assert(p.contains("PartitionFilters") && p.contains("INSET"),
+      s"probe must prune to the probed ivf_cell partitions:\n$p")
+  }
+
   test("q51: bounded-heap top-k aggregates without Window or global Sort") {
     val p = plan("q51_topk_heap")
     assert(!p.contains("Window"), s"topk_by must not plan a Window:\n$p")

@@ -48,6 +48,32 @@ class IvfSpec extends SparkSpecBase {
     assert(probes == byDist)
   }
 
+  test("persisted index: model roundtrips exactly; probeIndex == inline topK; probe scan prunes partitions") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cands = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val m = Ivf.train(cands.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 16, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    Ivf.writeIndex(cands, "nv", m, path)
+    val loaded = Ivf.loadModel(spark, path)
+    (m.centroids zip loaded.centroids).foreach { case (x, y) =>
+      assert(x.toSeq == y.toSeq, "persisted quantizer must roundtrip bit-exactly")
+    }
+    val inline = Ivf.topK(qs, cands, m, k = 5, nprobe = 6)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val probed = Ivf.probeIndex(spark, path, qs, k = 5, nprobe = 6)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(probed == inline, "prebuilt-index probe must reproduce the inline result")
+    // the probe's cells scan must partition-prune to the probed cells only
+    val scan = Ivf.probeIndex(spark, path, qs, k = 5, nprobe = 6)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("ivf_cell"),
+      s"expected ivf_cell partition filters on the cells scan:\n$scan")
+  }
+
   // The testdata embeddings are uniform random unit vectors (norms == 1.0,
   // no cluster structure) — the worst case for any cell-based ANN, where
   // recall ~= scan fraction (measured curve: nc=16 gives 0.42/0.64/0.76
