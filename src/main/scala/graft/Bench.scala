@@ -23,7 +23,7 @@ object Bench {
     "q16_above_avg", "q17_sessionization", "q18_asof_join",
     "q19_quantiles", "q47_pivot", "q48_stats_agg", "q49_approx_distinct",
     "q51_topk_heap", "q53_range_join", "q54_cube",
-    "q55_sliding_window", "q56_salted_agg",
+    "q55_sliding_window", "q56_salted_agg", "q63_salted_join",
     "q58_range_frame", "q59_map_props", "q60_exists_subquery",
     "q20_vec_dot_topk", "q21_vec_l2_knn", "q22_vec_cosine_topk",
     "q23_vec_knn_join", "q24_meta_filter_cosine", "q25_label_centroids",

@@ -261,6 +261,30 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Salted join on a skewed key (q56's join-side twin): 86% of lineitem
+    * rows collapse onto hot key 0 (every l_linenumber > 1), the classic
+    * one-task-gets-everything shape. Skew.saltedJoin spreads the hot key
+    * over 16 salt values — the large side salts by a hash of its unique
+    * row id (deterministic, rerun-stable), the 25-row dim side replicates
+    * ×16. Row-level results are provably identical to the plain join
+    * (SkewSpec) and the oracle is the PLAIN join — salting must be
+    * invisible in the result. */
+  def saltedJoinStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .withColumn("skew_key",
+        when($"l_linenumber" > 1, 0L).otherwise(pmod($"l_suppkey", lit(25L))))
+    val n = Tables.nation(s, dir)
+      .select($"n_nationkey".cast("long").as("skew_key"), $"n_name")
+    graft.ops.Skew.saltedJoin(li, n, "skew_key", salts = 16,
+        saltBy = struct($"l_orderkey", $"l_linenumber"))
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec4($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"n_name")
+  }
+
   /** RANGE window frames (value-based, vs q14's ROWS frames): per user,
     * count/sum of events in the trailing 10 minutes — ties on the order
     * key all join the frame, exactly the RANGE semantics both engines
@@ -533,6 +557,7 @@ object RelationalQueries {
     "q54_cube"             -> (ordersCube _),
     "q55_sliding_window"   -> (slidingWindowStats _),
     "q56_salted_agg"       -> (saltedAgg _),
+    "q63_salted_join"      -> (saltedJoinStats _),
     "q58_range_frame"      -> (rangeFrameTotals _),
     "q59_map_props"        -> (mapProps _),
     "q60_exists_subquery"  -> (existsSubquery _))
@@ -577,6 +602,17 @@ object RelationalQueries {
         |FROM w
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q63_salted_join" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN l_linenumber > 1 THEN 0 ELSE l_suppkey % 25 END AS skew_key,
+        |    l_quantity
+        |  FROM lineitem)
+        |SELECT n.n_name,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM l JOIN nation n ON l.skew_key = n.n_nationkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q56_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
