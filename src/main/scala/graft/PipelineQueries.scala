@@ -238,6 +238,48 @@ object PipelineQueries {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** The q64 retrieval queries: fixed literal strings over the corpus
+    * vocabulary (both engines embed the identical text). */
+  private val ragQueryRows: Seq[(Long, String)] = Seq(
+    (0L, "spark join shuffle partition key"),
+    (1L, "vector index scan fast query"),
+    (2L, "stream window batch agg data"))
+
+  /** End-to-end RAG retrieval pipeline — the workload the reference's
+    * users actually run, composed from this library's own stages: token-
+    * window chunking (q62's grid) → portable hash-projection embedding
+    * (DedupKernel.polyEmbed — the deterministic sentence-transformer
+    * stand-in) → per-query cosine top-5 with doc dedup (best chunk per
+    * doc, then rank docs). Map-only chunk+embed, broadcast query side,
+    * two bounded window ranks — no shuffle grows with the corpus beyond
+    * the final per-query top-k. Oracle-exact END TO END: the embedding's
+    * only float arithmetic is one multiply/divide/subtract per dimension
+    * over order-independent integer sums, so DuckDB replays chunking,
+    * embedding, scoring and ranking bit-for-bit. */
+  def ragTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = Chunking.chunkByTokens(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+      .select($"doc_id", $"chunk_idx",
+        graft.expr.DedupKernel.polyEmbedCol($"chunk").as("emb"))
+    val qs = ragQueryRows.toDF("q_id", "qtext")
+      .select($"q_id",
+        graft.expr.DedupKernel.polyEmbedCol(Dedup.normText($"qtext")).as("qemb"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id", $"doc_id").orderBy($"sim".desc, $"chunk_idx")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sim".desc, $"doc_id", $"chunk_idx")
+    chunks.crossJoin(broadcast(qs))
+      .withColumn("sim",
+        round(graft.expr.VectorExprs.cosine($"emb", $"qemb"), 6))
+      .withColumn("rn_doc", row_number().over(wDoc))
+      .filter($"rn_doc" === 1) // doc dedup: keep each doc's best chunk
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"doc_id", $"chunk_idx", $"sim", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Corpus vocabulary: top-50 tokens by document frequency (integer-exact:
     * df + total term frequency, deterministic tie-breaks). */
   def topTerms(s: SparkSession, dir: String): DataFrame = {
@@ -272,7 +314,8 @@ object PipelineQueries {
     "q50_multimodal_hist" -> (multimodalHist _),
     "q57_frame_features"  -> (frameFeatures _),
     "q61_hash_sample"     -> (sampleSummary _),
-    "q62_token_chunks"    -> (tokenChunks _))
+    "q62_token_chunks"    -> (tokenChunks _),
+    "q64_rag_topk"        -> (ragTopK _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -333,7 +376,61 @@ object PipelineQueries {
        |  FROM d)""".stripMargin
   }
 
+  /** DuckDB re-derivation of q64's full RAG pipeline: q62's chunk grid,
+    * then DedupKernel.polyEmbed per chunk — per dimension d the INTEGER
+    * sum Σ_tokens (polyFold(tok)·a_d + b_d) mod P with the same perm(d)
+    * coefficients, floated by the single expression (2·S)/P − nTokens —
+    * then rounded-cosine scoring, per-doc best chunk, per-query top-5. */
+  private def ragOracle: String = {
+    val P = graft.expr.DedupKernel.P
+    def dims(src: String) = (0 until 64).map { d =>
+      val (a, b) = graft.expr.DedupKernel.perm(d)
+      s"CAST((2.0 * list_sum(list_transform($src, h -> (h * $a + $b) % $P))) / $P.0 - len($src) AS FLOAT)"
+    }.mkString(",\n    ")
+    val qvals = ragQueryRows.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    val qnorm = "regexp_replace(trim(lower(qtext)), '\\s+', ' ', 'g')"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS w FROM documents
+       |  WHERE length($norm) > 0),
+       |c AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(w), 48)) AS s, w
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+       |    list_transform(w[s : s + 63], tk -> ${duckFold("tk", graft.expr.DedupKernel.B1)}) AS ths
+       |  FROM c),
+       |emb AS (
+       |  SELECT doc_id, chunk_idx, [${dims("ths")}] AS e FROM ch),
+       |q(q_id, qtext) AS (VALUES $qvals),
+       |qth AS (
+       |  SELECT CAST(q_id AS BIGINT) AS q_id,
+       |    list_transform(string_split($qnorm, ' '), tk -> ${duckFold("tk", graft.expr.DedupKernel.B1)}) AS ths
+       |  FROM q),
+       |qemb AS (
+       |  SELECT q_id, [${dims("ths")}] AS e FROM qth),
+       |sims AS (
+       |  SELECT q.q_id, e.doc_id, e.chunk_idx,
+       |    ROUND(SUM(CAST(e.e[i.i] AS DOUBLE) * CAST(q.e[i.i] AS DOUBLE)) /
+       |      (SQRT(SUM(CAST(e.e[i.i] AS DOUBLE) * CAST(e.e[i.i] AS DOUBLE))) *
+       |       SQRT(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(q.e[i.i] AS DOUBLE)))), 6) AS sim
+       |  FROM emb e, qemb q, generate_series(1, 64) i(i)
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT q_id, doc_id, chunk_idx, sim FROM (
+       |    SELECT q_id, doc_id, chunk_idx, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id, doc_id ORDER BY sim DESC, chunk_idx) AS rn
+       |    FROM sims) b WHERE rn = 1),
+       |ranked AS (
+       |  SELECT q_id, doc_id, chunk_idx, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id, chunk_idx) AS BIGINT) AS rnk
+       |  FROM best)
+       |SELECT q_id, doc_id, chunk_idx, sim, rnk FROM ranked
+       |WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q64_rag_topk" -> ragOracle,
     "q32_minhash_lsh" ->
       s"""WITH $minhashCtes
          |SELECT a_id, b_id, est AS est_jaccard FROM cand ORDER BY a_id, b_id""".stripMargin,

@@ -161,8 +161,63 @@ object DedupKernel {
     java.lang.Long.valueOf(fp)
   }
 
+  /** Portable hash-projection embedding of a normalized (single-space)
+    * text: token th = polyFold(token, B1); dimension d accumulates the
+    * INTEGER sum S_d = Σ_tokens (th·a_d + b_d) mod P with the same
+    * [[perm]] coefficients the MinHash oracle inlines; the float value is
+    * then the single expression (2·S_d)/P − nTokens — a pseudo-random
+    * ±[-1,1) bag-of-words projection whose only float arithmetic is one
+    * multiply, one divide and one subtract per dimension, so any engine
+    * replays it bit-for-bit (the integer sums are order-independent).
+    * The deterministic stand-in for a sentence-transformer in end-to-end
+    * pipeline entries (q64) — same shape as HashEmbedder but
+    * oracle-replayable. Zero-token text → null. */
+  def polyEmbed(s: UTF8String, dim: Int): ArrayData = {
+    val n = s.numBytes
+    val sums = new Array[Long](dim)
+    var nTok = 0L
+    var ws = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.getByte(i) == ' ') {
+        if (i > ws) {
+          nTok += 1
+          val th = polyFold(s, ws, i, B1)
+          var d = 0
+          while (d < dim) {
+            val (a, b) = permCached(d)
+            sums(d) += (th * a + b) % P
+            d += 1
+          }
+        }
+        ws = i + 1
+      }
+      i += 1
+    }
+    if (nTok == 0L) return null
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      out(d) = ((2.0d * sums(d)) / P.toDouble - nTok.toDouble).toFloat
+      d += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // perm() is cheap but called per token×dim in polyEmbed — memoize the
+  // low dimensions once (thread-safe: idempotent pure writes)
+  private val permCache = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+  private def permCached(i: Int): (Long, Long) = {
+    val c = permCache.get(i)
+    if (c != null) c
+    else { val v = perm(i); permCache.putIfAbsent(i, v); v }
+  }
+
   def minHashSigCol(normText: Column, numHashes: Int = 32, w: Int = 3): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(normText), numHashes, w))
+
+  def polyEmbedCol(normText: Column, dim: Int = 64): Column =
+    ColumnBridge.column(PolyEmbed(ColumnBridge.expression(normText), dim))
 
   def simHash62Col(normText: Column): Column =
     ColumnBridge.column(SimHash62(ColumnBridge.expression(normText)))
@@ -189,6 +244,38 @@ case class MinHashSig(child: Expression, numHashes: Int, w: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expr.DedupKernel.minHashSig($c, $numHashes, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<float> portable hash-projection embedding of a normalized text;
+  * null when the text has no tokens (see [[DedupKernel.polyEmbed]]). */
+case class PolyEmbed(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0, s"need positive dim, got $dim")
+  override def prettyName: String = "poly_embed"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DedupKernel.polyEmbed(input.asInstanceOf[UTF8String], dim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.freshName("arr")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $arr =
+         |  graft.expr.DedupKernel.polyEmbed($c, $dim);
+         |if ($arr == null) { ${ev.isNull} = true; } else { ${ev.value} = $arr; }
+       """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
