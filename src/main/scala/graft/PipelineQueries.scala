@@ -238,6 +238,27 @@ object PipelineQueries {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Incremental dedup — the operational 100 TB mode: a NEW batch (every
+    * 5th doc) near-dup-checked against the EXISTING corpus (the rest)
+    * through the corpus's banded signature index (Dedup.bandedSignatures,
+    * persisted in practice; rebuilt here because entries are
+    * self-contained). The batch computes only its own signatures; the
+    * join is (band, bucket) equi — no corpus recompute, no batch×batch
+    * or corpus×corpus pairs, no full-corpus LSH rerun. Oracle-exact: the
+    * DuckDB oracle re-derives both sides' signatures and the cross-side
+    * candidates (est = agreeing minhashes / 32, integer-exact). */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val corpusIdx = Dedup.bandedSignatures(
+      docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text")
+    val batchIdx = Dedup.bandedSignatures(
+      docs.filter($"doc_id" % 5 === 0), "doc_id", "text")
+    Dedup.incrementalCandidates(batchIdx, corpusIdx, "doc_id",
+        threshold = 0.4)
+      .orderBy($"batch_id", $"corpus_id")
+  }
+
   /** The q64 retrieval queries: fixed literal strings over the corpus
     * vocabulary (both engines embed the identical text). */
   private val ragQueryRows: Seq[(Long, String)] = Seq(
@@ -315,7 +336,8 @@ object PipelineQueries {
     "q57_frame_features"  -> (frameFeatures _),
     "q61_hash_sample"     -> (sampleSummary _),
     "q62_token_chunks"    -> (tokenChunks _),
-    "q64_rag_topk"        -> (ragTopK _))
+    "q64_rag_topk"        -> (ragTopK _),
+    "q65_incremental_dedup" -> (incrementalDedup _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -330,12 +352,11 @@ object PipelineQueries {
       s"(acc, c) -> (acc * $base + c) % $P)"
   }
 
-  /** CTE chain `t → hh → sig → banded → cand(a_id, b_id, est)`: MinHash
-    * signatures (numHashes=32, w=3, perms inlined from DedupKernel.perm),
-    * LSH banding (8 bands × 4 rows), candidate pairs with est ≥ 0.4 —
-    * the DuckDB re-derivation of Dedup.minHashCandidates' defaults as
-    * used by q32 and q36. */
-  private def minhashCtes: String = {
+  /** CTE chain `t → hh → sig → banded`: MinHash signatures (numHashes=32,
+    * w=3, perms inlined from DedupKernel.perm) and LSH banding (8 bands ×
+    * 4 rows) — the shared DuckDB re-derivation of Dedup.minHashSignatures
+    * + banding, used by q32/q36 (self-pairs) and q65 (batch × corpus). */
+  private def minhashBandCtes: String = {
     val P = graft.expr.DedupKernel.P
     val sigItems = (0 until 32).map { i =>
       val (a, b) = graft.expr.DedupKernel.perm(i)
@@ -350,7 +371,13 @@ object PipelineQueries {
        |sig AS (SELECT doc_id, [$sigItems] AS sig FROM hh),
        |banded AS (
        |  SELECT doc_id, sig, b.b AS band, list_slice(sig, b.b*4 + 1, b.b*4 + 4) AS key
-       |  FROM sig, generate_series(0, 7) b(b)),
+       |  FROM sig, generate_series(0, 7) b(b))""".stripMargin
+  }
+
+  /** [[minhashBandCtes]] + `cand(a_id, b_id, est)`: self candidate pairs
+    * with est ≥ 0.4 — as used by q32 and q36. */
+  private def minhashCtes: String =
+    s"""$minhashBandCtes,
        |cand AS (
        |  SELECT a_id, b_id, est FROM (
        |    SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
@@ -358,7 +385,6 @@ object PipelineQueries {
        |    FROM banded x JOIN banded y
        |      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) d
        |  WHERE est >= 0.4)""".stripMargin
-  }
 
   /** CTE chain `t → tok → th → d → fps(doc_id, simhash)`: 62-bit two-lane
     * SimHash fingerprints — the DuckDB re-derivation of Dedup.simHash. */
@@ -431,6 +457,16 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q64_rag_topk" -> ragOracle,
+    "q65_incremental_dedup" ->
+      s"""WITH $minhashBandCtes
+         |SELECT batch_id, corpus_id, est AS est_jaccard FROM (
+         |  SELECT DISTINCT y.doc_id AS batch_id, x.doc_id AS corpus_id,
+         |    CAST(len(list_filter(generate_series(1, 32), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 32 AS est
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0) d
+         |WHERE est >= 0.4
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     "q32_minhash_lsh" ->
       s"""WITH $minhashCtes
          |SELECT a_id, b_id, est AS est_jaccard FROM cand ORDER BY a_id, b_id""".stripMargin,

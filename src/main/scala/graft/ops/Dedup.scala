@@ -163,6 +163,59 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Banded MinHash signature index rows: (id, sig, band, bucket), one row
+    * per (document, band) — the persistable corpus-side index for
+    * incremental dedup. Build once over the corpus, write bucketed by
+    * (band, bucket); every incoming batch then computes only its OWN
+    * signatures and equi-joins this index — no corpus recompute. */
+  def bandedSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    minHashSignatures(df, idCol, textCol, numHashes, w)
+      .select(col(idCol), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws('_', slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** Incremental near-dup candidates: a NEW batch's banded signatures
+    * joined against an EXISTING corpus index (both from
+    * [[bandedSignatures]], id column named `idCol` on each side) — the
+    * operational 100 TB mode: arriving data is checked against the corpus
+    * without recomputing corpus signatures and without batch×batch or
+    * corpus×corpus pairs. Equi-join on (band, bucket); est_jaccard =
+    * fraction of agreeing minhashes (integer/numHashes — engine-exact).
+    * Candidate distinct runs on narrow (ids, est) rows. */
+  def incrementalCandidates(
+      batchBanded: DataFrame, corpusBanded: DataFrame, idCol: String,
+      numHashes: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val b = batchBanded.select(col("band"), col("bucket"),
+      col(idCol).as("batch_id"), col("sig").as("bsig"))
+    val c = corpusBanded.select(col("band"), col("bucket"),
+      col(idCol).as("corpus_id"), col("sig").as("csig"))
+    b.join(c, Seq("band", "bucket"))
+      .withColumn("est_jaccard",
+        expr(s"cast(size(filter(zip_with(bsig, csig, (u, v) -> u = v), m -> m)) as double) / $numHashes"))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+      .distinct()
+  }
+
+  /** The deduped batch: rows with no near-duplicate in the corpus index
+    * (band-bucket anti-join — never a recompute of the corpus side). */
+  def dedupBatchAgainstCorpus(
+      batch: DataFrame, idCol: String, textCol: String,
+      corpusBanded: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val bb = bandedSignatures(batch, idCol, textCol, numHashes, bands, w)
+    val dup = incrementalCandidates(bb, corpusBanded, idCol, numHashes, threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dup, Seq(idCol), "left_anti")
+  }
+
   /** Exact w-shingle Jaccard over all pairs sharing ≥1 shingle (equi-join
     * on the shingle — bounded by real overlap, not N²). For verification
     * of candidate pairs or small corpora; at scale run it only on
