@@ -24,6 +24,28 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got(20L) == 20L && got(21L) == 20L && got(22L) == 20L)
   }
 
+  test("deep path graph (depth 120) converges well within maxIter via pointer doubling") {
+    // a 121-node chain: diameter 120 > the old per-round propagation
+    // budget; pointer doubling must close it in ~log2(120) rounds
+    val pairs = (0L until 120L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Components.connectedComponents(pairs, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 121)
+    assert(got.values.forall(_ == 0L), "every chain node must fold to min id 0")
+  }
+
+  test("durable checkpointDir variant produces identical components") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val local = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val durable = Components.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(local == durable)
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "reliable checkpoints must be written to the durable dir")
+  }
+
   test("dropNearDuplicates keeps one representative per cluster") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
