@@ -491,18 +491,23 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
-  /** HLL sketch distinct counts (approx_count_distinct). No oracle —
-    * sketch implementations differ across engines by design; the exact
-    * counterpart q13 is the oracle-checked baseline. Deterministic for a
-    * given dataset (hash-register merge is commutative). */
+  /** Approximate distinct counts via the portable KMV sketch
+    * ([[graft.expr.KmvDistinct]], k=64): bounded mergeable state (k
+    * smallest distinct affine hashes) with a one-integer-division
+    * estimator, so — unlike HLL, whose register layout is engine-private
+    * by design — the DuckDB oracle replays the ENTIRE sketch bit-for-bit
+    * and q49 is hash-exact like every other entry. Spark's native
+    * approx_count_distinct (HLL) remains available for interop; the
+    * exact counterpart q13 is the accuracy baseline. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val kmv = udaf(new graft.expr.KmvDistinct(64))
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("apx_parts"),
-        approx_count_distinct($"l_suppkey").as("apx_supps"),
-        approx_count_distinct($"l_orderkey").as("apx_orders"))
+        kmv($"l_partkey").as("apx_parts"),
+        kmv($"l_suppkey").as("apx_supps"),
+        kmv($"l_orderkey").as("apx_orders"))
       .orderBy($"l_returnflag")
   }
 
@@ -562,7 +567,37 @@ object RelationalQueries {
     "q59_map_props"        -> (mapProps _),
     "q60_exists_subquery"  -> (existsSubquery _))
 
+  /** DuckDB re-derivation of q49's KMV sketch: per column, the distinct
+    * affine hashes per group, the k-th smallest (window), and the
+    * integer-division estimator — every step exact (see KmvDistinct). */
+  private def kmvOracle: String = {
+    val P = graft.expr.DedupKernel.P
+    val (a, b) = graft.expr.DedupKernel.perm(0)
+    val k = 64
+    def estCte(name: String, keyCol: String) =
+      s"""$name AS (
+         |  SELECT l_returnflag,
+         |    CASE WHEN nd < $k THEN nd ELSE ${(k - 1).toLong * P} // h END AS est
+         |  FROM (
+         |    SELECT l_returnflag, h,
+         |      ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+         |      COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+         |    FROM (SELECT DISTINCT l_returnflag, (($keyCol % $P) * $a + $b) % $P AS h
+         |          FROM lineitem) d) t
+         |  WHERE rn = CASE WHEN nd < $k THEN nd ELSE $k END)""".stripMargin
+    s"""WITH ${estCte("ep", "l_partkey")},
+       |${estCte("es", "l_suppkey")},
+       |${estCte("eo", "l_orderkey")}
+       |SELECT p.l_returnflag, p.est AS apx_parts, s.est AS apx_supps,
+       |  o.est AS apx_orders
+       |FROM ep p
+       |JOIN es s USING (l_returnflag)
+       |JOIN eo o USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q49_approx_distinct" -> kmvOracle,
     "q60_exists_subquery" ->
       """SELECT s_suppkey, s_name
         |FROM supplier s

@@ -29,10 +29,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. All sketch/index arithmetic (MinHash,
-    * SimHash, SRP-LSH, even IVF k-means training) is portable polynomial/
-    * integer math, so those queries carry exact oracles; the only
-    * omission is q49's HLL sketch (engine-internal state by design) →
-    * driver records a rows-only check for it. */
+    * SimHash, SRP-LSH, the KMV distinct sketch, even IVF k-means
+    * training) is portable polynomial/integer math, so EVERY query
+    * carries an exact oracle — q49 included since it moved from HLL
+    * (engine-private registers) to the replayable KMV sketch
+    * ([[graft.expr.KmvDistinct]]). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++ PipelineQueries.oracleSql
 }
