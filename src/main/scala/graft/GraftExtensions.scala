@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimilarity, DotProduct, L2Distance, MinHashSig, SimHash62, TopKBy, WinnowFp}
+import graft.expr.{CosineSimilarity, DotProduct, L2Distance, MinHashSig, NgramDupCounts, SimHash62, TopKBy, WinnowFp}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -70,6 +70,15 @@ object GraftExtensions {
     "simhash62" -> { args =>
       require(args.length == 1, s"simhash62 expects (normText), got ${args.length} args")
       SimHash62(args(0))
+    },
+    "ngram_dup_counts" -> { args =>
+      require(args.length == 2,
+        s"ngram_dup_counts expects (normText, n), got ${args.length} args")
+      args(1) match {
+        case Literal(n: Int, _) => NgramDupCounts(args(0), n)
+        case _ => throw new IllegalArgumentException(
+          "ngram_dup_counts: n must be an INT literal")
+      }
     },
     "winnow_fp" -> { args =>
       require(args.length == 3,

@@ -316,6 +316,51 @@ object PipelineQueries {
       .limit(50)
   }
 
+  /** PII scrubbing (ops.PiiScrub) over a contact-card projection of the
+    * customer table. The testdata carries no literal PII, so the entry
+    * first derives a deterministic contact string from the row's keys —
+    * integer arithmetic + concat that both engines build byte-identically
+    * — and the oracle then independently verifies the REDACTION and the
+    * per-category counts. Map-only end to end (codegen regex over a
+    * projection); at 100 TB this fuses into the scan. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val contact = concat(
+      lit("User "), $"c_name",
+      lit(" <user"), $"c_custkey",
+      lit("@example."),
+      when(pmod($"c_nationkey", lit(2)) === 0, "com").otherwise("org"),
+      lit("> last login 10."), pmod($"c_nationkey", lit(254)),
+      lit("."), pmod($"c_custkey", lit(254)),
+      lit("."), pmod($"c_custkey", lit(7)),
+      when(pmod($"c_custkey", lit(5)) === 0, lit(" tel 25-989-741-2988"))
+        .otherwise(lit("")))
+    graft.ops.PiiScrub.scrub(
+        Tables.customer(s, dir).select($"c_custkey", contact.as("contact")),
+        "c_custkey", "contact")
+      .withColumnRenamed("c_custkey", "cust_id")
+      .orderBy($"cust_id")
+  }
+
+  /** Within-document repetition (duplicate-bigram fraction, Gopher-style
+    * boilerplate signal) per document — TextAnalysis.repetitionStats. */
+  def repetitionSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text", n = 2)
+      .orderBy($"doc_id")
+  }
+
+  /** Stratified corpus balancing: at most 25 docs per language, chosen by
+    * deterministic hash rank (Sampling.stratifiedSample). */
+  def stratifiedByLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.stratifiedSample(
+        Tables.documents(s, dir).select($"doc_id", $"lang"),
+        "lang", "doc_id", k = 25)
+      .select($"doc_id", $"lang", $"rn")
+      .orderBy($"lang", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -337,7 +382,10 @@ object PipelineQueries {
     "q61_hash_sample"     -> (sampleSummary _),
     "q62_token_chunks"    -> (tokenChunks _),
     "q64_rag_topk"        -> (ragTopK _),
-    "q65_incremental_dedup" -> (incrementalDedup _))
+    "q65_incremental_dedup" -> (incrementalDedup _),
+    "q66_pii_scrub"       -> (piiScrub _),
+    "q67_repetition"      -> (repetitionSummary _),
+    "q68_stratified_sample" -> (stratifiedByLang _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -688,6 +736,58 @@ object PipelineQueries {
          |  $bins
          |FROM c
          |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    "q66_pii_scrub" -> {
+      import graft.ops.PiiScrub.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH t AS (
+         |  SELECT c_custkey,
+         |    'User ' || c_name || ' <user' || c_custkey || '@example.' ||
+         |    CASE WHEN c_nationkey % 2 = 0 THEN 'com' ELSE 'org' END ||
+         |    '> last login 10.' || (c_nationkey % 254) || '.' ||
+         |    (c_custkey % 254) || '.' || (c_custkey % 7) ||
+         |    CASE WHEN c_custkey % 5 = 0 THEN ' tel 25-989-741-2988'
+         |         ELSE '' END AS contact
+         |  FROM customer)
+         |SELECT c_custkey AS cust_id,
+         |  CAST(len(regexp_extract_all(contact, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(contact, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(contact, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(contact,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g') AS redacted
+         |FROM t
+         |ORDER BY cust_id""".stripMargin
+    },
+    "q67_repetition" -> {
+      val P = graft.expr.DedupKernel.P
+      val B = graft.expr.DedupKernel.B1
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    list_transform(w, tk -> ${duckFold("tk", B)}) AS h
+         |  FROM t),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(h)), i -> (h[i] * $B + h[i + 1]) % $P) AS ng
+         |  FROM c WHERE len(h) >= 2)
+         |SELECT doc_id,
+         |  CAST(len(ng) AS BIGINT) AS n_ngrams,
+         |  CAST(len(list_distinct(ng)) AS BIGINT) AS n_distinct,
+         |  CAST(len(ng) - len(list_distinct(ng)) AS DOUBLE) / len(ng) AS dup_frac
+         |FROM g
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q68_stratified_sample" -> {
+      val P = graft.expr.DedupKernel.P
+      val (a, b) = graft.expr.DedupKernel.perm(1)
+      s"""SELECT doc_id, lang, rn FROM (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ((doc_id % $P) * $a + $b) % $P, doc_id) AS rn
+         |  FROM documents) s
+         |WHERE rn <= 25
+         |ORDER BY lang, rn""".stripMargin
     },
     "q50_multimodal_hist" -> {
       val bins = Seq(2 -> "2f", 3 -> "3f", 4 -> "4f", 5 -> "5f", 6 -> "6f", 7 -> "7e")

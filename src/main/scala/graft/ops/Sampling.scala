@@ -34,4 +34,26 @@ object Sampling {
     * buckets from hashSplit is up to the caller's seed column choice). */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < pct)
+
+  /** Stratified sample: at most k rows per group, chosen deterministically
+    * by an affine hash of the id (DedupKernel.perm(1) — a different
+    * permutation than the dedup sketches, so strata don't correlate with
+    * MinHash buckets). Adds `rn` (1..k within the group).
+    *
+    * The workhorse of corpus balancing (per-language / per-source quotas).
+    * One shuffle on the group key; the window sorts within groups only.
+    * If a single group dwarfs executor memory, swap the window for the
+    * bounded-heap top-k aggregate ([[graft.expr.TopKByAggregate]], q51) —
+    * same output, O(k) state per group. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"per-group quota must be >= 1, got $k")
+    val P = graft.expr.DedupKernel.P
+    val (a, b) = graft.expr.DedupKernel.perm(1)
+    val h = pmod(pmod(col(idCol), lit(P)) * a + b, lit(P))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
 }

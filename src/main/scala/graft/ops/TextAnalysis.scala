@@ -76,6 +76,60 @@ object TextAnalysis {
         .otherwise("es"))
   }
 
+  /** Portable per-token hash codes of the normalized text: each token →
+    * polynomial code-point fold (DedupKernel arithmetic, base B1 mod P).
+    * The long-array form all n-gram/repetition math runs on — comparing
+    * longs instead of building n-gram STRINGS (which costs an O(n) array
+    * slice + join allocation per position and string hashing in every
+    * distinct; measured 12× slower at sf0.1). */
+  def tokenCodes(text: Column): Column = {
+    val P = graft.expr.DedupKernel.P
+    val B = graft.expr.DedupKernel.B1
+    transform(tokens(text), t =>
+      aggregate(sequence(lit(1), length(t)), lit(0L),
+        (acc, i) => (acc * B + ascii(t.substr(i, lit(1))).cast("long")) % P))
+  }
+
+  /** n-gram codes: position i's code folds the n token hashes starting at
+    * i ((…(h_i·B + h_{i+1}) mod P…) — zip_with over n shifted slices, so
+    * cost is O(n·L) per doc with no per-position slicing. Empty array when
+    * the document has fewer than n tokens (sequence() would otherwise
+    * count DOWN to a negative stop). Within-document collisions are
+    * ~L²·(n−1)/2³¹ — negligible, deterministic, and replayed identically
+    * by external engines (the repo's standard sketch-portability trade).
+    *
+    * Expression-only PORTABLE TEMPLATE (the shape the DuckDB oracle
+    * mirrors) and differential cross-check; [[repetitionStats]] runs the
+    * one-pass codegen kernel ([[graft.expr.DedupKernel.ngramDupCounts]])
+    * instead — HOFs interpret their lambdas per element. */
+  def ngramCodes(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val P = graft.expr.DedupKernel.P
+    val B = graft.expr.DedupKernel.B1
+    val codes = tokenCodes(text)
+    val m = size(codes) - lit(n - 1)
+    val combined = (2 to n).foldLeft(slice(codes, lit(1), m))((acc, j) =>
+      zip_with(acc, slice(codes, lit(j), m), (a, b) => (a * B + b) % P))
+    when(size(codes) >= n, combined).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Within-document repetition (Gopher-style quality rule): the fraction
+    * of word n-grams that are duplicates of an earlier n-gram in the SAME
+    * document. High dup_frac flags boilerplate/spam for corpus filtering.
+    * Map-only (per-document arrays, never exploded), exact int/int double
+    * division — oracle-stable. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame =
+    df.select(col(idCol),
+        graft.expr.DedupKernel.ngramDupCountsCol(
+          Dedup.normText(col(textCol)), n).as("_c"))
+      .filter(col("_c").isNotNull)
+      .select(col(idCol),
+        element_at(col("_c"), 1).as("n_ngrams"),
+        element_at(col("_c"), 2).as("n_distinct"))
+      .withColumn("dup_frac",
+        (col("n_ngrams") - col("n_distinct")).cast("double") / col("n_ngrams"))
+
   /** Content fingerprint (md5 of normalized text) per document —
     * the exact-dedup key and a stable doc identity for lineage. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -35,17 +35,22 @@ class GraftExtensionsSpec extends SparkSpecBase {
       """SELECT
         |  minhash_sig(text, 8, 3) AS sig,
         |  simhash62(text) AS fp,
-        |  winnow_fp(text, 8, 4) AS wf
+        |  winnow_fp(text, 8, 4) AS wf,
+        |  ngram_dup_counts(text, 2) AS rep
         |FROM ext_docs""".stripMargin).head()
     val viaOps = docs.select(
       graft.expr.DedupKernel.minHashSigCol(
         graft.ops.Dedup.normText($"text"), 8, 3).as("sig"),
       graft.expr.DedupKernel.simHash62Col(
         graft.ops.Dedup.normText($"text")).as("fp"),
-      graft.ops.TextAnalysis.winnowFps($"text").as("wf")).head()
+      graft.ops.TextAnalysis.winnowFps($"text").as("wf"),
+      graft.expr.DedupKernel.ngramDupCountsCol(
+        graft.ops.Dedup.normText($"text"), 2).as("rep")).head()
     assert(viaSql.getSeq[Long](0) == viaOps.getSeq[Long](0))
     assert(viaSql.getLong(1) == viaOps.getLong(1))
     assert(viaSql.getSeq[Long](2) == viaOps.getSeq[Long](2))
+    assert(viaSql.getSeq[Long](3) == viaOps.getSeq[Long](3))
+    assert(viaSql.getSeq[Long](3) == Seq(8L, 8L)) // 9 tokens, 8 distinct bigrams
     // non-literal sketch params are rejected with a named error
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(text, doc_id, 3) FROM ext_docs").head())

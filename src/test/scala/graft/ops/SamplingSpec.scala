@@ -37,5 +37,33 @@ class SamplingSpec extends SparkSpecBase {
 
   test("invalid percentages rejected") {
     intercept[IllegalArgumentException](Sampling.hashSplit(docs, "id", 95, 10))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(docs.withColumn("g", $"id" % 2), "g", "id", 0))
+  }
+
+  test("stratifiedSample caps each group at k, deterministically") {
+    val df = (0L until 500L).toDF("id")
+      .withColumn("g", ($"id" % 7).cast("string"))
+    val got = Sampling.stratifiedSample(df, "g", "id", k = 10)
+      .select("g", "id", "rn").as[(String, Long, Long)].collect()
+    val byGroup = got.groupBy(_._1)
+    assert(byGroup.size == 7)
+    byGroup.values.foreach { rows =>
+      assert(rows.length == 10)
+      assert(rows.map(_._3).sorted.toSeq == (1L to 10L)) // dense ranks 1..k
+    }
+    // identical selection regardless of partitioning
+    val again = Sampling.stratifiedSample(df.repartition(17), "g", "id", 10)
+      .select("g", "id", "rn").as[(String, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("stratifiedSample keeps whole groups smaller than k") {
+    val df = Seq((1L, "big"), (2L, "big"), (3L, "big"), (4L, "small"))
+      .toDF("id", "g")
+    val got = Sampling.stratifiedSample(df, "g", "id", k = 2)
+      .select("g", "id").as[(String, Long)].collect()
+    assert(got.count(_._1 == "big") == 2)
+    assert(got.count(_._1 == "small") == 1) // under quota: kept entirely
   }
 }

@@ -82,6 +82,52 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(f(1004L).length == 1) // all windows share one min hash
   }
 
+  test("repetitionStats: duplicate-bigram fraction, hand-checked") {
+    val docs = Seq(
+      (1L, "a b a b a"),            // bigrams: ab ba ab ba -> 4 total, 2 distinct
+      (2L, "all words are unique"), // 3 bigrams, all distinct
+      (3L, "one"),                  // fewer than 2 tokens -> filtered out
+      (4L, "x x x x"))              // 3 bigrams, 1 distinct
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 0.5),
+      (2L, 3L, 3L, 0.0),
+      (4L, 3L, 1L, 2.0 / 3.0)))
+  }
+
+  test("ngram kernel matches the portable HOF pipeline exactly") {
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "the quick brown fox the quick brown fox jumps"),
+      (3L, "one two"),
+      (4L, "solo"),                 // 1 token: kernel null, portable empty
+      (5L, "x y x z x y x z x y"),
+      (6L, "Ünïcödé tökens Ünïcödé tökens wörk töö")) // multi-byte UTF-8
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val kernel = TextAnalysis.repetitionStats(docs, "doc_id", "text", n)
+        .select("doc_id", "n_ngrams", "n_distinct")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val portable = docs
+        .select($"doc_id", TextAnalysis.ngramCodes($"text", n).as("ng"))
+        .filter(size($"ng") > 0)
+        .select($"doc_id", size($"ng").cast("long"),
+          size(array_distinct($"ng")).cast("long"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(kernel == portable, s"n=$n")
+    }
+  }
+
+  test("repetitionStats trigrams and whitespace normalization") {
+    val docs = Seq((1L, "  The   the THE the  ")).toDF("doc_id", "text")
+    // normalized: "the the the the" -> trigrams: 2 total, 1 distinct
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((1L, 2L, 1L, 0.5)))
+  }
+
   test("winnow fps array form: per-doc stats without explode") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
