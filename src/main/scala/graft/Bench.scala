@@ -34,7 +34,8 @@ object Bench {
     "q43_fingerprint", "q44_chunking", "q45_top_terms", "q46_hash_split",
     "q50_multimodal_hist", "q57_frame_features", "q61_hash_sample",
     "q62_token_chunks", "q64_rag_topk", "q65_incremental_dedup",
-    "q66_pii_scrub", "q67_repetition", "q68_stratified_sample")
+    "q66_pii_scrub", "q67_repetition", "q68_stratified_sample",
+    "q69_bloom_semijoin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -565,7 +565,29 @@ object RelationalQueries {
     "q63_salted_join"      -> (saltedJoinStats _),
     "q58_range_frame"      -> (rangeFrameTotals _),
     "q59_map_props"        -> (mapProps _),
-    "q60_exists_subquery"  -> (existsSubquery _))
+    "q60_exists_subquery"  -> (existsSubquery _),
+    "q69_bloom_semijoin"   -> (bloomSemiJoinStats _))
+
+  /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
+    * with the probe side dropped map-side by a bloom of the build keys
+    * before the exact LeftSemi join — the runtime-filter regime where the
+    * build side out-grows broadcast but its key set fits ~128 KB of bits.
+    * The bloom never changes the result (false positives are removed by
+    * the exact join), so the oracle is the PLAIN semi-join — correctness
+    * of the whole pruning transformation, not just the happy path. */
+  def bloomSemiJoinStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    graft.ops.BloomJoin.prunedSemiJoin(
+        Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec4($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
 
   /** DuckDB re-derivation of q49's KMV sketch: per column, the distinct
     * affine hashes per group, the k-th smallest (window), and the
@@ -598,6 +620,16 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q49_approx_distinct" -> kmvOracle,
+    "q69_bloom_semijoin" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q60_exists_subquery" ->
       """SELECT s_suppkey, s_name
         |FROM supplier s

@@ -136,4 +136,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Expand"), s"cube must plan Expand:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q66/q67: PII scrub and repetition scoring are map-only scans") {
+    // one Exchange allowed: the presentation orderBy's range partitioning.
+    // No join, no aggregate — the work itself must fuse into the scan.
+    for (name <- Seq("q66_pii_scrub", "q67_repetition")) {
+      val p = plan(name)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$name must not join or aggregate:\n$p")
+      assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+        s"$name: only the final sort may exchange:\n$p")
+    }
+  }
+
+  test("q68: stratified sample plans one hash exchange + WindowGroupLimit") {
+    val p = plan("q68_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= k must push a per-group limit under the window:\n$p")
+    assert(p.sliding("hashpartitioning".length)
+      .count(_ == "hashpartitioning") <= 2, // one exchange, echoed in Window
+      s"expected a single hash exchange on the group key:\n$p")
+  }
 }
