@@ -89,7 +89,15 @@ object KernelBench {
       graft.ops.Dedup.simHashPortable(docs, "id", "text"))
     val wk = timeDf("winnow kernel")(
       graft.ops.TextAnalysis.winnowFingerprints(docs, "id", "text"))
-    println(f"minhash kernel vs pipeline: ${mp / mk}%.1fx; simhash: ${sp / sk}%.1fx")
+    val nk = timeDf("ngram-dup kernel")(
+      graft.ops.TextAnalysis.repetitionStats(docs, "id", "text"))
+    val np = timeDf("ngram-dup portable HOF")(
+      docs.select(col("id"),
+        graft.ops.TextAnalysis.ngramCodes(col("text"), 2).as("ng"))
+        .filter(size(col("ng")) > 0)
+        .select(col("id"), size(col("ng")), size(array_distinct(col("ng")))))
+    println(f"minhash kernel vs pipeline: ${mp / mk}%.1fx; simhash: ${sp / sk}%.1fx; " +
+      f"ngram-dup: ${np / nk}%.1fx")
     spark.stop()
   }
 }
