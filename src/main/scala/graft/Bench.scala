@@ -27,7 +27,7 @@ object Bench {
     "q58_range_frame", "q59_map_props", "q60_exists_subquery",
     "q20_vec_dot_topk", "q21_vec_l2_knn", "q22_vec_cosine_topk",
     "q23_vec_knn_join", "q24_meta_filter_cosine", "q25_label_centroids",
-    "q26_meta_array_filter", "q35_ann_lsh", "q52_ann_ivf",
+    "q26_meta_array_filter", "q35_ann_lsh", "q52_ann_ivf", "q70_sq_topk",
     "q30_dedup_exact", "q32_minhash_lsh", "q33_simhash", "q34_embed_neardup",
     "q36_dedup_clusters", "q37_simhash_neardup", "q38_winnow_fp",
     "q40_token_stats", "q41_quality_scores", "q42_langid",

@@ -1,6 +1,7 @@
 package graft
 
 import graft.expr.{MetaFilter, VectorExprs}
+import graft.ops.Quantize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -215,7 +216,34 @@ object VectorQueries {
     "q25_label_centroids"    -> (labelCentroids _),
     "q26_meta_array_filter"  -> (metaArrayFilter _),
     "q35_ann_lsh"            -> (annLsh _),
-    "q52_ann_ivf"            -> (annIvf _))
+    "q52_ann_ivf"            -> (annIvf _),
+    "q70_sq_topk"            -> (sqTopK _))
+
+  /** Int8 scalar-quantized cosine top-k (ops.Quantize): quantized corpus
+    * scan scores candidates with the integer Int8Dot kernel (a 4×-smaller
+    * read at scale), top-20 approximate survivors re-ranked by exact
+    * float cosine for the final top-10. Cosine's scale invariance means
+    * the approximate score needs no dequantization — integer sums, one
+    * double divide. Oracle-exact end to end: quantization (round
+    * ties-away-from-zero), integer dots, the candidate cut and the
+    * rerank are all replayed by DuckDB. */
+  def sqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Quantize.withInt8(
+      Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
+        .select($"vec_id", $"embedding"), "embedding")
+    val query = Quantize.withInt8(queryVec(s, dir), "qv")
+      .select($"qv", $"q8".as("qq8"), $"q_norm2".as("qq_norm2"))
+    corpus.crossJoin(broadcast(query))
+      .select($"vec_id", $"embedding", $"qv",
+        round(Quantize.cosI8($"q8", $"qq8", $"q_norm2", $"qq_norm2"), 6).as("q_cos"))
+      .orderBy($"q_cos".desc, $"vec_id")
+      .limit(20) // approximate candidate cut (int8 scan at scale)
+      .select($"vec_id", $"q_cos",
+        round(VectorExprs.cosine($"embedding", $"qv"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10) // exact float rerank of the survivors
+  }
 
   private val dotSum =
     "SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE))"
@@ -368,6 +396,50 @@ object VectorQueries {
   val oracleSql: Map[String, String] = Map(
     "q35_ann_lsh" -> annLshOracle,
     "q52_ann_ivf" -> annIvfOracle,
+    // q70: DuckDB replays int8 quantization (round ties-away-from-zero),
+    // the integer dot + norms, the top-20 approximate cut, and the exact
+    // float rerank — every step portable arithmetic (see ops.Quantize)
+    "q70_sq_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) *
+        |             (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END)) AS BIGINT)) AS q8
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, embedding, q8,
+        |    CAST(list_sum(list_transform(q8, v -> v * v)) AS BIGINT) AS n2
+        |  FROM qz),
+        |qv AS (SELECT q8 AS qq8, n2 AS qn2, embedding AS qemb FROM n WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT c.vec_id, c.embedding, q.qemb,
+        |    CAST(list_sum(list_transform(generate_series(1, len(c.q8)),
+        |      i -> c.q8[i] * q.qq8[i])) AS BIGINT) AS qdot,
+        |    c.n2 * q.qn2 AS np
+        |  FROM n c, qv q WHERE c.vec_id <> 0),
+        |cand AS (
+        |  SELECT vec_id, embedding, qemb,
+        |    ROUND(CASE WHEN np > 0 THEN CAST(qdot AS DOUBLE) / SQRT(CAST(np AS DOUBLE))
+        |               ELSE 0.0 END, 6) AS q_cos
+        |  FROM sc
+        |  ORDER BY q_cos DESC, vec_id
+        |  LIMIT 20),
+        |rr AS (
+        |  SELECT c.vec_id, c.q_cos,
+        |    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.qemb[i.i] AS DOUBLE)) AS dp,
+        |    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS na,
+        |    SUM(CAST(c.qemb[i.i] AS DOUBLE) * CAST(c.qemb[i.i] AS DOUBLE)) AS nb
+        |  FROM cand c, generate_series(1, 64) i(i)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, q_cos,
+        |  ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / (SQRT(na) * SQRT(nb)) END, 6) AS cos_sim
+        |FROM rr
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 10""".stripMargin,
     "q20_vec_dot_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND($dotSum, 6) AS dot_sim

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) vector quantization for similarity search — the memory
+  * layout that makes 100 TB of float32 embeddings a 25 TB scan.
+  *
+  * Per-vector symmetric quantization: scale = 127 / max|xᵢ| (1.0 for the
+  * zero vector), qᵢ = round(xᵢ·scale) ∈ [-127, 127]. Cosine is invariant
+  * under per-vector scaling, so approximate cosine needs NO
+  * dequantization: cos_q = Σqₐq_b / (√Σqₐ² · √Σq_b²) — integer sums
+  * ([[graft.expr.Int8Dot]], codegen) with one double divide at the end.
+  * Search = int8 scan top-k candidates → exact float rerank of the
+  * survivors (the standard recall-preserving two-phase shape, same as
+  * the LSH/IVF paths).
+  *
+  * Everything is portable arithmetic — round() ties-away-from-zero,
+  * IEEE double divide/sqrt of exact integers — so external engines
+  * replay quantization, scores, and the candidate cut bit-for-bit
+  * (q70's DuckDB oracle does).
+  *
+  * Quantization itself runs once at index-build time (HOF transforms are
+  * fine there); the per-query hot path is the codegen integer kernel.
+  */
+object Quantize {
+
+  /** max |xᵢ| of a float vector, in double. */
+  def absMax(vec: Column): Column =
+    aggregate(vec, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** 127 / max|x|, or 1.0 for the zero vector. */
+  def int8Scale(vec: Column): Column = {
+    val mx = absMax(vec)
+    when(mx > 0.0d, lit(127.0d) / mx).otherwise(lit(1.0d))
+  }
+
+  /** The quantized vector: round(xᵢ · scale) as array<tinyint>. */
+  def toInt8(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("byte"))
+
+  /** Σ qᵢ² of a quantized vector (long — exact). */
+  def norm2(q: Column): Column =
+    aggregate(q, lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long"))
+
+  /** Adds `q8` (array<tinyint>), `q_scale` (double) and `q_norm2` (long)
+    * — the index-build projection to persist alongside (or instead of)
+    * the float vectors. */
+  def withInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val sc = int8Scale(col(vecCol))
+    df.withColumn("q_scale", sc)
+      .withColumn("q8", toInt8(col(vecCol), col("q_scale")))
+      .withColumn("q_norm2", norm2(col("q8")))
+  }
+
+  /** Approximate cosine from quantized vectors + precomputed norms:
+    * double division of exact integers; 0.0 when either norm is zero. */
+  def cosI8(qa: Column, qb: Column, na2: Column, nb2: Column): Column = {
+    val prod = na2 * nb2
+    when(prod > 0L,
+      graft.expr.QuantExprs.dotI8(qa, qb).cast("double") /
+        sqrt(prod.cast("double")))
+      .otherwise(lit(0.0d))
+  }
+}

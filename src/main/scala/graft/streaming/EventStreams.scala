@@ -96,6 +96,34 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join (click → purchase attribution): each
+    * purchase joined to the same user's clicks in the preceding
+    * `withinMinutes`. Both sides carry watermarks and the join predicate
+    * bounds event-time range, which is exactly what lets Spark BOUND the
+    * buffered join state: click rows are dropped once older than
+    * watermark + interval, purchases once older than watermark — the
+    * canonical watermarked stream-stream join, state O(traffic in the
+    * horizon), not O(stream). Inner join → append mode. Works unchanged
+    * on batch frames; the q53 range join is the bucketed batch twin of
+    * the same interval semantics. */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("click_user"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c, expr(
+      s"""click_user = user_id AND
+         |click_ts >= purchase_ts - INTERVAL $withinMinutes MINUTES AND
+         |click_ts <= purchase_ts""".stripMargin))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("value"), col("click_id"), col("click_ts"))
+  }
+
   /** Production entry: tail a parquet/json/kafka-style source directory as
     * a stream and maintain the tumbling aggregate. */
   def streamFromDirectory(spark: SparkSession, path: String,

@@ -78,6 +78,51 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(got(Timestamp.valueOf("2024-01-01 10:05:00")) == 1L)
   }
 
+  test("attributedPurchases: stream-stream interval join across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val q = EventStreams.attributedPurchases(
+        clicks.toDF(), purchases.toDF(), withinMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      clicks.addData(
+        EventRow(10L, ts(1), 1L, "click", 0, "{}"),
+        EventRow(11L, ts(5), 1L, "click", 0, "{}"),
+        EventRow(12L, ts(7), 2L, "click", 0, "{}"))
+      q.processAllAvailable()
+      // purchases arrive in a LATER micro-batch — the join must replay
+      // buffered click state, not just the current batch
+      purchases.addData(
+        EventRow(20L, ts(20), 1L, "purchase", 9.99, "{}"), // clicks 10, 11
+        EventRow(21L, ts(45), 2L, "purchase", 5.00, "{}")) // click 12 too old
+      q.processAllAvailable()
+      clicks.addData(EventRow(13L, ts(58), 1L, "click", 0, "{}"))
+      purchases.addData(
+        EventRow(22L, ts(59), 1L, "purchase", 1.00, "{}")) // click 13 only
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((20L, 10L), (20L, 11L), (22L, 13L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("attributedPurchases on batch frames equals the naive interval join") {
+    val ev = sampleEvents ++ Seq(
+      EventRow(30L, ts(25), 1L, "purchase", 9.99, "{}"),
+      EventRow(31L, ts(62, 30), 2L, "purchase", 5.00, "{}"))
+    val df = ev.toDF()
+    val got = EventStreams.attributedPurchases(
+        df.filter($"event_type" === "click"),
+        df.filter($"event_type" === "purchase"), withinMinutes = 30)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    // purchase 30 @10:25 (user 1): clicks 0 @10:01, 1 @10:05 within 30m
+    // purchase 31 @11:02:30 (user 2): user 2 has no clicks at all
+    assert(got == Set((30L, 0L), (30L, 1L)))
+  }
+
   test("dedupedEvents drops within-watermark duplicate event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]
