@@ -361,6 +361,21 @@ object PipelineQueries {
       .orderBy($"lang", $"rn")
   }
 
+  /** Quality-priority dedup survivors: near-dup clusters (q36's MinHash
+    * LSH candidates, transitively closed) with the LONGEST document kept
+    * per cluster (Components.bestPerCluster) — the curation policy real
+    * pipelines use, vs min-id. Oracle re-derives candidates, the
+    * recursive-CTE closure, and the argmax with the same tie-break. */
+  def qualityDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minHashCandidates(docs, "doc_id", "text",
+      threshold = 0.4).select($"a_id", $"b_id")
+    graft.ops.Components.bestPerCluster(docs, "doc_id", pairs, "n_chars")
+      .withColumnRenamed("keep_prio", "keep_chars")
+      .orderBy($"component")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -385,7 +400,8 @@ object PipelineQueries {
     "q65_incremental_dedup" -> (incrementalDedup _),
     "q66_pii_scrub"       -> (piiScrub _),
     "q67_repetition"      -> (repetitionSummary _),
-    "q68_stratified_sample" -> (stratifiedByLang _))
+    "q68_stratified_sample" -> (stratifiedByLang _),
+    "q71_quality_dedup"   -> (qualityDedup _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -737,6 +753,30 @@ object PipelineQueries {
          |FROM c
          |ORDER BY doc_id, frame_idx""".stripMargin
     },
+    "q71_quality_dedup" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (
+         |  SELECT a_id AS a, b_id AS b FROM cand
+         |  UNION SELECT b_id, a_id FROM cand
+         |  UNION SELECT a_id, a_id FROM cand
+         |  UNION SELECT b_id, b_id FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+         |j AS (
+         |  SELECT c.component, c.id, d.n_chars
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id)
+         |SELECT component, n_docs, id AS keep_id, n_chars AS keep_chars
+         |FROM (
+         |  SELECT component, id, n_chars,
+         |    COUNT(*) OVER (PARTITION BY component) AS n_docs,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC, id ASC) AS rn
+         |  FROM j) t
+         |WHERE rn = 1
+         |ORDER BY component""".stripMargin,
     "q66_pii_scrub" -> {
       import graft.ops.PiiScrub.{EmailRe, Ipv4Re, PhoneRe}
       s"""WITH t AS (

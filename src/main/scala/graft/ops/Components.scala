@@ -99,4 +99,27 @@ object Components {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-priority dedup: within each near-dup cluster keep the row
+    * with the HIGHEST `priorityCol` (ties → min id) — the curation policy
+    * real pipelines want (keep the longest / highest-quality duplicate),
+    * where [[dropNearDuplicates]] keeps the arbitrary min-id. Returns one
+    * row per CLUSTER: its label, size, the kept id and its priority.
+    * Plan: clusters (O(log diameter) rounds) → broadcast-or-shuffle join
+    * to df on id → one partial+final max_by aggregate per cluster. */
+  def bestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      priorityCol: String): DataFrame =
+    connectedComponents(pairs)
+      .join(df.select(col(idCol).as("id"), col(priorityCol).as("_prio")), Seq("id"))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // max_by with explicit (priority, -id) tie-break: deterministic
+        // regardless of partition order, unlike bare max_by on ties
+        max(struct(col("_prio"), negate(col("id")), col("id"))).as("_best"))
+      .select(
+        col("component"),
+        col("n_docs"),
+        col("_best").getField("id").as("keep_id"),
+        col("_best").getField("_prio").as("keep_prio"))
 }

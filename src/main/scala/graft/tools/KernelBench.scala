@@ -57,6 +57,28 @@ object KernelBench {
     val ud = time("Scala UDF")(udf_(col("a"), col("b")))
     println(f"speedup vs HoF: ${hf / ce}%.1fx; vs UDF: ${ud / ce}%.1fx")
 
+    // int8 path: same vectors quantized once, then the integer kernel
+    val qdf = df.select(col("id"),
+      graft.ops.Quantize.toInt8(col("a"), lit(127.0d)).as("qa"),
+      graft.ops.Quantize.toInt8(col("b"), lit(127.0d)).as("qb"))
+      .persist()
+    qdf.count()
+    def timeQ(label: String)(c: org.apache.spark.sql.Column): Double = {
+      qdf.select(sum(c)).head()
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        qdf.select(sum(c)).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = runs.min
+      println(f"| $label%-22s | $best%8.3f s | ${n / best / 1e6}%8.1f M rows/s |")
+      best
+    }
+    val qi = timeQ("int8 codegen kernel")(
+      graft.expr.QuantExprs.dotI8(col("qa"), col("qb")))
+    println(f"int8 vs float codegen: ${ce / qi}%.1fx (plus 4x smaller scans at rest)")
+    qdf.unpersist()
+
     // ---- text-sketch kernels: one-pass codegen vs expression pipelines --
     val nDocs = math.max(n / 20, 1000L)
     val docs = spark.range(nDocs).select(

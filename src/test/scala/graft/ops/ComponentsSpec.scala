@@ -46,6 +46,20 @@ class ComponentsSpec extends SparkSpecBase {
       "reliable checkpoints must be written to the durable dir")
   }
 
+  test("bestPerCluster keeps the highest-priority row, min id on ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L), // cluster {1,2,3}: 2 and 3 tie -> 2
+      (4L, 5L), (5L, 7L),              // cluster {4,5}: 5 wins
+      (9L, 1L))                        // unclustered: absent from output
+    .toDF("id", "prio")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Components.bestPerCluster(docs, "id", pairs, "prio")
+      .orderBy("component")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 99L), (4L, 2L, 5L, 7L)))
+  }
+
   test("dropNearDuplicates keeps one representative per cluster") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
