@@ -219,19 +219,36 @@ object VectorQueries {
     "q52_ann_ivf"            -> (annIvf _),
     "q70_sq_topk"            -> (sqTopK _))
 
-  /** Int8 scalar-quantized cosine top-k (ops.Quantize): quantized corpus
-    * scan scores candidates with the integer Int8Dot kernel (a 4×-smaller
-    * read at scale), top-20 approximate survivors re-ranked by exact
-    * float cosine for the final top-10. Cosine's scale invariance means
-    * the approximate score needs no dequantization — integer sums, one
+  private val sqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once quantized index (same pattern as [[ivfIndexFor]]): the
+    * int8 projection persisted to parquet, so probes scan the 4×-smaller
+    * columns instead of re-quantizing the corpus per query. */
+  private[graft] def sqIndexFor(s: SparkSession, dir: String): String =
+    sqIndexCache.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sq_index").toString
+      Quantize.withInt8(
+          Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
+            .select($"vec_id", $"embedding"), "embedding")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Int8 scalar-quantized cosine top-k (ops.Quantize): a PREBUILT
+    * quantized index (persisted once per corpus, [[sqIndexFor]]) is
+    * scanned with the integer Int8Dot kernel (4×-smaller reads at
+    * scale), top-20 approximate survivors re-ranked by exact float
+    * cosine for the final top-10. Cosine's scale invariance means the
+    * approximate score needs no dequantization — integer sums, one
     * double divide. Oracle-exact end to end: quantization (round
     * ties-away-from-zero), integer dots, the candidate cut and the
     * rerank are all replayed by DuckDB. */
   def sqTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val corpus = Quantize.withInt8(
-      Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
-        .select($"vec_id", $"embedding"), "embedding")
+    val corpus = s.read.parquet(sqIndexFor(s, dir))
     val query = Quantize.withInt8(queryVec(s, dir), "qv")
       .select($"qv", $"q8".as("qq8"), $"q_norm2".as("qq_norm2"))
     corpus.crossJoin(broadcast(query))
