@@ -376,6 +376,21 @@ object PipelineQueries {
       .orderBy($"component")
   }
 
+  /** Top-3 TF-IDF terms per document (doc_id < 50 slice for bounded
+    * output): TextAnalysis.tfIdf + a per-doc WindowGroupLimit rank. The
+    * one float step (ln of a ratio of exact integers) is 6-dp-rounded on
+    * both sides BEFORE ranking, so the cut is oracle-stable. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+    TextAnalysis.tfIdf(Tables.documents(s, dir), "doc_id", "text")
+      .filter($"doc_id" < 50)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .orderBy($"doc_id", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -401,7 +416,8 @@ object PipelineQueries {
     "q66_pii_scrub"       -> (piiScrub _),
     "q67_repetition"      -> (repetitionSummary _),
     "q68_stratified_sample" -> (stratifiedByLang _),
-    "q71_quality_dedup"   -> (qualityDedup _))
+    "q71_quality_dedup"   -> (qualityDedup _),
+    "q72_tfidf_terms"     -> (tfidfTopTerms _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -777,6 +793,24 @@ object PipelineQueries {
          |  FROM j) t
          |WHERE rn = 1
          |ORDER BY component""".stripMargin,
+    "q72_tfidf_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |idf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM t),
+         |sc AS (
+         |  SELECT f.doc_id, f.token, f.tf, d.df,
+         |    ROUND(f.tf * ln((nn.n + 1.0) / (d.df + 1.0)), 6) AS tfidf
+         |  FROM tf f JOIN idf d USING (token), nn
+         |  WHERE f.doc_id < 50)
+         |SELECT doc_id, token, tf, df, tfidf, rn FROM (
+         |  SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, token) AS rn
+         |  FROM sc) x
+         |WHERE rn <= 3
+         |ORDER BY doc_id, rn""".stripMargin,
     "q66_pii_scrub" -> {
       import graft.ops.PiiScrub.{EmailRe, Ipv4Re, PhoneRe}
       s"""WITH t AS (

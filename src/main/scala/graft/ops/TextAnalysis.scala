@@ -130,6 +130,29 @@ object TextAnalysis {
       .withColumn("dup_frac",
         (col("n_ngrams") - col("n_distinct")).cast("double") / col("n_ngrams"))
 
+  /** TF-IDF per (document, term): tf · ln((N+1)/(df+1)) with N = docs
+    * containing ≥ 1 token, smoothed so unseen/ubiquitous terms stay
+    * finite. One explode + two aggregates (tf by (doc, term), df by
+    * term) + a broadcast scalar N — the standard two-shuffle corpus
+    * weighting; at 100 TB both aggregates combine map-side and df/N are
+    * tiny (vocabulary-sized / scalar). The float step is one ln + one
+    * multiply from exact integers, rounded to 6 dp — oracle-stable. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = toks.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = toks.agg(countDistinct(col(idCol)).as("n"))
+    tf.join(idf, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n") + lit(1.0d)) / (col("df") + lit(1.0d))), 6))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Content fingerprint (md5 of normalized text) per document —
     * the exact-dedup key and a stable doc identity for lineage. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

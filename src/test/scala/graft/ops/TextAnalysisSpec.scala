@@ -97,6 +97,26 @@ class TextAnalysisSpec extends SparkSpecBase {
       (4L, 3L, 1L, 2.0 / 3.0)))
   }
 
+  test("tfIdf: corpus weighting, hand-checked") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "cherry cherry cherry"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // N = 3; apple df=2, banana df=1, cherry df=2
+    def s(tf: Long, df: Long) =
+      BigDecimal(tf * math.log(4.0 / (df + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, "apple")) == ((2L, 2L, s(2, 2))))
+    assert(got((1L, "banana")) == ((1L, 1L, s(1, 1))))
+    assert(got((3L, "cherry")) == ((3L, 2L, s(3, 2))))
+    // ubiquitous term (df = N) still gets a small POSITIVE smoothed score
+    assert(got((2L, "apple"))._3 > 0.0)
+  }
+
   test("ngram kernel matches the portable HOF pipeline exactly") {
     val docs = Seq(
       (1L, "a b a b a"),
