@@ -149,6 +149,34 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q69: bloom filter reaches the probe side; exact join is LeftSemi, no cartesian") {
+    val p = plan("q69_bloom_semijoin")
+    assert(p.contains("bloom_might_contain"),
+      s"probe rows must be pre-filtered by the bloom:\n$p")
+    assert(p.contains("LeftSemi"), s"exact join must be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q70: probe scans the prebuilt quantized index, not the float corpus") {
+    val p = plan("q70_sq_topk")
+    // (string match: AQE wraps the scan nodes, so collecting
+    // FileSourceScanExec from the pre-execution plan comes up empty)
+    assert(p.contains("graft_sq_index"),
+      s"candidate scan must read the persisted int8 index:\n$p")
+    assert(p.contains("vec_dot_i8"), s"candidates must score via the int8 kernel:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"both cuts are top-k:\n$p")
+  }
+
+  test("q72: tf-idf aggregates are partial+final; scalar N broadcast") {
+    val p = plan("q72_tfidf_terms")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"tf/df must combine map-side:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoop"),
+      s"the 1-row N side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q68: stratified sample plans one hash exchange + WindowGroupLimit") {
     val p = plan("q68_stratified_sample")
     assert(p.contains("WindowGroupLimit"),
