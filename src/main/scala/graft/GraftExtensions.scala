@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimilarity, DotProduct, L2Distance, MinHashSig, NgramDupCounts, SimHash62, TopKBy, WinnowFp}
+import graft.expr.{CosineSimilarity, DotProduct, Int8Dot, L2Distance, MinHashSig, NgramDupCounts, SimHash62, TopKBy, WinnowFp}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -37,6 +37,7 @@ object GraftExtensions {
     binary("vec_dot", DotProduct),
     binary("vec_cosine", CosineSimilarity),
     binary("vec_l2", L2Distance),
+    binary("vec_dot_i8", Int8Dot),
     // topk_by(payload, order, k[, desc=true]) — aggregate: array of the
     // top-k payloads per group by order key (bounded heap, no sort)
     "topk_by" -> { args =>

@@ -16,6 +16,11 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r.getDouble(0) == 32.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(r.getDouble(2) == 5.0)
+    val qi = spark.sql(
+      """SELECT vec_dot_i8(CAST(array(1, -2, 3) AS ARRAY<TINYINT>),
+        |                  CAST(array(4, 5, 6) AS ARRAY<TINYINT>)) AS d
+      """.stripMargin).head()
+    assert(qi.getLong(0) == 4L - 10L + 18L)
   }
 
   test("wrong arity raises a clear error") {

@@ -54,6 +54,14 @@ class BloomJoinSpec extends SparkSpecBase {
       s"bloom filter must sit inside a codegen stage:\n$plan")
   }
 
+  test("empty build side: all-zero bitset prunes every probe row") {
+    val probe = (1L to 100L).toDF("pk")
+    val build = Seq.empty[Long].toDF("bk")
+    val got = BloomJoin.prunedSemiJoin(probe, build, "pk", "bk",
+      numBits = 1 << 8, k = 3)
+    assert(got.count() == 0L)
+  }
+
   test("invalid configuration rejected") {
     intercept[IllegalArgumentException](new BloomJoin.BloomAgg(100, 3)) // not /64
     intercept[IllegalArgumentException](new BloomJoin.BloomAgg(1 << 10, 0))
