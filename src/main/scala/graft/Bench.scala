@@ -35,7 +35,8 @@ object Bench {
     "q50_multimodal_hist", "q57_frame_features", "q61_hash_sample",
     "q62_token_chunks", "q64_rag_topk", "q65_incremental_dedup",
     "q66_pii_scrub", "q67_repetition", "q68_stratified_sample",
-    "q69_bloom_semijoin", "q71_quality_dedup", "q72_tfidf_terms")
+    "q69_bloom_semijoin", "q71_quality_dedup", "q72_tfidf_terms",
+    "q73_sequence_packing", "q74_weighted_mixture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -391,6 +391,33 @@ object PipelineQueries {
       .orderBy($"doc_id", $"rn")
   }
 
+  /** Contiguous sequence packing into 256-token training sequences,
+    * sharded by language (Sampling.packSequences): one windowed prefix
+    * sum per shard, exact integers. */
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withTokens = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+    Sampling.packSequences(withTokens, "doc_id", "n_tokens", "lang",
+        budgetTokens = 256)
+      .orderBy($"lang", $"doc_id")
+  }
+
+  /** Weighted data mixture: per-language keep rates over the corpus
+    * (Sampling.weightedSample), summarized per language. */
+  def weightedMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 50, "zh" -> 100, "de" -> 25, "fr" -> 75, "es" -> 10))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_id"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -417,7 +444,9 @@ object PipelineQueries {
     "q67_repetition"      -> (repetitionSummary _),
     "q68_stratified_sample" -> (stratifiedByLang _),
     "q71_quality_dedup"   -> (qualityDedup _),
-    "q72_tfidf_terms"     -> (tfidfTopTerms _))
+    "q72_tfidf_terms"     -> (tfidfTopTerms _),
+    "q73_sequence_packing" -> (sequencePacking _),
+    "q74_weighted_mixture" -> (weightedMixture _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -811,6 +840,29 @@ object PipelineQueries {
          |  FROM sc) x
          |WHERE rn <= 3
          |ORDER BY doc_id, rn""".stripMargin,
+    "q73_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  cum // 256 AS seq_id, cum % 256 AS tok_offset
+         |FROM c
+         |ORDER BY lang, doc_id""".stripMargin,
+    "q74_weighted_mixture" ->
+      """SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |  < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 100 WHEN 'de' THEN 25
+        |              WHEN 'fr' THEN 75 WHEN 'es' THEN 10 ELSE 100 END
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q66_pii_scrub" -> {
       import graft.ops.PiiScrub.{EmailRe, Ipv4Re, PhoneRe}
       s"""WITH t AS (

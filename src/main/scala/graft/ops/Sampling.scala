@@ -35,6 +35,41 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < pct)
 
+  /** Weighted mixture sampling — the data-mixture knob of LLM training
+    * sets: each group (source, language, …) keeps `weights(group)` percent
+    * of its rows, chosen by the same deterministic md5 bucket as
+    * [[hashSplit]] (so mixtures are reproducible and composable with
+    * splits). Groups absent from the map keep `defaultPct`. Map-only. */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((weights.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      s"percentages must be 0..100: $weights / $defaultPct")
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < pct)
+  }
+
+  /** Contiguous sequence packing — docs concatenated into fixed
+    * token-budget training sequences, per shard: within each shard
+    * (ordered by id), a document's sequence is floor(tokens-before /
+    * budget) and its offset is tokens-before mod budget. Deterministic,
+    * exact integer arithmetic over one windowed prefix sum; sharding
+    * keeps the window partitioned (a GLOBAL orderBy would serialize the
+    * corpus through one partition at 100 TB — the shard key is the scale
+    * knob, and shard boundaries are sequence boundaries by design). */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+      shardCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1, s"token budget must be >= 1, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("_cum", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("_cum") / budgetTokens).cast("long"))
+      .withColumn("tok_offset", pmod(col("_cum"), lit(budgetTokens.toLong)))
+      .drop("_cum")
+  }
+
   /** Stratified sample: at most k rows per group, chosen deterministically
     * by an affine hash of the id (DedupKernel.perm(1) — a different
     * permutation than the dedup sketches, so strata don't correlate with

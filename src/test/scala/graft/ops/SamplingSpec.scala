@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -39,6 +40,42 @@ class SamplingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Sampling.hashSplit(docs, "id", 95, 10))
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(docs.withColumn("g", $"id" % 2), "g", "id", 0))
+  }
+
+  test("packSequences: contiguous token-budget packing per shard") {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 30L),
+      (5L, "b", 300L), (6L, "b", 10L))
+      .toDF("id", "shard", "n_tokens")
+    val got = Sampling.packSequences(df, "id", "n_tokens", "shard", 256)
+      .select("id", "seq_id", "tok_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // shard a cum-before: 0,100,200,300 -> seqs 0,0,0,1; offsets 0,100,200,44
+    // shard b cum-before: 0,300 -> seqs 0,1; offsets 0,44
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 100L), (3L, 0L, 200L),
+      (4L, 1L, 44L), (5L, 0L, 0L), (6L, 1L, 44L)))
+    // partition-layout independent (windowed prefix sum, not zipWithIndex)
+    val again = Sampling.packSequences(df.repartition(7), "id", "n_tokens",
+        "shard", 256)
+      .select("id", "seq_id", "tok_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
+  test("weightedSample: per-group keep rates via the shared hash bucket") {
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("src", when($"id" < 500L, "keep_all").otherwise("keep_none"))
+    val got = Sampling.weightedSample(df, "id", "src",
+      Map("keep_all" -> 100, "keep_none" -> 0))
+    val srcs = got.select("src").distinct().as[String].collect().toSet
+    assert(srcs == Set("keep_all") && got.count() == 500L)
+    // unknown group falls back to defaultPct; buckets match hashSample's
+    val half = Sampling.weightedSample(df, "id", "src", Map.empty, defaultPct = 10)
+    val direct = Sampling.hashSample(df, "id", 10)
+    assert(half.select("id").as[Long].collect().toSet
+      == direct.select("id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(df, "id", "src", Map("x" -> 101)))
   }
 
   test("stratifiedSample caps each group at k, deterministically") {
