@@ -21,7 +21,8 @@ object Bench {
     "q10_part_stats", "q11_orders_monthly", "q12_rollup",
     "q13_distinct_counts", "q14_running_totals", "q15_event_gaps",
     "q16_above_avg", "q17_sessionization", "q18_asof_join",
-    "q19_quantiles", "q47_pivot", "q48_stats_agg", "q49_approx_distinct",
+    "q19_quantiles", "q75_histogram_quantiles",
+    "q47_pivot", "q48_stats_agg", "q49_approx_distinct",
     "q51_topk_heap", "q53_range_join", "q54_cube",
     "q55_sliding_window", "q56_salted_agg", "q63_salted_join",
     "q58_range_frame", "q59_map_props", "q60_exists_subquery",

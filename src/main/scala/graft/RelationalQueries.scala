@@ -461,6 +461,18 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** Approximate quantiles via the portable histogram sketch
+    * (ops.HistogramQuantile, 128 bins) over q19's exact domain — the
+    * mergeable bounded-state path (bins longs per group) where q19's
+    * exact percentile buffers values; unlike t-digest/GK state, the
+    * DuckDB oracle replays the whole sketch. */
+  def histogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.HistogramQuantile.quantiles(Tables.events(s, dir),
+        "event_type", "value", Seq(0.5, 0.9, 0.99), bins = 128)
+      .orderBy($"event_type", $"p")
+  }
+
   /** Pivot: event counts per user bucket, one column per event type
     * (Spark's relational pivot operator; missing combos coalesced to 0 to
     * match SQL's COUNT(CASE ...) semantics). */
@@ -566,7 +578,8 @@ object RelationalQueries {
     "q58_range_frame"      -> (rangeFrameTotals _),
     "q59_map_props"        -> (mapProps _),
     "q60_exists_subquery"  -> (existsSubquery _),
-    "q69_bloom_semijoin"   -> (bloomSemiJoinStats _))
+    "q69_bloom_semijoin"   -> (bloomSemiJoinStats _),
+    "q75_histogram_quantiles" -> (histogramQuantiles _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -620,6 +633,38 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q49_approx_distinct" -> kmvOracle,
+    "q75_histogram_quantiles" ->
+      """WITH ext AS (
+        |  SELECT event_type, MIN(CAST(value AS DOUBLE)) AS lo,
+        |    MAX(CAST(value AS DOUBLE)) AS hi, COUNT(value) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_type, ext.lo, ext.hi, ext.n,
+        |    CASE WHEN ext.hi = ext.lo THEN 0
+        |         ELSE LEAST(CAST(floor((CAST(e.value AS DOUBLE) - ext.lo)
+        |                / (ext.hi - ext.lo) * 128) AS BIGINT), 127) END AS bin,
+        |    COUNT(*) AS c
+        |  FROM events e JOIN ext USING (event_type)
+        |  WHERE e.value IS NOT NULL
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |cumt AS (
+        |  SELECT *, CAST(COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM b),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), 0.9, 0.99]) AS p),
+        |sel AS (
+        |  SELECT event_type, p, lo, hi, n, bin, c, cb,
+        |    CAST(ceil(p * n) AS BIGINT) AS needed
+        |  FROM cumt, qs
+        |  WHERE cb < CAST(ceil(p * n) AS BIGINT)
+        |    AND CAST(ceil(p * n) AS BIGINT) <= cb + c)
+        |SELECT event_type, p,
+        |  ROUND(CASE WHEN hi = lo THEN lo
+        |             ELSE lo + (hi - lo) / 128 *
+        |                  (bin + CAST(needed - cb AS DOUBLE) / c) END, 6) AS est,
+        |  n
+        |FROM sel
+        |ORDER BY event_type, p""".stripMargin,
     "q69_bloom_semijoin" ->
       """SELECT l_returnflag,
         |  COUNT(*) AS n_items,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * exercises in isolation:
   *
   *   1. PII scrub (redact emails/IPs/phones, keep audit counts)
-  *   2. quality filters: language-ID agreement, token-count floor,
+  *   2. quality filters: confident language-ID disagreement, token floor,
   *      duplicate-bigram (boilerplate) ceiling
   *   3. near-dup dedup: MinHash LSH candidates → connected components →
   *      keep the LONGEST doc per cluster
@@ -29,10 +29,16 @@ object CurationPipeline {
     val scrubbed = PiiScrub.scrub(docs, "doc_id", "text")
       .join(docs.select("doc_id", "text", "lang"), "doc_id")
 
-    // 2. quality: declared lang must match predicted (or text is short),
-    //    >= 10 tokens, < 60% duplicate bigrams
-    val langOk = TextAnalysis.langIdScores(scrubbed, "text")
-      .filter(col("predicted") === col("lang") || col("predicted") === "und")
+    // 2. quality: drop a doc only when the language heuristic DISAGREES
+    //    with its declared lang AND is confident (>= 3 marker hits) —
+    //    weak evidence shouldn't discard data; plus >= 10 tokens and
+    //    < 60% duplicate bigrams
+    val scored = TextAnalysis.langIdScores(scrubbed, "text")
+    val confidence = greatest(col("c_en"), col("c_de"), col("c_fr"),
+      col("c_es"), col("c_zh"))
+    val langOk = scored.filter(
+      col("predicted") === col("lang") || col("predicted") === "und"
+        || confidence < 3L)
     val rep = TextAnalysis.repetitionStats(langOk, "doc_id", "text")
       .select(col("doc_id"), col("dup_frac"))
     val quality = langOk.join(rep, Seq("doc_id"), "left")
