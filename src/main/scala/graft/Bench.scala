@@ -26,6 +26,7 @@ object Bench {
     "q51_topk_heap", "q53_range_join", "q54_cube",
     "q55_sliding_window", "q56_salted_agg", "q63_salted_join",
     "q58_range_frame", "q59_map_props", "q60_exists_subquery",
+    "q76_window_suite",
     "q20_vec_dot_topk", "q21_vec_l2_knn", "q22_vec_cosine_topk",
     "q23_vec_knn_join", "q24_meta_filter_cosine", "q25_label_centroids",
     "q26_meta_array_filter", "q35_ann_lsh", "q52_ann_ivf", "q70_sq_topk",

@@ -473,6 +473,27 @@ object RelationalQueries {
       .orderBy($"event_type", $"p")
   }
 
+  /** The remaining window-function surface in one entry: NTILE buckets,
+    * PERCENT_RANK, CUME_DIST, LEAD and running FIRST_VALUE per order-
+    * status partition. The ORDER BY carries an explicit o_orderkey
+    * tie-break so rank-derived ratios are deterministic in any engine;
+    * the ratios themselves are single IEEE divides of exact counts. */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("ntile4", ntile(4).over(w).cast("long"))
+      .withColumn("prk", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+      .withColumn("first_price", first($"o_totalprice").over(w))
+      .filter($"o_orderkey" < 2000)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        $"ntile4", $"prk", $"cd", $"next_price", $"first_price")
+      .orderBy($"o_orderkey")
+  }
+
   /** Pivot: event counts per user bucket, one column per event type
     * (Spark's relational pivot operator; missing combos coalesced to 0 to
     * match SQL's COUNT(CASE ...) semantics). */
@@ -579,7 +600,8 @@ object RelationalQueries {
     "q59_map_props"        -> (mapProps _),
     "q60_exists_subquery"  -> (existsSubquery _),
     "q69_bloom_semijoin"   -> (bloomSemiJoinStats _),
-    "q75_histogram_quantiles" -> (histogramQuantiles _))
+    "q75_histogram_quantiles" -> (histogramQuantiles _),
+    "q76_window_suite"     -> (windowSuite _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -633,6 +655,21 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q49_approx_distinct" -> kmvOracle,
+    "q76_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, ntile4, prk, cd,
+        |  next_price, first_price
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CAST(NTILE(4) OVER w AS BIGINT) AS ntile4,
+        |    ROUND(PERCENT_RANK() OVER w, 6) AS prk,
+        |    ROUND(CUME_DIST() OVER w, 6) AS cd,
+        |    LEAD(o_totalprice, 1) OVER w AS next_price,
+        |    FIRST_VALUE(o_totalprice) OVER w AS first_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |               ORDER BY o_totalprice, o_orderkey)) t
+        |WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "q75_histogram_quantiles" ->
       """WITH ext AS (
         |  SELECT event_type, MIN(CAST(value AS DOUBLE)) AS lo,
