@@ -80,13 +80,38 @@ final class Collection private[core] (
     * Returns the updated Collection handle. */
   def compact(warehouse: String, numFiles: Int = 1): Collection = {
     require(numFiles > 0, "numFiles must be positive")
+    swapToNewVersion(warehouse, df.repartition(numFiles), p => info.copy(path = p))
+  }
+
+  /** Model migration: re-embed every document with a NEW embedder and
+    * swap the collection to the new vectors — what an embedding-model
+    * upgrade requires (the reference has no equivalent; its users rebuild
+    * the whole DB). One distributed mapPartitions embed pass over the
+    * stored documents (Embed.withEmbedding semantics: per-executor model,
+    * grouped batches) — nothing materializes on the driver. Same
+    * versioned-dir + atomic catalog-pointer-swap + deferred-delete
+    * pattern and single-writer contract as [[compact]]; catalog metadata
+    * (modelType, dim) updates with the pointer, so readers always see a
+    * CONSISTENT (vectors, dim) pair. */
+  def reembed(warehouse: String, embedder: Embedder,
+      modelType: String = "custom"): Collection =
+    swapToNewVersion(warehouse,
+      Embed.withEmbedding(df.drop("embedding"), "document", "embedding", embedder),
+      p => info.copy(path = p, modelType = modelType, dim = embedder.dim))
+
+  /** Shared rewrite path: write `out` as a new version dir (re-applying
+    * the collection's hive layout), swap the catalog pointer, then
+    * best-effort-delete versions older than the immediately-previous one
+    * (kept for in-flight readers — see [[compact]]'s scaladoc). */
+  private def swapToNewVersion(warehouse: String, out: DataFrame,
+      mutate: String => CollectionInfo): Collection = {
     val versionsDir = s"$warehouse/collections/.compact/${info.view}"
     val newPath = s"$versionsDir/v${System.nanoTime()}"
-    val writer = df.repartition(numFiles).write.mode("overwrite")
+    val writer = out.write.mode("overwrite")
     (if (info.partitionCols.nonEmpty) writer.partitionBy(info.partitionCols: _*)
      else writer).parquet(newPath)
     val cat = Collection.catalog(spark, warehouse)
-    val updated = info.copy(path = newPath)
+    val updated = mutate(newPath)
     cat.update(updated)
     // Best-effort cleanup of versions older than the previous one.
     val keep = Set(newPath, info.path).map(p => new Path(p).getName)
@@ -98,7 +123,7 @@ final class Collection private[core] (
       }
       // The original create() dir is a version too — drop it once it is
       // no longer the immediately-previous version (i.e. from the second
-      // compact onward, when `info.path` already points into .compact/).
+      // rewrite onward, when `info.path` already points into .compact/).
       val orig = new Path(s"$warehouse/collections/${info.view}")
       val prevIsOrig =
         new Path(info.path).toUri.getPath == orig.toUri.getPath

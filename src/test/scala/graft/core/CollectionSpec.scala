@@ -161,4 +161,34 @@ class CollectionSpec extends SparkSpecBase {
     val found = Collection.find(spark, wh, Some("old_schema"))
     assert(found.df.count() == 6)
   }
+
+  test("reembed migrates to a new model: new dim, same docs, old version kept") {
+    val wh = freshWarehouse()
+    val coll = Collection.create(spark, wh, "migrate_me", reviewDocs(), embedder)
+    val oldPath = coll.info.path
+    val newEmb = HashEmbedder(dim = 32, seed = 7)
+    val migrated = coll.reembed(wh, newEmb, modelType = "hash32")
+
+    // catalog sees the new (vectors, dim, model) consistently
+    val info = Collection.catalog(spark, wh).find("migrate_me")
+      .getOrElse(fail("view lost"))
+    assert(info.dim == 32 && info.modelType == "hash32")
+    assert(info.path != oldPath)
+    // documents and ids survive; embeddings have the new dimensionality
+    assert(migrated.df.count() == 6)
+    assert(migrated.ids.as[String].collect().sorted.toSeq
+      == (0 to 5).map(i => s"id$i"))
+    val dims = migrated.df
+      .select(org.apache.spark.sql.functions.size($"embedding"))
+      .distinct().as[Int].collect().toSeq
+    assert(dims == Seq(32))
+    // queries run against the migrated vectors with the NEW embedder
+    val hits = migrated.cosineQuery("amazing autopilot range", newEmb, 3, Nil)
+    assert(hits.count() == 3)
+    // previous version retained for in-flight readers (deferred delete)
+    assert(spark.read.parquet(oldPath).count() == 6)
+    // a subsequent compact keeps everything consistent
+    val compacted = migrated.compact(wh)
+    assert(compacted.df.count() == 6 && compacted.info.dim == 32)
+  }
 }
