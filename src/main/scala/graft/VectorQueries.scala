@@ -172,16 +172,39 @@ object VectorQueries {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cache key = corpus dir + a fingerprint of its file listing
+    * (name, length, mtime): regenerating the parquet under `dir` within
+    * one JVM invalidates the cached index instead of silently probing a
+    * stale one. The temp dirs are deleteOnExit-registered. */
+  private[graft] def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+    s"$dir#${digest.map("%02x".format(_)).mkString}"
+  }
+
+  private def tempIndexDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.toString
+  }
+
   private[graft] def ivfIndexFor(s: SparkSession, dir: String): String =
-    ivfIndexCache.computeIfAbsent(dir, _ => {
+    ivfIndexCache.computeIfAbsent(corpusFingerprint(s, dir), _ => {
       import s.implicits._
       val cands = Tables.embeddings(s, dir).filter($"vec_id" >= 3)
         .select($"vec_id".as("n_id"), $"embedding".as("nv"))
       val model = graft.ops.Ivf.train(
         cands.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
         nc = 16, iters = 2)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index").toString
+      val path = tempIndexDir("graft_ivf_index")
       graft.ops.Ivf.writeIndex(cands, "nv", model, path)
       path
     })
@@ -226,10 +249,9 @@ object VectorQueries {
     * int8 projection persisted to parquet, so probes scan the 4×-smaller
     * columns instead of re-quantizing the corpus per query. */
   private[graft] def sqIndexFor(s: SparkSession, dir: String): String =
-    sqIndexCache.computeIfAbsent(dir, _ => {
+    sqIndexCache.computeIfAbsent(corpusFingerprint(s, dir), _ => {
       import s.implicits._
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_sq_index").toString
+      val path = tempIndexDir("graft_sq_index")
       Quantize.withInt8(
           Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
             .select($"vec_id", $"embedding"), "embedding")

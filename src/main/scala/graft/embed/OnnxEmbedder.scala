@@ -99,10 +99,13 @@ object OnnxSessionCache {
 final case class OnnxEmbedder(
     modelDir: String,
     dim: Int = 384,
-    factory: OnnxSessionFactory = OnnxSessionFactory.unavailable)
+    factory: OnnxSessionFactory = OnnxSessionFactory.unavailable,
+    maxSeqLen: Int = OnnxEmbedder.DefaultMaxSeqLen)
   extends Embedder {
 
   import OnnxEmbedder._
+
+  require(maxSeqLen >= 3, s"maxSeqLen must fit [CLS] + token + [SEP], got $maxSeqLen")
 
   /** Per-call cache lookup, NOT a memoizing lazy val: the cache alone owns
     * session lifetime, so an embedder instance never pins a session that
@@ -113,7 +116,7 @@ final case class OnnxEmbedder(
 
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
     if (texts.isEmpty) return Seq.empty
-    val ids = texts.map(tokenize).toArray
+    val ids = texts.map(t => truncate(tokenize(t), maxSeqLen)).toArray
     val maxLen = math.max(1, ids.iterator.map(_.length).max)
     val padded = ids.map(row => java.util.Arrays.copyOf(row, maxLen)) // 0 = [PAD]
     val out = session.run(padded)
@@ -126,6 +129,22 @@ final case class OnnxEmbedder(
 object OnnxEmbedder {
   /** BERT-base vocab size — the id range a real tokenizer would emit. */
   val VocabSize = 30522
+
+  /** BERT-family position-embedding limit: a longer batch dimension is a
+    * RUNTIME model error, so long documents must be truncated before the
+    * tensor is built, not trusted to the model. */
+  val DefaultMaxSeqLen = 512
+
+  /** Head-truncate to `maxSeqLen` ids preserving [CLS] … [SEP]: keep the
+    * first maxSeqLen-1 ids and re-terminate with [SEP] (the standard
+    * sentence-transformer truncation strategy). */
+  private[embed] def truncate(ids: Array[Long], maxSeqLen: Int): Array[Long] =
+    if (ids.length <= maxSeqLen) ids
+    else {
+      val out = java.util.Arrays.copyOf(ids, maxSeqLen)
+      out(maxSeqLen - 1) = 102L // [SEP]
+      out
+    }
 
   /** [CLS] text-token ids [SEP], ids hashed into (reserved, VocabSize). */
   def tokenize(text: String): Array[Long] = {

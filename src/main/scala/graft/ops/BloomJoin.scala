@@ -112,7 +112,9 @@ object BloomJoin {
       probeKey: String, buildKey: String,
       numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
     val bits = keyBloom(build, buildKey, numBits, k)
-    probe.filter(mightContain(col(probeKey), bits, numBits, k))
-      .join(build, col(probeKey) === build(buildKey), "left_semi")
+    // resolve the probe key against the pruned probe side, so same-named
+    // keys on both sides stay unambiguous
+    val pruned = probe.filter(mightContain(col(probeKey), bits, numBits, k))
+    pruned.join(build, pruned(probeKey) === build(buildKey), "left_semi")
   }
 }

@@ -65,7 +65,9 @@ object Sampling {
       .partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("_cum", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
-      .withColumn("seq_id", floor(col("_cum") / budgetTokens).cast("long"))
+      // `div` is exact integer floor-division on bigints (long/int would
+      // promote to a double divide and drift past 2^53 cumulative tokens)
+      .withColumn("seq_id", expr(s"_cum div ${budgetTokens.toLong}L"))
       .withColumn("tok_offset", pmod(col("_cum"), lit(budgetTokens.toLong)))
       .drop("_cum")
   }

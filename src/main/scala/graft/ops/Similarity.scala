@@ -64,7 +64,13 @@ object Similarity {
     * posexplode — not L unioned re-scans of the source. */
   def withBuckets(df: DataFrame, vecCol: String, numPlanes: Int,
       dim: Int, numTables: Int, seed: Long = 42L): DataFrame =
-    df.select(col("*"), posexplode(
+    // Null vectors are EXCLUDED from the index, explicitly: a null
+    // embedding has no meaningful bucket (the pre-r3 union form silently
+    // hashed it to table-0/bucket-0, polluting that bucket's candidates),
+    // and posexplode of the kernel's null output would drop the row
+    // anyway — the filter makes that contract visible.
+    df.filter(col(vecCol).isNotNull)
+      .select(col("*"), posexplode(
         VectorExprs.srpBuckets(col(vecCol), numPlanes, dim, numTables, seed))
       .as(Seq("table", "bucket")))
 

@@ -109,6 +109,27 @@ class OnnxEmbedderSpec extends SparkSpecBase {
     assert(FakeOnnx.created.get() > createdBefore)
   }
 
+  test("long inputs are truncated to maxSeqLen with [SEP] re-terminated") {
+    val long = (1 to 700).map(i => s"w$i").mkString(" ")
+    val full = OnnxEmbedder.tokenize(long)
+    assert(full.length == 702, "beyond the BERT position-embedding limit")
+    val cut = OnnxEmbedder.truncate(full, 512)
+    assert(cut.length == 512 && cut.head == 101L && cut.last == 102L)
+    assert(cut.init.toSeq == full.take(511).toSeq, "head-truncation keeps a prefix")
+    // short inputs pass through untouched
+    val short = OnnxEmbedder.tokenize("tiny doc")
+    assert(OnnxEmbedder.truncate(short, 512) eq short)
+    // the model never sees a wider-than-maxSeqLen tensor
+    val emb = OnnxEmbedder("/fake/model-t", dim = 8,
+      factory = new FakeOnnx.Factory(8), maxSeqLen = 16)
+    val got = emb.embedBatch(Seq(long, "short"))
+    val ids = Seq(long, "short")
+      .map(t => OnnxEmbedder.truncate(OnnxEmbedder.tokenize(t), 16))
+    val want = ids.map(r =>
+      OnnxEmbedder.l2Normalize(FakeOnnx.vector(java.util.Arrays.copyOf(r, 16), 8)))
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
+
   test("default factory throws at session creation with guidance") {
     val emb = OnnxEmbedder("/fake/model-e", dim = 4)
     val e = intercept[UnsupportedOperationException](emb.embedBatch(Seq("x")))

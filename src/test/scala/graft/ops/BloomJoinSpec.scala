@@ -54,6 +54,15 @@ class BloomJoinSpec extends SparkSpecBase {
       s"bloom filter must sit inside a codegen stage:\n$plan")
   }
 
+  test("prunedSemiJoin works when both sides share the key column name") {
+    val probe = (1L to 500L).map(i => (i, i * 2)).toDF("k", "v")
+    val build = (1L to 500L).filter(_ % 11 == 0).toDF("k")
+    val got = BloomJoin.prunedSemiJoin(probe, build, "k", "k",
+        numBits = 1 << 10, k = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == (1L to 500L).filter(_ % 11 == 0).map(i => (i, i * 2)))
+  }
+
   test("empty build side: all-zero bitset prunes every probe row") {
     val probe = (1L to 100L).toDF("pk")
     val build = Seq.empty[Long].toDF("bk")
