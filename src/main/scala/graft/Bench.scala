@@ -38,7 +38,9 @@ object Bench {
     "q62_token_chunks", "q64_rag_topk", "q65_incremental_dedup",
     "q66_pii_scrub", "q67_repetition", "q68_stratified_sample",
     "q69_bloom_semijoin", "q71_quality_dedup", "q72_tfidf_terms",
-    "q73_sequence_packing", "q74_weighted_mixture")
+    "q73_sequence_packing", "q74_weighted_mixture",
+    "q77_decontaminate", "q78_unigram_logprob", "q79_crossdoc_ngrams",
+    "q80_zorder_layout", "q81_epoch_shuffle", "q82_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Chunking, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -418,6 +418,89 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** Benchmark decontamination: the train split (q46's md5 buckets < 80)
+    * checked for 8-gram overlap against the held-out test split (buckets
+    * ≥ 90) — ops.Decontaminate. Eval n-grams broadcast; corpus side
+    * map-only + one groupBy(doc). Oracle re-derives the split, the
+    * polynomial 8-gram codes and the hit counts exactly. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+    Decontaminate.contamination(
+        split.filter($"split" === "train"), split.filter($"split" === "test"),
+        "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_ngrams", $"n_hits", $"hit_frac")
+      .orderBy($"doc_id")
+  }
+
+  /** Unigram-LM quality score per document (TextAnalysis.unigramLogProb):
+    * corpus-MLE average token log-prob — the cheap perplexity-filter
+    * stand-in. Exact integer micro-nat sums make the per-doc score
+    * order-independent and oracle-replayable. */
+  def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** Cross-document repeated 8-grams (Dedup.crossDocNgramStats) — the
+    * exact-substring dedup signal: per doc, how many of its distinct
+    * 8-grams occur in other docs too. */
+  def crossDocNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.crossDocNgramStats(Tables.documents(s, dir), "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_ngrams", $"n_shared", $"shared_frac")
+      .orderBy($"doc_id")
+  }
+
+  /** Z-order (Morton) layout key over orders — ops.Layout.zValue2 on
+    * (customer, order day), the two-predicate file-skipping curve. The
+    * entry summarizes the curve by 64 z-range buckets (count + envelope);
+    * LayoutSpec proves the skipping property on real partitioned files.
+    * Integer bit arithmetic end to end — the oracle replays the
+    * interleave bit-for-bit. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val day = expr("unix_timestamp(o_orderdate) div 86400")
+    val z = graft.ops.Layout.zValue2(
+      pmod($"o_custkey", lit(1024L)), pmod(day, lit(1024L)), bits = 10)
+    Tables.orders(s, dir)
+      .select(z.as("z"))
+      .groupBy(shiftright($"z", 14).as("zbucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min($"z").as("min_z"), max($"z").as("max_z"),
+        sum($"z").as("sum_z"))
+      .orderBy($"zbucket")
+  }
+
+  /** Deterministic epoch-1 training shuffle (Sampling.epochShuffle):
+    * md5(doc_id ":" epoch) order within language shards. */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.epochShuffle(
+        Tables.documents(s, dir).select($"doc_id", $"lang"),
+        "doc_id", "lang", epoch = 1)
+      .select($"doc_id", $"lang", $"pos")
+      .orderBy($"lang", $"pos")
+  }
+
+  /** BM25 lexical top-5 per query (TextAnalysis.bm25) over the q64 query
+    * strings — the sparse-retrieval complement of the embedding RAG
+    * entry. Ranked on the exact integer micro-score, so the cut is
+    * engine-stable. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = ragQueryRows.toDF("q_id", "qtext")
+      .select($"q_id", explode(split(Dedup.normText($"qtext"), " ")).as("token"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sum_micro".desc, $"doc_id")
+    TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text", qs)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"doc_id", $"bm25", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -446,7 +529,13 @@ object PipelineQueries {
     "q71_quality_dedup"   -> (qualityDedup _),
     "q72_tfidf_terms"     -> (tfidfTopTerms _),
     "q73_sequence_packing" -> (sequencePacking _),
-    "q74_weighted_mixture" -> (weightedMixture _))
+    "q74_weighted_mixture" -> (weightedMixture _),
+    "q77_decontaminate"   -> (decontaminate _),
+    "q78_unigram_logprob" -> (unigramLogProb _),
+    "q79_crossdoc_ngrams" -> (crossDocNgrams _),
+    "q80_zorder_layout"   -> (zorderLayout _),
+    "q81_epoch_shuffle"   -> (epochShuffle _),
+    "q82_bm25_topk"       -> (bm25TopK _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -564,8 +653,140 @@ object PipelineQueries {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Rolling n-gram code at position i over per-token hashes `h` —
+    * the DuckDB twin of TextAnalysis.ngramCodes' fold. */
+  private def ngramChain(n: Int): String = {
+    val B = graft.expr.DedupKernel.B1
+    val P = graft.expr.DedupKernel.P
+    (1 until n).foldLeft("h[i]")((acc, j) => s"(($acc) * $B + h[i + $j]) % $P")
+  }
+
+  /** CTE chain `t → hh → ng(doc_id, ng)`: distinct word n-gram codes per
+    * document (docs with ≥ n tokens) — the shared re-derivation of
+    * TextAnalysis.ngramCodes used by q77/q79. */
+  private def ngramCtes(n: Int): String =
+    s"""t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+       |hh AS (
+       |  SELECT doc_id, list_transform(w, tk -> ${duckFold("tk", graft.expr.DedupKernel.B1)}) AS h
+       |  FROM t),
+       |ng AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(h) - ${n - 1}), i -> ${ngramChain(n)})) AS ng
+       |  FROM hh WHERE len(h) >= $n)""".stripMargin
+
+  private val bucketExpr =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
   val oracleSql: Map[String, String] = Map(
     "q64_rag_topk" -> ragOracle,
+    "q77_decontaminate" ->
+      s"""WITH ${ngramCtes(8)},
+         |b AS (SELECT doc_id, $bucketExpr AS bucket FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT unnest(ng.ng) AS ngram
+         |  FROM ng JOIN b USING (doc_id) WHERE b.bucket >= 90),
+         |tr AS (SELECT ng.doc_id, ng.ng FROM ng JOIN b USING (doc_id) WHERE b.bucket < 80),
+         |u AS (SELECT doc_id, unnest(ng) AS ngram FROM tr),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits
+         |  FROM u JOIN ev USING (ngram) GROUP BY 1)
+         |SELECT tr.doc_id, CAST(len(tr.ng) AS BIGINT) AS n_ngrams,
+         |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / len(tr.ng) AS hit_frac
+         |FROM tr LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q78_unigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS total FROM t),
+         |m AS (
+         |  SELECT t.doc_id,
+         |    CAST(round(ln(CAST(c.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |  FROM t JOIN c USING (token), tot)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(micro) AS BIGINT) AS sum_micro_nats,
+         |  ROUND(CAST(SUM(micro) AS DOUBLE) /
+         |    (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q79_crossdoc_ngrams" ->
+      s"""WITH ${ngramCtes(8)},
+         |u AS (SELECT doc_id, unnest(ng) AS ngram FROM ng),
+         |sh AS (SELECT ngram FROM u GROUP BY ngram HAVING COUNT(*) >= 2),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_shared
+         |  FROM u JOIN sh USING (ngram) GROUP BY 1)
+         |SELECT ng.doc_id, CAST(len(ng.ng) AS BIGINT) AS n_ngrams,
+         |  CAST(COALESCE(hits.n_shared, 0) AS BIGINT) AS n_shared,
+         |  CAST(COALESCE(hits.n_shared, 0) AS DOUBLE) / len(ng.ng) AS shared_frac
+         |FROM ng LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q80_zorder_layout" ->
+      """WITH b AS (
+        |  SELECT (o_custkey % 1024) AS x,
+        |    ((CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) % 1024) AS y
+        |  FROM orders),
+        |z AS (
+        |  SELECT CAST(list_sum(list_transform(generate_series(0, 9),
+        |    i -> (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        |  FROM b)
+        |SELECT z >> 14 AS zbucket, COUNT(*) AS n_orders,
+        |  MIN(z) AS min_z, MAX(z) AS max_z, CAST(SUM(z) AS BIGINT) AS sum_z
+        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
+    "q81_epoch_shuffle" ->
+      """SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY lang, pos""".stripMargin,
+    "q82_bm25_topk" -> {
+      // interpolate the Scala-computed double constants so both engines
+      // multiply by the bit-identical values (CAST keeps DuckDB in double
+      // arithmetic — bare decimal literals are DECIMAL-typed there)
+      val k1 = 1.2d; val b = 0.75d
+      def d(x: Double) = s"CAST($x AS DOUBLE)"
+      val qvals = ragQueryRows.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      val qnorm = "regexp_replace(trim(lower(qtext)), '\\s+', ' ', 'g')"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |q(q_id, qtext) AS (VALUES $qvals),
+         |qt AS (
+         |  SELECT DISTINCT CAST(q_id AS BIGINT) AS q_id,
+         |    unnest(string_split($qnorm, ' ')) AS token
+         |  FROM q),
+         |qtok AS (SELECT DISTINCT token FROM qt),
+         |tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM t JOIN qtok USING (token) GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |m AS (
+         |  SELECT qt.q_id, tf.doc_id,
+         |    CAST(round(
+         |      ln(${d(1.0)} + (st.n_docs - dfq.df + ${d(0.5)}) / (dfq.df + ${d(0.5)}))
+         |        * (tf.tf * ${d(k1 + 1.0)})
+         |        / (tf.tf + ${d(k1)} * (${d(1.0 - b)} + ${d(b)} * CAST(dl.dl AS DOUBLE)
+         |            / (CAST(st.total_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+         |        * ${d(1e6)}) AS BIGINT) AS micro
+         |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+         |  JOIN qt USING (token), st),
+         |sc AS (
+         |  SELECT q_id, doc_id, CAST(SUM(micro) AS BIGINT) AS sum_micro
+         |  FROM m GROUP BY 1, 2),
+         |r AS (
+         |  SELECT q_id, doc_id, sum_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sum_micro DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM sc)
+         |SELECT q_id, doc_id,
+         |  ROUND(CAST(sum_micro AS DOUBLE) / ${d(1e6)}, 6) AS bm25, rnk
+         |FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
     "q65_incremental_dedup" ->
       s"""WITH $minhashBandCtes
          |SELECT batch_id, corpus_id, est AS est_jaccard FROM (

@@ -243,6 +243,46 @@ object DedupKernel {
     UnsafeArrayData.fromPrimitiveArray(Array(m.toLong, seen.size.toLong))
   }
 
+  /** Distinct word n-gram codes of a normalized text, in one pass and in
+    * first-occurrence order — the exact value of
+    * `array_distinct(TextAnalysis.ngramCodes(text, n))` (same rolling
+    * fold as [[ngramDupCounts]]), as a primitive long array. Empty array
+    * when the text has fewer than n tokens (matching the HOF pipeline).
+    * The codegen fast path for decontamination / cross-doc n-gram ops:
+    * the interpreted HOF chain costs ~7× more at sf0.1. */
+  def distinctNgramCodes(s: UTF8String, n: Int): ArrayData = {
+    val nb = s.numBytes
+    var nWords = 0
+    var i = 0
+    while (i < nb) { if (s.getByte(i) == ' ') nWords += 1; i += 1 }
+    nWords = if (nb == 0) 0 else nWords + 1
+    if (nWords < n)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](nWords)
+    var wi = 0
+    var ws = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || s.getByte(i) == ' ') {
+        hs(wi) = polyFold(s, ws, i, B1); wi += 1; ws = i + 1
+      }
+      i += 1
+    }
+    val m = nWords - n + 1
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var k = 0
+    var p = 0
+    while (p < m) {
+      var code = hs(p)
+      var j = 1
+      while (j < n) { code = (code * B1 + hs(p + j)) % P; j += 1 }
+      if (seen.add(code)) { out(k) = code; k += 1 }
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
   // perm() is cheap but called per token×dim in polyEmbed — memoize the
   // low dimensions once (thread-safe: idempotent pure writes)
   private val permCache = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
@@ -263,6 +303,9 @@ object DedupKernel {
 
   def ngramDupCountsCol(normText: Column, n: Int): Column =
     ColumnBridge.column(NgramDupCounts(ColumnBridge.expression(normText), n))
+
+  def distinctNgramCodesCol(normText: Column, n: Int): Column =
+    ColumnBridge.column(DistinctNgramCodes(ColumnBridge.expression(normText), n))
 }
 
 /** array<long> MinHash signature of a normalized document (see
@@ -347,6 +390,31 @@ case class SimHash62(child: Expression) extends UnaryExpression {
          |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
        """.stripMargin)
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> distinct word n-gram codes of a normalized document, in
+  * first-occurrence order; empty when it has fewer than n tokens (see
+  * [[DedupKernel.distinctNgramCodes]]). */
+case class DistinctNgramCodes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"need positive n-gram size, got $n")
+  override def prettyName: String = "distinct_ngram_codes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DedupKernel.distinctNgramCodes(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.DedupKernel.distinctNgramCodes($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag training documents that share word
+  * n-grams with an evaluation set (the GPT-3-style overlap check every
+  * serious pretraining pipeline runs before training). North-star
+  * extension; no counterpart in the reference.
+  *
+  * Shape at 100 TB: the EVAL side is benchmarks — thousands of documents,
+  * millions of n-grams at most — so its distinct n-gram codes are
+  * broadcast; the TRAIN side is the corpus, processed map-only (per-doc
+  * n-gram codes, [[TextAnalysis.ngramCodes]]) with one groupBy(doc) to
+  * count hits. No shuffle carries the corpus text, no join is bigger
+  * than corpus-n-grams × broadcast. The n-gram codes are the repo's
+  * portable polynomial hashes ([[graft.expr.DedupKernel]] arithmetic),
+  * so an external engine — and the DuckDB oracle (q77) — re-derives the
+  * identical hit counts.
+  */
+object Decontaminate {
+
+  /** Distinct n-gram codes of a text column, as one array<long> per row —
+    * the one-pass codegen kernel ([[graft.expr.DedupKernel
+    * .distinctNgramCodes]]; value-identical to
+    * `array_distinct(TextAnalysis.ngramCodes(text, n))`, the interpreted
+    * HOF template the oracle mirrors, but ~7× faster at sf0.1). */
+  def ngramSet(text: Column, n: Int): Column =
+    graft.expr.DedupKernel.distinctNgramCodesCol(Dedup.normText(text), n)
+
+  /** Distinct n-gram codes of each document, exploded to one row per
+    * (id, ngram). */
+  def docNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(ngramSet(col(textCol), n)).as("ngram"))
+
+  /** Per-train-document contamination report against `eval`: `n_ngrams`
+    * distinct n-grams, `n_hits` of them present anywhere in the eval
+    * set, and the hit fraction (exact int/int double). Documents shorter
+    * than n tokens carry no n-grams and are excluded (nothing to test).
+    *
+    * The eval n-gram set is deduplicated then broadcast — the
+    * decontamination join never shuffles the corpus. */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(explode(ngramSet(col(textCol), n)).as("ngram"))
+      .distinct()
+    val base = train
+      .select(col(idCol),
+        size(ngramSet(col(textCol), n)).cast("long").as("n_ngrams"))
+      .filter(col("n_ngrams") > 0)
+    val hits = docNgrams(train, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    base.join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("hit_frac", col("n_hits").cast("double") / col("n_ngrams"))
+  }
+}

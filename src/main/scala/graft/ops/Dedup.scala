@@ -240,6 +240,37 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Cross-document repeated n-gram report — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, how many of its distinct word
+    * n-grams also occur in at least one OTHER document, and the shared
+    * fraction. High shared_frac marks templated/boilerplate spans that
+    * survive document-level dedup.
+    *
+    * Plan: map-only per-doc n-gram codes ([[TextAnalysis.ngramCodes]],
+    * portable polynomial hashes), one groupBy(ngram) for cross-doc
+    * occurrence counts (map-side combined; n-grams are distinct per doc so
+    * count(*) = count of docs), an equi-join back, one groupBy(doc). All
+    * shuffles carry (long, long) rows — never text. */
+  def crossDocNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(Decontaminate.ngramSet(col(textCol), n)).as("ngram"))
+    val shared = grams.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= 2)
+      .select(col("ngram"))
+    val base = df.select(col(idCol),
+        size(Decontaminate.ngramSet(col(textCol), n)).cast("long").as("n_ngrams"))
+      .filter(col("n_ngrams") > 0)
+    val hits = grams.join(shared, Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+    base.join(hits, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("shared_frac", col("n_shared").cast("double") / col("n_ngrams"))
+  }
+
   /** SimHash near-dup candidate pairs: band the fingerprints' 64 stored
     * bits (62 populated — the top band is 2 bits lighter) into
     * `bands` chunks; pairs sharing any chunk are candidates (pigeonhole:

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout operators — the file-skipping lever at
+  * 100 TB (north-star extension; the reference stores one opaque blob and
+  * has no layout concept at all, database.rs:169-194).
+  *
+  * A single-column sort key gives parquet min/max pruning on ONE
+  * predicate column only; queries filtering the second column read
+  * everything. The Z-order (Morton) curve interleaves the bits of two
+  * keys, so range-partitioning by the z-value yields files whose min/max
+  * envelopes are TIGHT IN BOTH dimensions — scans with a predicate on
+  * either column (or both) skip most files. Pure integer bit arithmetic,
+  * expression-only (codegen), deterministic, and replayable by any engine
+  * with shift/and — which is what lets the DuckDB oracle recompute the
+  * curve exactly (q80).
+  */
+object Layout {
+
+  /** Morton (Z-order) interleave of two non-negative integer columns,
+    * `bits` low bits each: result bit 2i = bit i of x, bit 2i+1 = bit i
+    * of y. Inputs must already be bounded to `bits` bits (mask or bucket
+    * them first — at scale the bucketing IS the resolution knob: 16 bits
+    * per dimension ≈ 4 G cells, far finer than any file count). */
+  def zValue2(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits per dimension must be 1..31, got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce[Column](_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-ordered on two bounded integer expressions: range-
+    * partition by the z-value into `numFiles` output files and sort rows
+    * within each file, so every file owns a compact z-range — a compact
+    * rectangle-ish region in (x, y) space — and parquet min/max stats
+    * prune on BOTH columns. One range-exchange (sampled bounds), the
+    * standard price of any clustered write; rewriting layout is a batch
+    * maintenance op, not a per-query cost. */
+  def zorderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
+      path: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("_z", zValue2(x, y, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

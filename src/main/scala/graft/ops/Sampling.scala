@@ -72,6 +72,22 @@ object Sampling {
       .drop("_cum")
   }
 
+  /** Deterministic epoch shuffle — the training-order op: each epoch
+    * re-orders the corpus by md5(id ":" epoch), within shards. Adds
+    * `pos` (0-based position within the shard for this epoch). Pure
+    * function of (id, epoch): reproducible across runs/engines/cluster
+    * sizes, different every epoch, and a crashed epoch resumes mid-order.
+    * The shard is the scale knob (a GLOBAL shuffle order would serialize
+    * the corpus through one sort partition at 100 TB); shard count ≫
+    * reader count keeps readers busy, and readers interleave shards. */
+  def epochShuffle(df: DataFrame, idCol: String, shardCol: String,
+      epoch: Int): DataFrame = {
+    val key = md5(concat(col(idCol).cast("string"), lit(":"), lit(epoch.toString)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(key, col(idCol))
+    df.withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Stratified sample: at most k rows per group, chosen deterministically
     * by an affine hash of the id (DedupKernel.perm(1) — a different
     * permutation than the dedup sketches, so strata don't correlate with

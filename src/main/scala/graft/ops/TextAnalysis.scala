@@ -153,6 +153,81 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Unigram language-model quality score per document: the average
+    * natural-log probability of the document's tokens under the corpus's
+    * own unigram MLE (P(t) = corpus count / corpus total — no smoothing
+    * needed: every scored token is in the corpus by construction). Low
+    * scores mark gibberish / rare-token soup; the standard cheap stand-in
+    * for model-based perplexity filtering.
+    *
+    * Determinism: a per-doc SUM of doubles is partition-order-dependent,
+    * so each token's log-prob is first quantized to integer micro-nats
+    * (round(ln·10⁶) as BIGINT) and summed EXACTLY — order-independent in
+    * any engine — then floated once at the end. One ln per token from
+    * exact integer ratios (the q72 tf-idf precedent).
+    *
+    * Plan: one explode + a vocabulary-sized count table equi-joined back
+    * (map-side combined; at 100 TB the vocabulary is millions of rows —
+    * broadcastable after a frequency cut, shuffle-joined here), one
+    * groupBy(doc) of (long, long) rows. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("_micro",
+        round(log(col("cnt").cast("double") / col("total").cast("double")) * 1e6d)
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_micro")).as("sum_micro_nats"))
+      .withColumn("avg_logprob",
+        round(col("sum_micro_nats").cast("double") /
+          (col("n_tokens").cast("double") * 1e6d), 6))
+  }
+
+  /** Okapi BM25 document scores for a set of (q_id, token) query terms:
+    * score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — the lexical-retrieval
+    * complement of the embedding RAG pipeline (q64). Per-term scores are
+    * quantized to integer micro-units and summed exactly (same
+    * determinism device as [[unigramLogProb]]), so ranking is
+    * engine-reproducible.
+    *
+    * Plan: tf is computed ONLY for query terms (the isin prune runs
+    * before the aggregate), df/N/avgdl are corpus scalars or
+    * vocabulary-slice rows (broadcast); the only corpus-sized shuffle is
+    * the tf groupBy of matching (doc, token) rows. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val qTerms = queries.select(col("q_id"), col("token")).distinct()
+    val qTokens = qTerms.select(col("token")).distinct()
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tf = toks.join(broadcast(qTokens), Seq("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0d) +
+      (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val term = idf * (col("tf") * lit(k1 + 1.0d)) /
+      (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(docFreq), Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_micro", round(term * lit(1e6d)).cast("long"))
+      .join(broadcast(qTerms), Seq("token"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("_micro")).as("sum_micro"))
+      .withColumn("bm25", round(col("sum_micro").cast("double") / lit(1e6d), 6))
+  }
+
   /** Content fingerprint (md5 of normalized text) per document —
     * the exact-dedup key and a stable doc identity for lineage. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

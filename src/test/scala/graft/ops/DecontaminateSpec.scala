@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val evalDocs = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog tonight"),
+    (101L, "pack my box with five dozen liquor jugs right now ok"))
+
+  test("contamination counts overlapping n-grams exactly") {
+    // train doc 1 embeds eval doc 100's text verbatim (fully contaminated
+    // span); doc 2 shares nothing; doc 3 is shorter than n tokens
+    val train = Seq(
+      (1L, "prefix words " + evalDocs.head._2 + " suffix words"),
+      (2L, "completely different content about spark partitions and shuffles ok"),
+      (3L, "too short")).toDF("id", "text")
+    val eval = evalDocs.toDF("id", "text")
+    val got = Decontaminate.contamination(train, eval, "id", "text", n = 5)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Double)].collect()
+
+    // doc 1: tokens = 2 + 10 + 2 = 14 -> 10 distinct 5-grams; the eval doc's
+    // 10 tokens give 6 5-grams, all of which appear among doc 1's (positions
+    // 3..8 of doc 1's grid)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    val (_, n1, h1, f1) = got(0)
+    assert(n1 == 10L && h1 == 6L && f1 == 0.6d)
+    val (_, n2, h2, f2) = got(1)
+    assert(n2 == 5L && h2 == 0L && f2 == 0.0d) // 9 tokens -> 5 distinct 5-grams
+  }
+
+  test("identical train and eval text is 100% contaminated") {
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("id", "text")
+    val got = Decontaminate.contamination(d, d, "id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._2 == got._3 && got._4 == 1.0d)
+  }
+
+  test("eval n-gram side is broadcast — the corpus never shuffles for the probe join") {
+    val train = (1L to 200L).map(i => (i, s"document number $i has words $i and more words $i here")).toDF("id", "text")
+    val eval = Seq((0L, "document number 7 has words 7 and more")).toDF("id", "text")
+    val plan = Decontaminate.contamination(train, eval, "id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval grams must broadcast:\n$plan")
+  }
+}

@@ -111,6 +111,34 @@ class DedupSpec extends SparkSpecBase {
     fast.keySet.foreach { id => assert(fast(id) == slow(id), s"doc $id") }
   }
 
+  test("distinct-ngram kernel is value-identical to the portable HOF pipeline") {
+    val docs = randomDocs(13)
+    for (n <- Seq(2, 5, 8)) {
+      val kernel = docs.select($"doc_id",
+          Decontaminate.ngramSet($"text", n).as("ng"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val portable = docs.select($"doc_id",
+          array_distinct(TextAnalysis.ngramCodes($"text", n)).as("ng"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(kernel == portable, s"n=$n")
+    }
+  }
+
+  test("crossDocNgramStats counts n-grams shared across documents") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares its full 4-gram grid with doc 2
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"),    // unique
+      (4L, "tiny")).toDF("doc_id", "text")    // < n tokens: excluded
+    val got = Dedup.crossDocNgramStats(docs, "doc_id", "text", n = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1.0d), // 5 tokens -> 2 distinct 4-grams, both shared
+      (2L, 2L, 2L, 1.0d),
+      (3L, 3L, 0L, 0.0d)))
+  }
+
   test("simhash kernel fingerprints are bit-identical to the portable pipeline") {
     val docs = randomDocs(11)
     val fast = Dedup.simHash(docs, "doc_id", "text")

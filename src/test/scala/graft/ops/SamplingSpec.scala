@@ -103,4 +103,30 @@ class SamplingSpec extends SparkSpecBase {
     assert(got.count(_._1 == "big") == 2)
     assert(got.count(_._1 == "small") == 1) // under quota: kept entirely
   }
+
+  test("epochShuffle: a permutation per shard, stable across partitionings") {
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
+    val e1 = Sampling.epochShuffle(df, "id", "g", epoch = 1)
+      .select("g", "id", "pos").as[(String, Long, Long)].collect()
+    // positions are a dense 0..n-1 permutation within each shard
+    e1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // deterministic under repartitioning
+    val again = Sampling.epochShuffle(df.repartition(17), "id", "g", epoch = 1)
+      .select("g", "id", "pos").as[(String, Long, Long)].collect()
+    assert(e1.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("epochShuffle orders differ across epochs but not across runs") {
+    val df = (1L to 200L).map(i => (i, "s")).toDF("id", "g")
+    def order(epoch: Int): Seq[Long] =
+      Sampling.epochShuffle(df, "id", "g", epoch)
+        .orderBy($"pos").select("id").as[Long].collect().toSeq
+    val o1 = order(1)
+    assert(o1 == order(1), "same epoch -> same order")
+    assert(o1 != order(2), "different epoch -> different order")
+    assert(o1.sorted == (1L to 200L), "still a permutation")
+    assert(o1 != (1L to 200L), "and actually shuffled")
+  }
 }

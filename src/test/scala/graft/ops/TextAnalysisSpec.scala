@@ -148,6 +148,75 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got == ((1L, 2L, 1L, 0.5)))
   }
 
+  test("unigramLogProb: hand-computed corpus MLE, exact micro-nat sums") {
+    // corpus: 6 tokens total; counts: the=3, cat=2, sat=1
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat the")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    def micro(c: Long) = math.round(math.log(c.toDouble / 6.0d) * 1e6d)
+    val d1 = micro(3) + micro(2) + micro(1)
+    val d2 = micro(3) + micro(2) + micro(3)
+    val exp1 = java.math.BigDecimal.valueOf(d1.toDouble / 3.0e6)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(got(0) == ((1L, 3L, d1, exp1)))
+    assert(got(1)._3 == d2)
+    // doc 2 repeats the commonest token -> higher (less negative) score
+    assert(got(1)._4 > got(0)._4)
+  }
+
+  test("unigramLogProb is partition-independent (exact integer sums)") {
+    val docs = (1L to 100L)
+      .map(i => (i, s"token$i the and word${i % 7} common tail"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      TextAnalysis.unigramLogProb(docs.repartition(parts), "doc_id", "text")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("bm25 matches a naive in-memory implementation") {
+    val corpus = Seq(
+      (1L, "spark shuffle join partition spark"),
+      (2L, "spark streaming watermark state"),
+      (3L, "duck pond water"),
+      (4L, "join join join shuffle"))
+    val queries = Seq((0L, "spark join"), (1L, "water"))
+    val (k1, b) = (1.2d, 0.75d)
+
+    // naive reference
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val nDocs = corpus.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs.toDouble
+    def score(qTokens: Seq[String], id: Long): Long = {
+      val dl = toks(id).size
+      qTokens.distinct.flatMap { t =>
+        val tf = toks(id).count(_ == t)
+        if (tf == 0) None
+        else {
+          val df = corpus.count(_._2.split(" ").contains(t))
+          val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+          val v = idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * dl.toDouble / avgdl))
+          Some(math.round(v * 1e6d))
+        }
+      }.sum
+    }
+
+    val qdf = queries.toDF("q_id", "qtext")
+      .select($"q_id", explode(split($"qtext", " ")).as("token"))
+    val got = TextAnalysis.bm25(corpus.toDF("id", "text"), "id", "text", qdf)
+      .select($"q_id", $"id", $"sum_micro")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, d, m) => (q, d) -> m }.toMap
+    val want = (for {
+      (q, qt) <- queries
+      (id, _) <- corpus
+      s = score(qt.split(" ").toSeq, id) if s != 0L
+    } yield (q, id) -> s).toMap
+    assert(got == want)
+  }
+
   test("winnow fps array form: per-doc stats without explode") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
