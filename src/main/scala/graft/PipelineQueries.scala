@@ -501,6 +501,17 @@ object PipelineQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Chunk-level (paragraph) exact dedup (Dedup.chunkDedupGroups):
+    * 32-token non-overlapping windows, duplicated-chunk groups with a
+    * deterministic survivor — boilerplate paragraphs that document-level
+    * dedup misses. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.chunkDedupGroups(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 32)
+      .orderBy($"chunk_fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -535,7 +546,8 @@ object PipelineQueries {
     "q79_crossdoc_ngrams" -> (crossDocNgrams _),
     "q80_zorder_layout"   -> (zorderLayout _),
     "q81_epoch_shuffle"   -> (epochShuffle _),
-    "q82_bm25_topk"       -> (bm25TopK _))
+    "q82_bm25_topk"       -> (bm25TopK _),
+    "q83_chunk_dedup"     -> (chunkDedup _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -723,6 +735,31 @@ object PipelineQueries {
          |  CAST(COALESCE(hits.n_shared, 0) AS DOUBLE) / len(ng.ng) AS shared_frac
          |FROM ng LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q83_chunk_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS w FROM documents
+         |  WHERE length($norm) > 0),
+         |c AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(w), 32)) AS s, w
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_idx,
+         |    md5(array_to_string(w[s : s + 31], ' ')) AS chunk_fp
+         |  FROM c),
+         |g AS (
+         |  SELECT chunk_fp, COUNT(*) AS n_copies,
+         |    COUNT(DISTINCT doc_id) AS n_docs
+         |  FROM ch GROUP BY 1),
+         |k AS (
+         |  SELECT chunk_fp, doc_id AS keep_doc, chunk_idx AS keep_idx FROM (
+         |    SELECT chunk_fp, doc_id, chunk_idx,
+         |      ROW_NUMBER() OVER (PARTITION BY chunk_fp
+         |        ORDER BY doc_id, chunk_idx) AS rn
+         |    FROM ch) x WHERE rn = 1)
+         |SELECT g.chunk_fp, g.n_copies, g.n_docs, k.keep_doc, k.keep_idx
+         |FROM g JOIN k USING (chunk_fp)
+         |WHERE g.n_copies >= 2
+         |ORDER BY chunk_fp""".stripMargin,
     "q80_zorder_layout" ->
       """WITH b AS (
         |  SELECT (o_custkey % 1024) AS x,

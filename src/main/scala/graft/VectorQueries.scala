@@ -240,7 +240,8 @@ object VectorQueries {
     "q26_meta_array_filter"  -> (metaArrayFilter _),
     "q35_ann_lsh"            -> (annLsh _),
     "q52_ann_ivf"            -> (annIvf _),
-    "q70_sq_topk"            -> (sqTopK _))
+    "q70_sq_topk"            -> (sqTopK _),
+    "q84_matryoshka_topk"    -> (matryoshkaTopK _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -282,6 +283,29 @@ object VectorQueries {
         round(VectorExprs.cosine($"embedding", $"qv"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10) // exact float rerank of the survivors
+  }
+
+  /** Matryoshka-style two-phase cosine top-k: candidates scored on the
+    * FIRST 16 of 64 dimensions (a 4×-smaller scan — with prefix dims
+    * stored as their own parquet column or index, the candidate pass
+    * reads a quarter of the bytes; the dim-truncation analog of q70's
+    * int8 tiering), top-20 survivors re-ranked by exact full-dimension
+    * cosine for the final top-10. Deterministic: both phases rank on the
+    * 6-dp-rounded score with id tie-breaks, so the DuckDB oracle replays
+    * the candidate cut and the rerank exactly. */
+  def matryoshkaTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select($"vec_id", $"embedding", $"qv",
+        round(VectorExprs.cosine(
+          slice($"embedding", 1, 16), slice($"qv", 1, 16)), 6).as("pre_cos"))
+      .orderBy($"pre_cos".desc, $"vec_id")
+      .limit(20) // prefix-dimension candidate cut
+      .select($"vec_id", $"pre_cos",
+        round(VectorExprs.cosine($"embedding", $"qv"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10) // exact full-dimension rerank
   }
 
   private val dotSum =
@@ -435,6 +459,36 @@ object VectorQueries {
   val oracleSql: Map[String, String] = Map(
     "q35_ann_lsh" -> annLshOracle,
     "q52_ann_ivf" -> annIvfOracle,
+    // q84: prefix-dim candidate cut (dims 1..16, rounded cosine, id
+    // tie-break) then exact 64-dim rerank — both phases replayed
+    "q84_matryoshka_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |ps AS (
+        |  SELECT e.vec_id, e.embedding, q.qv,
+        |    SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS dp,
+        |    SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+        |    SUM(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)) AS nb
+        |  FROM embeddings e, q, generate_series(1, 16) i(i)
+        |  WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id, e.embedding, q.qv),
+        |pre AS (
+        |  SELECT vec_id, embedding, qv,
+        |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / (SQRT(na) * SQRT(nb)) END, 6) AS pre_cos
+        |  FROM ps
+        |  ORDER BY pre_cos DESC, vec_id
+        |  LIMIT 20),
+        |rr AS (
+        |  SELECT p.vec_id, p.pre_cos,
+        |    SUM(CAST(p.embedding[i.i] AS DOUBLE) * CAST(p.qv[i.i] AS DOUBLE)) AS dp,
+        |    SUM(CAST(p.embedding[i.i] AS DOUBLE) * CAST(p.embedding[i.i] AS DOUBLE)) AS na,
+        |    SUM(CAST(p.qv[i.i] AS DOUBLE) * CAST(p.qv[i.i] AS DOUBLE)) AS nb
+        |  FROM pre p, generate_series(1, 64) i(i)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, pre_cos,
+        |  ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / (SQRT(na) * SQRT(nb)) END, 6) AS cos_sim
+        |FROM rr
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 10""".stripMargin,
     // q70: DuckDB replays int8 quantization (round ties-away-from-zero),
     // the integer dot + norms, the top-20 approximate cut, and the exact
     // float rerank — every step portable arithmetic (see ops.Quantize)

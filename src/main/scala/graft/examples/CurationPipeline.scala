@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *   3. near-dup dedup: MinHash LSH candidates → connected components →
   *      keep the LONGEST doc per cluster
   *   4. weighted per-language mixture + deterministic train/val/test split
-  *   5. contiguous sequence packing to a fixed token budget
+  *   5. benchmark decontamination: train docs sharing any word 8-gram
+  *      with the held-out test split are dropped from train
+  *   6. contiguous sequence packing to a fixed token budget, plus the
+  *      epoch-1 training order (deterministic epoch shuffle)
   *
   * Every stage is deterministic (portable hashes, exact integer window
   * math), so two runs — or two CLUSTERS — produce byte-identical output.
@@ -63,13 +66,29 @@ object CurationPipeline {
       Map("en" -> 80, "zh" -> 100, "de" -> 100, "fr" -> 100, "es" -> 100))
     val split = Sampling.hashSplit(mixed, "doc_id", trainPct = 90, valPct = 5)
 
-    // 5. pack into 256-token sequences per (split, lang) shard
-    val withTokens = split.withColumn("n_tokens",
+    // 5. decontaminate: any train doc sharing a word 8-gram with the
+    //    held-out test split leaks eval content — drop it from train
+    //    (val/test rows pass through untouched)
+    val contaminated = Decontaminate.contamination(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "test"),
+        "doc_id", "text", n = 8)
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), lit(true).as("_dirty"))
+    val clean = split.join(contaminated, Seq("doc_id"), "left")
+      .filter(col("split") =!= "train" || col("_dirty").isNull)
+      .drop("_dirty")
+
+    // 6. pack into 256-token sequences per (split, lang) shard, and emit
+    //    the epoch-1 training order (pos within the shard)
+    val withTokens = clean.withColumn("n_tokens",
       TextAnalysis.tokenCount(col("text")).cast("long"))
       .withColumn("shard", concat_ws("/", col("split"), col("lang")))
-    Sampling.packSequences(withTokens, "doc_id", "n_tokens", "shard", 256)
+    val packed = Sampling.packSequences(
+      withTokens, "doc_id", "n_tokens", "shard", 256)
+    Sampling.epochShuffle(packed, "doc_id", "shard", epoch = 1)
       .select("doc_id", "lang", "split", "redacted", "n_tokens",
-        "seq_id", "tok_offset")
+        "seq_id", "tok_offset", "pos")
   }
 
   def main(args: Array[String]): Unit = {

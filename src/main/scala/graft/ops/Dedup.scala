@@ -240,6 +240,27 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Chunk-level (paragraph) exact dedup — RefinedWeb-style: documents
+    * split into non-overlapping token windows ([[Chunking.chunkByTokens]],
+    * overlap 0 so a chunk can't collide with its own neighbor), each
+    * chunk fingerprinted, groups with ≥ 2 copies reported with a
+    * deterministic survivor (lexicographic min (doc, idx) via struct
+    * min — never partition order). Finer-grained than document dedup:
+    * catches boilerplate paragraphs embedded in otherwise-unique pages.
+    * Map-only chunking + one combiner-friendly groupBy on the
+    * fingerprint; the shuffle carries (fp, partial counts), not text. */
+  def chunkDedupGroups(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 32): DataFrame =
+    Chunking.chunkByTokens(df, idCol, textCol, chunkTokens, 0)
+      .select(col(idCol), col("chunk_idx"), md5(col("chunk")).as("chunk_fp"))
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol).as("d"), col("chunk_idx").as("i"))).as("_k"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_fp"), col("n_copies"), col("n_docs"),
+        col("_k.d").as("keep_doc"), col("_k.i").as("keep_idx"))
+
   /** Cross-document repeated n-gram report — the exact-substring dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): for each document, how many of its distinct word

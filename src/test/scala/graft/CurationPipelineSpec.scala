@@ -15,7 +15,7 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(n > 0 && n <= docs.count(), "curation only removes rows")
     // schema contract
     assert(out.columns.toSeq == Seq("doc_id", "lang", "split", "redacted",
-      "n_tokens", "seq_id", "tok_offset"))
+      "n_tokens", "seq_id", "tok_offset", "pos"))
     // no doc appears twice
     assert(out.select("doc_id").distinct().count() == n)
     // splits are the expected three
@@ -23,6 +23,15 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(splits.subsetOf(Set("train", "val", "test")))
     // packing invariant: offsets stay inside the budget
     assert(out.filter($"tok_offset" < 0 || $"tok_offset" >= 256).count() == 0)
+    // decontamination invariant: no surviving train doc shares an 8-gram
+    // with the test split
+    val train = out.filter($"split" === "train").select($"doc_id")
+      .join(Tables.documents(spark, sfDir), "doc_id")
+    val test = out.filter($"split" === "test").select($"doc_id")
+      .join(Tables.documents(spark, sfDir), "doc_id")
+    val leaks = graft.ops.Decontaminate.contamination(
+      train, test, "doc_id", "text", n = 8).filter($"n_hits" > 0)
+    assert(leaks.count() == 0, "train must not overlap the held-out test set")
   }
 
   test("curation is deterministic across runs and partitionings") {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions.array_distinct
 
 class DedupSpec extends SparkSpecBase {
   import spark.implicits._
@@ -122,6 +123,25 @@ class DedupSpec extends SparkSpecBase {
         .as[(Long, Seq[Long])].collect().toMap
       assert(kernel == portable, s"n=$n")
     }
+  }
+
+  test("chunkDedupGroups finds duplicated windows with a deterministic survivor") {
+    val boiler = (1 to 4).map(i => s"w$i").mkString(" ") // one 4-token window
+    val docs = Seq(
+      (3L, s"$boiler a3 b3 c3 d3"), // window 0 = boiler, window 1 unique
+      (1L, s"$boiler a1 b1 c1 d1"),
+      (2L, "entirely different text with other words here ok")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedupGroups(docs, "doc_id", "text", chunkTokens = 4)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 1)
+    val (_, nCopies, nDocs, keepDoc, keepIdx) = got.head
+    assert(nCopies == 2L && nDocs == 2L)
+    assert(keepDoc == 1L && keepIdx == 0L, "survivor = lexicographic min (doc, idx)")
+    // a doc repeating its own window counts as copies within one doc
+    val selfDup = Seq((9L, s"$boiler $boiler")).toDF("doc_id", "text")
+    val sd = Dedup.chunkDedupGroups(selfDup, "doc_id", "text", chunkTokens = 4)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(sd.size == 1 && sd.head._2 == 2L && sd.head._3 == 1L)
   }
 
   test("crossDocNgramStats counts n-grams shared across documents") {

@@ -74,9 +74,10 @@ class LayoutSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(xDir)
     val xEnv = fileEnvelopes(xDir)
 
-    // predicate on x: both layouts skip most files
-    assert(overlapping(zEnv, Some((0L, 15L)), None) <= 6)
-    assert(overlapping(xEnv, Some((0L, 15L)), None) <= 6)
+    // predicate on x: both layouts skip most files (bounds are sampled by
+    // repartitionByRange, so allow straddling-file slack)
+    assert(overlapping(zEnv, Some((0L, 15L)), None) <= 8)
+    assert(overlapping(xEnv, Some((0L, 15L)), None) <= 8)
     // predicate on y: the z-order layout still skips most files; the
     // x-sorted layout reads ALL of them (full-width y envelopes)
     assert(overlapping(zEnv, None, Some((0L, 15L))) <= 8,
