@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CosineSimilarity, DotProduct, Int8Dot, L2Distance, MinHashSig, NgramDupCounts, SimHash62, TopKBy, WinnowFp}
+import graft.expr.{CosineSimilarity, DistinctNgramCodes, DotProduct, Int8Dot, L2Distance, MinHashSig, NgramDupCounts, SimHash62, TopKBy, WinnowFp}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -79,6 +79,15 @@ object GraftExtensions {
         case Literal(n: Int, _) => NgramDupCounts(args(0), n)
         case _ => throw new IllegalArgumentException(
           "ngram_dup_counts: n must be an INT literal")
+      }
+    },
+    "distinct_ngram_codes" -> { args =>
+      require(args.length == 2,
+        s"distinct_ngram_codes expects (normText, n), got ${args.length} args")
+      args(1) match {
+        case Literal(n: Int, _) => DistinctNgramCodes(args(0), n)
+        case _ => throw new IllegalArgumentException(
+          "distinct_ngram_codes: n must be an INT literal")
       }
     },
     "winnow_fp" -> { args =>

@@ -24,7 +24,8 @@ object Decontaminate {
     * the one-pass codegen kernel ([[graft.expr.DedupKernel
     * .distinctNgramCodes]]; value-identical to
     * `array_distinct(TextAnalysis.ngramCodes(text, n))`, the interpreted
-    * HOF template the oracle mirrors, but ~7× faster at sf0.1). */
+    * HOF template the oracle mirrors — the kernel took q77 from 4.5s to
+    * 0.42s at sf0.1). */
   def ngramSet(text: Column, n: Int): Column =
     graft.expr.DedupKernel.distinctNgramCodesCol(Dedup.normText(text), n)
 

@@ -118,8 +118,14 @@ object KernelBench {
         graft.ops.TextAnalysis.ngramCodes(col("text"), 2).as("ng"))
         .filter(size(col("ng")) > 0)
         .select(col("id"), size(col("ng")), size(array_distinct(col("ng")))))
+    val dk = timeDf("distinct-ngram kernel")(
+      docs.select(col("id"),
+        graft.ops.Decontaminate.ngramSet(col("text"), 8).as("ng")))
+    val dp = timeDf("distinct-ngram HOF")(
+      docs.select(col("id"),
+        array_distinct(graft.ops.TextAnalysis.ngramCodes(col("text"), 8)).as("ng")))
     println(f"minhash kernel vs pipeline: ${mp / mk}%.1fx; simhash: ${sp / sk}%.1fx; " +
-      f"ngram-dup: ${np / nk}%.1fx")
+      f"ngram-dup: ${np / nk}%.1fx; distinct-ngram: ${dp / dk}%.1fx")
     spark.stop()
   }
 }

@@ -41,7 +41,8 @@ class GraftExtensionsSpec extends SparkSpecBase {
         |  minhash_sig(text, 8, 3) AS sig,
         |  simhash62(text) AS fp,
         |  winnow_fp(text, 8, 4) AS wf,
-        |  ngram_dup_counts(text, 2) AS rep
+        |  ngram_dup_counts(text, 2) AS rep,
+        |  distinct_ngram_codes(text, 2) AS ngc
         |FROM ext_docs""".stripMargin).head()
     val viaOps = docs.select(
       graft.expr.DedupKernel.minHashSigCol(
@@ -50,12 +51,15 @@ class GraftExtensionsSpec extends SparkSpecBase {
         graft.ops.Dedup.normText($"text")).as("fp"),
       graft.ops.TextAnalysis.winnowFps($"text").as("wf"),
       graft.expr.DedupKernel.ngramDupCountsCol(
-        graft.ops.Dedup.normText($"text"), 2).as("rep")).head()
+        graft.ops.Dedup.normText($"text"), 2).as("rep"),
+      graft.ops.Decontaminate.ngramSet($"text", 2).as("ngc")).head()
     assert(viaSql.getSeq[Long](0) == viaOps.getSeq[Long](0))
     assert(viaSql.getLong(1) == viaOps.getLong(1))
     assert(viaSql.getSeq[Long](2) == viaOps.getSeq[Long](2))
     assert(viaSql.getSeq[Long](3) == viaOps.getSeq[Long](3))
     assert(viaSql.getSeq[Long](3) == Seq(8L, 8L)) // 9 tokens, 8 distinct bigrams
+    assert(viaSql.getSeq[Long](4) == viaOps.getSeq[Long](4))
+    assert(viaSql.getSeq[Long](4).length == 8)
     // non-literal sketch params are rejected with a named error
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(text, doc_id, 3) FROM ext_docs").head())
