@@ -512,6 +512,18 @@ object PipelineQueries {
       .orderBy($"chunk_fp")
   }
 
+  /** Deterministic fixed-size corpus sample (Sampling.fixedSample): the
+    * 25 docs with the smallest md5(doc_id) — exact sample SIZE (vs q61's
+    * fixed rate), TakeOrderedAndProject plan, reproducible by any
+    * engine. */
+  def fixedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.fixedSample(
+        Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars"),
+        "doc_id", k = 25)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -547,7 +559,8 @@ object PipelineQueries {
     "q80_zorder_layout"   -> (zorderLayout _),
     "q81_epoch_shuffle"   -> (epochShuffle _),
     "q82_bm25_topk"       -> (bm25TopK _),
-    "q83_chunk_dedup"     -> (chunkDedup _))
+    "q83_chunk_dedup"     -> (chunkDedup _),
+    "q85_fixed_sample"    -> (fixedSample _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -735,6 +748,13 @@ object PipelineQueries {
          |  CAST(COALESCE(hits.n_shared, 0) AS DOUBLE) / len(ng.ng) AS shared_frac
          |FROM ng LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q85_fixed_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |  LIMIT 25) s
+        |ORDER BY doc_id""".stripMargin,
     "q83_chunk_dedup" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split($norm, ' ') AS w FROM documents

@@ -58,4 +58,27 @@ object Decontaminate {
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("hit_frac", col("n_hits").cast("double") / col("n_ngrams"))
   }
+
+  /** The eval set's distinct n-gram codes as a driver array — the static
+    * side of the STREAMING gate. Eval sets are benchmarks (thousands of
+    * docs, ~10⁵-10⁶ grams), so driver/plan state is bounded by design;
+    * a corpus-sized right side belongs in the batch [[contamination]]
+    * path instead. */
+  def evalGramSet(eval: DataFrame, textCol: String, n: Int = 8): Array[Long] =
+    eval.select(explode(ngramSet(col(textCol), n)).as("ngram"))
+      .distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** Streaming decontamination gate: drop incoming documents that share
+    * any word n-gram with the (static, precomputed) eval gram set —
+    * decontaminate-on-ingest, so leaked eval content never lands in the
+    * corpus. Map-only per micro-batch (kernel + codegen arrays_overlap
+    * against the literal gram set): no stream-stream join, no state
+    * store, works under any trigger/watermark. Compose before
+    * [[graft.streaming.CollectionIngest.appendStream]]. */
+  def streamGate(docsStream: DataFrame, textCol: String,
+      evalGrams: Array[Long], n: Int = 8): DataFrame =
+    docsStream.filter(!arrays_overlap(
+      ngramSet(col(textCol), n),
+      lit(evalGrams)))
 }

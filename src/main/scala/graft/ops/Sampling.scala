@@ -72,6 +72,19 @@ object Sampling {
       .drop("_cum")
   }
 
+  /** Deterministic fixed-size sample: the k rows with the smallest
+    * md5(id) — the distributed-engine replacement for reservoir sampling
+    * (which is sequential by construction). Plans as
+    * TakeOrderedAndProject: per-partition k-heaps, k rows to the driver,
+    * no global sort — O(k) memory at any corpus size. Unlike
+    * [[hashSample]] (a fixed RATE), this pins the sample SIZE exactly;
+    * membership is a pure function of the id set, reproducible across
+    * runs and engines. */
+  def fixedSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+  }
+
   /** Deterministic epoch shuffle — the training-order op: each epoch
     * re-orders the corpus by md5(id ":" epoch), within shards. Adds
     * `pos` (0-based position within the shard for this epoch). Pure

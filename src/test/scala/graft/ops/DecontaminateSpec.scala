@@ -39,6 +39,38 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(got._2 == got._3 && got._4 == 1.0d)
   }
 
+  test("streamGate drops contaminated docs on ingest, batch-equivalently") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = evalDocs.toDF("id", "text")
+    val grams = Decontaminate.evalGramSet(eval, "text", n = 5)
+    assert(grams.nonEmpty && grams.toSeq == grams.toSeq.sorted)
+
+    val incoming = Seq(
+      (1L, "prefix words " + evalDocs.head._2 + " suffix words"), // leaks
+      (2L, "completely different content about spark partitions and shuffles ok"),
+      (3L, "also clean text that goes through the gate without any overlap"))
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val gated = Decontaminate.streamGate(
+      mem.toDF().toDF("id", "text"), "text", grams, n = 5)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("gate_out").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val survived = spark.table("gate_out").select("id")
+        .as[Long].collect().toSet
+      assert(survived == Set(2L, 3L), "only the leaking doc is dropped")
+    } finally q.stop()
+
+    // batch twin: the gate keeps exactly the docs contamination() scores clean
+    val viaBatch = Decontaminate.contamination(
+        incoming.toDF("id", "text"), eval, "id", "text", n = 5)
+      .filter($"n_hits" === 0).select("id").as[Long].collect().toSet
+    assert(viaBatch == Set(2L, 3L))
+  }
+
   test("eval n-gram side is broadcast — the corpus never shuffles for the probe join") {
     val train = (1L to 200L).map(i => (i, s"document number $i has words $i and more words $i here")).toDF("id", "text")
     val eval = Seq((0L, "document number 7 has words 7 and more")).toDF("id", "text")

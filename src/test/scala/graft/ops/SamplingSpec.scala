@@ -104,6 +104,25 @@ class SamplingSpec extends SparkSpecBase {
     assert(got.count(_._1 == "small") == 1) // under quota: kept entirely
   }
 
+  test("fixedSample: exact size, deterministic membership, top-k plan") {
+    val df = (1L to 1000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val got = Sampling.fixedSample(df, "id", 50)
+    assert(got.count() == 50)
+    val ids = got.select("id").as[Long].collect().toSet
+    val again = Sampling.fixedSample(df.repartition(13), "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert(ids == again, "membership is partition-independent")
+    // no global sort: the plan must be TakeOrderedAndProject
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    // growing the corpus only perturbs membership via the hash order
+    val more = (1L to 2000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val grown = Sampling.fixedSample(more, "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert(grown.size == 50 && ids.intersect(grown).size >= 20,
+      "old members persist unless displaced by smaller hashes")
+  }
+
   test("epochShuffle: a permutation per shard, stable across partitionings") {
     val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
     val e1 = Sampling.epochShuffle(df, "id", "g", epoch = 1)
