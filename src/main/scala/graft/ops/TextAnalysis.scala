@@ -207,7 +207,12 @@ object TextAnalysis {
       .filter(length(col("token")) > 0)
     val qTerms = queries.select(col("q_id"), col("token")).distinct()
     val qTokens = qTerms.select(col("token")).distinct()
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // document length map-only (array size in the scan) — equivalent to
+    // counting the exploded non-empty tokens, without that shuffle
+    val dl = df.select(col(idCol),
+        size(filter(tokens(col(textCol)), t => length(t) > 0))
+          .cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val tf = toks.join(broadcast(qTokens), Seq("token"))
       .groupBy(col(idCol), col("token"))

@@ -185,4 +185,36 @@ class PlanShapeSpec extends SparkSpecBase {
       .count(_ == "hashpartitioning") <= 2, // one exchange, echoed in Window
       s"expected a single hash exchange on the group key:\n$p")
   }
+
+  test("q77: eval n-gram side broadcasts; corpus side never cross-joins") {
+    val p = plan("q77_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no cartesian anywhere:\n$p")
+  }
+
+  test("q80: z-order key is map-only into a two-phase aggregate") {
+    val p = plan("q80_zorder_layout")
+    assert(!p.contains("Join"), s"layout key needs no join:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"bucket stats must combine map-side:\n$p")
+    // the ONLY exchanges are the aggregate's hash exchange and the
+    // presentation sort — the interleave itself shuffles nothing
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"z-value computation must be map-only:\n$p")
+  }
+
+  test("q84: both matryoshka phases plan as TakeOrderedAndProject") {
+    val p = plan("q84_matryoshka_topk")
+    assert(p.sliding("TakeOrderedAndProject".length)
+      .count(_ == "TakeOrderedAndProject") == 2,
+      s"prefix cut AND rerank must both be top-k operators:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"query vector joins by broadcast, not cartesian:\n$p")
+  }
+
+  test("q85: fixed-size sample is TakeOrderedAndProject (O(k) driver)") {
+    val p = plan("q85_fixed_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
 }
