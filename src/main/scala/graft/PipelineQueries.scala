@@ -524,6 +524,15 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Ordered conversion funnel over events (ops.Funnel): users whose
+    * earliest view → click → purchase chain completes, per stage. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Funnel.summary(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy($"stage_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -560,7 +569,8 @@ object PipelineQueries {
     "q81_epoch_shuffle"   -> (epochShuffle _),
     "q82_bm25_topk"       -> (bm25TopK _),
     "q83_chunk_dedup"     -> (chunkDedup _),
-    "q85_fixed_sample"    -> (fixedSample _))
+    "q85_fixed_sample"    -> (fixedSample _),
+    "q86_funnel"          -> (funnel _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -748,6 +758,27 @@ object PipelineQueries {
          |  CAST(COALESCE(hits.n_shared, 0) AS DOUBLE) / len(ng.ng) AS shared_frac
          |FROM ng LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q86_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT v.user_id, MIN(e.ts) AS t1
+        |  FROM v JOIN events e
+        |    ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t0
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT c.user_id, MIN(e.ts) AS t2
+        |  FROM c JOIN events e
+        |    ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t1
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'click', COUNT(*) FROM c
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'purchase', COUNT(*) FROM p) f
+        |ORDER BY stage_idx""".stripMargin,
     "q85_fixed_sample" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream — the conversion query of
+  * product analytics (view → click → purchase): for each user, the
+  * earliest chain of stage completions where stage i counts only when it
+  * happens strictly AFTER the user's stage-(i−1) completion time.
+  *
+  * Plan: stage 0 is one filtered groupBy(user) min; each later stage is a
+  * conditional min over the (user-keyed) join of the per-user frontier
+  * with that stage's filtered events. Every input to a join is already
+  * aggregated to ≤ one row per user, so at 100 TB each step is an
+  * equi-shuffle of user-cardinality rows — never event-cardinality — and
+  * the event scan is filtered to one stage's type before it moves.
+  * Stages are sequential by definition (t_i depends on t_{i-1}), so the
+  * chain length — typically 3-5 — bounds the number of shuffles, not the
+  * data volume.
+  */
+object Funnel {
+
+  /** Per-user stage-completion times: columns t0..t{n-1} (null = stage
+    * not reached). Row set = users who completed stage 0. */
+  def stageTimes(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct == stages, s"stages must be distinct: $stages")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    stages.zipWithIndex.drop(1).foldLeft(first) { case (acc, (st, i)) =>
+      val e = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("_ts"))
+      val keep = col(userCol) +: (0 until i).map(j => col(s"t$j"))
+      acc.join(e, Seq(userCol), "left")
+        .groupBy(keep: _*)
+        // null t{i-1} (stage not reached) nulls the comparison, so the
+        // min is null too: unreachable stages stay unreachable
+        .agg(min(when(col("_ts") > col(s"t${i - 1}"), col("_ts"))).as(s"t$i"))
+    }
+  }
+
+  /** Funnel summary: one row per stage with the count of users whose
+    * ordered chain reaches it. */
+  def summary(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    val times = stageTimes(events, userCol, tsCol, typeCol, stages)
+    val counts = times.agg(
+      count(col("t0")).as("c0"),
+      (1 until stages.length).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    counts.select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+      F.struct(lit(i.toLong).as("stage_idx"), lit(st).as("stage"),
+        col(s"c$i").as("n_users"))
+    }: _*)).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_users"))
+  }
+}

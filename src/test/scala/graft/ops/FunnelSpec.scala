@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import java.sql.Timestamp
+
+class FunnelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  // user 1: full ordered chain; user 2: click BEFORE view (click must not
+  // count) then no later click; user 3: view only; user 4: purchase
+  // before click (purchase must not count)
+  private val events = Seq(
+    (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+    (2L, ts(1), "click"), (2L, ts(2), "view"),
+    (3L, ts(1), "view"),
+    (4L, ts(1), "view"), (4L, ts(3), "click"), (4L, ts(2), "purchase"),
+    (5L, ts(9), "signup") // never enters the funnel
+  ).toDF("user_id", "ts", "event_type")
+
+  test("stageTimes: strictly-ordered chains only") {
+    val got = Funnel.stageTimes(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "funnel rows = stage-0 users")
+    assert(got(1L) == ((ts(1), Some(ts(2)), Some(ts(3)))))
+    assert(got(2L) == ((ts(2), None, None)), "pre-view click ignored")
+    assert(got(3L) == ((ts(1), None, None)))
+    assert(got(4L) == ((ts(1), Some(ts(3)), None)), "pre-click purchase ignored")
+  }
+
+  test("summary counts users per reached stage, in funnel order") {
+    val got = Funnel.summary(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy($"stage_idx")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((0L, "view", 4L), (1L, "click", 2L), (2L, "purchase", 1L)))
+  }
+
+  test("earliest chain: repeated stage events take the first valid one") {
+    val e = Seq(
+      (7L, ts(1), "view"), (7L, ts(5), "view"),
+      (7L, ts(2), "click"), (7L, ts(4), "click"),
+      (7L, ts(3), "purchase")).toDF("user_id", "ts", "event_type")
+    val got = Funnel.stageTimes(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp])].head()
+    assert(got == ((7L, ts(1), Some(ts(2)), Some(ts(3)))))
+  }
+
+  test("invalid stage lists rejected") {
+    intercept[IllegalArgumentException](
+      Funnel.stageTimes(events, "user_id", "ts", "event_type", Seq.empty))
+    intercept[IllegalArgumentException](
+      Funnel.stageTimes(events, "user_id", "ts", "event_type", Seq("a", "a")))
+  }
+}
