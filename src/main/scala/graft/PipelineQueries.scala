@@ -533,6 +533,13 @@ object PipelineQueries {
       .orderBy($"stage_idx")
   }
 
+  /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Funnel.retention(Tables.events(s, dir), "user_id", "ts")
+      .orderBy($"cohort", $"period_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -570,7 +577,8 @@ object PipelineQueries {
     "q82_bm25_topk"       -> (bm25TopK _),
     "q83_chunk_dedup"     -> (chunkDedup _),
     "q85_fixed_sample"    -> (fixedSample _),
-    "q86_funnel"          -> (funnel _))
+    "q86_funnel"          -> (funnel _),
+    "q87_retention"       -> (retention _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -758,6 +766,17 @@ object PipelineQueries {
          |  CAST(COALESCE(hits.n_shared, 0) AS DOUBLE) / len(ng.ng) AS shared_frac
          |FROM ng LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q87_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS period
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(period) AS cohort FROM a GROUP BY 1)
+        |SELECT c.cohort, a.period - c.cohort AS period_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort, period_offset""".stripMargin,
     "q86_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS t0 FROM events

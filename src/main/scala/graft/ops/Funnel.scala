@@ -40,6 +40,29 @@ object Funnel {
     }
   }
 
+  /** Cohort retention: users bucketed by their FIRST-activity period
+    * (cohort), then counted per (cohort, periods-since-cohort) of later
+    * activity — the product-analytics retention triangle.
+    *
+    * Plan: one groupBy(user) min for cohort assignment, one distinct on
+    * (user, period), one user-keyed equi-join of those two user-
+    * cardinality sides, one final groupBy — event rows collapse to
+    * (user, period) pairs before anything shuffles twice. `periodSec`
+    * buckets epoch seconds with exact integer division (engine-portable;
+    * calendar weeks would drag in locale rules). */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      periodSec: Long = 7L * 24 * 3600): DataFrame = {
+    require(periodSec >= 1, s"period must be >= 1s, got $periodSec")
+    val period = expr(s"unix_timestamp(`$tsCol`) div ${periodSec}L")
+    val activity = events.select(col(userCol), period.as("period")).distinct()
+    val cohorts = activity.groupBy(col(userCol))
+      .agg(min(col("period")).as("cohort"))
+    activity.join(cohorts, Seq(userCol))
+      // "period_offset", not "offset" — OFFSET is reserved in ANSI/DuckDB
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Funnel summary: one row per stage with the count of users whose
     * ordered chain reaches it. */
   def summary(events: DataFrame, userCol: String, tsCol: String,

@@ -50,6 +50,22 @@ class FunnelSpec extends SparkSpecBase {
     assert(got == ((7L, ts(1), Some(ts(2)), Some(ts(3)))))
   }
 
+  test("retention: cohort by first activity, offsets counted once per period") {
+    def at(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:01")
+    // daily periods: user 1 cohort day0, active day0/day1/day1(dup)/day3;
+    // user 2 cohort day1, active day1 only; user 3 cohort day0, day0+day1
+    val e = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(1)), (1L, at(3)),
+      (2L, at(1)),
+      (3L, at(0)), (3L, at(1))).toDF("user_id", "ts")
+    val got = Funnel.retention(e, "user_id", "ts", periodSec = 86400L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._2, r._3)).sorted.toSeq // (offset, n) per cohort row
+    // cohort day0 (users 1,3): offset 0 -> 2, offset 1 -> 2, offset 3 -> 1
+    // cohort day1 (user 2):   offset 0 -> 1
+    assert(got == Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 1L)))
+  }
+
   test("invalid stage lists rejected") {
     intercept[IllegalArgumentException](
       Funnel.stageTimes(events, "user_id", "ts", "event_type", Seq.empty))
