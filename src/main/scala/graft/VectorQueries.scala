@@ -241,7 +241,8 @@ object VectorQueries {
     "q35_ann_lsh"            -> (annLsh _),
     "q52_ann_ivf"            -> (annIvf _),
     "q70_sq_topk"            -> (sqTopK _),
-    "q84_matryoshka_topk"    -> (matryoshkaTopK _))
+    "q84_matryoshka_topk"    -> (matryoshkaTopK _),
+    "q88_binary_hamming"     -> (binaryHammingTopK _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -306,6 +307,29 @@ object VectorQueries {
         round(VectorExprs.cosine($"embedding", $"qv"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10) // exact full-dimension rerank
+  }
+
+  /** Binary (1-bit) quantized cosine top-k: candidates by smallest
+    * Hamming distance between packed sign sketches (Quantize.signBits —
+    * a 64-dim vector in two 32-bit lanes, a 32× byte reduction over the
+    * float scan), top-20 survivors re-ranked by exact cosine. The
+    * fourth storage tier next to float (q22), int8 (q70), and prefix
+    * dims (q84); all ranks tie-broken by id and replayed by the
+    * oracle. */
+  def binaryHammingTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select($"vec_id", $"embedding", $"qv",
+        Quantize.hamming(
+          Quantize.signBits($"embedding", 64),
+          Quantize.signBits($"qv", 64)).as("hamming"))
+      .orderBy($"hamming".asc, $"vec_id")
+      .limit(20) // 1-bit candidate cut
+      .select($"vec_id", $"hamming",
+        round(VectorExprs.cosine($"embedding", $"qv"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10) // exact float rerank
   }
 
   private val dotSum =
@@ -459,6 +483,38 @@ object VectorQueries {
   val oracleSql: Map[String, String] = Map(
     "q35_ann_lsh" -> annLshOracle,
     "q52_ann_ivf" -> annIvfOracle,
+    // q88: sign-bit sketches in 32-bit lanes, Hamming candidate cut,
+    // exact rerank — DuckDB packs and pops the identical bits
+    "q88_binary_hamming" -> {
+      def lanes(src: String) = (0 until 2).map { l =>
+        s"CAST(list_sum(list_transform(generate_series(0, 31), " +
+          s"j -> CASE WHEN $src[${32 * l} + j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+      }.mkString(", ")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sk AS (
+         |  SELECT e.vec_id, e.embedding, q.qv,
+         |    [${lanes("e.embedding")}] AS eb,
+         |    [${lanes("q.qv")}] AS qb
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |hm AS (
+         |  SELECT vec_id, embedding, qv,
+         |    CAST(bit_count(xor(eb[1], qb[1])) + bit_count(xor(eb[2], qb[2])) AS BIGINT) AS hamming
+         |  FROM sk
+         |  ORDER BY hamming ASC, vec_id
+         |  LIMIT 20),
+         |rr AS (
+         |  SELECT h.vec_id, h.hamming,
+         |    SUM(CAST(h.embedding[i.i] AS DOUBLE) * CAST(h.qv[i.i] AS DOUBLE)) AS dp,
+         |    SUM(CAST(h.embedding[i.i] AS DOUBLE) * CAST(h.embedding[i.i] AS DOUBLE)) AS na,
+         |    SUM(CAST(h.qv[i.i] AS DOUBLE) * CAST(h.qv[i.i] AS DOUBLE)) AS nb
+         |  FROM hm h, generate_series(1, 64) i(i)
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, hamming,
+         |  ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / (SQRT(na) * SQRT(nb)) END, 6) AS cos_sim
+         |FROM rr
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin
+    },
     // q84: prefix-dim candidate cut (dims 1..16, rounded cosine, id
     // tie-break) then exact 64-dim rerank — both phases replayed
     "q84_matryoshka_topk" ->

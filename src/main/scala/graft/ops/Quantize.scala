@@ -62,4 +62,31 @@ object Quantize {
         sqrt(prod.cast("double")))
       .otherwise(lit(0.0d))
   }
+
+  /** 1-bit (binary) quantization: the sign bits of the vector packed
+    * into 32-bit lanes (array<long>, lane l bit j = sign of dimension
+    * 32l+j) — the most aggressive storage tier: a 64-dim float vector
+    * becomes TWO words (32× smaller than float32, 8× smaller than
+    * int8). Hamming distance between sign sketches approximates angle —
+    * the SRP-LSH estimator with the identity basis — so candidates =
+    * smallest-Hamming scan, then exact rerank. Pure comparisons and bit
+    * ops: any engine replays it bit-for-bit. 32-bit lanes keep every
+    * intermediate far from signed-64 overflow (ANSI-safe in Spark,
+    * BIGINT-safe in DuckDB). */
+  def signBits(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"sign sketch needs >= 1 dim, got $dim")
+    val lanes = (0 until (dim + 31) / 32).map { l =>
+      val hi = math.min(dim, 32 * (l + 1)) // fold lane dims high→low:
+      // acc·2 + sign-bit ≡ Σ bit_j << j (variable shifts aren't
+      // expressible in the column DSL)
+      aggregate(sequence(lit(hi), lit(32 * l + 1), lit(-1)), lit(0L),
+        (acc, i) => acc * 2L + when(element_at(vec, i) > lit(0f), 1L).otherwise(0L))
+    }
+    array(lanes: _*)
+  }
+
+  /** Hamming distance between two sign sketches (lane-wise popcount). */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
 }

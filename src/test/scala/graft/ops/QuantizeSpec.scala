@@ -64,6 +64,30 @@ class QuantizeSpec extends SparkSpecBase {
     }
   }
 
+  test("signBits packs sign bits into 32-bit lanes; hamming counts flips") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (1L to 50L).map(i => (i, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    def ref(v: Array[Float]): Seq[Long] = (0 until 2).map { l =>
+      (0 until 32).foldLeft(0L)((acc, j) =>
+        acc | (if (v(32 * l + j) > 0f) 1L << j else 0L))
+    }
+    val got = vecs.toDF("id", "v")
+      .select($"id", Quantize.signBits($"v", 64).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    vecs.foreach { case (i, v) => assert(got(i) == ref(v), s"vec $i") }
+    // hamming: identical vectors -> 0; sign-flipped -> dim
+    val pair = Seq((vecs.head._2, vecs.head._2.map(-_))).toDF("a", "neg")
+    val h = pair.select(
+      Quantize.hamming(Quantize.signBits($"a", 64), Quantize.signBits($"a", 64)),
+      Quantize.hamming(Quantize.signBits($"a", 64), Quantize.signBits($"neg", 64)))
+      .as[(Long, Long)].head()
+    assert(h._1 == 0L && h._2 == 64L)
+    // non-multiple-of-32 dims pack into a partial top lane
+    val short = Seq(Tuple1(Array(1f, -1f, 1f))).toDF("v")
+      .select(Quantize.signBits($"v", 3)).as[Seq[Long]].head()
+    assert(short == Seq(5L))
+  }
+
   test("quantization is partition-layout independent") {
     val data = (1L to 500L).map(i => (i, Array.fill(16)(i * 0.37f % 3 - 1.5f)))
       .toDF("id", "v")
