@@ -540,6 +540,24 @@ object PipelineQueries {
       .orderBy($"cohort", $"period_offset")
   }
 
+  /** Unpivot (melt): per-language character-class totals computed wide,
+    * then melted to (lang, metric, n) long form — the inverse of q47's
+    * pivot, covering Spark's Unpivot operator (Expand under the hood:
+    * map-only row multiplication, no shuffle beyond the aggregate). */
+  def unpivotCharClasses(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = $"text"
+    val wide = Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        sum(TextAnalysis.charClassCount(t, "[aeiou]").cast("long")).as("n_vowels"),
+        sum(TextAnalysis.charClassCount(t, "[0-9]").cast("long")).as("n_digits"),
+        sum(TextAnalysis.charClassCount(t, "[.,;:!?]").cast("long")).as("n_punct"))
+    wide.unpivot(Array($"lang"),
+        Array($"n_vowels", $"n_digits", $"n_punct"), "metric", "n")
+      .orderBy($"lang", $"metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -578,7 +596,8 @@ object PipelineQueries {
     "q83_chunk_dedup"     -> (chunkDedup _),
     "q85_fixed_sample"    -> (fixedSample _),
     "q86_funnel"          -> (funnel _),
-    "q87_retention"       -> (retention _))
+    "q87_retention"       -> (retention _),
+    "q89_unpivot"         -> (unpivotCharClasses _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -766,6 +785,18 @@ object PipelineQueries {
          |  CAST(COALESCE(hits.n_shared, 0) AS DOUBLE) / len(ng.ng) AS shared_frac
          |FROM ng LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q89_unpivot" ->
+      """WITH wide AS (
+        |  SELECT lang,
+        |    CAST(SUM(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS n_vowels,
+        |    CAST(SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS n_digits,
+        |    CAST(SUM(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS BIGINT) AS n_punct
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, metric, n FROM (
+        |  SELECT lang, 'n_vowels' AS metric, n_vowels AS n FROM wide
+        |  UNION ALL SELECT lang, 'n_digits', n_digits FROM wide
+        |  UNION ALL SELECT lang, 'n_punct', n_punct FROM wide) u
+        |ORDER BY lang, metric""".stripMargin,
     "q87_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,
