@@ -567,6 +567,30 @@ object RelationalQueries {
       .orderBy($"o_custkey", $"rk")
   }
 
+  /** TPC-H Q11-shaped global-share filter: per-brand revenue kept only
+    * when it exceeds a fixed fraction of TOTAL revenue — the
+    * scalar-subquery-in-HAVING pattern. Plan: one partial+final
+    * aggregate over the fact join; the total is a 1-row re-aggregate of
+    * the 25 brand rows, broadcast into the filter — the global pass
+    * costs one extra row, not one extra scan. DECIMAL-exact money; the
+    * share is a double of two exact decimals, rounded before the
+    * threshold so the cut is oracle-stable. */
+  def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sum(dec2($"l_extendedprice") * (one2 - dec2($"l_discount")))
+        .as("rev_d"))
+    val total = rev.agg(sum($"rev_d").as("total_d"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("share",
+        round($"rev_d".cast("double") / $"total_d".cast("double"), 6))
+      .filter($"share" > 0.04d)
+      .select($"p_brand", $"rev_d".cast("double").as("revenue"), $"share")
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
@@ -601,7 +625,8 @@ object RelationalQueries {
     "q60_exists_subquery"  -> (existsSubquery _),
     "q69_bloom_semijoin"   -> (bloomSemiJoinStats _),
     "q75_histogram_quantiles" -> (histogramQuantiles _),
-    "q76_window_suite"     -> (windowSuite _))
+    "q76_window_suite"     -> (windowSuite _),
+    "q90_revenue_share"    -> (revenueShare _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -655,6 +680,18 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q49_approx_distinct" -> kmvOracle,
+    "q90_revenue_share" ->
+      """WITH r AS (
+        |  SELECT p_brand,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |t AS (SELECT SUM(rev_d) AS total_d FROM r)
+        |SELECT p_brand, CAST(rev_d AS DOUBLE) AS revenue,
+        |  ROUND(CAST(rev_d AS DOUBLE) / CAST(total_d AS DOUBLE), 6) AS share
+        |FROM r, t
+        |WHERE ROUND(CAST(rev_d AS DOUBLE) / CAST(total_d AS DOUBLE), 6) > 0.04
+        |ORDER BY p_brand""".stripMargin,
     "q76_window_suite" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, ntile4, prk, cd,
         |  next_price, first_price

@@ -82,6 +82,56 @@ object EventStreams {
       .toDF()
   }
 
+  final case class FunnelState(times: Seq[Long])
+  final case class FunnelProgress(user_id: Long, stage_idx: Int,
+      stage: String, stage_ts: java.sql.Timestamp)
+
+  /** Stateful streaming funnel (the live twin of ops.Funnel.stageTimes):
+    * per user, track the earliest strictly-ordered stage-completion
+    * chain across micro-batches and EMIT each stage the moment its
+    * completion becomes known. State = one epoch-micros long per stage
+    * per active user, bounded by stage count × user cardinality — never
+    * by event volume. Events inside a batch are time-sorted before the
+    * fold, so in-batch disorder is handled; cross-batch late events are
+    * subject to the source's delivery order (add a watermark + timeout
+    * upstream to bound lateness, same trade as any stateful op).
+    *
+    * Greedy is exact here, as in the batch op: an earlier stage-(i−1)
+    * time can only ever help stage i, so folding events in time order
+    * yields the minimal chain. */
+  def funnelProgress(spark: SparkSession, events: DataFrame,
+      stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
+    val n = stages.length
+    val stageIdx = stages.zipWithIndex.toMap
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) => {
+          val times = state.getOption
+            .map(_.times.toArray).getOrElse(Array.fill(n)(Long.MinValue))
+          val out = Seq.newBuilder[FunnelProgress]
+          rows.toSeq
+            .filter(r => stageIdx.contains(r.event_type))
+            .sortBy(r => (r.ts.getTime, r.event_id))
+            .foreach { r =>
+              val i = stageIdx(r.event_type)
+              val prevDone = i == 0 || times(i - 1) != Long.MinValue
+              val prevT = if (i == 0) Long.MinValue else times(i - 1)
+              if (times(i) == Long.MinValue && prevDone && r.ts.getTime > prevT) {
+                times(i) = r.ts.getTime
+                out += FunnelProgress(uid, i, stages(i), r.ts)
+              }
+            }
+          state.update(FunnelState(times.toSeq))
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Streaming exact dedup: drop events whose `idCols` were already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
     * is evicted once the watermark passes, so memory is bounded by the

@@ -123,6 +123,49 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(got == Set((30L, 0L), (30L, 1L)))
   }
 
+  test("funnelProgress: stateful streaming funnel matches the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val funnelEvents = Seq(
+      // user 1 completes across micro-batches; user 2's click precedes
+      // its view (must not count); user 3 stalls at view
+      EventRow(0L, ts(1), 1L, "view", 0, "{}"),
+      EventRow(1L, ts(2), 2L, "click", 0, "{}"),
+      EventRow(2L, ts(3), 2L, "view", 0, "{}"),
+      EventRow(3L, ts(4), 3L, "view", 0, "{}"),
+      // batch 2
+      EventRow(4L, ts(5), 1L, "click", 0, "{}"),
+      EventRow(5L, ts(6), 1L, "purchase", 0, "{}"),
+      EventRow(6L, ts(7), 2L, "click", 0, "{}"))
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.funnelProgress(spark, mem.toDF(), stages)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      mem.addData(funnelEvents.take(4): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("funnel_out")
+        .select("user_id", "stage_idx").as[(Long, Int)].collect().toSet
+      assert(afterB1 == Set((1L, 0), (2L, 0), (3L, 0)),
+        s"batch 1: only views complete (user 2's early click ignored): $afterB1")
+      mem.addData(funnelEvents.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out")
+        .select("user_id", "stage_idx", "stage_ts")
+        .as[(Long, Int, Timestamp)].collect().toSet
+      // the batch op over the same events must agree stage-for-stage
+      val batch = graft.ops.Funnel.stageTimes(funnelEvents.toDF(),
+          "user_id", "ts", "event_type", stages)
+        .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp])]
+        .collect().flatMap { case (u, t0, t1, t2) =>
+          Seq(Some(t0), t1, t2).zipWithIndex.collect {
+            case (Some(t), i) => (u, i, t)
+          }
+        }.toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("dedupedEvents drops within-watermark duplicate event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]
