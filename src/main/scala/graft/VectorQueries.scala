@@ -183,7 +183,9 @@ object VectorQueries {
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val f = it.next()
-      entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+      // full path, not basename: a file moving between partition
+      // subdirectories (same name/size/mtime) must change the fingerprint
+      entries += s"${f.getPath.toUri}:${f.getLen}:${f.getModificationTime}"
     }
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))

@@ -254,10 +254,16 @@ object DedupKernel {
     * plan). */
   def distinctNgramCodes(s: UTF8String, n: Int): ArrayData = {
     val nb = s.numBytes
+    // empty text: split('', ' ') yields [''] in the HOF pipeline, whose
+    // single empty token folds to code 0 — so n=1 must yield [0] for the
+    // documented kernel ≡ array_distinct(ngramCodes) identity to hold
+    if (nb == 0)
+      return UnsafeArrayData.fromPrimitiveArray(
+        if (n == 1) Array(0L) else Array.emptyLongArray)
     var nWords = 0
     var i = 0
     while (i < nb) { if (s.getByte(i) == ' ') nWords += 1; i += 1 }
-    nWords = if (nb == 0) 0 else nWords + 1
+    nWords += 1
     if (nWords < n)
       return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val hs = new Array[Long](nWords)

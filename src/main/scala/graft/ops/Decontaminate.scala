@@ -59,26 +59,34 @@ object Decontaminate {
       .withColumn("hit_frac", col("n_hits").cast("double") / col("n_ngrams"))
   }
 
-  /** The eval set's distinct n-gram codes as a driver array — the static
+  /** A precomputed eval n-gram set: the codes AND the n they were built
+    * with, bundled so a gate can never probe with a mismatched n-gram
+    * size (5-gram codes vs 8-gram codes share essentially no hash
+    * values — a silent always-pass). */
+  final case class EvalGrams(n: Int, grams: Array[Long])
+
+  /** The eval set's distinct n-gram codes as a driver value — the static
     * side of the STREAMING gate. Eval sets are benchmarks (thousands of
     * docs, ~10⁵-10⁶ grams), so driver/plan state is bounded by design;
     * a corpus-sized right side belongs in the batch [[contamination]]
     * path instead. */
-  def evalGramSet(eval: DataFrame, textCol: String, n: Int = 8): Array[Long] =
-    eval.select(explode(ngramSet(col(textCol), n)).as("ngram"))
-      .distinct()
-      .collect().map(_.getLong(0)).sorted
+  def evalGramSet(eval: DataFrame, textCol: String, n: Int = 8): EvalGrams =
+    EvalGrams(n,
+      eval.select(explode(ngramSet(col(textCol), n)).as("ngram"))
+        .distinct()
+        .collect().map(_.getLong(0)).sorted)
 
   /** Streaming decontamination gate: drop incoming documents that share
     * any word n-gram with the (static, precomputed) eval gram set —
     * decontaminate-on-ingest, so leaked eval content never lands in the
-    * corpus. Map-only per micro-batch (kernel + codegen arrays_overlap
-    * against the literal gram set): no stream-stream join, no state
-    * store, works under any trigger/watermark. Compose before
+    * corpus. The n-gram size travels WITH the gram set ([[EvalGrams]]).
+    * Map-only per micro-batch (kernel + codegen arrays_overlap against
+    * the literal gram set): no stream-stream join, no state store,
+    * works under any trigger/watermark. Compose before
     * [[graft.streaming.CollectionIngest.appendStream]]. */
   def streamGate(docsStream: DataFrame, textCol: String,
-      evalGrams: Array[Long], n: Int = 8): DataFrame =
+      evalGrams: EvalGrams): DataFrame =
     docsStream.filter(!arrays_overlap(
-      ngramSet(col(textCol), n),
-      lit(evalGrams)))
+      ngramSet(col(textCol), evalGrams.n),
+      lit(evalGrams.grams)))
 }

@@ -89,9 +89,10 @@ object EventStreams {
   /** Stateful streaming funnel (the live twin of ops.Funnel.stageTimes):
     * per user, track the earliest strictly-ordered stage-completion
     * chain across micro-batches and EMIT each stage the moment its
-    * completion becomes known. State = one epoch-micros long per stage
-    * per active user, bounded by stage count × user cardinality — never
-    * by event volume. Events inside a batch are time-sorted before the
+    * completion becomes known. State = one epoch-millis long per stage,
+    * held ONLY for users who have completed at least stage 0 — bounded
+    * by stage count × funnel participants, never by event volume or
+    * total user count. Events inside a batch are time-sorted before the
     * fold, so in-batch disorder is handled; cross-batch late events are
     * subject to the source's delivery order (add a watermark + timeout
     * upstream to bound lateness, same trade as any stateful op).
@@ -114,6 +115,7 @@ object EventStreams {
           val times = state.getOption
             .map(_.times.toArray).getOrElse(Array.fill(n)(Long.MinValue))
           val out = Seq.newBuilder[FunnelProgress]
+          var changed = false
           rows.toSeq
             .filter(r => stageIdx.contains(r.event_type))
             .sortBy(r => (r.ts.getTime, r.event_id))
@@ -123,10 +125,14 @@ object EventStreams {
               val prevT = if (i == 0) Long.MinValue else times(i - 1)
               if (times(i) == Long.MinValue && prevDone && r.ts.getTime > prevT) {
                 times(i) = r.ts.getTime
+                changed = true
                 out += FunnelProgress(uid, i, stages(i), r.ts)
               }
             }
-          state.update(FunnelState(times.toSeq))
+          // write state only on progress: users who never enter the
+          // funnel hold NO state (bounding the store to participants),
+          // and unchanged state isn't re-serialized every batch
+          if (changed) state.update(FunnelState(times.toSeq))
           out.result().iterator
         })
       .toDF()

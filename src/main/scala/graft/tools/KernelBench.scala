@@ -118,12 +118,16 @@ object KernelBench {
         graft.ops.TextAnalysis.ngramCodes(col("text"), 2).as("ng"))
         .filter(size(col("ng")) > 0)
         .select(col("id"), size(col("ng")), size(array_distinct(col("ng")))))
+    // the filter on the computed column forces evaluation — a bare
+    // select would be column-pruned away under count()
     val dk = timeDf("distinct-ngram kernel")(
       docs.select(col("id"),
-        graft.ops.Decontaminate.ngramSet(col("text"), 8).as("ng")))
+        graft.ops.Decontaminate.ngramSet(col("text"), 8).as("ng"))
+        .filter(size(col("ng")) > 0))
     val dp = timeDf("distinct-ngram HOF")(
       docs.select(col("id"),
-        array_distinct(graft.ops.TextAnalysis.ngramCodes(col("text"), 8)).as("ng")))
+        array_distinct(graft.ops.TextAnalysis.ngramCodes(col("text"), 8)).as("ng"))
+        .filter(size(col("ng")) > 0))
     println(f"minhash kernel vs pipeline: ${mp / mk}%.1fx; simhash: ${sp / sk}%.1fx; " +
       f"ngram-dup: ${np / nk}%.1fx; distinct-ngram: ${dp / dk}%.1fx")
     spark.stop()

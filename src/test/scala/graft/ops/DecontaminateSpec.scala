@@ -43,7 +43,8 @@ class DecontaminateSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     val eval = evalDocs.toDF("id", "text")
     val grams = Decontaminate.evalGramSet(eval, "text", n = 5)
-    assert(grams.nonEmpty && grams.toSeq == grams.toSeq.sorted)
+    assert(grams.n == 5)
+    assert(grams.grams.nonEmpty && grams.grams.toSeq == grams.grams.toSeq.sorted)
 
     val incoming = Seq(
       (1L, "prefix words " + evalDocs.head._2 + " suffix words"), // leaks
@@ -53,7 +54,7 @@ class DecontaminateSpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(Long, String)]
     val gated = Decontaminate.streamGate(
-      mem.toDF().toDF("id", "text"), "text", grams, n = 5)
+      mem.toDF().toDF("id", "text"), "text", grams)
     val q = gated.writeStream.outputMode("append")
       .format("memory").queryName("gate_out").start()
     try {

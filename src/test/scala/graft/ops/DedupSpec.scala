@@ -113,8 +113,10 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("distinct-ngram kernel is value-identical to the portable HOF pipeline") {
-    val docs = randomDocs(13)
-    for (n <- Seq(2, 5, 8)) {
+    // include the empty-text edge: for n=1 the HOF's split('') = ['']
+    // yields the single code 0, which the kernel must reproduce
+    val docs = randomDocs(13).union(Seq((9999L, "")).toDF("doc_id", "text"))
+    for (n <- Seq(1, 2, 5, 8)) {
       val kernel = docs.select($"doc_id",
           Decontaminate.ngramSet($"text", n).as("ng"))
         .as[(Long, Seq[Long])].collect().toMap
