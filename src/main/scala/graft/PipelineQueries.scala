@@ -533,6 +533,14 @@ object PipelineQueries {
       .orderBy($"stage_idx")
   }
 
+  /** Rolling 7-day distinct active users per day (ops.Funnel
+    * .rollingActives) — sliding DISTINCT via explode-into-windows. */
+  def rollingActives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Funnel.rollingActives(Tables.events(s, dir), "user_id", "ts")
+      .orderBy($"window_period")
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -597,7 +605,8 @@ object PipelineQueries {
     "q85_fixed_sample"    -> (fixedSample _),
     "q86_funnel"          -> (funnel _),
     "q87_retention"       -> (retention _),
-    "q89_unpivot"         -> (unpivotCharClasses _))
+    "q89_unpivot"         -> (unpivotCharClasses _),
+    "q91_rolling_active"  -> (rollingActives _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -797,6 +806,19 @@ object PipelineQueries {
         |  UNION ALL SELECT lang, 'n_digits', n_digits FROM wide
         |  UNION ALL SELECT lang, 'n_punct', n_punct FROM wide) u
         |ORDER BY lang, metric""".stripMargin,
+    "q91_rolling_active" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS period
+        |  FROM events),
+        |mx AS (SELECT MAX(period) AS mp FROM a),
+        |v AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(period, least(period + 6, mx.mp))) AS window_period
+        |  FROM a, mx)
+        |SELECT window_period, COUNT(DISTINCT user_id) AS n_active
+        |FROM v GROUP BY 1
+        |ORDER BY window_period""".stripMargin,
     "q87_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,

@@ -63,6 +63,30 @@ object Funnel {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Rolling distinct actives (e.g. 7-day DAU→WAU): for each period, the
+    * count of distinct users active in the trailing `windowPeriods`
+    * periods. Sliding DISTINCT is inexpressible as a window function
+    * (frames aggregate values, not sets); the scalable shape is
+    * explode-into-affected-windows: dedup to (user, period) FIRST, then
+    * each pair votes in the `windowPeriods` windows it belongs to, and a
+    * groupBy counts distinct users per window. Shuffled rows =
+    * actives × windowPeriods — independent of raw event volume. Windows
+    * beyond the last activity are not emitted. */
+  def rollingActives(events: DataFrame, userCol: String, tsCol: String,
+      periodSec: Long = 24L * 3600, windowPeriods: Int = 7): DataFrame = {
+    require(periodSec >= 1 && windowPeriods >= 1,
+      s"need period >= 1s and window >= 1, got $periodSec/$windowPeriods")
+    val period = expr(s"unix_timestamp(`$tsCol`) div ${periodSec}L")
+    val activity = events.select(col(userCol), period.as("period")).distinct()
+    val lastP = activity.agg(max(col("period")).as("max_period"))
+    activity.crossJoin(broadcast(lastP))
+      .select(col(userCol), explode(sequence(col("period"),
+        least(col("period") + lit(windowPeriods - 1), col("max_period"))))
+        .as("window_period"))
+      .groupBy(col("window_period"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
+
   /** Funnel summary: one row per stage with the count of users whose
     * ordered chain reaches it. */
   def summary(events: DataFrame, userCol: String, tsCol: String,

@@ -66,6 +66,28 @@ class FunnelSpec extends SparkSpecBase {
     assert(got == Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 1L)))
   }
 
+  test("rollingActives: trailing-window distinct counts, hand-checked") {
+    def at(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // user 1 active days 0,1; user 2 active day 0 (twice); user 3 day 4
+    val e = Seq(
+      (1L, at(0)), (1L, at(1)),
+      (2L, at(0)), (2L, at(0)),
+      (3L, at(4))).toDF("user_id", "ts")
+    val got = Funnel.rollingActives(e, "user_id", "ts",
+        periodSec = 86400L, windowPeriods = 3)
+      .as[(Long, Long)].collect().toMap
+    val day0 = got.keys.min
+    // window d counts users active in [d-2, d]
+    val byOffset = got.map { case (k, v) => (k - day0, v) }
+    assert(byOffset == Map(
+      0L -> 2L, // day 0: users 1,2
+      1L -> 2L, // days 0-1: users 1,2
+      2L -> 2L, // days 0-2: users 1,2
+      3L -> 1L, // days 1-3: user 1
+      4L -> 1L  // days 2-4: user 3
+    ), byOffset.toString)
+  }
+
   test("invalid stage lists rejected") {
     intercept[IllegalArgumentException](
       Funnel.stageTimes(events, "user_id", "ts", "event_type", Seq.empty))
