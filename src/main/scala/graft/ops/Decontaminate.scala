@@ -62,8 +62,9 @@ object Decontaminate {
   /** A precomputed eval n-gram set: the codes AND the n they were built
     * with, bundled so a gate can never probe with a mismatched n-gram
     * size (5-gram codes vs 8-gram codes share essentially no hash
-    * values — a silent always-pass). */
-  final case class EvalGrams(n: Int, grams: Array[Long])
+    * values — a silent always-pass). Seq, not Array, so the case class
+    * keeps structural equality (arrays compare by reference). */
+  final case class EvalGrams(n: Int, grams: Seq[Long])
 
   /** The eval set's distinct n-gram codes as a driver value — the static
     * side of the STREAMING gate. Eval sets are benchmarks (thousands of
@@ -74,7 +75,7 @@ object Decontaminate {
     EvalGrams(n,
       eval.select(explode(ngramSet(col(textCol), n)).as("ngram"))
         .distinct()
-        .collect().map(_.getLong(0)).sorted)
+        .collect().map(_.getLong(0)).sorted.toSeq)
 
   /** Streaming decontamination gate: drop incoming documents that share
     * any word n-gram with the (static, precomputed) eval gram set —
@@ -88,5 +89,5 @@ object Decontaminate {
       evalGrams: EvalGrams): DataFrame =
     docsStream.filter(!arrays_overlap(
       ngramSet(col(textCol), evalGrams.n),
-      lit(evalGrams.grams)))
+      lit(evalGrams.grams.toArray)))
 }

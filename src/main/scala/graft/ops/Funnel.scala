@@ -53,8 +53,8 @@ object Funnel {
   def retention(events: DataFrame, userCol: String, tsCol: String,
       periodSec: Long = 7L * 24 * 3600): DataFrame = {
     require(periodSec >= 1, s"period must be >= 1s, got $periodSec")
-    val period = expr(s"unix_timestamp(`$tsCol`) div ${periodSec}L")
-    val activity = events.select(col(userCol), period.as("period")).distinct()
+    val activity = events
+      .select(col(userCol), periodOf(tsCol, periodSec).as("period")).distinct()
     val cohorts = activity.groupBy(col(userCol))
       .agg(min(col("period")).as("cohort"))
     activity.join(cohorts, Seq(userCol))
@@ -62,6 +62,14 @@ object Funnel {
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Epoch-seconds FLOOR division into periods — exact integers, and
+    * floor (not truncate-toward-zero) so pre-1970 timestamps land in the
+    * same bucket both here and in the oracle's `//`: Spark's `div`
+    * truncates, so -1s would otherwise bucket with +1s. pmod's
+    * non-negative remainder makes (x − pmod(x, p)) exactly divisible. */
+  private def periodOf(tsCol: String, periodSec: Long) = expr(
+    s"(unix_timestamp(`$tsCol`) - pmod(unix_timestamp(`$tsCol`), ${periodSec}L)) div ${periodSec}L")
 
   /** Rolling distinct actives (e.g. 7-day DAU→WAU): for each period, the
     * count of distinct users active in the trailing `windowPeriods`
@@ -76,8 +84,8 @@ object Funnel {
       periodSec: Long = 24L * 3600, windowPeriods: Int = 7): DataFrame = {
     require(periodSec >= 1 && windowPeriods >= 1,
       s"need period >= 1s and window >= 1, got $periodSec/$windowPeriods")
-    val period = expr(s"unix_timestamp(`$tsCol`) div ${periodSec}L")
-    val activity = events.select(col(userCol), period.as("period")).distinct()
+    val activity = events
+      .select(col(userCol), periodOf(tsCol, periodSec).as("period")).distinct()
     val lastP = activity.agg(max(col("period")).as("max_period"))
     activity.crossJoin(broadcast(lastP))
       .select(col(userCol), explode(sequence(col("period"),

@@ -44,7 +44,9 @@ class DecontaminateSpec extends SparkSpecBase {
     val eval = evalDocs.toDF("id", "text")
     val grams = Decontaminate.evalGramSet(eval, "text", n = 5)
     assert(grams.n == 5)
-    assert(grams.grams.nonEmpty && grams.grams.toSeq == grams.grams.toSeq.sorted)
+    assert(grams.grams.nonEmpty && grams.grams == grams.grams.sorted)
+    assert(grams == Decontaminate.EvalGrams(5, grams.grams.toVector),
+      "EvalGrams must compare structurally")
 
     val incoming = Seq(
       (1L, "prefix words " + evalDocs.head._2 + " suffix words"), // leaks

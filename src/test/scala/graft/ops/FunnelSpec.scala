@@ -88,6 +88,18 @@ class FunnelSpec extends SparkSpecBase {
     ), byOffset.toString)
   }
 
+  test("period bucketing floors (not truncates): pre-1970 timestamps") {
+    // 1969-12-31 12:00 UTC = epoch -43200 -> floor day -1; truncate-toward-
+    // zero would give 0 and merge it with 1970-01-01
+    val e = Seq(
+      (1L, Timestamp.valueOf("1969-12-31 12:00:00")),
+      (2L, Timestamp.valueOf("1970-01-01 12:00:00"))).toDF("user_id", "ts")
+    val got = Funnel.retention(e, "user_id", "ts", periodSec = 86400L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((-1L, 0L, 1L), (0L, 0L, 1L)),
+      s"pre-1970 day must bucket to -1, got $got")
+  }
+
   test("invalid stage lists rejected") {
     intercept[IllegalArgumentException](
       Funnel.stageTimes(events, "user_id", "ts", "event_type", Seq.empty))
