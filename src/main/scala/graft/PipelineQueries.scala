@@ -541,6 +541,31 @@ object PipelineQueries {
       .orderBy($"window_period")
   }
 
+  /** Edit-distance verification of near-dup candidates: q32's MinHash LSH
+    * pairs re-scored with true Levenshtein distance on the normalized
+    * text — the exact-verifier stage of fuzzy dedup, O(L²) work confined
+    * to the candidate pairs LSH produced (never all pairs). Joins are
+    * id-keyed; the corpus text moves only for the ~25 candidate rows.
+    * Oracle-exact: the corpus is pure ASCII (byte ≡ char distances) and
+    * both engines implement the same DP; edit_sim = 1 − lev/maxLen is a
+    * double of exact integers, rounded. */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", Dedup.normText($"text").as("nt"))
+    val cand = Dedup.minHashCandidates(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.4)
+      .select($"a_id", $"b_id")
+    cand
+      .join(docs.select($"doc_id".as("a_id"), $"nt".as("na")), Seq("a_id"))
+      .join(docs.select($"doc_id".as("b_id"), $"nt".as("nb")), Seq("b_id"))
+      .select($"a_id", $"b_id",
+        levenshtein($"na", $"nb").cast("long").as("lev"),
+        round(lit(1.0d) - levenshtein($"na", $"nb").cast("double") /
+          greatest(length($"na"), length($"nb")).cast("double"), 6).as("edit_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -606,7 +631,8 @@ object PipelineQueries {
     "q86_funnel"          -> (funnel _),
     "q87_retention"       -> (retention _),
     "q89_unpivot"         -> (unpivotCharClasses _),
-    "q91_rolling_active"  -> (rollingActives _))
+    "q91_rolling_active"  -> (rollingActives _),
+    "q92_edit_distance"   -> (editDistancePairs _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -806,6 +832,17 @@ object PipelineQueries {
         |  UNION ALL SELECT lang, 'n_digits', n_digits FROM wide
         |  UNION ALL SELECT lang, 'n_punct', n_punct FROM wide) u
         |ORDER BY lang, metric""".stripMargin,
+    "q92_edit_distance" ->
+      s"""WITH $minhashCtes,
+         |d AS (SELECT doc_id, $norm AS nt FROM documents)
+         |SELECT c.a_id, c.b_id,
+         |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+         |  ROUND(CAST(1.0 AS DOUBLE) - CAST(levenshtein(a.nt, b.nt) AS DOUBLE) /
+         |    CAST(greatest(length(a.nt), length(b.nt)) AS DOUBLE), 6) AS edit_sim
+         |FROM cand c
+         |JOIN d a ON a.doc_id = c.a_id
+         |JOIN d b ON b.doc_id = c.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
     "q91_rolling_active" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,
