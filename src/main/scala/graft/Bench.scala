@@ -43,7 +43,8 @@ object Bench {
     "q80_zorder_layout", "q81_epoch_shuffle", "q82_bm25_topk",
     "q83_chunk_dedup", "q84_matryoshka_topk", "q85_fixed_sample",
     "q86_funnel", "q87_retention", "q88_binary_hamming", "q89_unpivot",
-    "q90_revenue_share", "q91_rolling_active", "q92_edit_distance")
+    "q90_revenue_share", "q91_rolling_active", "q92_edit_distance",
+    "q93_length_curriculum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -566,6 +566,28 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Length-curriculum buckets — global deciles WITHOUT a global sort:
+    * `ntile(10) OVER (ORDER BY n_chars)` would funnel the corpus through
+    * one sort partition; instead the 9 interior decile boundaries are
+    * one tiny exact-percentile aggregate (swap in the q75 histogram
+    * sketch at 100 TB), broadcast, and bucket assignment is a map-only
+    * comparison count. Value-based buckets (ties share a bucket), which
+    * is what curriculum schedules actually want. */
+  def lengthCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fracs = (1 to 9).map(i => s"${i / 10.0d}").mkString(", ")
+    val bounds = Tables.documents(s, dir)
+      .agg(expr(s"percentile(n_chars, array($fracs))").as("bs"))
+    Tables.documents(s, dir)
+      .crossJoin(broadcast(bounds))
+      .select($"doc_id", $"n_chars",
+        (size(filter($"bs", b => $"n_chars" > b)) + 1).cast("long").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"bucket")
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -632,7 +654,8 @@ object PipelineQueries {
     "q87_retention"       -> (retention _),
     "q89_unpivot"         -> (unpivotCharClasses _),
     "q91_rolling_active"  -> (rollingActives _),
-    "q92_edit_distance"   -> (editDistancePairs _))
+    "q92_edit_distance"   -> (editDistancePairs _),
+    "q93_length_curriculum" -> (lengthCurriculum _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -832,6 +855,17 @@ object PipelineQueries {
         |  UNION ALL SELECT lang, 'n_digits', n_digits FROM wide
         |  UNION ALL SELECT lang, 'n_punct', n_punct FROM wide) u
         |ORDER BY lang, metric""".stripMargin,
+    "q93_length_curriculum" -> {
+      val qs = (1 to 9).map(i => s"quantile_cont(n_chars, ${i / 10.0d})").mkString(", ")
+      s"""WITH b AS (SELECT [$qs] AS bs FROM documents),
+         |a AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(1 + len(list_filter(b.bs, x -> n_chars > x)) AS BIGINT) AS bucket
+         |  FROM documents, b)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "q92_edit_distance" ->
       s"""WITH $minhashCtes,
          |d AS (SELECT doc_id, $norm AS nt FROM documents)
