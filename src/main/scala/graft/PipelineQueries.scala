@@ -559,10 +559,12 @@ object PipelineQueries {
     cand
       .join(docs.select($"doc_id".as("a_id"), $"nt".as("na")), Seq("a_id"))
       .join(docs.select($"doc_id".as("b_id"), $"nt".as("nb")), Seq("b_id"))
+      // project the DP result once; edit_sim derives from the column
       .select($"a_id", $"b_id",
         levenshtein($"na", $"nb").cast("long").as("lev"),
-        round(lit(1.0d) - levenshtein($"na", $"nb").cast("double") /
-          greatest(length($"na"), length($"nb")).cast("double"), 6).as("edit_sim"))
+        greatest(length($"na"), length($"nb")).cast("double").as("_ml"))
+      .select($"a_id", $"b_id", $"lev",
+        round(lit(1.0d) - $"lev".cast("double") / $"_ml", 6).as("edit_sim"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -868,20 +870,25 @@ object PipelineQueries {
     },
     "q92_edit_distance" ->
       s"""WITH $minhashCtes,
-         |d AS (SELECT doc_id, $norm AS nt FROM documents)
-         |SELECT c.a_id, c.b_id,
-         |  CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
-         |  ROUND(CAST(1.0 AS DOUBLE) - CAST(levenshtein(a.nt, b.nt) AS DOUBLE) /
-         |    CAST(greatest(length(a.nt), length(b.nt)) AS DOUBLE), 6) AS edit_sim
-         |FROM cand c
-         |JOIN d a ON a.doc_id = c.a_id
-         |JOIN d b ON b.doc_id = c.b_id
+         |d AS (SELECT doc_id, $norm AS nt FROM documents),
+         |p AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+         |    CAST(greatest(length(a.nt), length(b.nt)) AS DOUBLE) AS ml
+         |  FROM cand c
+         |  JOIN d a ON a.doc_id = c.a_id
+         |  JOIN d b ON b.doc_id = c.b_id)
+         |SELECT a_id, b_id, lev,
+         |  ROUND(CAST(1.0 AS DOUBLE) - CAST(lev AS DOUBLE) / ml, 6) AS edit_sim
+         |FROM p
          |ORDER BY a_id, b_id""".stripMargin,
     "q91_rolling_active" ->
-      """WITH a AS (
+      """WITH s AS (
+        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |a AS (
         |  SELECT DISTINCT user_id,
-        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS period
-        |  FROM events),
+        |    (es - ((es % 86400) + 86400) % 86400) // 86400 AS period
+        |  FROM s),
         |mx AS (SELECT MAX(period) AS mp FROM a),
         |v AS (
         |  SELECT user_id,
@@ -891,10 +898,12 @@ object PipelineQueries {
         |FROM v GROUP BY 1
         |ORDER BY window_period""".stripMargin,
     "q87_retention" ->
-      """WITH a AS (
+      """WITH s AS (
+        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |a AS (
         |  SELECT DISTINCT user_id,
-        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS period
-        |  FROM events),
+        |    (es - ((es % 604800) + 604800) % 604800) // 604800 AS period
+        |  FROM s),
         |c AS (SELECT user_id, MIN(period) AS cohort FROM a GROUP BY 1)
         |SELECT c.cohort, a.period - c.cohort AS period_offset,
         |  COUNT(DISTINCT a.user_id) AS n_users

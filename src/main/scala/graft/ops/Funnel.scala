@@ -64,10 +64,11 @@ object Funnel {
   }
 
   /** Epoch-seconds FLOOR division into periods — exact integers, and
-    * floor (not truncate-toward-zero) so pre-1970 timestamps land in the
-    * same bucket both here and in the oracle's `//`: Spark's `div`
-    * truncates, so -1s would otherwise bucket with +1s. pmod's
-    * non-negative remainder makes (x − pmod(x, p)) exactly divisible. */
+    * floor (not truncate-toward-zero, which is what both Spark's `div`
+    * AND DuckDB's `//` do) so pre-1970 timestamps bucket
+    * calendar-consistently: 1969-12-31 is day −1, not day 0. pmod's
+    * non-negative remainder makes (x − pmod(x, p)) exactly divisible;
+    * the oracles replay the same identity with ((s % p) + p) % p. */
   private def periodOf(tsCol: String, periodSec: Long) = expr(
     s"(unix_timestamp(`$tsCol`) - pmod(unix_timestamp(`$tsCol`), ${periodSec}L)) div ${periodSec}L")
 
