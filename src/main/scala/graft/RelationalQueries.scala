@@ -591,6 +591,94 @@ object RelationalQueries {
       .orderBy($"p_brand")
   }
 
+  /** Time-series gap-fill + forward-fill (resample): per-user hourly
+    * grid from first to last active hour (`sequence` explode — map-only
+    * row generation, no join against a global calendar), left join of
+    * the hourly aggregate, missing hours as explicit zero-count rows,
+    * and the value column forward-filled with `last(_, ignoreNulls)`
+    * over a ROWS frame. Plan: one shuffle for the hourly aggregate, one
+    * for the (user,hr) join, one window — the grid explode itself never
+    * shuffles. At 100 TB the grid is bounded by users × span-hours, not
+    * by event count, and partitions by user_id with no skew beyond the
+    * per-user span. Output epochs as BIGINT (q08 convention). */
+  def gapFillHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .filter($"user_id" < 25)
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2($"value")).cast("double").as("hr_value"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy($"user_id").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select($"user_id",
+        (unix_timestamp($"hr")).as("hour_epoch"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        last($"hr_value", ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy($"user_id", $"hour_epoch")
+  }
+
+  /** Winsorized robust statistics: per-group P05/P95 as EXACT order
+    * statistics (row_number against integer-arithmetic ranks ⌈n/20⌉ and
+    * ⌈19n/20⌉ — no interpolation, so both engines land on the same data
+    * value), then the clamped DECIMAL-exact mean and clamp counts. Two
+    * passes over the group but only ONE shuffle: the rank window and the
+    * threshold aggregate reuse the same hash partitioning on the group
+    * key (Exchange reuse), and the thresholds (4 rows) broadcast back. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", dec2($"l_extendedprice").as("price"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"price")
+    val ranked = li
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+    val thresholds = ranked.groupBy($"l_returnflag")
+      .agg(
+        max(when($"rn" === expr("(n + 19) div 20"), $"price")).as("p05"),
+        max(when($"rn" === expr("(n * 19 + 19) div 20"), $"price")).as("p95"))
+    li.join(broadcast(thresholds), "l_returnflag")
+      .withColumn("clamped", greatest($"p05", least($"p95", $"price")))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"p05").cast("double").as("p05"),
+        min($"p95").cast("double").as("p95"),
+        sum($"clamped").cast("double").as("win_sum"),
+        sum(when($"price" < $"p05", 1L).otherwise(0L)).as("n_lo"),
+        sum(when($"price" > $"p95", 1L).otherwise(0L)).as("n_hi"))
+      .withColumn("win_mean", $"win_sum" / $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  /** Last-touch attribution: each purchase event is credited to the
+    * channel of the most recent PRIOR click by the same user —
+    * `last(channel, ignoreNulls)` over (user ORDER BY ts, event_id ROWS
+    * UNBOUNDED PRECEDING), where non-click rows contribute NULL; no
+    * prior click ⇒ 'organic'. One shuffle on user_id for the window,
+    * then the channel rollup. The lookback is the whole user history —
+    * state per user is one channel value, constant at any scale. */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val channel = when($"event_type" === "click",
+      concat(lit("ch"),
+        (get_json_object($"props", "$.k").cast("long") % 4).cast("string")))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("attr",
+        coalesce(last(channel, ignoreNulls = true).over(w), lit("organic")))
+      .filter($"event_type" === "purchase")
+      .groupBy($"attr".as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec2($"value")).cast("double").as("revenue"))
+      .orderBy($"channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
@@ -626,7 +714,10 @@ object RelationalQueries {
     "q69_bloom_semijoin"   -> (bloomSemiJoinStats _),
     "q75_histogram_quantiles" -> (histogramQuantiles _),
     "q76_window_suite"     -> (windowSuite _),
-    "q90_revenue_share"    -> (revenueShare _))
+    "q90_revenue_share"    -> (revenueShare _),
+    "q96_gap_fill"         -> (gapFillHourly _),
+    "q98_winsorize"        -> (winsorizedStats _),
+    "q101_attribution"     -> (lastTouchAttribution _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -680,6 +771,66 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q49_approx_distinct" -> kmvOracle,
+    "q96_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hr_value
+        |  FROM events WHERE user_id < 25
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+        |        FROM hourly GROUP BY user_id))
+        |SELECT g.user_id, CAST(epoch(g.hr) AS BIGINT) AS hour_epoch,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  last_value(h.hr_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+        |ORDER BY g.user_id, hour_epoch""".stripMargin,
+    "q98_winsorize" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT l_returnflag, price,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |th AS (
+        |  SELECT l_returnflag,
+        |    MAX(CASE WHEN rn = (n + 19) // 20 THEN price END) AS p05,
+        |    MAX(CASE WHEN rn = (n * 19 + 19) // 20 THEN price END) AS p95
+        |  FROM ranked GROUP BY l_returnflag)
+        |SELECT li.l_returnflag, COUNT(*) AS n,
+        |  CAST(MIN(p05) AS DOUBLE) AS p05,
+        |  CAST(MIN(p95) AS DOUBLE) AS p95,
+        |  CAST(SUM(CASE WHEN price < p05 THEN p05
+        |               WHEN price > p95 THEN p95 ELSE price END) AS DOUBLE) AS win_sum,
+        |  CAST(SUM(CASE WHEN price < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN price > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(SUM(CASE WHEN price < p05 THEN p05
+        |               WHEN price > p95 THEN p95 ELSE price END) AS DOUBLE) / COUNT(*) AS win_mean
+        |FROM li JOIN th USING (l_returnflag)
+        |GROUP BY li.l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q101_attribution" ->
+      """WITH attr AS (
+        |  SELECT event_type, value,
+        |    COALESCE(last_value(
+        |      CASE WHEN event_type = 'click'
+        |        THEN 'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS VARCHAR)
+        |      END IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      'organic') AS channel
+        |  FROM events)
+        |SELECT channel, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM attr WHERE event_type = 'purchase'
+        |GROUP BY channel
+        |ORDER BY channel""".stripMargin,
     "q90_revenue_share" ->
       """WITH r AS (
         |  SELECT p_brand,

@@ -217,4 +217,25 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan("q85_fixed_sample")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
+
+  test("q96: gap-fill grid explodes map-side; no cartesian, no global sort before the window") {
+    val p = plan("q96_gap_fill")
+    assert(p.contains("Generate explode"), s"grid must be a map-side explode:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"grid-to-hourly join must be an equi-join:\n$p")
+  }
+
+  test("q98: winsorize thresholds broadcast back to the fact side") {
+    val p = plan("q98_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"4-row thresholds must broadcast, not shuffle the fact:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q101: attribution is one window pass, no self-join of events") {
+    val p = plan("q101_attribution")
+    assert(p.contains("Window"), s"expected window operator:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"last-touch must not self-join events:\n$p")
+  }
 }
