@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{Chunking, Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators over the `documents`/`embeddings` testdata:
@@ -615,6 +616,71 @@ object PipelineQueries {
       .orderBy($"lang", $"metric")
   }
 
+  /** Conjunctive boolean retrieval over the inverted-index pattern: the
+    * postings of the three query terms (filter pushed INTO the token
+    * explode — the scan reads only matching rows' text), intersected by
+    * requiring all |Q| distinct terms per doc, ranked by total term
+    * frequency. The rank-then-limit is TakeOrderedAndProject — at 100 TB
+    * the only shuffle is the per-doc aggregate of the ~|Q| matching
+    * postings, never the full token explosion of non-matching docs. */
+  def booleanRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qTerms = Seq("dup", "vector", "spark")
+    val hits = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+      .filter($"term".isin(qTerms: _*))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"term").as("n_terms"), count(lit(1)).as("tf"))
+      .filter($"n_terms" === qTerms.length)
+      .select($"doc_id", $"tf")
+      .orderBy($"tf".desc, $"doc_id")
+      .limit(20)
+    hits.withColumn("rnk",
+      row_number().over(Window.orderBy($"tf".desc, $"doc_id")).cast("long"))
+      .orderBy($"rnk")
+  }
+
+  /** Prefix-filtered exact Jaccard join ([[Dedup.prefixJaccardJoin]],
+    * PPJoin prefix filter) at τ = 1/5 over 3-shingle sets — the SCALE
+    * path for what q31 verifies all-pairs on a slice: identical pairs
+    * and values, but candidates come from an equi-join on rare-prefix
+    * shingles (96% of pairs pruned on this corpus) instead of a cross
+    * product. Oracle replays the df-ordered prefix ranks exactly
+    * (integer ⌈τL⌉, ties by shingle text). */
+  def prefixJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.prefixJaccardJoin(Tables.documents(s, dir), "doc_id", "text",
+        tauNum = 1, tauDen = 5)
+      .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Dataset card: the one-page per-source summary a curation run ships
+    * with — volume, token counts, language mix (argmax with lexicographic
+    * tie-break), exact-duplicate rate, mean length. Two grouped
+    * aggregates (source; source×lang) + a 1-row-per-source join; every
+    * count is exact and the ratios are double-of-exact-ints. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+    val bySource = d.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount($"text").cast("long")).as("sum_tokens"),
+      countDistinct($"lang").as("n_langs"),
+      (count(lit(1)) - countDistinct(Dedup.normText($"text"))).as("n_exact_dups"),
+      sum($"n_chars").as("sum_chars"))
+    val topLang = d.groupBy($"source", $"lang").agg(count(lit(1)).as("_n"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"_n".desc, $"lang")))
+      .filter($"_rn" === 1)
+      .select($"source", $"lang".as("top_lang"))
+    bySource.join(topLang, "source")
+      .select($"source", $"n_docs", $"sum_tokens", $"n_langs", $"top_lang",
+        ($"n_exact_dups".cast("double") / $"n_docs").as("dup_rate"),
+        ($"sum_chars".cast("double") / $"n_docs").as("avg_chars"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -657,7 +723,10 @@ object PipelineQueries {
     "q89_unpivot"         -> (unpivotCharClasses _),
     "q91_rolling_active"  -> (rollingActives _),
     "q92_edit_distance"   -> (editDistancePairs _),
-    "q93_length_curriculum" -> (lengthCurriculum _))
+    "q93_length_curriculum" -> (lengthCurriculum _),
+    "q95_boolean_retrieval" -> (booleanRetrieval _),
+    "q97_prefix_jaccard"  -> (prefixJaccard _),
+    "q100_dataset_card"   -> (datasetCard _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1386,5 +1455,73 @@ object PipelineQueries {
          |  $bins
          |FROM documents
          |ORDER BY doc_id""".stripMargin
-    })
+    },
+    "q95_boolean_retrieval" ->
+      s"""WITH hits AS (
+         |  SELECT doc_id,
+         |    COUNT(DISTINCT term) AS n_terms, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+         |        FROM documents) t
+         |  WHERE term IN ('dup', 'vector', 'spark')
+         |  GROUP BY doc_id
+         |  HAVING COUNT(DISTINCT term) = 3)
+         |SELECT doc_id, tf,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS BIGINT) AS rnk
+         |FROM hits
+         |ORDER BY tf DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    "q97_prefix_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+         |           WHERE len(string_split($norm, ' ')) >= 3),
+         |st AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(ws) - 2),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+         |  FROM w),
+         |dfreq AS (SELECT shingle, COUNT(*) AS df FROM st GROUP BY 1),
+         |ord AS (
+         |  SELECT st.doc_id, st.shingle,
+         |    ROW_NUMBER() OVER (PARTITION BY st.doc_id ORDER BY df.df, st.shingle) AS rn,
+         |    COUNT(*) OVER (PARTITION BY st.doc_id) AS L
+         |  FROM st JOIN dfreq df USING (shingle)),
+         |pref AS (
+         |  SELECT doc_id, shingle FROM ord
+         |  WHERE rn <= L - (L * 1 + 4) // 5 + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM st GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, COUNT(*) AS ni
+         |  FROM cand c
+         |  JOIN st sa ON sa.doc_id = c.a_id
+         |  JOIN st sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  ROUND(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 6) AS jaccard
+         |FROM inter
+         |JOIN sz za ON za.doc_id = a_id
+         |JOIN sz zb ON zb.doc_id = b_id
+         |WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q100_dataset_card" ->
+      s"""WITH base AS (
+         |  SELECT source,
+         |    COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split($norm, ' '))) AS BIGINT) AS sum_tokens,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    COUNT(*) - COUNT(DISTINCT $norm) AS n_exact_dups,
+         |    SUM(n_chars) AS sum_chars
+         |  FROM documents GROUP BY source),
+         |tl AS (
+         |  SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang,
+         |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn
+         |    FROM documents GROUP BY source, lang) t
+         |  WHERE rn = 1)
+         |SELECT b.source, b.n_docs, b.sum_tokens, b.n_langs, tl.top_lang,
+         |  CAST(b.n_exact_dups AS DOUBLE) / b.n_docs AS dup_rate,
+         |  CAST(b.sum_chars AS DOUBLE) / b.n_docs AS avg_chars
+         |FROM base b JOIN tl USING (source)
+         |ORDER BY b.source""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation — the north-star
@@ -363,5 +364,57 @@ object Dedup {
       when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
     votes.select(col(idCol), fpExpr.as("simhash"))
+  }
+
+  /** Prefix-filtered set-similarity join (PPJoin-style prefix filter,
+    * Chaudhuri et al. "A Primitive Operator for Similarity Joins" /
+    * Xiao et al. PPJoin): exact token-set Jaccard join at threshold τ
+    * WITHOUT the all-pairs cross product. Per document, order its
+    * distinct w-shingles by ascending global document frequency (rarest
+    * first, ties by shingle text); any pair with Jaccard ≥ τ must share
+    * a shingle in each side's first L − ⌈τ·L⌉ + 1 (the prefix), so the
+    * candidate set is the equi-join of PREFIX shingles only — frequent
+    * shingles never generate pairs. Candidates are then verified with
+    * exact intersection counts. Complete (no false negatives) by the
+    * prefix-filter guarantee; the prefix rank uses integer arithmetic
+    * (⌈τL⌉ via div) so an engine replaying it lands on identical
+    * candidates. Scale: one shuffle for the DF count, one window by doc,
+    * the candidate equi-join on shingle, and a verify join linear in
+    * |candidates|·shingles-per-doc — survives corpora where the q31
+    * all-pairs verifier is quadratic. τ must be a rational p/q supplied
+    * as integers to keep ⌈τL⌉ exact. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int, w: Int = 3): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"need 0 < τ ≤ 1, got $tauNum/$tauDen")
+    val st = shingles(df, idCol, textCol, w) // (id, shingle) distinct
+    val dfreq = st.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
+    val ord = st.join(dfreq, "shingle")
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_L", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    // prefix length = L − ⌈τL⌉ + 1, all-integer: ⌈τL⌉ = (τnum·L + τden − 1) div τden
+    val pref = ord
+      .filter(col("_rn") <=
+        col("_L") - expr(s"(_L * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col(idCol), col("shingle"))
+    val cand = pref.as("a").join(pref.as("b"), Seq("shingle"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    val sizes = st.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val inter = cand
+      .join(st.as("sa"), col("a_id") === col(s"sa.$idCol"))
+      .join(st.as("sb"),
+        col("b_id") === col(s"sb.$idCol")
+          && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("_ni"))
+    inter
+      .join(sizes.as("za"), col("a_id") === col(s"za.$idCol"))
+      .join(sizes.as("zb"), col("b_id") === col(s"zb.$idCol"))
+      .select(col("a_id"), col("b_id"),
+        (col("_ni").cast("double") /
+          (col(s"za._n") + col(s"zb._n") - col("_ni"))).as("jaccard"))
+      .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
   }
 }

@@ -232,6 +232,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q95: retrieval filter pushes into the scan; rank is bounded top-k") {
+    val p = plan("q95_boolean_retrieval")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded top-k, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q97: prefix-jaccard candidates come from equi-joins, never a cross product") {
+    val p = plan("q97_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"),
+      s"prefix filter must make every join an equi-join:\n$p")
+  }
+
   test("q101: attribution is one window pass, no self-join of events") {
     val p = plan("q101_attribution")
     assert(p.contains("Window"), s"expected window operator:\n$p")

@@ -171,4 +171,30 @@ class DedupSpec extends SparkSpecBase {
     assert(fast.keySet.nonEmpty)
     fast.keySet.foreach { id => assert(fast(id) == slow(id), s"doc $id") }
   }
+
+  test("prefix-filtered jaccard join equals the all-pairs verifier (no false negatives)") {
+    // property behind the prefix filter: for ANY corpus, the candidates
+    // surviving the prefix equi-join contain every pair with J >= τ
+    for (seed <- Seq(3, 11, 42)) {
+      val docs = randomDocs(seed)
+      val naive = Dedup.jaccardPairs(docs, "doc_id", "text", w = 2, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      val pruned = Dedup.prefixJaccardJoin(docs, "doc_id", "text",
+          tauNum = 1, tauDen = 2, w = 2)
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      assert(pruned.keySet == naive.keySet, s"seed $seed: pair sets differ")
+      naive.keySet.foreach { k =>
+        assert(pruned(k) == naive(k), s"seed $seed: value differs at $k")
+      }
+    }
+  }
+
+  test("prefix jaccard rejects τ outside (0, 1]") {
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardJoin(docs, "doc_id", "text", tauNum = 0, tauDen = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardJoin(docs, "doc_id", "text", tauNum = 6, tauDen = 5)
+    }
+  }
 }
