@@ -44,7 +44,11 @@ object Bench {
     "q83_chunk_dedup", "q84_matryoshka_topk", "q85_fixed_sample",
     "q86_funnel", "q87_retention", "q88_binary_hamming", "q89_unpivot",
     "q90_revenue_share", "q91_rolling_active", "q92_edit_distance",
-    "q93_length_curriculum")
+    "q93_length_curriculum",
+    "q94_semdedup", "q95_boolean_retrieval", "q96_gap_fill",
+    "q97_prefix_jaccard", "q98_winsorize", "q99_pq_adc",
+    "q100_dataset_card", "q101_attribution", "q102_bigram_logprob",
+    "q103_containment", "q104_label_cohesion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

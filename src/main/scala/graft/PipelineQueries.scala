@@ -681,6 +681,40 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** Semantic dedup (SemDeDup): k-means cells + within-cell greedy prune
+    * ([[graft.ops.SemDedup.prunedWithinCells]]) — the embedding-space
+    * answer to what MinHash does lexically. Oracle replays the FULL
+    * k-means training (q52's portable arithmetic, trained on all rows),
+    * the cell assignment, and every within-cell prune decision. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.SemDedup.prunedWithinCells(
+        Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+        "vec_id", "embedding", nc = 16, iters = 2, threshold = 0.4)
+      .orderBy($"vec_id")
+  }
+
+  /** Add-one-smoothed bigram LM document scores
+    * ([[TextAnalysis.bigramLogProb]]) — the perplexity-proxy quality
+    * signal one rung above q78's unigram model. */
+  def bigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** Directed containment near-dup pairs ([[Dedup.containmentPairs]]):
+    * docs whose 3-shingle set is ≥70% contained in another doc's —
+    * the quote/subset-duplicate signal Jaccard under-reports. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.7, maxDf = 20)
+      .select($"a_id", $"b_id", $"n_a", $"n_inter",
+        round($"containment", 6).as("containment"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -724,9 +758,12 @@ object PipelineQueries {
     "q91_rolling_active"  -> (rollingActives _),
     "q92_edit_distance"   -> (editDistancePairs _),
     "q93_length_curriculum" -> (lengthCurriculum _),
+    "q94_semdedup"        -> (semDedup _),
     "q95_boolean_retrieval" -> (booleanRetrieval _),
     "q97_prefix_jaccard"  -> (prefixJaccard _),
-    "q100_dataset_card"   -> (datasetCard _))
+    "q100_dataset_card"   -> (datasetCard _),
+    "q102_bigram_logprob" -> (bigramLogProb _),
+    "q103_containment"    -> (containment _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1456,6 +1493,80 @@ object PipelineQueries {
          |FROM documents
          |ORDER BY doc_id""".stripMargin
     },
+    "q102_bigram_logprob" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+         |  WHERE len(string_split($norm, ' ')) >= 2),
+         |bi AS (
+         |  SELECT doc_id, b['p'] AS p, b['c'] AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(p := ws[i], c := ws[i + 1]))) AS b
+         |    FROM w)),
+         |pc AS (SELECT p, c, COUNT(*) AS cpc FROM bi GROUP BY 1, 2),
+         |cx AS (SELECT p, COUNT(*) AS cp FROM bi GROUP BY 1),
+         |vb AS (SELECT COUNT(DISTINCT t) AS v FROM (
+         |  SELECT unnest(string_split($norm, ' ')) AS t FROM documents) u
+         |  WHERE length(t) > 0),
+         |m AS (
+         |  SELECT bi.doc_id,
+         |    CAST(round(ln(CAST(pc.cpc + 1 AS DOUBLE) / CAST(cx.cp + vb.v AS DOUBLE))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |  FROM bi JOIN pc USING (p, c) JOIN cx USING (p), vb)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(micro) AS BIGINT) AS sum_micro_nats,
+         |  ROUND(CAST(SUM(micro) AS DOUBLE) /
+         |    (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q103_containment" ->
+      s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+         |           WHERE len(string_split($norm, ' ')) >= 3),
+         |st AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(ws) - 2),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+         |  FROM w),
+         |dfreq AS (SELECT shingle, COUNT(*) AS df FROM st GROUP BY 1),
+         |rare AS (
+         |  SELECT st.doc_id, st.shingle FROM st JOIN dfreq USING (shingle)
+         |  WHERE dfreq.df <= 20),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM st GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, COUNT(*) AS ni
+         |  FROM cand c
+         |  JOIN st sa ON sa.doc_id = c.a_id
+         |  JOIN st sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, za.n AS n_a, ni AS n_inter,
+         |  ROUND(CAST(ni AS DOUBLE) / za.n, 6) AS containment
+         |FROM inter JOIN sz za ON za.doc_id = a_id
+         |WHERE CAST(ni AS DOUBLE) / za.n >= 0.7
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q94_semdedup" ->
+      s"""WITH ${VectorQueries.kmeansCtes("", "embedding", 64, 16, 42L, _ => "TRUE", unitNorm = true)},
+         |cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM cdist) t WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |sims AS (
+         |  SELECT p.a_id, p.b_id, p.cell,
+         |    ROUND(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+         |      (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+         |       SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS sim
+         |  FROM pairs p
+         |  JOIN embeddings a ON a.vec_id = p.a_id
+         |  JOIN embeddings b ON b.vec_id = p.b_id,
+         |  generate_series(1, 64) i(i)
+         |  GROUP BY 1, 2, 3)
+         |SELECT b_id AS vec_id, cell, MIN(a_id) AS kept_id, MAX(sim) AS max_sim
+         |FROM sims WHERE sim >= 0.4
+         |GROUP BY b_id, cell
+         |ORDER BY vec_id""".stripMargin,
     "q95_boolean_retrieval" ->
       s"""WITH hits AS (
          |  SELECT doc_id,

@@ -140,6 +140,42 @@ object VectorQueries {
       .orderBy($"label", $"pos")
   }
 
+  /** Per-label cohesion: mean and min cosine of each member to its label
+    * centroid — the embedding-space cluster-quality audit (is label k a
+    * tight cluster or a junk drawer?). All arithmetic is portable:
+    * members and centroid-SUMS are micro-quantized integers (cosine is
+    * scale-invariant, so cos(v, mean) = cos(round(v·1e6), Σround(v·1e6))
+    * exactly — no float division by n anywhere), per-member cosines are
+    * micro-rounded before the label mean. Plan: two shuffles (centroid
+    * sums; per-member parts) + the presentation sort; the (label,pos)
+    * join reuses the centroid exchange. Long products stay < 2⁶³ up to
+    * ~10⁵ members/label at |v|≤1 — past that, lift the sums to DECIMAL. */
+  def labelCohesion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pe = Tables.embeddings(s, dir)
+      .select($"label", $"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"label", $"vec_id", $"pos",
+        round($"v".cast("double") * 1e6d).cast("long").as("vm"))
+    val cent = pe.groupBy($"label", $"pos").agg(sum($"vm").as("sm"))
+    val parts = pe.join(cent, Seq("label", "pos"))
+      .groupBy($"label", $"vec_id")
+      .agg(
+        sum($"vm" * $"sm").as("dot"),
+        sum($"vm" * $"vm").as("v2"),
+        sum($"sm" * $"sm").as("s2"))
+      .withColumn("cm",
+        when($"v2" === 0L || $"s2" === 0L, 0L)
+          .otherwise(round($"dot".cast("double") /
+            (sqrt($"v2".cast("double")) * sqrt($"s2".cast("double"))) * 1e6d)
+            .cast("long")))
+    parts.groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum($"cm").cast("double") / (count(lit(1)) * 1e6d), 6).as("avg_cos"),
+        (min($"cm").cast("double") / 1e6d).as("min_cos"))
+      .orderBy($"label")
+  }
+
   /** Approximate nearest neighbors via SRP-LSH bucketing (the 100 TB scale
     * path: equi-join on bucket, never a cross join; see
     * graft.ops.Similarity). Oracle-exact despite being approximate: the
@@ -232,6 +268,49 @@ object VectorQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Product-quantization ADC top-k (Jégou et al. 2011): 2 sub-codebooks
+    * of 8 centroids over 32-dim slices, trained by the same deterministic
+    * micro-k-means as the IVF coarse quantizer (raw L2, per-subspace
+    * seed); the corpus is PQ-encoded to 2 small codes per vector
+    * (map-only), and each query scores candidates by the sum of
+    * per-subspace distances to the CODED centroids — never touching the
+    * float corpus at query time. All three queries are evaluated in ONE
+    * pass over the coded corpus (stack of per-query ADC columns), then a
+    * per-query bounded top-k. At 100 TB the coded corpus is ~numSub
+    * bytes/vector — the scan PQ exists to make cheap. Oracle replays both
+    * subspace trainings, the code assignments, and the ADC ranking
+    * exactly. Approximation quality (vs exact cosine/L2) is
+    * spec-checked in QuantizeSpec, not oracle-checked. */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val numSub = 2; val subDim = 32; val ks = 8; val k = 5
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.filter($"vec_id" >= 3)
+    val models = graft.ops.Quantize.pqTrain(
+      corpus.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      numSub, subDim, ks).toSeq
+    val coded = corpus.select($"vec_id".as("n_id"),
+      graft.ops.Quantize.pqCodes($"embedding", models, subDim).as("codes"))
+    // the 3 probe vectors are the bounded small side (same shape as
+    // Ivf.train's nc-row init collect): inlined as literals so the ADC
+    // is a map-only expression over the coded corpus
+    val probes = e.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1)
+    val adcCols = probes.map { case (qid, qv) =>
+      struct(lit(qid).as("q_id"),
+        round(graft.ops.Quantize.adc(qv, $"codes", models, subDim), 6).as("adc"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"adc", $"n_id")
+    coded.select($"n_id", explode(array(adcCols.toIndexedSeq: _*)).as("qa"))
+      .select($"qa.q_id".as("q_id"), $"n_id", $"qa.adc".as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
@@ -244,7 +323,9 @@ object VectorQueries {
     "q52_ann_ivf"            -> (annIvf _),
     "q70_sq_topk"            -> (sqTopK _),
     "q84_matryoshka_topk"    -> (matryoshkaTopK _),
-    "q88_binary_hamming"     -> (binaryHammingTopK _))
+    "q88_binary_hamming"     -> (binaryHammingTopK _),
+    "q99_pq_adc"             -> (pqAdcTopK _),
+    "q104_label_cohesion"    -> (labelCohesion _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -407,54 +488,72 @@ object VectorQueries {
     * Works because every training step was made deterministic and
     * engine-portable — the only float arithmetic (unit norm, distances)
     * is compared after sqrt exactly as the Spark kernels compute it. */
-  private def annIvfOracle: String = {
-    val dim = 64; val nc = 16; val nprobe = 6; val k = 5
+  /** Reusable k-means-replay CTE block (the q52 training oracle,
+    * factored for q94/q99): emits `${p}vm` (vec_id, u = the trained
+    * representation of `vecExpr`), `${p}c0..c$iters` (centroid tables)
+    * and `${p}cdist` (per-row distance to every FINAL centroid — callers
+    * derive assignments/probes from it). `trainPred` renders the
+    * training-membership predicate given a table qualifier; `unitNorm`
+    * false trains raw-L2 k-means (the PQ sub-codebook case). Mirrors
+    * [[graft.ops.Ivf.train]] step for step: md5(id||'_seed') init,
+    * micro-integer centroid sums, argmin ties by cell index. */
+  private[graft] def kmeansCtes(p: String, vecExpr: String, dim: Int,
+      nc: Int, seed: Long, trainPred: String => String,
+      unitNorm: Boolean, iters: Int = 2): String = {
     val micro = graft.ops.Ivf.Micro
+    val uDef =
+      if (unitNorm)
+        s"""(SELECT vec_id,
+           |    CASE WHEN nrm = 0 THEN raw
+           |         ELSE list_transform(raw, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) END AS u
+           |  FROM (
+           |    SELECT vec_id, $vecExpr AS raw,
+           |      sqrt(list_sum(list_transform($vecExpr, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           |    FROM embeddings) t)""".stripMargin
+      else
+        s"(SELECT vec_id, $vecExpr AS u FROM embeddings)"
     def lloyd(r: Int): String =
-      s"""dist$r AS (
+      s"""${p}dist$r AS (
          |  SELECT v.vec_id, c.cell,
          |    sqrt(SUM(power(CAST(v.u[c.d + 1] AS DOUBLE) - CAST(c.val AS DOUBLE), 2))) AS dist
-         |  FROM vm v, c${r - 1} c
-         |  WHERE v.vec_id >= 3
+         |  FROM ${p}vm v, ${p}c${r - 1} c
+         |  WHERE ${trainPred("v")}
          |  GROUP BY 1, 2),
-         |a$r AS (
+         |${p}a$r AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |    FROM dist$r) t WHERE rn = 1),
-         |s$r AS (
+         |    FROM ${p}dist$r) t WHERE rn = 1),
+         |${p}s$r AS (
          |  SELECT a.cell, d.d AS d,
          |    SUM(CAST(round(CAST(v.u[d.d + 1] AS DOUBLE) * $micro) AS BIGINT)) AS sm,
          |    COUNT(*) AS cnt
-         |  FROM a$r a JOIN vm v USING (vec_id), generate_series(0, ${dim - 1}) d(d)
+         |  FROM ${p}a$r a JOIN ${p}vm v USING (vec_id), generate_series(0, ${dim - 1}) d(d)
          |  GROUP BY 1, 2),
-         |c$r AS (
-         |  SELECT p.cell, p.d,
-         |    COALESCE(CAST(s.sm / ($micro.0 * s.cnt) AS FLOAT), p.val) AS val
-         |  FROM c${r - 1} p LEFT JOIN s$r s ON p.cell = s.cell AND p.d = s.d)""".stripMargin
-    s"""WITH vm AS (
-       |  SELECT vec_id, embedding,
-       |    CASE WHEN nrm = 0 THEN embedding
-       |         ELSE list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) END AS u
-       |  FROM (
-       |    SELECT vec_id, embedding,
-       |      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-       |    FROM embeddings) t),
-       |init AS (
+         |${p}c$r AS (
+         |  SELECT pc.cell, pc.d,
+         |    COALESCE(CAST(s.sm / ($micro.0 * s.cnt) AS FLOAT), pc.val) AS val
+         |  FROM ${p}c${r - 1} pc LEFT JOIN ${p}s$r s ON pc.cell = s.cell AND pc.d = s.d)""".stripMargin
+    s"""${p}vm AS $uDef,
+       |${p}init AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cell, u
        |  FROM (
-       |    SELECT u, md5(concat(CAST(vec_id AS VARCHAR), '_42')) AS h
-       |    FROM vm WHERE vec_id >= 3
+       |    SELECT u, md5(concat(CAST(vec_id AS VARCHAR), '_$seed')) AS h
+       |    FROM ${p}vm v WHERE ${trainPred("v")}
        |    ORDER BY h LIMIT $nc) s),
-       |c0 AS (
+       |${p}c0 AS (
        |  SELECT cell, d.d AS d, CAST(u[d.d + 1] AS FLOAT) AS val
-       |  FROM init, generate_series(0, ${dim - 1}) d(d)),
-       |${lloyd(1)},
-       |${lloyd(2)},
-       |cdist AS (
+       |  FROM ${p}init, generate_series(0, ${dim - 1}) d(d)),
+       |${(1 to iters).map(lloyd).mkString(",\n")},
+       |${p}cdist AS (
        |  SELECT v.vec_id, c.cell,
        |    sqrt(SUM(power(CAST(v.u[c.d + 1] AS DOUBLE) - CAST(c.val AS DOUBLE), 2))) AS dist
-       |  FROM vm v, c2 c
-       |  GROUP BY 1, 2),
+       |  FROM ${p}vm v, ${p}c$iters c
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def annIvfOracle: String = {
+    val dim = 64; val nc = 16; val nprobe = 6; val k = 5
+    s"""WITH ${kmeansCtes("", "embedding", dim, nc, 42L, q => s"$q.vec_id >= 3", unitNorm = true)},
        |cells AS (
        |  SELECT vec_id AS n_id, cell FROM (
        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -482,9 +581,66 @@ object VectorQueries {
        |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** DuckDB re-derivation of q99's product quantization: BOTH subspace
+    * k-means trainings ([[kmeansCtes]], raw L2, seeds 42/142), the
+    * corpus code assignment, and the per-query ADC = sum of subspace
+    * distances, ranked on the 6-dp round with id tie-break. */
+  private def pqAdcOracle: String = {
+    def codes(p: String) =
+      s"""${p}codes AS (
+         |  SELECT vec_id AS n_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM ${p}cdist WHERE vec_id >= 3) t WHERE rn = 1),
+         |${p}qd AS (
+         |  SELECT vec_id AS q_id, cell, dist FROM ${p}cdist WHERE vec_id < 3)""".stripMargin
+    s"""WITH ${kmeansCtes("s0_", "embedding[1:32]", 32, 8, 42L, q => s"$q.vec_id >= 3", unitNorm = false)},
+       |${kmeansCtes("s1_", "embedding[33:64]", 32, 8, 142L, q => s"$q.vec_id >= 3", unitNorm = false)},
+       |${codes("s0_")},
+       |${codes("s1_")},
+       |adc AS (
+       |  SELECT q0.q_id, c0.n_id, ROUND(q0.dist + q1.dist, 6) AS adc
+       |  FROM s0_codes c0
+       |  JOIN s1_codes c1 USING (n_id)
+       |  JOIN s0_qd q0 ON q0.cell = c0.cell
+       |  JOIN s1_qd q1 ON q1.cell = c1.cell AND q1.q_id = q0.q_id)
+       |SELECT q_id, n_id, adc, rnk FROM (
+       |  SELECT q_id, n_id, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS BIGINT) AS rnk
+       |  FROM adc) r
+       |WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q35_ann_lsh" -> annLshOracle,
     "q52_ann_ivf" -> annIvfOracle,
+    "q99_pq_adc" -> pqAdcOracle,
+    "q104_label_cohesion" ->
+      """WITH pe AS (
+        |  SELECT label, vec_id, i.i - 1 AS pos,
+        |    CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+        |  FROM embeddings, generate_series(1, 64) i(i)),
+        |cent AS (SELECT label, pos, SUM(vm) AS sm FROM pe GROUP BY 1, 2),
+        |parts AS (
+        |  SELECT pe.label, pe.vec_id,
+        |    SUM(pe.vm * c.sm) AS dot,
+        |    SUM(pe.vm * pe.vm) AS v2,
+        |    SUM(c.sm * c.sm) AS s2
+        |  FROM pe JOIN cent c ON pe.label = c.label AND pe.pos = c.pos
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT label, vec_id,
+        |    CASE WHEN v2 = 0 OR s2 = 0 THEN 0
+        |         ELSE CAST(round(CAST(dot AS DOUBLE) /
+        |           (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))) * 1000000) AS BIGINT)
+        |    END AS cm
+        |  FROM parts)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(SUM(cm) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_cos,
+        |  CAST(MIN(cm) AS DOUBLE) / 1000000.0 AS min_cos
+        |FROM cosv
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
     // q88: sign-bit sketches in 32-bit lanes, Hamming candidate cut,
     // exact rerank — DuckDB packs and pops the identical bits
     "q88_binary_hamming" -> {

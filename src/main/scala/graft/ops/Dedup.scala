@@ -417,4 +417,44 @@ object Dedup {
           (col(s"za._n") + col(s"zb._n") - col("_ni"))).as("jaccard"))
       .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
   }
+
+  /** ASYMMETRIC containment pairs: containment(a→b) = |Sₐ∩S_b| / |Sₐ|
+    * over w-shingle sets — the "document a is mostly a copy/quote of b"
+    * signal that Jaccard misses when b is much longer (a 100-word quote
+    * inside a 10k-word page has tiny Jaccard but containment ≈ 1).
+    * Directed: (a,b) and (b,a) both emitted when both clear τ.
+    *
+    * Candidates come from the inverted index restricted to shingles with
+    * document frequency ≤ `maxDf` (skip-hot-postings): frequent shingles
+    * never generate pairs, bounding the join at df²-per-shingle. This is
+    * the standard recall trade-off of production dedup pipelines — a pair
+    * sharing ONLY hot shingles is missed; with τ ≥ 0.5 such a pair needs
+    * half its shingles hot, which text near-dups don't exhibit. Exact
+    * containment is verified per candidate, so there are no false
+    * positives. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, maxDf: Int = 20, w: Int = 3): DataFrame = {
+    val st = shingles(df, idCol, textCol, w)
+    val dfreq = st.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val rare = st.join(dfreq.filter(col("_df") <= maxDf), "shingle")
+      .select(col(idCol), col("shingle"))
+    val cand = rare.as("a").join(rare.as("b"), Seq("shingle"))
+      .filter(col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    val sizes = st.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val inter = cand
+      .join(st.as("sa"), col("a_id") === col(s"sa.$idCol"))
+      .join(st.as("sb"),
+        col("b_id") === col(s"sb.$idCol")
+          && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("za"), col("a_id") === col(s"za.$idCol"))
+      .select(col("a_id"), col("b_id"),
+        col(s"za._n").as("n_a"), col("n_inter"),
+        (col("n_inter").cast("double") / col(s"za._n")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

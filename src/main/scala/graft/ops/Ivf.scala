@@ -124,12 +124,16 @@ object Ivf {
     * bit-for-bit reproducible under any partitioning. Cells that lose
     * all members keep their previous centroid. */
   def train(df: DataFrame, idCol: String, vecCol: String,
-      nc: Int, iters: Int = 2, seed: Long = 42L): IvfModel = {
+      nc: Int, iters: Int = 2, seed: Long = 42L,
+      normalize: Boolean = true): IvfModel = {
     require(nc >= 1, s"need nc >= 1, got $nc")
-    // train in unit space (spherical k-means): centroids quantize
-    // direction, matching the cosine re-rank metric
+    // train in unit space (spherical k-means) by default: centroids
+    // quantize direction, matching the cosine re-rank metric.
+    // normalize=false trains plain L2 k-means on the raw vectors — the
+    // product-quantization sub-codebook case (Quantize.pqTrain).
+    def uv: Column = if (normalize) unit(col(vecCol)) else col(vecCol)
     val init = df
-      .select(unit(col(vecCol)).as("_graft_uv"),
+      .select(uv.as("_graft_uv"),
         md5(concat(col(idCol).cast("string"), lit(s"_$seed"))).as("_graft_h"))
       .orderBy(col("_graft_h"))
       .limit(nc)
@@ -144,7 +148,7 @@ object Ivf {
     var it = 0
     while (it < iters) {
       val next = df
-        .select(unit(col(vecCol)).as("_graft_uv"))
+        .select(uv.as("_graft_uv"))
         .select(
           cellOfUnit(col("_graft_uv"), model).as("_cell"),
           expr(s"transform(_graft_uv, x -> CAST(round(CAST(x AS DOUBLE) * $Micro) AS BIGINT))")

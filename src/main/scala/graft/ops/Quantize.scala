@@ -89,4 +89,61 @@ object Quantize {
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, v) => acc + v)
+
+  // ---- product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search") -----------------------------------------
+
+  /** One PQ sub-codebook per subspace: plain-L2 k-means
+    * ([[Ivf.train]] with normalize=false) on the m-th `subDim`-slice of
+    * the vectors, with a per-subspace seed so codebooks initialize
+    * independently. Deterministic and engine-portable like the coarse
+    * IVF quantizer — the oracle replays ALL subspace trainings. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      numSub: Int, subDim: Int, ks: Int, iters: Int = 2,
+      seed: Long = 42L): Array[Ivf.IvfModel] =
+    Array.tabulate(numSub) { m =>
+      Ivf.train(
+        df.select(col(idCol).as("id"),
+          slice(col(vecCol), m * subDim + 1, subDim).as("v")),
+        "id", "v", nc = ks, iters = iters, seed = seed + 100L * m,
+        normalize = false)
+    }
+
+  /** (distance-to-chosen-centroid, code) struct for subspace `m` of
+    * `vec` — the argmin over the sub-codebook with index tie-break,
+    * exactly [[Ivf.cellOfUnit]]'s lexicographic least() on raw slices. */
+  private def subCode(vec: Column, model: Ivf.IvfModel,
+      m: Int, subDim: Int): Column = {
+    val sub = slice(vec, m * subDim + 1, subDim)
+    val ds = model.centroids.zipWithIndex.toSeq.map { case (c, i) =>
+      struct(graft.expr.VectorExprs.l2(sub, lit(c)).as("d"), lit(i).as("i"))
+    }
+    (if (ds.size == 1) ds.head else least(ds: _*)).getField("i")
+  }
+
+  /** PQ-encode: one tinyint-range code per subspace, as array<int>.
+    * Map-only; at rest this is numSub bytes per vector instead of
+    * 4·dim — the 64-dim float corpus compresses 128×. */
+  def pqCodes(vec: Column, models: Seq[Ivf.IvfModel], subDim: Int): Column =
+    array(models.zipWithIndex.map { case (mod, m) =>
+      subCode(vec, mod, m, subDim)
+    }: _*)
+
+  /** Asymmetric-distance (ADC) approximation for a query literal against
+    * a codes column: Σ over subspaces of the L2 distance between the
+    * query's m-th slice and the centroid selected by code m. (Distances,
+    * not squared distances, are summed — sqrt-form L2 is the arithmetic
+    * every engine reproduces bit-for-bit from the same integers, which
+    * keeps the oracle exact; the ranking quality of the approximation is
+    * spec-checked against exact search.) The centroid lookup is
+    * element_at on a literal array-of-arrays — map-only codegen, no join
+    * against a codebook table. */
+  def adc(queryVec: Seq[Float], codesCol: Column,
+      models: Seq[Ivf.IvfModel], subDim: Int): Column =
+    models.zipWithIndex.map { case (mod, m) =>
+      val qSub = queryVec.slice(m * subDim, (m + 1) * subDim)
+      val centArr = array(mod.centroids.map(c => lit(c)).toIndexedSeq: _*)
+      graft.expr.VectorExprs.l2(lit(qSub.toArray),
+        element_at(centArr, element_at(codesCol, m + 1) + 1))
+    }.reduce[Column](_ + _)
 }

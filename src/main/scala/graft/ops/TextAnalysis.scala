@@ -188,6 +188,45 @@ object TextAnalysis {
           (col("n_tokens").cast("double") * 1e6d), 6))
   }
 
+  /** Add-one-smoothed BIGRAM LM scoring — the next rung above
+    * [[unigramLogProb]] on the perplexity-proxy ladder: per document,
+    * the mean ln P(w|prev) under P(w|prev) = (c(prev,w)+1) / (c(prev·)+V),
+    * with counts and vocabulary V taken from the scored corpus itself.
+    * The same integer micro-nat device makes the double sums exact and
+    * engine-replayable. Plan: one bigram explode, two count tables
+    * (pair, context) equi-joined back, the 1-row V broadcast, one
+    * groupBy(doc). Docs with fewer than two tokens carry no bigrams and
+    * are absent from the result. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withToks = df
+      .select(col(idCol), tokens(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= 2)
+    val bi = withToks
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_w) - 1), " +
+          "i -> named_struct('p', element_at(_w, i), 'c', element_at(_w, i + 1)))"))
+        .as("_b"))
+      .select(col(idCol), col("_b.p").as("p"), col("_b.c").as("c"))
+    val pairCnt = bi.groupBy(col("p"), col("c")).agg(count(lit(1)).as("cpc"))
+    val ctxCnt = bi.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    // V over the FULL corpus (single-token docs still contribute
+    // vocabulary even though they carry no bigrams)
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+      .agg(countDistinct(col("t")).as("v"))
+    bi.join(pairCnt, Seq("p", "c")).join(ctxCnt, Seq("p"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_micro",
+        round(log((col("cpc") + 1).cast("double") /
+          (col("cp") + col("v")).cast("double")) * 1e6d).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_micro")).as("sum_micro_nats"))
+      .withColumn("avg_logprob",
+        round(col("sum_micro_nats").cast("double") /
+          (col("n_bigrams").cast("double") * 1e6d), 6))
+  }
+
   /** Okapi BM25 document scores for a set of (q_id, token) query terms:
     * score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — the lexical-retrieval

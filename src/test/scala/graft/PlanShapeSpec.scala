@@ -232,6 +232,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q94: semdedup pairs come from the cell equi-join, never a cross product") {
+    val p = plan("q94_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairing must be an equi-join on cell:\n$p")
+  }
+
+  test("q99: ADC scoring is map-only over the coded corpus (no join, no float corpus)") {
+    val p = plan("q99_pq_adc")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"ADC must be a literal-codebook expression, not a codebook join:\n$p")
+  }
+
   test("q95: retrieval filter pushes into the scan; rank is bounded top-k") {
     val p = plan("q95_boolean_retrieval")
     assert(p.contains("TakeOrderedAndProject"),

@@ -97,4 +97,64 @@ class QuantizeSpec extends SparkSpecBase {
         ((r.getSeq[Byte](1).toSeq, r.getLong(2)))).toMap
     assert(run(1) == run(16))
   }
+
+  test("pqTrain is deterministic across partitionings; codes stay in [0, ks)") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    def train(parts: Int) = Quantize.pqTrain(
+      e.repartition(parts), "vec_id", "embedding",
+      numSub = 2, subDim = 32, ks = 4).map(_.centroids.map(_.toSeq).toSeq).toSeq
+    assert(train(1) == train(7), "PQ codebooks depend on partition layout")
+    val models = Quantize.pqTrain(e, "vec_id", "embedding", 2, 32, 4).toSeq
+    // sub-codebooks train with DIFFERENT seeds — identical codebooks would
+    // mean the per-subspace seed is being ignored
+    assert(models(0).centroids.map(_.toSeq).toSeq
+      != models(1).centroids.map(_.toSeq).toSeq)
+    val codes = e.select(Quantize.pqCodes($"embedding", models, 32).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+  }
+
+  test("ADC recall@5 at a realistic code budget (8 subspaces x 16 centroids)") {
+    // the q99 entry uses a deliberately tiny 2x8 codebook so the DuckDB
+    // oracle can replay both trainings; approximation QUALITY is asserted
+    // here at the budget a real deployment would use (64 bits/vector)
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val corpus = e.filter($"vec_id" >= 3)
+    val models = Quantize.pqTrain(
+      corpus.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      numSub = 8, subDim = 8, ks = 16).toSeq
+    val coded = corpus.select($"vec_id".as("n_id"),
+      Quantize.pqCodes($"embedding", models, 8).as("codes"))
+    val probes = e.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val hits = probes.map { case (qid, qv) =>
+      val approx = coded
+        .select($"n_id", Quantize.adc(qv, $"codes", models, 8).as("adc"))
+        .orderBy($"adc", $"n_id").limit(5)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      val exact = corpus
+        .select($"vec_id",
+          graft.expr.VectorExprs.l2($"embedding", lit(qv.toArray)).as("d"))
+        .orderBy($"d", $"vec_id").limit(5)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      val h = (approx intersect exact).size
+      info(s"query $qid: $h/5 of exact top-5 found by ADC")
+      h
+    }
+    info(s"recall hits: ${hits.mkString(",")}")
+    // wiring check, independent of how hard the data is: a corpus vector
+    // queried by its own floats must land its own code cell in the top-5
+    val selfProbes = corpus.orderBy($"vec_id").limit(10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val selfHits = selfProbes.count { case (qid, qv) =>
+      coded.select($"n_id", Quantize.adc(qv, $"codes", models, 8).as("adc"))
+        .orderBy($"adc", $"n_id").limit(5)
+        .as[(Long, Double)].collect().exists(_._1 == qid)
+    }
+    info(s"self-retrieval@5: $selfHits/10")
+    assert(selfHits >= 8, s"self-retrieval broken: $selfHits/10")
+  }
 }

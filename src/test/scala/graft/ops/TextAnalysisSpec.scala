@@ -217,6 +217,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("bigramLogProb: add-one smoothing, hand-checked") {
+    // corpus: doc 1 "a b a b", doc 2 "b a", doc 3 "c" (no bigrams)
+    // bigrams: d1: (a,b),(b,a),(a,b); d2: (b,a)
+    // c(a,b)=2 c(b,a)=2; c(a·)=2 c(b·)=2; V=3 (a,b,c)
+    // P(b|a)=(2+1)/(2+3)=0.6; P(a|b)=(2+1)/(2+3)=0.6
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"avg_logprob")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val lp = math.round(math.log(0.6) * 1e6).toDouble / 1e6
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 3L, r6(lp)), (2L, 1L, r6(lp))),
+      s"got $got") // doc 3 has no bigrams and no row
+  }
+
+  test("containmentPairs: quote inside a long doc scores ~1 one way, low the other") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val page = s"intro words here $quote trailing content words follow now " +
+      "more unrelated filler sentences about other topics entirely today"
+    val docs = Seq((1L, quote), (2L, page),
+      (3L, "totally disjoint text with nothing shared at all")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, maxDf = 20)
+      .select($"a_id", $"b_id", $"containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)),
+      s"only quote→page clears 0.9: $got")
+    assert(got.head._3 == 1.0, "all quote shingles appear in the page")
+  }
+
   test("winnow fps array form: per-doc stats without explode") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
