@@ -649,8 +649,13 @@ object PipelineQueries {
     * (integer ⌈τL⌉, ties by shingle text). */
   def prefixJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // w=5 shingles: this corpus's 31-word vocabulary makes 3-gram space
+    // dense (avg df ~12 at sf0.1 — nothing is "rare"), which defeats ANY
+    // frequency-based candidate pruning; 5-gram space is sparse (avg df
+    // ~1.05) at every SF, the production norm (MinHashLSH corpora use
+    // 5-13-gram shingles for the same reason). Same 25 true pairs.
     Dedup.prefixJaccardJoin(Tables.documents(s, dir), "doc_id", "text",
-        tauNum = 1, tauDen = 5)
+        tauNum = 1, tauDen = 5, w = 5)
       .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
       .orderBy($"a_id", $"b_id")
   }
@@ -708,8 +713,9 @@ object PipelineQueries {
     * the quote/subset-duplicate signal Jaccard under-reports. */
   def containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // w=5 for the same sparsity reason as q97 (see prefixJaccard)
     Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.7, maxDf = 20)
+        threshold = 0.7, maxDf = 20, w = 5)
       .select($"a_id", $"b_id", $"n_a", $"n_inter",
         round($"containment", 6).as("containment"))
       .orderBy($"a_id", $"b_id")
@@ -766,6 +772,14 @@ object PipelineQueries {
     "q103_containment"    -> (containment _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  /** DuckDB CTE chain ending in `st` (doc_id, shingle-code rows): per-doc
+    * DISTINCT w-shingle CODES — [[ngramCtes]] (the q79 replay of the
+    * distinctNgramCodes kernel) exploded to rows, mirroring
+    * Dedup.shingleCodes exactly. */
+  private def shingleSetCtes(w: Int): String =
+    s"""${ngramCtes(w)},
+       |st AS (SELECT doc_id, unnest(ng) AS shingle FROM ng)""".stripMargin
 
   // ---- portable-hash oracle building blocks (mirror DedupKernel exactly) --
 
@@ -1518,13 +1532,7 @@ object PipelineQueries {
          |    (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q103_containment" ->
-      s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
-         |           WHERE len(string_split($norm, ' ')) >= 3),
-         |st AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(ws) - 2),
-         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
-         |  FROM w),
+      s"""WITH ${shingleSetCtes(5)},
          |dfreq AS (SELECT shingle, COUNT(*) AS df FROM st GROUP BY 1),
          |rare AS (
          |  SELECT st.doc_id, st.shingle FROM st JOIN dfreq USING (shingle)
@@ -1582,13 +1590,7 @@ object PipelineQueries {
          |ORDER BY tf DESC, doc_id
          |LIMIT 20""".stripMargin,
     "q97_prefix_jaccard" ->
-      s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
-         |           WHERE len(string_split($norm, ' ')) >= 3),
-         |st AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(ws) - 2),
-         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
-         |  FROM w),
+      s"""WITH ${shingleSetCtes(5)},
          |dfreq AS (SELECT shingle, COUNT(*) AS df FROM st GROUP BY 1),
          |ord AS (
          |  SELECT st.doc_id, st.shingle,

@@ -383,10 +383,24 @@ object Dedup {
     * |candidates|·shingles-per-doc — survives corpora where the q31
     * all-pairs verifier is quadratic. τ must be a rational p/q supplied
     * as integers to keep ⌈τL⌉ exact. */
+  /** Distinct w-shingle CODES per doc — one pass of the
+    * [[graft.expr.DedupKernel.distinctNgramCodes]] codegen kernel (the
+    * q79 machinery): shuffling 8-byte codes instead of ~w·10-byte
+    * strings cuts the dominant shuffle of the set-similarity joins ~5×,
+    * and the kernel computes them without per-character lambda
+    * interpretation. Code collisions (mod-P polynomial, ~2⁻³¹ per
+    * distinct pair) are rare AND engine-consistent — the oracle replays
+    * the identical codes, so results stay bit-equal. */
+  private def shingleCodes(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.expr.DedupKernel.distinctNgramCodesCol(
+        normText(col(textCol)), w)).as("shingle"))
+
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int, w: Int = 3): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"need 0 < τ ≤ 1, got $tauNum/$tauDen")
-    val st = shingles(df, idCol, textCol, w) // (id, shingle) distinct
+    val st = shingleCodes(df, idCol, textCol, w) // (id, code) distinct
     val dfreq = st.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
     val ord = st.join(dfreq, "shingle")
@@ -434,7 +448,7 @@ object Dedup {
     * positives. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, maxDf: Int = 20, w: Int = 3): DataFrame = {
-    val st = shingles(df, idCol, textCol, w)
+    val st = shingleCodes(df, idCol, textCol, w)
     val dfreq = st.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     val rare = st.join(dfreq.filter(col("_df") <= maxDf), "shingle")
       .select(col(idCol), col("shingle"))
