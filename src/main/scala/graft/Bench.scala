@@ -48,7 +48,8 @@ object Bench {
     "q94_semdedup", "q95_boolean_retrieval", "q96_gap_fill",
     "q97_prefix_jaccard", "q98_winsorize", "q99_pq_adc",
     "q100_dataset_card", "q101_attribution", "q102_bigram_logprob",
-    "q103_containment", "q104_label_cohesion")
+    "q103_containment", "q104_label_cohesion", "q105_small_qty",
+    "q106_hourly_anomaly", "q107_ivf_pq", "q108_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -721,6 +721,20 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Integer PageRank ([[graft.ops.Components.pageRankInt]], 3 damped
+    * iterations) over the MinHash near-dup candidate graph: which
+    * duplicate is the hub its variants orbit? Every division is a floor
+    * div, so ranks are bit-identical across partitionings and engines —
+    * the oracle replays all three iterations. */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minHashCandidates(Tables.documents(s, dir),
+      "doc_id", "text", threshold = 0.4).select($"a_id", $"b_id")
+    graft.ops.Components.pageRankInt(pairs, iters = 3)
+      .select($"id".as("doc_id"), $"pr_micro", $"deg")
+      .orderBy($"pr_micro".desc, $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -769,7 +783,8 @@ object PipelineQueries {
     "q97_prefix_jaccard"  -> (prefixJaccard _),
     "q100_dataset_card"   -> (datasetCard _),
     "q102_bigram_logprob" -> (bigramLogProb _),
-    "q103_containment"    -> (containment _))
+    "q103_containment"    -> (containment _),
+    "q108_pagerank"       -> (pageRank _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1506,6 +1521,31 @@ object PipelineQueries {
          |  $bins
          |FROM documents
          |ORDER BY doc_id""".stripMargin
+    },
+    "q108_pagerank" -> {
+      def iter(k: Int): String =
+        s"""c$k AS (
+           |  SELECT a.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS sc
+           |  FROM adj a JOIN r${k - 1} r ON a.src = r.id JOIN deg d ON a.src = d.src
+           |  GROUP BY 1),
+           |r$k AS (
+           |  SELECT d.src AS id,
+           |    (3000000000000 // (20 * nn.n)) + (85 * COALESCE(c.sc, 0)) // 100 AS r
+           |  FROM deg d CROSS JOIN nn LEFT JOIN c$k c ON d.src = c.dst)""".stripMargin
+      s"""WITH $minhashCtes,
+         |adj AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION
+         |  SELECT b_id, a_id FROM cand),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT src AS id, 1000000000000 // n AS r FROM deg, nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT r3.id AS doc_id, r3.r AS pr_micro, d.deg
+         |FROM r3 JOIN deg d ON r3.id = d.src
+         |ORDER BY pr_micro DESC, doc_id""".stripMargin
     },
     "q102_bigram_logprob" ->
       s"""WITH w AS (

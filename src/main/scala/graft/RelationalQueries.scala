@@ -591,6 +591,58 @@ object RelationalQueries {
       .orderBy($"p_brand")
   }
 
+  /** TPC-H Q17 shape: revenue from SMALL-QUANTITY lineitems — items whose
+    * quantity is below 20% of their part's average quantity — summed per
+    * brand. The correlated scalar subquery (per-part average) decorrelates
+    * to one aggregate + an equi-join back on partkey; the threshold
+    * compare is cross-multiplied into DECIMAL integers
+    * (5·n·qty < Σqty ⟺ qty < 0.2·avg) so NO float division exists
+    * anywhere — the cut is exact in any engine at any scale. */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.groupBy($"l_partkey".as("pk"))
+      .agg(sum(dec4($"l_quantity")).as("sum_qty"), count(lit(1)).as("n_qty"))
+    li.join(perPart, $"l_partkey" === $"pk")
+      .filter(dec4($"l_quantity") * 5 * $"n_qty" < $"sum_qty")
+      .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n_small"),
+        sum(dec2($"l_extendedprice")).cast("double").as("small_revenue"))
+      .orderBy($"p_brand")
+  }
+
+  /** Statistical anomaly gate: hourly event-value totals more than 2
+    * population-σ from their event type's mean. The moments are
+    * DECIMAL-EXACT (Σv and Σv² of exact cents; v² of DECIMAL(18,2) is
+    * DECIMAL(37,4), no precision loss), so the doubles that form z are
+    * functions of identical integers in any engine — the same
+    * determinism device as the cosine kernels — and the 6-dp-rounded z
+    * makes the cut oracle-stable. Plan: two partial+final aggregates
+    * (hourly; per-type moments) + a tiny broadcast-back join — the
+    * monitoring query a pipeline runs over every ingest batch. */
+  def hourlyAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy($"event_type",
+        (floor(unix_timestamp($"ts") / 3600) * 3600).cast("long").as("hour_epoch"))
+      .agg(sum(dec2($"value")).as("v_d"))
+    val stats = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"v_d").as("s_d"),
+        sum($"v_d" * $"v_d").as("q_d"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("mu", $"s_d".cast("double") / $"n")
+      .withColumn("variance",
+        ($"q_d".cast("double") - $"s_d".cast("double") * $"s_d".cast("double") / $"n") / $"n")
+      .withColumn("z", round(($"v_d".cast("double") - $"mu") / sqrt($"variance"), 6))
+      .filter(abs($"z") > 2.0d)
+      .select($"event_type", $"hour_epoch",
+        $"v_d".cast("double").as("hr_value"), $"z")
+      .orderBy($"event_type", $"hour_epoch")
+  }
+
   /** Time-series gap-fill + forward-fill (resample): per-user hourly
     * grid from first to last active hour (`sequence` explode — map-only
     * row generation, no join against a global calendar), left join of
@@ -716,6 +768,8 @@ object RelationalQueries {
     "q76_window_suite"     -> (windowSuite _),
     "q90_revenue_share"    -> (revenueShare _),
     "q96_gap_fill"         -> (gapFillHourly _),
+    "q105_small_qty"       -> (smallQtyRevenue _),
+    "q106_hourly_anomaly"  -> (hourlyAnomalies _),
     "q98_winsorize"        -> (winsorizedStats _),
     "q101_attribution"     -> (lastTouchAttribution _))
 
@@ -771,6 +825,39 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q49_approx_distinct" -> kmvOracle,
+    "q106_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS hour_epoch,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v_d
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(v_d) AS s_d, SUM(v_d * v_d) AS q_d
+        |  FROM hourly GROUP BY 1),
+        |z AS (
+        |  SELECT h.event_type, h.hour_epoch,
+        |    CAST(h.v_d AS DOUBLE) AS hr_value,
+        |    ROUND((CAST(h.v_d AS DOUBLE) - CAST(s_d AS DOUBLE) / n) /
+        |      sqrt((CAST(q_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) / n) / n), 6) AS z
+        |  FROM hourly h JOIN stats USING (event_type))
+        |SELECT event_type, hour_epoch, hr_value, z FROM z
+        |WHERE ABS(z) > 2.0
+        |ORDER BY event_type, hour_epoch""".stripMargin,
+    "q105_small_qty" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pk,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |    COUNT(*) AS n_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM lineitem
+        |JOIN pp ON l_partkey = pk
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n_qty < sum_qty
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "q96_gap_fill" ->
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hr,

@@ -311,6 +311,49 @@ object VectorQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** The composed production ANN stack — IVF ∘ PQ ∘ exact rerank, the
+    * three tiers (q52, q99, q22) as ONE query: coarse cells prune the
+    * corpus to nprobe/nc, ADC over the coded survivors shortlists 20
+    * WITHOUT touching floats, exact cosine reranks the shortlist to
+    * top-5. At 100 TB the scan cost is (nprobe/nc)·(numSub bytes/vector)
+    * plus 20 float vectors per query — the standard billion-scale serving
+    * shape (FAISS IVFADC). Every tier's training and every rank is
+    * oracle-replayed: the coarse k-means, both PQ sub-codebooks, cell
+    * probes, ADC shortlist, and the final rounded-cosine rerank. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val numSub = 2; val subDim = 32; val ks = 8
+    val nprobe = 6; val shortlist = 20; val k = 5
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.filter($"vec_id" >= 3)
+    val ivfModel = graft.ops.Ivf.train(
+      corpus.select($"vec_id".as("id"), $"embedding".as("v")), "id", "v",
+      nc = 16, iters = 2)
+    val pqModels = graft.ops.Quantize.pqTrain(
+      corpus.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      numSub, subDim, ks).toSeq
+    val coded = graft.ops.Ivf.assign(corpus, "embedding", ivfModel)
+      .select($"vec_id".as("n_id"), $"ivf_cell",
+        graft.ops.Quantize.pqCodes($"embedding", pqModels, subDim).as("codes"),
+        $"embedding".as("nv"))
+    val probes = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        explode(graft.ops.Ivf.probeCells($"embedding", ivfModel, nprobe))
+          .as("ivf_cell"))
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
+    val wSim = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    coded.join(broadcast(probes), Seq("ivf_cell"))
+      .withColumn("adc",
+        round(graft.ops.Quantize.adcCol($"qv", $"codes", pqModels, subDim), 6))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter($"arnk" <= shortlist)
+      .withColumn("sim", round(VectorExprs.cosine($"qv", $"nv"), 6))
+      .withColumn("rnk", row_number().over(wSim).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"q_id", $"n_id", $"adc", $"sim", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
@@ -325,7 +368,8 @@ object VectorQueries {
     "q84_matryoshka_topk"    -> (matryoshkaTopK _),
     "q88_binary_hamming"     -> (binaryHammingTopK _),
     "q99_pq_adc"             -> (pqAdcTopK _),
-    "q104_label_cohesion"    -> (labelCohesion _))
+    "q104_label_cohesion"    -> (labelCohesion _),
+    "q107_ivf_pq"            -> (ivfPqTopK _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -611,10 +655,69 @@ object VectorQueries {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** DuckDB re-derivation of the composed q107 stack: coarse k-means
+    * cells + probes (q52's CTEs), both PQ trainings + codes + query
+    * distances (q99's CTEs), the ADC shortlist rank, and the exact
+    * rounded-cosine rerank — three replayed trainings in one query. */
+  private def ivfPqOracle: String = {
+    val nprobe = 6; val shortlist = 20; val k = 5
+    def codes(p: String) =
+      s"""${p}codes AS (
+         |  SELECT vec_id AS n_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM ${p}cdist WHERE vec_id >= 3) t WHERE rn = 1),
+         |${p}qd AS (
+         |  SELECT vec_id AS q_id, cell, dist FROM ${p}cdist WHERE vec_id < 3)""".stripMargin
+    s"""WITH ${kmeansCtes("", "embedding", 64, 16, 42L, q => s"$q.vec_id >= 3", unitNorm = true)},
+       |cells AS (
+       |  SELECT vec_id AS n_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM cdist WHERE vec_id >= 3) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM cdist WHERE vec_id < 3) t WHERE rn <= $nprobe),
+       |${kmeansCtes("s0_", "embedding[1:32]", 32, 8, 42L, q => s"$q.vec_id >= 3", unitNorm = false)},
+       |${kmeansCtes("s1_", "embedding[33:64]", 32, 8, 142L, q => s"$q.vec_id >= 3", unitNorm = false)},
+       |${codes("s0_")},
+       |${codes("s1_")},
+       |cand AS (
+       |  SELECT p.q_id, c.n_id FROM probes p JOIN cells c USING (cell)),
+       |adcs AS (
+       |  SELECT cand.q_id, cand.n_id, ROUND(q0.dist + q1.dist, 6) AS adc
+       |  FROM cand
+       |  JOIN s0_codes c0 USING (n_id)
+       |  JOIN s1_codes c1 USING (n_id)
+       |  JOIN s0_qd q0 ON q0.q_id = cand.q_id AND q0.cell = c0.cell
+       |  JOIN s1_qd q1 ON q1.q_id = cand.q_id AND q1.cell = c1.cell),
+       |short AS (
+       |  SELECT q_id, n_id, adc FROM (
+       |    SELECT q_id, n_id, adc,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS arnk
+       |    FROM adcs) t WHERE arnk <= $shortlist),
+       |sims AS (
+       |  SELECT s.q_id, s.n_id, s.adc,
+       |    ROUND(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+       |      (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+       |       SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS sim
+       |  FROM short s
+       |  JOIN embeddings a ON a.vec_id = s.n_id
+       |  JOIN embeddings b ON b.vec_id = s.q_id,
+       |  generate_series(1, 64) i(i)
+       |  GROUP BY 1, 2, 3)
+       |SELECT q_id, n_id, adc, sim, rnk FROM (
+       |  SELECT q_id, n_id, adc, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk
+       |  FROM sims) r
+       |WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q35_ann_lsh" -> annLshOracle,
     "q52_ann_ivf" -> annIvfOracle,
     "q99_pq_adc" -> pqAdcOracle,
+    "q107_ivf_pq" -> ivfPqOracle,
     "q104_label_cohesion" ->
       """WITH pe AS (
         |  SELECT label, vec_id, i.i - 1 AS pos,

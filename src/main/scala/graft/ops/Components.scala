@@ -122,4 +122,54 @@ object Components {
         col("n_docs"),
         col("_best").getField("id").as("keep_id"),
         col("_best").getField("_prio").as("keep_prio"))
+
+  /** PageRank over an undirected pair graph in PURE INTEGER arithmetic —
+    * centrality for dedup-cluster graphs (which duplicate is the "hub"
+    * the others orbit?) and the graph-analytics checkbox beyond
+    * [[connectedComponents]]. Ranks are micro-units (Σ init = 10¹²);
+    * the update r' = ⌊3·10¹²∕(20N)⌋ + ⌊85·Σ⌊r_u∕deg_u⌋∕100⌋ is the
+    * standard d=0.85 damped rank with every division a FLOOR DIV — no
+    * floats anywhere, so the result is bit-identical across partition
+    * layouts and engines (the q108 oracle replays all iterations).
+    * Floor-div leaks ≤ deg_u micro-units per node per round — a 10⁻⁶
+    * relative perturbation, documented and deterministic.
+    *
+    * Scale: each iteration is one equi-join (adj ⋈ ranks on src — both
+    * sides partitionable by src) + one combiner-friendly groupBy(dst);
+    * nodes/degrees computed once. iters is a constant (3): total cost is
+    * iters fact-sized shuffles, the textbook distributed-PR shape.
+    * Undirected edges mean every node has deg ≥ 1 — no dangling mass. */
+  def pageRankInt(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val adj = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // N is a bounded scalar (node count), same driver footprint as
+    // Ivf.train's nc-row init
+    val n = deg.count()
+    val init = 1000000000000L / n
+    val base = 3000000000000L / (20L * n)
+    var ranks = deg.select(col("src").as("id"), lit(init).as("r"))
+    var it = 0
+    while (it < iters) {
+      val contrib = adj
+        .join(ranks, col("src") === col("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+      ranks = deg
+        .join(contrib, col("src") === col("dst"), "left")
+        .select(col("src").as("id"),
+          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+      it += 1
+      // lineage grows one join+agg per round: a shallow run (the common
+      // iters=3) stays fully lazy — one plan, no forced materialization —
+      // while deep runs cut lineage every 5 rounds like connectedComponents
+      if (it % 5 == 0 && it < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.join(deg, col("id") === col("src"))
+      .select(col("id"), col("r").as("pr_micro"), col("deg"))
+  }
 }

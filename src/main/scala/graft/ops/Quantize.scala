@@ -140,10 +140,17 @@ object Quantize {
     * against a codebook table. */
   def adc(queryVec: Seq[Float], codesCol: Column,
       models: Seq[Ivf.IvfModel], subDim: Int): Column =
+    adcCol(lit(queryVec.toArray), codesCol, models, subDim)
+
+  /** ADC with the query as a COLUMN (for joined probe×candidate rows —
+    * the IVF∘PQ composition, q107): per subspace, slice the query column
+    * and measure against the literal-codebook centroid the code selects. */
+  def adcCol(queryCol: Column, codesCol: Column,
+      models: Seq[Ivf.IvfModel], subDim: Int): Column =
     models.zipWithIndex.map { case (mod, m) =>
-      val qSub = queryVec.slice(m * subDim, (m + 1) * subDim)
       val centArr = array(mod.centroids.map(c => lit(c)).toIndexedSeq: _*)
-      graft.expr.VectorExprs.l2(lit(qSub.toArray),
+      graft.expr.VectorExprs.l2(
+        slice(queryCol, m * subDim + 1, subDim),
         element_at(centArr, element_at(codesCol, m + 1) + 1))
     }.reduce[Column](_ + _)
 }

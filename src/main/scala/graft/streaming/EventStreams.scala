@@ -138,6 +138,49 @@ object EventStreams {
       .toDF()
   }
 
+  final case class AttrState(channel: String)
+  final case class AttributedPurchase(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, channel: String, value: Double)
+
+  /** Stateful streaming last-touch attribution — the live twin of
+    * RelationalQueries.lastTouchAttribution (q101): per user, carry the
+    * channel of the most recent click seen so far; each purchase is
+    * EMITTED attributed to that channel the moment it arrives ('organic'
+    * when no click preceded it). State = ONE channel string per user who
+    * has ever clicked — bounded by user count, never by event volume.
+    * Events inside a batch are (ts, event_id)-sorted before the fold
+    * (in-batch disorder handled); cross-batch late clicks are subject to
+    * delivery order, the standard stateful-op trade. */
+  def lastTouchAttribution(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[AttrState]) => {
+          var channel = state.getOption.map(_.channel).orNull
+          val out = Seq.newBuilder[AttributedPurchase]
+          rows.toSeq
+            .filter(r => r.event_type == "click" || r.event_type == "purchase")
+            .sortBy(r => (r.ts.getTime, r.event_id))
+            .foreach { r =>
+              if (r.event_type == "click") {
+                val k = try {
+                  val m = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(r.props)
+                  m.map(_.group(1).toLong % 4)
+                } catch { case _: Exception => None }
+                k.foreach(b => channel = s"ch$b")
+              } else {
+                out += AttributedPurchase(uid, r.event_id, r.ts,
+                  if (channel == null) "organic" else channel, r.value)
+              }
+            }
+          if (channel != null) state.update(AttrState(channel))
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Streaming exact dedup: drop events whose `idCols` were already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
     * is evicted once the watermark passes, so memory is bounded by the

@@ -244,6 +244,21 @@ class PlanShapeSpec extends SparkSpecBase {
       s"ADC must be a literal-codebook expression, not a codebook join:\n$p")
   }
 
+  test("q105: correlated scalar subquery decorrelates — no cartesian, aggs partial+final") {
+    val p = plan("q105_small_qty")
+    assert(!p.contains("CartesianProduct"),
+      s"per-part threshold must be an equi-join back, not a loop:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+  }
+
+  test("q107: composed stack never cross-joins; probes broadcast") {
+    val p = plan("q107_ivf_pq")
+    assert(!p.contains("CartesianProduct"),
+      s"cell prune + ADC must stay equi-join/map-only:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe side (3 queries × nprobe cells) must broadcast:\n$p")
+  }
+
   test("q95: retrieval filter pushes into the scan; rank is bounded top-k") {
     val p = plan("q95_boolean_retrieval")
     assert(p.contains("TakeOrderedAndProject"),

@@ -83,4 +83,23 @@ class ComponentsSpec extends SparkSpecBase {
     assert(kept.contains(0L))
     assert(!kept.contains(1L)) // exact dup folded
   }
+
+  test("pageRankInt: hub of a star outranks leaves; pure-integer determinism") {
+    // star: 1—2, 1—3, 1—4, plus an isolated pair 10—11
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    def run(parts: Int) = Components.pageRankInt(pairs.repartition(parts), 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val pr = run(1)
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L))
+    assert(pr(1L)._2 == 3L && pr(2L)._2 == 1L, "degrees")
+    assert(pr(1L)._1 > pr(2L)._1, "hub outranks leaves")
+    assert(pr(2L)._1 == pr(3L)._1 && pr(3L)._1 == pr(4L)._1, "leaves tie")
+    assert(pr(10L)._1 == pr(11L)._1, "symmetric pair ties")
+    // integer arithmetic → bit-identical under any partitioning
+    assert(run(7) == pr, "partitioning changed integer ranks")
+    // mass conservation up to the documented floor-div leak
+    val total = pr.values.map(_._1).sum
+    assert(total <= 1000000000000L && total > 990000000000L, s"mass $total")
+  }
 }

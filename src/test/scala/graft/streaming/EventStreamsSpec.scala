@@ -183,4 +183,37 @@ class EventStreamsSpec extends SparkSpecBase {
       assert(ids == Seq(0L, 1L, 2L, 3L), s"duplicates must be dropped, got $ids")
     } finally q.stop()
   }
+
+  test("lastTouchAttribution: state carries the channel across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      // user 1: purchase BEFORE any click → organic; then click ch1,
+      // purchase → ch1 (click in an EARLIER batch than the purchase)
+      EventRow(0L, ts(1), 1L, "purchase", 10.0, "{}"),
+      EventRow(1L, ts(2), 1L, "click", 0, """{"k": 5}"""),
+      // user 2: two clicks — the LATER one (ch2) wins for the purchase
+      EventRow(2L, ts(1), 2L, "click", 0, """{"k": 1}"""),
+      EventRow(3L, ts(2), 2L, "click", 0, """{"k": 6}"""),
+      // batch 2
+      EventRow(4L, ts(3), 1L, "purchase", 20.0, "{}"),
+      EventRow(5L, ts(3), 2L, "purchase", 30.0, "{}"))
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.lastTouchAttribution(spark, mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      mem.addData(evs.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("event_id", "channel", "value")
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == Set(
+        (0L, "organic", 10.0), // no prior click
+        (4L, "ch1", 20.0),     // click from batch 1 carried in state
+        (5L, "ch2", 30.0)),    // later click wins
+        s"got $got")
+    } finally q.stop()
+  }
 }
