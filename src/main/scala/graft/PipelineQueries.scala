@@ -695,7 +695,8 @@ object PipelineQueries {
     import s.implicits._
     graft.ops.SemDedup.prunedWithinCells(
         Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
-        "vec_id", "embedding", nc = 16, iters = 2, threshold = 0.4)
+        "vec_id", "embedding", nc = 16, iters = 2, threshold = 0.4,
+        trained = Some(VectorQueries.semDedupModelFor(s, dir, nc = 16, iters = 2)))
       .orderBy($"vec_id")
   }
 

@@ -281,14 +281,47 @@ object VectorQueries {
     * subspace trainings, the code assignments, and the ADC ranking
     * exactly. Approximation quality (vs exact cosine/L2) is
     * spec-checked in QuantizeSpec, not oracle-checked. */
+  /** Build-once cache for the PQ sub-codebooks (q99 + q107 share them):
+    * like [[ivfIndexFor]], training happens on FIRST use per corpus
+    * fingerprint — queries probe a prebuilt quantizer instead of
+    * re-running both k-means per invocation (the reference's
+    * rebuild-per-query shape, deliberately beaten). Deterministic
+    * training ⇒ the cache is a cost optimization, not a correctness
+    * dependency. */
+  private val pqModelsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Ivf.IvfModel]]()
+
+  /** Build-once coarse quantizer for q94's SemDeDup (trained on ALL
+    * vectors, unlike the corpus-only q52 model — different artifact,
+    * same determinism-makes-the-cache-safe argument). */
+  private val semDedupModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Ivf.IvfModel]()
+
+  private[graft] def semDedupModelFor(s: SparkSession, dir: String,
+      nc: Int, iters: Int): graft.ops.Ivf.IvfModel =
+    semDedupModelCache.computeIfAbsent(corpusFingerprint(s, dir), _ => {
+      import s.implicits._
+      graft.ops.Ivf.train(
+        Tables.embeddings(s, dir).select($"vec_id".as("id"), $"embedding".as("v")),
+        "id", "v", nc, iters)
+    })
+
+  private def pqModelsFor(s: SparkSession, dir: String,
+      numSub: Int, subDim: Int, ks: Int): Seq[graft.ops.Ivf.IvfModel] =
+    pqModelsCache.computeIfAbsent(corpusFingerprint(s, dir), _ => {
+      import s.implicits._
+      graft.ops.Quantize.pqTrain(
+        Tables.embeddings(s, dir).filter($"vec_id" >= 3)
+          .select($"vec_id", $"embedding"),
+        "vec_id", "embedding", numSub, subDim, ks).toSeq
+    })
+
   def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val numSub = 2; val subDim = 32; val ks = 8; val k = 5
     val e = Tables.embeddings(s, dir)
     val corpus = e.filter($"vec_id" >= 3)
-    val models = graft.ops.Quantize.pqTrain(
-      corpus.select($"vec_id", $"embedding"), "vec_id", "embedding",
-      numSub, subDim, ks).toSeq
+    val models = pqModelsFor(s, dir, numSub, subDim, ks)
     val coded = corpus.select($"vec_id".as("n_id"),
       graft.ops.Quantize.pqCodes($"embedding", models, subDim).as("codes"))
     // the 3 probe vectors are the bounded small side (same shape as
@@ -324,22 +357,26 @@ object VectorQueries {
     import s.implicits._
     val numSub = 2; val subDim = 32; val ks = 8
     val nprobe = 6; val shortlist = 20; val k = 5
-    val e = Tables.embeddings(s, dir)
-    val corpus = e.filter($"vec_id" >= 3)
-    val ivfModel = graft.ops.Ivf.train(
-      corpus.select($"vec_id".as("id"), $"embedding".as("v")), "id", "v",
-      nc = 16, iters = 2)
-    val pqModels = graft.ops.Quantize.pqTrain(
-      corpus.select($"vec_id", $"embedding"), "vec_id", "embedding",
-      numSub, subDim, ks).toSeq
-    val coded = graft.ops.Ivf.assign(corpus, "embedding", ivfModel)
-      .select($"vec_id".as("n_id"), $"ivf_cell",
-        graft.ops.Quantize.pqCodes($"embedding", pqModels, subDim).as("codes"),
-        $"embedding".as("nv"))
-    val probes = e.filter($"vec_id" < 3)
+    // BUILD ONCE, PROBE MANY: the coarse quantizer + cell-partitioned
+    // corpus are the PREBUILT q52 index (identical training: corpus
+    // vec_id>=3, nc=16, iters=2, seed 42 — one artifact serves both
+    // entries), and the PQ sub-codebooks come from the shared cache.
+    // The probe scan partition-prunes to the nprobe'd cell directories;
+    // codes are a map-only projection over the pruned survivors only.
+    val indexPath = ivfIndexFor(s, dir)
+    val ivfModel = graft.ops.Ivf.loadModel(s, indexPath)
+    val pqModels = pqModelsFor(s, dir, numSub, subDim, ks)
+    val probes = Tables.embeddings(s, dir).filter($"vec_id" < 3)
       .select($"vec_id".as("q_id"), $"embedding".as("qv"),
         explode(graft.ops.Ivf.probeCells($"embedding", ivfModel, nprobe))
           .as("ivf_cell"))
+    val probedCells = probes.select($"ivf_cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val coded = s.read.parquet(s"$indexPath/cells")
+      .filter($"ivf_cell".isin(probedCells.toIndexedSeq: _*))
+      .select($"n_id", $"ivf_cell",
+        graft.ops.Quantize.pqCodes($"nv", pqModels, subDim).as("codes"),
+        $"nv")
     val wAdc = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
     val wSim = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
     coded.join(broadcast(probes), Seq("ivf_cell"))

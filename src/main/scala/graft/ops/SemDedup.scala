@@ -34,10 +34,13 @@ object SemDedup {
     * below τ so float noise can't clip the rounded boundary (q34 pattern). */
   def prunedWithinCells(df: DataFrame, idCol: String, vecCol: String,
       nc: Int = 16, iters: Int = 2, threshold: Double = 0.4,
-      seed: Long = 42L): DataFrame = {
-    val model = Ivf.train(
+      seed: Long = 42L,
+      trained: Option[Ivf.IvfModel] = None): DataFrame = {
+    // pass `trained` to reuse a build-once quantizer (training is
+    // deterministic, so a cached model ≡ a fresh one bit-for-bit)
+    val model = trained.getOrElse(Ivf.train(
       df.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v",
-      nc, iters, seed)
+      nc, iters, seed))
     val cells = Ivf.assign(df, vecCol, model)
       .select(col(idCol), col(vecCol), col("ivf_cell").cast("long").as("cell"))
     val a = cells.select(col(idCol).as("a_id"), col(vecCol).as("_av"), col("cell"))

@@ -251,12 +251,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
   }
 
-  test("q107: composed stack never cross-joins; probes broadcast") {
+  test("q107: composed stack probes the prebuilt index with partition pruning") {
     val p = plan("q107_ivf_pq")
     assert(!p.contains("CartesianProduct"),
       s"cell prune + ADC must stay equi-join/map-only:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the probe side (3 queries × nprobe cells) must broadcast:\n$p")
+    assert("PartitionFilters: \\[ivf_cell#\\d+ INSET".r.findFirstIn(p).isDefined,
+      s"the index scan must prune to the probed cell partitions:\n${p.take(2000)}")
   }
 
   test("q95: retrieval filter pushes into the scan; rank is bounded top-k") {
