@@ -643,6 +643,71 @@ object RelationalQueries {
       .orderBy($"event_type", $"hour_epoch")
   }
 
+  /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
+    * of q106's z-score: per return flag, the EXACT lower median of the
+    * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
+    * interpolation), the median absolute deviation around it, and the
+    * count beyond 3·MAD. Absolute deviations and the 3·MAD threshold
+    * stay DECIMAL — the whole decision path is integer-exact. Plan: two
+    * rank windows over the same group partitioning (Exchange reuse) +
+    * broadcast-back thresholds, the q98 shape twice. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", dec2($"l_extendedprice").as("price"))
+    def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valueCol))
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(max(when(col("_rn") === expr("(_n + 1) div 2"), col(valueCol))).as("_med"))
+    }
+    val med = lowerMedian(li, "price")
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("absdev", abs($"price" - $"_med"))
+    val mad = lowerMedian(dev.select($"l_returnflag", $"absdev"), "absdev")
+      .withColumnRenamed("_med", "_mad")
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"_med").cast("double").as("median"),
+        min($"_mad").cast("double").as("mad"),
+        sum(when($"absdev" > $"_mad" * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Hourly cross-metric correlation matrix: Pearson corr between every
+    * pair of event types' hourly value series — the "which metrics move
+    * together" monitoring query. Moments (Σx, Σx², Σxy) are
+    * DECIMAL-exact; the correlation is assembled in double from exact
+    * components (q106's determinism device) and rounded to 6 dp. Plan:
+    * one hourly aggregate, a self-equi-join ON HOUR (types² × hours
+    * rows — types is a constant, never a scale risk), one pair
+    * aggregate. */
+  def typeCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy($"event_type",
+        (floor(unix_timestamp($"ts") / 3600) * 3600).cast("long").as("hr"))
+      .agg(sum(dec2($"value")).as("v"))
+    val a = hourly.select($"event_type".as("type_a"), $"hr", $"v".as("va"))
+    val b = hourly.select($"event_type".as("type_b"), $"hr", $"v".as("vb"))
+    a.join(b, Seq("hr")).filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"va").as("sx"), sum($"vb").as("sy"),
+        sum($"va" * $"va").as("sxx"), sum($"vb" * $"vb").as("syy"),
+        sum($"va" * $"vb").as("sxy"))
+      .withColumn("corr_v", round(
+        ($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")) /
+          sqrt(($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")) *
+            ($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))), 6))
+      .select($"type_a", $"type_b", $"n", $"corr_v")
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Time-series gap-fill + forward-fill (resample): per-user hourly
     * grid from first to last active hour (`sequence` explode — map-only
     * row generation, no join against a global calendar), left join of
@@ -770,6 +835,8 @@ object RelationalQueries {
     "q96_gap_fill"         -> (gapFillHourly _),
     "q105_small_qty"       -> (smallQtyRevenue _),
     "q106_hourly_anomaly"  -> (hourlyAnomalies _),
+    "q109_mad_outliers"    -> (madOutliers _),
+    "q110_type_correlation" -> (typeCorrelation _),
     "q98_winsorize"        -> (winsorizedStats _),
     "q101_attribution"     -> (lastTouchAttribution _))
 
@@ -825,6 +892,53 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q49_approx_distinct" -> kmvOracle,
+    "q109_mad_outliers" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag, MAX(CASE WHEN rn = (n + 1) // 2 THEN price END) AS med
+        |  FROM (
+        |    SELECT l_returnflag, price,
+        |      ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price) AS rn,
+        |      COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM li) t GROUP BY 1),
+        |dev AS (
+        |  SELECT li.l_returnflag, li.price, ABS(li.price - med.med) AS absdev, med.med
+        |  FROM li JOIN med USING (l_returnflag)),
+        |mad AS (
+        |  SELECT l_returnflag, MAX(CASE WHEN rn = (n + 1) // 2 THEN absdev END) AS mad
+        |  FROM (
+        |    SELECT l_returnflag, absdev,
+        |      ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY absdev) AS rn,
+        |      COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM dev) t GROUP BY 1)
+        |SELECT dev.l_returnflag, COUNT(*) AS n,
+        |  CAST(MIN(dev.med) AS DOUBLE) AS median,
+        |  CAST(MIN(mad.mad) AS DOUBLE) AS mad,
+        |  CAST(SUM(CASE WHEN dev.absdev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (l_returnflag)
+        |GROUP BY dev.l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q110_type_correlation" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS hr,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n,
+        |    SUM(a.v) AS sx, SUM(b.v) AS sy,
+        |    SUM(a.v * a.v) AS sxx, SUM(b.v * b.v) AS syy,
+        |    SUM(a.v * b.v) AS sxy
+        |  FROM hourly a JOIN hourly b ON a.hr = b.hr AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_v
+        |FROM p
+        |ORDER BY type_a, type_b""".stripMargin,
     "q106_hourly_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type,
