@@ -141,9 +141,13 @@ object Components {
     * Undirected edges mean every node has deg ≥ 1 — no dangling mass. */
   def pageRankInt(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
+    // materialize the edge list ONCE: every iteration (and the degree
+    // table) reuses it, so the upstream pair computation — often a full
+    // MinHash candidate generation — runs once, not once per round
     val adj = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // N is a bounded scalar (node count), same driver footprint as
     // Ivf.train's nc-row init
