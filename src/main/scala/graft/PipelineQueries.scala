@@ -1612,7 +1612,7 @@ object PipelineQueries {
          |  JOIN embeddings b ON b.vec_id = p.b_id,
          |  generate_series(1, 64) i(i)
          |  GROUP BY 1, 2, 3)
-         |SELECT b_id AS vec_id, cell, MIN(a_id) AS kept_id, MAX(sim) AS max_sim
+         |SELECT b_id AS vec_id, cell, MIN(a_id) AS trigger_id, MAX(sim) AS max_sim
          |FROM sims WHERE sim >= 0.4
          |GROUP BY b_id, cell
          |ORDER BY vec_id""".stripMargin,

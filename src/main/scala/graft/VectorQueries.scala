@@ -148,8 +148,11 @@ object VectorQueries {
     * exactly — no float division by n anywhere), per-member cosines are
     * micro-rounded before the label mean. Plan: two shuffles (centroid
     * sums; per-member parts) + the presentation sort; the (label,pos)
-    * join reuses the centroid exchange. Long products stay < 2⁶³ up to
-    * ~10⁵ members/label at |v|≤1 — past that, lift the sums to DECIMAL. */
+    * join reuses the centroid exchange. The dot/v2/s2 accumulators are
+    * DECIMAL(38,0): the dominant term Σ_pos sm² reaches ~n²·1e12 for a
+    * tight cluster (sm ≈ n·1e6 on a dominant axis), which would wrap a
+    * silent non-ANSI int64 at only n ≈ 3·10³ members per label; DECIMAL
+    * holds exactly to n ≈ 10¹³, far past any per-label count. */
   def labelCohesion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pe = Tables.embeddings(s, dir)
@@ -157,14 +160,16 @@ object VectorQueries {
       .select($"label", $"vec_id", $"pos",
         round($"v".cast("double") * 1e6d).cast("long").as("vm"))
     val cent = pe.groupBy($"label", $"pos").agg(sum($"vm").as("sm"))
+    val vmD = $"vm".cast("decimal(19,0)")
+    val smD = $"sm".cast("decimal(19,0)")
     val parts = pe.join(cent, Seq("label", "pos"))
       .groupBy($"label", $"vec_id")
       .agg(
-        sum($"vm" * $"sm").as("dot"),
-        sum($"vm" * $"vm").as("v2"),
-        sum($"sm" * $"sm").as("s2"))
+        sum(vmD * smD).as("dot"),
+        sum(vmD * vmD).as("v2"),
+        sum(smD * smD).as("s2"))
       .withColumn("cm",
-        when($"v2" === 0L || $"s2" === 0L, 0L)
+        when($"v2" === lit(0) || $"s2" === lit(0), 0L)
           .otherwise(round($"dot".cast("double") /
             (sqrt($"v2".cast("double")) * sqrt($"s2".cast("double"))) * 1e6d)
             .cast("long")))

@@ -150,8 +150,11 @@ object Components {
       .localCheckpoint(true)
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // N is a bounded scalar (node count), same driver footprint as
-    // Ivf.train's nc-row init
+    // Ivf.train's nc-row init. An empty edge list means no nodes: return
+    // the empty (id, pr_micro, deg) frame instead of dividing by zero.
     val n = deg.count()
+    if (n == 0L)
+      return deg.select(col("src").as("id"), lit(0L).as("pr_micro"), col("deg"))
     val init = 1000000000000L / n
     val base = 3000000000000L / (20L * n)
     var ranks = deg.select(col("src").as("id"), lit(init).as("r"))

@@ -366,6 +366,20 @@ object Dedup {
     votes.select(col(idCol), fpExpr.as("simhash"))
   }
 
+  /** Distinct w-shingle CODES per doc — one pass of the
+    * [[graft.expr.DedupKernel.distinctNgramCodes]] codegen kernel (the
+    * q79 machinery): shuffling 8-byte codes instead of ~w·10-byte
+    * strings cuts the dominant shuffle of the set-similarity joins ~5×,
+    * and the kernel computes them without per-character lambda
+    * interpretation. Code collisions (mod-P polynomial, ~2⁻³¹ per
+    * distinct pair) are rare AND engine-consistent — the oracle replays
+    * the identical codes, so results stay bit-equal. */
+  private def shingleCodes(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.expr.DedupKernel.distinctNgramCodesCol(
+        normText(col(textCol)), w)).as("shingle"))
+
   /** Prefix-filtered set-similarity join (PPJoin-style prefix filter,
     * Chaudhuri et al. "A Primitive Operator for Similarity Joins" /
     * Xiao et al. PPJoin): exact token-set Jaccard join at threshold τ
@@ -383,20 +397,6 @@ object Dedup {
     * |candidates|·shingles-per-doc — survives corpora where the q31
     * all-pairs verifier is quadratic. τ must be a rational p/q supplied
     * as integers to keep ⌈τL⌉ exact. */
-  /** Distinct w-shingle CODES per doc — one pass of the
-    * [[graft.expr.DedupKernel.distinctNgramCodes]] codegen kernel (the
-    * q79 machinery): shuffling 8-byte codes instead of ~w·10-byte
-    * strings cuts the dominant shuffle of the set-similarity joins ~5×,
-    * and the kernel computes them without per-character lambda
-    * interpretation. Code collisions (mod-P polynomial, ~2⁻³¹ per
-    * distinct pair) are rare AND engine-consistent — the oracle replays
-    * the identical codes, so results stay bit-equal. */
-  private def shingleCodes(df: DataFrame, idCol: String, textCol: String,
-      w: Int): DataFrame =
-    df.select(col(idCol),
-      explode(graft.expr.DedupKernel.distinctNgramCodesCol(
-        normText(col(textCol)), w)).as("shingle"))
-
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int, w: Int = 3): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"need 0 < τ ≤ 1, got $tauNum/$tauDen")

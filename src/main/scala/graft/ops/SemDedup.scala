@@ -19,19 +19,26 @@ import graft.expr.VectorExprs
   *
   * Scale (100 TB): one k-means train (driver state = nc×dim longs), one
   * map-only cell assignment, one self-equi-join ON THE CELL KEY. Prune
-  * policy is deterministic and relational: a vector is pruned iff an
-  * earlier (smaller-id) vector in the same cell has cosine ≥ τ — the
-  * greedy keep-first scan of the SemDeDup paper expressed as a join, so
-  * it parallelizes without an ordered sweep. nc should grow ~linearly
-  * with corpus size to keep per-cell pair counts bounded.
+  * policy is deterministic and relational: a vector is pruned iff ANY
+  * earlier (smaller-id) vector in the same cell has cosine ≥ τ —
+  * deliberately a TRANSITIVE OVER-PRUNING RELAXATION of the paper's
+  * sequential greedy scan, not a reproduction of it: in a chain a~b, b~c,
+  * a≁c the paper's keep-first sweep keeps c (its only ≥τ neighbor b was
+  * itself pruned), while this join prunes c because the trigger need not
+  * have survived. The relaxation is what makes the policy order-free and
+  * join-shaped (parallelizes with no ordered sweep); it only ever prunes
+  * MORE, never keeps a duplicate the paper would drop. nc should grow
+  * ~linearly with corpus size to keep per-cell pair counts bounded.
   */
 object SemDedup {
 
-  /** Rows PRUNED by within-cell semantic dedup: (vec_id, cell, kept_id,
-    * max_sim), where kept_id is the smallest triggering earlier neighbor
-    * and max_sim the highest 6-dp-rounded cosine to any earlier same-cell
-    * neighbor at or above `threshold`. The raw-cosine prefilter sits 1e-6
-    * below τ so float noise can't clip the rounded boundary (q34 pattern). */
+  /** Rows PRUNED by within-cell semantic dedup: (vec_id, cell,
+    * trigger_id, max_sim), where trigger_id is the smallest triggering
+    * earlier neighbor — which may itself have been pruned (see the
+    * relaxation note above) — and max_sim the highest 6-dp-rounded cosine
+    * to any earlier same-cell neighbor at or above `threshold`. The
+    * raw-cosine prefilter sits 1e-6 below τ so float noise can't clip the
+    * rounded boundary (q34 pattern). */
   def prunedWithinCells(df: DataFrame, idCol: String, vecCol: String,
       nc: Int = 16, iters: Int = 2, threshold: Double = 0.4,
       seed: Long = 42L,
@@ -52,6 +59,6 @@ object SemDedup {
       .withColumn("sim", round(col("_raw"), 6))
       .filter(col("sim") >= threshold)
       .groupBy(col("b_id").as("vec_id"), col("cell"))
-      .agg(min(col("a_id")).as("kept_id"), max(col("sim")).as("max_sim"))
+      .agg(min(col("a_id")).as("trigger_id"), max(col("sim")).as("max_sim"))
   }
 }

@@ -139,6 +139,9 @@ object EventStreams {
   }
 
   final case class AttrState(channel: String)
+  final case class AttrEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double,
+      chan: Option[String])
   final case class AttributedPurchase(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp, channel: String, value: Double)
 
@@ -148,16 +151,28 @@ object EventStreams {
     * EMITTED attributed to that channel the moment it arrives ('organic'
     * when no click preceded it). State = ONE channel string per user who
     * has ever clicked — bounded by user count, never by event volume.
-    * Events inside a batch are (ts, event_id)-sorted before the fold
-    * (in-batch disorder handled); cross-batch late clicks are subject to
-    * delivery order, the standard stateful-op trade. */
+    * The channel is extracted with the IDENTICAL Catalyst expression as
+    * the batch twin (`get_json_object(props, '$$.k')` + long cast, so
+    * quoted values like `"k":"3"` parse the same) on the micro-batch
+    * BEFORE the stateful fold — the per-row state code never touches raw
+    * JSON, so batch and stream can't diverge on extraction. Events
+    * inside a batch are (ts, event_id)-sorted before the fold (in-batch
+    * disorder handled); cross-batch late clicks are subject to delivery
+    * order, the standard stateful-op trade. */
   def lastTouchAttribution(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    events.as[EventRow]
+    val withChan = events.select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("value"),
+      when(col("event_type") === "click",
+        concat(lit("ch"),
+          (get_json_object(col("props"), "$.k").cast("long") % 4)
+            .cast("string"))).as("chan"))
+    withChan.as[AttrEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (uid: Long, rows: Iterator[EventRow], state: GroupState[AttrState]) => {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) => {
           var channel = state.getOption.map(_.channel).orNull
           val out = Seq.newBuilder[AttributedPurchase]
           rows.toSeq
@@ -165,11 +180,7 @@ object EventStreams {
             .sortBy(r => (r.ts.getTime, r.event_id))
             .foreach { r =>
               if (r.event_type == "click") {
-                val k = try {
-                  val m = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(r.props)
-                  m.map(_.group(1).toLong % 4)
-                } catch { case _: Exception => None }
-                k.foreach(b => channel = s"ch$b")
+                r.chan.foreach(c => channel = c)
               } else {
                 out += AttributedPurchase(uid, r.event_id, r.ts,
                   if (channel == null) "organic" else channel, r.value)

@@ -102,4 +102,11 @@ class ComponentsSpec extends SparkSpecBase {
     val total = pr.values.map(_._1).sum
     assert(total <= 1000000000000L && total > 990000000000L, s"mass $total")
   }
+
+  test("pageRankInt: empty edge list yields an empty frame, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val out = Components.pageRankInt(empty, 3)
+    assert(out.columns.toSeq == Seq("id", "pr_micro", "deg"))
+    assert(out.count() == 0L)
+  }
 }

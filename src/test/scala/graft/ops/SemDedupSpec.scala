@@ -16,8 +16,8 @@ class SemDedupSpec extends SparkSpecBase {
   test("prune policy: earlier near-dup in the cell prunes, orthogonal survives") {
     // nc=1 puts everything in one cell, isolating the prune policy itself:
     // ids 0/1/2 are near-identical (cos ~1), ids 10/11 near-identical on an
-    // orthogonal axis, id 20 unique. Expected pruned: 1,2 (kept_id 0) and
-    // 11 (kept_id 10); cross-axis cosines are ~0, far below τ.
+    // orthogonal axis, id 20 unique. Expected pruned: 1,2 (trigger_id 0) and
+    // 11 (trigger_id 10); cross-axis cosines are ~0, far below τ.
     val e = Seq(
       0L -> unitVec(0, 0.00f), 1L -> unitVec(0, 0.01f), 2L -> unitVec(0, 0.02f),
       10L -> unitVec(3, 0.00f), 11L -> unitVec(3, 0.01f),
@@ -25,7 +25,7 @@ class SemDedupSpec extends SparkSpecBase {
     ).toDF("vec_id", "embedding")
     val got = SemDedup.prunedWithinCells(e, "vec_id", "embedding",
         nc = 1, iters = 1, threshold = 0.9)
-      .select($"vec_id", $"kept_id").as[(Long, Long)].collect().toMap
+      .select($"vec_id", $"trigger_id").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 0L, 11L -> 10L))
   }
 
@@ -34,7 +34,7 @@ class SemDedupSpec extends SparkSpecBase {
       .select($"vec_id", $"embedding")
     val got = SemDedup.prunedWithinCells(e, "vec_id", "embedding",
         nc = 8, iters = 2, threshold = 0.4)
-      .select($"vec_id", $"cell", $"kept_id", $"max_sim")
+      .select($"vec_id", $"cell", $"trigger_id", $"max_sim")
       .as[(Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
