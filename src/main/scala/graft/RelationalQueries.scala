@@ -647,33 +647,36 @@ object RelationalQueries {
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
     * interpolation), the median absolute deviation around it, and the
-    * count beyond 3·MAD. Absolute deviations and the 3·MAD threshold
-    * stay DECIMAL — the whole decision path is integer-exact. Plan: two
-    * rank windows over the same group partitioning (Exchange reuse) +
-    * broadcast-back thresholds, the q98 shape twice. */
+    * count beyond 3·MAD. Everything runs in exact integer cents, so the
+    * whole decision path is bit-identical to a sorted scan.
+    *
+    * Both medians come from [[graft.ops.ExactRank.valuesAtRanks]] —
+    * iterative histogram selection, NOT `row_number()` over a 3-value
+    * partition key (that window plan is a three-reducer global sort,
+    * the single-task scale-killer at 100 TB). Each selection round is a
+    * map-only scan-count with a bounded broadcast state; no plan node
+    * sorts anything larger than the final 3-row presentation order. */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
-      .select($"l_returnflag", dec2($"l_extendedprice").as("price"))
-    def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valueCol))
-      df.withColumn("_rn", row_number().over(w))
-        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-        .groupBy(col("l_returnflag"))
-        .agg(max(when(col("_rn") === expr("(_n + 1) div 2"), col(valueCol))).as("_med"))
-    }
-    val med = lowerMedian(li, "price")
+      .select($"l_returnflag",
+        (dec2($"l_extendedprice") * 100).cast("long").as("c"))
+    val med = graft.ops.ExactRank.valuesAtRanks(s, li, "l_returnflag", "c",
+      n => Seq("med_c" -> (n + 1) / 2))
     val dev = li.join(broadcast(med), "l_returnflag")
-      .withColumn("absdev", abs($"price" - $"_med"))
-    val mad = lowerMedian(dev.select($"l_returnflag", $"absdev"), "absdev")
-      .withColumnRenamed("_med", "_mad")
+      .withColumn("absdev_c", abs($"c" - $"med_c"))
+    val mad = graft.ops.ExactRank.valuesAtRanks(s,
+      dev.select($"l_returnflag", $"absdev_c"), "l_returnflag", "absdev_c",
+      n => Seq("mad_c" -> (n + 1) / 2))
+    def asPrice(c: Column): Column =
+      (c.cast("decimal(18,2)") / 100).cast("decimal(18,2)")
     dev.join(broadcast(mad), "l_returnflag")
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        min($"_med").cast("double").as("median"),
-        min($"_mad").cast("double").as("mad"),
-        sum(when($"absdev" > $"_mad" * 3, 1L).otherwise(0L)).as("n_outliers"))
+        min(asPrice($"med_c")).cast("double").as("median"),
+        min(asPrice($"mad_c")).cast("double").as("mad"),
+        sum(when($"absdev_c" > $"mad_c" * 3, 1L).otherwise(0L)).as("n_outliers"))
       .orderBy($"l_returnflag")
   }
 
@@ -740,34 +743,38 @@ object RelationalQueries {
   }
 
   /** Winsorized robust statistics: per-group P05/P95 as EXACT order
-    * statistics (row_number against integer-arithmetic ranks ⌈n/20⌉ and
-    * ⌈19n/20⌉ — no interpolation, so both engines land on the same data
-    * value), then the clamped DECIMAL-exact mean and clamp counts. Two
-    * passes over the group but only ONE shuffle: the rank window and the
-    * threshold aggregate reuse the same hash partitioning on the group
-    * key (Exchange reuse), and the thresholds (4 rows) broadcast back. */
+    * statistics at the integer-arithmetic ranks ⌈n/20⌉ and ⌈19n/20⌉ (no
+    * interpolation, so both engines land on the same data value), then
+    * the clamped DECIMAL-exact mean and clamp counts.
+    *
+    * The two percentiles come from [[graft.ops.ExactRank.valuesAtRanks]]
+    * (iterative histogram selection in exact cents) instead of a
+    * `row_number()` window partitioned by the 3-value group key — the
+    * window plan sorts each group inside ONE reducer task, which is the
+    * single-task-sort scale-killer at 100 TB. Here the base data is
+    * never sorted and never shuffled: bounded scan-count rounds locate
+    * the exact ranks, the 3-row threshold table broadcasts back, and
+    * one partial+final aggregate finishes. */
   def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
-      .select($"l_returnflag", dec2($"l_extendedprice").as("price"))
-    val w = Window.partitionBy($"l_returnflag").orderBy($"price")
-    val ranked = li
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-    val thresholds = ranked.groupBy($"l_returnflag")
-      .agg(
-        max(when($"rn" === expr("(n + 19) div 20"), $"price")).as("p05"),
-        max(when($"rn" === expr("(n * 19 + 19) div 20"), $"price")).as("p95"))
+      .select($"l_returnflag",
+        (dec2($"l_extendedprice") * 100).cast("long").as("c"))
+    val thresholds = graft.ops.ExactRank.valuesAtRanks(s, li,
+      "l_returnflag", "c",
+      n => Seq("p05_c" -> (n + 19) / 20, "p95_c" -> (n * 19 + 19) / 20))
+    def asPrice(c: Column): Column =
+      (c.cast("decimal(18,2)") / 100).cast("decimal(18,2)")
     li.join(broadcast(thresholds), "l_returnflag")
-      .withColumn("clamped", greatest($"p05", least($"p95", $"price")))
+      .withColumn("clamped", greatest($"p05_c", least($"p95_c", $"c")))
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        min($"p05").cast("double").as("p05"),
-        min($"p95").cast("double").as("p95"),
-        sum($"clamped").cast("double").as("win_sum"),
-        sum(when($"price" < $"p05", 1L).otherwise(0L)).as("n_lo"),
-        sum(when($"price" > $"p95", 1L).otherwise(0L)).as("n_hi"))
+        min(asPrice($"p05_c")).cast("double").as("p05"),
+        min(asPrice($"p95_c")).cast("double").as("p95"),
+        sum(asPrice($"clamped")).cast("double").as("win_sum"),
+        sum(when($"c" < $"p05_c", 1L).otherwise(0L)).as("n_lo"),
+        sum(when($"c" > $"p95_c", 1L).otherwise(0L)).as("n_hi"))
       .withColumn("win_mean", $"win_sum" / $"n")
       .orderBy($"l_returnflag")
   }

@@ -232,6 +232,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q98/q109: exact order statistics plan NO window and NO per-group sort") {
+    // the scale-killer this guards against: row_number() OVER
+    // (PARTITION BY l_returnflag ORDER BY price) funnels each ~N/3-row
+    // group through ONE reducer task. ExactRank's histogram selection
+    // must keep both plans window-free; the only Sort allowed is the
+    // final ≤3-row presentation orderBy.
+    for (name <- Seq("q98_winsorize", "q109_mad_outliers")) {
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name must not plan a Window over the 3-value group key:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name joins must broadcast (thresholds are tiny):\n$p")
+      // presentation sort only: every Sort must sit ABOVE the final
+      // aggregate (sorting ≤3 grouped rows); a Sort feeding directly off
+      // the fact scan/exchange is the per-group sort landmine
+      val sorts = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }
+      sorts.foreach { s =>
+        assert(s.child.toString.contains("HashAggregate"),
+          s"$name: a Sort consumes ungrouped rows — per-group sort regressed:\n$s")
+      }
+    }
+  }
+
   test("q94: semdedup pairs come from the cell equi-join, never a cross product") {
     val p = plan("q94_semdedup")
     assert(!p.contains("CartesianProduct"),
