@@ -273,6 +273,51 @@ object VectorQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Build-once cache for the q111 INCREMENTALLY MAINTAINED index: train
+    * the coarse quantizer on the "historical" corpus slice only
+    * (3 ≤ vec_id < 400), write the index, then [[graft.ops.Ivf
+    * .appendToIndex]] the "new batch" (vec_id ≥ 400) assign-only under
+    * the FROZEN model — the operational append-without-retrain mode.
+    * Deterministic assignment makes the appended index bit-identical to
+    * a one-shot build of the union under the same model (IvfSpec), so
+    * the cache stays a cost optimization. */
+  private val appendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def appendedIndexFor(s: SparkSession, dir: String): String =
+    appendIndexCache.computeIfAbsent(corpusFingerprint(s, dir), _ => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val old = e.filter($"vec_id" >= 3 && $"vec_id" < 400)
+        .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+      val model = graft.ops.Ivf.train(
+        old.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+        nc = 16, iters = 2)
+      val path = tempIndexDir("graft_ivf_append")
+      graft.ops.Ivf.writeIndex(old, "nv", model, path)
+      graft.ops.Ivf.appendToIndex(
+        e.filter($"vec_id" >= 400).select($"vec_id".as("n_id"), $"embedding".as("nv")),
+        "nv", path)
+      path
+    })
+
+  /** Probe over the incrementally maintained index (q52's probe against
+    * the [[appendedIndexFor]] artifact): the quantizer saw only the
+    * historical slice, the appended batch was assigned under it frozen,
+    * and the probe prunes partitions exactly as q52 does. The oracle
+    * replays the RESTRICTED training (train rows < 400), then assigns
+    * and probes over the full corpus — i.e. it replays the append. */
+  def annIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    graft.ops.Ivf.probeIndex(s, appendedIndexFor(s, dir), qs, k = 5, nprobe = 6)
+      .select($"q_id", $"n_id", round($"sim", 6).as("sim"),
+        $"rnk".cast("long").as("rnk"))
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Product-quantization ADC top-k (Jégou et al. 2011): 2 sub-codebooks
     * of 8 centroids over 32-dim slices, trained by the same deterministic
     * micro-k-means as the IVF coarse quantizer (raw L2, per-subspace
@@ -411,7 +456,8 @@ object VectorQueries {
     "q88_binary_hamming"     -> (binaryHammingTopK _),
     "q99_pq_adc"             -> (pqAdcTopK _),
     "q104_label_cohesion"    -> (labelCohesion _),
-    "q107_ivf_pq"            -> (ivfPqTopK _))
+    "q107_ivf_pq"            -> (ivfPqTopK _),
+    "q111_ivf_append"        -> (annIvfAppend _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -637,9 +683,15 @@ object VectorQueries {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
-  private def annIvfOracle: String = {
+  private def annIvfOracle: String = annIvfOracleWith(q => s"$q.vec_id >= 3")
+
+  /** The q52 IVF oracle with a pluggable training predicate: q111 reuses
+    * the identical assign/probe/rank replay but trains on the historical
+    * slice only — which IS the append semantics, since appended rows are
+    * assigned under the frozen model exactly like training-corpus rows. */
+  private def annIvfOracleWith(trainPred: String => String): String = {
     val dim = 64; val nc = 16; val nprobe = 6; val k = 5
-    s"""WITH ${kmeansCtes("", "embedding", dim, nc, 42L, q => s"$q.vec_id >= 3", unitNorm = true)},
+    s"""WITH ${kmeansCtes("", "embedding", dim, nc, 42L, trainPred, unitNorm = true)},
        |cells AS (
        |  SELECT vec_id AS n_id, cell FROM (
        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -758,6 +810,8 @@ object VectorQueries {
   val oracleSql: Map[String, String] = Map(
     "q35_ann_lsh" -> annLshOracle,
     "q52_ann_ivf" -> annIvfOracle,
+    "q111_ivf_append" ->
+      annIvfOracleWith(q => s"($q.vec_id >= 3 AND $q.vec_id < 400)"),
     "q99_pq_adc" -> pqAdcOracle,
     "q107_ivf_pq" -> ivfPqOracle,
     "q104_label_cohesion" ->

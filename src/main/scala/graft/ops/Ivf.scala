@@ -204,6 +204,47 @@ object Ivf {
     IvfModel(rows.map(_.getSeq[Float](1).toArray))
   }
 
+  /** Append a batch to a prebuilt index WITHOUT retraining — the
+    * operational 100 TB maintenance mode: new data arrives continuously,
+    * the coarse quantizer stays FROZEN, and the batch is assign-only
+    * (map-only) and appended into the existing `ivf_cell` partition
+    * directories. Because assignment is deterministic, N appends are
+    * bit-identical to one [[writeIndex]] of the union corpus under the
+    * same model (spec-proven in IvfSpec) — probes need no special
+    * casing. Retraining is a deliberate rebuild-then-swap (the
+    * Collection.reembed discipline), triggered when [[indexStaleness]]
+    * drifts, never an implicit side effect of ingest. */
+  def appendToIndex(df: DataFrame, vecCol: String, path: String): Unit = {
+    val m = loadModel(df.sparkSession, path)
+    assign(df, vecCol, m)
+      .write.mode("append").partitionBy("ivf_cell").parquet(s"$path/cells")
+  }
+
+  /** Staleness audit of a prebuilt index: per cell, the row count and the
+    * mean quantization error (L2 of each unit vector to its own frozen
+    * centroid, micro-quantized before the mean so the number is
+    * partition-order-independent). As appended batches drift from the
+    * training distribution, cells bloat unevenly (n skew — probe cost
+    * becomes the hot cell) and mean_err rises (candidates get farther
+    * from the probe geometry, recall decays): compare against the
+    * build-time snapshot and rebuild when either drifts past budget.
+    * One map-only scan + one tiny aggregate — cheap enough to run after
+    * every append. */
+  def indexStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String = "nv"): DataFrame = {
+    val m = loadModel(spark, path)
+    val centArr = array(m.centroids.toIndexedSeq.map(c => lit(c)): _*)
+    spark.read.parquet(s"$path/cells")
+      .withColumn("_uv", unit(col(vecCol)))
+      .withColumn("_errm",
+        round(VectorExprs.l2(col("_uv"),
+          element_at(centArr, col("ivf_cell") + 1)) * Micro).cast("long"))
+      .groupBy(col("ivf_cell"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_errm")).cast("double") / (count(lit(1)) * Micro.toDouble))
+          .as("mean_err"))
+  }
+
   /** Probe a prebuilt index (written by [[writeIndex]], candidate schema
     * (n_id, nv)): each query's `nprobe` nearest cells are computed from
     * the loaded quantizer and pushed as a LITERAL partition filter, so
@@ -224,6 +265,34 @@ object Ivf {
       .collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$path/cells")
       .filter(col("ivf_cell").isin(probedCells.toIndexedSeq: _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id"))
+    cells.join(broadcast(probes), Seq("ivf_cell"))
+      .withColumn("sim", VectorExprs.cosine(col("nv"), col("qv")))
+      .select(col("q_id"), col("n_id"), col("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Batch probe of a prebuilt index via join + dynamic partition
+    * pruning — [[probeIndex]]'s documented escape hatch made real. The
+    * probed cells are NEVER collected to the driver: the probe side stays
+    * a DataFrame end-to-end, the cells scan joins it on the `ivf_cell`
+    * partition column, and because the probe side is broadcast, Spark's
+    * dynamic partition pruning reuses that broadcast to filter the scan's
+    * partitions at runtime (visible as a `dynamicpruningexpression` in
+    * the scan's PartitionFilters). Use this when the query batch is big
+    * enough that nprobe × Q cell ids stop being a bounded driver collect;
+    * for a handful of serving-path queries [[probeIndex]]'s literal
+    * filter prunes at plan time instead. Results are identical. */
+  def probeIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val m = loadModel(spark, path)
+    val probes = queries
+      .withColumn("_graft_qu", unit(col("qv")))
+      .select(col("q_id"), col("qv"),
+        explode(probeCellsUnit(col("_graft_qu"), m, nprobe)).as("ivf_cell"))
+    val cells = spark.read.parquet(s"$path/cells")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id"))
     cells.join(broadcast(probes), Seq("ivf_cell"))

@@ -67,11 +67,108 @@ class IvfSpec extends SparkSpecBase {
     val probed = Ivf.probeIndex(spark, path, qs, k = 5, nprobe = 6)
       .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
     assert(probed == inline, "prebuilt-index probe must reproduce the inline result")
-    // the probe's cells scan must partition-prune to the probed cells only
+    // the probe's cells scan must partition-prune to the probed cells
+    // only — pin the literal INSET AND that it lists fewer cells than
+    // the index holds (a refactor that silently full-scans would either
+    // drop the filter or list all 16)
     val scan = Ivf.probeIndex(spark, path, qs, k = 5, nprobe = 6)
       .queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("ivf_cell"),
       s"expected ivf_cell partition filters on the cells scan:\n$scan")
+    // a single query at nprobe=2 must read exactly its 2 cells, not 16
+    val narrow = Ivf.probeIndex(spark, path, qs.limit(1), k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // few values print as IN (a,b); >= 10 convert to INSET a, b, ...
+    val inset = "ivf_cell#\\d+ IN(?:SET)? \\(?([0-9, ]+)\\)?".r.findFirstMatchIn(narrow)
+    assert(inset.isDefined, s"expected a literal IN/INSET partition filter:\n$narrow")
+    val nCells = inset.get.group(1).split(",").count(_.trim.nonEmpty)
+    assert(nCells == 2,
+      s"1 query at nprobe=2 must read exactly 2 of 16 cells, got $nCells")
+  }
+
+  test("probeIndexBatch: join-based probe prunes via DPP, no driver collect, same results") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val cands = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val m = Ivf.train(cands.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 16, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_batch_spec").toString
+    Ivf.writeIndex(cands, "nv", m, path)
+    val viaLiteral = Ivf.probeIndex(spark, path, qs, k = 5, nprobe = 6)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val batch = Ivf.probeIndexBatch(spark, path, qs, k = 5, nprobe = 6)
+    val viaJoin = batch
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(viaJoin == viaLiteral,
+      "join-based probe must reproduce the literal-filter probe exactly")
+    // the scan's partition filter must be DYNAMIC (runtime-pruned from the
+    // broadcast probe side), proving no plan-time driver collect happened
+    val p = batch.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression partition filter:\n$p")
+  }
+
+  test("appendToIndex: append-without-retrain == one-shot build of the union under the same model") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val old = e.filter($"vec_id" >= 10 && $"vec_id" < 300)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val fresh = e.filter($"vec_id" >= 300)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val union = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val m = Ivf.train(old.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 8, iters = 2)
+    // path A: build on old, append the new batch under the frozen model
+    val pa = java.nio.file.Files.createTempDirectory("ivf_append_a").toString
+    Ivf.writeIndex(old, "nv", m, pa)
+    Ivf.appendToIndex(fresh, "nv", pa)
+    // path B: one-shot index of the union under the SAME model
+    val pb = java.nio.file.Files.createTempDirectory("ivf_append_b").toString
+    Ivf.writeIndex(union, "nv", m, pb)
+    // identical cell contents...
+    val cellsA = spark.read.parquet(s"$pa/cells")
+      .select($"n_id", $"ivf_cell".cast("int")).as[(Long, Int)].collect().toSet
+    val cellsB = spark.read.parquet(s"$pb/cells")
+      .select($"n_id", $"ivf_cell".cast("int")).as[(Long, Int)].collect().toSet
+    assert(cellsA == cellsB, "appended assignment diverged from one-shot build")
+    // ...and identical probe results
+    val a = Ivf.probeIndex(spark, pa, qs, k = 5, nprobe = 3)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val b = Ivf.probeIndex(spark, pb, qs, k = 5, nprobe = 3)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(a == b, "probe-after-append must equal probe of the one-shot union index")
+  }
+
+  test("indexStaleness: per-cell counts are exact; drifted appends raise mean error") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = e.filter($"vec_id" >= 10 && $"vec_id" < 300)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val m = Ivf.train(old.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 8, iters = 2)
+    val p = java.nio.file.Files.createTempDirectory("ivf_stale").toString
+    Ivf.writeIndex(old, "nv", m, p)
+    val before = Ivf.indexStaleness(spark, p).as[(Int, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(before.values.map(_._1).sum == 290L, "counts must cover every row")
+    assert(before.values.forall(_._2 >= 0.0))
+    // append an adversarial batch: constant far-off vectors all landing
+    // in one cell -> that cell's count and the global mean error jump
+    val drift = Seq.tabulate(100) { i =>
+      (10000L + i, Array.tabulate(64)(d => if (d == 0) 1f else 0.9f))
+    }.toDF("n_id", "nv")
+    Ivf.appendToIndex(drift, "nv", p)
+    val after = Ivf.indexStaleness(spark, p).as[(Int, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after.values.map(_._1).sum == 390L)
+    val bloated = after.filter { case (c, (n, _)) => n - before(c)._1 >= 100L }
+    assert(bloated.size == 1, s"drift batch must bucket into one cell: $after")
+    val (cell, (_, errAfter)) = bloated.head
+    assert(errAfter > before(cell)._2,
+      f"mean_err must rise in the bloated cell: ${before(cell)._2}%.4f -> $errAfter%.4f")
   }
 
   // The testdata embeddings are uniform random unit vectors (norms == 1.0,
