@@ -34,24 +34,76 @@ object Decontaminate {
   def docNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(ngramSet(col(textCol), n)).as("ngram"))
 
+  /** Broadcast ceiling for the eval n-gram set: 10⁷ distinct codes ≈
+    * 80 MB of longs on every executor — beyond it the broadcast regime's
+    * premise ("eval sets are benchmarks") no longer holds and
+    * [[contaminationBloom]] is the right path. */
+  val DefaultBroadcastGramLimit: Long = 10000000L
+
+  /** Typed guard failure: the eval set's distinct n-gram count exceeds
+    * the broadcast ceiling. Carries both numbers so callers can route to
+    * [[contaminationBloom]] (or raise the limit deliberately). */
+  final case class EvalGramSetTooLarge(count: Long, limit: Long)
+    extends IllegalArgumentException(
+      s"eval n-gram set has $count distinct codes, over the broadcast " +
+        s"ceiling $limit; use contaminationBloom (bloom-gated exact join) " +
+        "or raise maxBroadcastGrams deliberately")
+
   /** Per-train-document contamination report against `eval`: `n_ngrams`
     * distinct n-grams, `n_hits` of them present anywhere in the eval
     * set, and the hit fraction (exact int/int double). Documents shorter
     * than n tokens carry no n-grams and are excluded (nothing to test).
     *
     * The eval n-gram set is deduplicated then broadcast — the
-    * decontamination join never shuffles the corpus. */
+    * decontamination join never shuffles the corpus. That only works
+    * while the eval side stays benchmark-sized, so the gram count is
+    * guarded: past `maxBroadcastGrams` this throws
+    * [[EvalGramSetTooLarge]] instead of silently OOMing every executor —
+    * route those eval sets through [[contaminationBloom]]. */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 8): DataFrame = {
+      textCol: String, n: Int = 8,
+      maxBroadcastGrams: Long = DefaultBroadcastGramLimit): DataFrame = {
     val evalGrams = eval
       .select(explode(ngramSet(col(textCol), n)).as("ngram"))
       .distinct()
+    val gramCount = evalGrams.count()
+    if (gramCount > maxBroadcastGrams)
+      throw EvalGramSetTooLarge(gramCount, maxBroadcastGrams)
     val base = train
       .select(col(idCol),
         size(ngramSet(col(textCol), n)).cast("long").as("n_ngrams"))
       .filter(col("n_ngrams") > 0)
     val hits = docNgrams(train, idCol, textCol, n)
       .join(broadcast(evalGrams), Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    base.join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("hit_frac", col("n_hits").cast("double") / col("n_ngrams"))
+  }
+
+  /** [[contamination]] for eval sets BEYOND broadcast scale: instead of
+    * shipping the gram set, ship a bloom of it (numBits/8 bytes — 128 KB
+    * at the default — regardless of gram count, [[BloomJoin.keyBloom]]),
+    * drop corpus n-grams map-side through the bloom, and resolve the
+    * survivors with an exact shuffle equi-join against the eval grams.
+    * False positives are removed by the exact join, so the report is
+    * IDENTICAL to [[contamination]] (spec-proven); the shuffle carries
+    * only true hits plus the FP rate × corpus grams, not the corpus. */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8,
+      numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val evalGrams = eval
+      .select(explode(ngramSet(col(textCol), n)).as("ngram"))
+      .distinct()
+    val bits = BloomJoin.keyBloom(evalGrams, "ngram", numBits, k)
+    val base = train
+      .select(col(idCol),
+        size(ngramSet(col(textCol), n)).cast("long").as("n_ngrams"))
+      .filter(col("n_ngrams") > 0)
+    val hits = docNgrams(train, idCol, textCol, n)
+      .filter(BloomJoin.mightContain(col("ngram"), bits, numBits, k))
+      .join(evalGrams, Seq("ngram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
     base.join(hits, Seq(idCol), "left")

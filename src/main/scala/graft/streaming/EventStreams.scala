@@ -192,6 +192,73 @@ object EventStreams {
       .toDF()
   }
 
+  final case class HourCents(event_type: String, hour_epoch: Long, cents: Long)
+  final case class TypeHoursState(hours: Map[Long, Long])
+  final case class HourlyAnomaly(event_type: String, hour_epoch: Long,
+      hr_value: Double, z: Double)
+
+  /** Streaming twin of RelationalQueries.hourlyAnomalies (q106): per
+    * event type, hourly value totals more than 2 population-σ from the
+    * type's mean — re-evaluated live as events arrive. The per-type
+    * moments are kept as EXACT integer cent sums (hour_epoch → Σcents),
+    * which merge associatively across micro-batches; every emission
+    * recomputes the type's CURRENT full anomaly set from those exact
+    * sums via the identical arithmetic as the batch query (decimal cents
+    * → double μ/σ² in the same operation order, 6-dp HALF_UP z), so once
+    * all events have arrived the final emission per type equals the
+    * batch result row-for-row (spec-proven). Cent extraction happens
+    * with Catalyst expressions on the micro-batch BEFORE the stateful
+    * fold (the q101 parity device) — state code never re-parses values.
+    *
+    * Update-mode semantics by construction: a new hour shifts μ/σ², so
+    * past hours can enter or leave the anomaly set — the operator
+    * re-emits the full set for the updated type (anomaly monitoring is
+    * a replace-per-type readout, not an append log). State is one long
+    * per (type, active hour): bounded by types × elapsed hours, growing
+    * one entry per type per hour — years of telemetry fit in memory; cap
+    * horizons by dropping hours past retention in the fold if needed. */
+  def hourlyAnomaliesStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val perRow = events.select(
+      col("event_type"),
+      (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_epoch"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    perRow.as[HourCents]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (typ: String, rows: Iterator[HourCents], state: GroupState[TypeHoursState]) => {
+          val hours = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(s => hours ++= s.hours)
+          rows.foreach { r =>
+            hours(r.hour_epoch) = hours.getOrElse(r.hour_epoch, 0L) + r.cents
+          }
+          state.update(TypeHoursState(hours.toMap))
+          // exact decimal moments, then the batch query's double algebra
+          // in the same operation order
+          import java.math.{BigDecimal => JBD, BigInteger => JBI, RoundingMode}
+          val n = hours.size.toLong
+          var s = JBI.ZERO
+          var q = JBI.ZERO
+          hours.values.foreach { c =>
+            val cb = JBI.valueOf(c)
+            s = s.add(cb)
+            q = q.add(cb.multiply(cb))
+          }
+          val sDbl = new JBD(s, 2).doubleValue   // Σ v_d  (DECIMAL 18,2)
+          val qDbl = new JBD(q, 4).doubleValue   // Σ v_d² (DECIMAL 37,4)
+          val mu = sDbl / n
+          val variance = (qDbl - sDbl * sDbl / n) / n
+          hours.toSeq.sorted.iterator.flatMap { case (h, c) =>
+            val v = new JBD(JBI.valueOf(c), 2).doubleValue
+            val z = JBD.valueOf((v - mu) / math.sqrt(variance))
+              .setScale(6, RoundingMode.HALF_UP).doubleValue
+            if (math.abs(z) > 2.0) Some(HourlyAnomaly(typ, h, v, z)) else None
+          }
+        })
+      .toDF()
+  }
+
   /** Streaming exact dedup: drop events whose `idCols` were already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
     * is evicted once the watermark passes, so memory is bounded by the

@@ -82,4 +82,45 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"eval grams must broadcast:\n$plan")
   }
+
+  test("broadcast ceiling guard throws the typed error with both counts") {
+    val train = Seq((1L, "some training document words here")).toDF("id", "text")
+    val eval = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"),
+      (1L, "one two three four five six seven eight nine")).toDF("id", "text")
+    val err = intercept[Decontaminate.EvalGramSetTooLarge] {
+      Decontaminate.contamination(train, eval, "id", "text", n = 5,
+        maxBroadcastGrams = 3L)
+    }
+    assert(err.limit == 3L && err.count > 3L)
+    assert(err.getMessage.contains("contaminationBloom"))
+    // at the default ceiling the same call succeeds unchanged
+    assert(Decontaminate.contamination(train, eval, "id", "text", n = 5)
+      .count() == 1L)
+  }
+
+  test("contaminationBloom reports are identical to the broadcast path on real documents") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    // eval = a slice of the corpus itself -> real overlaps at several
+    // hit fractions, plus untouched documents
+    val eval = docs.filter($"doc_id" % 7 === 0).select($"text")
+    val viaBroadcast = Decontaminate.contamination(
+        docs, eval, "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_ngrams", $"n_hits", $"hit_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val viaBloom = Decontaminate.contaminationBloom(
+        docs, eval, "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_ngrams", $"n_hits", $"hit_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBloom == viaBroadcast,
+      s"missing=${viaBroadcast -- viaBloom} extra=${viaBloom -- viaBroadcast}")
+    // the bloom prefilter must appear in the plan (map-side drop), and
+    // the bloom path must not broadcast the gram set itself
+    val p = Decontaminate.contaminationBloom(docs, eval, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"),
+      s"corpus grams must be bloom-prefiltered map-side:\n$p")
+  }
 }

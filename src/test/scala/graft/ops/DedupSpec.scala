@@ -173,18 +173,22 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("prefix-filtered jaccard join equals the all-pairs verifier (no false negatives)") {
-    // property behind the prefix filter: for ANY corpus, the candidates
-    // surviving the prefix equi-join contain every pair with J >= τ
-    for (seed <- Seq(3, 11, 42)) {
+    // differential over seeds AND thresholds: the candidates surviving
+    // the prefix equi-join must contain every pair with J >= τ (the
+    // theorem itself is ScalaCheck'd at 300 abstract cases in
+    // PrefixFilterPropertySpec; this pins the Spark implementation)
+    for ((seed, num, den) <- Seq((3, 1, 2), (11, 1, 2), (42, 1, 2),
+        (7, 4, 5), (21, 1, 3))) {
       val docs = randomDocs(seed)
-      val naive = Dedup.jaccardPairs(docs, "doc_id", "text", w = 2, threshold = 0.5)
+      val tau = num.toDouble / den
+      val naive = Dedup.jaccardPairs(docs, "doc_id", "text", w = 2, threshold = tau)
         .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
       val pruned = Dedup.prefixJaccardJoin(docs, "doc_id", "text",
-          tauNum = 1, tauDen = 2, w = 2)
+          tauNum = num, tauDen = den, w = 2)
         .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
-      assert(pruned.keySet == naive.keySet, s"seed $seed: pair sets differ")
+      assert(pruned.keySet == naive.keySet, s"seed $seed τ=$num/$den: pair sets differ")
       naive.keySet.foreach { k =>
-        assert(pruned(k) == naive(k), s"seed $seed: value differs at $k")
+        assert(pruned(k) == naive(k), s"seed $seed τ=$num/$den: value differs at $k")
       }
     }
   }

@@ -216,4 +216,52 @@ class EventStreamsSpec extends SparkSpecBase {
         s"got $got")
     } finally q.stop()
   }
+
+  private val anomalyCols = Seq("event_type", "hour_epoch", "hr_value", "z")
+
+  test("hourlyAnomaliesStream in batch mode == batch q106 on real events") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val streamed = EventStreams.hourlyAnomaliesStream(spark, events)
+      .select(anomalyCols.head, anomalyCols.tail: _*)
+      .as[(String, Long, Double, Double)].collect().toSet
+    val batch = graft.RelationalQueries.hourlyAnomalies(spark, "/root/testdata/sf0.001")
+      .select(anomalyCols.head, anomalyCols.tail: _*)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(batch.nonEmpty, "q106 must flag anomalies at sf0.001")
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
+  test("hourlyAnomaliesStream: final per-type emission over micro-batches == batch q106") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .as[EventRow].collect().sortBy(_.event_id)
+    val mem = MemoryStream[EventRow]
+    // update-mode readout: each emission replaces the type's full anomaly
+    // set, so "current state" = latest emission per type
+    val latest = scala.collection.concurrent.TrieMap
+      .empty[String, Set[(String, Long, Double, Double)]]
+    val q = EventStreams.hourlyAnomaliesStream(spark, mem.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+          .groupBy(_._1)
+          .foreach { case (t, rows) => latest(t) = rows.toSet }
+        ()
+      }.start()
+    try {
+      val (b1, b2) = events.splitAt(events.length / 2)
+      mem.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = latest.values.flatten.toSet
+    val batch = graft.RelationalQueries.hourlyAnomalies(spark, "/root/testdata/sf0.001")
+      .select(anomalyCols.head, anomalyCols.tail: _*)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
 }
