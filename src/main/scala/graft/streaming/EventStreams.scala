@@ -215,9 +215,23 @@ object EventStreams {
     * re-emits the full set for the updated type (anomaly monitoring is
     * a replace-per-type readout, not an append log). State is one long
     * per (type, active hour): bounded by types × elapsed hours, growing
-    * one entry per type per hour — years of telemetry fit in memory; cap
-    * horizons by dropping hours past retention in the fold if needed. */
-  def hourlyAnomaliesStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    * one entry per type per hour. `retainHours = Some(h)` caps that
+    * horizon: after each merge the fold drops hours more than h-1 hours
+    * behind the type's newest hour, so state is O(types × h) no matter
+    * how long the stream runs (anomalies are then judged against the
+    * retained window's moments — the sliding-baseline monitoring mode).
+    * Default `None` keeps every hour = exact batch parity.
+    *
+    * Degenerate moments: a type with a single retained hour, or with
+    * all-equal hourly totals, has population variance 0 — there is no
+    * scale to measure deviation against, and the batch twin's
+    * `abs(round(NaN,6)) > 2.0` drops every such row. The fold emits
+    * nothing for the type until variance is positive (previously it fed
+    * NaN to `BigDecimal.valueOf`, throwing NumberFormatException inside
+    * the stateful fold and killing the query). */
+  def hourlyAnomaliesStream(spark: SparkSession, events: DataFrame,
+      retainHours: Option[Int] = None): DataFrame = {
+    retainHours.foreach(h => require(h > 0, s"retainHours must be positive: $h"))
     import spark.implicits._
     val perRow = events.select(
       col("event_type"),
@@ -232,6 +246,12 @@ object EventStreams {
           state.getOption.foreach(s => hours ++= s.hours)
           rows.foreach { r =>
             hours(r.hour_epoch) = hours.getOrElse(r.hour_epoch, 0L) + r.cents
+          }
+          retainHours.foreach { rh =>
+            if (hours.nonEmpty) {
+              val cutoff = hours.keysIterator.max - (rh.toLong - 1L) * 3600L
+              hours.filterInPlace((h, _) => h >= cutoff)
+            }
           }
           state.update(TypeHoursState(hours.toMap))
           // exact decimal moments, then the batch query's double algebra
@@ -249,7 +269,9 @@ object EventStreams {
           val qDbl = new JBD(q, 4).doubleValue   // Σ v_d² (DECIMAL 37,4)
           val mu = sDbl / n
           val variance = (qDbl - sDbl * sDbl / n) / n
-          hours.toSeq.sorted.iterator.flatMap { case (h, c) =>
+          if (!(variance > 0)) Iterator.empty  // zero/degenerate variance:
+          // batch's abs(round(NaN,6)) > 2.0 is false — emit nothing
+          else hours.toSeq.sorted.iterator.flatMap { case (h, c) =>
             val v = new JBD(JBI.valueOf(c), 2).doubleValue
             val z = JBD.valueOf((v - mu) / math.sqrt(variance))
               .setScale(6, RoundingMode.HALF_UP).doubleValue

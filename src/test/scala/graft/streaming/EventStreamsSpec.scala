@@ -12,6 +12,10 @@ class EventStreamsSpec extends SparkSpecBase {
   private def ts(min: Int, sec: Int = 0) =
     Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
 
+  /** Timestamp at hour offset `h` from 10:00 (minute 1). */
+  private def tsh(h: Int) =
+    Timestamp.valueOf(f"2024-01-01 ${10 + h}%02d:01:00")
+
   private val sampleEvents = Seq(
     EventRow(0L, ts(1), 1L, "click", 1.0, "{}"),
     EventRow(1L, ts(5), 1L, "click", 2.0, "{}"),
@@ -230,6 +234,60 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(batch.nonEmpty, "q106 must flag anomalies at sf0.001")
     assert(streamed == batch,
       s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
+  test("hourlyAnomaliesStream survives zero-variance state (single-hour / all-equal types)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.hourlyAnomaliesStream(spark, mem.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("anom_zerovar").start()
+    try {
+      // "solo": one hour only (n=1) and "flat": two hours with equal
+      // totals — both give population variance 0. Before the guard the
+      // fold computed z = NaN and BigDecimal.valueOf(NaN) threw
+      // NumberFormatException, killing the whole streaming query here.
+      mem.addData(
+        EventRow(0L, ts(1), 1L, "solo", 7.0, "{}"),
+        EventRow(1L, ts(2), 1L, "flat", 5.0, "{}"),
+        EventRow(2L, ts(61), 2L, "flat", 5.0, "{}"))
+      q.processAllAvailable() // must not throw
+      assert(spark.table("anom_zerovar").count() == 0,
+        "zero-variance types must emit no anomalies (batch NaN semantics)")
+      // once a type gains positive variance it flows again: five equal
+      // hours + one outlier ⇒ outlier z = sqrt(5) ≈ 2.236 > 2
+      mem.addData(
+        (2 to 4).map(h => EventRow(10L + h, tsh(h), 1L, "flat", 5.0, "{}")) :+
+        EventRow(20L, tsh(5), 1L, "flat", 50.0, "{}"): _*)
+      q.processAllAvailable()
+      val got = spark.table("anom_zerovar")
+        .select("event_type", "z").as[(String, Double)].collect().toSet
+      assert(got == Set(("flat", 2.236068)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("hourlyAnomaliesStream retention cap bounds state to the newest hours") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    // 7 active hours, retain 6: the oldest hour must drop from state, so
+    // the outlier's z is computed over n=6 (z=sqrt(5)=2.236068), not n=7
+    // (z=sqrt(6)=2.449490) — the z value itself proves the drop happened
+    val q = EventStreams.hourlyAnomaliesStream(spark, mem.toDF(),
+        retainHours = Some(6))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("anom_retain").start()
+    try {
+      mem.addData((0 to 5).map(h =>
+        EventRow(h.toLong, tsh(h), 1L, "r", 5.0, "{}")): _*)
+      q.processAllAvailable()
+      mem.addData(EventRow(6L, Timestamp.valueOf("2024-01-01 16:01:00"), 1L, "r", 50.0, "{}"))
+      q.processAllAvailable()
+      val lastZ = spark.table("anom_retain")
+        .select("event_type", "hour_epoch", "z")
+        .as[(String, Long, Double)].collect().toSet
+      val outlierHour = Timestamp.valueOf("2024-01-01 16:00:00").getTime / 1000
+      assert(lastZ == Set(("r", outlierHour, 2.236068)), s"got $lastZ")
+    } finally q.stop()
   }
 
   test("hourlyAnomaliesStream: final per-type emission over micro-batches == batch q106") {
