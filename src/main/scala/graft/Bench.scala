@@ -70,25 +70,40 @@ object Bench {
     val runs = selected.filter(qs.contains).map { name =>
       val fn = qs(name)
       try {
-        fn(spark, sfDir).count() // warm-up
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count() // warm-up (JIT/codegen/cache), untimed
+        val warm = (System.nanoTime() - t0) / 1e9
         val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
+          val t1 = System.nanoTime()
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          (System.nanoTime() - t1) / 1e9
         }
-        name -> Right(times.min): (String, Either[String, Double])
+        name -> Right((times.min, warm +: times)): (String, Either[String, (Double, Seq[Double])])
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> Left(e.getClass.getSimpleName): (String, Either[String, Double])
+        name -> Left(e.getClass.getSimpleName): (String, Either[String, (Double, Seq[Double])])
       }
     }
-    val ok = runs.collect { case (n, Right(t)) => n -> t }
+    val ok = runs.collect { case (n, Right((t, _))) => n -> t }
     val failed = runs.collect { case (n, Left(err)) => n -> err }
     val qJson = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val eJson = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // the driver keeps only a 2000-char stdout tail — the full per-query
+    // record (warm-up + both timed runs, one line per query, every
+    // query) goes to BENCH_TIMES.json so regressions are auditable
+    val fileLines = runs.map {
+      case (n, Right((best, all))) =>
+        s"""  "$n": {"best": $best, "warmup": ${all.head}, "runs": [${all.tail.mkString(", ")}]}"""
+      case (n, Left(err)) =>
+        s"""  "$n": {"error": "$err"}"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_TIMES.json"),
+      (s"""{"sf": "$sfDir", "total_best_sec": $total, "queries": {""" + "\n" +
+        fileLines.mkString(",\n") + "\n}}\n").getBytes("UTF-8"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -658,26 +658,79 @@ object RelationalQueries {
     * sorts anything larger than the final 3-row presentation order. */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.ops.ExactRank
     val li = Tables.lineitem(s, dir)
       .select($"l_returnflag",
         (dec2($"l_extendedprice") * 100).cast("long").as("c"))
-    val med = graft.ops.ExactRank.valuesAtRanks(s, li, "l_returnflag", "c",
-      n => Seq("med_c" -> (n + 1) / 2))
-    val dev = li.join(broadcast(med), "l_returnflag")
-      .withColumn("absdev_c", abs($"c" - $"med_c"))
-    val mad = graft.ops.ExactRank.valuesAtRanks(s,
-      dev.select($"l_returnflag", $"absdev_c"), "l_returnflag", "absdev_c",
-      n => Seq("mad_c" -> (n + 1) / 2))
-    def asPrice(c: Column): Column =
-      (c.cast("decimal(18,2)") / 100).cast("decimal(18,2)")
-    dev.join(broadcast(mad), "l_returnflag")
-      .groupBy($"l_returnflag")
-      .agg(
-        count(lit(1)).as("n"),
-        min(asPrice($"med_c")).cast("double").as("median"),
-        min(asPrice($"mad_c")).cast("double").as("mad"),
-        sum(when($"absdev_c" > $"mad_c" * 3, 1L).otherwise(0L)).as("n_outliers"))
-      .orderBy($"l_returnflag")
+    // FOUR shuffle-free passes over one cached (group, cents) RDD —
+    // median radix + median values, then absdev radix + absdev values —
+    // assemble the whole answer on the driver from bounded histograms:
+    // the n_outliers cut needs no fifth pass because the absdev radix
+    // histogram already counts every slot fully below the 3·MAD region,
+    // and the value pass covers the region itself
+    val rdd = li.as[(String, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong)).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val h1 = ExactRank.radixHistogram(rdd)
+      val medPlan = h1.toSeq.sortBy(_._1).map { case (g, slots) =>
+        val n = slots.iterator.map(_.cnt).sum
+        val rMed = (n + 1) / 2
+        val (iM, bM) = ExactRank.slotAt(slots, rMed)
+        (g, slots, n, rMed, iM, bM)
+      }
+      val vc1 = ExactRank.valueCounts(rdd,
+        medPlan.map { case (g, slots, _, _, iM, _) =>
+          g -> Array((slots(iM).mn, slots(iM).mx)) }.toMap)
+      val med: Map[String, Long] = medPlan.map { case (g, slots, _, rMed, iM, bM) =>
+        g -> ExactRank.valueAt(vc1(g), slots(iM).mn, slots(iM).mx, bM, rMed)
+      }.toMap
+      val devRdd = rdd.map { case (g, c) => (g, math.abs(c - med(g))) }
+      val h2 = ExactRank.radixHistogram(devRdd)
+      val madPlan = h2.toSeq.sortBy(_._1).map { case (g, slots) =>
+        val n = slots.iterator.map(_.cnt).sum
+        val rMed = (n + 1) / 2
+        val (iM, bM) = ExactRank.slotAt(slots, rMed)
+        // 3·MAD lands in [3·slot.mn, 3·slot.mx]; widen that region to
+        // the radix slots containing its endpoints so every slot
+        // intersecting it lies FULLY inside (slots are disjoint value
+        // intervals, so only the containing slots can straddle)
+        val lo3 = 3L * slots(iM).mn
+        val hi3 = 3L * slots(iM).mx
+        val loR = slots.find(sl => sl.mn <= lo3 && lo3 <= sl.mx).map(_.mn).getOrElse(lo3)
+        val hiR = slots.find(sl => sl.mn <= hi3 && hi3 <= sl.mx).map(_.mx).getOrElse(hi3)
+        (g, slots, n, rMed, iM, bM, loR, hiR)
+      }
+      val vc2 = ExactRank.valueCounts(devRdd,
+        madPlan.map { case (g, slots, _, _, iM, _, loR, hiR) =>
+          g -> Array((slots(iM).mn, slots(iM).mx), (loR, hiR)) }.toMap)
+      def cents2(c: Long): Double =
+        java.math.BigDecimal.valueOf(c, 2).doubleValue
+      val rows = madPlan.map { case (g, slots, n, rMed, iM, bM, loR, hiR) =>
+        val values = vc2(g)
+        val mad = ExactRank.valueAt(values, slots(iM).mn, slots(iM).mx, bM, rMed)
+        val t = 3L * mad // t ∈ [loR, hiR] by construction
+        // count(absdev ≤ t): slots fully below the region (their values
+        // are all < loR ≤ t) + region values ≤ t; slots above the
+        // region hold only values > hiR ≥ t
+        var cnt = 0L
+        slots.foreach(sl => if (sl.mx < loR) cnt += sl.cnt)
+        values.foreach { case (v, c2) => if (v >= loR && v <= t) cnt += c2 }
+        org.apache.spark.sql.Row(g, n, cents2(med(g)), cents2(mad), n - cnt)
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("l_returnflag", StringType), StructField("n", LongType),
+        StructField("median", DoubleType), StructField("mad", DoubleType),
+        StructField("n_outliers", LongType)))
+      s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    } finally {
+      rdd.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Hourly cross-metric correlation matrix: Pearson corr between every

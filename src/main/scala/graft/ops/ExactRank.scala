@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** EXACT per-group order statistics WITHOUT a per-group sort — the
   * scale-safe replacement for `row_number() OVER (PARTITION BY g ORDER BY
@@ -13,25 +16,43 @@ import org.apache.spark.sql.types._
   *
   * Method (iterative histogram selection, the classic distributed
   * selection algorithm — e.g. Blum et al. selection generalized to
-  * scan-counting): each (group, rank) target keeps a candidate value
-  * range [lo, hi]. Per round, one MAP-ONLY pass over the base data
-  * counts rows into ≤ `buckets` equal-width slots of each target's
-  * range (broadcast join against the tiny target-state table; the only
-  * shuffle is the partial-count aggregate, ≤ targets × buckets rows).
-  * The driver walks the cumulative counts to find the slot containing
-  * the rank, narrows the range to it, and repeats; when slot width
-  * reaches 1, the slot IS the value. Rounds ≤ ⌈log_buckets(range)⌉
-  * (≤ 5 for any 64-bit domain at the default 8192), so a 100 TB input
-  * is scanned a bounded handful of times with pushed filters and
-  * column pruning, with combiner-friendly aggregation and zero data
-  * skew sensitivity.
+  * scan-counting). Round 1 is a RADIX histogram that doubles as the
+  * bounds pass: one map-only job counts rows per (group, slot) where
+  * the slot key is monotone in the value (bit length, then the top 10
+  * mantissa bits — pure integer bit ops, exact at every boundary) and
+  * carries each slot's exact min/max. From that single job the driver
+  * reads each group's row count n (Σ counts — so `rankOf` needs no
+  * separate bounds pass), walks the slots in value order to the one
+  * holding each rank, and starts the target at that slot's [min, max].
+  * Later rounds bucket each target's remaining range into ≤ `buckets`
+  * equal-width slots, narrow to the slot containing the rank, and
+  * repeat; when slot width reaches 1 the slot IS the value. Radix slots
+  * are ≤ 2^52 wide, so post-radix rounds ≤ ⌈log_buckets(2^52)⌉ (≤ 4 at
+  * the default 8192); money-scale fixed-point domains (≤ 2^24 cents)
+  * have radix slots ≤ 8192 wide and finish in 2 jobs total.
   *
-  * Driver state is bounded by targets × buckets longs — the same
-  * bounded-collect regime as [[Ivf.probeIndex]]'s probed cell ids,
-  * NOT a data-proportional collect. Intended for LOW-cardinality
-  * groups (the regime where the window plan is a scale-killer); for
-  * high-cardinality groups the per-partition window sort is already
-  * fine and preferable.
+  * Every pass is a `treeAggregate` over the projected (group, value)
+  * pairs — per-partition bounded histograms (targets × buckets longs /
+  * groups × occupied slots), tree-combined, never shuffled. This is the
+  * MLlib summary-statistics pattern (per-partition imperative state the
+  * DataFrame aggregate can't beat here): the per-round result is ≤
+  * targets × buckets longs, so a shuffle exchange plus its reduce tasks
+  * plus adaptive re-planning is pure fixed overhead per round — measured
+  * at sf0.1 it tripled the query time. At 1000 executors the tree
+  * combine (depth 2) keeps the driver from merging one partial per
+  * partition. Filters for each round's candidate ranges go through the
+  * DataFrame layer first, so parquet row-group pruning still applies on
+  * uncached input. The base projection is persisted (MEMORY_AND_DISK)
+  * ONLY when the radix pass predicts ≥ 2 further rounds — building the
+  * cache costs more than one extra pruned scan, so 2-job selections
+  * skip it while wide-domain selections amortize it across their rounds.
+  *
+  * Driver state is bounded by groups × occupied radix slots (≤ ~55k per
+  * group over the full 64-bit domain, typically a few hundred) plus
+  * targets × buckets longs — never data-proportional. Intended for
+  * LOW-cardinality groups (the regime where the window plan is a
+  * scale-killer); for high-cardinality groups the per-partition window
+  * sort is already fine and preferable.
   *
   * All arithmetic is integer (values enter as exact fixed-point longs),
   * so the selected statistic is bit-identical to what any engine's sort
@@ -47,101 +68,342 @@ object ExactRank {
   private final case class TargetState(group: String, name: String,
       lo: Long, hi: Long, r: Long, var done: Boolean = false)
 
+  /** Monotone radix slot: bit length k of the sign-folded magnitude,
+    * then its top 10 mantissa bits. Slots are disjoint ascending value
+    * intervals of width ≤ max(1, 2^(k-11)) ≤ 2^52. */
+  private def radixSlot(c: Long): Long = {
+    val m = if (c >= 0) c else -(c + 1) // -(Long.Min+1+...) never overflows
+    val k = 64 - java.lang.Long.numberOfLeadingZeros(m) // 0 for m=0
+    val s =
+      if (k <= 10) k * 2048L + m
+      else k * 2048L + (m >>> (k - 11))
+    if (c >= 0) s else -s - 1
+  }
+
   /** Exact values at per-group ranks over `df` = (groupCol: string,
     * centsCol: long). `rankOf` maps each group's row count n to the
-    * 1-based ranks wanted for that group (name -> rank). Returns one row
-    * per group with a long value column per rank name, e.g.
-    * (l_returnflag, p05_cents, p95_cents). */
+    * 1-based ranks wanted for that group (name -> rank); it MUST yield
+    * the same rank names for every group. Returns one row per group
+    * with a long value column per rank name, e.g.
+    * (l_returnflag, p05_cents, p95_cents) — a driver-local relation, so
+    * broadcasting it back over the base data costs no extra job. */
   def valuesAtRanks(s: SparkSession, df: DataFrame, groupCol: String,
       centsCol: String, rankOf: Long => Seq[(String, Long)],
       buckets: Int = 8192): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
     val base = df.select(col(groupCol).cast("string").as("g"),
       col(centsCol).cast("long").as("c"))
+    var cached: Option[DataFrame] = None
+    try {
+      // ---- radix pass: fused bounds + first histogram, one job ----
+      type SlotMap = mutable.HashMap[String, mutable.HashMap[Long, Array[Long]]]
+      def newSlotMap: SlotMap = mutable.HashMap.empty
+      val radixAgg = base.as[(String, Long)](pairEnc).rdd
+        .treeAggregate(newSlotMap)(
+          seqOp = (acc, row) => {
+            val (g, c) = row
+            val slots = acc.getOrElseUpdate(g, mutable.HashMap.empty)
+            val a = slots.getOrElseUpdate(radixSlot(c),
+              Array(0L, Long.MaxValue, Long.MinValue))
+            a(0) += 1
+            if (c < a(1)) a(1) = c
+            if (c > a(2)) a(2) = c
+            acc
+          },
+          combOp = (l, r) => {
+            r.foreach { case (g, slots) =>
+              val dst = l.getOrElseUpdate(g, mutable.HashMap.empty)
+              slots.foreach { case (slot, a) =>
+                dst.get(slot) match {
+                  case Some(d) =>
+                    d(0) += a(0)
+                    if (a(1) < d(1)) d(1) = a(1)
+                    if (a(2) > d(2)) d(2) = a(2)
+                  case None => dst(slot) = a
+                }
+              }
+            }
+            l
+          })
+      val radix = radixAgg.iterator.flatMap { case (g, slots) =>
+        slots.iterator.map { case (_, a) => (g, a(0), a(1), a(2)) }
+      }.toArray
 
-    // one aggregate for per-group n / min / max — groups are
-    // low-cardinality by contract, so this result is a bounded scalar set
-    val bounds = base.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), min(col("c")).as("lo"), max(col("c")).as("hi"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      var states: Seq[TargetState] = buildInitialStates(radix, rankOf)
+      val rankNames = states.map(_.name).distinct
 
-    var states: Seq[TargetState] = bounds.toSeq.flatMap { case (g, n, lo, hi) =>
-      rankOf(n).map { case (name, rank) =>
-        require(rank >= 1 && rank <= n, s"rank $rank outside 1..$n for group $g")
-        val st = TargetState(g, name, lo, hi, rank)
-        if (lo == hi) { st.done = true }
-        st
+      // cache the base only when ≥ 2 more rounds will scan it (callers
+      // that persisted df already back these scans — never double-cache)
+      def roundsFor(range: Long): Int = {
+        var w = range; var r = 0
+        while (w > 1) { w = (w + buckets - 1) / buckets; r += 1 }
+        r
       }
-    }
-    val rankNames = states.map(_.name).distinct
-
-    while (states.exists(!_.done)) {
-      val open = states.filter(!_.done)
-      // width per target this round: ceil(range / buckets), floor 1
-      val widths = open.map { st =>
-        val range = st.hi - st.lo + 1
-        st -> math.max(1L, (range + buckets - 1) / buckets)
+      val maxRounds = states.filter(!_.done)
+        .map(st => roundsFor(st.hi - st.lo + 1))
+        .maxOption.getOrElse(0)
+      if (maxRounds >= 2 && df.storageLevel == StorageLevel.NONE) {
+        base.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = Some(base)
       }
-      val stateRows = widths.map { case (st, w) =>
-        Row(st.group, st.name, st.lo, st.hi, w)
-      }
-      val stateSchema = StructType(Seq(
-        StructField("g", StringType), StructField("nm", StringType),
-        StructField("lo", LongType), StructField("hi", LongType),
-        StructField("w", LongType)))
-      val stateDf = s.createDataFrame(
-        s.sparkContext.parallelize(stateRows.toList, 1), stateSchema)
-      // map-only pass: broadcast the target states, bucket each in-range
-      // row, partial+final count — the ONLY shuffle is targets×buckets
-      // partial counts, never base rows
-      val hist = base
-        .join(broadcast(stateDf), Seq("g"))
-        .filter(col("c") >= col("lo") && col("c") <= col("hi"))
-        .groupBy(col("g"), col("nm"),
-          expr("(c - lo) div w").as("b"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
-        .groupBy(t => (t._1, t._2))
 
-      states = states.map { st =>
-        if (st.done) st
-        else {
-          val w = widths.find(_._1 eq st).get._2
-          val slots = hist.getOrElse((st.group, st.name), Array.empty)
-            .map(t => t._3 -> t._4).sortBy(_._1)
-          var cum = 0L
-          var b = -1L
-          var below = 0L
-          var i = 0
-          while (b < 0 && i < slots.length) {
-            val (slot, cnt) = slots(i)
-            if (cum + cnt >= st.r) { b = slot; below = cum }
-            cum += cnt
-            i += 1
-          }
-          require(b >= 0, s"rank ${st.r} not reached in ${st.group}/${st.name}")
-          if (w == 1L) TargetState(st.group, st.name,
-            st.lo + b, st.lo + b, 1L, done = true)
+      while (states.exists(!_.done)) {
+        val open = states.filter(!_.done).toArray
+        // width per target this round: ceil(range / buckets), floor 1.
+        // radix round 1 bounds every range at 2^52, so hi - lo + 1 can't
+        // wrap — the require guards future direct-state misuse
+        val widths = open.map { st =>
+          val range = st.hi - st.lo + 1
+          require(range > 0,
+            s"selection range overflow for ${st.group}/${st.name}: [${st.lo}, ${st.hi}]")
+          math.max(1L, (range + buckets - 1) / buckets)
+        }
+        val nBuckets = open.indices.map { i =>
+          ((open(i).hi - open(i).lo) / widths(i) + 1).toInt
+        }.toArray
+        val byGroup = open.indices.groupBy(i => open(i).group)
+          .map { case (g, is) => g -> is.toArray }
+        // range filter through the DataFrame layer: parquet row-group
+        // pruning on uncached input, metadata-only on cached
+        val cLo = open.iterator.map(_.lo).min
+        val cHi = open.iterator.map(_.hi).max
+        // one map-only job: per-partition bucket counts per target,
+        // tree-combined — ≤ targets × buckets longs, no shuffle
+        val hist = base.filter(col("c") >= cLo && col("c") <= cHi)
+          .as[(String, Long)](pairEnc).rdd
+          .treeAggregate(Array.empty[Array[Long]])(
+            seqOp = (acc0, row) => {
+              val acc = if (acc0.length == 0)
+                nBuckets.map(new Array[Long](_)) else acc0
+              val (g, c) = row
+              byGroup.get(g) match {
+                case Some(is) =>
+                  var j = 0
+                  while (j < is.length) {
+                    val i = is(j)
+                    val st = open(i)
+                    if (c >= st.lo && c <= st.hi)
+                      acc(i)(((c - st.lo) / widths(i)).toInt) += 1
+                    j += 1
+                  }
+                case None =>
+              }
+              acc
+            },
+            combOp = (l, r) => {
+              if (l.length == 0) r
+              else if (r.length == 0) l
+              else {
+                var i = 0
+                while (i < l.length) {
+                  val li = l(i); val ri = r(i)
+                  var b = 0
+                  while (b < li.length) { li(b) += ri(b); b += 1 }
+                  i += 1
+                }
+                l
+              }
+            })
+
+        states = states.map { st =>
+          if (st.done) st
           else {
-            val nlo = st.lo + b * w
-            val nhi = math.min(st.hi, nlo + w - 1)
-            TargetState(st.group, st.name, nlo, nhi, st.r - below)
+            val i = open.indexWhere(_ eq st)
+            val w = widths(i)
+            val slots = if (hist.length == 0) new Array[Long](0) else hist(i)
+            var cum = 0L
+            var b = -1L
+            var below = 0L
+            var j = 0
+            while (b < 0 && j < slots.length) {
+              val cnt = slots(j)
+              if (cnt > 0 && cum + cnt >= st.r) { b = j.toLong; below = cum }
+              cum += cnt
+              j += 1
+            }
+            require(b >= 0, s"rank ${st.r} not reached in ${st.group}/${st.name}")
+            if (w == 1L) TargetState(st.group, st.name,
+              st.lo + b, st.lo + b, 1L, done = true)
+            else {
+              val nlo = st.lo + b * w
+              val nhi = math.min(st.hi, nlo + w - 1)
+              TargetState(st.group, st.name, nlo, nhi, st.r - below)
+            }
           }
         }
       }
-    }
 
-    // pivot driver-side: one row per group, a long column per rank name
-    val byGroup = states.groupBy(_.group)
-    val outRows = byGroup.toSeq.sortBy(_._1).map { case (g, sts) =>
-      val vals = sts.map(st => st.name -> st.lo).toMap
-      Row.fromSeq(g +: rankNames.map(vals(_)))
+      // pivot driver-side: one row per group, a long column per rank name
+      val byGroupOut = states.groupBy(_.group)
+      val outRows = byGroupOut.toSeq.sortBy(_._1).map { case (g, sts) =>
+        val vals = sts.map(st => st.name -> st.lo).toMap
+        Row.fromSeq(g +: rankNames.map(n => vals.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"rankOf must yield the same rank names for every group: " +
+              s"group '$g' lacks '$n' (has ${vals.keySet.mkString(", ")})"))))
+      }
+      val outSchema = StructType(
+        StructField(groupCol, StringType) +:
+          rankNames.map(n => StructField(n, LongType)))
+      s.createDataFrame(outRows.asJava, outSchema)
+    } finally {
+      cached.foreach(_.unpersist(blocking = false))
     }
-    val outSchema = StructType(
-      StructField(groupCol, StringType) +:
-        rankNames.map(n => StructField(n, LongType)))
-    s.createDataFrame(s.sparkContext.parallelize(outRows.toList, 1), outSchema)
   }
+
+  // ------------------------------------------------------------------
+  // Shuffle-free histogram primitives (shared by valuesAtRanks and the
+  // driver-assembled robust-stats queries q98/q109)
+  // ------------------------------------------------------------------
+
+  type PairRdd = org.apache.spark.rdd.RDD[(String, Long)]
+
+  /** Stats of one radix slot: row count, exact min/max value, exact
+    * value sum (fits a long for any DECIMAL(18,2)-bounded domain — the
+    * same bound the decimal aggregates assume). */
+  final case class SlotStat(cnt: Long, mn: Long, mx: Long, sum: Long)
+
+  /** ONE shuffle-free job: per-(group, radix slot) count/min/max/sum,
+    * per-partition maps tree-combined (depth 2 keeps the driver from
+    * merging one partial per partition on wide clusters). Result per
+    * group is sorted ascending by slot min — radix slots are disjoint
+    * value intervals, so that IS value order and cumulative counts
+    * locate any rank's slot exactly. Driver state: groups × occupied
+    * slots (≤ ~55k per group over the full 64-bit domain). */
+  def radixHistogram(rdd: PairRdd): Map[String, Array[SlotStat]] = {
+    val agg = rdd.treeAggregate(
+      mutable.HashMap.empty[String, mutable.HashMap[Long, Array[Long]]])(
+      seqOp = (acc, row) => {
+        val (g, c) = row
+        val slots = acc.getOrElseUpdate(g, mutable.HashMap.empty)
+        val a = slots.getOrElseUpdate(radixSlot(c),
+          Array(0L, Long.MaxValue, Long.MinValue, 0L))
+        a(0) += 1
+        if (c < a(1)) a(1) = c
+        if (c > a(2)) a(2) = c
+        a(3) += c
+        acc
+      },
+      combOp = (l, r) => {
+        r.foreach { case (g, slots) =>
+          val dst = l.getOrElseUpdate(g, mutable.HashMap.empty)
+          slots.foreach { case (slot, a) =>
+            dst.get(slot) match {
+              case Some(d) =>
+                d(0) += a(0)
+                if (a(1) < d(1)) d(1) = a(1)
+                if (a(2) > d(2)) d(2) = a(2)
+                d(3) += a(3)
+              case None => dst(slot) = a
+            }
+          }
+        }
+        l
+      })
+    agg.iterator.map { case (g, slots) =>
+      g -> slots.valuesIterator
+        .map(a => SlotStat(a(0), a(1), a(2), a(3)))
+        .toArray.sortBy(_.mn)
+    }.toMap
+  }
+
+  /** ONE shuffle-free job: exact per-value row counts for values inside
+    * any of the given per-group [lo, hi] ranges (values outside every
+    * range cost one comparison and no state). The CALLER bounds the
+    * total range width (ranges come from radix slots, ≤ 2^52 wide in
+    * general but ≤ `buckets`-scale in the fixed-point domains this
+    * serves); driver state is Σ distinct in-range values. Result per
+    * group is (value, count) sorted ascending. */
+  def valueCounts(rdd: PairRdd, ranges: Map[String, Array[(Long, Long)]])
+      : Map[String, Array[(Long, Long)]] = {
+    val agg = rdd.treeAggregate(
+      mutable.HashMap.empty[String, mutable.HashMap[Long, Long]])(
+      seqOp = (acc, row) => {
+        val (g, c) = row
+        ranges.get(g) match {
+          case Some(rs) =>
+            var i = 0
+            var in = false
+            while (!in && i < rs.length) {
+              if (c >= rs(i)._1 && c <= rs(i)._2) in = true
+              i += 1
+            }
+            if (in) {
+              val m = acc.getOrElseUpdate(g, mutable.HashMap.empty)
+              m.update(c, m.getOrElse(c, 0L) + 1L)
+            }
+          case None =>
+        }
+        acc
+      },
+      combOp = (l, r) => {
+        r.foreach { case (g, m) =>
+          val dst = l.getOrElseUpdate(g, mutable.HashMap.empty)
+          m.foreach { case (v, cnt) => dst.update(v, dst.getOrElse(v, 0L) + cnt) }
+        }
+        l
+      })
+    agg.iterator.map { case (g, m) => g -> m.toArray.sortBy(_._1) }.toMap
+  }
+
+  /** Index of the slot holding 1-based `rank` plus the exact row count
+    * strictly below that slot. */
+  def slotAt(slots: Array[SlotStat], rank: Long): (Int, Long) = {
+    var cum = 0L
+    var i = 0
+    while (i < slots.length) {
+      val cnt = slots(i).cnt
+      if (cum + cnt >= rank) return (i, cum)
+      cum += cnt
+      i += 1
+    }
+    throw new IllegalStateException(s"rank $rank beyond ${cum} rows")
+  }
+
+  /** Exact value at 1-based `rank` given per-value counts of the slot
+    * [lo, hi] that holds it and the count `below` the slot. */
+  def valueAt(values: Array[(Long, Long)], lo: Long, hi: Long,
+      below: Long, rank: Long): Long = {
+    var cum = below
+    var i = 0
+    while (i < values.length) {
+      val (v, cnt) = values(i)
+      if (v >= lo && v <= hi) {
+        cum += cnt
+        if (cum >= rank) return v
+      }
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"rank $rank not reached in [$lo, $hi] (cum=$cum)")
+  }
+
+  /** Walk each group's radix slots (value order) to seed one TargetState
+    * per (group, rank name) at the [slot min, slot max] containing the
+    * rank. `radix` rows are (group, count, slot min, slot max). */
+  private def buildInitialStates(
+      radix: Array[(String, Long, Long, Long)],
+      rankOf: Long => Seq[(String, Long)]): Seq[TargetState] =
+    radix.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, ss) =>
+      val ordered = ss.sortBy(_._3) // by slot min: slots are disjoint intervals
+      val n = ordered.iterator.map(_._2).sum
+      rankOf(n).map { case (name, rank) =>
+        require(rank >= 1 && rank <= n, s"rank $rank outside 1..$n for group $g")
+        var cum = 0L
+        var idx = -1
+        var below = 0L
+        var i = 0
+        while (idx < 0 && i < ordered.length) {
+          val cnt = ordered(i)._2
+          if (cum + cnt >= rank) { idx = i; below = cum }
+          cum += cnt
+          i += 1
+        }
+        val (_, _, mn, mx) = ordered(idx)
+        val st = TargetState(g, name, mn, mx, rank - below)
+        if (mn == mx) st.done = true
+        st
+      }
+    }
 }
