@@ -10,8 +10,12 @@ package graft
   * verification query (q31, exact all-pairs Jaccard on a slice) is
   * excluded — its scale path is the MinHash candidates (q32), which ARE
   * benched. Each query is run once to
-  * warm the JVM/code cache and once timed (steady-state, what a long-lived
-  * cluster job sees).
+  * warm the JVM/code cache and then THREE timed runs, reporting the
+  * minimum (steady-state, what a long-lived cluster job sees). Three
+  * runs because the sandbox box is noisy — r8's two-run record showed
+  * same-query spreads up to 2.8×; the min of three is the stable
+  * estimator of the code's cost, and the full spread stays auditable in
+  * BENCH_TIMES.json.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -73,7 +77,7 @@ object Bench {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count() // warm-up (JIT/codegen/cache), untimed
         val warm = (System.nanoTime() - t0) / 1e9
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t1 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t1) / 1e9
@@ -84,11 +88,21 @@ object Bench {
         name -> Left(e.getClass.getSimpleName): (String, Either[String, (Double, Seq[Double])])
       }
     }
+    // JSON string escaping for interpolated names/error classes — query
+    // names are [a-z0-9_] today, but a quote or backslash in a future
+    // name or exception class must not produce invalid JSON
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val ok = runs.collect { case (n, Right((t, _))) => n -> t }
     val failed = runs.collect { case (n, Left(err)) => n -> err }
-    val qJson = ok.map { case (k, v) => "\"" + k + "\":" + v }
+    val qJson = ok.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val eJson = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    val eJson = failed.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     // the driver keeps only a 2000-char stdout tail — the full per-query
@@ -96,13 +110,13 @@ object Bench {
     // query) goes to BENCH_TIMES.json so regressions are auditable
     val fileLines = runs.map {
       case (n, Right((best, all))) =>
-        s"""  "$n": {"best": $best, "warmup": ${all.head}, "runs": [${all.tail.mkString(", ")}]}"""
+        s"""  ${jstr(n)}: {"best": $best, "warmup": ${all.head}, "runs": [${all.tail.mkString(", ")}]}"""
       case (n, Left(err)) =>
-        s"""  "$n": {"error": "$err"}"""
+        s"""  ${jstr(n)}: {"error": ${jstr(err)}}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_TIMES.json"),
-      (s"""{"sf": "$sfDir", "total_best_sec": $total, "queries": {""" + "\n" +
+      (s"""{"sf": ${jstr(sfDir)}, "total_best_sec": $total, "queries": {""" + "\n" +
         fileLines.mkString(",\n") + "\n}}\n").getBytes("UTF-8"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -650,45 +650,54 @@ object RelationalQueries {
     * count beyond 3·MAD. Everything runs in exact integer cents, so the
     * whole decision path is bit-identical to a sorted scan.
     *
-    * Both medians come from [[graft.ops.ExactRank.valuesAtRanks]] —
-    * iterative histogram selection, NOT `row_number()` over a 3-value
-    * partition key (that window plan is a three-reducer global sort,
-    * the single-task scale-killer at 100 TB). Each selection round is a
-    * map-only scan-count with a bounded broadcast state; no plan node
-    * sorts anything larger than the final 3-row presentation order. */
+    * Both medians come from [[graft.ops.ExactRank.radixHistogram]] +
+    * [[graft.ops.ExactRank.valueCounts]] — iterative histogram
+    * selection, NOT `row_number()` over a 3-value partition key (that
+    * window plan is a three-reducer global sort, the single-task
+    * scale-killer at 100 TB). Each selection round is a map-only
+    * scan-count with bounded state; no plan node sorts anything larger
+    * than the final 3-row presentation order. */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ops.ExactRank
     val li = Tables.lineitem(s, dir)
       .select($"l_returnflag",
         (dec2($"l_extendedprice") * 100).cast("long").as("c"))
-    // FOUR shuffle-free passes over one cached (group, cents) RDD —
+    // FOUR shuffle-free passes over the (group, cents) projection —
     // median radix + median values, then absdev radix + absdev values —
     // assemble the whole answer on the driver from bounded histograms:
     // the n_outliers cut needs no fifth pass because the absdev radix
     // histogram already counts every slot fully below the 3·MAD region,
-    // and the value pass covers the region itself
-    val rdd = li.as[(String, Long)](
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.scalaLong)).rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // and the value pass covers the region itself. Four passes amortize
+    // a cache of the 2-column projection (measured: no-cache re-scans
+    // cost ~40% more end-to-end at sf0.1; q98's TWO passes go the other
+    // way and skip the cache). The cache is the columnar DataFrame
+    // (Tungsten-encoded, spills gracefully at MEMORY_AND_DISK — never a
+    // Java-serialized tuple RDD), a small fraction of the table width.
+    // All passes run over InternalRow plan output (no per-row tuple
+    // deserialization, measured ~2× kernel cost) and the valueCounts
+    // passes range-filter through the DataFrame layer first.
+    val cached = li.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val h1 = ExactRank.radixHistogram(rdd)
+      val h1 = ExactRank.radixHistogram(cached)
       val medPlan = h1.toSeq.sortBy(_._1).map { case (g, slots) =>
         val n = slots.iterator.map(_.cnt).sum
         val rMed = (n + 1) / 2
         val (iM, bM) = ExactRank.slotAt(slots, rMed)
         (g, slots, n, rMed, iM, bM)
       }
-      val vc1 = ExactRank.valueCounts(rdd,
-        medPlan.map { case (g, slots, _, _, iM, _) =>
-          g -> Array((slots(iM).mn, slots(iM).mx)) }.toMap)
+      val ranges1 = medPlan.map { case (g, slots, _, _, iM, _) =>
+        g -> Array((slots(iM).mn, slots(iM).mx)) }.toMap
+      val lo1 = ranges1.valuesIterator.flatten.map(_._1).min
+      val hi1 = ranges1.valuesIterator.flatten.map(_._2).max
+      val vc1 = ExactRank.valueCounts(
+        cached.filter($"c" >= lo1 && $"c" <= hi1), ranges1)
       val med: Map[String, Long] = medPlan.map { case (g, slots, _, rMed, iM, bM) =>
         g -> ExactRank.valueAt(vc1(g), slots(iM).mn, slots(iM).mx, bM, rMed)
       }.toMap
-      val devRdd = rdd.map { case (g, c) => (g, math.abs(c - med(g))) }
-      val h2 = ExactRank.radixHistogram(devRdd)
+      val dev = cached.select($"l_returnflag",
+        abs($"c" - element_at(typedlit(med), $"l_returnflag")).as("c"))
+      val h2 = ExactRank.radixHistogram(dev)
       val madPlan = h2.toSeq.sortBy(_._1).map { case (g, slots) =>
         val n = slots.iterator.map(_.cnt).sum
         val rMed = (n + 1) / 2
@@ -703,9 +712,12 @@ object RelationalQueries {
         val hiR = slots.find(sl => sl.mn <= hi3 && hi3 <= sl.mx).map(_.mx).getOrElse(hi3)
         (g, slots, n, rMed, iM, bM, loR, hiR)
       }
-      val vc2 = ExactRank.valueCounts(devRdd,
-        madPlan.map { case (g, slots, _, _, iM, _, loR, hiR) =>
-          g -> Array((slots(iM).mn, slots(iM).mx), (loR, hiR)) }.toMap)
+      val ranges2 = madPlan.map { case (g, slots, _, _, iM, _, loR, hiR) =>
+        g -> Array((slots(iM).mn, slots(iM).mx), (loR, hiR)) }.toMap
+      val lo2 = ranges2.valuesIterator.flatten.map(_._1).min
+      val hi2 = ranges2.valuesIterator.flatten.map(_._2).max
+      val vc2 = ExactRank.valueCounts(
+        dev.filter($"c" >= lo2 && $"c" <= hi2), ranges2)
       def cents2(c: Long): Double =
         java.math.BigDecimal.valueOf(c, 2).doubleValue
       val rows = madPlan.map { case (g, slots, n, rMed, iM, bM, loR, hiR) =>
@@ -728,7 +740,7 @@ object RelationalQueries {
       s.createDataFrame(
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
     } finally {
-      rdd.unpersist(blocking = false)
+      cached.unpersist(blocking = false)
       ()
     }
   }
@@ -798,38 +810,94 @@ object RelationalQueries {
   /** Winsorized robust statistics: per-group P05/P95 as EXACT order
     * statistics at the integer-arithmetic ranks ⌈n/20⌉ and ⌈19n/20⌉ (no
     * interpolation, so both engines land on the same data value), then
-    * the clamped DECIMAL-exact mean and clamp counts.
+    * the clamped DECIMAL-exact mean and clamp counts — assembled
+    * ENTIRELY on the driver from TWO shuffle-free histogram passes (the
+    * q109 `madOutliers` discipline), never a per-group sort, never a
+    * join, never a third scan.
     *
-    * The two percentiles come from [[graft.ops.ExactRank.valuesAtRanks]]
-    * (iterative histogram selection in exact cents) instead of a
-    * `row_number()` window partitioned by the 3-value group key — the
-    * window plan sorts each group inside ONE reducer task, which is the
-    * single-task-sort scale-killer at 100 TB. Here the base data is
-    * never sorted and never shuffled: bounded scan-count rounds locate
-    * the exact ranks, the 3-row threshold table broadcasts back, and
-    * one partial+final aggregate finishes. */
+    * Pass 1 — [[graft.ops.ExactRank.radixHistogram]]: per-(group, radix
+    * slot) count/min/max/SUM in one map-only `treeAggregate`. The
+    * cumulative slot counts locate the slots holding ranks ⌈n/20⌉ and
+    * ⌈19n/20⌉. Pass 2 — [[graft.ops.ExactRank.valueCounts]] over just
+    * those two boundary slots per group: exact per-value counts pin
+    * p05/p95 to the data values. Everything else is slot arithmetic:
+    * `win_sum` = Σ full-slot SUMs strictly between the boundary slots +
+    * per-value corrections inside them + n_lo·p05 + n_hi·p95, and
+    * n_lo/n_hi fall out of the same cumulative counts. All in exact
+    * integer cents, so the result is bit-identical to the clamped
+    * DECIMAL aggregate it replaces. Driver state: groups × occupied
+    * slots + two slots' distinct values — never data-proportional. */
   def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.ops.ExactRank
     val li = Tables.lineitem(s, dir)
       .select($"l_returnflag",
         (dec2($"l_extendedprice") * 100).cast("long").as("c"))
-    val thresholds = graft.ops.ExactRank.valuesAtRanks(s, li,
-      "l_returnflag", "c",
-      n => Seq("p05_c" -> (n + 19) / 20, "p95_c" -> (n * 19 + 19) / 20))
-    def asPrice(c: Column): Column =
-      (c.cast("decimal(18,2)") / 100).cast("decimal(18,2)")
-    li.join(broadcast(thresholds), "l_returnflag")
-      .withColumn("clamped", greatest($"p05_c", least($"p95_c", $"c")))
-      .groupBy($"l_returnflag")
-      .agg(
-        count(lit(1)).as("n"),
-        min(asPrice($"p05_c")).cast("double").as("p05"),
-        min(asPrice($"p95_c")).cast("double").as("p95"),
-        sum(asPrice($"clamped")).cast("double").as("win_sum"),
-        sum(when($"c" < $"p05_c", 1L).otherwise(0L)).as("n_lo"),
-        sum(when($"c" > $"p95_c", 1L).otherwise(0L)).as("n_hi"))
-      .withColumn("win_mean", $"win_sum" / $"n")
-      .orderBy($"l_returnflag")
+    // exactly TWO passes, so no cache: building a columnar cache costs
+    // more than the one extra scan it would save (measured — the cached
+    // variant ran ~20% slower at sf0.1). Both kernels run over the
+    // InternalRow plan output (no per-row tuple deserialization), and
+    // pass 2's range filter goes through the DataFrame layer so codegen
+    // drops rows early and parquet row-group pruning applies.
+    locally {
+      val hist = ExactRank.radixHistogram(li)
+      val plan = hist.toSeq.sortBy(_._1).map { case (g, slots) =>
+        val n = slots.iterator.map(_.cnt).sum
+        val r05 = (n + 19) / 20
+        val r95 = (n * 19 + 19) / 20
+        val (i05, b05) = ExactRank.slotAt(slots, r05)
+        val (i95, b95) = ExactRank.slotAt(slots, r95)
+        (g, slots, n, r05, r95, i05, b05, i95, b95)
+      }
+      val ranges = plan.map { case (g, slots, _, _, _, i05, _, i95, _) =>
+        g -> Array((slots(i05).mn, slots(i05).mx),
+          (slots(i95).mn, slots(i95).mx))
+      }.toMap
+      val cLo = ranges.valuesIterator.flatten.map(_._1).min
+      val cHi = ranges.valuesIterator.flatten.map(_._2).max
+      val vc = ExactRank.valueCounts(
+        li.filter($"c" >= cLo && $"c" <= cHi), ranges)
+      def cents2(c: Long): Double =
+        java.math.BigDecimal.valueOf(c, 2).doubleValue
+      val rows = plan.map { case (g, slots, n, r05, r95, i05, b05, i95, b95) =>
+        val values = vc(g)
+        val p05 = ExactRank.valueAt(values, slots(i05).mn, slots(i05).mx, b05, r05)
+        val p95 = ExactRank.valueAt(values, slots(i95).mn, slots(i95).mx, b95, r95)
+        // clamp counts from cumulative slot counts + boundary-slot
+        // per-value corrections; win_sum's middle region from full-slot
+        // SUMs between the boundaries + the same per-value corrections
+        var nLo = b05      // will become count(c < p05)
+        var nLe95 = b95    // will become count(c <= p95)
+        var mid = 0L       // Σ c over p05 <= c <= p95, exact cents
+        var i = i05 + 1
+        while (i < i95) { mid += slots(i).sum; i += 1 }
+        values.foreach { case (v, cnt) =>
+          val in05 = v >= slots(i05).mn && v <= slots(i05).mx
+          val in95 = v >= slots(i95).mn && v <= slots(i95).mx
+          if (in05 && v < p05) nLo += cnt
+          if (in95 && v <= p95) nLe95 += cnt
+          if (i05 == i95) {
+            if (in05 && v >= p05 && v <= p95) mid += v * cnt
+          } else {
+            if (in05 && v >= p05) mid += v * cnt
+            else if (in95 && v <= p95) mid += v * cnt
+          }
+        }
+        val nHi = n - nLe95
+        val winSumC = nLo * p05 + nHi * p95 + mid
+        org.apache.spark.sql.Row(g, n, cents2(p05), cents2(p95),
+          cents2(winSumC), nLo, nHi, cents2(winSumC) / n)
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("l_returnflag", StringType), StructField("n", LongType),
+        StructField("p05", DoubleType), StructField("p95", DoubleType),
+        StructField("win_sum", DoubleType),
+        StructField("n_lo", LongType), StructField("n_hi", LongType),
+        StructField("win_mean", DoubleType)))
+      s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    }
   }
 
   /** Last-touch attribution: each purchase event is credited to the

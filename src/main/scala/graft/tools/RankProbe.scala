@@ -91,10 +91,19 @@ object RankProbe {
     phase("DF radix p=1 aqe=off parquet #1")(dfRadix(li3))
     phase("DF radix p=1 aqe=off parquet #2")(dfRadix(li3))
     val rddRadixSrc = li3
-    phase("RDD radix parquet") {
+    // the REAL production kernel (per-group HashMap radix histogram),
+    // so the A/B against the DataFrame variant is apples-to-apples
+    phase("RDD radix parquet #1") {
       import org.apache.spark.sql.Encoders
       val enc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
-      rddRadixSrc.as[(String, Long)](enc).rdd.map(_._2).treeAggregate(0L)((a, b) => a + 1, _ + _)
+      graft.ops.ExactRank.radixHistogram(
+        rddRadixSrc.as[(String, Long)](enc).rdd).size
+    }
+    phase("RDD radix parquet #2") {
+      import org.apache.spark.sql.Encoders
+      val enc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+      graft.ops.ExactRank.radixHistogram(
+        rddRadixSrc.as[(String, Long)](enc).rdd).size
     }
     val thresholds0 = phase("valuesAtRanks 1st (cached li)") {
       graft.ops.ExactRank.valuesAtRanks(spark, li, "l_returnflag", "c",
