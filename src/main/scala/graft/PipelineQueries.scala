@@ -434,6 +434,25 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q112: the decontamination report via the BLOOM-gated path
+    * ([[Decontaminate.contaminationBloom]]) — the beyond-broadcast-scale
+    * regime, oracle-checked. A deliberately small bloom (2^16 bits for
+    * tens of thousands of eval grams) forces a real false-positive rate
+    * through the gate, so the oracle hash-match proves the exact
+    * survivor join removes every FP — the report must be bit-identical
+    * to the plain overlap the SQL computes, bloom or no bloom. 6-gram
+    * codes (vs q77's 8) so the two entries exercise different gram
+    * spaces. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+    Decontaminate.contaminationBloom(
+        split.filter($"split" === "train"), split.filter($"split" === "test"),
+        "doc_id", "text", n = 6, numBits = 1 << 16, k = 5)
+      .select($"doc_id", $"n_ngrams", $"n_hits", $"hit_frac")
+      .orderBy($"doc_id")
+  }
+
   /** Unigram-LM quality score per document (TextAnalysis.unigramLogProb):
     * corpus-MLE average token log-prob — the cheap perplexity-filter
     * stand-in. Exact integer micro-nat sums make the per-doc score
@@ -766,6 +785,7 @@ object PipelineQueries {
     "q73_sequence_packing" -> (sequencePacking _),
     "q74_weighted_mixture" -> (weightedMixture _),
     "q77_decontaminate"   -> (decontaminate _),
+    "q112_decontaminate_bloom" -> (decontaminateBloom _),
     "q78_unigram_logprob" -> (unigramLogProb _),
     "q79_crossdoc_ngrams" -> (crossDocNgrams _),
     "q80_zorder_layout"   -> (zorderLayout _),
@@ -939,6 +959,25 @@ object PipelineQueries {
     "q64_rag_topk" -> ragOracle,
     "q77_decontaminate" ->
       s"""WITH ${ngramCtes(8)},
+         |b AS (SELECT doc_id, $bucketExpr AS bucket FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT unnest(ng.ng) AS ngram
+         |  FROM ng JOIN b USING (doc_id) WHERE b.bucket >= 90),
+         |tr AS (SELECT ng.doc_id, ng.ng FROM ng JOIN b USING (doc_id) WHERE b.bucket < 80),
+         |u AS (SELECT doc_id, unnest(ng) AS ngram FROM tr),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits
+         |  FROM u JOIN ev USING (ngram) GROUP BY 1)
+         |SELECT tr.doc_id, CAST(len(tr.ng) AS BIGINT) AS n_ngrams,
+         |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / len(tr.ng) AS hit_frac
+         |FROM tr LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q112 replays the bloom-gated path: the SQL is the PLAIN overlap
+    // (no bloom) — hash-equality proves the exact survivor join strips
+    // every bloom false positive from the report
+    "q112_decontaminate_bloom" ->
+      s"""WITH ${ngramCtes(6)},
          |b AS (SELECT doc_id, $bucketExpr AS bucket FROM documents),
          |ev AS (
          |  SELECT DISTINCT unnest(ng.ng) AS ngram

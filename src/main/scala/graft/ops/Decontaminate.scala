@@ -63,18 +63,30 @@ object Decontaminate {
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 8,
       maxBroadcastGrams: Long = DefaultBroadcastGramLimit): DataFrame = {
+    require(maxBroadcastGrams > 0 && maxBroadcastGrams < Int.MaxValue,
+      s"maxBroadcastGrams must be in (0, Int.MaxValue), got $maxBroadcastGrams")
     val evalGrams = eval
       .select(explode(ngramSet(col(textCol), n)).as("ngram"))
       .distinct()
-    val gramCount = evalGrams.count()
-    if (gramCount > maxBroadcastGrams)
-      throw EvalGramSetTooLarge(gramCount, maxBroadcastGrams)
+    // ONE execution of the eval-side explode+distinct: pull at most
+    // limit+1 codes to the driver (a broadcast materializes the whole
+    // set driver-side anyway, so this costs nothing extra), guard, and
+    // re-plan the survivors as a local relation — the join then
+    // recomputes nothing. The exact over-limit count is only computed
+    // on the error path, where the caller wants the number.
+    val pulled = evalGrams.limit(maxBroadcastGrams.toInt + 1)
+      .collect().map(_.getLong(0))
+    if (pulled.length > maxBroadcastGrams)
+      throw EvalGramSetTooLarge(evalGrams.count(), maxBroadcastGrams)
+    val spark = train.sparkSession
+    import spark.implicits._
+    val evalGramsLocal = pulled.toSeq.toDF("ngram")
     val base = train
       .select(col(idCol),
         size(ngramSet(col(textCol), n)).cast("long").as("n_ngrams"))
       .filter(col("n_ngrams") > 0)
     val hits = docNgrams(train, idCol, textCol, n)
-      .join(broadcast(evalGrams), Seq("ngram"))
+      .join(broadcast(evalGramsLocal), Seq("ngram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
     base.join(hits, Seq(idCol), "left")

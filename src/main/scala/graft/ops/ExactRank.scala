@@ -70,8 +70,9 @@ object ExactRank {
 
   /** Monotone radix slot: bit length k of the sign-folded magnitude,
     * then its top 10 mantissa bits. Slots are disjoint ascending value
-    * intervals of width ≤ max(1, 2^(k-11)) ≤ 2^52. */
-  private def radixSlot(c: Long): Long = {
+    * intervals of width ≤ max(1, 2^(k-11)) ≤ 2^52. Package-visible so
+    * the property spec can pin monotonicity + width directly. */
+  private[ops] def radixSlot(c: Long): Long = {
     val m = if (c >= 0) c else -(c + 1) // -(Long.Min+1+...) never overflows
     val k = 64 - java.lang.Long.numberOfLeadingZeros(m) // 0 for m=0
     val s =

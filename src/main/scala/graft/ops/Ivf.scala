@@ -194,6 +194,11 @@ object Ivf {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    // build-time health snapshot: the baseline [[rebuildIfStale]]
+    // compares appended drift against (one extra scan, amortized over
+    // the index lifetime)
+    indexStaleness(spark, path, vecCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Load the coarse quantizer persisted by [[writeIndex]]. */
@@ -211,9 +216,10 @@ object Ivf {
     * directories. Because assignment is deterministic, N appends are
     * bit-identical to one [[writeIndex]] of the union corpus under the
     * same model (spec-proven in IvfSpec) — probes need no special
-    * casing. Retraining is a deliberate rebuild-then-swap (the
-    * Collection.reembed discipline), triggered when [[indexStaleness]]
-    * drifts, never an implicit side effect of ingest. */
+    * casing. Retraining is a deliberate rebuild-then-swap
+    * ([[rebuildIfStale]], the Collection.reembed discipline), triggered
+    * when [[indexStaleness]] drifts past the build-time baseline, never
+    * an implicit side effect of ingest. */
   def appendToIndex(df: DataFrame, vecCol: String, path: String): Unit = {
     val m = loadModel(df.sparkSession, path)
     assign(df, vecCol, m)
@@ -226,10 +232,10 @@ object Ivf {
     * partition-order-independent). As appended batches drift from the
     * training distribution, cells bloat unevenly (n skew — probe cost
     * becomes the hot cell) and mean_err rises (candidates get farther
-    * from the probe geometry, recall decays): compare against the
-    * build-time snapshot and rebuild when either drifts past budget.
-    * One map-only scan + one tiny aggregate — cheap enough to run after
-    * every append. */
+    * from the probe geometry, recall decays): [[rebuildIfStale]]
+    * compares this against the build-time snapshot at `path`/stats and
+    * rebuilds when either drifts past budget. One map-only scan + one
+    * tiny aggregate — cheap enough to run after every append. */
   def indexStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
       vecCol: String = "nv"): DataFrame = {
     val m = loadModel(spark, path)
@@ -243,6 +249,91 @@ object Ivf {
       .agg(count(lit(1)).as("n"),
         (sum(col("_errm")).cast("double") / (count(lit(1)) * Micro.toDouble))
           .as("mean_err"))
+  }
+
+  /** Corpus-weighted summary of a per-cell staleness frame: total rows,
+    * mean quantization error, and the hottest cell's row share. */
+  final case class IndexHealth(rows: Long, meanErr: Double, maxCellShare: Double)
+
+  private def health(stats: DataFrame): IndexHealth = {
+    val r = stats.agg(
+      sum(col("n")), max(col("n")),
+      sum(col("n").cast("double") * col("mean_err"))).head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L) IndexHealth(0L, 0d, 0d)
+    else IndexHealth(r.getLong(0), r.getDouble(2) / r.getLong(0),
+      r.getLong(1).toDouble / r.getLong(0))
+  }
+
+  /** What [[rebuildIfStale]] decided and the numbers it decided on. */
+  final case class RebuildDecision(rebuilt: Boolean, reason: String,
+      current: IndexHealth, baseline: IndexHealth)
+
+  /** Close the maintenance loop [[indexStaleness]] reports into: audit
+    * the index against its build-time health snapshot and, when drift
+    * exceeds budget, retrain on the full current corpus and ATOMICALLY
+    * swap the rebuilt index into place (the `Collection.reembed`
+    * rebuild-then-swap discipline: write a complete new index beside the
+    * live one, move the live one to `<path>.prev`, move the new one in —
+    * probes in flight keep a consistent snapshot, and the previous
+    * version survives until the next rebuild; single-writer contract).
+    *
+    * Stale means either signal left budget vs the snapshot written by
+    * [[writeIndex]]: corpus-weighted mean quantization error grew past
+    * `errGrowth`× (recall decay — appended data far from the frozen
+    * centroid geometry), or the hottest cell's row share grew past
+    * `skewGrowth`× (probe-cost skew — appends bucketing into one cell).
+    * Indexes built before snapshots existed get their baseline
+    * initialized from the current state instead of a rebuild.
+    *
+    * The retrain reuses the stored corpus (`cells` minus the assignment
+    * column), the same cell count, and the same deterministic seeding —
+    * so rebuilding over N appended batches is bit-identical to a fresh
+    * [[writeIndex]] of the union corpus (spec-pinned), and probe results
+    * need no special-casing across the swap. */
+  def rebuildIfStale(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String = "n_id", vecCol: String = "nv",
+      iters: Int = 2, seed: Long = 42L,
+      errGrowth: Double = 1.2, skewGrowth: Double = 2.0): RebuildDecision = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = health(indexStaleness(spark, path, vecCol))
+    if (!fs.exists(new Path(s"$path/stats"))) {
+      indexStaleness(spark, path, vecCol)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      return RebuildDecision(rebuilt = false,
+        "pre-snapshot index: baseline initialized, compare on next audit",
+        cur, cur)
+    }
+    val base = health(spark.read.parquet(s"$path/stats"))
+    val errStale = cur.meanErr > errGrowth * base.meanErr
+    val skewStale = cur.maxCellShare > skewGrowth * base.maxCellShare
+    if (!errStale && !skewStale)
+      return RebuildDecision(rebuilt = false,
+        f"within budget: mean_err ${cur.meanErr}%.6f <= $errGrowth%.2f x " +
+          f"${base.meanErr}%.6f, max share ${cur.maxCellShare}%.4f <= " +
+          f"$skewGrowth%.2f x ${base.maxCellShare}%.4f",
+        cur, base)
+    val old = loadModel(spark, path)
+    val corpus = spark.read.parquet(s"$path/cells").drop("ivf_cell")
+    val m2 = train(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "id", "v", nc = old.nc, iters = iters, seed = seed)
+    // complete staging index first (reads the live one), then swap
+    val staging = s"$path.rebuild${System.nanoTime()}"
+    writeIndex(corpus, vecCol, m2, staging)
+    val prev = new Path(s"$path.prev")
+    if (fs.exists(prev)) fs.delete(prev, true)
+    require(fs.rename(hPath, prev),
+      s"rebuild swap failed: could not move $path aside")
+    require(fs.rename(new Path(staging), hPath),
+      s"rebuild swap failed: could not move $staging into place")
+    RebuildDecision(rebuilt = true,
+      (if (errStale) f"mean_err ${cur.meanErr}%.6f > $errGrowth%.2f x baseline ${base.meanErr}%.6f"
+       else "") +
+        (if (errStale && skewStale) "; " else "") +
+        (if (skewStale) f"max cell share ${cur.maxCellShare}%.4f > $skewGrowth%.2f x baseline ${base.maxCellShare}%.4f"
+         else ""),
+      cur, base)
   }
 
   /** Probe a prebuilt index (written by [[writeIndex]], candidate schema

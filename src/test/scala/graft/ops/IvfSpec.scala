@@ -171,6 +171,59 @@ class IvfSpec extends SparkSpecBase {
       f"mean_err must rise in the bloated cell: ${before(cell)._2}%.4f -> $errAfter%.4f")
   }
 
+  test("rebuildIfStale: within budget leaves the index untouched; drift rebuilds and swaps atomically") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val old = e.filter($"vec_id" >= 10 && $"vec_id" < 300)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val m = Ivf.train(old.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 8, iters = 2)
+    val p = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
+    Ivf.writeIndex(old, "nv", m, p)
+    // fresh index: healthy — audit must be a no-op
+    val healthy = Ivf.rebuildIfStale(spark, p)
+    assert(!healthy.rebuilt, healthy.reason)
+    val modelBefore = Ivf.loadModel(spark, p)
+    (m.centroids zip modelBefore.centroids).foreach { case (x, y) =>
+      assert(x.toSeq == y.toSeq, "no-op audit must not touch the model")
+    }
+    // adversarial append: constant far-off vectors bucket into one cell,
+    // raising both mean_err and the hottest cell's share past budget
+    val drift = Seq.tabulate(150) { i =>
+      (10000L + i, Array.tabulate(64)(d => if (d == 0) 1f else 0.9f))
+    }.toDF("n_id", "nv")
+    Ivf.appendToIndex(drift, "nv", p)
+    val decision = Ivf.rebuildIfStale(spark, p)
+    assert(decision.rebuilt, s"drifted index must rebuild: ${decision.reason}")
+    assert(decision.current.meanErr > decision.baseline.meanErr)
+    // swap kept the previous version for in-flight readers
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p.prev/model")),
+      "previous index version must survive the swap")
+    // the rebuilt index == a fresh one-shot build of the union corpus
+    // (train is deterministic on the same rows, so the swap is invisible
+    // to probes beyond the improved geometry)
+    val union = old.unionByName(drift)
+    val m2 = Ivf.train(union.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 8, iters = 2)
+    val pb = java.nio.file.Files.createTempDirectory("ivf_rebuild_fresh").toString
+    Ivf.writeIndex(union, "nv", m2, pb)
+    val swapped = Ivf.loadModel(spark, p)
+    (m2.centroids zip swapped.centroids).foreach { case (x, y) =>
+      assert(x.toSeq == y.toSeq,
+        "rebuilt quantizer must equal a fresh train on the union corpus")
+    }
+    val viaRebuilt = Ivf.probeIndex(spark, p, qs, k = 5, nprobe = 3)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val viaFresh = Ivf.probeIndex(spark, pb, qs, k = 5, nprobe = 3)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(viaRebuilt == viaFresh,
+      "probe after rebuild-swap must equal probe of a fresh union build")
+    // post-rebuild the baseline is re-snapshotted: the audit is quiet again
+    val after = Ivf.rebuildIfStale(spark, p)
+    assert(!after.rebuilt, s"freshly rebuilt index must audit clean: ${after.reason}")
+  }
+
   // The testdata embeddings are uniform random unit vectors (norms == 1.0,
   // no cluster structure) — the worst case for any cell-based ANN, where
   // recall ~= scan fraction (measured curve: nc=16 gives 0.42/0.64/0.76
