@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -32,7 +33,9 @@ import scala.jdk.CollectionConverters._
   * have radix slots ≤ 8192 wide and finish in 2 jobs total.
   *
   * Every pass is a `treeAggregate` over the projected (group, value)
-  * pairs — per-partition bounded histograms (targets × buckets longs /
+  * plan's InternalRow output — no per-row Tuple2/String deserialization
+  * (the Dataset tuple path measured ~2× the raw scan cost at sf0.1);
+  * per-partition bounded histograms (targets × buckets longs /
   * groups × occupied slots), tree-combined, never shuffled. This is the
   * MLlib summary-statistics pattern (per-partition imperative state the
   * DataFrame aggregate can't beat here): the per-round result is ≤
@@ -92,45 +95,14 @@ object ExactRank {
       centsCol: String, rankOf: Long => Seq[(String, Long)],
       buckets: Int = 8192): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
-    val pairEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
     val base = df.select(col(groupCol).cast("string").as("g"),
       col(centsCol).cast("long").as("c"))
     var cached: Option[DataFrame] = None
     try {
-      // ---- radix pass: fused bounds + first histogram, one job ----
-      type SlotMap = mutable.HashMap[String, mutable.HashMap[Long, Array[Long]]]
-      def newSlotMap: SlotMap = mutable.HashMap.empty
-      val baseRdd = base.as[(String, Long)](pairEnc).rdd
-      val radixAgg = baseRdd
-        .treeAggregate(newSlotMap)(
-          seqOp = (acc, row) => {
-            val (g, c) = row
-            val slots = acc.getOrElseUpdate(g, mutable.HashMap.empty)
-            val a = slots.getOrElseUpdate(radixSlot(c),
-              Array(0L, Long.MaxValue, Long.MinValue))
-            a(0) += 1
-            if (c < a(1)) a(1) = c
-            if (c > a(2)) a(2) = c
-            acc
-          },
-          combOp = (l, r) => {
-            r.foreach { case (g, slots) =>
-              val dst = l.getOrElseUpdate(g, mutable.HashMap.empty)
-              slots.foreach { case (slot, a) =>
-                dst.get(slot) match {
-                  case Some(d) =>
-                    d(0) += a(0)
-                    if (a(1) < d(1)) d(1) = a(1)
-                    if (a(2) > d(2)) d(2) = a(2)
-                  case None => dst(slot) = a
-                }
-              }
-            }
-            l
-          },
-          depth = treeDepth(baseRdd))
-      val radix = radixAgg.iterator.flatMap { case (g, slots) =>
-        slots.iterator.map { case (_, a) => (g, a(0), a(1), a(2)) }
+      // ---- radix pass: fused bounds + first histogram, one job over
+      // the shared InternalRow kernel (no per-row tuple deserialization)
+      val radix = radixHistogram(base).iterator.flatMap { case (g, slots) =>
+        slots.iterator.map(st => (g, st.cnt, st.mn, st.mx))
       }.toArray
 
       var states: Seq[TargetState] = buildInitialStates(radix, rankOf)
@@ -166,34 +138,39 @@ object ExactRank {
           ((open(i).hi - open(i).lo) / widths(i) + 1).toInt
         }.toArray
         val byGroup = open.indices.groupBy(i => open(i).group)
-          .map { case (g, is) => g -> is.toArray }
+          .map { case (g, is) => UTF8String.fromString(g) -> is.toArray }
         // range filter through the DataFrame layer: parquet row-group
         // pruning on uncached input, metadata-only on cached
         val cLo = open.iterator.map(_.lo).min
         val cHi = open.iterator.map(_.hi).max
-        // one map-only job: per-partition bucket counts per target,
-        // tree-combined — ≤ targets × buckets longs, no shuffle
-        val roundRdd = base.filter(col("c") >= cLo && col("c") <= cHi)
-          .as[(String, Long)](pairEnc).rdd
+        // one map-only job over InternalRow plan output: per-partition
+        // bucket counts per target, tree-combined — ≤ targets × buckets
+        // longs, no shuffle, no per-row tuple deserialization
+        val roundRdd = internalRows(
+          base.filter(col("c") >= cLo && col("c") <= cHi))
         val hist = roundRdd
           .treeAggregate(Array.empty[Array[Long]])(
             seqOp = (acc0, row) => {
-              val acc = if (acc0.length == 0)
-                nBuckets.map(new Array[Long](_)) else acc0
-              val (g, c) = row
-              byGroup.get(g) match {
-                case Some(is) =>
-                  var j = 0
-                  while (j < is.length) {
-                    val i = is(j)
-                    val st = open(i)
-                    if (c >= st.lo && c <= st.hi)
-                      acc(i)(((c - st.lo) / widths(i)).toInt) += 1
-                    j += 1
-                  }
-                case None =>
+              if (row.isNullAt(0) || row.isNullAt(1)) acc0
+              else {
+                val acc = if (acc0.length == 0)
+                  nBuckets.map(new Array[Long](_)) else acc0
+                val g = row.getUTF8String(0)
+                val c = row.getLong(1)
+                byGroup.get(g) match {
+                  case Some(is) =>
+                    var j = 0
+                    while (j < is.length) {
+                      val i = is(j)
+                      val st = open(i)
+                      if (c >= st.lo && c <= st.hi)
+                        acc(i)(((c - st.lo) / widths(i)).toInt) += 1
+                      j += 1
+                    }
+                  case None =>
+                }
+                acc
               }
-              acc
             },
             combOp = (l, r) => {
               if (l.length == 0) r
@@ -268,8 +245,6 @@ object ExactRank {
     * value sum (fits a long for any DECIMAL(18,2)-bounded domain — the
     * same bound the decimal aggregates assume). */
   final case class SlotStat(cnt: Long, mn: Long, mx: Long, sum: Long)
-
-  import org.apache.spark.unsafe.types.UTF8String
 
   /** The projected (string group, long value) plan as an InternalRow
     * RDD — the histogram kernels iterate it WITHOUT deserializing each

@@ -228,7 +228,23 @@ object EventStreams {
     * `abs(round(NaN,6)) > 2.0` drops every such row. The fold emits
     * nothing for the type until variance is positive (previously it fed
     * NaN to `BigDecimal.valueOf`, throwing NumberFormatException inside
-    * the stateful fold and killing the query). */
+    * the stateful fold and killing the query).
+    *
+    * CONSUMER CONTRACT (replace-per-type readout): because this is
+    * update mode, "the type emitted nothing this batch" and "the type's
+    * anomaly set became empty" are indistinguishable on the wire — a
+    * type that previously emitted anomalies and then goes degenerate
+    * (all-equal totals after a `retainHours` window shift) produces NO
+    * retraction rows, so a consumer that materializes "current anomalies
+    * per type" from emissions alone would keep the stale set forever.
+    * Downstream sinks must therefore treat each emission as the type's
+    * full replacement set AND expire a type's materialized rows
+    * themselves — e.g. key the sink table by event_type and overwrite
+    * per type on every emission that contains the type, with a TTL (or
+    * a periodic batch-twin reconciliation, which is exact) clearing
+    * types that stop emitting. An in-band empty/tombstone marker row is
+    * deliberately NOT emitted: it would break row-schema parity with
+    * the batch twin (q106), which simply has no rows for such types. */
   def hourlyAnomaliesStream(spark: SparkSession, events: DataFrame,
       retainHours: Option[Int] = None): DataFrame = {
     retainHours.foreach(h => require(h > 0, s"retainHours must be positive: $h"))
