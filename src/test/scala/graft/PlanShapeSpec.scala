@@ -225,11 +225,16 @@ class PlanShapeSpec extends SparkSpecBase {
       s"grid-to-hourly join must be an equi-join:\n$p")
   }
 
-  test("q98: winsorize thresholds broadcast back to the fact side") {
+  test("q98: winsorize is driver-assembled — result is a local relation, no join/exchange at all") {
+    // since the radix-histogram rewrite the whole answer is assembled on
+    // the driver from two shuffle-free kernel passes: the returned frame
+    // must be a pure LocalTableScan — any Join/Exchange/Window appearing
+    // here means the threshold-join plan regressed back in
     val p = plan("q98_winsorize")
-    assert(p.contains("BroadcastHashJoin"),
-      s"4-row thresholds must broadcast, not shuffle the fact:\n$p")
-    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LocalTableScan"),
+      s"driver-assembled result must be a local relation:\n$p")
+    for (bad <- Seq("Join", "Exchange", "Window"))
+      assert(!p.contains(bad), s"q98 result plan regressed ($bad):\n$p")
   }
 
   test("q98/q109: exact order statistics plan NO window and NO per-group sort") {
