@@ -745,6 +745,23 @@ object RelationalQueries {
     }
   }
 
+  /** Exact heavy-hitter users (count ≥ 80) via the Count-Min prefilter
+    * ([[graft.ops.HeavyHitters]]): a map-only sketch pass (depth × width
+    * long counters, cardinality-independent state) then a map-only
+    * exact count of only the items whose one-sided estimate clears the
+    * bar. At 100 TB the naive groupBy shuffles one row per DISTINCT
+    * item — this never shuffles at all and its state is answer-sized.
+    * The oracle is the PLAIN `GROUP BY HAVING` — hash-equality proves
+    * the exact verify pass strips every sketch false positive (the q112
+    * one-sided-error device on counters instead of membership). */
+  def heavyHitterUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.HeavyHitters.heavyHitters(
+        Tables.events(s, dir).select($"user_id"),
+        "user_id", minCount = 80L)
+      .orderBy($"n".desc, $"user_id")
+  }
+
   /** Hourly cross-metric correlation matrix: Pearson corr between every
     * pair of event types' hourly value series — the "which metrics move
     * together" monitoring query. Moments (Σx, Σx², Σxy) are
@@ -965,6 +982,7 @@ object RelationalQueries {
     "q106_hourly_anomaly"  -> (hourlyAnomalies _),
     "q109_mad_outliers"    -> (madOutliers _),
     "q110_type_correlation" -> (typeCorrelation _),
+    "q113_heavy_hitters"  -> (heavyHitterUsers _),
     "q98_winsorize"        -> (winsorizedStats _),
     "q101_attribution"     -> (lastTouchAttribution _))
 
@@ -1048,6 +1066,12 @@ object RelationalQueries {
         |FROM dev JOIN mad USING (l_returnflag)
         |GROUP BY dev.l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // q113's oracle is sketch-free on purpose: CMS never under-counts,
+    // so the exact verify pass makes the result equal the plain HAVING
+    "q113_heavy_hitters" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id HAVING COUNT(*) >= 80
+        |ORDER BY n DESC, user_id""".stripMargin,
     "q110_type_correlation" ->
       """WITH hourly AS (
         |  SELECT event_type, CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS hr,
