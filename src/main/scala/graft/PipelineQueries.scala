@@ -434,6 +434,19 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q114: contamination source attribution — for each flagged train
+    * doc, WHICH eval doc leaked into it (most shared distinct 8-grams,
+    * ties → smallest eval id). Turns q77's flag into the actionable
+    * "pull benchmark X from the training set" finding. */
+  def decontaminateSources(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+    Decontaminate.contaminationSources(
+        split.filter($"split" === "train"), split.filter($"split" === "test"),
+        "doc_id", "text", n = 8)
+      .orderBy($"doc_id")
+  }
+
   /** q112: the decontamination report via the BLOOM-gated path
     * ([[Decontaminate.contaminationBloom]]) — the beyond-broadcast-scale
     * regime, oracle-checked. A deliberately small bloom (2^16 bits for
@@ -786,6 +799,7 @@ object PipelineQueries {
     "q74_weighted_mixture" -> (weightedMixture _),
     "q77_decontaminate"   -> (decontaminate _),
     "q112_decontaminate_bloom" -> (decontaminateBloom _),
+    "q114_contamination_source" -> (decontaminateSources _),
     "q78_unigram_logprob" -> (unigramLogProb _),
     "q79_crossdoc_ngrams" -> (crossDocNgrams _),
     "q80_zorder_layout"   -> (zorderLayout _),
@@ -972,6 +986,26 @@ object PipelineQueries {
          |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / len(tr.ng) AS hit_frac
          |FROM tr LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q114_contamination_source" ->
+      s"""WITH ${ngramCtes(8)},
+         |b AS (SELECT doc_id, $bucketExpr AS bucket FROM documents),
+         |ev AS (
+         |  SELECT ng.doc_id AS eval_id, unnest(ng.ng) AS ngram
+         |  FROM ng JOIN b USING (doc_id) WHERE b.bucket >= 90),
+         |tr AS (
+         |  SELECT ng.doc_id, unnest(ng.ng) AS ngram
+         |  FROM ng JOIN b USING (doc_id) WHERE b.bucket < 80),
+         |ov AS (
+         |  SELECT tr.doc_id, ev.eval_id, COUNT(*) AS n_shared
+         |  FROM tr JOIN ev USING (ngram) GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT doc_id, eval_id, n_shared,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY n_shared DESC, eval_id ASC) AS rn
+         |  FROM ov)
+         |SELECT doc_id, eval_id, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
     // q112 replays the bloom-gated path: the SQL is the PLAIN overlap
     // (no bloom) — hash-equality proves the exact survivor join strips

@@ -94,6 +94,46 @@ object Decontaminate {
       .withColumn("hit_frac", col("n_hits").cast("double") / col("n_ngrams"))
   }
 
+  /** Contamination SOURCE attribution: for every train document sharing
+    * at least one n-gram with the eval set, the single eval document it
+    * shares the most distinct n-grams with (ties → smallest eval id) and
+    * that shared-gram count — the "which benchmark leaked" report that
+    * turns a decontamination flag into an actionable finding.
+    *
+    * Same broadcast regime as [[contamination]], with per-eval-doc
+    * attribution: the (eval id, gram) pairs are pulled driver-side in
+    * ONE job (guarded by the same ceiling — pairs, not just distinct
+    * grams, since that is what broadcasts) and re-planned as a local
+    * relation; the corpus side is map-only n-gram explode → broadcast
+    * join → one groupBy((train, eval)) bounded by actual overlaps, then
+    * a max_by per train doc. No shuffle carries corpus text. */
+  def contaminationSources(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8,
+      maxBroadcastGrams: Long = DefaultBroadcastGramLimit): DataFrame = {
+    require(maxBroadcastGrams > 0 && maxBroadcastGrams < Int.MaxValue,
+      s"maxBroadcastGrams must be in (0, Int.MaxValue), got $maxBroadcastGrams")
+    val evalPairs = eval
+      .select(col(idCol).as("eval_id"),
+        explode(ngramSet(col(textCol), n)).as("ngram"))
+    val pulled = evalPairs.limit(maxBroadcastGrams.toInt + 1).collect()
+    if (pulled.length > maxBroadcastGrams)
+      throw EvalGramSetTooLarge(evalPairs.count(), maxBroadcastGrams)
+    val spark = train.sparkSession
+    val evalLocal = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(pulled.toSeq).asJava,
+      evalPairs.schema)
+    docNgrams(train, idCol, textCol, n)
+      .join(broadcast(evalLocal), Seq("ngram"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("eval_id"), col("n_shared")),
+        struct(col("n_shared"), -col("eval_id"))).as("_top"))
+      .select(col(idCol), col("_top.eval_id").as("eval_id"),
+        col("_top.n_shared").as("n_shared"))
+  }
+
   /** [[contamination]] for eval sets BEYOND broadcast scale: instead of
     * shipping the gram set, ship a bloom of it (numBits/8 bytes — 128 KB
     * at the default — regardless of gram count, [[BloomJoin.keyBloom]]),

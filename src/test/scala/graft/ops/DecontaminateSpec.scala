@@ -32,6 +32,26 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(n2 == 5L && h2 == 0L && f2 == 0.0d) // 9 tokens -> 5 distinct 5-grams
   }
 
+  test("contaminationSources attributes each train doc to its top-overlap eval doc, ties to smallest id") {
+    // train doc 1 embeds eval 100 verbatim (6 shared 5-grams) and also a
+    // 5-token span of eval 101 (1 shared 5-gram) -> attributed to 100;
+    // train doc 2 shares exactly one 5-gram with EACH eval doc -> tie on
+    // n_shared=1, must attribute to the smaller id 100; doc 3 no overlap
+    val train = Seq(
+      (1L, "prefix words " + evalDocs.head._2 + " then pack my box with five ok"),
+      (2L, "quick brown fox jumps over nothing and box with five dozen liquor maybe"),
+      (3L, "completely different content about spark partitions and shuffles ok")
+    ).toDF("id", "text")
+    val eval = evalDocs.toDF("id", "text")
+    val got = Decontaminate.contaminationSources(train, eval, "id", "text", n = 5)
+      .orderBy($"id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), s"doc 3 must not appear: $got")
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L)._1 == 100L && byId(1L)._2 >= 6L, s"doc 1: $got")
+    assert(byId(2L) == ((100L, 1L)), s"tie must break to eval 100: $got")
+  }
+
   test("identical train and eval text is 100% contaminated") {
     val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("id", "text")
     val got = Decontaminate.contamination(d, d, "id", "text", n = 3)
