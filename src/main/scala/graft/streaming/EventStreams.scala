@@ -297,6 +297,44 @@ object EventStreams {
       .toDF()
   }
 
+  final case class ItemRow(item: Long)
+  final case class HitterState(n: Long)
+  final case class HeavyHitter(item: Long, n: Long)
+
+  /** Streaming twin of the batch heavy-hitters report (q113,
+    * [[graft.ops.HeavyHitters]]): emit (item, n) whenever an item's
+    * running EXACT count reaches/extends past `minCount` — the live
+    * "this key is getting hot" signal (update semantics: the latest
+    * emission per item is its current count; a consumer materializes
+    * max-per-item). Once all events have arrived, the latest emission
+    * per item equals the batch result exactly (spec-proven).
+    *
+    * State here is ONE long per distinct item — keyed state sharded by
+    * item across executors, the same bound as any streaming per-key
+    * count (NOT the batch path's answer-sized driver state; a stream
+    * can't retro-count items that only later become candidates, so the
+    * CMS prefilter trick does not transfer — the sketch alternatives
+    * (Space-Saving) are arrival-order-dependent, which would break
+    * batch parity and cross-run determinism). `input` must be a single
+    * long `item` column. */
+  def heavyHittersStream(spark: SparkSession, input: DataFrame,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    import spark.implicits._
+    input.as[ItemRow]
+      .groupByKey(_.item)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (item: Long, rows: Iterator[ItemRow], state: GroupState[HitterState]) => {
+          val prev = state.getOption.map(_.n).getOrElse(0L)
+          var n = prev
+          rows.foreach(_ => n += 1)
+          state.update(HitterState(n))
+          if (n >= minCount) Iterator(HeavyHitter(item, n)) else Iterator.empty
+        })
+      .toDF()
+  }
+
   /** Streaming exact dedup: drop events whose `idCols` were already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
     * is evicted once the watermark passes, so memory is bounded by the

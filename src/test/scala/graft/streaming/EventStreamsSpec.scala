@@ -322,4 +322,42 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(streamed == batch,
       s"missing=${batch -- streamed} extra=${streamed -- batch}")
   }
+
+  test("heavyHittersStream: latest emission per item over micro-batches == batch q113 path") {
+    implicit val sqlCtx = spark.sqlContext
+    val items = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id").as[Long].collect().sorted
+    val minCount = 70L
+    val mem = MemoryStream[EventStreams.ItemRow]
+    // update-mode readout: keep the max (= latest, counts only grow)
+    // emission per item
+    val latest = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = EventStreams.heavyHittersStream(spark, mem.toDF(), minCount)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach { r =>
+          val (item, n) = (r.getLong(0), r.getLong(1))
+          latest.updateWith(item) {
+            case Some(p) => Some(math.max(p, n))
+            case None => Some(n)
+          }
+        }
+        ()
+      }.start()
+    try {
+      val (b1, b2) = items.splitAt(items.length / 2)
+      mem.addData(b1.toIndexedSeq.map(EventStreams.ItemRow(_)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq.map(EventStreams.ItemRow(_)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.ops.HeavyHitters.heavyHitters(
+        graft.Tables.events(spark, "/root/testdata/sf0.001").select($"user_id"),
+        "user_id", minCount)
+      .as[(Long, Long)].collect().toMap
+    assert(latest.toMap == batch,
+      s"missing=${batch.toSet -- latest.toSet} extra=${latest.toSet -- batch.toSet}")
+    // an item that crossed the bar mid-stream must have emitted early too
+    assert(batch.nonEmpty, "test needs at least one heavy hitter at this threshold")
+  }
 }
