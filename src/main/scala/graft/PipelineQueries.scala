@@ -447,6 +447,21 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q115: token-distribution drift (per-token PSI) between the train
+    * and test hash-splits — the distribution-shift gate run before
+    * mixing a new corpus snapshot into training. Integer counts in,
+    * nano-quantized contributions out; most-drifted tokens first. */
+  def tokenDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+    TextAnalysis.tokenDrift(
+        split.filter($"split" === "train"), split.filter($"split" === "test"),
+        "text")
+      .withColumnRenamed("n_a", "n_train")
+      .withColumnRenamed("n_b", "n_test")
+      .orderBy($"psi_nano".desc, $"token")
+  }
+
   /** q112: the decontamination report via the BLOOM-gated path
     * ([[Decontaminate.contaminationBloom]]) — the beyond-broadcast-scale
     * regime, oracle-checked. A deliberately small bloom (2^16 bits for
@@ -800,6 +815,7 @@ object PipelineQueries {
     "q77_decontaminate"   -> (decontaminate _),
     "q112_decontaminate_bloom" -> (decontaminateBloom _),
     "q114_contamination_source" -> (decontaminateSources _),
+    "q115_token_drift"    -> (tokenDrift _),
     "q78_unigram_logprob" -> (unigramLogProb _),
     "q79_crossdoc_ngrams" -> (crossDocNgrams _),
     "q80_zorder_layout"   -> (zorderLayout _),
@@ -987,6 +1003,43 @@ object PipelineQueries {
          |  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / len(tr.ng) AS hit_frac
          |FROM tr LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // q115: PSI token drift — integer counts + one fixed-order double
+    // formula per token, quantized to nano-units (the q78 device)
+    "q115_token_drift" ->
+      s"""WITH b AS (SELECT doc_id, $bucketExpr AS bucket FROM documents),
+         |ta AS (
+         |  SELECT t AS token FROM (
+         |    SELECT unnest(string_split($norm, ' ')) AS t
+         |    FROM documents JOIN b USING (doc_id) WHERE b.bucket < 80)
+         |  WHERE length(t) > 0),
+         |tb AS (
+         |  SELECT t AS token FROM (
+         |    SELECT unnest(string_split($norm, ' ')) AS t
+         |    FROM documents JOIN b USING (doc_id) WHERE b.bucket >= 90)
+         |  WHERE length(t) > 0),
+         |ca AS (SELECT token, COUNT(*) AS n_train FROM ta GROUP BY 1),
+         |cb AS (SELECT token, COUNT(*) AS n_test FROM tb GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(ca.token, cb.token) AS token,
+         |    CAST(COALESCE(ca.n_train, 0) AS BIGINT) AS n_train,
+         |    CAST(COALESCE(cb.n_test, 0) AS BIGINT) AS n_test
+         |  FROM ca FULL JOIN cb ON ca.token = cb.token),
+         |tot AS (
+         |  SELECT CAST(SUM(n_train) AS BIGINT) AS na,
+         |    CAST(SUM(n_test) AS BIGINT) AS nb,
+         |    CAST(COUNT(*) AS BIGINT) AS v FROM j),
+         |c AS (
+         |  SELECT j.token, j.n_train, j.n_test,
+         |    CAST(round((CAST(j.n_train + 1 AS DOUBLE) / CAST(tot.na + tot.v AS DOUBLE)
+         |        - CAST(j.n_test + 1 AS DOUBLE) / CAST(tot.nb + tot.v AS DOUBLE))
+         |      * ln((CAST(j.n_train + 1 AS DOUBLE) / CAST(tot.na + tot.v AS DOUBLE))
+         |          / (CAST(j.n_test + 1 AS DOUBLE) / CAST(tot.nb + tot.v AS DOUBLE)))
+         |      * 1e9) AS BIGINT) AS psi_nano
+         |  FROM j, tot)
+         |SELECT token, n_train, n_test, psi_nano,
+         |  CAST(psi_nano AS DOUBLE) / 1e9 AS psi_contrib
+         |FROM c
+         |ORDER BY psi_nano DESC, token""".stripMargin,
     "q114_contamination_source" ->
       s"""WITH ${ngramCtes(8)},
          |b AS (SELECT doc_id, $bucketExpr AS bucket FROM documents),

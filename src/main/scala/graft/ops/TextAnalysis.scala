@@ -153,6 +153,51 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Token-distribution drift between two corpus snapshots as per-token
+    * PSI (population stability index) contributions — the standard "did
+    * the data shift between crawls/shards" gate a training pipeline runs
+    * before mixing a new snapshot in. For each union-vocabulary token:
+    * `(p − q)·ln(p/q)` with add-one smoothing (`p = (n_a+1)/(N_a+V)`,
+    * `q = (n_b+1)/(N_b+V)`, V = union vocab size), so absent-on-one-side
+    * tokens contribute finitely instead of ±∞; Σ contributions = the
+    * corpus PSI (> 0.2 conventionally = actionable shift).
+    *
+    * Determinism: every input to the formula is an exact integer (two
+    * vocabulary-sized count tables, full-outer-joined, plus one 1-row
+    * totals aggregate broadcast back); the double arithmetic runs once
+    * per token in a fixed operation order and is quantized to integer
+    * nano-units — bit-stable across partitionings and engines (the
+    * q78 micro-nat device at 10⁻⁹ resolution).
+    *
+    * Plan: two token explodes (map-only), two vocab-sized counts
+    * (map-side combined), one vocab-sized full-outer equi-join, a 1-row
+    * totals cross join (q90's broadcast device). Nothing shuffles more
+    * than vocabulary rows at any corpus size. */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val ca = toks(a).groupBy(col("token")).agg(count(lit(1)).as("n_a"))
+    val cb = toks(b).groupBy(col("token")).agg(count(lit(1)).as("n_b"))
+    val j = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = j.agg(
+      sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"),
+      count(lit(1)).as("v"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("_p",
+        (col("n_a") + 1).cast("double") / (col("na") + col("v")).cast("double"))
+      .withColumn("_q",
+        (col("n_b") + 1).cast("double") / (col("nb") + col("v")).cast("double"))
+      .withColumn("psi_nano",
+        round((col("_p") - col("_q")) * log(col("_p") / col("_q")) * 1e9d)
+          .cast("long"))
+      .select(col("token"), col("n_a"), col("n_b"), col("psi_nano"),
+        (col("psi_nano").cast("double") / 1e9d).as("psi_contrib"))
+  }
+
   /** Unigram language-model quality score per document: the average
     * natural-log probability of the document's tokens under the corpus's
     * own unigram MLE (P(t) = corpus count / corpus total — no smoothing

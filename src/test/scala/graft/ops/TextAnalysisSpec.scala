@@ -259,4 +259,40 @@ class TextAnalysisSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].head()
     assert((row._1.toLong, row._2, row._3) == exploded)
   }
+
+  test("tokenDrift: hand-computed PSI contributions with add-one smoothing") {
+    // snapshot A: "x x y"  (x:2, y:1, N_a=3); snapshot B: "x z z z"
+    // (x:1, z:3, N_b=4); union vocab V=3 -> p = (n_a+1)/6, q = (n_b+1)/7
+    val a = Seq((1L, "x x y")).toDF("id", "text")
+    val b = Seq((2L, "x z z z")).toDF("id", "text")
+    val got = TextAnalysis.tokenDrift(a, b, "text")
+      .orderBy($"token")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    def nano(nA: Long, nB: Long): Long = {
+      val p = (nA + 1).toDouble / 6d
+      val q = (nB + 1).toDouble / 7d
+      math.round((p - q) * math.log(p / q) * 1e9d)
+    }
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq(("x", 2L, 1L), ("y", 1L, 0L), ("z", 0L, 3L)))
+    got.foreach { case (tok, nA, nB, psiNano, psi) =>
+      assert(psiNano == nano(nA, nB), s"token $tok")
+      assert(psi == psiNano.toDouble / 1e9d, s"token $tok contrib")
+    }
+    // identical snapshots drift nowhere: every contribution is exactly 0
+    val same = TextAnalysis.tokenDrift(a, a, "text")
+      .agg(sum(abs($"psi_nano"))).as[Long].head()
+    assert(same == 0L)
+  }
+
+  test("tokenDrift is partition-layout-independent") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    val x = TextAnalysis.tokenDrift(a, b, "text")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    val y = TextAnalysis.tokenDrift(a.repartition(13), b.repartition(7), "text")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(x == y)
+  }
 }
