@@ -447,6 +447,17 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q116: weighted fixed-size sample (Efraimidis–Spirakis, weight =
+    * document length) — the quality/length-weighted corpus subsetting
+    * primitive; deterministic, no RNG, top-k plan. */
+  def weightedReservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.weightedFixedSample(
+        Tables.documents(s, dir), "doc_id", "n_chars", k = 100)
+      .select($"doc_id", $"n_chars", $"wkey_micro")
+      .orderBy($"wkey_micro".desc, $"doc_id")
+  }
+
   /** q115: token-distribution drift (per-token PSI) between the train
     * and test hash-splits — the distribution-shift gate run before
     * mixing a new corpus snapshot into training. Integer counts in,
@@ -816,6 +827,7 @@ object PipelineQueries {
     "q112_decontaminate_bloom" -> (decontaminateBloom _),
     "q114_contamination_source" -> (decontaminateSources _),
     "q115_token_drift"    -> (tokenDrift _),
+    "q116_weighted_reservoir" -> (weightedReservoir _),
     "q78_unigram_logprob" -> (unigramLogProb _),
     "q79_crossdoc_ngrams" -> (crossDocNgrams _),
     "q80_zorder_layout"   -> (zorderLayout _),
@@ -1003,6 +1015,16 @@ object PipelineQueries {
          |  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / len(tr.ng) AS hit_frac
          |FROM tr LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // q116: A-ES weighted sample — md5-derived uniforms, one ln per row,
+    // micro-quantized keys with id tiebreak so the sort replays exactly
+    "q116_weighted_reservoir" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(round(ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 0.5)
+        |      / 4503599627370496.0)
+        |    / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS wkey_micro
+        |FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY wkey_micro DESC, doc_id LIMIT 100""".stripMargin,
     // q115: PSI token drift — integer counts + one fixed-order double
     // formula per token, quantized to nano-units (the q78 device)
     "q115_token_drift" ->

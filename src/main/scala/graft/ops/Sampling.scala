@@ -85,6 +85,37 @@ object Sampling {
     df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
   }
 
+  /** Deterministic WEIGHTED fixed-size sample without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws a pseudo-uniform
+    * u ∈ (0, 1) from md5(id) and ranks by `ln(u) / w` descending — the
+    * monotone-log form of the textbook `u^(1/w)` key, so inclusion
+    * probability scales with the weight column, heavier rows win more
+    * draws, and replaying any engine's sort reproduces the exact same
+    * sample (no RNG anywhere: u is the first 13 md5 hex digits as a
+    * 52-bit integer, offset by 0.5 so u is never 0, divided by 2^52 —
+    * every arithmetic step exact in doubles except one `ln`, and the
+    * key is micro-quantized with the row id as tiebreak so a last-ulp
+    * `ln` wobble cannot reorder the sort).
+    *
+    * Plan: the key is a map-only projection; top-k =
+    * `TakeOrderedAndProject` — O(k) per partition then O(k) on the
+    * driver, never a global sort (the q85 fixedSample shape, weighted).
+    * `weightCol` must be > 0 for every row (enforced). */
+  def weightedFixedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val m = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (m.cast("double") + 0.5d) / lit(4503599627370496.0d) // 2^52
+    val keyMicro = round(log(u) / col(weightCol).cast("double") * 1e6d)
+      .cast("long")
+    df.withColumn("_graft_wkey", keyMicro)
+      .filter(col(weightCol).cast("double") > 0d)
+      .orderBy(col("_graft_wkey").desc, col(idCol))
+      .limit(k)
+      .withColumnRenamed("_graft_wkey", "wkey_micro")
+  }
+
   /** Deterministic epoch shuffle — the training-order op: each epoch
     * re-orders the corpus by md5(id ":" epoch), within shards. Adds
     * `pos` (0-based position within the shard for this epoch). Pure

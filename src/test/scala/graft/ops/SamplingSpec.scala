@@ -148,4 +148,39 @@ class SamplingSpec extends SparkSpecBase {
     assert(o1.sorted == (1L to 200L), "still a permutation")
     assert(o1 != (1L to 200L), "and actually shuffled")
   }
+
+  test("weightedFixedSample: exact size, replayable membership, weight bias, top-k plan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Sampling.weightedFixedSample(docs, "doc_id", "n_chars", k = 50)
+    val rows = got.select($"doc_id", $"n_chars", $"wkey_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.size == 50)
+    // membership replays from the formula: naive in-memory A-ES keys
+    val all = docs.select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    def key(id: Long, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      val m = java.lang.Long.parseLong(hex, 16)
+      math.round(math.log((m + 0.5d) / 4503599627370496.0d) / w.toDouble * 1e6d)
+    }
+    val expect = all.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k0) => (-k0, id) }.take(50).toSeq
+    assert(rows.sortBy(t => (-t._3, t._1)) == expect,
+      "sample must replay the A-ES key formula exactly")
+    // the weighting works: the weighted sample's mean length must beat
+    // the uniform (md5-ordered) sample's by a clear margin
+    val wMean = rows.map(_._2).sum.toDouble / rows.size
+    val uMean = Sampling.fixedSample(docs, "doc_id", 50)
+      .select($"n_chars").as[Long].collect().sum.toDouble / 50
+    assert(wMean > uMean * 1.05,
+      f"weighted mean $wMean%.0f must exceed uniform mean $uMean%.0f")
+    // partition independence + top-k plan (never a global sort)
+    val again = Sampling.weightedFixedSample(
+        docs.repartition(13), "doc_id", "n_chars", k = 50)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == rows.map(_._1).toSet)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
 }
