@@ -360,4 +360,32 @@ class EventStreamsSpec extends SparkSpecBase {
     // an item that crossed the bar mid-stream must have emitted early too
     assert(batch.nonEmpty, "test needs at least one heavy hitter at this threshold")
   }
+
+  test("stateful stream state survives a checkpointed query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.ItemRow]
+    val ckpt = java.nio.file.Files.createTempDirectory("hh_ckpt").toString
+    def start() = EventStreams.heavyHittersStream(spark, mem.toDF(), minCount = 3L)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("hh_recover").start()
+    // run 1: two occurrences of item 7 — below the bar, state = 2
+    val q1 = start()
+    try {
+      mem.addData(EventStreams.ItemRow(7L), EventStreams.ItemRow(7L))
+      q1.processAllAvailable()
+      assert(spark.table("hh_recover").count() == 0L, "below bar: no emission")
+    } finally q1.stop()
+    // run 2 from the same checkpoint: ONE more occurrence must emit
+    // (7, 3) — only possible if the keyed state store recovered n=2
+    val q2 = start()
+    try {
+      mem.addData(EventStreams.ItemRow(7L))
+      q2.processAllAvailable()
+      val got = spark.table("hh_recover")
+        .as[(Long, Long)].collect().toSet
+      assert(got.contains((7L, 3L)),
+        s"restarted query must resume from recovered state: $got")
+    } finally q2.stop()
+  }
 }
