@@ -602,14 +602,23 @@ object PipelineQueries {
 
   /** Edit-distance verification of near-dup candidates: q32's MinHash LSH
     * pairs re-scored with true Levenshtein distance on the normalized
-    * text — the exact-verifier stage of fuzzy dedup, O(L²) work confined
-    * to the candidate pairs LSH produced (never all pairs). Joins are
-    * id-keyed; the corpus text moves only for the ~25 candidate rows.
-    * Oracle-exact: the corpus is pure ASCII (byte ≡ char distances) and
-    * both engines implement the same DP; edit_sim = 1 − lev/maxLen is a
-    * double of exact integers, rounded. */
+    * text, keeping only verified near-dups (edit_sim ≥ 0.4, the same
+    * threshold the LSH stage targets) — the exact-verifier stage of
+    * fuzzy dedup, O(L²) work confined to candidate pairs (never all
+    * pairs). Before the O(L²) DP runs, a map-side length-gap prune
+    * rejects hopeless pairs for free: every edit changes length by ≤1,
+    * so lev(a,b) ≥ |len(a)−len(b)| and a pair whose gap alone puts
+    * edit_sim below the floor skips the DP. The bound is widened by +1
+    * so float edge cases can never prune a pair the exact floor would
+    * keep; the oracle therefore needs no prefilter — the final floor
+    * alone defines the semantics. Joins are id-keyed, so at scale the
+    * corpus text moves only for the LSH-bounded candidate rows.
+    * Oracle-exact: pure-ASCII corpus (byte ≡ char distances), both
+    * engines run the same DP, and edit_sim = 1 − lev/maxLen is a
+    * double of exact integers. */
   def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val floor = 0.4d
     val docs = Tables.documents(s, dir)
       .select($"doc_id", Dedup.normText($"text").as("nt"))
     val cand = Dedup.minHashCandidates(Tables.documents(s, dir),
@@ -618,10 +627,14 @@ object PipelineQueries {
     cand
       .join(docs.select($"doc_id".as("a_id"), $"nt".as("na")), Seq("a_id"))
       .join(docs.select($"doc_id".as("b_id"), $"nt".as("nb")), Seq("b_id"))
+      // length-gap DP skip (map-side, provably subsumed by the floor)
+      .filter(abs(length($"na") - length($"nb")).cast("double") <=
+        lit(1.0d - floor) * greatest(length($"na"), length($"nb")).cast("double") + lit(1.0d))
       // project the DP result once; edit_sim derives from the column
       .select($"a_id", $"b_id",
         levenshtein($"na", $"nb").cast("long").as("lev"),
         greatest(length($"na"), length($"nb")).cast("double").as("_ml"))
+      .filter(lit(1.0d) - $"lev".cast("double") / $"_ml" >= floor)
       .select($"a_id", $"b_id", $"lev",
         round(lit(1.0d) - $"lev".cast("double") / $"_ml", 6).as("edit_sim"))
       .orderBy($"a_id", $"b_id")
@@ -1165,6 +1178,7 @@ object PipelineQueries {
          |SELECT a_id, b_id, lev,
          |  ROUND(CAST(1.0 AS DOUBLE) - CAST(lev AS DOUBLE) / ml, 6) AS edit_sim
          |FROM p
+         |WHERE CAST(1.0 AS DOUBLE) - CAST(lev AS DOUBLE) / ml >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
     "q91_rolling_active" ->
       """WITH s AS (

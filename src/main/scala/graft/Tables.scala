@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic testdata (TESTDATA.md).
   *
@@ -26,15 +26,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark reads only as a
-    * nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong=true —
-    * set by GraftSession); converted here to a micro-precision timestamp
-    * (integer division — no float round-trip, values are micro-grained). */
+  /** `events.ts` normalized to session-TZ TimestampType regardless of how
+    * the testdata generation wrote it — the encoding has drifted between
+    * rounds, so all three observed forms are handled:
+    *   - TIMESTAMP(NANOS): Spark reads only as a nanos-since-epoch long
+    *     (spark.sql.legacy.parquet.nanosAsLong=true, set by GraftSession);
+    *     integer-divided to micros, no float round-trip.
+    *   - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
+    *     TimestampType. The session TZ is UTC (GraftSession), so the wall
+    *     values map to the same instants DuckDB's epoch_us sees.
+    *   - timestamp[us] UTC-adjusted → already TimestampType: pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -160,8 +160,12 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
         (col("p.est_jaccard") / lit(numHashes)).as("est_jaccard"))
-      .distinct()
+      // filter BEFORE the de-dup shuffle: est_jaccard is a pure function of
+      // the pair, so threshold rejection commutes with distinct — the
+      // distinct exchange then carries only passing pairs, not every
+      // sub-threshold band collision (the overwhelming majority at scale)
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** Banded MinHash signature index rows: (id, sig, band, bucket), one row

@@ -365,16 +365,22 @@ class EventStreamsSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.ItemRow]
     val ckpt = java.nio.file.Files.createTempDirectory("hh_ckpt").toString
+    // memory sink can't recover from a checkpoint; foreachBatch can —
+    // collect emissions into a driver-side set across both runs
+    val emitted = scala.collection.concurrent.TrieMap.empty[(Long, Long), Unit]
     def start() = EventStreams.heavyHittersStream(spark, mem.toDF(), minCount = 3L)
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
-      .format("memory").queryName("hh_recover").start()
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => emitted.put((r.getLong(0), r.getLong(1)), ()))
+        ()
+      }.start()
     // run 1: two occurrences of item 7 — below the bar, state = 2
     val q1 = start()
     try {
       mem.addData(EventStreams.ItemRow(7L), EventStreams.ItemRow(7L))
       q1.processAllAvailable()
-      assert(spark.table("hh_recover").count() == 0L, "below bar: no emission")
+      assert(emitted.isEmpty, "below bar: no emission")
     } finally q1.stop()
     // run 2 from the same checkpoint: ONE more occurrence must emit
     // (7, 3) — only possible if the keyed state store recovered n=2
@@ -382,10 +388,8 @@ class EventStreamsSpec extends SparkSpecBase {
     try {
       mem.addData(EventStreams.ItemRow(7L))
       q2.processAllAvailable()
-      val got = spark.table("hh_recover")
-        .as[(Long, Long)].collect().toSet
-      assert(got.contains((7L, 3L)),
-        s"restarted query must resume from recovered state: $got")
+      assert(emitted.contains((7L, 3L)),
+        s"restarted query must resume from recovered state: ${emitted.keySet}")
     } finally q2.stop()
   }
 }
