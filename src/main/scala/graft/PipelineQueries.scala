@@ -642,16 +642,24 @@ object PipelineQueries {
 
   /** Length-curriculum buckets — global deciles WITHOUT a global sort:
     * `ntile(10) OVER (ORDER BY n_chars)` would funnel the corpus through
-    * one sort partition; instead the 9 interior decile boundaries are
-    * one tiny exact-percentile aggregate (swap in the q75 histogram
-    * sketch at 100 TB), broadcast, and bucket assignment is a map-only
-    * comparison count. Value-based buckets (ties share a bucket), which
-    * is what curriculum schedules actually want. */
+    * one sort partition; instead the 9 interior decile boundaries come
+    * from [[graft.ops.HistogramQuantile]] (q75's mergeable fixed-width
+    * histogram — per-pass state is 128 longs, never a value buffer, so
+    * the bounds aggregate survives 100 TB where `percentile(...)`'s
+    * collect-all-values buffer would not), broadcast, and bucket
+    * assignment is a map-only comparison count. Value-based buckets
+    * (ties share a bucket), which is what curriculum schedules actually
+    * want; the DuckDB oracle replays the sketch bit-for-bit, same as
+    * q75. */
   def lengthCurriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fracs = (1 to 9).map(i => s"${i / 10.0d}").mkString(", ")
-    val bounds = Tables.documents(s, dir)
-      .agg(expr(s"percentile(n_chars, array($fracs))").as("bs"))
+    val deciles = graft.ops.HistogramQuantile.quantiles(
+      Tables.documents(s, dir).select($"n_chars").withColumn("_g", lit(1)),
+      "_g", "n_chars", (1 to 9).map(_ / 10.0d))
+    // 9 (p, est) rows -> one ordered bounds array, still on executors
+    val bounds = deciles.agg(
+      transform(array_sort(collect_list(struct($"p", $"est"))),
+        x => x("est")).as("bs"))
     Tables.documents(s, dir)
       .crossJoin(broadcast(bounds))
       .select($"doc_id", $"n_chars",
@@ -1155,12 +1163,43 @@ object PipelineQueries {
         |  UNION ALL SELECT lang, 'n_punct', n_punct FROM wide) u
         |ORDER BY lang, metric""".stripMargin,
     "q93_length_curriculum" -> {
-      val qs = (1 to 9).map(i => s"quantile_cont(n_chars, ${i / 10.0d})").mkString(", ")
-      s"""WITH b AS (SELECT [$qs] AS bs FROM documents),
+      // replays the q75 fixed-width-histogram sketch (128 bins) that the
+      // Spark side uses for the decile bounds — same binning, cumulative
+      // crossing, and interpolation arithmetic, so the bounds are
+      // bit-identical doubles in both engines
+      val ps = (s"CAST(0.1 AS DOUBLE)" +: (2 to 9).map(i => s"${i / 10.0d}"))
+        .mkString(", ")
+      s"""WITH ext AS (
+         |  SELECT MIN(CAST(n_chars AS DOUBLE)) AS lo,
+         |    MAX(CAST(n_chars AS DOUBLE)) AS hi, COUNT(n_chars) AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT bin, COUNT(*) AS c FROM (
+         |    SELECT CASE WHEN ext.hi = ext.lo THEN 0
+         |      ELSE LEAST(CAST(floor((CAST(d.n_chars AS DOUBLE) - ext.lo)
+         |             / (ext.hi - ext.lo) * 128) AS BIGINT), 127) END AS bin
+         |    FROM documents d, ext WHERE d.n_chars IS NOT NULL)
+         |  GROUP BY bin),
+         |cumt AS (
+         |  SELECT bin, c, CAST(COALESCE(SUM(c) OVER (ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM b),
+         |qs AS (SELECT unnest([$ps]) AS p),
+         |sel AS (
+         |  SELECT p, bin, c, cb, ext.lo, ext.hi,
+         |    CAST(ceil(p * ext.n) AS BIGINT) AS needed
+         |  FROM cumt, qs, ext
+         |  WHERE cb < CAST(ceil(p * ext.n) AS BIGINT)
+         |    AND CAST(ceil(p * ext.n) AS BIGINT) <= cb + c),
+         |bounds AS (
+         |  SELECT list(ROUND(CASE WHEN hi = lo THEN lo
+         |    ELSE lo + (hi - lo) / 128 * (bin + CAST(needed - cb AS DOUBLE) / c)
+         |    END, 6) ORDER BY p) AS bs
+         |  FROM sel),
          |a AS (
          |  SELECT doc_id, n_chars,
-         |    CAST(1 + len(list_filter(b.bs, x -> n_chars > x)) AS BIGINT) AS bucket
-         |  FROM documents, b)
+         |    CAST(1 + len(list_filter(bounds.bs, x -> n_chars > x)) AS BIGINT) AS bucket
+         |  FROM documents, bounds)
          |SELECT bucket, COUNT(*) AS n_docs,
          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
          |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
