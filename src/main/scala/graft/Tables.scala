@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType,
+  TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic testdata (TESTDATA.md).
   *
@@ -46,6 +47,35 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Conditionally cast `cols` to the target types — identity (no extra
+    * plan node, pushdown untouched) when the parquet already matches, a
+    * single projection when a regeneration drifted the encoding. Same
+    * armor idea as [[events]]: the testdata writer has changed physical
+    * types between rounds, and a loader is the one place to absorb that. */
+  private def normalize(df: DataFrame,
+      cols: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =
+    cols.foldLeft(df) { case (acc, (name, want)) =>
+      // catalogString ignores nullability — a required-element parquet
+      // list<float> must not pick up a pointless no-op cast projection
+      if (acc.schema.fieldNames.contains(name) &&
+          acc.schema(name).dataType.catalogString != want.catalogString)
+        acc.withColumn(name, col(name).cast(want))
+      else acc
+    }
+
+  /** `documents` with integer id/length columns normalized to LongType —
+    * an int32 regeneration would silently narrow every downstream output
+    * type; the cast is a no-op on the canonical int64 encoding. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    normalize(load(s, d, "documents"),
+      Map("doc_id" -> LongType, "n_chars" -> LongType))
+
+  /** `embeddings` with the vector normalized to array&lt;float&gt; (the type
+    * every vector kernel requires — a list&lt;double&gt; regeneration would
+    * fail resolution in 20+ queries, the r10 events failure mode) and
+    * `vec_id` to LongType. No-op on the canonical encoding. */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    normalize(load(s, d, "embeddings"),
+      Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType, containsNull = true)))
 }

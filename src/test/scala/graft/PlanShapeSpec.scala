@@ -124,6 +124,28 @@ class PlanShapeSpec extends SparkSpecBase {
       s"event_type filter must reach the parquet scan:\n$p")
   }
 
+  test("q17: sessionization reuses one user_id exchange for both windows and the agg") {
+    val p = plan("q17_sessionization")
+    // lag + cumulative-sum windows and the (user_id, session_id) groupBy
+    // all cluster by user_id — one hash exchange serves the whole chain;
+    // the only other exchange is the presentation orderBy's range
+    // partitioning. The NTZ-cast armor must not break pushdown either.
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q17: windows + agg must share one hash exchange:\n$p")
+    assert(p.contains("LessThan(user_id,10)"),
+      s"q17: user_id filter must reach the parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q58: trailing 10-min totals plan a RANGE frame, one hash exchange") {
+    val p = plan("q58_range_frame")
+    assert(p.contains("RangeFrame"),
+      s"q58: frame must be value-based RANGE, not ROWS:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q58: one user_id hash exchange + presentation sort only:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q60: correlated EXISTS decorrelates to a semi join, never a loop") {
     val p = plan("q60_exists_subquery")
     assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
