@@ -60,7 +60,8 @@ object Bench {
     "q109_mad_outliers", "q110_type_correlation", "q111_ivf_append",
     "q112_decontaminate_bloom", "q113_heavy_hitters",
     "q114_contamination_source", "q115_token_drift",
-    "q116_weighted_reservoir")
+    "q116_weighted_reservoir", "q117_dsir_selection",
+    "q118_margin_mining", "q119_span_removal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

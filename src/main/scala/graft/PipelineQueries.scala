@@ -512,6 +512,32 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q117: DSIR importance selection
+    * (TextAnalysis.importanceLogRatio) — the top 50 documents by
+    * unigram-LM log-ratio against the English subcorpus as target:
+    * the data-selection step a pretraining pipeline runs to upsample
+    * target-domain-looking documents from a raw crawl. Bounded top-k
+    * (TakeOrderedAndProject), never a global sort. */
+  def dsirSelection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.importanceLogRatio(
+        Tables.documents(s, dir), "doc_id", "text", $"lang" === "en")
+      .orderBy($"avg_log_ratio".desc, $"doc_id")
+      .limit(50)
+  }
+
+  /** q119: repeated-span removal (Dedup.repeatedSpanRemoval) — the
+    * rewrite form of exact-substring dedup: documents with every
+    * cross-document duplicated 8-gram span deleted, plus the
+    * before/after token accounting. The oracle rebuilds the cleaned
+    * text verbatim, so the hash match proves span union + rewrite are
+    * engine-exact, not just the counts. */
+  def spanRemoval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.repeatedSpanRemoval(Tables.documents(s, dir), "doc_id", "text", n = 8)
+      .orderBy($"doc_id")
+  }
+
   /** Z-order (Morton) layout key over orders — ops.Layout.zValue2 on
     * (customer, order day), the two-predicate file-skipping curve. The
     * entry summarizes the curve by 64 z-range buckets (count + envelope);
@@ -868,7 +894,9 @@ object PipelineQueries {
     "q100_dataset_card"   -> (datasetCard _),
     "q102_bigram_logprob" -> (bigramLogProb _),
     "q103_containment"    -> (containment _),
-    "q108_pagerank"       -> (pageRank _))
+    "q108_pagerank"       -> (pageRank _),
+    "q117_dsir_selection" -> (dsirSelection _),
+    "q119_span_removal"   -> (spanRemoval _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1019,6 +1047,55 @@ object PipelineQueries {
     "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
 
   val oracleSql: Map[String, String] = Map(
+    "q117_dsir_selection" ->
+      s"""WITH tk0 AS (
+         |  SELECT doc_id, lang = 'en' AS tgt,
+         |    unnest(string_split($norm, ' ')) AS token
+         |  FROM documents),
+         |tk AS (SELECT * FROM tk0 WHERE length(token) > 0),
+         |c AS (
+         |  SELECT token, COUNT(*) AS c_raw,
+         |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+         |  FROM tk GROUP BY 1),
+         |tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt, COUNT(*) AS v FROM c),
+         |lr AS (
+         |  SELECT token, CAST(ROUND((ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + v AS DOUBLE))
+         |    - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + v AS DOUBLE))) * 1000000) AS BIGINT) AS lr_micro
+         |  FROM c, tot),
+         |d AS (
+         |  SELECT tk.doc_id, COUNT(*) AS n_tokens, SUM(lr.lr_micro) AS sm
+         |  FROM tk JOIN lr USING (token) GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(sm AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000), 6) AS avg_log_ratio
+         |FROM d ORDER BY avg_log_ratio DESC, doc_id LIMIT 50""".stripMargin,
+    "q119_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |hh AS (
+         |  SELECT doc_id, list_transform(w, tk -> ${duckFold("tk", graft.expr.DedupKernel.B1)}) AS h
+         |  FROM t),
+         |gl AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(h) - 7), i -> ${ngramChain(8)}) AS g
+         |  FROM hh WHERE len(h) >= 8),
+         |st AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(g))) AS s, unnest(g) AS code
+         |  FROM gl),
+         |dup AS (
+         |  SELECT code FROM (SELECT DISTINCT doc_id, code FROM st) dd
+         |  GROUP BY code HAVING COUNT(*) >= 2),
+         |ss AS (
+         |  SELECT doc_id, list(s ORDER BY s) AS ss
+         |  FROM st JOIN dup USING (code) GROUP BY 1),
+         |k AS (
+         |  SELECT t.doc_id, t.w, COALESCE(ss.ss, CAST([] AS BIGINT[])) AS ds,
+         |    list_filter(generate_series(1, len(t.w)),
+         |      p -> len(list_filter(COALESCE(ss.ss, CAST([] AS BIGINT[])),
+         |                           x -> x <= p AND p <= x + 7)) = 0) AS kept
+         |  FROM t LEFT JOIN ss USING (doc_id))
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(ds) AS BIGINT) AS n_dup_spans,
+         |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+         |  COALESCE(array_to_string(list_transform(kept, p -> w[p]), ' '), '') AS clean_text
+         |FROM k ORDER BY doc_id""".stripMargin,
     "q64_rag_topk" -> ragOracle,
     "q77_decontaminate" ->
       s"""WITH ${ngramCtes(8)},

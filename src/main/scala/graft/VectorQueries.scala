@@ -441,6 +441,39 @@ object VectorQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Margin-based k-NN mining (Artetxe & Schwenk 2019, the CCMatrix /
+    * LASER bitext-mining criterion): a candidate pair (x, y) scores
+    * cos(x,y) normalized by the mean of each side's top-k cosine
+    * neighborhood — margin = 2·cos(x,y) / (avgₖ(x) + avgₖ(y)) — which
+    * suppresses hub vectors that score high against EVERYTHING and
+    * would dominate a raw-cosine cut. Source set = vec_id < 10
+    * (broadcastable, the "query language" side), target = the rest.
+    *
+    * Determinism: cosines are quantized to integer micro-units first;
+    * each side's top-k sum is then an exact long sum (k fixed at 8/4),
+    * so the margin is one float expression from integers (the q78
+    * device applied to vector scores).
+    *
+    * Scale shape: ONE broadcast cross join (corpus × 10) feeds
+    * everything; both top-k passes are rank-filters that plan as
+    * WindowGroupLimit (bounded per-partition heaps, q04's pattern) —
+    * the q_id window is 10 partitions but each holds corpus rows, so
+    * the heap prune before the exchange is what keeps it scale-safe;
+    * the n_id window is corpus-cardinality keys of ≤ 10 rows. The
+    * final margin join is broadcast (10 rows) + equi on n_id. */
+  def marginMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    graft.ops.Similarity.marginKnn(
+        e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("qv")),
+        e.filter($"vec_id" >= 10)
+          .select($"vec_id".as("n_id"), $"embedding".as("nv")),
+        kQ = 8, kN = 4)
+      .orderBy($"margin".desc, $"q_id", $"n_id")
+      .limit(15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
@@ -457,7 +490,8 @@ object VectorQueries {
     "q99_pq_adc"             -> (pqAdcTopK _),
     "q104_label_cohesion"    -> (labelCohesion _),
     "q107_ivf_pq"            -> (ivfPqTopK _),
-    "q111_ivf_append"        -> (annIvfAppend _))
+    "q111_ivf_append"        -> (annIvfAppend _),
+    "q118_margin_mining"     -> (marginMining _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -808,6 +842,37 @@ object VectorQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q118_margin_mining" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS dp,
+        |    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS na,
+        |    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nb
+        |  FROM embeddings q, embeddings c, generate_series(1, 64) i(i)
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |  GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT q_id, n_id,
+        |    CAST(ROUND((CASE WHEN na = 0 OR nb = 0 THEN 0
+        |                     ELSE dp / (SQRT(na) * SQRT(nb)) END) * 1000000) AS BIGINT) AS sim_micro
+        |  FROM p),
+        |xk AS (
+        |  SELECT q_id, SUM(sim_micro) AS xs FROM (
+        |    SELECT q_id, sim_micro,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_micro DESC, n_id) AS r
+        |    FROM sm) t WHERE r <= 8 GROUP BY 1),
+        |yk AS (
+        |  SELECT n_id, SUM(sim_micro) AS ys FROM (
+        |    SELECT n_id, sim_micro,
+        |      ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY sim_micro DESC, q_id) AS r
+        |    FROM sm) t WHERE r <= 4 GROUP BY 1)
+        |SELECT s.q_id, s.n_id,
+        |  CAST(s.sim_micro AS DOUBLE) / 1000000 AS cos_sim,
+        |  ROUND(CAST(s.sim_micro AS DOUBLE) * 2.0 /
+        |    (CAST(xk.xs AS DOUBLE) / 8.0 + CAST(yk.ys AS DOUBLE) / 4.0), 6) AS margin
+        |FROM sm s JOIN xk USING (q_id) JOIN yk USING (n_id)
+        |ORDER BY margin DESC, q_id, n_id
+        |LIMIT 15""".stripMargin,
     "q35_ann_lsh" -> annLshOracle,
     "q52_ann_ivf" -> annIvfOracle,
     "q111_ivf_append" ->

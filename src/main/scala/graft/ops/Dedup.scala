@@ -297,6 +297,49 @@ object Dedup {
       .withColumn("shared_frac", col("n_shared").cast("double") / col("n_ngrams"))
   }
 
+  /** Repeated-span REMOVAL — the rewrite form of the Lee et al. 2022
+    * exact-substring signal that [[crossDocNgramStats]] only reports:
+    * every word n-gram occurring in ≥ 2 distinct documents marks its
+    * n-token span as boilerplate, and the document is rewritten with all
+    * marked spans deleted (overlapping spans union). Output per doc:
+    * token counts before/after, the number of duplicated span starts,
+    * and the cleaned text itself.
+    *
+    * Plan: map-only per-doc n-gram codes with positions (posexplode of
+    * [[TextAnalysis.ngramCodes]] — (long, long) rows), one groupBy(code)
+    * over per-doc-distinct grams for the cross-doc occurrence count, an
+    * equi-join back to the positioned grams, one groupBy(doc) that
+    * collects the duplicated starts (bounded by the doc's own length,
+    * the same per-doc-array regime as every kernel here), and a map-only
+    * rewrite: position p survives iff no duplicated start lies in
+    * [p−n+1, p]. The rewrite's coverage test is O(L·|starts|) per doc in
+    * the worst (fully-duplicated) case — still per-doc work; nothing
+    * data-sized crosses an exchange except (long, long) gram rows. */
+  def repeatedSpanRemoval(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = df
+      .select(col(idCol),
+        posexplode(TextAnalysis.ngramCodes(col(textCol), n)))
+      .select(col(idCol), (col("pos") + 1).as("s"), col("col").as("code"))
+    val dup = grams.select(col(idCol), col("code")).distinct()
+      .groupBy(col("code")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("code"))
+    val starts = grams.join(dup, "code")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("s"))).as("_ss"))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_w"))
+      .join(starts, Seq(idCol), "left")
+      .withColumn("_ss", coalesce(col("_ss"), array().cast("array<int>")))
+      .withColumn("_kept", filter(sequence(lit(1), size(col("_w"))),
+        p => !exists(col("_ss"), x => x <= p && p <= x + lit(n - 1))))
+      .select(col(idCol),
+        size(col("_w")).cast("long").as("n_tokens"),
+        size(col("_ss")).cast("long").as("n_dup_spans"),
+        (size(col("_w")) - size(col("_kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("_kept"),
+          p => element_at(col("_w"), p))).as("clean_text"))
+  }
+
   /** SimHash near-dup candidate pairs: band the fingerprints' 64 stored
     * bits (62 populated — the top band is 2 bits lighter) into
     * `bands` chunks; pairs sharing any chunk are candidates (pigeonhole:

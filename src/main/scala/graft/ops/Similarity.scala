@@ -33,6 +33,42 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rnk"))
   }
 
+  /** Margin-based k-NN scoring (Artetxe & Schwenk 2019 — the CCMatrix /
+    * LASER bitext-mining criterion): margin(x, y) =
+    * 2·cos(x,y) / (avg_{kQ} cos(x,·) + avg_{kN} cos(·,y)) — raw cosine
+    * normalized by each side's top-k neighborhood mean, which suppresses
+    * hub vectors that score high against EVERYTHING.
+    *
+    * Schemas: queries (q_id, qv), candidates (n_id, nv). Determinism:
+    * cosines quantize to integer micro-units first, the top-k sums are
+    * exact long sums over fixed k, the margin is one float expression
+    * from integers. Scale: one broadcast cross join feeds all three
+    * uses; both rank filters plan as WindowGroupLimit (per-partition
+    * heap prune before the exchange); the final join is broadcast
+    * (query-side aggregate) + equi on n_id. */
+  def marginKnn(queries: DataFrame, candidates: DataFrame,
+      kQ: Int = 8, kN: Int = 4): DataFrame = {
+    require(kQ >= 1 && kN >= 1, s"neighborhood sizes must be >= 1: $kQ, $kN")
+    val sims = candidates.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("n_id"),
+        round(VectorExprs.cosine(col("nv"), col("qv")) * 1e6d).cast("long")
+          .as("sim_micro"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_micro").desc, col("n_id"))
+    val xk = sims.withColumn("r", row_number().over(wq)).filter(col("r") <= kQ)
+      .groupBy(col("q_id")).agg(sum(col("sim_micro")).as("xs"))
+    val wn = Window.partitionBy(col("n_id"))
+      .orderBy(col("sim_micro").desc, col("q_id"))
+    val yk = sims.withColumn("r", row_number().over(wn)).filter(col("r") <= kN)
+      .groupBy(col("n_id")).agg(sum(col("sim_micro")).as("ys"))
+    sims.join(broadcast(xk), "q_id").join(yk, "n_id")
+      .select(col("q_id"), col("n_id"),
+        (col("sim_micro").cast("double") / 1e6d).as("cos_sim"),
+        round(col("sim_micro").cast("double") * 2.0d /
+          (col("xs").cast("double") / kQ.toDouble +
+            col("ys").cast("double") / kN.toDouble), 6).as("margin"))
+  }
+
   /** Deterministic SRP hyperplanes as small integers in [-1000, 1000]
     * (splitmix64 of (seed, plane, dim)). Integer weights — together with
     * [[microQuantized]] vectors — make every bucket bit an exact integer

@@ -198,6 +198,56 @@ object TextAnalysis {
         (col("psi_nano").cast("double") / 1e9d).as("psi_contrib"))
   }
 
+  /** DSIR-style importance log-ratio per document (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each document by the average per-token
+    * `ln P_target(t) − ln P_raw(t)`, where both unigram distributions
+    * are add-one-smoothed MLEs — the target model from the subset
+    * matching `targetPred`, the raw model from the whole corpus. High
+    * scores mark documents that look like the target domain; selection
+    * is then a bounded top-k (the deterministic analogue of the paper's
+    * Gumbel resampling — same integer-keyed device as the q116 A-ES
+    * sampler would give, minus the randomness the oracle can't replay).
+    *
+    * Determinism: the q78 micro-nat device — each token's log-ratio is
+    * quantized to integer micro-nats from exact integer counts, per-doc
+    * sums are exact long sums, one float division at the end.
+    *
+    * Plan: ONE token explode feeds a single vocabulary-sized aggregate
+    * that computes BOTH models' counts (the target count is a
+    * conditional sum, so the target pass costs no second scan), a 1-row
+    * totals broadcast, a vocab equi-join back, one groupBy(doc) of
+    * (long, long) rows. Nothing shuffles more than vocabulary rows at
+    * any corpus size. */
+  def importanceLogRatio(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): DataFrame = {
+    val toks = df
+      .select(col(idCol), targetPred.as("_tgt"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val tot = counts.agg(
+      sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"),
+      count(lit(1)).as("v"))
+    val lr = counts.crossJoin(broadcast(tot))
+      .withColumn("lr_micro",
+        round((log((col("c_tgt") + 1).cast("double") /
+            (col("t_tgt") + col("v")).cast("double")) -
+          log((col("c_raw") + 1).cast("double") /
+            (col("t_raw") + col("v")).cast("double"))) * 1e6d)
+          .cast("long"))
+      .select(col("token"), col("lr_micro"))
+    toks.join(lr, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_micro")).as("_sum"))
+      .withColumn("avg_log_ratio",
+        round(col("_sum").cast("double") /
+          (col("n_tokens").cast("double") * 1e6d), 6))
+      .select(col(idCol), col("n_tokens"), col("avg_log_ratio"))
+  }
+
   /** Unigram language-model quality score per document: the average
     * natural-log probability of the document's tokens under the corpus's
     * own unigram MLE (P(t) = corpus count / corpus total — no smoothing

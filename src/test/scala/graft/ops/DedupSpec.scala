@@ -193,6 +193,44 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("repeatedSpanRemoval deletes cross-doc spans, unions overlaps, ignores within-doc repeats") {
+    val common = "c1 c2 c3 c4 c5 c6 c7 c8" // one shared 8-gram
+    val corpus = Seq(
+      (0L, common + " xa xb"),          // shared span at tokens 1-8
+      (1L, "ya " + common + " yb"),     // same span at tokens 2-9
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"), // unique: untouched
+      // within-doc repeat only — 8-gram repeated in ONE doc must not
+      // count as duplicated (cross-doc means >= 2 distinct docs)
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanRemoval(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(got(0L) == ((10L, 1L, 8L, "xa xb")))
+    assert(got(1L) == ((10L, 1L, 8L, "ya yb")))
+    assert(got(2L) == ((9L, 0L, 0L,  "z1 z2 z3 z4 z5 z6 z7 z8 z9")))
+    assert(got(3L)._2 == 0L, "within-doc repeat must not mark spans")
+    assert(got(3L)._4.startsWith("w1 w2"))
+  }
+
+  test("repeatedSpanRemoval unions overlapping duplicated spans") {
+    // docs 0 and 1 share TWO overlapping 8-grams (the 9-token run
+    // s1..s9 duplicates both [s1..s8] and [s2..s9]); the union must
+    // remove 9 tokens, not 16
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    val corpus = Seq(
+      (0L, run + " xa"),
+      (1L, "yb " + run)
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanRemoval(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(0L) == ((2L, 9L, "xa")))
+    assert(got(1L) == ((2L, 9L, "yb")))
+  }
+
   test("prefix jaccard rejects τ outside (0, 1]") {
     intercept[IllegalArgumentException] {
       Dedup.prefixJaccardJoin(docs, "doc_id", "text", tauNum = 0, tauDen = 5)

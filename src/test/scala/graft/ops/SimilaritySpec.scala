@@ -83,4 +83,57 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(got == Set((3L, 100L)))
   }
+
+  test("marginKnn matches a naive per-pair reference computation") {
+    val queries = Seq((0L, vec(500)), (1L, vec(501)), (2L, vec(502)))
+      .toDF("q_id", "qv")
+    val cands = (10 until 30).map(i => (i.toLong, vec(i))).toDF("n_id", "nv")
+    val (kQ, kN) = (5, 2)
+    // naive reference: same micro-quantization, exact long top-k sums
+    // HALF_UP like Spark's round() — math.round floors negative halves
+    def micro(a: Array[Float], b: Array[Float]): Long =
+      BigDecimal(cos(a, b) * 1e6d)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qv = Map(0L -> vec(500), 1L -> vec(501), 2L -> vec(502))
+    val nv = (10 until 30).map(i => i.toLong -> vec(i)).toMap
+    val sims = for (q <- qv.keys; n <- nv.keys) yield (q, n, micro(nv(n), qv(q)))
+    val xs = qv.keys.map(q => q -> sims.filter(_._1 == q).toSeq
+      .sortBy(t => (-t._3, t._2)).take(kQ).map(_._3).sum).toMap
+    val ys = nv.keys.map(n => n -> sims.filter(_._2 == n).toSeq
+      .sortBy(t => (-t._3, t._1)).take(kN).map(_._3).sum).toMap
+    val expected = sims.map { case (q, n, sm) =>
+      (q, n) -> BigDecimal(sm.toDouble * 2.0d /
+          (xs(q).toDouble / kQ + ys(n).toDouble / kN))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = Similarity.marginKnn(queries, cands, kQ, kN)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Double]("margin")).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"pair $k") }
+  }
+
+  test("marginKnn demotes hub vectors relative to raw cosine") {
+    // three orthogonal queries; a hub at their centroid (moderate cosine
+    // to ALL queries) vs per-query partners (high cosine to ONE query).
+    // margin must rank each partner further above the hub than raw
+    // cosine does — the Artetxe & Schwenk hubness correction.
+    val e = (i: Int) => Array.tabulate(4)(j => if (j == i) 1f else 0f)
+    val queries = Seq((0L, e(0)), (1L, e(1)), (2L, e(2))).toDF("q_id", "qv")
+    val hub = Array(0.577f, 0.577f, 0.577f, 0f)
+    val partner = (i: Int) => Array.tabulate(4)(j =>
+      if (j == i) 0.95f else if (j == 3) 0f else 0.2f)
+    val cands = Seq((10L, partner(0)), (11L, partner(1)), (12L, partner(2)),
+      (99L, hub)).toDF("n_id", "nv")
+    val m = Similarity.marginKnn(queries, cands, kQ = 4, kN = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        (r.getAs[Double]("cos_sim"), r.getAs[Double]("margin"))).toMap
+    for ((q, p) <- Seq((0L, 10L), (1L, 11L), (2L, 12L))) {
+      val (cosP, marP) = m((q, p))
+      val (cosH, marH) = m((q, 99L))
+      assert(marP / marH > cosP / cosH,
+        s"q$q: margin must widen partner-vs-hub beyond raw cosine " +
+          s"(cos $cosP vs $cosH, margin $marP vs $marH)")
+    }
+  }
 }

@@ -295,4 +295,38 @@ class TextAnalysisSpec extends SparkSpecBase {
       .as[(String, Long, Long, Long, Double)].collect().toSet
     assert(x == y)
   }
+
+  test("importanceLogRatio scores target-like documents above off-target ones") {
+    // target subcorpus talks about models; raw background about sports.
+    // A fresh doc made of target-frequent tokens must outscore a fresh
+    // doc of background-frequent tokens — the DSIR selection signal.
+    val docs = Seq(
+      (0L, "model training data loss gradient model", true),
+      (1L, "model data tokens gradient descent", true),
+      (2L, "football match score goal referee", false),
+      (3L, "match goal season league score", false),
+      (4L, "model gradient data", false),   // target-like, in raw pool
+      (5L, "football score goal", false)    // background-like
+    ).toDF("doc_id", "text", "is_tgt")
+    val got = TextAnalysis.importanceLogRatio(docs, "doc_id", "text", $"is_tgt")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(4L)._1 == 3L && got(5L)._1 == 3L)
+    assert(got(4L)._2 > got(5L)._2,
+      s"target-like doc must outscore background-like: $got")
+    // and the target docs themselves score highest of all
+    assert(Seq(0L, 1L).map(got(_)._2).min > got(5L)._2)
+  }
+
+  test("importanceLogRatio is invariant to input partitioning") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 3} tok${i % 11} filler$i", i % 5 == 0))
+      .toDF("doc_id", "text", "is_tgt")
+    val a = TextAnalysis.importanceLogRatio(docs, "doc_id", "text", $"is_tgt")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = TextAnalysis.importanceLogRatio(docs.repartition(17), "doc_id",
+        "text", $"is_tgt")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
 }
