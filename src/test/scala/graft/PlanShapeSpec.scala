@@ -146,6 +146,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q117: DSIR selection is a bounded top-k, never a global sort") {
+    val p = plan("q117_dsir_selection")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q118: margin mining's rank filters prune as WindowGroupLimit heaps") {
+    val p = plan("q118_margin_mining")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k neighborhood sums must heap-prune before the exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-15 must be bounded:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q119: span removal joins grams on code — no cartesian, no nested loop") {
+    val p = plan("q119_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"dup-span candidates must come from equi-joins:\n$p")
+  }
+
   test("q60: correlated EXISTS decorrelates to a semi join, never a loop") {
     val p = plan("q60_exists_subquery")
     assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
