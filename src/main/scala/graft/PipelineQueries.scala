@@ -696,6 +696,19 @@ object PipelineQueries {
       .orderBy($"bucket")
   }
 
+  /** q120: temperature-scaled multilingual sampling
+    * (Sampling.alphaSample, α = 0.3, target 20%) — the mBERT/XLM-R
+    * exponential-smoothing rule that upsamples low-resource languages.
+    * The oracle replays the rate derivation (exp/ln chain, nano-quantized
+    * normalizer) and the md5 membership, so the hash match proves the
+    * exact sample, not just its size. */
+  def alphaSampling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.alphaSample(Tables.documents(s, dir), "doc_id", "lang")
+      .select($"doc_id", $"lang", $"rate")
+      .orderBy($"doc_id")
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -896,7 +909,8 @@ object PipelineQueries {
     "q103_containment"    -> (containment _),
     "q108_pagerank"       -> (pageRank _),
     "q117_dsir_selection" -> (dsirSelection _),
-    "q119_span_removal"   -> (spanRemoval _))
+    "q119_span_removal"   -> (spanRemoval _),
+    "q120_alpha_sampling" -> (alphaSampling _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1096,6 +1110,26 @@ object PipelineQueries {
          |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
          |  COALESCE(array_to_string(list_transform(kept, p -> w[p]), ' '), '') AS clean_text
          |FROM k ORDER BY doc_id""".stripMargin,
+    "q120_alpha_sampling" ->
+      s"""WITH s AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1),
+         |t AS (SELECT SUM(n_g) AS n FROM s),
+         |qr AS (
+         |  SELECT lang, n_g,
+         |    CAST(ROUND(exp(0.3 * ln(CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000) AS BIGINT) AS qm
+         |  FROM s, t),
+         |z AS (SELECT SUM(qm) AS z FROM qr),
+         |r AS (
+         |  SELECT lang,
+         |    LEAST(CAST(1.0 AS DOUBLE),
+         |      ROUND(0.2 * CAST(t.n AS DOUBLE) *
+         |        (CAST(qm AS DOUBLE) / CAST(z.z AS DOUBLE)) /
+         |        CAST(n_g AS DOUBLE), 6)) AS rate
+         |  FROM qr, z, t)
+         |SELECT d.doc_id, d.lang, r.rate
+         |FROM documents d JOIN r USING (lang)
+         |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |      < r.rate * 4294967296.0
+         |ORDER BY doc_id""".stripMargin,
     "q64_rag_topk" -> ragOracle,
     "q77_decontaminate" ->
       s"""WITH ${ngramCtes(8)},

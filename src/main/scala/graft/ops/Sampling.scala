@@ -50,6 +50,48 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < pct)
   }
 
+  /** Temperature-scaled (exponential-smoothing) group sampling — the
+    * multilingual rebalancing rule of mBERT / XLM-R: group g is sampled
+    * with probability ∝ p_g^α (α < 1 upsamples low-resource groups,
+    * α = 1 is proportional), scaled so the expected total sample is
+    * `targetFrac` of the corpus; per-group rates cap at 1. Membership is
+    * the same deterministic md5 device as [[hashSplit]] (no RNG), so the
+    * sample is reproducible and engine-replayable.
+    *
+    * Determinism: p_g^α is computed as exp(α·ln p_g) — the explicit
+    * primitive chain both engines evaluate identically (the q78 ln
+    * precedent) — then quantized to integer nano-units BEFORE the
+    * normalizing sum, so Σ q_g is an exact long sum; the final rate is
+    * one float expression from integers, rounded to 6 dp.
+    *
+    * Plan: one group-sized count aggregate, two 1-row broadcasts, a
+    * broadcast rate join, and a map-only hash filter — nothing shuffles
+    * more than group-cardinality rows at any corpus size. */
+  def alphaSample(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double = 0.3, targetFrac: Double = 0.2): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac must be in (0, 1]: $targetFrac")
+    val stats = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val tot = stats.agg(sum(col("n_g")).as("n"))
+    val qm = stats.crossJoin(broadcast(tot))
+      .withColumn("qm",
+        round(exp(lit(alpha) *
+          log(col("n_g").cast("double") / col("n").cast("double"))) * 1e9d)
+          .cast("long"))
+    val z = qm.agg(sum(col("qm")).as("z"))
+    val rates = qm.crossJoin(broadcast(z))
+      .withColumn("rate", least(lit(1.0d),
+        round(lit(targetFrac) * col("n").cast("double") *
+          (col("qm").cast("double") / col("z").cast("double")) /
+          col("n_g").cast("double"), 6)))
+      .select(col(groupCol), col("rate"))
+    val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), groupCol)
+      .filter(h32.cast("double") < col("rate") * 4294967296.0d)
+  }
+
   /** Contiguous sequence packing — docs concatenated into fixed
     * token-budget training sequences, per shard: within each shard
     * (ordered by id), a document's sequence is floor(tokens-before /

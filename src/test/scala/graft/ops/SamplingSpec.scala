@@ -183,4 +183,42 @@ class SamplingSpec extends SparkSpecBase {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
+
+  test("alphaSample upsamples low-resource groups; alpha=1 is proportional") {
+    val docs = ((0L until 800L).map(i => (i, "big")) ++
+      (800L until 900L).map(i => (i, "small"))).toDF("doc_id", "grp")
+    val rates = Sampling.alphaSample(docs, "doc_id", "grp", alpha = 0.3,
+        targetFrac = 0.2)
+      .select($"grp", $"rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("small") > rates("big"),
+      s"alpha<1 must upsample the small group: $rates")
+    // alpha=1 degenerates to plain proportional sampling: every group's
+    // rate equals targetFrac (p_g^1 / Z = p_g, so rate = f·N·p_g/n_g = f)
+    val prop = Sampling.alphaSample(docs, "doc_id", "grp", alpha = 1.0,
+        targetFrac = 0.25)
+      .select($"rate").distinct().as[Double].collect().toSet
+    assert(prop == Set(0.25), s"alpha=1 must give rate=targetFrac: $prop")
+  }
+
+  test("alphaSample membership is deterministic and partition-independent") {
+    val docs = (0L until 500L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
+    val a = Sampling.alphaSample(docs, "doc_id", "grp")
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.alphaSample(docs.repartition(17), "doc_id", "grp")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // expected size ≈ targetFrac·N; md5 uniformity keeps it in family
+    assert(a.size > 50 && a.size < 150, s"~100 expected, got ${a.size}")
+  }
+
+  test("alphaSample rejects out-of-range parameters") {
+    val docs = Seq((0L, "a")).toDF("doc_id", "grp")
+    intercept[IllegalArgumentException] {
+      Sampling.alphaSample(docs, "doc_id", "grp", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.alphaSample(docs, "doc_id", "grp", targetFrac = 1.5)
+    }
+  }
 }
