@@ -61,7 +61,8 @@ object Bench {
     "q112_decontaminate_bloom", "q113_heavy_hitters",
     "q114_contamination_source", "q115_token_drift",
     "q116_weighted_reservoir", "q117_dsir_selection",
-    "q118_margin_mining", "q119_span_removal", "q120_alpha_sampling")
+    "q118_margin_mining", "q119_span_removal", "q120_alpha_sampling",
+    "q121_ccnet_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -709,6 +709,45 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q121: CCNet-style curation pipeline END TO END (Wenzek et al.
+    * 2020) — the canonical web-corpus recipe as ONE composed plan:
+    * exact-dedup survivors (min doc id per normalized fingerprint) →
+    * marker-based language ID → corpus-LM perplexity proxy
+    * ([[graft.ops.TextAnalysis.unigramLogProb]] over the survivors) →
+    * per-predicted-language perplexity TERCILES (head/middle/tail, the
+    * CCNet quality split) via the q75 mergeable histogram sketch.
+    * Every stage is an already-oracle-proven operator; this entry
+    * proves they COMPOSE — one Catalyst plan, one oracle replay of the
+    * whole chain. High avg_logprob = low perplexity = head. */
+  def ccnetPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val keep = docs
+      .select(md5(Dedup.normText($"text")).as("_fp"), $"doc_id")
+      .groupBy($"_fp").agg(min($"doc_id").as("doc_id"))
+    val surv = docs.join(keep.select($"doc_id"), "doc_id")
+    val lang = TextAnalysis.langIdScores(surv, "text")
+      .select($"doc_id", $"predicted")
+    val lp = TextAnalysis.unigramLogProb(surv, "doc_id", "text")
+      .select($"doc_id", $"avg_logprob")
+    val scored = lang.join(lp, "doc_id")
+    val bounds = graft.ops.HistogramQuantile.quantiles(
+      scored, "predicted", "avg_logprob", Seq(1.0 / 3, 2.0 / 3))
+    val bb = bounds.groupBy($"predicted").agg(
+      min(when($"p" < 0.5, $"est")).as("b1"),
+      min(when($"p" > 0.5, $"est")).as("b2"))
+    scored.join(broadcast(bb), "predicted")
+      .withColumn("bucket",
+        when($"avg_logprob" > $"b2", "head")
+          .when($"avg_logprob" > $"b1", "middle")
+          .otherwise("tail"))
+      .groupBy($"predicted", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"avg_logprob").as("min_lp"),
+        max($"avg_logprob").as("max_lp"))
+      .orderBy($"predicted", $"bucket")
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -910,7 +949,8 @@ object PipelineQueries {
     "q108_pagerank"       -> (pageRank _),
     "q117_dsir_selection" -> (dsirSelection _),
     "q119_span_removal"   -> (spanRemoval _),
-    "q120_alpha_sampling" -> (alphaSampling _))
+    "q120_alpha_sampling" -> (alphaSampling _),
+    "q121_ccnet_pipeline" -> (ccnetPipeline _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1130,6 +1170,89 @@ object PipelineQueries {
          |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
          |      < r.rate * 4294967296.0
          |ORDER BY doc_id""".stripMargin,
+    "q121_ccnet_pipeline" ->
+      s"""WITH keep AS (
+         |  SELECT md5($norm) AS fp, MIN(doc_id) AS doc_id
+         |  FROM documents GROUP BY 1),
+         |surv AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+         |lng AS (
+         |  SELECT doc_id, CASE
+         |    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 AND c_zh = 0 THEN 'und'
+         |    WHEN c_zh > 0 THEN 'zh'
+         |    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         |    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+         |    WHEN c_fr >= c_es THEN 'fr'
+         |    ELSE 'es' END AS predicted
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(list_filter(string_split($norm, ' '), t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
+         |      len(list_filter(string_split($norm, ' '), t -> t IN ('der','die','das','und','ist','ein'))) AS c_de,
+         |      len(list_filter(string_split($norm, ' '), t -> t IN ('le','la','les','et','est','une'))) AS c_fr,
+         |      len(list_filter(string_split($norm, ' '), t -> t IN ('el','los','las','y','es','una'))) AS c_es,
+         |      length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS c_zh
+         |    FROM surv) s),
+         |t2 AS (
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM surv) u
+         |  WHERE length(token) > 0),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS total FROM t2),
+         |lp AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(SUM(micro) AS DOUBLE) /
+         |      (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
+         |  FROM (
+         |    SELECT t2.doc_id,
+         |      CAST(round(ln(CAST(c.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+         |        * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |    FROM t2 JOIN c USING (token), tot) m
+         |  GROUP BY doc_id),
+         |sc AS (
+         |  SELECT lng.doc_id, lng.predicted, lp.avg_logprob
+         |  FROM lng JOIN lp USING (doc_id)),
+         |ext AS (
+         |  SELECT predicted, MIN(avg_logprob) AS lo, MAX(avg_logprob) AS hi,
+         |    COUNT(avg_logprob) AS n
+         |  FROM sc GROUP BY 1),
+         |b AS (
+         |  SELECT predicted, lo, hi, n, bin, COUNT(*) AS c FROM (
+         |    SELECT sc.predicted, ext.lo, ext.hi, ext.n,
+         |      CASE WHEN ext.hi = ext.lo THEN 0
+         |           ELSE LEAST(CAST(floor((sc.avg_logprob - ext.lo)
+         |                  / (ext.hi - ext.lo) * 128) AS BIGINT), 127) END AS bin
+         |    FROM sc JOIN ext USING (predicted)) bb
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |cumt AS (
+         |  SELECT *, CAST(COALESCE(SUM(c) OVER (PARTITION BY predicted ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM b),
+         |qs AS (SELECT unnest([CAST(${1.0 / 3} AS DOUBLE), ${2.0 / 3}]) AS p),
+         |sel AS (
+         |  SELECT predicted, p, lo, hi, bin, c, cb,
+         |    CAST(ceil(p * n) AS BIGINT) AS needed
+         |  FROM cumt, qs
+         |  WHERE cb < CAST(ceil(p * n) AS BIGINT)
+         |    AND CAST(ceil(p * n) AS BIGINT) <= cb + c),
+         |bq AS (
+         |  SELECT predicted, p,
+         |    ROUND(CASE WHEN hi = lo THEN lo
+         |      ELSE lo + (hi - lo) / 128 * (bin + CAST(needed - cb AS DOUBLE) / c)
+         |      END, 6) AS est
+         |  FROM sel),
+         |bb2 AS (
+         |  SELECT predicted, MIN(CASE WHEN p < 0.5 THEN est END) AS b1,
+         |    MIN(CASE WHEN p > 0.5 THEN est END) AS b2
+         |  FROM bq GROUP BY 1),
+         |fin AS (
+         |  SELECT sc.predicted,
+         |    CASE WHEN sc.avg_logprob > bb2.b2 THEN 'head'
+         |         WHEN sc.avg_logprob > bb2.b1 THEN 'middle'
+         |         ELSE 'tail' END AS bucket,
+         |    sc.avg_logprob
+         |  FROM sc JOIN bb2 USING (predicted))
+         |SELECT predicted, bucket, COUNT(*) AS n_docs,
+         |  MIN(avg_logprob) AS min_lp, MAX(avg_logprob) AS max_lp
+         |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q64_rag_topk" -> ragOracle,
     "q77_decontaminate" ->
       s"""WITH ${ngramCtes(8)},

@@ -42,4 +42,28 @@ class CurationPipelineSpec extends SparkSpecBase {
         .as[(Long, String, Long, Long)].collect().toSet
     assert(run(2) == run(11))
   }
+
+  test("ccnet pipeline (q121): terciles balance within each language, tail is lowest") {
+    val out = PipelineQueries.ccnetPipeline(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("predicted"), r.getAs[String]("bucket")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("min_lp"), r.getAs[Double]("max_lp"))))
+      .toMap
+    assert(out.nonEmpty)
+    val langs = out.keySet.map(_._1)
+    for (l <- langs if Seq("head", "middle", "tail").forall(b => out.contains((l, b)))) {
+      val (nh, minH, _) = out((l, "head"))
+      val (nm, _, maxM) = out((l, "middle"))
+      val (nt, _, maxT) = out((l, "tail"))
+      val total = nh + nm + nt
+      // terciles: each bucket holds roughly a third (histogram-bound error)
+      for ((n, b) <- Seq((nh, "head"), (nm, "middle"), (nt, "tail")))
+        assert(n > total / 6 && n < total / 2 + 1, s"$l/$b unbalanced: $n of $total")
+      // ordering: every tail doc scores below every head doc
+      assert(maxT <= minH, s"$l: tail max $maxT must not exceed head min $minH")
+      assert(maxM <= minH, s"$l: middle max $maxM must not exceed head min $minH")
+    }
+    // determinism across partitionings (the whole composed plan)
+    val again = PipelineQueries.ccnetPipeline(spark, sfDir).collect().toSeq
+    assert(again == PipelineQueries.ccnetPipeline(spark, sfDir).collect().toSeq)
+  }
 }
