@@ -137,8 +137,13 @@ object Bench {
       case (n, Left(err)) =>
         s"""  ${jstr(n)}: {"error": ${jstr(err)}}"""
     }
+    // a FILTERED dev run must not clobber the full-suite audit record —
+    // it goes to a scratch file instead (this bit round 12: a one-query
+    // probe overwrote the 116-query record)
+    val timesFile =
+      if (args.nonEmpty) "BENCH_TIMES_dev.json" else "BENCH_TIMES.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_TIMES.json"),
+      java.nio.file.Paths.get(timesFile),
       (s"""{"sf": ${jstr(sfDir)}, "total_best_sec": $total, "queries": {""" + "\n" +
         fileLines.mkString(",\n") + "\n}}\n").getBytes("UTF-8"))
     // trailing keys repeat the headline numbers so they stay visible in
