@@ -334,6 +334,30 @@ object TextAnalysis {
     * before the aggregate), df/N/avgdl are corpus scalars or
     * vocabulary-slice rows (broadcast); the only corpus-sized shuffle is
     * the tf groupBy of matching (doc, token) rows. */
+  /** The micro-quantized per-(doc, term) BM25 contribution over columns
+    * (tf, df, dl, n_docs, total_len) — shared by the from-scratch path
+    * ([[bm25]]) and the persisted-index path
+    * ([[graft.ops.TextIndex.probeIndex]]) so both build the IDENTICAL
+    * expression tree and the index serving result is bit-equal to the
+    * recompute (the q122-vs-q82 oracle contract). */
+  private[graft] def bm25MicroExpr(k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0d) +
+      (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val term = idf * (col("tf") * lit(k1 + 1.0d)) /
+      (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / avgdl))
+    round(term * lit(1e6d)).cast("long")
+  }
+
+  /** Map-only document lengths: array size in the scan — equivalent to
+    * counting the exploded non-empty tokens, without that shuffle. */
+  private[graft] def docLengths(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        size(filter(tokens(col(textCol)), t => length(t) > 0))
+          .cast("long").as("dl"))
+      .filter(col("dl") > 0)
+
   def bm25(df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = df
@@ -341,26 +365,16 @@ object TextAnalysis {
       .filter(length(col("token")) > 0)
     val qTerms = queries.select(col("q_id"), col("token")).distinct()
     val qTokens = qTerms.select(col("token")).distinct()
-    // document length map-only (array size in the scan) — equivalent to
-    // counting the exploded non-empty tokens, without that shuffle
-    val dl = df.select(col(idCol),
-        size(filter(tokens(col(textCol)), t => length(t) > 0))
-          .cast("long").as("dl"))
-      .filter(col("dl") > 0)
+    val dl = docLengths(df, idCol, textCol)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val tf = toks.join(broadcast(qTokens), Seq("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0d) +
-      (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
-    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
-    val term = idf * (col("tf") * lit(k1 + 1.0d)) /
-      (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / avgdl))
     tf.join(broadcast(docFreq), Seq("token"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
-      .withColumn("_micro", round(term * lit(1e6d)).cast("long"))
+      .withColumn("_micro", bm25MicroExpr(k1, b))
       .join(broadcast(qTerms), Seq("token"))
       .groupBy(col("q_id"), col(idCol))
       .agg(sum(col("_micro")).as("sum_micro"))

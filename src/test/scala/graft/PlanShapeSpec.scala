@@ -168,6 +168,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"dup-span candidates must come from equi-joins:\n$p")
   }
 
+  test("q122: index-backed BM25 partition-prunes the postings scan to probe buckets") {
+    val p = plan("q122_bm25_index")
+    assert(p.contains("PartitionFilters") && p.contains("INSET"),
+      s"probe must prune to the probe terms' bucket directories:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q60: correlated EXISTS decorrelates to a semi join, never a loop") {
     val p = plan("q60_exists_subquery")
     assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")

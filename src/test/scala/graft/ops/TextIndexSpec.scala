@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark join shuffle makes the query fast"),
+    (1L, "a vector index scan beats a full scan"),
+    (2L, "the shuffle partition key drives the join"),
+    (3L, "window agg over a stream batch"),
+    (4L, "completely unrelated prose about gardening roses")
+  ).toDF("doc_id", "text")
+
+  private val queries = Seq(
+    (0L, "spark join shuffle"),
+    (1L, "vector index scan"))
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ti_spec").toFile
+    d.deleteOnExit(); d.toString
+  }
+
+  test("index-backed BM25 equals the from-scratch computation exactly") {
+    val path = tmp()
+    TextIndex.writeIndex(docs, "doc_id", "text", path, buckets = 8)
+    val served = TextIndex.probeIndex(spark, path, "doc_id", queries, buckets = 8)
+      .select($"q_id", $"doc_id", $"sum_micro", $"bm25")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val qdf = queries.toDF("q_id", "qtext")
+      .select($"q_id", explode(split(Dedup.normText($"qtext"), " ")).as("token"))
+    val scratch = TextAnalysis.bm25(docs, "doc_id", "text", qdf)
+      .select($"q_id", $"doc_id", $"sum_micro", $"bm25")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(served == scratch, s"served=$served\nscratch=$scratch")
+    assert(served.nonEmpty)
+  }
+
+  test("driver-side termBucket matches the Column twin for every corpus token") {
+    val toks = docs.select(explode(TextAnalysis.tokens($"text")).as("t"))
+      .filter(length($"t") > 0)
+      .withColumn("b", TextIndex.termBucketCol($"t", 8))
+      .as[(String, Long)].collect()
+    toks.foreach { case (t, b) =>
+      assert(TextIndex.termBucket(t, 8) == b, s"token '$t'")
+    }
+  }
+
+  test("probe scan reads only the probe terms' bucket partitions") {
+    val path = tmp()
+    TextIndex.writeIndex(docs, "doc_id", "text", path, buckets = 8)
+    val plan = TextIndex.probeIndex(spark, path, "doc_id",
+        Seq((0L, "spark")), buckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"bucket literals must reach the scan as partition filters:\n$plan")
+  }
+
+  test("probeIndex rejects queries with no tokens") {
+    intercept[IllegalArgumentException] {
+      TextIndex.probeIndex(spark, "/nonexistent", "doc_id", Seq((0L, "   ")))
+    }
+  }
+}
