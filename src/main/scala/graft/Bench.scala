@@ -62,7 +62,7 @@ object Bench {
     "q114_contamination_source", "q115_token_drift",
     "q116_weighted_reservoir", "q117_dsir_selection",
     "q118_margin_mining", "q119_span_removal", "q120_alpha_sampling",
-    "q121_ccnet_pipeline", "q122_bm25_index")
+    "q121_ccnet_pipeline", "q122_bm25_index", "q123_bm25_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

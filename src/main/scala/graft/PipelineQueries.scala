@@ -601,6 +601,42 @@ object PipelineQueries {
       d.toString
     })
 
+  private val bm25AppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once cache for the q123 INCREMENTALLY MAINTAINED text index:
+    * postings built from the "historic" slice (doc_id < 250) only, then
+    * the "new batch" (doc_id ≥ 250) APPENDED — postings/doclengths are
+    * additive, stats re-aggregate from docstats; the corpus is never
+    * re-tokenized. */
+  private def bm25AppendIndexFor(s: SparkSession, dir: String): String =
+    bm25AppendCache.computeIfAbsent(VectorQueries.corpusFingerprint(s, dir), _ => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_bm25_append").toFile
+      d.deleteOnExit()
+      val docs = Tables.documents(s, dir)
+      graft.ops.TextIndex.writeIndex(
+        docs.filter($"doc_id" < 250), "doc_id", "text", d.toString)
+      graft.ops.TextIndex.appendToIndex(
+        docs.filter($"doc_id" >= 250), "doc_id", "text", d.toString)
+      d.toString
+    })
+
+  /** q123: BM25 serving from the APPENDED index — build-then-append must
+    * be indistinguishable from a one-shot build over the whole corpus,
+    * so the oracle is (again) q82's from-scratch SQL. The maintenance
+    * twin of q111's IVF append, for the text index family. */
+  def bm25AppendTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sum_micro".desc, $"doc_id")
+    graft.ops.TextIndex.probeIndex(s, bm25AppendIndexFor(s, dir), "doc_id", ragQueryRows)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"doc_id", $"bm25", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** q122: BM25 top-5 served from the PREBUILT inverted index
     * (TextIndex.probeIndex) — the postings scan partition-prunes to the
     * probe terms' md5 buckets instead of re-tokenizing the corpus per
@@ -983,7 +1019,8 @@ object PipelineQueries {
     "q119_span_removal"   -> (spanRemoval _),
     "q120_alpha_sampling" -> (alphaSampling _),
     "q121_ccnet_pipeline" -> (ccnetPipeline _),
-    "q122_bm25_index"     -> (bm25IndexTopK _))
+    "q122_bm25_index"     -> (bm25IndexTopK _),
+    "q123_bm25_append"    -> (bm25AppendTopK _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1640,6 +1677,9 @@ object PipelineQueries {
     // identical from-scratch recompute — hash equality proves the
     // persisted postings/df/dl/stats reproduce the live computation
     "q122_bm25_index" -> bm25Oracle,
+    // append-maintained index: build(<250) + append(>=250) must serve
+    // identically to the one-shot full-corpus computation
+    "q123_bm25_append" -> bm25Oracle,
     "q65_incremental_dedup" ->
       s"""WITH $minhashBandCtes
          |SELECT batch_id, corpus_id, est AS est_jaccard FROM (

@@ -69,6 +69,42 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Append a new document batch to an existing index WITHOUT touching
+    * the already-indexed corpus — the operational ingest mode (the
+    * text-side twin of `Ivf.appendToIndex`): postings and doc lengths
+    * are purely additive ((term, id, tf) rows from the batch alone), and
+    * the 1-row corpus stats are re-aggregated from the appended
+    * docstats — a doc-count-sized scan, NOT a re-tokenize. Serving after
+    * append must equal a one-shot build over the union (TextIndexSpec +
+    * the q123 oracle prove it). Batch ids must be disjoint from the
+    * indexed ids — postings/doclengths for a re-ingested id would
+    * double-count (same contract as the IVF append). */
+  def appendToIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"need >= 1 buckets, got $buckets")
+    val toks = batch
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucketCol(col("token"), buckets))
+      .write.partitionBy("bucket").mode("append")
+      .parquet(s"$path/postings")
+    TextAnalysis.docLengths(batch, idCol, textCol)
+      .write.mode("append").parquet(s"$path/docstats")
+    val spark = batch.sparkSession
+    // stats re-derive from the (doc-count-sized) appended docstats; write
+    // to a fresh subdir then swap the reader path is unnecessary here —
+    // overwrite of a 1-row table is atomic enough for the single-writer
+    // maintenance contract this mirrors from Ivf.appendToIndex
+    val fresh = spark.read.parquet(s"$path/docstats")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .collect()(0)
+    import spark.implicits._
+    Seq((fresh.getLong(0), fresh.getLong(1))).toDF("n_docs", "total_len")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** BM25 scores for literal `queries` (q_id, query text) against a
     * prebuilt index: returns (q_id, id, sum_micro, bm25) — ranking/top-k
     * is the caller's (it differs per entry). The postings scan is pruned

@@ -58,6 +58,21 @@ class TextIndexSpec extends SparkSpecBase {
       s"bucket literals must reach the scan as partition filters:\n$plan")
   }
 
+  test("build + append serves identically to a one-shot full build") {
+    val split = tmp(); val full = tmp()
+    TextIndex.writeIndex(docs.filter($"doc_id" < 3), "doc_id", "text",
+      split, buckets = 8)
+    TextIndex.appendToIndex(docs.filter($"doc_id" >= 3), "doc_id", "text",
+      split, buckets = 8)
+    TextIndex.writeIndex(docs, "doc_id", "text", full, buckets = 8)
+    def serve(p: String) =
+      TextIndex.probeIndex(spark, p, "doc_id", queries, buckets = 8)
+        .select($"q_id", $"doc_id", $"sum_micro", $"bm25")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(serve(split) == serve(full))
+    assert(serve(split).nonEmpty)
+  }
+
   test("probeIndex rejects queries with no tokens") {
     intercept[IllegalArgumentException] {
       TextIndex.probeIndex(spark, "/nonexistent", "doc_id", Seq((0L, "   ")))
