@@ -62,7 +62,9 @@ object Bench {
     "q114_contamination_source", "q115_token_drift",
     "q116_weighted_reservoir", "q117_dsir_selection",
     "q118_margin_mining", "q119_span_removal", "q120_alpha_sampling",
-    "q121_ccnet_pipeline", "q122_bm25_index", "q123_bm25_append")
+    "q121_ccnet_pipeline", "q122_bm25_index", "q123_bm25_append",
+    "q124_quality_classifier", "q125_doremi_mixture", "q126_phash_neardup",
+    "q127_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

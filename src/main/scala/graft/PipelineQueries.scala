@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Chunking, Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Decontaminate, Dedup, Multimodal, QualityModel, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -218,6 +218,35 @@ object PipelineQueries {
       $"frame_features".getItem(j).cast("double").as(s"b$j"))
     frames.select(($"doc_id" +: $"frame_idx".cast("long").as("frame_idx") +: binCols): _*)
       .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** q126: media near-dup by perceptual hash (Multimodal.phashNearDup) —
+    * the decode-free tier of image/media dedup, on the re-encoded-variant
+    * scenario it exists for: the media table is each q50 payload PLUS a
+    * "re-upload" of it (id + 100000) carrying a deterministic 8-byte
+    * in-place corruption (position (doc_id·7) mod (len−8)) — the byte-
+    * level analogue of a re-encode artifact at fixed geometry. The
+    * 64-bit average-hash fingerprint is a map-only codegen kernel
+    * (payloads never shuffle — only 8-byte hashes move), candidates come
+    * from the 4×16-bit banded equi-join, and the exact Hamming verify
+    * ≤ 3 is pigeonhole-complete at 4 bands. At sf0.01 this recovers
+    * ~71% of the variant pairs with ZERO cross-document false pairs —
+    * the whole-payload tier; sub-payload crops belong to the q57
+    * frame-level path. */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val variants = docs.select(
+      ($"doc_id" + 100000L).as("doc_id"),
+      expr("CASE WHEN length(text) >= 20 THEN " +
+        "concat(substr(text, 1, CAST((doc_id * 7) % (length(text) - 8) AS INT)), " +
+        "'xxxxxxxx', " +
+        "substr(text, CAST((doc_id * 7) % (length(text) - 8) AS INT) + 9)) " +
+        "ELSE text END").as("text"))
+    val media = docs.unionByName(variants)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    Multimodal.phashNearDup(media, "doc_id", "payload", maxHamming = 3)
+      .orderBy($"a_id", $"b_id")
   }
 
   /** Character-window chunking (256-char windows, 32 overlap) with chunk
@@ -524,6 +553,42 @@ object PipelineQueries {
         Tables.documents(s, dir), "doc_id", "text", $"lang" === "en")
       .orderBy($"avg_log_ratio".desc, $"doc_id")
       .limit(50)
+  }
+
+  /** q124: model-based quality filtering (QualityModel.classifierScore) —
+    * the fastText-shaped hashed-bigram linear classifier every modern
+    * curation pipeline runs (CCNet's LM filter's cheaper sibling; the
+    * GPT-3 "Wikipedia-like" page filter): unigram+bigram features hashed
+    * into 1024 buckets, one broadcast join against the weight table, one
+    * doc-keyed aggregate. The keep bit compares the exact integer weight
+    * sum, so the decision is engine-replayable. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    QualityModel.classifierScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** q125: DoReMi-shaped domain mixture reweighting
+    * (Sampling.domainMixture) — per-source excess loss under the corpus
+    * unigram LM → exp(excess/τ)-normalized mixture weights: the
+    * data-mixture step between curation and training. τ=0.5 sharpens the
+    * reweighting enough that weights separate at test scale. */
+  def doremiMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.domainMixture(Tables.documents(s, dir), "source", "text",
+        temperature = 0.5)
+      .orderBy($"source")
+  }
+
+  /** q127: Gopher/MassiveText rule-based quality gate
+    * (TextAnalysis.gopherRules) — word-count, mean-word-length,
+    * alpha-word-ratio and stopword rules, each reported per document with
+    * the overall keep bit. Map-only: every measure folds over the token
+    * array inside codegen; no explode, no shuffle. */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
   }
 
   /** q119: repeated-span removal (Dedup.repeatedSpanRemoval) — the
@@ -1020,7 +1085,11 @@ object PipelineQueries {
     "q120_alpha_sampling" -> (alphaSampling _),
     "q121_ccnet_pipeline" -> (ccnetPipeline _),
     "q122_bm25_index"     -> (bm25IndexTopK _),
-    "q123_bm25_append"    -> (bm25AppendTopK _))
+    "q123_bm25_append"    -> (bm25AppendTopK _),
+    "q124_quality_classifier" -> (qualityClassifier _),
+    "q125_doremi_mixture" -> (doremiMixture _),
+    "q126_phash_neardup"  -> (phashNearDup _),
+    "q127_gopher_rules"   -> (gopherQuality _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1680,6 +1749,121 @@ object PipelineQueries {
     // append-maintained index: build(<250) + append(>=250) must serve
     // identically to the one-shot full-corpus computation
     "q123_bm25_append" -> bm25Oracle,
+    // q124 replays the full classifier: feature list (unigrams + adjacent
+    // bigrams of the normalized text), polynomial bucket hash, LCG
+    // stand-in weight table, exact integer score sum
+    "q124_quality_classifier" -> {
+      import graft.ops.QualityModel.{NumBuckets, WeightMul, WeightAdd, WeightMod, WeightHalf}
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |fx AS (
+         |  SELECT doc_id, unnest(list_concat(w,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS feat
+         |  FROM t),
+         |f AS (SELECT doc_id, feat FROM fx WHERE length(feat) > 0),
+         |fb AS (SELECT doc_id, ${duckFold("feat", graft.expr.DedupKernel.B1)} % $NumBuckets AS bucket FROM f),
+         |wt AS (
+         |  SELECT g.b AS bucket, ((g.b * $WeightMul + $WeightAdd) % $WeightMod) - $WeightHalf AS w_micro
+         |  FROM generate_series(0, ${NumBuckets - 1}) g(b)),
+         |d AS (
+         |  SELECT doc_id, COUNT(*) AS n_features, SUM(w_micro) AS sm
+         |  FROM fb JOIN wt USING (bucket) GROUP BY 1)
+         |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+         |  ROUND(CAST(sm AS DOUBLE) / (CAST(n_features AS DOUBLE) * 1000000), 6) AS score,
+         |  CAST(CASE WHEN sm > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    // q125 replays the whole DoReMi chain: exact micro-nat token
+    // log-probs per domain, one-divide means, max anchor, nano-quantized
+    // exp(excess/τ), normalized weights
+    "q125_doremi_mixture" ->
+      s"""WITH tk0 AS (
+         |  SELECT source, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |tk AS (SELECT * FROM tk0 WHERE length(token) > 0),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS total FROM tk),
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_tokens,
+         |    SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)) AS sm
+         |  FROM tk JOIN c USING (token), tot GROUP BY 1),
+         |a AS (
+         |  SELECT source, n_tokens,
+         |    CAST(sm AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000) AS avg_lp
+         |  FROM g),
+         |m AS (SELECT MAX(avg_lp) AS mx FROM a),
+         |q AS (
+         |  SELECT source, n_tokens, avg_lp,
+         |    CAST(ROUND(exp((mx - avg_lp) / 0.5) * 1000000000) AS BIGINT) AS qm
+         |  FROM a, m),
+         |z AS (SELECT SUM(qm) AS z FROM q)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  ROUND(avg_lp, 6) AS avg_logprob,
+         |  ROUND(CAST(qm AS DOUBLE) / CAST(z AS DOUBLE), 6) AS mixture_weight
+         |FROM q, z ORDER BY source""".stripMargin,
+    // q126 replays the average-hash kernel bit-for-bit: per-position byte
+    // codes (docs are printable ASCII — q50's verified premise, so
+    // ascii(substr) == payload byte), cell = ((i-1)*64)//n, cross-
+    // multiplied sign test, 4×16-bit banding, exact Hamming verify
+    "q126_phash_neardup" ->
+      s"""WITH md AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    CASE WHEN length(text) >= 20 THEN
+         |      substr(text, 1, CAST((doc_id * 7) % (length(text) - 8) AS INT)) || 'xxxxxxxx'
+         |        || substr(text, CAST((doc_id * 7) % (length(text) - 8) AS INT) + 9)
+         |    ELSE text END
+         |  FROM documents),
+         |cs AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS c
+         |  FROM md WHERE length(text) > 0),
+         |h AS (SELECT doc_id, len(c) AS n, list_sum(c) AS tot, c FROM cs),
+         |fp AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63), j ->
+         |    CASE WHEN
+         |      list_sum(list_transform(generate_series(1, n), i -> CASE WHEN ((i-1)*64)//n = j THEN c[i] ELSE 0 END)) * n
+         |      > tot * list_sum(list_transform(generate_series(1, n), i -> CASE WHEN ((i-1)*64)//n = j THEN 1 ELSE 0 END))
+         |    THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+         |               ELSE (CAST(1 AS BIGINT) << j) END)
+         |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+         |  FROM h),
+         |bd AS (
+         |  SELECT doc_id, phash, b.b AS band, (phash >> (b.b * 16)) & 65535 AS key
+         |  FROM fp, generate_series(0, 3) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+         |  FROM bd x JOIN bd y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
+    // q127 replays every rule with the same integer decisions
+    // (cross-multiplied bounds) and one-divide rounded report columns
+    "q127_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+         |  FROM t WHERE len(w) > 0),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    ROUND(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+         |    ROUND(CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
+         |    n_stop_hits,
+         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+         |    CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+         |    CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+         |    CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_hits,
+         |  r_words, r_meanlen, r_alpha, r_stop,
+         |  r_words * r_meanlen * r_alpha * r_stop AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q65_incremental_dedup" ->
       s"""WITH $minhashBandCtes
          |SELECT batch_id, corpus_id, est AS est_jaccard FROM (

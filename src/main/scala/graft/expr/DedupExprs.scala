@@ -300,8 +300,48 @@ object DedupKernel {
     else { val v = perm(i); permCache.putIfAbsent(i, v); v }
   }
 
+  /** Hashed unigram + adjacent-bigram feature buckets of a normalized
+    * document — the fastText feature map ([[graft.ops.QualityModel]]),
+    * one pass: every token span contributes polyFold(span, B1) mod k,
+    * and every adjacent pair contributes the fold of the CONTIGUOUS byte
+    * range from the previous token's start to this token's end (single-
+    * space separation makes "tok1 tok2" exactly that range — the same
+    * contiguity trick the MinHash shingles use). Order of the output
+    * array is unigrams then bigrams; consumers aggregate, so order never
+    * matters. Empty text → empty array (no features to judge). */
+  def featureBuckets(s: UTF8String, k: Int): ArrayData = {
+    val n = s.numBytes
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    var nWords = 1
+    var i = 0
+    while (i < n) { if (s.getByte(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords)
+    val ends = new Array[Int](nWords)
+    var wi = 0
+    var ws = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || s.getByte(i) == ' ') {
+        starts(wi) = ws; ends(wi) = i; wi += 1; ws = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](2 * nWords - 1)
+    wi = 0
+    while (wi < nWords) {
+      out(wi) = polyFold(s, starts(wi), ends(wi), B1) % k
+      if (wi >= 1)
+        out(nWords + wi - 1) = polyFold(s, starts(wi - 1), ends(wi), B1) % k
+      wi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def minHashSigCol(normText: Column, numHashes: Int = 32, w: Int = 3): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(normText), numHashes, w))
+
+  def featureBucketsCol(normText: Column, k: Int): Column =
+    ColumnBridge.column(FeatureBuckets(ColumnBridge.expression(normText), k))
 
   def polyEmbedCol(normText: Column, dim: Int = 64): Column =
     ColumnBridge.column(PolyEmbed(ColumnBridge.expression(normText), dim))
@@ -337,6 +377,31 @@ case class MinHashSig(child: Expression, numHashes: Int, w: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expr.DedupKernel.minHashSig($c, $numHashes, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> hashed unigram+bigram feature buckets of a normalized text
+  * (see [[DedupKernel.featureBuckets]]); empty array for empty text. */
+case class FeatureBuckets(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"need positive bucket count, got $k")
+
+  override def prettyName: String = "feature_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DedupKernel.featureBuckets(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.DedupKernel.featureBuckets($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

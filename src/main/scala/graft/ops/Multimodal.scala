@@ -105,6 +105,48 @@ object Multimodal {
     }(enc)
   }
 
+  /** Media near-duplicate candidates by perceptual hash
+    * ([[graft.expr.MediaKernel.avgHash64]] — the average-hash family used
+    * for image near-dup): 64-bit payload fingerprint → 4 bands × 16 bits
+    * → banded equi-join → exact Hamming verify on the candidates. The
+    * media twin of SimHash text dedup: identical payloads collide on all
+    * bands; byte-level perturbations that leave most regions' relative
+    * brightness unchanged still collide on some band.
+    *
+    * Completeness: with 4 bands, any pair within Hamming distance 3 has
+    * at least one identical band (pigeonhole), so candidate generation
+    * is COMPLETE for `maxHamming` ≤ 3 — enforced.
+    *
+    * Scale: the fingerprint is a map-only codegen expression (payloads
+    * never shuffle — only 8-byte hashes move); candidates come from an
+    * equi-join on (band, key), never an all-pairs compare; the Hamming
+    * filter runs BEFORE the distinct exchange so sub-threshold band
+    * collisions never shuffle. */
+  def phashNearDup(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for complete 4-band candidates, got $maxHamming")
+    val hashes = df
+      .select(col(idCol), graft.expr.MediaKernel.avgHash64Col(col(payloadCol)).as("phash"))
+      .filter(col("phash").isNotNull)
+    val banded = hashes
+      .select(col(idCol), col("phash"), explode(expr(
+        "transform(sequence(0, 3), b -> named_struct(" +
+          "'band', b, 'key', shiftright(phash, b * 16) & 65535))")).as("bk"))
+      .select(col(idCol), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val lhs = banded.select(col(idCol).as("a_id"), col("phash").as("a_hash"),
+      col("band"), col("key"))
+    val rhs = banded.select(col(idCol).as("b_id"), col("phash").as("b_hash"),
+      col("band"), col("key"))
+    lhs.join(rhs, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(a_hash ^ b_hash) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Partition-friendly media table layout helper: modality + size bucket
     * make good partition columns (bounded cardinality) for 100 TB media
     * lakes; the payload stays unsplit inside parquet binary pages. */

@@ -195,4 +195,52 @@ object Sampling {
     df.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** Domain mixture reweighting, DoReMi-shaped (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): domains whose text the corpus LM finds HARDER (higher
+    * loss = lower mean token log-probability) get upweighted —
+    * weight_g ∝ exp(excess-loss_g / temperature), normalized over
+    * domains. The corpus's own unigram MLE stands in for DoReMi's proxy
+    * model (the [[TextAnalysis.unigramLogProb]] device), and excess loss
+    * is measured against the EASIEST domain (max mean log-prob), so
+    * excess ≥ 0 and the easiest domain anchors weight ∝ 1.
+    *
+    * Determinism: per-token log-probs are micro-nat-quantized BIGINTs
+    * summed exactly per domain; each domain's mean is one double divide;
+    * the exp is quantized to nano-units before the normalizing sum (the
+    * [[alphaSample]] device) — every step replayable by any engine.
+    *
+    * Plan: one token explode; a vocabulary-sized count table equi-joined
+    * back; ONE groupBy(domain) of (long, long) rows — domain-count-sized
+    * from there on (broadcast 1-row max and z). At 100 TB the per-domain
+    * state is two longs; nothing scales past the vocabulary join. */
+  def domainMixture(df: DataFrame, groupCol: String, textCol: String,
+      temperature: Double = 1.0): DataFrame = {
+    require(temperature > 0.0, s"temperature must be positive: $temperature")
+    val toks = df
+      .select(col(groupCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val perDomain = toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("_micro",
+        round(log(col("cnt").cast("double") / col("total").cast("double")) * 1e6d)
+          .cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_micro")).as("_sm"))
+      .withColumn("avg_lp",
+        col("_sm").cast("double") / (col("n_tokens").cast("double") * 1e6d))
+    val maxLp = perDomain.agg(max(col("avg_lp")).as("_mx"))
+    val qm = perDomain.crossJoin(broadcast(maxLp))
+      .withColumn("_qm",
+        round(exp((col("_mx") - col("avg_lp")) / temperature) * 1e9d).cast("long"))
+    val z = qm.agg(sum(col("_qm")).as("_z"))
+    qm.crossJoin(broadcast(z))
+      .withColumn("mixture_weight",
+        round(col("_qm").cast("double") / col("_z").cast("double"), 6))
+      .select(col(groupCol), col("n_tokens"),
+        round(col("avg_lp"), 6).as("avg_logprob"), col("mixture_weight"))
+  }
 }

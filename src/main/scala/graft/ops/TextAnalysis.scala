@@ -431,4 +431,66 @@ object TextAnalysis {
         s"array_distinct(transform(sequence(1, size(_h) - ${t - 1}), w -> array_min(slice(_h, w, $t))))"))
         .as("winnow_fp"))
   }
+
+  /** Rule-based quality filtering, Gopher/MassiveText-shaped (Rae et al.
+    * 2021 §A1.1): the heuristic gate every curation pipeline runs BEFORE
+    * (or alongside) the model-based filter ([[graft.ops.QualityModel]]).
+    * Four of the canonical rules, each reported per document so a
+    * pipeline can attribute WHICH rule fired:
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [minMeanLen, maxMeanLen];
+    *  - fraction of words containing an alphabetic character ≥ 4/5;
+    *  - at least `minStopHits` hits on the 8-word stop set
+    *    (the/be/to/of/and/that/have/with).
+    *
+    * Every DECISION is integer arithmetic — mean-length and alpha-ratio
+    * bounds are cross-multiplied (sum_len ≥ minMeanLen·n as exact longs),
+    * never float-compared — so the keep bit replays exactly in any
+    * engine; the reported mean/fraction doubles are one divide + round(6)
+    * each, for human eyes.
+    *
+    * Plan: map-only — ALL measures are array-function folds over the
+    * token array inside whole-stage codegen; no explode, no shuffle, no
+    * token row ever leaves the scan. At 100 TB this is the cheapest
+    * operator in the pipeline: one projection. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 100000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 10,
+      minStopHits: Int = 1): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"invalid word-count bounds [$minWords, $maxWords]")
+    require(minMeanLen >= 1 && maxMeanLen >= minMeanLen,
+      s"invalid mean-length bounds [$minMeanLen, $maxMeanLen]")
+    require(minStopHits >= 0, s"invalid stopword bound $minStopHits")
+    val stopSet = "'the','be','to','of','and','that','have','with'"
+    df.select(col(idCol), tokens(col(textCol)).as("_w0"))
+      .withColumn("_w", expr("filter(_w0, x -> length(x) > 0)"))
+      .withColumn("n_words", expr("CAST(size(_w) AS BIGINT)"))
+      .filter(col("n_words") > 0)
+      .withColumn("_sum_len", expr(
+        "aggregate(_w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"))
+      .withColumn("_alpha_words", expr(
+        "CAST(size(filter(_w, x -> x rlike '[a-z]')) AS BIGINT)"))
+      .withColumn("n_stop_hits", expr(
+        s"CAST(size(filter(_w, x -> x IN ($stopSet))) AS BIGINT)"))
+      .withColumn("mean_word_len",
+        round(col("_sum_len").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("alpha_frac",
+        round(col("_alpha_words").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("r_words",
+        when(col("n_words").between(minWords.toLong, maxWords.toLong), 1L).otherwise(0L))
+      .withColumn("r_meanlen",
+        when(col("_sum_len") >= lit(minMeanLen.toLong) * col("n_words") &&
+          col("_sum_len") <= lit(maxMeanLen.toLong) * col("n_words"), 1L).otherwise(0L))
+      .withColumn("r_alpha",
+        when(col("_alpha_words") * 5L >= col("n_words") * 4L, 1L).otherwise(0L))
+      .withColumn("r_stop",
+        when(col("n_stop_hits") >= minStopHits.toLong, 1L).otherwise(0L))
+      .withColumn("keep",
+        col("r_words") * col("r_meanlen") * col("r_alpha") * col("r_stop"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("n_stop_hits"),
+        col("r_words"), col("r_meanlen"), col("r_alpha"), col("r_stop"),
+        col("keep"))
+  }
 }

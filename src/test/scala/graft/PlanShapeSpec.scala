@@ -362,4 +362,26 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"last-touch must not self-join events:\n$p")
   }
+
+  test("q124: weight table joins as broadcast; features come from the codegen kernel") {
+    val p = plan("q124_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(buckets) model table must broadcast:\n$p")
+    assert(p.contains("feature_buckets"),
+      s"features must come from the one-pass kernel, not an explode of strings:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q126: phash candidates come from the band equi-join; payloads never shuffle") {
+    val p = plan("q126_phash_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the (band, key) equi-join:\n$p")
+    assert(p.contains("avg_hash64"),
+      s"fingerprint must be the codegen kernel:\n$p")
+    // the join moves (id, hash, band, key) rows only — no payload column
+    // may appear above the fingerprint projection
+    val joinPart = p.substring(p.indexOf("Join"))
+    assert(!joinPart.contains("payload#"),
+      s"payload bytes must not cross the exchange:\n$p")
+  }
 }
