@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Chunking, Decontaminate, Dedup, Multimodal, QualityModel, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Curation, Decontaminate, Dedup, Multimodal, QualityModel, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1026,6 +1026,88 @@ object PipelineQueries {
       .orderBy($"pr_micro".desc, $"doc_id")
   }
 
+  /** q128: leakage-safe train/val/test split ([[Curation.clusterSplit]])
+    * — the split is assigned per near-dup CLUSTER (MinHash graph, q36's
+    * components), so no near-duplicate pair ever straddles splits. The
+    * output carries the proof: `leaked_pairs` counts candidate pairs
+    * whose endpoints landed in different splits — structurally zero,
+    * and the oracle recomputes it from scratch. */
+  def clusterSplitSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    // the candidate graph feeds BOTH the components step and the leakage
+    // join — materialize it once (same pattern as the checkpoint inside
+    // connectedComponents) instead of running MinHash banding twice
+    val pairs = Dedup.minHashCandidates(docs, "doc_id", "text",
+      threshold = 0.4).select($"a_id", $"b_id").localCheckpoint(true)
+    val split = Curation.clusterSplit(docs, "doc_id", pairs)
+      .select($"doc_id", $"component", $"n_chars", $"split")
+      .localCheckpoint(true)
+    val asg = split.select($"doc_id", $"split")
+    val leaked = pairs
+      .join(asg.toDF("a_id", "sa"), "a_id")
+      .join(asg.toDF("b_id", "sb"), "b_id")
+      .filter($"sa" =!= $"sb")
+      .agg(count(lit(1)).as("leaked_pairs"))
+    split.groupBy($"split")
+      .agg(countDistinct($"component").as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"))
+      .crossJoin(broadcast(leaked))
+      .orderBy($"split")
+  }
+
+  /** q129: per-domain cap ([[Curation.capPerGroup]], RefinedWeb-style):
+    * keep the 25 longest docs per source (ties by doc id). The rank
+    * filter compiles to WindowGroupLimit — partial per-partition top-k
+    * before the shuffle — so a skewed mega-domain never sorts all its
+    * rows in one task. Output joins kept-vs-total per source. */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val kept = Curation.capPerGroup(docs, "source", "n_chars", "doc_id", k = 25)
+    val tot = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+    val k = kept.groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"n_chars").as("kept_chars"),
+        min($"n_chars").as("cap_cutoff"))
+    tot.join(k, "source").orderBy($"source")
+  }
+
+  /** q130: k-anonymity audit ([[Curation.kAnonymityProfile]], k = 5)
+    * over quasi-identifiers (lang, 100-char length bucket), profiled per
+    * source: cells below k are what a suppression pass would redact
+    * before release. Two grouped aggregates, no window. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("len_bucket", floor($"n_chars" / 100).cast("long"))
+    Curation.kAnonymityProfile(docs, Seq("source"),
+        Seq("lang", "len_bucket"), k = 5)
+      .orderBy($"source")
+  }
+
+  /** q131: Zipf-law slope per language ([[TextAnalysis.zipfSlope]]) —
+    * the log-log frequency/rank fit that flags non-natural (templated,
+    * machine-generated) corpora. Post-explode state is vocabulary-sized;
+    * the one float step is 6-dp-quantized before exact decimal sums, so
+    * the oracle replays the regression bit-for-bit. */
+  def zipfSlopes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.zipfSlope(Tables.documents(s, dir), "lang", "text")
+      .orderBy($"lang")
+  }
+
+  /** q132: lexical-diversity profile per source
+    * ([[TextAnalysis.lexicalDiversity]]): type-token ratio + distinct-2
+    * — the repetitiveness signals that catch boilerplate sources. */
+  def lexicalDiversityBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "source", "text")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1089,7 +1171,12 @@ object PipelineQueries {
     "q124_quality_classifier" -> (qualityClassifier _),
     "q125_doremi_mixture" -> (doremiMixture _),
     "q126_phash_neardup"  -> (phashNearDup _),
-    "q127_gopher_rules"   -> (gopherQuality _))
+    "q127_gopher_rules"   -> (gopherQuality _),
+    "q128_cluster_split"  -> (clusterSplitSummary _),
+    "q129_source_cap"     -> (sourceCap _),
+    "q130_kanonymity"     -> (kAnonymity _),
+    "q131_zipf_slope"     -> (zipfSlopes _),
+    "q132_lexical_diversity" -> (lexicalDiversityBySource _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2378,5 +2465,106 @@ object PipelineQueries {
          |  CAST(b.n_exact_dups AS DOUBLE) / b.n_docs AS dup_rate,
          |  CAST(b.sum_chars AS DOUBLE) / b.n_docs AS avg_chars
          |FROM base b JOIN tl USING (source)
-         |ORDER BY b.source""".stripMargin)
+         |ORDER BY b.source""".stripMargin,
+
+    "q128_cluster_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (
+         |  SELECT a_id AS a, b_id AS b FROM cand
+         |  UNION SELECT b_id, a_id FROM cand
+         |  UNION SELECT a_id, a_id FROM cand
+         |  UNION SELECT b_id, b_id FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+         |asg AS (
+         |  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |sp AS (
+         |  SELECT doc_id, n_chars, component,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT asg.*,
+         |    CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+         |    FROM asg)),
+         |leaked AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS leaked_pairs
+         |  FROM cand j JOIN sp x ON j.a_id = x.doc_id JOIN sp y ON j.b_id = y.doc_id
+         |  WHERE x.split <> y.split)
+         |SELECT split, COUNT(DISTINCT component) AS n_clusters, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  (SELECT leaked_pairs FROM leaked) AS leaked_pairs
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "q129_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |tot AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY source),
+        |k AS (
+        |  SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+        |    MIN(n_chars) AS cap_cutoff
+        |  FROM r WHERE rn <= 25 GROUP BY source)
+        |SELECT t.source, t.n_docs, t.sum_chars, k.n_kept, k.kept_chars, k.cap_cutoff
+        |FROM tot t JOIN k USING (source) ORDER BY t.source""".stripMargin,
+
+    "q130_kanonymity" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+        |    COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT source, COUNT(*) AS n_cells,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+        |  CAST(MIN(n) AS BIGINT) AS anonymity
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q131_zipf_slope" ->
+      s"""WITH t AS (
+         |  SELECT lang, unnest(string_split($norm, ' ')) AS tk FROM documents),
+         |f AS (
+         |  SELECT lang, tk, COUNT(*) AS freq FROM t WHERE length(tk) > 0
+         |  GROUP BY lang, tk),
+         |r AS (
+         |  SELECT lang, freq,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, tk) AS rnk
+         |  FROM f),
+         |xy AS (
+         |  SELECT lang,
+         |    CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         |    CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         |  FROM r),
+         |s AS (
+         |  SELECT lang, COUNT(*) AS n_types, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+         |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+         |  FROM xy GROUP BY lang)
+         |SELECT lang, n_types,
+         |  ROUND((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |        (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+         |FROM s ORDER BY lang""".stripMargin,
+
+    "q132_lexical_diversity" ->
+      s"""WITH t AS (
+         |  SELECT source, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |uni AS (
+         |  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT g) AS n_types
+         |  FROM (SELECT source, unnest(w) AS g FROM t) GROUP BY source),
+         |bi AS (
+         |  SELECT source, COUNT(*) AS n_bigrams, COUNT(DISTINCT g) AS n_bigram_types
+         |  FROM (SELECT source,
+         |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS g
+         |    FROM t) GROUP BY source)
+         |SELECT u.source, u.n_tokens, u.n_types,
+         |  ROUND(CAST(u.n_types AS DOUBLE) / u.n_tokens, 6) AS ttr,
+         |  b.n_bigrams, b.n_bigram_types,
+         |  ROUND(CAST(b.n_bigram_types AS DOUBLE) / b.n_bigrams, 6) AS distinct2
+         |FROM uni u JOIN bi b USING (source) ORDER BY u.source""".stripMargin)
 }

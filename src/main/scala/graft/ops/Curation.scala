@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production training-data pipeline runs after
+  * dedup and before sampling: leakage-safe splitting, per-domain caps, and
+  * privacy audits. All decisions are pure functions of the input rows
+  * (md5 buckets, integer counts, lexicographic tie-breaks) — no rand(), no
+  * partition-order dependence — so every operator is oracle-replayable and
+  * its output is identical across cluster sizes and reruns.
+  *
+  * Scale notes (100 TB): [[clusterSplit]] adds one equi-join against the
+  * component labels (near-dup pairs are a tiny fraction of docs, so the
+  * label frame is small relative to the corpus and the join is
+  * broadcastable after the components step); [[capPerGroup]] is a single
+  * window whose rank-filter Spark rewrites to WindowGroupLimit — a
+  * partial per-partition top-k before the shuffle, so a skewed giant
+  * domain never funnels all its rows through one task's sort buffer;
+  * [[kAnonymityProfile]] is two grouped aggregates (cell, then group).
+  */
+object Curation {
+
+  /** Leakage-safe train/val/test split: every near-duplicate CLUSTER lands
+    * wholly in one split, so a model can never see a near-copy of a val
+    * doc in train (the cross-split contamination that inflates evals;
+    * cf. the dedup-then-split discipline of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better").
+    *
+    * `pairs` (a_id, b_id) is the near-dup graph (e.g. MinHash-LSH
+    * candidates). Docs in no pair are singleton clusters. The split is
+    * [[Sampling.hashBucket]] of the CLUSTER id (min doc id in the
+    * component) rather than the doc id — same md5 arithmetic as
+    * [[Sampling.hashSplit]], so an oracle replays membership exactly.
+    *
+    * Returns (idCol, component, split). Valentinus has no splitter; this
+    * extends its dedup surface (SURVEY.md §2.3) to the training-set
+    * boundary. */
+  def clusterSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages $trainPct/$valPct")
+    val comp = Components.connectedComponents(pairs)
+    val labeled = df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val b = Sampling.hashBucket(col("component"))
+    labeled.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Per-group cap (RefinedWeb/C4-style per-domain limit): keep at most
+    * `k` rows per `groupCol`, preferring high `prioCol` (ties broken by
+    * ascending `idCol` so the cut is total and deterministic). The rank
+    * filter compiles to WindowGroupLimit: each input partition keeps only
+    * its local top-k per group BEFORE the shuffle, so the exchange moves
+    * O(groups·k) rows, not the corpus. */
+  def capPerGroup(df: DataFrame, groupCol: String, prioCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(prioCol).desc, col(idCol))))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** k-anonymity audit over quasi-identifier columns: a release is
+    * k-anonymous iff every quasi-identifier combination ("cell") has at
+    * least k rows (Sweeney 2002). Returns one row per `groupCols` head
+    * group with the cell count, how many cells/rows fall below k (what a
+    * suppression pass would redact), and the anonymity floor (min cell
+    * size). Two grouped aggregates — no window, no driver state. */
+  def kAnonymityProfile(df: DataFrame, groupCols: Seq[String],
+      cellCols: Seq[String], k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    val cells = df.groupBy((groupCols ++ cellCols).map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    cells.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("_n") < k, 1L).otherwise(0L)).as("n_risky_cells"),
+        sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("n_risky_rows"),
+        min(col("_n")).as("anonymity"))
+  }
+}

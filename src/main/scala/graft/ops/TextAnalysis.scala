@@ -493,4 +493,78 @@ object TextAnalysis {
         col("r_words"), col("r_meanlen"), col("r_alpha"), col("r_stop"),
         col("keep"))
   }
+
+  /** Zipf-law fit per group: the log-log slope of token frequency vs
+    * frequency rank — the canonical one-number "does this corpus look
+    * like natural language" diagnostic (natural text ≈ −1; templated or
+    * machine-generated text departs). Least-squares slope
+    * (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) over x = ln(rank), y = ln(freq).
+    *
+    * Determinism: the only float step (ln) is 6-dp-rounded per VALUE and
+    * cast to DECIMAL before any aggregation, so the four sums are exact
+    * and order-independent; the final slope is one IEEE expression over
+    * exact components. Rank ties break lexicographically by token.
+    *
+    * Scale: the explode shuffles (group, token) for the frequency count —
+    * map-side partial — then everything downstream is VOCABULARY-sized
+    * (types per group), not corpus-sized; the rank window partitions by
+    * group over that bounded frame. */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy(col(groupCol), col("tk"))
+      .agg(count(lit(1)).as("freq"))
+    val xy = freq
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("freq").desc, col("tk"))))
+      .select(col(groupCol),
+        round(log(col("rnk").cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log(col("freq").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    xy.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum((col("x") * col("y")).cast("decimal(38,12)")).as("_sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("_sxx"))
+      .select(col(groupCol), col("n_types"),
+        round(
+          (col("n_types").cast("double") * col("_sxy").cast("double") -
+            col("_sx").cast("double") * col("_sy").cast("double")) /
+          (col("n_types").cast("double") * col("_sxx").cast("double") -
+            col("_sx").cast("double") * col("_sx").cast("double")), 6)
+          .as("zipf_slope"))
+  }
+
+  /** Lexical-diversity profile per group: type-token ratio and the
+    * distinct-bigram ratio ("distinct-2" of Li et al. 2016) — low values
+    * flag templated/repetitive sources a curation run downweights.
+    * Bigrams are built by zipping the token list with its own tail
+    * (array ops fused in codegen — the explode only carries (group,
+    * gram) pairs into a counting aggregate, map-side partial first). */
+  def lexicalDiversity(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(groupCol), tokens(col(textCol)).as("_w"))
+      .withColumn("_w", filter(col("_w"), x => length(x) > 0))
+    val uni = base.select(col(groupCol), explode(col("_w")).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("g")).as("n_types"))
+    val bi = base
+      .select(col(groupCol), explode(
+        zip_with(
+          slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0))),
+          slice(col("_w"), lit(2), greatest(size(col("_w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("g")).as("n_bigram_types"))
+    uni.join(bi, Seq(groupCol))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        col("n_bigrams"), col("n_bigram_types"),
+        round(col("n_bigram_types").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("distinct2"))
+  }
 }

@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft._
 import org.apache.spark.sql.functions._
 object ProbeQ124 {
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    // (id, group, prio) — ids 1..3 form one near-dup cluster, 4..5 another
+    (1L, "a", 100L), (2L, "a", 90L), (3L, "b", 80L),
+    (4L, "b", 70L), (5L, "a", 60L), (6L, "b", 50L),
+    (7L, "a", 40L), (8L, "b", 30L), (9L, "a", 20L), (10L, "b", 10L))
+    .toDF("doc_id", "source", "n_chars")
+
+  private def pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+
+  test("clusterSplit: every near-dup pair lands wholly in one split") {
+    val asg = Curation.clusterSplit(docs, "doc_id", pairs)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(asg.size == 10)
+    Seq((1L, 2L), (2L, 3L), (4L, 5L)).foreach { case (a, b) =>
+      assert(asg(a) == asg(b), s"pair ($a,$b) straddles splits")
+    }
+  }
+
+  test("clusterSplit: cluster members share the hash fate of the cluster min id") {
+    val out = Curation.clusterSplit(docs, "doc_id", pairs)
+      .select($"doc_id", $"component", $"split")
+      .as[(Long, Long, String)].collect()
+      .map { case (i, c, s) => i -> ((c, s)) }.toMap
+    // components label with the cluster min; singletons with themselves
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(4L)._1 == 4L && out(5L)._1 == 4L)
+    assert(out(6L)._1 == 6L)
+    // singleton docs split exactly like hashSplit on their own id
+    val solo = Sampling.hashSplit(docs.filter($"doc_id" >= 6L), "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    solo.foreach { case (id, s) => assert(out(id)._2 == s) }
+  }
+
+  test("clusterSplit: assignment is partition-layout independent") {
+    val a = Curation.clusterSplit(docs, "doc_id", pairs)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val b = Curation.clusterSplit(docs.repartition(7), "doc_id", pairs.repartition(3))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("capPerGroup keeps exactly top-k by priority with id tie-break") {
+    val withTies = Seq(
+      (1L, "a", 50L), (2L, "a", 50L), (3L, "a", 50L), (4L, "a", 99L),
+      (5L, "b", 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = Curation.capPerGroup(withTies, "source", "n_chars", "doc_id", 3)
+      .select($"doc_id").as[Long].collect().toSet
+    // group a: prio 99 first, then ties 50/50/50 broken by id asc → 4,1,2
+    assert(kept == Set(4L, 1L, 2L, 5L))
+  }
+
+  test("capPerGroup leaves groups under the cap untouched") {
+    val kept = Curation.capPerGroup(docs, "source", "n_chars", "doc_id", 25)
+    assert(kept.count() == docs.count())
+  }
+
+  test("kAnonymityProfile counts risky cells and rows below k") {
+    val rows = Seq(
+      ("a", "x", 1L), ("a", "x", 1L), ("a", "x", 1L), // cell of 3: safe at k=3
+      ("a", "y", 1L),                                 // cell of 1: risky
+      ("b", "x", 1L), ("b", "y", 1L))                 // two risky cells
+      .toDF("source", "lang", "b")
+    val got = Curation.kAnonymityProfile(rows, Seq("source"), Seq("lang", "b"), k = 3)
+      .select($"source", $"n_cells", $"n_risky_cells", $"n_risky_rows", $"anonymity")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (s, a, b2, c, d) => s -> ((a, b2, c, d)) }.toMap
+    assert(got("a") == ((2L, 1L, 1L, 1L)))
+    assert(got("b") == ((2L, 2L, 2L, 1L)))
+  }
+
+  test("kAnonymityProfile rejects degenerate k") {
+    intercept[IllegalArgumentException](
+      Curation.kAnonymityProfile(docs, Seq("source"), Seq("n_chars"), k = 1))
+    intercept[IllegalArgumentException](
+      Curation.capPerGroup(docs, "source", "n_chars", "doc_id", 0))
+  }
+}

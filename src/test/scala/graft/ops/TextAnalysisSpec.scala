@@ -329,4 +329,42 @@ class TextAnalysisSpec extends SparkSpecBase {
       .as[(Long, Long, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("zipfSlope: a perfect Zipf corpus fits slope ≈ -1, uniform fits ≈ 0") {
+    // freq(rank r) = 60/r for tokens w1..w6 → exact power law, slope -1
+    val zipf = (1 to 6).flatMap(r => Seq.fill(60 / r)(s"w$r")).mkString(" ")
+    // six tokens, equal frequency → flat, slope 0
+    val flat = (1 to 6).flatMap(r => Seq.fill(10)(s"u$r")).mkString(" ")
+    val df = Seq(("zipf", zipf), ("flat", flat)).toDF("lang", "text")
+    val got = TextAnalysis.zipfSlope(df, "lang", "text")
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got("zipf")._1 == 6L)
+    assert(math.abs(got("zipf")._2 + 1.0) < 0.05, s"expected ≈ -1: $got")
+    assert(math.abs(got("flat")._2) < 1e-6, s"expected ≈ 0: $got")
+  }
+
+  test("zipfSlope is invariant to input partitioning") {
+    val docs = (0L until 50L).map(i =>
+      ("l" + (i % 3), s"tok${i % 13} tok${i % 5} tok${i % 7} x$i"))
+      .toDF("lang", "text")
+    val a = TextAnalysis.zipfSlope(docs, "lang", "text").collect().toSet
+    val b = TextAnalysis.zipfSlope(docs.repartition(11), "lang", "text")
+      .collect().toSet
+    assert(a == b)
+  }
+
+  test("lexicalDiversity: hand-checked token and bigram counts") {
+    val df = Seq(
+      ("a", "x y x y"),   // tokens 4, types 2; bigrams: "x y","y x","x y" → 3, distinct 2
+      ("a", "z"),         // 1 token, no bigram
+      ("b", "p p p"))     // tokens 3, types 1; bigrams "p p" ×2 → distinct 1
+      .toDF("source", "text")
+    val got = TextAnalysis.lexicalDiversity(df, "source", "text")
+      .as[(String, Long, Long, Double, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got("a")._2 == 5L && got("a")._3 == 3L)      // x,y,z
+    assert(got("a")._5 == 3L && got("a")._6 == 2L)
+    assert(got("b") == (("b", 3L, 1L, 0.333333, 2L, 1L, 0.5)))
+  }
 }
