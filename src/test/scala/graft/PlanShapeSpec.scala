@@ -384,4 +384,41 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!joinPart.contains("payload#"),
       s"payload bytes must not cross the exchange:\n$p")
   }
+
+  test("q129: the per-domain cap rank-filter compiles to WindowGroupLimit") {
+    val p = plan("q129_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= k must push a partial top-k below the window sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q131: zipf regression aggregates are two-phase over decimal sums") {
+    val p = plan("q131_zipf_slope")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"decimal sums must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // text never reaches the regression: the explode projects (lang, tk)
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>") ||
+      p.contains("ReadSchema: struct<lang:string,text:string>"),
+      s"scan must prune to (lang, text):\n$p")
+  }
+
+  test("q132: diversity joins per-group aggregates, never row-level frames") {
+    val p = plan("q132_lexical_diversity")
+    assert(!p.contains("CartesianProduct"))
+    // both sides of the join are already group-sized aggregates
+    val joinPart = p.substring(p.indexOf("Join"))
+    assert(joinPart.contains("HashAggregate") || joinPart.contains("SortAggregate"),
+      s"join inputs must be aggregated frames:\n$p")
+  }
+
+  test("q128/q130: curation summaries stay equi-join + grouped agg") {
+    Seq("q128_cluster_split", "q130_kanonymity").foreach { q =>
+      val p = plan(q)
+      // q128's one CartesianProduct-shaped op is the sanctioned broadcast
+      // of the 1-row leaked_pairs count — a BroadcastNestedLoopJoin over
+      // a single row, not a data-sized cross product
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }
