@@ -65,7 +65,8 @@ object Bench {
     "q121_ccnet_pipeline", "q122_bm25_index", "q123_bm25_append",
     "q124_quality_classifier", "q125_doremi_mixture", "q126_phash_neardup",
     "q127_gopher_rules", "q128_cluster_split", "q129_source_cap",
-    "q130_kanonymity", "q131_zipf_slope", "q132_lexical_diversity")
+    "q130_kanonymity", "q131_zipf_slope", "q132_lexical_diversity",
+    "q133_vocab_overlap", "q134_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1108,6 +1108,28 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q133: pairwise vocabulary overlap between sources WITHOUT joining
+    * corpora ([[TextAnalysis.vocabOverlap]], KMV sketches, k = 64): the
+    * sketch-intersection answer to "which domains share a vocabulary" —
+    * at 100 TB the corpus is scanned once and the pairwise stage sees
+    * only groups² sketch rows. All-integer sketch arithmetic; the
+    * oracle replays hashes, ranks, merges, and both estimators. */
+  def vocabOverlapBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.vocabOverlap(Tables.documents(s, dir), "source", "text")
+      .orderBy($"group_a", $"group_b")
+  }
+
+  /** q134: top-20 PMI collocations ([[TextAnalysis.pmiCollocations]],
+    * Church & Hanks 1990) — word pairs co-occurring far above chance,
+    * the boilerplate-phrase signal. Vocab-sized count joins, one ln
+    * over an exact integer ratio, 6-dp-rounded before the
+    * TakeOrderedAndProject cut. */
+  def pmiTopCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1176,7 +1198,9 @@ object PipelineQueries {
     "q129_source_cap"     -> (sourceCap _),
     "q130_kanonymity"     -> (kAnonymity _),
     "q131_zipf_slope"     -> (zipfSlopes _),
-    "q132_lexical_diversity" -> (lexicalDiversityBySource _))
+    "q132_lexical_diversity" -> (lexicalDiversityBySource _),
+    "q133_vocab_overlap"  -> (vocabOverlapBySource _),
+    "q134_pmi_collocations" -> (pmiTopCollocations _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2566,5 +2590,71 @@ object PipelineQueries {
          |  ROUND(CAST(u.n_types AS DOUBLE) / u.n_tokens, 6) AS ttr,
          |  b.n_bigrams, b.n_bigram_types,
          |  ROUND(CAST(b.n_bigram_types AS DOUBLE) / b.n_bigrams, 6) AS distinct2
-         |FROM uni u JOIN bi b USING (source) ORDER BY u.source""".stripMargin)
+         |FROM uni u JOIN bi b USING (source) ORDER BY u.source""".stripMargin,
+
+    "q133_vocab_overlap" -> {
+      val P = graft.expr.DedupKernel.P
+      val (a, b) = graft.expr.DedupKernel.perm(0)
+      val kp = 63L * P
+      s"""WITH t AS (
+         |  SELECT source, unnest(string_split($norm, ' ')) AS tk FROM documents),
+         |c AS (
+         |  SELECT source, ${duckFold("tk", graft.expr.DedupKernel.B1)} AS code
+         |  FROM t WHERE length(tk) > 0),
+         |hh AS (SELECT DISTINCT source, ((code % $P) * $a + $b) % $P AS h FROM c),
+         |r AS (
+         |  SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM hh),
+         |sk AS (
+         |  SELECT source, list_sort(list(h)) AS hs
+         |  FROM r WHERE rn <= 64 GROUP BY source),
+         |e AS (
+         |  SELECT source, hs,
+         |    CAST(CASE WHEN len(hs) < 64 THEN len(hs) ELSE $kp // hs[64] END AS BIGINT) AS est
+         |  FROM sk),
+         |p AS (
+         |  SELECT x.source AS group_a, y.source AS group_b,
+         |    x.hs AS ha, y.hs AS hb, x.est AS est_a, y.est AS est_b
+         |  FROM e x JOIN e y ON x.source < y.source),
+         |m AS (SELECT p.*, list_sort(list_distinct(list_concat(ha, hb))) AS u FROM p),
+         |mm AS (
+         |  SELECT m.*, u[1:LEAST(len(u), 64)] AS uk,
+         |    CAST(CASE WHEN len(u) < 64 THEN len(u) ELSE $kp // u[64] END AS BIGINT) AS est_union
+         |  FROM m),
+         |q AS (
+         |  SELECT group_a, group_b, est_a, est_b, est_union,
+         |    len(list_filter(uk, hx -> list_contains(ha, hx) AND list_contains(hb, hx))) AS cnt,
+         |    len(uk) AS ku
+         |  FROM mm)
+         |SELECT group_a, group_b, est_a, est_b, est_union,
+         |  CAST(cnt * est_union // ku AS BIGINT) AS est_inter,
+         |  ROUND(CAST(cnt AS DOUBLE) / ku, 6) AS jacc_est
+         |FROM q ORDER BY group_a, group_b""".stripMargin
+    },
+
+    "q134_pmi_collocations" ->
+      s"""WITH t AS (
+         |  SELECT list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |uni AS (
+         |  SELECT g AS wu, COUNT(*) AS n_w
+         |  FROM (SELECT unnest(w) AS g FROM t) GROUP BY g),
+         |b0 AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> {'wa': w[i], 'wb': w[i + 1]})) AS pr
+         |  FROM t),
+         |bi AS (
+         |  SELECT pr.wa AS wa, pr.wb AS wb, COUNT(*) AS n_ab
+         |  FROM b0 GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |n1 AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n1 FROM uni),
+         |n2 AS (SELECT CAST(SUM(GREATEST(len(w) - 1, 0)) AS BIGINT) AS n2 FROM t),
+         |j AS (
+         |  SELECT b.wa, b.wb, CAST(b.n_ab AS BIGINT) AS n_ab,
+         |    ua.n_w AS n_a, ub.n_w AS n_b
+         |  FROM bi b JOIN uni ua ON b.wa = ua.wu JOIN uni ub ON b.wb = ub.wu)
+         |SELECT wa || ' ' || wb AS bigram, n_ab,
+         |  ROUND(ln((CAST(n_ab AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * n_a * n_b)), 6) AS pmi
+         |FROM j, n1, n2
+         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin)
 }

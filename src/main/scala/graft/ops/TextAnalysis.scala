@@ -567,4 +567,102 @@ object TextAnalysis {
         round(col("n_bigram_types").cast("double") / col("n_bigrams").cast("double"), 6)
           .as("distinct2"))
   }
+
+  /** Pairwise vocabulary overlap between groups WITHOUT joining corpora,
+    * via KMV (k-minimum-values) sketches: per group, the k smallest
+    * distinct affine hashes of the token codes (the [[graft.expr.KmvDistinct]]
+    * hash family, so the sketch is engine-replayable). Union cardinality
+    * from the merged sketch's k-th minimum; intersection by the classic
+    * ratio estimator ρ = |k-min(A∪B) present in both| / k, so
+    * |A∩B| ≈ ρ·|A∪B| — all integer arithmetic (one exact ratio at the
+    * end), deterministic on any partitioning.
+    *
+    * Scale: the corpus is touched once (explode → distinct → per-group
+    * top-k, a WindowGroupLimit-bounded frame of ≤ k rows per group);
+    * the pairwise stage is groups² SKETCH rows — at 100 TB you estimate
+    * every pairwise domain overlap without any corpus-×-corpus join.
+    * Returns one row per unordered group pair. */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val P = graft.expr.DedupKernel.P
+    val (a, b) = graft.expr.DedupKernel.perm(0)
+    val kp = (k - 1).toLong * P
+    val hashes = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .select(col(groupCol),
+        aggregate(sequence(lit(1), length(col("tk"))), lit(0L),
+          (acc, i) => (acc * graft.expr.DedupKernel.B1 +
+            ascii(col("tk").substr(i, lit(1))).cast("long")) % P).as("code"))
+      .select(col(groupCol), ((pmod(col("code"), lit(P)) * a + b) % P).as("h"))
+      .distinct()
+    val sk = hashes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .withColumn("est", when(size(col("hs")) < k,
+          size(col("hs")).cast("long"))
+        .otherwise(expr(s"$kp div element_at(hs, $k)")))
+    val x = sk.select(col(groupCol).as("ga"), col("hs").as("ha"), col("est").as("est_a"))
+    val y = sk.select(col(groupCol).as("gb"), col("hs").as("hb"), col("est").as("est_b"))
+    x.join(y, col("ga") < col("gb"))
+      .withColumn("u", array_sort(array_union(col("ha"), col("hb"))))
+      .withColumn("uk", slice(col("u"), lit(1), least(size(col("u")), lit(k))))
+      .withColumn("est_union", when(size(col("u")) < k,
+          size(col("u")).cast("long"))
+        .otherwise(expr(s"$kp div element_at(u, $k)")))
+      .withColumn("cnt", size(filter(col("uk"),
+        h => array_contains(col("ha"), h) && array_contains(col("hb"), h))))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        expr("CAST(cnt AS BIGINT) * est_union div size(uk)").as("est_inter"),
+        round(col("cnt").cast("double") / size(col("uk")).cast("double"), 6)
+          .as("jacc_est"))
+  }
+
+  /** Top-k collocations by pointwise mutual information:
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = n_ab/N₂,
+    * p(w) = n_w/N₁ — the classic "which word pairs co-occur far more
+    * than chance" statistic (Church & Hanks 1990), a curation signal for
+    * boilerplate phrases. Computed as ONE ln over an exact integer
+    * ratio (n_ab·N₁² vs N₂·n_a·n_b, both exact in double for corpora
+    * up to ~2⁵³ products — beyond that, subtract lns of exact ints),
+    * 6-dp-rounded BEFORE ranking so the cut is engine-stable.
+    *
+    * Scale: unigram and bigram count frames are vocabulary-sized after
+    * map-side combine; the two count joins are vocab×vocab equi-joins;
+    * the final top-k is TakeOrderedAndProject. minCount prunes the
+    * bigram tail before the joins. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      topK: Int = 20, minCount: Int = 5): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("_w"))
+      .withColumn("_w", filter(col("_w"), x => length(x) > 0))
+    val uni = toks.select(explode(col("_w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bi = toks.select(explode(
+        zip_with(
+          slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0))),
+          slice(col("_w"), lit(2), greatest(size(col("_w")) - 1, lit(0))),
+          (p, q) => struct(p.as("wa"), q.as("wb")))).as("g"))
+      .select(col("g.wa"), col("g.wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val n1 = uni.agg(sum(col("n_w")).as("n1"))
+    val n2 = toks.select((greatest(size(col("_w")) - 1, lit(0))).as("nb"))
+      .agg(sum(col("nb")).as("n2"))
+    bi.join(uni.select(col("w").as("wa"), col("n_w").as("n_a")), "wa")
+      .join(uni.select(col("w").as("wb"), col("n_w").as("n_b")), "wb")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(concat(col("wa"), lit(" "), col("wb")).as("bigram"), col("n_ab"),
+        round(log(
+          (col("n_ab").cast("double") * col("n1").cast("double") * col("n1").cast("double")) /
+          (col("n2").cast("double") * col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
 }

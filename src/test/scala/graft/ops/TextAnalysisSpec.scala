@@ -354,6 +354,48 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("vocabOverlap: identical vocabularies estimate full overlap, disjoint estimate none") {
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"oth$i").mkString(" ")
+    val df = Seq(("a", shared), ("b", shared), ("c", other))
+      .toDF("source", "text")
+    val got = TextAnalysis.vocabOverlap(df, "source", "text", k = 64)
+      .select($"group_a", $"group_b", $"est_a", $"est_union", $"est_inter", $"jacc_est")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    // a and b share every token: union == each, jaccard 1, inter == union
+    val ab = got(("a", "b"))
+    assert(ab._6 == 1.0 && ab._4 == ab._3 && ab._5 == ab._4)
+    // a and c are disjoint: zero intersection estimate
+    val ac = got(("a", "c"))
+    assert(ac._6 == 0.0 && ac._5 == 0L)
+    // 40 distinct tokens < k = 64 ⇒ the sketch IS the vocab: exact count
+    // (modulo hash collisions, vanishingly rare at 40/2³¹)
+    assert(ab._3 == 40L)
+  }
+
+  test("vocabOverlap estimates survive repartitioning bit-for-bit") {
+    val df = (0L until 60L).map(i =>
+      ("s" + (i % 4), s"w${i % 17} w${i % 23} w${i % 9} z$i"))
+      .toDF("source", "text")
+    val a = TextAnalysis.vocabOverlap(df, "source", "text").collect().toSet
+    val b = TextAnalysis.vocabOverlap(df.repartition(13), "source", "text")
+      .collect().toSet
+    assert(a == b)
+  }
+
+  test("pmiCollocations: a glued pair outscores independent fillers") {
+    // "alpha beta" always co-occur; fillers are shuffled independently
+    val docs = (0 until 30).map { i =>
+      val fill = (0 until 6).map(j => s"f${(i * 7 + j * 3) % 5}").mkString(" ")
+      (s"alpha beta $fill")
+    }.toDF("text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", topK = 5, minCount = 5)
+      .as[(String, Long, Double)].collect()
+    assert(got.head._1 == "alpha beta", s"glued pair must rank first: ${got.toSeq}")
+    assert(got.head._3 > got.last._3)
+  }
+
   test("lexicalDiversity: hand-checked token and bigram counts") {
     val df = Seq(
       ("a", "x y x y"),   // tokens 4, types 2; bigrams: "x y","y x","x y" → 3, distinct 2
