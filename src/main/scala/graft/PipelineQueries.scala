@@ -1130,6 +1130,25 @@ object PipelineQueries {
     TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text")
   }
 
+  /** q135: corpus snapshot diff ([[Curation.corpusDiff]]) — a synthetic
+    * "v2 release" (deterministic drops, edits, and additions derived
+    * from doc ids) diffed against the corpus: added / removed / changed
+    * / same counts, the release audit that scopes incremental
+    * reprocessing. One full-outer equi-join of fingerprint frames. */
+  def corpusDiffSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val v2 = docs.filter(pmod($"doc_id", lit(11)) =!= 3)
+      .withColumn("text", when(pmod($"doc_id", lit(13)) === 5,
+        concat($"text", lit(" v2"))).otherwise($"text"))
+      .unionByName(docs.filter(pmod($"doc_id", lit(17)) === 2)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("new "), $"text").as("text")))
+    Curation.corpusDiff(docs, v2, "doc_id", "text")
+      .groupBy($"change").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"change")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1200,7 +1219,8 @@ object PipelineQueries {
     "q131_zipf_slope"     -> (zipfSlopes _),
     "q132_lexical_diversity" -> (lexicalDiversityBySource _),
     "q133_vocab_overlap"  -> (vocabOverlapBySource _),
-    "q134_pmi_collocations" -> (pmiTopCollocations _))
+    "q134_pmi_collocations" -> (pmiTopCollocations _),
+    "q135_corpus_diff"    -> (corpusDiffSummary _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2656,5 +2676,25 @@ object PipelineQueries {
          |SELECT wa || ' ' || wb AS bigram, n_ab,
          |  ROUND(ln((CAST(n_ab AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * n_a * n_b)), 6) AS pmi
          |FROM j, n1, n2
-         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin)
+         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+
+    "q135_corpus_diff" ->
+      s"""WITH oldv AS (SELECT doc_id, md5($norm) AS fp FROM documents),
+         |v2raw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'new ' || text
+         |  FROM documents WHERE doc_id % 17 = 2),
+         |newv AS (SELECT doc_id, md5($norm) AS fp FROM v2raw),
+         |j AS (
+         |  SELECT o.fp AS fo, n.fp AS fn
+         |  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+         |SELECT CASE WHEN fo IS NULL THEN 'added'
+         |            WHEN fn IS NULL THEN 'removed'
+         |            WHEN fo <> fn THEN 'changed'
+         |            ELSE 'same' END AS change,
+         |  COUNT(*) AS n_docs
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -67,6 +67,27 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Snapshot diff between two corpus releases: classifies every doc id
+    * as `added` (new only), `removed` (old only), `changed` (both, text
+    * fingerprint differs) or `same` — the release-over-release audit a
+    * dataset card ships with (and the input to incremental reprocessing:
+    * only `added`+`changed` need re-embedding/re-dedup). One full outer
+    * equi-join on the id; texts never move, only md5 fingerprints. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame) =
+      df.select(col(idCol), Dedup.fingerprint(col(textCol)).as("_fp"))
+    val o = fp(oldDf).withColumnRenamed("_fp", "_fp_old")
+    val n = fp(newDf).withColumnRenamed("_fp", "_fp_new")
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") =!= col("_fp_new"), "changed")
+          .otherwise("same"))
+      .select(col(idCol), col("change"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns: a release is
     * k-anonymous iff every quasi-identifier combination ("cell") has at
     * least k rows (Sweeney 2002). Returns one row per `groupCols` head

@@ -77,6 +77,18 @@ class CurationSpec extends SparkSpecBase {
     assert(got("b") == ((2L, 2L, 2L, 1L)))
   }
 
+  test("corpusDiff classifies added/removed/changed/same exactly") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "a"), (2L, "B2"), (4L, "  d "), (5L, "e"))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, nw, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // 4's text differs only by whitespace → same fingerprint (normText)
+    assert(got == Map(1L -> "same", 2L -> "changed", 3L -> "removed",
+      4L -> "same", 5L -> "added"))
+  }
+
   test("kAnonymityProfile rejects degenerate k") {
     intercept[IllegalArgumentException](
       Curation.kAnonymityProfile(docs, Seq("source"), Seq("n_chars"), k = 1))
