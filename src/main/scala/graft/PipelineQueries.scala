@@ -1149,6 +1149,20 @@ object PipelineQueries {
       .orderBy($"change")
   }
 
+  /** q136: k-center greedy coreset ([[Similarity.kCenterGreedy]], k = 8)
+    * — the diversity selector over the embedding corpus: each round one
+    * map-only scan + a 1-row TakeOrderedAndProject; the driver holds k
+    * vectors, never data. The oracle replays all 8 greedy rounds in a
+    * recursive CTE (rounded-distance argmax, id tie-break) plus the
+    * coverage-radius sequence. */
+  def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.kCenterGreedy(
+        Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+        "vec_id", "embedding", k = 8)
+      .orderBy($"sel_order")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1220,7 +1234,8 @@ object PipelineQueries {
     "q132_lexical_diversity" -> (lexicalDiversityBySource _),
     "q133_vocab_overlap"  -> (vocabOverlapBySource _),
     "q134_pmi_collocations" -> (pmiTopCollocations _),
-    "q135_corpus_diff"    -> (corpusDiffSummary _))
+    "q135_corpus_diff"    -> (corpusDiffSummary _),
+    "q136_kcenter_coreset" -> (kcenterCoreset _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2696,5 +2711,36 @@ object PipelineQueries {
          |            WHEN fo <> fn THEN 'changed'
          |            ELSE 'same' END AS change,
          |  COUNT(*) AS n_docs
-         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q136_kcenter_coreset" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |sel(it, ids) AS (
+        |  SELECT 1, [(SELECT MIN(vec_id) FROM e)]
+        |  UNION ALL
+        |  SELECT it + 1, list_append(ids, (
+        |    SELECT vec_id FROM (
+        |      SELECT x.vec_id AS vec_id,
+        |        ROUND(MIN(SQRT(list_sum(list_transform(generate_series(1, 64),
+        |          i -> (CAST(x.v[i] AS DOUBLE) - CAST(y.v[i] AS DOUBLE))
+        |             * (CAST(x.v[i] AS DOUBLE) - CAST(y.v[i] AS DOUBLE)))))), 6) AS d6
+        |      FROM e x, e y
+        |      WHERE list_contains(s.ids, y.vec_id) AND NOT list_contains(s.ids, x.vec_id)
+        |      GROUP BY x.vec_id)
+        |    ORDER BY d6 DESC, vec_id LIMIT 1))
+        |  FROM sel s WHERE it < 8),
+        |fin AS (SELECT ids FROM sel WHERE it = 8),
+        |ord AS (
+        |  SELECT CAST(g.o AS BIGINT) AS sel_order, CAST(ids[g.o] AS BIGINT) AS vec_id, ids
+        |  FROM fin, generate_series(1, 8) g(o))
+        |SELECT o.sel_order, o.vec_id,
+        |  CASE WHEN o.sel_order = 1 THEN 0.0 ELSE (
+        |    SELECT ROUND(MIN(SQRT(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (CAST(ex.v[i] AS DOUBLE) - CAST(ey.v[i] AS DOUBLE))
+        |         * (CAST(ex.v[i] AS DOUBLE) - CAST(ey.v[i] AS DOUBLE)))))), 6)
+        |    FROM e ex, e ey
+        |    WHERE ex.vec_id = o.vec_id AND list_contains(o.ids[1:o.sel_order - 1], ey.vec_id)
+        |  ) END AS radius
+        |FROM ord o ORDER BY o.sel_order""".stripMargin)
 }

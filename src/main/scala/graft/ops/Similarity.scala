@@ -196,4 +196,46 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos_sim"))
       .distinct()
   }
+
+  /** k-center greedy coreset selection (Gonzalez 1985; the diversity
+    * selector of active-learning/core-set curation, Sener & Savarese
+    * 2018): seed with the smallest id, then k−1 times add the point
+    * FARTHEST from the selected set (max over candidates of min L2 to
+    * the selection). Returns (sel_order, id, radius) — radius is the
+    * selection-time min-distance, the 2-approximation coverage radius
+    * sequence (non-increasing).
+    *
+    * Determinism: distances are the codegen [[VectorExprs.l2]] kernel,
+    * 6-dp-rounded BEFORE the argmax (the engine-stable comparison the
+    * vector queries use throughout), ties by ascending id.
+    *
+    * Scale: each of the k rounds is ONE map-only scan (selected vectors
+    * are literal/broadcast-sized) into a TakeOrderedAndProject of a
+    * single row — the driver holds k (id, vector) pairs, never data.
+    * k full scans is the textbook distributed k-center; for large k,
+    * switch the inner metric to distances-to-cells (IVF) — same loop. */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seed = df.orderBy(col(idCol)).select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])].head()
+    var sel = Vector(seed)
+    val out = scala.collection.mutable.ArrayBuffer((seed._1, 0.0))
+    while (sel.size < k) {
+      val minD = sel.map(s => VectorExprs.l2(col(vecCol), typedLit(s._2)))
+        .reduce((a, b) => least(a, b))
+      val cand = df.filter(!col(idCol).isin(sel.map(_._1): _*))
+        .select(col(idCol), round(minD, 6).as("d6"), col(vecCol))
+        .orderBy(col("d6").desc, col(idCol))
+        .limit(1)
+        .as[(Long, Double, Array[Float])].head()
+      sel = sel :+ ((cand._1, cand._3))
+      out += ((cand._1, cand._2))
+    }
+    out.toSeq.zipWithIndex
+      .map { case ((id, r), i) => (i + 1L, id, r) }
+      .toDF("sel_order", idCol, "radius")
+  }
 }

@@ -136,4 +136,31 @@ class SimilaritySpec extends SparkSpecBase {
           s"(cos $cosP vs $cosH, margin $marP vs $marH)")
     }
   }
+
+  test("kCenterGreedy picks the farthest point each round, hand-checked") {
+    // 1-D geometry in a 16-dim carrier: positions 0, 1, 10, 11, 100
+    def at(x: Float) = { val v = new Array[Float](16); v(0) = x; v }
+    val df = Seq(
+      (0L, at(0f)), (1L, at(1f)), (2L, at(10f)), (3L, at(11f)), (4L, at(100f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(df, "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    // seed = id 0 at 0; farthest = 100 (id 4); then 11 (id 3: min dist to
+    // {0,100} is 11 vs 10 for id 2); then ids 1 and 2 BOTH sit at min
+    // dist 1 (1→0, 10→11) — the ascending-id tie-break picks id 1
+    assert(got.map(_._2) == Seq(0L, 4L, 3L, 1L), s"order wrong: $got")
+    assert(got.map(_._3) == Seq(0.0, 100.0, 11.0, 1.0), s"radii wrong: $got")
+  }
+
+  test("kCenterGreedy radii are non-increasing after the seed and partition-independent") {
+    val df = (0L until 50L).map(i => (i, vec(i.toInt, 16))).toDF("vec_id", "embedding")
+    val a = Similarity.kCenterGreedy(df, "vec_id", "embedding", k = 6)
+      .as[(Long, Long, Double)].collect().toSeq
+    val radii = a.drop(1).map(_._3)
+    assert(radii == radii.sortBy(-_), s"coverage radius must not increase: $a")
+    assert(a.map(_._2).distinct.size == 6)
+    val b = Similarity.kCenterGreedy(df.repartition(7), "vec_id", "embedding", k = 6)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
 }
