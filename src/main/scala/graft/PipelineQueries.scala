@@ -1163,6 +1163,23 @@ object PipelineQueries {
       .orderBy($"sel_order")
   }
 
+  /** q137: MMR result diversification ([[Similarity.mmrRerank]],
+    * λ = 0.7) — the top-20 cosine hits for the q22 query re-ranked so
+    * near-duplicate results stop crowding the page; 8 survive. The
+    * candidate set is retrieval-depth-sized (driver-bounded by config,
+    * the ExactRank contract); the oracle replays every greedy pick. */
+  def mmrDiversified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cands = Tables.embeddings(s, dir).filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(VectorQueries.queryVec(s, dir)))
+      .select($"vec_id", $"embedding",
+        round(graft.expr.VectorExprs.cosine($"embedding", $"qv"), 6).as("rel"))
+      .orderBy($"rel".desc, $"vec_id")
+      .limit(20)
+    Similarity.mmrRerank(cands, "vec_id", "embedding", "rel", k = 8)
+      .orderBy($"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1235,7 +1252,8 @@ object PipelineQueries {
     "q133_vocab_overlap"  -> (vocabOverlapBySource _),
     "q134_pmi_collocations" -> (pmiTopCollocations _),
     "q135_corpus_diff"    -> (corpusDiffSummary _),
-    "q136_kcenter_coreset" -> (kcenterCoreset _))
+    "q136_kcenter_coreset" -> (kcenterCoreset _),
+    "q137_mmr_rerank"     -> (mmrDiversified _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2742,5 +2760,45 @@ object PipelineQueries {
         |    FROM e ex, e ey
         |    WHERE ex.vec_id = o.vec_id AND list_contains(o.ids[1:o.sel_order - 1], ey.vec_id)
         |  ) END AS radius
-        |FROM ord o ORDER BY o.sel_order""".stripMargin)
+        |FROM ord o ORDER BY o.sel_order""".stripMargin,
+
+    "q137_mmr_rerank" -> {
+      // 6-dp-rounded cosine of two list columns — the q22 formula as an
+      // inline expression (list_sum is sequential like the codegen kernel)
+      def sim(a: String, b: String): String = {
+        def ls(x: String, y: String) =
+          s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""ROUND(CASE WHEN ${ls(a, a)} = 0 OR ${ls(b, b)} = 0 THEN 0
+           |  ELSE ${ls(a, b)} / (SQRT(${ls(a, a)}) * SQRT(${ls(b, b)})) END, 6)""".stripMargin
+      }
+      s"""WITH RECURSIVE
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, e.embedding AS v, ${sim("e.embedding", "q.qv")} AS rel
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT 20),
+         |sel(it, ids) AS (
+         |  SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)]
+         |  UNION ALL
+         |  SELECT it + 1, list_append(ids, (
+         |    SELECT vec_id FROM (
+         |      SELECT x.vec_id, ROUND(0.7 * MIN(x.rel) - 0.3 * MAX(${sim("x.v", "y.v")}), 6) AS mmr
+         |      FROM cand x, cand y
+         |      WHERE list_contains(s.ids, y.vec_id) AND NOT list_contains(s.ids, x.vec_id)
+         |      GROUP BY x.vec_id)
+         |    ORDER BY mmr DESC, vec_id LIMIT 1))
+         |  FROM sel s WHERE it < 8),
+         |fin AS (SELECT ids FROM sel WHERE it = 8),
+         |ord AS (
+         |  SELECT CAST(g.o AS BIGINT) AS rnk, CAST(ids[g.o] AS BIGINT) AS vec_id, ids
+         |  FROM fin, generate_series(1, 8) g(o)),
+         |res AS (
+         |  SELECT o.rnk, o.vec_id, c.rel,
+         |    CASE WHEN o.rnk = 1 THEN ROUND(0.7 * c.rel, 6)
+         |    ELSE (SELECT ROUND(0.7 * MIN(cx.rel) - 0.3 * MAX(${sim("cx.v", "cy.v")}), 6)
+         |          FROM cand cx, cand cy
+         |          WHERE cx.vec_id = o.vec_id AND list_contains(o.ids[1:o.rnk - 1], cy.vec_id)) END AS mmr
+         |  FROM ord o JOIN cand c ON c.vec_id = o.vec_id)
+         |SELECT rnk, vec_id, rel, mmr FROM res ORDER BY rnk""".stripMargin
+    })
 }

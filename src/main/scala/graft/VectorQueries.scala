@@ -20,7 +20,7 @@ import org.apache.spark.sql.expressions.Window
 object VectorQueries {
 
   /** Query vector: the embedding of vec_id = 0, as a broadcastable 1-row DF. */
-  private def queryVec(s: SparkSession, dir: String) = {
+  private[graft] def queryVec(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.embeddings(s, dir).filter($"vec_id" === 0).select($"embedding".as("qv"))
   }

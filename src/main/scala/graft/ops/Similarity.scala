@@ -214,6 +214,62 @@ object Similarity {
     * single row — the driver holds k (id, vector) pairs, never data.
     * k full scans is the textbook distributed k-center; for large k,
     * switch the inner metric to distances-to-cells (IVF) — same loop. */
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * from a retrieved candidate set, greedily keep k results maximizing
+    * λ·relevance − μ·max-cosine-to-already-selected — the serving-side
+    * diversifier that stops near-duplicate hits crowding a result page.
+    *
+    * The candidate frame is RETRIEVAL-DEPTH-sized by construction (the
+    * top-N of a ranker), so collecting it to the driver is bounded by a
+    * config constant, never by data — the same driver-assembly contract
+    * as [[graft.ops.ExactRank]]. All comparisons use 6-dp-rounded
+    * cosines and scores (ties by ascending id), so the greedy trajectory
+    * replays identically in any engine.
+    *
+    * `candidates`: (idCol, vecCol, relCol) with relCol the 6-dp-rounded
+    * relevance. Returns (rank, idCol, relCol, mmr). */
+  def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dp += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cands = candidates.select(col(idCol), col(vecCol), col(relCol))
+      .as[(Long, Array[Float], Double)].collect()
+    require(cands.nonEmpty, "empty candidate set")
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.SortedSet(cands.indices: _*)(
+      Ordering.by(i => cands(i)._1))
+    while (selected.size < math.min(k, cands.length)) {
+      var bestI = -1; var bestScore = Double.NegativeInfinity
+      remaining.foreach { ci =>
+        val c = cands(ci)
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(si => r6(cos(c._2, cands(si)._2))).max
+        val score = r6(lambda * c._3 - mu * maxSim)
+        // strict > keeps the smallest id on ties (remaining is id-sorted)
+        if (score > bestScore) { bestScore = score; bestI = ci }
+      }
+      selected += bestI; remaining -= bestI
+      out += ((cands(bestI)._1, cands(bestI)._3, bestScore))
+    }
+    out.toSeq.zipWithIndex
+      .map { case ((id, rel, mmr), i) => (i + 1L, id, rel, mmr) }
+      .toDF("rnk", idCol, relCol, "mmr")
+  }
+
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")

@@ -137,6 +137,36 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("mmrRerank demotes a near-duplicate of the top hit below a diverse one") {
+    def at(xs: Float*) = xs.toArray.padTo(16, 0f)
+    // 11 is a near-copy of top hit 10 (cosine ≈ 1, rel barely lower);
+    // 13 is diverse with clearly lower rel — raw ranking puts 11 second,
+    // MMR (λ=0.7) must put 13 second
+    val cands = Seq(
+      (10L, at(1f, 0.1f), 0.99),
+      (11L, at(1f, 0.12f), 0.98),
+      (13L, at(0.2f, 0.9f), 0.80))
+      .toDF("vec_id", "embedding", "rel")
+    val got = Similarity.mmrRerank(cands, "vec_id", "embedding", "rel", k = 3)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(10L, 13L, 11L), s"MMR order wrong: $got")
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    // first pick's score is λ·rel; scores are non-increasing here
+    assert(got.head._4 == 0.693)
+    assert(got.map(_._4) == got.map(_._4).sortBy(-(_: Double)))
+  }
+
+  test("mmrRerank caps at the candidate count and is deterministic") {
+    val df = (0L until 12L).map(i => (i, vec(i.toInt, 16), (100 - i).toDouble / 100))
+      .toDF("vec_id", "embedding", "rel")
+    val a = Similarity.mmrRerank(df, "vec_id", "embedding", "rel", k = 20)
+      .collect().toSeq
+    assert(a.size == 12)
+    val b = Similarity.mmrRerank(df.repartition(5), "vec_id", "embedding", "rel", k = 20)
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("kCenterGreedy picks the farthest point each round, hand-checked") {
     // 1-D geometry in a 16-dim carrier: positions 0, 1, 10, 11, 100
     def at(x: Float) = { val v = new Array[Float](16); v(0) = x; v }
