@@ -1180,6 +1180,18 @@ object PipelineQueries {
       .orderBy($"rnk")
   }
 
+  /** q138: distributed BPE merge training ([[TextAnalysis.bpeMerges]],
+    * 5 rounds) — the tokenizer-training loop in its word-table
+    * formulation: corpus scanned once for word counts, every merge
+    * round vocabulary-sized, one 1-row argmax collect per round. The
+    * oracle unrolls all 5 rounds (pair counts, argmax, left-to-right
+    * replace) and matches exactly. */
+  def bpeTopMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bpeMerges(Tables.documents(s, dir), "text", iters = 5)
+      .orderBy($"iter")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1253,7 +1265,8 @@ object PipelineQueries {
     "q134_pmi_collocations" -> (pmiTopCollocations _),
     "q135_corpus_diff"    -> (corpusDiffSummary _),
     "q136_kcenter_coreset" -> (kcenterCoreset _),
-    "q137_mmr_rerank"     -> (mmrDiversified _))
+    "q137_mmr_rerank"     -> (mmrDiversified _),
+    "q138_bpe_merges"     -> (bpeTopMerges _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2800,5 +2813,35 @@ object PipelineQueries {
          |          WHERE cx.vec_id = o.vec_id AND list_contains(o.ids[1:o.rnk - 1], cy.vec_id)) END AS mmr
          |  FROM ord o JOIN cand c ON c.vec_id = o.vec_id)
          |SELECT rnk, vec_id, rel, mmr FROM res ORDER BY rnk""".stripMargin
+    },
+
+    "q138_bpe_merges" -> {
+      // 5 unrolled merge rounds: pair counts over the symbol table,
+      // argmax (cnt desc, pair asc), left-to-right non-overlapping
+      // replace — the exact TextAnalysis.bpeMerges trajectory
+      val iterCtes = (1 to 5).map { i =>
+        s"""p$i AS (
+           |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+           |      j -> a[j] || ' ' || a[j + 1])) AS pr, freq
+           |    FROM (SELECT string_split(sym, ' ') AS a, freq FROM w${i - 1}))
+           |  GROUP BY pr),
+           |b$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
+           |w$i AS (
+           |  SELECT replace(sym, (SELECT pr FROM b$i),
+           |    replace((SELECT pr FROM b$i), ' ', '')) AS sym, freq
+           |  FROM w${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to 5).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS iter, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM b$i"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, CAST(freq AS BIGINT) AS freq FROM (
+         |    SELECT tk AS w, COUNT(*) AS freq FROM (
+         |      SELECT unnest(string_split($norm, ' ')) AS tk FROM documents)
+         |    WHERE length(tk) > 0 GROUP BY tk)),
+         |$iterCtes
+         |$finals
+         |ORDER BY iter""".stripMargin
     })
 }

@@ -624,6 +624,53 @@ object TextAnalysis {
           .as("jacc_est"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016), the
+    * word-table formulation production tokenizer trainers use: the
+    * corpus is touched ONCE (word-frequency count, map-side combined);
+    * every merge round then runs on the VOCABULARY-sized symbol table —
+    * adjacent-pair counts weighted by word frequency, argmax pair
+    * (count desc, pair asc), merge applied as a left-to-right
+    * non-overlapping string replace (the exact BPE application rule,
+    * identical in any engine's `replace`). Words are held as
+    * space-separated symbol strings; symbols never contain spaces, so
+    * the encoding is unambiguous.
+    *
+    * Returns one row per merge: (iter, pair, merged, cnt). The driver
+    * collects ONE row per round — bounded by `iters`, never data. */
+  def bpeMerges(df: DataFrame, textCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("freq"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (it <- 1 to iters) {
+      val a = split(col("sym"), " ")
+      val best = words
+        .select(explode(zip_with(
+            slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+            slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+            (x, y) => concat(x, lit(" "), y))).as("pr"), col("freq"))
+        .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr"))
+        .limit(1)
+        .as[(String, Long)].collect()
+      if (best.nonEmpty) {
+        val (pair, cnt) = best.head
+        val merged = pair.replace(" ", "")
+        out += ((it.toLong, pair, merged, cnt))
+        words = words
+          .select(call_function("replace",
+            col("sym"), lit(pair), lit(merged)).as("sym"), col("freq"))
+          .localCheckpoint(true)
+      }
+    }
+    out.toSeq.toDF("iter", "pair", "merged", "cnt")
+  }
+
   /** Top-k collocations by pointwise mutual information:
     * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = n_ab/N₂,
     * p(w) = n_w/N₁ — the classic "which word pairs co-occur far more

@@ -396,6 +396,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got.head._3 > got.last._3)
   }
 
+  test("bpeMerges: hand-checked merge trajectory on a tiny corpus") {
+    // corpus: "abab abab cd" ×3 → words: abab (freq 6), cd (freq 3)
+    // round 1 pairs: (a b)=12, (b a)=6, (c d)=3 → merge "a b"→ab
+    // round 2: words "ab ab"(6), "c d"(3) → pairs (ab ab)=6 → merge
+    // round 3: only "c d"(3) remains pairable → merge
+    val df = Seq.fill(3)("abab abab cd").toDF("text")
+    val got = TextAnalysis.bpeMerges(df, "text", iters = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b", "ab", 12L),
+      (2L, "ab ab", "abab", 6L),
+      (3L, "c d", "cd", 3L)), s"trajectory wrong: $got")
+  }
+
+  test("bpeMerges is partition-independent and stops when no pairs remain") {
+    val df = Seq.fill(4)("xy xy z").toDF("text")
+    // after merging "x y", nothing 2-symbol remains except nothing: z is
+    // 1 char, xy merged → no pair → loop yields just 1 row even for iters=4
+    val got = TextAnalysis.bpeMerges(df, "text", iters = 4)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "x y", "xy", 8L)), s"$got")
+    val big = (0 until 40).map(i => s"tok${i % 7} data${i % 3}").toDF("text")
+    val a = TextAnalysis.bpeMerges(big, "text", iters = 3).collect().toSeq
+    val b = TextAnalysis.bpeMerges(big.repartition(9), "text", iters = 3).collect().toSeq
+    assert(a == b)
+  }
+
   test("lexicalDiversity: hand-checked token and bigram counts") {
     val df = Seq(
       ("a", "x y x y"),   // tokens 4, types 2; bigrams: "x y","y x","x y" → 3, distinct 2
