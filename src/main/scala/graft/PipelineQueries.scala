@@ -1192,6 +1192,17 @@ object PipelineQueries {
       .orderBy($"iter")
   }
 
+  /** q139: BPE encoding + fertility audit ([[TextAnalysis.bpeFertility]])
+    * — the trained q138 merges applied back to the word table, reported
+    * as per-language subwords-per-word (fertility) and chars-per-subword:
+    * the train∘encode loop of a production tokenizer, end to end, still
+    * vocabulary-sized after the one corpus scan. */
+  def bpeFertilityByLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bpeFertility(Tables.documents(s, dir), "lang", "text", iters = 5)
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1266,7 +1277,8 @@ object PipelineQueries {
     "q135_corpus_diff"    -> (corpusDiffSummary _),
     "q136_kcenter_coreset" -> (kcenterCoreset _),
     "q137_mmr_rerank"     -> (mmrDiversified _),
-    "q138_bpe_merges"     -> (bpeTopMerges _))
+    "q138_bpe_merges"     -> (bpeTopMerges _),
+    "q139_bpe_fertility"  -> (bpeFertilityByLang _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2843,5 +2855,37 @@ object PipelineQueries {
          |$iterCtes
          |$finals
          |ORDER BY iter""".stripMargin
+    },
+
+    "q139_bpe_fertility" -> {
+      // q138's 5 training rounds with the word identity carried through,
+      // then the encoded symbol counts joined back per (lang, word)
+      val iterCtes = (1 to 5).map { i =>
+        s"""p$i AS (
+           |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+           |      j -> a[j] || ' ' || a[j + 1])) AS pr, freq
+           |    FROM (SELECT string_split(sym, ' ') AS a, freq FROM w${i - 1}))
+           |  GROUP BY pr),
+           |b$i AS (SELECT pr FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
+           |w$i AS (
+           |  SELECT w, replace(sym, (SELECT pr FROM b$i),
+           |    replace((SELECT pr FROM b$i), ' ', '')) AS sym, freq
+           |  FROM w${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wl AS (
+         |  SELECT lang, tk AS w, COUNT(*) AS freq FROM (
+         |    SELECT lang, unnest(string_split($norm, ' ')) AS tk FROM documents)
+         |  WHERE length(tk) > 0 GROUP BY 1, 2),
+         |g0 AS (SELECT w, CAST(SUM(freq) AS BIGINT) AS freq FROM wl GROUP BY w),
+         |w0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, freq FROM g0),
+         |$iterCtes,
+         |enc AS (SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_syms FROM w5)
+         |SELECT wl.lang, CAST(SUM(wl.freq) AS BIGINT) AS n_words,
+         |  CAST(SUM(wl.freq * e.n_syms) AS BIGINT) AS n_subwords,
+         |  ROUND(CAST(SUM(wl.freq * e.n_syms) AS DOUBLE) / CAST(SUM(wl.freq) AS DOUBLE), 6) AS fertility,
+         |  ROUND(CAST(SUM(wl.freq * length(wl.w)) AS DOUBLE) / CAST(SUM(wl.freq * e.n_syms) AS DOUBLE), 6) AS chars_per_subword
+         |FROM wl JOIN enc e USING (w)
+         |GROUP BY wl.lang ORDER BY wl.lang""".stripMargin
     })
 }

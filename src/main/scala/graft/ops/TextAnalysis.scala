@@ -671,6 +671,45 @@ object TextAnalysis {
     out.toSeq.toDF("iter", "pair", "merged", "cnt")
   }
 
+  /** BPE ENCODING with a trained merge list ([[bpeMerges]]'s output):
+    * applies the merges in training order to every distinct word (the
+    * vocab-sized table again, never the corpus) and reports per-group
+    * tokenizer-quality stats — fertility (subwords per word, the
+    * metric multilingual tokenizer papers optimize) and chars per
+    * subword. Merge application is the same left-to-right `replace`
+    * fold as training, so encode ∘ train replays exactly. */
+  def bpeFertility(df: DataFrame, groupCol: String, textCol: String,
+      iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val merges = bpeMerges(df, textCol, iters)
+      .orderBy(col("iter"))
+      .select(col("pair"), col("merged"))
+      .as[(String, String)].collect()
+    val byGroup = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("freq"))
+    val sym0 = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val symN = merges.foldLeft(sym0) { case (c, (p, m)) =>
+      call_function("replace", c, lit(p), lit(m))
+    }
+    byGroup
+      .select(col(groupCol), col("freq"),
+        size(split(symN, " ")).cast("long").as("n_syms"),
+        length(col("w")).cast("long").as("n_chars"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_syms")).as("n_subwords"),
+        sum(col("freq") * col("n_chars")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+          .as("chars_per_subword"))
+  }
+
   /** Top-k collocations by pointwise mutual information:
     * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = n_ab/N₂,
     * p(w) = n_w/N₁ — the classic "which word pairs co-occur far more

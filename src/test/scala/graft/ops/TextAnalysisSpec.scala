@@ -423,6 +423,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("bpeFertility: merges shrink subword counts, hand-checked") {
+    // corpus "abab cd" ×4: merges (a b)→ab (8), then (ab ab)→abab (4),
+    // then (c d)→cd (4... tie with nothing else) — after 3 merges both
+    // words are single symbols → fertility 1.0
+    val df = Seq.fill(4)(("g1", "abab cd")).toDF("lang", "text")
+    val got = TextAnalysis.bpeFertility(df, "lang", "text", iters = 3)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("g1", 8L, 8L, 1.0, 3.0)), s"$got")
+    // with zero merges applied... 1 iter merges only "a b":
+    val one = TextAnalysis.bpeFertility(df, "lang", "text", iters = 1)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // abab → "ab ab" (2 syms), cd → "c d" (2 syms): 8 words, 16 subwords
+    assert(one == Seq(("g1", 8L, 16L, 2.0, 1.5)), s"$one")
+  }
+
   test("lexicalDiversity: hand-checked token and bigram counts") {
     val df = Seq(
       ("a", "x y x y"),   // tokens 4, types 2; bigrams: "x y","y x","x y" → 3, distinct 2
