@@ -1203,6 +1203,18 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** q140: triangle census of the near-dup graph
+    * ([[graft.ops.Components.triangleCensus]]) — high clustering =
+    * duplicate CLIQUES (template/mirror families), low = chains of
+    * borderline matches that components would over-merge. Ordered-edge
+    * node-iterator joins, pure integers + one ratio. */
+  def nearDupTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minHashCandidates(Tables.documents(s, dir),
+      "doc_id", "text", threshold = 0.4).select($"a_id", $"b_id")
+    graft.ops.Components.triangleCensus(pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1278,7 +1290,8 @@ object PipelineQueries {
     "q136_kcenter_coreset" -> (kcenterCoreset _),
     "q137_mmr_rerank"     -> (mmrDiversified _),
     "q138_bpe_merges"     -> (bpeTopMerges _),
-    "q139_bpe_fertility"  -> (bpeFertilityByLang _))
+    "q139_bpe_fertility"  -> (bpeFertilityByLang _),
+    "q140_triangle_census" -> (nearDupTriangles _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2887,5 +2900,27 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(wl.freq * length(wl.w)) AS DOUBLE) / CAST(SUM(wl.freq * e.n_syms) AS DOUBLE), 6) AS chars_per_subword
          |FROM wl JOIN enc e USING (w)
          |GROUP BY wl.lang ORDER BY wl.lang""".stripMargin
-    })
+    },
+
+    "q140_triangle_census" ->
+      s"""WITH $minhashCtes,
+         |e AS (
+         |  SELECT DISTINCT LEAST(a_id, b_id) AS a, GREATEST(a_id, b_id) AS b
+         |  FROM cand WHERE a_id <> b_id),
+         |tri AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |deg AS (
+         |  SELECT id, COUNT(*) AS deg
+         |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+         |w AS (
+         |  SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+         |    COUNT(*) AS n_nodes
+         |  FROM deg)
+         |SELECT n_nodes, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN 0.0
+         |    ELSE ROUND(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+         |  END AS clustering_coeff
+         |FROM tri, w""".stripMargin)
 }

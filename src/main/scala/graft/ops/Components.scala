@@ -179,4 +179,39 @@ object Components {
     ranks.join(deg, col("id") === col("src"))
       .select(col("id"), col("r").as("pr_micro"), col("deg"))
   }
+
+  /** Triangle census of an undirected pair graph — the density signal
+    * that separates tight duplicate CLIQUES (template families, mirror
+    * sets) from chains of borderline matches: one row with the triangle
+    * count, the open-triad (wedge) count and the global clustering
+    * coefficient 3·Δ∕wedges.
+    *
+    * Node-iterator formulation on ID-ORDERED edges (a < b): a triangle
+    * (a < b < c) is counted exactly once by joining ordered edges
+    * (a,b)⋈(b,c) on the middle vertex and closing with (a,c). Both
+    * joins are equi-joins; the wedge count is Σ deg·(deg−1)∕2, one
+    * grouped aggregate. Pure integer arithmetic + one final ratio. */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val tri = e.select(col("a"), col("b").as("m"))
+      .join(e.select(col("a").as("m"), col("b").as("c")), "m")
+      .select(col("a"), col("c"))
+      .join(e.withColumnRenamed("b", "c"), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    tri.crossJoin(wedges)
+      .select(col("n_nodes"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("clustering_coeff"))
+  }
 }

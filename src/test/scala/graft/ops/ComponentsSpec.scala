@@ -109,4 +109,26 @@ class ComponentsSpec extends SparkSpecBase {
     assert(out.columns.toSeq == Seq("id", "pr_micro", "deg"))
     assert(out.count() == 0L)
   }
+
+  test("triangleCensus: hand-checked triangle + pendant graph") {
+    // triangle 1-2-3 plus pendant 3-4: Δ=1; degrees 2,2,3,1 →
+    // wedges 1+1+3+0 = 5; clustering 3·1/5 = 0.6
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = Components.triangleCensus(pairs)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((4L, 5L, 1L, 0.6)), s"$got")
+  }
+
+  test("triangleCensus is orientation- and duplicate-insensitive") {
+    val messy = Seq((2L, 1L), (3L, 2L), (1L, 3L), (3L, 4L), (4L, 3L), (1L, 2L))
+      .toDF("a_id", "b_id")
+    val got = Components.triangleCensus(messy)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((4L, 5L, 1L, 0.6)), s"$got")
+    // two disjoint triangles: Δ=2, wedges 6, coeff 1.0
+    val two = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a_id", "b_id")
+    val g2 = Components.triangleCensus(two).as[(Long, Long, Long, Double)].head()
+    assert(g2 == ((6L, 6L, 2L, 1.0)), s"$g2")
+  }
 }
