@@ -1034,7 +1034,13 @@ object PipelineQueries {
     * and the oracle recomputes it from scratch. */
   def clusterSplitSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    splitSummaryOf(s, Tables.documents(s, dir))
+  }
+
+  /** Shared body of q128/q141: MinHash pairs → cluster split → per-split
+    * summary with the independently-recomputed `leaked_pairs` proof. */
+  private def splitSummaryOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
     // the candidate graph feeds BOTH the components step and the leakage
     // join — materialize it once (same pattern as the checkpoint inside
     // connectedComponents) instead of running MinHash banding twice
@@ -1055,6 +1061,20 @@ object PipelineQueries {
         sum($"n_chars").as("sum_chars"))
       .crossJoin(broadcast(leaked))
       .orderBy($"split")
+  }
+
+  /** q141: the RELEASE pipeline composed end to end — per-domain cap
+    * (q129's WindowGroupLimit) feeding the leakage-safe cluster split
+    * (q128's components + md5 membership) in ONE plan: what a corpus
+    * release actually runs before shipping train/val/test. Every stage
+    * is individually oracle-proven; this entry proves the composition
+    * (the dedup graph is built on the CAPPED corpus, so cap-then-split
+    * ≠ split-then-cap — the oracle replays the composed order). */
+  def releaseSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val capped = Curation.capPerGroup(Tables.documents(s, dir),
+      "source", "n_chars", "doc_id", k = 25)
+    splitSummaryOf(s, capped)
   }
 
   /** q129: per-domain cap ([[Curation.capPerGroup]], RefinedWeb-style):
@@ -1291,7 +1311,8 @@ object PipelineQueries {
     "q137_mmr_rerank"     -> (mmrDiversified _),
     "q138_bpe_merges"     -> (bpeTopMerges _),
     "q139_bpe_fertility"  -> (bpeFertilityByLang _),
-    "q140_triangle_census" -> (nearDupTriangles _))
+    "q140_triangle_census" -> (nearDupTriangles _),
+    "q141_release_split"  -> (releaseSplit _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1318,13 +1339,15 @@ object PipelineQueries {
     * w=3, perms inlined from DedupKernel.perm) and LSH banding (8 bands ×
     * 4 rows) — the shared DuckDB re-derivation of Dedup.minHashSignatures
     * + banding, used by q32/q36 (self-pairs) and q65 (batch × corpus). */
-  private def minhashBandCtes: String = {
+  private def minhashBandCtes: String = minhashBandCtesFrom("documents")
+
+  private def minhashBandCtesFrom(base: String): String = {
     val P = graft.expr.DedupKernel.P
     val sigItems = (0 until 32).map { i =>
       val (a, b) = graft.expr.DedupKernel.perm(i)
       s"list_min(list_transform(hh, h -> (h * $a + $b) % $P))"
     }.mkString(",\n    ")
-    s"""t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+    s"""t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM $base),
        |hh AS (
        |  SELECT doc_id, list_transform(
        |    list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' ')),
@@ -1338,8 +1361,10 @@ object PipelineQueries {
 
   /** [[minhashBandCtes]] + `cand(a_id, b_id, est)`: self candidate pairs
     * with est ≥ 0.4 — as used by q32 and q36. */
-  private def minhashCtes: String =
-    s"""$minhashBandCtes,
+  private def minhashCtes: String = minhashCtesFrom("documents")
+
+  private def minhashCtesFrom(base: String): String =
+    s"""${minhashBandCtesFrom(base)},
        |cand AS (
        |  SELECT a_id, b_id, est FROM (
        |    SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
@@ -2922,5 +2947,40 @@ object PipelineQueries {
          |  CASE WHEN n_wedges = 0 THEN 0.0
          |    ELSE ROUND(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
          |  END AS clustering_coeff
-         |FROM tri, w""".stripMargin)
+         |FROM tri, w""".stripMargin,
+
+    "q141_release_split" ->
+      s"""WITH RECURSIVE capped AS (
+         |  SELECT doc_id, text, n_chars FROM (
+         |    SELECT doc_id, text, n_chars,
+         |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM documents) WHERE rn <= 25),
+         |${minhashCtesFrom("capped")},
+         |sym AS (
+         |  SELECT a_id AS a, b_id AS b FROM cand
+         |  UNION SELECT b_id, a_id FROM cand
+         |  UNION SELECT a_id, a_id FROM cand
+         |  UNION SELECT b_id, b_id FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+         |asg AS (
+         |  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+         |  FROM capped d LEFT JOIN comp c ON d.doc_id = c.id),
+         |sp AS (
+         |  SELECT doc_id, n_chars, component,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT asg.*,
+         |    CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+         |    FROM asg)),
+         |leaked AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS leaked_pairs
+         |  FROM cand j JOIN sp x ON j.a_id = x.doc_id JOIN sp y ON j.b_id = y.doc_id
+         |  WHERE x.split <> y.split)
+         |SELECT split, COUNT(DISTINCT component) AS n_clusters, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  (SELECT leaked_pairs FROM leaked) AS leaked_pairs
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin)
 }
