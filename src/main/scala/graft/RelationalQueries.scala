@@ -643,6 +643,32 @@ object RelationalQueries {
       .orderBy($"event_type", $"hour_epoch")
   }
 
+  /** q142: freshness-weighted (exponentially decayed) event counts — the
+    * recency signal behind trending/popularity features, with a 1-day
+    * half-life. Determinism at scale: ages are bucketed to whole DAYS
+    * (integer floor-div), so the weight 2^−k is an exact power of two,
+    * the per-(type, day) term n_k·2^−k is one exact double op rounded to
+    * 9 dp, and the cross-bucket sum runs in DECIMAL — order-free on any
+    * partitioning and replayed exactly by the oracle. Plan: one grouped
+    * count on (type, day-bucket) — bounded by types × horizon days —
+    * then a types-sized aggregate; the 1-row max-ts is broadcast. */
+  def decayedCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", unix_timestamp($"ts").as("ts_s"))
+    val tmax = ev.agg(max($"ts_s").as("tmax"))
+    ev.crossJoin(broadcast(tmax))
+      .withColumn("k", expr("(tmax - ts_s) div 86400"))
+      .groupBy($"event_type", $"k")
+      .agg(count(lit(1)).as("n_k"))
+      .withColumn("term",
+        round($"n_k".cast("double") / pow(lit(2.0), $"k"), 9).cast("decimal(20,9)"))
+      .groupBy($"event_type")
+      .agg(sum($"n_k").as("n_events"),
+        round(sum($"term").cast("double"), 6).as("decayed_count"))
+      .orderBy($"event_type")
+  }
+
   /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
@@ -984,7 +1010,8 @@ object RelationalQueries {
     "q110_type_correlation" -> (typeCorrelation _),
     "q113_heavy_hitters"  -> (heavyHitterUsers _),
     "q98_winsorize"        -> (winsorizedStats _),
-    "q101_attribution"     -> (lastTouchAttribution _))
+    "q101_attribution"     -> (lastTouchAttribution _),
+    "q142_decayed_counts"  -> (decayedCounts _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -1521,5 +1548,17 @@ object RelationalQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
         |  FROM orders WHERE o_custkey < 300)
         |WHERE rk <= 3
-        |ORDER BY o_custkey, rk""".stripMargin)
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q142_decayed_counts" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |mx AS (SELECT MAX(ts_s) AS tmax FROM e),
+        |bk AS (
+        |  SELECT event_type, (mx.tmax - e.ts_s) // 86400 AS k, COUNT(*) AS n_k
+        |  FROM e, mx GROUP BY 1, 2)
+        |SELECT event_type, CAST(SUM(n_k) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST(n_k AS DOUBLE) / POWER(2.0, k), 9)
+        |    AS DECIMAL(20,9))) AS DOUBLE), 6) AS decayed_count
+        |FROM bk GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
