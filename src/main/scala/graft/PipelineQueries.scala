@@ -1235,6 +1235,28 @@ object PipelineQueries {
     graft.ops.Components.triangleCensus(pairs)
   }
 
+  /** q143: SCD2 dimension merge ([[graft.ops.Scd.scd2Merge]]) — a
+    * synthesized update batch (balance changes + new keys) merged into
+    * the customer dimension with full version history: changed keys get
+    * their current version CLOSED and a new one OPENED, inserts open
+    * their first version. One full-outer equi-join of the open slice;
+    * output is a bounded key slice of the versioned table. */
+  def scd2Customers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val cur = cust.select($"c_custkey", $"c_acctbal",
+      lit(0L).as("valid_from"), lit(999999L).as("valid_to"),
+      lit(1L).as("is_current"))
+    val upd = cust.filter(pmod($"c_custkey", lit(7)) === 3)
+        .select($"c_custkey", ($"c_acctbal" + 100.0d).as("c_acctbal"))
+      .unionByName(cust.filter(pmod($"c_custkey", lit(13)) === 2)
+        .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_acctbal"))
+    graft.ops.Scd.scd2Merge(cur, upd, "c_custkey", "c_acctbal", batchVersion = 1L)
+      .filter($"c_custkey" < 200 ||
+        ($"c_custkey" >= 1000000L && $"c_custkey" < 1000200L))
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1312,7 +1334,8 @@ object PipelineQueries {
     "q138_bpe_merges"     -> (bpeTopMerges _),
     "q139_bpe_fertility"  -> (bpeFertilityByLang _),
     "q140_triangle_census" -> (nearDupTriangles _),
-    "q141_release_split"  -> (releaseSplit _))
+    "q141_release_split"  -> (releaseSplit _),
+    "q143_scd2_merge"     -> (scd2Customers _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2982,5 +3005,32 @@ object PipelineQueries {
          |SELECT split, COUNT(DISTINCT component) AS n_clusters, COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          |  (SELECT leaked_pairs FROM leaked) AS leaked_pairs
-         |FROM sp GROUP BY split ORDER BY split""".stripMargin)
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "q143_scd2_merge" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(999999 AS BIGINT) AS valid_to, CAST(1 AS BIGINT) AS is_current
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS newv FROM customer WHERE c_custkey % 7 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal FROM customer WHERE c_custkey % 13 = 2),
+        |j AS (
+        |  SELECT COALESCE(c.c_custkey, u.c_custkey) AS k, c.c_acctbal AS oldv,
+        |    c.valid_from AS vf, u.newv
+        |  FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey),
+        |m AS (
+        |  SELECT k AS c_custkey, oldv AS c_acctbal, vf AS valid_from,
+        |    CAST(999999 AS BIGINT) AS valid_to, CAST(1 AS BIGINT) AS is_current
+        |  FROM j WHERE vf IS NOT NULL AND (newv IS NULL OR newv = oldv)
+        |  UNION ALL
+        |  SELECT k, oldv, vf, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM j WHERE newv IS NOT NULL AND vf IS NOT NULL AND newv <> oldv
+        |  UNION ALL
+        |  SELECT k, newv, CAST(1 AS BIGINT), CAST(999999 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM j WHERE newv IS NOT NULL AND (vf IS NULL OR newv <> oldv))
+        |SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current FROM m
+        |WHERE c_custkey < 200 OR (c_custkey >= 1000000 AND c_custkey < 1000200)
+        |ORDER BY c_custkey, valid_from""".stripMargin)
 }
