@@ -1257,6 +1257,23 @@ object PipelineQueries {
       .orderBy($"c_custkey", $"valid_from")
   }
 
+  /** q144: order-independent table checksums
+    * ([[graft.ops.Integrity.tableChecksum]]) — the replica-comparison
+    * primitive: one map-side-combined aggregate per table; identical on
+    * any partitioning, row order, or engine (the oracle IS the second
+    * engine, so the hash match is literally a cross-engine replica
+    * check). */
+  def tableChecksums(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Integrity.tableChecksum
+    tableChecksum(Tables.documents(s, dir), "documents",
+        Seq("doc_id", "lang", "source", "n_chars", "text"))
+      .unionByName(tableChecksum(Tables.nation(s, dir), "nation",
+        Seq("n_nationkey", "n_name", "n_regionkey")))
+      .unionByName(tableChecksum(Tables.region(s, dir), "region",
+        Seq("r_regionkey", "r_name")))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1335,7 +1352,8 @@ object PipelineQueries {
     "q139_bpe_fertility"  -> (bpeFertilityByLang _),
     "q140_triangle_census" -> (nearDupTriangles _),
     "q141_release_split"  -> (releaseSplit _),
-    "q143_scd2_merge"     -> (scd2Customers _))
+    "q143_scd2_merge"     -> (scd2Customers _),
+    "q144_table_checksum" -> (tableChecksums _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3032,5 +3050,18 @@ object PipelineQueries {
         |  FROM j WHERE newv IS NOT NULL AND (vf IS NULL OR newv <> oldv))
         |SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current FROM m
         |WHERE c_custkey < 200 OR (c_custkey >= 1000000 AND c_custkey < 1000200)
-        |ORDER BY c_custkey, valid_from""".stripMargin)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q144_table_checksum" -> {
+      def ck(table: String, cols: Seq[String]): String =
+        s"""SELECT '$table' AS table_name, COUNT(*) AS n_rows,
+           |  CAST(CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|', ${cols.mkString(", ")})), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+           |FROM $table""".stripMargin
+      s"""${ck("documents", Seq("doc_id", "lang", "source", "n_chars", "text"))}
+         |UNION ALL
+         |${ck("nation", Seq("n_nationkey", "n_name", "n_regionkey"))}
+         |UNION ALL
+         |${ck("region", Seq("r_regionkey", "r_name"))}
+         |ORDER BY table_name""".stripMargin
+    })
 }
