@@ -1274,6 +1274,26 @@ object PipelineQueries {
       .orderBy(col("table_name"))
   }
 
+  /** q145: padding-waste audit for length-bucketed training batches —
+    * each doc rounds up to its 64-token bucket; the padding fraction per
+    * bucket is what a batch-shape choice costs in wasted FLOPs (the
+    * complement of q73's packing). One grouped aggregate over exact
+    * integers; ratio is double-of-exact-ints. */
+  def paddingWaste(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .withColumn("bucket", expr("((n_tokens + 63) div 64) * 64"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        sum($"bucket" - $"n_tokens").as("pad_tokens"))
+      .withColumn("pad_frac", round($"pad_tokens".cast("double") /
+        ($"bucket" * $"n_docs").cast("double"), 6))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1353,7 +1373,8 @@ object PipelineQueries {
     "q140_triangle_census" -> (nearDupTriangles _),
     "q141_release_split"  -> (releaseSplit _),
     "q143_scd2_merge"     -> (scd2Customers _),
-    "q144_table_checksum" -> (tableChecksums _))
+    "q144_table_checksum" -> (tableChecksums _),
+    "q145_padding_waste"  -> (paddingWaste _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3063,5 +3084,19 @@ object PipelineQueries {
          |UNION ALL
          |${ck("region", Seq("r_regionkey", "r_name"))}
          |ORDER BY table_name""".stripMargin
-    })
+    },
+
+    "q145_padding_waste" ->
+      s"""WITH t AS (
+         |  SELECT CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT ((n_tokens + 63) // 64) * 64 AS bucket, n_tokens
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(bucket - n_tokens) AS BIGINT) AS pad_tokens,
+         |  ROUND(CAST(SUM(bucket - n_tokens) AS DOUBLE) /
+         |    CAST(bucket * COUNT(*) AS DOUBLE), 6) AS pad_frac
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
 }
