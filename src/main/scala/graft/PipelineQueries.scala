@@ -1294,6 +1294,31 @@ object PipelineQueries {
       .orderBy($"bucket")
   }
 
+  /** q146: semantic segmentation boundaries (TextTiling, Hearst 1997) —
+    * adjacent chunk-embedding cosine dips mark topic shifts; the
+    * chunking pipeline's answer to "where should a long doc split".
+    * Reuses q62's chunk grid + q64's deterministic projection embedding;
+    * one lag window per doc over chunk-count-sized rows. Bounded to the
+    * doc_id < 50 slice for output size. */
+  def semanticBoundaries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = Chunking.chunkByTokens(
+        Tables.documents(s, dir).filter($"doc_id" < 50),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+      .select($"doc_id", $"chunk_idx",
+        graft.expr.DedupKernel.polyEmbedCol($"chunk").as("emb"))
+    val w = Window.partitionBy($"doc_id").orderBy($"chunk_idx")
+    chunks.withColumn("prev", lag($"emb", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("cos",
+        round(graft.expr.VectorExprs.cosine($"prev", $"emb"), 6))
+      .groupBy($"doc_id")
+      .agg((count(lit(1)) + 1).as("n_chunks"),
+        sum(when($"cos" < 0.5, 1L).otherwise(0L)).as("n_boundaries"),
+        min($"cos").as("min_adj_cos"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1374,7 +1399,8 @@ object PipelineQueries {
     "q141_release_split"  -> (releaseSplit _),
     "q143_scd2_merge"     -> (scd2Customers _),
     "q144_table_checksum" -> (tableChecksums _),
-    "q145_padding_waste"  -> (paddingWaste _))
+    "q145_padding_waste"  -> (paddingWaste _),
+    "q146_semantic_boundaries" -> (semanticBoundaries _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3098,5 +3124,39 @@ object PipelineQueries {
          |  CAST(SUM(bucket - n_tokens) AS BIGINT) AS pad_tokens,
          |  ROUND(CAST(SUM(bucket - n_tokens) AS DOUBLE) /
          |    CAST(bucket * COUNT(*) AS DOUBLE), 6) AS pad_frac
-         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q146_semantic_boundaries" -> {
+      // q64's chunk grid + polyEmbed replay, then adjacent-chunk cosine
+      val P = graft.expr.DedupKernel.P
+      def dims(src: String) = (0 until 64).map { d =>
+        val (a, b) = graft.expr.DedupKernel.perm(d)
+        s"CAST((2.0 * list_sum(list_transform($src, h -> (h * $a + $b) % $P))) / $P.0 - len($src) AS FLOAT)"
+      }.mkString(",\n    ")
+      def ls(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      def cos(a: String, b: String) =
+        s"""ROUND(CASE WHEN ${ls(a, a)} = 0 OR ${ls(b, b)} = 0 THEN 0
+           |  ELSE ${ls(a, b)} / (SQRT(${ls(a, a)}) * SQRT(${ls(b, b)})) END, 6)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS w FROM documents
+         |  WHERE doc_id < 50 AND length($norm) > 0),
+         |c AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(w), 48)) AS s, w
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+         |    list_transform(w[s : s + 63], tk -> ${duckFold("tk", graft.expr.DedupKernel.B1)}) AS ths
+         |  FROM c),
+         |emb AS (
+         |  SELECT doc_id, chunk_idx, [${dims("ths")}] AS e FROM ch),
+         |adj AS (
+         |  SELECT a.doc_id, ${cos("a.e", "b.e")} AS cos
+         |  FROM emb a JOIN emb b
+         |    ON a.doc_id = b.doc_id AND b.chunk_idx = a.chunk_idx + 1)
+         |SELECT doc_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+         |  MIN(cos) AS min_adj_cos
+         |FROM adj GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
 }
