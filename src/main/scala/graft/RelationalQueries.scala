@@ -669,6 +669,29 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q147: VARIANT-typed semi-structured processing (Spark 4's
+    * `parse_json` → `variant_get`) — the shredded-JSON path that
+    * replaces per-access string re-parsing: props parses ONCE into an
+    * open-schema VARIANT and every extraction is a binary-encoded field
+    * read. Same answers as q09's string-JSON twin, so the oracle (plain
+    * JSON SQL) proves the variant path end to end. At 100 TB variant
+    * columns shred into parquet and extractions prune like struct
+    * fields — q09's regex-ish reparse cost disappears. */
+  def variantProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").as("m"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        count($"m").as("n_missing_field"))
+      .orderBy($"event_type")
+  }
+
   /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
@@ -1011,7 +1034,8 @@ object RelationalQueries {
     "q113_heavy_hitters"  -> (heavyHitterUsers _),
     "q98_winsorize"        -> (winsorizedStats _),
     "q101_attribution"     -> (lastTouchAttribution _),
-    "q142_decayed_counts"  -> (decayedCounts _))
+    "q142_decayed_counts"  -> (decayedCounts _),
+    "q147_variant_props"   -> (variantProps _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -1560,5 +1584,14 @@ object RelationalQueries {
         |SELECT event_type, CAST(SUM(n_k) AS BIGINT) AS n_events,
         |  ROUND(CAST(SUM(CAST(ROUND(CAST(n_k AS DOUBLE) / POWER(2.0, k), 9)
         |    AS DECIMAL(20,9))) AS DOUBLE), 6) AS decayed_count
-        |FROM bk GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM bk GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q147_variant_props" ->
+      """SELECT event_type,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS n_missing_field
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
