@@ -1319,6 +1319,17 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q148: LSH banding plan estimate ([[Dedup.bandingPlanEstimate]]) —
+    * the exact candidate-pair count and bucket-size profile the LSH
+    * join WOULD emit, per band: the pre-flight check that catches wrong
+    * banding parameters on a 100 TB corpus for the price of a grouped
+    * count. */
+  def lshPlanEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.bandingPlanEstimate(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1400,7 +1411,8 @@ object PipelineQueries {
     "q143_scd2_merge"     -> (scd2Customers _),
     "q144_table_checksum" -> (tableChecksums _),
     "q145_padding_waste"  -> (paddingWaste _),
-    "q146_semantic_boundaries" -> (semanticBoundaries _))
+    "q146_semantic_boundaries" -> (semanticBoundaries _),
+    "q148_lsh_plan"       -> (lshPlanEstimate _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3158,5 +3170,14 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
          |  MIN(cos) AS min_adj_cos
          |FROM adj GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "q148_lsh_plan" ->
+      s"""WITH $minhashBandCtes,
+         |bc AS (SELECT band, key, COUNT(*) AS c FROM banded GROUP BY band, key)
+         |SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_buckets,
+         |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows
+         |FROM bc GROUP BY band ORDER BY band""".stripMargin)
 }

@@ -518,4 +518,31 @@ object Dedup {
         (col("n_inter").cast("double") / col(s"za._n")).as("containment"))
       .filter(col("containment") >= threshold)
   }
+
+  /** LSH banding PLAN estimate: the exact per-band bucket-size profile
+    * and the candidate-pair count the (band, bucket) join WOULD emit —
+    * Σ_buckets c·(c−1)∕2, the self-join size formula. Run this BEFORE a
+    * 100 TB dedup to validate banding parameters: a `max_bucket` in the
+    * millions or a `candidate_pairs` rivaling N² means the bands/rows
+    * setting is wrong for the corpus (too few rows per band → everything
+    * collides), caught for the cost of one grouped count instead of a
+    * blown-up join. Pure integer arithmetic over the replayable
+    * slice-key representation. */
+  def bandingPlanEstimate(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rpb = numHashes / bands
+    minHashSignatures(df, idCol, textCol, numHashes, w)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rpb + 1, $rpb))"))
+        .as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("candidate_pairs"),
+        sum(col("c")).as("n_rows"))
+  }
 }
