@@ -1330,6 +1330,25 @@ object PipelineQueries {
       .orderBy($"band")
   }
 
+  /** q149: token-budget mixture planner — q125's DoReMi weights turned
+    * into the table a training run actually consumes: per-domain token
+    * quotas out of a 10⁹-token budget, epochs (repetition factor, the
+    * LLaMA-style data-table column) and an oversampling flag. Quota =
+    * floor(weight·B) on the 6-dp weight, so the plan replays exactly. */
+  def mixtureBudgetPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 1000000000L
+    Sampling.domainMixture(Tables.documents(s, dir), "source", "text",
+        temperature = 0.5)
+      .select($"source", $"n_tokens", $"mixture_weight",
+        floor($"mixture_weight" * budget).cast("long").as("quota_tokens"))
+      .withColumn("epochs",
+        round($"quota_tokens".cast("double") / $"n_tokens".cast("double"), 6))
+      .withColumn("oversampled",
+        when($"quota_tokens" > $"n_tokens", 1L).otherwise(0L))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1412,7 +1431,8 @@ object PipelineQueries {
     "q144_table_checksum" -> (tableChecksums _),
     "q145_padding_waste"  -> (paddingWaste _),
     "q146_semantic_boundaries" -> (semanticBoundaries _),
-    "q148_lsh_plan"       -> (lshPlanEstimate _))
+    "q148_lsh_plan"       -> (lshPlanEstimate _),
+    "q149_mixture_budget" -> (mixtureBudgetPlan _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3179,5 +3199,39 @@ object PipelineQueries {
          |  CAST(MAX(c) AS BIGINT) AS max_bucket,
          |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
          |  CAST(SUM(c) AS BIGINT) AS n_rows
-         |FROM bc GROUP BY band ORDER BY band""".stripMargin)
+         |FROM bc GROUP BY band ORDER BY band""".stripMargin,
+
+    "q149_mixture_budget" ->
+      s"""WITH tk0 AS (
+         |  SELECT source, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |tk AS (SELECT * FROM tk0 WHERE length(token) > 0),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS total FROM tk),
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_tokens,
+         |    SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)) AS sm
+         |  FROM tk JOIN c USING (token), tot GROUP BY 1),
+         |a AS (
+         |  SELECT source, n_tokens,
+         |    CAST(sm AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000) AS avg_lp
+         |  FROM g),
+         |m AS (SELECT MAX(avg_lp) AS mx FROM a),
+         |q AS (
+         |  SELECT source, n_tokens,
+         |    CAST(ROUND(exp((mx - avg_lp) / 0.5) * 1000000000) AS BIGINT) AS qm
+         |  FROM a, m),
+         |z AS (SELECT SUM(qm) AS z FROM q),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    ROUND(CAST(qm AS DOUBLE) / CAST(z AS DOUBLE), 6) AS mixture_weight
+         |  FROM q, z),
+         |p AS (
+         |  SELECT source, n_tokens, mixture_weight,
+         |    CAST(FLOOR(mixture_weight * 1000000000) AS BIGINT) AS quota_tokens
+         |  FROM w)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, mixture_weight,
+         |  quota_tokens,
+         |  ROUND(CAST(quota_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+         |  CAST(CASE WHEN quota_tokens > n_tokens THEN 1 ELSE 0 END AS BIGINT) AS oversampled
+         |FROM p ORDER BY source""".stripMargin)
 }
