@@ -1349,6 +1349,27 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q150: rendezvous-sharding rebalance audit
+    * ([[graft.ops.Layout.rendezvousShard]]) — docs assigned under 10 and
+    * 11 shards, compared: the output PROVES the minimal-movement
+    * property (every moved doc lands on the NEW shard; per-shard
+    * `n_moved_in` is nonzero only for shard 10), which is why HRW
+    * placement rebalances a 100 TB corpus at 1∕(N+1) cost instead of
+    * mod-N's full reshuffle. */
+  def rendezvousRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select($"doc_id")
+    val a10 = graft.ops.Layout.rendezvousShard(ids, "doc_id", 10)
+      .withColumnRenamed("shard", "s10")
+    val a11 = graft.ops.Layout.rendezvousShard(ids, "doc_id", 11)
+      .withColumnRenamed("shard", "s11")
+    a10.join(a11, "doc_id")
+      .groupBy($"s11".as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"s10" =!= $"s11", 1L).otherwise(0L)).as("n_moved_in"))
+      .orderBy($"shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1432,7 +1453,8 @@ object PipelineQueries {
     "q145_padding_waste"  -> (paddingWaste _),
     "q146_semantic_boundaries" -> (semanticBoundaries _),
     "q148_lsh_plan"       -> (lshPlanEstimate _),
-    "q149_mixture_budget" -> (mixtureBudgetPlan _))
+    "q149_mixture_budget" -> (mixtureBudgetPlan _),
+    "q150_rendezvous_shards" -> (rendezvousRebalance _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3233,5 +3255,25 @@ object PipelineQueries {
          |  quota_tokens,
          |  ROUND(CAST(quota_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs,
          |  CAST(CASE WHEN quota_tokens > n_tokens THEN 1 ELSE 0 END AS BIGINT) AS oversampled
-         |FROM p ORDER BY source""".stripMargin)
+         |FROM p ORDER BY source""".stripMargin,
+
+    "q150_rendezvous_shards" ->
+      """WITH x AS (
+        |  SELECT doc_id, s.s AS shard,
+        |    CAST(concat('0x', substr(md5(concat_ws(':', doc_id, s.s)), 1, 8)) AS BIGINT) AS hw
+        |  FROM documents, generate_series(0, 10) s(s)),
+        |a10 AS (
+        |  SELECT doc_id, shard AS s10 FROM (
+        |    SELECT doc_id, shard,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hw DESC, shard) AS rn
+        |    FROM x WHERE shard <= 9) WHERE rn = 1),
+        |a11 AS (
+        |  SELECT doc_id, shard AS s11 FROM (
+        |    SELECT doc_id, shard,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hw DESC, shard) AS rn
+        |    FROM x) WHERE rn = 1)
+        |SELECT CAST(s11 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+        |FROM a10 JOIN a11 USING (doc_id)
+        |GROUP BY 1 ORDER BY shard""".stripMargin)
 }

@@ -49,4 +49,30 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998) — the placement rule whose rebalancing cost is
+    * MINIMAL by construction: adding shard N+1 moves only the ~1∕(N+1)
+    * of keys whose HRW hash is highest on the NEW shard; nothing else
+    * reshuffles (unlike mod-N, which moves almost everything).
+    *
+    * weight(key, shard) = first 8 md5 hex digits of "key:shard" (the
+    * repo's portable hash device); the assignment is the shard with the
+    * max weight, ties by smallest shard id. One explode over N shards +
+    * a per-key argmax — map-side work proportional to N·rows with no
+    * data-dependent state; N is a config constant. */
+  def rendezvousShard(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"need at least one shard, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_hw").desc, col("shard"))
+    df.select(col(idCol),
+        explode(expr(s"sequence(0, ${numShards - 1})")).as("shard"))
+      .withColumn("_hw", conv(substring(
+        md5(concat_ws(":", col(idCol), col("shard"))), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("shard").cast("long").as("shard"))
+  }
 }
