@@ -1370,6 +1370,35 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
+  /** q151: LSH recall/precision audit — the MinHash candidate set
+    * (q32's est ≥ 0.4) measured against exact-Jaccard ground truth
+    * (q31's machinery at the same threshold) on the bounded slice:
+    * the tuning report that says whether 8×4 banding is right for THIS
+    * corpus before committing a 100 TB dedup to it. All counts exact;
+    * the two ratios are double-of-exact-ints. */
+  def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.documents(s, dir).filter($"doc_id" < 200)
+    val truth = Dedup.jaccardPairs(slice, "doc_id", "text", w = 3,
+      threshold = 0.4).select($"a_id", $"b_id").localCheckpoint(true)
+    val cand = Dedup.minHashCandidates(Tables.documents(s, dir), "doc_id",
+        "text", numHashes = 32, bands = 8, w = 3, threshold = 0.4)
+      .filter($"a_id" < 200 && $"b_id" < 200)
+      .select($"a_id", $"b_id").localCheckpoint(true)
+    val hits = truth.join(cand, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits)
+      .select($"n_truth", $"n_candidates", $"n_hits",
+        when($"n_truth" === 0L, lit(0.0)).otherwise(
+          round($"n_hits".cast("double") / $"n_truth".cast("double"), 6))
+          .as("recall"),
+        when($"n_candidates" === 0L, lit(0.0)).otherwise(
+          round($"n_hits".cast("double") / $"n_candidates".cast("double"), 6))
+          .as("precision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1454,7 +1483,8 @@ object PipelineQueries {
     "q146_semantic_boundaries" -> (semanticBoundaries _),
     "q148_lsh_plan"       -> (lshPlanEstimate _),
     "q149_mixture_budget" -> (mixtureBudgetPlan _),
-    "q150_rendezvous_shards" -> (rendezvousRebalance _))
+    "q150_rendezvous_shards" -> (rendezvousRebalance _),
+    "q151_lsh_recall"     -> (lshRecallAudit _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3275,5 +3305,38 @@ object PipelineQueries {
         |SELECT CAST(s11 AS BIGINT) AS shard, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
         |FROM a10 JOIN a11 USING (doc_id)
-        |GROUP BY 1 ORDER BY shard""".stripMargin)
+        |GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q151_lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |gt AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS w
+         |  FROM documents WHERE doc_id < 200),
+         |gsh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+         |      i -> array_to_string(w[i:i+2], ' '))) AS s
+         |    FROM gt WHERE len(w) >= 3) u),
+         |gsz AS (SELECT doc_id, COUNT(*) AS n FROM gsh GROUP BY doc_id),
+         |ginter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ni
+         |  FROM gsh a JOIN gsh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT a_id, b_id FROM ginter
+         |  JOIN gsz sa ON a_id = sa.doc_id
+         |  JOIN gsz sb ON b_id = sb.doc_id
+         |  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.4),
+         |cin AS (SELECT a_id, b_id FROM cand WHERE a_id < 200 AND b_id < 200),
+         |h AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN cin c ON t.a_id = c.a_id AND t.b_id = c.b_id),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cin)
+         |SELECT n_truth, n_candidates, n_hits,
+         |  CASE WHEN n_truth = 0 THEN 0.0
+         |    ELSE ROUND(CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) END AS recall,
+         |  CASE WHEN n_candidates = 0 THEN 0.0
+         |    ELSE ROUND(CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) END AS precision
+         |FROM tt, cc, h""".stripMargin)
 }
