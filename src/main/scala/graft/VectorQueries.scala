@@ -474,6 +474,36 @@ object VectorQueries {
       .limit(15)
   }
 
+  /** q152: IVF recall@5 audit — the q52 index's top-5 measured against
+    * exact brute-force cosine top-5 per probe query: the empirical
+    * "is nprobe right for this corpus" report (the query twin of
+    * AnnRecallSpec, now oracle-checked — the oracle replays k-means
+    * training, cell probing, AND the exact ranking). */
+  def ivfRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    val exact = e.filter($"vec_id" >= 3)
+      .select($"vec_id".as("n_id"), $"embedding")
+      .crossJoin(broadcast(qs))
+      .withColumn("sim", round(VectorExprs.cosine($"embedding", $"qv"), 6))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"q_id", $"n_id")
+    val ivf = graft.ops.Ivf.probeIndex(s, ivfIndexFor(s, dir), qs,
+        k = 5, nprobe = 6)
+      .select($"q_id", $"n_id")
+    val hits = exact.join(ivf, Seq("q_id", "n_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy($"q_id").agg(count(lit(1)).as("_k"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / lit(5.0), 6)
+          .as("recall_at_5"))
+      .orderBy($"q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
@@ -491,7 +521,8 @@ object VectorQueries {
     "q104_label_cohesion"    -> (labelCohesion _),
     "q107_ivf_pq"            -> (ivfPqTopK _),
     "q111_ivf_append"        -> (annIvfAppend _),
-    "q118_margin_mining"     -> (marginMining _))
+    "q118_margin_mining"     -> (marginMining _),
+    "q152_ivf_recall"        -> (ivfRecallAudit _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -723,9 +754,15 @@ object VectorQueries {
     * the identical assign/probe/rank replay but trains on the historical
     * slice only — which IS the append semantics, since appended rows are
     * assigned under the frozen model exactly like training-corpus rows. */
-  private def annIvfOracleWith(trainPred: String => String): String = {
-    val dim = 64; val nc = 16; val nprobe = 6; val k = 5
-    s"""WITH ${kmeansCtes("", "embedding", dim, nc, 42L, trainPred, unitNorm = true)},
+  private def annIvfOracleWith(trainPred: String => String): String =
+    s"""WITH ${annIvfCtes(trainPred)}
+       |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** The q52 CTE chain through `ranked` (IVF-approximate per-query
+    * ranking), shared with the q152 recall audit. */
+  private def annIvfCtes(trainPred: String => String): String = {
+    val dim = 64; val nc = 16; val nprobe = 6
+    s"""${kmeansCtes("", "embedding", dim, nc, 42L, trainPred, unitNorm = true)},
        |cells AS (
        |  SELECT vec_id AS n_id, cell FROM (
        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -749,8 +786,7 @@ object VectorQueries {
        |ranked AS (
        |  SELECT q_id, n_id, sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk
-       |  FROM sims)
-       |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+       |  FROM sims)""".stripMargin
   }
 
   /** DuckDB re-derivation of q99's product quantization: BOTH subspace
@@ -1084,5 +1120,30 @@ object VectorQueries {
          |SELECT doc_id, lang, n_chars, sim FROM j
          |WHERE sim > 0
          |ORDER BY sim DESC, doc_id
-         |LIMIT 10""".stripMargin)
+         |LIMIT 10""".stripMargin,
+
+    "q152_ivf_recall" ->
+      s"""WITH ${annIvfCtes(q => s"$q.vec_id >= 3")},
+         |exact AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS n_id,
+         |    ROUND(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+         |      (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+         |       SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS sim
+         |  FROM embeddings a, embeddings b, generate_series(1, 64) i(i)
+         |  WHERE a.vec_id >= 3 AND b.vec_id < 3
+         |  GROUP BY 1, 2),
+         |etop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         |    FROM exact) t WHERE rn <= 5),
+         |itop AS (SELECT q_id, n_id FROM ranked WHERE rnk <= 5),
+         |h AS (
+         |  SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM etop e JOIN itop i ON e.q_id = i.q_id AND e.n_id = i.n_id
+         |  GROUP BY 1)
+         |SELECT g.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0, 6) AS recall_at_5
+         |FROM (SELECT DISTINCT q_id FROM etop) g LEFT JOIN h USING (q_id)
+         |ORDER BY g.q_id""".stripMargin)
 }
