@@ -1399,6 +1399,40 @@ object PipelineQueries {
           .as("precision"))
   }
 
+  /** q153: deterministic bootstrap error bars for a corpus metric —
+    * 64 half-subsample replicas of mean(n_chars), membership decided by
+    * the md5 device (`hash(id:replica) < 50`), so the "bootstrap" needs
+    * no RNG state and replays exactly. Per-replica means are exact
+    * DECIMAL ratios quantized to 9 dp; the cross-replica mean/sd are
+    * one IEEE expression over exact sums. The explode factor is the
+    * replica count (map-side combined immediately); state is 64 rows. */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = 64
+    val means = Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars",
+        explode(expr(s"sequence(0, ${reps - 1})")).as("b"))
+      .filter(pmod(conv(substring(
+          md5(concat_ws(":", $"doc_id", $"b")), 1, 8), 16, 10).cast("long"),
+        lit(100L)) < 50)
+      .groupBy($"b")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sm"))
+      .select($"b",
+        round($"sm".cast("double") / $"n".cast("double"), 9)
+          .cast("decimal(20,9)").as("m"))
+    means.agg(
+        count(lit(1)).as("n_replicas"),
+        sum($"m").as("_s"),
+        sum(($"m" * $"m").cast("decimal(38,18)")).as("_q"))
+      .select($"n_replicas",
+        round($"_s".cast("double") / $"n_replicas".cast("double"), 6)
+          .as("mean_of_means"),
+        round(sqrt(
+          ($"_q".cast("double") - $"_s".cast("double") * $"_s".cast("double") /
+            $"n_replicas".cast("double")) / $"n_replicas".cast("double")), 6)
+          .as("sd_of_means"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (dedupExact _),
     "q31_ngram_jaccard"   -> (ngramJaccard _),
@@ -1484,7 +1518,8 @@ object PipelineQueries {
     "q148_lsh_plan"       -> (lshPlanEstimate _),
     "q149_mixture_budget" -> (mixtureBudgetPlan _),
     "q150_rendezvous_shards" -> (rendezvousRebalance _),
-    "q151_lsh_recall"     -> (lshRecallAudit _))
+    "q151_lsh_recall"     -> (lshRecallAudit _),
+    "q153_bootstrap_ci"   -> (bootstrapCi _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3338,5 +3373,24 @@ object PipelineQueries {
          |    ELSE ROUND(CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) END AS recall,
          |  CASE WHEN n_candidates = 0 THEN 0.0
          |    ELSE ROUND(CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) END AS precision
-         |FROM tt, cc, h""".stripMargin)
+         |FROM tt, cc, h""".stripMargin,
+
+    "q153_bootstrap_ci" ->
+      """WITH x AS (
+        |  SELECT b.b AS b, n_chars
+        |  FROM documents, generate_series(0, 63) b(b)
+        |  WHERE CAST(concat('0x', substr(md5(concat_ws(':', doc_id, b.b)), 1, 8)) AS BIGINT) % 100 < 50),
+        |m AS (
+        |  SELECT b,
+        |    CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(20,9)) AS m
+        |  FROM x GROUP BY b),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_replicas, SUM(m) AS s,
+        |    SUM(CAST(m * m AS DECIMAL(38,18))) AS q
+        |  FROM m)
+        |SELECT CAST(n_replicas AS BIGINT) AS n_replicas,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n_replicas AS DOUBLE), 6) AS mean_of_means,
+        |  ROUND(SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |    CAST(n_replicas AS DOUBLE)) / CAST(n_replicas AS DOUBLE)), 6) AS sd_of_means
+        |FROM agg""".stripMargin)
 }
