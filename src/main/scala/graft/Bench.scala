@@ -72,7 +72,8 @@ object Bench {
     "q142_decayed_counts", "q143_scd2_merge", "q144_table_checksum",
     "q145_padding_waste", "q146_semantic_boundaries", "q147_variant_props",
     "q148_lsh_plan", "q149_mixture_budget", "q150_rendezvous_shards",
-    "q151_lsh_recall", "q152_ivf_recall", "q153_bootstrap_ci")
+    "q151_lsh_recall", "q152_ivf_recall", "q153_bootstrap_ci",
+    "q154_ab_ttest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

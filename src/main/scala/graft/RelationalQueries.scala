@@ -692,6 +692,36 @@ object RelationalQueries {
       .orderBy($"event_type")
   }
 
+  /** q154: A/B experiment readout with Welch's t — users hash-split
+    * 50/50 into variants (the md5 device, so assignment is stable and
+    * replayable), per-variant mean/variance of event value from exact
+    * DECIMAL sums, and the t statistic as ONE IEEE expression over
+    * exact components (q106's determinism recipe applied to the
+    * experiment-analysis question). Two grouped aggregates; variant
+    * cardinality is 2. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("variant",
+        when(graft.ops.Sampling.hashBucket($"user_id") < 50, "A").otherwise("B"))
+    val stats = ev.groupBy($"variant")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"value")).as("s_d"),
+        sum(dec2($"value") * dec2($"value")).as("q_d"))
+      .withColumn("mean", round($"s_d".cast("double") / $"n", 6))
+      .withColumn("variance",
+        ($"q_d".cast("double") - $"s_d".cast("double") * $"s_d".cast("double") / $"n") /
+          ($"n" - 1))
+    val a = stats.filter($"variant" === "A")
+      .select($"n".as("n_a"), $"mean".as("mean_a"), $"variance".as("_va"))
+    val b = stats.filter($"variant" === "B")
+      .select($"n".as("n_b"), $"mean".as("mean_b"), $"variance".as("_vb"))
+    a.crossJoin(b)
+      .select($"n_a", $"mean_a", $"n_b", $"mean_b",
+        round(($"mean_a" - $"mean_b") /
+          sqrt($"_va" / $"n_a" + $"_vb" / $"n_b"), 6).as("welch_t"))
+  }
+
   /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
@@ -1035,7 +1065,8 @@ object RelationalQueries {
     "q98_winsorize"        -> (winsorizedStats _),
     "q101_attribution"     -> (lastTouchAttribution _),
     "q142_decayed_counts"  -> (decayedCounts _),
-    "q147_variant_props"   -> (variantProps _))
+    "q147_variant_props"   -> (variantProps _),
+    "q154_ab_ttest"        -> (abTest _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -1593,5 +1624,24 @@ object RelationalQueries {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS n_missing_field
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q154_ab_ttest" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        |    THEN 'A' ELSE 'B' END AS variant, value
+        |  FROM events),
+        |st AS (
+        |  SELECT variant, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s_d,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q_d
+        |  FROM e GROUP BY variant),
+        |w AS (
+        |  SELECT variant, n,
+        |    ROUND(CAST(s_d AS DOUBLE) / n, 6) AS mean,
+        |    (CAST(q_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) / n) / (n - 1) AS variance
+        |  FROM st)
+        |SELECT a.n AS n_a, a.mean AS mean_a, b.n AS n_b, b.mean AS mean_b,
+        |  ROUND((a.mean - b.mean) / SQRT(a.variance / a.n + b.variance / b.n), 6) AS welch_t
+        |FROM w a, w b WHERE a.variant = 'A' AND b.variant = 'B'""".stripMargin)
 }
