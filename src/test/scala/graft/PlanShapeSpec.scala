@@ -421,4 +421,32 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
   }
+
+  test("q144: table checksums are map-side-combined single aggregates") {
+    val p = plan("q144_table_checksum")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"checksum must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no join belongs in a checksum scan:\n$p")
+  }
+
+  test("q148: the LSH plan estimate is two grouped aggregates, no join at all") {
+    val p = plan("q148_lsh_plan")
+    assert(!p.contains("Join"), s"estimating the join must not RUN a join:\n$p")
+    assert(p.contains("HashAggregate"), s"bucket counts must aggregate:\n$p")
+  }
+
+  test("q150: rendezvous argmax prunes per-partition before the exchange") {
+    val p = plan("q150_rendezvous_shards")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn = 1 must compile to a bounded per-key heap:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q154: A/B readout is grouped moments + 1-row joins only") {
+    val p = plan("q154_ab_ttest")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin"),
+      s"both variant frames are 1-row — nothing may sort-merge:\n$p")
+  }
 }
