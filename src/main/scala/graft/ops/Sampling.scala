@@ -211,25 +211,35 @@ object Sampling {
     * the exp is quantized to nano-units before the normalizing sum (the
     * [[alphaSample]] device) — every step replayable by any engine.
     *
-    * Plan: one token explode; a vocabulary-sized count table equi-joined
-    * back; ONE groupBy(domain) of (long, long) rows — domain-count-sized
-    * from there on (broadcast 1-row max and z). At 100 TB the per-domain
+    * Plan (skew-safe): one token explode pre-aggregated to distinct
+    * (domain, token, n) rows — at most domains × vocabulary rows, a
+    * combiner-friendly unskewed exchange — the per-token micro value
+    * computed on the vocabulary-sized count table (total derived from
+    * it, no second corpus pass), [[graft.ops.Skew.hotColdJoin]] back
+    * (hot tokens broadcast, near-uniform tail shuffled — the corpus
+    * never hash-partitions on the Zipf-skewed token key), then ONE
+    * groupBy(domain) of (long, long) rows — domain-count-sized from
+    * there on (broadcast 1-row max and z). At 100 TB the per-domain
     * state is two longs; nothing scales past the vocabulary join. */
   def domainMixture(df: DataFrame, groupCol: String, textCol: String,
-      temperature: Double = 1.0): DataFrame = {
+      temperature: Double = 1.0, hotK: Int = 4096): DataFrame = {
     require(temperature > 0.0, s"temperature must be positive: $temperature")
-    val toks = df
+    val grpTok = df
       .select(col(groupCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    val perDomain = toks.join(counts, "token")
-      .crossJoin(broadcast(total))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("_n"))
+    val counts = grpTok.groupBy(col("token")).agg(sum(col("_n")).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val tokMicro = counts.crossJoin(broadcast(total))
       .withColumn("_micro",
         round(log(col("cnt").cast("double") / col("total").cast("double")) * 1e6d)
           .cast("long"))
+      .select(col("token"), col("cnt"), col("_micro"))
+    val perDomain = graft.ops.Skew
+      .hotColdJoin(grpTok, tokMicro, Seq("token"), col("cnt"), hotK)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_micro")).as("_sm"))
+      .agg(sum(col("_n")).as("n_tokens"),
+        sum(col("_n") * col("_micro")).as("_sm"))
       .withColumn("avg_lp",
         col("_sm").cast("double") / (col("n_tokens").cast("double") * 1e6d))
     val maxLp = perDomain.agg(max(col("avg_lp")).as("_mx"))

@@ -29,6 +29,42 @@ object Skew {
     saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Skew-safe equi-join of a large stream against its own Zipf-skewed
+    * lookup table (the LM-scoring shape: corpus-derived (group, token, n)
+    * rows joined back to a vocabulary-sized count table, where one hot
+    * token like "the" is a double-digit percent of the corpus and would
+    * land on ONE shuffle task).
+    *
+    * Plan: the top `hotK` lookup rows by `weight` (deterministic
+    * tie-break on the key columns) are broadcast and map-side joined —
+    * the skewed keys BY CONSTRUCTION sit in this set, so the large side
+    * never hash-partitions on them; only rows whose key falls outside
+    * the hot set shuffle-join against the residual lookup, and that tail
+    * is near-uniform by Zipf's law. Inner-join semantics (left keys
+    * absent from `lookup` are dropped — vacuous for self-derived count
+    * tables, where every key is present by construction).
+    *
+    * Row-level results are identical to `left.join(lookup, keys)`; the
+    * hot/cold routing never changes a value, so oracle hashes survive
+    * the swap. */
+  def hotColdJoin(
+      left: DataFrame, lookup: DataFrame, keys: Seq[String],
+      weight: Column, hotK: Int): DataFrame = {
+    require(hotK > 0, s"hotK must be positive: $hotK")
+    val hot = lookup
+      .orderBy(weight.desc +: keys.map(k => col(k).asc): _*)
+      .limit(hotK)
+    val tagged = left.join(
+      broadcast(hot.withColumn("_hot", lit(1))), keys, "left")
+    val fromHot = tagged.filter(col("_hot").isNotNull).drop("_hot")
+    val coldLeft = tagged.filter(col("_hot").isNull)
+      .select(left.columns.map(col).toIndexedSeq: _*)
+    // the cold rows' keys are disjoint from the hot set by construction,
+    // so joining the FULL lookup is row-identical to joining (lookup ∖
+    // hot) — no anti-join needed; the hot rows it carries match nothing
+    fromHot.unionByName(coldLeft.join(lookup, keys))
+  }
+
   /** Two-phase (salted) aggregation for skewed group keys: partial
     * aggregate on (key, salt), then final aggregate on key. Use for
     * algebraic aggregates (sum/count/min/max). */

@@ -213,21 +213,27 @@ object TextAnalysis {
     * quantized to integer micro-nats from exact integer counts, per-doc
     * sums are exact long sums, one float division at the end.
     *
-    * Plan: ONE token explode feeds a single vocabulary-sized aggregate
-    * that computes BOTH models' counts (the target count is a
-    * conditional sum, so the target pass costs no second scan), a 1-row
-    * totals broadcast, a vocab equi-join back, one groupBy(doc) of
-    * (long, long) rows. Nothing shuffles more than vocabulary rows at
-    * any corpus size. */
+    * Plan (skew-safe, the [[unigramLogProb]] shape): ONE token explode,
+    * pre-aggregated to distinct (doc, token, n) rows (unskewed doc-keyed
+    * exchange; the target flag rides along — it is constant per doc), a
+    * single vocabulary-sized aggregate computing BOTH models' counts
+    * (the target count is a conditional sum, so the target pass costs no
+    * second scan), a 1-row totals broadcast, then [[Skew.hotColdJoin]]
+    * back — hot tokens by raw-corpus frequency broadcast, only the
+    * near-uniform tail shuffle-joined — and one groupBy(doc) of
+    * (long, long) rows. The corpus never hash-partitions on the
+    * Zipf-skewed token key at any scale. */
   def importanceLogRatio(df: DataFrame, idCol: String, textCol: String,
-      targetPred: Column): DataFrame = {
-    val toks = df
+      targetPred: Column, hotK: Int = 4096): DataFrame = {
+    val docTok = df
       .select(col(idCol), targetPred.as("_tgt"),
         explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-    val counts = toks.groupBy(col("token"))
-      .agg(count(lit(1)).as("c_raw"),
-        sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+      .groupBy(col(idCol), col("_tgt"), col("token"))
+      .agg(count(lit(1)).as("_n"))
+    val counts = docTok.groupBy(col("token"))
+      .agg(sum(col("_n")).as("c_raw"),
+        sum(when(col("_tgt"), col("_n")).otherwise(0L)).as("c_tgt"))
     val tot = counts.agg(
       sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"),
       count(lit(1)).as("v"))
@@ -238,10 +244,11 @@ object TextAnalysis {
           log((col("c_raw") + 1).cast("double") /
             (col("t_raw") + col("v")).cast("double"))) * 1e6d)
           .cast("long"))
-      .select(col("token"), col("lr_micro"))
-    toks.join(lr, "token")
+      .select(col("token"), col("c_raw"), col("lr_micro"))
+    Skew.hotColdJoin(docTok, lr, Seq("token"), col("c_raw"), hotK)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_micro")).as("_sum"))
+      .agg(sum(col("_n")).as("n_tokens"),
+        sum(col("_n") * col("lr_micro")).as("_sum"))
       .withColumn("avg_log_ratio",
         round(col("_sum").cast("double") /
           (col("n_tokens").cast("double") * 1e6d), 6))
@@ -261,23 +268,35 @@ object TextAnalysis {
     * any engine — then floated once at the end. One ln per token from
     * exact integer ratios (the q72 tf-idf precedent).
     *
-    * Plan: one explode + a vocabulary-sized count table equi-joined back
-    * (map-side combined; at 100 TB the vocabulary is millions of rows —
-    * broadcastable after a frequency cut, shuffle-joined here), one
-    * groupBy(doc) of (long, long) rows. */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
+    * Plan (skew-safe — the token key is Zipf-distributed, so a naive
+    * corpus⋈vocab shuffle join sends every "the" occurrence to ONE
+    * task): the exploded stream is first pre-aggregated to distinct
+    * (doc, token, n) rows — an unskewed, combiner-friendly exchange
+    * keyed by the doc id — the per-token micro-nat value is computed on
+    * the VOCABULARY-sized count table (total derived from it, no second
+    * corpus pass), and the join back is [[Skew.hotColdJoin]]: the top
+    * `hotK` tokens by corpus frequency (which by construction contains
+    * every skewed key) broadcast and map-side joined, only the
+    * near-uniform tail shuffle-joined. One final groupBy(doc) of
+    * (long, long) rows. Nothing hash-partitions the corpus on a skewed
+    * key at any scale. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      hotK: Int = 4096): DataFrame = {
+    val docTok = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    toks.join(counts, "token")
-      .crossJoin(broadcast(total))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_n"))
+    val counts = docTok.groupBy(col("token")).agg(sum(col("_n")).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val tokMicro = counts.crossJoin(broadcast(total))
       .withColumn("_micro",
         round(log(col("cnt").cast("double") / col("total").cast("double")) * 1e6d)
           .cast("long"))
+      .select(col("token"), col("cnt"), col("_micro"))
+    Skew.hotColdJoin(docTok, tokMicro, Seq("token"), col("cnt"), hotK)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_micro")).as("sum_micro_nats"))
+      .agg(sum(col("_n")).as("n_tokens"),
+        sum(col("_n") * col("_micro")).as("sum_micro_nats"))
       .withColumn("avg_logprob",
         round(col("sum_micro_nats").cast("double") /
           (col("n_tokens").cast("double") * 1e6d), 6))
@@ -288,35 +307,49 @@ object TextAnalysis {
     * the mean ln P(w|prev) under P(w|prev) = (c(prev,w)+1) / (c(prev·)+V),
     * with counts and vocabulary V taken from the scored corpus itself.
     * The same integer micro-nat device makes the double sums exact and
-    * engine-replayable. Plan: one bigram explode, two count tables
-    * (pair, context) equi-joined back, the 1-row V broadcast, one
-    * groupBy(doc). Docs with fewer than two tokens carry no bigrams and
-    * are absent from the result. */
-  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * engine-replayable.
+    *
+    * Plan (skew-safe, the [[unigramLogProb]] shape lifted to pairs): the
+    * bigram explode pre-aggregates to distinct (doc, p, c, n) rows (an
+    * unskewed doc-keyed exchange); the pair and context count tables are
+    * derived FROM that reduced table (map-side combined — the skewed
+    * keys collapse to one row per map task before the exchange); the
+    * per-pair micro value is assembled on the bigram-vocabulary-sized
+    * pair⋈context join (bounded by vocabulary, never corpus); and the
+    * join back to the corpus is [[Skew.hotColdJoin]] on (p, c) weighted
+    * by corpus pair frequency — hot pairs like "of the" broadcast, only
+    * the near-uniform tail shuffles. Docs with fewer than two tokens
+    * carry no bigrams and are absent from the result. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      hotK: Int = 4096): DataFrame = {
     val withToks = df
       .select(col(idCol), tokens(col(textCol)).as("_w"))
       .filter(size(col("_w")) >= 2)
-    val bi = withToks
+    val docBi = withToks
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(_w) - 1), " +
           "i -> named_struct('p', element_at(_w, i), 'c', element_at(_w, i + 1)))"))
         .as("_b"))
       .select(col(idCol), col("_b.p").as("p"), col("_b.c").as("c"))
-    val pairCnt = bi.groupBy(col("p"), col("c")).agg(count(lit(1)).as("cpc"))
-    val ctxCnt = bi.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+      .groupBy(col(idCol), col("p"), col("c")).agg(count(lit(1)).as("_n"))
+    val pairCnt = docBi.groupBy(col("p"), col("c")).agg(sum(col("_n")).as("cpc"))
+    val ctxCnt = pairCnt.groupBy(col("p")).agg(sum(col("cpc")).as("cp"))
     // V over the FULL corpus (single-token docs still contribute
     // vocabulary even though they carry no bigrams)
     val vocab = df
       .select(explode(tokens(col(textCol))).as("t"))
       .filter(length(col("t")) > 0)
       .agg(countDistinct(col("t")).as("v"))
-    bi.join(pairCnt, Seq("p", "c")).join(ctxCnt, Seq("p"))
+    val pairMicro = pairCnt.join(ctxCnt, Seq("p"))
       .crossJoin(broadcast(vocab))
       .withColumn("_micro",
         round(log((col("cpc") + 1).cast("double") /
           (col("cp") + col("v")).cast("double")) * 1e6d).cast("long"))
+      .select(col("p"), col("c"), col("cpc"), col("_micro"))
+    Skew.hotColdJoin(docBi, pairMicro, Seq("p", "c"), col("cpc"), hotK)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("_micro")).as("sum_micro_nats"))
+      .agg(sum(col("_n")).as("n_bigrams"),
+        sum(col("_n") * col("_micro")).as("sum_micro_nats"))
       .withColumn("avg_logprob",
         round(col("sum_micro_nats").cast("double") /
           (col("n_bigrams").cast("double") * 1e6d), 6))

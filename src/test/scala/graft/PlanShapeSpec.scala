@@ -443,6 +443,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q78/q102/q117/q125: LM token joins are hot/cold — corpus pre-aggregated, hot tokens broadcast") {
+    // the Zipf-skew fix: the exploded token stream must (a) collapse to
+    // distinct (group, token, n) rows BEFORE any join — a multi-key
+    // HashAggregate — and (b) reach the vocabulary table through a
+    // broadcast (hot) join, so the corpus never hash-partitions on the
+    // skewed bare-token key
+    val grpKey = Map(
+      "q78_unigram_logprob" -> "doc_id",
+      "q102_bigram_logprob" -> "doc_id",
+      "q117_dsir_selection" -> "doc_id",
+      "q125_doremi_mixture" -> "source")
+    grpKey.foreach { case (q, grp) =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: hot tokens must broadcast:\n${p.take(1200)}")
+      val pre = (raw"HashAggregate\(keys=\[$grp#\d+L?, ").r
+      assert(pre.findFirstIn(p).isDefined,
+        s"$q: corpus must pre-aggregate to (group, token, n) before any join:\n${p.take(1500)}")
+    }
+  }
+
   test("q154: A/B readout is grouped moments + 1-row joins only") {
     val p = plan("q154_ab_ttest")
     assert(p.contains("HashAggregate"))

@@ -32,6 +32,38 @@ class SkewSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("hotColdJoin equals the plain join row-for-row") {
+    val lookup = skewed().groupBy($"key").agg(count(lit(1)).as("cnt"))
+    val expected = skewed().join(lookup, "key")
+      .select("key", "v", "cnt").collect().toSet
+    for (hotK <- Seq(1, 2, 1000)) {
+      val got = Skew.hotColdJoin(skewed(), lookup, Seq("key"), $"cnt", hotK)
+        .select("key", "v", "cnt").collect().toSet
+      assert(got == expected, s"hotK=$hotK")
+    }
+  }
+
+  test("hotColdJoin routes the skewed key through the broadcast side") {
+    val lookup = skewed().groupBy($"key").agg(count(lit(1)).as("cnt"))
+    val out = Skew.hotColdJoin(skewed(), lookup, Seq("key"), $"cnt", hotK = 1)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the cold tail ("hot" is in the top-1 set, so only k901..k1000 shuffle)
+    val cold = Skew.hotColdJoin(skewed(), lookup, Seq("key"), $"cnt", hotK = 1)
+    assert(cold.filter($"key" === "hot").count() == 900)
+  }
+
+  test("hotColdJoin with composite keys") {
+    val left = Seq(("a", "x", 1L), ("a", "x", 2L), ("b", "y", 3L))
+      .toDF("k1", "k2", "v")
+    val lookup = left.groupBy($"k1", $"k2").agg(count(lit(1)).as("cnt"))
+    val expected = left.join(lookup, Seq("k1", "k2")).collect().toSet
+    val got = Skew.hotColdJoin(left, lookup, Seq("k1", "k2"), $"cnt", 1)
+      .collect().toSet
+    assert(got == expected)
+  }
+
   test("salt actually spreads the hot key across groups") {
     val partials = skewed()
       .withColumn("_salt", pmod(hash($"v"), lit(8)))
