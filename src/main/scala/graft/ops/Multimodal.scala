@@ -107,34 +107,64 @@ object Multimodal {
 
   /** Media near-duplicate candidates by perceptual hash
     * ([[graft.expr.MediaKernel.avgHash64]] — the average-hash family used
-    * for image near-dup): 64-bit payload fingerprint → 4 bands × 16 bits
-    * → banded equi-join → exact Hamming verify on the candidates. The
-    * media twin of SimHash text dedup: identical payloads collide on all
-    * bands; byte-level perturbations that leave most regions' relative
-    * brightness unchanged still collide on some band.
+    * for image near-dup): 64-bit payload fingerprint → Manku-style
+    * block-combination banding (Manku, Jain & Das Sarma 2007, "Detecting
+    * Near-Duplicates for Web Crawling") → banded equi-join → exact
+    * Hamming verify on the candidates. The media twin of SimHash text
+    * dedup: identical payloads collide on all bands; byte-level
+    * perturbations that leave most regions' relative brightness unchanged
+    * still collide on some band.
     *
-    * Completeness: with 4 bands, any pair within Hamming distance 3 has
-    * at least one identical band (pigeonhole), so candidate generation
-    * is COMPLETE for `maxHamming` ≤ 3 — enforced.
+    * Banding: the 64 bits split into 6 blocks (11,11,11,11,10,10); each
+    * of the C(6,3) = 20 three-block combinations forms one band whose key
+    * concatenates the three block values (≥ 32 bits). A pair within
+    * Hamming distance 3 has its differing bits in at most 3 blocks, so at
+    * least 3 blocks agree and some combination matches all three —
+    * pigeonhole-COMPLETE for `maxHamming` ≤ 3 (enforced). A simpler
+    * 4 × 16-bit scheme is also complete, but its random band collisions
+    * grow as 4·N²/2¹⁷ — at N = 10⁹ images that is ~10¹³ spurious
+    * candidate pairs before the verify. With ≥ 32-bit keys the random
+    * collision mass is 20·N²/2³³ ≈ 10⁶× smaller: the banding stays
+    * billion-image-safe at the cost of 20 rather than 4 explode rows per
+    * image (8-byte hashes, not payloads).
     *
     * Scale: the fingerprint is a map-only codegen expression (payloads
     * never shuffle — only 8-byte hashes move); candidates come from an
     * equi-join on (band, key), never an all-pairs compare; the Hamming
     * filter runs BEFORE the distinct exchange so sub-threshold band
     * collisions never shuffle. */
+  /** The 3-of-6-block banding of a (id, phash) frame: 20 (band, key)
+    * rows per hash, key = the three block values packed disjointly
+    * (shifts 22/11, blocks ≤ 11 bits — injective). Exposed at package
+    * scope so the candidate-mass spec can count raw band collisions. */
+  private[ops] def phashBands(hashes: DataFrame, idCol: String): DataFrame = {
+    // block i = sizes(i) bits of the hash starting at offs(i); the mask
+    // also clears shiftright's sign extension for the top block
+    val sizes = Seq(11, 11, 11, 11, 10, 10)
+    val offs = sizes.scanLeft(0)(_ + _)
+    def block(i: Int) =
+      shiftright(col("phash"), offs(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
+    val bandStructs = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
+      case (c, idx) =>
+        struct(lit(idx).as("band"),
+          (block(c(0)) * lit(1L << 22) + block(c(1)) * lit(1L << 11) +
+            block(c(2))).as("key"))
+    }
+    hashes
+      .select(col(idCol), col("phash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   def phashNearDup(df: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming must be in [0, 3] for complete 4-band candidates, got $maxHamming")
+      s"maxHamming must be in [0, 3] for complete 3-of-6-block candidates, got $maxHamming")
     val hashes = df
       .select(col(idCol), graft.expr.MediaKernel.avgHash64Col(col(payloadCol)).as("phash"))
       .filter(col("phash").isNotNull)
-    val banded = hashes
-      .select(col(idCol), col("phash"), explode(expr(
-        "transform(sequence(0, 3), b -> named_struct(" +
-          "'band', b, 'key', shiftright(phash, b * 16) & 65535))")).as("bk"))
-      .select(col(idCol), col("phash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = phashBands(hashes, idCol)
     val lhs = banded.select(col(idCol).as("a_id"), col("phash").as("a_hash"),
       col("band"), col("key"))
     val rhs = banded.select(col(idCol).as("b_id"), col("phash").as("b_hash"),

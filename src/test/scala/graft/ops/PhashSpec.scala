@@ -85,6 +85,40 @@ class PhashSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("random hashes produce essentially no band collisions (billion-image safety)") {
+    // the point of the 3-of-6-block scheme: a RANDOM pair collides on
+    // some band with p ≈ 20·2⁻³³, so spurious candidates stay ~0 even
+    // for large N (the old 4×16-bit scheme expects ≈ 4·N²/2¹⁷ — for
+    // this N=2000 corpus that is ~122 spurious pairs; here we demand 0)
+    val rnd = new scala.util.Random(42)
+    val hashes = (0 until 2000).map(i => (i.toLong, rnd.nextLong()))
+      .toDF("doc_id", "phash")
+    val banded = Multimodal.phashBands(hashes, "doc_id")
+    val lhs = banded.select($"doc_id".as("a"), $"band", $"key")
+    val rhs = banded.select($"doc_id".as("b"), $"band", $"key")
+    val collisions = lhs.join(rhs, Seq("band", "key"))
+      .filter($"a" < $"b").count()
+    assert(collisions == 0L, s"expected no spurious band collisions, got $collisions")
+  }
+
+  test("band keys pack the three blocks injectively") {
+    // hashes that differ ONLY inside one block must disagree on every
+    // band containing that block and agree on every band excluding it
+    val base = 0x0123456789abcdefL
+    val tweaked = base ^ (7L << 44) // flip bits inside block 4 only
+    val df = Seq((0L, base), (1L, tweaked)).toDF("doc_id", "phash")
+    val bands = Multimodal.phashBands(df, "doc_id")
+      .select($"doc_id", $"band", $"key")
+      .as[(Long, Int, Long)].collect()
+    val byBand = bands.groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._3).toMap)
+    val combos = (0 until 6).combinations(3).toSeq.zipWithIndex
+    combos.foreach { case (c, idx) =>
+      val agree = byBand(idx)(0L) == byBand(idx)(1L)
+      assert(agree == !c.contains(4),
+        s"band $idx (blocks $c): agreement should be ${!c.contains(4)}")
+    }
+  }
+
   test("invalid maxHamming rejected") {
     val docs = Seq((1L, "x")).toDF("doc_id", "s")
       .select($"doc_id", $"s".cast("binary").as("payload"))
