@@ -809,19 +809,29 @@ object PipelineQueries {
     * assignment is a map-only comparison count. Value-based buckets
     * (ties share a bucket), which is what curriculum schedules actually
     * want; the DuckDB oracle replays the sketch bit-for-bit, same as
-    * q75. */
+    * q75.
+    *
+    * All three passes (extent, bin counts, final bucket stats) read ONLY
+    * `n_chars`, so that one-column projection is materialized once via
+    * an eager localCheckpoint (the q97 idiom; the ExactRank/madOutliers
+    * cached-base pattern) — the parquet scan runs once instead of three
+    * times, and the sketch passes read executor-local longs. At 100 TB
+    * the checkpoint is a compact single column spread over the cluster —
+    * strictly cheaper than two extra pruned corpus scans. */
   def lengthCurriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val nchars = Tables.documents(s, dir).select($"n_chars")
+      .localCheckpoint(true)
     val deciles = graft.ops.HistogramQuantile.quantiles(
-      Tables.documents(s, dir).select($"n_chars").withColumn("_g", lit(1)),
+      nchars.withColumn("_g", lit(1)),
       "_g", "n_chars", (1 to 9).map(_ / 10.0d))
     // 9 (p, est) rows -> one ordered bounds array, still on executors
     val bounds = deciles.agg(
       transform(array_sort(collect_list(struct($"p", $"est"))),
         x => x("est")).as("bs"))
-    Tables.documents(s, dir)
+    nchars
       .crossJoin(broadcast(bounds))
-      .select($"doc_id", $"n_chars",
+      .select($"n_chars",
         (size(filter($"bs", b => $"n_chars" > b)) + 1).cast("long").as("bucket"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_docs"),

@@ -55,20 +55,23 @@ object HistogramQuantile {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = binned.withColumn("_cumBefore", coalesce(sum(col("_c")).over(w), lit(0L)))
 
-    qs.map { p =>
-      // target rank ceil(p*n); the bucket where cum crosses it holds the
-      // quantile; interpolate linearly inside it
-      val needed = ceil(lit(p) * col("_n")).cast("long")
-      cum
-        .filter(col("_cumBefore") < needed && needed <= col("_cumBefore") + col("_c"))
-        .withColumn("_width", (col("_hi") - col("_lo")) / bins)
-        .withColumn("p", lit(p))
-        .withColumn("est", round(
-          when(col("_hi") === col("_lo"), col("_lo")).otherwise(
-            col("_lo") + col("_width") *
-              (col("_bin") + (needed - col("_cumBefore")).cast("double") / col("_c"))),
-          6))
-        .select(g, col("p"), col("est"), col("_n").as("n"))
-    }.reduce(_ unionByName _)
+    // ONE plan branch for all requested quantiles: explode the (tiny)
+    // quantile list against the (group × bins) rows and keep the row
+    // whose cumulative count crosses rank ceil(p·n) — identical math to
+    // a per-p filter, without q plan branches each re-walking the
+    // histogram lineage (at 9 deciles that was 9 unioned subtrees)
+    cum
+      .select(col("*"), explode(array(qs.map(lit): _*)).as("p"))
+      .withColumn("_needed", ceil(col("p") * col("_n")).cast("long"))
+      .filter(col("_cumBefore") < col("_needed") &&
+        col("_needed") <= col("_cumBefore") + col("_c"))
+      .withColumn("_width", (col("_hi") - col("_lo")) / bins)
+      .withColumn("est", round(
+        when(col("_hi") === col("_lo"), col("_lo")).otherwise(
+          col("_lo") + col("_width") *
+            (col("_bin") +
+              (col("_needed") - col("_cumBefore")).cast("double") / col("_c"))),
+        6))
+      .select(g, col("p"), col("est"), col("_n").as("n"))
   }
 }
