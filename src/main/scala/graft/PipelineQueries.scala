@@ -2901,10 +2901,12 @@ object PipelineQueries {
          |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
          |  FROM xy GROUP BY lang)
          |SELECT lang, n_types,
-         |  ROUND((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |  CASE WHEN CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+         |  ELSE ROUND((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) -
          |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
          |        (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) -
-         |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+         |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS zipf_slope
          |FROM s ORDER BY lang""".stripMargin,
 
     "q132_lexical_diversity" ->
@@ -2921,9 +2923,11 @@ object PipelineQueries {
          |    FROM t) GROUP BY source)
          |SELECT u.source, u.n_tokens, u.n_types,
          |  ROUND(CAST(u.n_types AS DOUBLE) / u.n_tokens, 6) AS ttr,
-         |  b.n_bigrams, b.n_bigram_types,
-         |  ROUND(CAST(b.n_bigram_types AS DOUBLE) / b.n_bigrams, 6) AS distinct2
-         |FROM uni u JOIN bi b USING (source) ORDER BY u.source""".stripMargin,
+         |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(b.n_bigram_types, 0) AS n_bigram_types,
+         |  CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN NULL
+         |  ELSE ROUND(CAST(b.n_bigram_types AS DOUBLE) / b.n_bigrams, 6) END AS distinct2
+         |FROM uni u LEFT JOIN bi b USING (source) ORDER BY u.source""".stripMargin,
 
     "q133_vocab_overlap" -> {
       val P = graft.expr.DedupKernel.P
@@ -3095,8 +3099,11 @@ object PipelineQueries {
            |  GROUP BY pr),
            |b$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
            |w$i AS (
-           |  SELECT replace(sym, (SELECT pr FROM b$i),
-           |    replace((SELECT pr FROM b$i), ' ', '')) AS sym, freq
+           |  SELECT trim(replace(replace(
+           |      ' ' || replace(sym, ' ', '  ') || ' ',
+           |      ' ' || replace((SELECT pr FROM b$i), ' ', '  ') || ' ',
+           |      ' ' || replace((SELECT pr FROM b$i), ' ', '') || ' '),
+           |    '  ', ' ')) AS sym, freq
            |  FROM w${i - 1})""".stripMargin
       }.mkString(",\n")
       val finals = (1 to 5).map { i =>
@@ -3124,8 +3131,11 @@ object PipelineQueries {
            |  GROUP BY pr),
            |b$i AS (SELECT pr FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
            |w$i AS (
-           |  SELECT w, replace(sym, (SELECT pr FROM b$i),
-           |    replace((SELECT pr FROM b$i), ' ', '')) AS sym, freq
+           |  SELECT w, trim(replace(replace(
+           |      ' ' || replace(sym, ' ', '  ') || ' ',
+           |      ' ' || replace((SELECT pr FROM b$i), ' ', '  ') || ' ',
+           |      ' ' || replace((SELECT pr FROM b$i), ' ', '') || ' '),
+           |    '  ', ' ')) AS sym, freq
            |  FROM w${i - 1})""".stripMargin
       }.mkString(",\n")
       s"""WITH wl AS (
@@ -3229,10 +3239,15 @@ object PipelineQueries {
         |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "q144_table_checksum" -> {
-      def ck(table: String, cols: Seq[String]): String =
+      // injective rendering, mirroring Integrity.tableChecksum: escape
+      // '\' and '|', tag NULL as '\N' (unreachable by any escaped value)
+      def ck(table: String, cols: Seq[String]): String = {
+        val rendered = cols.map(c =>
+          s"coalesce(replace(replace(CAST($c AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')")
         s"""SELECT '$table' AS table_name, COUNT(*) AS n_rows,
-           |  CAST(CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|', ${cols.mkString(", ")})), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+           |  CAST(CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|', ${rendered.mkString(", ")})), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
            |FROM $table""".stripMargin
+      }
       s"""${ck("documents", Seq("doc_id", "lang", "source", "n_chars", "text"))}
          |UNION ALL
          |${ck("nation", Seq("n_nationkey", "n_name", "n_regionkey"))}

@@ -16,14 +16,32 @@ import org.apache.spark.sql.functions._
   *
   * Columns must render identically across engines: integers, strings,
   * and DECIMALs are safe; raw DOUBLEs are not (cast them to DECIMAL
-  * first) — enforced at the call site by listing columns explicitly. */
+  * first) — enforced at the call site by listing columns explicitly.
+  *
+  * The row rendering is INJECTIVE, not just a join: a naive
+  * `concat_ws('|', ...)` skips NULLs entirely — ('a', NULL, 'b') and
+  * ('a', 'b', NULL) render identically — and a value containing the
+  * delimiter aliases column boundaries (('a|b','c') vs ('a','b|c')),
+  * so two genuinely different replicas could produce EQUAL checksums.
+  * Each column is therefore escaped ('\' → '\\', '|' → '\|') and NULL
+  * is rendered as the tag '\N', which no escaped value can collide
+  * with — all literal left-to-right replaces, replayed identically by
+  * the DuckDB oracle. */
 object Integrity {
 
   /** (table_name, n_rows, checksum-as-string) for one table. */
   def tableChecksum(df: DataFrame, name: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    val rendered = cols.map { c =>
+      coalesce(
+        call_function("replace",
+          call_function("replace", col(c).cast("string"),
+            lit("\\"), lit("\\\\")),
+          lit("|"), lit("\\|")),
+        lit("\\N"))
+    }
     val rowHash = conv(substring(
-        md5(concat_ws("|", cols.map(col): _*)), 1, 15), 16, 10)
+        md5(concat_ws("|", rendered: _*)), 1, 15), 16, 10)
       .cast("decimal(38,0)")
     df.select(rowHash.as("_h"))
       .agg(count(lit(1)).as("n_rows"),

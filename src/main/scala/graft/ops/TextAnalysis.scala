@@ -562,11 +562,17 @@ object TextAnalysis {
         sum((col("x") * col("y")).cast("decimal(38,12)")).as("_sxy"),
         sum((col("x") * col("x")).cast("decimal(38,12)")).as("_sxx"))
       .select(col(groupCol), col("n_types"),
-        round(
+        // a one-type group has x ≡ 0, so the denominator degenerates to
+        // 0 and the slope is undefined — emit NULL, not 0/0 = NaN
+        when(
+          col("n_types").cast("double") * col("_sxx").cast("double") -
+            col("_sx").cast("double") * col("_sx").cast("double") === 0d,
+          lit(null).cast("double"))
+        .otherwise(round(
           (col("n_types").cast("double") * col("_sxy").cast("double") -
             col("_sx").cast("double") * col("_sy").cast("double")) /
           (col("n_types").cast("double") * col("_sxx").cast("double") -
-            col("_sx").cast("double") * col("_sx").cast("double")), 6)
+            col("_sx").cast("double") * col("_sx").cast("double")), 6))
           .as("zipf_slope"))
   }
 
@@ -592,12 +598,19 @@ object TextAnalysis {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_bigrams"),
         countDistinct(col("g")).as("n_bigram_types"))
-    uni.join(bi, Seq(groupCol))
+    // LEFT join: a group whose documents are all single-token has no
+    // bigrams anywhere — it must still report (n_bigrams = 0, distinct2
+    // = NULL), not silently vanish ("maximally repetitive" and "absent"
+    // are different answers)
+    uni.join(bi, Seq(groupCol), "left")
       .select(col(groupCol), col("n_tokens"), col("n_types"),
         round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
           .as("ttr"),
-        col("n_bigrams"), col("n_bigram_types"),
-        round(col("n_bigram_types").cast("double") / col("n_bigrams").cast("double"), 6)
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_bigram_types"), lit(0L)).as("n_bigram_types"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_bigram_types").cast("double") / col("n_bigrams").cast("double"), 6))
           .as("distinct2"))
   }
 
@@ -662,16 +675,28 @@ object TextAnalysis {
     * corpus is touched ONCE (word-frequency count, map-side combined);
     * every merge round then runs on the VOCABULARY-sized symbol table —
     * adjacent-pair counts weighted by word frequency, argmax pair
-    * (count desc, pair asc), merge applied as a left-to-right
-    * non-overlapping string replace (the exact BPE application rule,
-    * identical in any engine's `replace`). Words are held as
+    * (count desc, pair asc), merge applied as a BOUNDARY-ANCHORED
+    * left-to-right non-overlapping replace (see [[bpeApply]] — a bare
+    * `replace(sym, "b c", "bc")` would also match across symbol
+    * boundaries once multi-char symbols exist, e.g. inside "ab c",
+    * silently minting the bogus symbol "abc"). Words are held as
     * space-separated symbol strings; symbols never contain spaces, so
     * the encoding is unambiguous.
     *
     * Returns one row per merge: (iter, pair, merged, cnt). The driver
-    * collects ONE row per round — bounded by `iters`, never data. */
+    * collects ONE row per round — bounded by `iters`, never data.
+    *
+    * Regime: each round is one Spark job plus an eager localCheckpoint
+    * of the vocabulary-sized word table — right for demonstration-scale
+    * vocab learning (tens of merges). Real 32k-merge tokenizer training
+    * would need rounds batched per job (compute the top-R
+    * non-interacting pairs per round); `iters` is capped to keep this
+    * implementation inside its intended regime. */
   def bpeMerges(df: DataFrame, textCol: String, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
+    require(iters <= 256,
+      s"iters = $iters: one driver round per merge is the demonstration " +
+        "regime; batch rounds per job before training real vocabularies")
     val spark = df.sparkSession
     import spark.implicits._
     var words = df.select(explode(tokens(col(textCol))).as("w"))
@@ -696,13 +721,32 @@ object TextAnalysis {
         val merged = pair.replace(" ", "")
         out += ((it.toLong, pair, merged, cnt))
         words = words
-          .select(call_function("replace",
-            col("sym"), lit(pair), lit(merged)).as("sym"), col("freq"))
+          .select(bpeApply(col("sym"), pair, merged).as("sym"), col("freq"))
           .localCheckpoint(true)
       }
     }
     out.toSeq.toDF("iter", "pair", "merged", "cnt")
   }
+
+  /** Boundary-anchored BPE merge application: replace the adjacent
+    * symbol pair `pair` ("a b") with `merged` ("ab") in the
+    * space-separated symbol string WITHOUT matching across symbol
+    * boundaries. RE2-style engines (the DuckDB oracle) lack lookaround,
+    * so anchoring uses the classic doubled-separator trick instead of
+    * `(?<= )…(?= )`: render boundaries as two spaces, match the pair
+    * with ONE flanking space on each side (consuming half of each
+    * doubled boundary, so consecutive occurrences like "a b a b" all
+    * merge), then collapse the ≤ 2-space runs back. Every step is a
+    * literal left-to-right non-overlapping `replace` — bit-identical in
+    * Spark and DuckDB. */
+  private[ops] def bpeApply(sym: Column, pair: String, merged: String): Column =
+    trim(call_function("replace",
+      call_function("replace",
+        concat(lit(" "),
+          call_function("replace", sym, lit(" "), lit("  ")), lit(" ")),
+        lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + merged + " ")),
+      lit("  "), lit(" ")))
 
   /** BPE ENCODING with a trained merge list ([[bpeMerges]]'s output):
     * applies the merges in training order to every distinct word (the
@@ -724,9 +768,7 @@ object TextAnalysis {
       .filter(length(col("w")) > 0)
       .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("freq"))
     val sym0 = trim(regexp_replace(col("w"), "(.)", "$1 "))
-    val symN = merges.foldLeft(sym0) { case (c, (p, m)) =>
-      call_function("replace", c, lit(p), lit(m))
-    }
+    val symN = merges.foldLeft(sym0) { case (c, (p, m)) => bpeApply(c, p, m) }
     byGroup
       .select(col(groupCol), col("freq"),
         size(split(symN, " ")).cast("long").as("n_syms"),

@@ -26,6 +26,59 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CurationIngest {
 
+  /** One micro-batch of the curated ingest — extracted from the
+    * foreachBatch closure so the replay-idempotence spec can drive it
+    * directly with a chosen batchId.
+    *
+    * Replay safety (the crash-between-index-write-and-checkpoint-commit
+    * case): the dedup index read EXCLUDES the current batch's own
+    * `batch=<batchId>` partition. Without that exclusion, a replayed
+    * batch finds its OWN fingerprints (written moments before the
+    * crash) already in the index, classifies every document as seen,
+    * and overwrites `outDir/batch=<id>` as EMPTY — permanently losing
+    * the batch while its fingerprints keep it from ever re-admitting.
+    * With the exclusion, a replay reproduces the original `fresh` set
+    * bit-for-bit and the overwrite rewrites identical files. Index
+    * existence is probed through the Hadoop FileSystem API (works on
+    * HDFS/S3, not just the driver-local filesystem), and only `batch=*`
+    * partition directories count — a bare directory left by a crashed
+    * first write reads as an empty index, not a schema-inference error. */
+  def processBatch(
+      batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      indexDir: String, outDir: String,
+      minWords: Int = 5): Unit = {
+    val spark = batch.sparkSession
+    val keep = TextAnalysis
+      .gopherRules(batch, idCol, textCol, minWords = minWords)
+      .filter(col("keep") === 1L)
+      .select(col(idCol))
+    val scrub = PiiScrub.scrub(batch.join(keep, idCol), idCol, textCol)
+      .select(col(idCol), col("redacted"),
+        (col("n_emails") + col("n_ips") + col("n_phones")).as("n_redacted"))
+    val fps = scrub.withColumn("_fp", Dedup.fingerprint(col("redacted")))
+    // deterministic within-batch representative: min id per fingerprint
+    val reps = fps.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+      .join(fps, Seq("_fp", idCol))
+    val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasIndex = fs.exists(indexPath) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(indexPath, "batch=*")).nonEmpty
+    val known =
+      if (hasIndex)
+        spark.read.parquet(indexDir)
+          .filter(col("batch") =!= batchId) // never dedup against ourself
+          .select(col("_fp"))
+      else spark.emptyDataFrame.select(lit("").as("_fp")).limit(0)
+    val fresh = reps.join(known, Seq("_fp"), "left_anti")
+      .localCheckpoint(true) // one pass feeds both sinks
+    fresh.select(col(idCol), col("redacted"), col("n_redacted"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    fresh.select(col("_fp"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    ()
+  }
+
   /** Start the curated ingest: docsStream(idCol, textCol) → quality
     * gate → PII-redacted text → never-seen-before docs appended under
     * `outDir/batch=<id>`, their fingerprints under `indexDir/batch=<id>`. */
@@ -42,29 +95,7 @@ object CurationIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val keep = TextAnalysis
-          .gopherRules(batch, idCol, textCol, minWords = minWords)
-          .filter(col("keep") === 1L)
-          .select(col(idCol))
-        val scrub = PiiScrub.scrub(batch.join(keep, idCol), idCol, textCol)
-          .select(col(idCol), col("redacted"),
-            (col("n_emails") + col("n_ips") + col("n_phones")).as("n_redacted"))
-        val fps = scrub.withColumn("_fp", Dedup.fingerprint(col("redacted")))
-        // deterministic within-batch representative: min id per fingerprint
-        val reps = fps.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
-          .join(fps, Seq("_fp", idCol))
-        val known =
-          if (new java.io.File(indexDir).exists())
-            spark.read.parquet(indexDir).select(col("_fp"))
-          else spark.emptyDataFrame.select(lit("").as("_fp")).limit(0)
-        val fresh = reps.join(known, Seq("_fp"), "left_anti")
-          .localCheckpoint(true) // one pass feeds both sinks
-        fresh.select(col(idCol), col("redacted"), col("n_redacted"))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        fresh.select(col("_fp"))
-          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        ()
+        processBatch(batch, batchId, idCol, textCol, indexDir, outDir, minWords)
       }
       .start()
 }

@@ -423,6 +423,41 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("bpeMerges never matches a pair across symbol boundaries") {
+    // crafted so the round-2 best pair "b c" occurs INSIDE the round-1
+    // symbol "ab" followed by "c": word "abc" is ["ab", "c"] after
+    // round 1, and a naive string replace of "b c" on "ab c" would mint
+    // the bogus symbol "abc" (the symbol ladder must instead keep
+    // "ab c" intact and merge only the true ["b", "c"] adjacency)
+    val df = (Seq.fill(2)("abc") ++ Seq.fill(3)("xbc") ++ Seq.fill(10)("ab"))
+      .toDF("text")
+    val got = TextAnalysis.bpeMerges(df, "text", iters = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // r1: (a b) 2+10=12 → ab; r2: (b c) 3 from xbc ONLY? no — "a b c"
+    // became "ab c" for abc(2) and "x b c"(3) kept b,c adjacent: (b c)
+    // counts 2+3=5 BEFORE r1; after r1 words are "ab c"(2), "x b c"(3),
+    // "ab"(10) → pairs (ab c)=2, (b c)=3, (x b)=3 → tie broken pair-asc
+    // to "b c" (3). Boundary-safe application touches ONLY "x b c".
+    assert(got.take(2) == Seq(
+      (1L, "a b", "ab", 12L),
+      (2L, "b c", "bc", 3L)), s"trajectory wrong: $got")
+    // r3 proves "ab c" survived un-merged: its (ab c) pair is still
+    // countable (2) against (x bc) (3) → best is (x bc)
+    assert(got(2) == ((3L, "x bc", "xbc", 3L)),
+      s"round 3 shows the boundary bug if (ab c) vanished: $got")
+    // and the encoder replays the same boundary-safe fold: abc → 2
+    // subwords (ab|c), xbc → 1 (xbc), ab → 1 → 2·2 + 3·1 + 10·1 = 17
+    val fert = TextAnalysis.bpeFertility(
+      df.select(lit("g").as("lang"), col("text")), "lang", "text", iters = 3)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(fert.head._3 == 17L, s"n_subwords wrong (boundary leak): $fert")
+  }
+
+  test("bpeMerges rejects out-of-regime iteration counts") {
+    val df = Seq("ab").toDF("text")
+    intercept[IllegalArgumentException](TextAnalysis.bpeMerges(df, "text", iters = 257))
+  }
+
   test("bpeFertility: merges shrink subword counts, hand-checked") {
     // corpus "abab cd" ×4: merges (a b)→ab (8), then (ab ab)→abab (4),
     // then (c d)→cd (4... tie with nothing else) — after 3 merges both
@@ -436,6 +471,28 @@ class TextAnalysisSpec extends SparkSpecBase {
       .as[(String, Long, Long, Double, Double)].collect().toSeq
     // abab → "ab ab" (2 syms), cd → "c d" (2 syms): 8 words, 16 subwords
     assert(one == Seq(("g1", 8L, 16L, 2.0, 1.5)), s"$one")
+  }
+
+  test("degenerate groups: bigram-less sources still report, one-type zipf is NULL") {
+    // source "solo": only single-token docs → NO bigrams anywhere; it
+    // must appear with n_bigrams = 0 and distinct2 NULL, not vanish
+    val df = Seq(("solo", "x"), ("solo", "y"), ("pair", "a b a b"))
+      .toDF("source", "text")
+    val ld = TextAnalysis.lexicalDiversity(df, "source", "text")
+      .as[(String, Long, Long, Double, Long, Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(ld.map(_._1) == Seq("pair", "solo"), s"group vanished: $ld")
+    val solo = ld(1)
+    assert(solo._5 == 0L && solo._6 == 0L && solo._7.isEmpty,
+      s"bigram-less group must report 0/0/NULL: $solo")
+    // one token type → zipf denominator 0 → NULL slope, never NaN
+    val zs = TextAnalysis.zipfSlope(
+      Seq(("mono", "aaa aaa aaa"), ("multi", "a a a b b c"))
+        .toDF("lang", "text"), "lang", "text")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(zs.head._1 == "mono" && zs.head._2 == 1L && zs.head._3.isEmpty,
+      s"one-type group must yield NULL slope: $zs")
+    assert(zs(1)._3.exists(v => !v.isNaN), s"multi-type slope must be real: $zs")
   }
 
   test("lexicalDiversity: hand-checked token and bigram counts") {

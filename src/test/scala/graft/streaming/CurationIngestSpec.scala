@@ -51,6 +51,35 @@ class CurationIngestSpec extends SparkSpecBase {
     assert(spark.read.parquet(ix).distinct().count() == 3L)
   }
 
+  test("a replayed micro-batch reproduces its output (crash between index write and checkpoint commit)") {
+    // the partial-failure window: the batch's fingerprints land in
+    // indexDir/batch=<id>, THEN the job dies before the streaming
+    // checkpoint commits — Structured Streaming re-runs the same batch
+    // id with the same data. The index read must exclude the batch's
+    // own partition, or the replay sees its own fingerprints, drops
+    // every doc, and overwrites the output partition as empty (docs
+    // permanently lost, never re-admittable).
+    val (ix, out, _) = dirs()
+    val b0 = Seq((1L, good), (2L, goodB)).toDF("doc_id", "text")
+    CurationIngest.processBatch(b0, 0L, "doc_id", "text", ix, out)
+    val first = spark.read.parquet(s"$out/batch=0")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(first.toSeq == Seq(1L, 2L))
+    // replay of the SAME batch id
+    CurationIngest.processBatch(b0, 0L, "doc_id", "text", ix, out)
+    val replay = spark.read.parquet(s"$out/batch=0")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(replay.toSeq == Seq(1L, 2L),
+      s"replay must reproduce the original batch, got ${replay.toSeq}")
+    // a LATER batch still dedups against batch 0's fingerprints
+    val b1 = Seq((3L, good), (4L, s"$goodB indeed")).toDF("doc_id", "text")
+    CurationIngest.processBatch(b1, 1L, "doc_id", "text", ix, out)
+    val second = spark.read.parquet(s"$out/batch=1")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(second.toSeq == Seq(4L),
+      s"cross-batch dedup must still hold after replay: ${second.toSeq}")
+  }
+
   test("curation ingest works on an empty first index (no prior state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
