@@ -222,15 +222,23 @@ object Similarity {
     * The candidate frame is RETRIEVAL-DEPTH-sized by construction (the
     * top-N of a ranker), so collecting it to the driver is bounded by a
     * config constant, never by data — the same driver-assembly contract
-    * as [[graft.ops.ExactRank]]. All comparisons use 6-dp-rounded
+    * as [[graft.ops.ExactRank]]. That contract is ENFORCED, not just
+    * documented: the collect is capped at `maxCandidates` rows (via a
+    * limit-probe, no extra count job) and a miswired caller that feeds
+    * a corpus-sized frame fails with a typed error instead of OOMing
+    * the driver — the [[graft.ops.Decontaminate]] ceiling discipline.
+    * All comparisons use 6-dp-rounded
     * cosines and scores (ties by ascending id), so the greedy trajectory
     * replays identically in any engine.
     *
     * `candidates`: (idCol, vecCol, relCol) with relCol the 6-dp-rounded
     * relevance. Returns (rank, idCol, relCol, mmr). */
   def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
-      relCol: String, k: Int, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+      relCol: String, k: Int, lambda: Double = 0.7, mu: Double = 0.3,
+      maxCandidates: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(maxCandidates >= k,
+      s"maxCandidates ($maxCandidates) must be >= k ($k)")
     val spark = candidates.sparkSession
     import spark.implicits._
     def r6(x: Double): Double =
@@ -244,8 +252,15 @@ object Similarity {
       }
       if (na == 0 || nb == 0) 0.0 else dp / (math.sqrt(na) * math.sqrt(nb))
     }
+    // limit-probe: never ship more than maxCandidates + 1 rows to the
+    // driver; one extra row is enough to prove the contract is broken
     val cands = candidates.select(col(idCol), col(vecCol), col(relCol))
+      .limit(maxCandidates + 1)
       .as[(Long, Array[Float], Double)].collect()
+    require(cands.length <= maxCandidates,
+      s"mmrRerank candidate frame exceeds maxCandidates = $maxCandidates " +
+        "rows — it must be a retrieval-depth top-N, not a corpus; raise " +
+        "maxCandidates only if the driver can genuinely hold the frame")
     require(cands.nonEmpty, "empty candidate set")
     val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]

@@ -156,6 +156,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.map(_._4) == got.map(_._4).sortBy(-(_: Double)))
   }
 
+  test("mmrRerank fails loudly (typed, not OOM) on an over-sized candidate frame") {
+    val df = (0L until 30L).map(i => (i, vec(i.toInt, 16), (100 - i).toDouble / 100))
+      .toDF("vec_id", "embedding", "rel")
+    val e = intercept[IllegalArgumentException](
+      Similarity.mmrRerank(df, "vec_id", "embedding", "rel", k = 3,
+        maxCandidates = 20))
+    assert(e.getMessage.contains("maxCandidates"), e.getMessage)
+    // within the ceiling the result is unchanged by the probe limit
+    val ok = Similarity.mmrRerank(df, "vec_id", "embedding", "rel", k = 3,
+      maxCandidates = 30)
+    assert(ok.count() == 3L)
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(df, "vec_id", "embedding", "rel", k = 5,
+        maxCandidates = 4)) // maxCandidates < k is a caller bug
+  }
+
   test("mmrRerank caps at the candidate count and is deterministic") {
     val df = (0L until 12L).map(i => (i, vec(i.toInt, 16), (100 - i).toDouble / 100))
       .toDF("vec_id", "embedding", "rel")
