@@ -45,7 +45,11 @@ object DumpPlans {
     "q124_quality_classifier" -> "quality filter: one-pass feature kernel, O(buckets) model table broadcast, one doc-keyed agg",
     "q126_phash_neardup"   -> "phash media dedup: codegen fingerprint (payloads never shuffle), band equi-join, Hamming verify before distinct",
     "q129_source_cap"      -> "per-domain cap: rank filter compiles to WindowGroupLimit — partial top-k per partition before the exchange",
-    "q131_zipf_slope"      -> "zipf fit: (lang, tk) explode into map-side-combined counts; regression sums over the vocab-sized frame only")
+    "q131_zipf_slope"      -> "zipf fit: (lang, tk) explode into map-side-combined counts; regression sums over the vocab-sized frame only",
+    "q125_doremi_mixture"  -> "DoReMi weights: (domain, token, n) pre-aggregate, hot tokens BROADCAST via hotColdJoin — the corpus never hash-partitions on the zipf-skewed token key",
+    "q78_unigram_logprob"  -> "unigram LM scoring: doc-keyed pre-aggregate + hot/cold vocab join (broadcast head, shuffled near-uniform tail)",
+    "q143_scd2_merge"      -> "SCD2: ONE full-outer join of the open slice vs the deduped batch; history untouched, all routing map-only",
+    "q150_rendezvous_shards" -> "rendezvous sharding: per-partition WindowGroupLimit argmax before the exchange — no all-shards fan-out survives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -464,6 +464,49 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q143: SCD2 merge is one logical key-equi merge join, no cross products") {
+    // logically ONE full-outer join of open slice vs batch; Catalyst's
+    // outer-join elimination specializes it per routing branch (each
+    // union arm's filter implies one side), so physically up to three
+    // key-equi outer joins appear — never more, and never a cartesian
+    val p = plan("q143_scd2_merge")
+    val joins = ("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|" +
+      "CartesianProduct|BroadcastNestedLoopJoin").r.findAllIn(p).size
+    assert(joins <= 3, s"expected <= 3 specialized merge joins, got $joins:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the merge must stay key-equi:\n${p.take(1500)}")
+  }
+
+  test("q138/q139: BPE training drives a BOUNDED number of jobs per merge round") {
+    // the driver loop's scale contract: each round costs O(1) jobs
+    // (pair-count argmax + the word-table checkpoint), independent of
+    // corpus size — 5 rounds must stay within a small fixed budget
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      import spark.implicits._
+      val docs = Seq.fill(8)("the quick brown fox and the lazy dog").toDF("text")
+      graft.ops.TextAnalysis.bpeMerges(docs, "text", iters = 5).collect()
+      // listener bus is async: poll to quiescence
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      val perRoundBudget = 4 * 5 + 6 // 4 jobs/round ceiling + setup slack
+      assert(jobs.get() > 0 && jobs.get() <= perRoundBudget,
+        s"BPE must stay within ~4 jobs per round, saw ${jobs.get()} for 5 rounds")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("q154: A/B readout is grouped moments + 1-row joins only") {
     val p = plan("q154_ab_ttest")
     assert(p.contains("HashAggregate"))
