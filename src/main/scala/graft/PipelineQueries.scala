@@ -1009,6 +1009,25 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q157: interpolated Kneser-Ney bigram scoring
+    * ([[TextAnalysis.knBigramLogProb]], D = 0.75) — the smoothing real
+    * n-gram LMs ship with; continuation counts replace raw frequency so
+    * always-same-context tokens stop inflating estimates. Same doc-level
+    * output shape as q102, so the two smoothing rungs are directly
+    * comparable per document. */
+  def knBigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.knBigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** q158: dedup-threshold sweep ([[Dedup.thresholdSweep]]) — candidate
+    * pairs per estimated-Jaccard band plus the cumulative "pairs merged
+    * at threshold t" curve, the knob-choosing readout a corpus owner
+    * runs before committing to a dedup threshold. */
+  def dedupSweep(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.thresholdSweep(Tables.documents(s, dir), "doc_id", "text")
+
   /** Directed containment near-dup pairs ([[Dedup.containmentPairs]]):
     * docs whose 3-shingle set is ≥70% contained in another doc's —
     * the quote/subset-duplicate signal Jaccard under-reports. */
@@ -1529,7 +1548,9 @@ object PipelineQueries {
     "q149_mixture_budget" -> (mixtureBudgetPlan _),
     "q150_rendezvous_shards" -> (rendezvousRebalance _),
     "q151_lsh_recall"     -> (lshRecallAudit _),
-    "q153_bootstrap_ci"   -> (bootstrapCi _))
+    "q153_bootstrap_ci"   -> (bootstrapCi _),
+    "q157_kn_bigram"      -> (knBigramLogProb _),
+    "q158_dedup_sweep"    -> (dedupSweep _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3417,5 +3438,43 @@ object PipelineQueries {
         |  ROUND(CAST(s AS DOUBLE) / CAST(n_replicas AS DOUBLE), 6) AS mean_of_means,
         |  ROUND(SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
         |    CAST(n_replicas AS DOUBLE)) / CAST(n_replicas AS DOUBLE)), 6) AS sd_of_means
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+
+    "q157_kn_bigram" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+         |  WHERE len(string_split($norm, ' ')) >= 2),
+         |bi AS (
+         |  SELECT doc_id, b['p'] AS p, b['c'] AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(p := ws[i], c := ws[i + 1]))) AS b
+         |    FROM w)),
+         |pc AS (SELECT p, c, COUNT(*) AS cpc FROM bi GROUP BY 1, 2),
+         |cx AS (SELECT p, CAST(SUM(cpc) AS BIGINT) AS cp, COUNT(*) AS n1p FROM pc GROUP BY 1),
+         |ct AS (SELECT c, COUNT(*) AS n1m FROM pc GROUP BY 1),
+         |bt AS (SELECT COUNT(*) AS b FROM pc),
+         |m AS (
+         |  SELECT bi.doc_id,
+         |    CAST(round(ln((greatest(CAST(pc.cpc AS DOUBLE) - 0.75, CAST(0 AS DOUBLE)) +
+         |      0.75 * CAST(cx.n1p AS DOUBLE) * (CAST(ct.n1m AS DOUBLE) / CAST(bt.b AS DOUBLE))) /
+         |      CAST(cx.cp AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |  FROM bi JOIN pc USING (p, c) JOIN cx USING (p) JOIN ct USING (c), bt)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(micro) AS BIGINT) AS sum_micro_nats,
+         |  ROUND(CAST(SUM(micro) AS DOUBLE) /
+         |    (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q158_dedup_sweep" ->
+      s"""WITH ${minhashBandCtesFrom("documents")},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    CAST(len(list_filter(generate_series(1, 32), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 32 AS est
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |bl AS (SELECT least(floor(est * 10), 9) / 10.0 AS band_lo FROM cand),
+         |g AS (SELECT band_lo, COUNT(*) AS n_pairs FROM bl GROUP BY 1)
+         |SELECT band_lo, n_pairs,
+         |  CAST(SUM(n_pairs) OVER (ORDER BY band_lo DESC) AS BIGINT) AS cum_pairs
+         |FROM g ORDER BY band_lo""".stripMargin)
 }

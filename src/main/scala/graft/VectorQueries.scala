@@ -504,6 +504,53 @@ object VectorQueries {
       .orderBy($"q_id")
   }
 
+  /** q155: SEMANTIC decontamination ([[graft.ops.Decontaminate
+    * .semanticFlags]]) — the embedding-space complement of q77's n-gram
+    * gate: corpus vectors (vec_id ≥ 25) whose cosine to any "benchmark"
+    * vector (vec_id < 25, broadcast) reaches 0.3, with the closest eval
+    * id attributed. Catches paraphrased leakage that shares no 8-gram. */
+  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    graft.ops.Decontaminate.semanticFlags(
+        e.filter($"vec_id" >= 25).select($"vec_id", $"embedding"),
+        e.filter($"vec_id" < 25).select($"vec_id", $"embedding"),
+        "vec_id", "embedding", threshold = 0.3)
+      .orderBy($"vec_id")
+  }
+
+  /** q156: k-NN label-noise audit (Northcutt et al.'s confident-learning
+    * intuition in its cheapest deterministic form): each probe vector's
+    * label is compared against the majority label of its 5 exact cosine
+    * neighbors in the rest of the corpus; per-label agreement rates
+    * surface label noise / weak class geometry before anyone trains on
+    * the labels. Probes = vec_id < 50 (broadcast side); the corpus side
+    * is ONE broadcast cross join into a WindowGroupLimit top-5 — the
+    * q118/q152 shape; votes and the verdict are integer aggregates. */
+  def knnLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"label".as("q_label"))
+    val pool = e.filter($"vec_id" >= 50)
+      .select($"vec_id".as("n_id"), $"embedding", $"label".as("n_label"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    val top = pool.crossJoin(broadcast(probes))
+      .withColumn("sim", round(VectorExprs.cosine($"embedding", $"qv"), 6))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+    val vote = top.groupBy($"q_id", $"q_label", $"n_label")
+      .agg(count(lit(1)).as("n"))
+    val wv = Window.partitionBy($"q_id").orderBy($"n".desc, $"n_label".asc)
+    val pred = vote.withColumn("vr", row_number().over(wv)).filter($"vr" === 1)
+    pred.groupBy($"q_label")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when($"n_label" === $"q_label", 1L).otherwise(0L)).as("n_agree"))
+      .select($"q_label".as("label"), $"n_probes", $"n_agree",
+        round($"n_agree".cast("double") / $"n_probes".cast("double"), 6)
+          .as("agree_rate"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
@@ -522,7 +569,9 @@ object VectorQueries {
     "q107_ivf_pq"            -> (ivfPqTopK _),
     "q111_ivf_append"        -> (annIvfAppend _),
     "q118_margin_mining"     -> (marginMining _),
-    "q152_ivf_recall"        -> (ivfRecallAudit _))
+    "q152_ivf_recall"        -> (ivfRecallAudit _),
+    "q155_semantic_decon"    -> (semanticDecontaminate _),
+    "q156_knn_label_noise"   -> (knnLabelNoise _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -909,6 +958,44 @@ object VectorQueries {
         |FROM sm s JOIN xk USING (q_id) JOIN yk USING (n_id)
         |ORDER BY margin DESC, q_id, n_id
         |LIMIT 15""".stripMargin,
+    "q155_semantic_decon" ->
+      """WITH sims AS (
+        |  SELECT c.vec_id, e.vec_id AS eval_id,
+        |    ROUND(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) /
+        |      (SQRT(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))) *
+        |       SQRT(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM embeddings c, embeddings e, generate_series(1, 64) i(i)
+        |  WHERE c.vec_id >= 25 AND e.vec_id < 25
+        |  GROUP BY 1, 2),
+        |f AS (SELECT * FROM sims WHERE cos_sim >= 0.3),
+        |r AS (
+        |  SELECT f.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, eval_id) AS rn
+        |  FROM f)
+        |SELECT vec_id, eval_id, cos_sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q156_knn_label_noise" ->
+      """WITH sims AS (
+        |  SELECT p.vec_id AS q_id, p.label AS q_label, n.vec_id AS n_id, n.label AS n_label,
+        |    ROUND(SUM(CAST(n.embedding[i.i] AS DOUBLE) * CAST(p.embedding[i.i] AS DOUBLE)) /
+        |      (SQRT(SUM(CAST(n.embedding[i.i] AS DOUBLE) * CAST(n.embedding[i.i] AS DOUBLE))) *
+        |       SQRT(SUM(CAST(p.embedding[i.i] AS DOUBLE) * CAST(p.embedding[i.i] AS DOUBLE)))), 6) AS sim
+        |  FROM embeddings p, embeddings n, generate_series(1, 64) i(i)
+        |  WHERE p.vec_id < 50 AND n.vec_id >= 50
+        |  GROUP BY 1, 2, 3, 4),
+        |top AS (
+        |  SELECT q_id, q_label, n_label FROM (
+        |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |    FROM sims s)
+        |  WHERE rn <= 5),
+        |vote AS (SELECT q_id, q_label, n_label, COUNT(*) AS n FROM top GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT q_id, q_label, n_label AS pred_label FROM (
+        |    SELECT v.*, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n DESC, n_label) AS vr
+        |    FROM vote v)
+        |  WHERE vr = 1)
+        |SELECT q_label AS label, COUNT(*) AS n_probes,
+        |  CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  ROUND(CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS agree_rate
+        |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_ann_lsh" -> annLshOracle,
     "q52_ann_ivf" -> annIvfOracle,
     "q111_ivf_append" ->

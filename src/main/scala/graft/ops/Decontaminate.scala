@@ -194,4 +194,42 @@ object Decontaminate {
     docsStream.filter(!arrays_overlap(
       ngramSet(col(textCol), evalGrams.n),
       lit(evalGrams.grams.toArray)))
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram overlap check: flag corpus vectors whose rounded cosine to
+    * ANY eval-set vector reaches `threshold` (paraphrased or lightly
+    * rewritten benchmark leakage that shares no 8-gram but lands next to
+    * the eval item in embedding space). Returns one row per flagged
+    * corpus id: (idCol, eval_id, cos_sim) with eval_id the closest eval
+    * vector (ties → smallest id).
+    *
+    * Same regime as [[contamination]]: the EVAL side is benchmarks —
+    * bounded by construction and ENFORCED by `maxEvalVectors` (a cheap
+    * limit-probe count; violation is a typed error, not an executor
+    * OOM). Plan: ONE broadcast cross join (corpus × evals, the q118
+    * margin-mining shape) with the threshold filter applied BEFORE the
+    * per-corpus-row argmax, so the rank exchange carries only flagged
+    * rows; the argmax plans as WindowGroupLimit. The corpus never
+    * shuffles its vectors — only (id, eval_id, cos) survivors move. */
+  def semanticFlags(corpus: DataFrame, evals: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      maxEvalVectors: Int = 100000): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in (-1, 1], got $threshold")
+    require(maxEvalVectors > 0, s"maxEvalVectors must be positive")
+    val e = evals.select(col(idCol).as("eval_id"), col(vecCol).as("_ev"))
+    require(e.limit(maxEvalVectors + 1).count() <= maxEvalVectors,
+      s"eval set exceeds maxEvalVectors = $maxEvalVectors — the broadcast " +
+        "regime's premise (eval sets are benchmarks) no longer holds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("cos_sim").desc, col("eval_id").asc)
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(e))
+      .withColumn("cos_sim",
+        round(graft.expr.VectorExprs.cosine(col(vecCol), col("_ev")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("eval_id"), col("cos_sim"))
+  }
 }

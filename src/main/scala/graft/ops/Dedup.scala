@@ -168,6 +168,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Dedup-aggressiveness sweep: LSH candidate pairs bucketed by
+    * estimated-Jaccard band (0.0, 0.1, … 0.9) plus the cumulative
+    * "pairs that would merge if the threshold were set here" curve —
+    * the knob-choosing readout run BEFORE committing a corpus to a
+    * threshold (a 0.5 threshold that merges 40% of a web crawl and a
+    * 0.8 that merges 2% are different products; this shows the curve in
+    * one pass). Pairs come from the same banded equi-join as
+    * [[minHashCandidatesFromSigs]] with the threshold fully open, so
+    * every band collision is counted once; run
+    * [[bandingPlanEstimate]] (q148) first at corpus scale — an open
+    * threshold inherits the banding's full collision mass by design.
+    *
+    * Output: (band_lo, n_pairs, cum_pairs), cum_pairs = candidate pairs
+    * with est_jaccard ≥ band_lo. The window runs over ≤ 10 band rows —
+    * never data. */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
+    val cand = minHashCandidates(df, idCol, textCol, numHashes, bands, w,
+      threshold = 0.0)
+    cand
+      .select((least(floor(col("est_jaccard") * 10), lit(9L)) / lit(10.0d))
+        .as("band_lo"))
+      .groupBy(col("band_lo")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs",
+        sum(col("n_pairs")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("band_lo").desc)))
+      .orderBy(col("band_lo"))
+  }
+
   /** Banded MinHash signature index rows: (id, sig, band, bucket), one row
     * per (document, band) — the persistable corpus-side index for
     * incremental dedup. Build once over the corpus, write bucketed by

@@ -322,16 +322,7 @@ object TextAnalysis {
     * carry no bigrams and are absent from the result. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
       hotK: Int = 4096): DataFrame = {
-    val withToks = df
-      .select(col(idCol), tokens(col(textCol)).as("_w"))
-      .filter(size(col("_w")) >= 2)
-    val docBi = withToks
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(_w) - 1), " +
-          "i -> named_struct('p', element_at(_w, i), 'c', element_at(_w, i + 1)))"))
-        .as("_b"))
-      .select(col(idCol), col("_b.p").as("p"), col("_b.c").as("c"))
-      .groupBy(col(idCol), col("p"), col("c")).agg(count(lit(1)).as("_n"))
+    val docBi = docBigrams(df, idCol, textCol)
     val pairCnt = docBi.groupBy(col("p"), col("c")).agg(sum(col("_n")).as("cpc"))
     val ctxCnt = pairCnt.groupBy(col("p")).agg(sum(col("cpc")).as("cp"))
     // V over the FULL corpus (single-token docs still contribute
@@ -345,6 +336,73 @@ object TextAnalysis {
       .withColumn("_micro",
         round(log((col("cpc") + 1).cast("double") /
           (col("cp") + col("v")).cast("double")) * 1e6d).cast("long"))
+      .select(col("p"), col("c"), col("cpc"), col("_micro"))
+    Skew.hotColdJoin(docBi, pairMicro, Seq("p", "c"), col("cpc"), hotK)
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).as("n_bigrams"),
+        sum(col("_n") * col("_micro")).as("sum_micro_nats"))
+      .withColumn("avg_logprob",
+        round(col("sum_micro_nats").cast("double") /
+          (col("n_bigrams").cast("double") * 1e6d), 6))
+  }
+
+  /** Distinct (doc, predecessor, current, n) bigram rows — the shared
+    * pre-aggregate (unskewed doc-keyed exchange) that both bigram LMs
+    * join their count tables back onto. */
+  private def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_w) - 1), " +
+          "i -> named_struct('p', element_at(_w, i), 'c', element_at(_w, i + 1)))"))
+        .as("_b"))
+      .select(col(idCol), col("_b.p").as("p"), col("_b.c").as("c"))
+      .groupBy(col(idCol), col("p"), col("c")).agg(count(lit(1)).as("_n"))
+
+  /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; the
+    * interpolated fixed-discount form of Chen & Goodman 1999) — the
+    * smoothing real n-gram LMs ship with, one rung above add-one
+    * ([[bigramLogProb]]): continuation probability replaces raw unigram
+    * frequency, so "Francisco" (frequent but only ever after "San")
+    * stops inflating unseen-context estimates.
+    *
+    *   P(w|p) = (max(c(p,w) − D, 0) + D · N1+(p·) · Pcont(w)) / c(p·)
+    *   Pcont(w) = N1+(·w) / B
+    *
+    * with D = `discount`, N1+(p·) = distinct continuations of context p,
+    * N1+(·w) = distinct contexts preceding w, B = distinct bigram types.
+    * Every scored bigram exists in the corpus (c(p,w) ≥ 1), so the
+    * discounted term is positive and the log is defined.
+    *
+    * Determinism: all counts are exact integers from ONE pre-aggregated
+    * (doc, p, c, n) table; the probability is a fixed-shape double
+    * expression over those integers (identical operation order in the
+    * DuckDB oracle), micro-nat-quantized before the exact per-doc long
+    * sum — the q78 device.
+    *
+    * Plan: the q102 skew-safe shape — pair/context/continuation count
+    * tables all derive from the bigram-vocabulary-sized `pairCnt`
+    * (map-side combined), the per-pair micro value is assembled on
+    * vocab-sized joins plus a 1-row broadcast, and the corpus joins back
+    * through [[Skew.hotColdJoin]] on (p, c). */
+  def knBigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, hotK: Int = 4096): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must lie in (0, 1), got $discount")
+    val docBi = docBigrams(df, idCol, textCol)
+    val pairCnt = docBi.groupBy(col("p"), col("c")).agg(sum(col("_n")).as("cpc"))
+    val ctx = pairCnt.groupBy(col("p"))
+      .agg(sum(col("cpc")).as("cp"), count(lit(1)).as("n1p"))
+    val cont = pairCnt.groupBy(col("c")).agg(count(lit(1)).as("n1m"))
+    val btot = pairCnt.agg(count(lit(1)).as("b"))
+    val pairMicro = pairCnt.join(ctx, Seq("p")).join(cont, Seq("c"))
+      .crossJoin(broadcast(btot))
+      .withColumn("_micro",
+        round(log(
+          (greatest(col("cpc").cast("double") - lit(discount), lit(0.0d)) +
+            lit(discount) * col("n1p").cast("double") *
+              (col("n1m").cast("double") / col("b").cast("double"))) /
+          col("cp").cast("double")) * 1e6d).cast("long"))
       .select(col("p"), col("c"), col("cpc"), col("_micro"))
     Skew.hotColdJoin(docBi, pairMicro, Seq("p", "c"), col("cpc"), hotK)
       .groupBy(col(idCol))

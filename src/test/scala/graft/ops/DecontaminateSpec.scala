@@ -119,6 +119,31 @@ class DecontaminateSpec extends SparkSpecBase {
       .count() == 1L)
   }
 
+  test("semanticFlags: flags close vectors with closest-eval attribution, ignores distant ones") {
+    def v(xs: Float*) = xs.toArray.padTo(8, 0f)
+    val evals = Seq(
+      (100L, v(1f, 0f)),        // eval A
+      (101L, v(0f, 1f)))        // eval B
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(1f, 0.1f)),        // near eval A (cos ≈ 0.995)
+      (2L, v(0.1f, 1f)),        // near eval B
+      (3L, v(1f, 1f)),          // cos ≈ 0.707 to both → closest tie → smaller id
+      (4L, v(-1f, 0f)))         // opposite → never flagged
+      .toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticFlags(corpus, evals, "vec_id", "embedding",
+        threshold = 0.7)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 100L), (2L, 101L), (3L, 100L)),
+      s"flag set or attribution wrong: $got")
+    assert(got.forall(_._3 >= 0.7))
+    // the eval ceiling is a typed error, not an executor OOM
+    val e = intercept[IllegalArgumentException](
+      Decontaminate.semanticFlags(corpus, evals, "vec_id", "embedding",
+        threshold = 0.7, maxEvalVectors = 1))
+    assert(e.getMessage.contains("maxEvalVectors"), e.getMessage)
+  }
+
   test("contaminationBloom reports are identical to the broadcast path on real documents") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")

@@ -231,6 +231,30 @@ class DedupSpec extends SparkSpecBase {
     assert(got(1L) == ((2L, 9L, "yb")))
   }
 
+  test("thresholdSweep: band histogram + cumulative merge curve, hand-checked") {
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val near = same.replace("again and again", "again and often")
+    val far = "completely unrelated text with different words throughout here"
+    val docs = Seq((1L, same), (2L, same), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val got = Dedup.thresholdSweep(docs, "doc_id", "text")
+      .as[(Double, Long, Long)].collect().sortBy(_._1).toSeq
+    // identical pair (1,2) sits in the top band with est 1.0 → band 0.9
+    assert(got.last._1 == 0.9, s"identical pair must land in band 0.9: $got")
+    assert(got.last._2 >= 1L)
+    // cum_pairs is the pair count at est >= band_lo: non-increasing in
+    // band_lo, and the lowest band's cum equals the total pair count
+    val cums = got.map(_._3)
+    assert(cums == cums.sorted.reverse, s"cum must be non-increasing: $got")
+    assert(got.head._3 == got.map(_._2).sum, s"lowest band cum = total: $got")
+    // the sweep at open threshold contains every pair any positive
+    // threshold would keep
+    val at05 = Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.5)
+      .count()
+    assert(got.filter(_._1 >= 0.5).map(_._2).sum == at05,
+      s"bands >= 0.5 must sum to the 0.5-threshold candidate count: $got")
+  }
+
   test("prefix jaccard rejects τ outside (0, 1]") {
     intercept[IllegalArgumentException] {
       Dedup.prefixJaccardJoin(docs, "doc_id", "text", tauNum = 0, tauDen = 5)

@@ -473,6 +473,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(one == Seq(("g1", 8L, 16L, 2.0, 1.5)), s"$one")
   }
 
+  test("knBigramLogProb: hand-derived Kneser-Ney probabilities, exact micro-nat sums") {
+    // corpus: "a b" and "a b a c"
+    // pair counts: (a,b)=2, (b,a)=1, (a,c)=1 → B = 3 bigram types
+    // contexts: a: cp=3, n1p=2; b: cp=1, n1p=1
+    // continuations: ·b: 1, ·a: 1, ·c: 1
+    val df = Seq((1L, "a b"), (2L, "a b a c")).toDF("doc_id", "text")
+    val d = 0.75
+    def pkn(cpc: Long, cp: Long, n1p: Long, n1m: Long, b: Long): Double =
+      (math.max(cpc.toDouble - d, 0.0) + d * n1p * (n1m.toDouble / b)) / cp
+    def micro(p: Double): Long = // Spark round() is HALF_UP (away from zero)
+      BigDecimal(math.log(p) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val mAB = micro(pkn(2, 3, 2, 1, 3)) // P(b|a) = (1.25 + 0.5)/3
+    val mBA = micro(pkn(1, 1, 1, 1, 3)) // P(a|b) = (0.25 + 0.25)/1
+    val mAC = micro(pkn(1, 3, 2, 1, 3)) // P(c|a) = (0.25 + 0.5)/3
+    val got = TextAnalysis.knBigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 1L), (2L, 3L)))
+    assert(got(0)._3 == mAB, s"doc1 micro sum: ${got(0)} vs $mAB")
+    assert(got(1)._3 == mAB + mBA + mAC, s"doc2 micro sum: ${got(1)}")
+    assert(got(1)._4 ==
+      BigDecimal((mAB + mBA + mAC).toDouble / 3e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the discounted mass is interpolated, never negative: P(a|b) has
+    // cpc = 1 < 1/D so its discounted term is small but positive
+    assert(mBA == micro(0.5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.knBigramLogProb(df, "doc_id", "text", discount = 1.5))
+  }
+
   test("degenerate groups: bigram-less sources still report, one-type zipf is NULL") {
     // source "solo": only single-token docs → NO bigrams anywhere; it
     // must appear with n_bigrams = 0 and distinct2 NULL, not vanish
