@@ -1028,6 +1028,27 @@ object PipelineQueries {
   def dedupSweep(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.thresholdSweep(Tables.documents(s, dir), "doc_id", "text")
 
+  /** q159: character-entropy quality profile
+    * ([[TextAnalysis.charEntropy]]) — the information-density signal:
+    * templated text scores low, random gibberish high; both tails are
+    * curation flags. */
+  def charEntropyProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** q160: blocklist content gate ([[TextAnalysis.blocklistFilter]]) —
+    * the C4-style wordlist pass with per-doc hit counts and the keep
+    * verdict (demo list over the synthetic vocabulary; "broken" never
+    * occurs, exercising the no-hit term). */
+  def blocklistGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.blocklistFilter(Tables.documents(s, dir), "doc_id", "text",
+        Seq("slow", "big", "broken"))
+      .orderBy($"doc_id")
+  }
+
   /** Directed containment near-dup pairs ([[Dedup.containmentPairs]]):
     * docs whose 3-shingle set is ≥70% contained in another doc's —
     * the quote/subset-duplicate signal Jaccard under-reports. */
@@ -1550,7 +1571,9 @@ object PipelineQueries {
     "q151_lsh_recall"     -> (lshRecallAudit _),
     "q153_bootstrap_ci"   -> (bootstrapCi _),
     "q157_kn_bigram"      -> (knBigramLogProb _),
-    "q158_dedup_sweep"    -> (dedupSweep _))
+    "q158_dedup_sweep"    -> (dedupSweep _),
+    "q159_char_entropy"   -> (charEntropyProfile _),
+    "q160_blocklist_gate" -> (blocklistGate _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3476,5 +3499,37 @@ object PipelineQueries {
          |g AS (SELECT band_lo, COUNT(*) AS n_pairs FROM bl GROUP BY 1)
          |SELECT band_lo, n_pairs,
          |  CAST(SUM(n_pairs) OVER (ORDER BY band_lo DESC) AS BIGINT) AS cum_pairs
-         |FROM g ORDER BY band_lo""".stripMargin)
+         |FROM g ORDER BY band_lo""".stripMargin,
+
+    "q159_char_entropy" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $norm AS nt FROM documents WHERE length($norm) > 0),
+         |cx AS (
+         |  SELECT doc_id, length(nt) AS L,
+         |    list_transform(generate_series(1, length(nt)), i -> substr(nt, i, 1)) AS cs
+         |  FROM t),
+         |e AS (
+         |  SELECT doc_id, L,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_distinct(cs), c ->
+         |        CAST(round(-(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) /
+         |          CAST(L AS DOUBLE)) *
+         |          ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) /
+         |          CAST(L AS DOUBLE)) *
+         |          CAST(1000000000.0 AS DOUBLE)) AS BIGINT))),
+         |      (acc, x) -> acc + x) AS nano
+         |  FROM cx)
+         |SELECT doc_id, CAST(L AS BIGINT) AS n_chars,
+         |  ROUND(CAST(nano AS DOUBLE) / CAST(1000000000.0 AS DOUBLE), 6) AS entropy_nats
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q160_blocklist_gate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS ws FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(ws, t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(ws, t -> list_contains(['big', 'broken', 'slow'], t))) AS BIGINT) AS n_hits,
+         |  CASE WHEN len(list_filter(ws, t -> list_contains(['big', 'broken', 'slow'], t))) = 0
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM w ORDER BY doc_id""".stripMargin)
 }

@@ -346,6 +346,63 @@ object TextAnalysis {
           (col("n_bigrams").cast("double") * 1e6d), 6))
   }
 
+  /** Per-document character-level Shannon entropy over the normalized
+    * text (spaces included): H = −Σ_ch p·ln p in nats. The cheap
+    * information-density quality signal orthogonal to token-level
+    * repetition (q67) — templated/repetitive text scores LOW, while
+    * random-string gibberish scores HIGH (natural language sits in a
+    * narrow band, so both tails are curation flags).
+    *
+    * Determinism: each character's −p·ln p term is nano-quantized from
+    * the exact integer (n, N) pair before the exact per-doc long sum —
+    * the q78 micro-nat device at character granularity. The sum runs
+    * over the doc's distinct characters in whatever order the engine
+    * enumerates them; quantized longs make it order-independent.
+    *
+    * Plan: PURE MAP-ONLY — the per-doc histogram is a nested HOF over
+    * the doc's own characters (O(alphabet × length) per row, alphabet
+    * ≈ 30–40 for natural text), so NOTHING shuffles at any corpus
+    * size: no explode, no count exchange, no join. The cheapest plan
+    * shape in the suite after the fingerprint kernels. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_nt", Dedup.normText(col(textCol)))
+      .filter(length(col("_nt")) > 0)
+      .withColumn("_cs", expr(
+        "transform(sequence(1, length(_nt)), i -> substring(_nt, i, 1))"))
+      .withColumn("_nano", expr(
+        "aggregate(transform(array_distinct(_cs), c -> " +
+          "cast(round(-(cast(size(filter(_cs, x -> x = c)) as double) / " +
+          "cast(length(_nt) as double)) * " +
+          "ln(cast(size(filter(_cs, x -> x = c)) as double) / " +
+          "cast(length(_nt) as double)) * " +
+          "cast(1000000000.0 as double)) as bigint)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      .select(col(idCol), length(col("_nt")).cast("long").as("n_chars"),
+        round(col("_nano").cast("double") / 1e9d, 6).as("entropy_nats"))
+
+  /** Blocklist content filter — the wordlist pass every public web
+    * pipeline runs (C4's "bad words" filter is the canonical instance):
+    * per document, the token hit count against the list and the
+    * keep verdict (zero hits). The list is compiled INTO the plan as a
+    * literal array (fine to ~10⁴ terms — it ships once inside the task
+    * binary, the map side stays a pure codegen filter and nothing
+    * shuffles); for dictionary-scale lists switch to a broadcast join
+    * on the token, the q77 regime. */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    require(blocklist.size <= 10000,
+      s"literal blocklists cap at 10k terms (got ${blocklist.size}) — " +
+        "use a broadcast token join for dictionary-scale lists")
+    val bl = array(blocklist.distinct.sorted.map(lit): _*)
+    df.select(col(idCol),
+        tokens(col(textCol)).as("_w"))
+      .select(col(idCol),
+        size(filter(col("_w"), t => length(t) > 0)).cast("long").as("n_tokens"),
+        size(filter(col("_w"), t => array_contains(bl, t))).cast("long").as("n_hits"))
+      .withColumn("keep", when(col("n_hits") === 0L, 1L).otherwise(0L))
+  }
+
   /** Distinct (doc, predecessor, current, n) bigram rows — the shared
     * pre-aggregate (unskewed doc-keyed exchange) that both bigram LMs
     * join their count tables back onto. */

@@ -473,6 +473,38 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(one == Seq(("g1", 8L, 16L, 2.0, 1.5)), s"$one")
   }
 
+  test("charEntropy: hand-computed entropy, repetition scores low, uniformity high") {
+    // "aaaa" → one symbol → H = 0; "abcd" → uniform over 4 → H = ln 4
+    val df = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 4L, 0.0)), s"constant text must have H=0: $got")
+    assert(math.abs(got(1)._3 - math.log(4)) < 1e-6, s"uniform 4-char: $got")
+    assert(math.abs(got(2)._3 - math.log(2)) < 1e-6, s"two-symbol: $got")
+    // normText collapses whitespace: the space is one more symbol
+    val sp = TextAnalysis.charEntropy(
+      Seq((9L, "ab   ab")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].head()
+    assert(sp._2 == 5L, s"normalized 'ab ab' has 5 chars: $sp")
+  }
+
+  test("blocklistFilter: hit counts and keep verdicts; literal-list cap enforced") {
+    val df = Seq(
+      (1L, "clean words only here"),
+      (2L, "one bad word here"),
+      (3L, "bad bad words")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistFilter(df, "doc_id", "text", Seq("bad"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 0L, 1L), (2L, 4L, 1L, 0L), (3L, 3L, 2L, 0L)),
+      s"hit counting wrong: $got")
+    intercept[IllegalArgumentException](
+      TextAnalysis.blocklistFilter(df, "doc_id", "text", Nil))
+    intercept[IllegalArgumentException](
+      TextAnalysis.blocklistFilter(df, "doc_id", "text",
+        (1 to 10001).map("w" + _)))
+  }
+
   test("knBigramLogProb: hand-derived Kneser-Ney probabilities, exact micro-nat sums") {
     // corpus: "a b" and "a b a c"
     // pair counts: (a,b)=2, (b,a)=1, (a,c)=1 → B = 3 bigram types
