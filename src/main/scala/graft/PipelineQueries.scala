@@ -1028,6 +1028,26 @@ object PipelineQueries {
   def dedupSweep(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.thresholdSweep(Tables.documents(s, dir), "doc_id", "text")
 
+  /** q161: windowed p50/p95 value percentiles from the STREAMING-shaped
+    * fixed-bound histogram sketch
+    * ([[graft.streaming.EventStreams.windowedValueHistogram]] →
+    * [[graft.streaming.EventStreams.windowedQuantiles]]): the
+    * operational-percentiles stack — the same two functions run
+    * unchanged under readStream (EventStreamsSpec proves stream ≡
+    * batch); here the batch twin runs against the oracle. Fixed bounds
+    * [0, 500) × 100 bins; out-of-range values clamp to edge bins by
+    * contract. */
+  def windowedQuantilesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val hist = EventStreams.windowedValueHistogram(
+      Tables.events(s, dir), lo = 0.0, hi = 500.0, bins = 100)
+    EventStreams.windowedQuantiles(hist, 0.0, 500.0, 100, Seq(0.5, 0.95))
+      .select($"window_start".cast("long").as("window_epoch"), $"event_type",
+        $"p", $"est", $"n")
+      .orderBy($"window_epoch", $"event_type", $"p")
+  }
+
   /** q159: character-entropy quality profile
     * ([[TextAnalysis.charEntropy]]) — the information-density signal:
     * templated text scores low, random gibberish high; both tails are
@@ -1573,7 +1593,8 @@ object PipelineQueries {
     "q157_kn_bigram"      -> (knBigramLogProb _),
     "q158_dedup_sweep"    -> (dedupSweep _),
     "q159_char_entropy"   -> (charEntropyProfile _),
-    "q160_blocklist_gate" -> (blocklistGate _))
+    "q160_blocklist_gate" -> (blocklistGate _),
+    "q161_windowed_quantiles" -> (windowedQuantilesQuery _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3522,6 +3543,30 @@ object PipelineQueries {
          |SELECT doc_id, CAST(L AS BIGINT) AS n_chars,
          |  ROUND(CAST(nano AS DOUBLE) / CAST(1000000000.0 AS DOUBLE), 6) AS entropy_nats
          |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q161_windowed_quantiles" ->
+      """WITH b AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS window_epoch, event_type,
+        |    least(greatest(CAST(floor((value - 0.0) / 500.0 * 100) AS BIGINT), 0), 99) AS bin
+        |  FROM events),
+        |g AS (SELECT window_epoch, event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT g.*,
+        |    COALESCE(SUM(n) OVER (PARTITION BY window_epoch, event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |    SUM(n) OVER (PARTITION BY window_epoch, event_type) AS nn
+        |  FROM g),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), 0.95]) AS p),
+        |q AS (SELECT c.*, p FROM c, qs),
+        |r AS (
+        |  SELECT window_epoch, event_type, p, bin, n, cumb, nn,
+        |    CAST(ceil(p * nn) AS BIGINT) AS needed
+        |  FROM q)
+        |SELECT window_epoch, event_type, p,
+        |  ROUND(0.0 + 5.0 * (bin + CAST(needed - cumb AS DOUBLE) / n), 6) AS est,
+        |  CAST(nn AS BIGINT) AS n
+        |FROM r WHERE cumb < needed AND needed <= cumb + n
+        |ORDER BY window_epoch, event_type, p""".stripMargin,
 
     "q160_blocklist_gate" ->
       s"""WITH w AS (

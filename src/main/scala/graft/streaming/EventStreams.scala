@@ -349,6 +349,61 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming value-distribution sketch: per (tumbling window,
+    * event_type, bin) counts over a FIXED-bound histogram — the
+    * streamable half of [[graft.ops.HistogramQuantile]] (a stream
+    * cannot run the two-pass extent, so [lo, hi) is part of the
+    * operator contract; out-of-range values clamp into the edge bins,
+    * degrading tail accuracy but never correctness or determinism).
+    * Watermarked grouped counts → append-safe; state per open window is
+    * ≤ types × bins longs. The operational-percentile building block:
+    * persist this and ask for p50/p95 later via [[windowedQuantiles]].
+    * Works unchanged on batch frames (the q161 twin). */
+  def windowedValueHistogram(events: DataFrame, lo: Double, hi: Double,
+      bins: Int = 128, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("_bin", least(greatest(
+        floor((col("value") - lo) / (hi - lo) * bins), lit(0L)),
+        lit(bins - 1L)))
+      .groupBy(window(col("ts"), windowLen), col("event_type"), col("_bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("_bin").as("bin"), col("n"))
+  }
+
+  /** Quantiles from a [[windowedValueHistogram]] sketch (batch
+    * finalize — run it over the streamed sink or any batch-built
+    * histogram): for each requested q, the bucket where the cumulative
+    * count crosses rank ceil(q·n), linearly interpolated — the
+    * HistogramQuantile math with the fixed [lo, hi) width. The windows
+    * run over (window × type × bins) rows, never events. */
+  def windowedQuantiles(binCounts: DataFrame, lo: Double, hi: Double,
+      bins: Int, qs: Seq[Double]): DataFrame = {
+    require(hi > lo && bins >= 2, s"bad histogram config [$lo, $hi) x $bins")
+    require(qs.nonEmpty && qs.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("window_start"), col("event_type"))
+    val cumW = byKey.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binCounts
+      .withColumn("_cumBefore", coalesce(sum(col("n")).over(cumW), lit(0L)))
+      .withColumn("_n", sum(col("n")).over(byKey))
+      .select(col("*"), explode(array(qs.map(lit): _*)).as("p"))
+      .withColumn("_needed", ceil(col("p") * col("_n")).cast("long"))
+      .filter(col("_cumBefore") < col("_needed") &&
+        col("_needed") <= col("_cumBefore") + col("n"))
+      .withColumn("est", round(lit(lo) + lit((hi - lo) / bins) *
+        (col("bin") + (col("_needed") - col("_cumBefore")).cast("double") /
+          col("n")), 6))
+      .select(col("window_start"), col("event_type"), col("p"), col("est"),
+        col("_n").as("n"))
+  }
+
   /** Stream-stream interval join (click → purchase attribution): each
     * purchase joined to the same user's clicks in the preceding
     * `withinMinutes`. Both sides carry watermarks and the join predicate

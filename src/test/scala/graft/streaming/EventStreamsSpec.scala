@@ -44,6 +44,41 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed histogram sketch: stream == batch, quantiles hand-checked") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.windowedValueHistogram(mem.toDF(), 0.0, 10.0, bins = 10)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hist_out").start()
+    try {
+      mem.addData(sampleEvents: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hist_out")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      val batch = EventStreams.windowedValueHistogram(
+          sampleEvents.toDF(), 0.0, 10.0, bins = 10)
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream/batch sketch drift: $streamed vs $batch")
+      // finalize: hour-10 clicks have values 1.0, 2.0 → bins 1, 2.
+      // p50 → rank 1 → bin 1: est = 0 + 1·(1 + 1/1) = 2.0 (bin width 1)
+      val quants = EventStreams.windowedQuantiles(
+          spark.table("hist_out"), 0.0, 10.0, 10, Seq(0.5))
+        .filter($"event_type" === "click" &&
+          $"window_start" === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .as[(Timestamp, String, Double, Double, Long)].collect().toSeq
+      assert(quants.map(r => (r._4, r._5)) == Seq((2.0, 2L)), s"p50 wrong: $quants")
+    } finally q.stop()
+  }
+
+  test("windowed histogram clamps out-of-range values into edge bins") {
+    val rows = Seq(
+      EventRow(0L, ts(1), 1L, "click", -5.0, "{}"),   // below lo → bin 0
+      EventRow(1L, ts(2), 1L, "click", 99.0, "{}"))   // above hi → last bin
+    val got = EventStreams.windowedValueHistogram(rows.toDF(), 0.0, 10.0, 10)
+      .select($"bin", $"n").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (9L, 1L)), s"clamping wrong: $got")
+  }
+
   test("session windows group by gap") {
     // gap 30m: user 1 events at 10:01,10:05 are one session; 11:01 another
     val got = EventStreams.userSessions(sampleEvents.toDF(), "30 minutes")
