@@ -49,7 +49,10 @@ object DumpPlans {
     "q125_doremi_mixture"  -> "DoReMi weights: (domain, token, n) pre-aggregate, hot tokens BROADCAST via hotColdJoin — the corpus never hash-partitions on the zipf-skewed token key",
     "q78_unigram_logprob"  -> "unigram LM scoring: doc-keyed pre-aggregate + hot/cold vocab join (broadcast head, shuffled near-uniform tail)",
     "q143_scd2_merge"      -> "SCD2: ONE full-outer join of the open slice vs the deduped batch; history untouched, all routing map-only",
-    "q150_rendezvous_shards" -> "rendezvous sharding: per-partition WindowGroupLimit argmax before the exchange — no all-shards fan-out survives")
+    "q150_rendezvous_shards" -> "rendezvous sharding: per-partition WindowGroupLimit argmax before the exchange — no all-shards fan-out survives",
+    "q155_semantic_decon"  -> "semantic decontamination: eval vectors broadcast, threshold filter BEFORE the bounded-heap argmax — corpus vectors never shuffle",
+    "q157_kn_bigram"       -> "Kneser-Ney LM: (doc, p, c, n) pre-aggregate + hot/cold pair join — the q102 skew-safe shape with continuation counts",
+    "q159_char_entropy"    -> "char entropy: pure map-only nested HOF — zero shuffle, no join, no aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

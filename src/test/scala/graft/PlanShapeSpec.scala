@@ -507,6 +507,49 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("q155/q156: eval/probe side broadcasts; argmax is a bounded heap") {
+    Seq("q155_semantic_decon", "q156_knn_label_noise").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: the bounded side must broadcast:\n${p.take(1200)}")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: the per-row top-k must plan as a bounded heap:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: nothing may shuffle-join — the corpus side stays put:\n${p.take(1200)}")
+    }
+  }
+
+  test("q157: KN bigram inherits the hot/cold LM shape") {
+    val p = plan("q157_kn_bigram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot pairs must broadcast:\n${p.take(1200)}")
+    val pre = raw"HashAggregate\(keys=\[doc_id#\d+L?, ".r
+    assert(pre.findFirstIn(p).isDefined,
+      s"corpus must pre-aggregate to (doc, p, c, n) before any join:\n${p.take(1500)}")
+  }
+
+  test("q159/q160: text kernels are map-only — no join, no aggregate exchange") {
+    Seq("q159_char_entropy", "q160_blocklist_gate").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n${p.take(1200)}")
+      assert(!p.contains("HashAggregate"),
+        s"$q is a per-row kernel — no aggregate belongs in it:\n${p.take(1200)}")
+    }
+  }
+
+  test("q161: windowed histogram aggregates map-side before the exchange") {
+    val p = plan("q161_windowed_quantiles")
+    assert(p.contains("HashAggregate"), s"bin counts must aggregate:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the sketch is one grouped aggregate + windows, never a join:\n${p.take(1200)}")
+  }
+
+  test("q158: sweep candidates come from the band equi-join, never all pairs") {
+    val p = plan("q158_dedup_sweep")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n${p.take(1200)}")
+  }
+
   test("q154: A/B readout is grouped moments + 1-row joins only") {
     val p = plan("q154_ab_ttest")
     assert(p.contains("HashAggregate"))
