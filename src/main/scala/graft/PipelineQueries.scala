@@ -1048,6 +1048,36 @@ object PipelineQueries {
       .orderBy($"window_epoch", $"event_type", $"p")
   }
 
+  /** q162: training-shard prep END TO END — the other half of the
+    * pretraining story next to q121's curation chain, as ONE composed
+    * Catalyst plan: blocklist gate ([[TextAnalysis.blocklistFilter]]
+    * semantics inlined on the shared normalized text) → exact-dedup
+    * survivors (min doc id per fingerprint, the q30/q121 stage) → token
+    * counts → per-language [[Sampling.packSequences]] at a 256-token
+    * budget → per-(lang, seq) shard manifest (doc and token counts).
+    * Every stage is an oracle-proven operator; this entry proves the
+    * COMPOSITION replays: one plan, one DuckDB replay of the whole
+    * chain, shard-manifest-sized output. */
+  def shardPrep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", Dedup.normText($"text").as("_nrm"))
+    val gated = base.filter(
+      size(filter(split($"_nrm", " "),
+        t => array_contains(array(lit("big"), lit("slow")), t))) === 0)
+    val surv = gated
+      .select(md5($"_nrm").as("_fp"), $"doc_id")
+      .groupBy($"_fp").agg(min($"doc_id").as("doc_id"))
+      .join(gated, Seq("doc_id"))
+      .select($"doc_id", $"lang",
+        size(split($"_nrm", " ")).cast("long").as("n_tokens"))
+    Sampling.packSequences(surv, "doc_id", "n_tokens", "lang",
+        budgetTokens = 256)
+      .groupBy($"lang", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+      .orderBy($"lang", $"seq_id")
+  }
+
   /** q159: character-entropy quality profile
     * ([[TextAnalysis.charEntropy]]) — the information-density signal:
     * templated text scores low, random gibberish high; both tails are
@@ -1594,7 +1624,8 @@ object PipelineQueries {
     "q158_dedup_sweep"    -> (dedupSweep _),
     "q159_char_entropy"   -> (charEntropyProfile _),
     "q160_blocklist_gate" -> (blocklistGate _),
-    "q161_windowed_quantiles" -> (windowedQuantilesQuery _))
+    "q161_windowed_quantiles" -> (windowedQuantilesQuery _),
+    "q162_shard_prep"     -> (shardPrep _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3567,6 +3598,27 @@ object PipelineQueries {
         |  CAST(nn AS BIGINT) AS n
         |FROM r WHERE cumb < needed AND needed <= cumb + n
         |ORDER BY window_epoch, event_type, p""".stripMargin,
+
+    "q162_shard_prep" ->
+      s"""WITH nt AS (
+         |  SELECT doc_id, lang, $norm AS nrm FROM documents),
+         |keep AS (
+         |  SELECT doc_id, lang, nrm FROM nt
+         |  WHERE len(list_filter(string_split(nrm, ' '),
+         |    t -> list_contains(['big', 'slow'], t))) = 0),
+         |fp AS (SELECT md5(nrm) AS f, MIN(doc_id) AS doc_id FROM keep GROUP BY 1),
+         |surv AS (
+         |  SELECT k.doc_id, k.lang,
+         |    CAST(len(string_split(k.nrm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM keep k JOIN fp USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM surv)
+         |SELECT lang, cum // 256 AS seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
 
     "q160_blocklist_gate" ->
       s"""WITH w AS (
