@@ -551,6 +551,45 @@ object VectorQueries {
       .orderBy($"label")
   }
 
+  /** q163: CROSS-MODAL semantic outliers — documents ⋈ embeddings on
+    * doc_id = vec_id, each document's embedding scored against its
+    * LANGUAGE centroid (q104's micro-quantized integer-centroid device,
+    * group key joined in from the text table); the bottom-5 cosines per
+    * language are mislabeled-language / off-distribution candidates —
+    * the audit that needs BOTH modalities at once. Bottom-k plans as a
+    * WindowGroupLimit bounded heap; centroids are (langs × dims)
+    * integer state. */
+  def semanticOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lang = Tables.documents(s, dir).select($"doc_id", $"lang")
+    val pe = Tables.embeddings(s, dir)
+      .select($"vec_id".as("doc_id"), $"embedding")
+      .join(lang, Seq("doc_id"))
+      .select($"lang", $"doc_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"lang", $"doc_id", $"pos",
+        round($"v".cast("double") * 1e6d).cast("long").as("vm"))
+    val cent = pe.groupBy($"lang", $"pos").agg(sum($"vm").as("sm"))
+    val vmD = $"vm".cast("decimal(19,0)")
+    val smD = $"sm".cast("decimal(19,0)")
+    val cosv = pe.join(cent, Seq("lang", "pos"))
+      .groupBy($"lang", $"doc_id")
+      .agg(
+        sum(vmD * smD).as("dot"),
+        sum(vmD * vmD).as("v2"),
+        sum(smD * smD).as("s2"))
+      .withColumn("cm",
+        when($"v2" === lit(0) || $"s2" === lit(0), 0L)
+          .otherwise(round($"dot".cast("double") /
+            (sqrt($"v2".cast("double")) * sqrt($"s2".cast("double"))) * 1e6d)
+            .cast("long")))
+    val w = Window.partitionBy($"lang").orderBy($"cm".asc, $"doc_id".asc)
+    cosv.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"lang", $"rnk", $"doc_id",
+        round($"cm".cast("double") / 1e6d, 6).as("cos_centroid"))
+      .orderBy($"lang", $"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
@@ -571,7 +610,8 @@ object VectorQueries {
     "q118_margin_mining"     -> (marginMining _),
     "q152_ivf_recall"        -> (ivfRecallAudit _),
     "q155_semantic_decon"    -> (semanticDecontaminate _),
-    "q156_knn_label_noise"   -> (knnLabelNoise _))
+    "q156_knn_label_noise"   -> (knnLabelNoise _),
+    "q163_semantic_outliers" -> (semanticOutliers _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -958,6 +998,34 @@ object VectorQueries {
         |FROM sm s JOIN xk USING (q_id) JOIN yk USING (n_id)
         |ORDER BY margin DESC, q_id, n_id
         |LIMIT 15""".stripMargin,
+    "q163_semantic_outliers" ->
+      """WITH pe AS (
+        |  SELECT d.lang, e.vec_id AS doc_id, i.i - 1 AS pos,
+        |    CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id,
+        |  generate_series(1, 64) i(i)),
+        |cent AS (SELECT lang, pos, SUM(vm) AS sm FROM pe GROUP BY 1, 2),
+        |parts AS (
+        |  SELECT pe.lang, pe.doc_id,
+        |    SUM(CAST(pe.vm AS DECIMAL(19,0)) * CAST(c.sm AS DECIMAL(19,0))) AS dot,
+        |    SUM(CAST(pe.vm AS DECIMAL(19,0)) * CAST(pe.vm AS DECIMAL(19,0))) AS v2,
+        |    SUM(CAST(c.sm AS DECIMAL(19,0)) * CAST(c.sm AS DECIMAL(19,0))) AS s2
+        |  FROM pe JOIN cent c ON pe.lang = c.lang AND pe.pos = c.pos
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN v2 = 0 OR s2 = 0 THEN 0
+        |         ELSE CAST(round(CAST(dot AS DOUBLE) /
+        |           (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))) * 1000000) AS BIGINT)
+        |    END AS cm
+        |  FROM parts),
+        |r AS (
+        |  SELECT lang, doc_id, cm,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cm, doc_id) AS rnk
+        |  FROM cosv)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id,
+        |  ROUND(CAST(cm AS DOUBLE) / 1000000.0, 6) AS cos_centroid
+        |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     "q155_semantic_decon" ->
       """WITH sims AS (
         |  SELECT c.vec_id, e.vec_id AS eval_id,
