@@ -1078,6 +1078,35 @@ object PipelineQueries {
       .orderBy($"lang", $"seq_id")
   }
 
+  /** q164: contrastive TRIPLET mining for embedder training — the
+    * (anchor, positive, negative) generator: positives are MinHash
+    * near-dup pairs (the q32 candidates — textual paraphrase pairs),
+    * negatives a deterministic pick from a bounded md5-fixed sample
+    * pool ([[Sampling.fixedSample]], broadcastable by construction),
+    * chosen per pair by the smallest md5(anchor:candidate) — no RNG,
+    * so the triplet set replays bit-for-bit in any engine.
+    *
+    * Plan: candidates (band equi-join) × broadcast 100-row pool →
+    * WindowGroupLimit argmin per pair. Scale: pairs × 100 broadcast
+    * rows, never pairs × corpus. */
+  def tripletMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.4)
+    val pool = Sampling.fixedSample(docs.select($"doc_id"), "doc_id", 100)
+      .select($"doc_id".as("neg_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"a_id", $"b_id").orderBy($"nk", $"neg_id")
+    cand.crossJoin(broadcast(pool))
+      .filter($"neg_id" =!= $"a_id" && $"neg_id" =!= $"b_id")
+      .withColumn("nk", md5(concat($"a_id".cast("string"), lit(":"),
+        $"neg_id".cast("string"))))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"a_id".as("anchor_id"), $"b_id".as("pos_id"), $"neg_id",
+        round($"est_jaccard", 6).as("est_jaccard"))
+      .orderBy($"anchor_id", $"pos_id")
+  }
+
   /** q159: character-entropy quality profile
     * ([[TextAnalysis.charEntropy]]) — the information-density signal:
     * templated text scores low, random gibberish high; both tails are
@@ -1625,7 +1654,8 @@ object PipelineQueries {
     "q159_char_entropy"   -> (charEntropyProfile _),
     "q160_blocklist_gate" -> (blocklistGate _),
     "q161_windowed_quantiles" -> (windowedQuantilesQuery _),
-    "q162_shard_prep"     -> (shardPrep _))
+    "q162_shard_prep"     -> (shardPrep _),
+    "q164_triplet_mining" -> (tripletMining _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3598,6 +3628,23 @@ object PipelineQueries {
         |  CAST(nn AS BIGINT) AS n
         |FROM r WHERE cumb < needed AND needed <= cumb + n
         |ORDER BY window_epoch, event_type, p""".stripMargin,
+
+    "q164_triplet_mining" ->
+      s"""WITH $minhashCtes,
+         |pool AS (
+         |  SELECT doc_id AS neg_id FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100),
+         |x AS (
+         |  SELECT c.a_id, c.b_id, c.est, p.neg_id,
+         |    md5(CAST(c.a_id AS VARCHAR) || ':' || CAST(p.neg_id AS VARCHAR)) AS nk
+         |  FROM cand c, pool p
+         |  WHERE p.neg_id <> c.a_id AND p.neg_id <> c.b_id),
+         |r AS (
+         |  SELECT x.*, ROW_NUMBER() OVER (PARTITION BY a_id, b_id ORDER BY nk, neg_id) AS rn
+         |  FROM x)
+         |SELECT a_id AS anchor_id, b_id AS pos_id, neg_id,
+         |  ROUND(est, 6) AS est_jaccard
+         |FROM r WHERE rn = 1 ORDER BY anchor_id, pos_id""".stripMargin,
 
     "q162_shard_prep" ->
       s"""WITH nt AS (
