@@ -1107,6 +1107,39 @@ object PipelineQueries {
       .orderBy($"anchor_id", $"pos_id")
   }
 
+  /** q165: source NOVELTY curve — the data-saturation readout for
+    * dataset ablation planning: sources are processed in deterministic
+    * (alphabetical) order and each content fingerprint is credited to
+    * the FIRST source containing it; per source the curve reports how
+    * much genuinely new content the source adds over everything before
+    * it (novel fingerprints + the cumulative total). A flat tail says
+    * "more of this data buys nothing" before anyone trains on it.
+    *
+    * Plan: fingerprints are map-only; first-source attribution is ONE
+    * combiner-friendly min aggregate per fingerprint; the curve is a
+    * window over source-count rows. Nothing after the fingerprint
+    * groupBy is corpus-sized. */
+  def noveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = Tables.documents(s, dir)
+      .select($"source", md5(Dedup.normText($"text")).as("_fp"))
+    val perSource = fps
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"_fp").as("n_distinct_fps"))
+    val firstSrc = fps.groupBy($"_fp").agg(min($"source").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n_novel"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"source")
+    perSource.join(firstSrc, Seq("source"), "left")
+      .withColumn("n_novel", coalesce($"n_novel", lit(0L)))
+      .withColumn("cum_novel", sum($"n_novel").over(w))
+      .withColumn("novelty_rate",
+        round($"n_novel".cast("double") / $"n_distinct_fps".cast("double"), 6))
+      .select($"source", $"n_docs", $"n_distinct_fps", $"n_novel",
+        $"cum_novel", $"novelty_rate")
+      .orderBy($"source")
+  }
+
   /** q159: character-entropy quality profile
     * ([[TextAnalysis.charEntropy]]) — the information-density signal:
     * templated text scores low, random gibberish high; both tails are
@@ -1655,7 +1688,8 @@ object PipelineQueries {
     "q160_blocklist_gate" -> (blocklistGate _),
     "q161_windowed_quantiles" -> (windowedQuantilesQuery _),
     "q162_shard_prep"     -> (shardPrep _),
-    "q164_triplet_mining" -> (tripletMining _))
+    "q164_triplet_mining" -> (tripletMining _),
+    "q165_novelty_curve"  -> (noveltyCurve _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3628,6 +3662,24 @@ object PipelineQueries {
         |  CAST(nn AS BIGINT) AS n
         |FROM r WHERE cumb < needed AND needed <= cumb + n
         |ORDER BY window_epoch, event_type, p""".stripMargin,
+
+    "q165_novelty_curve" ->
+      s"""WITH fps AS (
+         |  SELECT source, md5($norm) AS fp FROM documents),
+         |ps AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT fp) AS n_distinct_fps
+         |  FROM fps GROUP BY 1),
+         |fsrc AS (
+         |  SELECT source, COUNT(*) AS n_novel FROM (
+         |    SELECT fp, MIN(source) AS source FROM fps GROUP BY 1)
+         |  GROUP BY 1)
+         |SELECT ps.source, ps.n_docs, ps.n_distinct_fps,
+         |  COALESCE(f.n_novel, 0) AS n_novel,
+         |  CAST(SUM(COALESCE(f.n_novel, 0)) OVER (ORDER BY ps.source) AS BIGINT) AS cum_novel,
+         |  ROUND(CAST(COALESCE(f.n_novel, 0) AS DOUBLE) / ps.n_distinct_fps, 6) AS novelty_rate
+         |FROM ps LEFT JOIN fsrc f USING (source)
+         |ORDER BY ps.source""".stripMargin,
 
     "q164_triplet_mining" ->
       s"""WITH $minhashCtes,
