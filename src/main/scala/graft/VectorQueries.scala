@@ -590,6 +590,17 @@ object VectorQueries {
       .orderBy($"lang", $"rnk")
   }
 
+  /** q166: top principal component of the embedding corpus
+    * ([[graft.ops.Spectral.topComponent]]) — the anisotropy /
+    * collapsed-embedding audit: the dominant covariance direction, its
+    * top-8 dimension loadings, and the explained-variance share.
+    * Integer-exact power iteration (micro-quantized moments, DECIMAL
+    * sums, L∞-normalized integer iterates), so the oracle replays the
+    * whole spectral computation including the eigenvector. */
+  def pcaTop(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Spectral.topComponent(
+      Tables.embeddings(s, dir), "embedding", dims = 64, iters = 5, k = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
@@ -611,7 +622,8 @@ object VectorQueries {
     "q152_ivf_recall"        -> (ivfRecallAudit _),
     "q155_semantic_decon"    -> (semanticDecontaminate _),
     "q156_knn_label_noise"   -> (knnLabelNoise _),
-    "q163_semantic_outliers" -> (semanticOutliers _))
+    "q163_semantic_outliers" -> (semanticOutliers _),
+    "q166_pca_top"           -> (pcaTop _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -998,6 +1010,60 @@ object VectorQueries {
         |FROM sm s JOIN xk USING (q_id) JOIN yk USING (n_id)
         |ORDER BY margin DESC, q_id, n_id
         |LIMIT 15""".stripMargin,
+    "q166_pca_top" -> {
+      // 5 unrolled power-iteration rounds over the integer-normalized
+      // scaled covariance — mirrors Spectral.topComponent step for step
+      val iterCtes = (1 to 5).map { i =>
+        s"""w$i AS (
+           |  SELECT a.p, SUM(a.av * v${i - 1}.v) AS w
+           |  FROM a JOIN v${i - 1} ON a.q = v${i - 1}.p GROUP BY 1),
+           |m$i AS (SELECT MAX(ABS(w)) AS m FROM w$i),
+           |v$i AS (
+           |  SELECT p, CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+           |  FROM w$i, m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH vmx AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vm
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT p.p AS p, q.q AS q, vm[p.p + 1] * vm[q.q + 1] AS prod
+         |  FROM vmx, generate_series(0, 63) p(p), generate_series(0, 63) q(q)
+         |  WHERE q.q >= p.p),
+         |sxyt AS (SELECT p, q, SUM(prod) AS sxy FROM pr GROUP BY 1, 2),
+         |sxy AS (
+         |  SELECT p, q, sxy FROM sxyt
+         |  UNION ALL
+         |  SELECT q, p, sxy FROM sxyt WHERE p <> q),
+         |sxs AS (
+         |  SELECT p.p AS p, SUM(vm[p.p + 1]) AS sx
+         |  FROM vmx, generate_series(0, 63) p(p) GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM vmx),
+         |araw AS (
+         |  SELECT sxy.p, sxy.q, nn.n * sxy.sxy - a.sx * b.sx AS araw
+         |  FROM sxy JOIN sxs a ON a.p = sxy.p JOIN sxs b ON b.p = sxy.q, nn),
+         |ma AS (SELECT MAX(ABS(araw)) AS ma FROM araw),
+         |a AS (
+         |  SELECT p, q, CAST(round(CAST(araw AS DOUBLE) / CAST(ma AS DOUBLE) * 1000000.0) AS BIGINT) AS av
+         |  FROM araw, ma),
+         |v0 AS (SELECT t.p AS p, CAST(1000000 AS BIGINT) AS v FROM generate_series(0, 63) t(p)),
+         |$iterCtes,
+         |w6 AS (
+         |  SELECT a.p, SUM(a.av * v5.v) AS w
+         |  FROM a JOIN v5 ON a.q = v5.p GROUP BY 1),
+         |ray AS (
+         |  SELECT SUM(v5.v * w6.w) AS num, SUM(v5.v * v5.v) AS den
+         |  FROM v5 JOIN w6 USING (p)),
+         |trc AS (SELECT SUM(av) AS tr FROM a WHERE p = q),
+         |sh AS (
+         |  SELECT ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS ev_share
+         |  FROM ray, trc),
+         |r AS (
+         |  SELECT p, v, ROW_NUMBER() OVER (ORDER BY ABS(v) DESC, p) AS rnk FROM v5)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, CAST(p AS BIGINT) AS pos,
+         |  ROUND(CAST(v AS DOUBLE) / 1000000.0, 6) AS loading, ev_share
+         |FROM r, sh WHERE rnk <= 8 ORDER BY rnk""".stripMargin
+    },
     "q163_semantic_outliers" ->
       """WITH pe AS (
         |  SELECT d.lang, e.vec_id AS doc_id, i.i - 1 AS pos,

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed spectral probes of an embedding corpus — the linear-
+  * algebra tier of the pipeline: the top principal component of the
+  * (centered) covariance answers "is there one dominant direction in
+  * this embedding space" (anisotropy / collapsed-embedding audits,
+  * whitening prep, drift direction between corpus snapshots).
+  *
+  * Everything is INTEGER-EXACT so the DuckDB oracle replays the whole
+  * computation bit-for-bit — no LAPACK, no float accumulation ordering:
+  *
+  *  1. vectors quantize to micro-int components (round(x·10⁶));
+  *  2. the second-moment matrix Σ vmₚ·vm_q and the component sums Σ vmₚ
+  *     accumulate in DECIMAL (exact at any corpus size — products are
+  *     ≤ 10¹² per row) in ONE corpus pass, map-side combined;
+  *  3. the scaled centered covariance A = n·Σxy − Σx·Σy (exact
+  *     integers; scaling by n² · 10¹² changes no eigenvector) is
+  *     normalized to ≤ 10⁶ integer entries (one deterministic double
+  *     divide per matrix cell);
+  *  4. power iteration runs a fixed number of rounds with L∞-normalized
+  *     integer iterates ON THE DRIVER — the matrix is dims² rows, a
+  *     MODEL, not data (the IVF-centroid contract: bounded by the
+  *     `dims` config, never by corpus size), and every A·v product
+  *     stays inside exact long range by construction (10⁶·10⁶·dims);
+  *  5. the Rayleigh quotient and the explained-variance share
+  *     λ / trace(A) are single fixed-order double expressions at the
+  *     very end.
+  *
+  * Plan: ONE corpus pass builds the dims² outer-product rows (map-side
+  * combined — the exchange carries dims² × partitions rows, the CPU is
+  * the dims² multiply-adds any PCA pays); the collect is dims² rows by
+  * construction. An earlier all-lazy formulation re-walked the corpus
+  * lineage once per iteration level (exponentially) — driver math on
+  * the model-sized matrix is the correct shape at every scale. */
+object Spectral {
+
+  /** Top principal component: `k` rows (rnk, pos, loading, ev_share) —
+    * the `k` dimensions with the largest |loading| on the dominant
+    * eigenvector, plus the (constant) explained-variance share. */
+  def topComponent(df: DataFrame, vecCol: String, dims: Int,
+      iters: Int = 5, k: Int = 8): DataFrame = {
+    require(dims >= 2 && dims <= 4096, s"dims must be in [2, 4096], got $dims")
+    require(iters >= 1 && iters <= 16,
+      s"power iteration rounds must be in [1, 16], got $iters")
+    require(k >= 1 && k <= dims, s"k must be in [1, $dims], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // ONE corpus pass: exact integer moments (map-side combined)
+    val vm = df.select(expr(
+      s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000.0) as bigint))")
+      .as("vm"))
+    // symmetry: only the upper triangle (p ≤ q) is computed and
+    // shuffled — dims·(dims+1)/2 products per row instead of dims²;
+    // the driver mirrors the matrix after the collect
+    val pairs = vm.select(explode(expr(
+      s"flatten(transform(sequence(0, ${dims - 1}), p -> " +
+        s"transform(sequence(p, ${dims - 1}), q -> named_struct(" +
+        "'p', p, 'q', q, 'prod', element_at(vm, p + 1) * element_at(vm, q + 1)))))"))
+      .as("e"))
+      .select(col("e.p").as("p"), col("e.q").as("q"), col("e.prod").as("prod"))
+    val sxy = pairs.groupBy(col("p"), col("q"))
+      .agg(sum(col("prod").cast("decimal(38,0)")).as("sxy"))
+    val sx = vm.select(posexplode(col("vm")).as(Seq("p", "v")))
+      .groupBy(col("p")).agg(sum(col("v").cast("decimal(38,0)")).as("sx"))
+    val nrow = vm.agg(count(lit(1)).as("n"))
+    val araw = sxy
+      .join(sx, Seq("p"))
+      .join(sx.select(col("p").as("q"), col("sx").as("sxq")), Seq("q"))
+      .crossJoin(broadcast(nrow))
+      .select(col("p"), col("q"),
+        (col("n") * col("sxy") - col("sx") * col("sxq")).as("araw"))
+
+    // model-sized collect: dims·(dims+1)/2 triangle rows by
+    // construction (the IVF contract); mirror to the full matrix here
+    val tri = araw.select(col("p"), col("q"), col("araw").cast("string"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getString(2))))
+      .toMap
+    require(tri.size == dims.toLong * (dims + 1) / 2,
+      s"covariance collect returned ${tri.size} cells, " +
+        s"expected ${dims.toLong * (dims + 1) / 2}")
+    val cells = tri ++ tri.collect { case ((p, q), x) if p != q => ((q, p), x) }
+
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ma = cells.values.map(_.abs).max.toDouble
+    val a = Array.tabulate(dims, dims)((p, q) =>
+      halfUp(cells((p, q)).toDouble / ma * 1e6))
+
+    // integer power iteration with L∞ normalization (exact longs)
+    var v = Array.fill(dims)(1000000L)
+    def mulNorm(vIn: Array[Long]): (Array[Long], Array[Long]) = {
+      val w = Array.tabulate(dims) { p =>
+        var s = 0L; var q = 0
+        while (q < dims) { s += a(p)(q) * vIn(q); q += 1 }
+        s
+      }
+      val m = w.map(math.abs).max.toDouble
+      (w, w.map(x => halfUp(x.toDouble / m * 1e6)))
+    }
+    for (_ <- 1 to iters) v = mulNorm(v)._2
+    val wLast = mulNorm(v)._1
+    val num = v.indices.map(p => BigInt(v(p)) * BigInt(wLast(p))).sum
+    val den = v.map(x => x * x).sum
+    val tr = (0 until dims).map(p => a(p)(p)).sum
+    val evShare = BigDecimal(num.toDouble / den.toDouble / tr.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val ranked = v.zipWithIndex
+      .sortBy { case (x, p) => (-math.abs(x), p) }
+      .take(k).zipWithIndex
+      .map { case ((x, p), i) =>
+        (i + 1L, p.toLong,
+          BigDecimal(x.toDouble / 1e6)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          evShare)
+      }
+    ranked.toSeq.toDF("rnk", "pos", "loading", "ev_share")
+  }
+}
