@@ -1140,6 +1140,19 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q167: stupid-backoff trigram scoring of the held-out slice
+    * (doc_id ≡ 0 mod 10) against counts from the other 90%
+    * ([[TextAnalysis.stupidBackoffTrigram]]) — the train/held-out
+    * perplexity-proxy shape: unlike the self-scoring q78/q102/q157
+    * ladder, backoff genuinely fires on unseen n-grams. Completes the
+    * LM ladder's backoff tier with the same hot/cold skew-safe joins. */
+  def backoffTrigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.stupidBackoffTrigram(Tables.documents(s, dir), "doc_id",
+        "text", $"doc_id" % 10 === 0)
+      .orderBy($"doc_id")
+  }
+
   /** q159: character-entropy quality profile
     * ([[TextAnalysis.charEntropy]]) — the information-density signal:
     * templated text scores low, random gibberish high; both tails are
@@ -1689,7 +1702,8 @@ object PipelineQueries {
     "q161_windowed_quantiles" -> (windowedQuantilesQuery _),
     "q162_shard_prep"     -> (shardPrep _),
     "q164_triplet_mining" -> (tripletMining _),
-    "q165_novelty_curve"  -> (noveltyCurve _))
+    "q165_novelty_curve"  -> (noveltyCurve _),
+    "q167_backoff_trigram" -> (backoffTrigram _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3662,6 +3676,61 @@ object PipelineQueries {
         |  CAST(nn AS BIGINT) AS n
         |FROM r WHERE cumb < needed AND needed <= cumb + n
         |ORDER BY window_epoch, event_type, p""".stripMargin,
+
+    "q167_backoff_trigram" ->
+      s"""WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+         |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |trw AS (SELECT string_split($norm, ' ') AS ws FROM tr
+         |  WHERE len(string_split($norm, ' ')) >= 3),
+         |trt AS (
+         |  SELECT t['w1'] AS w1, t['w2'] AS w2, t['w3'] AS w3 FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1], w3 := ws[i + 2]))) AS t
+         |    FROM trw)),
+         |c3g AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM trt GROUP BY 1, 2, 3),
+         |biw AS (SELECT string_split($norm, ' ') AS ws FROM tr
+         |  WHERE len(string_split($norm, ' ')) >= 2),
+         |c2g AS (
+         |  SELECT b['wa'] AS wa, b['wb'] AS wb, COUNT(*) AS cab FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(wa := ws[i], wb := ws[i + 1]))) AS b
+         |    FROM biw)
+         |  GROUP BY 1, 2),
+         |c1g AS (
+         |  SELECT tk AS w, COUNT(*) AS c FROM (
+         |    SELECT unnest(string_split($norm, ' ')) AS tk FROM tr)
+         |  WHERE length(tk) > 0 GROUP BY 1),
+         |nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM c1g),
+         |tew AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM te
+         |  WHERE len(string_split($norm, ' ')) >= 3),
+         |tet AS (
+         |  SELECT doc_id, t['w1'] AS w1, t['w2'] AS w2, t['w3'] AS w3 FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1], w3 := ws[i + 2]))) AS t
+         |    FROM tew)),
+         |tt AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tn FROM tet GROUP BY 1, 2, 3, 4),
+         |j AS (
+         |  SELECT tt.doc_id, tt.tn, c3g.c123, b12.cab AS c12, b23.cab AS c23,
+         |    u2.c AS c2, u3.c AS c3, nv.n, nv.v
+         |  FROM tt
+         |  LEFT JOIN c3g USING (w1, w2, w3)
+         |  LEFT JOIN c2g b12 ON b12.wa = tt.w1 AND b12.wb = tt.w2
+         |  LEFT JOIN c2g b23 ON b23.wa = tt.w2 AND b23.wb = tt.w3
+         |  LEFT JOIN c1g u2 ON u2.w = tt.w2
+         |  LEFT JOIN c1g u3 ON u3.w = tt.w3, nv),
+         |m AS (
+         |  SELECT doc_id, tn,
+         |    CAST(round(ln(CASE
+         |      WHEN c123 IS NOT NULL THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
+         |      WHEN c23 IS NOT NULL THEN 0.4 * (CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE))
+         |      ELSE 0.4 * 0.4 * (CAST(COALESCE(c3, 0) + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+         |    END) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |  FROM j)
+         |SELECT doc_id, CAST(SUM(tn) AS BIGINT) AS n_trigrams,
+         |  CAST(SUM(tn * micro) AS BIGINT) AS sum_micro_nats,
+         |  ROUND(CAST(SUM(tn * micro) AS DOUBLE) /
+         |    (CAST(SUM(tn) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q165_novelty_curve" ->
       s"""WITH fps AS (

@@ -40,17 +40,23 @@ object Skew {
     * the skewed keys BY CONSTRUCTION sit in this set, so the large side
     * never hash-partitions on them; only rows whose key falls outside
     * the hot set shuffle-join against the residual lookup, and that tail
-    * is near-uniform by Zipf's law. Inner-join semantics (left keys
-    * absent from `lookup` are dropped — vacuous for self-derived count
-    * tables, where every key is present by construction).
+    * is near-uniform by Zipf's law.
     *
-    * Row-level results are identical to `left.join(lookup, keys)`; the
-    * hot/cold routing never changes a value, so oracle hashes survive
-    * the swap. */
+    * `joinType` "inner" (default) drops left keys absent from `lookup`
+    * (vacuous for self-derived count tables, where every key is present
+    * by construction); "left" keeps them with NULL payload — the
+    * held-out-scoring case, where unseen n-grams must survive into a
+    * backoff chain.
+    *
+    * Row-level results are identical to `left.join(lookup, keys,
+    * joinType)`; the hot/cold routing never changes a value, so oracle
+    * hashes survive the swap. */
   def hotColdJoin(
       left: DataFrame, lookup: DataFrame, keys: Seq[String],
-      weight: Column, hotK: Int): DataFrame = {
+      weight: Column, hotK: Int, joinType: String = "inner"): DataFrame = {
     require(hotK > 0, s"hotK must be positive: $hotK")
+    require(joinType == "inner" || joinType == "left",
+      s"hotColdJoin supports inner/left, got $joinType")
     val hot = lookup
       .orderBy(weight.desc +: keys.map(k => col(k).asc): _*)
       .limit(hotK)
@@ -62,7 +68,7 @@ object Skew {
     // the cold rows' keys are disjoint from the hot set by construction,
     // so joining the FULL lookup is row-identical to joining (lookup ∖
     // hot) — no anti-join needed; the hot rows it carries match nothing
-    fromHot.unionByName(coldLeft.join(lookup, keys))
+    fromHot.unionByName(coldLeft.join(lookup, keys, joinType))
   }
 
   /** Two-phase (salted) aggregation for skewed group keys: partial

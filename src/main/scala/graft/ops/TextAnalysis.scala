@@ -470,6 +470,122 @@ object TextAnalysis {
           (col("n_bigrams").cast("double") * 1e6d), 6))
   }
 
+  /** Stupid-backoff TRIGRAM scoring of a HELD-OUT slice against the
+    * rest of the corpus (Brants et al. 2007, "Large Language Models in
+    * Machine Translation" — the smoothing web-scale n-gram LMs actually
+    * ship: no discount mass bookkeeping, just relative frequencies with
+    * a fixed backoff penalty α per level):
+    *
+    *   s(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)           if the trigram is seen
+    *              = α · c(w₂w₃)/c(w₂)             else if the bigram is
+    *              = α² · (c(w₃)+1)/(N+V)          else (add-one unigram
+    *                                              floor — never zero,
+    *                                              so the log is total)
+    *
+    * Unlike the self-scoring q78/q102/q157 ladder, the scored documents
+    * (`testPred`) are EXCLUDED from the counts, so backoff genuinely
+    * fires — this is the train/held-out perplexity-proxy shape real
+    * quality filtering uses.
+    *
+    * Determinism: all counts are exact integers; the score is one
+    * fixed-order CASE of double expressions; micro-nat quantization
+    * before the exact per-doc long sum (the q78 device).
+    *
+    * Plan: the q102 skew-safe shape × five lookups — the held-out side
+    * pre-aggregates to distinct (doc, w₁, w₂, w₃, n) rows, every count
+    * table is vocabulary-sized and map-side combined, and all five
+    * joins back are [[Skew.hotColdJoin]] with LEFT semantics (hot keys
+    * broadcast; unseen n-grams survive with NULLs into the backoff
+    * CASE). Nothing hash-partitions the corpus on a skewed bare-token
+    * key.
+    *
+    * Materialization: the three count tables (the LM "model" — exactly
+    * what a production pipeline persists after the train pass) and
+    * every other join stage are eagerly checkpointed. Without this the
+    * hot/cold union doubles the left lineage per level — 2⁵ recomputes
+    * across the five-stage chain (measured ~2.5× slower at sf0.1);
+    * with it the train corpus is scanned once per n-gram order and the
+    * recompute factor is capped at 4× of a checkpointed local scan. */
+  def stupidBackoffTrigram(df: DataFrame, idCol: String, textCol: String,
+      testPred: Column, alpha: Double = 0.4, hotK: Int = 4096): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"backoff alpha must lie in (0, 1], got $alpha")
+    val train = df.filter(!testPred)
+    val test = df.filter(testPred)
+
+    def w3Stream(src: DataFrame, withId: Boolean): DataFrame = {
+      val base = src.select(
+        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) :+
+          tokens(col(textCol)).as("_w"): _*)
+        .filter(size(col("_w")) >= 3)
+      base.select(
+        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) :+
+          explode(expr(
+            "transform(sequence(1, size(_w) - 2), i -> named_struct(" +
+              "'w1', element_at(_w, i), 'w2', element_at(_w, i + 1), " +
+              "'w3', element_at(_w, i + 2)))")).as("_t"): _*)
+        .select((if (withId) Seq(col(idCol)) else Seq.empty[Column]) ++
+          Seq(col("_t.w1").as("w1"), col("_t.w2").as("w2"),
+            col("_t.w3").as("w3")): _*)
+    }
+    val docTri = w3Stream(test, withId = true)
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val tri = w3Stream(train, withId = false)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+      .localCheckpoint(true)
+    val bi = train.select(tokens(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_w) - 1), i -> named_struct(" +
+          "'wa', element_at(_w, i), 'wb', element_at(_w, i + 1)))")).as("_b"))
+      .groupBy(col("_b.wa").as("wa"), col("_b.wb").as("wb"))
+      .agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
+    val uni = train.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nv = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+
+    // checkpoint every OTHER stage: the hot/cold union doubles the left
+    // lineage per level, so an un-materialized k-stage chain recomputes
+    // 2^k times; a checkpoint each 2 levels caps the factor at 4× of a
+    // local scan while halving the serialized materialization jobs
+    val joined = Skew.hotColdJoin(docTri, tri, Seq("w1", "w2", "w3"),
+        col("c123"), hotK, "left")
+      .transform(d => Skew.hotColdJoin(d,
+        bi.select(col("wa").as("w1"), col("wb").as("w2"), col("cab").as("c12")),
+        Seq("w1", "w2"), col("c12"), hotK, "left").localCheckpoint(true))
+      .transform(d => Skew.hotColdJoin(d,
+        bi.select(col("wa").as("w2"), col("wb").as("w3"), col("cab").as("c23")),
+        Seq("w2", "w3"), col("c23"), hotK, "left"))
+      .transform(d => Skew.hotColdJoin(d,
+        uni.select(col("w").as("w2"), col("c").as("c2")),
+        Seq("w2"), col("c2"), hotK, "left").localCheckpoint(true))
+      .transform(d => Skew.hotColdJoin(d,
+        uni.select(col("w").as("w3"), col("c").as("c3")),
+        Seq("w3"), col("c3"), hotK, "left"))
+      .crossJoin(broadcast(nv))
+    joined
+      .withColumn("_score",
+        when(col("c123").isNotNull,
+          col("c123").cast("double") / col("c12").cast("double"))
+        .when(col("c23").isNotNull,
+          lit(alpha) * (col("c23").cast("double") / col("c2").cast("double")))
+        .otherwise(lit(alpha) * lit(alpha) *
+          ((coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+            (col("n") + col("v")).cast("double"))))
+      .withColumn("_micro", round(log(col("_score")) * 1e6d).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).as("n_trigrams"),
+        sum(col("_n") * col("_micro")).as("sum_micro_nats"))
+      .withColumn("avg_logprob",
+        round(col("sum_micro_nats").cast("double") /
+          (col("n_trigrams").cast("double") * 1e6d), 6))
+  }
+
   /** Okapi BM25 document scores for a set of (q_id, token) query terms:
     * score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — the lexical-retrieval

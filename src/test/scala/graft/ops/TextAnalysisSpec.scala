@@ -505,6 +505,36 @@ class TextAnalysisSpec extends SparkSpecBase {
         (1 to 10001).map("w" + _)))
   }
 
+  test("stupidBackoffTrigram: each backoff tier fires and is hand-replayable") {
+    // train: "a b c" ×2, "b c d" — test doc exercises all three tiers:
+    //   (a b c): seen trigram → c123/c12 = 2/2 = 1.0
+    //   (b c a): unseen trigram, seen bigram (c a)? no — (c a) unseen;
+    //            bigram tier needs c(w2 w3) = c(c, a) — absent → unigram
+    //   pick test "a b c d x": trigrams (a b c) seen,
+    //   (b c d) seen (1/ c(b c)=3) → 1/3,
+    //   (c d x): tri unseen, bigram (d x) unseen → unigram floor on x
+    //            (x unseen: (0+1)/(N+V)), α² applied
+    val docs = (Seq.fill(2)((1L, "a b c")) :+ ((2L, "b c d")) :+
+      ((10L, "a b c d x")) :+ ((11L, "x b c y"))).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffTrigram(docs, "doc_id", "text",
+        col("doc_id") >= 10L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((10L, 3L), (11L, 2L)), s"$got")
+    def micro(p: Double): Long =
+      BigDecimal(math.log(p) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // train counts: c(a b c)=2, c(b c d)=1; c(a b)=2, c(b c)=3, c(c d)=1;
+    // unigrams: a=2, b=3, c=3, d=1 → N=9, V=4
+    val exp10 = micro(2.0 / 2.0) + micro(1.0 / 3.0) +
+      micro(0.4 * 0.4 * (1.0 / 13.0))          // seen, seen, unigram floor
+    val exp11 = micro(0.4 * (3.0 / 3.0)) +
+      micro(0.4 * 0.4 * (1.0 / 13.0))          // bigram tier, unigram floor
+    assert(got(0)._3 == exp10, s"doc 10 micro sum: ${got(0)._3} vs $exp10")
+    assert(got(1)._3 == exp11, s"doc 11 micro sum (bigram backoff tier): ${got(1)._3} vs $exp11")
+    intercept[IllegalArgumentException](
+      TextAnalysis.stupidBackoffTrigram(docs, "doc_id", "text",
+        col("doc_id") === 10L, alpha = 1.5))
+  }
+
   test("knBigramLogProb: hand-derived Kneser-Ney probabilities, exact micro-nat sums") {
     // corpus: "a b" and "a b a c"
     // pair counts: (a,b)=2, (b,a)=1, (a,c)=1 → B = 3 bigram types
