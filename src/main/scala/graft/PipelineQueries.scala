@@ -1153,6 +1153,37 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  private val lmIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted stupid-backoff LM model (the bm25IndexFor
+    * pattern): counts from the doc_id % 10 ≠ 0 slice, temp-dir
+    * persisted, rebuilt only when the testdata regenerates. */
+  private def lmIndexFor(s: SparkSession, dir: String): String =
+    lmIndexCache.computeIfAbsent(VectorQueries.corpusFingerprint(s, dir), _ => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_lm_index").toFile
+      d.deleteOnExit()
+      graft.ops.LmIndex.build(
+        Tables.documents(s, dir).filter($"doc_id" % 10 =!= 0), "text",
+        d.toString)
+      d.toString
+    })
+
+  /** q168: stupid-backoff scoring from the PERSISTED LM model
+    * ([[graft.ops.LmIndex]]) — the serving path: the model is built
+    * once from the train slice and the held-out batch is scored without
+    * touching the training corpus; must byte-match q167's live
+    * computation, and the oracle replays the live path, so the hash
+    * match proves persisted ≡ live ≡ DuckDB. */
+  def lmIndexScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.LmIndex.score(s, lmIndexFor(s, dir),
+        Tables.documents(s, dir).filter($"doc_id" % 10 === 0),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   /** q159: character-entropy quality profile
     * ([[TextAnalysis.charEntropy]]) — the information-density signal:
     * templated text scores low, random gibberish high; both tails are
@@ -1703,7 +1734,8 @@ object PipelineQueries {
     "q162_shard_prep"     -> (shardPrep _),
     "q164_triplet_mining" -> (tripletMining _),
     "q165_novelty_curve"  -> (noveltyCurve _),
-    "q167_backoff_trigram" -> (backoffTrigram _))
+    "q167_backoff_trigram" -> (backoffTrigram _),
+    "q168_lm_index_score" -> (lmIndexScore _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3677,61 +3709,8 @@ object PipelineQueries {
         |FROM r WHERE cumb < needed AND needed <= cumb + n
         |ORDER BY window_epoch, event_type, p""".stripMargin,
 
-    "q167_backoff_trigram" ->
-      s"""WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
-         |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-         |trw AS (SELECT string_split($norm, ' ') AS ws FROM tr
-         |  WHERE len(string_split($norm, ' ')) >= 3),
-         |trt AS (
-         |  SELECT t['w1'] AS w1, t['w2'] AS w2, t['w3'] AS w3 FROM (
-         |    SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
-         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1], w3 := ws[i + 2]))) AS t
-         |    FROM trw)),
-         |c3g AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM trt GROUP BY 1, 2, 3),
-         |biw AS (SELECT string_split($norm, ' ') AS ws FROM tr
-         |  WHERE len(string_split($norm, ' ')) >= 2),
-         |c2g AS (
-         |  SELECT b['wa'] AS wa, b['wb'] AS wb, COUNT(*) AS cab FROM (
-         |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
-         |      i -> struct_pack(wa := ws[i], wb := ws[i + 1]))) AS b
-         |    FROM biw)
-         |  GROUP BY 1, 2),
-         |c1g AS (
-         |  SELECT tk AS w, COUNT(*) AS c FROM (
-         |    SELECT unnest(string_split($norm, ' ')) AS tk FROM tr)
-         |  WHERE length(tk) > 0 GROUP BY 1),
-         |nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM c1g),
-         |tew AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM te
-         |  WHERE len(string_split($norm, ' ')) >= 3),
-         |tet AS (
-         |  SELECT doc_id, t['w1'] AS w1, t['w2'] AS w2, t['w3'] AS w3 FROM (
-         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
-         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1], w3 := ws[i + 2]))) AS t
-         |    FROM tew)),
-         |tt AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tn FROM tet GROUP BY 1, 2, 3, 4),
-         |j AS (
-         |  SELECT tt.doc_id, tt.tn, c3g.c123, b12.cab AS c12, b23.cab AS c23,
-         |    u2.c AS c2, u3.c AS c3, nv.n, nv.v
-         |  FROM tt
-         |  LEFT JOIN c3g USING (w1, w2, w3)
-         |  LEFT JOIN c2g b12 ON b12.wa = tt.w1 AND b12.wb = tt.w2
-         |  LEFT JOIN c2g b23 ON b23.wa = tt.w2 AND b23.wb = tt.w3
-         |  LEFT JOIN c1g u2 ON u2.w = tt.w2
-         |  LEFT JOIN c1g u3 ON u3.w = tt.w3, nv),
-         |m AS (
-         |  SELECT doc_id, tn,
-         |    CAST(round(ln(CASE
-         |      WHEN c123 IS NOT NULL THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
-         |      WHEN c23 IS NOT NULL THEN 0.4 * (CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE))
-         |      ELSE 0.4 * 0.4 * (CAST(COALESCE(c3, 0) + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
-         |    END) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
-         |  FROM j)
-         |SELECT doc_id, CAST(SUM(tn) AS BIGINT) AS n_trigrams,
-         |  CAST(SUM(tn * micro) AS BIGINT) AS sum_micro_nats,
-         |  ROUND(CAST(SUM(tn * micro) AS DOUBLE) /
-         |    (CAST(SUM(tn) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
-         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
+    "q167_backoff_trigram" -> backoffTrigramOracle,
+    "q168_lm_index_score" -> backoffTrigramOracle,
     "q165_novelty_curve" ->
       s"""WITH fps AS (
          |  SELECT source, md5($norm) AS fp FROM documents),
@@ -3797,4 +3776,63 @@ object PipelineQueries {
          |  CASE WHEN len(list_filter(ws, t -> list_contains(['big', 'broken', 'slow'], t))) = 0
          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM w ORDER BY doc_id""".stripMargin)
+
+  /** Shared by q167 (live) and q168 (persisted-model serving): the
+    * oracle replays the LIVE computation, so a q168 hash match proves
+    * persisted ≡ live ≡ DuckDB. */
+  private def backoffTrigramOracle: String =
+    s"""WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+         |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |trw AS (SELECT string_split($norm, ' ') AS ws FROM tr
+         |  WHERE len(string_split($norm, ' ')) >= 3),
+         |trt AS (
+         |  SELECT t['w1'] AS w1, t['w2'] AS w2, t['w3'] AS w3 FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1], w3 := ws[i + 2]))) AS t
+         |    FROM trw)),
+         |c3g AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM trt GROUP BY 1, 2, 3),
+         |biw AS (SELECT string_split($norm, ' ') AS ws FROM tr
+         |  WHERE len(string_split($norm, ' ')) >= 2),
+         |c2g AS (
+         |  SELECT b['wa'] AS wa, b['wb'] AS wb, COUNT(*) AS cab FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(wa := ws[i], wb := ws[i + 1]))) AS b
+         |    FROM biw)
+         |  GROUP BY 1, 2),
+         |c1g AS (
+         |  SELECT tk AS w, COUNT(*) AS c FROM (
+         |    SELECT unnest(string_split($norm, ' ')) AS tk FROM tr)
+         |  WHERE length(tk) > 0 GROUP BY 1),
+         |nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM c1g),
+         |tew AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM te
+         |  WHERE len(string_split($norm, ' ')) >= 3),
+         |tet AS (
+         |  SELECT doc_id, t['w1'] AS w1, t['w2'] AS w2, t['w3'] AS w3 FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1], w3 := ws[i + 2]))) AS t
+         |    FROM tew)),
+         |tt AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tn FROM tet GROUP BY 1, 2, 3, 4),
+         |j AS (
+         |  SELECT tt.doc_id, tt.tn, c3g.c123, b12.cab AS c12, b23.cab AS c23,
+         |    u2.c AS c2, u3.c AS c3, nv.n, nv.v
+         |  FROM tt
+         |  LEFT JOIN c3g USING (w1, w2, w3)
+         |  LEFT JOIN c2g b12 ON b12.wa = tt.w1 AND b12.wb = tt.w2
+         |  LEFT JOIN c2g b23 ON b23.wa = tt.w2 AND b23.wb = tt.w3
+         |  LEFT JOIN c1g u2 ON u2.w = tt.w2
+         |  LEFT JOIN c1g u3 ON u3.w = tt.w3, nv),
+         |m AS (
+         |  SELECT doc_id, tn,
+         |    CAST(round(ln(CASE
+         |      WHEN c123 IS NOT NULL THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
+         |      WHEN c23 IS NOT NULL THEN 0.4 * (CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE))
+         |      ELSE 0.4 * 0.4 * (CAST(COALESCE(c3, 0) + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+         |    END) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |  FROM j)
+         |SELECT doc_id, CAST(SUM(tn) AS BIGINT) AS n_trigrams,
+         |  CAST(SUM(tn * micro) AS BIGINT) AS sum_micro_nats,
+         |  ROUND(CAST(SUM(tn * micro) AS DOUBLE) /
+         |    (CAST(SUM(tn) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
 }

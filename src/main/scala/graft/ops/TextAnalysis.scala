@@ -511,30 +511,41 @@ object TextAnalysis {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must lie in (0, 1], got $alpha")
     val train = df.filter(!testPred)
-    val test = df.filter(testPred)
+    val (tri, bi, uni) = trigramModel(train, textCol)
+    scoreBackoffTrigrams(
+      docTrigrams(df.filter(testPred), idCol, textCol).localCheckpoint(true),
+      idCol,
+      tri.localCheckpoint(true), bi.localCheckpoint(true),
+      uni.localCheckpoint(true), alpha, hotK)
+  }
 
-    def w3Stream(src: DataFrame, withId: Boolean): DataFrame = {
-      val base = src.select(
-        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) :+
-          tokens(col(textCol)).as("_w"): _*)
-        .filter(size(col("_w")) >= 3)
-      base.select(
-        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) :+
-          explode(expr(
-            "transform(sequence(1, size(_w) - 2), i -> named_struct(" +
-              "'w1', element_at(_w, i), 'w2', element_at(_w, i + 1), " +
-              "'w3', element_at(_w, i + 2)))")).as("_t"): _*)
-        .select((if (withId) Seq(col(idCol)) else Seq.empty[Column]) ++
-          Seq(col("_t.w1").as("w1"), col("_t.w2").as("w2"),
-            col("_t.w3").as("w3")): _*)
-    }
-    val docTri = w3Stream(test, withId = true)
+  private def w3Stream(src: DataFrame, textCol: String,
+      idCols: Seq[Column]): DataFrame =
+    src.select(idCols :+ tokens(col(textCol)).as("_w"): _*)
+      .filter(size(col("_w")) >= 3)
+      .select(idCols :+ explode(expr(
+        "transform(sequence(1, size(_w) - 2), i -> named_struct(" +
+          "'w1', element_at(_w, i), 'w2', element_at(_w, i + 1), " +
+          "'w3', element_at(_w, i + 2)))")).as("_t"): _*)
+      .select(idCols ++ Seq(col("_t.w1").as("w1"), col("_t.w2").as("w2"),
+        col("_t.w3").as("w3")): _*)
+
+  /** A batch's distinct (id, w₁, w₂, w₃, n) trigram rows — the probe
+    * side of [[scoreBackoffTrigrams]]. */
+  def docTrigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    w3Stream(df, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("_n"))
-      .localCheckpoint(true)
-    val tri = w3Stream(train, withId = false)
+
+  /** The train-side count tables (tri, bi, uni) — the persistable
+    * stupid-backoff LM model ([[graft.ops.LmIndex]] writes them as
+    * parquet; [[stupidBackoffTrigram]] builds them live). All three are
+    * vocabulary-sized, map-side-combined aggregates over one scan of
+    * the training text per n-gram order. */
+  def trigramModel(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tri = w3Stream(train, textCol, Seq.empty)
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
-      .localCheckpoint(true)
     val bi = train.select(tokens(col(textCol)).as("_w"))
       .filter(size(col("_w")) >= 2)
       .select(explode(expr(
@@ -542,13 +553,25 @@ object TextAnalysis {
           "'wa', element_at(_w, i), 'wb', element_at(_w, i + 1)))")).as("_b"))
       .groupBy(col("_b.wa").as("wa"), col("_b.wb").as("wb"))
       .agg(count(lit(1)).as("cab"))
-      .localCheckpoint(true)
     val uni = train.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    val nv = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    (tri, bi, uni)
+  }
 
+  /** The scoring half of [[stupidBackoffTrigram]] over PREBUILT count
+    * tables — the serving path: train once, persist tri/bi/uni (the LM
+    * model), score any number of incoming batches without touching the
+    * training corpus again (the q122/q123 build-once/probe-many
+    * contract applied to the LM family). `docTri` is the batch's
+    * (id, w1, w2, w3, n) pre-aggregate; the count frames must carry the
+    * [[stupidBackoffTrigram]] column names. */
+  def scoreBackoffTrigrams(docTri: DataFrame, idCol: String,
+      tri: DataFrame, bi: DataFrame, uni: DataFrame,
+      alpha: Double = 0.4, hotK: Int = 4096): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"backoff alpha must lie in (0, 1], got $alpha")
+    val nv = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     // checkpoint every OTHER stage: the hot/cold union doubles the left
     // lineage per level, so an un-materialized k-stage chain recomputes
     // 2^k times; a checkpoint each 2 levels caps the factor at 4× of a

@@ -550,6 +550,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"no cross product:\n${p.take(1200)}")
   }
 
+  test("q162: shard prep composes gate → dedup → pack without a cartesian or global sort") {
+    val p = plan("q162_shard_prep")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n${p.take(1200)}")
+    // packing is a per-shard window, not a global orderBy: the only
+    // Sort nodes may be window-local or the final presentation sort
+    assert(p.contains("Window"), s"packing must be a windowed prefix sum:\n${p.take(1200)}")
+  }
+
+  test("q164: triplet negatives come from a broadcast pool, never pairs × corpus") {
+    val p = plan("q164_triplet_mining")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the negative pool must broadcast:\n${p.take(1200)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-pair argmin must be a bounded heap:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), s"\n${p.take(1200)}")
+  }
+
+  test("q165: novelty curve is two combiner aggregates + a source-sized window") {
+    val p = plan("q165_novelty_curve")
+    assert(p.contains("HashAggregate"), s"\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cross product belongs here:\n${p.take(1200)}")
+  }
+
   test("q154: A/B readout is grouped moments + 1-row joins only") {
     val p = plan("q154_ab_ttest")
     assert(p.contains("HashAggregate"))

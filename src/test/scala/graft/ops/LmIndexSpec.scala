@@ -1,0 +1,29 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class LmIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("persisted-model scoring equals the live train/held-out computation") {
+    val docs = (Seq.fill(2)((1L, "a b c")) ++ Seq(
+      (2L, "b c d"), (3L, "c d a b"),
+      (10L, "a b c d x"), (11L, "x b c y"))).toDF("doc_id", "text")
+    val live = TextAnalysis.stupidBackoffTrigram(docs, "doc_id", "text",
+        col("doc_id") >= 10L)
+      .collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("lmix_").toString
+    LmIndex.build(docs.filter($"doc_id" < 10L), "text", dir)
+    val served = LmIndex.score(spark, dir,
+        docs.filter($"doc_id" >= 10L), "doc_id", "text")
+      .collect().toSet
+    assert(served == live,
+      s"persisted != live: missing=${live -- served} extra=${served -- live}")
+    // the model tables round-trip through parquet with exact counts
+    val tri = spark.read.parquet(s"$dir/tri")
+      .as[(String, String, String, Long)].collect()
+      .map(t => ((t._1, t._2, t._3), t._4)).toMap
+    assert(tri(("a", "b", "c")) == 2L, s"$tri")
+  }
+}
