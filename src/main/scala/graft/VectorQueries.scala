@@ -601,6 +601,47 @@ object VectorQueries {
     graft.ops.Spectral.topComponent(
       Tables.embeddings(s, dir), "embedding", dims = 64, iters = 5, k = 8)
 
+  /** q169: embedding drift between two corpus snapshots (even vs odd
+    * vec_id standing in for release N vs N+1): per-snapshot integer
+    * centroids (the q104 device), reported as the cosine between the
+    * two centroids, their micro-L2 shift, and the top-5 dimensions by
+    * absolute centroid movement — the embedding-space drift monitor a
+    * re-embedding or data-mix change trips. All integer sums; one
+    * corpus pass; everything after is dims-sized. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pe = Tables.embeddings(s, dir)
+      .select(($"vec_id" % 2).as("snap"), posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"snap", $"pos",
+        round($"v".cast("double") * 1e6d).cast("long").as("vm"))
+    val cent = pe.groupBy($"snap", $"pos")
+      .agg(sum($"vm").as("sm"), count(lit(1)).as("nv"))
+      .withColumn("cm", round($"sm".cast("double") / $"nv".cast("double"))
+        .cast("long"))
+    val a = cent.filter($"snap" === 0).select($"pos", $"cm".as("ca"))
+    val b = cent.filter($"snap" === 1).select($"pos", $"cm".as("cb"))
+    val j = a.join(b, Seq("pos"))
+      .withColumn("dm", $"cb" - $"ca")
+    val agg = j.agg(
+      sum(($"ca".cast("decimal(38,0)") * $"cb".cast("decimal(38,0)"))).as("dot"),
+      sum(($"ca".cast("decimal(38,0)") * $"ca".cast("decimal(38,0)"))).as("na"),
+      sum(($"cb".cast("decimal(38,0)") * $"cb".cast("decimal(38,0)"))).as("nb"),
+      sum(($"dm".cast("decimal(38,0)") * $"dm".cast("decimal(38,0)"))).as("d2"))
+      .select(
+        round($"dot".cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 6)
+          .as("centroid_cos"),
+        round(sqrt($"d2".cast("double")) / 1e6d, 6).as("centroid_l2_shift"))
+    val w = Window.orderBy(abs($"dm").desc, $"pos".asc)
+    j.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .crossJoin(broadcast(agg))
+      .select($"rnk", $"pos".cast("long").as("pos"),
+        round($"dm".cast("double") / 1e6d, 6).as("dim_shift"),
+        $"centroid_cos", $"centroid_l2_shift")
+      .orderBy($"rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_vec_dot_topk"       -> (dotTopK _),
     "q21_vec_l2_knn"         -> (l2TopK _),
@@ -623,7 +664,8 @@ object VectorQueries {
     "q155_semantic_decon"    -> (semanticDecontaminate _),
     "q156_knn_label_noise"   -> (knnLabelNoise _),
     "q163_semantic_outliers" -> (semanticOutliers _),
-    "q166_pca_top"           -> (pcaTop _))
+    "q166_pca_top"           -> (pcaTop _),
+    "q169_embedding_drift"   -> (embeddingDrift _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1010,6 +1052,30 @@ object VectorQueries {
         |FROM sm s JOIN xk USING (q_id) JOIN yk USING (n_id)
         |ORDER BY margin DESC, q_id, n_id
         |LIMIT 15""".stripMargin,
+    "q169_embedding_drift" ->
+      """WITH pe AS (
+        |  SELECT vec_id % 2 AS snap, i.i - 1 AS pos,
+        |    CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+        |  FROM embeddings, generate_series(1, 64) i(i)),
+        |cent AS (
+        |  SELECT snap, pos,
+        |    CAST(round(CAST(SUM(vm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cm
+        |  FROM pe GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.pos, a.cm AS ca, b.cm AS cb, b.cm - a.cm AS dm
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.snap = 0 AND b.snap = 1),
+        |agg AS (
+        |  SELECT
+        |    ROUND(CAST(SUM(ca * cb) AS DOUBLE) /
+        |      (sqrt(CAST(SUM(ca * ca) AS DOUBLE)) * sqrt(CAST(SUM(cb * cb) AS DOUBLE))), 6) AS centroid_cos,
+        |    ROUND(sqrt(CAST(SUM(dm * dm) AS DOUBLE)) / 1000000.0, 6) AS centroid_l2_shift
+        |  FROM j),
+        |r AS (
+        |  SELECT pos, dm, ROW_NUMBER() OVER (ORDER BY ABS(dm) DESC, pos) AS rnk FROM j)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, CAST(pos AS BIGINT) AS pos,
+        |  ROUND(CAST(dm AS DOUBLE) / 1000000.0, 6) AS dim_shift,
+        |  centroid_cos, centroid_l2_shift
+        |FROM r, agg WHERE rnk <= 5 ORDER BY rnk""".stripMargin,
     "q166_pca_top" -> {
       // 5 unrolled power-iteration rounds over the integer-normalized
       // scaled covariance — mirrors Spectral.topComponent step for step

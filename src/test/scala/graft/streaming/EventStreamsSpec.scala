@@ -70,6 +70,23 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed histogram sketches MERGE: hist(A ∪ B) = per-bin sum of hist(A), hist(B)") {
+    // the property that makes the fixed-bound sketch shard-safe: two
+    // independently built histograms combine by adding bin counts —
+    // no re-scan of either input
+    val all = sampleEvents.toDF()
+    val partA = sampleEvents.take(2).toDF()
+    val partB = sampleEvents.drop(2).toDF()
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.windowedValueHistogram(df, 0.0, 10.0, 10)
+        .as[(Timestamp, String, Long, Long)].collect()
+        .groupBy(t => (t._1, t._2, t._3)).view.mapValues(_.map(_._4).sum).toMap
+    val whole = hist(all)
+    val merged = (hist(partA).toSeq ++ hist(partB).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == whole, s"sketches must merge by addition: $merged vs $whole")
+  }
+
   test("windowed histogram clamps out-of-range values into edge bins") {
     val rows = Seq(
       EventRow(0L, ts(1), 1L, "click", -5.0, "{}"),   // below lo → bin 0
