@@ -52,7 +52,10 @@ object DumpPlans {
     "q150_rendezvous_shards" -> "rendezvous sharding: per-partition WindowGroupLimit argmax before the exchange — no all-shards fan-out survives",
     "q155_semantic_decon"  -> "semantic decontamination: eval vectors broadcast, threshold filter BEFORE the bounded-heap argmax — corpus vectors never shuffle",
     "q157_kn_bigram"       -> "Kneser-Ney LM: (doc, p, c, n) pre-aggregate + hot/cold pair join — the q102 skew-safe shape with continuation counts",
-    "q159_char_entropy"    -> "char entropy: pure map-only nested HOF — zero shuffle, no join, no aggregate")
+    "q159_char_entropy"    -> "char entropy: pure map-only nested HOF — zero shuffle, no join, no aggregate",
+    "q162_shard_prep"      -> "shard prep: gate → dedup → pack composed in ONE plan; packing is a per-shard windowed prefix sum, never a global sort",
+    "q164_triplet_mining"  -> "triplet mining: band-join positives × broadcast negative pool → bounded-heap argmin — pairs × pool, never pairs × corpus",
+    "q161_windowed_quantiles" -> "windowed percentiles: one partial+final bin-count aggregate + (window × type × bins)-sized windows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
