@@ -1184,6 +1184,36 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  private val lmAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once cache for the q170 INCREMENTALLY EXTENDED LM model:
+    * counts built from the historic train slice (doc_id < 250), then
+    * the newer train batch (doc_id ≥ 250) APPENDED — counts are
+    * additive parquet parts, re-aggregated at read; no rebuild. */
+  private def lmAppendIndexFor(s: SparkSession, dir: String): String =
+    lmAppendCache.computeIfAbsent(VectorQueries.corpusFingerprint(s, dir), _ => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_lm_append").toFile
+      d.deleteOnExit()
+      val train = Tables.documents(s, dir).filter($"doc_id" % 10 =!= 0)
+      graft.ops.LmIndex.build(train.filter($"doc_id" < 250), "text", d.toString)
+      graft.ops.LmIndex.append(train.filter($"doc_id" >= 250), "text", d.toString)
+      d.toString
+    })
+
+  /** q170: stupid-backoff scoring from the APPENDED LM model — must
+    * hash-match q167's live computation and q168's one-shot build
+    * (same oracle for all three), proving append ≡ rebuild: n-gram
+    * counts are additive parquet parts. */
+  def lmIndexAppendScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.LmIndex.score(s, lmAppendIndexFor(s, dir),
+        Tables.documents(s, dir).filter($"doc_id" % 10 === 0),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   /** q159: character-entropy quality profile
     * ([[TextAnalysis.charEntropy]]) — the information-density signal:
     * templated text scores low, random gibberish high; both tails are
@@ -1735,7 +1765,8 @@ object PipelineQueries {
     "q164_triplet_mining" -> (tripletMining _),
     "q165_novelty_curve"  -> (noveltyCurve _),
     "q167_backoff_trigram" -> (backoffTrigram _),
-    "q168_lm_index_score" -> (lmIndexScore _))
+    "q168_lm_index_score" -> (lmIndexScore _),
+    "q170_lm_index_append" -> (lmIndexAppendScore _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3711,6 +3742,7 @@ object PipelineQueries {
 
     "q167_backoff_trigram" -> backoffTrigramOracle,
     "q168_lm_index_score" -> backoffTrigramOracle,
+    "q170_lm_index_append" -> backoffTrigramOracle,
     "q165_novelty_curve" ->
       s"""WITH fps AS (
          |  SELECT source, md5($norm) AS fp FROM documents),

@@ -26,18 +26,38 @@ object LmIndex {
     uni.write.mode("overwrite").parquet(s"$dir/uni")
   }
 
-  /** Serve: score a batch against the persisted model. Identical
-    * results to [[TextAnalysis.stupidBackoffTrigram]] with the same
-    * train split — proven in spec and by the q168 oracle (which
-    * replays the LIVE computation). */
+  /** Incrementally extend the model with a new training batch: n-gram
+    * counts are ADDITIVE, so the batch's own count tables are simply
+    * appended as more parquet parts — no read, no merge job, no model
+    * rebuild; [[score]] re-aggregates per key at read time (one
+    * vocabulary-sized combiner groupBy). Append ≡ one-shot build over
+    * the union is proven in spec and by the q170 oracle hash match. */
+  def append(batch: DataFrame, textCol: String, dir: String): Unit = {
+    val (tri, bi, uni) = TextAnalysis.trigramModel(batch, textCol)
+    tri.write.mode("append").parquet(s"$dir/tri")
+    bi.write.mode("append").parquet(s"$dir/bi")
+    uni.write.mode("append").parquet(s"$dir/uni")
+  }
+
+  /** Serve: score a batch against the persisted model. Count parts
+    * from [[build]] + any number of [[append]]s are re-aggregated per
+    * key (vocab-sized, map-side combined) before the scoring joins.
+    * Identical results to [[TextAnalysis.stupidBackoffTrigram]] with
+    * the same training set — proven in spec and by the q168/q170
+    * oracles (which replay the LIVE computation). */
   def score(s: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
-      alpha: Double = 0.4, hotK: Int = 4096): DataFrame =
+      alpha: Double = 0.4, hotK: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions._
     TextAnalysis.scoreBackoffTrigrams(
       TextAnalysis.docTrigrams(batch, idCol, textCol).localCheckpoint(true),
       idCol,
-      s.read.parquet(s"$dir/tri"),
-      s.read.parquet(s"$dir/bi"),
-      s.read.parquet(s"$dir/uni"),
+      s.read.parquet(s"$dir/tri").groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("c123")).as("c123")),
+      s.read.parquet(s"$dir/bi").groupBy(col("wa"), col("wb"))
+        .agg(sum(col("cab")).as("cab")),
+      s.read.parquet(s"$dir/uni").groupBy(col("w"))
+        .agg(sum(col("c")).as("c")),
       alpha, hotK)
+  }
 }

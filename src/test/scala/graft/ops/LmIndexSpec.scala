@@ -25,5 +25,15 @@ class LmIndexSpec extends SparkSpecBase {
       .as[(String, String, String, Long)].collect()
       .map(t => ((t._1, t._2, t._3), t._4)).toMap
     assert(tri(("a", "b", "c")) == 2L, s"$tri")
+
+    // append ≡ one-shot build over the union: counts are additive parts
+    val dir2 = java.nio.file.Files.createTempDirectory("lmix2_").toString
+    LmIndex.build(docs.filter($"doc_id" < 3L), "text", dir2)
+    LmIndex.append(docs.filter($"doc_id" === 3L), "text", dir2)
+    val appended = LmIndex.score(spark, dir2,
+        docs.filter($"doc_id" >= 10L), "doc_id", "text")
+      .collect().toSet
+    assert(appended == live,
+      s"append != one-shot: missing=${live -- appended} extra=${appended -- live}")
   }
 }
