@@ -64,6 +64,32 @@ class SkewSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("hotColdJoin ≡ plain join across randomized corpora, join types and hotK") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 6) {
+      // zipf-ish random left side; lookup covers a random subset of keys
+      val nKeys = 3 + rnd.nextInt(10)
+      val rows = (1 to 200).map { i =>
+        val k = s"k${math.min(nKeys - 1, (math.log(1 + rnd.nextInt(1 << nKeys)) / math.log(2)).toInt)}"
+        (k, i.toLong)
+      }
+      val left = rows.toDF("key", "v")
+      val lookup = left.groupBy($"key").agg(count(lit(1)).as("cnt"))
+        .filter(pmod(hash($"key"), lit(3)) =!= 0) // drop ~1/3 of keys
+      for (jt <- Seq("inner", "left"); hotK <- Seq(1, 3, 1000)) {
+        val expected = left.join(lookup, Seq("key"), jt)
+          .select("key", "v", "cnt").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+        val got = Skew.hotColdJoin(left, lookup, Seq("key"), $"cnt", hotK, jt)
+          .select("key", "v", "cnt").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+        assert(got == expected, s"trial=$trial jt=$jt hotK=$hotK")
+      }
+    }
+  }
+
   test("salt actually spreads the hot key across groups") {
     val partials = skewed()
       .withColumn("_salt", pmod(hash($"v"), lit(8)))
