@@ -49,17 +49,28 @@ object CurationPipeline {
       .filter(coalesce(col("dup_frac"), lit(0.0)) < 0.6)
       .select("doc_id", "text", "lang", "redacted", "n_emails", "n_ips", "n_phones")
 
+    // 2b. content gates (round-13 ops): C4-style blocklist pass plus an
+    //     information-density floor — both pure map-side, so they cost
+    //     one scan and compose freely with everything downstream
+    val blockHits = TextAnalysis.blocklistFilter(quality, "doc_id", "text",
+        Seq("slow")) // demo wordlist over the synthetic vocabulary
+      .filter(col("keep") === 1L).select("doc_id")
+    val entropyOk = TextAnalysis.charEntropy(quality, "doc_id", "text")
+      .filter(col("entropy_nats") >= 1.5).select("doc_id")
+    val gated = quality.join(blockHits, Seq("doc_id"))
+      .join(entropyOk, Seq("doc_id"))
+
     // 3. near-dup dedup, longest-doc survivor
-    val pairs = Dedup.minHashCandidates(quality, "doc_id", "text",
+    val pairs = Dedup.minHashCandidates(gated, "doc_id", "text",
       threshold = 0.5).select(col("a_id"), col("b_id"))
     val keep = Components.bestPerCluster(
-        quality.withColumn("n_chars", length(col("text"))),
+        gated.withColumn("n_chars", length(col("text"))),
         "doc_id", pairs, "n_chars")
       .select(col("keep_id").as("doc_id"))
     val losers = Components.connectedComponents(pairs)
       .select(col("id").as("doc_id"))
       .join(keep, Seq("doc_id"), "left_anti")
-    val deduped = quality.join(losers, Seq("doc_id"), "left_anti")
+    val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
 
     // 4. mixture + split (both on the same stable md5 bucket family)
     val mixed = Sampling.weightedSample(deduped, "doc_id", "lang",
