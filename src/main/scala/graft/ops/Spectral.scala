@@ -87,7 +87,11 @@ object Spectral {
 
     def halfUp(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val ma = cells.values.map(_.abs).max.toDouble
+    val maInt = cells.values.map(_.abs).max
+    require(maInt.signum != 0,
+      "covariance is identically zero (constant embeddings) — there is " +
+        "no principal direction to report")
+    val ma = maInt.toDouble
     val a = Array.tabulate(dims, dims)((p, q) =>
       halfUp(cells((p, q)).toDouble / ma * 1e6))
 
@@ -99,7 +103,11 @@ object Spectral {
         while (q < dims) { s += a(p)(q) * vIn(q); q += 1 }
         s
       }
-      val m = w.map(math.abs).max.toDouble
+      val mInt = w.map(math.abs).max
+      require(mInt != 0L,
+        "power iteration collapsed to the zero vector (start vector in " +
+          "the covariance nullspace) — perturb the input or reduce dims")
+      val m = mInt.toDouble
       (w, w.map(x => halfUp(x.toDouble / m * 1e6)))
     }
     for (_ <- 1 to iters) v = mulNorm(v)._2

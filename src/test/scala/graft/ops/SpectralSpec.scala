@@ -38,6 +38,15 @@ class SpectralSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("degenerate inputs fail with typed errors, never NaN arithmetic") {
+    // constant embeddings → zero covariance → no principal direction
+    val flat = (1 to 5).map(i => (i.toLong, Array.fill(4)(2.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Spectral.topComponent(flat, "embedding", dims = 4, k = 4))
+    assert(e.getMessage.contains("identically zero"), e.getMessage)
+  }
+
   test("topComponent rejects bad configs") {
     val df = anisotropic()
     intercept[IllegalArgumentException](
