@@ -204,32 +204,43 @@ object Decontaminate {
     * vector (ties → smallest id).
     *
     * Same regime as [[contamination]]: the EVAL side is benchmarks —
-    * bounded by construction and ENFORCED by `maxEvalVectors` (a cheap
-    * limit-probe count; violation is a typed error, not an executor
-    * OOM). Plan: ONE broadcast cross join (corpus × evals, the q118
-    * margin-mining shape) with the threshold filter applied BEFORE the
-    * per-corpus-row argmax, so the rank exchange carries only flagged
-    * rows; the argmax plans as WindowGroupLimit. The corpus never
-    * shuffles its vectors — only (id, eval_id, cos) survivors move. */
+    * bounded by construction and ENFORCED by `maxEvalVectors`, checked
+    * ON the broadcast collect itself (the mmrRerank limit-probe idiom:
+    * collect maxEvalVectors + 1 rows, fail typed if the probe row
+    * appears — no separate count job, and violation is a typed error,
+    * not an executor OOM). Plan: ONE broadcast cross join (corpus ×
+    * evals, the q118 margin-mining shape) with the threshold filter
+    * applied BEFORE the per-corpus-row argmax, so the rank exchange
+    * carries only flagged rows; the argmax plans as WindowGroupLimit.
+    * The corpus never shuffles its vectors — only (id, eval_id, cos)
+    * survivors move. */
   def semanticFlags(corpus: DataFrame, evals: DataFrame, idCol: String,
       vecCol: String, threshold: Double,
       maxEvalVectors: Int = 100000): DataFrame = {
     require(threshold > -1.0 && threshold <= 1.0,
       s"threshold must be a cosine in (-1, 1], got $threshold")
     require(maxEvalVectors > 0, s"maxEvalVectors must be positive")
-    val e = evals.select(col(idCol).as("eval_id"), col(vecCol).as("_ev"))
-    require(e.limit(maxEvalVectors + 1).count() <= maxEvalVectors,
+    val reserved = Seq("eval_id", "cos_sim", "__graft_ev", "__graft_rn")
+    require(!reserved.contains(idCol) && !reserved.contains(vecCol),
+      s"id/vector column may not use the reserved names $reserved")
+    val ePlan = evals.select(col(idCol).as("eval_id"), col(vecCol).as("__graft_ev"))
+    // the collect IS the guard: one job materializes the broadcast rows
+    // and proves the bound at the same time
+    val eRows = ePlan.limit(maxEvalVectors + 1).collect()
+    require(eRows.length <= maxEvalVectors,
       s"eval set exceeds maxEvalVectors = $maxEvalVectors — the broadcast " +
         "regime's premise (eval sets are benchmarks) no longer holds")
+    val e = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(eRows: _*), ePlan.schema)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("cos_sim").desc, col("eval_id").asc)
     corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(e))
       .withColumn("cos_sim",
-        round(graft.expr.VectorExprs.cosine(col(vecCol), col("_ev")), 6))
+        round(graft.expr.VectorExprs.cosine(col(vecCol), col("__graft_ev")), 6))
       .filter(col("cos_sim") >= threshold)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
       .select(col(idCol), col("eval_id"), col("cos_sim"))
   }
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Persisted stupid-backoff LM model — the q122/q123
@@ -11,32 +12,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the training corpus again — the LM twin of the persisted BM25
   * postings ([[TextIndex]]) and IVF cells ([[Ivf]]).
   *
-  * Layout: `<dir>/tri`, `<dir>/bi`, `<dir>/uni` parquet tables with the
-  * [[TextAnalysis.trigramModel]] schemas. At 100 TB, bucket `tri` by a
-  * hash of (w1, w2, w3) and `bi`/`uni` by their keys so the probe
-  * joins can co-locate; counts are vocabulary-sized either way. */
+  * Layout: one DELTA DIRECTORY per build/append —
+  * `<dir>/m_<uuid>/{tri,bi,uni}` parquet tables with the
+  * [[TextAnalysis.trigramModel]] schemas; [[score]] reads
+  * `<dir>/m_*\/tri` etc. and re-aggregates, so counts stay additive
+  * across any number of deltas.
+  *
+  * Atomicity: each delta is fully written to a `tmp_<uuid>` staging
+  * directory and PROMOTED with ONE filesystem rename — atomic on
+  * HDFS/POSIX (not on S3, where a real deployment puts a manifest log
+  * in front, the table-format answer). A crash mid-append therefore
+  * leaves the live model EXACTLY as it was: either the whole
+  * tri/bi/uni delta appears or none of it does, never a model with
+  * inconsistent n-gram orders. Orphaned `tmp_*` directories from
+  * crashed writers are invisible to [[score]] (the glob matches only
+  * `m_*`) and safe to garbage-collect.
+  *
+  * At 100 TB, bucket `tri` by a hash of (w1, w2, w3) and `bi`/`uni` by
+  * their keys so the probe joins can co-locate; counts are
+  * vocabulary-sized either way. */
 object LmIndex {
 
-  /** Train: write the three count tables. One scan of the training
-    * text per n-gram order, all map-side combined. */
+  /** Train: write the three count tables as the first delta. One scan
+    * of the training text per n-gram order, all map-side combined.
+    * Clears any previous model deltas under `dir` (overwrite
+    * semantics), then commits the new delta atomically. */
   def build(train: DataFrame, textCol: String, dir: String): Unit = {
-    val (tri, bi, uni) = TextAnalysis.trigramModel(train, textCol)
-    tri.write.mode("overwrite").parquet(s"$dir/tri")
-    bi.write.mode("overwrite").parquet(s"$dir/bi")
-    uni.write.mode("overwrite").parquet(s"$dir/uni")
+    val fs = new Path(dir).getFileSystem(
+      train.sparkSession.sparkContext.hadoopConfiguration)
+    val base = new Path(dir)
+    if (fs.exists(base))
+      fs.listStatus(base).filter(_.getPath.getName.startsWith("m_"))
+        .foreach(st => fs.delete(st.getPath, true))
+    writeDelta(train, textCol, dir)
   }
 
   /** Incrementally extend the model with a new training batch: n-gram
-    * counts are ADDITIVE, so the batch's own count tables are simply
-    * appended as more parquet parts — no read, no merge job, no model
-    * rebuild; [[score]] re-aggregates per key at read time (one
-    * vocabulary-sized combiner groupBy). Append ≡ one-shot build over
-    * the union is proven in spec and by the q170 oracle hash match. */
-  def append(batch: DataFrame, textCol: String, dir: String): Unit = {
-    val (tri, bi, uni) = TextAnalysis.trigramModel(batch, textCol)
-    tri.write.mode("append").parquet(s"$dir/tri")
-    bi.write.mode("append").parquet(s"$dir/bi")
-    uni.write.mode("append").parquet(s"$dir/uni")
+    * counts are ADDITIVE, so the batch's own count tables land as one
+    * more delta directory — no read, no merge job, no model rebuild;
+    * [[score]] re-aggregates per key at read time (one
+    * vocabulary-sized combiner groupBy). The delta commits with a
+    * single atomic rename (see the object scaladoc), so "append ≡
+    * rebuild" holds for every append that returns — a failed append
+    * leaves the model unchanged. Proven in spec and by the q170 oracle
+    * hash match. */
+  def append(batch: DataFrame, textCol: String, dir: String): Unit =
+    writeDelta(batch, textCol, dir)
+
+  private def writeDelta(df: DataFrame, textCol: String, dir: String): Unit = {
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val staging = s"$dir/tmp_$uuid"
+    val (tri, bi, uni) = TextAnalysis.trigramModel(df, textCol)
+    tri.write.mode("overwrite").parquet(s"$staging/tri")
+    bi.write.mode("overwrite").parquet(s"$staging/bi")
+    uni.write.mode("overwrite").parquet(s"$staging/uni")
+    val fs = new Path(dir).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val committed = new Path(s"$dir/m_$uuid")
+    require(fs.rename(new Path(staging), committed),
+      s"LmIndex delta promote failed: rename $staging -> $committed")
   }
 
   /** Serve: score a batch against the persisted model. Count parts
@@ -52,11 +86,11 @@ object LmIndex {
     TextAnalysis.scoreBackoffTrigrams(
       TextAnalysis.docTrigrams(batch, idCol, textCol).localCheckpoint(true),
       idCol,
-      s.read.parquet(s"$dir/tri").groupBy(col("w1"), col("w2"), col("w3"))
+      s.read.parquet(s"$dir/m_*/tri").groupBy(col("w1"), col("w2"), col("w3"))
         .agg(sum(col("c123")).as("c123")),
-      s.read.parquet(s"$dir/bi").groupBy(col("wa"), col("wb"))
+      s.read.parquet(s"$dir/m_*/bi").groupBy(col("wa"), col("wb"))
         .agg(sum(col("cab")).as("cab")),
-      s.read.parquet(s"$dir/uni").groupBy(col("w"))
+      s.read.parquet(s"$dir/m_*/uni").groupBy(col("w"))
         .agg(sum(col("c")).as("c")),
       alpha, hotK)
   }

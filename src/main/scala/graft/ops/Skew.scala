@@ -49,26 +49,48 @@ object Skew {
     * backoff chain.
     *
     * Row-level results are identical to `left.join(lookup, keys,
-    * joinType)`; the hot/cold routing never changes a value, so oracle
-    * hashes survive the swap. */
+    * joinType)` UNCONDITIONALLY — including lookups with duplicate join
+    * keys: the hot set is KEY-COMPLETE by construction (the top `hotK`
+    * distinct keys ranked by max(weight), then every lookup row for
+    * those keys), so a key's rows can never straddle the hot/cold
+    * boundary and silently drop matches. For the common unique-key count
+    * table this selects exactly the old top-hotK rows; for duplicated
+    * keys the broadcast carries up to hotK × (max rows per key) rows —
+    * `weight` must be usable inside max() over lookup rows. The routing
+    * never changes a value, so oracle hashes survive the swap.
+    *
+    * Cost note: the lookup plan is evaluated three times (key ranking,
+    * hot selection, cold join) — lookups are vocabulary-sized by
+    * contract, and chained callers checkpoint them (see the
+    * [[graft.ops.TextAnalysis]] LM family). */
   def hotColdJoin(
       left: DataFrame, lookup: DataFrame, keys: Seq[String],
       weight: Column, hotK: Int, joinType: String = "inner"): DataFrame = {
     require(hotK > 0, s"hotK must be positive: $hotK")
     require(joinType == "inner" || joinType == "left",
       s"hotColdJoin supports inner/left, got $joinType")
-    val hot = lookup
-      .orderBy(weight.desc +: keys.map(k => col(k).asc): _*)
+    require(!left.columns.contains("__graft_hot") &&
+        !lookup.columns.contains("__graft_hot"),
+      "hotColdJoin reserves the working column name __graft_hot")
+    // top hotK KEYS by max row weight (deterministic tie-break on the
+    // keys) — a map-side-combined vocab-sized aggregate + TakeOrdered
+    val hotKeys = lookup
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(max(weight).as("__graft_w"))
+      .orderBy(col("__graft_w").desc +: keys.map(k => col(k).asc): _*)
       .limit(hotK)
+      .select(keys.map(col).toIndexedSeq: _*)
+    val hot = lookup.join(broadcast(hotKeys), keys.toIndexedSeq)
     val tagged = left.join(
-      broadcast(hot.withColumn("_hot", lit(1))), keys, "left")
-    val fromHot = tagged.filter(col("_hot").isNotNull).drop("_hot")
-    val coldLeft = tagged.filter(col("_hot").isNull)
+      broadcast(hot.withColumn("__graft_hot", lit(1))), keys.toIndexedSeq, "left")
+    val fromHot = tagged.filter(col("__graft_hot").isNotNull).drop("__graft_hot")
+    val coldLeft = tagged.filter(col("__graft_hot").isNull)
       .select(left.columns.map(col).toIndexedSeq: _*)
-    // the cold rows' keys are disjoint from the hot set by construction,
-    // so joining the FULL lookup is row-identical to joining (lookup ∖
-    // hot) — no anti-join needed; the hot rows it carries match nothing
-    fromHot.unionByName(coldLeft.join(lookup, keys, joinType))
+    // the cold rows' keys are disjoint from the hot KEY set by
+    // construction, so joining the FULL lookup is row-identical to
+    // joining (lookup ∖ hot) — no anti-join needed; the hot rows it
+    // carries match nothing
+    fromHot.unionByName(coldLeft.join(lookup, keys.toIndexedSeq, joinType))
   }
 
   /** Two-phase (salted) aggregation for skewed group keys: partial

@@ -491,21 +491,19 @@ object TextAnalysis {
     * fixed-order CASE of double expressions; micro-nat quantization
     * before the exact per-doc long sum (the q78 device).
     *
-    * Plan: the q102 skew-safe shape × five lookups — the held-out side
-    * pre-aggregates to distinct (doc, w₁, w₂, w₃, n) rows, every count
-    * table is vocabulary-sized and map-side combined, and all five
-    * joins back are [[Skew.hotColdJoin]] with LEFT semantics (hot keys
-    * broadcast; unseen n-grams survive with NULLs into the backoff
-    * CASE). Nothing hash-partitions the corpus on a skewed bare-token
-    * key.
+    * Plan: the q102 skew-safe shape × THREE lookups — the held-out side
+    * pre-aggregates to distinct (doc, w₁, w₂, w₃, n) rows, the
+    * per-branch micro-scores are precomputed on the vocabulary-sized
+    * model tables (see [[scoreBackoffTrigrams]]), and the three joins
+    * back — one per n-gram order — are [[Skew.hotColdJoin]] with LEFT
+    * semantics (hot keys broadcast; unseen n-grams survive with NULLs
+    * into the backoff coalesce). Nothing hash-partitions the corpus on
+    * a skewed bare-token key.
     *
-    * Materialization: the three count tables (the LM "model" — exactly
-    * what a production pipeline persists after the train pass) and
-    * every other join stage are eagerly checkpointed. Without this the
-    * hot/cold union doubles the left lineage per level — 2⁵ recomputes
-    * across the five-stage chain (measured ~2.5× slower at sf0.1);
-    * with it the train corpus is scanned once per n-gram order and the
-    * recompute factor is capped at 4× of a checkpointed local scan. */
+    * Materialization: `bi`/`uni` feed two-or-more model-side
+    * enrichments each and are checkpointed here; `tri` feeds exactly
+    * one (itself checkpointed inside [[scoreBackoffTrigrams]]), so the
+    * train corpus is scanned once per n-gram order. */
   def stupidBackoffTrigram(df: DataFrame, idCol: String, textCol: String,
       testPred: Column, alpha: Double = 0.4, hotK: Int = 4096): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
@@ -515,7 +513,7 @@ object TextAnalysis {
     scoreBackoffTrigrams(
       docTrigrams(df.filter(testPred), idCol, textCol).localCheckpoint(true),
       idCol,
-      tri.localCheckpoint(true), bi.localCheckpoint(true),
+      tri, bi.localCheckpoint(true),
       uni.localCheckpoint(true), alpha, hotK)
   }
 
@@ -572,35 +570,55 @@ object TextAnalysis {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must lie in (0, 1], got $alpha")
     val nv = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    // Per-BRANCH micro-scores precomputed on the MODEL side (all three
+    // enrichment joins are vocab × vocab): each backoff branch needs
+    // counts from at most two adjacent n-gram orders, and those live on
+    // the model row the probe key selects — so the corpus makes one
+    // hot/cold pass per ORDER (three), not one per count column (the
+    // previous five). The expressions are the exact trees the old
+    // corpus-side CASE evaluated, so every micro value (and the oracle
+    // hash) is unchanged.
+    //  branch 1 (trigram seen):  c123/c12          keyed (w1, w2, w3)
+    //  branch 2 (bigram seen):   α · c23/c2        keyed (w2, w3)
+    //  branch 3 (unigram floor): α² · (c3+1)/(N+V) keyed (w3)
+    //  fallback (w3 unseen):     α² · 1/(N+V)      constant per job
+    val m1tab = tri
+      .join(bi.select(col("wa").as("w1"), col("wb").as("w2"), col("cab").as("c12")),
+        Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"), col("c123"),
+        round(log(col("c123").cast("double") / col("c12").cast("double")) * 1e6d)
+          .cast("long").as("_m1"))
+      .localCheckpoint(true)
+    val m2tab = bi
+      .select(col("wa").as("w2"), col("wb").as("w3"), col("cab").as("c23"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("w2"), col("w3"), col("c23"),
+        round(log(lit(alpha) * (col("c23").cast("double") / col("c2").cast("double"))) * 1e6d)
+          .cast("long").as("_m2"))
+      .localCheckpoint(true)
+    val m3tab = uni
+      .crossJoin(broadcast(nv))
+      .select(col("w").as("w3"), col("c").as("c3"),
+        round(log(lit(alpha) * lit(alpha) *
+          ((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double"))) * 1e6d)
+          .cast("long").as("_m3"))
+      .localCheckpoint(true)
     // checkpoint every OTHER stage: the hot/cold union doubles the left
     // lineage per level, so an un-materialized k-stage chain recomputes
-    // 2^k times; a checkpoint each 2 levels caps the factor at 4× of a
-    // local scan while halving the serialized materialization jobs
-    val joined = Skew.hotColdJoin(docTri, tri, Seq("w1", "w2", "w3"),
+    // 2^k times; one checkpoint mid-chain caps the three-stage factor
+    val joined = Skew.hotColdJoin(docTri, m1tab, Seq("w1", "w2", "w3"),
         col("c123"), hotK, "left")
-      .transform(d => Skew.hotColdJoin(d,
-        bi.select(col("wa").as("w1"), col("wb").as("w2"), col("cab").as("c12")),
-        Seq("w1", "w2"), col("c12"), hotK, "left").localCheckpoint(true))
-      .transform(d => Skew.hotColdJoin(d,
-        bi.select(col("wa").as("w2"), col("wb").as("w3"), col("cab").as("c23")),
-        Seq("w2", "w3"), col("c23"), hotK, "left"))
-      .transform(d => Skew.hotColdJoin(d,
-        uni.select(col("w").as("w2"), col("c").as("c2")),
-        Seq("w2"), col("c2"), hotK, "left").localCheckpoint(true))
-      .transform(d => Skew.hotColdJoin(d,
-        uni.select(col("w").as("w3"), col("c").as("c3")),
+      .transform(d => Skew.hotColdJoin(d, m2tab,
+        Seq("w2", "w3"), col("c23"), hotK, "left").localCheckpoint(true))
+      .transform(d => Skew.hotColdJoin(d, m3tab,
         Seq("w3"), col("c3"), hotK, "left"))
       .crossJoin(broadcast(nv))
     joined
-      .withColumn("_score",
-        when(col("c123").isNotNull,
-          col("c123").cast("double") / col("c12").cast("double"))
-        .when(col("c23").isNotNull,
-          lit(alpha) * (col("c23").cast("double") / col("c2").cast("double")))
-        .otherwise(lit(alpha) * lit(alpha) *
-          ((coalesce(col("c3"), lit(0L)) + 1).cast("double") /
-            (col("n") + col("v")).cast("double"))))
-      .withColumn("_micro", round(log(col("_score")) * 1e6d).cast("long"))
+      .withColumn("_micro",
+        coalesce(col("_m1"), col("_m2"), col("_m3"),
+          round(log(lit(alpha) * lit(alpha) *
+            (lit(1.0d) / (col("n") + col("v")).cast("double"))) * 1e6d)
+            .cast("long")))
       .groupBy(col(idCol))
       .agg(sum(col("_n")).as("n_trigrams"),
         sum(col("_n") * col("_micro")).as("sum_micro_nats"))

@@ -21,7 +21,7 @@ class LmIndexSpec extends SparkSpecBase {
     assert(served == live,
       s"persisted != live: missing=${live -- served} extra=${served -- live}")
     // the model tables round-trip through parquet with exact counts
-    val tri = spark.read.parquet(s"$dir/tri")
+    val tri = spark.read.parquet(s"$dir/m_*/tri")
       .as[(String, String, String, Long)].collect()
       .map(t => ((t._1, t._2, t._3), t._4)).toMap
     assert(tri(("a", "b", "c")) == 2L, s"$tri")
@@ -35,5 +35,29 @@ class LmIndexSpec extends SparkSpecBase {
       .collect().toSet
     assert(appended == live,
       s"append != one-shot: missing=${live -- appended} extra=${appended -- live}")
+  }
+
+  test("an uncommitted (staged) delta is invisible — a failed append leaves the model unchanged") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (10L, "a b c d"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lmix3_").toString
+    LmIndex.build(docs.filter($"doc_id" < 10L), "text", dir)
+    val before = LmIndex.score(spark, dir,
+      docs.filter($"doc_id" >= 10L), "doc_id", "text").collect().toSet
+    // simulate a writer that crashed before its atomic promote: a fully
+    // written staging directory that never became m_<uuid>
+    val (tri, bi, uni) = TextAnalysis.trigramModel(
+      docs.filter($"doc_id" >= 10L), "text")
+    tri.write.parquet(s"$dir/tmp_dead/tri")
+    bi.write.parquet(s"$dir/tmp_dead/bi")
+    uni.write.parquet(s"$dir/tmp_dead/uni")
+    val after = LmIndex.score(spark, dir,
+      docs.filter($"doc_id" >= 10L), "doc_id", "text").collect().toSet
+    assert(after == before, "staged tmp_ delta leaked into the served model")
+    // …and the same counts promoted properly DO change the model
+    LmIndex.append(docs.filter($"doc_id" >= 10L), "text", dir)
+    val appended = LmIndex.score(spark, dir,
+      docs.filter($"doc_id" >= 10L), "doc_id", "text").collect().toSet
+    assert(appended != before)
   }
 }

@@ -90,6 +90,34 @@ class SkewSpec extends SparkSpecBase {
     }
   }
 
+  test("hotColdJoin ≡ plain join when duplicate lookup keys straddle the hotK boundary") {
+    // lookup has TWO rows for key "a" with weights 10 and 1: a row-limit
+    // hot set of size 2 would take a(10) and b(5), stranding a(1) on the
+    // cold side where hot-matched left rows never reach it — the
+    // key-complete hot set must keep both "a" rows together
+    val left = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L)).toDF("key", "v")
+    val lookup = Seq(("a", 10L, "p1"), ("a", 1L, "p2"), ("b", 5L, "p3"),
+      ("c", 2L, "p4"), ("c", 2L, "p5")).toDF("key", "w", "payload")
+    for (jt <- Seq("inner", "left"); hotK <- Seq(1, 2, 3, 10)) {
+      val expected = left.join(lookup, Seq("key"), jt)
+        .select("key", "v", "w", "payload").collect()
+        .map(_.toSeq.toList).sortBy(_.toString).toList
+      val got = Skew.hotColdJoin(left, lookup, Seq("key"), $"w", hotK, jt)
+        .select("key", "v", "w", "payload").collect()
+        .map(_.toSeq.toList).sortBy(_.toString).toList
+      assert(got == expected, s"jt=$jt hotK=$hotK")
+    }
+  }
+
+  test("hotColdJoin rejects a left frame already carrying the working column") {
+    val left = Seq(("a", 1L)).toDF("key", "__graft_hot")
+    val lookup = Seq(("a", 1L)).toDF("key", "cnt")
+    val e = intercept[IllegalArgumentException] {
+      Skew.hotColdJoin(left, lookup, Seq("key"), $"cnt", 1)
+    }
+    assert(e.getMessage.contains("__graft_hot"))
+  }
+
   test("salt actually spreads the hot key across groups") {
     val partials = skewed()
       .withColumn("_salt", pmod(hash($"v"), lit(8)))
