@@ -29,20 +29,35 @@ import org.apache.spark.sql.functions._
   *     λ / trace(A) are single fixed-order double expressions at the
   *     very end.
   *
-  * Plan: ONE corpus pass builds the dims² outer-product rows (map-side
-  * combined — the exchange carries dims² × partitions rows, the CPU is
-  * the dims² multiply-adds any PCA pays); the collect is dims² rows by
-  * construction. An earlier all-lazy formulation re-walked the corpus
-  * lineage once per iteration level (exponentially) — driver math on
-  * the model-sized matrix is the correct shape at every scale. */
+  * Plan: ONE corpus pass, ONE job — the
+  * [[graft.expr.SpectralMoments]] TypedImperativeAggregate accumulates
+  * n, the component sums AND the dims·(dims+1)/2 upper-triangle second
+  * moments in a single 128-bit-exact buffer per partition (dims² × 8 B
+  * each, the reason for the 1024 dims ceiling), merged to one row —
+  * the exchange carries partial BUFFERS, not dims² × partitions
+  * exploded product rows, and the corpus is scanned once instead of
+  * three times (pair moments / component sums / row count). The
+  * centered covariance n·Σxy − Σx·Σy is then exact driver-side BigInt
+  * math on the model-sized result. An earlier all-lazy formulation
+  * re-walked the corpus lineage once per iteration level
+  * (exponentially) — driver math on the model-sized matrix is the
+  * correct shape at every scale. */
 object Spectral {
 
   /** Top principal component: `k` rows (rnk, pos, loading, ev_share) —
     * the `k` dimensions with the largest |loading| on the dominant
-    * eigenvector, plus the (constant) explained-variance share. */
+    * eigenvector, plus the (constant) explained-variance share.
+    *
+    * Typed failures: NULL / wrong-length / out-of-range vectors fail
+    * loudly inside the moment kernel (see [[graft.expr.SpectralMoments]])
+    * instead of silently skewing the covariance; an empty corpus and a
+    * zero covariance raise here. */
   def topComponent(df: DataFrame, vecCol: String, dims: Int,
       iters: Int = 5, k: Int = 8): DataFrame = {
-    require(dims >= 2 && dims <= 4096, s"dims must be in [2, 4096], got $dims")
+    // dims ceiling is MEMORY, not taste: each partial buffer is
+    // dims·(dims+1)/2 + dims 128-bit cells ≈ dims² × 8 B — 8.4 MB at
+    // 1024; the pre-r14 4096 ceiling would cost 134 MB per partial
+    require(dims >= 2 && dims <= 1024, s"dims must be in [2, 1024], got $dims")
     require(iters >= 1 && iters <= 16,
       s"power iteration rounds must be in [1, 16], got $iters")
     require(k >= 1 && k <= dims, s"k must be in [1, $dims], got $k")
@@ -53,37 +68,22 @@ object Spectral {
     val vm = df.select(expr(
       s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000.0) as bigint))")
       .as("vm"))
-    // symmetry: only the upper triangle (p ≤ q) is computed and
-    // shuffled — dims·(dims+1)/2 products per row instead of dims²;
-    // the driver mirrors the matrix after the collect
-    val pairs = vm.select(explode(expr(
-      s"flatten(transform(sequence(0, ${dims - 1}), p -> " +
-        s"transform(sequence(p, ${dims - 1}), q -> named_struct(" +
-        "'p', p, 'q', q, 'prod', element_at(vm, p + 1) * element_at(vm, q + 1)))))"))
-      .as("e"))
-      .select(col("e.p").as("p"), col("e.q").as("q"), col("e.prod").as("prod"))
-    val sxy = pairs.groupBy(col("p"), col("q"))
-      .agg(sum(col("prod").cast("decimal(38,0)")).as("sxy"))
-    val sx = vm.select(posexplode(col("vm")).as(Seq("p", "v")))
-      .groupBy(col("p")).agg(sum(col("v").cast("decimal(38,0)")).as("sx"))
-    val nrow = vm.agg(count(lit(1)).as("n"))
-    val araw = sxy
-      .join(sx, Seq("p"))
-      .join(sx.select(col("p").as("q"), col("sx").as("sxq")), Seq("q"))
-      .crossJoin(broadcast(nrow))
-      .select(col("p"), col("q"),
-        (col("n") * col("sxy") - col("sx") * col("sxq")).as("araw"))
-
-    // model-sized collect: dims·(dims+1)/2 triangle rows by
-    // construction (the IVF contract); mirror to the full matrix here
-    val tri = araw.select(col("p"), col("q"), col("araw").cast("string"))
-      .collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getString(2))))
-      .toMap
-    require(tri.size == dims.toLong * (dims + 1) / 2,
-      s"covariance collect returned ${tri.size} cells, " +
-        s"expected ${dims.toLong * (dims + 1) / 2}")
-    val cells = tri ++ tri.collect { case ((p, q), x) if p != q => ((q, p), x) }
+    val mrow = vm
+      .agg(graft.expr.SpectralMoments.of(col("vm"), dims).as("m"))
+      .select(col("m.n").as("n"), col("m.sx").as("sx"), col("m.sxy").as("sxy"))
+      .head()
+    val n = BigInt(mrow.getLong(0))
+    require(n.signum > 0,
+      "corpus is empty — there is no covariance to analyze")
+    val sxB = mrow.getSeq[String](1).map(BigInt(_)).toIndexedSeq
+    val triB = mrow.getSeq[String](2).map(BigInt(_)).toIndexedSeq
+    // triangle layout: cell (p ≤ q) at p·dims − p·(p−1)/2 + (q − p)
+    def triIdx(p: Int, q: Int): Int = p * dims - p * (p - 1) / 2 + (q - p)
+    val cells = (for {
+      p <- 0 until dims
+      q <- 0 until dims
+      (lo, hi) = if (p <= q) (p, q) else (q, p)
+    } yield ((p, q), n * triB(triIdx(lo, hi)) - sxB(p) * sxB(q))).toMap
 
     def halfUp(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong

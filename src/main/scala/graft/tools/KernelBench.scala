@@ -130,6 +130,41 @@ object KernelBench {
         .filter(size(col("ng")) > 0))
     println(f"minhash kernel vs pipeline: ${mp / mk}%.1fx; simhash: ${sp / sk}%.1fx; " +
       f"ngram-dup: ${np / nk}%.1fx; distinct-ngram: ${dp / dk}%.1fx")
+
+    // ---- spectral moments: one-pass 128-bit aggregate vs explode ----
+    val nVec = math.max(n / 5, 10000L)
+    val sdim = 64
+    def timeDfN(label: String, rows: Long)(mk: => org.apache.spark.sql.DataFrame): Double = {
+      mk.count() // warm
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = runs.min
+      println(f"| $label%-22s | $best%8.3f s | ${rows / best / 1e3}%8.1f K vecs/s |")
+      best
+    }
+    val vecs = spark.range(nVec).select(expr(
+      s"transform(sequence(1, $sdim), i -> cast(round(pmod(id * i, 199) / 199.0 * 1e6) as bigint))")
+      .as("vm")).persist()
+    vecs.count()
+    println(s"\nSpectral moments over $nVec vectors x $sdim dims (local, min of 3):")
+    println("| kernel                 | time       | throughput      |")
+    println("|------------------------|------------|-----------------|")
+    val sa = timeDfN("moments aggregate", nVec)(
+      vecs.agg(graft.expr.SpectralMoments.of(col("vm"), sdim).as("m"))
+        .select(col("m.n"), col("m.sxy")))
+    val se = timeDfN("explode + groupBy", nVec)(
+      vecs.select(explode(expr(
+          s"flatten(transform(sequence(0, ${sdim - 1}), p -> " +
+            s"transform(sequence(p, ${sdim - 1}), q -> named_struct(" +
+            "'p', p, 'q', q, 'prod', element_at(vm, p + 1) * element_at(vm, q + 1)))))"))
+          .as("e"))
+        .groupBy(col("e.p"), col("e.q"))
+        .agg(sum(col("e.prod").cast("decimal(38,0)")).as("sxy")))
+    println(f"moments aggregate vs explode formulation: ${se / sa}%.1fx")
+    vecs.unpersist()
     spark.stop()
   }
 }
