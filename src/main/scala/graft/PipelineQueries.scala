@@ -1459,6 +1459,44 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** q171: BATCHED BPE training ([[TextAnalysis.bpeMergesBatched]],
+    * 6 merges at R = 2 per round) — the production-regime tokenizer
+    * trainer: each driver round computes pair counts ONCE, then
+    * greedily accepts the top-2 symbol-disjoint pairs from the ranked
+    * lookahead window (disjoint pairs have provably invariant counts,
+    * so the batch replays sequential BPE's arithmetic), cutting driver
+    * rounds from `merges` to `merges∕R`. The oracle unrolls all 3
+    * rounds — rank window, greedy disjoint accept, two anchored
+    * replaces — and matches exactly. */
+  def bpeBatchedMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bpeMergesBatched(Tables.documents(s, dir), "text",
+        merges = 6, batchR = 2)
+      .orderBy($"iter")
+  }
+
+  /** q172: INCREMENTAL dedup-graph maintenance
+    * ([[graft.ops.Components.appendToComponents]]) — the q111/q123/q170
+    * append contract applied to connected components: the labeling
+    * built from the "historic" pair slice (both endpoints < 250) is
+    * extended with the remaining pairs as the arriving batch, touching
+    * only affected clusters (star edges + new pairs; untouched labels
+    * pass through). The oracle closes the FULL pair set with q36's
+    * recursive CTE, so the hash match proves
+    * append ≡ full recompute ≡ DuckDB. */
+  def componentsAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minHashCandidates(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.4)
+      .select($"a_id", $"b_id")
+      .localCheckpoint(true) // split twice below; candidates run once
+    val oldPairs = pairs.filter($"a_id" < 250 && $"b_id" < 250)
+    val newPairs = pairs.filter($"a_id" >= 250 || $"b_id" >= 250)
+    graft.ops.Components.appendToComponents(
+        graft.ops.Components.connectedComponents(oldPairs), newPairs)
+      .orderBy($"id")
+  }
+
   /** q140: triangle census of the near-dup graph
     * ([[graft.ops.Components.triangleCensus]]) — high clustering =
     * duplicate CLIQUES (template/mirror families), low = chains of
@@ -1766,7 +1804,9 @@ object PipelineQueries {
     "q165_novelty_curve"  -> (noveltyCurve _),
     "q167_backoff_trigram" -> (backoffTrigram _),
     "q168_lm_index_score" -> (lmIndexScore _),
-    "q170_lm_index_append" -> (lmIndexAppendScore _))
+    "q170_lm_index_append" -> (lmIndexAppendScore _),
+    "q171_bpe_batched"    -> (bpeBatchedMerges _),
+    "q172_components_append" -> (componentsAppend _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3390,6 +3430,69 @@ object PipelineQueries {
          |FROM wl JOIN enc e USING (w)
          |GROUP BY wl.lang ORDER BY wl.lang""".stripMargin
     },
+
+    "q171_bpe_batched" -> {
+      // 3 unrolled BATCHED rounds, R = 2, lookahead 8: rank the round's
+      // pairs (cnt desc, pair asc), accept rank 1, accept the lowest-
+      // ranked window pair sharing no symbol with it, apply BOTH merges
+      // with the anchored doubled-separator replace — the exact
+      // TextAnalysis.bpeMergesBatched trajectory
+      def anch(inner: String, sel: String): String =
+        s"trim(replace(replace(' ' || replace($inner, ' ', '  ') || ' ', " +
+          s"' ' || replace(($sel), ' ', '  ') || ' ', " +
+          s"' ' || replace(($sel), ' ', '') || ' '), '  ', ' '))"
+      val iterCtes = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+           |      j -> a[j] || ' ' || a[j + 1])) AS pr, freq
+           |    FROM (SELECT string_split(sym, ' ') AS a, freq FROM w${i - 1}))
+           |  GROUP BY pr),
+           |t$i AS (
+           |  SELECT pr, cnt, row_number() OVER (ORDER BY cnt DESC, pr) AS rn FROM p$i),
+           |k1$i AS (
+           |  SELECT pr, cnt, split_part(pr, ' ', 1) AS s1, split_part(pr, ' ', 2) AS s2
+           |  FROM t$i WHERE rn = 1),
+           |k2$i AS (
+           |  SELECT x.pr, x.cnt FROM t$i x, k1$i k
+           |  WHERE x.rn BETWEEN 2 AND 8
+           |    AND split_part(x.pr, ' ', 1) NOT IN (k.s1, k.s2)
+           |    AND split_part(x.pr, ' ', 2) NOT IN (k.s1, k.s2)
+           |  ORDER BY x.rn LIMIT 1),
+           |w$i AS (
+           |  SELECT ${anch(anch("sym", s"SELECT pr FROM k1$i"), s"SELECT pr FROM k2$i")} AS sym, freq
+           |  FROM w${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to 3).flatMap { i =>
+        Seq(
+          s"SELECT CAST(${2 * i - 1} AS BIGINT) AS iter, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k1$i",
+          s"SELECT CAST(${2 * i} AS BIGINT) AS iter, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k2$i")
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, CAST(freq AS BIGINT) AS freq FROM (
+         |    SELECT tk AS w, COUNT(*) AS freq FROM (
+         |      SELECT unnest(string_split($norm, ' ')) AS tk FROM documents)
+         |    WHERE length(tk) > 0 GROUP BY tk)),
+         |$iterCtes
+         |$finals
+         |ORDER BY iter""".stripMargin
+    },
+
+    // append ≡ full recompute: the oracle is q36's closure over the
+    // ENTIRE candidate pair set — the incremental path must land on
+    // exactly the labeling a from-scratch solve produces
+    "q172_components_append" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (
+         |  SELECT a_id AS a, b_id AS b FROM cand
+         |  UNION SELECT b_id, a_id FROM cand
+         |  UNION SELECT a_id, a_id FROM cand
+         |  UNION SELECT b_id, b_id FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     "q140_triangle_census" ->
       s"""WITH $minhashCtes,

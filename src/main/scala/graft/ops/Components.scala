@@ -91,6 +91,51 @@ object Components {
     labels
   }
 
+  /** INCREMENTAL component maintenance — the append contract (q111 IVF
+    * cells, q123 BM25 postings, q170 LM counts) applied to the dedup
+    * graph: a batch of NEW candidate pairs (e.g. from
+    * [[Dedup.incrementalCandidates]]) arrives and the persisted
+    * (id, component) labeling is extended WITHOUT re-reading the old
+    * edge list or re-converging untouched clusters.
+    *
+    * Device: an old cluster's labeling IS a connectivity certificate —
+    * the star edges (member → label) reproduce exactly its connected
+    * set at diameter ≤ 2. So only clusters containing an endpoint of a
+    * new pair are re-solved: their star edges union the new pairs form
+    * a graph whose components are PROVABLY the components of
+    * (old edges ∪ new edges) restricted to the affected region, and
+    * [[connectedComponents]] over it converges in O(1) pointer-doubled
+    * rounds (stars are depth-1). Untouched rows pass through verbatim.
+    * Labels stay canonical min-ids: every member id of an affected
+    * cluster enters the re-solve via its star edge, so the merged
+    * minimum is the true minimum. Append ≡ full recompute is proven in
+    * spec (planted bridge merging two old clusters) and by the q172
+    * oracle, which closes the ENTIRE unioned edge set in DuckDB.
+    *
+    * State touched: (id, label)-sized frames only — the old labeling,
+    * the new pairs, and the affected slice; nothing corpus-sized, no
+    * old-pair rescan. At 100 TB this is the difference between a
+    * nightly full dedup-graph solve and a per-batch touch-up. */
+  def appendToComponents(oldLabels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val touched = newPairs.select(col("a_id").as("id"))
+      .union(newPairs.select(col("b_id").as("id")))
+      .distinct()
+    val affected = oldLabels.join(touched, Seq("id"))
+      .select(col("component")).distinct()
+    val affectedRows = oldLabels.join(affected, Seq("component"))
+    val untouched = oldLabels.join(affected, Seq("component"), "left_anti")
+      .select(col("id"), col("component"))
+    // star edges — INCLUDING the label's self row, so singleton clusters
+    // survive the re-solve even when their only new contact is indirect
+    val starPairs = affectedRows
+      .select(col("id").as("a_id"), col("component").as("b_id"))
+    val resolved = connectedComponents(
+      starPairs.unionByName(newPairs.select(col("a_id"), col("b_id"))),
+      maxIter, checkpointDir)
+    untouched.unionByName(resolved)
+  }
+
   /** Full near-dup dedup: keep one representative (min id) per component;
     * rows in no pair keep themselves. Returns the deduplicated df. */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

@@ -958,17 +958,59 @@ object TextAnalysis {
     * Returns one row per merge: (iter, pair, merged, cnt). The driver
     * collects ONE row per round — bounded by `iters`, never data.
     *
-    * Regime: each round is one Spark job plus an eager localCheckpoint
-    * of the vocabulary-sized word table — right for demonstration-scale
-    * vocab learning (tens of merges). Real 32k-merge tokenizer training
-    * would need rounds batched per job (compute the top-R
-    * non-interacting pairs per round); `iters` is capped to keep this
-    * implementation inside its intended regime. */
+    * Regime: each round is one Spark job, so this entry point stays
+    * capped at demonstration scale (tens of merges); real vocabulary
+    * training goes through [[bpeMergesBatched]], which learns the top-R
+    * NON-INTERACTING pairs per round and therefore needs merges∕R
+    * driver rounds, not merges. With R = 1 the two are the same
+    * algorithm (proven in spec) — this is a thin delegation. */
   def bpeMerges(df: DataFrame, textCol: String, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(iters <= 256,
       s"iters = $iters: one driver round per merge is the demonstration " +
-        "regime; batch rounds per job before training real vocabularies")
+        "regime; use bpeMergesBatched (top-R non-interacting pairs per " +
+        "round) to train real vocabularies")
+    bpeMergesBatched(df, textCol, merges = iters, batchR = 1)
+  }
+
+  /** BATCHED distributed BPE training — the production-regime form of
+    * [[bpeMerges]]: each driver round computes the round's pair counts
+    * ONCE, collects the top-`lookahead` candidates (a bounded,
+    * config-sized collect), and greedily accepts up to `batchR` pairs
+    * in (cnt desc, pair asc) rank order such that no accepted pair
+    * shares a symbol with an earlier accepted pair of the SAME round —
+    * the standard batched-BPE device: merging "a b" can only change
+    * the adjacency counts of pairs touching "a" or "b", so
+    * symbol-disjoint pairs have provably unchanged counts and their
+    * recorded cnt equals what sequential BPE would have recounted.
+    * Interacting runners-up are merely DEFERRED to the next round
+    * (where the refreshed counts see any newly minted symbols), so a
+    * 32k-merge vocabulary costs 32k∕R driver rounds instead of 32k.
+    *
+    * With `batchR = 1` the accept loop is exactly the argmax, giving
+    * [[bpeMerges]]'s trajectory; for R > 1 the trajectory is the
+    * batched algorithm itself, which the q171 oracle replays round by
+    * round in DuckDB (rank window → greedy disjoint accept → anchored
+    * replace), so results remain engine-exact, not approximate.
+    *
+    * A round accepts fewer than `batchR` pairs only when the lookahead
+    * window runs out of symbol-disjoint candidates (or the merge
+    * budget is nearly spent); training stops early when no adjacent
+    * pairs remain. Returns (iter, pair, merged, cnt) with `iter` the
+    * GLOBAL merge index in acceptance order. */
+  def bpeMergesBatched(df: DataFrame, textCol: String, merges: Int,
+      batchR: Int, lookahead: Int = 0): DataFrame = {
+    require(merges >= 1 && merges <= 65536,
+      s"merges must be in [1, 65536], got $merges")
+    require(batchR >= 1 && batchR <= 4096,
+      s"batchR must be in [1, 4096], got $batchR")
+    val window = if (lookahead > 0) lookahead else 4 * batchR
+    require(window >= batchR,
+      s"lookahead window $window cannot be smaller than batchR = $batchR")
+    val rounds = (merges + batchR - 1) / batchR
+    require(rounds <= 1024,
+      s"$merges merges at $batchR per round is $rounds driver rounds — " +
+        "raise batchR; driver rounds are the scale bound, not merges")
     val spark = df.sparkSession
     import spark.implicits._
     var words = df.select(explode(tokens(col(textCol))).as("w"))
@@ -977,24 +1019,40 @@ object TextAnalysis {
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("freq"))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (it <- 1 to iters) {
+    var exhausted = false
+    while (out.size < merges && !exhausted) {
       val a = split(col("sym"), " ")
-      val best = words
+      val top = words
         .select(explode(zip_with(
             slice(a, lit(1), greatest(size(a) - 1, lit(0))),
             slice(a, lit(2), greatest(size(a) - 1, lit(0))),
             (x, y) => concat(x, lit(" "), y))).as("pr"), col("freq"))
         .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pr"))
-        .limit(1)
+        .limit(window)
         .as[(String, Long)].collect()
-      if (best.nonEmpty) {
-        val (pair, cnt) = best.head
-        val merged = pair.replace(" ", "")
-        out += ((it.toLong, pair, merged, cnt))
-        words = words
-          .select(bpeApply(col("sym"), pair, merged).as("sym"), col("freq"))
-          .localCheckpoint(true)
+      if (top.isEmpty) exhausted = true
+      else {
+        val quota = math.min(batchR, merges - out.size)
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        for ((pair, cnt) <- top if accepted.size < quota) {
+          val sep = pair.indexOf(' ')
+          val s1 = pair.substring(0, sep)
+          val s2 = pair.substring(sep + 1)
+          if (!used(s1) && !used(s2)) {
+            accepted += ((pair, cnt))
+            used += s1
+            used += s2
+          }
+        }
+        accepted.foreach { case (pair, cnt) =>
+          out += ((out.size + 1L, pair, pair.replace(" ", ""), cnt))
+        }
+        val symN = accepted.foldLeft(col("sym")) { case (c, (pair, _)) =>
+          bpeApply(c, pair, pair.replace(" ", ""))
+        }
+        words = words.select(symN.as("sym"), col("freq")).localCheckpoint(true)
       }
     }
     out.toSeq.toDF("iter", "pair", "merged", "cnt")

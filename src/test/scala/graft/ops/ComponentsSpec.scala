@@ -110,6 +110,35 @@ class ComponentsSpec extends SparkSpecBase {
     assert(out.count() == 0L)
   }
 
+  test("appendToComponents: a bridge edge merges two old clusters; untouched labels pass through") {
+    // old graph: chain {1,2,3}, pair {10,11}, bystander {50,51},
+    // singleton {7} (self-loop only)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L), (7L, 7L))
+      .toDF("a_id", "b_id")
+    val oldLabels = Components.connectedComponents(oldPairs)
+    // batch: a bridge 3—10 merging two old clusters, plus a brand-new
+    // cluster {20,21}, plus an edge hanging a new node off the singleton
+    val newPairs = Seq((3L, 10L), (20L, 21L), (7L, 8L)).toDF("a_id", "b_id")
+    val got = Components.appendToComponents(oldLabels, newPairs)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val full = Components.connectedComponents(
+        oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == full, s"append diverged from full recompute:\n$got\nvs\n$full")
+    val byId = got.toMap
+    assert(Seq(10L, 11L).forall(byId(_) == 1L), s"bridge must merge to min id 1: $got")
+    assert(byId(51L) == 50L && byId(8L) == 7L && byId(21L) == 20L)
+  }
+
+  test("appendToComponents with an empty batch returns the old labeling") {
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
+    val oldLabels = Components.connectedComponents(oldPairs)
+    val got = Components.appendToComponents(oldLabels,
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == oldLabels.as[(Long, Long)].collect().toSeq.sorted)
+  }
+
   test("triangleCensus: hand-checked triangle + pendant graph") {
     // triangle 1-2-3 plus pendant 3-4: Δ=1; degrees 2,2,3,1 →
     // wedges 1+1+3+0 = 5; clustering 3·1/5 = 0.6

@@ -458,6 +458,51 @@ class TextAnalysisSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](TextAnalysis.bpeMerges(df, "text", iters = 257))
   }
 
+  test("bpeMergesBatched with R=1 replays the sequential bpeMerges trajectory") {
+    val big = (0 until 40).map(i => s"tok${i % 7} data${i % 3}").toDF("text")
+    val seqTraj = TextAnalysis.bpeMerges(big, "text", iters = 6)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val batTraj = TextAnalysis.bpeMergesBatched(big, "text", merges = 6, batchR = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(batTraj == seqTraj, s"R=1 diverged:\n$batTraj\nvs\n$seqTraj")
+  }
+
+  test("bpeMergesBatched defers interacting runners-up within a round") {
+    // round-1 ranked pairs: (a b)=10, (b c)=8, (x y)=6 — (b c) shares
+    // symbol b with the accepted (a b), so R=2 must skip it and accept
+    // the disjoint (x y); (b c) then wins round 2 on refreshed counts
+    val df = (Seq.fill(10)("ab") ++ Seq.fill(8)("bc") ++ Seq.fill(6)("xy"))
+      .toDF("text")
+    val got = TextAnalysis.bpeMergesBatched(df, "text", merges = 4, batchR = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b", "ab", 10L),
+      (2L, "x y", "xy", 6L),
+      (3L, "b c", "bc", 8L)), s"batched trajectory wrong: $got")
+    // same merge SET as sequential training, just a different order —
+    // the deferred pair's count is invariant (it shares no symbol)
+    val seqTraj = TextAnalysis.bpeMerges(df, "text", iters = 4)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(seqTraj.map(t => (t._2, t._4)).toSet ==
+      got.map(t => (t._2, t._4)).toSet)
+  }
+
+  test("bpeMergesBatched is partition-invariant and bounds driver rounds") {
+    val big = (0 until 60).map(i => s"w${i % 11} v${i % 5}").toDF("text")
+    val a = TextAnalysis.bpeMergesBatched(big, "text", 8, 3).collect().toSeq
+    val b = TextAnalysis.bpeMergesBatched(big.repartition(9), "text", 8, 3)
+      .collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeMergesBatched(big, "text", merges = 70000, batchR = 64))
+    intercept[IllegalArgumentException](
+      // 2048 merges one-at-a-time = 2048 driver rounds — over the cap
+      TextAnalysis.bpeMergesBatched(big, "text", merges = 2048, batchR = 1))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeMergesBatched(big, "text", merges = 4, batchR = 2,
+        lookahead = 1))
+  }
+
   test("bpeFertility: merges shrink subword counts, hand-checked") {
     // corpus "abab cd" ×4: merges (a b)→ab (8), then (ab ab)→abab (4),
     // then (c d)→cd (4... tie with nothing else) — after 3 merges both
