@@ -55,7 +55,11 @@ object DumpPlans {
     "q159_char_entropy"    -> "char entropy: pure map-only nested HOF — zero shuffle, no join, no aggregate",
     "q162_shard_prep"      -> "shard prep: gate → dedup → pack composed in ONE plan; packing is a per-shard windowed prefix sum, never a global sort",
     "q164_triplet_mining"  -> "triplet mining: band-join positives × broadcast negative pool → bounded-heap argmin — pairs × pool, never pairs × corpus",
-    "q161_windowed_quantiles" -> "windowed percentiles: one partial+final bin-count aggregate + (window × type × bins)-sized windows")
+    "q161_windowed_quantiles" -> "windowed percentiles: one partial+final bin-count aggregate + (window × type × bins)-sized windows",
+    "q163_semantic_outliers" -> "semantic outliers: broadcast centroid table + WindowGroupLimit argmax — corpus vectors never shuffle",
+    "q167_backoff_trigram" -> "stupid-backoff LM: per-branch micro-scores precomputed on vocab-sized model tables — THREE hot/cold corpus joins (one per n-gram order), was five",
+    "q168_lm_index_score"  -> "LM serving: persisted tri/bi/uni deltas re-aggregated + the q167 three-join probe — the training corpus appears nowhere in the plan",
+    "q172_components_append" -> "incremental components: affected-cluster star edges ∪ new pairs re-solved, untouched labels pass through — (id, label)-sized state only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -580,4 +580,63 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"),
       s"both variant frames are 1-row — nothing may sort-merge:\n$p")
   }
+
+  test("q163: per-id argmax prunes as a WindowGroupLimit heap") {
+    val p = plan("q163_semantic_outliers")
+    assert(p.contains("WindowGroupLimit"),
+      s"the closest-centroid rank must be a bounded per-group heap:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), s"\n${p.take(1200)}")
+  }
+
+  test("q166 kernel: spectral moments are ONE scan, one aggregate, one exchange") {
+    // q166's returned frame is driver-side (a model-sized local
+    // relation), so pin the distributed KERNEL it runs: the one-pass
+    // SpectralMoments aggregate over the embeddings scan
+    val dims = 64
+    val vm = graft.Tables.embeddings(spark, sfDir).select(
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))")
+        .as("vm"))
+      .agg(graft.expr.SpectralMoments.of(
+        org.apache.spark.sql.functions.col("vm"), dims))
+    val p = vm.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"moment kernel must read the corpus exactly once:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the imperative aggregate operator:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"partial buffers merge through one exchange (AQE may stage one more):\n$p")
+    assert(!p.contains("Generate"),
+      s"the explode formulation must not resurface:\n$p")
+  }
+
+  test("q168/q170: LM serving never scans the training corpus") {
+    // the probe batch enters through a checkpointed pre-aggregate and
+    // the model through its persisted parquet deltas — the TRAINING
+    // text reaches the plan only if someone rewires scoring to the live
+    // path; a documents.parquet file scan in the serving plan is the
+    // regression this pins against
+    Seq("q168_lm_index_score", "q170_lm_index_append").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("documents.parquet"),
+        s"$q must serve from the persisted model, not the corpus:\n${p.take(1500)}")
+    }
+  }
+
+  test("q171: batched BPE rounds keep the vocab-sized aggregate shape") {
+    val p = plan("q171_bpe_batched")
+    // the returned trajectory is driver-sized; the pin is that building
+    // it never left a cartesian or sort-merge join in any round's plan
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"\n${p.take(1200)}")
+  }
+
+  test("q172: incremental components touch (id, label)-sized state only") {
+    val p = plan("q172_components_append")
+    assert(!p.contains("CartesianProduct"), s"\n${p.take(1200)}")
+    // the final frame unions pass-through labels with the re-solved
+    // slice; both sides are label-sized equi-joins
+    assert(p.contains("Union"), s"untouched ∪ resolved union expected:\n${p.take(1200)}")
+  }
 }
