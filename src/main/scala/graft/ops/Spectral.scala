@@ -53,11 +53,36 @@ object Spectral {
     * instead of silently skewing the covariance; an empty corpus and a
     * zero covariance raise here. */
   def topComponent(df: DataFrame, vecCol: String, dims: Int,
+      iters: Int = 5, k: Int = 8): DataFrame =
+    topComponents(df, vecCol, dims, m = 1, iters, k).drop("comp")
+
+  /** Top `m` principal components by HOTELLING DEFLATION — the
+    * whitening prep a real embedding pipeline wants: after extracting
+    * component c with Rayleigh estimate λ = num∕den, the matrix is
+    * deflated A ← A − λ·v vᵀ∕(vᵀv) (one fixed-order double expression
+    * per cell, half-up-quantized back to the ≤ 10⁶ integer grid) and
+    * the next component is power-iterated on the residual. Everything
+    * downstream of the ONE [[graft.expr.SpectralMoments]] corpus pass
+    * is driver math on the dims² model matrix; each component's
+    * ev_share is its Rayleigh quotient over the ORIGINAL trace, so the
+    * shares of successive components add up toward 1.
+    *
+    * Returns m·k rows (comp, rnk, pos, loading, ev_share). Determinism:
+    * the deflation cell update and both quotients are fixed-order
+    * double expressions over exact integers — the q173 oracle replays
+    * every iteration of every component, deflation included.
+    *
+    * Typed failures: NULL / wrong-length / out-of-range vectors fail
+    * inside the moment kernel; an empty corpus, a zero covariance, a
+    * collapsed iterate, and a rank-exhausted residual (m beyond the
+    * spectrum) each raise here. */
+  def topComponents(df: DataFrame, vecCol: String, dims: Int, m: Int,
       iters: Int = 5, k: Int = 8): DataFrame = {
     // dims ceiling is MEMORY, not taste: each partial buffer is
     // dims·(dims+1)/2 + dims 128-bit cells ≈ dims² × 8 B — 8.4 MB at
     // 1024; the pre-r14 4096 ceiling would cost 134 MB per partial
     require(dims >= 2 && dims <= 1024, s"dims must be in [2, 1024], got $dims")
+    require(m >= 1 && m <= 16, s"components m must be in [1, 16], got $m")
     require(iters >= 1 && iters <= 16,
       s"power iteration rounds must be in [1, 16], got $iters")
     require(k >= 1 && k <= dims, s"k must be in [1, $dims], got $k")
@@ -94,9 +119,11 @@ object Spectral {
     val ma = maInt.toDouble
     val a = Array.tabulate(dims, dims)((p, q) =>
       halfUp(cells((p, q)).toDouble / ma * 1e6))
+    // trace of the ORIGINAL normalized matrix: every component's
+    // ev_share is measured against the full variance
+    val tr = (0 until dims).map(p => a(p)(p)).sum
 
     // integer power iteration with L∞ normalization (exact longs)
-    var v = Array.fill(dims)(1000000L)
     def mulNorm(vIn: Array[Long]): (Array[Long], Array[Long]) = {
       val w = Array.tabulate(dims) { p =>
         var s = 0L; var q = 0
@@ -110,23 +137,46 @@ object Spectral {
       val m = mInt.toDouble
       (w, w.map(x => halfUp(x.toDouble / m * 1e6)))
     }
-    for (_ <- 1 to iters) v = mulNorm(v)._2
-    val wLast = mulNorm(v)._1
-    val num = v.indices.map(p => BigInt(v(p)) * BigInt(wLast(p))).sum
-    val den = v.map(x => x * x).sum
-    val tr = (0 until dims).map(p => a(p)(p)).sum
-    val evShare = BigDecimal(num.toDouble / den.toDouble / tr.toDouble)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-    val ranked = v.zipWithIndex
-      .sortBy { case (x, p) => (-math.abs(x), p) }
-      .take(k).zipWithIndex
-      .map { case ((x, p), i) =>
-        (i + 1L, p.toLong,
-          BigDecimal(x.toDouble / 1e6)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          evShare)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Double)]
+    for (c <- 1 to m) {
+      require(a.exists(_.exists(_ != 0L)),
+        s"residual covariance exhausted before component $c — the " +
+          s"spectrum has rank < $m at the integer grid's resolution")
+      var v = Array.fill(dims)(1000000L)
+      for (_ <- 1 to iters) v = mulNorm(v)._2
+      val wLast = mulNorm(v)._1
+      val num = v.indices.map(p => BigInt(v(p)) * BigInt(wLast(p))).sum
+      val den = v.map(x => x * x).sum
+      val evShare = BigDecimal(num.toDouble / den.toDouble / tr.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      v.zipWithIndex
+        .sortBy { case (x, p) => (-math.abs(x), p) }
+        .take(k).zipWithIndex
+        .foreach { case ((x, p), i) =>
+          out += ((c.toLong, i + 1L, p.toLong,
+            BigDecimal(x.toDouble / 1e6)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            evShare))
+        }
+      if (c < m) {
+        // Hotelling deflation on the integer grid; the cell update is
+        // ONE left-associated double expression, replayed verbatim by
+        // the oracle: num/den · v_p · v_q / den
+        var p = 0
+        while (p < dims) {
+          var q = 0
+          while (q < dims) {
+            a(p)(q) -= halfUp(
+              num.toDouble / den.toDouble * v(p).toDouble * v(q).toDouble /
+                den.toDouble)
+            q += 1
+          }
+          p += 1
+        }
       }
-    ranked.toSeq.toDF("rnk", "pos", "loading", "ev_share")
+    }
+    out.toSeq.toDF("comp", "rnk", "pos", "loading", "ev_share")
   }
 }

@@ -47,6 +47,46 @@ class SpectralSpec extends SparkSpecBase {
     assert(e.getMessage.contains("identically zero"), e.getMessage)
   }
 
+  test("topComponents: deflation recovers the second orthogonal direction") {
+    // two independent axes with variances 25:4 — component 1 must load
+    // on dim 0, component 2 (after deflation) on dim 1, shares ordered
+    val grid = for { t <- -5 to 5; s <- -5 to 5 } yield {
+      val v = Array.fill(6)(0f)
+      v(0) = 5f * t; v(1) = 2f * s
+      ((t * 11 + s).toLong, v)
+    }
+    val df = grid.toDF("vec_id", "embedding")
+    val got = Spectral.topComponents(df, "embedding", dims = 6, m = 2, k = 2)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.size == 4)
+    val c1 = got.filter(_._1 == 1L)
+    val c2 = got.filter(_._1 == 2L)
+    assert(c1.head._3 == 0L, s"comp 1 must load on dim 0: $got")
+    assert(c2.head._3 == 1L, s"comp 2 must load on dim 1 after deflation: $got")
+    val (s1, s2) = (c1.head._5, c2.head._5)
+    assert(s1 > s2 && s2 > 0.0, s"shares must rank 25:4 variance: $s1 vs $s2")
+    assert(math.abs(s1 - 25.0 / 29.0) < 0.01 && math.abs(s2 - 4.0 / 29.0) < 0.01,
+      s"shares must split the trace ~25/29 and ~4/29: $s1, $s2")
+    // m = 1 slice reproduces topComponent exactly (the q166 contract)
+    val one = Spectral.topComponent(df, "embedding", dims = 6, k = 2)
+      .collect().toSeq
+    val viaM = Spectral.topComponents(df, "embedding", dims = 6, m = 1, k = 2)
+      .drop("comp").collect().toSeq
+    assert(one == viaM)
+  }
+
+  test("topComponents: rank-exhausted residual raises a typed error") {
+    // exactly one nonzero direction → deflation cancels the lone cell
+    // EXACTLY on the integer grid; component 2 has nothing left
+    val df = (-6 to 6).map { t =>
+      val v = Array.fill(4)(0f); v(0) = 4f * t
+      (t.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Spectral.topComponents(df, "embedding", dims = 4, m = 2, k = 2))
+    assert(e.getMessage.contains("exhausted"), e.getMessage)
+  }
+
   test("topComponent rejects bad configs") {
     val df = anisotropic()
     intercept[IllegalArgumentException](
