@@ -3460,14 +3460,23 @@ object PipelineQueries {
            |    AND split_part(x.pr, ' ', 2) NOT IN (k.s1, k.s2)
            |  ORDER BY x.rn LIMIT 1),
            |w$i AS (
-           |  SELECT ${anch(anch("sym", s"SELECT pr FROM k1$i"), s"SELECT pr FROM k2$i")} AS sym, freq
+           |  SELECT ${anch(anch("sym", s"COALESCE((SELECT pr FROM k1$i), chr(1))"),
+                s"COALESCE((SELECT pr FROM k2$i), chr(1))")} AS sym, freq
            |  FROM w${i - 1})""".stripMargin
       }.mkString(",\n")
-      val finals = (1 to 3).flatMap { i =>
-        Seq(
-          s"SELECT CAST(${2 * i - 1} AS BIGINT) AS iter, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k1$i",
-          s"SELECT CAST(${2 * i} AS BIGINT) AS iter, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k2$i")
-      }.mkString("\nUNION ALL\n")
+      // iter numbers are COMPACTED over the rows that actually exist
+      // (row_number over round/slot) and a missing k2 no-ops its replace
+      // via a sentinel, so a round with no symbol-disjoint runner-up
+      // degrades exactly like the Scala accept-fewer path instead of
+      // NULL-poisoning the word table
+      val finals =
+        "SELECT CAST(row_number() OVER (ORDER BY r, s) AS BIGINT) AS iter, " +
+          "pair, merged, cnt FROM (\n" +
+          (1 to 3).flatMap { i =>
+            Seq(
+              s"SELECT $i AS r, 1 AS s, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k1$i",
+              s"SELECT $i AS r, 2 AS s, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k2$i")
+          }.mkString("\nUNION ALL\n") + ")"
       s"""WITH w0 AS (
          |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, CAST(freq AS BIGINT) AS freq FROM (
          |    SELECT tk AS w, COUNT(*) AS freq FROM (

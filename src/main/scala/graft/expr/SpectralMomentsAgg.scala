@@ -51,7 +51,23 @@ case class SpectralMoments(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[MomentsBuffer] with UnaryLike[Expression] {
-  require(dims >= 1, s"dims must be positive, got $dims")
+  // the 1024 ceiling is the buffer-memory bound from the scaladoc
+  // (≈ 8.4 MB per partial at 1024); it also keeps dims·(dims+1)/2 far
+  // from Int overflow — enforced HERE, not just at the operator layer,
+  // because the expression is public API (KernelBench uses it directly)
+  require(dims >= 1 && dims <= 1024, s"dims must be in [1, 1024], got $dims")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "spectral_moments expects array<bigint> micro-quantized " +
+            s"components, got ${other.simpleString} — cast/quantize first " +
+            "(a float array read as longs would silently corrupt the moments)")
+    }
 
   override def prettyName: String = "spectral_moments"
   override def nullable: Boolean = false

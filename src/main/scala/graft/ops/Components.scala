@@ -123,6 +123,20 @@ object Components {
       .distinct()
     val affected = oldLabels.join(touched, Seq("id"))
       .select(col("component")).distinct()
+    // star-edge certificate precondition: a label must itself be a
+    // member id (connectedComponents' min-id labels always are). A
+    // phantom label would enter the re-solve as a node that never
+    // existed and could steal the minimum — checked on the AFFECTED
+    // slice only (batch-bounded, not graph-bounded), typed failure per
+    // the module's degenerate-input discipline.
+    val phantom = affected.join(
+        oldLabels.filter(col("id") === col("component")).select(col("component")),
+        Seq("component"), "left_anti")
+      .count()
+    require(phantom == 0L,
+      s"$phantom affected component label(s) are not member ids — " +
+        "appendToComponents requires a labeling whose labels are ids " +
+        "(the connectedComponents min-id contract)")
     val affectedRows = oldLabels.join(affected, Seq("component"))
     val untouched = oldLabels.join(affected, Seq("component"), "left_anti")
       .select(col("id"), col("component"))

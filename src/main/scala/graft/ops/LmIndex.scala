@@ -35,16 +35,28 @@ object LmIndex {
 
   /** Train: write the three count tables as the first delta. One scan
     * of the training text per n-gram order, all map-side combined.
-    * Clears any previous model deltas under `dir` (overwrite
-    * semantics), then commits the new delta atomically. */
+    *
+    * Overwrite semantics: the NEW delta is fully staged first, then
+    * previous `m_*` deltas are deleted, then the staged delta is
+    * promoted — so a crash before the deletes leaves the OLD model
+    * fully intact, and the exposed window (between delete and rename)
+    * is two metadata operations, not three table writes. A rebuild is
+    * inherently not atomic without a manifest pointer; incremental
+    * updates should prefer [[append]], which IS atomic. Stale `tmp_*`
+    * staging directories from crashed writers are garbage-collected
+    * here. */
   def build(train: DataFrame, textCol: String, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(
       train.sparkSession.sparkContext.hadoopConfiguration)
     val base = new Path(dir)
     if (fs.exists(base))
+      fs.listStatus(base).filter(_.getPath.getName.startsWith("tmp_"))
+        .foreach(st => fs.delete(st.getPath, true))
+    val staged = stageDelta(train, textCol, dir)
+    if (fs.exists(base))
       fs.listStatus(base).filter(_.getPath.getName.startsWith("m_"))
         .foreach(st => fs.delete(st.getPath, true))
-    writeDelta(train, textCol, dir)
+    promote(fs, staged)
   }
 
   /** Incrementally extend the model with a new training batch: n-gram
@@ -56,20 +68,29 @@ object LmIndex {
     * rebuild" holds for every append that returns — a failed append
     * leaves the model unchanged. Proven in spec and by the q170 oracle
     * hash match. */
-  def append(batch: DataFrame, textCol: String, dir: String): Unit =
-    writeDelta(batch, textCol, dir)
+  def append(batch: DataFrame, textCol: String, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    promote(fs, stageDelta(batch, textCol, dir))
+  }
 
-  private def writeDelta(df: DataFrame, textCol: String, dir: String): Unit = {
+  /** Write the batch's three count tables under `tmp_<uuid>`; returns
+    * the staging path. Invisible to [[score]] until promoted. */
+  private def stageDelta(df: DataFrame, textCol: String, dir: String): Path = {
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val staging = s"$dir/tmp_$uuid"
     val (tri, bi, uni) = TextAnalysis.trigramModel(df, textCol)
     tri.write.mode("overwrite").parquet(s"$staging/tri")
     bi.write.mode("overwrite").parquet(s"$staging/bi")
     uni.write.mode("overwrite").parquet(s"$staging/uni")
-    val fs = new Path(dir).getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    val committed = new Path(s"$dir/m_$uuid")
-    require(fs.rename(new Path(staging), committed),
+    new Path(staging)
+  }
+
+  /** The one-rename commit: `tmp_<uuid>` → `m_<uuid>`. */
+  private def promote(fs: org.apache.hadoop.fs.FileSystem, staging: Path): Unit = {
+    val committed = new Path(staging.getParent,
+      staging.getName.replaceFirst("^tmp_", "m_"))
+    require(fs.rename(staging, committed),
       s"LmIndex delta promote failed: rename $staging -> $committed")
   }
 

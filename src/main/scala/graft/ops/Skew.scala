@@ -59,10 +59,13 @@ object Skew {
     * `weight` must be usable inside max() over lookup rows. The routing
     * never changes a value, so oracle hashes survive the swap.
     *
-    * Cost note: the lookup plan is evaluated three times (key ranking,
-    * hot selection, cold join) — lookups are vocabulary-sized by
-    * contract, and chained callers checkpoint them (see the
-    * [[graft.ops.TextAnalysis]] LM family). */
+    * Cost note: the lookup is referenced three times (key ranking, hot
+    * selection, cold join), so it is materialized HERE once with a
+    * lazy localCheckpoint — the first reference computes it, the other
+    * two read the cached partitions; without this, an un-checkpointed
+    * corpus-derived lookup lineage (a token count table is a full
+    * corpus explode + groupBy) would re-run per reference. Lookups are
+    * vocabulary-sized by contract, so the cached copy is model-sized. */
   def hotColdJoin(
       left: DataFrame, lookup: DataFrame, keys: Seq[String],
       weight: Column, hotK: Int, joinType: String = "inner"): DataFrame = {
@@ -72,15 +75,16 @@ object Skew {
     require(!left.columns.contains("__graft_hot") &&
         !lookup.columns.contains("__graft_hot"),
       "hotColdJoin reserves the working column name __graft_hot")
+    val lkp = lookup.localCheckpoint(eager = false)
     // top hotK KEYS by max row weight (deterministic tie-break on the
     // keys) — a map-side-combined vocab-sized aggregate + TakeOrdered
-    val hotKeys = lookup
+    val hotKeys = lkp
       .groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(max(weight).as("__graft_w"))
       .orderBy(col("__graft_w").desc +: keys.map(k => col(k).asc): _*)
       .limit(hotK)
       .select(keys.map(col).toIndexedSeq: _*)
-    val hot = lookup.join(broadcast(hotKeys), keys.toIndexedSeq)
+    val hot = lkp.join(broadcast(hotKeys), keys.toIndexedSeq)
     val tagged = left.join(
       broadcast(hot.withColumn("__graft_hot", lit(1))), keys.toIndexedSeq, "left")
     val fromHot = tagged.filter(col("__graft_hot").isNotNull).drop("__graft_hot")
@@ -90,7 +94,7 @@ object Skew {
     // construction, so joining the FULL lookup is row-identical to
     // joining (lookup ∖ hot) — no anti-join needed; the hot rows it
     // carries match nothing
-    fromHot.unionByName(coldLeft.join(lookup, keys.toIndexedSeq, joinType))
+    fromHot.unionByName(coldLeft.join(lkp, keys.toIndexedSeq, joinType))
   }
 
   /** Two-phase (salted) aggregation for skewed group keys: partial

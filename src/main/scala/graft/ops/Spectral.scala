@@ -102,23 +102,27 @@ object Spectral {
       "corpus is empty — there is no covariance to analyze")
     val sxB = mrow.getSeq[String](1).map(BigInt(_)).toIndexedSeq
     val triB = mrow.getSeq[String](2).map(BigInt(_)).toIndexedSeq
-    // triangle layout: cell (p ≤ q) at p·dims − p·(p−1)/2 + (q − p)
+    // triangle layout: cell (p ≤ q) at p·dims − p·(p−1)/2 + (q − p);
+    // the full matrix is its mirror, so every cell reads the triangle
+    // directly — no staging map
     def triIdx(p: Int, q: Int): Int = p * dims - p * (p - 1) / 2 + (q - p)
-    val cells = (for {
-      p <- 0 until dims
-      q <- 0 until dims
-      (lo, hi) = if (p <= q) (p, q) else (q, p)
-    } yield ((p, q), n * triB(triIdx(lo, hi)) - sxB(p) * sxB(q))).toMap
+    def cell(p: Int, q: Int): BigInt = {
+      val (lo, hi) = if (p <= q) (p, q) else (q, p)
+      n * triB(triIdx(lo, hi)) - sxB(p) * sxB(q)
+    }
 
     def halfUp(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val maInt = cells.values.map(_.abs).max
+    // the mirrored cells repeat triangle values, so the max |cell| over
+    // the full matrix is the max over the triangle
+    val maInt = (for { p <- 0 until dims; q <- p until dims }
+      yield cell(p, q).abs).max
     require(maInt.signum != 0,
       "covariance is identically zero (constant embeddings) — there is " +
         "no principal direction to report")
     val ma = maInt.toDouble
     val a = Array.tabulate(dims, dims)((p, q) =>
-      halfUp(cells((p, q)).toDouble / ma * 1e6))
+      halfUp(cell(p, q).toDouble / ma * 1e6))
     // trace of the ORIGINAL normalized matrix: every component's
     // ev_share is measured against the full variance
     val tr = (0 until dims).map(p => a(p)(p)).sum

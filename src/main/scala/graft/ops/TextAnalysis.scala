@@ -1004,6 +1004,8 @@ object TextAnalysis {
       s"merges must be in [1, 65536], got $merges")
     require(batchR >= 1 && batchR <= 4096,
       s"batchR must be in [1, 4096], got $batchR")
+    require(lookahead >= 0,
+      s"lookahead must be >= 0 (0 = default 4·batchR), got $lookahead")
     val window = if (lookahead > 0) lookahead else 4 * batchR
     require(window >= batchR,
       s"lookahead window $window cannot be smaller than batchR = $batchR")
@@ -1020,7 +1022,18 @@ object TextAnalysis {
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
+    var round = 0
     while (out.size < merges && !exhausted) {
+      // the pre-check bounds rounds only in the best case (batchR
+      // accepted each round); a heavily self-interacting vocabulary can
+      // under-fill rounds, so the driver-round ceiling is ENFORCED —
+      // a typed failure beats an unbounded driver loop
+      round += 1
+      if (round > 1024)
+        throw new IllegalStateException(
+          s"bpeMergesBatched exceeded 1024 driver rounds after ${out.size} " +
+            s"of $merges merges — the vocabulary's top pairs interact too " +
+            "heavily for this batchR; raise batchR or lookahead")
       val a = split(col("sym"), " ")
       val top = words
         .select(explode(zip_with(

@@ -49,6 +49,15 @@ class SpectralMomentsSpec extends SparkSpecBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("non-bigint vector columns fail at analysis, not as silent garbage") {
+    val floats = Seq(Seq(1.5f, 2.5f)).toDF("vm")
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      moments(floats, 2))
+    assert(e.getMessage.contains("array<bigint>"), e.getMessage)
+    intercept[IllegalArgumentException](
+      SpectralMoments.of(col("vm"), 2048)) // buffer-memory ceiling
+  }
+
   test("typed failures: null vector, wrong length, out-of-range component") {
     def err(df: org.apache.spark.sql.DataFrame, dims: Int): String =
       intercept[org.apache.spark.SparkException] {

@@ -130,6 +130,16 @@ class ComponentsSpec extends SparkSpecBase {
     assert(byId(51L) == 50L && byId(8L) == 7L && byId(21L) == 20L)
   }
 
+  test("appendToComponents rejects labelings whose labels are not member ids") {
+    // labels must satisfy the min-id contract (label row (c, c) exists);
+    // an external canonical id would enter the re-solve as a phantom node
+    val badLabels = Seq((5L, 99L), (6L, 99L)).toDF("id", "component")
+    val e = intercept[IllegalArgumentException](
+      Components.appendToComponents(badLabels,
+        Seq((5L, 7L)).toDF("a_id", "b_id")))
+    assert(e.getMessage.contains("member ids"), e.getMessage)
+  }
+
   test("appendToComponents with an empty batch returns the old labeling") {
     val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
     val oldLabels = Components.connectedComponents(oldPairs)
