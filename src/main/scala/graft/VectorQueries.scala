@@ -614,6 +614,16 @@ object VectorQueries {
     graft.ops.Spectral.topComponents(
       Tables.embeddings(s, dir), "embedding", dims = 64, m = 2, iters = 5, k = 4)
 
+  /** q174: PCA projection ([[graft.ops.Spectral.pcaProjection]]) — the
+    * whitening model APPLIED: every embedding's exact-integer dot with
+    * the two deflated eigenvectors, per-component alignment r², global
+    * top-50 by the dominant projection (the anisotropy hot-list). One
+    * model job + one MAP-ONLY corpus pass; only 50 survivors move. */
+  def pcaProject(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Spectral.pcaProjection(
+      Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64, m = 2,
+      iters = 5, topN = 50)
+
   /** q169: embedding drift between two corpus snapshots (even vs odd
     * vec_id standing in for release N vs N+1): per-snapshot integer
     * centroids (the q104 device), reported as the cosine between the
@@ -679,7 +689,8 @@ object VectorQueries {
     "q163_semantic_outliers" -> (semanticOutliers _),
     "q166_pca_top"           -> (pcaTop _),
     "q169_embedding_drift"   -> (embeddingDrift _),
-    "q173_pca_deflate"       -> (pcaDeflate _))
+    "q173_pca_deflate"       -> (pcaDeflate _),
+    "q174_pca_project"       -> (pcaProject _))
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1034,6 +1045,70 @@ object VectorQueries {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Shared DuckDB replay of the q173 two-component deflation chain —
+    * all CTEs up to (v5_1, ray_1, sh_1, r_1, v5_2, ray_2, sh_2, r_2),
+    * heavily MATERIALIZED so DuckDB does not exponentially inline the
+    * chain (each inlined reference re-opens the parquet). q173 appends
+    * the loading ranking; q174 appends the corpus projection. */
+  private lazy val spectralDeflateCtes: String = {
+    def iterCtes(s: String, mat: String) = (1 to 5).map { i =>
+      s"""w$i$s AS MATERIALIZED (
+         |  SELECT m.p, SUM(m.av * v${i - 1}$s.v) AS w
+         |  FROM $mat m JOIN v${i - 1}$s ON m.q = v${i - 1}$s.p GROUP BY 1),
+         |mx$i$s AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w$i$s),
+         |v$i$s AS MATERIALIZED (
+         |  SELECT p, CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+         |  FROM w$i$s, mx$i$s)""".stripMargin
+    }.mkString(",\n")
+    def tail(s: String, mat: String) =
+      s"""w6$s AS MATERIALIZED (
+         |  SELECT m.p, SUM(m.av * v5$s.v) AS w
+         |  FROM $mat m JOIN v5$s ON m.q = v5$s.p GROUP BY 1),
+         |ray$s AS MATERIALIZED (
+         |  SELECT SUM(v5$s.v * w6$s.w) AS num, SUM(v5$s.v * v5$s.v) AS den
+         |  FROM v5$s JOIN w6$s USING (p)),
+         |sh$s AS (
+         |  SELECT ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS ev_share
+         |  FROM ray$s, trc),
+         |r$s AS (
+         |  SELECT p, v, ROW_NUMBER() OVER (ORDER BY ABS(v) DESC, p) AS rnk FROM v5$s)""".stripMargin
+    s"""WITH vmx AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vm
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT p.p AS p, q.q AS q, vm[p.p + 1] * vm[q.q + 1] AS prod
+       |  FROM vmx, generate_series(0, 63) p(p), generate_series(0, 63) q(q)
+       |  WHERE q.q >= p.p),
+       |sxyt AS MATERIALIZED (SELECT p, q, SUM(prod) AS sxy FROM pr GROUP BY 1, 2),
+       |sxy AS MATERIALIZED (
+       |  SELECT p, q, sxy FROM sxyt
+       |  UNION ALL
+       |  SELECT q, p, sxy FROM sxyt WHERE p <> q),
+       |sxs AS MATERIALIZED (
+       |  SELECT p.p AS p, SUM(vm[p.p + 1]) AS sx
+       |  FROM vmx, generate_series(0, 63) p(p) GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM vmx),
+       |araw AS MATERIALIZED (
+       |  SELECT sxy.p, sxy.q, nn.n * sxy.sxy - a.sx * b.sx AS araw
+       |  FROM sxy JOIN sxs a ON a.p = sxy.p JOIN sxs b ON b.p = sxy.q, nn),
+       |maxa AS MATERIALIZED (SELECT MAX(ABS(araw)) AS ma FROM araw),
+       |a1 AS MATERIALIZED (
+       |  SELECT p, q, CAST(round(CAST(araw AS DOUBLE) / CAST(ma AS DOUBLE) * 1000000.0) AS BIGINT) AS av
+       |  FROM araw, maxa),
+       |trc AS MATERIALIZED (SELECT SUM(av) AS tr FROM a1 WHERE p = q),
+       |v0_1 AS MATERIALIZED (SELECT t.p AS p, CAST(1000000 AS BIGINT) AS v FROM generate_series(0, 63) t(p)),
+       |${iterCtes("_1", "a1")},
+       |${tail("_1", "a1")},
+       |a2 AS MATERIALIZED (
+       |  SELECT x.p, x.q,
+       |    x.av - CAST(round(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE) * CAST(vp.v AS DOUBLE) * CAST(vq.v AS DOUBLE) / CAST(r.den AS DOUBLE)) AS BIGINT) AS av
+       |  FROM a1 x JOIN v5_1 vp ON vp.p = x.p JOIN v5_1 vq ON vq.p = x.q, ray_1 r),
+       |v0_2 AS MATERIALIZED (SELECT t.p AS p, CAST(1000000 AS BIGINT) AS v FROM generate_series(0, 63) t(p)),
+       |${iterCtes("_2", "a2")},
+       |${tail("_2", "a2")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q118_margin_mining" ->
       """WITH p AS (
@@ -1144,67 +1219,12 @@ object VectorQueries {
          |  ROUND(CAST(v AS DOUBLE) / 1000000.0, 6) AS loading, ev_share
          |FROM r, sh WHERE rnk <= 8 ORDER BY rnk""".stripMargin
     },
-    "q173_pca_deflate" -> {
+    "q173_pca_deflate" ->
       // q166's replay × 2 components: after the first eigenvector, the
       // matrix is deflated cell-by-cell with the SAME left-associated
       // double expression the Scala driver evaluates, then the second
       // component runs its own 5 unrolled rounds on the residual
-      def iterCtes(s: String, mat: String) = (1 to 5).map { i =>
-        s"""w$i$s AS MATERIALIZED (
-           |  SELECT m.p, SUM(m.av * v${i - 1}$s.v) AS w
-           |  FROM $mat m JOIN v${i - 1}$s ON m.q = v${i - 1}$s.p GROUP BY 1),
-           |mx$i$s AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w$i$s),
-           |v$i$s AS MATERIALIZED (
-           |  SELECT p, CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1000000.0) AS BIGINT) AS v
-           |  FROM w$i$s, mx$i$s)""".stripMargin
-      }.mkString(",\n")
-      def tail(s: String, mat: String) =
-        s"""w6$s AS MATERIALIZED (
-           |  SELECT m.p, SUM(m.av * v5$s.v) AS w
-           |  FROM $mat m JOIN v5$s ON m.q = v5$s.p GROUP BY 1),
-           |ray$s AS MATERIALIZED (
-           |  SELECT SUM(v5$s.v * w6$s.w) AS num, SUM(v5$s.v * v5$s.v) AS den
-           |  FROM v5$s JOIN w6$s USING (p)),
-           |sh$s AS (
-           |  SELECT ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS ev_share
-           |  FROM ray$s, trc),
-           |r$s AS (
-           |  SELECT p, v, ROW_NUMBER() OVER (ORDER BY ABS(v) DESC, p) AS rnk FROM v5$s)""".stripMargin
-      s"""WITH vmx AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vm
-         |  FROM embeddings),
-         |pr AS (
-         |  SELECT p.p AS p, q.q AS q, vm[p.p + 1] * vm[q.q + 1] AS prod
-         |  FROM vmx, generate_series(0, 63) p(p), generate_series(0, 63) q(q)
-         |  WHERE q.q >= p.p),
-         |sxyt AS MATERIALIZED (SELECT p, q, SUM(prod) AS sxy FROM pr GROUP BY 1, 2),
-         |sxy AS MATERIALIZED (
-         |  SELECT p, q, sxy FROM sxyt
-         |  UNION ALL
-         |  SELECT q, p, sxy FROM sxyt WHERE p <> q),
-         |sxs AS MATERIALIZED (
-         |  SELECT p.p AS p, SUM(vm[p.p + 1]) AS sx
-         |  FROM vmx, generate_series(0, 63) p(p) GROUP BY 1),
-         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM vmx),
-         |araw AS MATERIALIZED (
-         |  SELECT sxy.p, sxy.q, nn.n * sxy.sxy - a.sx * b.sx AS araw
-         |  FROM sxy JOIN sxs a ON a.p = sxy.p JOIN sxs b ON b.p = sxy.q, nn),
-         |maxa AS MATERIALIZED (SELECT MAX(ABS(araw)) AS ma FROM araw),
-         |a1 AS MATERIALIZED (
-         |  SELECT p, q, CAST(round(CAST(araw AS DOUBLE) / CAST(ma AS DOUBLE) * 1000000.0) AS BIGINT) AS av
-         |  FROM araw, maxa),
-         |trc AS MATERIALIZED (SELECT SUM(av) AS tr FROM a1 WHERE p = q),
-         |v0_1 AS MATERIALIZED (SELECT t.p AS p, CAST(1000000 AS BIGINT) AS v FROM generate_series(0, 63) t(p)),
-         |${iterCtes("_1", "a1")},
-         |${tail("_1", "a1")},
-         |a2 AS MATERIALIZED (
-         |  SELECT x.p, x.q,
-         |    x.av - CAST(round(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE) * CAST(vp.v AS DOUBLE) * CAST(vq.v AS DOUBLE) / CAST(r.den AS DOUBLE)) AS BIGINT) AS av
-         |  FROM a1 x JOIN v5_1 vp ON vp.p = x.p JOIN v5_1 vq ON vq.p = x.q, ray_1 r),
-         |v0_2 AS MATERIALIZED (SELECT t.p AS p, CAST(1000000 AS BIGINT) AS v FROM generate_series(0, 63) t(p)),
-         |${iterCtes("_2", "a2")},
-         |${tail("_2", "a2")}
+      s"""$spectralDeflateCtes
          |SELECT comp, rnk, pos, loading, ev_share FROM (
          |  SELECT CAST(1 AS BIGINT) AS comp, CAST(r.rnk AS BIGINT) AS rnk,
          |    CAST(r.p AS BIGINT) AS pos,
@@ -1214,8 +1234,36 @@ object VectorQueries {
          |  SELECT CAST(2 AS BIGINT), CAST(r.rnk AS BIGINT), CAST(r.p AS BIGINT),
          |    ROUND(CAST(r.v AS DOUBLE) / 1000000.0, 6), s.ev_share
          |  FROM r_2 r, sh_2 s WHERE r.rnk <= 4)
-         |ORDER BY comp, rnk""".stripMargin
-    },
+         |ORDER BY comp, rnk""".stripMargin,
+
+    "q174_pca_project" ->
+      // the projection half: every corpus vector's exact-integer dot
+      // with both recovered eigenvectors, squared-norm in HUGEINT, the
+      // SAME fixed-order double r² and scaling as the Scala map-only
+      // pass, global top-50 by the exact comp-1 projection (ties → id)
+      s"""$spectralDeflateCtes,
+         |v2s AS MATERIALIZED (
+         |  SELECT (SELECT SUM(v * v) FROM v5_1) AS v2_1,
+         |         (SELECT SUM(v * v) FROM v5_2) AS v2_2),
+         |proj AS MATERIALIZED (
+         |  SELECT x.vec_id,
+         |    SUM(x.vm[g.p + 1] * a.v) AS d1,
+         |    SUM(x.vm[g.p + 1] * b.v) AS d2,
+         |    SUM(CAST(x.vm[g.p + 1] AS HUGEINT) * x.vm[g.p + 1]) AS n2
+         |  FROM vmx x, generate_series(0, 63) g(p)
+         |  JOIN v5_1 a ON a.p = g.p JOIN v5_2 b ON b.p = g.p
+         |  GROUP BY x.vec_id
+         |  HAVING SUM(CAST(x.vm[g.p + 1] AS HUGEINT) * x.vm[g.p + 1]) > 0)
+         |SELECT vec_id,
+         |  ROUND(CAST(d1 AS DOUBLE) / 1e12, 6) AS proj1,
+         |  ROUND((CAST(d1 AS DOUBLE) * CAST(d1 AS DOUBLE)) /
+         |    (CAST(n2 AS DOUBLE) * CAST(v2_1 AS DOUBLE)), 6) AS r2_1,
+         |  ROUND(CAST(d2 AS DOUBLE) / 1e12, 6) AS proj2,
+         |  ROUND((CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE)) /
+         |    (CAST(n2 AS DOUBLE) * CAST(v2_2 AS DOUBLE)), 6) AS r2_2
+         |FROM proj, v2s
+         |ORDER BY d1 DESC, vec_id LIMIT 50""".stripMargin,
+
     "q163_semantic_outliers" ->
       """WITH pe AS (
         |  SELECT d.lang, e.vec_id AS doc_id, i.i - 1 AS pos,

@@ -78,6 +78,39 @@ object Spectral {
     * spectrum) each raise here. */
   def topComponents(df: DataFrame, vecCol: String, dims: Int, m: Int,
       iters: Int = 5, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= dims, s"k must be in [1, $dims], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val model = spectralModel(df, vecCol, dims, m, iters)
+    val out = model.components.flatMap { c =>
+      c.v.zipWithIndex
+        .sortBy { case (x, p) => (-math.abs(x), p) }
+        .take(k).zipWithIndex
+        .map { case ((x, p), i) =>
+          (c.comp.toLong, i + 1L, p.toLong,
+            BigDecimal(x.toDouble / 1e6)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            c.evShare)
+        }
+    }
+    out.toDF("comp", "rnk", "pos", "loading", "ev_share")
+  }
+
+  /** One extracted component: the full L∞-normalized micro-integer
+    * eigenvector, its Rayleigh pieces and the ev share vs the original
+    * trace. */
+  private[graft] final case class SpectralComponent(
+      comp: Int, v: Array[Long], num: BigInt, den: Long, evShare: Double)
+
+  private[graft] final case class SpectralModel(
+      components: Seq[SpectralComponent], trace: Long)
+
+  /** The shared driver computation behind [[topComponents]] and
+    * [[pcaProjection]]: ONE SpectralMoments corpus pass, then
+    * power-iteration + Hotelling deflation per component on the
+    * model-sized integer matrix. */
+  private[graft] def spectralModel(df: DataFrame, vecCol: String,
+      dims: Int, m: Int, iters: Int): SpectralModel = {
     // dims ceiling is MEMORY, not taste: each partial buffer is
     // dims·(dims+1)/2 + dims 128-bit cells ≈ dims² × 8 B — 8.4 MB at
     // 1024; the pre-r14 4096 ceiling would cost 134 MB per partial
@@ -85,9 +118,6 @@ object Spectral {
     require(m >= 1 && m <= 16, s"components m must be in [1, 16], got $m")
     require(iters >= 1 && iters <= 16,
       s"power iteration rounds must be in [1, 16], got $iters")
-    require(k >= 1 && k <= dims, s"k must be in [1, $dims], got $k")
-    val spark = df.sparkSession
-    import spark.implicits._
 
     // ONE corpus pass: exact integer moments (map-side combined)
     val vm = df.select(expr(
@@ -142,8 +172,7 @@ object Spectral {
       (w, w.map(x => halfUp(x.toDouble / m * 1e6)))
     }
 
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Double, Double)]
+    val comps = scala.collection.mutable.ArrayBuffer.empty[SpectralComponent]
     for (c <- 1 to m) {
       require(a.exists(_.exists(_ != 0L)),
         s"residual covariance exhausted before component $c — the " +
@@ -155,15 +184,7 @@ object Spectral {
       val den = v.map(x => x * x).sum
       val evShare = BigDecimal(num.toDouble / den.toDouble / tr.toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      v.zipWithIndex
-        .sortBy { case (x, p) => (-math.abs(x), p) }
-        .take(k).zipWithIndex
-        .foreach { case ((x, p), i) =>
-          out += ((c.toLong, i + 1L, p.toLong,
-            BigDecimal(x.toDouble / 1e6)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-            evShare))
-        }
+      comps += SpectralComponent(c, v, num, den, evShare)
       if (c < m) {
         // Hotelling deflation on the integer grid; the cell update is
         // ONE left-associated double expression, replayed verbatim by
@@ -181,6 +202,60 @@ object Spectral {
         }
       }
     }
-    out.toSeq.toDF("comp", "rnk", "pos", "loading", "ev_share")
+    SpectralModel(comps.toSeq, tr)
+  }
+
+  /** PCA PROJECTION — whitening APPLIED: every corpus vector is
+    * projected onto the top-`m` deflated eigenvectors from
+    * [[spectralModel]] and the `topN` most-aligned rows come back with
+    * their projections and per-component alignment r² (squared cosine
+    * to the component). This is the serving half of the q166/q173
+    * audit: dominant-direction outlier mining, anisotropy hot-lists,
+    * the rows a whitening pass would move furthest.
+    *
+    * Plan: pass 1 is the ONE SpectralMoments job (model build); pass 2
+    * is MAP-ONLY over the corpus — the m eigenvectors ride along as
+    * array literals, each dot product is an exact-long zip_with +
+    * aggregate HOF (|vm| ≤ 3·10⁹ is already enforced by the moment
+    * kernel on the SAME rows, and 3·10⁹ · 10⁶ · 1024 < 2⁶³), the
+    * squared norm accumulates in DECIMAL(38) (vm² alone can reach
+    * 9·10¹⁸), and the global top-N plans as TakeOrderedAndProject on
+    * the EXACT integer projection (ties → id). Nothing shuffles but
+    * the N survivors.
+    *
+    * Determinism: projections are exact integers; the scaled outputs
+    * and r² are fixed-order double expressions over exact values — the
+    * q174 oracle re-derives the eigenvectors AND replays the
+    * projection arithmetic. Zero-norm vectors carry no direction and
+    * are filtered (documented, mirrored in the oracle). */
+  def pcaProjection(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int = 2, iters: Int = 5, topN: Int = 50): DataFrame = {
+    require(topN >= 1 && topN <= 100000, s"topN must be in [1, 1e5], got $topN")
+    val model = spectralModel(df, vecCol, dims, m, iters)
+    val vm = expr(
+      s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000.0) as bigint))")
+    var out = df.select(col(idCol), vm.as("_vm"))
+      .withColumn("_n2", expr(
+        "aggregate(_vm, cast(0 as decimal(38,0)), " +
+          "(acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
+      .filter(col("_n2") > 0)
+    for (c <- model.components) {
+      val lits = c.v.mkString("array(", "L, ", "L)")
+      val v2 = c.v.map(x => x * x).sum // ≤ dims · 10¹² — exact long
+      out = out
+        .withColumn(s"_d${c.comp}", expr(
+          s"aggregate(zip_with(_vm, $lits, (x, y) -> x * y), 0L, (a, p) -> a + p)"))
+        .withColumn(s"proj${c.comp}",
+          round(col(s"_d${c.comp}").cast("double") / lit(1e12d), 6))
+        .withColumn(s"r2_${c.comp}",
+          round((col(s"_d${c.comp}").cast("double") * col(s"_d${c.comp}").cast("double")) /
+            (col("_n2").cast("double") * lit(v2.toDouble)), 6))
+    }
+    out
+      .orderBy(col("_d1").desc +: col(idCol).asc +: Nil: _*)
+      .limit(topN)
+      .select(col(idCol) +:
+        model.components.flatMap(c =>
+          Seq(col(s"proj${c.comp}"), col(s"r2_${c.comp}"))): _*)
   }
 }

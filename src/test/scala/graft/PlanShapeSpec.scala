@@ -632,6 +632,16 @@ class PlanShapeSpec extends SparkSpecBase {
       s"\n${p.take(1200)}")
   }
 
+  test("q174: PCA projection's corpus pass is map-only into a bounded top-N") {
+    val p = plan("q174_pca_project")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the global top-50 must be a bounded heap, not a sort:\n${p.take(1200)}")
+    assert(!p.contains("Join"),
+      s"the eigenvectors ride along as literals — no join belongs here:\n${p.take(1200)}")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"projection reads the corpus exactly once:\n${p.take(1200)}")
+  }
+
   test("q172: incremental components touch (id, label)-sized state only") {
     val p = plan("q172_components_append")
     assert(!p.contains("CartesianProduct"), s"\n${p.take(1200)}")

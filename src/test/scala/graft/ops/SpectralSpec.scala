@@ -75,6 +75,34 @@ class SpectralSpec extends SparkSpecBase {
     assert(one == viaM)
   }
 
+  test("pcaProjection: most-aligned rows, exact tie-breaks, unit r2 on-axis") {
+    val grid = for { t <- -5 to 5; s <- -5 to 5 } yield {
+      val v = Array.fill(6)(0f)
+      v(0) = 5f * t; v(1) = 2f * s
+      ((t * 11 + s).toLong, v)
+    }
+    val df = grid.toDF("vec_id", "embedding")
+    val got = Spectral.pcaProjection(df, "vec_id", "embedding",
+        dims = 6, m = 2, topN = 12)
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got.size == 12)
+    // the 11 t=5 rows (ids 50..60) carry the maximal dim-0 projection —
+    // they must all rank ahead of every t<5 row (their relative order
+    // depends on the eigenvector's sub-micro noise on other dims, which
+    // is deterministic but not meaningfully ordered)
+    assert(got.take(11).map(_._1).toSet == (50L to 60L).toSet,
+      s"t=5 rows must fill the top 11: ${got.map(_._1)}")
+    // the on-axis row (t=5, s=0 → id 55) aligns perfectly with comp 1
+    val onAxis = got.find(_._1 == 55L).get
+    assert(math.abs(onAxis._3 - 1.0) < 1e-6, s"r2_1 must be 1 on-axis: $onAxis")
+    assert(math.abs(onAxis._5) < 1e-6, s"r2_2 must be 0 on-axis: $onAxis")
+    // partition invariance: exact integers end to end
+    val b = Spectral.pcaProjection(df.repartition(7), "vec_id", "embedding",
+        dims = 6, m = 2, topN = 12)
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == b)
+  }
+
   test("topComponents: rank-exhausted residual raises a typed error") {
     // exactly one nonzero direction → deflation cancels the lone cell
     // EXACTLY on the integer grid; component 2 has nothing left
