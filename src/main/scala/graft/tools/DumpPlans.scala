@@ -59,7 +59,8 @@ object DumpPlans {
     "q163_semantic_outliers" -> "semantic outliers: broadcast centroid table + WindowGroupLimit argmax — corpus vectors never shuffle",
     "q167_backoff_trigram" -> "stupid-backoff LM: per-branch micro-scores precomputed on vocab-sized model tables — THREE hot/cold corpus joins (one per n-gram order), was five",
     "q168_lm_index_score"  -> "LM serving: persisted tri/bi/uni deltas re-aggregated + the q167 three-join probe — the training corpus appears nowhere in the plan",
-    "q172_components_append" -> "incremental components: affected-cluster star edges ∪ new pairs re-solved, untouched labels pass through — (id, label)-sized state only")
+    "q172_components_append" -> "incremental components: affected-cluster star edges ∪ new pairs re-solved, untouched labels pass through — (id, label)-sized state only",
+    "q174_pca_project" -> "PCA projection: eigenvectors as literals in ONE map-only corpus pass — exact-long dots, DECIMAL norms, TakeOrderedAndProject top-N, no join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
