@@ -651,6 +651,37 @@ object PipelineQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** q175: retrieval-quality metrics ([[graft.ops.RankMetrics]]) —
+    * the evaluation readout over the q82 BM25 stack: ranked lists are
+    * BM25 top-10 per q64 query, relevance labels are the documents
+    * with ≥ 2 query-token occurrences (binary, engine-derivable), and
+    * the report is per-query MRR / precision@10 / recall@10 / nDCG@10
+    * with the micro-quantized log₂ discount making both DCG sums exact
+    * integers. The oracle replays scoring, labeling and every metric. */
+  def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = ragQueryRows.toDF("q_id", "qtext")
+      .select($"q_id", explode(split(Dedup.normText($"qtext"), " ")).as("token"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sum_micro".desc, $"doc_id")
+    val ranked = TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text", qs)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 10)
+      .select($"q_id", $"doc_id", $"rnk")
+    val labels = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(Dedup.normText($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+      .join(broadcast(qs), Seq("token"))
+      .groupBy($"q_id", $"doc_id")
+      .agg(count(lit(1)).as("_c"))
+      .filter($"_c" >= 2)
+      .select($"q_id", $"doc_id")
+    graft.ops.RankMetrics.rankingMetrics(ranked, labels,
+        "q_id", "doc_id", "rnk", k = 10)
+      .orderBy($"q_id")
+  }
+
   private val bm25IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1806,7 +1837,8 @@ object PipelineQueries {
     "q168_lm_index_score" -> (lmIndexScore _),
     "q170_lm_index_append" -> (lmIndexAppendScore _),
     "q171_bpe_batched"    -> (bpeBatchedMerges _),
-    "q172_components_append" -> (componentsAppend _))
+    "q172_components_append" -> (componentsAppend _),
+    "q175_retrieval_metrics" -> (retrievalMetrics _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -1963,7 +1995,10 @@ object PipelineQueries {
   /** The from-scratch BM25 recompute — the oracle for BOTH q82 (live
     * computation) and q122 (persisted-index serving): the index path is
     * only correct if it is bit-equal to this. */
-  private val bm25Oracle: String = {
+  /** Shared DuckDB replay of the BM25 scoring chain through the ranked
+    * CTE `r` (q_id, doc_id, sum_micro, rnk) — q82/q122/q123 append the
+    * top-5 score select; q175 appends the ranking-metrics readout. */
+  private def bm25RankCtes: String = {
     // interpolate the Scala-computed double constants so both engines
     // multiply by the bit-identical values (CAST keeps DuckDB in double
     // arithmetic — bare decimal literals are DECIMAL-typed there)
@@ -2003,11 +2038,59 @@ object PipelineQueries {
        |  SELECT q_id, doc_id, sum_micro,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY sum_micro DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+  }
+
+  private val bm25Oracle: String = {
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    s"""$bm25RankCtes
        |SELECT q_id, doc_id,
        |  ROUND(CAST(sum_micro AS DOUBLE) / ${d(1e6)}, 6) AS bm25, rnk
        |FROM r WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  private val rankMetricsOracle: String = {
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    val ln2 = graft.ops.RankMetrics.ln2Const
+    def disc(rankExpr: String) =
+      s"CAST(round(${d(1e6)} / (ln(CAST($rankExpr AS DOUBLE) + ${d(1.0)}) / $ln2)) AS BIGINT)"
+    s"""$bm25RankCtes,
+       |lab AS (
+       |  SELECT qt.q_id, t.doc_id
+       |  FROM t JOIN qt USING (token) GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |nrel AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM lab GROUP BY 1),
+       |hits AS (
+       |  SELECT r.q_id, r.rnk,
+       |    CASE WHEN lab.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM r LEFT JOIN lab ON lab.q_id = r.q_id AND lab.doc_id = r.doc_id
+       |  WHERE r.rnk <= 10),
+       |agg AS (
+       |  SELECT q_id,
+       |    CAST(SUM(rel) AS BIGINT) AS hits_k,
+       |    MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+       |    CAST(SUM(CASE WHEN rel = 1 THEN ${disc("rnk")} ELSE 0 END) AS BIGINT) AS dcg
+       |  FROM hits GROUP BY 1),
+       |bounds AS (
+       |  SELECT a.q_id, LEAST(COALESCE(n.n_rel, 0), 10) AS m
+       |  FROM agg a LEFT JOIN nrel n USING (q_id)),
+       |idcg AS (
+       |  SELECT q_id, CAST(SUM(${disc("i")}) AS BIGINT) AS idcg FROM (
+       |    SELECT b.q_id, unnest(generate_series(1, b.m)) AS i FROM bounds b)
+       |  GROUP BY 1)
+       |SELECT a.q_id,
+       |  COALESCE(n.n_rel, 0) AS n_rel,
+       |  ROUND(CASE WHEN first_rel IS NULL THEN ${d(0.0)}
+       |    ELSE ${d(1.0)} / CAST(first_rel AS DOUBLE) END, 6) AS mrr,
+       |  ROUND(CAST(hits_k AS DOUBLE) / ${d(10.0)}, 6) AS p_at_k,
+       |  ROUND(CASE WHEN COALESCE(n.n_rel, 0) > 0
+       |    THEN CAST(hits_k AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+       |    ELSE ${d(0.0)} END, 6) AS recall_at_k,
+       |  ROUND(CASE WHEN COALESCE(i.idcg, 0) > 0
+       |    THEN CAST(dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)
+       |    ELSE ${d(0.0)} END, 6) AS ndcg_at_k
+       |FROM agg a LEFT JOIN nrel n USING (q_id) LEFT JOIN idcg i USING (q_id)
+       |ORDER BY a.q_id""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -2463,6 +2546,7 @@ object PipelineQueries {
         |FROM documents
         |ORDER BY lang, pos""".stripMargin,
     "q82_bm25_topk" -> bm25Oracle,
+    "q175_retrieval_metrics" -> rankMetricsOracle,
     // the index-backed serving path must be LOSSLESS: its oracle is the
     // identical from-scratch recompute — hash equality proves the
     // persisted postings/df/dl/stats reproduce the live computation
