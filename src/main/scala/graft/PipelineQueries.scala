@@ -38,6 +38,40 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** q176: MinHash-banding QUALITY AUDIT — the dedup twin of the ANN
+    * recall audits (q151/q152): on the bounded exact-Jaccard slice
+    * (doc_id < 200, the q31 regime), compare the banding candidates
+    * (est ≥ 0.4) against exact 3-shingle Jaccard ≥ 0.4 ground truth and
+    * report ONE row: pair counts, banding precision and recall. The
+    * production answer to "is 32 hashes × 8 bands at 0.4 catching what
+    * exact Jaccard says" — measured on a slice, trusted at scale, and
+    * re-checkable per corpus release. Both thresholds cut on the
+    * 6-dp-rounded value so the boundary is engine-stable. */
+  def dedupAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.documents(s, dir).filter($"doc_id" < 200)
+    val truth = Dedup.jaccardPairs(slice, "doc_id", "text", w = 3,
+        threshold = 0.2)
+      .filter(round($"jaccard", 6) >= 0.4)
+      .select($"a_id", $"b_id")
+      .localCheckpoint(true)
+    val cand = Dedup.minHashCandidates(slice, "doc_id", "text",
+        numHashes = 32, bands = 8, w = 3, threshold = 0.4)
+      .select($"a_id", $"b_id")
+      .localCheckpoint(true)
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(truth.join(cand, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_hit")))
+      .select($"n_truth", $"n_cand", $"n_hit",
+        round(when($"n_cand" > 0L,
+            $"n_hit".cast("double") / $"n_cand".cast("double"))
+          .otherwise(lit(0.0d)), 6).as("band_precision"),
+        round(when($"n_truth" > 0L,
+            $"n_hit".cast("double") / $"n_truth".cast("double"))
+          .otherwise(lit(0.0d)), 6).as("band_recall"))
+  }
+
   /** MinHash + LSH banding near-dup candidates (oracle-exact: portable
     * polynomial shingle hash). */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
@@ -1838,7 +1872,8 @@ object PipelineQueries {
     "q170_lm_index_append" -> (lmIndexAppendScore _),
     "q171_bpe_batched"    -> (bpeBatchedMerges _),
     "q172_components_append" -> (componentsAppend _),
-    "q175_retrieval_metrics" -> (retrievalMetrics _))
+    "q175_retrieval_metrics" -> (retrievalMetrics _),
+    "q176_dedup_audit"    -> (dedupAudit _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2547,6 +2582,40 @@ object PipelineQueries {
         |ORDER BY lang, pos""".stripMargin,
     "q82_bm25_topk" -> bm25Oracle,
     "q175_retrieval_metrics" -> rankMetricsOracle,
+    "q176_dedup_audit" -> {
+      def d(x: Double) = s"CAST($x AS DOUBLE)"
+      s"""WITH ${minhashCtesFrom("(SELECT * FROM documents WHERE doc_id < 200)")},
+         |tt AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS w
+         |  FROM documents WHERE doc_id < 200),
+         |sht AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+         |      i -> array_to_string(w[i:i+2], ' '))) AS s
+         |    FROM tt WHERE len(w) >= 3) u),
+         |szt AS (SELECT doc_id, COUNT(*) AS n FROM sht GROUP BY doc_id),
+         |intert AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ni
+         |  FROM sht a JOIN sht b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT a_id, b_id FROM intert
+         |  JOIN szt sa ON a_id = sa.doc_id JOIN szt sb ON b_id = sb.doc_id
+         |  WHERE ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= 0.4),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+         |nh AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM truth t JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id)
+         |SELECT n_truth, n_cand, n_hit,
+         |  ROUND(CASE WHEN n_cand > 0
+         |    THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+         |    ELSE ${d(0.0)} END, 6) AS band_precision,
+         |  ROUND(CASE WHEN n_truth > 0
+         |    THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |    ELSE ${d(0.0)} END, 6) AS band_recall
+         |FROM nt, nc, nh""".stripMargin
+    },
     // the index-backed serving path must be LOSSLESS: its oracle is the
     // identical from-scratch recompute — hash equality proves the
     // persisted postings/df/dl/stats reproduce the live computation
