@@ -602,6 +602,29 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q177: classifier CALIBRATION audit ([[graft.ops.Calibration]]) —
+    * the reliability diagram + ECE for the q124 hashed quality
+    * classifier, judged against the q127 Gopher rule gate as the
+    * reference label: per confidence bin (sigmoid of the classifier
+    * score, 10 bins), how often does the rule gate agree, and how far
+    * is confidence from the empirical rate. The audit that tells a
+    * curation pipeline whether "score > x" thresholds mean anything.
+    * The oracle replays the classifier, the sigmoid, the rule gate,
+    * the integer binning and the exact-integer ECE. */
+  def calibrationAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    graft.ops.Calibration.reliability(pred, lab, "doc_id", "conf", "keep",
+        bins = 10)
+      .orderBy($"bin")
+  }
+
   /** q125: DoReMi-shaped domain mixture reweighting
     * (Sampling.domainMixture) — per-source excess loss under the corpus
     * unigram LM → exp(excess/τ)-normalized mixture weights: the
@@ -1873,7 +1896,8 @@ object PipelineQueries {
     "q171_bpe_batched"    -> (bpeBatchedMerges _),
     "q172_components_append" -> (componentsAppend _),
     "q175_retrieval_metrics" -> (retrievalMetrics _),
-    "q176_dedup_audit"    -> (dedupAudit _))
+    "q176_dedup_audit"    -> (dedupAudit _),
+    "q177_calibration"    -> (calibrationAudit _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2647,6 +2671,72 @@ object PipelineQueries {
          |  ROUND(CAST(sm AS DOUBLE) / (CAST(n_features AS DOUBLE) * 1000000), 6) AS score,
          |  CAST(CASE WHEN sm > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+    // q177 composes the q124 classifier replay (score → sigmoid conf)
+    // with the q127 rule-gate replay (keep) and replays the integer
+    // binning, per-bin gaps and the exact-integer ECE
+    "q177_calibration" -> {
+      import graft.ops.QualityModel.{NumBuckets, WeightMul, WeightAdd, WeightMod, WeightHalf}
+      def d(x: Double) = s"CAST($x AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |fx AS (
+         |  SELECT doc_id, unnest(list_concat(w,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS feat
+         |  FROM t),
+         |f AS (SELECT doc_id, feat FROM fx WHERE length(feat) > 0),
+         |fb AS (SELECT doc_id, ${duckFold("feat", graft.expr.DedupKernel.B1)} % $NumBuckets AS bucket FROM f),
+         |wt AS (
+         |  SELECT g.b AS bucket, ((g.b * $WeightMul + $WeightAdd) % $WeightMod) - $WeightHalf AS w_micro
+         |  FROM generate_series(0, ${NumBuckets - 1}) g(b)),
+         |cls AS (
+         |  SELECT doc_id, COUNT(*) AS n_features, SUM(w_micro) AS sm
+         |  FROM fb JOIN wt USING (bucket) GROUP BY 1),
+         |pred AS (
+         |  SELECT doc_id, ROUND(${d(1.0)} / (${d(1.0)} + exp(-ROUND(
+         |    CAST(sm AS DOUBLE) / (CAST(n_features AS DOUBLE) * 1000000), 6))), 6) AS conf
+         |  FROM cls),
+         |tg AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+         |  FROM tg WHERE len(w) > 0),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |  FROM sg),
+         |j AS (
+         |  SELECT p.doc_id, CAST(round(p.conf * 1e6) AS BIGINT) AS cm, l.keep
+         |  FROM pred p JOIN lab l USING (doc_id)),
+         |pb AS (
+         |  SELECT LEAST((cm * 10) // 1000000, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(cm) AS BIGINT) AS sc,
+         |    CAST(SUM(keep) AS BIGINT) AS sp
+         |  FROM j GROUP BY 1),
+         |pg AS (
+         |  SELECT bin, n_docs, sc, sp,
+         |    CAST(round(abs(CAST(sc AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6)
+         |      - CAST(sp AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS gap_micro
+         |  FROM pb),
+         |tot AS (
+         |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+         |    CAST(SUM(gap_micro * n_docs) AS BIGINT) AS gsum
+         |  FROM pg)
+         |SELECT CAST(bin AS BIGINT) AS bin, n_docs,
+         |  ROUND(CAST(sc AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6), 6) AS mean_conf,
+         |  ROUND(CAST(sp AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS frac_pos,
+         |  ROUND(CAST(gap_micro AS DOUBLE) / 1e6, 6) AS gap,
+         |  ROUND(CAST(gsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS ece
+         |FROM pg, tot ORDER BY bin""".stripMargin
     },
     // q125 replays the whole DoReMi chain: exact micro-nat token
     // log-probs per domain, one-divide means, max anchor, nano-quantized

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CalibrationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("hand-checked reliability bins and ECE") {
+    // bin 1 (conf .10-.19): confs .10/.12 → mean .11, labels 1,0 → acc .5
+    // bin 9 (conf ≥ .9):    confs .95/1.0 → mean .975, labels 1,1 → acc 1
+    val pred = Seq((1L, 0.10), (2L, 0.12), (3L, 0.95), (4L, 1.0))
+      .toDF("id", "conf")
+    val lab = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "y")
+    val got = Calibration.reliability(pred, lab, "id", "conf", "y", bins = 10)
+      .orderBy($"bin")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    // gaps: |.11 − .5| = .39, |.975 − 1| = .025; ECE = (2·.39 + 2·.025)/4
+    assert(got == Seq(
+      (1L, 2L, 0.11, 0.5, 0.39, 0.2075),
+      (9L, 2L, 0.975, 1.0, 0.025, 0.2075)), s"$got")
+  }
+
+  test("conf = 1.0 lands in the top bin; range violations fail typed") {
+    val okPred = Seq((1L, 1.0)).toDF("id", "conf")
+    val lab = Seq((1L, 1L)).toDF("id", "y")
+    val top = Calibration.reliability(okPred, lab, "id", "conf", "y", 10)
+      .select($"bin").as[Long].head()
+    assert(top == 9L)
+    val badPred = Seq((1L, 1.5)).toDF("id", "conf")
+    val e = intercept[IllegalArgumentException](
+      Calibration.reliability(badPred, lab, "id", "conf", "y", 10))
+    assert(e.getMessage.contains("[0, 1]"), e.getMessage)
+    val badLab = Seq((1L, 2L)).toDF("id", "y")
+    intercept[IllegalArgumentException](
+      Calibration.reliability(okPred, badLab, "id", "conf", "y", 10))
+    intercept[IllegalArgumentException](
+      Calibration.reliability(okPred, lab, "id", "conf", "y", bins = 1))
+  }
+}
