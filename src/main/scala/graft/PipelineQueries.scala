@@ -625,6 +625,26 @@ object PipelineQueries {
       .orderBy($"bin")
   }
 
+  /** q178: TEMPERATURE-SCALING sweep
+    * ([[graft.ops.Calibration.temperatureSweep]]) — the post-hoc fix
+    * for the q177 miscalibration: the q124 classifier's raw score is
+    * rescaled by each T in 0.25…4.0, the exact-integer ECE against the
+    * q127 rule gate recomputed per T, and the argmin flagged — the
+    * audit→fix pair a curation pipeline runs before trusting
+    * score thresholds. Oracle replays the grid, every per-T binning
+    * and the argmin. */
+  def temperatureScaling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
+      .select($"doc_id", $"score")
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    graft.ops.Calibration.temperatureSweep(pred, lab, "doc_id", "score",
+        "keep", bins = 10)
+      .orderBy($"t")
+  }
+
   /** q125: DoReMi-shaped domain mixture reweighting
     * (Sampling.domainMixture) — per-source excess loss under the corpus
     * unigram LM → exp(excess/τ)-normalized mixture weights: the
@@ -1897,7 +1917,8 @@ object PipelineQueries {
     "q172_components_append" -> (componentsAppend _),
     "q175_retrieval_metrics" -> (retrievalMetrics _),
     "q176_dedup_audit"    -> (dedupAudit _),
-    "q177_calibration"    -> (calibrationAudit _))
+    "q177_calibration"    -> (calibrationAudit _),
+    "q178_temp_scaling"   -> (temperatureScaling _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2737,6 +2758,74 @@ object PipelineQueries {
          |  ROUND(CAST(gap_micro AS DOUBLE) / 1e6, 6) AS gap,
          |  ROUND(CAST(gsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS ece
          |FROM pg, tot ORDER BY bin""".stripMargin
+    },
+    // q178 extends q177: the same two replays, swept over the literal
+    // temperature grid (unnest of CAST AS DOUBLE values — the p-list
+    // convention), per-T integer binning/ECE, argmin flagged
+    "q178_temp_scaling" -> {
+      import graft.ops.QualityModel.{NumBuckets, WeightMul, WeightAdd, WeightMod, WeightHalf}
+      def d(x: Double) = s"CAST($x AS DOUBLE)"
+      val gridList = (1 to 16).map(i => d(i * 0.25)).mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |fx AS (
+         |  SELECT doc_id, unnest(list_concat(w,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS feat
+         |  FROM t),
+         |f AS (SELECT doc_id, feat FROM fx WHERE length(feat) > 0),
+         |fb AS (SELECT doc_id, ${duckFold("feat", graft.expr.DedupKernel.B1)} % $NumBuckets AS bucket FROM f),
+         |wt AS (
+         |  SELECT g.b AS bucket, ((g.b * $WeightMul + $WeightAdd) % $WeightMod) - $WeightHalf AS w_micro
+         |  FROM generate_series(0, ${NumBuckets - 1}) g(b)),
+         |cls AS (
+         |  SELECT doc_id, COUNT(*) AS n_features, SUM(w_micro) AS sm
+         |  FROM fb JOIN wt USING (bucket) GROUP BY 1),
+         |sc2 AS (
+         |  SELECT doc_id, ROUND(CAST(sm AS DOUBLE) / (CAST(n_features AS DOUBLE) * 1000000), 6) AS score
+         |  FROM cls),
+         |tgr AS (SELECT unnest($gridList) AS tv),
+         |tg2 AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |sg2 AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+         |  FROM tg2 WHERE len(w) > 0),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |  FROM sg2),
+         |j AS (
+         |  SELECT s.doc_id, g.tv,
+         |    CAST(round(ROUND(${d(1.0)} / (${d(1.0)} + exp(-(s.score / g.tv))), 6) * 1e6) AS BIGINT) AS cm,
+         |    l.keep
+         |  FROM sc2 s JOIN lab l USING (doc_id), tgr g),
+         |pb AS (
+         |  SELECT tv, LEAST((cm * 10) // 1000000, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(cm) AS BIGINT) AS sc,
+         |    CAST(SUM(keep) AS BIGINT) AS sp
+         |  FROM j GROUP BY 1, 2),
+         |pg AS (
+         |  SELECT tv, n,
+         |    CAST(round(abs(CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+         |      - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS gap_micro
+         |  FROM pb),
+         |pt AS (
+         |  SELECT tv, ROUND(CAST(SUM(gap_micro * n) AS DOUBLE) /
+         |    (CAST(SUM(n) AS DOUBLE) * 1e6), 6) AS ece
+         |  FROM pg GROUP BY 1),
+         |rk AS (
+         |  SELECT tv, ece, ROW_NUMBER() OVER (ORDER BY ece, tv) AS rn FROM pt)
+         |SELECT tv AS t, ece,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+         |FROM rk ORDER BY t""".stripMargin
     },
     // q125 replays the whole DoReMi chain: exact micro-nat token
     // log-probs per domain, one-divide means, max anchor, nano-quantized

@@ -69,4 +69,65 @@ object Calibration {
         round(col("_gsum").cast("double") / (col("_n").cast("double") * 1e6d), 6)
           .as("ece"))
   }
+
+  /** TEMPERATURE-SCALING sweep — the standard post-hoc calibration FIX
+    * for the miscalibration [[reliability]] diagnoses (Guo et al.
+    * 2017): for each temperature T in a fixed grid, confidences become
+    * sigmoid(score∕T) and the ECE is recomputed; the row with the
+    * minimum ECE (ties → smallest T) is flagged. A pipeline applies the
+    * winning T to its keep-threshold and re-audits.
+    *
+    * Determinism: the grid is a config literal; per-T confidences are
+    * the same fixed-order sigmoid + micro-quantize + integer binning as
+    * [[reliability]]; per-T ECE is the same exact-integer sum; the
+    * argmin is on (rounded ece, T) — fully oracle-replayable.
+    *
+    * Plan: ONE pass over predictions × |grid| (a bounded literal
+    * multiplier — the grid explodes from an array literal, never a
+    * join), one (T, bin) aggregate, one T-sized aggregate, one
+    * |grid|-row window. Scores are raw reals (no [0,1] constraint);
+    * labels are checked {0, 1} typed. */
+  def temperatureSweep(pred: DataFrame, labels: DataFrame, idCol: String,
+      scoreCol: String, labelCol: String, bins: Int = 10,
+      tGrid: Seq[Double] = (1 to 16).map(_ * 0.25)): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    require(tGrid.nonEmpty && tGrid.size <= 256 && tGrid.forall(_ > 0.0),
+      s"temperature grid must be 1..256 positive values, got $tGrid")
+    require(tGrid.distinct.size == tGrid.size, "temperature grid has duplicates")
+    val joined = pred.select(col(idCol), col(scoreCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val offRange = joined
+      .filter(col(labelCol) =!= 0L && col(labelCol) =!= 1L)
+      .limit(1).count()
+    require(offRange == 0L,
+      "temperature sweep needs labels in {0, 1} — found out-of-range rows")
+    val grid = array(tGrid.map(t => lit(t)): _*)
+    val perTBin = joined
+      .withColumn("_t", explode(grid))
+      .withColumn("_cm", round(
+        round(lit(1.0d) / (lit(1.0d) +
+          exp(negate(col(scoreCol).cast("double") / col("_t")))), 6) * 1e6d)
+        .cast("long"))
+      .withColumn("bin",
+        least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L)).cast("long"))
+      .groupBy(col("_t"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_cm")).as("_sc"),
+        sum(col(labelCol).cast("long")).as("_sp"))
+      .withColumn("_gap_micro",
+        round(abs(col("_sc").cast("double") / (col("n").cast("double") * 1e6d) -
+          col("_sp").cast("double") / col("n").cast("double")) * 1e6d)
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ece").asc, col("_t").asc)
+    perTBin
+      .groupBy(col("_t"))
+      .agg(sum(col("n")).as("_n"),
+        sum(col("_gap_micro") * col("n")).as("_gsum"))
+      .withColumn("ece",
+        round(col("_gsum").cast("double") / (col("_n").cast("double") * 1e6d), 6))
+      .withColumn("is_best",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("_t").as("t"), col("ece"), col("is_best"))
+  }
 }

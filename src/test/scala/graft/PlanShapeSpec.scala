@@ -642,6 +642,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(scans == 1, s"projection reads the corpus exactly once:\n${p.take(1200)}")
   }
 
+  test("q175/q177/q178: evaluation readouts never grow past their bounded frames") {
+    // ranked lists are top-k, labels an eval set, bins/grid literals —
+    // a cartesian or global sort in any of them is a regression
+    Seq("q175_retrieval_metrics", "q177_calibration", "q178_temp_scaling")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
+        assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+          s"$q must aggregate to its bounded readout:\n${p.take(1200)}")
+      }
+  }
+
+  test("q176: banding audit joins candidates to truth, never all-pairs on the slice") {
+    val p = plan("q176_dedup_audit")
+    assert(!p.contains("CartesianProduct"), s"\n${p.take(1200)}")
+  }
+
   test("q172: incremental components touch (id, label)-sized state only") {
     val p = plan("q172_components_append")
     assert(!p.contains("CartesianProduct"), s"\n${p.take(1200)}")

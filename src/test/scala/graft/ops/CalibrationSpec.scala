@@ -21,6 +21,34 @@ class CalibrationSpec extends SparkSpecBase {
       (9L, 2L, 0.975, 1.0, 0.025, 0.2075)), s"$got")
   }
 
+  test("temperatureSweep: T = 1 reproduces reliability's ECE; argmin flagged once; typed guards") {
+    val pred = Seq((1L, 2.0), (2L, -1.0), (3L, 0.2), (4L, -0.4))
+      .toDF("id", "score")
+    val lab = Seq((1L, 1L), (2L, 0L), (3L, 0L), (4L, 1L)).toDF("id", "y")
+    val sweep = Calibration.temperatureSweep(pred, lab, "id", "score", "y",
+        bins = 10, tGrid = Seq(0.5, 1.0, 2.0))
+      .orderBy($"t")
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(sweep.map(_._1) == Seq(0.5, 1.0, 2.0))
+    assert(sweep.map(_._3).sum == 1L, s"exactly one argmin flag: $sweep")
+    // T = 1 is plain sigmoid — its ECE must equal the reliability audit's
+    val conf1 = pred.withColumn("conf",
+      round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+    val eceRel = Calibration.reliability(conf1, lab, "id", "conf", "y", 10)
+      .select($"ece").as[Double].head()
+    val eceT1 = sweep.find(_._1 == 1.0).get._2
+    assert(eceT1 == eceRel, s"T=1 sweep $eceT1 != reliability $eceRel")
+    intercept[IllegalArgumentException](
+      Calibration.temperatureSweep(pred,
+        Seq((1L, 5L)).toDF("id", "y"), "id", "score", "y"))
+    intercept[IllegalArgumentException](
+      Calibration.temperatureSweep(pred, lab, "id", "score", "y",
+        tGrid = Seq(0.5, -1.0)))
+    intercept[IllegalArgumentException](
+      Calibration.temperatureSweep(pred, lab, "id", "score", "y",
+        tGrid = Seq(0.5, 0.5)))
+  }
+
   test("conf = 1.0 lands in the top bin; range violations fail typed") {
     val okPred = Seq((1L, 1.0)).toDF("id", "conf")
     val lab = Seq((1L, 1L)).toDF("id", "y")
