@@ -645,6 +645,20 @@ object PipelineQueries {
       .orderBy($"t")
   }
 
+  /** q179: T5 span-corruption data prep ([[Chunking.spanCorrupt]]) —
+    * deterministic (input, target) denoising pairs: every full 8-token
+    * block loses one 2-token span at an md5-chosen offset, sentinels
+    * `<extra_id_b>` mark the cuts, the target strings the lost spans
+    * together. The objective-construction step between curation and
+    * training, map-only and RNG-free; the oracle replays tokenization,
+    * every block offset and both string assemblies. */
+  def spanCorruption(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Chunking.spanCorrupt(Tables.documents(s, dir), "doc_id", "text",
+        blockLen = 8, spanLen = 2)
+      .orderBy($"doc_id")
+  }
+
   /** q125: DoReMi-shaped domain mixture reweighting
     * (Sampling.domainMixture) — per-source excess loss under the corpus
     * unigram LM → exp(excess/τ)-normalized mixture weights: the
@@ -1918,7 +1932,8 @@ object PipelineQueries {
     "q175_retrieval_metrics" -> (retrievalMetrics _),
     "q176_dedup_audit"    -> (dedupAudit _),
     "q177_calibration"    -> (calibrationAudit _),
-    "q178_temp_scaling"   -> (temperatureScaling _))
+    "q178_temp_scaling"   -> (temperatureScaling _),
+    "q179_span_corrupt"   -> (spanCorruption _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2826,6 +2841,36 @@ object PipelineQueries {
          |SELECT tv AS t, ece,
          |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
          |FROM rk ORDER BY t""".stripMargin
+    },
+    // q179 replays span corruption: tokenization, per-block md5 offsets
+    // (the q46 hex device), sentinel splicing and both assemblies
+    "q179_span_corrupt" -> {
+      val B = 8; val S = 2; val M = B - S + 1
+      s"""WITH w0 AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |wb AS (
+         |  SELECT doc_id, w, len(w) // $B AS nb
+         |  FROM w0 WHERE len(w) // $B >= 1),
+         |ob AS (
+         |  SELECT doc_id, w, nb,
+         |    list_transform(generate_series(0, CAST(nb AS INT) - 1), b ->
+         |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % $M AS INT)) AS offs
+         |  FROM wb)
+         |SELECT doc_id,
+         |  array_to_string(
+         |    flatten(list_transform(generate_series(0, CAST(nb AS INT) - 1), b ->
+         |      w[b*$B + 1 : b*$B + offs[b+1]]
+         |      || ['<extra_id_' || CAST(b AS VARCHAR) || '>']
+         |      || w[b*$B + offs[b+1] + ${S + 1} : b*$B + $B]))
+         |    || w[CAST(nb AS INT)*$B + 1 : len(w)], ' ') AS input_text,
+         |  array_to_string(
+         |    flatten(list_transform(generate_series(0, CAST(nb AS INT) - 1), b ->
+         |      ['<extra_id_' || CAST(b AS VARCHAR) || '>']
+         |      || w[b*$B + offs[b+1] + 1 : b*$B + offs[b+1] + $S]))
+         |    || ['<extra_id_' || CAST(nb AS VARCHAR) || '>'], ' ') AS target_text,
+         |  CAST(nb AS BIGINT) AS n_spans
+         |FROM ob ORDER BY doc_id""".stripMargin
     },
     // q125 replays the whole DoReMi chain: exact micro-nat token
     // log-probs per domain, one-divide means, max anchor, nano-quantized

@@ -72,4 +72,64 @@ object Chunking {
       .withColumn("n_tokens",
         size(split(col("chunk"), " ")).cast("long"))
   }
+
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective data prep: the token stream is cut into
+    * `blockLen`-token blocks, each FULL block loses one `spanLen`-token
+    * span at a deterministic md5-chosen offset, the input replaces
+    * every lost span with its ordinal sentinel `<extra_id_b>`, and the
+    * target is the sentinel-delimited concatenation of the lost spans
+    * closed by the final sentinel — exactly the (input, target) pair a
+    * span-corruption pretraining run consumes.
+    *
+    * Determinism (no RNG anywhere): the offset inside block b is
+    * md5(doc_id:b)'s first 8 hex chars mod (blockLen − spanLen + 1) —
+    * the q46/q61 md5 device, bit-replayable in DuckDB — so the corpus
+    * transformation is a pure function of content and ids: reruns,
+    * retries and engines agree byte-for-byte.
+    *
+    * Documents shorter than one full block carry no span and are
+    * dropped (nothing to learn from); the trailing partial block
+    * passes through uncorrupted into the input. Plan: MAP-ONLY — one
+    * projection of array expressions inside codegen, no explode, no
+    * shuffle; the heaviest cost is the md5 per block, ~L∕blockLen
+    * hashes per document. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 8, spanLen: Int = 2): DataFrame = {
+    require(blockLen >= 2 && blockLen <= 4096,
+      s"blockLen must be in [2, 4096], got $blockLen")
+    require(spanLen >= 1 && spanLen < blockLen,
+      s"spanLen must be in [1, blockLen), got $spanLen")
+    val B = blockLen
+    val S = spanLen
+    val M = B - S + 1
+    val id = s"`${idCol.replace("`", "``")}`"
+    val t = s"`${textCol.replace("`", "``")}`"
+    val norm = s"regexp_replace(trim(lower($t)), '\\\\s+', ' ')"
+    val off = s"cast(conv(substring(md5(concat(cast($id as string), ':', " +
+      s"cast(b as string))), 1, 8), 16, 10) as bigint) % $M"
+    df.select(col(idCol),
+        expr(s"filter(split($norm, ' '), x -> length(x) > 0)").as("_w"))
+      .withColumn("_nb", expr(s"size(_w) div $B").cast("long"))
+      .filter(col("_nb") >= 1L)
+      .withColumn("_inp", expr(
+        s"""concat(
+           |  flatten(transform(sequence(0, int(_nb) - 1), b ->
+           |    concat(
+           |      slice(_w, b * $B + 1, int($off)),
+           |      array(concat('<extra_id_', cast(b as string), '>')),
+           |      slice(_w, b * $B + int($off) + $S + 1, $B - int($off) - $S)))),
+           |  slice(_w, int(_nb) * $B + 1, size(_w) - int(_nb) * $B))""".stripMargin))
+      .withColumn("_tgt", expr(
+        s"""concat(
+           |  flatten(transform(sequence(0, int(_nb) - 1), b ->
+           |    concat(
+           |      array(concat('<extra_id_', cast(b as string), '>')),
+           |      slice(_w, b * $B + int($off) + 1, $S)))),
+           |  array(concat('<extra_id_', cast(_nb as string), '>')))""".stripMargin))
+      .select(col(idCol),
+        expr("array_join(_inp, ' ')").as("input_text"),
+        expr("array_join(_tgt, ' ')").as("target_text"),
+        col("_nb").as("n_spans"))
+  }
 }

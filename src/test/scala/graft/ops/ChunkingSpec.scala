@@ -60,4 +60,39 @@ class ChunkingSpec extends SparkSpecBase {
     val empty = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(Chunking.chunkByTokens(empty, "doc_id", "text", 4, 2).count() == 0L)
   }
+
+  test("spanCorrupt: splicing targets back into inputs reconstructs the original tokens") {
+    // the lossless-pair property: for every doc, replacing <extra_id_b>
+    // in the input with target span b yields exactly the normalized
+    // token stream — no token lost, duplicated, or reordered, whatever
+    // offsets the md5 draws
+    val docs = (0 until 12).map { i =>
+      (i.toLong, (0 until (5 + i * 3)).map(j => s"w${(j * 7 + i) % 13}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Chunking.spanCorrupt(docs, "doc_id", "text",
+        blockLen = 4, spanLen = 2)
+      .as[(Long, String, String, Long)].collect()
+    assert(out.nonEmpty)
+    val texts = docs.as[(Long, String)].collect().toMap
+    out.foreach { case (id, inp, tgt, nSpans) =>
+      val spans = tgt.split("<extra_id_\\d+>").map(_.trim).filter(_.nonEmpty)
+      assert(spans.length == nSpans, s"doc $id: $nSpans spans vs ${spans.toSeq}")
+      var rebuilt = inp
+      spans.zipWithIndex.foreach { case (sp, b) =>
+        rebuilt = rebuilt.replace(s"<extra_id_$b>", sp)
+      }
+      val orig = texts(id).trim.toLowerCase.replaceAll("\\s+", " ")
+      assert(rebuilt.replaceAll("\\s+", " ").trim == orig,
+        s"doc $id failed to reconstruct:\n$rebuilt\nvs\n$orig")
+    }
+    // a doc below one full block is dropped (3 tokens < blockLen 4)
+    val short = Seq((99L, "a b c")).toDF("doc_id", "text")
+    assert(Chunking.spanCorrupt(short, "doc_id", "text", 4, 2).count() == 0L)
+    // partition layout is irrelevant (md5 offsets, no RNG)
+    val b = Chunking.spanCorrupt(docs.repartition(5), "doc_id", "text", 4, 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(b.toSeq == out.map(r => Seq(r._1, r._2, r._3, r._4)).sortBy(_.toString).toSeq)
+    intercept[IllegalArgumentException](
+      Chunking.spanCorrupt(docs, "doc_id", "text", blockLen = 4, spanLen = 4))
+  }
 }
