@@ -80,7 +80,8 @@ object Bench {
     "q166_pca_top", "q167_backoff_trigram", "q168_lm_index_score",
     "q169_embedding_drift", "q170_lm_index_append", "q171_bpe_batched",
     "q172_components_append", "q173_pca_deflate", "q174_pca_project",
-    "q175_retrieval_metrics", "q176_dedup_audit", "q177_calibration", "q178_temp_scaling", "q179_span_corrupt")
+    "q175_retrieval_metrics", "q176_dedup_audit", "q177_calibration",
+    "q178_temp_scaling", "q179_span_corrupt", "q180_lm_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

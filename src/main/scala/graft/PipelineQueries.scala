@@ -1336,6 +1336,42 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  private val lmCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once cache for the q180 COMPACTED LM model: the q170 stack
+    * (build < 250, append ≥ 250) followed by [[graft.ops.LmIndex
+    * .compact]] — the delta stack merged into ONE delta through the
+    * shared manifest commit; the spec additionally asserts the
+    * single-delta layout, this query proves the SERVING equivalence. */
+  private def lmCompactIndexFor(s: SparkSession, dir: String): String =
+    lmCompactCache.computeIfAbsent(VectorQueries.corpusFingerprint(s, dir), _ => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_lm_compact").toFile
+      d.deleteOnExit()
+      val train = Tables.documents(s, dir).filter($"doc_id" % 10 =!= 0)
+      graft.ops.LmIndex.build(train.filter($"doc_id" < 250), "text", d.toString)
+      graft.ops.LmIndex.append(train.filter($"doc_id" >= 250), "text", d.toString)
+      graft.ops.LmIndex.compact(s, d.toString)
+      d.toString
+    })
+
+  /** q180: stupid-backoff scoring from the COMPACTED LM model — the
+    * read-amplification fix for long-lived persisted models: after
+    * thousands of appends [[graft.ops.LmIndex.score]] would re-aggregate
+    * an unbounded delta stack per probe; compact() merges the stack
+    * into one delta (one vocab-sized aggregation, manifest-committed
+    * with `remove = exactly the merged deltas`, so concurrent appends
+    * survive). Must hash-match q167/q168/q170 (same oracle), proving
+    * compacted ≡ delta-stack ≡ live ≡ DuckDB. */
+  def lmIndexCompactScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.LmIndex.score(s, lmCompactIndexFor(s, dir),
+        Tables.documents(s, dir).filter($"doc_id" % 10 === 0),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   /** q159: character-entropy quality profile
     * ([[TextAnalysis.charEntropy]]) — the information-density signal:
     * templated text scores low, random gibberish high; both tails are
@@ -1933,7 +1969,8 @@ object PipelineQueries {
     "q176_dedup_audit"    -> (dedupAudit _),
     "q177_calibration"    -> (calibrationAudit _),
     "q178_temp_scaling"   -> (temperatureScaling _),
-    "q179_span_corrupt"   -> (spanCorruption _))
+    "q179_span_corrupt"   -> (spanCorruption _),
+    "q180_lm_compact"     -> (lmIndexCompactScore _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2173,19 +2210,19 @@ object PipelineQueries {
        |  SELECT q_id, CAST(SUM(${disc("i")}) AS BIGINT) AS idcg FROM (
        |    SELECT b.q_id, unnest(generate_series(1, b.m)) AS i FROM bounds b)
        |  GROUP BY 1)
-       |SELECT a.q_id,
+       |SELECT q_id,
        |  COALESCE(n.n_rel, 0) AS n_rel,
        |  ROUND(CASE WHEN first_rel IS NULL THEN ${d(0.0)}
        |    ELSE ${d(1.0)} / CAST(first_rel AS DOUBLE) END, 6) AS mrr,
-       |  ROUND(CAST(hits_k AS DOUBLE) / ${d(10.0)}, 6) AS p_at_k,
+       |  ROUND(CAST(COALESCE(hits_k, 0) AS DOUBLE) / ${d(10.0)}, 6) AS p_at_k,
        |  ROUND(CASE WHEN COALESCE(n.n_rel, 0) > 0
-       |    THEN CAST(hits_k AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+       |    THEN CAST(COALESCE(hits_k, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
        |    ELSE ${d(0.0)} END, 6) AS recall_at_k,
        |  ROUND(CASE WHEN COALESCE(i.idcg, 0) > 0
-       |    THEN CAST(dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)
+       |    THEN CAST(COALESCE(dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE)
        |    ELSE ${d(0.0)} END, 6) AS ndcg_at_k
-       |FROM agg a LEFT JOIN nrel n USING (q_id) LEFT JOIN idcg i USING (q_id)
-       |ORDER BY a.q_id""".stripMargin
+       |FROM agg a FULL JOIN nrel n USING (q_id) LEFT JOIN idcg i USING (q_id)
+       |ORDER BY q_id""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -3811,8 +3848,10 @@ object PipelineQueries {
     "q171_bpe_batched" -> {
       // 3 unrolled BATCHED rounds, R = 2, lookahead 8: rank the round's
       // pairs (cnt desc, pair asc), accept rank 1, accept the lowest-
-      // ranked window pair sharing no symbol with it, apply BOTH merges
-      // with the anchored doubled-separator replace — the exact
+      // ranked window pair sharing no symbol with it — "symbol" includes
+      // rank 1's MERGED output m1 (a runner-up touching a just-minted
+      // symbol has stale counts and defers) — apply BOTH merges with the
+      // anchored doubled-separator replace — the exact
       // TextAnalysis.bpeMergesBatched trajectory
       def anch(inner: String, sel: String): String =
         s"trim(replace(replace(' ' || replace($inner, ' ', '  ') || ' ', " +
@@ -3828,13 +3867,14 @@ object PipelineQueries {
            |t$i AS (
            |  SELECT pr, cnt, row_number() OVER (ORDER BY cnt DESC, pr) AS rn FROM p$i),
            |k1$i AS (
-           |  SELECT pr, cnt, split_part(pr, ' ', 1) AS s1, split_part(pr, ' ', 2) AS s2
+           |  SELECT pr, cnt, split_part(pr, ' ', 1) AS s1, split_part(pr, ' ', 2) AS s2,
+           |    replace(pr, ' ', '') AS m1
            |  FROM t$i WHERE rn = 1),
            |k2$i AS (
            |  SELECT x.pr, x.cnt FROM t$i x, k1$i k
            |  WHERE x.rn BETWEEN 2 AND 8
-           |    AND split_part(x.pr, ' ', 1) NOT IN (k.s1, k.s2)
-           |    AND split_part(x.pr, ' ', 2) NOT IN (k.s1, k.s2)
+           |    AND split_part(x.pr, ' ', 1) NOT IN (k.s1, k.s2, k.m1)
+           |    AND split_part(x.pr, ' ', 2) NOT IN (k.s1, k.s2, k.m1)
            |  ORDER BY x.rn LIMIT 1),
            |w$i AS (
            |  SELECT ${anch(anch("sym", s"COALESCE((SELECT pr FROM k1$i), chr(1))"),
@@ -4232,6 +4272,7 @@ object PipelineQueries {
     "q167_backoff_trigram" -> backoffTrigramOracle,
     "q168_lm_index_score" -> backoffTrigramOracle,
     "q170_lm_index_append" -> backoffTrigramOracle,
+    "q180_lm_compact" -> backoffTrigramOracle,
     "q165_novelty_curve" ->
       s"""WITH fps AS (
          |  SELECT source, md5($norm) AS fp FROM documents),

@@ -422,7 +422,7 @@ object VectorQueries {
           .as("ivf_cell"))
     val probedCells = probes.select($"ivf_cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val coded = s.read.parquet(s"$indexPath/cells")
+    val coded = graft.ops.Ivf.readCells(s, indexPath)
       .filter($"ivf_cell".isin(probedCells.toIndexedSeq: _*))
       .select($"n_id", $"ivf_cell",
         graft.ops.Quantize.pqCodes($"nv", pqModels, subDim).as("codes"),

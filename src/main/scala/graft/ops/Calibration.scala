@@ -38,12 +38,18 @@ object Calibration {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
     val joined = pred.select(col(idCol), col(confCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offRange = joined.filter(col(confCol) < 0.0d || col(confCol) > 1.0d ||
+    // NULLs must fail typed too: a bare range predicate evaluates to NULL
+    // on NULL inputs and the row would slip past the probe, then bin into
+    // the top bin (least() skips NULLs) while the sums skip it — silent
+    // corruption of n_docs/mean_conf/frac_pos/ECE.
+    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
+        col(confCol) < 0.0d || col(confCol) > 1.0d ||
         (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
       .limit(1).count()
     require(offRange == 0L,
-      "calibration audit needs confidences in [0, 1] and labels in {0, 1} " +
-        "— found out-of-range rows; fix the prediction/label columns first")
+      "calibration audit needs non-NULL confidences in [0, 1] and labels in " +
+        "{0, 1} — found NULL or out-of-range rows; fix the prediction/label " +
+        "columns first")
     val perBin = joined
       .withColumn("_cm", round(col(confCol).cast("double") * 1e6d).cast("long"))
       .withColumn("bin",
@@ -97,10 +103,12 @@ object Calibration {
     val joined = pred.select(col(idCol), col(scoreCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
     val offRange = joined
-      .filter(col(labelCol) =!= 0L && col(labelCol) =!= 1L)
+      .filter(col(scoreCol).isNull || col(labelCol).isNull ||
+        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
       .limit(1).count()
     require(offRange == 0L,
-      "temperature sweep needs labels in {0, 1} — found out-of-range rows")
+      "temperature sweep needs non-NULL scores and labels in {0, 1} — " +
+        "found NULL or out-of-range rows")
     val grid = array(tGrid.map(t => lit(t)): _*)
     val perTBin = joined
       .withColumn("_t", explode(grid))

@@ -180,31 +180,66 @@ object Ivf {
   /** Persist an IVF index under `path`: the corpus with its cell
     * assignment hive-partitioned by `ivf_cell` (so probes prune to
     * nprobe directories before any scan), plus the coarse quantizer
-    * itself at `path`/model (plain parquet — the model is data, not JVM
+    * itself under `model` (plain parquet — the model is data, not JVM
     * state, and any engine can read it). Build once, probe many — the
     * operational ANN shape; the reference instead rebuilds its KdTree on
-    * every query (embeddings.rs:402-408), which this deliberately beats. */
+    * every query (embeddings.rs:402-408), which this deliberately beats.
+    *
+    * Layout: one immutable delta dir per build/append behind the shared
+    * [[Manifest]] pointer — a build is a delta with `cells` + `model` +
+    * `stats` committed `removeAll` (an ATOMIC rebuild: probes see the
+    * old index until the pointer flips, never a half-written or absent
+    * one), an append is a cells-only delta. */
   def writeIndex(df: DataFrame, vecCol: String, m: IvfModel,
       path: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val staging = Manifest.stage(path)
     assign(df, vecCol, m)
-      .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/cells")
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$staging/cells")
     m.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/model")
     // build-time health snapshot: the baseline [[rebuildIfStale]]
-    // compares appended drift against (one extra scan, amortized over
-    // the index lifetime)
-    indexStaleness(spark, path, vecCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    // compares appended drift against (one extra scan of the staged
+    // cells, amortized over the index lifetime)
+    stalenessOf(spark.read.parquet(s"$staging/cells"), m, vecCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+    Manifest.commit(spark, path, Seq(staging), removeAll = true)
+    Manifest.gc(spark, path)
   }
 
-  /** Load the coarse quantizer persisted by [[writeIndex]]. */
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Live delta paths that contain `sub`, in commit order — one
+    * manifest resolution per call site. */
+  private def liveWith(spark: org.apache.spark.sql.SparkSession,
+      path: String, sub: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    Manifest.livePaths(spark, path)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(s"$p/$sub")))
+  }
+
+  /** The committed corpus: every live delta's `cells` unioned — probes,
+    * audits and rebuilds all read through this one snapshot view. */
+  def readCells(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val live = liveWith(spark, path, "cells")
+    require(live.nonEmpty, s"no live IVF index under $path — writeIndex first")
+    live.map(p => spark.read.parquet(s"$p/cells")).reduce(_ unionAll _)
+  }
+
+  /** Load the coarse quantizer persisted by [[writeIndex]] — the newest
+    * committed delta carrying a `model` (exactly one after any rebuild,
+    * since builds commit `removeAll`). */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfModel = {
-    val rows = spark.read.parquet(s"$path/model")
+    val live = liveWith(spark, path, "model")
+    require(live.nonEmpty, s"no live IVF model under $path — writeIndex first")
+    val rows = spark.read.parquet(s"${live.last}/model")
       .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
     IvfModel(rows.map(_.getSeq[Float](1).toArray))
   }
@@ -212,8 +247,8 @@ object Ivf {
   /** Append a batch to a prebuilt index WITHOUT retraining — the
     * operational 100 TB maintenance mode: new data arrives continuously,
     * the coarse quantizer stays FROZEN, and the batch is assign-only
-    * (map-only) and appended into the existing `ivf_cell` partition
-    * directories. Because assignment is deterministic, N appends are
+    * (map-only), landing as one more cells delta with ONE atomic
+    * manifest commit. Because assignment is deterministic, N appends are
     * bit-identical to one [[writeIndex]] of the union corpus under the
     * same model (spec-proven in IvfSpec) — probes need no special
     * casing. Retraining is a deliberate rebuild-then-swap
@@ -221,9 +256,12 @@ object Ivf {
     * when [[indexStaleness]] drifts past the build-time baseline, never
     * an implicit side effect of ingest. */
   def appendToIndex(df: DataFrame, vecCol: String, path: String): Unit = {
-    val m = loadModel(df.sparkSession, path)
+    val spark = df.sparkSession
+    val m = loadModel(spark, path)
+    val staging = Manifest.stage(path)
     assign(df, vecCol, m)
-      .write.mode("append").partitionBy("ivf_cell").parquet(s"$path/cells")
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$staging/cells")
+    Manifest.commit(spark, path, Seq(staging))
   }
 
   /** Staleness audit of a prebuilt index: per cell, the row count and the
@@ -237,10 +275,16 @@ object Ivf {
     * rebuilds when either drifts past budget. One map-only scan + one
     * tiny aggregate — cheap enough to run after every append. */
   def indexStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
-      vecCol: String = "nv"): DataFrame = {
-    val m = loadModel(spark, path)
+      vecCol: String = "nv"): DataFrame =
+    stalenessOf(readCells(spark, path), loadModel(spark, path), vecCol)
+
+  /** The per-cell staleness aggregate over an explicit cells frame —
+    * shared by [[indexStaleness]] (live index) and [[writeIndex]] (the
+    * staged, not-yet-committed build snapshot). */
+  private def stalenessOf(cells: DataFrame, m: IvfModel,
+      vecCol: String): DataFrame = {
     val centArr = array(m.centroids.toIndexedSeq.map(c => lit(c)): _*)
-    spark.read.parquet(s"$path/cells")
+    cells
       .withColumn("_uv", unit(col(vecCol)))
       .withColumn("_errm",
         round(VectorExprs.l2(col("_uv"),
@@ -271,11 +315,14 @@ object Ivf {
   /** Close the maintenance loop [[indexStaleness]] reports into: audit
     * the index against its build-time health snapshot and, when drift
     * exceeds budget, retrain on the full current corpus and ATOMICALLY
-    * swap the rebuilt index into place (the `Collection.reembed`
-    * rebuild-then-swap discipline: write a complete new index beside the
-    * live one, move the live one to `<path>.prev`, move the new one in —
-    * probes in flight keep a consistent snapshot, and the previous
-    * version survives until the next rebuild; single-writer contract).
+    * swap the rebuilt index into place — one complete new delta
+    * (cells + model + stats) committed `removeAll` through the shared
+    * [[Manifest]] pointer. Probes in flight keep reading their resolved
+    * snapshot; the dropped deltas survive age-gated until
+    * [[Manifest.gc]] collects them (the `.prev` retention generalized);
+    * a crash at ANY point leaves the old index serving (the pre-manifest
+    * double-rename had a window where `path` existed under neither
+    * name). Single-maintainer contract as before.
     *
     * Stale means either signal left budget vs the snapshot written by
     * [[writeIndex]]: corpus-weighted mean quantization error grew past
@@ -294,18 +341,20 @@ object Ivf {
       idCol: String = "n_id", vecCol: String = "nv",
       iters: Int = 2, seed: Long = 42L,
       errGrowth: Double = 1.2, skewGrowth: Double = 2.0): RebuildDecision = {
-    import org.apache.hadoop.fs.Path
-    val hPath = new Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = health(indexStaleness(spark, path, vecCol))
-    if (!fs.exists(new Path(s"$path/stats"))) {
+    val statsDeltas = liveWith(spark, path, "stats")
+    if (statsDeltas.isEmpty) {
+      // legacy pre-snapshot index: commit the current state as the
+      // baseline (a stats-only delta) and compare on the next audit
+      val staging = Manifest.stage(path)
       indexStaleness(spark, path, vecCol)
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+      Manifest.commit(spark, path, Seq(staging))
       return RebuildDecision(rebuilt = false,
         "pre-snapshot index: baseline initialized, compare on next audit",
         cur, cur)
     }
-    val base = health(spark.read.parquet(s"$path/stats"))
+    val base = health(spark.read.parquet(s"${statsDeltas.last}/stats"))
     val errStale = cur.meanErr > errGrowth * base.meanErr
     val skewStale = cur.maxCellShare > skewGrowth * base.maxCellShare
     if (!errStale && !skewStale)
@@ -315,18 +364,14 @@ object Ivf {
           f"$skewGrowth%.2f x ${base.maxCellShare}%.4f",
         cur, base)
     val old = loadModel(spark, path)
-    val corpus = spark.read.parquet(s"$path/cells").drop("ivf_cell")
+    // the corpus snapshot resolves the manifest ONCE here; the dropped
+    // deltas stay on disk age-gated after the commit, so the lazy
+    // re-reads during train + writeIndex stay valid (no materialization
+    // of a corpus-sized frame)
+    val corpus = readCells(spark, path).drop("ivf_cell")
     val m2 = train(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
       "id", "v", nc = old.nc, iters = iters, seed = seed)
-    // complete staging index first (reads the live one), then swap
-    val staging = s"$path.rebuild${System.nanoTime()}"
-    writeIndex(corpus, vecCol, m2, staging)
-    val prev = new Path(s"$path.prev")
-    if (fs.exists(prev)) fs.delete(prev, true)
-    require(fs.rename(hPath, prev),
-      s"rebuild swap failed: could not move $path aside")
-    require(fs.rename(new Path(staging), hPath),
-      s"rebuild swap failed: could not move $staging into place")
+    writeIndex(corpus, vecCol, m2, path)
     RebuildDecision(rebuilt = true,
       (if (errStale) f"mean_err ${cur.meanErr}%.6f > $errGrowth%.2f x baseline ${base.meanErr}%.6f"
        else "") +
@@ -354,7 +399,7 @@ object Ivf {
         explode(probeCellsUnit(col("_graft_qu"), m, nprobe)).as("ivf_cell"))
     val probedCells = probes.select(col("ivf_cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = readCells(spark, path)
       .filter(col("ivf_cell").isin(probedCells.toIndexedSeq: _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id"))
@@ -383,7 +428,7 @@ object Ivf {
       .withColumn("_graft_qu", unit(col("qv")))
       .select(col("q_id"), col("qv"),
         explode(probeCellsUnit(col("_graft_qu"), m, nprobe)).as("ivf_cell"))
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = readCells(spark, path)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id"))
     cells.join(broadcast(probes), Seq("ivf_cell"))

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Persisted stupid-backoff LM model — the q122/q123
@@ -12,51 +11,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the training corpus again — the LM twin of the persisted BM25
   * postings ([[TextIndex]]) and IVF cells ([[Ivf]]).
   *
-  * Layout: one DELTA DIRECTORY per build/append —
-  * `<dir>/m_<uuid>/{tri,bi,uni}` parquet tables with the
-  * [[TextAnalysis.trigramModel]] schemas; [[score]] reads
-  * `<dir>/m_*\/tri` etc. and re-aggregates, so counts stay additive
-  * across any number of deltas.
+  * Layout: one immutable DELTA DIRECTORY per build/append —
+  * `<dir>/d_<uuid>/{tri,bi,uni}` parquet tables with the
+  * [[TextAnalysis.trigramModel]] schemas — behind the shared
+  * [[Manifest]] pointer; [[score]] resolves the live delta list ONCE
+  * and re-aggregates, so counts stay additive across any number of
+  * deltas and all three n-gram orders always read the SAME committed
+  * snapshot (never a torn view with an append visible in `tri` but not
+  * `uni`).
   *
-  * Atomicity: each delta is fully written to a `tmp_<uuid>` staging
-  * directory and PROMOTED with ONE filesystem rename — atomic on
-  * HDFS/POSIX (not on S3, where a real deployment puts a manifest log
-  * in front, the table-format answer). A crash mid-append therefore
-  * leaves the live model EXACTLY as it was: either the whole
-  * tri/bi/uni delta appears or none of it does, never a model with
-  * inconsistent n-gram orders. Orphaned `tmp_*` directories from
-  * crashed writers are invisible to [[score]] (the glob matches only
-  * `m_*`) and safe to garbage-collect.
+  * Atomicity: every operation — [[build]] (a full rebuild), [[append]],
+  * [[compact]] — stages its delta invisibly and commits with ONE
+  * manifest-pointer publish (see [[Manifest]]); a crash at any earlier
+  * step leaves the previous model serving unchanged. Stale staging dirs
+  * from crashed writers are invisible and garbage-collected age-gated
+  * by [[Manifest.gc]].
   *
   * At 100 TB, bucket `tri` by a hash of (w1, w2, w3) and `bi`/`uni` by
   * their keys so the probe joins can co-locate; counts are
   * vocabulary-sized either way. */
 object LmIndex {
 
-  /** Train: write the three count tables as the first delta. One scan
+  /** Train: write the three count tables as the sole delta. One scan
     * of the training text per n-gram order, all map-side combined.
-    *
-    * Overwrite semantics: the NEW delta is fully staged first, then
-    * previous `m_*` deltas are deleted, then the staged delta is
-    * promoted — so a crash before the deletes leaves the OLD model
-    * fully intact, and the exposed window (between delete and rename)
-    * is two metadata operations, not three table writes. A rebuild is
-    * inherently not atomic without a manifest pointer; incremental
-    * updates should prefer [[append]], which IS atomic. Stale `tmp_*`
-    * staging directories from crashed writers are garbage-collected
-    * here. */
+    * This is a full REBUILD: the new manifest lists only the new delta,
+    * so the swap is atomic — a crash anywhere leaves the previous model
+    * fully serving (the pre-manifest delete-then-promote window is
+    * gone). Incremental updates should still prefer [[append]] (no
+    * retraining scan of old data). */
   def build(train: DataFrame, textCol: String, dir: String): Unit = {
-    val fs = new Path(dir).getFileSystem(
-      train.sparkSession.sparkContext.hadoopConfiguration)
-    val base = new Path(dir)
-    if (fs.exists(base))
-      fs.listStatus(base).filter(_.getPath.getName.startsWith("tmp_"))
-        .foreach(st => fs.delete(st.getPath, true))
-    val staged = stageDelta(train, textCol, dir)
-    if (fs.exists(base))
-      fs.listStatus(base).filter(_.getPath.getName.startsWith("m_"))
-        .foreach(st => fs.delete(st.getPath, true))
-    promote(fs, staged)
+    val spark = train.sparkSession
+    Manifest.commit(spark, dir,
+      Seq(stageDelta(train, textCol, dir)), removeAll = true)
+    Manifest.gc(spark, dir)
   }
 
   /** Incrementally extend the model with a new training batch: n-gram
@@ -64,55 +51,81 @@ object LmIndex {
     * more delta directory — no read, no merge job, no model rebuild;
     * [[score]] re-aggregates per key at read time (one
     * vocabulary-sized combiner groupBy). The delta commits with a
-    * single atomic rename (see the object scaladoc), so "append ≡
-    * rebuild" holds for every append that returns — a failed append
-    * leaves the model unchanged. Proven in spec and by the q170 oracle
-    * hash match. */
+    * single manifest publish, so "append ≡ rebuild" holds for every
+    * append that returns — a failed append leaves the model unchanged.
+    * Proven in spec and by the q170 oracle hash match. */
   def append(batch: DataFrame, textCol: String, dir: String): Unit = {
-    val fs = new Path(dir).getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
-    promote(fs, stageDelta(batch, textCol, dir))
+    val spark = batch.sparkSession
+    Manifest.commit(spark, dir, Seq(stageDelta(batch, textCol, dir)))
   }
 
-  /** Write the batch's three count tables under `tmp_<uuid>`; returns
-    * the staging path. Invisible to [[score]] until promoted. */
-  private def stageDelta(df: DataFrame, textCol: String, dir: String): Path = {
-    val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val staging = s"$dir/tmp_$uuid"
+  /** Merge the whole delta stack into ONE delta — the read-amplification
+    * fix for long-lived models: [[score]] re-aggregates every live delta
+    * per probe, which is fine at tens of deltas but unbounded after
+    * thousands of appends. Compaction runs the same per-key aggregation
+    * ONCE (vocabulary-sized, map-side combined), writes the merged
+    * tables as a new delta, and commits `remove = exactly the deltas it
+    * read` — so an append committed concurrently (after the snapshot)
+    * SURVIVES the compaction ([[Manifest.commit]] re-reads the live list
+    * at commit time). Serving is hash-identical before and after (the
+    * q180 oracle and LmIndexSpec prove compacted ≡ delta-stack ≡ live).
+    * No-op on an empty or already-single-delta model. */
+  def compact(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val snap = Manifest.current(s, dir)
+    if (snap.deltas.size <= 1) return
+    val paths = snap.deltas.map(d => s"$dir/$d")
+    val staging = Manifest.stage(dir)
+    s.read.parquet(paths.map(p => s"$p/tri"): _*)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("c123")).as("c123"))
+      .write.mode("overwrite").parquet(s"$staging/tri")
+    s.read.parquet(paths.map(p => s"$p/bi"): _*)
+      .groupBy(col("wa"), col("wb")).agg(sum(col("cab")).as("cab"))
+      .write.mode("overwrite").parquet(s"$staging/bi")
+    s.read.parquet(paths.map(p => s"$p/uni"): _*)
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+      .write.mode("overwrite").parquet(s"$staging/uni")
+    Manifest.commit(s, dir, Seq(staging), remove = snap.deltas)
+    Manifest.gc(s, dir)
+  }
+
+  /** Write the batch's three count tables under an invisible staging
+    * dir; returns the staging path for [[Manifest.commit]]. */
+  private def stageDelta(df: DataFrame, textCol: String, dir: String): String = {
+    val staging = Manifest.stage(dir)
     val (tri, bi, uni) = TextAnalysis.trigramModel(df, textCol)
     tri.write.mode("overwrite").parquet(s"$staging/tri")
     bi.write.mode("overwrite").parquet(s"$staging/bi")
     uni.write.mode("overwrite").parquet(s"$staging/uni")
-    new Path(staging)
-  }
-
-  /** The one-rename commit: `tmp_<uuid>` → `m_<uuid>`. */
-  private def promote(fs: org.apache.hadoop.fs.FileSystem, staging: Path): Unit = {
-    val committed = new Path(staging.getParent,
-      staging.getName.replaceFirst("^tmp_", "m_"))
-    require(fs.rename(staging, committed),
-      s"LmIndex delta promote failed: rename $staging -> $committed")
+    staging
   }
 
   /** Serve: score a batch against the persisted model. Count parts
     * from [[build]] + any number of [[append]]s are re-aggregated per
     * key (vocab-sized, map-side combined) before the scoring joins.
-    * Identical results to [[TextAnalysis.stupidBackoffTrigram]] with
-    * the same training set — proven in spec and by the q168/q170
-    * oracles (which replay the LIVE computation). */
+    * The live delta list is resolved ONCE and shared by the tri/bi/uni
+    * reads — one consistent snapshot even while appends land
+    * concurrently. Identical results to
+    * [[TextAnalysis.stupidBackoffTrigram]] with the same training set —
+    * proven in spec and by the q168/q170/q180 oracles (which replay the
+    * LIVE computation). */
   def score(s: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
       alpha: Double = 0.4, hotK: Int = 4096): DataFrame = {
     import org.apache.spark.sql.functions._
+    val paths = Manifest.livePaths(s, dir)
+    require(paths.nonEmpty, s"no live LM model under $dir — build() first")
     TextAnalysis.scoreBackoffTrigrams(
       TextAnalysis.docTrigrams(batch, idCol, textCol).localCheckpoint(true),
       idCol,
-      s.read.parquet(s"$dir/m_*/tri").groupBy(col("w1"), col("w2"), col("w3"))
+      s.read.parquet(paths.map(p => s"$p/tri"): _*)
+        .groupBy(col("w1"), col("w2"), col("w3"))
         .agg(sum(col("c123")).as("c123")),
-      s.read.parquet(s"$dir/m_*/bi").groupBy(col("wa"), col("wb"))
-        .agg(sum(col("cab")).as("cab")),
-      s.read.parquet(s"$dir/m_*/uni").groupBy(col("w"))
-        .agg(sum(col("c")).as("c")),
+      s.read.parquet(paths.map(p => s"$p/bi"): _*)
+        .groupBy(col("wa"), col("wb")).agg(sum(col("cab")).as("cab")),
+      s.read.parquet(paths.map(p => s"$p/uni"): _*)
+        .groupBy(col("w")).agg(sum(col("c")).as("c")),
       alpha, hotK)
   }
 }

@@ -40,7 +40,9 @@ object RankMetrics {
   /** @param ranked (qCol, docCol, rankCol) rows, rank 1-based within
     *   each query; rows beyond `k` are ignored.
     * @param labels (qCol, docCol) rows — the relevant pairs (binary).
-    *   Queries with no labeled relevant doc report recall/ndcg = 0. */
+    *   Queries with no labeled relevant doc report recall/ndcg = 0;
+    *   labeled queries with NO ranked rows at all report an all-zero
+    *   metrics row (never silently vanish from the readout). */
   def rankingMetrics(ranked: DataFrame, labels: DataFrame,
       qCol: String, docCol: String, rankCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
@@ -55,8 +57,14 @@ object RankMetrics {
       sum(when(col("_rel") === 1L, discountMicro(col(rankCol)))
         .otherwise(lit(0L))).as("_dcg_micro"))
     perQ
-      .join(nRel, Seq(qCol), "left")
+      // FULL join: a query that has relevance labels but ZERO ranked rows
+      // (retrieval returned nothing) must still emit a row — all-zero
+      // metrics — or a consumer averaging per-query rows over-reports
+      // quality exactly when the system fails hardest (r14 advice).
+      .join(nRel, Seq(qCol), "full")
       .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("_hits", coalesce(col("_hits"), lit(0L)))
+      .withColumn("_dcg_micro", coalesce(col("_dcg_micro"), lit(0L)))
       // ideal DCG: the same micro terms at ranks 1..min(n_rel, k) —
       // derived from the count alone, identical fold in the oracle
       // sequence(1, 0) would run DESCENDING in Spark — guard n_rel = 0

@@ -979,10 +979,14 @@ object TextAnalysis {
     * config-sized collect), and greedily accepts up to `batchR` pairs
     * in (cnt desc, pair asc) rank order such that no accepted pair
     * shares a symbol with an earlier accepted pair of the SAME round —
-    * the standard batched-BPE device: merging "a b" can only change
-    * the adjacency counts of pairs touching "a" or "b", so
-    * symbol-disjoint pairs have provably unchanged counts and their
-    * recorded cnt equals what sequential BPE would have recounted.
+    * where an earlier pair's touched symbols are its two inputs AND its
+    * merged OUTPUT (the output can equal an already-existing symbol
+    * reachable via a different merge path, whose occurrence count the
+    * merge just changed) — the standard batched-BPE device: merging
+    * "a b" can only change the adjacency counts of pairs touching "a",
+    * "b" or the minted "ab", so fully-disjoint pairs have provably
+    * unchanged counts and their recorded cnt equals what sequential BPE
+    * would have recounted.
     * Interacting runners-up are merely DEFERRED to the next round
     * (where the refreshed counts see any newly minted symbols), so a
     * 32k-merge vocabulary costs 32k∕R driver rounds instead of 32k.
@@ -1057,6 +1061,14 @@ object TextAnalysis {
             accepted += ((pair, cnt))
             used += s1
             used += s2
+            // the MERGED output is a touched symbol too: an accepted
+            // merge can mint a string equal to an already-existing
+            // symbol (reachable via a different merge path, e.g. "abc"
+            // minted earlier from a+bc, this round ab+c), creating new
+            // occurrences of it — so a later same-round pair touching
+            // that symbol has a stale cnt and must be deferred to the
+            // next round's refreshed counts (r14 advice)
+            used += pair.replace(" ", "")
           }
         }
         accepted.foreach { case (pair, cnt) =>

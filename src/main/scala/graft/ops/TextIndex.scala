@@ -9,13 +9,21 @@ import org.apache.spark.sql.functions._
   * via hive-partition pruning, instead of re-tokenizing the corpus per
   * query (what the from-scratch `TextAnalysis.bm25` must do).
   *
-  * Layout under `path`:
+  * Layout: one immutable DELTA DIRECTORY per build/append
+  * (`path/d_<uuid>/…`) behind the shared [[Manifest]] pointer — every
+  * build (a rebuild), append and [[compact]] stages invisibly and
+  * commits with ONE manifest publish, so a crash leaves the previous
+  * index serving and an append is never TORN (postings visible but
+  * docstats not — the pre-manifest mode("append") gap). Each delta
+  * holds:
   *   - `postings/` — (token, id, tf), hive-partitioned by
   *     `bucket = md5(token) mod buckets`, so a probe with its terms'
   *     bucket literals scans only those directories (PartitionFilters
   *     INSET — the q52 IVF-probe pattern, asserted in PlanShapeSpec);
   *   - `docstats/` — (id, dl) document lengths;
-  *   - `stats/` — 1 row (n_docs, total_len).
+  *   - `stats/` — 1 row (n_docs, total_len), the DELTA's partial —
+  *     serving sums the delta partials (delta-count rows, not a corpus
+  *     re-aggregate).
   *
   * Serving is LOSSLESS: tf/df/dl/stats are exactly the values the
   * from-scratch path derives, and the score uses the shared
@@ -51,10 +59,12 @@ object TextIndex {
     text.toLowerCase.trim.replaceAll("\\s+", " ")
       .split(" ").toSeq.filter(_.nonEmpty)
 
-  /** Build and persist the index. One corpus pass. */
-  def writeIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = 64): Unit = {
+  /** Write one delta's three tables under an invisible staging dir;
+    * returns the staging path for [[Manifest.commit]]. */
+  private def stageDelta(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int): String = {
     require(buckets >= 1, s"need >= 1 buckets, got $buckets")
+    val staging = Manifest.stage(path)
     val toks = df
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
@@ -62,47 +72,72 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucketCol(col("token"), buckets))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/postings")
+      .parquet(s"$staging/postings")
     val dl = TextAnalysis.docLengths(df, idCol, textCol)
-    dl.write.mode("overwrite").parquet(s"$path/docstats")
+    dl.write.mode("overwrite").parquet(s"$staging/docstats")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("overwrite").parquet(s"$staging/stats")
+    staging
+  }
+
+  /** Build and persist the index. One corpus pass. A full REBUILD: the
+    * new manifest lists only the new delta — atomic, and the previous
+    * index serves until the pointer flips. */
+  def writeIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    Manifest.commit(spark, path,
+      Seq(stageDelta(df, idCol, textCol, path, buckets)), removeAll = true)
+    Manifest.gc(spark, path)
   }
 
   /** Append a new document batch to an existing index WITHOUT touching
     * the already-indexed corpus — the operational ingest mode (the
-    * text-side twin of `Ivf.appendToIndex`): postings and doc lengths
-    * are purely additive ((term, id, tf) rows from the batch alone), and
-    * the 1-row corpus stats are re-aggregated from the appended
-    * docstats — a doc-count-sized scan, NOT a re-tokenize. Serving after
-    * append must equal a one-shot build over the union (TextIndexSpec +
-    * the q123 oracle prove it). Batch ids must be disjoint from the
-    * indexed ids — postings/doclengths for a re-ingested id would
-    * double-count (same contract as the IVF append). */
+    * text-side twin of `Ivf.appendToIndex`): postings, doc lengths and
+    * the stats partial are purely additive rows from the batch alone,
+    * landing as one more delta with ONE atomic manifest commit (no
+    * torn postings-without-docstats state, no corpus rescan for stats).
+    * Serving after append must equal a one-shot build over the union
+    * (TextIndexSpec + the q123 oracle prove it). Batch ids must be
+    * disjoint from the indexed ids — postings/doclengths for a
+    * re-ingested id would double-count (same contract as the IVF
+    * append). */
   def appendToIndex(batch: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = 64): Unit = {
+      path: String, buckets: Int = 64): Unit =
+    Manifest.commit(batch.sparkSession, path,
+      Seq(stageDelta(batch, idCol, textCol, path, buckets)))
+
+  /** Merge the whole delta stack into ONE delta — [[LmIndex.compact]]'s
+    * contract for postings: probes union every live delta's postings,
+    * which is fine at tens of deltas but unbounded read amplification
+    * after thousands of appends. The merge re-groups (token, id) tf
+    * rows (a no-op sum under the disjoint-ids append contract, safe
+    * regardless), unions docstats, re-sums the stats partials, and
+    * commits `remove = exactly the deltas read` so a concurrent append
+    * survives. Serving is hash-identical before and after
+    * (TextIndexSpec proves compacted ≡ delta-stack ≡ from-scratch). */
+  def compact(s: SparkSession, path: String, idCol: String,
+      buckets: Int = 64): Unit = {
     require(buckets >= 1, s"need >= 1 buckets, got $buckets")
-    val toks = batch
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .filter(length(col("token")) > 0)
-    toks.groupBy(col("token"), col(idCol))
-      .agg(count(lit(1)).as("tf"))
+    val snap = Manifest.current(s, path)
+    if (snap.deltas.size <= 1) return
+    val paths = snap.deltas.map(d => s"$path/$d")
+    val staging = Manifest.stage(path)
+    paths.map(p => s.read.parquet(s"$p/postings")
+        .select(col("token"), col(idCol), col("tf")))
+      .reduce(_ unionAll _)
+      .groupBy(col("token"), col(idCol))
+      .agg(sum(col("tf")).as("tf"))
       .withColumn("bucket", termBucketCol(col("token"), buckets))
-      .write.partitionBy("bucket").mode("append")
-      .parquet(s"$path/postings")
-    TextAnalysis.docLengths(batch, idCol, textCol)
-      .write.mode("append").parquet(s"$path/docstats")
-    val spark = batch.sparkSession
-    // stats re-derive from the (doc-count-sized) appended docstats; write
-    // to a fresh subdir then swap the reader path is unnecessary here —
-    // overwrite of a 1-row table is atomic enough for the single-writer
-    // maintenance contract this mirrors from Ivf.appendToIndex
-    val fresh = spark.read.parquet(s"$path/docstats")
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-      .collect()(0)
-    import spark.implicits._
-    Seq((fresh.getLong(0), fresh.getLong(1))).toDF("n_docs", "total_len")
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$staging/postings")
+    s.read.parquet(paths.map(p => s"$p/docstats"): _*)
+      .write.mode("overwrite").parquet(s"$staging/docstats")
+    s.read.parquet(paths.map(p => s"$p/stats"): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
+      .write.mode("overwrite").parquet(s"$staging/stats")
+    Manifest.commit(s, path, Seq(staging), remove = snap.deltas)
+    Manifest.gc(s, path)
   }
 
   /** BM25 scores for literal `queries` (q_id, query text) against a
@@ -119,13 +154,20 @@ object TextIndex {
     val probeTerms = qTerms.map(_._2).distinct
     require(probeTerms.nonEmpty, "queries produced no probe terms")
     val bucketLits = probeTerms.map(termBucket(_, buckets)).distinct
-    val postings = s.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(bucketLits.map(x => x: Any): _*))
-      .filter(col("token").isin(probeTerms.map(x => x: Any): _*))
-      .select(col("token"), col(idCol), col("tf"))
+    // ONE manifest resolution shared by postings/docstats/stats — a
+    // consistent committed snapshot even while appends land concurrently
+    val live = Manifest.livePaths(s, path)
+    require(live.nonEmpty, s"no live text index under $path — writeIndex first")
+    val postings = live.map { p =>
+        s.read.parquet(s"$p/postings")
+          .filter(col("bucket").isin(bucketLits.map(x => x: Any): _*))
+          .filter(col("token").isin(probeTerms.map(x => x: Any): _*))
+          .select(col("token"), col(idCol), col("tf"))
+      }.reduce(_ unionAll _)
     val docFreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dl = s.read.parquet(s"$path/docstats")
-    val stats = s.read.parquet(s"$path/stats")
+    val dl = s.read.parquet(live.map(p => s"$p/docstats"): _*)
+    val stats = s.read.parquet(live.map(p => s"$p/stats"): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
     import s.implicits._
     val qt = qTerms.toDF("q_id", "token")
     postings.join(broadcast(docFreq), Seq("token"))

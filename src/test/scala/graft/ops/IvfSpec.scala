@@ -130,9 +130,9 @@ class IvfSpec extends SparkSpecBase {
     val pb = java.nio.file.Files.createTempDirectory("ivf_append_b").toString
     Ivf.writeIndex(union, "nv", m, pb)
     // identical cell contents...
-    val cellsA = spark.read.parquet(s"$pa/cells")
+    val cellsA = Ivf.readCells(spark, pa)
       .select($"n_id", $"ivf_cell".cast("int")).as[(Long, Int)].collect().toSet
-    val cellsB = spark.read.parquet(s"$pb/cells")
+    val cellsB = Ivf.readCells(spark, pb)
       .select($"n_id", $"ivf_cell".cast("int")).as[(Long, Int)].collect().toSet
     assert(cellsA == cellsB, "appended assignment diverged from one-shot build")
     // ...and identical probe results
@@ -194,12 +194,18 @@ class IvfSpec extends SparkSpecBase {
       (10000L + i, Array.tabulate(64)(d => if (d == 0) 1f else 0.9f))
     }.toDF("n_id", "nv")
     Ivf.appendToIndex(drift, "nv", p)
+    val liveBefore = Manifest.livePaths(spark, p)
     val decision = Ivf.rebuildIfStale(spark, p)
     assert(decision.rebuilt, s"drifted index must rebuild: ${decision.reason}")
     assert(decision.current.meanErr > decision.baseline.meanErr)
-    // swap kept the previous version for in-flight readers
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p.prev/model")),
-      "previous index version must survive the swap")
+    // the manifest flip dropped the old deltas but kept them on disk
+    // (age-gated gc) for in-flight readers — the `.prev` retention,
+    // generalized; and the rebuilt index is ONE delta
+    assert(Manifest.livePaths(spark, p).size == 1,
+      "rebuild must commit removeAll: exactly one live delta")
+    assert(liveBefore.forall(q =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(q))),
+      "previous index version must survive the swap until gc age-out")
     // the rebuilt index == a fresh one-shot build of the union corpus
     // (train is deterministic on the same rows, so the swap is invisible
     // to probes beyond the improved geometry)

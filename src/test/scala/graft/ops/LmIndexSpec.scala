@@ -21,7 +21,9 @@ class LmIndexSpec extends SparkSpecBase {
     assert(served == live,
       s"persisted != live: missing=${live -- served} extra=${served -- live}")
     // the model tables round-trip through parquet with exact counts
-    val tri = spark.read.parquet(s"$dir/m_*/tri")
+    val live0 = Manifest.livePaths(spark, dir)
+    assert(live0.size == 1, s"build commits exactly one delta, got $live0")
+    val tri = spark.read.parquet(s"${live0.head}/tri")
       .as[(String, String, String, Long)].collect()
       .map(t => ((t._1, t._2, t._3), t._4)).toMap
     assert(tri(("a", "b", "c")) == 2L, s"$tri")
@@ -59,5 +61,40 @@ class LmIndexSpec extends SparkSpecBase {
     val appended = LmIndex.score(spark, dir,
       docs.filter($"doc_id" >= 10L), "doc_id", "text").collect().toSet
     assert(appended != before)
+  }
+
+  test("compact: delta stack merges to ONE delta, serving hash-identical; rebuild is atomic") {
+    val docs = (Seq.fill(2)((1L, "a b c")) ++ Seq(
+      (2L, "b c d"), (3L, "c d a b"),
+      (10L, "a b c d x"), (11L, "x b c y"))).toDF("doc_id", "text")
+    val probe = docs.filter($"doc_id" >= 10L)
+    val dir = java.nio.file.Files.createTempDirectory("lmix4_").toString
+    LmIndex.build(docs.filter($"doc_id" === 1L), "text", dir)
+    LmIndex.append(docs.filter($"doc_id" === 2L), "text", dir)
+    LmIndex.append(docs.filter($"doc_id" === 3L), "text", dir)
+    assert(Manifest.livePaths(spark, dir).size == 3)
+    val stacked = LmIndex.score(spark, dir, probe, "doc_id", "text")
+      .collect().toSet
+    LmIndex.compact(spark, dir)
+    val liveAfter = Manifest.livePaths(spark, dir)
+    assert(liveAfter.size == 1,
+      s"compaction must leave exactly one live delta, got $liveAfter")
+    val compacted = LmIndex.score(spark, dir, probe, "doc_id", "text")
+      .collect().toSet
+    assert(compacted == stacked, "compacted serving diverged from the stack")
+    // compact again: no-op on a single delta (same manifest version)
+    val v = Manifest.current(spark, dir).version
+    LmIndex.compact(spark, dir)
+    assert(Manifest.current(spark, dir).version == v)
+
+    // atomic REBUILD: build() over new data replaces the list in one
+    // pointer flip; the dropped deltas are still on disk (age-gated gc),
+    // so a reader holding the old snapshot keeps working
+    val oldPaths = liveAfter
+    LmIndex.build(docs.filter($"doc_id" < 10L), "text", dir)
+    assert(Manifest.livePaths(spark, dir).size == 1)
+    assert(oldPaths.forall(p =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "just-unreferenced delta must survive until age-gated gc")
   }
 }

@@ -73,6 +73,33 @@ class TextIndexSpec extends SparkSpecBase {
     assert(serve(split).nonEmpty)
   }
 
+  test("compact merges the delta stack to ONE delta; serving is identical") {
+    val path = tmp()
+    TextIndex.writeIndex(docs.filter($"doc_id" < 2), "doc_id", "text",
+      path, buckets = 8)
+    TextIndex.appendToIndex(docs.filter($"doc_id" === 2), "doc_id", "text",
+      path, buckets = 8)
+    TextIndex.appendToIndex(docs.filter($"doc_id" >= 3), "doc_id", "text",
+      path, buckets = 8)
+    assert(Manifest.livePaths(spark, path).size == 3)
+    def serve() =
+      TextIndex.probeIndex(spark, path, "doc_id", queries, buckets = 8)
+        .select($"q_id", $"doc_id", $"sum_micro", $"bm25")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val stacked = serve()
+    TextIndex.compact(spark, path, "doc_id", buckets = 8)
+    assert(Manifest.livePaths(spark, path).size == 1,
+      "compaction must leave exactly one live delta")
+    assert(serve() == stacked, "compacted serving diverged from the stack")
+    // and the compacted index still equals the from-scratch computation
+    val qdf = queries.toDF("q_id", "qtext")
+      .select($"q_id", explode(split(Dedup.normText($"qtext"), " ")).as("token"))
+    val scratch = TextAnalysis.bm25(docs, "doc_id", "text", qdf)
+      .select($"q_id", $"doc_id", $"sum_micro", $"bm25")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(serve() == scratch)
+  }
+
   test("probeIndex rejects queries with no tokens") {
     intercept[IllegalArgumentException] {
       TextIndex.probeIndex(spark, "/nonexistent", "doc_id", Seq((0L, "   ")))
