@@ -80,6 +80,91 @@ class CurationIngestSpec extends SparkSpecBase {
       s"cross-batch dedup must still hold after replay: ${second.toSeq}")
   }
 
+  test("near-dup ingest: a restarted stream routes a NEAR-duplicate (not byte-equal) doc to its existing cluster") {
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog today"
+    val textB = "a completely different second document with other words here"
+    val textA2 = "the quick brown fox jumps over the lazy dog tonight" // near-dup of A
+    val textC = "the third novel document talks about spark shuffles at scale"
+    val textC2 = "the third novel document talks about spark shuffles at night" // near-dup of C
+    val mem = MemoryStream[Doc]
+    val (ix, out, ck) = dirs()
+    def start() = CurationIngest.nearDupAppend(
+      mem.toDF(), "doc_id", "text", ix, out, ck)
+
+    mem.addData(Doc(1L, textA), Doc(2L, textB))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).select($"doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+
+    // RESTARTED stream: 10 is a near-dup of admitted 1 (one word differs —
+    // the exact-fingerprint tier cannot catch it); 11 is novel; 12 is a
+    // within-batch near-dup of 11
+    mem.addData(Doc(10L, textA2), Doc(11L, textC), Doc(12L, textC2))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(out).select($"doc_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(1L, 2L, 11L),
+      s"near-dups must be rejected, one rep per novel cluster kept: ${all.toSeq}")
+
+    // cluster ROUTING: the rejected near-dup is labeled with its corpus
+    // twin's cluster, the within-batch loser with its kept rep's
+    val wLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"batch".desc)
+    val labels = spark.read.parquet(s"$ix/labels")
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(wLatest))
+      .filter($"_rn" === 1)
+      .select($"id".as[Long], $"component".as[Long]).collect().toMap
+    assert(labels(10L) == labels(1L),
+      s"near-dup 10 must land in doc 1's cluster: $labels")
+    assert(labels(12L) == labels(11L),
+      s"within-batch near-dup 12 must land in doc 11's cluster: $labels")
+    assert(labels(2L) != labels(1L))
+
+    // batch twin: the incremental two-batch labeling equals a ONE-SHOT
+    // from-scratch candidates+components solve over the union corpus
+    // (the oracle-gated q65/q172 kernels with identical parameters)
+    val union = Seq((1L, textA), (2L, textB), (10L, textA2), (11L, textC),
+      (12L, textC2)).toDF("doc_id", "text")
+    val bbU = graft.ops.Dedup.bandedSignatures(union, "doc_id", "text")
+    val pairsU = graft.ops.Dedup.incrementalCandidates(bbU, bbU, "doc_id")
+      .filter($"batch_id" < $"corpus_id")
+      .select($"batch_id".as("a_id"), $"corpus_id".as("b_id"))
+    val ccU = graft.ops.Components.connectedComponents(pairsU)
+      .select($"id".as[Long], $"component".as[Long]).collect().toMap
+    val scratch = Seq(1L, 2L, 10L, 11L, 12L)
+      .map(i => i -> ccU.getOrElse(i, i)).toMap
+    assert(labels == scratch,
+      s"incremental labeling diverged from from-scratch: $labels vs $scratch")
+  }
+
+  test("near-dup ingest: a replayed micro-batch reproduces its output and labels byte-for-byte") {
+    val textA = "the quick brown fox jumps over the lazy dog today"
+    val textA2 = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "a completely different second document with other words here"
+    val (ix, out, _) = dirs()
+    val b0 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    CurationIngest.processBatchNearDup(b0, 0L, "doc_id", "text", ix, out)
+    val b1 = Seq((10L, textA2)).toDF("doc_id", "text")
+    CurationIngest.processBatchNearDup(b1, 1L, "doc_id", "text", ix, out)
+    def state() = (
+      spark.read.parquet(out).select($"doc_id").as[Long].collect().sorted.toSeq,
+      spark.read.parquet(s"$ix/labels").select($"id", $"component", $"batch")
+        .as[(Long, Long, Long)].collect().sorted.toSeq,
+      spark.read.parquet(s"$ix/sigs").select($"doc_id", $"batch")
+        .as[(Long, Long)].collect().sorted.toSeq)
+    val before = state()
+    assert(before._1 == Seq(1L, 2L), s"near-dup 10 must be rejected: $before")
+    // crash-replay of the LAST batch (the only batch Structured
+    // Streaming ever re-runs: crash between state writes and checkpoint
+    // commit) — every read excludes batch 1's own partitions, so the
+    // replay reproduces identical files
+    CurationIngest.processBatchNearDup(b1, 1L, "doc_id", "text", ix, out)
+    assert(state() == before,
+      s"replay must be idempotent:\n${state()}\nvs\n$before")
+  }
+
   test("curation ingest works on an empty first index (no prior state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
