@@ -81,7 +81,8 @@ object Bench {
     "q169_embedding_drift", "q170_lm_index_append", "q171_bpe_batched",
     "q172_components_append", "q173_pca_deflate", "q174_pca_project",
     "q175_retrieval_metrics", "q176_dedup_audit", "q177_calibration",
-    "q178_temp_scaling", "q179_span_corrupt", "q180_lm_compact")
+    "q178_temp_scaling", "q179_span_corrupt", "q180_lm_compact",
+    "q181_bpe_encode", "q182_bpe_packing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1633,6 +1633,58 @@ object PipelineQueries {
       .orderBy($"iter")
   }
 
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** Train-once cache for the q181/q182 merge list: the q171 batched
+    * trajectory (6 merges, R = 2 → 3 driver rounds), shared so encode
+    * and packing don't re-train per query. */
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent(VectorQueries.corpusFingerprint(s, dir), _ => {
+      import s.implicits._
+      TextAnalysis.bpeMergesBatched(Tables.documents(s, dir), "text",
+          merges = 6, batchR = 2)
+        .orderBy($"iter").select($"pair", $"merged")
+        .as[(String, String)].collect().toSeq
+    })
+
+  /** q181: corpus BPE ENCODE to token ids ([[TextAnalysis.bpeEncode]])
+    * — the tokenizer loop closed: q171's trained merges fold over the
+    * vocab-sized word table, subwords map to deterministic integer ids
+    * (sorted alphabet, then merge outputs in training order), and each
+    * document reassembles its id sequence through a hotColdJoin'd
+    * (auto-K) word lookup. The oracle replays training, the id scheme
+    * and the per-doc assembly; ids are emitted '_'-joined so the
+    * value compare stays scalar. */
+  def bpeEncodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
+        bpeMergesFor(s, dir))
+      .select($"doc_id", $"n_tokens",
+        concat_ws("_", transform($"token_ids", x => x.cast("string")))
+          .as("tokens_str"))
+      .orderBy($"doc_id")
+  }
+
+  /** q182: sequence packing over REAL token ids — the q162/q73 shard
+    * chain upgraded from whitespace token counts to trained BPE
+    * tokenization: [[TextAnalysis.bpeEncode]]'s per-doc id counts feed
+    * [[Sampling.packSequences]] (256-token budget, sharded by lang),
+    * so sequence boundaries reflect what the model actually consumes.
+    * The oracle replays encode + the packing prefix-sum end-to-end. */
+  def bpePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id",
+        "text", bpeMergesFor(s, dir))
+      .select($"doc_id", $"n_tokens")
+    val withLang = Tables.documents(s, dir).select($"doc_id", $"lang")
+      .join(enc, Seq("doc_id"))
+    Sampling.packSequences(withLang, "doc_id", "n_tokens", "lang",
+        budgetTokens = 256)
+      .select($"doc_id", $"lang", $"n_tokens", $"seq_id", $"tok_offset")
+      .orderBy($"lang", $"doc_id")
+  }
+
   /** q172: INCREMENTAL dedup-graph maintenance
     * ([[graft.ops.Components.appendToComponents]]) — the q111/q123/q170
     * append contract applied to connected components: the labeling
@@ -1970,7 +2022,9 @@ object PipelineQueries {
     "q177_calibration"    -> (calibrationAudit _),
     "q178_temp_scaling"   -> (temperatureScaling _),
     "q179_span_corrupt"   -> (spanCorruption _),
-    "q180_lm_compact"     -> (lmIndexCompactScore _))
+    "q180_lm_compact"     -> (lmIndexCompactScore _),
+    "q181_bpe_encode"     -> (bpeEncodeQuery _),
+    "q182_bpe_packing"    -> (bpePacking _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2224,6 +2278,107 @@ object PipelineQueries {
        |FROM agg a FULL JOIN nrel n USING (q_id) LEFT JOIN idcg i USING (q_id)
        |ORDER BY q_id""".stripMargin
   }
+
+  // ---- shared batched-BPE oracle machinery (q171 / q181 / q182) -----
+
+  /** RE2-safe boundary-anchored pair replace — TextAnalysis.bpeApply's
+    * doubled-separator trick verbatim in DuckDB. */
+  private def bpeAnchSql(inner: String, sel: String): String =
+    s"trim(replace(replace(' ' || replace($inner, ' ', '  ') || ' ', " +
+      s"' ' || replace(($sel), ' ', '  ') || ' ', " +
+      s"' ' || replace(($sel), ' ', '') || ' '), '  ', ' '))"
+
+  /** The 3-round batched trajectory (R = 2, lookahead 8): per round,
+    * rank pairs (cnt desc, pair asc), accept rank 1, accept the lowest-
+    * ranked window pair sharing no symbol with it — "symbol" includes
+    * rank 1's MERGED output m1 (a runner-up touching a just-minted
+    * symbol has stale counts and defers) — apply both merges with the
+    * anchored replace. w0..w3 carry (w, sym, freq) so the encode
+    * oracles (q181/q182) can map each WORD to its folded subwords; the
+    * word tables are MATERIALIZED because they are multiply referenced
+    * downstream and naive inlining re-opens the parquet exponentially
+    * (the r14 q173 lesson). */
+  private def bpeBatchedCtes: String = {
+    val iterCtes = (1 to 3).map { i =>
+      s"""p$i AS (
+         |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+         |      j -> a[j] || ' ' || a[j + 1])) AS pr, freq
+         |    FROM (SELECT string_split(sym, ' ') AS a, freq FROM w${i - 1}))
+         |  GROUP BY pr),
+         |t$i AS (
+         |  SELECT pr, cnt, row_number() OVER (ORDER BY cnt DESC, pr) AS rn FROM p$i),
+         |k1$i AS (
+         |  SELECT pr, cnt, split_part(pr, ' ', 1) AS s1, split_part(pr, ' ', 2) AS s2,
+         |    replace(pr, ' ', '') AS m1
+         |  FROM t$i WHERE rn = 1),
+         |k2$i AS (
+         |  SELECT x.pr, x.cnt FROM t$i x, k1$i k
+         |  WHERE x.rn BETWEEN 2 AND 8
+         |    AND split_part(x.pr, ' ', 1) NOT IN (k.s1, k.s2, k.m1)
+         |    AND split_part(x.pr, ' ', 2) NOT IN (k.s1, k.s2, k.m1)
+         |  ORDER BY x.rn LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, ${bpeAnchSql(bpeAnchSql("sym",
+              s"COALESCE((SELECT pr FROM k1$i), chr(1))"),
+            s"COALESCE((SELECT pr FROM k2$i), chr(1))")} AS sym, freq
+         |  FROM w${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, CAST(freq AS BIGINT) AS freq FROM (
+       |    SELECT tk AS w, COUNT(*) AS freq FROM (
+       |      SELECT unnest(string_split($norm, ' ')) AS tk FROM documents)
+       |    WHERE length(tk) > 0 GROUP BY tk)),
+       |$iterCtes""".stripMargin
+  }
+
+  /** Accepted merges with GLOBAL iter: numbers are COMPACTED over the
+    * rows that actually exist (row_number over round/slot) and a
+    * missing k2 no-ops its replace via a sentinel, so a round with no
+    * symbol-disjoint runner-up degrades exactly like the Scala
+    * accept-fewer path instead of NULL-poisoning the word table. */
+  private def bpeFinalsSql: String =
+    "SELECT CAST(row_number() OVER (ORDER BY r, s) AS BIGINT) AS iter, " +
+      "pair, merged, cnt FROM (\n" +
+      (1 to 3).flatMap { i =>
+        Seq(
+          s"SELECT $i AS r, 1 AS s, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k1$i",
+          s"SELECT $i AS r, 2 AS s, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k2$i")
+      }.mkString("\nUNION ALL\n") + ")"
+
+  /** Encode CTEs on top of [[bpeBatchedCtes]], ending in
+    * `enc(doc_id, tids)`: alphabet ids 0..A−1 by sorted char, merge i
+    * mints id A+iter−1 (first mint wins on duplicate outputs), each
+    * word maps to its folded subword id list, docs reassemble in word
+    * order — TextAnalysis.bpeEncode's exact scheme. */
+  private def bpeEncodeCtes: String =
+    s"""alpha AS (
+       |  SELECT DISTINCT unnest(string_split(sym, ' ')) AS sub FROM w0),
+       |base AS (
+       |  SELECT sub, CAST(row_number() OVER (ORDER BY sub) - 1 AS BIGINT) AS tok_id
+       |  FROM alpha WHERE length(sub) > 0),
+       |nb AS (SELECT COUNT(*) AS n FROM base),
+       |mg AS ($bpeFinalsSql),
+       |mtok AS (
+       |  SELECT merged AS sub, CAST(nb.n + MIN(iter) - 1 AS BIGINT) AS tok_id
+       |  FROM mg, nb GROUP BY merged, nb.n),
+       |vocab AS MATERIALIZED (
+       |  SELECT * FROM base UNION ALL SELECT * FROM mtok),
+       |wid AS MATERIALIZED (
+       |  SELECT w, list(tok_id ORDER BY subpos) AS ids FROM (
+       |    SELECT w, unnest(generate_series(1, len(a))) AS subpos,
+       |      unnest(a) AS sub
+       |    FROM (SELECT w, string_split(sym, ' ') AS a FROM w3))
+       |  JOIN vocab USING (sub) GROUP BY w),
+       |dtw AS (
+       |  SELECT doc_id, pos, tk AS w FROM (
+       |    SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos,
+       |      unnest(arr) AS tk
+       |    FROM (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents))
+       |  WHERE length(tk) > 0),
+       |enc AS MATERIALIZED (
+       |  SELECT d.doc_id, flatten(list(wid.ids ORDER BY d.pos)) AS tids
+       |  FROM dtw d JOIN wid ON wid.w = d.w GROUP BY d.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q117_dsir_selection" ->
@@ -3852,55 +4007,8 @@ object PipelineQueries {
       // rank 1's MERGED output m1 (a runner-up touching a just-minted
       // symbol has stale counts and defers) — apply BOTH merges with the
       // anchored doubled-separator replace — the exact
-      // TextAnalysis.bpeMergesBatched trajectory
-      def anch(inner: String, sel: String): String =
-        s"trim(replace(replace(' ' || replace($inner, ' ', '  ') || ' ', " +
-          s"' ' || replace(($sel), ' ', '  ') || ' ', " +
-          s"' ' || replace(($sel), ' ', '') || ' '), '  ', ' '))"
-      val iterCtes = (1 to 3).map { i =>
-        s"""p$i AS (
-           |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT unnest(list_transform(generate_series(1, len(a) - 1),
-           |      j -> a[j] || ' ' || a[j + 1])) AS pr, freq
-           |    FROM (SELECT string_split(sym, ' ') AS a, freq FROM w${i - 1}))
-           |  GROUP BY pr),
-           |t$i AS (
-           |  SELECT pr, cnt, row_number() OVER (ORDER BY cnt DESC, pr) AS rn FROM p$i),
-           |k1$i AS (
-           |  SELECT pr, cnt, split_part(pr, ' ', 1) AS s1, split_part(pr, ' ', 2) AS s2,
-           |    replace(pr, ' ', '') AS m1
-           |  FROM t$i WHERE rn = 1),
-           |k2$i AS (
-           |  SELECT x.pr, x.cnt FROM t$i x, k1$i k
-           |  WHERE x.rn BETWEEN 2 AND 8
-           |    AND split_part(x.pr, ' ', 1) NOT IN (k.s1, k.s2, k.m1)
-           |    AND split_part(x.pr, ' ', 2) NOT IN (k.s1, k.s2, k.m1)
-           |  ORDER BY x.rn LIMIT 1),
-           |w$i AS (
-           |  SELECT ${anch(anch("sym", s"COALESCE((SELECT pr FROM k1$i), chr(1))"),
-                s"COALESCE((SELECT pr FROM k2$i), chr(1))")} AS sym, freq
-           |  FROM w${i - 1})""".stripMargin
-      }.mkString(",\n")
-      // iter numbers are COMPACTED over the rows that actually exist
-      // (row_number over round/slot) and a missing k2 no-ops its replace
-      // via a sentinel, so a round with no symbol-disjoint runner-up
-      // degrades exactly like the Scala accept-fewer path instead of
-      // NULL-poisoning the word table
-      val finals =
-        "SELECT CAST(row_number() OVER (ORDER BY r, s) AS BIGINT) AS iter, " +
-          "pair, merged, cnt FROM (\n" +
-          (1 to 3).flatMap { i =>
-            Seq(
-              s"SELECT $i AS r, 1 AS s, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k1$i",
-              s"SELECT $i AS r, 2 AS s, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM k2$i")
-          }.mkString("\nUNION ALL\n") + ")"
-      s"""WITH w0 AS (
-         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, CAST(freq AS BIGINT) AS freq FROM (
-         |    SELECT tk AS w, COUNT(*) AS freq FROM (
-         |      SELECT unnest(string_split($norm, ' ')) AS tk FROM documents)
-         |    WHERE length(tk) > 0 GROUP BY tk)),
-         |$iterCtes
-         |$finals
+      s"""WITH $bpeBatchedCtes
+         |$bpeFinalsSql
          |ORDER BY iter""".stripMargin
     },
 
@@ -4273,6 +4381,26 @@ object PipelineQueries {
     "q168_lm_index_score" -> backoffTrigramOracle,
     "q170_lm_index_append" -> backoffTrigramOracle,
     "q180_lm_compact" -> backoffTrigramOracle,
+    "q181_bpe_encode" ->
+      s"""WITH $bpeBatchedCtes,
+         |$bpeEncodeCtes
+         |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_transform(tids, x -> CAST(x AS VARCHAR)), '_') AS tokens_str
+         |FROM enc ORDER BY doc_id""".stripMargin,
+    "q182_bpe_packing" ->
+      s"""WITH $bpeBatchedCtes,
+         |$bpeEncodeCtes,
+         |tt AS (
+         |  SELECT d.doc_id, d.lang, CAST(len(e.tids) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN enc e USING (doc_id)),
+         |cc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM tt)
+         |SELECT doc_id, lang, n_tokens,
+         |  cum // 256 AS seq_id, cum % 256 AS tok_offset
+         |FROM cc ORDER BY lang, doc_id""".stripMargin,
     "q165_novelty_curve" ->
       s"""WITH fps AS (
          |  SELECT source, md5($norm) AS fp FROM documents),

@@ -109,10 +109,12 @@ object LmIndex {
     * concurrently. Identical results to
     * [[TextAnalysis.stupidBackoffTrigram]] with the same training set —
     * proven in spec and by the q168/q170/q180 oracles (which replay the
-    * LIVE computation). */
+    * LIVE computation). `hotK` defaults to [[Skew.Auto]]: the hot-set
+    * size derives from the persisted model's own weight mass instead of
+    * a hard-coded 4096 (results are K-invariant — routing only). */
   def score(s: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
-      alpha: Double = 0.4, hotK: Int = 4096): DataFrame = {
+      alpha: Double = 0.4, hotK: Int = Skew.Auto): DataFrame = {
     import org.apache.spark.sql.functions._
     val paths = Manifest.livePaths(s, dir)
     require(paths.nonEmpty, s"no live LM model under $dir — build() first")

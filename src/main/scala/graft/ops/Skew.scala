@@ -59,6 +59,10 @@ object Skew {
     * `weight` must be usable inside max() over lookup rows. The routing
     * never changes a value, so oracle hashes survive the swap.
     *
+    * `hotK` ≤ 0 is the [[Auto]] sentinel: K derives from the lookup's
+    * own weight mass via [[autoHotK]] (smallest K covering 95% of mass,
+    * broadcast-capped); pass an explicit positive K to override.
+    *
     * Cost note: the lookup is referenced three times (key ranking, hot
     * selection, cold join), so it is materialized HERE once with a
     * lazy localCheckpoint — the first reference computes it, the other
@@ -66,23 +70,68 @@ object Skew {
     * corpus-derived lookup lineage (a token count table is a full
     * corpus explode + groupBy) would re-run per reference. Lookups are
     * vocabulary-sized by contract, so the cached copy is model-sized. */
+  /** Sentinel for `hotK`: non-positive means "derive K automatically
+    * from the weight distribution" — see [[autoHotK]]. */
+  final val Auto = 0
+
+  /** Derive the hot-set size from the lookup's own weight ranking: the
+    * smallest K whose top-K keys (by max row weight) cover `massFrac`
+    * of the total weight mass, capped at `maxHotK` (the broadcast
+    * budget) and floored at 1. The right K is corpus-dependent — the
+    * point where the Zipf head flattens into the near-uniform tail — so
+    * a hard-coded 4096 over-broadcasts a small vocabulary and
+    * under-protects a heavy-tailed one.
+    *
+    * Cost: one vocab-sized aggregate + a TakeOrdered of `maxHotK`
+    * weights to the driver (a bounded, config-sized collect — the
+    * repo's accepted model/probe pattern) + a 1-row total. Because
+    * [[hotColdJoin]]'s routing never changes a value, ANY K gives
+    * row-identical results (SkewSpec property), so auto-K is purely a
+    * performance knob. */
+  def autoHotK(lookup: DataFrame, keys: Seq[String], weight: Column,
+      massFrac: Double = 0.95, maxHotK: Int = 65536): Int = {
+    require(massFrac > 0.0 && massFrac <= 1.0,
+      s"massFrac must lie in (0, 1], got $massFrac")
+    require(maxHotK >= 1, s"maxHotK must be >= 1, got $maxHotK")
+    val kw = lookup
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(max(weight).cast("double").as("__graft_w"))
+    val top = kw
+      .orderBy(col("__graft_w").desc +: keys.map(k => col(k).asc): _*)
+      .limit(maxHotK)
+      .select(col("__graft_w"))
+      .collect().map(_.getDouble(0))
+    if (top.isEmpty) return 1
+    val totalRow = kw.agg(sum(col("__graft_w"))).head()
+    val total = if (totalRow.isNullAt(0)) 0.0 else totalRow.getDouble(0)
+    if (total <= 0.0) return 1
+    var cum = 0.0
+    var k = 0
+    while (k < top.length && cum < massFrac * total) {
+      cum += top(k); k += 1
+    }
+    math.max(k, 1)
+  }
+
   def hotColdJoin(
       left: DataFrame, lookup: DataFrame, keys: Seq[String],
       weight: Column, hotK: Int, joinType: String = "inner"): DataFrame = {
-    require(hotK > 0, s"hotK must be positive: $hotK")
     require(joinType == "inner" || joinType == "left",
       s"hotColdJoin supports inner/left, got $joinType")
     require(!left.columns.contains("__graft_hot") &&
         !lookup.columns.contains("__graft_hot"),
       "hotColdJoin reserves the working column name __graft_hot")
     val lkp = lookup.localCheckpoint(eager = false)
-    // top hotK KEYS by max row weight (deterministic tie-break on the
+    // hotK <= 0 (the [[Auto]] sentinel): derive K from the checkpointed
+    // lookup's weight mass — results are K-invariant, only routing moves
+    val k = if (hotK > 0) hotK else autoHotK(lkp, keys, weight)
+    // top-K KEYS by max row weight (deterministic tie-break on the
     // keys) — a map-side-combined vocab-sized aggregate + TakeOrdered
     val hotKeys = lkp
       .groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(max(weight).as("__graft_w"))
       .orderBy(col("__graft_w").desc +: keys.map(k => col(k).asc): _*)
-      .limit(hotK)
+      .limit(k)
       .select(keys.map(col).toIndexedSeq: _*)
     val hot = lkp.join(broadcast(hotKeys), keys.toIndexedSeq)
     val tagged = left.join(

@@ -1140,6 +1140,81 @@ object TextAnalysis {
           .as("chars_per_subword"))
   }
 
+  /** Corpus BPE ENCODE to integer token ids — closes the tokenizer
+    * loop ([[bpeMerges]]/[[bpeMergesBatched]] train; this encodes):
+    * every document becomes its `array<bigint>` of subword token ids
+    * under a trained merge list, the representation a training-data
+    * pipeline actually ships to the model (and what
+    * [[Sampling.packSequences]] should pack by, instead of whitespace
+    * counts — q182).
+    *
+    * Token-id scheme (deterministic, engine-replayable): the corpus
+    * alphabet's distinct characters sorted get ids 0..A−1; merge i
+    * (1-based training order) mints id A+i−1 for its output string —
+    * duplicate outputs (the same string minted via two paths) keep the
+    * FIRST id, leaving a gap, so ids are stable under q171's batched
+    * trajectory. A merge whose pair never occurs in this corpus simply
+    * never fires; the invariant "every folded symbol is a base char or
+    * a minted merge output" is PROBED typed (one vocab-sized anti-join)
+    * rather than assumed, so a violation can never silently drop
+    * subwords.
+    *
+    * Plan shape (the scale path): the merge fold runs on the
+    * VOCAB-sized distinct-word table, never per token (the
+    * [[bpeFertility]] device); subword→id is a broadcast join against
+    * the (alphabet + merges)-sized vocab; the one corpus-scale join —
+    * word → its id list — is Zipf-keyed on the word, so it routes
+    * through [[Skew.hotColdJoin]] (auto-K) with the word frequency as
+    * weight; per-doc assembly is one collect_list + array_sort (order
+    * by position, partition-order-independent). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docToks = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val words = docToks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // alphabet scan + fold + typed probe
+    // alphabet: distinct chars, sorted — a bounded driver collect
+    val alphabet = words
+      .select(explode(split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " "))
+        .as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().orderBy(col("ch"))
+      .as[String].collect()
+    val base = alphabet.zipWithIndex.map { case (c, i) => (c, i.toLong) }
+    // merge outputs in training order; first mint wins on duplicates
+    val mergeIds = merges.map(_._2).zipWithIndex
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+      .map { case (m, i) => (m, alphabet.length + i.toLong) }
+    val vocabDf = (base ++ mergeIds).toSeq.toDF("sub", "tok_id")
+    // fold the merges over the vocab-sized word table
+    val sym0 = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val symN = merges.foldLeft(sym0) { case (c, (p, m)) => bpeApply(c, p, m) }
+    val wordSubs = words
+      .select(col("w"), col("freq"),
+        posexplode(split(symN, " ")).as(Seq("subpos", "sub")))
+    val unseen = wordSubs.join(broadcast(vocabDf), Seq("sub"), "left_anti")
+      .limit(1).count()
+    require(unseen == 0L,
+      "bpeEncode: a folded subword is neither a base character nor a " +
+        "minted merge output — the merge list is internally inconsistent " +
+        "(merged strings must equal their pair without the space)")
+    val wordIds = wordSubs.join(broadcast(vocabDf), Seq("sub"))
+      .groupBy(col("w"), col("freq"))
+      .agg(collect_list(struct(col("subpos"), col("tok_id"))).as("_sl"))
+      .select(col("w"), col("freq"),
+        transform(array_sort(col("_sl")), s => s.getField("tok_id")).as("ids"))
+    Skew.hotColdJoin(docToks, wordIds, Seq("w"), col("freq"), Skew.Auto)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("ids"))).as("_pl"))
+      .select(col(idCol),
+        flatten(transform(array_sort(col("_pl")), s => s.getField("ids")))
+          .as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** Top-k collocations by pointwise mutual information:
     * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = n_ab/N₂,
     * p(w) = n_w/N₁ — the classic "which word pairs co-occur far more

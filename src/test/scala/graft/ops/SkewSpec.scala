@@ -118,6 +118,31 @@ class SkewSpec extends SparkSpecBase {
     assert(e.getMessage.contains("__graft_hot"))
   }
 
+  test("autoHotK covers the mass fraction and hotColdJoin(Auto) ≡ any explicit K") {
+    val lookup = skewed().groupBy($"key").agg(count(lit(1)).as("cnt"))
+    // the hot key alone is 900/1000 of the mass: massFrac 0.5 → K = 1;
+    // massFrac 1.0 must take every key
+    assert(Skew.autoHotK(lookup, Seq("key"), $"cnt", massFrac = 0.5) == 1)
+    val nKeys = lookup.count().toInt
+    assert(Skew.autoHotK(lookup, Seq("key"), $"cnt", massFrac = 1.0) == nKeys)
+    // the broadcast cap binds
+    assert(Skew.autoHotK(lookup, Seq("key"), $"cnt",
+      massFrac = 1.0, maxHotK = 7) == 7)
+    // the Auto sentinel: row-identical to explicit-K and to the plain join
+    val expected = skewed().join(lookup, "key")
+      .select("key", "v", "cnt").collect().toSet
+    for (k <- Seq(Skew.Auto, 1, 3, 1000)) {
+      val got = Skew.hotColdJoin(skewed(), lookup, Seq("key"), $"cnt", k)
+        .select("key", "v", "cnt").collect().toSet
+      assert(got == expected, s"hotK=$k diverged")
+    }
+    // degenerate lookups: empty → K = 1 (and the join still matches)
+    val empty = lookup.filter($"cnt" < 0)
+    assert(Skew.autoHotK(empty, Seq("key"), $"cnt") == 1)
+    assert(Skew.hotColdJoin(skewed(), empty, Seq("key"), $"cnt",
+      Skew.Auto, "left").count() == 1000L)
+  }
+
   test("salt actually spreads the hot key across groups") {
     val partials = skewed()
       .withColumn("_salt", pmod(hash($"v"), lit(8)))

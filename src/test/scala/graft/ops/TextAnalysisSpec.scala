@@ -453,6 +453,44 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fert.head._3 == 17L, s"n_subwords wrong (boundary leak): $fert")
   }
 
+  test("bpeEncode: ids reconstruct the corpus losslessly and the scheme is deterministic") {
+    val df = Seq((1L, "abc abc ab"), (2L, "xbc ab cd"), (3L, "Abc  xbc"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(df, "text", iters = 3)
+      .orderBy($"iter").select($"pair", $"merged")
+      .as[(String, String)].collect().toSeq
+    val enc = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      .select($"doc_id", $"token_ids", $"n_tokens")
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    assert(enc.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(enc.forall { case (_, ids, n) => ids.size == n })
+    // rebuild the id → subword map exactly as the encoder mints it:
+    // sorted corpus alphabet gets 0..A-1, merge i mints A+i-1
+    val alphabet = df.select(explode(split(Dedup.normText($"text"), "")).as("c"))
+      .filter(length($"c") > 0).distinct().orderBy($"c").as[String].collect()
+      .filter(_ != " ")
+    val vocab = (alphabet.zipWithIndex.map { case (c, i) => i.toLong -> c } ++
+      merges.map(_._2).zipWithIndex.map { case (m, i) =>
+        (alphabet.length + i).toLong -> m }).toMap
+    // decode: concatenated subwords == the normalized text without spaces
+    val norm = df.select($"doc_id", Dedup.normText($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    enc.foreach { case (id, ids, _) =>
+      assert(ids.map(vocab).mkString == norm(id).replace(" ", ""),
+        s"doc $id decode mismatch: ids=$ids")
+    }
+    // deterministic under repartitioning
+    val enc2 = TextAnalysis.bpeEncode(df.repartition(7), "doc_id", "text", merges)
+      .select($"doc_id", $"token_ids", $"n_tokens")
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    assert(enc2.toSeq == enc.toSeq)
+    // an internally inconsistent merge list (merged output that still
+    // contains a separator, minting symbols outside the vocab) fails typed
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(df, "doc_id", "text", Seq(("a b", "Z Z")))
+    }
+  }
+
   test("bpeMerges rejects out-of-regime iteration counts") {
     val df = Seq("ab").toDF("text")
     intercept[IllegalArgumentException](TextAnalysis.bpeMerges(df, "text", iters = 257))
