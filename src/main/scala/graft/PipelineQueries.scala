@@ -694,6 +694,21 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q183: MAXIMAL-span exact-substring removal
+    * ([[Dedup.maximalSpanRemoval]]) — q119's span union upgraded to the
+    * full Lee et al. shape: runs of overlapping duplicated 8-grams
+    * coalesce into maximal variable-length spans, and only spans ≥ 12
+    * tokens are removed (a lone duplicated 8-gram survives — the
+    * "don't shred documents over short common phrases" knob). The
+    * oracle replays the coalescing arithmetic and rebuilds the cleaned
+    * text verbatim. */
+  def maximalSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.maximalSpanRemoval(Tables.documents(s, dir), "doc_id", "text",
+        n = 8, minLen = 12)
+      .orderBy($"doc_id")
+  }
+
   /** Z-order (Morton) layout key over orders — ops.Layout.zValue2 on
     * (customer, order day), the two-predicate file-skipping curve. The
     * entry summarizes the curve by 64 z-range buckets (count + envelope);
@@ -1693,7 +1708,15 @@ object PipelineQueries {
     * only affected clusters (star edges + new pairs; untouched labels
     * pass through). The oracle closes the FULL pair set with q36's
     * recursive CTE, so the hash match proves
-    * append ≡ full recompute ≡ DuckDB. */
+    * append ≡ full recompute ≡ DuckDB.
+    *
+    * Bench note: this entry's wall time is mostly DEMO overhead, not
+    * operator cost — every execution runs the MinHash candidate pass
+    * AND a full from-scratch components solve on the historic slice
+    * just to have a labeling to append to; the operator under test
+    * (appendToComponents) is the cheap tail. Read cross-round deltas
+    * accordingly (r14 isolated re-run: ~1.4s total incl. the
+    * deliberate full-recompute proof). */
   def componentsAppend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = Dedup.minHashCandidates(Tables.documents(s, dir),
@@ -2024,7 +2047,8 @@ object PipelineQueries {
     "q179_span_corrupt"   -> (spanCorruption _),
     "q180_lm_compact"     -> (lmIndexCompactScore _),
     "q181_bpe_encode"     -> (bpeEncodeQuery _),
-    "q182_bpe_packing"    -> (bpePacking _))
+    "q182_bpe_packing"    -> (bpePacking _),
+    "q183_maximal_spans"  -> (maximalSpans _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2430,6 +2454,55 @@ object PipelineQueries {
          |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
          |  COALESCE(array_to_string(list_transform(kept, p -> w[p]), ' '), '') AS clean_text
          |FROM k ORDER BY doc_id""".stripMargin,
+    "q183_maximal_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |hh AS (
+         |  SELECT doc_id, list_transform(w, tk -> ${duckFold("tk", graft.expr.DedupKernel.B1)}) AS h
+         |  FROM t),
+         |gl AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(h) - 7), i -> ${ngramChain(8)}) AS g
+         |  FROM hh WHERE len(h) >= 8),
+         |st AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(g))) AS s, unnest(g) AS code
+         |  FROM gl),
+         |dup AS (
+         |  SELECT code FROM (SELECT DISTINCT doc_id, code FROM st) dd
+         |  GROUP BY code HAVING COUNT(*) >= 2),
+         |ss AS (
+         |  SELECT doc_id, list(s ORDER BY s) AS ss
+         |  FROM st JOIN dup USING (code) GROUP BY 1),
+         |k AS (
+         |  SELECT t.doc_id, t.w, COALESCE(ss.ss, CAST([] AS BIGINT[])) AS ds
+         |  FROM t LEFT JOIN ss USING (doc_id)),
+         |hd AS (
+         |  SELECT doc_id, w, ds,
+         |    CASE WHEN len(ds) = 0 THEN CAST([] AS BIGINT[])
+         |      ELSE list_filter(generate_series(1, len(ds)),
+         |        i -> i = 1 OR ds[i] - ds[i - 1] > 8) END AS hd
+         |  FROM k),
+         |sp AS (
+         |  SELECT doc_id, w,
+         |    CASE WHEN len(hd) = 0 THEN []
+         |      ELSE list_filter(
+         |        list_transform(generate_series(1, len(hd)), j -> struct_pack(
+         |          st := ds[hd[j]],
+         |          fin := ds[CASE WHEN j = len(hd) THEN len(ds)
+         |            ELSE hd[j + 1] - 1 END] + 7)),
+         |        x -> x.fin - x.st + 1 >= 12) END AS sp
+         |  FROM hd),
+         |kk AS (
+         |  SELECT doc_id, w, sp,
+         |    list_filter(generate_series(1, len(w)),
+         |      p -> len(list_filter(sp, x -> x.st <= p AND p <= x.fin)) = 0) AS kept
+         |  FROM sp)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(sp) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(list_max(list_transform(sp, x -> x.fin - x.st + 1)), 0) AS BIGINT) AS max_span_len,
+         |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+         |  COALESCE(array_to_string(list_transform(sp,
+         |    x -> x.st || ':' || (x.fin - x.st + 1)), ','), '') AS spans_str,
+         |  COALESCE(array_to_string(list_transform(kept, p -> w[p]), ' '), '') AS clean_text
+         |FROM kk ORDER BY doc_id""".stripMargin,
     "q120_alpha_sampling" ->
       s"""WITH s AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1),
          |t AS (SELECT SUM(n_g) AS n FROM s),

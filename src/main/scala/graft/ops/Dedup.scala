@@ -369,6 +369,80 @@ object Dedup {
           p => element_at(col("_w"), p))).as("clean_text"))
   }
 
+  /** MAXIMAL-span exact-substring removal at VARIABLE span length —
+    * the full Lee et al. 2022 rewrite that [[repeatedSpanRemoval]]
+    * approximates at fixed n: runs of overlapping-or-adjacent
+    * duplicated n-gram starts (gap ≤ n) coalesce into MAXIMAL spans
+    * (a run from start s₁ to last start s_k is ONE duplicated region
+    * [s₁, s_k + n − 1], length s_k − s₁ + n), and only spans of length
+    * ≥ `minLen` are removed — so a 200-token boilerplate block is
+    * treated as one span (and a lone duplicated 8-gram survives when
+    * minLen > n, exactly the "don't shred documents over short common
+    * phrases" knob the paper's 50-token threshold encodes). Pure
+    * positional arithmetic on the existing (doc, start) set — no
+    * suffix array needed.
+    *
+    * Output per doc: token counts, the kept maximal spans
+    * (`spans_str` = "start:len" CSV — engine-exact), the longest span,
+    * and the cleaned text with those spans deleted.
+    *
+    * Plan: identical shuffle shape to [[repeatedSpanRemoval]] (the ONE
+    * cross-doc aggregate is on (code) with (long, long) rows); the
+    * coalescing is map-only per-doc array arithmetic over the sorted
+    * start list (heads = starts opening a new run, span ends = the
+    * start before the next head), bounded by the doc's own length. */
+  def maximalSpanRemoval(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minLen: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(minLen >= n,
+      s"minLen ($minLen) below n ($n) is unreachable — spans are >= n tokens")
+    val grams = df
+      .select(col(idCol),
+        posexplode(TextAnalysis.ngramCodes(col(textCol), n)))
+      .select(col(idCol), (col("pos") + 1).as("s"), col("col").as("code"))
+    val dup = grams.select(col(idCol), col("code")).distinct()
+      .groupBy(col("code")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("code"))
+    val starts = grams.join(dup, "code")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("s"))).as("_ss"))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_w"))
+      .join(starts, Seq(idCol), "left")
+      .withColumn("_ss", coalesce(col("_ss"), array().cast("array<int>")))
+      // run heads: 1-based indices into _ss where a new run begins (gap
+      // to the previous start > n). sequence(1, 0) runs DESCENDING in
+      // Spark, so the empty case is guarded explicitly.
+      .withColumn("_hd", expr(
+        s"""CASE WHEN size(_ss) = 0 THEN array()
+           |ELSE filter(sequence(1, size(_ss)),
+           |  i -> i = 1 OR element_at(_ss, i) - element_at(_ss, i - 1) > $n)
+           |END""".stripMargin))
+      // span j: from its head's start to (the start before the next
+      // head) + n - 1; the last run ends at the last start
+      .withColumn("_sp", expr(
+        s"""CASE WHEN size(_hd) = 0 THEN array()
+           |ELSE filter(transform(sequence(1, size(_hd)), j -> named_struct(
+           |  'st', element_at(_ss, element_at(_hd, j)),
+           |  'fin', element_at(_ss, CASE WHEN j = size(_hd) THEN size(_ss)
+           |    ELSE element_at(_hd, j + 1) - 1 END) + ${n - 1})),
+           |  sp -> sp.fin - sp.st + 1 >= $minLen)
+           |END""".stripMargin))
+      .withColumn("_kept", expr(
+        "filter(sequence(1, size(_w)), " +
+          "p -> NOT exists(_sp, sp -> sp.st <= p AND p <= sp.fin))"))
+      .select(col(idCol),
+        size(col("_w")).cast("long").as("n_tokens"),
+        size(col("_sp")).cast("long").as("n_spans"),
+        expr("coalesce(array_max(transform(_sp, sp -> sp.fin - sp.st + 1)), 0)")
+          .cast("long").as("max_span_len"),
+        (size(col("_w")) - size(col("_kept"))).cast("long").as("n_removed"),
+        concat_ws(",", expr(
+          "transform(_sp, sp -> concat(sp.st, ':', sp.fin - sp.st + 1))"))
+          .as("spans_str"),
+        concat_ws(" ", transform(col("_kept"),
+          p => element_at(col("_w"), p))).as("clean_text"))
+  }
+
   /** SimHash near-dup candidate pairs: band the fingerprints' 64 stored
     * bits (62 populated — the top band is 2 bits lighter) into
     * `bands` chunks; pairs sharing any chunk are candidates (pigeonhole:

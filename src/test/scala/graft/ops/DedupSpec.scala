@@ -231,6 +231,53 @@ class DedupSpec extends SparkSpecBase {
     assert(got(1L) == ((2L, 9L, "yb")))
   }
 
+  test("maximalSpanRemoval coalesces runs into variable-length spans and thresholds on minLen") {
+    // planted maximal-span cases (n = 8, minLen = 12):
+    //  - A/B share a 20-token block → ONE maximal span of length 20
+    //    (13 overlapping duplicated 8-grams coalesced), removed;
+    //  - C/D share exactly one 8-gram → span length 8 < 12, SURVIVES;
+    //  - G's two ADJACENT duplicated 8-grams (starts 1 and 9, gap = 8)
+    //    coalesce into one 16-token span, removed — while H, sharing
+    //    only the first block, keeps its lone short span.
+    val s20 = (1 to 20).map(i => s"s$i").mkString(" ")
+    val t8 = (1 to 8).map(i => s"t$i").mkString(" ")
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y8 = (1 to 8).map(i => s"y$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s20 + " a1 a2 a3 a4"),                         // A: span [1,20]
+      (1L, "b1 b2 b3 b4 b5 b6 " + s20 + " b7"),           // B: span [7,26]
+      (2L, t8 + " c1 c2 c3 c4 c5"),                       // C: lone 8-gram
+      (3L, "d1 d2 " + t8 + " d3 d4 d5"),                  // D: lone 8-gram
+      (4L, x8 + " " + y8 + " g1 g2 g3"),                  // G: adjacent runs
+      (5L, "h1 h2 h3 " + x8 + " h4 h5 h6 h7 h8 h9 h10"),  // H: x-block only
+      (6L, "i1 i2 i3 i4 " + y8 + " i5 i6 i7 i8 i9 i10")   // I: y-block only
+    ).toDF("doc_id", "text")
+    val got = Dedup.maximalSpanRemoval(corpus, "doc_id", "text",
+        n = 8, minLen = 12)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("max_span_len"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("spans_str"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(0L) == ((1L, 20L, 20L, "1:20", "a1 a2 a3 a4")), s"${got(0L)}")
+    assert(got(1L) == ((1L, 20L, 20L, "7:20", "b1 b2 b3 b4 b5 b6 b7")))
+    // lone duplicated 8-gram survives the 12-token threshold verbatim
+    assert(got(2L) == ((0L, 0L, 0L, "", t8 + " c1 c2 c3 c4 c5")))
+    assert(got(3L) == ((0L, 0L, 0L, "", "d1 d2 " + t8 + " d3 d4 d5")))
+    // adjacent duplicated 8-grams (gap exactly n) merge to one 16-span
+    assert(got(4L) == ((1L, 16L, 16L, "1:16", "g1 g2 g3")), s"${got(4L)}")
+    assert(got(5L)._1 == 0L, s"H's lone block must survive: ${got(5L)}")
+    assert(got(6L)._1 == 0L, s"I's lone block must survive: ${got(6L)}")
+    // minLen = n degrades to the q119 semantics on the lone-8-gram pair
+    val loose = Dedup.maximalSpanRemoval(corpus, "doc_id", "text",
+        n = 8, minLen = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_removed")).toMap
+    assert(loose(2L) == 8L && loose(3L) == 8L)
+    intercept[IllegalArgumentException] {
+      Dedup.maximalSpanRemoval(corpus, "doc_id", "text", n = 8, minLen = 4)
+    }
+  }
+
   test("thresholdSweep: band histogram + cumulative merge curve, hand-checked") {
     val same = "the quick brown fox jumps over the lazy dog again and again"
     val near = same.replace("again and again", "again and often")
