@@ -82,7 +82,8 @@ object Bench {
     "q172_components_append", "q173_pca_deflate", "q174_pca_project",
     "q175_retrieval_metrics", "q176_dedup_audit", "q177_calibration",
     "q178_temp_scaling", "q179_span_corrupt", "q180_lm_compact",
-    "q181_bpe_encode", "q182_bpe_packing", "q183_maximal_spans")
+    "q181_bpe_encode", "q182_bpe_packing", "q183_maximal_spans",
+    "q184_bm25_compact", "q185_quality_auc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

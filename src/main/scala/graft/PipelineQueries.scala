@@ -625,6 +625,25 @@ object PipelineQueries {
       .orderBy($"bin")
   }
 
+  /** q185: quality-classifier ROC-AUC ([[graft.ops.Calibration
+    * .binaryAuc]]) — the discrimination readout completing the
+    * classifier-evaluation tier (q177 calibration, q178 the fix, this
+    * the "does it rank at all" number): exact rank-sum AUC of the q124
+    * hashed classifier's confidence against the q127 rule gate, ties
+    * handled exactly over micro-quantized scores. The oracle replays
+    * classifier, gate and the integer U-statistic. */
+  def qualityAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    graft.ops.Calibration.binaryAuc(pred, lab, "doc_id", "conf", "keep")
+  }
+
   /** q178: TEMPERATURE-SCALING sweep
     * ([[graft.ops.Calibration.temperatureSweep]]) — the post-hoc fix
     * for the q177 miscalibration: the q124 classifier's raw score is
@@ -833,6 +852,43 @@ object PipelineQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"q_id").orderBy($"sum_micro".desc, $"doc_id")
     graft.ops.TextIndex.probeIndex(s, bm25AppendIndexFor(s, dir), "doc_id", ragQueryRows)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"doc_id", $"bm25", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  private val bm25CompactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once cache for the q184 COMPACTED text index: the q123
+    * stack (build < 250, append ≥ 250) followed by
+    * [[graft.ops.TextIndex.compact]] — postings/docstats/stats deltas
+    * merged into ONE delta through the shared manifest commit. */
+  private def bm25CompactIndexFor(s: SparkSession, dir: String): String =
+    bm25CompactCache.computeIfAbsent(VectorQueries.corpusFingerprint(s, dir), _ => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_bm25_compact").toFile
+      d.deleteOnExit()
+      val docs = Tables.documents(s, dir)
+      graft.ops.TextIndex.writeIndex(
+        docs.filter($"doc_id" < 250), "doc_id", "text", d.toString)
+      graft.ops.TextIndex.appendToIndex(
+        docs.filter($"doc_id" >= 250), "doc_id", "text", d.toString)
+      graft.ops.TextIndex.compact(s, d.toString, "doc_id")
+      d.toString
+    })
+
+  /** q184: BM25 serving from the COMPACTED index — the q180 contract
+    * for the text family: after compaction the probe reads ONE delta
+    * instead of the append stack, and serving stays bit-identical, so
+    * the oracle is (again) q82's from-scratch SQL. Compacted ≡
+    * delta-stack ≡ one-shot build ≡ DuckDB. */
+  def bm25CompactTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sum_micro".desc, $"doc_id")
+    graft.ops.TextIndex.probeIndex(s, bm25CompactIndexFor(s, dir), "doc_id", ragQueryRows)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 5)
       .select($"q_id", $"doc_id", $"bm25", $"rnk")
@@ -2048,7 +2104,9 @@ object PipelineQueries {
     "q180_lm_compact"     -> (lmIndexCompactScore _),
     "q181_bpe_encode"     -> (bpeEncodeQuery _),
     "q182_bpe_packing"    -> (bpePacking _),
-    "q183_maximal_spans"  -> (maximalSpans _))
+    "q183_maximal_spans"  -> (maximalSpans _),
+    "q184_bm25_compact"   -> (bm25CompactTopK _),
+    "q185_quality_auc"    -> (qualityAuc _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2948,6 +3006,7 @@ object PipelineQueries {
     // append-maintained index: build(<250) + append(>=250) must serve
     // identically to the one-shot full-corpus computation
     "q123_bm25_append" -> bm25Oracle,
+    "q184_bm25_compact" -> bm25Oracle,
     // q124 replays the full classifier: feature list (unigrams + adjacent
     // bigrams of the normalized text), polynomial bucket hash, LCG
     // stand-in weight table, exact integer score sum
@@ -3038,6 +3097,70 @@ object PipelineQueries {
          |  ROUND(CAST(gap_micro AS DOUBLE) / 1e6, 6) AS gap,
          |  ROUND(CAST(gsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS ece
          |FROM pg, tot ORDER BY bin""".stripMargin
+    },
+    // q185 reuses q177's two replays (classifier + rule gate), then
+    // computes the exact integer U-statistic over per-distinct-micro-
+    // score class counts: 2U = sum np*(2*below + nn)
+    "q185_quality_auc" -> {
+      import graft.ops.QualityModel.{NumBuckets, WeightMul, WeightAdd, WeightMod, WeightHalf}
+      def d(x: Double) = s"CAST($x AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |fx AS (
+         |  SELECT doc_id, unnest(list_concat(w,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS feat
+         |  FROM t),
+         |f AS (SELECT doc_id, feat FROM fx WHERE length(feat) > 0),
+         |fb AS (SELECT doc_id, ${duckFold("feat", graft.expr.DedupKernel.B1)} % $NumBuckets AS bucket FROM f),
+         |wt AS (
+         |  SELECT g.b AS bucket, ((g.b * $WeightMul + $WeightAdd) % $WeightMod) - $WeightHalf AS w_micro
+         |  FROM generate_series(0, ${NumBuckets - 1}) g(b)),
+         |cls AS (
+         |  SELECT doc_id, COUNT(*) AS n_features, SUM(w_micro) AS sm
+         |  FROM fb JOIN wt USING (bucket) GROUP BY 1),
+         |pred AS (
+         |  SELECT doc_id, ROUND(${d(1.0)} / (${d(1.0)} + exp(-ROUND(
+         |    CAST(sm AS DOUBLE) / (CAST(n_features AS DOUBLE) * 1000000), 6))), 6) AS conf
+         |  FROM cls),
+         |tg AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+         |  FROM tg WHERE len(w) > 0),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |  FROM sg),
+         |j AS (
+         |  SELECT CAST(round(p.conf * 1e6) AS BIGINT) AS cm, l.keep
+         |  FROM pred p JOIN lab l USING (doc_id)),
+         |g AS (
+         |  SELECT cm, CAST(SUM(keep) AS BIGINT) AS np,
+         |    CAST(SUM(1 - keep) AS BIGINT) AS nn
+         |  FROM j GROUP BY cm),
+         |c AS (
+         |  SELECT cm, np, nn,
+         |    CAST(COALESCE(SUM(nn) OVER (ORDER BY cm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+         |  FROM g),
+         |t2 AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+         |    CAST(SUM(np * (2 * below + nn)) AS BIGINT) AS u2
+         |  FROM c)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN ROUND(CAST(u2 AS DOUBLE) /
+         |      (${d(2.0)} * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+         |    ELSE ${d(0.5)} END AS auc
+         |FROM t2""".stripMargin
     },
     // q178 extends q177: the same two replays, swept over the literal
     // temperature grid (unnest of CAST AS DOUBLE values — the p-list

@@ -76,6 +76,52 @@ object Calibration {
           .as("ece"))
   }
 
+  /** Exact ROC-AUC of a binary classifier via the rank-sum
+    * (Mann–Whitney U) identity — the DISCRIMINATION readout next to
+    * [[reliability]]'s calibration one: AUC = P(score⁺ > score⁻) +
+    * ½·P(score⁺ = score⁻), the probability a random kept document
+    * outranks a random rejected one. Calibration can be fixed post hoc
+    * ([[temperatureSweep]]); discrimination cannot — this is the number
+    * that says whether the quality model ranks at all.
+    *
+    * Determinism: scores are micro-quantized to integers first, so ties
+    * are exact and identical across engines; U is computed as one exact
+    * integer sum over per-distinct-score (n⁺, n⁻) counts —
+    * 2U = Σ_s n⁺_s · (2·N⁻_{<s} + n⁻_s) — with a single final divide.
+    *
+    * Plan: one equi-join, one groupBy to ≤ 2·10⁶ + 1 distinct
+    * micro-scores (bounded by the quantization GRID, not the corpus —
+    * the one single-partition window runs over that bounded frame), one
+    * 1-row aggregate. Degenerate one-class inputs report the chance
+    * value 0.5 (documented, deterministic on both engines); NULLs and
+    * off-range labels fail typed. */
+  def binaryAuc(pred: DataFrame, labels: DataFrame, idCol: String,
+      confCol: String, labelCol: String): DataFrame = {
+    val joined = pred.select(col(idCol), col(confCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
+        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
+      .limit(1).count()
+    require(offRange == 0L,
+      "AUC needs non-NULL scores and labels in {0, 1} — found NULL or " +
+        "out-of-range rows")
+    val g = joined
+      .withColumn("_sm", round(col(confCol).cast("double") * 1e6d).cast("long"))
+      .groupBy(col("_sm"))
+      .agg(sum(col(labelCol).cast("long")).as("_np"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("_below", coalesce(sum(col("_nn")).over(w), lit(0L)))
+      .agg(sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"),
+        sum(col("_np") * (lit(2L) * col("_below") + col("_nn"))).as("_u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(col("_u2").cast("double") /
+            (lit(2.0d) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .otherwise(lit(0.5d)).as("auc"))
+  }
+
   /** TEMPERATURE-SCALING sweep — the standard post-hoc calibration FIX
     * for the miscalibration [[reliability]] diagnoses (Guo et al.
     * 2017): for each temperature T in a fixed grid, confidences become

@@ -264,6 +264,43 @@ object Ivf {
     Manifest.commit(spark, path, Seq(staging))
   }
 
+  /** Merge the cells delta stack into ONE delta — the [[LmIndex.compact]]
+    * contract for the vector index: probes union every live cells delta,
+    * fine at tens of appends, unbounded file-listing and scan-setup cost
+    * after thousands. The merge is a pure REWRITE of the committed rows
+    * (assignments are already materialized — no model math, no
+    * re-normalization), repartitioned into the same hive layout; the
+    * model/stats delta is untouched and carried through the commit.
+    * `remove = exactly the cells deltas read`, so a concurrent append
+    * survives. Probe results are identical before and after (IvfSpec). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val snap = Manifest.current(spark, path)
+    val fs = fsOf(spark, path)
+    val cellsDeltas = snap.deltas.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/cells")))
+    if (cellsDeltas.size <= 1) return
+    val staging = Manifest.stage(path)
+    cellsDeltas.map(d => spark.read.parquet(s"$path/$d/cells"))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$staging/cells")
+    // the model/stats-bearing delta may be one of the merged cells
+    // deltas (writeIndex stages all three together): carry model+stats
+    // forward into the staging delta so the commit never drops them
+    val modelDelta = snap.deltas.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/model")))
+    modelDelta.lastOption.foreach { d =>
+      if (cellsDeltas.contains(d)) {
+        spark.read.parquet(s"$path/$d/model")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/model")
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/stats")))
+          spark.read.parquet(s"$path/$d/stats")
+            .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+      }
+    }
+    Manifest.commit(spark, path, Seq(staging), remove = cellsDeltas)
+    Manifest.gc(spark, path)
+  }
+
   /** Staleness audit of a prebuilt index: per cell, the row count and the
     * mean quantization error (L2 of each unit vector to its own frozen
     * centroid, micro-quantized before the mean so the number is

@@ -65,4 +65,41 @@ class CalibrationSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Calibration.reliability(okPred, lab, "id", "conf", "y", bins = 1))
   }
+
+  test("NULL confidences/labels fail typed instead of silently binning") {
+    val lab = Seq((1L, 1L), (2L, 0L)).toDF("id", "y")
+    val nullPred = Seq((1L, Some(0.5)), (2L, None)).toDF("id", "conf")
+    intercept[IllegalArgumentException](
+      Calibration.reliability(nullPred, lab, "id", "conf", "y", 10))
+    intercept[IllegalArgumentException](
+      Calibration.temperatureSweep(nullPred, lab, "id", "conf", "y"))
+    val pred = Seq((1L, 0.5), (2L, 0.7)).toDF("id", "conf")
+    val nullLab = Seq((1L, Some(1L)), (2L, None)).toDF("id", "y")
+    intercept[IllegalArgumentException](
+      Calibration.reliability(pred, nullLab, "id", "conf", "y", 10))
+    intercept[IllegalArgumentException](
+      Calibration.binaryAuc(pred, nullLab, "id", "conf", "y"))
+  }
+
+  test("binaryAuc: hand-checked rank-sum AUC with exact tie handling") {
+    def auc(ps: Seq[(Long, Double)], ls: Seq[(Long, Long)]) =
+      Calibration.binaryAuc(ps.toDF("id", "conf"), ls.toDF("id", "y"),
+          "id", "conf", "y")
+        .select($"n_pos", $"n_neg", $"auc")
+        .as[(Long, Long, Double)].head()
+    // perfect separation → 1.0; reversed → 0.0
+    assert(auc(Seq(1L -> 0.9, 2L -> 0.8, 3L -> 0.3, 4L -> 0.1),
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L)) == ((2L, 2L, 1.0)))
+    assert(auc(Seq(1L -> 0.1, 2L -> 0.2, 3L -> 0.8, 4L -> 0.9),
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L)) == ((2L, 2L, 0.0)))
+    // mixed: pairs (0.8>0.6)✓ (0.8>0.2)✓ (0.4<0.6)✗ (0.4>0.2)✓ → 0.75
+    assert(auc(Seq(1L -> 0.8, 2L -> 0.4, 3L -> 0.6, 4L -> 0.2),
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L)) == ((2L, 2L, 0.75)))
+    // exact tie counts half
+    assert(auc(Seq(1L -> 0.5, 2L -> 0.5), Seq(1L -> 1L, 2L -> 0L))
+      == ((1L, 1L, 0.5)))
+    // one-class degenerate reports the chance value
+    assert(auc(Seq(1L -> 0.9, 2L -> 0.8), Seq(1L -> 1L, 2L -> 1L))
+      == ((2L, 0L, 0.5)))
+  }
 }

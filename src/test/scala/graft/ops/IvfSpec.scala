@@ -143,6 +143,39 @@ class IvfSpec extends SparkSpecBase {
     assert(a == b, "probe-after-append must equal probe of the one-shot union index")
   }
 
+  test("compact merges cells deltas into one; probes and model are unchanged") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val old = e.filter($"vec_id" >= 10 && $"vec_id" < 300)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val fresh = e.filter($"vec_id" >= 300 && $"vec_id" < 400)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val m = Ivf.train(old.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 8, iters = 2)
+    val p = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    Ivf.writeIndex(old, "nv", m, p)
+    Ivf.appendToIndex(fresh, "nv", p)
+    assert(Manifest.livePaths(spark, p).size == 2)
+    def probe() = Ivf.probeIndex(spark, p, qs, k = 5, nprobe = 3)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val before = probe()
+    val modelBefore = Ivf.loadModel(spark, p)
+    Ivf.compact(spark, p)
+    assert(Manifest.livePaths(spark, p).size == 1,
+      "compaction must leave exactly one live delta")
+    assert(probe() == before, "probe diverged across compaction")
+    (modelBefore.centroids zip Ivf.loadModel(spark, p).centroids).foreach {
+      case (x, y) => assert(x.toSeq == y.toSeq, "model lost in compaction")
+    }
+    // staleness audit still works (stats carried through)
+    assert(Ivf.indexStaleness(spark, p).count() > 0)
+    // idempotent on a single delta
+    val v = Manifest.current(spark, p).version
+    Ivf.compact(spark, p)
+    assert(Manifest.current(spark, p).version == v)
+  }
+
   test("indexStaleness: per-cell counts are exact; drifted appends raise mean error") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val old = e.filter($"vec_id" >= 10 && $"vec_id" < 300)
