@@ -664,6 +664,39 @@ object PipelineQueries {
       .orderBy($"t")
   }
 
+  /** q187: inter-annotator agreement
+    * ([[graft.ops.ClassifierEval.cohenKappa]]) — Cohen's κ between the
+    * corpus's gold `lang` label and the q42 marker-word lang-id
+    * heuristic: the chance-corrected agreement a labeling pipeline
+    * reports before trusting auto-labels (raw accuracy is inflated
+    * exactly when the class distribution is skewed, which corpus
+    * language labels always are). One row of exact-integer-derived
+    * (n, agree, po, pe, kappa); the oracle replays the prediction, the
+    * confusion cells and the single-divide κ identity. */
+  def annotatorKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.cohenKappa(
+      TextAnalysis.langIdScores(Tables.documents(s, dir), "text")
+        .select($"lang", $"predicted"),
+      "lang", "predicted")
+  }
+
+  /** q189: per-class classification report
+    * ([[graft.ops.ClassifierEval.classificationReport]]) — precision /
+    * recall / F1 per language for the q42 lang-id heuristic against the
+    * gold label, macro-F1 carried per row: the per-class breakdown the
+    * q187 single-number κ hides (a labeler can agree 90% overall while
+    * never predicting a minority class — that class's zero row is the
+    * signal). Classes present on either side always emit a row. */
+  def langIdReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.classificationReport(
+      TextAnalysis.langIdScores(Tables.documents(s, dir), "text")
+        .select($"lang", $"predicted"),
+      "lang", "predicted")
+      .orderBy($"class")
+  }
+
   /** q179: T5 span-corruption data prep ([[Chunking.spanCorrupt]]) —
     * deterministic (input, target) denoising pairs: every full 8-token
     * block loses one 2-token span at an md5-chosen offset, sentinels
@@ -1443,6 +1476,23 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q186: TIME-TRAVEL LM serving ([[graft.ops.LmIndex.scoreAt]] /
+    * [[graft.ops.Manifest.stateAt]]) — the manifest protocol's snapshot
+    * dividend: q170's model directory holds version 1 (build on the
+    * historic doc_id < 250 slice) and version 2 (the ≥ 250 append);
+    * scoring AS OF version 1 must equal a model that never saw the
+    * append. The oracle replays the LIVE backoff computation on the
+    * HISTORIC training slice only, so the hash match proves
+    * snapshot-read ≡ historic rebuild — no model copies kept, the
+    * retained manifest + immutable deltas ARE the old model. */
+  def lmTimeTravelScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.LmIndex.scoreAt(s, lmAppendIndexFor(s, dir), version = 1L,
+        Tables.documents(s, dir).filter($"doc_id" % 10 === 0),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   /** q159: character-entropy quality profile
     * ([[TextAnalysis.charEntropy]]) — the information-density signal:
     * templated text scores low, random gibberish high; both tails are
@@ -1754,6 +1804,32 @@ object PipelineQueries {
         budgetTokens = 256)
       .select($"doc_id", $"lang", $"n_tokens", $"seq_id", $"tok_offset")
       .orderBy($"lang", $"doc_id")
+  }
+
+  /** q188: BPE DECODE roundtrip audit ([[TextAnalysis.bpeDecode]]) —
+    * the invertibility proof for the shipped id sequences: q181's
+    * per-doc token ids resolve back through the
+    * [[TextAnalysis.bpeVocab]] table and must reassemble the space-free
+    * normalized text verbatim (word boundaries are the documented loss
+    * — the id scheme has no end-of-word marker). Per doc:
+    * (n_tokens, n_chars, ok); any ok = 0 row is a lossy tokenizer bug.
+    * The oracle replays training, encode, the vocab AND the decode. */
+  def bpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val merges = bpeMergesFor(s, dir)
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+    val dec = TextAnalysis.bpeDecode(enc, "doc_id", "token_ids",
+      TextAnalysis.bpeVocab(docs, "text", merges))
+    dec.join(enc.select($"doc_id", $"n_tokens"), Seq("doc_id"))
+      .join(docs.select($"doc_id",
+        concat_ws("",
+          filter(TextAnalysis.tokens($"text"), t => length(t) > 0))
+          .as("_ref")), Seq("doc_id"))
+      .select($"doc_id", $"n_tokens",
+        length($"decoded").cast("long").as("n_chars"),
+        when($"decoded" === $"_ref", 1L).otherwise(0L).as("ok"))
+      .orderBy($"doc_id")
   }
 
   /** q172: INCREMENTAL dedup-graph maintenance
@@ -2106,7 +2182,11 @@ object PipelineQueries {
     "q182_bpe_packing"    -> (bpePacking _),
     "q183_maximal_spans"  -> (maximalSpans _),
     "q184_bm25_compact"   -> (bm25CompactTopK _),
-    "q185_quality_auc"    -> (qualityAuc _))
+    "q185_quality_auc"    -> (qualityAuc _),
+    "q186_lm_time_travel" -> (lmTimeTravelScore _),
+    "q187_annotator_kappa" -> (annotatorKappa _),
+    "q188_bpe_roundtrip"  -> (bpeRoundtrip _),
+    "q189_langid_report"  -> (langIdReport _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3495,23 +3575,7 @@ object PipelineQueries {
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
     "q42_langid" ->
-      s"""WITH s AS (
-         |  SELECT lang,
-         |    len(list_filter(string_split($norm, ' '), t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
-         |    len(list_filter(string_split($norm, ' '), t -> t IN ('der','die','das','und','ist','ein'))) AS c_de,
-         |    len(list_filter(string_split($norm, ' '), t -> t IN ('le','la','les','et','est','une'))) AS c_fr,
-         |    len(list_filter(string_split($norm, ' '), t -> t IN ('el','los','las','y','es','una'))) AS c_es,
-         |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS c_zh
-         |  FROM documents),
-         |p AS (
-         |  SELECT lang, CASE
-         |    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 AND c_zh = 0 THEN 'und'
-         |    WHEN c_zh > 0 THEN 'zh'
-         |    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
-         |    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
-         |    WHEN c_fr >= c_es THEN 'fr'
-         |    ELSE 'es' END AS predicted
-         |  FROM s)
+      s"""WITH $langIdPredCtes
          |SELECT lang, predicted, COUNT(*) AS n
          |FROM p
          |GROUP BY lang, predicted
@@ -4577,12 +4641,87 @@ object PipelineQueries {
     "q168_lm_index_score" -> backoffTrigramOracle,
     "q170_lm_index_append" -> backoffTrigramOracle,
     "q180_lm_compact" -> backoffTrigramOracle,
+    "q186_lm_time_travel" ->
+      backoffTrigramOracle("doc_id % 10 <> 0 AND doc_id < 250"),
+    "q187_annotator_kappa" ->
+      s"""WITH $langIdPredCtes,
+         |cells AS (
+         |  SELECT lang AS a, predicted AS b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         |    CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS BIGINT) AS agree
+         |  FROM cells),
+         |ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY a),
+         |mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY b),
+         |sx AS (
+         |  SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS s
+         |  FROM ma JOIN mb ON ma.a = mb.b)
+         |SELECT n_total AS n, agree,
+         |  ROUND(CAST(agree AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS po,
+         |  ROUND(CAST(s AS DOUBLE) /
+         |    (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS pe,
+         |  CASE WHEN n_total * n_total - s = 0 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE ROUND(CAST(n_total * agree - s AS DOUBLE) /
+         |      CAST(n_total * n_total - s AS DOUBLE), 6) END AS kappa
+         |FROM tot, sx""".stripMargin,
+    "q189_langid_report" ->
+      s"""WITH $langIdPredCtes,
+         |cells AS (
+         |  SELECT lang AS a, predicted AS b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |tr AS (SELECT a AS class, CAST(SUM(n) AS BIGINT) AS n_true FROM cells GROUP BY a),
+         |pr AS (SELECT b AS class, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY b),
+         |tpx AS (SELECT a AS class, n AS tp FROM cells WHERE a = b),
+         |pc AS (
+         |  SELECT COALESCE(tr.class, pr.class) AS class,
+         |    CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+         |    CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+         |    CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+         |  FROM tr FULL JOIN pr ON tr.class = pr.class
+         |  LEFT JOIN tpx ON COALESCE(tr.class, pr.class) = tpx.class),
+         |pm AS (
+         |  SELECT *, CAST(ROUND(2e6 * CAST(tp AS DOUBLE) /
+         |    CAST(n_true + n_pred AS DOUBLE)) AS BIGINT) AS f1m
+         |  FROM pc),
+         |mac AS (
+         |  SELECT COUNT(*) AS k, CAST(SUM(f1m) AS BIGINT) AS fsum FROM pm)
+         |SELECT class, n_true, n_pred, tp,
+         |  ROUND(CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS precision,
+         |  ROUND(CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS recall,
+         |  ROUND(CAST(f1m AS DOUBLE) / 1e6, 6) AS f1,
+         |  ROUND(CAST(fsum AS DOUBLE) / (CAST(k AS DOUBLE) * 1e6), 6) AS macro_f1
+         |FROM pm, mac
+         |ORDER BY class""".stripMargin,
     "q181_bpe_encode" ->
       s"""WITH $bpeBatchedCtes,
          |$bpeEncodeCtes
          |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens,
          |  array_to_string(list_transform(tids, x -> CAST(x AS VARCHAR)), '_') AS tokens_str
          |FROM enc ORDER BY doc_id""".stripMargin,
+    "q188_bpe_roundtrip" ->
+      s"""WITH $bpeBatchedCtes,
+         |$bpeEncodeCtes,
+         |dx AS (
+         |  SELECT doc_id, n_tokens, p, tid FROM (
+         |    SELECT doc_id, len(tids) AS n_tokens,
+         |      unnest(generate_series(1, len(tids))) AS p,
+         |      unnest(tids) AS tid
+         |    FROM enc)),
+         |dec AS (
+         |  SELECT doc_id, CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+         |    string_agg(sub, '' ORDER BY p) AS decoded
+         |  FROM dx JOIN vocab ON vocab.tok_id = dx.tid
+         |  GROUP BY doc_id),
+         |ref AS (
+         |  SELECT doc_id, replace($norm, ' ', '') AS r FROM documents)
+         |SELECT dec.doc_id, n_tokens,
+         |  CAST(length(decoded) AS BIGINT) AS n_chars,
+         |  CAST(CASE WHEN decoded = r THEN 1 ELSE 0 END AS BIGINT) AS ok
+         |FROM dec JOIN ref USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q182_bpe_packing" ->
       s"""WITH $bpeBatchedCtes,
          |$bpeEncodeCtes,
@@ -4666,8 +4805,36 @@ object PipelineQueries {
   /** Shared by q167 (live) and q168 (persisted-model serving): the
     * oracle replays the LIVE computation, so a q168 hash match proves
     * persisted ≡ live ≡ DuckDB. */
-  private def backoffTrigramOracle: String =
-    s"""WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+  /** The q42 marker-word lang-id replay, ending in `p(lang, predicted)`
+    * — shared by the confusion matrix (q42), Cohen's κ (q187) and the
+    * per-class report (q189). */
+  private def langIdPredCtes: String =
+    s"""s AS (
+       |  SELECT lang,
+       |    len(list_filter(string_split($norm, ' '), t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
+       |    len(list_filter(string_split($norm, ' '), t -> t IN ('der','die','das','und','ist','ein'))) AS c_de,
+       |    len(list_filter(string_split($norm, ' '), t -> t IN ('le','la','les','et','est','une'))) AS c_fr,
+       |    len(list_filter(string_split($norm, ' '), t -> t IN ('el','los','las','y','es','una'))) AS c_es,
+       |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS c_zh
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang, CASE
+       |    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 AND c_zh = 0 THEN 'und'
+       |    WHEN c_zh > 0 THEN 'zh'
+       |    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       |    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       |    WHEN c_fr >= c_es THEN 'fr'
+       |    ELSE 'es' END AS predicted
+       |  FROM s)""".stripMargin
+
+  private def backoffTrigramOracle: String = backoffTrigramOracle("doc_id % 10 <> 0")
+
+  /** The live stupid-backoff replay, parameterized by the TRAINING-slice
+    * predicate so the time-travel entry (q186) can replay the historic
+    * snapshot's training data while q167/q168/q170/q180 replay the full
+    * train slice. */
+  private def backoffTrigramOracle(trainPred: String): String =
+    s"""WITH tr AS (SELECT text FROM documents WHERE $trainPred),
          |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
          |trw AS (SELECT string_split($norm, ' ') AS ws FROM tr
          |  WHERE len(string_split($norm, ' ')) >= 3),

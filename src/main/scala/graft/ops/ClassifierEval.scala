@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Label-quality readouts over a (gold, predicted) pair column — the
+  * ANNOTATION-AGREEMENT tier of the eval stack next to
+  * [[Calibration]] (is the confidence honest?), [[Calibration.binaryAuc]]
+  * (does it rank?) and [[RankMetrics]] (does retrieval find it?): before
+  * a curation pipeline trusts auto-labels (lang-id, quality buckets,
+  * topic tags), it needs the chance-corrected agreement against a gold
+  * set ([[cohenKappa]]) and the per-class precision/recall/F1 breakdown
+  * ([[classificationReport]]) — raw accuracy is inflated exactly when
+  * the label distribution is skewed, which corpus labels always are.
+  *
+  * Determinism (the repo's oracle discipline): every statistic is
+  * derived from EXACT integer confusion counts — kappa is one fixed
+  * final divide of two exact longs ((N·agree − Σₖ nAₖ·nBₖ) ∕
+  * (N² − Σₖ nAₖ·nBₖ)), per-class F1 is micro-quantized
+  * (round(2·10⁶·tp ∕ (n_true + n_pred))) so the macro average is an
+  * exact integer sum with a single final divide — bit-replayable in
+  * DuckDB.
+  *
+  * Plan: ONE corpus-scale groupBy (map-side combined) to the
+  * |classes|²-bounded confusion-cell frame; everything after —
+  * marginals, the marginal-product sum, per-class rows — is arithmetic
+  * on that bounded frame (broadcast-joined 1-row totals, never a second
+  * corpus pass). NULL labels fail typed: a NULL would silently vanish
+  * from GROUP BY marginals while still counting in N. */
+object ClassifierEval {
+
+  /** The |classes|²-bounded confusion-cell frame (a, b, n) with a typed
+    * NULL probe — shared by both readouts. */
+  private def cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val nulls = df.filter(col(aCol).isNull || col(bCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"agreement stats need non-NULL '$aCol'/'$bCol' labels — a NULL " +
+        "would drop from the class marginals while counting in N; filter " +
+        "or impute first")
+    df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Cohen's κ between two label columns (annotator A vs annotator B,
+    * or gold vs predicted): (p_o − p_e) ∕ (1 − p_e) with p_o the
+    * observed agreement rate and p_e = Σₖ p_A(k)·p_B(k) the
+    * agreement expected from the marginals alone — the statistic that
+    * reports 0 for a labeler that matches only as often as chance.
+    * One output row: (n, agree, po, pe, kappa).
+    *
+    * Degenerate input (both columns constant and equal — the only way
+    * p_e = 1, by Cauchy–Schwarz it forces agree = N) reports κ = 1.0,
+    * documented rather than NaN. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val c = cells(df, aCol, bCol).localCheckpoint(true) // cells²-sized, read 3×
+    val tot = c.agg(
+      sum(col("n")).as("n_total"),
+      coalesce(sum(when(col("a") === col("b"), col("n"))), lit(0L))
+        .as("agree"))
+    val s = c.groupBy(col("a")).agg(sum(col("n")).as("na"))
+      .join(c.groupBy(col("b")).agg(sum(col("n")).as("nb")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("s"))
+    tot.crossJoin(broadcast(s))
+      .select(
+        col("n_total").as("n"),
+        col("agree"),
+        round(col("agree").cast("double") / col("n_total").cast("double"), 6)
+          .as("po"),
+        round(col("s").cast("double") /
+          (col("n_total").cast("double") * col("n_total").cast("double")), 6)
+          .as("pe"),
+        when(col("n_total") * col("n_total") - col("s") === 0L, lit(1.0d))
+          .otherwise(round(
+            (col("n_total") * col("agree") - col("s")).cast("double") /
+              (col("n_total") * col("n_total") - col("s")).cast("double"), 6))
+          .as("kappa"))
+  }
+
+  /** Per-class precision / recall / F1 against a gold column, macro-F1
+    * carried on every row (the ev_share convention): one row per class
+    * present on EITHER side — a class the model never predicts (or
+    * hallucinates) must appear with its zeros, not silently vanish.
+    *
+    * precision = tp∕n_pred (0 when never predicted), recall = tp∕n_true
+    * (0 when no gold rows), F1 = 2·tp∕(n_true + n_pred) — the harmonic
+    * mean identity that needs no precision·recall product, so it stays
+    * one exact integer divide. macro_f1 averages the micro-quantized
+    * per-class F1s (exact integer sum, one final divide). */
+  def classificationReport(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val c = cells(df, labelCol, predCol).localCheckpoint(true)
+    val truth = c.groupBy(col("a").as("class")).agg(sum(col("n")).as("n_true"))
+    val pred = c.groupBy(col("b").as("class")).agg(sum(col("n")).as("n_pred"))
+    val tp = c.filter(col("a") === col("b"))
+      .select(col("a").as("class"), col("n").as("tp"))
+    val perClass = truth.join(pred, Seq("class"), "full")
+      .join(tp, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("_f1_micro",
+        round(lit(2e6d) * col("tp").cast("double") /
+          (col("n_true") + col("n_pred")).cast("double")).cast("long"))
+    val macroTot = perClass.agg(
+      count(lit(1)).as("_k"), sum(col("_f1_micro")).as("_fsum"))
+    perClass.crossJoin(broadcast(macroTot))
+      .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+        round(when(col("n_pred") > 0L,
+            col("tp").cast("double") / col("n_pred").cast("double"))
+          .otherwise(lit(0.0d)), 6).as("precision"),
+        round(when(col("n_true") > 0L,
+            col("tp").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(0.0d)), 6).as("recall"),
+        round(col("_f1_micro").cast("double") / 1e6d, 6).as("f1"),
+        round(col("_fsum").cast("double") /
+          (col("_k").cast("double") * 1e6d), 6).as("macro_f1"))
+  }
+}

@@ -115,9 +115,34 @@ object LmIndex {
   def score(s: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
       alpha: Double = 0.4, hotK: Int = Skew.Auto): DataFrame = {
-    import org.apache.spark.sql.functions._
     val paths = Manifest.livePaths(s, dir)
     require(paths.nonEmpty, s"no live LM model under $dir — build() first")
+    scoreFrom(s, paths, batch, idCol, textCol, alpha, hotK)
+  }
+
+  /** TIME TRAVEL serving: score against the model AS OF an explicit
+    * manifest version — the snapshot a past [[build]]/[[append]]/
+    * [[compact]] committed, served read-only from its retained manifest
+    * + immutable deltas ([[Manifest.stateAt]]). The regression-debugging
+    * answer ("did yesterday's model score this batch differently?")
+    * without keeping model copies. Typed failure on a never-committed or
+    * gc'd version. scoreAt(current version) ≡ [[score]] by construction;
+    * scoreAt(pre-append version) ≡ a fresh build on the pre-append
+    * training data — proven by the q186 oracle, which replays the LIVE
+    * computation on the historic slice. */
+  def scoreAt(s: SparkSession, dir: String, version: Long, batch: DataFrame,
+      idCol: String, textCol: String,
+      alpha: Double = 0.4, hotK: Int = Skew.Auto): DataFrame = {
+    val paths = Manifest.livePathsAt(s, dir, version)
+    require(paths.nonEmpty,
+      s"manifest version $version of $dir lists no deltas — empty model")
+    scoreFrom(s, paths, batch, idCol, textCol, alpha, hotK)
+  }
+
+  private def scoreFrom(s: SparkSession, paths: Seq[String], batch: DataFrame,
+      idCol: String, textCol: String,
+      alpha: Double, hotK: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
     TextAnalysis.scoreBackoffTrigrams(
       TextAnalysis.docTrigrams(batch, idCol, textCol).localCheckpoint(true),
       idCol,

@@ -77,12 +77,39 @@ object Manifest {
       .map(_.getPath.getName)
       .filter(_.matches("v\\d{19}"))
     if (versions.isEmpty) return State(0L, Nil)
-    val top = versions.max
-    val in = fs.open(new Path(mdir, top))
+    readState(fs, mdir, versions.max)
+  }
+
+  /** TIME TRAVEL: the committed state at an EXPLICIT manifest version —
+    * every commit keeps its predecessor manifests on disk (only [[gc]]
+    * prunes them past the age threshold), so any still-retained snapshot
+    * can be served read-only exactly as it was: same delta list, same
+    * immutable delta dirs (Iceberg/Delta's `VERSION AS OF`, minimally).
+    * Typed failure when the version was never committed or has been
+    * gc'd — never a silent empty model. */
+  def stateAt(spark: SparkSession, dir: String, version: Long): State = {
+    require(version >= 1L, s"manifest versions start at 1, got $version")
+    val (fs, base) = fsOf(spark, dir)
+    val mdir = new Path(base, ManifestDir)
+    val name = versionName(version)
+    require(fs.exists(new Path(mdir, name)),
+      s"no manifest version $version under $dir — never committed, or " +
+        "already gc'd past the retention age; time travel only reaches " +
+        "retained snapshots")
+    readState(fs, mdir, name)
+  }
+
+  /** Absolute delta paths of the snapshot at `version` — the time-travel
+    * twin of [[livePaths]], resolved once per query. */
+  def livePathsAt(spark: SparkSession, dir: String, version: Long): Seq[String] =
+    stateAt(spark, dir, version).deltas.map(d => s"$dir/$d")
+
+  private def readState(fs: FileSystem, mdir: Path, name: String): State = {
+    val in = fs.open(new Path(mdir, name))
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    State(top.drop(1).toLong,
+    State(name.drop(1).toLong,
       text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
   }
 

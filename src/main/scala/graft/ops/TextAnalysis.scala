@@ -1176,19 +1176,7 @@ object TextAnalysis {
       .filter(length(col("w")) > 0)
     val words = docToks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .localCheckpoint(true) // alphabet scan + fold + typed probe
-    // alphabet: distinct chars, sorted — a bounded driver collect
-    val alphabet = words
-      .select(explode(split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " "))
-        .as("ch"))
-      .filter(length(col("ch")) > 0)
-      .distinct().orderBy(col("ch"))
-      .as[String].collect()
-    val base = alphabet.zipWithIndex.map { case (c, i) => (c, i.toLong) }
-    // merge outputs in training order; first mint wins on duplicates
-    val mergeIds = merges.map(_._2).zipWithIndex
-      .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
-      .map { case (m, i) => (m, alphabet.length + i.toLong) }
-    val vocabDf = (base ++ mergeIds).toSeq.toDF("sub", "tok_id")
+    val vocabDf = vocabFromWords(words, merges)
     // fold the merges over the vocab-sized word table
     val sym0 = trim(regexp_replace(col("w"), "(.)", "$1 "))
     val symN = merges.foldLeft(sym0) { case (c, (p, m)) => bpeApply(c, p, m) }
@@ -1213,6 +1201,69 @@ object TextAnalysis {
         flatten(transform(array_sort(col("_pl")), s => s.getField("ids")))
           .as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** The (sub, tok_id) vocabulary a corpus + merge list induces under
+    * [[bpeEncode]]'s id scheme — exposed so [[bpeDecode]] (and any
+    * external consumer of the shipped id sequences) can resolve ids
+    * without re-running encode. One corpus scan (the distinct-word
+    * table), one bounded driver collect (the alphabet). */
+  def bpeVocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    vocabFromWords(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq")),
+      merges)
+
+  /** [[bpeEncode]]'s id scheme over an already-computed distinct-word
+    * table: alphabet chars sorted → ids 0..A−1, merge i mints A+i−1
+    * (first mint wins on duplicate outputs). */
+  private def vocabFromWords(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    // alphabet: distinct chars, sorted — a bounded driver collect
+    val alphabet = words
+      .select(explode(split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " "))
+        .as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().orderBy(col("ch"))
+      .as[String].collect()
+    val base = alphabet.zipWithIndex.map { case (c, i) => (c, i.toLong) }
+    // merge outputs in training order; first mint wins on duplicates
+    val mergeIds = merges.map(_._2).zipWithIndex
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+      .map { case (m, i) => (m, alphabet.length + i.toLong) }
+    (base ++ mergeIds).toSeq.toDF("sub", "tok_id")
+  }
+
+  /** BPE DECODE — the inverse of [[bpeEncode]] given the same vocab:
+    * each token id resolves to its subword string (a broadcast join
+    * against the vocab-sized table) and every document reassembles by
+    * position. Word boundaries are NOT recoverable (the id scheme
+    * carries no end-of-word marker), so the decoded string is the
+    * space-free normalized text — the q188 roundtrip audit compares
+    * against exactly that, proving the id sequences are lossless up to
+    * the documented boundary erasure. Unknown ids fail typed (one
+    * bounded anti-join probe): an id outside the vocab would silently
+    * drop a subword from the reassembled text. */
+  def bpeDecode(encoded: DataFrame, idCol: String, idsCol: String,
+      vocab: DataFrame): DataFrame = {
+    val ids = encoded
+      .select(col(idCol), posexplode(col(idsCol)).as(Seq("pos", "tok_id")))
+    val unknown = ids.join(broadcast(vocab), Seq("tok_id"), "left_anti")
+      .limit(1).count()
+    require(unknown == 0L,
+      "bpeDecode: a token id does not resolve in the vocab — the id " +
+        "sequences were encoded under a different corpus/merge list")
+    ids.join(broadcast(vocab), Seq("tok_id"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("sub"))).as("_sl"))
+      .select(col(idCol),
+        concat_ws("",
+          transform(array_sort(col("_sl")), s => s.getField("sub")))
+          .as("decoded"))
   }
 
   /** Top-k collocations by pointwise mutual information:

@@ -97,4 +97,29 @@ class LmIndexSpec extends SparkSpecBase {
         java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
       "just-unreferenced delta must survive until age-gated gc")
   }
+
+  test("time travel: scoreAt(pre-append version) ≡ a model that never saw the append") {
+    val docs = (Seq.fill(2)((1L, "a b c")) ++ Seq(
+      (2L, "b c d"), (3L, "c d a b"),
+      (10L, "a b c d x"), (11L, "x b c y"))).toDF("doc_id", "text")
+    val probe = docs.filter($"doc_id" >= 10L)
+    val dir = java.nio.file.Files.createTempDirectory("lmix5_").toString
+    LmIndex.build(docs.filter($"doc_id" < 3L), "text", dir)    // v1
+    val preAppend = LmIndex.score(spark, dir, probe, "doc_id", "text")
+      .collect().toSet
+    LmIndex.append(docs.filter($"doc_id" === 3L), "text", dir) // v2
+    // AS OF v1: identical to the pre-append serving; AS OF v2 ≡ current
+    val atV1 = LmIndex.scoreAt(spark, dir, 1L, probe, "doc_id", "text")
+      .collect().toSet
+    assert(atV1 == preAppend, "time-travel read diverged from the v1 model")
+    val atV2 = LmIndex.scoreAt(spark, dir, 2L, probe, "doc_id", "text")
+      .collect().toSet
+    val current = LmIndex.score(spark, dir, probe, "doc_id", "text")
+      .collect().toSet
+    assert(atV2 == current)
+    assert(atV1 != atV2, "the append must change the served scores")
+    intercept[IllegalArgumentException] {
+      LmIndex.scoreAt(spark, dir, 9L, probe, "doc_id", "text")
+    }
+  }
 }

@@ -101,6 +101,33 @@ class ManifestSpec extends SparkSpecBase {
     assert(Manifest.current(spark, dir).deltas.size == 2)
   }
 
+  test("time travel: stateAt serves each retained snapshot exactly; typed on gc'd/missing") {
+    val dir = newDir()
+    Manifest.commit(spark, dir,
+      Seq(writeDelta(Manifest.stage(dir), Seq(1L -> "a"))))
+    Manifest.commit(spark, dir,
+      Seq(writeDelta(Manifest.stage(dir), Seq(2L -> "b"))))
+    // rebuild drops delta 1+2 from the LIVE list, but v1/v2 manifests +
+    // their deltas are retained until gc ages them out
+    Manifest.commit(spark, dir,
+      Seq(writeDelta(Manifest.stage(dir), Seq(3L -> "c"))), removeAll = true)
+    def servedAt(v: Long): Set[(Long, String)] =
+      spark.read.parquet(
+          Manifest.livePathsAt(spark, dir, v).map(p => s"$p/t"): _*)
+        .as[(Long, String)].collect().toSet
+    assert(servedAt(1L) == Set(1L -> "a"))
+    assert(servedAt(2L) == Set(1L -> "a", 2L -> "b"))
+    assert(servedAt(3L) == Set(3L -> "c"))
+    assert(Manifest.stateAt(spark, dir, 3L) == Manifest.current(spark, dir))
+    intercept[IllegalArgumentException] { Manifest.stateAt(spark, dir, 4L) }
+    intercept[IllegalArgumentException] { Manifest.stateAt(spark, dir, 0L) }
+    // gc past the age gate prunes superseded manifests → typed failure,
+    // and the CURRENT version keeps serving
+    Manifest.gc(spark, dir, minAgeMs = 0L)
+    intercept[IllegalArgumentException] { Manifest.stateAt(spark, dir, 1L) }
+    assert(servedAt(3L) == Set(3L -> "c"))
+  }
+
   test("staged paths must be tmp_* children that exist") {
     val dir = newDir()
     intercept[IllegalArgumentException] {

@@ -491,6 +491,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("bpeDecode inverts bpeEncode through the exposed vocab; unknown ids fail typed") {
+    val df = Seq((1L, "abc abc ab"), (2L, "xbc ab cd"), (3L, "Abc  xbc"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(df, "text", iters = 3)
+      .orderBy($"iter").select($"pair", $"merged")
+      .as[(String, String)].collect().toSeq
+    val enc = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+    val vocab = TextAnalysis.bpeVocab(df, "text", merges)
+    val dec = TextAnalysis.bpeDecode(enc, "doc_id", "token_ids", vocab)
+      .as[(Long, String)].collect().toMap
+    val ref = df.select($"doc_id", Dedup.normText($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(dec.keySet == ref.keySet)
+    dec.foreach { case (id, d) =>
+      assert(d == ref(id).replace(" ", ""),
+        s"doc $id: decoded '$d' != spaceless norm '${ref(id)}'")
+    }
+    // an id minted under a DIFFERENT merge list does not resolve — typed
+    val alien = enc.withColumn("token_ids",
+      array_union($"token_ids", array(lit(99999L))))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeDecode(alien, "doc_id", "token_ids", vocab)
+    }
+  }
+
   test("bpeMerges rejects out-of-regime iteration counts") {
     val df = Seq("ab").toDF("text")
     intercept[IllegalArgumentException](TextAnalysis.bpeMerges(df, "text", iters = 257))
