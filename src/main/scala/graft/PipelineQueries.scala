@@ -928,6 +928,25 @@ object PipelineQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** q190: TIME-TRAVEL BM25 serving ([[graft.ops.TextIndex
+    * .probeIndexAt]]) — the q186 snapshot contract for the text family:
+    * q123's index directory holds version 1 (build on doc_id < 250) and
+    * version 2 (the ≥ 250 append); probing AS OF version 1 must be
+    * bit-equal to a from-scratch BM25 over the historic corpus alone
+    * (the oracle replays exactly that), proving a retained manifest +
+    * immutable postings deltas ARE the old index — no copies kept. */
+  def bm25TimeTravelTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sum_micro".desc, $"doc_id")
+    graft.ops.TextIndex.probeIndexAt(s, bm25AppendIndexFor(s, dir),
+        version = 1L, "doc_id", ragQueryRows)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"doc_id", $"bm25", $"rnk")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** q122: BM25 top-5 served from the PREBUILT inverted index
     * (TextIndex.probeIndex) — the postings scan partition-prunes to the
     * probe terms' md5 buckets instead of re-tokenizing the corpus per
@@ -2186,7 +2205,8 @@ object PipelineQueries {
     "q186_lm_time_travel" -> (lmTimeTravelScore _),
     "q187_annotator_kappa" -> (annotatorKappa _),
     "q188_bpe_roundtrip"  -> (bpeRoundtrip _),
-    "q189_langid_report"  -> (langIdReport _))
+    "q189_langid_report"  -> (langIdReport _),
+    "q190_bm25_time_travel" -> (bm25TimeTravelTopK _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2346,7 +2366,12 @@ object PipelineQueries {
   /** Shared DuckDB replay of the BM25 scoring chain through the ranked
     * CTE `r` (q_id, doc_id, sum_micro, rnk) — q82/q122/q123 append the
     * top-5 score select; q175 appends the ranking-metrics readout. */
-  private def bm25RankCtes: String = {
+  private def bm25RankCtes: String = bm25RankCtes("TRUE")
+
+  /** The corpus predicate parameterizes the INDEXED slice so the
+    * time-travel entry (q190) can replay the historic snapshot's corpus
+    * while q82/q122/q123/q184 replay the full one. */
+  private def bm25RankCtes(corpusPred: String): String = {
     // interpolate the Scala-computed double constants so both engines
     // multiply by the bit-identical values (CAST keeps DuckDB in double
     // arithmetic — bare decimal literals are DECIMAL-typed there)
@@ -2355,7 +2380,8 @@ object PipelineQueries {
     val qvals = ragQueryRows.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
     val qnorm = "regexp_replace(trim(lower(qtext)), '\\s+', ' ', 'g')"
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents),
+       |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token
+       |  FROM documents WHERE $corpusPred),
        |t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
@@ -2389,9 +2415,11 @@ object PipelineQueries {
        |  FROM sc)""".stripMargin
   }
 
-  private val bm25Oracle: String = {
+  private def bm25Oracle: String = bm25Oracle("TRUE")
+
+  private def bm25Oracle(corpusPred: String): String = {
     def d(x: Double) = s"CAST($x AS DOUBLE)"
-    s"""$bm25RankCtes
+    s"""${bm25RankCtes(corpusPred)}
        |SELECT q_id, doc_id,
        |  ROUND(CAST(sum_micro AS DOUBLE) / ${d(1e6)}, 6) AS bm25, rnk
        |FROM r WHERE rnk <= 5
@@ -3087,6 +3115,7 @@ object PipelineQueries {
     // identically to the one-shot full-corpus computation
     "q123_bm25_append" -> bm25Oracle,
     "q184_bm25_compact" -> bm25Oracle,
+    "q190_bm25_time_travel" -> bm25Oracle("doc_id < 250"),
     // q124 replays the full classifier: feature list (unigrams + adjacent
     // bigrams of the normalized text), polynomial bucket hash, LCG
     // stand-in weight table, exact integer score sum

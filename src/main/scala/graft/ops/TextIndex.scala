@@ -149,15 +149,36 @@ object TextIndex {
   def probeIndex(s: SparkSession, path: String, idCol: String,
       queries: Seq[(Long, String)], buckets: Int = 64,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // ONE manifest resolution shared by postings/docstats/stats — a
+    // consistent committed snapshot even while appends land concurrently
+    val live = Manifest.livePaths(s, path)
+    require(live.nonEmpty, s"no live text index under $path — writeIndex first")
+    probeFrom(s, live, idCol, queries, buckets, k1, b)
+  }
+
+  /** TIME TRAVEL serving — [[LmIndex.scoreAt]]'s contract for the text
+    * family: BM25 against the index AS OF an explicit manifest version
+    * (a retained snapshot's delta list, served read-only). Probing the
+    * pre-append version must be bit-equal to a from-scratch BM25 over
+    * the pre-append corpus — proven by the q190 oracle. Typed failure
+    * on a never-committed or gc'd version. */
+  def probeIndexAt(s: SparkSession, path: String, version: Long,
+      idCol: String, queries: Seq[(Long, String)], buckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val live = Manifest.livePathsAt(s, path, version)
+    require(live.nonEmpty,
+      s"manifest version $version of $path lists no deltas — empty index")
+    probeFrom(s, live, idCol, queries, buckets, k1, b)
+  }
+
+  private def probeFrom(s: SparkSession, live: Seq[String], idCol: String,
+      queries: Seq[(Long, String)], buckets: Int,
+      k1: Double, b: Double): DataFrame = {
     val qTerms = queries
       .flatMap { case (q, t) => normTokens(t).distinct.map(q -> _) }.distinct
     val probeTerms = qTerms.map(_._2).distinct
     require(probeTerms.nonEmpty, "queries produced no probe terms")
     val bucketLits = probeTerms.map(termBucket(_, buckets)).distinct
-    // ONE manifest resolution shared by postings/docstats/stats — a
-    // consistent committed snapshot even while appends land concurrently
-    val live = Manifest.livePaths(s, path)
-    require(live.nonEmpty, s"no live text index under $path — writeIndex first")
     val postings = live.map { p =>
         s.read.parquet(s"$p/postings")
           .filter(col("bucket").isin(bucketLits.map(x => x: Any): _*))

@@ -100,6 +100,33 @@ class TextIndexSpec extends SparkSpecBase {
     assert(serve() == scratch)
   }
 
+  test("time travel: probeIndexAt(pre-append version) ≡ an index that never saw the append") {
+    val split = tmp(); val historic = tmp()
+    TextIndex.writeIndex(docs.filter($"doc_id" < 3), "doc_id", "text",
+      split, buckets = 8)                                           // v1
+    TextIndex.appendToIndex(docs.filter($"doc_id" >= 3), "doc_id", "text",
+      split, buckets = 8)                                           // v2
+    TextIndex.writeIndex(docs.filter($"doc_id" < 3), "doc_id", "text",
+      historic, buckets = 8)
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"doc_id", $"sum_micro", $"bm25")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val atV1 = collect(TextIndex.probeIndexAt(spark, split, 1L, "doc_id",
+      queries, buckets = 8))
+    val fresh = collect(TextIndex.probeIndex(spark, historic, "doc_id",
+      queries, buckets = 8))
+    assert(atV1 == fresh, "v1 snapshot diverged from the historic rebuild")
+    val atV2 = collect(TextIndex.probeIndexAt(spark, split, 2L, "doc_id",
+      queries, buckets = 8))
+    val current = collect(TextIndex.probeIndex(spark, split, "doc_id",
+      queries, buckets = 8))
+    assert(atV2 == current)
+    assert(atV1 != atV2, "the append must change df/dl stats and scores")
+    intercept[IllegalArgumentException] {
+      TextIndex.probeIndexAt(spark, split, 7L, "doc_id", queries, buckets = 8)
+    }
+  }
+
   test("probeIndex rejects queries with no tokens") {
     intercept[IllegalArgumentException] {
       TextIndex.probeIndex(spark, "/nonexistent", "doc_id", Seq((0L, "   ")))
