@@ -318,6 +318,27 @@ object VectorQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** q191: TIME-TRAVEL IVF probing ([[graft.ops.Ivf.probeIndexAt]]) —
+    * the q186/q190 snapshot contract for the vector family, completing
+    * it across all three manifest-backed indexes: q111's directory
+    * holds version 1 (build on 3 ≤ vec_id < 400 under the historic
+    * model) and version 2 (the ≥ 400 assign-only append); probing AS OF
+    * version 1 sees neither the appended vectors nor any later model,
+    * and must be bit-equal to a fresh index over the historic corpus
+    * alone — the oracle replays training AND assignment restricted to
+    * the historic slice. */
+  def annIvfTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    graft.ops.Ivf.probeIndexAt(s, appendedIndexFor(s, dir), version = 1L,
+        qs, k = 5, nprobe = 6)
+      .select($"q_id", $"n_id", round($"sim", 6).as("sim"),
+        $"rnk".cast("long").as("rnk"))
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Product-quantization ADC top-k (Jégou et al. 2011): 2 sub-codebooks
     * of 8 centroids over 32-dim slices, trained by the same deterministic
     * micro-k-means as the IVF coarse quantizer (raw L2, per-subspace
@@ -682,6 +703,7 @@ object VectorQueries {
     "q104_label_cohesion"    -> (labelCohesion _),
     "q107_ivf_pq"            -> (ivfPqTopK _),
     "q111_ivf_append"        -> (annIvfAppend _),
+    "q191_ivf_time_travel"   -> (annIvfTimeTravel _),
     "q118_margin_mining"     -> (marginMining _),
     "q152_ivf_recall"        -> (ivfRecallAudit _),
     "q155_semantic_decon"    -> (semanticDecontaminate _),
@@ -921,20 +943,25 @@ object VectorQueries {
   /** The q52 IVF oracle with a pluggable training predicate: q111 reuses
     * the identical assign/probe/rank replay but trains on the historical
     * slice only — which IS the append semantics, since appended rows are
-    * assigned under the frozen model exactly like training-corpus rows. */
-  private def annIvfOracleWith(trainPred: String => String): String =
-    s"""WITH ${annIvfCtes(trainPred)}
+    * assigned under the frozen model exactly like training-corpus rows.
+    * `cellsPred` additionally restricts the INDEXED corpus — the q191
+    * time-travel entry replays the pre-append snapshot (train AND cells
+    * both historic). */
+  private def annIvfOracleWith(trainPred: String => String,
+      cellsPred: String = "vec_id >= 3"): String =
+    s"""WITH ${annIvfCtes(trainPred, cellsPred)}
        |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** The q52 CTE chain through `ranked` (IVF-approximate per-query
     * ranking), shared with the q152 recall audit. */
-  private def annIvfCtes(trainPred: String => String): String = {
+  private def annIvfCtes(trainPred: String => String,
+      cellsPred: String = "vec_id >= 3"): String = {
     val dim = 64; val nc = 16; val nprobe = 6
     s"""${kmeansCtes("", "embedding", dim, nc, 42L, trainPred, unitNorm = true)},
        |cells AS (
        |  SELECT vec_id AS n_id, cell FROM (
        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-       |    FROM cdist WHERE vec_id >= 3) t WHERE rn = 1),
+       |    FROM cdist WHERE $cellsPred) t WHERE rn = 1),
        |probes AS (
        |  SELECT vec_id AS q_id, cell FROM (
        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -1334,6 +1361,9 @@ object VectorQueries {
     "q52_ann_ivf" -> annIvfOracle,
     "q111_ivf_append" ->
       annIvfOracleWith(q => s"($q.vec_id >= 3 AND $q.vec_id < 400)"),
+    "q191_ivf_time_travel" ->
+      annIvfOracleWith(q => s"($q.vec_id >= 3 AND $q.vec_id < 400)",
+        cellsPred = "vec_id >= 3 AND vec_id < 400"),
     "q99_pq_adc" -> pqAdcOracle,
     "q107_ivf_pq" -> ivfPqOracle,
     "q104_label_cohesion" ->

@@ -217,10 +217,19 @@ object Ivf {
   /** Live delta paths that contain `sub`, in commit order — one
     * manifest resolution per call site. */
   private def liveWith(spark: org.apache.spark.sql.SparkSession,
-      path: String, sub: String): Seq[String] = {
+      path: String, sub: String): Seq[String] =
+    filterSub(spark, path, Manifest.livePaths(spark, path), sub)
+
+  /** [[liveWith]] at an explicit retained manifest version — the
+    * time-travel resolution ([[Manifest.stateAt]]). */
+  private def liveWithAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Long, sub: String): Seq[String] =
+    filterSub(spark, path, Manifest.livePathsAt(spark, path, version), sub)
+
+  private def filterSub(spark: org.apache.spark.sql.SparkSession,
+      path: String, paths: Seq[String], sub: String): Seq[String] = {
     val fs = fsOf(spark, path)
-    Manifest.livePaths(spark, path)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(s"$p/$sub")))
+    paths.filter(p => fs.exists(new org.apache.hadoop.fs.Path(s"$p/$sub")))
   }
 
   /** The committed corpus: every live delta's `cells` unioned — probes,
@@ -232,6 +241,15 @@ object Ivf {
     live.map(p => spark.read.parquet(s"$p/cells")).reduce(_ unionAll _)
   }
 
+  /** [[readCells]] AS OF a retained manifest version (time travel). */
+  def readCellsAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Long): DataFrame = {
+    val live = liveWithAt(spark, path, version, "cells")
+    require(live.nonEmpty,
+      s"manifest version $version of $path lists no cells deltas")
+    live.map(p => spark.read.parquet(s"$p/cells")).reduce(_ unionAll _)
+  }
+
   /** Load the coarse quantizer persisted by [[writeIndex]] — the newest
     * committed delta carrying a `model` (exactly one after any rebuild,
     * since builds commit `removeAll`). */
@@ -239,7 +257,23 @@ object Ivf {
       path: String): IvfModel = {
     val live = liveWith(spark, path, "model")
     require(live.nonEmpty, s"no live IVF model under $path — writeIndex first")
-    val rows = spark.read.parquet(s"${live.last}/model")
+    modelFrom(spark, live.last)
+  }
+
+  /** [[loadModel]] AS OF a retained manifest version — after a
+    * [[rebuildIfStale]] retrain this is the OLD quantizer, so a
+    * time-travel probe reproduces pre-rebuild serving exactly. */
+  def loadModelAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Long): IvfModel = {
+    val live = liveWithAt(spark, path, version, "model")
+    require(live.nonEmpty,
+      s"manifest version $version of $path lists no model delta")
+    modelFrom(spark, live.last)
+  }
+
+  private def modelFrom(spark: org.apache.spark.sql.SparkSession,
+      delta: String): IvfModel = {
+    val rows = spark.read.parquet(s"$delta/model")
       .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
     IvfModel(rows.map(_.getSeq[Float](1).toArray))
   }
@@ -428,15 +462,31 @@ object Ivf {
     * should join on ivf_cell instead and rely on dynamic partition
     * pruning. Re-rank is identical to [[topK]]. */
   def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    val m = loadModel(spark, path)
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
+    probeFrom(loadModel(spark, path), readCells(spark, path),
+      queries, k, nprobe)
+
+  /** TIME TRAVEL probing — [[LmIndex.scoreAt]] / [[TextIndex
+    * .probeIndexAt]]'s contract for the vector family: probe the index
+    * AS OF a retained manifest version (model AND cells from that
+    * snapshot, so a probe before an append sees neither the appended
+    * vectors nor — after a rebuild — the retrained quantizer). Probing
+    * the pre-append version is bit-equal to probing a fresh index built
+    * on the historic corpus alone (q191 oracle + IvfSpec). */
+  def probeIndexAt(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
+    probeFrom(loadModelAt(spark, path, version),
+      readCellsAt(spark, path, version), queries, k, nprobe)
+
+  private def probeFrom(m: IvfModel, allCells: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val probes = queries
       .withColumn("_graft_qu", unit(col("qv")))
       .select(col("q_id"), col("qv"),
         explode(probeCellsUnit(col("_graft_qu"), m, nprobe)).as("ivf_cell"))
     val probedCells = probes.select(col("ivf_cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = readCells(spark, path)
+    val cells = allCells
       .filter(col("ivf_cell").isin(probedCells.toIndexedSeq: _*))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id"))

@@ -143,6 +143,35 @@ class IvfSpec extends SparkSpecBase {
     assert(a == b, "probe-after-append must equal probe of the one-shot union index")
   }
 
+  test("time travel: probeIndexAt(pre-append version) ≡ an index that never saw the append") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val old = e.filter($"vec_id" >= 10 && $"vec_id" < 300)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val fresh = e.filter($"vec_id" >= 300)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val m = Ivf.train(old.select($"n_id".as("id"), $"nv".as("v")), "id", "v",
+      nc = 8, iters = 2)
+    val split = java.nio.file.Files.createTempDirectory("ivf_tt_a").toString
+    Ivf.writeIndex(old, "nv", m, split)      // v1
+    Ivf.appendToIndex(fresh, "nv", split)    // v2
+    val historic = java.nio.file.Files.createTempDirectory("ivf_tt_b").toString
+    Ivf.writeIndex(old, "nv", m, historic)
+    def coll(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val atV1 = coll(Ivf.probeIndexAt(spark, split, 1L, qs, k = 5, nprobe = 3))
+    val freshBuild = coll(Ivf.probeIndex(spark, historic, qs, k = 5, nprobe = 3))
+    assert(atV1 == freshBuild, "v1 snapshot diverged from the historic build")
+    val atV2 = coll(Ivf.probeIndexAt(spark, split, 2L, qs, k = 5, nprobe = 3))
+    val current = coll(Ivf.probeIndex(spark, split, qs, k = 5, nprobe = 3))
+    assert(atV2 == current)
+    assert(atV1 != atV2, "the appended vectors must change some top-5 list")
+    intercept[IllegalArgumentException] {
+      Ivf.probeIndexAt(spark, split, 8L, qs, k = 5, nprobe = 3)
+    }
+  }
+
   test("compact merges cells deltas into one; probes and model are unchanged") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qs = e.filter($"vec_id" < 10)
