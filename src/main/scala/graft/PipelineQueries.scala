@@ -1136,6 +1136,33 @@ object PipelineQueries {
       .orderBy($"predicted", $"bucket")
   }
 
+  /** q192: curation filter-funnel attribution
+    * ([[graft.ops.Curation.filterFunnel]]) — which gate costs the corpus
+    * the most: every doc is attributed to the FIRST of three ordered
+    * oracle-proven gates that rejects it (q127 Gopher rules → q160
+    * blocklist → q42 lang-id ≠ 'und'), and the readout chains n_in →
+    * n_out per stage with the reject share. The composition diagnostic a
+    * pipeline owner reads before reordering or loosening gates; the
+    * oracle replays all three gate computations AND the first-reject
+    * attribution chain. */
+  def filterFunnelQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sig = docs.select($"doc_id")
+      .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select($"doc_id", $"keep".as("g_keep")), Seq("doc_id"))
+      .join(TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+          Seq("slow", "big", "broken"))
+        .select($"doc_id", $"keep".as("b_keep")), Seq("doc_id"))
+      .join(TextAnalysis.langIdScores(docs, "text")
+        .select($"doc_id", $"predicted"), Seq("doc_id"))
+    graft.ops.Curation.filterFunnel(sig, Seq(
+        "gopher" -> ($"g_keep" === 1L),
+        "blocklist" -> ($"b_keep" === 1L),
+        "langid" -> ($"predicted" =!= "und")))
+      .orderBy($"stage")
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2206,7 +2233,8 @@ object PipelineQueries {
     "q187_annotator_kappa" -> (annotatorKappa _),
     "q188_bpe_roundtrip"  -> (bpeRoundtrip _),
     "q189_langid_report"  -> (langIdReport _),
-    "q190_bm25_time_travel" -> (bm25TimeTravelTopK _))
+    "q190_bm25_time_travel" -> (bm25TimeTravelTopK _),
+    "q192_filter_funnel"  -> (filterFunnelQuery _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -4724,6 +4752,53 @@ object PipelineQueries {
          |  ROUND(CAST(fsum AS DOUBLE) / (CAST(k AS DOUBLE) * 1e6), 6) AS macro_f1
          |FROM pm, mac
          |ORDER BY class""".stripMargin,
+    "q192_filter_funnel" ->
+      s"""WITH $langIdPredCtes,
+         |gt AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |gs AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+         |  FROM gt WHERE len(w) > 0),
+         |gr AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS g_keep
+         |  FROM gs),
+         |bl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(list_filter(string_split($norm, ' '),
+         |        t -> list_contains(['big', 'broken', 'slow'], t))) = 0
+         |      THEN 1 ELSE 0 END AS b_keep
+         |  FROM documents),
+         |sig AS (
+         |  SELECT p.doc_id, gr.g_keep, bl.b_keep, p.predicted
+         |  FROM p JOIN gr USING (doc_id) JOIN bl USING (doc_id)),
+         |fr AS (
+         |  SELECT CASE WHEN g_keep = 0 THEN 0 WHEN b_keep = 0 THEN 1
+         |    WHEN predicted = 'und' THEN 2 ELSE 3 END AS stage
+         |  FROM sig),
+         |cnt AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS rej FROM fr GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM fr),
+         |gg(stage, gate) AS (VALUES (0, 'gopher'), (1, 'blocklist'), (2, 'langid')),
+         |j AS (
+         |  SELECT gg.stage, gg.gate, CAST(COALESCE(c.rej, 0) AS BIGINT) AS n_rejected
+         |  FROM gg LEFT JOIN cnt c USING (stage)),
+         |k2 AS (
+         |  SELECT stage, gate, n_rejected,
+         |    t - CAST(COALESCE(SUM(n_rejected) OVER (ORDER BY stage
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in
+         |  FROM j, tot)
+         |SELECT CAST(stage AS BIGINT) AS stage, gate, n_in, n_rejected,
+         |  n_in - n_rejected AS n_out,
+         |  ROUND(CASE WHEN n_in > 0 THEN CAST(n_rejected AS DOUBLE) / CAST(n_in AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS reject_share
+         |FROM k2 ORDER BY stage""".stripMargin,
     "q181_bpe_encode" ->
       s"""WITH $bpeBatchedCtes,
          |$bpeEncodeCtes
@@ -4839,7 +4914,7 @@ object PipelineQueries {
     * per-class report (q189). */
   private def langIdPredCtes: String =
     s"""s AS (
-       |  SELECT lang,
+       |  SELECT doc_id, lang,
        |    len(list_filter(string_split($norm, ' '), t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
        |    len(list_filter(string_split($norm, ' '), t -> t IN ('der','die','das','und','ist','ein'))) AS c_de,
        |    len(list_filter(string_split($norm, ' '), t -> t IN ('le','la','les','et','est','une'))) AS c_fr,
@@ -4847,7 +4922,7 @@ object PipelineQueries {
        |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS c_zh
        |  FROM documents),
        |p AS (
-       |  SELECT lang, CASE
+       |  SELECT doc_id, lang, CASE
        |    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 AND c_zh = 0 THEN 'und'
        |    WHEN c_zh > 0 THEN 'zh'
        |    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'

@@ -88,6 +88,63 @@ object Curation {
       .select(col(idCol), col("change"))
   }
 
+  /** Ordered-gate ATTRITION FUNNEL — the curation diagnostic that says
+    * which filter costs the corpus the most: every row is attributed to
+    * the FIRST gate in `gates` (name, pass-predicate) that rejects it
+    * (the conjunctive-pipeline semantics: later gates never see it), and
+    * the readout is one row per gate — (stage, gate, n_in, n_rejected,
+    * n_out, reject_share) with n_out chaining into the next stage's
+    * n_in. Reordering gates changes the attribution, not the survivor
+    * set — that is exactly what makes the ordered readout actionable
+    * (the first expensive gate eats the blame shared rejections would
+    * hide).
+    *
+    * NULL gate values fail typed: `!pass` of NULL is NULL, when() would
+    * skip it and the row would silently fall through to a LATER stage —
+    * misattribution, not an error Spark would surface.
+    *
+    * Plan: the first-rejecting-stage index is ONE map-only coalesce of
+    * whens (codegen), the aggregate is gates+1 cells after map-side
+    * combine, and the n_in chain is a window over that bounded frame —
+    * nothing after the scan is more than gates-sized. */
+  def filterFunnel(df: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty && gates.size <= 64,
+      s"need 1..64 ordered gates, got ${gates.size}")
+    require(gates.map(_._1).distinct.size == gates.size,
+      "gate names must be unique")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nulls = df.filter(gates.map(_._2.isNull).reduce(_ || _))
+      .limit(1).count()
+    require(nulls == 0L,
+      "filterFunnel gates must be non-NULL booleans — a NULL would " +
+        "silently fall through to a later stage (misattribution); fix " +
+        "the gate expressions first")
+    val firstReject = coalesce(
+      gates.zipWithIndex.map { case ((_, pass), i) =>
+        when(!pass, lit(i.toLong))
+      } :+ lit(gates.size.toLong): _*)
+    val counts = df.select(firstReject.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("_rej"))
+    val names = gates.map(_._1).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("stage", "gate")
+    val tot = counts.agg(sum(col("_rej")).as("_total"))
+    // bounded single-partition window: ≤ 64 gate rows (the
+    // temperatureSweep exemption — never copy into anything data-sized)
+    val w = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    names.join(counts, Seq("stage"), "left")
+      .withColumn("n_rejected", coalesce(col("_rej"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_in",
+        col("_total") - coalesce(sum(col("n_rejected")).over(w), lit(0L)))
+      .select(col("stage"), col("gate"), col("n_in"), col("n_rejected"),
+        (col("n_in") - col("n_rejected")).as("n_out"),
+        round(when(col("n_in") > 0L,
+            col("n_rejected").cast("double") / col("n_in").cast("double"))
+          .otherwise(lit(0.0d)), 6).as("reject_share"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns: a release is
     * k-anonymous iff every quasi-identifier combination ("cell") has at
     * least k rows (Sweeney 2002). Returns one row per `groupCols` head

@@ -89,6 +89,47 @@ class CurationSpec extends SparkSpecBase {
       4L -> "same", 5L -> "added"))
   }
 
+  test("filterFunnel: first-reject attribution, chained n_in, zero-reject stages emit") {
+    // doc 1 passes all; 2,3 fail gate a; 4 fails b (and would fail c);
+    // 5 fails only c — gate c's zero blame for doc 4 is the ORDERED
+    // semantics under test
+    val sig = Seq(
+      (1L, true, true, true),
+      (2L, false, true, true),
+      (3L, false, false, true),
+      (4L, true, false, false),
+      (5L, true, true, false)).toDF("id", "a", "b", "c")
+    val got = Curation.filterFunnel(sig, Seq(
+        "a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .orderBy("stage")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, "a", 5L, 2L, 3L, 0.4d),
+      (1L, "b", 3L, 1L, 2L, 0.333333d),
+      (2L, "c", 2L, 1L, 1L, 0.5d)), got.toString)
+    // reordering changes attribution, never the survivor count
+    val rev = Curation.filterFunnel(sig, Seq(
+        "c" -> col("c"), "b" -> col("b"), "a" -> col("a")))
+      .orderBy("stage")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(rev.last._5 == 1L, rev.toString)
+    assert(rev.map(_._4).sum == got.map(_._4).sum)
+    // partition-layout independence
+    val rep = Curation.filterFunnel(sig.repartition(7), Seq(
+        "a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .orderBy("stage")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(rep == got)
+    // NULL gate value → typed, never silent misattribution
+    val withNull = Seq((1L, Some(true)), (2L, None)).toDF("id", "a")
+    intercept[IllegalArgumentException] {
+      Curation.filterFunnel(withNull, Seq("a" -> col("a")))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.filterFunnel(sig, Seq("a" -> col("a"), "a" -> col("b")))
+    }
+  }
+
   test("kAnonymityProfile rejects degenerate k") {
     intercept[IllegalArgumentException](
       Curation.kAnonymityProfile(docs, Seq("source"), Seq("n_chars"), k = 1))
