@@ -697,6 +697,32 @@ object PipelineQueries {
       .orderBy($"class")
   }
 
+  /** q193: multi-gate agreement ([[graft.ops.ClassifierEval
+    * .fleissKappa]]) — Fleiss' κ across the three keep/reject "raters"
+    * a curation pipeline actually runs (q127 Gopher rules, q160
+    * blocklist, q124 classifier at conf ≥ 0.5): the q192 funnel says
+    * what each gate COSTS; this says whether the gates measure the same
+    * thing (high κ → redundant gates, κ ≈ 0 → independent signals —
+    * both actionable). The oracle replays all three gate computations,
+    * the melt and the exact-integer κ identity. */
+  def gateAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sig = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep".as("g_keep"))
+      .join(TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+          Seq("slow", "big", "broken"))
+        .select($"doc_id", $"keep".as("b_keep")), Seq("doc_id"))
+      .join(QualityModel.classifierScore(docs, "doc_id", "text")
+        .withColumn("conf",
+          round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+        .select($"doc_id",
+          when($"conf" >= 0.5d, 1L).otherwise(0L).as("c_keep")),
+        Seq("doc_id"))
+    graft.ops.ClassifierEval.fleissKappa(sig, "doc_id",
+      Seq("g_keep", "b_keep", "c_keep"))
+  }
+
   /** q179: T5 span-corruption data prep ([[Chunking.spanCorrupt]]) —
     * deterministic (input, target) denoising pairs: every full 8-token
     * block loses one 2-token span at an md5-chosen offset, sentinels
@@ -2234,7 +2260,8 @@ object PipelineQueries {
     "q188_bpe_roundtrip"  -> (bpeRoundtrip _),
     "q189_langid_report"  -> (langIdReport _),
     "q190_bm25_time_travel" -> (bm25TimeTravelTopK _),
-    "q192_filter_funnel"  -> (filterFunnelQuery _))
+    "q192_filter_funnel"  -> (filterFunnelQuery _),
+    "q193_gate_agreement" -> (gateAgreement _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3298,6 +3325,80 @@ object PipelineQueries {
          |      (${d(2.0)} * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
          |    ELSE ${d(0.5)} END AS auc
          |FROM t2""".stripMargin
+    },
+    // q193: the q177/q185 classifier + gopher replays plus the q160
+    // blocklist, melted to (item, label) ratings and folded through the
+    // exact-integer Fleiss identity
+    "q193_gate_agreement" -> {
+      import graft.ops.QualityModel.{NumBuckets, WeightMul, WeightAdd, WeightMod, WeightHalf}
+      def d(x: Double) = s"CAST($x AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |fx AS (
+         |  SELECT doc_id, unnest(list_concat(w,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS feat
+         |  FROM t),
+         |f AS (SELECT doc_id, feat FROM fx WHERE length(feat) > 0),
+         |fb AS (SELECT doc_id, ${duckFold("feat", graft.expr.DedupKernel.B1)} % $NumBuckets AS bucket FROM f),
+         |wt AS (
+         |  SELECT g.b AS bucket, ((g.b * $WeightMul + $WeightAdd) % $WeightMod) - $WeightHalf AS w_micro
+         |  FROM generate_series(0, ${NumBuckets - 1}) g(b)),
+         |cls AS (
+         |  SELECT doc_id, COUNT(*) AS n_features, SUM(w_micro) AS sm
+         |  FROM fb JOIN wt USING (bucket) GROUP BY 1),
+         |pred AS (
+         |  SELECT doc_id, ROUND(${d(1.0)} / (${d(1.0)} + exp(-ROUND(
+         |    CAST(sm AS DOUBLE) / (CAST(n_features AS DOUBLE) * 1000000), 6))), 6) AS conf
+         |  FROM cls),
+         |tg AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+         |  FROM tg WHERE len(w) > 0),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |  FROM sg),
+         |bl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(list_filter(string_split($norm, ' '),
+         |        x -> list_contains(['big', 'broken', 'slow'], x))) = 0
+         |      THEN 1 ELSE 0 END AS b_keep
+         |  FROM documents),
+         |sig AS (
+         |  SELECT l.doc_id, l.keep AS g_keep, b.b_keep,
+         |    CASE WHEN p.conf >= ${d(0.5)} THEN 1 ELSE 0 END AS c_keep
+         |  FROM lab l JOIN bl b USING (doc_id) JOIN pred p USING (doc_id)),
+         |rat AS (
+         |  SELECT doc_id, CAST(g_keep AS VARCHAR) AS rl FROM sig
+         |  UNION ALL SELECT doc_id, CAST(b_keep AS VARCHAR) FROM sig
+         |  UNION ALL SELECT doc_id, CAST(c_keep AS VARCHAR) FROM sig),
+         |cells AS (
+         |  SELECT doc_id, rl, CAST(COUNT(*) AS BIGINT) AS nij
+         |  FROM rat GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(SUM(nij * nij) AS BIGINT) AS s2,
+         |    CAST(SUM(nij) // 3 AS BIGINT) AS n_items
+         |  FROM cells),
+         |cat AS (
+         |  SELECT CAST(SUM(cj * cj) AS BIGINT) AS c2 FROM (
+         |    SELECT rl, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY rl)),
+         |fin AS (SELECT s2, n_items, n_items * 3 AS nn FROM tot)
+         |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+         |  ROUND(CAST(s2 - nn AS DOUBLE) / CAST(nn * 2 AS DOUBLE), 6) AS p_bar,
+         |  ROUND(CAST(c2 AS DOUBLE) / CAST(nn * nn AS DOUBLE), 6) AS p_e,
+         |  CASE WHEN nn * nn - c2 = 0 THEN ${d(1.0)}
+         |    ELSE ROUND(CAST((s2 - nn) * nn - c2 * 2 AS DOUBLE) /
+         |      CAST(2 * (nn * nn - c2) AS DOUBLE), 6) END AS kappa
+         |FROM fin, cat""".stripMargin
     },
     // q178 extends q177: the same two replays, swept over the literal
     // temperature grid (unnest of CAST AS DOUBLE values — the p-list

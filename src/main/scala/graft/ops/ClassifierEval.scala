@@ -78,6 +78,67 @@ object ClassifierEval {
           .as("kappa"))
   }
 
+  /** Fleiss' κ — [[cohenKappa]] generalized to n ≥ 2 raters (Fleiss
+    * 1971): each listed column is one rater's label for the row's item;
+    * the statistic is the chance-corrected probability that two
+    * randomly chosen raters agree on a randomly chosen item. The
+    * multi-gate agreement readout: three curation gates that
+    * "agree 85%" may still be κ ≈ 0 if they mostly all say keep.
+    *
+    * Exact arithmetic: with N items, n raters, n_ij the raters giving
+    * item i label j, S₂ = Σᵢⱼ n_ij² and Cⱼ the per-label totals,
+    *   κ = ((S₂ − Nn)·Nn − ΣCⱼ²·(n−1)) ∕ ((n−1)·((Nn)² − ΣCⱼ²))
+    * — one divide of two exact integer products (exact in long/double
+    * up to Nn ≈ 2⁵³ᐟ³; beyond that route the products through DECIMAL).
+    * Degenerate unanimous-constant input ((Nn)² = ΣCⱼ², which forces
+    * perfect agreement) reports κ = 1.0, documented rather than NaN.
+    * One output row: (n_items, n_raters, p_bar, p_e, kappa).
+    *
+    * Plan: one map-only melt (×n raters), one (item, label) groupBy
+    * (map-side combined), then label-count-sized aggregates. NULL rater
+    * labels fail typed — a NULL would shrink an item's rating count and
+    * silently corrupt P_i. */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2 && raterCols.size <= 64,
+      s"need 2..64 rater columns, got ${raterCols.size}")
+    require(raterCols.distinct.size == raterCols.size,
+      "rater columns must be distinct")
+    val n = raterCols.size.toLong
+    val nulls = df.filter(raterCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).count()
+    require(nulls == 0L,
+      "fleissKappa needs non-NULL rater labels — a NULL would shrink an " +
+        "item's rating count and silently corrupt the agreement")
+    val melted = raterCols.map(rc =>
+        df.select(col(itemCol).as("_item"), col(rc).cast("string").as("_lab")))
+      .reduce(_ unionAll _)
+    val cells = melted.groupBy(col("_item"), col("_lab"))
+      .agg(count(lit(1)).as("_nij"))
+      .localCheckpoint(true) // items×labels-sized, read twice
+    val tot = cells.agg(
+      sum(col("_nij") * col("_nij")).as("_s2"),
+      (sum(col("_nij")) / n).cast("long").as("_n_items"))
+    val cat = cells.groupBy(col("_lab")).agg(sum(col("_nij")).as("_cj"))
+      .agg(sum(col("_cj") * col("_cj")).as("_c2"))
+    tot.crossJoin(broadcast(cat))
+      .withColumn("_nn", col("_n_items") * n)
+      .select(
+        col("_n_items").as("n_items"),
+        lit(n).as("n_raters"),
+        round((col("_s2") - col("_nn")).cast("double") /
+          (col("_nn") * (n - 1L)).cast("double"), 6).as("p_bar"),
+        round(col("_c2").cast("double") /
+          (col("_nn") * col("_nn")).cast("double"), 6).as("p_e"),
+        when(col("_nn") * col("_nn") - col("_c2") === 0L, lit(1.0d))
+          .otherwise(round(
+            ((col("_s2") - col("_nn")) * col("_nn") -
+              col("_c2") * (n - 1L)).cast("double") /
+              ((col("_nn") * col("_nn") - col("_c2")) * (n - 1L))
+                .cast("double"), 6))
+          .as("kappa"))
+  }
+
   /** Per-class precision / recall / F1 against a gold column, macro-F1
     * carried on every row (the ev_share convention): one row per class
     * present on EITHER side — a class the model never predicts (or

@@ -42,6 +42,35 @@ class ClassifierEvalSpec extends SparkSpecBase {
     }
   }
 
+  test("fleissKappa matches the hand-computed identity; unanimous input reports 1; NULL fails typed") {
+    // S2=28, N=4, n=3, Nn=12: p_bar=16/24, C=(6,6) -> c2=72, p_e=0.5,
+    // kappa = (192-144)/(2*72) = 1/3
+    val rows = Seq(
+      (1L, "a", "a", "a"),
+      (2L, "a", "a", "b"),
+      (3L, "b", "b", "b"),
+      (4L, "a", "b", "b")).toDF("item", "r1", "r2", "r3")
+    val out = ClassifierEval.fleissKappa(rows, "item", Seq("r1", "r2", "r3"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(out == ((4L, 3L, 0.666667d, 0.5d, 0.333333d)), out.toString)
+    // partition-layout independence
+    val rep = ClassifierEval.fleissKappa(rows.repartition(5), "item",
+      Seq("r1", "r2", "r3")).as[(Long, Long, Double, Double, Double)].head()
+    assert(rep == out)
+    val unanimous = Seq((1L, "k", "k"), (2L, "k", "k")).toDF("item", "r1", "r2")
+    val k1 = ClassifierEval.fleissKappa(unanimous, "item", Seq("r1", "r2"))
+      .select("kappa").as[Double].head()
+    assert(k1 == 1.0d)
+    val withNull = Seq((1L, Some("a"), "a"), (2L, None, "b"))
+      .toDF("item", "r1", "r2")
+    intercept[IllegalArgumentException] {
+      ClassifierEval.fleissKappa(withNull, "item", Seq("r1", "r2"))
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.fleissKappa(rows, "item", Seq("r1"))
+    }
+  }
+
   test("classificationReport: per-class P/R/F1, zero rows for one-sided classes") {
     // gold: a×3, b×2, c×1; predicted: a hits 2/3, b never predicted,
     // d hallucinated twice
