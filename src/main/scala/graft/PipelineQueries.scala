@@ -2060,6 +2060,26 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q194: UniMax budget allocation ([[graft.ops.Sampling.uniMax]]) —
+    * the waterfilling language sampler (Chung et al. 2023) next to
+    * q149's temperature plan: a 40% token budget (exact integer
+    * total·2∕5) spreads as uniformly as the per-language supplies
+    * allow, small languages saturate at 1 epoch, the rest share one
+    * water level. The closed-form sorted-prefix saturation test makes
+    * the whole plan one groups-sized window — and the oracle replays
+    * supply counts, the integer saturation scan and the single-divide
+    * water level. The driver-side budget derivation is one 1-row
+    * aggregate (config-bounded, the q149 literal generalized). */
+  def uniMaxPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir).select($"lang",
+      size(filter(TextAnalysis.tokens($"text"), t => length(t) > 0))
+        .cast("long").as("n_toks"))
+    val total = toks.agg(sum($"n_toks")).as[Long].head()
+    Sampling.uniMax(toks, "lang", "n_toks", budget = total * 2L / 5L)
+      .orderBy($"lang")
+  }
+
   /** q150: rendezvous-sharding rebalance audit
     * ([[graft.ops.Layout.rendezvousShard]]) — docs assigned under 10 and
     * 11 shards, compared: the output PROVES the minimal-movement
@@ -2261,7 +2281,8 @@ object PipelineQueries {
     "q189_langid_report"  -> (langIdReport _),
     "q190_bm25_time_travel" -> (bm25TimeTravelTopK _),
     "q192_filter_funnel"  -> (filterFunnelQuery _),
-    "q193_gate_agreement" -> (gateAgreement _))
+    "q193_gate_agreement" -> (gateAgreement _),
+    "q194_unimax"         -> (uniMaxPlan _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -4604,6 +4625,38 @@ object PipelineQueries {
          |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
          |  CAST(SUM(c) AS BIGINT) AS n_rows
          |FROM bc GROUP BY band ORDER BY band""".stripMargin,
+
+    "q194_unimax" ->
+      s"""WITH tk AS (
+         |  SELECT lang, CAST(len(list_filter(string_split($norm, ' '),
+         |    x -> length(x) > 0)) AS BIGINT) AS n
+         |  FROM documents),
+         |g AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tokens) * 2 // 5 AS BIGINT) AS b FROM g),
+         |sc AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS l
+         |  FROM g),
+         |st AS (
+         |  SELECT sc.*, tot.b,
+         |    (n_tokens * (l - i + 1) + (pfx - n_tokens)) <= b AS sat
+         |  FROM sc, tot),
+         |cut AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN sat THEN 1 END), 0) AS BIGINT) AS k,
+         |    CAST(COALESCE(SUM(CASE WHEN sat THEN n_tokens END), 0) AS BIGINT) AS psat,
+         |    CAST(COUNT(*) AS BIGINT) AS lt
+         |  FROM st)
+         |SELECT lang, n_tokens,
+         |  CASE WHEN sat THEN CAST(n_tokens AS DOUBLE)
+         |    ELSE ROUND(CAST(b - psat AS DOUBLE) / CAST(lt - k AS DOUBLE), 6) END AS alloc,
+         |  ROUND((CASE WHEN sat THEN CAST(n_tokens AS DOUBLE)
+         |    ELSE ROUND(CAST(b - psat AS DOUBLE) / CAST(lt - k AS DOUBLE), 6) END)
+         |    / CAST(b AS DOUBLE), 6) AS share
+         |FROM st, cut
+         |ORDER BY lang""".stripMargin,
 
     "q149_mixture_budget" ->
       s"""WITH tk0 AS (

@@ -253,4 +253,60 @@ object Sampling {
       .select(col(groupCol), col("n_tokens"),
         round(col("avg_lp"), 6).as("avg_logprob"), col("mixture_weight"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling"): spread a token budget as
+    * UNIFORMLY as possible across groups, capped at each group's own
+    * supply — the waterfilling answer to temperature mixtures'
+    * chronic head-language over-repetition ([[domainMixture]] weights
+    * by size^T; this caps repetition at 1 epoch and gives every
+    * remaining group the same water level). Closed form, no iteration:
+    * sort groups by supply ascending — the saturated set is a prefix —
+    * group i (1-based, prefix sums P_i) saturates iff
+    * c_i·(L−i+1) + P_{i−1} ≤ B, and every unsaturated group gets the
+    * water level T = (B − P_{k*}) ∕ (L − k*) for the largest saturating
+    * k*. When total supply ≤ B every group saturates (the leftover
+    * budget is the caller's to re-spread — documented, not hidden).
+    *
+    * Determinism: supplies are exact integer sums, the saturation test
+    * is pure integer arithmetic, T is ONE divide of exact longs, and
+    * every output is 6-dp-rounded — engine-replayable. Exact for
+    * budgets/supplies below 2⁵³ᐟ² per the long-product regime.
+    *
+    * Plan: one corpus-scale groupBy (map-side combined) to the
+    * groups-sized frame; the sorted prefix scan is a window over THAT
+    * frame (single partition, bounded by the group count — the
+    * temperatureSweep exemption: domains/languages, never documents).
+    * Output (group, n_tokens, alloc, share), alloc in tokens. */
+  def uniMax(df: DataFrame, groupCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0L, s"budget must be positive, got $budget")
+    val groups = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").asc, col(groupCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").asc, col(groupCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val scanned = groups
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_prefix", sum(col("n_tokens")).over(w))
+      .withColumn("_l", count(lit(1)).over(wAll))
+      .withColumn("_sat",
+        col("n_tokens") * (col("_l") - col("_i") + 1L) +
+          (col("_prefix") - col("n_tokens")) <= budget)
+    val cut = scanned.agg(
+      coalesce(sum(when(col("_sat"), lit(1L))), lit(0L)).as("_k"),
+      coalesce(sum(when(col("_sat"), col("n_tokens"))), lit(0L)).as("_psat"),
+      count(lit(1)).as("_lt"))
+    scanned.crossJoin(broadcast(cut))
+      .withColumn("alloc",
+        when(col("_sat"), col("n_tokens").cast("double"))
+          .otherwise(round((lit(budget) - col("_psat")).cast("double") /
+            (col("_lt") - col("_k")).cast("double"), 6)))
+      .select(col(groupCol), col("n_tokens"),
+        col("alloc"),
+        round(col("alloc") / lit(budget.toDouble), 6).as("share"))
+  }
 }

@@ -221,4 +221,33 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.alphaSample(docs, "doc_id", "grp", targetFrac = 1.5)
     }
   }
+
+  test("uniMax: hand-computed waterfill, budget exhausted exactly, over-budget saturates all") {
+    // supplies a=10 b=20 c=100 d=200, B=120: a,b saturate (k*=2, P=30),
+    // water level T=(120-30)/2=45 -> alloc 10,20,45,45
+    val rows = Seq(("a", 4L), ("a", 6L), ("b", 20L), ("c", 100L), ("d", 200L))
+      .toDF("grp", "n")
+    val got = Sampling.uniMax(rows, "grp", "n", budget = 120L)
+      .orderBy("grp")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 10L, 10.0d, 0.083333d),
+      ("b", 20L, 20.0d, 0.166667d),
+      ("c", 100L, 45.0d, 0.375d),
+      ("d", 200L, 45.0d, 0.375d)), got.toString)
+    assert(math.abs(got.map(_._3).sum - 120.0d) < 1e-6,
+      "waterfilling must exhaust the budget when supply exceeds it")
+    // budget above total supply: every group saturates at its own supply
+    val over = Sampling.uniMax(rows, "grp", "n", budget = 1000L)
+      .orderBy("grp").as[(String, Long, Double, Double)].collect().toSeq
+    assert(over.map(x => (x._1, x._3)) ==
+      Seq(("a", 10.0d), ("b", 20.0d), ("c", 100.0d), ("d", 200.0d)))
+    // partition-layout independence
+    val rep = Sampling.uniMax(rows.repartition(3), "grp", "n", budget = 120L)
+      .orderBy("grp").as[(String, Long, Double, Double)].collect().toSeq
+    assert(rep == got)
+    intercept[IllegalArgumentException] {
+      Sampling.uniMax(rows, "grp", "n", budget = 0L)
+    }
+  }
 }
