@@ -1841,6 +1841,23 @@ object PipelineQueries {
         .as[(String, String)].collect().toSeq
     })
 
+  private val bpeEncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  /** Build-once cache for the ENCODED corpus + its vocab (the lmIndexFor
+    * build-once/probe-many discipline applied to tokenization): q181
+    * ships the ids, q182 packs by them, q188 decodes them back — three
+    * entries, one encode pass. localCheckpoint pins the result so reuse
+    * costs a read, not a re-encode. */
+  private def bpeEncodedFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeEncCache.computeIfAbsent(VectorQueries.corpusFingerprint(s, dir), _ => {
+      val docs = Tables.documents(s, dir)
+      val merges = bpeMergesFor(s, dir)
+      (TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .localCheckpoint(true),
+        TextAnalysis.bpeVocab(docs, "text", merges).localCheckpoint(true))
+    })
+
   /** q181: corpus BPE ENCODE to token ids ([[TextAnalysis.bpeEncode]])
     * — the tokenizer loop closed: q171's trained merges fold over the
     * vocab-sized word table, subwords map to deterministic integer ids
@@ -1851,8 +1868,7 @@ object PipelineQueries {
     * value compare stays scalar. */
   def bpeEncodeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
-        bpeMergesFor(s, dir))
+    bpeEncodedFor(s, dir)._1
       .select($"doc_id", $"n_tokens",
         concat_ws("_", transform($"token_ids", x => x.cast("string")))
           .as("tokens_str"))
@@ -1867,9 +1883,7 @@ object PipelineQueries {
     * The oracle replays encode + the packing prefix-sum end-to-end. */
   def bpePacking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val enc = TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id",
-        "text", bpeMergesFor(s, dir))
-      .select($"doc_id", $"n_tokens")
+    val enc = bpeEncodedFor(s, dir)._1.select($"doc_id", $"n_tokens")
     val withLang = Tables.documents(s, dir).select($"doc_id", $"lang")
       .join(enc, Seq("doc_id"))
     Sampling.packSequences(withLang, "doc_id", "n_tokens", "lang",
@@ -1889,10 +1903,8 @@ object PipelineQueries {
   def bpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val merges = bpeMergesFor(s, dir)
-    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
-    val dec = TextAnalysis.bpeDecode(enc, "doc_id", "token_ids",
-      TextAnalysis.bpeVocab(docs, "text", merges))
+    val (enc, vocab) = bpeEncodedFor(s, dir)
+    val dec = TextAnalysis.bpeDecode(enc, "doc_id", "token_ids", vocab)
     dec.join(enc.select($"doc_id", $"n_tokens"), Seq("doc_id"))
       .join(docs.select($"doc_id",
         concat_ws("",
