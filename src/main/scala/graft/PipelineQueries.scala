@@ -973,6 +973,22 @@ object PipelineQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** q195: index VERSION DIFF ([[graft.ops.TextIndex.versionDiff]]) —
+    * what changed between two retained snapshots of the q123 index:
+    * [[graft.ops.Manifest.history]] says which versions exist; this
+    * full-outer joins the two snapshots' docstats, so the readout is
+    * exactly the appended batch (doc_id ≥ 250, change = 'added') with
+    * its indexed lengths. Only (id, dl) rows move — diffing index
+    * versions never touches postings. The oracle derives the same set
+    * from the raw corpus slice. */
+  def indexVersionDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.TextIndex.versionDiff(s, bm25AppendIndexFor(s, dir),
+        fromV = 1L, toV = 2L, "doc_id")
+      .filter($"change" =!= "same")
+      .orderBy($"doc_id")
+  }
+
   /** q122: BM25 top-5 served from the PREBUILT inverted index
     * (TextIndex.probeIndex) — the postings scan partition-prunes to the
     * probe terms' md5 buckets instead of re-tokenizing the corpus per
@@ -2294,7 +2310,8 @@ object PipelineQueries {
     "q190_bm25_time_travel" -> (bm25TimeTravelTopK _),
     "q192_filter_funnel"  -> (filterFunnelQuery _),
     "q193_gate_agreement" -> (gateAgreement _),
-    "q194_unimax"         -> (uniMaxPlan _))
+    "q194_unimax"         -> (uniMaxPlan _),
+    "q195_index_diff"     -> (indexVersionDiff _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3204,6 +3221,15 @@ object PipelineQueries {
     "q123_bm25_append" -> bm25Oracle,
     "q184_bm25_compact" -> bm25Oracle,
     "q190_bm25_time_travel" -> bm25Oracle("doc_id < 250"),
+    "q195_index_diff" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split($norm, ' '),
+         |    x -> length(x) > 0)) AS BIGINT) AS dl,
+         |  'added' AS change
+         |FROM documents
+         |WHERE doc_id >= 250
+         |  AND len(list_filter(string_split($norm, ' '), x -> length(x) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin,
     // q124 replays the full classifier: feature list (unigrams + adjacent
     // bigrams of the normalized text), polynomial bucket hash, LCG
     // stand-in weight table, exact integer score sum

@@ -170,6 +170,21 @@ object Manifest {
     committed
   }
 
+  /** The retained version history, oldest first — which snapshots
+    * [[stateAt]] can still reach: one row per manifest file under
+    * `_manifest/` that [[gc]] has not yet pruned. The operational
+    * answer to "which versions can I time-travel to?". */
+  def history(spark: SparkSession, dir: String): Seq[State] = {
+    val (fs, base) = fsOf(spark, dir)
+    val mdir = new Path(base, ManifestDir)
+    if (!fs.exists(mdir)) return Nil
+    fs.listStatus(mdir)
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d{19}"))
+      .sorted.toSeq
+      .map(readState(fs, mdir, _))
+  }
+
   /** Delete UNREFERENCED `d_*`/`tmp_*` dirs and superseded manifest
     * files, but only those untouched for `minAgeMs` — an in-flight
     * writer's staging dir or a reader's just-unreferenced snapshot is

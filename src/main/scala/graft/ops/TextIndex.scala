@@ -171,6 +171,33 @@ object TextIndex {
     probeFrom(s, live, idCol, queries, buckets, k1, b)
   }
 
+  /** Which documents entered or left the index between two retained
+    * versions — the corpus-diff readout the manifest history makes free
+    * ([[Manifest.history]] says WHICH versions exist; this says what
+    * changed between two of them): the docstats tables of each snapshot
+    * full-outer joined on id. Only (id, dl) rows cross the exchange —
+    * diffing two 100 TB index versions shuffles the doc-count, never
+    * postings. `changed` additionally catches a re-ingested id whose
+    * length moved (a contract violation under the disjoint-ids append
+    * rule — surfaced, not hidden). */
+  def versionDiff(s: SparkSession, path: String, fromV: Long, toV: Long,
+      idCol: String): DataFrame = {
+    def stats(v: Long) = {
+      val live = Manifest.livePathsAt(s, path, v)
+      require(live.nonEmpty, s"manifest version $v of $path lists no deltas")
+      s.read.parquet(live.map(p => s"$p/docstats"): _*)
+    }
+    stats(fromV).select(col(idCol), col("dl").as("_dl_from"))
+      .join(stats(toV).select(col(idCol), col("dl").as("_dl_to")),
+        Seq(idCol), "full")
+      .select(col(idCol),
+        coalesce(col("_dl_to"), col("_dl_from")).as("dl"),
+        when(col("_dl_from").isNull, "added")
+          .when(col("_dl_to").isNull, "removed")
+          .when(col("_dl_from") =!= col("_dl_to"), "changed")
+          .otherwise("same").as("change"))
+  }
+
   private def probeFrom(s: SparkSession, live: Seq[String], idCol: String,
       queries: Seq[(Long, String)], buckets: Int,
       k1: Double, b: Double): DataFrame = {

@@ -121,10 +121,15 @@ class ManifestSpec extends SparkSpecBase {
     assert(Manifest.stateAt(spark, dir, 3L) == Manifest.current(spark, dir))
     intercept[IllegalArgumentException] { Manifest.stateAt(spark, dir, 4L) }
     intercept[IllegalArgumentException] { Manifest.stateAt(spark, dir, 0L) }
+    // history lists every retained version oldest-first
+    val hist = Manifest.history(spark, dir)
+    assert(hist.map(_.version) == Seq(1L, 2L, 3L))
+    assert(hist.last == Manifest.current(spark, dir))
     // gc past the age gate prunes superseded manifests → typed failure,
     // and the CURRENT version keeps serving
     Manifest.gc(spark, dir, minAgeMs = 0L)
     intercept[IllegalArgumentException] { Manifest.stateAt(spark, dir, 1L) }
+    assert(Manifest.history(spark, dir).map(_.version) == Seq(3L))
     assert(servedAt(3L) == Set(3L -> "c"))
   }
 

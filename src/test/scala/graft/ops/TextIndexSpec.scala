@@ -127,6 +127,27 @@ class TextIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("versionDiff: the appended batch reads back as 'added'; unchanged docs as 'same'") {
+    val path = tmp()
+    TextIndex.writeIndex(docs.filter($"doc_id" < 3), "doc_id", "text",
+      path, buckets = 8)                                           // v1
+    TextIndex.appendToIndex(docs.filter($"doc_id" >= 3), "doc_id", "text",
+      path, buckets = 8)                                           // v2
+    val diff = TextIndex.versionDiff(spark, path, 1L, 2L, "doc_id")
+      .as[(Long, Long, String)].collect().toSet
+    val added = diff.filter(_._3 == "added").map(_._1)
+    assert(added == Set(3L, 4L), diff.toString)
+    assert(diff.filter(_._3 == "same").map(_._1) == Set(0L, 1L, 2L))
+    assert(!diff.exists(d => d._3 == "removed" || d._3 == "changed"))
+    // reversed direction: the same docs read as removed
+    val rev = TextIndex.versionDiff(spark, path, 2L, 1L, "doc_id")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rev.filter(_._3 == "removed").map(_._1) == Set(3L, 4L))
+    intercept[IllegalArgumentException] {
+      TextIndex.versionDiff(spark, path, 1L, 9L, "doc_id").collect()
+    }
+  }
+
   test("probeIndex rejects queries with no tokens") {
     intercept[IllegalArgumentException] {
       TextIndex.probeIndex(spark, "/nonexistent", "doc_id", Seq((0L, "   ")))
