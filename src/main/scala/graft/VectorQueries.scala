@@ -339,6 +339,37 @@ object VectorQueries {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** q196: rank-biased overlap audit ([[graft.ops.RankMetrics
+    * .rankBiasedOverlap]]) — the ORDER-sensitive complement of the
+    * q152 set-recall audit: per query, how closely does the IVF tier's
+    * top-5 agree with the exact brute-force top-5, weighting rank 1
+    * most (p = 0.9, truncated-depth normalized so identical rankings
+    * score 1). Both rankings tie-break identically (6-dp cosine, then
+    * id), the weight table is micro-quantized in Scala and interpolated
+    * verbatim into the oracle, and the per-query statistic is one
+    * equi-join + literal lookup — no pow() on either engine. */
+  def annRboAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val approx = graft.ops.Ivf.probeIndex(s, ivfIndexFor(s, dir), qs,
+        k = 5, nprobe = 6)
+      .select($"q_id", $"n_id", $"rnk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy(round($"sim", 6).desc, $"n_id")
+    val exact = e.filter($"vec_id" >= 3)
+      .select($"vec_id".as("n_id"), $"embedding".as("nv"))
+      .crossJoin(broadcast(qs))
+      .withColumn("sim", graft.expr.VectorExprs.cosine($"nv", $"qv"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"n_id", $"rnk")
+    graft.ops.RankMetrics.rankBiasedOverlap(approx, exact,
+        "q_id", "n_id", "rnk", k = 5)
+      .orderBy($"q_id")
+  }
+
   /** Product-quantization ADC top-k (Jégou et al. 2011): 2 sub-codebooks
     * of 8 centroids over 32-dim slices, trained by the same deterministic
     * micro-k-means as the IVF coarse quantizer (raw L2, per-subspace
@@ -704,6 +735,7 @@ object VectorQueries {
     "q107_ivf_pq"            -> (ivfPqTopK _),
     "q111_ivf_append"        -> (annIvfAppend _),
     "q191_ivf_time_travel"   -> (annIvfTimeTravel _),
+    "q196_ann_rbo"           -> (annRboAudit _),
     "q118_margin_mining"     -> (marginMining _),
     "q152_ivf_recall"        -> (ivfRecallAudit _),
     "q155_semantic_decon"    -> (semanticDecontaminate _),
@@ -1364,6 +1396,40 @@ object VectorQueries {
     "q191_ivf_time_travel" ->
       annIvfOracleWith(q => s"($q.vec_id >= 3 AND $q.vec_id < 400)",
         cellsPred = "vec_id >= 3 AND vec_id < 400"),
+    "q196_ann_rbo" -> {
+      val wts = graft.ops.RankMetrics.rboWeightsMicro(5, 0.9)
+        .zipWithIndex.map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH ${annIvfCtes(q => s"$q.vec_id >= 3")},
+         |exd AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ROUND(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) /
+         |      (SQRT(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))) *
+         |       SQRT(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)))), 6) AS sim
+         |  FROM embeddings q, embeddings c, generate_series(1, 64) i(i)
+         |  WHERE q.vec_id < 3 AND c.vec_id >= 3
+         |  GROUP BY 1, 2),
+         |exr AS (
+         |  SELECT q_id, n_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, n_id) AS BIGINT) AS rnk
+         |  FROM exd),
+         |a AS (SELECT q_id, n_id, rnk FROM ranked WHERE rnk <= 5),
+         |b AS (SELECT q_id, n_id, rnk FROM exr WHERE rnk <= 5),
+         |wts(m, w) AS (VALUES $wts),
+         |j AS (
+         |  SELECT a.q_id, GREATEST(a.rnk, b.rnk) AS m
+         |  FROM a JOIN b USING (q_id, n_id)),
+         |g AS (
+         |  SELECT j.q_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+         |    CAST(SUM(w.w) AS BIGINT) AS wm
+         |  FROM j JOIN wts w ON w.m = j.m GROUP BY 1),
+         |qq AS (SELECT q_id FROM a UNION SELECT q_id FROM b)
+         |SELECT qq.q_id, COALESCE(n_common, 0) AS n_common,
+         |  ROUND(CAST(COALESCE(wm, 0) AS DOUBLE) / 1e6, 6) AS rbo
+         |FROM qq LEFT JOIN g USING (q_id)
+         |ORDER BY q_id""".stripMargin
+    },
     "q99_pq_adc" -> pqAdcOracle,
     "q107_ivf_pq" -> ivfPqOracle,
     "q104_label_cohesion" ->

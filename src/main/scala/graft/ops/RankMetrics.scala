@@ -90,4 +90,52 @@ object RankMetrics {
   /** The discount constant used above, exposed for the oracle builder
     * so both engines interpolate the bit-identical ln 2. */
   private[graft] def ln2Const: Double = ln2
+
+  /** Truncated rank-biased overlap at depth k (Webber et al. 2010),
+    * normalized so two IDENTICAL depth-k rankings score 1: the
+    * top-weighted agreement between two ranked lists per query — the
+    * readout that says not just WHETHER an ANN tier found the exact
+    * top-k (set recall, q151/q152) but whether it put them in the same
+    * ORDER, weighting rank 1 most.
+    *
+    * RBO@k = Σ_{d≤k} p^{d−1}·X_d∕d · (1−p)∕(1−p^k), X_d = overlap of
+    * the two depth-d prefixes. Identity used: each common item with
+    * first-both-depth m = max(rank_A, rank_B) contributes
+    * W(m) = (1−p)∕(1−p^k) · Σ_{d=m..k} p^{d−1}∕d — so the whole
+    * statistic is ONE equi-join plus a lookup into a k-length literal
+    * weight table, micro-quantized in Scala and interpolated VERBATIM
+    * into the oracle (no engine re-derives a pow()).
+    *
+    * Queries present in either ranking always emit a row (rbo = 0 when
+    * nothing overlaps). Precondition: each input is a proper per-query
+    * ranking (distinct docs, ranks 1..k); rows beyond k are ignored. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, qCol: String,
+      docCol: String, rankCol: String, k: Int, p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    val wMicro = rboWeightsMicro(k, p)
+    val aa = a.filter(col(rankCol) <= k)
+      .select(col(qCol), col(docCol), col(rankCol).cast("long").as("_ra"))
+    val bb = b.filter(col(rankCol) <= k)
+      .select(col(qCol), col(docCol), col(rankCol).cast("long").as("_rb"))
+    val perQ = aa.join(bb, Seq(qCol, docCol))
+      .withColumn("_w", element_at(lit(wMicro.toArray),
+        greatest(col("_ra"), col("_rb")).cast("int")))
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_common"), sum(col("_w")).as("_wm"))
+    aa.select(col(qCol)).union(bb.select(col(qCol))).distinct()
+      .join(perQ, Seq(qCol), "left")
+      .select(col(qCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("_wm"), lit(0L)).cast("double") / 1e6d, 6)
+          .as("rbo"))
+  }
+
+  /** W(m)·10⁶ for m = 1..k — shared with the q196 oracle so both
+    * engines sum the bit-identical integer weights. */
+  private[graft] def rboWeightsMicro(k: Int, p: Double): Seq[Long] =
+    (1 to k).map { m =>
+      val s = (m to k).map(d => math.pow(p, d - 1) / d).sum
+      math.round((1.0 - p) / (1.0 - math.pow(p, k)) * s * 1e6d)
+    }
 }

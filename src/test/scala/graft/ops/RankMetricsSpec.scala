@@ -49,4 +49,35 @@ class RankMetricsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       RankMetrics.rankingMetrics(ranked, labels, "q_id", "doc_id", "rnk", 0))
   }
+
+  test("rankBiasedOverlap: identical rankings score ~1, disjoint 0, hand-checked partial") {
+    val w = RankMetrics.rboWeightsMicro(3, 0.9)
+    def rbo(rows: Seq[(Long, String, Long)], other: Seq[(Long, String, Long)]) =
+      RankMetrics.rankBiasedOverlap(
+        rows.toDF("q", "d", "r"), other.toDF("q", "d", "r"), "q", "d", "r",
+        k = 3)
+        .orderBy("q").as[(Long, Long, Double)].collect().toSeq
+    val ident = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L))
+    val identGot = rbo(ident, ident)
+    // identical rankings: every item contributes W(its own rank); the
+    // normalized weights sum to ~1e6 up to per-entry rounding
+    val identExp = math.round(w.sum.toDouble) / 1e6d
+    assert(identGot == Seq((1L, 3L, identExp)), identGot.toString)
+    assert(math.abs(identExp - 1.0d) < 1e-5)
+    // disjoint rankings still emit the query with rbo 0
+    val disj = rbo(ident, Seq((1L, "x", 1L), (1L, "y", 2L), (1L, "z", 3L)))
+    assert(disj == Seq((1L, 0L, 0.0d)))
+    // partial: swap ranks 1/2 in B → both a and b first co-occur at
+    // depth 2 (W(2) each), c at 3
+    val swapped = Seq((1L, "b", 1L), (1L, "a", 2L), (1L, "c", 3L))
+    val part = rbo(ident, swapped)
+    val exp = math.round((2L * w(1) + w(2)).toDouble) / 1e6d
+    assert(part == Seq((1L, 3L, exp)), part.toString)
+    // a query present only in ONE ranking still emits an all-zero row
+    val extra = rbo(ident :+ ((2L, "a", 1L)), ident)
+    assert(extra.map(x => (x._1, x._2)) == Seq((1L, 3L), (2L, 0L)))
+    intercept[IllegalArgumentException](
+      RankMetrics.rankBiasedOverlap(ident.toDF("q", "d", "r"),
+        ident.toDF("q", "d", "r"), "q", "d", "r", k = 3, p = 1.0))
+  }
 }
