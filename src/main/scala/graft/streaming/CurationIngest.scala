@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{Dedup, PiiScrub, TextAnalysis}
+import graft.ops.{Curation, Dedup, PiiScrub, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -235,6 +235,56 @@ object CurationIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatchNearDup(batch, batchId, idCol, textCol, indexDir,
           outDir, minWords, numHashes, bands, w, threshold)
+      }
+      .start()
+
+  /** One micro-batch of STREAMING funnel attrition monitoring — the
+    * q192 readout kept live at ingest: the batch's
+    * [[graft.ops.Curation.filterFunnel]] rows land under
+    * `statsDir/batch=<id>` (overwrite — the [[processBatch]]
+    * exactly-once discipline: a replayed batch rewrites identical
+    * rows). First-reject attribution is ROW-LOCAL, so per-batch
+    * funnels are exactly batch-decomposable: summing the persisted
+    * per-batch rows ([[funnelTotals]]) reproduces the whole-corpus
+    * funnel bit-for-bit — proven in CurationIngestSpec, including
+    * across a restart replay. */
+  def funnelStatsBatch(batch: DataFrame, batchId: Long,
+      gates: Seq[(String, org.apache.spark.sql.Column)],
+      statsDir: String): Unit =
+    Curation.filterFunnel(batch, gates)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$statsDir/batch=$batchId")
+
+  /** Fold the per-batch funnel rows back into the corpus-level funnel:
+    * n_in/n_rejected/n_out sum exactly (each batch's chain is
+    * internally consistent and attribution is row-local); reject_share
+    * recomputes from the summed counts. */
+  def funnelTotals(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    spark.read.parquet(statsDir)
+      .groupBy(col("stage"), col("gate"))
+      .agg(sum(col("n_in")).as("n_in"),
+        sum(col("n_rejected")).as("n_rejected"),
+        sum(col("n_out")).as("n_out"))
+      .withColumn("reject_share",
+        round(when(col("n_in") > 0L,
+            col("n_rejected").cast("double") / col("n_in").cast("double"))
+          .otherwise(lit(0.0d)), 6))
+
+  /** Start streaming funnel monitoring over a doc stream: each
+    * micro-batch's attrition rows persist under `statsDir/batch=<id>`;
+    * [[funnelTotals]] serves the running corpus-level readout. */
+  def funnelMonitor(
+      docsStream: DataFrame,
+      gates: Seq[(String, org.apache.spark.sql.Column)],
+      statsDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        funnelStatsBatch(batch, batchId, gates, statsDir)
       }
       .start()
 

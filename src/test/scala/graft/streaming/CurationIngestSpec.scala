@@ -165,6 +165,44 @@ class CurationIngestSpec extends SparkSpecBase {
       s"replay must be idempotent:\n${state()}\nvs\n$before")
   }
 
+  test("streaming funnel monitor: per-batch stats sum EXACTLY to the batch funnel; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rows1 = Seq((1L, true, true), (2L, false, true), (3L, true, false))
+    val rows2 = Seq((4L, false, false), (5L, true, true))
+    val gates = Seq("ga" -> col("a"), "gb" -> col("b"))
+    val base = java.nio.file.Files.createTempDirectory("funnel_").toString
+    val (stats, ck) = (s"$base/stats", s"$base/ckpt")
+    val mem = MemoryStream[(Long, Boolean, Boolean)]
+    mem.addData(rows1: _*)
+    def sig() = mem.toDF().toDF("id", "a", "b")
+    val q1 = CurationIngest.funnelMonitor(sig(), gates, stats, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    mem.addData(rows2: _*)
+    val q2 = CurationIngest.funnelMonitor(sig(), gates, stats, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    def totals() = CurationIngest.funnelTotals(spark, stats)
+      .orderBy("stage")
+      .select("stage", "gate", "n_in", "n_rejected", "n_out", "reject_share")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    // the whole-corpus funnel over the union — attribution is row-local,
+    // so the per-batch sums must reproduce it EXACTLY
+    val batch = graft.ops.Curation.filterFunnel(
+        (rows1 ++ rows2).toDF("id", "a", "b"), gates)
+      .orderBy("stage")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+      // reject_share differs: the batch twin divides once over the union,
+      // totals recompute from summed counts — same counts, same shares
+    assert(totals().map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      batch.map(t => (t._1, t._2, t._3, t._4, t._5)),
+      s"streamed ${totals()} vs batch $batch")
+    assert(totals().map(_._6) == batch.map(_._6))
+    // crash-replay of the last micro-batch rewrites identical rows
+    val before = totals()
+    CurationIngest.funnelStatsBatch(rows2.toDF("id", "a", "b"), 1L, gates, stats)
+    assert(totals() == before, "replayed funnel batch must be idempotent")
+  }
+
   test("curation ingest works on an empty first index (no prior state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
