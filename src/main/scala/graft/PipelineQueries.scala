@@ -120,6 +120,33 @@ object PipelineQueries {
       .orderBy($"id")
   }
 
+  /** q197: SOFT dedup reweighting ([[graft.ops.Components
+    * .clusterWeights]]) — the loss-shaping alternative to removal:
+    * every doc keeps weight 1∕|its near-dup cluster| (q36's clusters,
+    * singletons weight 1), so each cluster contributes one document's
+    * worth of training mass however many variants exist. The oracle
+    * closes the same candidate graph with the recursive CTE and
+    * replays sizes and weights. */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.ops.Components.clusterWeights(docs, "doc_id",
+        Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.4)
+          .select($"a_id", $"b_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** q198: vocabulary coverage curve ([[TextAnalysis.vocabCoverage]])
+    * — the tokenizer-sizing readout: minimal head-vocab size covering
+    * 90∕95∕99% of token occurrences, with the OOV rate each size
+    * leaves. Rank/cumsum run on the VOCAB-sized count frame; the
+    * oracle replays the ranked window and the integer crossing test. */
+  def vocabCoverageCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text")
+      .orderBy($"threshold")
+  }
+
   /** SimHash near-dup candidates via bit-banding (oracle-exact). */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2311,7 +2338,9 @@ object PipelineQueries {
     "q192_filter_funnel"  -> (filterFunnelQuery _),
     "q193_gate_agreement" -> (gateAgreement _),
     "q194_unimax"         -> (uniMaxPlan _),
-    "q195_index_diff"     -> (indexVersionDiff _))
+    "q195_index_diff"     -> (indexVersionDiff _),
+    "q197_soft_dedup"     -> (softDedupWeights _),
+    "q198_vocab_coverage" -> (vocabCoverageCurve _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3675,6 +3704,54 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    "q197_soft_dedup" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (
+         |  SELECT a_id AS a, b_id AS b FROM cand
+         |  UNION SELECT b_id, a_id FROM cand
+         |  UNION SELECT a_id, a_id FROM cand
+         |  UNION SELECT b_id, b_id FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize FROM lab GROUP BY 1)
+         |SELECT doc_id, component, csize,
+         |  ROUND(CAST(1.0 AS DOUBLE) / CAST(csize AS DOUBLE), 6) AS weight
+         |FROM lab JOIN sz USING (component)
+         |ORDER BY doc_id""".stripMargin,
+    "q198_vocab_coverage" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(string_split($norm, ' ')) AS t FROM documents),
+         |c AS (
+         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
+         |  WHERE length(t) > 0 GROUP BY t),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+         |r AS (
+         |  SELECT t, cnt,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS BIGINT) AS rank,
+         |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM c),
+         |th(tm) AS (VALUES (CAST(900000 AS BIGINT)), (CAST(950000 AS BIGINT)), (CAST(990000 AS BIGINT))),
+         |x AS (
+         |  SELECT th.tm, r.rank, r.cum, tot.total
+         |  FROM r, th, tot
+         |  WHERE CAST(r.cum AS HUGEINT) * 1000000 >= CAST(th.tm AS HUGEINT) * CAST(tot.total AS HUGEINT)),
+         |g AS (
+         |  SELECT tm, MIN(rank) AS vocab_size, CAST(MIN(total) AS BIGINT) AS total_tokens
+         |  FROM x GROUP BY tm)
+         |SELECT ROUND(CAST(g.tm AS DOUBLE) / 1e6, 6) AS threshold,
+         |  g.vocab_size,
+         |  r.cum AS covered_tokens,
+         |  g.total_tokens,
+         |  ROUND(CAST(1.0 AS DOUBLE) - CAST(r.cum AS DOUBLE) / CAST(g.total_tokens AS DOUBLE), 6) AS oov_rate
+         |FROM g JOIN r ON r.rank = g.vocab_size
+         |ORDER BY threshold""".stripMargin,
     "q37_simhash_neardup" ->
       s"""WITH $simhashCtes,
          |banded AS (

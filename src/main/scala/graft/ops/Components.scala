@@ -273,4 +273,31 @@ object Components {
           .otherwise(round(lit(3.0) * col("n_triangles").cast("double") /
             col("n_wedges").cast("double"), 6)).as("clustering_coeff"))
   }
+
+  /** SOFT dedup (SoftDeDup-style reweighting): instead of REMOVING
+    * near-duplicates ([[dropNearDuplicates]] keeps one survivor per
+    * cluster), keep every document and downweight it by its cluster
+    * size — weight = 1∕|cluster| — so each near-dup CLUSTER contributes
+    * exactly one document's worth of training mass however many copies
+    * exist. The loss-shaping alternative when hard removal throws away
+    * useful minor variants (each cluster's variants share the mass
+    * instead of all-but-one dying). Docs in no pair are singletons with
+    * weight 1.
+    *
+    * Returns (idCol, component, csize, weight). Plan: the components
+    * solve over the PAIRS graph (pairs-sized, ≪ corpus), one corpus ⋈
+    * labels left join, one cluster-size aggregate joined back — the
+    * [[bestPerCluster]] shuffle shape with a weight instead of a
+    * survivor cut. */
+  def clusterWeights(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val lab = df.select(col(idCol))
+      .join(connectedComponents(pairs).withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val sz = lab.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    lab.join(sz, Seq("component"))
+      .select(col(idCol), col("component"), col("csize"),
+        round(lit(1.0d) / col("csize").cast("double"), 6).as("weight"))
+  }
 }

@@ -1266,6 +1266,57 @@ object TextAnalysis {
           .as("decoded"))
   }
 
+  /** VOCABULARY COVERAGE curve — the tokenizer/vocab SIZING readout:
+    * for each coverage threshold t, the minimal number of
+    * most-frequent token types that covers ≥ t of all token
+    * occurrences, and the out-of-vocabulary rate that vocab size
+    * leaves (the Zipf-head question "how big must the vocab be for
+    * 99% coverage" answered exactly). One row per threshold:
+    * (threshold, vocab_size, covered_tokens, total_tokens, oov_rate).
+    *
+    * Determinism: thresholds are micro-quantized integers
+    * (t_micro ∕ 10⁶), the crossing test is pure integer arithmetic
+    * routed through DECIMAL(38) so cum·10⁶ cannot overflow at
+    * 100 TB-scale token counts, and the tie order (count desc, token
+    * asc) is total.
+    *
+    * Plan: one corpus-scale token count (map-side combined) →
+    * VOCAB-sized rank/cumsum window (bounded by distinct types, never
+    * occurrences) → thresholds × vocab filter-and-min (thresholds is a
+    * ≤ 64-row broadcast literal). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      thresholdsMicro: Seq[Long] = Seq(900000L, 950000L, 990000L)): DataFrame = {
+    require(thresholdsMicro.nonEmpty && thresholdsMicro.size <= 64,
+      s"need 1..64 thresholds, got ${thresholdsMicro.size}")
+    require(thresholdsMicro.forall(t => t > 0L && t <= 1000000L),
+      s"thresholds are micro-fractions in (0, 10^6], got $thresholdsMicro")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(explode(tokens(col(textCol))).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tk").asc)
+    val ranked = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    val th = thresholdsMicro.toDF("t_micro")
+    ranked.crossJoin(broadcast(th)).crossJoin(broadcast(tot))
+      .filter(col("cum").cast("decimal(38,0)") * lit(1000000L) >=
+        col("t_micro").cast("decimal(38,0)") * col("total").cast("decimal(38,0)"))
+      .groupBy(col("t_micro"))
+      .agg(min(struct(col("rank"), col("cum"))).as("_m"),
+        first(col("total")).as("total_tokens"))
+      .select(
+        round(col("t_micro").cast("double") / 1e6d, 6).as("threshold"),
+        col("_m.rank").as("vocab_size"),
+        col("_m.cum").as("covered_tokens"),
+        col("total_tokens"),
+        round(lit(1.0d) - col("_m.cum").cast("double") /
+          col("total_tokens").cast("double"), 6).as("oov_rate"))
+  }
+
   /** Top-k collocations by pointwise mutual information:
     * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = n_ab/N₂,
     * p(w) = n_w/N₁ — the classic "which word pairs co-occur far more

@@ -170,4 +170,26 @@ class ComponentsSpec extends SparkSpecBase {
     val g2 = Components.triangleCensus(two).as[(Long, Long, Long, Double)].head()
     assert(g2 == ((6L, 6L, 2L, 1.0)), s"$g2")
   }
+
+  test("clusterWeights: each cluster's mass sums to 1, singletons weigh 1") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // {1,2,3} one cluster, {4,5} another, 6 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Components.clusterWeights(docs, "id", pairs)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 0.333333d), (2L, 1L, 3L, 0.333333d),
+      (3L, 1L, 3L, 0.333333d),
+      (4L, 4L, 2L, 0.5d), (5L, 4L, 2L, 0.5d),
+      (6L, 6L, 1L, 1.0d)), got.toString)
+    // effective corpus mass = number of clusters (up to the 6-dp rounds)
+    val mass = got.map(_._4).sum
+    assert(math.abs(mass - 3.0d) < 1e-5, s"mass $mass")
+    // partition-layout independence
+    val rep = Components.clusterWeights(docs.repartition(5), "id",
+        pairs.repartition(3))
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rep == got)
+  }
 }

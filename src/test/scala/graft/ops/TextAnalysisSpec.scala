@@ -516,6 +516,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("vocabCoverage: hand-checked crossing ranks, OOV rates, typed threshold guards") {
+    // counts: a=5, b=3, c=1, d=1 → total 10; ranked a(5,cum5) b(3,cum8)
+    // c(1,cum9) d(1,cum10); 50% → rank1, 80% → rank2, 90% → rank3, 100% → rank4
+    val df = Seq("a a a a a", "b b b c", "d").toDF("text")
+    val got = TextAnalysis.vocabCoverage(df, "text",
+        thresholdsMicro = Seq(500000L, 800000L, 900000L, 1000000L))
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0.5d, 1L, 5L, 10L, 0.5d),
+      (0.8d, 2L, 8L, 10L, 0.2d),
+      (0.9d, 3L, 9L, 10L, 0.1d),
+      (1.0d, 4L, 10L, 10L, 0.0d)), got.toString)
+    // partition independence
+    val rep = TextAnalysis.vocabCoverage(df.repartition(4), "text",
+        thresholdsMicro = Seq(500000L, 800000L, 900000L, 1000000L))
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Long, Double)].collect().toSeq
+    assert(rep == got)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(df, "text", thresholdsMicro = Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(df, "text", thresholdsMicro = Nil)
+    }
+  }
+
   test("bpeMerges rejects out-of-regime iteration counts") {
     val df = Seq("ab").toDF("text")
     intercept[IllegalArgumentException](TextAnalysis.bpeMerges(df, "text", iters = 257))
