@@ -87,7 +87,8 @@ object Bench {
     "q187_annotator_kappa", "q188_bpe_roundtrip", "q189_langid_report",
     "q190_bm25_time_travel", "q191_ivf_time_travel", "q192_filter_funnel",
     "q193_gate_agreement", "q194_unimax", "q195_index_diff",
-    "q196_ann_rbo", "q197_soft_dedup", "q198_vocab_coverage")
+    "q196_ann_rbo", "q197_soft_dedup", "q198_vocab_coverage",
+    "q199_conformal", "q200_score_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -750,6 +750,49 @@ object PipelineQueries {
       Seq("g_keep", "b_keep", "c_keep"))
   }
 
+  /** q199: split-conformal calibration + coverage audit
+    * ([[graft.ops.ClassifierEval.conformal]]) — the distribution-free
+    * abstention threshold for the q124 classifier: odd doc ids
+    * calibrate (nonconformity |gopher keep − conf|), the exact
+    * ⌈(n+1)(1−α)⌉-th order statistic (selected on the micro-score
+    * GRID, never a data-sized sort) becomes the threshold, and the
+    * even-id split audits the ≥ 90% coverage guarantee empirically.
+    * The oracle replays classifier, gate, integer k, the grid order
+    * statistic and the coverage count. */
+  def conformalAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    graft.ops.ClassifierEval.conformal(pred, lab, "doc_id", "conf", "keep",
+      calPred = $"doc_id" % 2 === 1, alpha = 0.1d)
+  }
+
+  /** q200: classifier score-distribution DRIFT
+    * ([[graft.ops.ClassifierEval.scoreDrift]]) — PSI between the q124
+    * classifier's confidences on two ingest cohorts (doc_id < 250 vs
+    * ≥ 250): the monitoring tripwire that says the model is scoring a
+    * different corpus than it was calibrated on, per confidence bin
+    * with the total carried ev_share-style. Oracle replays classifier,
+    * split, integer binning, add-one smoothing and every PSI term. */
+  def scoreDriftAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
+        "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    graft.ops.ClassifierEval.scoreDrift(
+        conf.filter($"doc_id" < 250).select($"conf"),
+        conf.filter($"doc_id" >= 250).select($"conf"),
+        "conf", bins = 10)
+      .orderBy($"bin")
+  }
+
   /** q179: T5 span-corruption data prep ([[Chunking.spanCorrupt]]) —
     * deterministic (input, target) denoising pairs: every full 8-token
     * block loses one 2-token span at an md5-chosen offset, sentinels
@@ -2340,7 +2383,9 @@ object PipelineQueries {
     "q194_unimax"         -> (uniMaxPlan _),
     "q195_index_diff"     -> (indexVersionDiff _),
     "q197_soft_dedup"     -> (softDedupWeights _),
-    "q198_vocab_coverage" -> (vocabCoverageCurve _))
+    "q198_vocab_coverage" -> (vocabCoverageCurve _),
+    "q199_conformal"      -> (conformalAudit _),
+    "q200_score_drift"    -> (scoreDriftAudit _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3413,6 +3458,118 @@ object PipelineQueries {
          |      (${d(2.0)} * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
          |    ELSE ${d(0.5)} END AS auc
          |FROM t2""".stripMargin
+    },
+    // q199: the q177 classifier + gopher replays, then the exact-integer
+    // conformal k, the grid order statistic and the held-out coverage
+    "q199_conformal" -> {
+      import graft.ops.QualityModel.{NumBuckets, WeightMul, WeightAdd, WeightMod, WeightHalf}
+      def d(x: Double) = s"CAST($x AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |fx AS (
+         |  SELECT doc_id, unnest(list_concat(w,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS feat
+         |  FROM t),
+         |f AS (SELECT doc_id, feat FROM fx WHERE length(feat) > 0),
+         |fb AS (SELECT doc_id, ${duckFold("feat", graft.expr.DedupKernel.B1)} % $NumBuckets AS bucket FROM f),
+         |wt AS (
+         |  SELECT g.b AS bucket, ((g.b * $WeightMul + $WeightAdd) % $WeightMod) - $WeightHalf AS w_micro
+         |  FROM generate_series(0, ${NumBuckets - 1}) g(b)),
+         |cls AS (
+         |  SELECT doc_id, COUNT(*) AS n_features, SUM(w_micro) AS sm
+         |  FROM fb JOIN wt USING (bucket) GROUP BY 1),
+         |pred AS (
+         |  SELECT doc_id, ROUND(${d(1.0)} / (${d(1.0)} + exp(-ROUND(
+         |    CAST(sm AS DOUBLE) / (CAST(n_features AS DOUBLE) * 1000000), 6))), 6) AS conf
+         |  FROM cls),
+         |tg AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+         |  FROM tg WHERE len(w) > 0),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |  FROM sg),
+         |sc AS (
+         |  SELECT p.doc_id,
+         |    ABS(l.keep * 1000000 - CAST(round(p.conf * 1e6) AS BIGINT)) AS sm,
+         |    p.doc_id % 2 = 1 AS cal
+         |  FROM pred p JOIN lab l USING (doc_id)),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM sc WHERE cal),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval FROM sc WHERE NOT cal),
+         |kk AS (SELECT n_cal, CAST(((n_cal + 1) * 900000 + 999999) // 1000000 AS BIGINT) AS k FROM nc),
+         |g AS (SELECT sm, COUNT(*) AS n FROM sc WHERE cal GROUP BY sm),
+         |cum AS (
+         |  SELECT sm, SUM(n) OVER (ORDER BY sm
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM g),
+         |q AS (SELECT MIN(cum.sm) AS qm FROM cum, kk WHERE cum.c >= kk.k),
+         |cov AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cov FROM sc, q
+         |  WHERE NOT sc.cal AND sc.sm <= q.qm)
+         |SELECT kk.n_cal, ne.n_eval, ${d(0.1)} AS alpha, kk.k,
+         |  ROUND(CAST(q.qm AS DOUBLE) / 1e6, 6) AS threshold,
+         |  ROUND(CAST(cov.n_cov AS DOUBLE) / CAST(ne.n_eval AS DOUBLE), 6) AS coverage
+         |FROM kk, ne, q, cov""".stripMargin
+    },
+    // q200: the q177 classifier replay split by cohort, integer binning,
+    // add-one smoothing, per-bin PSI terms and the carried total
+    "q200_score_drift" -> {
+      import graft.ops.QualityModel.{NumBuckets, WeightMul, WeightAdd, WeightMod, WeightHalf}
+      def d(x: Double) = s"CAST($x AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |fx AS (
+         |  SELECT doc_id, unnest(list_concat(w,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS feat
+         |  FROM t),
+         |f AS (SELECT doc_id, feat FROM fx WHERE length(feat) > 0),
+         |fb AS (SELECT doc_id, ${duckFold("feat", graft.expr.DedupKernel.B1)} % $NumBuckets AS bucket FROM f),
+         |wt AS (
+         |  SELECT g.b AS bucket, ((g.b * $WeightMul + $WeightAdd) % $WeightMod) - $WeightHalf AS w_micro
+         |  FROM generate_series(0, ${NumBuckets - 1}) g(b)),
+         |cls AS (
+         |  SELECT doc_id, COUNT(*) AS n_features, SUM(w_micro) AS sm
+         |  FROM fb JOIN wt USING (bucket) GROUP BY 1),
+         |pred AS (
+         |  SELECT doc_id, ROUND(${d(1.0)} / (${d(1.0)} + exp(-ROUND(
+         |    CAST(sm AS DOUBLE) / (CAST(n_features AS DOUBLE) * 1000000), 6))), 6) AS conf
+         |  FROM cls),
+         |bn AS (
+         |  SELECT doc_id,
+         |    LEAST((CAST(round(conf * 1e6) AS BIGINT) * 10) // 1000000, 9) AS bin
+         |  FROM pred),
+         |bins(bin) AS (SELECT CAST(g.b AS BIGINT) FROM generate_series(0, 9) g(b)),
+         |ca AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_a FROM bn WHERE doc_id < 250 GROUP BY 1),
+         |cb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b FROM bn WHERE doc_id >= 250 GROUP BY 1),
+         |cells AS (
+         |  SELECT bins.bin, COALESCE(ca.n_a, 0) AS n_a, COALESCE(cb.n_b, 0) AS n_b
+         |  FROM bins LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+         |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM cells),
+         |terms AS (
+         |  SELECT bin, n_a, n_b,
+         |    ROUND(CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE), 6) AS p_a,
+         |    ROUND(CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE), 6) AS p_b
+         |  FROM cells, tot),
+         |tm AS (
+         |  SELECT *, CAST(round((p_a - p_b) * ln(p_a / p_b) * 1e6) AS BIGINT) AS pm
+         |  FROM terms),
+         |pt AS (SELECT CAST(SUM(pm) AS BIGINT) AS s FROM tm)
+         |SELECT bin, n_a, n_b, p_a, p_b,
+         |  ROUND(CAST(pm AS DOUBLE) / 1e6, 6) AS psi_bin,
+         |  ROUND(CAST(pt.s AS DOUBLE) / 1e6, 6) AS psi_total
+         |FROM tm, pt
+         |ORDER BY bin""".stripMargin
     },
     // q193: the q177/q185 classifier + gopher replays plus the q160
     // blocklist, melted to (item, label) ratings and folded through the

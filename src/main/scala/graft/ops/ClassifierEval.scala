@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Label-quality readouts over a (gold, predicted) pair column — the
@@ -137,6 +137,128 @@ object ClassifierEval {
               ((col("_nn") * col("_nn") - col("_c2")) * (n - 1L))
                 .cast("double"), 6))
           .as("kappa"))
+  }
+
+  /** SPLIT-CONFORMAL calibration (Vovk et al.; Angelopoulos & Bates
+    * 2021 tutorial): from a CALIBRATION set of nonconformity scores
+    * s = |label − confidence|, the (1−α) conformal threshold is the
+    * k-th smallest calibration score with k = ⌈(n_cal+1)(1−α)⌉ — the
+    * distribution-free guarantee that a fresh point's score lands ≤ q
+    * with probability ≥ 1−α. The held-out split then AUDITS the
+    * guarantee empirically: one row
+    * (n_cal, n_eval, alpha, k, threshold, coverage).
+    *
+    * Determinism: scores are exact integer micro-units
+    * (|label·10⁶ − round(conf·10⁶)|), the order statistic is selected
+    * on the ≤ 10⁶+1-row distinct-micro-score GRID (the binaryAuc
+    * device — the one window never touches data-sized frames), and
+    * coverage is one exact count ratio. k > n_cal (tiny calibration
+    * sets at small α) is a typed failure — a silent +∞ threshold would
+    * report fake 100% coverage. */
+  def conformal(pred: DataFrame, labels: DataFrame, idCol: String,
+      confCol: String, labelCol: String, calPred: Column,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    val joined = pred.select(col(idCol), col(confCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
+        col(confCol) < 0.0d || col(confCol) > 1.0d ||
+        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
+      .limit(1).count()
+    require(offRange == 0L,
+      "conformal calibration needs non-NULL confidences in [0, 1] and " +
+        "labels in {0, 1} — found NULL or out-of-range rows")
+    val scored = joined.withColumn("_sm",
+        abs(col(labelCol).cast("long") * lit(1000000L) -
+          round(col(confCol).cast("double") * 1e6d).cast("long")))
+      .withColumn("_cal", calPred)
+      .localCheckpoint(true) // grid aggregate + eval count share one pass
+    val nCal = scored.filter(col("_cal")).count()
+    val nEval = scored.filter(!col("_cal")).count()
+    require(nCal > 0L && nEval > 0L,
+      s"both splits must be non-empty, got cal=$nCal eval=$nEval")
+    // k = ⌈(n_cal+1)(1−α)⌉ in EXACT integer arithmetic (α micro-quantized):
+    // double ceil((n+1)·0.9) rounds 18.000…004 up to 19 where the rational
+    // says 18 — an off-by-one the oracle could never replay
+    val am = math.round(alpha * 1e6d)
+    val k = ((nCal + 1L) * (1000000L - am) + 999999L) / 1000000L
+    require(k <= nCal,
+      s"calibration set too small: k=$k > n_cal=$nCal at alpha=$alpha — " +
+        "the conformal threshold would be vacuous (+inf); add calibration " +
+        "data or raise alpha")
+    // k-th smallest on the distinct-micro-score grid (≤ 10^6+1 rows)
+    val grid = scored.filter(col("_cal"))
+      .groupBy(col("_sm")).agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val qMicro = grid.withColumn("_cum", sum(col("_n")).over(w))
+      .filter(col("_cum") >= k)
+      .agg(min(col("_sm")).as("_q"))
+    scored.filter(!col("_cal")).crossJoin(broadcast(qMicro))
+      .agg(
+        lit(nCal).as("n_cal"),
+        lit(nEval).as("n_eval"),
+        lit(alpha).as("alpha"),
+        lit(k).as("k"),
+        round(first(col("_q")).cast("double") / 1e6d, 6).as("threshold"),
+        round(sum(when(col("_sm") <= col("_q"), 1L).otherwise(0L))
+          .cast("double") / lit(nEval.toDouble), 6).as("coverage"))
+  }
+
+  /** Score-distribution DRIFT between two prediction snapshots — the
+    * population-stability-index readout ([[TextAnalysis]]'s q115 token
+    * PSI applied to classifier confidences): per equal-width confidence
+    * bin, add-one-smoothed shares of each snapshot and the PSI term
+    * (p_a − p_b)·ln(p_a∕p_b); total PSI carried on every row (the
+    * ev_share convention). The monitoring tripwire for "the quality
+    * model is seeing a different corpus than it was calibrated on"
+    * (PSI > 0.2 = investigate, by convention).
+    *
+    * Determinism: the q177 integer micro-binning; smoothed shares are
+    * exact-integer-derived single divides; each PSI term is ONE
+    * fixed-order double expression rounded at 6 dp. Empty bins exist in
+    * the output (the bins frame is generated, not observed), so the
+    * readout shape is fixed at `bins` rows. */
+  def scoreDrift(predA: DataFrame, predB: DataFrame, confCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val spark = predA.sparkSession
+    import spark.implicits._
+    def binned(df: DataFrame, out: String) = {
+      val nulls = df.filter(col(confCol).isNull ||
+          col(confCol) < 0.0d || col(confCol) > 1.0d)
+        .limit(1).count()
+      require(nulls == 0L,
+        s"scoreDrift needs non-NULL confidences in [0, 1] ($out side)")
+      df.withColumn("_cm",
+          round(col(confCol).cast("double") * 1e6d).cast("long"))
+        .withColumn("bin",
+          least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L))
+            .cast("long"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    }
+    val allBins = (0L until bins.toLong).toDF("bin")
+    val cells = allBins
+      .join(binned(predA, "n_a"), Seq("bin"), "left")
+      .join(binned(predB, "n_b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = cells.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    val terms = cells.crossJoin(broadcast(tot))
+      // add-one smoothing: shares are never 0, ln is total
+      .withColumn("p_a", round((col("n_a") + 1L).cast("double") /
+        (col("_ta") + bins.toLong).cast("double"), 6))
+      .withColumn("p_b", round((col("n_b") + 1L).cast("double") /
+        (col("_tb") + bins.toLong).cast("double"), 6))
+      .withColumn("_psi_micro",
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")) * 1e6d)
+          .cast("long"))
+    val total = terms.agg(sum(col("_psi_micro")).as("_pt"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_a"), col("n_b"), col("p_a"), col("p_b"),
+        round(col("_psi_micro").cast("double") / 1e6d, 6).as("psi_bin"),
+        round(col("_pt").cast("double") / 1e6d, 6).as("psi_total"))
   }
 
   /** Per-class precision / recall / F1 against a gold column, macro-F1

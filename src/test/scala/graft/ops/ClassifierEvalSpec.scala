@@ -71,6 +71,58 @@ class ClassifierEvalSpec extends SparkSpecBase {
     }
   }
 
+  test("conformal: exact order-statistic threshold, coverage audit, typed degenerate sets") {
+    import org.apache.spark.sql.functions._
+    // label 0 everywhere → nonconformity s == conf; calibration (odd
+    // ids) holds s = 0.1..0.9, eval (even ids) holds 0.45 and 0.55
+    val pred = ((1 to 9).map(i => (i * 2L - 1L, i / 10.0d)) ++
+      Seq((100L, 0.45d), (102L, 0.55d))).toDF("id", "conf")
+    val labels = pred.select($"id", lit(0L).as("y"))
+    def run(alpha: Double) = ClassifierEval.conformal(pred, labels, "id",
+        "conf", "y", calPred = col("id") % 2 === 1, alpha = alpha)
+      .as[(Long, Long, Double, Long, Double, Double)].head()
+    // alpha=0.1: k = ceil(10*0.9) = 9 → threshold 0.9, both eval covered
+    assert(run(0.1d) == ((9L, 2L, 0.1d, 9L, 0.9d, 1.0d)), run(0.1d).toString)
+    // alpha=0.5: k = 5 → threshold 0.5, only 0.45 covered
+    assert(run(0.5d) == ((9L, 2L, 0.5d, 5L, 0.5d, 0.5d)), run(0.5d).toString)
+    // exact-integer k: n_cal+1 = 10 divisible by 10 must NOT round up
+    // (double ceil(18.000…004) bug class) — covered by k = 9 above
+    val tiny = Seq((1L, 0.2d), (2L, 0.3d)).toDF("id", "conf")
+    val tinyLab = tiny.select($"id", lit(0L).as("y"))
+    intercept[IllegalArgumentException] {
+      ClassifierEval.conformal(tiny, tinyLab, "id", "conf", "y",
+        calPred = col("id") === 1L, alpha = 0.1d)
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.conformal(pred, labels, "id", "conf", "y",
+        calPred = col("id") % 2 === 1, alpha = 1.5d)
+    }
+  }
+
+  test("scoreDrift: identical snapshots score 0, a full shift scores high; fixed bin shape") {
+    val a = Seq.fill(5)(0.05d).toDF("conf")
+    val b = Seq.fill(5)(0.95d).toDF("conf")
+    val same = ClassifierEval.scoreDrift(a, a, "conf", bins = 10)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(same.length == 10, "readout shape must be all bins")
+    assert(same.forall(r => r._6 == 0.0d && r._7 == 0.0d), same.toSeq.toString)
+    val drift = ClassifierEval.scoreDrift(a, b, "conf", bins = 10)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    // replicate bin 0's term with the op's exact arithmetic
+    val pa = math.round(6.0 / 15.0 * 1e6d) / 1e6d   // rounded shares
+    val pb = math.round(1.0 / 15.0 * 1e6d) / 1e6d
+    val t0 = math.round((pa - pb) * math.log(pa / pb) * 1e6d) / 1e6d
+    assert(drift(0)._6 == t0, s"${drift(0)} vs $t0")
+    assert(drift.head._7 > 1.0d, "a full-bin shift must read as major drift")
+    intercept[IllegalArgumentException] {
+      ClassifierEval.scoreDrift(a, b, "conf", bins = 1)
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.scoreDrift(Seq(1.5d).toDF("conf"), b, "conf")
+    }
+  }
+
   test("classificationReport: per-class P/R/F1, zero rows for one-sided classes") {
     // gold: a×3, b×2, c×1; predicted: a hits 2/3, b never predicted,
     // d hallucinated twice
