@@ -793,6 +793,61 @@ object PipelineQueries {
       .orderBy($"bin")
   }
 
+  /** q201: quality-classifier AVERAGE PRECISION
+    * ([[graft.ops.Calibration.averagePrecision]]) — the
+    * imbalance-honest discrimination number next to q185's ROC-AUC:
+    * exact step-form PR-area of the q124 classifier's confidence
+    * against the q127 rule gate, with the no-skill prevalence baseline
+    * riding along. On a crawl where 95% is rejected, this is the
+    * readout that moves when the model stops finding the keepers.
+    * Oracle replays classifier, gate, the micro-score grid, the
+    * descending cumulative precision and the exact-integer AP sum. */
+  def qualityAp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    graft.ops.Calibration.averagePrecision(pred, lab, "doc_id", "conf", "keep")
+  }
+
+  /** q202: pairwise source JSD matrix
+    * ([[graft.ops.TextAnalysis.sourceJsd]]) — the symmetric corpus
+    * similarity readout a mixture planner reads before merging or
+    * re-weighting sources: Jensen–Shannon divergence between every
+    * source pair's unigram distributions, one shared global-vocabulary
+    * smoothing so the matrix is one fixed scale. Oracle replays token
+    * counts, densification, smoothing and every nano-quantized term. */
+  def sourceJsdMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.sourceJsd(Tables.documents(s, dir), "source", "text")
+      .orderBy($"group_a", $"group_b")
+  }
+
+  /** q203: score-drift KS distance
+    * ([[graft.ops.ClassifierEval.ksDistance]]) — q200's PSI made
+    * bin-free: the exact two-sample Kolmogorov–Smirnov sup-distance
+    * between the q124 classifier's confidence CDFs on the two ingest
+    * cohorts (doc_id < 250 vs ≥ 250), plus the score where the
+    * divergence peaks — the shift a lucky PSI bin boundary can hide.
+    * Oracle replays the classifier, the split, the grid CDFs and the
+    * exact cross-multiplied sup selection. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
+        "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    graft.ops.ClassifierEval.ksDistance(
+      conf.filter($"doc_id" < 250).select($"conf"),
+      conf.filter($"doc_id" >= 250).select($"conf"),
+      "conf")
+  }
+
   /** q179: T5 span-corruption data prep ([[Chunking.spanCorrupt]]) —
     * deterministic (input, target) denoising pairs: every full 8-token
     * block loses one 2-token span at an md5-chosen offset, sentinels
@@ -2385,7 +2440,10 @@ object PipelineQueries {
     "q197_soft_dedup"     -> (softDedupWeights _),
     "q198_vocab_coverage" -> (vocabCoverageCurve _),
     "q199_conformal"      -> (conformalAudit _),
-    "q200_score_drift"    -> (scoreDriftAudit _))
+    "q200_score_drift"    -> (scoreDriftAudit _),
+    "q201_avg_precision"  -> (qualityAp _),
+    "q202_source_jsd"     -> (sourceJsdMatrix _),
+    "q203_ks_drift"       -> (ksDrift _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2407,6 +2465,53 @@ object PipelineQueries {
       s"list_transform(generate_series(1, length($sCol)), ci -> CAST(ascii(substr($sCol, ci, 1)) AS BIGINT))), " +
       s"(acc, c) -> (acc * $base + c) % $P)"
   }
+
+  /** Shared DuckDB replay of the q124 hashed classifier down to a
+    * `pred` (doc_id, conf) CTE — the q177/q185/q199/q200 prelude,
+    * factored once for the newer classifier-eval oracles. */
+  private def classifierPredCtes: String = {
+    import graft.ops.QualityModel.{NumBuckets, WeightMul, WeightAdd, WeightMod, WeightHalf}
+    s"""t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+       |fx AS (
+       |  SELECT doc_id, unnest(list_concat(w,
+       |    CASE WHEN len(w) >= 2
+       |         THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+       |         ELSE CAST([] AS VARCHAR[]) END)) AS feat
+       |  FROM t),
+       |f AS (SELECT doc_id, feat FROM fx WHERE length(feat) > 0),
+       |fb AS (SELECT doc_id, ${duckFold("feat", graft.expr.DedupKernel.B1)} % $NumBuckets AS bucket FROM f),
+       |wt AS (
+       |  SELECT g.b AS bucket, ((g.b * $WeightMul + $WeightAdd) % $WeightMod) - $WeightHalf AS w_micro
+       |  FROM generate_series(0, ${NumBuckets - 1}) g(b)),
+       |cls AS (
+       |  SELECT doc_id, COUNT(*) AS n_features, SUM(w_micro) AS sm
+       |  FROM fb JOIN wt USING (bucket) GROUP BY 1),
+       |pred AS (
+       |  SELECT doc_id, ROUND(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-ROUND(
+       |    CAST(sm AS DOUBLE) / (CAST(n_features AS DOUBLE) * 1000000), 6))), 6) AS conf
+       |  FROM cls)""".stripMargin
+  }
+
+  /** Shared DuckDB replay of the q127 Gopher rule gate down to a
+    * `lab` (doc_id, keep) CTE — the reference-label half of the
+    * classifier-eval oracles. */
+  private def gopherLabCtes: String =
+    s"""tg AS (
+       |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+       |  FROM documents),
+       |sg AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+       |  FROM tg WHERE len(w) > 0),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |  FROM sg)""".stripMargin
 
   /** CTE chain `t → hh → sig → banded`: MinHash signatures (numHashes=32,
     * w=3, perms inlined from DedupKernel.perm) and LSH banding (8 bands ×
@@ -3571,6 +3676,104 @@ object PipelineQueries {
          |FROM tm, pt
          |ORDER BY bin""".stripMargin
     },
+    // q201: classifier + gopher replays, then the micro-score grid,
+    // the DESCENDING cumulative precision and the exact-integer AP sum
+    "q201_avg_precision" ->
+      s"""WITH $classifierPredCtes,
+         |$gopherLabCtes,
+         |j AS (
+         |  SELECT CAST(round(p.conf * 1e6) AS BIGINT) AS cm, l.keep
+         |  FROM pred p JOIN lab l USING (doc_id)),
+         |g AS (
+         |  SELECT cm, CAST(SUM(keep) AS BIGINT) AS np,
+         |    CAST(SUM(1 - keep) AS BIGINT) AS nn
+         |  FROM j GROUP BY cm),
+         |c AS (
+         |  SELECT np, nn,
+         |    CAST(SUM(np) OVER (ORDER BY cm DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ctp,
+         |    CAST(SUM(nn) OVER (ORDER BY cm DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cfp
+         |  FROM g),
+         |p2 AS (
+         |  SELECT np, nn,
+         |    CAST(round(CAST(ctp AS DOUBLE) / CAST(ctp + cfp AS DOUBLE) * 1e6) AS BIGINT) AS pm
+         |  FROM c),
+         |t2 AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+         |    CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+         |    CAST(SUM(np * pm) AS BIGINT) AS tsum
+         |  FROM p2)
+         |SELECT n_pos, n_neg, n_thresholds,
+         |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE), 6) AS prevalence,
+         |  CASE WHEN n_pos > 0
+         |    THEN ROUND(CAST(tsum AS DOUBLE) / (CAST(n_pos AS DOUBLE) * 1e6), 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS ap
+         |FROM t2""".stripMargin,
+    // q202: token counts per source, densified over the global vocab,
+    // one self-join on token, nano-quantized pointwise JSD terms
+    "q202_source_jsd" ->
+      s"""WITH tk AS (
+         |  SELECT g, t AS token FROM (
+         |    SELECT source AS g, unnest(string_split($norm, ' ')) AS t
+         |    FROM documents)
+         |  WHERE length(t) > 0),
+         |cnt AS (SELECT g, token, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         |voc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM cnt),
+         |vv AS (SELECT DISTINCT token FROM cnt),
+         |gg AS (SELECT DISTINCT g FROM cnt),
+         |dense AS (
+         |  SELECT vv.token, gg.g, COALESCE(cnt.n, 0) AS n, tot.t
+         |  FROM vv CROSS JOIN gg
+         |  LEFT JOIN cnt ON cnt.token = vv.token AND cnt.g = gg.g
+         |  JOIN tot ON tot.g = gg.g),
+         |pr AS (
+         |  SELECT a.g AS group_a, b.g AS group_b,
+         |    CAST(a.n + 1 AS DOUBLE) / CAST(a.t + voc.v AS DOUBLE) AS p,
+         |    CAST(b.n + 1 AS DOUBLE) / CAST(b.t + voc.v AS DOUBLE) AS q
+         |  FROM dense a JOIN dense b ON a.token = b.token, voc
+         |  WHERE a.g < b.g),
+         |tm AS (
+         |  SELECT group_a, group_b,
+         |    CAST(round((0.5 * p * ln(2.0 * p / (p + q)) +
+         |      0.5 * q * ln(2.0 * q / (p + q))) * 1e9) AS BIGINT) AS jn
+         |  FROM pr)
+         |SELECT group_a, group_b, CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  ROUND(CAST(SUM(jn) AS DOUBLE) / 1e9, 6) AS jsd
+         |FROM tm GROUP BY 1, 2
+         |ORDER BY group_a, group_b""".stripMargin,
+    // q203: classifier replay split by cohort, grid CDFs, exact
+    // cross-multiplied sup selection (smallest score on argmax ties)
+    "q203_ks_drift" ->
+      s"""WITH $classifierPredCtes,
+         |ga AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS na
+         |  FROM pred WHERE doc_id < 250 GROUP BY 1),
+         |gb AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM pred WHERE doc_id >= 250 GROUP BY 1),
+         |cells AS (
+         |  SELECT COALESCE(ga.sm, gb.sm) AS sm,
+         |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+         |  FROM ga FULL JOIN gb ON ga.sm = gb.sm),
+         |cum AS (
+         |  SELECT sm,
+         |    CAST(SUM(na) OVER (ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+         |    CAST(SUM(nb) OVER (ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+         |  FROM cells),
+         |tt AS (SELECT MAX(ca) AS ta, MAX(cb) AS tb FROM cum),
+         |df AS (SELECT sm, ABS(ca * tb - cb * ta) AS dn, ta, tb FROM cum, tt),
+         |dm AS (SELECT MAX(dn) AS d FROM df)
+         |SELECT MIN(ta) AS n_a, MIN(tb) AS n_b,
+         |  ROUND(CAST(MIN(dn) AS DOUBLE) /
+         |    (CAST(MIN(ta) AS DOUBLE) * CAST(MIN(tb) AS DOUBLE)), 6) AS d,
+         |  ROUND(CAST(MIN(sm) AS DOUBLE) / 1e6, 6) AS d_at
+         |FROM df, dm WHERE df.dn = dm.d""".stripMargin,
     // q193: the q177/q185 classifier + gopher replays plus the q160
     // blocklist, melted to (item, label) ratings and folded through the
     // exact-integer Fleiss identity

@@ -122,6 +122,62 @@ object Calibration {
           .otherwise(lit(0.5d)).as("auc"))
   }
 
+  /** Exact AVERAGE PRECISION (the area under the precision–recall
+    * curve in its step form, sklearn's `average_precision_score`
+    * definition) — the discrimination readout that, unlike
+    * [[binaryAuc]], does NOT credit true negatives: on a heavily
+    * imbalanced curation gate (most of a crawl is rejected) ROC-AUC can
+    * look great while precision at any usable recall is terrible; AP is
+    * the number that moves. AP = Σᵢ (Rᵢ − Rᵢ₋₁)·Pᵢ over distinct
+    * thresholds descending, i.e. Σ_s n⁺_s · P(≥s) ∕ N⁺ with P(≥s) the
+    * precision of the keep-everything-scoring-≥s policy.
+    *
+    * Determinism: scores are micro-quantized first (exact tie groups);
+    * per distinct score the precision is ONE fixed-order double divide
+    * of exact cumulative longs, micro-quantized back to an integer; the
+    * numerator Σ n⁺_s·prec_micro_s is an exact long sum with a single
+    * final divide — bit-replayable in DuckDB.
+    *
+    * Plan: identical to [[binaryAuc]] — one equi-join, one groupBy to
+    * the ≤ 10⁶ + 1-row micro-score grid, one bounded-grid window, one
+    * 1-row aggregate. `prevalence` (= N⁺∕N, the no-skill AP) rides
+    * along so the readout is self-normalizing. A zero-positive input
+    * reports ap = 0.0 (documented, not NaN); NULLs and off-range labels
+    * fail typed. */
+  def averagePrecision(pred: DataFrame, labels: DataFrame, idCol: String,
+      confCol: String, labelCol: String): DataFrame = {
+    val joined = pred.select(col(idCol), col(confCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
+        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
+      .limit(1).count()
+    require(offRange == 0L,
+      "average precision needs non-NULL scores and labels in {0, 1} — " +
+        "found NULL or out-of-range rows")
+    val g = joined
+      .withColumn("_sm", round(col(confCol).cast("double") * 1e6d).cast("long"))
+      .groupBy(col("_sm"))
+      .agg(sum(col(labelCol).cast("long")).as("_np"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    g.withColumn("_ctp", sum(col("_np")).over(w))
+      .withColumn("_cfp", sum(col("_nn")).over(w))
+      .withColumn("_prec_micro",
+        round(col("_ctp").cast("double") /
+          (col("_ctp") + col("_cfp")).cast("double") * 1e6d).cast("long"))
+      .agg(sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"),
+        count(lit(1)).as("n_thresholds"),
+        sum(col("_np") * col("_prec_micro")).as("_tsum"))
+      .select(col("n_pos"), col("n_neg"), col("n_thresholds"),
+        round(col("n_pos").cast("double") /
+          (col("n_pos") + col("n_neg")).cast("double"), 6).as("prevalence"),
+        when(col("n_pos") > 0L,
+          round(col("_tsum").cast("double") /
+            (col("n_pos").cast("double") * 1e6d), 6))
+          .otherwise(lit(0.0d)).as("ap"))
+  }
+
   /** TEMPERATURE-SCALING sweep — the standard post-hoc calibration FIX
     * for the miscalibration [[reliability]] diagnoses (Guo et al.
     * 2017): for each temperature T in a fixed grid, confidences become

@@ -261,6 +261,63 @@ object ClassifierEval {
         round(col("_pt").cast("double") / 1e6d, 6).as("psi_total"))
   }
 
+  /** Exact two-sample KOLMOGOROV–SMIRNOV distance between two score
+    * snapshots — [[scoreDrift]]'s binned PSI made bin-free:
+    * D = sup_x |F_A(x) − F_B(x)| over the empirical CDFs, the
+    * distribution-shift readout that cannot be hidden by a lucky bin
+    * boundary (a shift entirely inside one PSI bin is invisible to PSI;
+    * KS sees it). Reports the sup, and the smallest score where it is
+    * attained (`d_at` — WHERE the distributions diverge most, the
+    * natural threshold to investigate). One row:
+    * (n_a, n_b, d, d_at).
+    *
+    * Determinism: scores micro-quantize to the integer grid first; the
+    * sup is selected on EXACT cross-multiplied integers
+    * (|ca·n_b − cb·n_a|, no division until the final readout), ties on
+    * the argmax resolve to the smallest score — bit-replayable.
+    * (Exact to n_a·n_b < 2⁶³ ≈ (3·10⁹)²; beyond that route the products
+    * through DECIMAL.)
+    *
+    * Plan: two map-side-combined grid aggregates, one full-outer grid
+    * join (≤ 10⁶ + 1 rows-bounded), one bounded-grid cumulative window,
+    * two 1-row aggregates. Scores may be any reals; NULLs fail typed. */
+  def ksDistance(predA: DataFrame, predB: DataFrame,
+      confCol: String): DataFrame = {
+    def grid(df: DataFrame, out: String) = {
+      val nulls = df.filter(col(confCol).isNull).limit(1).count()
+      require(nulls == 0L, s"ksDistance needs non-NULL scores ($out side)")
+      require(df.limit(1).count() == 1L,
+        s"ksDistance needs a non-empty $out side — the sup over an empty " +
+          "CDF is undefined")
+      df.withColumn("_sm",
+          round(col(confCol).cast("double") * 1e6d).cast("long"))
+        .groupBy(col("_sm")).agg(count(lit(1)).as(out))
+    }
+    val cells = grid(predA, "_na").join(grid(predB, "_nb"), Seq("_sm"), "full")
+      .select(col("_sm"),
+        coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("_ca", sum(col("_na")).over(w))
+      .withColumn("_cb", sum(col("_nb")).over(w))
+      .localCheckpoint(true) // grid-sized, read twice (max + argmax)
+    val tot = cum.agg(max(col("_ca")).as("_ta"), max(col("_cb")).as("_tb"))
+    val diffs = cum.crossJoin(broadcast(tot))
+      .withColumn("_dn", abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")))
+    val dMax = diffs.agg(max(col("_dn")).as("_dm"))
+    diffs.crossJoin(broadcast(dMax))
+      .filter(col("_dn") === col("_dm"))
+      .agg(
+        first(col("_ta")).as("n_a"),
+        first(col("_tb")).as("n_b"),
+        round(first(col("_dm")).cast("double") /
+          (first(col("_ta")).cast("double") * first(col("_tb")).cast("double")),
+          6).as("d"),
+        round(min(col("_sm")).cast("double") / 1e6d, 6).as("d_at"))
+  }
+
   /** Per-class precision / recall / F1 against a gold column, macro-F1
     * carried on every row (the ev_share convention): one row per class
     * present on EITHER side — a class the model never predicts (or

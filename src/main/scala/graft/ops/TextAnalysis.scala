@@ -198,6 +198,73 @@ object TextAnalysis {
         (col("psi_nano").cast("double") / 1e9d).as("psi_contrib"))
   }
 
+  /** Pairwise JENSEN–SHANNON divergence matrix between the unigram
+    * token distributions of every group pair — the symmetric, bounded
+    * (≤ ln 2) cousin of [[tokenDrift]]'s PSI, and the standard corpus
+    * SIMILARITY readout a mixture planner reads before merging or
+    * re-weighting sources: JSD(p‖q) = ½·KL(p‖m) + ½·KL(q‖m) with
+    * m = ½(p + q). One row per unordered group pair (a < b):
+    * (group_a, group_b, n_types, jsd).
+    *
+    * All pairs share ONE add-one-smoothed model family over the GLOBAL
+    * observed vocabulary (p_t = (n_at + 1) ∕ (N_a + V)) — global-V
+    * smoothing keeps every pair's divergence on the same scale (a
+    * per-pair union vocabulary would silently re-normalize each pair
+    * differently) and makes the matrix one fixed readout.
+    *
+    * Determinism: counts are exact integers; each token's pointwise
+    * term ½p·ln(p∕m) + ½q·ln(q∕m) (non-negative by convexity of
+    * t·ln t) is ONE fixed-order double expression quantized to integer
+    * nano-nats; per-pair sums are exact long sums with one final
+    * readout divide — bit-replayable in DuckDB.
+    *
+    * Plan: one token explode to the (group, token, n) aggregate
+    * (map-side combined), densified over vocab × groups (so
+    * absent-from-one-side tokens still contribute — smoothing makes
+    * their terms nonzero), then ONE self-equi-join on token producing
+    * |vocab| · |pairs| intermediate rows that map-side-combine straight
+    * down to the |pairs|-row matrix. Cost is bounded by vocabulary ×
+    * groups², INDEPENDENT of corpus size; the groups-sized totals frame
+    * broadcasts. Group count is guarded (≤ 64) — this is a
+    * source-matrix readout, not a per-key operator. */
+  def sourceJsd(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("_g"), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("_g"), col("token")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // vocab×groups-sized, read 3× (vocab/groups/dense)
+    val groups = counts.select(col("_g")).distinct()
+    val nGroups = groups.count()
+    require(nGroups >= 2 && nGroups <= 64,
+      s"sourceJsd is a pairwise matrix over a BOUNDED group column — " +
+        s"need 2..64 non-empty groups, got $nGroups")
+    val totals = counts.groupBy(col("_g")).agg(sum(col("_n")).as("_t"))
+    val vocabTot = counts.agg(countDistinct(col("token")).as("_v"))
+    val dense = counts.select(col("token")).distinct()
+      .crossJoin(broadcast(groups))
+      .join(counts, Seq("_g", "token"), "left")
+      .select(col("_g"), col("token"), coalesce(col("_n"), lit(0L)).as("_n"))
+      .join(broadcast(totals), Seq("_g"))
+    val a = dense.select(col("token"), col("_g").as("group_a"),
+      col("_n").as("_na"), col("_t").as("_ta"))
+    val b = dense.select(col("token"), col("_g").as("group_b"),
+      col("_n").as("_nb"), col("_t").as("_tb"))
+    a.join(b, Seq("token")).filter(col("group_a") < col("group_b"))
+      .crossJoin(broadcast(vocabTot))
+      .withColumn("_p",
+        (col("_na") + 1).cast("double") / (col("_ta") + col("_v")).cast("double"))
+      .withColumn("_q",
+        (col("_nb") + 1).cast("double") / (col("_tb") + col("_v")).cast("double"))
+      .withColumn("_jsd_nano",
+        round((lit(0.5d) * col("_p") * log(lit(2.0d) * col("_p") / (col("_p") + col("_q"))) +
+          lit(0.5d) * col("_q") * log(lit(2.0d) * col("_q") / (col("_p") + col("_q")))) * 1e9d)
+          .cast("long"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_types"),
+        round(sum(col("_jsd_nano")).cast("double") / 1e9d, 6).as("jsd"))
+  }
+
   /** DSIR-style importance log-ratio per document (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score each document by the average per-token

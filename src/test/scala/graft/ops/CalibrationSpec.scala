@@ -102,4 +102,34 @@ class CalibrationSpec extends SparkSpecBase {
     assert(auc(Seq(1L -> 0.9, 2L -> 0.8), Seq(1L -> 1L, 2L -> 1L))
       == ((2L, 0L, 0.5)))
   }
+
+  test("averagePrecision: hand-checked step AP, prevalence baseline, degenerate zero-positive") {
+    def ap(ps: Seq[(Long, Double)], ls: Seq[(Long, Long)]) =
+      Calibration.averagePrecision(ps.toDF("id", "conf"), ls.toDF("id", "y"),
+          "id", "conf", "y")
+        .select($"n_pos", $"n_neg", $"n_thresholds", $"prevalence", $"ap")
+        .as[(Long, Long, Long, Double, Double)].head()
+    // perfect separation: every positive ranked above every negative
+    assert(ap(Seq(1L -> 0.9, 2L -> 0.8, 3L -> 0.3, 4L -> 0.1),
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+      == ((2L, 2L, 4L, 0.5, 1.0)))
+    // thresholds desc: .9 P=1 (np=1), .8 P=1 (np=1), .7 P=2/3 (np=0),
+    // .6 P=3/4 (np=1) -> tsum = 1e6 + 1e6 + 750000; AP = 2.75/3
+    assert(ap(Seq(1L -> 0.9, 2L -> 0.8, 3L -> 0.7, 4L -> 0.6),
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+      == ((3L, 1L, 4L, 0.75, 0.916667)))
+    // exact tie: one grid row, P = 1/2
+    assert(ap(Seq(1L -> 0.5, 2L -> 0.5), Seq(1L -> 1L, 2L -> 0L))
+      == ((1L, 1L, 1L, 0.5, 0.5)))
+    // zero positives: documented ap = 0.0, not NaN
+    assert(ap(Seq(1L -> 0.9, 2L -> 0.1), Seq(1L -> 0L, 2L -> 0L))
+      == ((0L, 2L, 2L, 0.0, 0.0)))
+    // NULL labels fail typed
+    intercept[IllegalArgumentException] {
+      Calibration.averagePrecision(
+        Seq((1L, 0.5)).toDF("id", "conf"),
+        Seq((1L, Option.empty[Long])).toDF("id", "y"), "id", "conf", "y")
+    }
+  }
+
 }

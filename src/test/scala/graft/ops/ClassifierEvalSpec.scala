@@ -144,4 +144,30 @@ class ClassifierEvalSpec extends SparkSpecBase {
       ("c", 1L, 2L, 1L, 0.5d, 1.0d, 0.666667d, macroF1),
       ("d", 0L, 2L, 0L, 0.0d, 0.0d, 0.0d, macroF1)), out.toString)
   }
+
+  test("ksDistance: hand-checked sup, smallest-score tie-break, typed guards") {
+    def ks(a: Seq[Double], b: Seq[Double]) =
+      ClassifierEval.ksDistance(a.toDF("conf"), b.toDF("conf"), "conf")
+        .as[(Long, Long, Double, Double)].head()
+    // F_A - F_B peaks at 0.5 from score 0.2 onward; smallest argmax wins
+    assert(ks(Seq(0.1, 0.2, 0.3, 0.4), Seq(0.3, 0.4, 0.5, 0.6))
+      == ((4L, 4L, 0.5, 0.2)))
+    // identical single-point distributions: d = 0 at that score
+    assert(ks(Seq(0.5), Seq(0.5)) == ((1L, 1L, 0.0, 0.5)))
+    // disjoint supports: d = 1 at the lower score
+    assert(ks(Seq(0.1), Seq(0.9)) == ((1L, 1L, 1.0, 0.1)))
+    // unequal sizes: A = {.1,.2}, B = {.15}: at .1 |1*1-0*2|=1 -> 1/2;
+    // at .15 |1*1-1*2|=1 -> tie, argmax stays at the smallest score .1
+    assert(ks(Seq(0.1, 0.2), Seq(0.15)) == ((2L, 1L, 0.5, 0.1)))
+    intercept[IllegalArgumentException] {
+      ClassifierEval.ksDistance(
+        Seq(Option.empty[Double]).toDF("conf"), Seq(0.5).toDF("conf"), "conf")
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.ksDistance(
+        spark.emptyDataFrame.selectExpr("CAST(1.0 AS DOUBLE) AS conf"),
+        Seq(0.5).toDF("conf"), "conf")
+    }
+  }
+
 }

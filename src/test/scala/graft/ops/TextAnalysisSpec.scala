@@ -734,4 +734,32 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got("a")._5 == 3L && got("a")._6 == 2L)
     assert(got("b") == (("b", 3L, 1L, 0.333333, 2L, 1L, 0.5)))
   }
+
+  test("sourceJsd: hand-checked pairwise JSD, zero on identical groups, typed group guard") {
+    val docs = Seq(
+      ("g1", "a a b"), ("g2", "a b b"), ("g3", "a a b")).toDF("src", "text")
+    val got = TextAnalysis.sourceJsd(docs, "src", "text")
+      .orderBy($"group_a", $"group_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // g1: a=2,b=1 (t=3); g2: a=1,b=2; V=2; p(a)=.6 q(a)=.4 and the
+    // mirrored term for b -> per-token nano term 10067757, jsd = .020136
+    val p = 0.6d; val q = 0.4d
+    val tok = math.round((0.5d * p * math.log(2.0d * p / (p + q)) +
+      0.5d * q * math.log(2.0d * q / (p + q))) * 1e9d)
+    val jsd12 = math.round(2L * tok / 1e9d * 1e6d) / 1e6d
+    assert(got == Seq(
+      ("g1", "g2", 2L, jsd12),
+      ("g1", "g3", 2L, 0.0d),
+      ("g2", "g3", 2L, jsd12)), got.toString)
+    // partition invariance
+    val rep = TextAnalysis.sourceJsd(docs.repartition(7), "src", "text")
+      .orderBy($"group_a", $"group_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rep == got)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sourceJsd(Seq(("g1", "a")).toDF("src", "text"),
+        "src", "text")
+    }
+  }
+
 }
