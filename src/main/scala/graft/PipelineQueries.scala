@@ -848,6 +848,57 @@ object PipelineQueries {
       "conf")
   }
 
+  /** q204: per-source token-mass GINI
+    * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
+    * source's training-token mass is across its documents: the
+    * imbalance readout that says whether per-document caps and shard
+    * packing silently re-weight the source. Exact grouped-data Gini on
+    * the per-(source, length) count frame; oracle replays token
+    * counts, the length-grid cumulative and the integer identity. */
+  def tokenGiniBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.tokenGini(Tables.documents(s, dir), "source", "text")
+      .orderBy($"group")
+  }
+
+  /** q205: reciprocal-rank fusion of quality signals
+    * ([[graft.ops.RankMetrics.rrfFuse]]) — the zero-training ensemble
+    * of the q124 classifier confidence and the q78 unigram LM
+    * log-prob: two heterogeneous quality orderings fused by
+    * 1∕(60+rank) contributions, top 50 — the "best of both gates"
+    * selection a curation pipeline runs when neither signal alone is
+    * trusted. Oracle replays both scores, the grid competition ranks
+    * and the exact nano fusion sum. */
+  def rrfBlend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id", $"avg_logprob")
+    graft.ops.RankMetrics.rrfFuse(conf, lp, "doc_id",
+        "conf", "avg_logprob", k0 = 60, topN = 50)
+      .orderBy($"rrf_nano".desc, $"doc_id")
+  }
+
+  /** q206: clustering-agreement NMI
+    * ([[graft.ops.ClassifierEval.nmi]]) — normalized mutual
+    * information between the gold language label and the q42 lang-id
+    * partition: the permutation-invariant agreement number that stays
+    * meaningful when an unsupervised partition's label names can never
+    * match the reference (q187's κ cannot score that case). Oracle
+    * replays the prediction, the contingency counts and every
+    * nano-quantized entropy/MI term. */
+  def clusterNmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.nmi(
+      TextAnalysis.langIdScores(Tables.documents(s, dir), "text")
+        .select($"lang", $"predicted"),
+      "lang", "predicted")
+  }
+
   /** q179: T5 span-corruption data prep ([[Chunking.spanCorrupt]]) —
     * deterministic (input, target) denoising pairs: every full 8-token
     * block loses one 2-token span at an md5-chosen offset, sentinels
@@ -2443,7 +2494,10 @@ object PipelineQueries {
     "q200_score_drift"    -> (scoreDriftAudit _),
     "q201_avg_precision"  -> (qualityAp _),
     "q202_source_jsd"     -> (sourceJsdMatrix _),
-    "q203_ks_drift"       -> (ksDrift _))
+    "q203_ks_drift"       -> (ksDrift _),
+    "q204_token_gini"     -> (tokenGiniBySource _),
+    "q205_rrf_blend"      -> (rrfBlend _),
+    "q206_cluster_nmi"    -> (clusterNmi _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3774,6 +3828,109 @@ object PipelineQueries {
          |    (CAST(MIN(ta) AS DOUBLE) * CAST(MIN(tb) AS DOUBLE)), 6) AS d,
          |  ROUND(CAST(MIN(sm) AS DOUBLE) / 1e6, 6) AS d_at
          |FROM df, dm WHERE df.dn = dm.d""".stripMargin,
+    // q204: per-(source, length) counts, length-grid cumulative, the
+    // exact grouped Gini identity in HUGEINT, one final divide
+    "q204_token_gini" ->
+      s"""WITH t AS (
+         |  SELECT source AS grp,
+         |    CAST(len(string_split($norm, ' ')) AS BIGINT) AS len
+         |  FROM documents),
+         |g AS (
+         |  SELECT grp, len, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM t WHERE len > 0 GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT grp, len, c,
+         |    CAST(COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY len
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM g),
+         |agg AS (
+         |  SELECT grp, CAST(SUM(c) AS BIGINT) AS n_docs,
+         |    SUM(CAST(len AS HUGEINT) * c) AS tot,
+         |    SUM(CAST(len AS HUGEINT) * c * (2 * cb + c + 1)) AS num
+         |  FROM cum GROUP BY 1)
+         |SELECT grp AS "group", n_docs, CAST(tot AS BIGINT) AS total_tokens,
+         |  ROUND(CAST(num - (n_docs + 1) * tot AS DOUBLE) /
+         |    CAST(n_docs * tot AS DOUBLE), 6) AS gini
+         |FROM agg ORDER BY grp""".stripMargin,
+    // q205: classifier + unigram-LM replays, per-signal grid
+    // competition ranks, exact nano RRF fusion, top-50 cut
+    "q205_rrf_blend" ->
+      s"""WITH $classifierPredCtes,
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |uc AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+         |ut AS (SELECT COUNT(*) AS total FROM tk),
+         |um AS (
+         |  SELECT tk.doc_id,
+         |    CAST(round(ln(CAST(uc.cnt AS DOUBLE) / CAST(ut.total AS DOUBLE))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |  FROM tk JOIN uc USING (token), ut),
+         |lp AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(SUM(micro) AS DOUBLE) /
+         |      (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
+         |  FROM um GROUP BY doc_id),
+         |ga AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm, COUNT(*) AS cnt
+         |  FROM pred GROUP BY 1),
+         |ra AS (
+         |  SELECT sm, CAST(COALESCE(SUM(cnt) OVER (ORDER BY sm DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rank_a
+         |  FROM ga),
+         |ja AS (
+         |  SELECT p.doc_id, ra.rank_a
+         |  FROM pred p JOIN ra ON CAST(round(p.conf * 1e6) AS BIGINT) = ra.sm),
+         |gb2 AS (
+         |  SELECT CAST(round(avg_logprob * 1e6) AS BIGINT) AS sm, COUNT(*) AS cnt
+         |  FROM lp GROUP BY 1),
+         |rb2 AS (
+         |  SELECT sm, CAST(COALESCE(SUM(cnt) OVER (ORDER BY sm DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rank_b
+         |  FROM gb2),
+         |jb AS (
+         |  SELECT l.doc_id, rb2.rank_b
+         |  FROM lp l JOIN rb2 ON CAST(round(l.avg_logprob * 1e6) AS BIGINT) = rb2.sm),
+         |fuse AS (
+         |  SELECT ja.doc_id, rank_a, rank_b,
+         |    CAST(round(1e9 / CAST(rank_a + 60 AS DOUBLE)) AS BIGINT) +
+         |      CAST(round(1e9 / CAST(rank_b + 60 AS DOUBLE)) AS BIGINT) AS rrf_nano
+         |  FROM ja JOIN jb USING (doc_id))
+         |SELECT doc_id, rank_a, rank_b, rrf_nano,
+         |  ROUND(CAST(rrf_nano AS DOUBLE) / 1e9, 6) AS rrf
+         |FROM fuse ORDER BY rrf_nano DESC, doc_id LIMIT 50""".stripMargin,
+    // q206: lang-id replay, contingency cells, nano-quantized entropy
+    // and pointwise-MI terms, one fixed-order normalization
+    "q206_cluster_nmi" ->
+      s"""WITH $langIdPredCtes,
+         |cells AS (
+         |  SELECT lang AS a, predicted AS b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+         |ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+         |mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+         |hA AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(-((CAST(na AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |    ln(CAST(na AS DOUBLE) / CAST(nn AS DOUBLE))) * 1e9) AS BIGINT)), 0) AS BIGINT) AS ha
+         |  FROM ma, tot),
+         |hB AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(-((CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |    ln(CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE))) * 1e9) AS BIGINT)), 0) AS BIGINT) AS hb
+         |  FROM mb, tot),
+         |mi AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |    ln(CAST(nn AS DOUBLE) * CAST(n AS DOUBLE) /
+         |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1e9) AS BIGINT)), 0) AS BIGINT) AS mim
+         |  FROM cells JOIN ma USING (a) JOIN mb USING (b), tot)
+         |SELECT tot.nn AS n,
+         |  ROUND(CAST(ha AS DOUBLE) / 1e9, 6) AS h_a,
+         |  ROUND(CAST(hb AS DOUBLE) / 1e9, 6) AS h_b,
+         |  ROUND(CAST(mim AS DOUBLE) / 1e9, 6) AS mi,
+         |  CASE WHEN ha > 0 AND hb > 0
+         |    THEN ROUND(CAST(mim AS DOUBLE) /
+         |      sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS nmi
+         |FROM tot, hA, hB, mi""".stripMargin,
     // q193: the q177/q185 classifier + gopher replays plus the q160
     // blocklist, melted to (item, label) ratings and folded through the
     // exact-integer Fleiss identity

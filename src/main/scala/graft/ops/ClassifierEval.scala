@@ -261,6 +261,59 @@ object ClassifierEval {
         round(col("_pt").cast("double") / 1e6d, 6).as("psi_total"))
   }
 
+  /** NORMALIZED MUTUAL INFORMATION between two labelings — the
+    * clustering-agreement readout next to [[cohenKappa]]: κ needs the
+    * two columns to use the SAME label vocabulary (gold vs predicted);
+    * NMI is permutation-invariant, so it also scores an unsupervised
+    * partition (IVF cells, dedup clusters, topic buckets) against a
+    * reference labeling where the label NAMES can never match.
+    * NMI = I(A;B) ∕ √(H(A)·H(B)), 1 = identical partitions,
+    * 0 = independent. One row: (n, h_a, h_b, mi, nmi).
+    *
+    * Determinism: all probabilities derive from exact integer
+    * contingency counts; each cell's pointwise-MI term and each
+    * marginal's entropy term is ONE fixed-order double expression
+    * nano-quantized to an integer, the sums are exact longs, and the
+    * final normalization is one fixed-order double — bit-replayable.
+    * Either marginal entropy = 0 (a constant labeling carries no
+    * information) reports nmi = 0.0, documented rather than NaN.
+    *
+    * Plan: ONE corpus groupBy to the |A|·|B|-bounded contingency frame
+    * (map-side combined); marginals, entropies and the MI sum are
+    * arithmetic on that bounded frame with 1-row broadcasts. */
+  def nmi(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val c = cells(df, aCol, bCol).localCheckpoint(true) // read 3×
+    val tot = c.agg(sum(col("n")).as("_N"))
+    def entropy(marg: DataFrame) = marg
+      .crossJoin(broadcast(tot))
+      .select(round(negate((col("_m").cast("double") / col("_N").cast("double")) *
+        log(col("_m").cast("double") / col("_N").cast("double"))) * 1e9d)
+        .cast("long").as("_h"))
+      .agg(coalesce(sum(col("_h")), lit(0L)).as("_hsum"))
+    val ha = entropy(c.groupBy(col("a")).agg(sum(col("n")).as("_m")))
+    val hb = entropy(c.groupBy(col("b")).agg(sum(col("n")).as("_m")))
+    val na = c.groupBy(col("a")).agg(sum(col("n")).as("_na"))
+    val nb = c.groupBy(col("b")).agg(sum(col("n")).as("_nb"))
+    val mi = c.join(na, Seq("a")).join(nb, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(round((col("n").cast("double") / col("_N").cast("double")) *
+        log(col("_N").cast("double") * col("n").cast("double") /
+          (col("_na").cast("double") * col("_nb").cast("double"))) * 1e9d)
+        .cast("long").as("_mi"))
+      .agg(coalesce(sum(col("_mi")), lit(0L)).as("_misum"))
+    tot.crossJoin(broadcast(ha.select(col("_hsum").as("_ha"))))
+      .crossJoin(broadcast(hb.select(col("_hsum").as("_hb"))))
+      .crossJoin(broadcast(mi))
+      .select(col("_N").as("n"),
+        round(col("_ha").cast("double") / 1e9d, 6).as("h_a"),
+        round(col("_hb").cast("double") / 1e9d, 6).as("h_b"),
+        round(col("_misum").cast("double") / 1e9d, 6).as("mi"),
+        when(col("_ha") > 0L && col("_hb") > 0L,
+          round(col("_misum").cast("double") /
+            sqrt(col("_ha").cast("double") * col("_hb").cast("double")), 6))
+          .otherwise(lit(0.0d)).as("nmi"))
+  }
+
   /** Exact two-sample KOLMOGOROV–SMIRNOV distance between two score
     * snapshots — [[scoreDrift]]'s binned PSI made bin-free:
     * D = sup_x |F_A(x) − F_B(x)| over the empirical CDFs, the

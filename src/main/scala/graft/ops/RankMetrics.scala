@@ -131,6 +131,60 @@ object RankMetrics {
           .as("rbo"))
   }
 
+  /** RECIPROCAL-RANK FUSION of two score signals over the same id
+    * space (Cormack, Clarke & Buettcher 2009) — the standard
+    * zero-training ensemble for combining heterogeneous quality or
+    * retrieval signals (BM25 + dense scores; here: any two per-doc
+    * scores): each signal contributes 1∕(k₀ + rank), so a document
+    * ranked highly by EITHER signal surfaces, and neither signal's
+    * scale matters — only its ordering. Output: the top `topN`
+    * (id, rank_a, rank_b, rrf_nano, rrf) rows by fused score (exact
+    * nano sum; id tie-break).
+    *
+    * Ranks are COMPETITION ranks off the micro-score grid
+    * (rank = docs strictly better + 1, ties share a rank) — exact,
+    * partition-invariant, engine-replayable; each contribution is
+    * round(10⁹∕(k₀+rank)), the fused score an exact long sum.
+    *
+    * Plan: per signal one map-side-combined grid aggregate + one
+    * bounded-grid window (the [[graft.ops.Calibration.binaryAuc]]
+    * device — never a data-sized sort), one BROADCAST join of the
+    * ≤ 10⁶ + 1-row rank table back onto the docs, one id equi-join of
+    * the two signals (inner — fusion is defined on ids both signals
+    * scored; documented), one TakeOrderedAndProject for the cut. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      scoreColA: String, scoreColB: String, k0: Int = 60,
+      topN: Int = 100): DataFrame = {
+    require(k0 >= 1 && k0 <= 1000, s"k0 must be in [1, 1000], got $k0")
+    require(topN >= 1 && topN <= 100000,
+      s"topN must be in [1, 100000], got $topN")
+    def ranked(df: DataFrame, scoreCol: String, out: String) = {
+      val nulls = df.filter(col(idCol).isNull || col(scoreCol).isNull)
+        .limit(1).count()
+      require(nulls == 0L,
+        s"rrfFuse needs non-NULL ids and '$scoreCol' scores")
+      val sm = df.select(col(idCol),
+        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      val grid = sm.groupBy(col("_sm")).agg(count(lit(1)).as("_n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").desc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranks = grid
+        .withColumn(out, coalesce(sum(col("_n")).over(w), lit(0L)) + 1L)
+        .select(col("_sm"), col(out))
+      sm.join(broadcast(ranks), Seq("_sm")).select(col(idCol), col(out))
+    }
+    ranked(a, scoreColA, "rank_a").join(ranked(b, scoreColB, "rank_b"),
+        Seq(idCol))
+      .withColumn("rrf_nano",
+        round(lit(1e9d) / (col("rank_a") + k0.toLong).cast("double")).cast("long") +
+          round(lit(1e9d) / (col("rank_b") + k0.toLong).cast("double")).cast("long"))
+      .orderBy(col("rrf_nano").desc, col(idCol))
+      .limit(topN)
+      .select(col(idCol), col("rank_a"), col("rank_b"), col("rrf_nano"),
+        round(col("rrf_nano").cast("double") / 1e9d, 6).as("rrf"))
+  }
+
   /** W(m)·10⁶ for m = 1..k — shared with the q196 oracle so both
     * engines sum the bit-identical integer weights. */
   private[graft] def rboWeightsMicro(k: Int, p: Double): Seq[Long] =

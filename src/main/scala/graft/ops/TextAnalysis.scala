@@ -265,6 +265,53 @@ object TextAnalysis {
         round(sum(col("_jsd_nano")).cast("double") / 1e9d, 6).as("jsd"))
   }
 
+  /** Per-group GINI concentration of token mass across documents — the
+    * imbalance readout a curation pipeline reads next to the q145
+    * padding histogram: gini ≈ 0 means every document carries similar
+    * token mass; gini → 1 means a few giant documents dominate the
+    * group's training tokens (so per-DOCUMENT sampling caps silently
+    * re-weight the corpus, and shard packing skews). One row per
+    * group: (group, n_docs, total_tokens, gini).
+    *
+    * Exact grouped-data identity: with documents sorted by length
+    * ascending, G = (2·Σᵢ i·xᵢ − (n+1)·Σx) ∕ (n·Σx); for a run of c
+    * equal lengths v after C docs, 2·Σ i·v over the run =
+    * v·c·(2C + c + 1) — so the whole statistic is integer arithmetic
+    * on the per-(group, length) count frame. Terms route through
+    * DECIMAL(38,0) (n²·len-scale products overflow long at 100 TB);
+    * the single final divide is fixed-order double — bit-replayable.
+    *
+    * Plan: one map-only length projection, one (group, length) groupBy
+    * (map-side combined), one window over the per-group LENGTH GRID
+    * (bounded by distinct document lengths, never documents; and
+    * partitioned by group — no global sort), one group-sized
+    * aggregate. Zero-token documents are excluded (documented). */
+  def tokenGini(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lens = df
+      .select(col(groupCol).as("group"),
+        tokenCount(col(textCol)).cast("long").as("_len"))
+      .filter(col("_len") > 0)
+      .groupBy(col("group"), col("_len")).agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("_len"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    lens.withColumn("_cb", coalesce(sum(col("_c")).over(w), lit(0L)))
+      .withColumn("_term", col("_len").cast(dec) * col("_c").cast(dec) *
+        (lit(2L) * col("_cb") + col("_c") + lit(1L)).cast(dec))
+      .withColumn("_mass", col("_len").cast(dec) * col("_c").cast(dec))
+      .groupBy(col("group"))
+      .agg(sum(col("_c")).as("n_docs"),
+        sum(col("_mass")).as("_tot"),
+        sum(col("_term")).as("_num"))
+      .select(col("group"), col("n_docs"),
+        col("_tot").cast("long").as("total_tokens"),
+        round((col("_num") - (col("n_docs") + 1).cast(dec) * col("_tot"))
+            .cast("double") /
+          (col("n_docs").cast(dec) * col("_tot")).cast("double"), 6)
+          .as("gini"))
+  }
+
   /** DSIR-style importance log-ratio per document (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score each document by the average per-token

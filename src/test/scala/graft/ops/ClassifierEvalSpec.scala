@@ -170,4 +170,26 @@ class ClassifierEvalSpec extends SparkSpecBase {
     }
   }
 
+
+  test("nmi: identical partitions score 1 under any relabeling, independent score 0, constant scores 0") {
+    def run(rows: Seq[(String, String)]) =
+      ClassifierEval.nmi(rows.toDF("a", "b"), "a", "b")
+        .as[(Long, Double, Double, Double, Double)].head()
+    // identical partition, same names
+    assert(run(Seq(("a", "a"), ("a", "a"), ("b", "b")))._5 == 1.0d)
+    // identical partition, DIFFERENT names — the case kappa cannot score
+    assert(run(Seq(("a", "x"), ("a", "x"), ("b", "y")))._5 == 1.0d)
+    // independent partitions: every cell n=1, pointwise MI = ln(1) = 0
+    val ind = run(Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+    assert(ind._4 == 0.0d && ind._5 == 0.0d, ind.toString)
+    // constant labeling carries no information: entropy 0 -> nmi 0, no NaN
+    val const = run(Seq(("a", "x"), ("a", "y")))
+    assert(const._2 == 0.0d && const._5 == 0.0d, const.toString)
+    // hand-check entropies on the 2/3-1/3 split
+    val h = run(Seq(("a", "a"), ("a", "a"), ("b", "b")))
+    val expH = math.round((-(2.0 / 3.0 * math.log(2.0 / 3.0)) * 1e9 +
+      -(1.0 / 3.0 * math.log(1.0 / 3.0)) * 1e9) / 1e9 * 1e6) / 1e6.toDouble
+    assert(math.abs(h._2 - expH) < 2e-6, s"${h._2} vs $expH")
+  }
+
 }

@@ -80,4 +80,33 @@ class RankMetricsSpec extends SparkSpecBase {
       RankMetrics.rankBiasedOverlap(ident.toDF("q", "d", "r"),
         ident.toDF("q", "d", "r"), "q", "d", "r", k = 3, p = 1.0))
   }
+
+  test("rrfFuse: hand-checked fusion, competition-rank ties, topN cut, typed guards") {
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "sa")
+    val b = Seq((1L, 0.1), (2L, 0.3), (3L, 0.2)).toDF("id", "sb")
+    val got = RankMetrics.rrfFuse(a, b, "id", "sa", "sb", k0 = 60, topN = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // nano contributions: r1 -> 16393443, r2 -> 16129032, r3 -> 15873016
+    assert(got == Seq(
+      (2L, 2L, 1L, 32522475L, 0.032522d),
+      (1L, 1L, 3L, 32266459L, 0.032266d),
+      (3L, 3L, 2L, 32002048L, 0.032002d)), got.toString)
+    // ties share the competition rank; the next rank skips
+    val at = Seq((1L, 0.5), (2L, 0.5), (3L, 0.4)).toDF("id", "sa")
+    val ranks = RankMetrics.rrfFuse(at, at.withColumnRenamed("sa", "sb"),
+        "id", "sa", "sb", k0 = 60, topN = 3)
+      .select($"id", $"rank_a").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(ranks == Seq((1L, 1L), (2L, 1L), (3L, 3L)), ranks.toString)
+    // topN cut + id tie-break on equal fused scores
+    val cut = RankMetrics.rrfFuse(at, at.withColumnRenamed("sa", "sb"),
+        "id", "sa", "sb", k0 = 60, topN = 1)
+      .select($"id").as[Long].collect().toSeq
+    assert(cut == Seq(1L))
+    intercept[IllegalArgumentException](
+      RankMetrics.rrfFuse(Seq((1L, Option.empty[Double])).toDF("id", "sa"),
+        b, "id", "sa", "sb"))
+    intercept[IllegalArgumentException](
+      RankMetrics.rrfFuse(a, b, "id", "sa", "sb", k0 = 0))
+  }
+
 }

@@ -762,4 +762,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+
+  test("tokenGini: zero on equal lengths, hand-checked skew, partition invariance") {
+    // equal masses -> 0
+    val eq = TextAnalysis.tokenGini(
+        Seq(("g", "a b"), ("g", "c d")).toDF("src", "text"), "src", "text")
+      .as[(String, Long, Long, Double)].head()
+    assert(eq == (("g", 2L, 4L, 0.0d)))
+    // lengths 1,1,2: 2*(1+2+6)=18, (n+1)*tot=16, n*tot=12 -> 1/6
+    val skew = TextAnalysis.tokenGini(
+        Seq(("g", "a"), ("g", "b"), ("g", "c d")).toDF("src", "text"),
+        "src", "text")
+      .as[(String, Long, Long, Double)].head()
+    assert(skew == (("g", 3L, 4L, 0.166667d)), skew.toString)
+    // one giant doc: lengths 1, 99 -> (2*199 - 3*100)/(2*100) = 0.49
+    val giant = TextAnalysis.tokenGini(
+        Seq(("g", "a"), ("g", Seq.fill(99)("w").mkString(" ")))
+          .toDF("src", "text"), "src", "text")
+      .as[(String, Long, Long, Double)].head()
+    assert(giant == (("g", 2L, 100L, 0.49d)), giant.toString)
+    // two groups, partition invariance
+    val docs = Seq(("g1", "a"), ("g1", "b c d"), ("g2", "x y"),
+      ("g2", "z w")).toDF("src", "text")
+    val base = TextAnalysis.tokenGini(docs, "src", "text")
+      .orderBy($"group").as[(String, Long, Long, Double)].collect().toSeq
+    val rep = TextAnalysis.tokenGini(docs.repartition(5), "src", "text")
+      .orderBy($"group").as[(String, Long, Long, Double)].collect().toSeq
+    assert(base == rep)
+    assert(base.find(_._1 == "g2").get._4 == 0.0d)
+  }
+
 }
