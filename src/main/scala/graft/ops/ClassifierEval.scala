@@ -222,25 +222,64 @@ object ClassifierEval {
   def scoreDrift(predA: DataFrame, predB: DataFrame, confCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
-    val spark = predA.sparkSession
+    psiFromCells(
+      binCounts(predA, confCol, bins, "n_a")
+        .join(binCounts(predB, confCol, bins, "n_b"), Seq("bin"), "full"),
+      bins)
+  }
+
+  /** [[scoreDrift]] against a PRE-BINNED reference — the streaming
+    * monitor's shape ([[graft.streaming.DriftMonitor]]): at 100 TB the
+    * calibration cohort is frozen once as its `bins`-row histogram
+    * (`(bin, n_a)`), and each incoming batch compares against that
+    * table without ever re-reading the reference corpus. Identical
+    * output contract to [[scoreDrift]] (reference = the `a` side).
+    * Malformed reference rows (NULL / out-of-range / duplicate bins)
+    * fail typed — a silently dropped bin would fake a drift. */
+  def scoreDriftFromBins(refBins: DataFrame, pred: DataFrame,
+      confCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val bad = refBins.filter(col("bin").isNull || col("n_a").isNull ||
+        col("bin") < 0L || col("bin") >= bins.toLong || col("n_a") < 0L)
+      .limit(1).count()
+    require(bad == 0L,
+      s"reference histogram needs bins in [0, $bins) with non-negative " +
+        "non-NULL counts")
+    val dups = refBins.groupBy(col("bin")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1L).limit(1).count()
+    require(dups == 0L, "reference histogram has duplicate bin rows")
+    psiFromCells(
+      refBins.select(col("bin"), col("n_a"))
+        .join(binCounts(pred, confCol, bins, "n_b"), Seq("bin"), "full"),
+      bins)
+  }
+
+  /** The `bins`-row micro-quantized confidence histogram shared by the
+    * drift readouts and the streaming monitor's frozen reference. */
+  private[graft] def binCounts(df: DataFrame, confCol: String, bins: Int,
+      out: String): DataFrame = {
+    val nulls = df.filter(col(confCol).isNull ||
+        col(confCol) < 0.0d || col(confCol) > 1.0d)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"scoreDrift needs non-NULL confidences in [0, 1] ($out side)")
+    df.withColumn("_cm",
+        round(col(confCol).cast("double") * 1e6d).cast("long"))
+      .withColumn("bin",
+        least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L))
+          .cast("long"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(out))
+  }
+
+  /** Shares, per-bin PSI terms and the carried total over a sparse
+    * `(bin, n_a, n_b)` frame — generated bins, so empty bins exist in
+    * the fixed `bins`-row output. */
+  private def psiFromCells(sparse: DataFrame, bins: Int): DataFrame = {
+    val spark = sparse.sparkSession
     import spark.implicits._
-    def binned(df: DataFrame, out: String) = {
-      val nulls = df.filter(col(confCol).isNull ||
-          col(confCol) < 0.0d || col(confCol) > 1.0d)
-        .limit(1).count()
-      require(nulls == 0L,
-        s"scoreDrift needs non-NULL confidences in [0, 1] ($out side)")
-      df.withColumn("_cm",
-          round(col(confCol).cast("double") * 1e6d).cast("long"))
-        .withColumn("bin",
-          least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L))
-            .cast("long"))
-        .groupBy(col("bin")).agg(count(lit(1)).as(out))
-    }
     val allBins = (0L until bins.toLong).toDF("bin")
     val cells = allBins
-      .join(binned(predA, "n_a"), Seq("bin"), "left")
-      .join(binned(predB, "n_b"), Seq("bin"), "left")
+      .join(sparse, Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
