@@ -899,6 +899,62 @@ object PipelineQueries {
       "lang", "predicted")
   }
 
+  /** q207: tie-exact SPEARMAN rank correlation
+    * ([[graft.ops.RankMetrics.spearman]]) between the q124 classifier
+    * confidence and the q78 unigram LM log-prob — the
+    * monotone-agreement number behind q205's fusion: do the two
+    * quality gates even order the corpus the same way? Fractional
+    * (average) ranks make it tie-correct; the scales never meet.
+    * Oracle replays both signals, the doubled-average-rank grids and
+    * the exact-integer Pearson sums. */
+  def spearmanSignals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id", $"avg_logprob")
+    graft.ops.RankMetrics.spearman(conf, lp, "doc_id",
+      "conf", "avg_logprob")
+  }
+
+  /** q208: HEAPS'-LAW fit over the vocabulary-growth curve
+    * ([[TextAnalysis.vocabGrowth]] → [[TextAnalysis.heapsFit]]) — the
+    * saturation extrapolation next to q165's novelty curve and q198's
+    * coverage thresholds: sources ingest alphabetically, each distinct
+    * word is credited to its first source, and the log-log OLS line
+    * through the (cum_tokens, cum_vocab) points reads off V ≈ K·N^β.
+    * Oracle replays tokenization, first-source attribution, the
+    * bounded cumulative window, every nano-quantized OLS term and the
+    * fixed-order slope/intercept/r² arithmetic. */
+  def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.heapsFit(
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir), "source", "text"),
+      "cum_tokens", "cum_vocab")
+  }
+
+  /** q209: per-source EFFECTIVE SAMPLE SIZE under soft-dedup weights
+    * ([[graft.ops.Sampling.effectiveSampleSize]]) — what q197's
+    * cluster reweighting costs each source in statistical power:
+    * Kish's (Σw)²∕Σw² over the 1∕|cluster| weights, so a source full
+    * of near-dups reports the few EFFECTIVE documents it actually
+    * contributes. Oracle replays the candidate graph, the recursive
+    * closure, sizes, weights and the exact-integer ESS identity. */
+  def essBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val w = graft.ops.Components.clusterWeights(docs, "doc_id",
+      Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.4)
+        .select($"a_id", $"b_id"))
+    graft.ops.Sampling.effectiveSampleSize(
+        w.join(docs.select($"doc_id", $"source"), Seq("doc_id")),
+        "source", "weight")
+      .orderBy($"group")
+  }
+
   /** q179: T5 span-corruption data prep ([[Chunking.spanCorrupt]]) —
     * deterministic (input, target) denoising pairs: every full 8-token
     * block loses one 2-token span at an md5-chosen offset, sentinels
@@ -2497,7 +2553,10 @@ object PipelineQueries {
     "q203_ks_drift"       -> (ksDrift _),
     "q204_token_gini"     -> (tokenGiniBySource _),
     "q205_rrf_blend"      -> (rrfBlend _),
-    "q206_cluster_nmi"    -> (clusterNmi _))
+    "q206_cluster_nmi"    -> (clusterNmi _),
+    "q207_spearman"       -> (spearmanSignals _),
+    "q208_heaps_law"      -> (heapsLaw _),
+    "q209_ess"            -> (essBySource _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -3931,6 +3990,151 @@ object PipelineQueries {
          |      sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6)
          |    ELSE CAST(0.0 AS DOUBLE) END AS nmi
          |FROM tot, hA, hB, mi""".stripMargin,
+    // q207: classifier + unigram-LM replays, doubled-average-rank
+    // grids (2·below + ties + 1, exact integers even at .5 midpoints),
+    // HUGEINT Pearson sums, one fixed-order double ratio
+    "q207_spearman" ->
+      s"""WITH $classifierPredCtes,
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |uc AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+         |ut AS (SELECT COUNT(*) AS total FROM tk),
+         |um AS (
+         |  SELECT tk.doc_id,
+         |    CAST(round(ln(CAST(uc.cnt AS DOUBLE) / CAST(ut.total AS DOUBLE))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |  FROM tk JOIN uc USING (token), ut),
+         |lp AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(SUM(micro) AS DOUBLE) /
+         |      (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
+         |  FROM um GROUP BY doc_id),
+         |ga AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm, COUNT(*) AS cnt
+         |  FROM pred GROUP BY 1),
+         |ra AS (
+         |  SELECT sm, 2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY sm ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    + cnt + 1 AS r2a
+         |  FROM ga),
+         |ja AS (
+         |  SELECT p.doc_id, ra.r2a AS x
+         |  FROM pred p JOIN ra ON CAST(round(p.conf * 1e6) AS BIGINT) = ra.sm),
+         |gb2 AS (
+         |  SELECT CAST(round(avg_logprob * 1e6) AS BIGINT) AS sm, COUNT(*) AS cnt
+         |  FROM lp GROUP BY 1),
+         |rb2 AS (
+         |  SELECT sm, 2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY sm ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    + cnt + 1 AS r2b
+         |  FROM gb2),
+         |jb AS (
+         |  SELECT l.doc_id, rb2.r2b AS y
+         |  FROM lp l JOIN rb2 ON CAST(round(l.avg_logprob * 1e6) AS BIGINT) = rb2.sm),
+         |j AS (SELECT x, y FROM ja JOIN jb USING (doc_id)),
+         |t2 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct_a,
+         |    CAST(COUNT(DISTINCT y) AS BIGINT) AS n_distinct_b,
+         |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM j)
+         |SELECT n, n_distinct_a, n_distinct_b,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+         |  THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |  ELSE CAST(0.0 AS DOUBLE) END AS rho
+         |FROM t2""".stripMargin,
+    // q208: tokenization, first-source word attribution, the bounded
+    // cumulative curve, nano-quantized ln/ln²/ln·ln OLS terms, exact
+    // integer sums, one fixed-order slope/intercept/r² readout
+    "q208_heaps_law" ->
+      s"""WITH tok AS (
+         |  SELECT source AS grp, unnest(string_split($norm, ' ')) AS t
+         |  FROM documents),
+         |tk AS (SELECT grp, t FROM tok WHERE length(t) > 0),
+         |pg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+         |fw AS (SELECT t, MIN(grp) AS grp FROM tk GROUP BY t),
+         |fg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_new FROM fw GROUP BY 1),
+         |curve AS (
+         |  SELECT pg.grp,
+         |    CAST(SUM(pg.n_tokens) OVER (ORDER BY pg.grp) AS BIGINT) AS cum_tokens,
+         |    CAST(SUM(COALESCE(fg.n_new, 0)) OVER (ORDER BY pg.grp) AS BIGINT) AS cum_vocab
+         |  FROM pg LEFT JOIN fg USING (grp)),
+         |pts AS (
+         |  SELECT
+         |    CAST(CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e9) AS BIGINT)
+         |      AS DOUBLE) / 1e9 AS x,
+         |    CAST(CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1e9) AS BIGINT)
+         |      AS DOUBLE) / 1e9 AS y
+         |  FROM curve),
+         |t2 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS points,
+         |    CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(round(y * 1e9) AS BIGINT)) AS BIGINT) AS sy,
+         |    CAST(SUM(CAST(round(x * x * 1e9) AS BIGINT)) AS BIGINT) AS sxx,
+         |    CAST(SUM(CAST(round(y * y * 1e9) AS BIGINT)) AS BIGINT) AS syy,
+         |    CAST(SUM(CAST(round(x * y * 1e9) AS BIGINT)) AS BIGINT) AS sxy
+         |  FROM pts),
+         |f AS (
+         |  SELECT points,
+         |    CAST(points AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+         |      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) AS var_x,
+         |    CAST(points AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e9)
+         |      - (CAST(sy AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9) AS var_y,
+         |    CAST(points AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+         |      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9) AS cov,
+         |    CAST(sx AS DOUBLE) / 1e9 AS sxd, CAST(sy AS DOUBLE) / 1e9 AS syd
+         |  FROM t2),
+         |b AS (SELECT points, var_x, var_y, cov, cov / var_x AS beta,
+         |    (syd - cov / var_x * sxd) / CAST(points AS DOUBLE) AS ln_k
+         |  FROM f)
+         |SELECT points, ROUND(beta, 6) AS beta, ROUND(ln_k, 6) AS ln_k,
+         |  ROUND(exp(ln_k), 6) AS k,
+         |  CASE WHEN var_y > 0 THEN ROUND(cov * cov / (var_x * var_y), 6)
+         |    ELSE CAST(1.0 AS DOUBLE) END AS r2
+         |FROM b""".stripMargin,
+    // q209: the q197 closure + weights, micro-quantized, then the
+    // exact-integer Kish identity per source
+    "q209_ess" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (
+         |  SELECT a_id AS a, b_id AS b FROM cand
+         |  UNION SELECT b_id, a_id FROM cand
+         |  UNION SELECT a_id, a_id FROM cand
+         |  UNION SELECT b_id, b_id FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+         |lab AS (
+         |  SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize FROM lab GROUP BY 1),
+         |w AS (
+         |  SELECT lab.doc_id, lab.source,
+         |    CAST(round(ROUND(CAST(1.0 AS DOUBLE) / CAST(csize AS DOUBLE), 6)
+         |      * 1e6) AS BIGINT) AS wq
+         |  FROM lab JOIN sz USING (component))
+         |SELECT source AS "group", CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ROUND(CAST(SUM(wq) AS DOUBLE) / 1e6, 6) AS sum_w,
+         |  ROUND(CAST(SUM(wq) AS DOUBLE) * CAST(SUM(wq) AS DOUBLE) /
+         |    CAST(SUM(CAST(wq AS HUGEINT) * wq) AS DOUBLE), 6) AS ess,
+         |  ROUND(CAST(SUM(wq) AS DOUBLE) * CAST(SUM(wq) AS DOUBLE) /
+         |    CAST(SUM(CAST(wq AS HUGEINT) * wq) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS ess_ratio
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
     // q193: the q177/q185 classifier + gopher replays plus the q160
     // blocklist, melted to (item, label) ratings and folded through the
     // exact-integer Fleiss identity

@@ -185,6 +185,76 @@ object RankMetrics {
         round(col("rrf_nano").cast("double") / 1e9d, 6).as("rrf"))
   }
 
+  /** TIE-EXACT SPEARMAN rank correlation between two score signals
+    * over the same id space — the monotone-agreement number next to
+    * [[rrfFuse]] (which blends the orderings) and [[rankBiasedOverlap]]
+    * (which compares top-k prefixes): ρ = Pearson correlation of the
+    * FRACTIONAL (average) ranks, the textbook tie-correct form, so two
+    * quality gates that order the corpus the same way score 1 even
+    * when their scales are incomparable. One row:
+    * (n, n_distinct_a, n_distinct_b, rho).
+    *
+    * Determinism: scores micro-quantize to the integer grid; each
+    * signal's DOUBLED average rank is the exact integer
+    * 2·(docs strictly below) + ties + 1, so every rank — including
+    * .5 tie midpoints — is an integer with no float in sight; the five
+    * Pearson sums are exact DECIMAL(38,0) (Σxy ≤ 4n³ stays exact past
+    * 10¹² rows); the final ratio is one fixed-order double expression.
+    * A constant signal (zero rank variance) reports rho = 0.0,
+    * documented rather than NaN. NULL ids or scores fail typed.
+    *
+    * Plan: per signal one map-side-combined grid aggregate + one
+    * BOUNDED-grid window (≤ 10⁶ + 1 rows — never a data-sized sort) +
+    * one broadcast join of the rank table back onto the docs; one id
+    * equi-join of the two signals (inner — ρ is defined on ids both
+    * signals scored); ONE final aggregate. */
+  def spearman(a: DataFrame, b: DataFrame, idCol: String,
+      scoreColA: String, scoreColB: String): DataFrame = {
+    def ranked2(df: DataFrame, scoreCol: String, out: String) = {
+      val nulls = df.filter(col(idCol).isNull || col(scoreCol).isNull)
+        .limit(1).count()
+      require(nulls == 0L,
+        s"spearman needs non-NULL ids and '$scoreCol' scores")
+      val sm = df.select(col(idCol),
+        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      val grid = sm.groupBy(col("_sm")).agg(count(lit(1)).as("_n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      // doubled average rank of a tie group starting after `below`
+      // docs with `cnt` members: ranks below+1 .. below+cnt average to
+      // below + (cnt+1)/2, so twice that is the exact integer
+      // 2·below + cnt + 1.
+      val ranks = grid
+        .withColumn(out,
+          lit(2L) * coalesce(sum(col("_n")).over(w), lit(0L)) +
+            col("_n") + 1L)
+        .select(col("_sm"), col(out))
+      sm.join(broadcast(ranks), Seq("_sm")).select(col(idCol), col(out))
+    }
+    val ga = ranked2(a, scoreColA, "_ra")
+    val gb = ranked2(b, scoreColB, "_rb")
+    val dec = "decimal(38,0)"
+    val sums = ga.join(gb, Seq(idCol))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("_ra")).as("n_distinct_a"),
+        countDistinct(col("_rb")).as("n_distinct_b"),
+        sum(col("_ra").cast(dec)).as("_sx"),
+        sum(col("_rb").cast(dec)).as("_sy"),
+        sum(col("_ra").cast(dec) * col("_ra")).as("_sxx"),
+        sum(col("_rb").cast(dec) * col("_rb")).as("_syy"),
+        sum(col("_ra").cast(dec) * col("_rb")).as("_sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varX = nD * d("_sxx") - d("_sx") * d("_sx")
+    val varY = nD * d("_syy") - d("_sy") * d("_sy")
+    sums.select(col("n"), col("n_distinct_a"), col("n_distinct_b"),
+      when(varX > 0.0d && varY > 0.0d,
+        round((nD * d("_sxy") - d("_sx") * d("_sy")) /
+          sqrt(varX * varY), 6))
+        .otherwise(lit(0.0d)).as("rho"))
+  }
+
   /** W(m)·10⁶ for m = 1..k — shared with the q196 oracle so both
     * engines sum the bit-identical integer weights. */
   private[graft] def rboWeightsMicro(k: Int, p: Double): Seq[Long] =

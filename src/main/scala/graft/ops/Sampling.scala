@@ -309,4 +309,49 @@ object Sampling {
         col("alloc"),
         round(col("alloc") / lit(budget.toDouble), 6).as("share"))
   }
+
+  /** EFFECTIVE SAMPLE SIZE per group under importance weights (Kish
+    * 1965, ESS = (Σw)² ∕ Σw²) — the readout that says what a
+    * soft-dedup / mixture reweighting actually costs in statistical
+    * power: n weighted documents train like `ess` unweighted ones, so
+    * a source whose `ess_ratio` collapses toward 1∕n is one document
+    * repeated, however many rows it ships. The natural audit over
+    * [[graft.ops.Components.clusterWeights]] (every near-dup cluster
+    * contributes ≈ one document's worth of ESS) or any per-row
+    * sampling weight. One row per group:
+    * (group, n_docs, sum_w, ess, ess_ratio = ess∕n ∈ (0, 1]).
+    *
+    * Determinism: weights micro-quantize to integers first; Σw is an
+    * exact long and Σw² an exact DECIMAL(38,0) (each square ≤ 10¹²
+    * stays integer-exact far past 10²⁵ rows); the final division is
+    * one fixed-order double expression — bit-replayable. NULL,
+    * negative, zero or > 10⁶ weights fail typed (a zero weight is a
+    * REMOVED row and belongs in a hard-dedup filter, not an ESS
+    * denominator).
+    *
+    * Plan: one limit-probe guard + ONE map-side-combined groupBy to
+    * the groups-sized frame; no window, no join — corpus-sized input
+    * touched exactly once. */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val bad = df.filter(col(weightCol).isNull || col(groupCol).isNull ||
+        col(weightCol) <= 0.0d || col(weightCol) > 1e6d)
+      .limit(1).count()
+    require(bad == 0L, s"effectiveSampleSize needs non-NULL groups and " +
+      s"'$weightCol' weights in (0, 1e6] — zero/negative weights are " +
+      "removals, not weights")
+    val wq = round(col(weightCol).cast("double") * 1e6d).cast("long")
+    df.select(col(groupCol).as("group"), wq.as("_wq"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_wq")).as("_sw"),
+        sum(col("_wq").cast("decimal(19,0)") * col("_wq")).as("_sw2"))
+      .select(col("group"), col("n_docs"),
+        round(col("_sw").cast("double") / 1e6d, 6).as("sum_w"),
+        round(col("_sw").cast("double") * col("_sw").cast("double") /
+          col("_sw2").cast("double"), 6).as("ess"),
+        round(col("_sw").cast("double") * col("_sw").cast("double") /
+          col("_sw2").cast("double") / col("n_docs").cast("double"), 6)
+          .as("ess_ratio"))
+  }
 }

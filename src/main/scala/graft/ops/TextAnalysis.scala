@@ -1472,4 +1472,94 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(topK)
   }
+
+  /** VOCABULARY-GROWTH curve in deterministic group (ingestion) order —
+    * the word-level twin of the q165 novelty curve: groups are
+    * processed alphabetically, every distinct word is credited to the
+    * FIRST group containing it, and per group the curve reports its
+    * token mass plus the running totals (cum_tokens, cum_vocab) — the
+    * (N, V) points Heaps' law V = K·N^β is fitted on ([[heapsFit]]).
+    *
+    * Plan: one token explode; token counts per group and first-group
+    * word attribution are each ONE map-side-combined aggregate
+    * (vocab-sized); the cumulative window runs on the GROUPS-sized
+    * frame only. Nothing after the vocab groupBy is corpus-sized. */
+  def vocabGrowth(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tok = df
+      .select(col(groupCol).as("group"),
+        explode(tokens(col(textCol))).as("_t"))
+      .filter(length(col("_t")) > 0)
+    val perGroup = tok.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstGroup = tok.groupBy(col("_t")).agg(min(col("group")).as("group"))
+      .groupBy(col("group")).agg(count(lit(1)).as("n_new_words"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("group"))
+    perGroup.join(firstGroup, Seq("group"), "left")
+      .withColumn("n_new_words", coalesce(col("n_new_words"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new_words")).over(w))
+      .select(col("group"), col("n_tokens"), col("n_new_words"),
+        col("cum_tokens"), col("cum_vocab"))
+  }
+
+  /** HEAPS'-LAW fit over a vocabulary-growth curve (Heaps 1978,
+    * V(N) = K·N^β, β ≈ 0.4–0.6 for natural language) — the
+    * tokenizer-budget extrapolation next to [[vocabCoverage]]: fit the
+    * log-log OLS line through the curve's (cum_tokens, cum_vocab)
+    * points and read off how fast NEW vocabulary keeps arriving. A β
+    * near the natural-language band says the corpus is still growing
+    * vocabulary as expected; β collapsing toward 0 says new data is
+    * rehashing old words (saturation); β near 1 flags synthetic or
+    * ID-riddled text whose "vocabulary" never converges. One row:
+    * (points, beta, ln_k, k, r2).
+    *
+    * Determinism: each point's ln(N), ln(V) is nano-quantized to an
+    * integer once; each OLS term (x², y², x·y of the re-floated
+    * quantized values) is ONE fixed-order double expression
+    * nano-quantized to an integer; sums are exact longs (|ln| ≤ 60 ⇒
+    * a term ≤ 3.6·10¹², exact past 10⁵ points); the slope/intercept/r²
+    * combination is fixed-order double arithmetic on those exact
+    * sums — bit-replayable. Requires ≥ 2 points with distinct N and
+    * nonzero V (typed failure otherwise — a log-log fit through one
+    * point or a zero vocabulary is undefined, never silently 0).
+    *
+    * Plan: the curve is groups-sized, so everything here is arithmetic
+    * on a bounded frame: two guard probes, one projection, ONE final
+    * aggregate. */
+  def heapsFit(curve: DataFrame, tokensCol: String,
+      vocabCol: String): DataFrame = {
+    val bad = curve.filter(col(tokensCol).isNull || col(vocabCol).isNull ||
+        col(tokensCol) <= 0L || col(vocabCol) <= 0L)
+      .limit(1).count()
+    require(bad == 0L, s"heapsFit needs positive non-NULL '$tokensCol' " +
+      s"and '$vocabCol' on every curve point")
+    val distinctX = curve.select(col(tokensCol)).distinct().limit(2).count()
+    require(distinctX >= 2L,
+      "heapsFit needs >= 2 curve points with distinct token totals")
+    val x9 = round(log(col(tokensCol).cast("double")) * 1e9d).cast("long")
+    val y9 = round(log(col(vocabCol).cast("double")) * 1e9d).cast("long")
+    val pts = curve.select(
+      (x9.cast("double") / 1e9d).as("_x"),
+      (y9.cast("double") / 1e9d).as("_y"))
+    val sums = pts.agg(count(lit(1)).as("points"),
+      sum(round(col("_x") * 1e9d).cast("long")).as("_sx"),
+      sum(round(col("_y") * 1e9d).cast("long")).as("_sy"),
+      sum(round(col("_x") * col("_x") * 1e9d).cast("long")).as("_sxx"),
+      sum(round(col("_y") * col("_y") * 1e9d).cast("long")).as("_syy"),
+      sum(round(col("_x") * col("_y") * 1e9d).cast("long")).as("_sxy"))
+    val nD = col("points").cast("double")
+    def s(c: String) = col(c).cast("double") / 1e9d
+    val varX = nD * s("_sxx") - s("_sx") * s("_sx")
+    val varY = nD * s("_syy") - s("_sy") * s("_sy")
+    val cov = nD * s("_sxy") - s("_sx") * s("_sy")
+    val beta = cov / varX
+    val lnK = (s("_sy") - beta * s("_sx")) / nD
+    sums.select(col("points"),
+      round(beta, 6).as("beta"),
+      round(lnK, 6).as("ln_k"),
+      round(exp(lnK), 6).as("k"),
+      when(varY > 0.0d, round(cov * cov / (varX * varY), 6))
+        .otherwise(lit(1.0d)).as("r2"))
+  }
 }

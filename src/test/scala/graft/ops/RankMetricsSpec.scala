@@ -109,4 +109,35 @@ class RankMetricsSpec extends SparkSpecBase {
       RankMetrics.rrfFuse(a, b, "id", "sa", "sb", k0 = 0))
   }
 
+  test("spearman: hand-checked tie case, perfect/reversed, constants, guards") {
+    val a = Seq((1L, 0.1), (2L, 0.2), (3L, 0.3), (4L, 0.4)).toDF("id", "sa")
+    // b has a tie at 0.5 -> fractional ranks (1.5, 1.5, 3, 4):
+    // doubled ranks x=(2,4,6,8), y=(3,3,6,8) => rho = 72/sqrt(80*72)
+    val b = Seq((1L, 0.5), (2L, 0.5), (3L, 0.7), (4L, 0.9)).toDF("id", "sb")
+    val got = RankMetrics.spearman(a, b, "id", "sa", "sb")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((4L, 4L, 3L, 0.948683)), got.toString)
+
+    // same ordering at a different scale is rho = 1; reversal is -1
+    val b2 = a.select($"id", ($"sa" * 100.0 + 7.0).as("sb"))
+    val one = RankMetrics.spearman(a, b2, "id", "sa", "sb")
+      .select($"rho").as[Double].head()
+    assert(one == 1.0)
+    val b3 = a.select($"id", (-$"sa").as("sb"))
+    val neg = RankMetrics.spearman(a, b3, "id", "sa", "sb")
+      .select($"rho").as[Double].head()
+    assert(neg == -1.0)
+
+    // a constant signal has zero rank variance: documented rho = 0.0
+    val const = Seq((1L, 0.5), (2L, 0.5), (3L, 0.5)).toDF("id", "sb")
+    val z = RankMetrics.spearman(a.filter($"id" <= 3), const,
+        "id", "sa", "sb")
+      .select($"rho").as[Double].head()
+    assert(z == 0.0)
+
+    intercept[IllegalArgumentException](
+      RankMetrics.spearman(Seq((1L, Option.empty[Double])).toDF("id", "sa"),
+        b, "id", "sa", "sb").collect())
+  }
+
 }

@@ -250,4 +250,39 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.uniMax(rows, "grp", "n", budget = 0L)
     }
   }
+
+  test("effectiveSampleSize: Kish identity hand-checked, bounds, guards") {
+    // uniform weights: ESS = n exactly, ratio 1
+    val uni = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0))
+      .toDF("grp", "w")
+    val u = Sampling.effectiveSampleSize(uni, "grp", "w")
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(u == (("a", 4L, 4.0d, 4.0d, 1.0d)), u.toString)
+    // (1, 0.5, 0.5): ESS = 2^2 / 1.5 = 2.666667, ratio 0.888889
+    val mix = Seq(("a", 1.0), ("a", 0.5), ("a", 0.5)).toDF("grp", "w")
+    val m = Sampling.effectiveSampleSize(mix, "grp", "w")
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(m == (("a", 3L, 2.0d, 2.666667d, 0.888889d)), m.toString)
+    // one dominant weight: ESS collapses toward 1 however many rows ride
+    val dom = (("a", 1.0) +: Seq.fill(9)(("a", 0.000001))).toDF("grp", "w")
+    val d = Sampling.effectiveSampleSize(dom, "grp", "w")
+      .select($"ess").as[Double].head()
+    assert(d > 1.0d && d < 1.001d, d.toString)
+    // partition-layout independence
+    val two = Seq(("a", 1.0), ("a", 0.25), ("b", 0.5)).toDF("grp", "w")
+    val base = Sampling.effectiveSampleSize(two, "grp", "w")
+      .orderBy($"group").collect().toSeq
+    val rep = Sampling.effectiveSampleSize(two.repartition(4), "grp", "w")
+      .orderBy($"group").collect().toSeq
+    assert(base == rep)
+    // zero, negative, NULL and oversized weights fail typed
+    intercept[IllegalArgumentException](Sampling.effectiveSampleSize(
+      Seq(("a", 0.0)).toDF("grp", "w"), "grp", "w"))
+    intercept[IllegalArgumentException](Sampling.effectiveSampleSize(
+      Seq(("a", -0.5)).toDF("grp", "w"), "grp", "w"))
+    intercept[IllegalArgumentException](Sampling.effectiveSampleSize(
+      Seq(("a", Option.empty[Double])).toDF("grp", "w"), "grp", "w"))
+    intercept[IllegalArgumentException](Sampling.effectiveSampleSize(
+      Seq(("a", 1.5e6)).toDF("grp", "w"), "grp", "w"))
+  }
 }

@@ -792,4 +792,41 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(base.find(_._1 == "g2").get._4 == 0.0d)
   }
 
+  test("vocabGrowth: first-group attribution and running totals hand-checked") {
+    val docs = Seq(("a", "x y x"), ("b", "y z")).toDF("src", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "src", "text")
+      .orderBy($"group")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // x,y credit to a; z to b; cum_tokens 3 -> 5; cum_vocab 2 -> 3
+    assert(got == Seq(("a", 3L, 2L, 3L, 2L), ("b", 2L, 1L, 5L, 3L)),
+      got.toString)
+    // a group adding zero new words still rides the curve
+    val rep = TextAnalysis.vocabGrowth(
+        (docs.union(Seq(("c", "x y z")).toDF("src", "text"))).repartition(4),
+        "src", "text")
+      .orderBy($"group")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rep.last == (("c", 3L, 0L, 8L, 3L)), rep.toString)
+  }
+
+  test("heapsFit: exact power law recovered, r2 = 1, typed guards") {
+    // V = 2 * N^0.5 exactly at three points
+    val curve = Seq((100L, 20L), (10000L, 200L), (1000000L, 2000L))
+      .toDF("cum_tokens", "cum_vocab")
+    val got = TextAnalysis.heapsFit(curve, "cum_tokens", "cum_vocab")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(got == ((3L, 0.5d, 0.693147d, 2.0d, 1.0d)), got.toString)
+    // fewer than 2 distinct token totals is undefined
+    intercept[IllegalArgumentException](TextAnalysis.heapsFit(
+      Seq((100L, 20L)).toDF("cum_tokens", "cum_vocab"),
+      "cum_tokens", "cum_vocab"))
+    intercept[IllegalArgumentException](TextAnalysis.heapsFit(
+      Seq((100L, 20L), (100L, 30L)).toDF("cum_tokens", "cum_vocab"),
+      "cum_tokens", "cum_vocab"))
+    // zero vocabulary on a point is undefined in log space
+    intercept[IllegalArgumentException](TextAnalysis.heapsFit(
+      Seq((100L, 0L), (200L, 10L)).toDF("cum_tokens", "cum_vocab"),
+      "cum_tokens", "cum_vocab"))
+  }
+
 }
