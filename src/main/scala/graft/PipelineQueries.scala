@@ -955,6 +955,74 @@ object PipelineQueries {
       .orderBy($"group")
   }
 
+  /** q210: MANN–WHITNEY U drift test
+    * ([[graft.ops.ClassifierEval.mannWhitney]]) — the significance
+    * companion to q203's KS sup: does the early ingest cohort
+    * (doc_id < 250) stochastically outrank the late one on classifier
+    * confidence, with a tie-corrected z and the rank-biserial effect
+    * size? Oracle replays the classifier, the split, the grid, the
+    * exact-integer 2U and tie sums and the fixed-order z. */
+  def mannWhitneyDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
+        "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    graft.ops.ClassifierEval.mannWhitney(
+      conf.filter($"doc_id" < 250).select($"conf"),
+      conf.filter($"doc_id" >= 250).select($"conf"),
+      "conf")
+  }
+
+  /** q211: χ² INDEPENDENCE of source × language
+    * ([[graft.ops.ClassifierEval.chiSquare]]) — the mixture-audit
+    * significance readout next to q206's NMI: is language balanced
+    * across sources, or does a mixture planner that treats sources as
+    * exchangeable silently re-weight languages? Cramér's V rides along
+    * as the N-free effect size. Oracle replays the contingency frame
+    * with its zero-observed cells and every nano term. */
+  def sourceLangChiSquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.chiSquare(
+      Tables.documents(s, dir).select($"source", $"lang"), "source", "lang")
+  }
+
+  /** q212: BRIER decomposition of the quality gate
+    * ([[graft.ops.Calibration.brierDecomposition]]) — q177's ECE split
+    * into WHY: reliability (fixable by q178's temperature),
+    * resolution (not fixable post hoc), the data's uncertainty floor,
+    * and the honest within-bin residual. Oracle replays classifier,
+    * gate, the exact integer Brier sum, binning and every nano term. */
+  def brierAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    graft.ops.Calibration.brierDecomposition(pred, lab, "doc_id",
+      "conf", "keep", bins = 10)
+  }
+
+  /** q213: l-DIVERSITY release audit
+    * ([[graft.ops.Curation.lDiversityProfile]]) — the
+    * attribute-disclosure readout q130's k-anonymity cannot see: within
+    * each (source, length-bucket) quasi-identifier cell, is the
+    * language attribute actually diverse, or does a well-populated cell
+    * still leak it? Distinct-l and entropy-l floors per source. Oracle
+    * replays cells, per-cell entropy terms and the floors. */
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.lDiversityProfile(
+        Tables.documents(s, dir)
+          .withColumn("len_bucket", floor($"n_chars" / 100).cast("long")),
+        Seq("source"), Seq("len_bucket"), "lang", l = 2)
+      .orderBy($"source")
+  }
+
   /** q179: T5 span-corruption data prep ([[Chunking.spanCorrupt]]) —
     * deterministic (input, target) denoising pairs: every full 8-token
     * block loses one 2-token span at an md5-chosen offset, sentinels
@@ -2556,7 +2624,11 @@ object PipelineQueries {
     "q206_cluster_nmi"    -> (clusterNmi _),
     "q207_spearman"       -> (spearmanSignals _),
     "q208_heaps_law"      -> (heapsLaw _),
-    "q209_ess"            -> (essBySource _))
+    "q209_ess"            -> (essBySource _),
+    "q210_mann_whitney"   -> (mannWhitneyDrift _),
+    "q211_chi_square"     -> (sourceLangChiSquare _),
+    "q212_brier"          -> (brierAudit _),
+    "q213_l_diversity"    -> (lDiversity _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -4135,6 +4207,153 @@ object PipelineQueries {
          |    CAST(SUM(CAST(wq AS HUGEINT) * wq) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE), 6) AS ess_ratio
          |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    // q210: classifier replay, cohort grids, exact 2U + tie sums in
+    // HUGEINT, fixed-order z / rank-biserial readouts
+    "q210_mann_whitney" ->
+      s"""WITH $classifierPredCtes,
+         |ga AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS na
+         |  FROM pred WHERE doc_id < 250 GROUP BY 1),
+         |gb AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM pred WHERE doc_id >= 250 GROUP BY 1),
+         |cells AS (
+         |  SELECT sm, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+         |  FROM ga FULL JOIN gb USING (sm)),
+         |cum AS (
+         |  SELECT na, nb, CAST(COALESCE(SUM(nb) OVER (ORDER BY sm
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM cells),
+         |t2 AS (
+         |  SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+         |    SUM(CAST(na AS HUGEINT) * (2 * cb + nb)) AS u2,
+         |    SUM(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+         |      - CAST(na + nb AS HUGEINT)) AS tc
+         |  FROM cum)
+         |SELECT n_a, n_b,
+         |  ROUND(CAST(u2 AS DOUBLE) / 2.0, 6) AS u_a,
+         |  ROUND(CAST(u2 AS DOUBLE) /
+         |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0, 6) AS rank_biserial,
+         |  CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+         |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+         |        - CAST(tc AS DOUBLE) /
+         |          ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+         |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
+         |  THEN ROUND((CAST(u2 AS DOUBLE) / 2.0
+         |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+         |    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+         |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+         |        - CAST(tc AS DOUBLE) /
+         |          ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+         |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))), 6)
+         |  ELSE CAST(0.0 AS DOUBLE) END AS z
+         |FROM t2""".stripMargin,
+    // q211: source×lang contingency INCLUDING zero-observed cells via
+    // the marginals cross join, nano-quantized (o−e)²/e terms
+    "q211_chi_square" ->
+      s"""WITH cells AS (
+         |  SELECT source AS a, lang AS b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+         |mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+         |grid AS (
+         |  SELECT ma.na, mb.nb, COALESCE(c.n, 0) AS o
+         |  FROM ma CROSS JOIN mb
+         |  LEFT JOIN cells c ON c.a = ma.a AND c.b = mb.b),
+         |terms AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(
+         |    (CAST(o AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |    (CAST(o AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE)) /
+         |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9)
+         |    AS BIGINT)), 0) AS BIGINT) AS chi9
+         |  FROM grid, tot),
+         |cnt AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols
+         |  FROM cells)
+         |SELECT n, n_rows, n_cols,
+         |  (n_rows - 1) * (n_cols - 1) AS dof,
+         |  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0
+         |    THEN ROUND(CAST(chi9 AS DOUBLE) / 1e9, 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS chi2,
+         |  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0
+         |    THEN ROUND(sqrt(CAST(chi9 AS DOUBLE) / 1e9 /
+         |      (CAST(n AS DOUBLE) *
+         |       CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE))), 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS cramers_v
+         |FROM cnt, terms""".stripMargin,
+    // q212: classifier + gopher replays, pure-integer Brier sum,
+    // q177 binning, nano-quantized reliability/resolution terms
+    "q212_brier" ->
+      s"""WITH $classifierPredCtes,
+         |$gopherLabCtes,
+         |j AS (
+         |  SELECT CAST(round(p.conf * 1e6) AS BIGINT) AS cm,
+         |    CAST(l.keep AS BIGINT) AS y
+         |  FROM pred p JOIN lab l USING (doc_id)),
+         |pb AS (
+         |  SELECT LEAST((cm * 10) // 1000000, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS nk,
+         |    CAST(SUM(cm) AS BIGINT) AS sc,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(cm - y * 1000000 AS HUGEINT) * (cm - y * 1000000)) AS sq
+         |  FROM j GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(sy) AS BIGINT) AS syt,
+         |    SUM(sq) AS sqt, CAST(COUNT(*) AS BIGINT) AS bins_used
+         |  FROM pb),
+         |terms AS (
+         |  SELECT
+         |    CAST(COALESCE(SUM(CAST(round(CAST(nk AS DOUBLE) *
+         |      (CAST(sc AS DOUBLE) / (CAST(nk AS DOUBLE) * 1e6) - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)) *
+         |      (CAST(sc AS DOUBLE) / (CAST(nk AS DOUBLE) * 1e6) - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)) * 1e9)
+         |      AS BIGINT)), 0) AS BIGINT) AS rel9,
+         |    CAST(COALESCE(SUM(CAST(round(CAST(nk AS DOUBLE) *
+         |      (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+         |      AS BIGINT)), 0) AS BIGINT) AS res9
+         |  FROM pb, tot)
+         |SELECT n, bins_used AS n_bins_used,
+         |  ROUND(CAST(sqt AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS brier,
+         |  ROUND(CAST(rel9 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS reliability,
+         |  ROUND(CAST(res9 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS resolution,
+         |  ROUND((CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |    (1.0 - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty,
+         |  ROUND(CAST(sqt AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12) -
+         |    (CAST(rel9 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) -
+         |     CAST(res9 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) +
+         |     (CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |     (1.0 - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS within_bin_resid
+         |FROM tot, terms""".stripMargin,
+    // q213: quasi-identifier cells, per-(cell, lang) entropy terms,
+    // distinct-l and entropy-l floors per source
+    "q213_l_diversity" ->
+      s"""WITH v AS (
+         |  SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+         |    lang, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM documents GROUP BY 1, 2, 3),
+         |ct AS (
+         |  SELECT source, len_bucket, CAST(SUM(nv) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS ldist
+         |  FROM v GROUP BY 1, 2),
+         |h AS (
+         |  SELECT v.source, v.len_bucket,
+         |    CAST(SUM(CAST(round(-((CAST(nv AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      ln(CAST(nv AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9) AS BIGINT)) AS BIGINT) AS hsum
+         |  FROM v JOIN ct USING (source, len_bucket) GROUP BY 1, 2),
+         |cj AS (
+         |  SELECT ct.source, ct.n, ct.ldist, h.hsum
+         |  FROM ct JOIN h USING (source, len_bucket))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(MIN(ldist) AS BIGINT) AS l_floor,
+         |  CAST(SUM(CASE WHEN ldist < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+         |  CAST(SUM(CASE WHEN ldist < 2 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+         |  ROUND(exp(CAST(MIN(hsum) AS DOUBLE) / 1e9), 6) AS entropy_l_floor
+         |FROM cj GROUP BY 1 ORDER BY 1""".stripMargin,
     // q193: the q177/q185 classifier + gopher replays plus the q160
     // blocklist, melted to (item, label) ratings and folded through the
     // exact-integer Fleiss identity

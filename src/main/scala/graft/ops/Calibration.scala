@@ -240,4 +240,86 @@ object Calibration {
         when(row_number().over(w) === 1, 1L).otherwise(0L))
       .select(col("_t").as("t"), col("ece"), col("is_best"))
   }
+
+  /** MURPHY DECOMPOSITION of the Brier score (Murphy 1973) — the
+    * calibration audit that separates WHY a probabilistic gate is wrong:
+    * brier = reliability − resolution + uncertainty (+ a within-bin
+    * residual when forecasts vary inside a bin, reported honestly
+    * instead of silently assumed zero). `reliability` is miscalibration
+    * (what [[temperatureSweep]] can fix), `resolution` is discrimination
+    * (what it cannot), `uncertainty` = ō(1−ō) is the data's own
+    * difficulty floor. One row:
+    * (n, n_bins_used, brier, reliability, resolution, uncertainty,
+    * within_bin_resid = brier − (rel − res + unc) — the within-bin
+    * variance/covariance remainder, either sign, exactly 0 when
+    * forecasts are constant within every bin).
+    *
+    * Determinism: the exact Brier is a pure-integer identity — per row
+    * (conf_micro − label·10⁶)² summed in DECIMAL(38,0), one final
+    * divide by N·10¹² — no float until the readout; the binned
+    * rel/res terms are per-bin fixed-order double expressions
+    * nano-quantized to integers and summed exactly ([[reliability]]'s
+    * binning: equal-width, conf = 1 in the last bin). Guards mirror
+    * [[reliability]]: NULL or off-range confidences/labels fail typed.
+    *
+    * Plan: one equi-join, one guard probe, one corpus groupBy to the
+    * ≤ bins-row frame carrying the exact Brier sum alongside, two 1-row
+    * broadcasts — the corpus is touched once. */
+  def brierDecomposition(pred: DataFrame, labels: DataFrame, idCol: String,
+      confCol: String, labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val joined = pred.select(col(idCol), col(confCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
+        col(confCol) < 0.0d || col(confCol) > 1.0d ||
+        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
+      .limit(1).count()
+    require(offRange == 0L,
+      "brierDecomposition needs non-NULL confidences in [0, 1] and labels " +
+        "in {0, 1} — found NULL or out-of-range rows")
+    val dec = "decimal(38,0)"
+    val perBin = joined
+      .withColumn("_cm", round(col(confCol).cast("double") * 1e6d).cast("long"))
+      .withColumn("_y", col(labelCol).cast("long"))
+      .withColumn("bin",
+        least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("_nk"),
+        sum(col("_cm")).as("_sc"),
+        sum(col("_y")).as("_sy"),
+        sum((col("_cm") - col("_y") * lit(1000000L)).cast(dec) *
+          (col("_cm") - col("_y") * lit(1000000L))).as("_sq"))
+      .localCheckpoint(true) // bins-sized, read twice (totals + terms)
+    val tot = perBin.agg(
+      sum(col("_nk")).as("_n"),
+      sum(col("_sy")).as("_syt"),
+      sum(col("_sq").cast(dec)).as("_sqt"),
+      count(lit(1)).as("_bins_used"))
+    def d(c: String) = col(c).cast("double")
+    // per-bin: nk * (cbar_k - obar_k)^2 and nk * (obar_k - obar)^2,
+    // each ONE fixed-order double expression nano-quantized
+    val terms = perBin.crossJoin(broadcast(tot))
+      .select(
+        round(d("_nk") *
+          (d("_sc") / (d("_nk") * 1e6d) - d("_sy") / d("_nk")) *
+          (d("_sc") / (d("_nk") * 1e6d) - d("_sy") / d("_nk")) * 1e9d)
+          .cast("long").as("_rel9"),
+        round(d("_nk") *
+          (d("_sy") / d("_nk") - d("_syt") / d("_n")) *
+          (d("_sy") / d("_nk") - d("_syt") / d("_n")) * 1e9d)
+          .cast("long").as("_res9"))
+      .agg(coalesce(sum(col("_rel9")), lit(0L)).as("_rel"),
+        coalesce(sum(col("_res9")), lit(0L)).as("_res"))
+    tot.crossJoin(broadcast(terms))
+      .select(col("_n").as("n"), col("_bins_used").as("n_bins_used"),
+        round(d("_sqt") / (d("_n") * 1e12d), 6).as("brier"),
+        round(d("_rel") / (d("_n") * 1e9d), 6).as("reliability"),
+        round(d("_res") / (d("_n") * 1e9d), 6).as("resolution"),
+        round((d("_syt") / d("_n")) * (lit(1.0d) - d("_syt") / d("_n")), 6)
+          .as("uncertainty"),
+        round(d("_sqt") / (d("_n") * 1e12d) -
+          (d("_rel") / (d("_n") * 1e9d) - d("_res") / (d("_n") * 1e9d) +
+            (d("_syt") / d("_n")) * (lit(1.0d) - d("_syt") / d("_n"))), 6)
+          .as("within_bin_resid"))
+  }
 }

@@ -410,6 +410,129 @@ object ClassifierEval {
         round(min(col("_sm")).cast("double") / 1e6d, 6).as("d_at"))
   }
 
+  /** Two-sample MANN–WHITNEY U test between two score snapshots — the
+    * nonparametric twin of the q154 Welch t: does cohort A stochastically
+    * outrank cohort B, with a significance readout that needs no
+    * normality assumption on the scores themselves? U_A counts
+    * (a, b) pairs with a > b (ties half), the rank-biserial
+    * r = 2U∕(n₁n₂) − 1 is the effect size in [−1, 1], and z is the
+    * tie-corrected normal approximation
+    * z = (U − n₁n₂∕2) ∕ √(n₁n₂∕12 · ((n+1) − Σ(t³−t)∕(n(n−1))))
+    * (no continuity correction, documented — both engines must agree on
+    * one formula). One row: (n_a, n_b, u_a, rank_biserial, z).
+    *
+    * Determinism: scores micro-quantize to the integer grid; 2U is an
+    * exact DECIMAL(38,0) sum of per-distinct-score products (the
+    * [[graft.ops.Calibration.binaryAuc]] identity applied across two
+    * samples), the tie term Σ(t³−t) is exact DECIMAL (t³ cast BEFORE
+    * cubing — a long overflows past t ≈ 2·10⁶); the z/r readouts are
+    * fixed-order double expressions on those exact integers. All scores
+    * identical (zero variance) reports z = 0.0, documented rather than
+    * NaN. NULL scores and empty sides fail typed.
+    *
+    * Plan: two map-side-combined grid aggregates, one full-outer grid
+    * join (≤ 10⁶ + 1 rows), one bounded-grid window, ONE final
+    * aggregate — never a data-sized sort. */
+  def mannWhitney(predA: DataFrame, predB: DataFrame,
+      confCol: String): DataFrame = {
+    def grid(df: DataFrame, out: String) = {
+      val nulls = df.filter(col(confCol).isNull).limit(1).count()
+      require(nulls == 0L, s"mannWhitney needs non-NULL scores ($out side)")
+      require(df.limit(1).count() == 1L,
+        s"mannWhitney needs a non-empty $out side")
+      df.withColumn("_sm",
+          round(col(confCol).cast("double") * 1e6d).cast("long"))
+        .groupBy(col("_sm")).agg(count(lit(1)).as(out))
+    }
+    val dec = "decimal(38,0)"
+    val cells = grid(predA, "_na").join(grid(predB, "_nb"), Seq("_sm"), "full")
+      .select(col("_sm"),
+        coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sums = cells
+      .withColumn("_cb", coalesce(sum(col("_nb")).over(w), lit(0L)))
+      .agg(
+        sum(col("_na")).as("n_a"),
+        sum(col("_nb")).as("n_b"),
+        sum(col("_na").cast(dec) * (lit(2L) * col("_cb") + col("_nb")))
+          .as("_u2"),
+        sum((col("_na") + col("_nb")).cast(dec) *
+          (col("_na") + col("_nb")) * (col("_na") + col("_nb")) -
+          (col("_na") + col("_nb")).cast(dec)).as("_tcorr"))
+    def d(c: String) = col(c).cast("double")
+    val n1 = d("n_a")
+    val n2 = d("n_b")
+    val n = n1 + n2
+    val u = d("_u2") / 2.0d
+    val varU = n1 * n2 / 12.0d *
+      ((n + 1.0d) - d("_tcorr") / (n * (n - 1.0d)))
+    sums.select(col("n_a"), col("n_b"),
+      round(u, 6).as("u_a"),
+      round(d("_u2") / (n1 * n2) - 1.0d, 6).as("rank_biserial"),
+      when(varU > 0.0d,
+        round((u - n1 * n2 / 2.0d) / sqrt(varU), 6))
+        .otherwise(lit(0.0d)).as("z"))
+  }
+
+  /** PEARSON χ² test of independence between two labelings — the
+    * mixture-audit significance readout next to [[nmi]] (which measures
+    * HOW MUCH the partitions share, not whether the association could
+    * be chance): is `aCol` distributed independently of `bCol`, e.g. is
+    * language balanced across sources before a mixture planner treats
+    * them as exchangeable? Cramér's V rides along as the [0, 1] effect
+    * size (χ² alone grows with N; V does not). One row:
+    * (n, n_rows, n_cols, dof, chi2, cramers_v).
+    *
+    * Determinism: all counts are exact integers from ONE corpus
+    * groupBy; the |A|·|B| expected grid INCLUDES zero-observed cells
+    * (a marginals cross join — dropping them understates χ² exactly
+    * when association is strongest); each cell's (o−e)²∕e is one
+    * fixed-order double expression nano-quantized to an integer, the
+    * sum exact. A single-row or single-column table has dof = 0 and
+    * reports chi2 = 0, cramers_v = 0, documented.
+    *
+    * Plan: one corpus groupBy to the contingency frame, two
+    * marginal aggregates, one |A|·|B|-bounded broadcast cross join,
+    * ONE final aggregate. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val c = cells(df, aCol, bCol).localCheckpoint(true)
+    val ma = c.groupBy(col("a")).agg(sum(col("n")).as("_na"))
+    val mb = c.groupBy(col("b")).agg(sum(col("n")).as("_nb"))
+    val tot = c.agg(sum(col("n")).as("_N"))
+    val grid = ma.crossJoin(mb)
+      .join(c, Seq("a", "b"), "left")
+      .withColumn("_o", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val terms = grid.select(
+      round(
+        (col("_o").cast("double") -
+          col("_na").cast("double") * col("_nb").cast("double") /
+            col("_N").cast("double")) *
+        (col("_o").cast("double") -
+          col("_na").cast("double") * col("_nb").cast("double") /
+            col("_N").cast("double")) /
+        (col("_na").cast("double") * col("_nb").cast("double") /
+          col("_N").cast("double")) * 1e9d).cast("long").as("_t"))
+      .agg(coalesce(sum(col("_t")), lit(0L)).as("_chi9"))
+    val counts = c.agg(sum(col("n")).as("n"),
+      countDistinct(col("a")).as("n_rows"),
+      countDistinct(col("b")).as("n_cols"))
+    counts.crossJoin(broadcast(terms))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1L) * (col("n_cols") - 1L)).as("dof"),
+        when((col("n_rows") - 1L) * (col("n_cols") - 1L) > 0L,
+          round(col("_chi9").cast("double") / 1e9d, 6))
+          .otherwise(lit(0.0d)).as("chi2"),
+        when((col("n_rows") - 1L) * (col("n_cols") - 1L) > 0L,
+          round(sqrt(col("_chi9").cast("double") / 1e9d /
+            (col("n").cast("double") *
+              least(col("n_rows") - 1L, col("n_cols") - 1L)
+                .cast("double"))), 6))
+          .otherwise(lit(0.0d)).as("cramers_v"))
+  }
+
   /** Per-class precision / recall / F1 against a gold column, macro-F1
     * carried on every row (the ev_share convention): one row per class
     * present on EITHER side — a class the model never predicts (or

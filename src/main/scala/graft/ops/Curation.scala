@@ -163,4 +163,52 @@ object Curation {
         sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("n_risky_rows"),
         min(col("_n")).as("anonymity"))
   }
+
+  /** l-DIVERSITY audit over quasi-identifier cells (Machanavajjhala et
+    * al. 2007) — the attribute-disclosure gap [[kAnonymityProfile]]
+    * cannot see: a cell can hold k ≫ 1 rows yet leak the sensitive
+    * attribute completely if every row shares one sensitive value.
+    * Per head group: the distinct-l floor (min distinct sensitive
+    * values over its cells), how many cells/rows fall below `l` (what a
+    * suppression pass would redact), and the ENTROPY-l floor
+    * exp(min H(sensitive | cell)) — the stricter criterion that also
+    * catches a cell that is 99% one value with a token second value
+    * (distinct-l = 2, entropy-l ≈ 1).
+    *
+    * Determinism: all counts are exact integers; each cell's entropy is
+    * a sum of per-(cell, value) nano-quantized fixed-order terms; the
+    * floor is a min over exact longs, floated once. One-value cells
+    * report entropy_l_floor = 1.0 exactly (H = 0).
+    *
+    * Plan: one corpus groupBy to the (cell × sensitive-value) frame,
+    * one cells-sized groupBy folding counts AND entropy terms, one
+    * head-group aggregate. No window, no join back to the corpus. */
+  def lDiversityProfile(df: DataFrame, groupCols: Seq[String],
+      cellCols: Seq[String], sensitiveCol: String, l: Int): DataFrame = {
+    require(l > 1, s"l must exceed 1, got $l")
+    val nulls = df.filter(col(sensitiveCol).isNull).limit(1).count()
+    require(nulls == 0L, s"lDiversityProfile needs non-NULL " +
+      s"'$sensitiveCol' values — a NULL is not a diversity class")
+    val vals = df.groupBy((groupCols ++ cellCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_nv"))
+    val cellTot = vals.groupBy((groupCols ++ cellCols).map(col): _*)
+      .agg(sum(col("_nv")).as("_n"), count(lit(1)).as("_ldist"))
+    val cells = vals.join(cellTot, groupCols ++ cellCols)
+      .withColumn("_h9",
+        round(negate((col("_nv").cast("double") / col("_n").cast("double")) *
+          log(col("_nv").cast("double") / col("_n").cast("double"))) * 1e9d)
+          .cast("long"))
+      .groupBy((groupCols ++ cellCols).map(col): _*)
+      .agg(first(col("_n")).as("_n"), first(col("_ldist")).as("_ldist"),
+        sum(col("_h9")).as("_hsum"))
+    cells.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_cells"),
+        min(col("_ldist")).as("l_floor"),
+        sum(when(col("_ldist") < l, 1L).otherwise(0L)).as("n_risky_cells"),
+        sum(when(col("_ldist") < l, col("_n")).otherwise(0L))
+          .as("n_risky_rows"),
+        round(exp(min(col("_hsum")).cast("double") / 1e9d), 6)
+          .as("entropy_l_floor"))
+  }
 }

@@ -132,4 +132,33 @@ class CalibrationSpec extends SparkSpecBase {
     }
   }
 
+  test("brierDecomposition: Murphy identity hand-checked, residual, guards") {
+    // perfect confident forecasts: brier = 0, rel = 0, res = unc, resid = 0
+    val pred = Seq((1L, 1.0), (2L, 1.0), (3L, 0.0), (4L, 0.0))
+      .toDF("id", "conf")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L)).toDF("id", "y")
+    val got = Calibration.brierDecomposition(pred, lab, "id", "conf", "y")
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+    assert(got == ((4L, 2L, 0.0d, 0.0d, 0.25d, 0.25d, 0.0d)), got.toString)
+    // forecasts varying WITHIN one bin: brier = 0.3141 exactly,
+    // rel = (0.65-0.5)^2 = 0.0225, res = 0, unc = 0.25, resid = +0.0416
+    val p2 = Seq((1L, 0.61), (2L, 0.69)).toDF("id", "conf")
+    val l2 = Seq((1L, 1L), (2L, 0L)).toDF("id", "y")
+    val g2 = Calibration.brierDecomposition(p2, l2, "id", "conf", "y")
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+    assert(g2 == ((2L, 1L, 0.3141d, 0.0225d, 0.0d, 0.25d, 0.0416d)),
+      g2.toString)
+    // uninformative constant forecast at the base rate: rel = res = 0
+    val p3 = Seq((1L, 0.5), (2L, 0.5)).toDF("id", "conf")
+    val g3 = Calibration.brierDecomposition(p3, l2, "id", "conf", "y")
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+    assert(g3 == ((2L, 1L, 0.25d, 0.0d, 0.0d, 0.25d, 0.0d)), g3.toString)
+    intercept[IllegalArgumentException](Calibration.brierDecomposition(
+      Seq((1L, 1.5)).toDF("id", "conf"), lab, "id", "conf", "y"))
+    intercept[IllegalArgumentException](Calibration.brierDecomposition(
+      pred, Seq((1L, 2L)).toDF("id", "y"), "id", "conf", "y"))
+    intercept[IllegalArgumentException](Calibration.brierDecomposition(
+      pred, lab, "id", "conf", "y", bins = 1))
+  }
+
 }

@@ -192,4 +192,52 @@ class ClassifierEvalSpec extends SparkSpecBase {
     assert(math.abs(h._2 - expH) < 2e-6, s"${h._2} vs $expH")
   }
 
+  test("mannWhitney: hand-checked U/r/z with ties, identical cohorts, guards") {
+    // A = {1,2,3}, B = {2,3,4}: U_A = 2 (one win + two half-ties),
+    // ties t = (2,2) => sum(t^3-t) = 12
+    val a = Seq(1.0, 2.0, 3.0).toDF("s")
+    val b = Seq(2.0, 3.0, 4.0).toDF("s")
+    val got = ClassifierEval.mannWhitney(a, b, "s")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val varU = 3.0 * 3.0 / 12.0 * ((6.0 + 1.0) - 12.0 / (6.0 * 5.0))
+    val z = BigDecimal((2.0 - 4.5) / math.sqrt(varU))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((3L, 3L, 2.0d, -0.555556d, z)), got.toString)
+    // identical cohorts: U = n1*n2/2 exactly, z = 0, r = 0
+    val same = ClassifierEval.mannWhitney(a, a, "s")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(same == ((3L, 3L, 4.5d, 0.0d, 0.0d)), same.toString)
+    // all scores equal on both sides: zero variance -> documented z = 0
+    val const = Seq(0.5, 0.5).toDF("s")
+    val cz = ClassifierEval.mannWhitney(const, const, "s")
+      .select($"z").as[Double].head()
+    assert(cz == 0.0d)
+    intercept[IllegalArgumentException](ClassifierEval.mannWhitney(
+      Seq(Option.empty[Double]).toDF("s"), b, "s"))
+    intercept[IllegalArgumentException](ClassifierEval.mannWhitney(
+      a.filter($"s" > 99.0), b, "s"))
+  }
+
+  test("chiSquare: perfect association, independence, degenerate dof = 0") {
+    // two perfectly associated binary labelings: chi2 = N, V = 1
+    val assoc = (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a2", "b2")))
+      .toDF("x", "y")
+    val g1 = ClassifierEval.chiSquare(assoc, "x", "y")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(g1 == ((20L, 2L, 2L, 1L, 20.0d, 1.0d)), g1.toString)
+    // exact independence: chi2 = 0 (zero-observed cells included)
+    val indep = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a1", "b2")) ++
+      Seq.fill(5)(("a2", "b1")) ++ Seq.fill(5)(("a2", "b2"))).toDF("x", "y")
+    val g2 = ClassifierEval.chiSquare(indep, "x", "y")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(g2 == ((20L, 2L, 2L, 1L, 0.0d, 0.0d)), g2.toString)
+    // a constant column has dof = 0: documented zeros, never NaN
+    val flat = Seq(("a1", "b1"), ("a2", "b1")).toDF("x", "y")
+    val g3 = ClassifierEval.chiSquare(flat, "x", "y")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(g3 == ((2L, 2L, 1L, 0L, 0.0d, 0.0d)), g3.toString)
+    intercept[IllegalArgumentException](ClassifierEval.chiSquare(
+      Seq(("a1", Option.empty[String])).toDF("x", "y"), "x", "y"))
+  }
+
 }

@@ -136,4 +136,40 @@ class CurationSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Curation.capPerGroup(docs, "source", "n_chars", "doc_id", 0))
   }
+
+  test("lDiversityProfile: floors, risky cells, entropy-l, guards") {
+    // g1/c1: all one sensitive value (l = 1, entropy-l = 1);
+    // g1/c2: balanced two values (l = 2, entropy-l = 2)
+    val rows = Seq(
+      ("g1", "c1", "x"), ("g1", "c1", "x"), ("g1", "c1", "x"),
+      ("g1", "c2", "x"), ("g1", "c2", "y"),
+      ("g2", "c1", "x"), ("g2", "c1", "y"), ("g2", "c1", "z"))
+      .toDF("grp", "cell", "sens")
+    val got = Curation.lDiversityProfile(rows, Seq("grp"), Seq("cell"),
+        "sens", l = 2)
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("g1", 2L, 1L, 1L, 3L, 1.0d),
+      ("g2", 1L, 3L, 0L, 0L, 3.0d)), got.toString)
+    // a skewed cell (99%/1%-style) scores entropy-l far below distinct-l
+    val skew = (Seq.fill(9)(("g", "c", "x")) :+ (("g", "c", "y")))
+      .toDF("grp", "cell", "sens")
+    val e = Curation.lDiversityProfile(skew, Seq("grp"), Seq("cell"),
+        "sens", l = 2)
+      .select($"l_floor", $"entropy_l_floor")
+      .as[(Long, Double)].head()
+    assert(e._1 == 2L && e._2 < 1.4d && e._2 > 1.0d, e.toString)
+    // partition invariance
+    val rep = Curation.lDiversityProfile(rows.repartition(5), Seq("grp"),
+        Seq("cell"), "sens", l = 2)
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rep == got)
+    intercept[IllegalArgumentException](Curation.lDiversityProfile(
+      rows, Seq("grp"), Seq("cell"), "sens", l = 1))
+    intercept[IllegalArgumentException](Curation.lDiversityProfile(
+      Seq(("g", "c", Option.empty[String])).toDF("grp", "cell", "sens"),
+      Seq("grp"), Seq("cell"), "sens", l = 2))
+  }
 }
