@@ -643,6 +643,24 @@ object RelationalQueries {
       .orderBy($"event_type", $"hour_epoch")
   }
 
+  /** q214: CUSUM change detection over hourly event values
+    * ([[graft.ops.ChangeDetect.cusum]]) — the sequential monitor next
+    * to q106's memoryless z-gate: small persistent shifts of the hourly
+    * mean accumulate across hours (drawup of the prefix sums — two
+    * bounded-grid windows, no recursion) until the two-sided statistic
+    * crosses the alarm level. Oracle replays the per-hour micro means,
+    * prefix sums, running minima and the alarm cut. */
+  def cusumHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.cusum(
+        Tables.events(s, dir)
+          .select((floor(unix_timestamp($"ts") / 3600) * 3600).cast("long")
+            .as("hour_epoch"), $"value"),
+        "hour_epoch", "value",
+        target = 50.0d, slack = 2.0d, threshold = 100.0d)
+      .orderBy($"bucket")
+  }
+
   /** q142: freshness-weighted (exponentially decayed) event counts — the
     * recency signal behind trending/popularity features, with a 1-day
     * half-life. Determinism at scale: ages are bucketed to whole DAYS
@@ -1066,7 +1084,8 @@ object RelationalQueries {
     "q101_attribution"     -> (lastTouchAttribution _),
     "q142_decayed_counts"  -> (decayedCounts _),
     "q147_variant_props"   -> (variantProps _),
-    "q154_ab_ttest"        -> (abTest _))
+    "q154_ab_ttest"        -> (abTest _),
+    "q214_cusum"           -> (cusumHourly _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -1643,5 +1662,43 @@ object RelationalQueries {
         |  FROM st)
         |SELECT a.n AS n_a, a.mean AS mean_a, b.n AS n_b, b.mean AS mean_b,
         |  ROUND((a.mean - b.mean) / SQRT(a.variance / a.n + b.variance / b.n), 6) AS welch_t
-        |FROM w a, w b WHERE a.variant = 'A' AND b.variant = 'B'""".stripMargin)
+        |FROM w a, w b WHERE a.variant = 'A' AND b.variant = 'B'""".stripMargin,
+    // q214: micro-quantized hourly means, integer deviations, the
+    // prefix-sum/running-min drawup identity, alarm at h = 100
+    "q214_cusum" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT bucket, n,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_m
+        |  FROM pb),
+        |d AS (
+        |  SELECT bucket, n, mean_m,
+        |    mean_m - 52000000 AS dhi,
+        |    48000000 - mean_m AS dlo
+        |  FROM m),
+        |p AS (
+        |  SELECT bucket, n, mean_m,
+        |    CAST(SUM(dhi) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS phi,
+        |    CAST(SUM(dlo) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS plo
+        |  FROM d),
+        |s AS (
+        |  SELECT bucket, n, mean_m,
+        |    phi - LEAST(MIN(phi) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS shi,
+        |    plo - LEAST(MIN(plo) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS slo
+        |  FROM p)
+        |SELECT bucket, n,
+        |  ROUND(CAST(mean_m AS DOUBLE) / 1e6, 6) AS mean,
+        |  ROUND(CAST(shi AS DOUBLE) / 1e6, 6) AS cusum_hi,
+        |  ROUND(CAST(slo AS DOUBLE) / 1e6, 6) AS cusum_lo,
+        |  CASE WHEN shi > 100000000 OR slo > 100000000
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm
+        |FROM s ORDER BY bucket""".stripMargin)
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.ops.ChangeDetect
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming CUSUM drift monitor — the q214 sequential change detector
+  * ([[graft.ops.ChangeDetect.cusum]]) run at ingest time: each
+  * micro-batch folds its rows into a per-bucket PARTIAL grid persisted
+  * under `gridDir/batch=<id>`, and [[cusumState]] serves the exact
+  * CUSUM trajectory over EVERYTHING observed so far. Small persistent
+  * shifts accumulate across micro-batches until the statistic crosses
+  * the alarm level — the slow-rot tripwire [[DriftMonitor]]'s
+  * per-batch PSI cannot see (PSI judges each batch alone; CUSUM
+  * remembers).
+  *
+  * Exactly-once: per-batch `batch=<id>` overwrite dirs (the
+  * [[CurationIngest]] recovery discipline) — a checkpoint-replayed
+  * batch rewrites the same partials instead of double-counting them.
+  *
+  * Order-robust BY CONSTRUCTION: the state is per-BUCKET partials, not
+  * a running statistic, and every probe re-merges the grid and re-runs
+  * the bounded drawup windows — so late or out-of-order events that
+  * land in an old bucket in a later micro-batch still produce the
+  * statistic a single batch pass over the union would ([[cusumState]] ≡
+  * `ChangeDetect.cusum(all rows)`, spec-proven bit-for-bit). A monitor
+  * that carried S_t forward as scalar state could never repair bucket
+  * t once it closed.
+  *
+  * Scale: per micro-batch ONE map-side-combined aggregate to its
+  * buckets-sized partial; a probe re-merges deltas with one grid-sized
+  * groupBy + two bounded windows. The grid is hours/days — never
+  * rows. */
+object CusumMonitor {
+
+  /** One micro-batch of the monitor — extracted from the foreachBatch
+    * closure so the replay-idempotence spec can drive it directly. */
+  def observeBatch(batch: DataFrame, batchId: Long, gridDir: String,
+      bucketCol: String, valueCol: String): Unit = {
+    val bad = batch.filter(col(bucketCol).isNull || col(valueCol).isNull)
+      .limit(1).count()
+    require(bad == 0L,
+      s"cusum monitor needs non-NULL '$bucketCol' buckets and " +
+        s"'$valueCol' values")
+    ChangeDetect.partialGrid(batch, bucketCol, valueCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$gridDir/batch=$batchId")
+  }
+
+  /** Start CUSUM monitoring over an observation stream: each
+    * micro-batch's per-bucket partial persists under
+    * `gridDir/batch=<id>`; [[cusumState]] serves the trajectory. */
+  def cusumMonitor(
+      obsStream: DataFrame,
+      gridDir: String,
+      bucketCol: String,
+      valueCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    obsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        observeBatch(batch, batchId, gridDir, bucketCol, valueCol)
+      }
+      .start()
+
+  /** The CUSUM trajectory over every observation persisted so far —
+    * identical rows to [[graft.ops.ChangeDetect.cusum]] on the union
+    * of all monitored batches, whatever the batch boundaries or event
+    * arrival order. Typed failure before the first batch lands. */
+  def cusumState(spark: SparkSession, gridDir: String,
+      target: Double, slack: Double, threshold: Double): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(gridDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no monitored batches under $gridDir yet")
+    ChangeDetect.cusumFromPartials(
+      spark.read.parquet(gridDir).select(col("bucket"), col("n"), col("_sm")),
+      target, slack, threshold)
+  }
+}
