@@ -661,6 +661,61 @@ object RelationalQueries {
       .orderBy($"bucket")
   }
 
+  /** q216: KENDALL τ-b ([[graft.ops.RankMetrics.kendallTau]]) between
+    * hourly event VOLUME and hourly MEAN VALUE — the ordinal "do busy
+    * hours run hot?" readout next to q110's Pearson (which a single
+    * outlier hour can own) and q207's Spearman: pairwise order
+    * agreements over the bounded hourly grid with Kendall's exact tie
+    * correction. Oracle replays the micro-mean grid, the quadratic
+    * pair classification and the one final ratio. */
+  def kendallHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = Tables.events(s, dir)
+      .select((floor(unix_timestamp($"ts") / 3600) * 3600).cast("long")
+        .as("hour_epoch"),
+        round($"value".cast("double") * 1e6d).cast("decimal(38,0)").as("_vm"))
+      .groupBy($"hour_epoch")
+      .agg(count(lit(1)).as("n_events"), sum($"_vm").as("_sm"))
+      .select($"hour_epoch", $"n_events",
+        round(round($"_sm".cast("double") / $"n_events".cast("double"))
+          .cast("long").cast("double") / 1e6d, 6).as("mean_value"))
+    graft.ops.RankMetrics.kendallTau(grid, "hour_epoch",
+      "n_events", "mean_value")
+  }
+
+  /** q217: THEIL–SEN robust hourly trend
+    * ([[graft.ops.ChangeDetect.theilSen]]) — the median-of-pairwise-
+    * slopes drift RATE over the hourly value series, immune to the
+    * outage/backfill outlier hours that own an OLS fit (breakdown
+    * point ~29%); the rate readout behind q214's CUSUM alarm. Oracle
+    * replays the micro-mean grid, every IEEE pairwise slope, both
+    * median selections and the final unit scaling. */
+  def theilSenHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.theilSen(
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp($"ts") / 3600).cast("long")
+          .as("hour_idx"), $"value"),
+      "hour_idx", "value")
+  }
+
+  /** q218: hourly AUTOCORRELATION function
+    * ([[graft.ops.ChangeDetect.acf]]) at lags 1..6 — the persistence/
+    * seasonality fingerprint that tells the monitoring stack whether
+    * per-hour anomalies (q106) are independent (z-gate false-alarm
+    * math holds) or the series is sticky (use q214's CUSUM). Gap hours
+    * contribute no pair — documented, not imputed. Oracle replays the
+    * micro-mean grid, the lag equi-joins and the expanded-moment
+    * fixed-order ratio per lag. */
+  def acfHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.acf(
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp($"ts") / 3600).cast("long")
+          .as("hour_idx"), $"value"),
+      "hour_idx", "value", maxLag = 6)
+  }
+
   /** q142: freshness-weighted (exponentially decayed) event counts — the
     * recency signal behind trending/popularity features, with a 1-day
     * half-life. Determinism at scale: ages are bucketed to whole DAYS
@@ -1085,7 +1140,10 @@ object RelationalQueries {
     "q142_decayed_counts"  -> (decayedCounts _),
     "q147_variant_props"   -> (variantProps _),
     "q154_ab_ttest"        -> (abTest _),
-    "q214_cusum"           -> (cusumHourly _))
+    "q214_cusum"           -> (cusumHourly _),
+    "q216_kendall_tau"     -> (kendallHourly _),
+    "q217_theil_sen"       -> (theilSenHourly _),
+    "q218_acf"             -> (acfHourly _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -1700,5 +1758,120 @@ object RelationalQueries {
         |  ROUND(CAST(slo AS DOUBLE) / 1e6, 6) AS cusum_lo,
         |  CASE WHEN shi > 100000000 OR slo > 100000000
         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm
-        |FROM s ORDER BY bucket""".stripMargin)
+        |FROM s ORDER BY bucket""".stripMargin,
+    // q216: micro-quantized hourly (volume, mean) grid, quadratic pair
+    // classification in pure integer sign arithmetic, tau-b tie correction
+    "q216_kendall_tau" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    n_events * 1000000 AS x,
+        |    CAST(round(ROUND(CAST(CAST(round(CAST(sm AS DOUBLE) /
+        |      CAST(n_events AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6, 6) * 1e6)
+        |      AS BIGINT) AS y
+        |  FROM pb),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+        |s AS (
+        |  SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN (g2.x - g1.x) * (g2.y - g1.y) > 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+        |    CAST(COALESCE(SUM(CASE WHEN (g2.x - g1.x) * (g2.y - g1.y) < 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant,
+        |    CAST(COALESCE(SUM(CASE WHEN g1.x = g2.x THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS ties_x,
+        |    CAST(COALESCE(SUM(CASE WHEN g1.y = g2.y THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS ties_y
+        |  FROM g g1 JOIN g g2 ON g1.bucket < g2.bucket)
+        |SELECT n1.n AS n, n1.n * (n1.n - 1) // 2 AS n_pairs,
+        |  concordant, discordant, ties_x, ties_y,
+        |  CASE WHEN CAST(n1.n * (n1.n - 1) // 2 - ties_x AS DOUBLE) > 0
+        |        AND CAST(n1.n * (n1.n - 1) // 2 - ties_y AS DOUBLE) > 0
+        |    THEN ROUND(CAST(concordant - discordant AS DOUBLE) /
+        |      sqrt(CAST(n1.n * (n1.n - 1) // 2 - ties_x AS DOUBLE) *
+        |           CAST(n1.n * (n1.n - 1) // 2 - ties_y AS DOUBLE)), 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS tau_b
+        |FROM s, n1""".stripMargin,
+    // q217: pairwise IEEE slopes over the micro-mean grid, two median
+    // selections (slope, then residual) by rank, /1e6 unit scaling
+    "q217_theil_sen" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS m
+        |  FROM pb),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM g),
+        |sl AS (
+        |  SELECT CAST(g2.m - g1.m AS DOUBLE) / CAST(g2.bucket - g1.bucket AS DOUBLE) AS s
+        |  FROM g g1 JOIN g g2 ON g1.bucket < g2.bucket),
+        |r AS (
+        |  SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+        |    COUNT(*) OVER () AS np
+        |  FROM sl),
+        |med AS (
+        |  SELECT SUM(s) / CAST(COUNT(*) AS DOUBLE) AS slope
+        |  FROM r WHERE rn >= (np + 1) // 2 AND rn <= (np + 2) // 2),
+        |res AS (
+        |  SELECT CAST(g.m AS DOUBLE) - med.slope * CAST(g.bucket AS DOUBLE) AS e
+        |  FROM g, med),
+        |r2 AS (
+        |  SELECT e, ROW_NUMBER() OVER (ORDER BY e) AS rn,
+        |    COUNT(*) OVER () AS np
+        |  FROM res),
+        |med2 AS (
+        |  SELECT SUM(e) / CAST(COUNT(*) AS DOUBLE) AS icpt
+        |  FROM r2 WHERE rn >= (np + 1) // 2 AND rn <= (np + 2) // 2)
+        |SELECT n1.h AS n_points, n1.h * (n1.h - 1) // 2 AS n_pairs,
+        |  ROUND(med.slope / 1e6, 6) AS slope,
+        |  ROUND(med2.icpt / 1e6, 6) AS intercept
+        |FROM n1, med, med2""".stripMargin,
+    // q218: micro-mean grid, lag equi-joins (gaps drop pairs), expanded
+    // moments S1 - xbar*S2 + p*xbar^2 over full-series denominator
+    "q218_acf" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS m
+        |  FROM pb),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(m AS HUGEINT)) AS sx,
+        |    SUM(CAST(m AS HUGEINT) * m) AS sxx
+        |  FROM g),
+        |lags AS (SELECT CAST(unnest(generate_series(1, 6)) AS BIGINT) AS lag),
+        |pl AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    SUM(CAST(g1.m AS HUGEINT) * g2.m) AS s1,
+        |    SUM(CAST(g1.m AS HUGEINT) + g2.m) AS s2
+        |  FROM g g1 CROSS JOIN lags l
+        |  JOIN g g2 ON g2.bucket = g1.bucket + l.lag
+        |  GROUP BY 1)
+        |SELECT l.lag, CAST(COALESCE(pl.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CASE WHEN pl.n_pairs IS NULL OR pl.n_pairs = 0
+        |    OR CAST(tot.sxx AS DOUBLE) - CAST(tot.sx AS DOUBLE) *
+        |      CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE) <= 0
+        |    THEN CAST(0.0 AS DOUBLE)
+        |    ELSE ROUND(
+        |      (CAST(pl.s1 AS DOUBLE) -
+        |        (CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
+        |          CAST(pl.s2 AS DOUBLE) +
+        |        CAST(pl.n_pairs AS DOUBLE) *
+        |          (CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
+        |          (CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE))) /
+        |      (CAST(tot.sxx AS DOUBLE) - CAST(tot.sx AS DOUBLE) *
+        |        CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+        |  END AS acf
+        |FROM lags l LEFT JOIN pl USING (lag), tot
+        |ORDER BY lag""".stripMargin)
 }

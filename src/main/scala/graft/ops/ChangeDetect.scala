@@ -104,4 +104,141 @@ object ChangeDetect {
       when(col("_shi") > hq || col("_slo") > hq, 1L).otherwise(0L)
         .as("alarm"))
   }
+
+  /** THEIL–SEN robust trend estimate over a time-bucketed metric — the
+    * outlier-proof answer to "is this metric drifting, and how fast?"
+    * next to [[cusum]] (which alarms on accumulated shift but does not
+    * estimate a rate): the slope is the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(t_j − t_i), i < j, so up to ~29% of buckets can be
+    * arbitrarily corrupted (a logging outage, a backfill spike) without
+    * moving the estimate — the breakdown point an OLS line has zero of
+    * (Theil 1950, Sen 1968). The intercept is the median residual
+    * median(y_i − slope·t_i), the companion estimator.
+    *
+    * One row: (n_points, n_pairs, slope, intercept) — slope in
+    * value-units per bucket-unit of `bucketCol`.
+    *
+    * Determinism: per-bucket means micro-quantize to exact longs; each
+    * pairwise slope is ONE IEEE division of exact integers (bit-equal
+    * in any engine); the median picks the (⌈p/2⌉..⌊p/2⌋+1) ranked
+    * values by a total ordering on the slope value (ties collapse to
+    * the same value, so rank ambiguity cannot change the answer) and
+    * averages them in one fixed-order expression. NULL buckets/values
+    * fail typed; fewer than 2 buckets fails typed (no slope exists).
+    *
+    * Plan: one map-side-combined corpus groupBy to the BUCKETS-sized
+    * grid, one bounded grid⋈grid pair join (H(H−1)/2 rows for H
+    * buckets — hours/days, never data rows), one bounded-grid
+    * rank window, one 1-row broadcast back for the intercept pass.
+    * Corpus size only enters through the first aggregate. */
+  def theilSen(df: DataFrame, bucketCol: String,
+      valueCol: String): DataFrame = {
+    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
+      .limit(1).count()
+    require(bad == 0L,
+      s"theilSen needs non-NULL '$bucketCol' buckets and '$valueCol' values")
+    val grid = partialGrid(df, bucketCol, valueCol)
+      .withColumn("_mean",
+        round(col("_sm").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
+      .localCheckpoint(true) // tiny grid, reused by three passes
+    val h = grid.count()
+    require(h >= 2L, s"theilSen needs >= 2 buckets, got $h")
+    val g1 = grid.select(col("bucket").as("_b1"), col("_mean").as("_m1"))
+    val g2 = grid.select(col("bucket").as("_b2"), col("_mean").as("_m2"))
+    val slopes = g1.join(g2, col("_b1") < col("_b2"))
+      .select(((col("_m2") - col("_m1")).cast("double") /
+        (col("_b2") - col("_b1")).cast("double")).as("_slope"))
+    val slope = medianOf(slopes, "_slope").first().getDouble(0)
+    val resid = grid.select(
+      (col("_mean").cast("double") -
+        lit(slope) * col("bucket").cast("double")).as("_resid"))
+    val intercept = medianOf(resid, "_resid").first().getDouble(0)
+    val np = h * (h - 1L) / 2L
+    grid.sparkSession.range(1)
+      .select(lit(h).as("n_points"), lit(np).as("n_pairs"),
+        round(lit(slope) / 1e6d, 6).as("slope"),
+        round(lit(intercept) / 1e6d, 6).as("intercept"))
+  }
+
+  /** Median of a single double column over a BOUNDED grid: ranks by
+    * value and averages the middle one (odd count) or two (even) in a
+    * fixed-order expression — rank ties share a value, so the pick is
+    * deterministic. Single-partition window; callers guarantee the
+    * input is grid-sized (pairs of hourly buckets), never data-sized. */
+  private def medianOf(df: DataFrame, c: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+    val n = df.count()
+    val lo = (n + 1L) / 2L
+    val hi = (n + 2L) / 2L
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") >= lo && col("_rn") <= hi)
+      .agg((sum(col(c)) / count(lit(1)).cast("double")).as("_median"))
+  }
+
+  /** Sample AUTOCORRELATION of a time-bucketed metric at lags 1..`maxLag`
+    * — the seasonality/persistence fingerprint next to [[cusum]]'s
+    * drift alarm and [[theilSen]]'s trend rate: r_k ≈ 1 at k = 24 says
+    * "daily cycle", r_k ≈ 0 everywhere says the per-bucket monitor
+    * sees independent noise (and z-gate false-alarm math holds). Uses
+    * the standard biased estimator
+    * r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    * with the FULL-series mean and variance in the denominator, pairs
+    * joined on bucket + k so gaps in the grid simply contribute no
+    * pair (documented, not imputed).
+    *
+    * Output: one row per lag (lag, n_pairs, acf), lags ascending.
+    *
+    * Determinism: per-bucket means are micro-quantized longs; all sums
+    * (Σx, Σx², Σ x_t·x_{t+k}, Σ(x_t + x_{t+k})) are exact DECIMAL; the
+    * numerator expands to S1 − x̄·S2 + p·x̄² so the only doubles are a
+    * fixed-order polynomial of exact components, rounded to 6 dp.
+    * NULL buckets/values fail typed; lag rows with zero pairs report
+    * acf = 0.0 (documented, not NaN).
+    *
+    * Plan: one corpus groupBy to the grid, one grid×lags equi-join
+    * (bucket + lag = bucket — bounded by H·maxLag), two grid-sized
+    * aggregates, one broadcast of the 1-row global moments. */
+  def acf(df: DataFrame, bucketCol: String, valueCol: String,
+      maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
+      .limit(1).count()
+    require(bad == 0L,
+      s"acf needs non-NULL '$bucketCol' buckets and '$valueCol' values")
+    val dec = "decimal(38,0)"
+    val grid = partialGrid(df, bucketCol, valueCol)
+      .withColumn("_mean",
+        round(col("_sm").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
+      .localCheckpoint(true)
+    val glob = grid.agg(count(lit(1)).as("_n"),
+      sum(col("_mean").cast(dec)).as("_sx"),
+      sum(col("_mean").cast(dec) * col("_mean")).as("_sxx"))
+    val lags = grid.sparkSession.range(1, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val pairs = grid.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("bucket") + col("lag")).as("bucket"),
+        col("_mean").as("_m1"))
+      .join(grid.withColumnRenamed("_mean", "_m2"), Seq("bucket"))
+    val perLag = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_m1").cast(dec) * col("_m2")).as("_s1"),
+        sum(col("_m1").cast(dec) + col("_m2")).as("_s2"))
+    val out = broadcast(lags).join(perLag, Seq("lag"), "left")
+      .crossJoin(broadcast(glob))
+    val xbar = col("_sx").cast("double") / col("_n").cast("double")
+    val denom = col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") /
+        col("_n").cast("double")
+    val num = col("_s1").cast("double") - xbar * col("_s2").cast("double") +
+      col("n_pairs").cast("double") * xbar * xbar
+    out.select(col("lag"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_pairs").isNull || col("n_pairs") === 0L || denom <= 0.0d,
+          lit(0.0d))
+          .otherwise(round(num / denom, 6)).as("acf"))
+      .orderBy(col("lag"))
+  }
 }

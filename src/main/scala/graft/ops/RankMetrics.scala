@@ -255,6 +255,66 @@ object RankMetrics {
         .otherwise(lit(0.0d)).as("rho"))
   }
 
+  /** TIE-EXACT KENDALL τ-b between two metrics observed on the same
+    * BOUNDED grid (hourly buckets, reliability bins — never raw data
+    * rows: the pair join is quadratic in the grid by design) — the
+    * ordinal-agreement companion to [[spearman]]: τ counts pairwise
+    * ORDER agreements instead of correlating ranks, so a single wild
+    * bucket moves it by at most O(1/n) where it can move ρ by O(1).
+    * τ_b = (C − D) / √((n₀ − t_x)(n₀ − t_y)) with n₀ = n(n−1)/2,
+    * t_x/t_y = pairs tied on x / on y (Kendall 1945's tie correction).
+    *
+    * One row: (n, n_pairs, concordant, discordant, ties_x, ties_y,
+    * tau_b).
+    *
+    * Determinism: both metrics micro-quantize to exact longs, so
+    * concordant/discordant/tie classification is pure integer sign
+    * arithmetic; the only double is the final ratio (fixed-order,
+    * 6 dp). Zero variance on either side reports τ = 0.0, documented
+    * rather than NaN. NULL keys/values fail typed; duplicate keys fail
+    * typed (each pair must be formed exactly once).
+    *
+    * Plan: one grid⋈grid pair join on strict key order (H(H−1)/2 rows
+    * for H grid rows), ONE final aggregate. */
+  def kendallTau(df: DataFrame, keyCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val bad = df.filter(col(keyCol).isNull || col(xCol).isNull ||
+      col(yCol).isNull).limit(1).count()
+    require(bad == 0L, s"kendallTau needs non-NULL '$keyCol', " +
+      s"'$xCol', '$yCol'")
+    val g = df.select(col(keyCol).as("_k"),
+        round(col(xCol).cast("double") * 1e6d).cast("long").as("_x"),
+        round(col(yCol).cast("double") * 1e6d).cast("long").as("_y"))
+      .localCheckpoint(true)
+    val n = g.count()
+    require(g.select(col("_k")).distinct().count() == n,
+      s"kendallTau needs distinct '$keyCol' keys")
+    val p1 = g.select(col("_k").as("_k1"), col("_x").as("_x1"),
+      col("_y").as("_y1"))
+    val p2 = g.select(col("_k").as("_k2"), col("_x").as("_x2"),
+      col("_y").as("_y2"))
+    val sums = p1.join(p2, col("_k1") < col("_k2"))
+      .agg(
+        sum(when((col("_x2") - col("_x1")) * (col("_y2") - col("_y1")) > 0L,
+          1L).otherwise(0L)).as("concordant"),
+        sum(when((col("_x2") - col("_x1")) * (col("_y2") - col("_y1")) < 0L,
+          1L).otherwise(0L)).as("discordant"),
+        sum(when(col("_x1") === col("_x2"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("_y1") === col("_y2"), 1L).otherwise(0L)).as("ties_y"))
+    val n0 = n * (n - 1L) / 2L
+    val dx = (lit(n0) - col("ties_x")).cast("double")
+    val dy = (lit(n0) - col("ties_y")).cast("double")
+    sums.select(lit(n).as("n"), lit(n0).as("n_pairs"),
+      coalesce(col("concordant"), lit(0L)).as("concordant"),
+      coalesce(col("discordant"), lit(0L)).as("discordant"),
+      coalesce(col("ties_x"), lit(0L)).as("ties_x"),
+      coalesce(col("ties_y"), lit(0L)).as("ties_y"),
+      when(dx > 0.0d && dy > 0.0d,
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt(dx * dy), 6))
+        .otherwise(lit(0.0d)).as("tau_b"))
+  }
+
   /** W(m)·10⁶ for m = 1..k — shared with the q196 oracle so both
     * engines sum the bit-identical integer weights. */
   private[graft] def rboWeightsMicro(k: Int, p: Double): Seq[Long] =

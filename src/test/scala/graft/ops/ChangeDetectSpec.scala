@@ -60,4 +60,71 @@ class ChangeDetectSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](ChangeDetect.cusum(
       obs, "b", "v", 10.0, 1.0, 0.0))
   }
+
+  test("theilSen: hand-traced pairwise-slope medians") {
+    // y = (1, 3, 2, 4) at t = 1..4: pairwise slopes
+    // (1,2)=2, (1,3)=0.5, (1,4)=1, (2,3)=-1, (2,4)=0.5, (3,4)=2
+    // sorted: -1, 0.5, 0.5, 1, 2, 2 -> median (0.5 + 1)/2 = 0.75
+    // residuals y - 0.75 t = (0.25, 1.5, -0.25, 1.0) -> median
+    // (0.25 + 1.0)/2 = 0.625
+    val obs = Seq((1L, 1.0), (2L, 3.0), (3L, 2.0), (4L, 4.0)).toDF("b", "v")
+    val got = ChangeDetect.theilSen(obs, "b", "v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(got == ((4L, 6L, 0.75d, 0.625d)), got.toString)
+  }
+
+  test("theilSen: breakdown robustness and typed guards") {
+    // a clean slope-1 line; corrupting ONE of 11 points by +1000 moves
+    // the OLS slope wildly but the Theil-Sen slope not at all
+    val clean = (1L to 11L).map(t => (t, t.toDouble)).toDF("b", "v")
+    val cleanSlope = ChangeDetect.theilSen(clean, "b", "v")
+      .select($"slope").as[Double].head()
+    assert(cleanSlope == 1.0d)
+    val dirty = (1L to 11L).map(t =>
+      (t, if (t == 6L) t + 1000.0 else t.toDouble)).toDF("b", "v")
+    val dirtySlope = ChangeDetect.theilSen(dirty, "b", "v")
+      .select($"slope").as[Double].head()
+    assert(dirtySlope == 1.0d, s"median slope moved: $dirtySlope")
+    // partition invariance
+    val rep = ChangeDetect.theilSen(dirty.repartition(4), "b", "v")
+      .select($"slope").as[Double].head()
+    assert(rep == dirtySlope)
+    intercept[IllegalArgumentException](ChangeDetect.theilSen(
+      Seq((1L, 1.0)).toDF("b", "v"), "b", "v"))
+    intercept[IllegalArgumentException](ChangeDetect.theilSen(
+      Seq((1L, Option.empty[Double]), (2L, Some(1.0))).toDF("b", "v"),
+      "b", "v"))
+  }
+
+  test("acf: alternating series hand-trace, gaps drop pairs, zero variance") {
+    // y = (1,2,1,2,1,2): mean 1.5, denom = 6 * 0.25 = 1.5
+    // lag 1: 5 pairs, each (±.5)(∓.5) = -0.25 -> -1.25/1.5 = -0.833333
+    // lag 2: 4 pairs, each +0.25 -> 1.0/1.5 = 0.666667
+    val obs = (1L to 6L).map(t => (t, if (t % 2 == 1) 1.0 else 2.0))
+      .toDF("b", "v")
+    val got = ChangeDetect.acf(obs, "b", "v", maxLag = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // lag 3: 3 pairs, each -0.25 -> -0.75/1.5 = -0.5
+    assert(got == Seq((1L, 5L, -0.833333d), (2L, 4L, 0.666667d),
+      (3L, 3L, -0.5d)), got.toString)
+    // a gap at t=4 removes exactly the pairs touching it
+    val gappy = obs.filter($"b" =!= 4L)
+    val g = ChangeDetect.acf(gappy, "b", "v", maxLag = 1)
+      .as[(Long, Long, Double)].head()
+    assert(g._2 == 3L, g.toString) // (1,2) (2,3) (5,6) survive
+    // constant series: zero variance -> documented 0.0, never NaN
+    val const = (1L to 5L).map(t => (t, 7.0)).toDF("b", "v")
+    val c = ChangeDetect.acf(const, "b", "v", maxLag = 2)
+      .select($"acf").as[Double].collect().toSeq
+    assert(c == Seq(0.0d, 0.0d))
+    // a lag past the series length reports 0 pairs and acf 0.0
+    val short = ChangeDetect.acf(obs.filter($"b" <= 2), "b", "v", maxLag = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(short.map(_._2) == Seq(1L, 0L, 0L), short.toString)
+    assert(short.drop(1).forall(_._3 == 0.0d))
+    intercept[IllegalArgumentException](ChangeDetect.acf(
+      obs, "b", "v", maxLag = 0))
+    intercept[IllegalArgumentException](ChangeDetect.acf(
+      Seq((Option.empty[Long], 1.0)).toDF("b", "v"), "b", "v"))
+  }
 }

@@ -140,4 +140,42 @@ class RankMetricsSpec extends SparkSpecBase {
         b, "id", "sa", "sb").collect())
   }
 
+  test("kendallTau: hand-traced pair classification with ties") {
+    // x = (1,2,2,3), y = (1,2,3,1): pairs (1,2)C (1,3)C (1,4)tie_y
+    // (2,3)tie_x (2,4)D (3,4)D -> C=2 D=2 tx=1 ty=1, tau = 0
+    val g = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 2.0, 3.0),
+      (4L, 3.0, 1.0)).toDF("k", "x", "y")
+    val got = RankMetrics.kendallTau(g, "k", "x", "y")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    assert(got == ((4L, 6L, 2L, 2L, 1L, 1L, 0.0d)), got.toString)
+    // x = (1,2,2,3), y = (1,2,3,4): C=5, tx=1 ->
+    // tau = 5 / sqrt(5*6) = 0.912871
+    val g2 = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 2.0, 3.0),
+      (4L, 3.0, 4.0)).toDF("k", "x", "y")
+    val got2 = RankMetrics.kendallTau(g2, "k", "x", "y")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    assert(got2 == ((4L, 6L, 5L, 0L, 1L, 0L, 0.912871d)), got2.toString)
+  }
+
+  test("kendallTau: perfect/reversed/constant, guards, partition invariance") {
+    val mono = (1L to 8L).map(i => (i, i.toDouble, i * 2.0)).toDF("k", "x", "y")
+    assert(RankMetrics.kendallTau(mono, "k", "x", "y")
+      .select($"tau_b").as[Double].head() == 1.0d)
+    val rev = (1L to 8L).map(i => (i, i.toDouble, -i * 2.0)).toDF("k", "x", "y")
+    assert(RankMetrics.kendallTau(rev, "k", "x", "y")
+      .select($"tau_b").as[Double].head() == -1.0d)
+    // a constant side: zero comparable variance -> documented 0.0
+    val const = (1L to 5L).map(i => (i, i.toDouble, 3.0)).toDF("k", "x", "y")
+    assert(RankMetrics.kendallTau(const, "k", "x", "y")
+      .select($"tau_b").as[Double].head() == 0.0d)
+    val rep = RankMetrics.kendallTau(rev.repartition(4), "k", "x", "y")
+      .select($"tau_b").as[Double].head()
+    assert(rep == -1.0d)
+    intercept[IllegalArgumentException](RankMetrics.kendallTau(
+      Seq((1L, 1.0, Option.empty[Double])).toDF("k", "x", "y"),
+      "k", "x", "y"))
+    intercept[IllegalArgumentException](RankMetrics.kendallTau(
+      Seq((1L, 1.0, 1.0), (1L, 2.0, 2.0)).toDF("k", "x", "y"),
+      "k", "x", "y"))
+  }
 }
