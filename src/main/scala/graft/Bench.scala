@@ -88,7 +88,16 @@ object Bench {
     "q190_bm25_time_travel", "q191_ivf_time_travel", "q192_filter_funnel",
     "q193_gate_agreement", "q194_unimax", "q195_index_diff",
     "q196_ann_rbo", "q197_soft_dedup", "q198_vocab_coverage",
-    "q199_conformal", "q200_score_drift")
+    "q199_conformal", "q200_score_drift",
+    "q201_avg_precision", "q202_source_jsd", "q203_ks_drift",
+    "q204_token_gini", "q205_rrf_blend", "q206_cluster_nmi",
+    "q207_spearman", "q208_heaps_law", "q209_ess",
+    "q210_mann_whitney", "q211_chi_square", "q212_brier",
+    "q213_l_diversity", "q214_cusum", "q215_mcnemar",
+    "q216_kendall_tau", "q217_theil_sen", "q218_acf",
+    "q219_isotonic", "q220_t_closeness", "q221_good_turing",
+    "q222_token_label_mi", "q223_neyman", "q224_assortativity",
+    "q225_contamination_runs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

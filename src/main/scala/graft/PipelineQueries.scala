@@ -1087,6 +1087,139 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q215: McNEMAR paired gate comparison
+    * ([[graft.ops.ClassifierEval.mcnemar]]) — is the q124 model gate
+    * (conf ≥ 0.5) actually STRICTER than the q127 rule gate, or do
+    * they just disagree symmetrically? The paired test over the same
+    * documents that an accuracy delta cannot answer (agreement rows
+    * carry no information — only the off-diagonal cells do). Oracle
+    * replays both gates and the continuity-corrected statistic. */
+  def gateMcnemar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", ($"conf" >= 0.5d).as("model_pass"))
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", ($"keep" === 1L).as("rule_pass"))
+    graft.ops.ClassifierEval.mcnemar(lab.join(pred, "doc_id"),
+      "rule_pass", "model_pass")
+  }
+
+  /** q219: ISOTONIC calibration
+    * ([[graft.ops.Calibration.isotonicCalibration]]) — the
+    * non-parametric post-hoc fix next to q178's temperature sweep: the
+    * best monotone curve (PAV via the closed minimax identity — three
+    * bounded joins, no iteration) through the q177 reliability bins,
+    * with the before/after ECE. Oracle replays the classifier, the
+    * gate, the binning, the bins² segment means and the bins³ minimax
+    * lattice. */
+  def isotonicAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    graft.ops.Calibration.isotonicCalibration(pred, lab, "doc_id", "conf",
+        "keep", bins = 10)
+      .orderBy($"bin")
+  }
+
+  /** q220: t-CLOSENESS release audit
+    * ([[graft.ops.Curation.tClosenessProfile]]) — the
+    * distribution-skew disclosure q213's l-diversity cannot see: a
+    * (source, length-bucket) cell can hold every language yet still
+    * leak if its language MIX is far from the corpus mix. Worst-cell
+    * total-variation distance per source at t = 0.2, with the dense
+    * completion (absent languages still deviate). Oracle replays the
+    * exact common-denominator integer deviations. */
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.tClosenessProfile(
+        Tables.documents(s, dir)
+          .withColumn("len_bucket", floor($"n_chars" / 100).cast("long")),
+        Seq("source"), Seq("len_bucket"), "lang", t = 0.2)
+      .orderBy($"source")
+  }
+
+  /** q221: GOOD–TURING frequency smoothing
+    * ([[TextAnalysis.goodTuring]]) — count-of-counts over the corpus
+    * vocabulary, the smoothed r* per frequency class and the missing
+    * mass P₀ = N₁∕N a fresh sample would spend on unseen words: the
+    * principled companion to the LM family's fixed-α backoff and the
+    * saturation signal next to q208's Heaps fit. Reads out the 10
+    * lowest frequency classes PRESENT (the synthetic corpus has a
+    * closed vocabulary — min word count 26 at sf0.01 — so a fixed
+    * r ≤ 10 window would be empty). Oracle replays the count-of-counts
+    * table and every ratio. */
+  def goodTuringReadout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.goodTuring(Tables.documents(s, dir), "text", maxR = 10)
+  }
+
+  /** q222: token↔label MUTUAL INFORMATION
+    * ([[TextAnalysis.tokenLabelMI]]) — the supervised feature-selection
+    * cut behind interpretable lang/quality gates: which tokens carry
+    * the most information about `lang = 'en'`, by exact 2×2
+    * presence × label MI over distinct (doc, token) pairs. Top 25 by
+    * nano-quantized MI, token tiebreak. Oracle replays the cells and
+    * all four nano terms. */
+  def tokenLabelMiTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.tokenLabelMI(
+      Tables.documents(s, dir)
+        .withColumn("is_en", when($"lang" === "en", 1L).otherwise(0L)),
+      "doc_id", "text", "is_en", topK = 25, minDf = 5L)
+  }
+
+  /** q223: NEYMAN allocation ([[graft.ops.Sampling.neymanAllocation]])
+    * — the variance-minimizing labeling-budget split across sources
+    * (n_h ∝ N_h·σ_h over doc length): the eval-set design step that
+    * oversamples the wild sources exactly in proportion to the noise
+    * they would otherwise inject, vs the proportional baseline. Oracle
+    * replays the exact per-stratum moments, σ micro-quantization and
+    * both allocations. */
+  def neymanBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.neymanAllocation(Tables.documents(s, dir), "source",
+      "n_chars", budget = 1000L)
+  }
+
+  /** q224: near-dup graph DEGREE ASSORTATIVITY
+    * ([[graft.ops.Components.degreeAssortativity]]) — the mixing
+    * readout over q140's candidate graph: positive = duplicate
+    * template FAMILIES (hubs link to hubs — components collapse them
+    * cleanly), negative = canonical-page STARS (survivor choice
+    * matters). Exact integer degree moments over both edge
+    * orientations, one final ratio. */
+  def nearDupAssortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Components.degreeAssortativity(
+      Dedup.minHashCandidates(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.4).select($"a_id", $"b_id"))
+  }
+
+  /** q225: longest contiguous CONTAMINATION runs
+    * ([[Decontaminate.contaminationRuns]]) — the severity readout
+    * behind q77's hit count: consecutive matched 8-gram POSITIONS
+    * certify a verbatim token span (run + 7 tokens), separating a
+    * verbatim benchmark quote from scattered idiom hits. Same
+    * train/test split and broadcast regime as q77; islands arithmetic
+    * over hit positions only. Oracle replays the positional codes, the
+    * split and the runs. */
+  def contaminationRunsReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+    Decontaminate.contaminationRuns(
+        split.filter($"split" === "train"), split.filter($"split" === "test"),
+        "doc_id", "text", n = 8)
+      .orderBy($"doc_id")
+  }
+
   /** Z-order (Morton) layout key over orders — ops.Layout.zValue2 on
     * (customer, order day), the two-predicate file-skipping curve. The
     * entry summarizes the curve by 64 z-range buckets (count + envelope);
@@ -2628,7 +2761,15 @@ object PipelineQueries {
     "q210_mann_whitney"   -> (mannWhitneyDrift _),
     "q211_chi_square"     -> (sourceLangChiSquare _),
     "q212_brier"          -> (brierAudit _),
-    "q213_l_diversity"    -> (lDiversity _))
+    "q213_l_diversity"    -> (lDiversity _),
+    "q215_mcnemar"        -> (gateMcnemar _),
+    "q219_isotonic"       -> (isotonicAudit _),
+    "q220_t_closeness"    -> (tCloseness _),
+    "q221_good_turing"    -> (goodTuringReadout _),
+    "q222_token_label_mi" -> (tokenLabelMiTop _),
+    "q223_neyman"         -> (neymanBudget _),
+    "q224_assortativity"  -> (nearDupAssortativity _),
+    "q225_contamination_runs" -> (contaminationRunsReport _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -6113,7 +6254,293 @@ object PipelineQueries {
          |  CAST(len(list_filter(ws, t -> list_contains(['big', 'broken', 'slow'], t))) AS BIGINT) AS n_hits,
          |  CASE WHEN len(list_filter(ws, t -> list_contains(['big', 'broken', 'slow'], t))) = 0
          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
-         |FROM w ORDER BY doc_id""".stripMargin)
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q215: the q177 classifier + gopher replays thresholded to paired
+    // gates, exact off-diagonal cells, continuity-corrected statistic
+    "q215_mcnemar" ->
+      s"""WITH $classifierPredCtes,
+         |$gopherLabCtes,
+         |j AS (
+         |  SELECT CASE WHEN l.keep = 1 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN p.conf >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS b
+         |  FROM lab l JOIN pred p USING (doc_id)),
+         |c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(a * b) AS BIGINT) AS both_pass,
+         |    CAST(SUM(a * (1 - b)) AS BIGINT) AS only_a,
+         |    CAST(SUM((1 - a) * b) AS BIGINT) AS only_b,
+         |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS neither
+         |  FROM j)
+         |SELECT n, both_pass, only_a, only_b, neither,
+         |  CASE WHEN only_a + only_b = 0 OR abs(only_a - only_b) - 1 <= 0
+         |    THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(CAST((abs(only_a - only_b) - 1) *
+         |        (abs(only_a - only_b) - 1) AS DOUBLE) /
+         |      CAST(only_a + only_b AS DOUBLE), 6) END AS chi2
+         |FROM c""".stripMargin,
+
+    // q219: the q177 binning extended with prefix sums, bins^2 segment
+    // means and the bins^3 PAV minimax lattice, before/after ECE
+    "q219_isotonic" ->
+      s"""WITH $classifierPredCtes,
+         |$gopherLabCtes,
+         |j AS (
+         |  SELECT p.doc_id, CAST(round(p.conf * 1e6) AS BIGINT) AS cm, l.keep
+         |  FROM pred p JOIN lab l USING (doc_id)),
+         |pb AS (
+         |  SELECT LEAST((cm * 10) // 1000000, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(cm) AS BIGINT) AS sc,
+         |    CAST(SUM(keep) AS BIGINT) AS sp
+         |  FROM j GROUP BY 1),
+         |pfx AS (
+         |  SELECT bin, n_docs, sc, sp,
+         |    CAST(SUM(n_docs) OVER (ORDER BY bin) AS BIGINT) AS pn,
+         |    CAST(SUM(sp) OVER (ORDER BY bin) AS BIGINT) AS psl
+         |  FROM pb),
+         |js AS (
+         |  SELECT bin AS bj,
+         |    CAST(COALESCE(LAG(pn) OVER (ORDER BY bin), 0) AS BIGINT) AS pn0,
+         |    CAST(COALESCE(LAG(psl) OVER (ORDER BY bin), 0) AS BIGINT) AS psl0
+         |  FROM pfx),
+         |seg AS (
+         |  SELECT js.bj, k.bin AS bk,
+         |    CAST(round(CAST(k.psl - js.psl0 AS DOUBLE) /
+         |      CAST(k.pn - js.pn0 AS DOUBLE) * 1e6) AS BIGINT) AS m
+         |  FROM js JOIN pfx k ON js.bj <= k.bin),
+         |mm AS (
+         |  SELECT i.bin AS bi, s.bj, MIN(s.m) AS mn
+         |  FROM seg s JOIN pb i ON s.bj <= i.bin AND i.bin <= s.bk
+         |  GROUP BY 1, 2),
+         |iso AS (
+         |  SELECT bi AS bin, CAST(MAX(mn) AS BIGINT) AS iso_micro
+         |  FROM mm GROUP BY 1),
+         |bo AS (
+         |  SELECT pb.bin, pb.n_docs, pb.sc, iso.iso_micro,
+         |    CAST(round(CAST(pb.sp AS DOUBLE) / CAST(pb.n_docs AS DOUBLE) * 1e6)
+         |      AS BIGINT) AS fp_micro,
+         |    abs(CAST(round(CAST(pb.sc AS DOUBLE) / CAST(pb.n_docs AS DOUBLE))
+         |        AS BIGINT) -
+         |      CAST(round(CAST(pb.sp AS DOUBLE) / CAST(pb.n_docs AS DOUBLE) * 1e6)
+         |        AS BIGINT)) AS gap0,
+         |    abs(iso.iso_micro -
+         |      CAST(round(CAST(pb.sp AS DOUBLE) / CAST(pb.n_docs AS DOUBLE) * 1e6)
+         |        AS BIGINT)) AS gap1
+         |  FROM pb JOIN iso USING (bin)),
+         |tot AS (
+         |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+         |    CAST(SUM(gap0 * n_docs) AS BIGINT) AS g0,
+         |    CAST(SUM(gap1 * n_docs) AS BIGINT) AS g1
+         |  FROM bo)
+         |SELECT CAST(bo.bin AS BIGINT) AS bin, bo.n_docs,
+         |  ROUND(CAST(bo.sc AS DOUBLE) / (CAST(bo.n_docs AS DOUBLE) * 1e6), 6) AS mean_conf,
+         |  ROUND(CAST(bo.fp_micro AS DOUBLE) / 1e6, 6) AS frac_pos,
+         |  ROUND(CAST(bo.iso_micro AS DOUBLE) / 1e6, 6) AS iso_fit,
+         |  ROUND(CAST(tot.g0 AS DOUBLE) / (CAST(tot.n AS DOUBLE) * 1e6), 6) AS ece_before,
+         |  ROUND(CAST(tot.g1 AS DOUBLE) / (CAST(tot.n AS DOUBLE) * 1e6), 6) AS ece_after
+         |FROM bo, tot ORDER BY bin""".stripMargin,
+
+    // q220: dense (cell x language) completion, exact common-denominator
+    // integer deviations |ncv*N - gv*nc|, worst-cell TVD per source
+    "q220_t_closeness" ->
+      """WITH v AS (
+        |  SELECT source, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+        |    lang, CAST(COUNT(*) AS BIGINT) AS ncv
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, CAST(SUM(ncv) AS BIGINT) AS gv FROM v GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(ncv) AS BIGINT) AS n FROM v),
+        |ct AS (
+        |  SELECT source, len_bucket, CAST(SUM(ncv) AS BIGINT) AS nc
+        |  FROM v GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT ct.source, ct.len_bucket, ct.nc,
+        |    abs(CAST(COALESCE(v.ncv, 0) AS HUGEINT) * nt.n -
+        |      CAST(g.gv AS HUGEINT) * ct.nc) AS dev
+        |  FROM ct CROSS JOIN g
+        |  LEFT JOIN v ON v.source = ct.source AND v.len_bucket = ct.len_bucket
+        |    AND v.lang = g.lang, nt),
+        |cells AS (
+        |  SELECT source, len_bucket, MAX(nc) AS nc, SUM(dev) AS devsum
+        |  FROM dd GROUP BY 1, 2),
+        |tv AS (
+        |  SELECT source, len_bucket, nc,
+        |    CAST(round(CAST(devsum AS DOUBLE) /
+        |      (CAST(2.0 AS DOUBLE) * CAST(nc AS DOUBLE) * CAST(nt.n AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS tvd_micro
+        |  FROM cells, nt)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  ROUND(CAST(MAX(tvd_micro) AS DOUBLE) / 1e6, 6) AS t_max,
+        |  CAST(SUM(CASE WHEN tvd_micro > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_cells,
+        |  CAST(SUM(CASE WHEN tvd_micro > 200000 THEN nc ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows
+        |FROM tv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q221: count-of-counts over the corpus vocabulary, r* donor join on
+    // r+1, missing mass N1/N on every row
+    "q221_good_turing" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(string_split($norm, ' ')) AS t FROM documents),
+         |w AS (SELECT t FROM tk WHERE length(t) > 0),
+         |wc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS r FROM w GROUP BY 1),
+         |coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_words FROM wc GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(r * n_words) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_words END), 0) AS BIGINT) AS n1
+         |  FROM coc),
+         |nxt AS (SELECT r - 1 AS r, n_words AS n_next FROM coc)
+         |SELECT c.r, c.n_words,
+         |  CASE WHEN nxt.n_next IS NULL THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(CAST(c.r + 1 AS DOUBLE) * CAST(nxt.n_next AS DOUBLE) /
+         |      CAST(c.n_words AS DOUBLE), 6) END AS r_star,
+         |  CASE WHEN nxt.n_next IS NULL THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(CAST(c.r + 1 AS DOUBLE) * CAST(nxt.n_next AS DOUBLE) /
+         |      (CAST(c.n_words AS DOUBLE) * CAST(tot.n AS DOUBLE)), 6) END AS p_word,
+         |  ROUND(CAST(tot.n1 AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS missing_mass,
+         |  tot.n AS total_tokens
+         |FROM coc c LEFT JOIN nxt USING (r), tot
+         |WHERE c.r IN (SELECT r FROM coc ORDER BY r LIMIT 10)
+         |ORDER BY c.r""".stripMargin,
+
+    // q222: distinct (doc, token) presence cells vs lang='en', four
+    // nano-quantized MI terms, top-25 on (mi_nano, token)
+    "q222_token_label_mi" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |dt AS (SELECT DISTINCT doc_id, token FROM tk WHERE length(token) > 0),
+         |lb AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(y) AS BIGINT) AS n1
+         |  FROM lb),
+         |pt AS (
+         |  SELECT dt.token, CAST(COUNT(*) AS BIGINT) AS df,
+         |    CAST(SUM(lb.y) AS BIGINT) AS n11
+         |  FROM dt JOIN lb USING (doc_id) GROUP BY 1),
+         |mi AS (
+         |  SELECT token, df, n11,
+         |    (CASE WHEN n11 = 0 THEN 0
+         |      ELSE CAST(round((CAST(n11 AS DOUBLE) / CAST(tot.nd AS DOUBLE)) *
+         |        ln(CAST(tot.nd AS DOUBLE) * CAST(n11 AS DOUBLE) /
+         |          (CAST(df AS DOUBLE) * CAST(tot.n1 AS DOUBLE))) * 1e9) AS BIGINT) END
+         |     + CASE WHEN df - n11 = 0 THEN 0
+         |      ELSE CAST(round((CAST(df - n11 AS DOUBLE) / CAST(tot.nd AS DOUBLE)) *
+         |        ln(CAST(tot.nd AS DOUBLE) * CAST(df - n11 AS DOUBLE) /
+         |          (CAST(df AS DOUBLE) * CAST(tot.nd - tot.n1 AS DOUBLE))) * 1e9) AS BIGINT) END
+         |     + CASE WHEN tot.n1 - n11 = 0 THEN 0
+         |      ELSE CAST(round((CAST(tot.n1 - n11 AS DOUBLE) / CAST(tot.nd AS DOUBLE)) *
+         |        ln(CAST(tot.nd AS DOUBLE) * CAST(tot.n1 - n11 AS DOUBLE) /
+         |          (CAST(tot.nd - df AS DOUBLE) * CAST(tot.n1 AS DOUBLE))) * 1e9) AS BIGINT) END
+         |     + CASE WHEN tot.nd - tot.n1 - (df - n11) = 0 THEN 0
+         |      ELSE CAST(round((CAST(tot.nd - tot.n1 - (df - n11) AS DOUBLE) / CAST(tot.nd AS DOUBLE)) *
+         |        ln(CAST(tot.nd AS DOUBLE) * CAST(tot.nd - tot.n1 - (df - n11) AS DOUBLE) /
+         |          (CAST(tot.nd - df AS DOUBLE) * CAST(tot.nd - tot.n1 AS DOUBLE))) * 1e9) AS BIGINT) END
+         |    ) AS mi_nano
+         |  FROM pt, tot WHERE df >= 5)
+         |SELECT token, df, n11,
+         |  ROUND(CAST(mi_nano AS DOUBLE) / 1e9, 6) AS mi
+         |FROM mi ORDER BY mi_nano DESC, token LIMIT 25""".stripMargin,
+
+    // q223: exact per-stratum moments over micro-quantized lengths,
+    // sigma micro-quantization, proportional vs Neyman budgets
+    "q223_neyman" ->
+      """WITH s AS (
+        |  SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    SUM(CAST(CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS HUGEINT)) AS sv,
+        |    SUM(CAST(CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS HUGEINT) *
+        |        CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT)) AS sv2
+        |  FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT stratum, n_rows,
+        |    CAST(round(sqrt(GREATEST(
+        |      (CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) /
+        |        CAST(n_rows AS DOUBLE)) / CAST(n_rows AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)))) AS BIGINT) AS sig_micro
+        |  FROM s),
+        |w AS (
+        |  SELECT stratum, n_rows, sig_micro,
+        |    CAST(n_rows AS HUGEINT) * sig_micro AS wgt
+        |  FROM m),
+        |tot AS (SELECT SUM(wgt) AS wt, CAST(SUM(n_rows) AS BIGINT) AS nt FROM w)
+        |SELECT stratum, n_rows,
+        |  ROUND(CAST(sig_micro AS DOUBLE) / 1e6, 6) AS sigma,
+        |  ROUND(CAST(n_rows AS DOUBLE) / CAST(tot.nt AS DOUBLE), 6) AS share_prop,
+        |  LEAST(n_rows, CAST(round(CAST(1000 AS DOUBLE) * CAST(n_rows AS DOUBLE) /
+        |    CAST(tot.nt AS DOUBLE)) AS BIGINT)) AS alloc_prop,
+        |  CASE WHEN tot.wt = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE LEAST(n_rows, CAST(round(CAST(1000 AS DOUBLE) * CAST(wgt AS DOUBLE) /
+        |      CAST(tot.wt AS DOUBLE)) AS BIGINT)) END AS alloc_neyman
+        |FROM w, tot ORDER BY stratum""".stripMargin,
+
+    // q224: the q140 candidate edges, exact integer degree moments over
+    // both orientations, Newman's ratio
+    "q224_assortativity" ->
+      s"""WITH $minhashCtes,
+         |e AS (
+         |  SELECT DISTINCT LEAST(a_id, b_id) AS a, GREATEST(a_id, b_id) AS b
+         |  FROM cand WHERE a_id <> b_id),
+         |deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+         |wd AS (
+         |  SELECT da.deg AS du, db.deg AS dv
+         |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |    SUM(CAST(du + dv AS HUGEINT)) AS sx,
+         |    SUM(CAST(du AS HUGEINT) * dv) AS sxy,
+         |    SUM(CAST(du AS HUGEINT) * du + CAST(dv AS HUGEINT) * dv) AS sxx
+         |  FROM wd)
+         |SELECT nn.n_nodes, s.n_edges,
+         |  CASE WHEN s.n_edges = 0 OR
+         |      CAST(s.sxx AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(s.n_edges AS DOUBLE)) -
+         |      (CAST(s.sx AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(s.n_edges AS DOUBLE))) *
+         |      (CAST(s.sx AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(s.n_edges AS DOUBLE))) <= 0
+         |    THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(
+         |      (CAST(s.sxy AS DOUBLE) / CAST(s.n_edges AS DOUBLE) -
+         |       (CAST(s.sx AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(s.n_edges AS DOUBLE))) *
+         |       (CAST(s.sx AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(s.n_edges AS DOUBLE)))) /
+         |      (CAST(s.sxx AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(s.n_edges AS DOUBLE)) -
+         |       (CAST(s.sx AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(s.n_edges AS DOUBLE))) *
+         |       (CAST(s.sx AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(s.n_edges AS DOUBLE)))), 6)
+         |  END AS assortativity
+         |FROM nn, s""".stripMargin,
+
+    // q225: positional 8-gram codes, the q77 split, hit positions via the
+    // broadcast-set join, islands (pos - row_number) run arithmetic
+    "q225_contamination_runs" ->
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+         |hh AS (
+         |  SELECT doc_id, list_transform(w, tk -> ${duckFold("tk", graft.expr.DedupKernel.B1)}) AS h
+         |  FROM t),
+         |gl AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(h) - 7), i -> ${ngramChain(8)}) AS g
+         |  FROM hh WHERE len(h) >= 8),
+         |b AS (SELECT doc_id, $bucketExpr AS bucket FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT unnest(g) AS code
+         |  FROM gl JOIN b USING (doc_id) WHERE b.bucket >= 90),
+         |tr AS (
+         |  SELECT gl.doc_id, unnest(generate_series(1, len(g))) AS pos,
+         |    unnest(g) AS code
+         |  FROM gl JOIN b USING (doc_id) WHERE b.bucket < 80),
+         |h2 AS (SELECT tr.doc_id, tr.pos FROM tr JOIN ev USING (code)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM h2),
+         |runs AS (
+         |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |  CAST(MAX(run) AS BIGINT) AS max_run,
+         |  CAST(MAX(run) + 7 AS BIGINT) AS max_token_span
+         |FROM runs GROUP BY 1 ORDER BY doc_id""".stripMargin)
 
   /** Shared by q167 (live) and q168 (persisted-model serving): the
     * oracle replays the LIVE computation, so a q168 hash match proves

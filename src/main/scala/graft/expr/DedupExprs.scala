@@ -291,6 +291,49 @@ object DedupKernel {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
   }
 
+  /** ALL word n-gram codes of a normalized text, in POSITIONAL order —
+    * the exact value of `TextAnalysis.ngramCodes(text, n)` (same token
+    * fold, same n-gram fold as [[distinctNgramCodes]], duplicates kept,
+    * index = n-gram start position). The codegen fast path for
+    * position-aware n-gram ops (contamination run detection): the HOF
+    * template interprets its n−1 zip_with lambdas per element, which at
+    * n=8 over a corpus-sized posexplode dominates the whole query.
+    * Empty array when the text has fewer than n tokens; empty text with
+    * n=1 yields [0] (the HOF pipeline's single empty token). */
+  def allNgramCodes(s: UTF8String, n: Int): ArrayData = {
+    val nb = s.numBytes
+    if (nb == 0)
+      return UnsafeArrayData.fromPrimitiveArray(
+        if (n == 1) Array(0L) else Array.emptyLongArray)
+    var nWords = 0
+    var i = 0
+    while (i < nb) { if (s.getByte(i) == ' ') nWords += 1; i += 1 }
+    nWords += 1
+    if (nWords < n)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](nWords)
+    var wi = 0
+    var ws = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || s.getByte(i) == ' ') {
+        hs(wi) = polyFold(s, ws, i, B1); wi += 1; ws = i + 1
+      }
+      i += 1
+    }
+    val m = nWords - n + 1
+    val out = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      var code = hs(p)
+      var j = 1
+      while (j < n) { code = (code * B1 + hs(p + j)) % P; j += 1 }
+      out(p) = code
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // perm() is cheap but called per token×dim in polyEmbed — memoize the
   // low dimensions once (thread-safe: idempotent pure writes)
   private val permCache = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
@@ -354,6 +397,9 @@ object DedupKernel {
 
   def distinctNgramCodesCol(normText: Column, n: Int): Column =
     ColumnBridge.column(DistinctNgramCodes(ColumnBridge.expression(normText), n))
+
+  def allNgramCodesCol(normText: Column, n: Int): Column =
+    ColumnBridge.column(AllNgramCodes(ColumnBridge.expression(normText), n))
 }
 
 /** array<long> MinHash signature of a normalized document (see
@@ -488,6 +534,31 @@ case class DistinctNgramCodes(child: Expression, n: Int) extends UnaryExpression
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expr.DedupKernel.distinctNgramCodes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> ALL word n-gram codes of a normalized document in
+  * positional order; empty when it has fewer than n tokens (see
+  * [[DedupKernel.allNgramCodes]]). */
+case class AllNgramCodes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"need positive n-gram size, got $n")
+  override def prettyName: String = "all_ngram_codes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DedupKernel.allNgramCodes(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.DedupKernel.allNgramCodes($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -241,6 +241,105 @@ object Calibration {
       .select(col("_t").as("t"), col("ece"), col("is_best"))
   }
 
+  /** ISOTONIC-REGRESSION calibration over the reliability bins — the
+    * NON-PARAMETRIC post-hoc fix next to [[temperatureSweep]]'s
+    * single-parameter one (Zadrozny & Elkan 2002): fit the best
+    * monotone non-decreasing curve (weighted L2) through the per-bin
+    * empirical accuracies and use it as the corrected confidence. Where
+    * temperature scaling can only stretch the sigmoid, isotonic bends —
+    * it fixes the S-shaped miscalibration a single T cannot.
+    *
+    * Instead of the sequential pool-adjacent-violators loop this uses
+    * PAV's closed MINIMAX identity (Ayer et al. 1955; Robertson et al.
+    * 1988, Thm 1.4.4): with weighted bin means ȳ_j and the segment
+    * mean m(j,k) = Σ_{j..k} y ∕ Σ_{j..k} w,
+    *   fit_i = max_{j ≤ i} min_{k ≥ i} m(j, k)
+    * — three bounded joins over the ≤ bins-row frame, no iteration, no
+    * driver loop, embarrassingly parallel.
+    *
+    * One row per non-empty bin: (bin, n_docs, mean_conf, frac_pos,
+    * iso_fit, ece_before, ece_after) — ece_after recomputed against the
+    * isotonic fit (Σ n·|iso − frac_pos| ∕ N; 0 when the empirical curve
+    * was already monotone, since then fit ≡ frac_pos).
+    *
+    * Determinism: binning and sums exactly as [[reliability]]; each
+    * segment mean is one fixed-order double of exact longs
+    * micro-quantized back to an integer, so the min/max lattice and
+    * both ECEs are pure integer arithmetic with single final divides.
+    * Guards mirror [[reliability]] (NULL / off-range fail typed).
+    *
+    * Plan: one equi-join + corpus groupBy to ≤ bins rows, then
+    * bins²-sized segment frame (prefix sums via one bounded window),
+    * bins³-bounded minimax joins, two 1-row broadcasts. Nothing after
+    * the first aggregate is more than bins³ ≤ 10⁹·⁰⁰⁰… practically
+    * thousands of rows for the default 10 bins. */
+  def isotonicCalibration(pred: DataFrame, labels: DataFrame, idCol: String,
+      confCol: String, labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val joined = pred.select(col(idCol), col(confCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
+        col(confCol) < 0.0d || col(confCol) > 1.0d ||
+        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
+      .limit(1).count()
+    require(offRange == 0L,
+      "isotonic calibration needs non-NULL confidences in [0, 1] and labels " +
+        "in {0, 1} — found NULL or out-of-range rows")
+    val perBin = joined
+      .withColumn("_cm", round(col(confCol).cast("double") * 1e6d).cast("long"))
+      .withColumn("bin",
+        least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_cm")).as("_sc"),
+        sum(col(labelCol).cast("long")).as("_sp"))
+      .localCheckpoint(true) // bins-sized; seeds four bounded passes
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pfx = perBin
+      .withColumn("_pn", sum(col("n_docs")).over(wCum))
+      .withColumn("_psl", sum(col("_sp")).over(wCum))
+    val jSide = pfx
+      .withColumn("_pn0", coalesce(lag(col("_pn"), 1).over(wOrd), lit(0L)))
+      .withColumn("_psl0", coalesce(lag(col("_psl"), 1).over(wOrd), lit(0L)))
+      .select(col("bin").as("_bj"), col("_pn0"), col("_psl0"))
+    val kSide = pfx.select(col("bin").as("_bk"), col("_pn"), col("_psl"))
+    val seg = jSide.join(kSide, col("_bj") <= col("_bk"))
+      .select(col("_bj"), col("_bk"),
+        round((col("_psl") - col("_psl0")).cast("double") /
+          (col("_pn") - col("_pn0")).cast("double") * 1e6d)
+          .cast("long").as("_m"))
+    val iFrame = perBin.select(col("bin").as("_bi"))
+    val iso = seg
+      .join(iFrame, col("_bj") <= col("_bi") && col("_bi") <= col("_bk"))
+      .groupBy(col("_bi"), col("_bj")).agg(min(col("_m")).as("_mm"))
+      .groupBy(col("_bi")).agg(max(col("_mm")).as("_iso_micro"))
+      .withColumnRenamed("_bi", "bin")
+    val binsOut = perBin.join(iso, Seq("bin"))
+      .withColumn("_fp_micro",
+        round(col("_sp").cast("double") / col("n_docs").cast("double") * 1e6d)
+          .cast("long"))
+      .withColumn("_gap0",
+        abs(round(col("_sc").cast("double") / col("n_docs").cast("double"))
+          .cast("long") - col("_fp_micro")))
+      .withColumn("_gap1", abs(col("_iso_micro") - col("_fp_micro")))
+    val tot = binsOut.agg(
+      sum(col("n_docs")).as("_n"),
+      sum(col("_gap0") * col("n_docs")).as("_g0"),
+      sum(col("_gap1") * col("n_docs")).as("_g1"))
+    binsOut.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"),
+        round(col("_sc").cast("double") / (col("n_docs").cast("double") * 1e6d), 6)
+          .as("mean_conf"),
+        round(col("_fp_micro").cast("double") / 1e6d, 6).as("frac_pos"),
+        round(col("_iso_micro").cast("double") / 1e6d, 6).as("iso_fit"),
+        round(col("_g0").cast("double") / (col("_n").cast("double") * 1e6d), 6)
+          .as("ece_before"),
+        round(col("_g1").cast("double") / (col("_n").cast("double") * 1e6d), 6)
+          .as("ece_after"))
+  }
+
   /** MURPHY DECOMPOSITION of the Brier score (Murphy 1973) — the
     * calibration audit that separates WHY a probabilistic gate is wrong:
     * brier = reliability − resolution + uncertainty (+ a within-bin

@@ -78,6 +78,46 @@ object ClassifierEval {
           .as("kappa"))
   }
 
+  /** McNEMAR's test on two boolean gates over the SAME rows — the
+    * paired-comparison answer to "is gate B actually stricter than gate
+    * A, or do they just disagree symmetrically?" that an accuracy
+    * delta cannot give (the off-diagonal DISAGREEMENT cells carry all
+    * the information; rows where both gates agree are evidence for
+    * neither side). Reports the continuity-corrected statistic
+    * χ² = (|b − c| − 1)² ∕ (b + c) over b = pass-A-only,
+    * c = pass-B-only (McNemar 1947; ~χ²₁ under H₀: same marginal pass
+    * rate, so χ² > 3.84 rejects at 5%).
+    *
+    * One row: (n, both_pass, only_a, only_b, neither, chi2).
+    *
+    * Determinism: the four cells are exact longs from ONE map-side
+    * combined aggregate; χ² is a fixed-order double of exact integers,
+    * 6 dp. b + c = 0 (the gates never disagree) reports χ² = 0.0,
+    * documented rather than NaN; |b − c| ≤ 1 clamps the corrected
+    * numerator at 0 (the standard convention — one disagreement is no
+    * evidence). NULL gate values fail typed. */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val nulls = df.filter(col(aCol).isNull || col(bCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"mcnemar needs non-NULL boolean '$aCol'/'$bCol' gate outcomes")
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    val cellsRow = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("both_pass"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("only_a"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("only_b"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("neither"))
+    val diff = abs(col("only_a") - col("only_b")) - 1L
+    val disagree = col("only_a") + col("only_b")
+    cellsRow.select(col("n"), col("both_pass"), col("only_a"),
+      col("only_b"), col("neither"),
+      when(disagree === 0L || diff <= 0L, lit(0.0d))
+        .otherwise(round((diff * diff).cast("double") /
+          disagree.cast("double"), 6)).as("chi2"))
+  }
+
   /** Fleiss' κ — [[cohenKappa]] generalized to n ≥ 2 raters (Fleiss
     * 1971): each listed column is one rater's label for the row's item;
     * the statistic is the chance-corrected probability that two

@@ -274,6 +274,59 @@ object Components {
             col("n_wedges").cast("double"), 6)).as("clustering_coeff"))
   }
 
+  /** DEGREE ASSORTATIVITY of an undirected pair graph (Newman 2002) —
+    * the mixing readout next to [[triangleCensus]]'s clique density:
+    * r > 0 says high-degree nodes attach to other high-degree nodes
+    * (one template FAMILY of mutual near-dups — dedup will collapse it
+    * cleanly), r < 0 says hubs attach to leaves (a star: one canonical
+    * page matched by many one-off variants — survivor choice matters
+    * much more). r is the Pearson correlation of the degrees at the two
+    * ends of an edge, over both orientations:
+    *   r = [S_xy∕2m − (S_x∕2m)²] ∕ [S_xx∕2m − (S_x∕2m)²]
+    * with S_x = Σ_edges (d_u + d_v), S_xy = Σ d_u·d_v,
+    * S_xx = Σ (d_u² + d_v²)∕… folded exactly.
+    *
+    * One row: (n_nodes, n_edges, assortativity).
+    *
+    * Determinism: degrees and all three sums are exact integers
+    * (DECIMAL past 10⁹ edges); the only double is the final ratio,
+    * 6 dp. A degree-regular graph (zero variance — every node the same
+    * degree) reports 0.0, documented rather than NaN.
+    *
+    * Plan: dedupe to ID-ORDERED edges, one degree aggregate, two
+    * broadcast joins of the (node, degree) table onto the edge ends,
+    * ONE final aggregate — the [[triangleCensus]] shuffle shape minus
+    * the wedge-closing join. */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = pairs
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("_db")), Seq("b"))
+    val nNodes = deg.count()
+    val sums = withDeg.agg(
+      count(lit(1)).as("n_edges"),
+      sum((col("_da") + col("_db")).cast(dec)).as("_sx"),
+      sum(col("_da").cast(dec) * col("_db")).as("_sxy"),
+      sum(col("_da").cast(dec) * col("_da") +
+        col("_db").cast(dec) * col("_db")).as("_sxx"))
+    def d(c: String) = col(c).cast("double")
+    val twoM = lit(2.0d) * d("n_edges")
+    val mu = d("_sx") / twoM
+    val varD = d("_sxx") / twoM - mu * mu
+    sums.select(lit(nNodes).as("n_nodes"), col("n_edges"),
+      when(col("n_edges") === 0L || varD <= 0.0d, lit(0.0d))
+        .otherwise(round((d("_sxy") / d("n_edges") - mu * mu) / varD, 6))
+        .as("assortativity"))
+  }
+
   /** SOFT dedup (SoftDeDup-style reweighting): instead of REMOVING
     * near-duplicates ([[dropNearDuplicates]] keeps one survivor per
     * cluster), keep every document and downweight it by its cluster

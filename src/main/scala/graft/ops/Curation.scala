@@ -211,4 +211,72 @@ object Curation {
         round(exp(min(col("_hsum")).cast("double") / 1e9d), 6)
           .as("entropy_l_floor"))
   }
+
+  /** t-CLOSENESS audit over quasi-identifier cells (Li, Li &
+    * Venkatasubramanian 2007) — the distribution-skew gap
+    * [[lDiversityProfile]] cannot see: a cell can be perfectly
+    * l-diverse (every sensitive value present) yet still leak if its
+    * sensitive DISTRIBUTION differs wildly from the global one (e.g. a
+    * cell that is 90% one language in a corpus that is 20% that
+    * language tells an attacker a lot). A release is t-close iff every
+    * cell's sensitive distribution is within distance t of the global
+    * distribution; for a nominal attribute the standard distance is
+    * the total variation distance (= the equal-ground-distance EMD)
+    *   TVD(cell) = ½ Σ_v |n_cv∕n_c − g_v∕N|.
+    *
+    * Per head group: (groupCols…, n_cells, t_max, n_risky_cells,
+    * n_risky_rows) where t_max is the worst cell's TVD and risky =
+    * cells with TVD > t.
+    *
+    * Determinism: the per-(cell, value) deviation goes to the common
+    * denominator n_c·N — |n_cv·N − g_v·n_c| is an EXACT integer
+    * (DECIMAL past 10⁹ rows), summed exactly per cell including the
+    * values ABSENT from the cell (n_cv = 0 still deviates by g_v·n_c —
+    * dropping them understates t); the only double is each cell's final
+    * halve-and-divide, micro-quantized before the min/max. NULL
+    * sensitive values fail typed.
+    *
+    * Plan: one corpus groupBy to the (cell × value) frame, one
+    * cells × |values| dense frame via a broadcast of the |values|-sized
+    * global marginal (cross join on bounded distinct values — the dense
+    * completion is what makes absent values count), two bounded
+    * aggregates. The corpus is touched once. */
+  def tClosenessProfile(df: DataFrame, groupCols: Seq[String],
+      cellCols: Seq[String], sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0.0d && t < 1.0d, s"t must be in (0, 1), got $t")
+    val nulls = df.filter(col(sensitiveCol).isNull).limit(1).count()
+    require(nulls == 0L, s"tClosenessProfile needs non-NULL " +
+      s"'$sensitiveCol' values — a NULL is not a sensitive class")
+    val dec = "decimal(38,0)"
+    val cellKey = groupCols ++ cellCols
+    val vals = df.groupBy((cellKey :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_ncv"))
+      .localCheckpoint(true) // (cells × values)-sized; seeds all frames
+    val glob = vals.groupBy(col(sensitiveCol))
+      .agg(sum(col("_ncv")).as("_gv"))
+    val nTotal = vals.agg(sum(col("_ncv"))).first().getLong(0)
+    val cellTot = vals.groupBy(cellKey.map(col): _*)
+      .agg(sum(col("_ncv")).as("_nc"))
+    // dense completion: every cell × every observed sensitive value
+    val denseDev = cellTot.crossJoin(broadcast(glob))
+      .join(vals, cellKey :+ sensitiveCol, "left")
+      .withColumn("_dev",
+        abs(coalesce(col("_ncv"), lit(0L)).cast(dec) * nTotal -
+          col("_gv").cast(dec) * col("_nc")))
+    val cells = denseDev.groupBy(cellKey.map(col): _*)
+      .agg(first(col("_nc")).as("_nc"), sum(col("_dev")).as("_devsum"))
+      .withColumn("_tvd_micro",
+        round(col("_devsum").cast("double") /
+          (lit(2.0d) * col("_nc").cast("double") * lit(nTotal.toDouble)) * 1e6d)
+          .cast("long"))
+    val tMicro = math.round(t * 1e6d)
+    cells.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_cells"),
+        round(max(col("_tvd_micro")).cast("double") / 1e6d, 6).as("t_max"),
+        sum(when(col("_tvd_micro") > tMicro, 1L).otherwise(0L))
+          .as("n_risky_cells"),
+        sum(when(col("_tvd_micro") > tMicro, col("_nc")).otherwise(0L))
+          .as("n_risky_rows"))
+  }
 }

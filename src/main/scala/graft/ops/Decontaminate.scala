@@ -94,6 +94,74 @@ object Decontaminate {
       .withColumn("hit_frac", col("n_hits").cast("double") / col("n_ngrams"))
   }
 
+  /** LONGEST CONTIGUOUS overlap runs — the severity readout behind
+    * [[contamination]]'s hit COUNT: a doc with 30 scattered 8-gram hits
+    * (idioms, boilerplate headers) is a different animal from a doc
+    * with 30 CONSECUTIVE hits (a verbatim 37-token quote of a benchmark
+    * item — the thing that actually inflates eval numbers, PaLM's
+    * "contaminated if a contiguous run" convention). For every
+    * contaminated train doc: the number of distinct runs, the longest
+    * run in n-gram positions, and its token-span length (run + n − 1).
+    *
+    * Consecutive POSITIONS: positions p, p+1 both hitting means tokens
+    * [p, p+n] all matched, so a maximal run of r consecutive hit
+    * positions certifies a verbatim r + n − 1 token overlap. A gap of
+    * even one position breaks the run (that n-gram differs → the span
+    * is not verbatim). Runs are found with the islands trick — group by
+    * pos − rank(pos), pure positional arithmetic, no self-join.
+    *
+    * Output: (idCol, n_hits, n_runs, max_run, max_token_span), hit docs
+    * only (joinable back onto [[contamination]]'s full report).
+    *
+    * Determinism: positional n-gram codes are the portable polynomial
+    * hashes; all run arithmetic is exact integers. Same broadcast
+    * ceiling and typed [[EvalGramSetTooLarge]] guard as
+    * [[contamination]].
+    *
+    * Plan: eval grams dedup → driver pull (guarded) → broadcast; corpus
+    * side is one map-only posexplode + broadcast semi join (hits only —
+    * typically a tiny fraction of corpus positions), one per-doc window
+    * over the HIT positions, two grouped aggregates. The corpus text
+    * never shuffles; the window partitions by doc id over hits only. */
+  def contaminationRuns(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8,
+      maxBroadcastGrams: Long = DefaultBroadcastGramLimit): DataFrame = {
+    require(maxBroadcastGrams > 0 && maxBroadcastGrams < Int.MaxValue,
+      s"maxBroadcastGrams must be in (0, Int.MaxValue), got $maxBroadcastGrams")
+    val evalGrams = eval
+      .select(explode(ngramSet(col(textCol), n)).as("ngram"))
+      .distinct()
+    val pulled = evalGrams.limit(maxBroadcastGrams.toInt + 1)
+      .collect().map(_.getLong(0))
+    if (pulled.length > maxBroadcastGrams)
+      throw EvalGramSetTooLarge(evalGrams.count(), maxBroadcastGrams)
+    val spark = train.sparkSession
+    import spark.implicits._
+    val evalGramsLocal = pulled.toSeq.toDF("ngram")
+    // codegen positional kernel, NOT the HOF ngramCodes template: the
+    // HOF chain interprets n-1 zip_with lambdas per element, which at
+    // n=8 over a corpus posexplode dominated the query (6s -> sub-s at
+    // sf0.1, the same swap that fixed q77). Kernel ≡ template is
+    // spec-proven (DedupExprsSpec) and the oracle replays the template.
+    val pos = train.select(col(idCol),
+        posexplode(graft.expr.DedupKernel.allNgramCodesCol(
+          Dedup.normText(col(textCol)), n)))
+      .select(col(idCol), col("pos"), col("col").as("ngram"))
+    val hits = pos.join(broadcast(evalGramsLocal), Seq("ngram"))
+      .select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val runs = hits
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(count(lit(1)).as("_run"))
+    runs.groupBy(col(idCol))
+      .agg(sum(col("_run")).as("n_hits"),
+        count(lit(1)).as("n_runs"),
+        max(col("_run")).as("max_run"))
+      .withColumn("max_token_span", col("max_run") + lit(n - 1).cast("long"))
+  }
+
   /** Contamination SOURCE attribution: for every train document sharing
     * at least one n-gram with the eval set, the single eval document it
     * shares the most distinct n-grams with (ties → smallest eval id) and

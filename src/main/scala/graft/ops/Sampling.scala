@@ -354,4 +354,72 @@ object Sampling {
           col("_sw2").cast("double") / col("n_docs").cast("double"), 6)
           .as("ess_ratio"))
   }
+
+  /** NEYMAN optimal allocation for a stratified sample (Neyman 1934) —
+    * the variance-minimizing answer to "given a labeling/eval budget of
+    * B rows, how many should each stratum get?" that proportional
+    * allocation ([[stratifiedSample]]'s implicit choice) only matches
+    * when all strata are equally noisy: the optimum is
+    * n_h ∝ N_h·σ_h, so a small-but-wild stratum (one noisy crawl
+    * source) is oversampled exactly in proportion to the variance it
+    * would otherwise inject into the estimate.
+    *
+    * One row per stratum: (stratum, n_rows, sigma, share_prop,
+    * alloc_prop, alloc_neyman) — alloc_* are the proportional and
+    * Neyman row budgets; alloc_neyman is capped at N_h (a stratum
+    * cannot yield more rows than it has; the shortfall is reported by
+    * the cap, not silently redistributed — document the rerun-with-
+    * remainder loop if exhaustion matters).
+    *
+    * Determinism: per-stratum moment sums are exact DECIMAL over
+    * micro-quantized values; σ_h is ONE fixed-order double
+    * micro-quantized back to a long, so every weight N_h·σ_micro is an
+    * exact integer, the weight total is exact, and each allocation is a
+    * single rounded double ratio of exact integers. Zero-variance
+    * strata get weight 0 (they need ONE row in practice — the readout
+    * keeps the exact optimum and leaves flooring policy to the caller,
+    * documented). NULL strata or values fail typed.
+    *
+    * Plan: one corpus groupBy (map-side combined) to the strata-sized
+    * frame, one 1-row broadcast of the weight total. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 1L, s"budget must be >= 1, got $budget")
+    val bad = df.filter(col(stratumCol).isNull || col(valueCol).isNull)
+      .limit(1).count()
+    require(bad == 0L,
+      s"neymanAllocation needs non-NULL '$stratumCol' strata and " +
+        s"'$valueCol' values")
+    val dec = "decimal(38,0)"
+    val strata = df
+      .select(col(stratumCol).as("stratum"),
+        round(col(valueCol).cast("double") * 1e6d).cast("long").as("_vm"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_vm").cast(dec)).as("_sv"),
+        sum(col("_vm").cast(dec) * col("_vm")).as("_sv2"))
+      .withColumn("_var",
+        (col("_sv2").cast("double") -
+          col("_sv").cast("double") * col("_sv").cast("double") /
+            col("n_rows").cast("double")) / col("n_rows").cast("double"))
+      .withColumn("_sig_micro",
+        round(sqrt(greatest(col("_var"), lit(0.0d)))).cast("long"))
+      .withColumn("_w", col("n_rows").cast(dec) * col("_sig_micro"))
+      .localCheckpoint(true) // strata-sized; read twice
+    val tot = strata.agg(sum(col("_w")).as("_wt"),
+      sum(col("n_rows")).as("_nt"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_rows"),
+        round(col("_sig_micro").cast("double") / 1e6d, 6).as("sigma"),
+        round(col("n_rows").cast("double") / col("_nt").cast("double"), 6)
+          .as("share_prop"),
+        least(col("n_rows"),
+          round(lit(budget.toDouble) * col("n_rows").cast("double") /
+            col("_nt").cast("double")).cast("long")).as("alloc_prop"),
+        when(col("_wt") === 0L, lit(0L)).otherwise(
+          least(col("n_rows"),
+            round(lit(budget.toDouble) * col("_w").cast("double") /
+              col("_wt").cast("double")).cast("long"))).as("alloc_neyman"))
+      .orderBy(col("stratum"))
+  }
 }

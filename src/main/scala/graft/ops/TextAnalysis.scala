@@ -1562,4 +1562,135 @@ object TextAnalysis {
       when(varY > 0.0d, round(cov * cov / (varX * varY), 6))
         .otherwise(lit(1.0d)).as("r2"))
   }
+
+  /** GOOD–TURING frequency readout over the corpus vocabulary (Good
+    * 1953) — the unseen-mass estimate next to [[heapsFit]]'s
+    * vocabulary-growth extrapolation and the principled companion to
+    * the LM family's fixed-α backoff: from the count-of-counts table
+    * N_r (how many distinct words occur exactly r times), the mass a
+    * FRESH sample would spend on never-seen words is P₀ = N₁∕N, and
+    * each count-r word's smoothed count is r* = (r+1)·N_{r+1}∕N_r —
+    * the estimator Kneser–Ney's absolute discount approximates.
+    *
+    * One row per frequency class, for the maxR LOWEST classes present
+    * in the corpus (not a fixed r = 1..maxR window — a synthetic or
+    * heavily-deduplicated corpus can have no singletons at all, and a
+    * fixed window would then read out nothing): (r, n_words, r_star,
+    * p_word, missing_mass, total_tokens) — p_word = r*∕N is the
+    * smoothed per-word probability; missing_mass and total_tokens ride
+    * on every row (the ev_share convention). r_star = 0.0 where
+    * N_{r+1} = 0 (no donor class — simple GT leaves it undefined;
+    * reported as 0, documented, rather than NaN or a silent unsmoothed
+    * fallback). missing_mass stays P₀ = N₁∕N: zero when the corpus has
+    * no singletons, which is itself the diagnostic (nothing rare ⇒
+    * nothing unseen, by this estimator).
+    *
+    * Determinism: word counts and count-of-counts are exact integers;
+    * r* and p_word are single fixed-order double ratios of exact longs,
+    * 6 dp.
+    *
+    * Plan: one corpus explode + word groupBy (map-side combined), one
+    * vocab-sized groupBy to the count-of-counts frame (≤ distinct
+    * frequencies — O(√tokens) rows), one self-join on r+1, one 1-row
+    * broadcast. Output bounded by maxR. */
+  def goodTuring(df: DataFrame, textCol: String, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"maxR must be in [1, 1000], got $maxR")
+    val words = df.select(explode(tokens(col(textCol))).as("_w"))
+      .filter(length(col("_w")) > 0)
+    val wc = words.groupBy(col("_w")).agg(count(lit(1)).as("_r"))
+    val coc = wc.groupBy(col("_r")).agg(count(lit(1)).as("n_words"))
+      .localCheckpoint(true) // frequency-of-frequency-sized; read 3×
+    val tot = coc.agg(
+      sum(col("_r") * col("n_words")).as("_n"),
+      coalesce(sum(when(col("_r") === 1L, col("n_words"))), lit(0L))
+        .as("_n1"))
+    val nxt = coc.select((col("_r") - 1L).as("_r"),
+      col("n_words").as("_n_next"))
+    // bottom-maxR classes by r: orderBy+limit on the frequency-of-
+    // frequency frame (O(sqrt tokens) rows — model-sized, never corpus)
+    coc.orderBy(col("_r")).limit(maxR)
+      .join(nxt, Seq("_r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("_r").as("r"), col("n_words"),
+        when(col("_n_next").isNull, lit(0.0d))
+          .otherwise(round((col("_r") + 1L).cast("double") *
+            col("_n_next").cast("double") / col("n_words").cast("double"), 6))
+          .as("r_star"),
+        when(col("_n_next").isNull, lit(0.0d))
+          .otherwise(round((col("_r") + 1L).cast("double") *
+            col("_n_next").cast("double") /
+            (col("n_words").cast("double") * col("_n").cast("double")), 6))
+          .as("p_word"),
+        round(col("_n1").cast("double") / col("_n").cast("double"), 6)
+          .as("missing_mass"),
+        col("_n").as("total_tokens"))
+      .orderBy(col("r"))
+  }
+
+  /** MUTUAL-INFORMATION feature selection between token PRESENCE and a
+    * binary document label (Manning, Raghavan & Schütze 2008 §13.5) —
+    * the signal behind "which words make the classifier fire": for each
+    * token t the 2×2 presence × label table (n₁₁ docs with t and
+    * label 1, n₁₀ with t and 0, n₀₁/n₀₀ without t), scored
+    *   MI(t) = Σ_cells (n∕N)·ln(N·n ∕ (rowTot·colTot))
+    * with 0·ln 0 = 0. Unlike [[pmiCollocations]] (token↔token inside
+    * documents) this is token↔LABEL across documents — the supervised
+    * cut for building interpretable quality/lang gates and auditing
+    * what a learned gate keys on.
+    *
+    * Top-`topK` rows by MI desc (ties → token asc):
+    * (token, df, n11, mi) — df = docs containing the token.
+    *
+    * Determinism: all cell counts are exact integers from one distinct
+    * (doc, token) frame; each of the four MI terms is a fixed-order
+    * double nano-quantized to a long, so MI is an exact integer sum
+    * floated once; the top-k orders on (mi_nano, token). NULL labels
+    * fail typed; `minDf` (default 5) drops one-off tokens whose MI is
+    * pure noise — documented, not silent (the cut is a parameter).
+    *
+    * Plan: one corpus explode + DISTINCT (doc, token) aggregate, one
+    * token-sized groupBy, one 1-row broadcast of (N, N₁), one
+    * TakeOrderedAndProject. The corpus is touched once. */
+  def tokenLabelMI(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, topK: Int = 25, minDf: Long = 5L): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"topK must be in [1, 10000], got $topK")
+    val bad = df.filter(col(labelCol).isNull ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
+    require(bad == 0L,
+      s"tokenLabelMI needs non-NULL '$labelCol' labels in {0, 1}")
+    val docs = df.select(col(idCol), col(textCol), col(labelCol))
+    val tot = docs.agg(count(lit(1)).as("_nd"),
+      sum(col(labelCol).cast("long")).as("_n1"))
+    val docTok = docs
+      .select(col(idCol), col(labelCol).cast("long").as("_y"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(max(col("_y")).as("_y"))
+    val perTok = docTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("_y")).as("n11"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(tot))
+    // cells: n11 (t,1), n10 (t,0), n01 (¬t,1), n00 (¬t,0)
+    def term(n: Column, rowTot: Column, colTot: Column, nTot: Column) =
+      when(n === 0L, lit(0L)).otherwise(
+        round((n.cast("double") / nTot.cast("double")) *
+          log(nTot.cast("double") * n.cast("double") /
+            (rowTot.cast("double") * colTot.cast("double"))) * 1e9d)
+          .cast("long"))
+    val n10 = col("df") - col("n11")
+    val n01 = col("_n1") - col("n11")
+    val n00 = col("_nd") - col("_n1") - n10
+    val absent = col("_nd") - col("df")
+    val miNano =
+      term(col("n11"), col("df"), col("_n1"), col("_nd")) +
+        term(n10, col("df"), col("_nd") - col("_n1"), col("_nd")) +
+        term(n01, absent, col("_n1"), col("_nd")) +
+        term(n00, absent, col("_nd") - col("_n1"), col("_nd"))
+    perTok.withColumn("_mi_nano", miNano)
+      .orderBy(col("_mi_nano").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("df"), col("n11"),
+        round(col("_mi_nano").cast("double") / 1e9d, 6).as("mi"))
+  }
 }

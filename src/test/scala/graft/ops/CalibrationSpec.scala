@@ -161,4 +161,47 @@ class CalibrationSpec extends SparkSpecBase {
       pred, lab, "id", "conf", "y", bins = 1))
   }
 
+  test("isotonicCalibration: PAV pools the violating bins (hand minimax)") {
+    // bins 0/1/2 (conf .05/.15/.25), 2 docs each, frac_pos (0, 1, 0.5):
+    // PAV pools bins 1 and 2 -> fit (0, 0.75, 0.75)
+    // ece_before = (2*.05 + 2*.85 + 2*.25)/6 = 0.383333
+    // ece_after  = (0 + 2*.25 + 2*.25)/6     = 0.166667
+    val pred = Seq((1L, 0.05), (2L, 0.05), (3L, 0.15), (4L, 0.15),
+      (5L, 0.25), (6L, 0.25)).toDF("id", "conf")
+    val lab = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 1L), (6L, 0L)).toDF("id", "y")
+    val got = Calibration.isotonicCalibration(pred, lab, "id", "conf", "y")
+      .orderBy($"bin")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0.05d, 0.0d, 0.0d, 0.383333d, 0.166667d),
+      (1L, 2L, 0.15d, 1.0d, 0.75d, 0.383333d, 0.166667d),
+      (2L, 2L, 0.25d, 0.5d, 0.75d, 0.383333d, 0.166667d)), got.toString)
+  }
+
+  test("isotonicCalibration: monotone input is a fixpoint; guards typed") {
+    val pred = Seq((1L, 0.05), (2L, 0.15), (3L, 0.15), (4L, 0.25))
+      .toDF("id", "conf")
+    val lab = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "y")
+    val got = Calibration.isotonicCalibration(pred, lab, "id", "conf", "y")
+      .orderBy($"bin")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // already monotone (0, 0.5, 1): fit == frac_pos, ece_after == 0
+    assert(got.forall(r => r._5 == r._4), got.toString)
+    assert(got.forall(_._7 == 0.0d), got.toString)
+    // partition invariance
+    val rep = Calibration.isotonicCalibration(pred.repartition(3),
+        lab.repartition(2), "id", "conf", "y")
+      .orderBy($"bin")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(rep == got)
+    intercept[IllegalArgumentException](Calibration.isotonicCalibration(
+      Seq((1L, Option.empty[Double])).toDF("id", "conf"), lab,
+      "id", "conf", "y"))
+    intercept[IllegalArgumentException](Calibration.isotonicCalibration(
+      pred, Seq((1L, 2L)).toDF("id", "y"), "id", "conf", "y"))
+  }
 }

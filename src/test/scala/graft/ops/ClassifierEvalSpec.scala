@@ -240,4 +240,33 @@ class ClassifierEvalSpec extends SparkSpecBase {
       Seq(("a1", Option.empty[String])).toDF("x", "y"), "x", "y"))
   }
 
+  test("mcnemar: hand-traced cells and continuity-corrected statistic") {
+    // both=3, only_a=6, only_b=2, neither=1:
+    // chi2 = (|6-2| - 1)^2 / 8 = 9/8 = 1.125
+    val rows = (Seq.fill(3)((true, true)) ++ Seq.fill(6)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(1)((false, false)))
+      .toDF("a", "b")
+    val got = ClassifierEval.mcnemar(rows, "a", "b")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(got == ((12L, 3L, 6L, 2L, 1L, 1.125d)), got.toString)
+    // partition invariance
+    val rep = ClassifierEval.mcnemar(rows.repartition(5), "a", "b")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(rep == got)
+  }
+
+  test("mcnemar: degenerate disagreement counts and typed guards") {
+    // gates never disagree -> chi2 = 0.0, never NaN
+    val agree = Seq((true, true), (false, false), (true, true)).toDF("a", "b")
+    val g1 = ClassifierEval.mcnemar(agree, "a", "b")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(g1 == ((3L, 2L, 0L, 0L, 1L, 0.0d)), g1.toString)
+    // |b - c| = 1: the corrected numerator clamps at 0
+    val one = Seq((true, false), (false, true), (false, true)).toDF("a", "b")
+    val g2 = ClassifierEval.mcnemar(one, "a", "b")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(g2 == ((3L, 0L, 1L, 2L, 0L, 0.0d)), g2.toString)
+    intercept[IllegalArgumentException](ClassifierEval.mcnemar(
+      Seq((true, Option.empty[Boolean])).toDF("a", "b"), "a", "b"))
+  }
 }

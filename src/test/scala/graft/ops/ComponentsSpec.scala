@@ -192,4 +192,36 @@ class ComponentsSpec extends SparkSpecBase {
       .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
     assert(rep == got)
   }
+
+  test("degreeAssortativity: star = -1, regular cycle = 0, dup edges collapse") {
+    import org.apache.spark.sql.functions.col
+    // star 1-{2,3,4}: hub deg 3 vs leaves deg 1 -> perfectly
+    // disassortative, r = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val s = Components.degreeAssortativity(star)
+      .as[(Long, Long, Double)].head()
+    assert(s == ((4L, 3L, -1.0d)), s.toString)
+    // 4-cycle: every node deg 2 -> zero degree variance, documented 0.0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a_id", "b_id")
+    val c = Components.degreeAssortativity(cyc)
+      .as[(Long, Long, Double)].head()
+    assert(c == ((4L, 4L, 0.0d)), c.toString)
+    // duplicate/reversed pairs and self-loops collapse before counting
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L),
+      (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val n = Components.degreeAssortativity(noisy)
+      .as[(Long, Long, Double)].head()
+    assert(n == ((4L, 3L, -1.0d)), n.toString)
+    // partition invariance
+    val rep = Components.degreeAssortativity(star.repartition(3))
+      .as[(Long, Long, Double)].head()
+    assert(rep == s)
+    // a dumbbell (two hubs joined, each carrying leaves) is still
+    // hub-leaf dominated: 4 of 5 edges touch a leaf -> r < 0
+    val mixed = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (2L, 6L))
+      .toDF("a_id", "b_id")
+    val m = Components.degreeAssortativity(mixed)
+      .select(col("assortativity")).as[Double].head()
+    assert(m < 0.0d, s"hub-leaf dominated graph must be disassortative: $m")
+  }
 }

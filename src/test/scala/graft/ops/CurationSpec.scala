@@ -172,4 +172,47 @@ class CurationSpec extends SparkSpecBase {
       Seq(("g", "c", Option.empty[String])).toDF("grp", "cell", "sens"),
       Seq("grp"), Seq("cell"), "sens", l = 2))
   }
+
+  test("tClosenessProfile: hand-traced TVD with dense completion") {
+    // global: en 4, de 4 (p = .5/.5).
+    // cell c1: (en,en,en,de) -> q=(.75,.25), TVD = .25
+    // cell c2: (en,de,de,de) -> TVD = .25
+    val rows = (Seq.fill(3)(("g", "c1", "en")) :+ (("g", "c1", "de")) :+
+      (("g", "c2", "en"))) ++ Seq.fill(3)(("g", "c2", "de"))
+    val df = rows.toDF("grp", "cell", "sens")
+    val got = Curation.tClosenessProfile(df, Seq("grp"), Seq("cell"),
+        "sens", t = 0.2)
+      .as[(String, Long, Double, Long, Long)].head()
+    assert(got == (("g", 2L, 0.25d, 2L, 8L)), got.toString)
+    // at t = 0.3 nothing is risky
+    val loose = Curation.tClosenessProfile(df, Seq("grp"), Seq("cell"),
+        "sens", t = 0.3)
+      .as[(String, Long, Double, Long, Long)].head()
+    assert(loose == (("g", 2L, 0.25d, 0L, 0L)), loose.toString)
+  }
+
+  test("tClosenessProfile: absent values deviate (dense completion) + guards") {
+    // cell c1 holds ONLY 'en' (2 rows); global en 4 / de 4:
+    // TVD(c1) = (|1 - .5| + |0 - .5|)/2 = 0.5 — an l-diversity-blind
+    // leak the dense completion must surface (dropping the absent 'de'
+    // row would understate it as 0.25)
+    val rows = Seq.fill(2)(("g", "c1", "en")) ++
+      (Seq.fill(2)(("g", "c2", "en")) ++ Seq.fill(4)(("g", "c2", "de")))
+    val df = rows.toDF("grp", "cell", "sens")
+    val got = Curation.tClosenessProfile(df, Seq("grp"), Seq("cell"),
+        "sens", t = 0.4)
+      .as[(String, Long, Double, Long, Long)].head()
+    assert(got._3 == 0.5d, got.toString)
+    assert(got._4 == 1L && got._5 == 2L, got.toString)
+    // partition invariance
+    val rep = Curation.tClosenessProfile(df.repartition(4), Seq("grp"),
+        Seq("cell"), "sens", t = 0.4)
+      .as[(String, Long, Double, Long, Long)].head()
+    assert(rep == got)
+    intercept[IllegalArgumentException](Curation.tClosenessProfile(
+      Seq(("g", "c", Option.empty[String])).toDF("grp", "cell", "sens"),
+      Seq("grp"), Seq("cell"), "sens", t = 0.2))
+    intercept[IllegalArgumentException](Curation.tClosenessProfile(
+      df, Seq("grp"), Seq("cell"), "sens", t = 0.0))
+  }
 }

@@ -168,4 +168,37 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(p.contains("bloom_might_contain"),
       s"corpus grams must be bloom-prefiltered map-side:\n$p")
   }
+
+  test("contaminationRuns: verbatim spans coalesce, scattered hits don't") {
+    def words(pfx: String, a: Int, b: Int) =
+      (a to b).map(i => f"$pfx$i%02d").mkString(" ")
+    // doc 1 holds a verbatim 12-token quote of eval tokens t05..t16:
+    // 5 consecutive matched 8-gram positions -> one run, span 5+7 = 12
+    // doc 2 holds the same 8-token eval phrase TWICE, far apart:
+    // two runs of 1, span 8
+    // doc 3 shares nothing -> absent from the report
+    val train = Seq(
+      (1L, words("t", 1, 20)),
+      (2L, words("e", 1, 8) + " " + words("x", 1, 10) + " " + words("e", 1, 8)),
+      (3L, words("z", 1, 12))).toDF("doc_id", "text")
+    val eval = Seq((100L, words("t", 5, 16)), (101L, words("e", 1, 8)))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.contaminationRuns(train, eval,
+        "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 1L, 5L, 12L),
+      (2L, 2L, 2L, 1L, 8L)), got.toString)
+    // partition invariance
+    val rep = Decontaminate.contaminationRuns(train.repartition(3), eval,
+        "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rep == got)
+    // the broadcast ceiling fails typed, not OOM
+    intercept[Decontaminate.EvalGramSetTooLarge](
+      Decontaminate.contaminationRuns(train, eval, "doc_id", "text",
+        n = 8, maxBroadcastGrams = 2L))
+  }
 }

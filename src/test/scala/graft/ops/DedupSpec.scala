@@ -127,6 +127,24 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("positional-ngram kernel is value-identical to the HOF template") {
+    // same identity as above but POSITIONAL (duplicates kept, index =
+    // n-gram start) — the q225 contamination-runs fast path; includes
+    // the empty-text edge (n=1 -> [0]) and a doc with repeated grams
+    val docs = randomDocs(13)
+      .union(Seq((9999L, ""), (9998L, "a b a b a b")).toDF("doc_id", "text"))
+    for (n <- Seq(1, 2, 5, 8)) {
+      val kernel = docs.select($"doc_id",
+          graft.expr.DedupKernel.allNgramCodesCol(
+            Dedup.normText($"text"), n).as("ng"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val portable = docs.select($"doc_id",
+          TextAnalysis.ngramCodes(Dedup.normText($"text"), n).as("ng"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(kernel == portable, s"n=$n")
+    }
+  }
+
   test("chunkDedupGroups finds duplicated windows with a deterministic survivor") {
     val boiler = (1 to 4).map(i => s"w$i").mkString(" ") // one 4-token window
     val docs = Seq(

@@ -285,4 +285,39 @@ class SamplingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Sampling.effectiveSampleSize(
       Seq(("a", 1.5e6)).toDF("grp", "w"), "grp", "w"))
   }
+
+  test("neymanAllocation: variance-weighted budget, capping, zero-sigma") {
+    // A: values (0, 10) -> sigma 5; B: (5, 5) -> sigma 0.
+    // Neyman weight all on A, capped at |A| = 2; B gets 0.
+    // Proportional: each round(10 * 2/4) = 5, capped at 2.
+    val df = Seq(("A", 0.0), ("A", 10.0), ("B", 5.0), ("B", 5.0))
+      .toDF("src", "v")
+    val got = Sampling.neymanAllocation(df, "src", "v", budget = 10L)
+      .as[(String, Long, Double, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 2L, 5.0d, 0.5d, 2L, 2L),
+      ("B", 2L, 0.0d, 0.5d, 2L, 0L)), got.toString)
+  }
+
+  test("neymanAllocation: oversamples the noisy stratum; guards typed") {
+    // A: 100 rows, sigma 1 (alternating 0/2); B: 100 rows, sigma 3
+    // (alternating 0/6). Weights 100 vs 300 -> of budget 40:
+    // A gets 10, B gets 30 — vs 20/20 proportional.
+    val rows = (1 to 100).map(i => ("A", if (i % 2 == 0) 2.0 else 0.0)) ++
+      (1 to 100).map(i => ("B", if (i % 2 == 0) 6.0 else 0.0))
+    val df = rows.toDF("src", "v")
+    val got = Sampling.neymanAllocation(df, "src", "v", budget = 40L)
+      .as[(String, Long, Double, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 100L, 1.0d, 0.5d, 20L, 10L),
+      ("B", 100L, 3.0d, 0.5d, 20L, 30L)), got.toString)
+    // partition invariance
+    val rep = Sampling.neymanAllocation(df.repartition(7), "src", "v", 40L)
+      .as[(String, Long, Double, Double, Long, Long)].collect().toSeq
+    assert(rep == got)
+    intercept[IllegalArgumentException](Sampling.neymanAllocation(
+      df, "src", "v", budget = 0L))
+    intercept[IllegalArgumentException](Sampling.neymanAllocation(
+      Seq(("A", Option.empty[Double])).toDF("src", "v"), "src", "v", 10L))
+  }
 }

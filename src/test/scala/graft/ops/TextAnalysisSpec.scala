@@ -829,4 +829,58 @@ class TextAnalysisSpec extends SparkSpecBase {
       "cum_tokens", "cum_vocab"))
   }
 
+  test("goodTuring: hand-traced count-of-counts, r*, missing mass") {
+    // corpus "a a a b b c": counts a=3 b=2 c=1 -> N=6, N1=N2=N3=1
+    // r=1: r* = 2*N2/N1 = 2, p = 2/6; r=2: r* = 3*N3/N2 = 3, p = 3/6
+    // r=3: no N4 donor -> 0.0; missing mass = N1/N = 1/6
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.goodTuring(df, "text", maxR = 10)
+      .as[(Long, Long, Double, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 2.0d, 0.333333d, 0.166667d, 6L),
+      (2L, 1L, 3.0d, 0.5d, 0.166667d, 6L),
+      (3L, 1L, 0.0d, 0.0d, 0.166667d, 6L)), got.toString)
+    // maxR truncates the readout, not the totals
+    val head = TextAnalysis.goodTuring(df, "text", maxR = 1)
+      .as[(Long, Long, Double, Double, Double, Long)].collect().toSeq
+    assert(head == Seq((1L, 1L, 2.0d, 0.333333d, 0.166667d, 6L)),
+      head.toString)
+    // partition invariance
+    val many = (1L to 20L).map(i => (i, s"w$i common common")).toDF("doc_id", "text")
+    val a = TextAnalysis.goodTuring(many, "text").orderBy($"r").collect().toSeq
+    val b = TextAnalysis.goodTuring(many.repartition(7), "text")
+      .orderBy($"r").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](TextAnalysis.goodTuring(df, "text", 0))
+  }
+
+  test("tokenLabelMI: independent token scores 0, perfect predictor ln 2") {
+    // d1 "x y" label 1, d2 "x z" label 0:
+    // x: present in both -> MI 0; y: perfect predictor of label 1 ->
+    // MI = .5 ln2 + .5 ln2 = ln 2 = 0.693147
+    val df = Seq((1L, "x y", 1L), (2L, "x z", 0L)).toDF("doc_id", "text", "y")
+    val got = TextAnalysis.tokenLabelMI(df, "doc_id", "text", "y",
+        topK = 10, minDf = 1L)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val byTok = got.map(r => r._1 -> r).toMap
+    assert(byTok("x") == (("x", 2L, 1L, 0.0d)), got.toString)
+    assert(byTok("y") == (("y", 1L, 1L, 0.693147d)), got.toString)
+    assert(byTok("z") == (("z", 1L, 0L, 0.693147d)), got.toString)
+    // ordering: MI desc then token asc; x (MI 0) ranks last
+    assert(got.map(_._1) == Seq("y", "z", "x"), got.toString)
+    // minDf drops the singletons
+    val cut = TextAnalysis.tokenLabelMI(df, "doc_id", "text", "y",
+        topK = 10, minDf = 2L)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(cut.map(_._1) == Seq("x"), cut.toString)
+    // repeated token in ONE doc counts once (presence, not frequency)
+    val rep = Seq((1L, "x x x", 1L), (2L, "q", 0L)).toDF("doc_id", "text", "y")
+    val r = TextAnalysis.tokenLabelMI(rep, "doc_id", "text", "y",
+        topK = 10, minDf = 1L)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r.find(_._1 == "x").get._2 == 1L, r.toString)
+    intercept[IllegalArgumentException](TextAnalysis.tokenLabelMI(
+      Seq((1L, "x", 2L)).toDF("doc_id", "text", "y"),
+      "doc_id", "text", "y"))
+  }
 }
