@@ -1220,6 +1220,24 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q226: 2-CORE of the near-dup graph
+    * ([[graft.ops.Components.kCore]]) — the density cut next to q140's
+    * triangle census and q224's mixing readout: iterative peeling
+    * leaves exactly the cycle-bearing duplicate nests (every survivor
+    * corroborated by ≥ 2 others AFTER everything weaker is recursively
+    * removed); chains of incidental one-off matches peel away entirely.
+    * Pure integer set arithmetic — the oracle unrolls the same peel
+    * rounds to the identical fixpoint. */
+  def nearDupKCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Components.kCore(
+        Dedup.minHashCandidates(Tables.documents(s, dir),
+          "doc_id", "text", threshold = 0.4).select($"a_id", $"b_id"),
+        k = 2, maxRounds = 12)
+      .select($"id".as("doc_id"), $"deg")
+      .orderBy($"doc_id")
+  }
+
   /** Z-order (Morton) layout key over orders — ops.Layout.zValue2 on
     * (customer, order day), the two-predicate file-skipping curve. The
     * entry summarizes the curve by 64 z-range buckets (count + envelope);
@@ -2769,7 +2787,8 @@ object PipelineQueries {
     "q222_token_label_mi" -> (tokenLabelMiTop _),
     "q223_neyman"         -> (neymanBudget _),
     "q224_assortativity"  -> (nearDupAssortativity _),
-    "q225_contamination_runs" -> (contaminationRunsReport _))
+    "q225_contamination_runs" -> (contaminationRunsReport _),
+    "q226_kcore"          -> (nearDupKCore _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -6540,7 +6559,34 @@ object PipelineQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_runs,
          |  CAST(MAX(run) AS BIGINT) AS max_run,
          |  CAST(MAX(run) + 7 AS BIGINT) AS max_token_span
-         |FROM runs GROUP BY 1 ORDER BY doc_id""".stripMargin)
+         |FROM runs GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // q226: unrolled 2-core peeling — every round recomputes degrees on
+    // the remaining edges and drops sub-2 nodes; rounds past the
+    // fixpoint are no-ops, so 12 unrolls ≡ the Spark op's converged
+    // fixpoint (which THROWS if it needs more than its matching
+    // maxRounds=12 — a mismatch can't pass silently)
+    "q226_kcore" -> {
+      // MATERIALIZED: each round is referenced by the next round's
+      // degree count, filter and NOT IN probes — inlining would expand
+      // e12 into an exponential tree of base-table scans
+      def peel(r: Int): String =
+        s"""d$r AS MATERIALIZED (
+           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |    SELECT a AS id FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+           |  GROUP BY 1),
+           |e$r AS MATERIALIZED (
+           |  SELECT a, b FROM e${r - 1}
+           |  WHERE a NOT IN (SELECT id FROM d$r WHERE deg < 2)
+           |    AND b NOT IN (SELECT id FROM d$r WHERE deg < 2))""".stripMargin
+      s"""WITH $minhashCtes,
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(a_id, b_id) AS a, GREATEST(a_id, b_id) AS b
+         |  FROM cand WHERE a_id <> b_id),
+         |${(1 to 12).map(peel).mkString(",\n")}
+         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS id FROM e12 UNION ALL SELECT b FROM e12)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    })
 
   /** Shared by q167 (live) and q168 (persisted-model serving): the
     * oracle replays the LIVE computation, so a q168 hash match proves

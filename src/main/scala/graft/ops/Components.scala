@@ -327,6 +327,71 @@ object Components {
         .as("assortativity"))
   }
 
+  /** k-CORE of an undirected pair graph by iterative peeling (Seidman
+    * 1983; Batagelj–Zaveršnik's distributed analogue) — the density cut
+    * that separates MUTUALLY-confirmed duplicate nests from incidental
+    * pairs: a node survives the k-core iff it keeps ≥ k neighbors after
+    * everything weaker is recursively removed. On a near-dup candidate
+    * graph the 2-core is exactly the cycle-bearing clusters (template
+    * families, mirror sets — every member corroborated by ≥ 2 others);
+    * tree-shaped chains of borderline one-off matches peel away
+    * entirely, however long. The survivor-quality signal [[pageRankInt]]
+    * smooths, made exact.
+    *
+    * Returns (id, deg) for every surviving node, deg = degree WITHIN
+    * the core (≥ k by definition).
+    *
+    * Each round deletes every node of current degree < k; a deletion
+    * can expose new sub-k nodes, so rounds repeat until a fixpoint.
+    * Rounds needed = the graph's peel depth, NOT its size: near-dup
+    * graphs are shallow (clusters of diameter ≤ 2-3 peel in 1-2
+    * rounds); the pathological deep case is a long path (each round
+    * exposes only the next vertex), bounded by the typed `maxRounds`
+    * ceiling — non-convergence throws rather than returning a silently
+    * under-peeled core (the [[connectedComponents]] contract).
+    *
+    * Determinism: pure set arithmetic on exact integer degrees — no
+    * floats anywhere, so the fixpoint is unique and replayable (the
+    * oracle unrolls the same rounds; extra rounds past convergence are
+    * no-ops, so a fixed unroll ≡ the fixpoint).
+    *
+    * Plan per round: one combiner-friendly degree aggregate over the
+    * remaining edges + two anti joins against the sub-k node set (both
+    * equi-joins on node id; the sub-k set shrinks rapidly and is
+    * broadcast-sized after the first round), lineage cut per round with
+    * localCheckpoint — edges-sized state, never corpus-sized. */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 256,
+      s"maxRounds must be in [1, 256], got $maxRounds")
+    var e = pairs
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val bad = deg.filter(col("deg") < k.toLong).select(col("id"))
+        .localCheckpoint(true) // referenced by BOTH anti joins
+      if (bad.isEmpty) converged = true
+      else e = e
+        .join(bad.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+        .join(bad.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+        .localCheckpoint(true)
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge within $maxRounds peel rounds — " +
+          "raise maxRounds or inspect the pair graph for deep chains")
+    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** SOFT dedup (SoftDeDup-style reweighting): instead of REMOVING
     * near-duplicates ([[dropNearDuplicates]] keeps one survivor per
     * cluster), keep every document and downweight it by its cluster

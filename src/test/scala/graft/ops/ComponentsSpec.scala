@@ -224,4 +224,45 @@ class ComponentsSpec extends SparkSpecBase {
       .select(col("assortativity")).as[Double].head()
     assert(m < 0.0d, s"hub-leaf dominated graph must be disassortative: $m")
   }
+
+  test("kCore: triangle survives the 2-core, attached chain peels away") {
+    // triangle {1,2,3} with a pendant chain 3-4-5-6: peeling eats the
+    // chain from the far end (3 rounds — each round exposes the next),
+    // the triangle keeps every member at deg 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Components.kCore(pairs, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: pure path empties at k=2; k=1 keeps everything") {
+    val path = (0L until 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    assert(Components.kCore(path, k = 2).isEmpty)
+    val k1 = Components.kCore(path, k = 1).as[(Long, Long)].collect().toMap
+    assert(k1.size == 7 && k1(0L) == 1L && k1(3L) == 2L)
+  }
+
+  test("kCore: cascading collapse — 4-clique minus an edge has no 3-core") {
+    // degrees a:2 b:2 c:3 d:3 -> peel a,b -> c-d alone -> peel -> empty;
+    // the full 4-clique keeps all four at deg 3
+    val full = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a_id", "b_id")
+    val k3 = Components.kCore(full, k = 3).as[(Long, Long)].collect().toMap
+    assert(k3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val chipped = full.filter(!($"a_id" === 1L && $"b_id" === 2L))
+    assert(Components.kCore(chipped, k = 3).isEmpty)
+  }
+
+  test("kCore: orientation/duplicate-insensitive; non-convergence throws typed") {
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))
+      .toDF("a_id", "b_id")
+    val got = Components.kCore(dup, k = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a 10-node path needs ~5 peel rounds; 2 must throw, not under-peel
+    val path = (0L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException](
+      Components.kCore(path, k = 2, maxRounds = 2))
+    intercept[IllegalArgumentException](Components.kCore(dup, k = 0))
+  }
 }
