@@ -1238,6 +1238,18 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q227: TextRank KEYWORDS ([[TextAnalysis.textRankKeywords]]) —
+    * PageRank over the adjacent-token co-occurrence graph, the
+    * unsupervised keyword cut next to q222's label-conditioned MI and
+    * q45's TF-IDF terms (TextRank surfaces connective hub terms TF-IDF
+    * suppresses). Exact integer-micro PageRank on token-string node
+    * ids; oracle replays the bigram edge set and all three rounds. */
+  def textRankTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.textRankKeywords(Tables.documents(s, dir), "text",
+      topK = 25, iters = 3)
+  }
+
   /** Z-order (Morton) layout key over orders — ops.Layout.zValue2 on
     * (customer, order day), the two-predicate file-skipping curve. The
     * entry summarizes the curve by 64 z-range buckets (count + envelope);
@@ -2788,7 +2800,8 @@ object PipelineQueries {
     "q223_neyman"         -> (neymanBudget _),
     "q224_assortativity"  -> (nearDupAssortativity _),
     "q225_contamination_runs" -> (contaminationRunsReport _),
-    "q226_kcore"          -> (nearDupKCore _))
+    "q226_kcore"          -> (nearDupKCore _),
+    "q227_textrank"       -> (textRankTop _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -6586,6 +6599,39 @@ object PipelineQueries {
          |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
          |  SELECT a AS id FROM e12 UNION ALL SELECT b FROM e12)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+    // q227: the q108 PageRank iteration replayed verbatim on the
+    // adjacent-token bigram graph with token-STRING node ids
+    "q227_textrank" -> {
+      def iter(k: Int): String =
+        s"""c$k AS (
+           |  SELECT a.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS sc
+           |  FROM adj a JOIN r${k - 1} r ON a.src = r.id JOIN deg d ON a.src = d.src
+           |  GROUP BY 1),
+           |r$k AS (
+           |  SELECT d.src AS id,
+           |    (3000000000000 // (20 * nn.n)) + (85 * COALESCE(c.sc, 0)) // 100 AS r
+           |  FROM deg d CROSS JOIN nn LEFT JOIN c$k c ON d.src = c.dst)""".stripMargin
+      s"""WITH w AS (SELECT string_split($norm, ' ') AS ws FROM documents),
+         |bgp AS MATERIALIZED (
+         |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         |    i -> {'a': ws[i], 'b': ws[i + 1]})) AS p
+         |  FROM w),
+         |adj AS MATERIALIZED (
+         |  SELECT DISTINCT p['a'] AS src, p['b'] AS dst FROM bgp
+         |  WHERE p['a'] <> p['b'] AND len(p['a']) > 0 AND len(p['b']) > 0
+         |  UNION
+         |  SELECT p['b'], p['a'] FROM bgp
+         |  WHERE p['a'] <> p['b'] AND len(p['a']) > 0 AND len(p['b']) > 0),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM adj GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT src AS id, 1000000000000 // n AS r FROM deg, nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT r3.id AS token, r3.r AS pr_micro, d.deg
+         |FROM r3 JOIN deg d ON r3.id = d.src
+         |ORDER BY pr_micro DESC, token ASC LIMIT 25""".stripMargin
     })
 
   /** Shared by q167 (live) and q168 (persisted-model serving): the

@@ -1693,4 +1693,42 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("n11"),
         round(col("_mi_nano").cast("double") / 1e9d, 6).as("mi"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank over
+    * the ADJACENT-token co-occurrence graph: a token matters when it
+    * sits next to other tokens that matter, the unsupervised complement
+    * to [[tokenLabelMI]]'s label-conditioned cut and [[tfidf]]'s
+    * frequency weighting (TextRank surfaces connective hub terms TF-IDF
+    * actively suppresses). Classic window-2 formulation: an undirected
+    * unweighted edge per DISTINCT adjacent token pair, self-loops
+    * dropped, then [[Components.pageRankInt]]'s exact integer-micro
+    * PageRank (d = 0.85, `iters` rounds — node ids are the token
+    * STRINGS; the solver only ever joins/groups on ids, so no hash
+    * indirection and no collision caveat).
+    *
+    * Returns the topK rows (token, pr_micro, deg), pr_micro desc then
+    * token asc — exact longs end to end, no floats anywhere.
+    *
+    * Plan: one corpus-sized adjacent-pair explode (arrays_zip of two
+    * slices — native expressions, NO interpreted lambdas) collapsed by
+    * DISTINCT to the vocabulary-edge graph (edges ≤ observed bigrams ≪
+    * corpus); the PageRank rounds then run on that bounded graph —
+    * iters vocab-edge-sized shuffles, corpus text touched once. */
+  def textRankKeywords(df: DataFrame, textCol: String, topK: Int = 25,
+      iters: Int = 3): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val ts = tokens(col(textCol))
+    val m = size(ts) - 1
+    val pairs = df
+      .select(explode(arrays_zip(
+        slice(ts, lit(1), m), slice(ts, lit(2), m))).as("p"))
+      .select(col("p").getField("0").as("a_id"),
+        col("p").getField("1").as("b_id"))
+      .filter((col("a_id") =!= col("b_id")) &&
+        (length(col("a_id")) > 0) && (length(col("b_id")) > 0))
+    Components.pageRankInt(pairs, iters)
+      .orderBy(col("pr_micro").desc, col("id").asc)
+      .limit(topK)
+      .select(col("id").as("token"), col("pr_micro"), col("deg"))
+  }
 }

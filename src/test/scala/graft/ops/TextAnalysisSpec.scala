@@ -854,6 +854,40 @@ class TextAnalysisSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](TextAnalysis.goodTuring(df, "text", 0))
   }
 
+  test("textRankKeywords: hub token outranks leaves, leaf ties break on token") {
+    // star graph via bigrams: hub-x, hub-y, hub-z
+    val df = Seq((1L, "hub x"), (2L, "hub y"), (3L, "hub z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(df, "text", topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.head._1 == "hub" && got.head._3 == 3L, got.toString)
+    assert(got.map(_._1) == Seq("hub", "x", "y", "z"), got.toString)
+    // structurally identical leaves carry identical exact rank
+    assert(got.drop(1).map(_._2).distinct.size == 1, got.toString)
+    // topK cuts AFTER the deterministic (rank, token) order
+    val top2 = TextAnalysis.textRankKeywords(df, "text", topK = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top2.map(_._1) == Seq("hub", "x"), top2.toString)
+  }
+
+  test("textRankKeywords equals pageRankInt on the distinct bigram edges") {
+    // repeats, a self-loop pair ("b b") and messy whitespace collapse to
+    // the distinct edge set {(a,b), (a,c)}
+    val df = Seq((1L, "a b  b a a"), (2L, "c a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(df, "text", topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    val direct = Components.pageRankInt(
+        Seq(("a", "b"), ("c", "a")).toDF("a_id", "b_id"), iters = 3)
+      .orderBy($"pr_micro".desc, $"id".asc)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == direct, s"$got vs $direct")
+    // empty / single-token corpus has no edges
+    assert(TextAnalysis.textRankKeywords(
+      Seq((1L, ""), (2L, "solo")).toDF("doc_id", "text"), "text").isEmpty)
+    intercept[IllegalArgumentException](
+      TextAnalysis.textRankKeywords(df, "text", topK = 0))
+  }
+
   test("tokenLabelMI: independent token scores 0, perfect predictor ln 2") {
     // d1 "x y" label 1, d2 "x z" label 0:
     // x: present in both -> MI 0; y: perfect predictor of label 1 ->
