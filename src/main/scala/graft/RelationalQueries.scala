@@ -716,6 +716,23 @@ object RelationalQueries {
       "hour_idx", "value", maxLag = 6)
   }
 
+  /** q228: classical SEASONAL decomposition
+    * ([[graft.ops.ChangeDetect.seasonalDecompose]]) — hour-of-day
+    * seasonal offsets of event value after removing the centered 2×24h
+    * moving-average trend: the interpretable "3am is ALWAYS quiet"
+    * profile behind q218's raw lag-memory and the pattern q106's
+    * per-hour z must not alarm on. Exact micro-mean grid, exact DECIMAL
+    * window sums, one final ratio; oracle replays grid, both straddling
+    * windows and the phase fold. */
+  def seasonalHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.seasonalDecompose(
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp($"ts") / 3600).cast("long")
+          .as("hour_idx"), $"value"),
+      "hour_idx", "value", period = 24)
+  }
+
   /** q142: freshness-weighted (exponentially decayed) event counts — the
     * recency signal behind trending/popularity features, with a 1-day
     * half-life. Determinism at scale: ages are bucketed to whole DAYS
@@ -1143,7 +1160,8 @@ object RelationalQueries {
     "q214_cusum"           -> (cusumHourly _),
     "q216_kendall_tau"     -> (kendallHourly _),
     "q217_theil_sen"       -> (theilSenHourly _),
-    "q218_acf"             -> (acfHourly _))
+    "q218_acf"             -> (acfHourly _),
+    "q228_seasonal"        -> (seasonalHourly _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -1873,5 +1891,34 @@ object RelationalQueries {
         |        CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
         |  END AS acf
         |FROM lags l LEFT JOIN pl USING (lag), tot
-        |ORDER BY lag""".stripMargin)
+        |ORDER BY lag""".stripMargin,
+    "q228_seasonal" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS m
+        |  FROM pb),
+        |wnd AS (
+        |  SELECT bucket, m,
+        |    SUM(CAST(m AS HUGEINT)) OVER (ORDER BY bucket
+        |      RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS sa,
+        |    COUNT(*) OVER (ORDER BY bucket
+        |      RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS ca,
+        |    SUM(CAST(m AS HUGEINT)) OVER (ORDER BY bucket
+        |      RANGE BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS sb,
+        |    COUNT(*) OVER (ORDER BY bucket
+        |      RANGE BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS cb
+        |  FROM g),
+        |i AS (
+        |  SELECT bucket % 24 AS hod,
+        |    CAST(m AS HUGEINT) * 48 - (sa + sb) AS x
+        |  FROM wnd WHERE ca = 24 AND cb = 24)
+        |SELECT hod AS hour_of_day, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  ROUND(CAST(SUM(x) AS DOUBLE) /
+        |    (CAST(COUNT(*) AS DOUBLE) * 48 * 1000000.0), 6) AS seasonal
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequential change detection over a time-bucketed metric — the
@@ -240,5 +241,76 @@ object ChangeDetect {
           lit(0.0d))
           .otherwise(round(num / denom, 6)).as("acf"))
       .orderBy(col("lag"))
+  }
+
+  /** CLASSICAL seasonal decomposition of a bucketed series (the moving-
+    * average half of STL, kept exact): per-phase seasonal offsets after
+    * removing a centered moving-average trend — the "is 3am ALWAYS
+    * quiet" profile that turns [[cusum]]'s level shifts and [[acf]]'s
+    * raw memory into an interpretable daily shape (an hour-of-day
+    * seasonal pattern also shows up as an acf-24 spike; this names the
+    * hours). Even `period` uses the textbook 2×period MA (the two
+    * straddling period-windows averaged — a plain even window has no
+    * center); odd uses the single centered window, folded through the
+    * same unified arithmetic (the two windows coincide).
+    *
+    * One row per phase (bucket mod period) holding ≥ 1 INTERIOR bucket:
+    * (hour_of_day, n_hours, seasonal) — seasonal = mean over interior
+    * buckets of (bucket mean − centered trend), in value units.
+    * Interior = both straddling windows complete (count == period);
+    * edges carry no defined trend and are excluded, counted by n_hours.
+    *
+    * Buckets must be CONSECUTIVE integers at the base sampling rate
+    * (e.g. epoch-hours), so range frames measure true lag distance and
+    * mod `period` is the phase; gaps simply shrink window counts below
+    * `period` and those buckets drop out as non-interior — documented,
+    * never silently mis-centered.
+    *
+    * Determinism: bucket means are micro-quantized longs ([[cusum]]'s
+    * grid); x = 2·period·m − (sumA + sumB) is exact DECIMAL; the only
+    * double is one final fixed-order ratio, 6 dp.
+    *
+    * Plan: one combiner-friendly grid aggregate, two bounded-grid
+    * window passes (hours-sized, the [[cusum]] convention), one
+    * period-sized groupBy. Nothing row-scale past the first
+    * aggregate. */
+  def seasonalDecompose(df: DataFrame, bucketCol: String, valueCol: String,
+      period: Int = 24): DataFrame = {
+    require(period >= 2 && period <= 8784,
+      s"period must be in [2, 8784], got $period")
+    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
+      .limit(1).count()
+    require(bad == 0L,
+      s"seasonalDecompose needs non-NULL '$bucketCol' and '$valueCol'")
+    val dec = "decimal(38,0)"
+    val grid = partialGrid(df, bucketCol, valueCol)
+      .withColumn("_mean",
+        round(col("_sm").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
+    val h = period / 2
+    // even: the two straddling windows of the 2xMA; odd: twice the one
+    // centered window (sa = sb) — the unified x/(2*period) ratio holds
+    val (loA, hiA, loB, hiB) =
+      if (period % 2 == 0) (-h.toLong, (h - 1).toLong, -(h - 1).toLong, h.toLong)
+      else (-h.toLong, h.toLong, -h.toLong, h.toLong)
+    val wA = Window.orderBy(col("bucket")).rangeBetween(loA, hiA)
+    val wB = Window.orderBy(col("bucket")).rangeBetween(loB, hiB)
+    grid.select(col("bucket"), col("_mean"),
+        sum(col("_mean").cast(dec)).over(wA).as("_sa"),
+        count(lit(1)).over(wA).as("_ca"),
+        sum(col("_mean").cast(dec)).over(wB).as("_sb"),
+        count(lit(1)).over(wB).as("_cb"))
+      .filter(col("_ca") === period.toLong && col("_cb") === period.toLong)
+      .withColumn("_hod", pmod(col("bucket"), lit(period.toLong)))
+      .withColumn("_x",
+        col("_mean").cast(dec) * lit(2L * period) - (col("_sa") + col("_sb")))
+      .groupBy(col("_hod"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("_x")).as("_sx"))
+      .select(col("_hod").as("hour_of_day"), col("n_hours"),
+        round(col("_sx").cast("double") /
+          (col("n_hours").cast("double") * lit((2L * period).toDouble) *
+            lit(1e6d)), 6).as("seasonal"))
+      .orderBy(col("hour_of_day"))
   }
 }

@@ -127,4 +127,55 @@ class ChangeDetectSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](ChangeDetect.acf(
       Seq((Option.empty[Long], 1.0)).toDF("b", "v"), "b", "v"))
   }
+
+  test("seasonalDecompose: alternating series recovers ±5 around the mean") {
+    // period 2, values 10,20,10,20,10,20 -> phase means 10/20, trend 15:
+    // seasonal(0) = -5, seasonal(1) = +5; edges (b=0,5) are not interior
+    val obs = (0L to 5L).map(b =>
+      (b, if (b % 2 == 1) 20.0d else 10.0d)).toDF("b", "v")
+    val got = ChangeDetect.seasonalDecompose(obs, "b", "v", period = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, -5.0d), (1L, 2L, 5.0d)), got.toString)
+  }
+
+  test("seasonalDecompose: centered MA removes a linear trend exactly") {
+    // m_b = 100*b + (+5 odd / -5 even): the 2xMA of a line is the line,
+    // so the recovered seasonal is exactly +-5 despite the steep trend
+    val obs = (0L to 9L).map(b =>
+      (b, 100.0d * b + (if (b % 2 == 1) 5.0d else -5.0d))).toDF("b", "v")
+    val got = ChangeDetect.seasonalDecompose(obs, "b", "v", period = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 4L, -5.0d), (1L, 4L, 5.0d)), got.toString)
+  }
+
+  test("seasonalDecompose: a gap de-centers its neighborhood, not the world") {
+    // dropping bucket 4 makes buckets 3..5 non-interior (their straddling
+    // windows lose a member); remaining interior buckets are untouched
+    val full = (0L to 9L).map(b =>
+      (b, if (b % 2 == 1) 20.0d else 10.0d)).toDF("b", "v")
+    val gapped = full.filter($"b" =!= 4L)
+    val got = ChangeDetect.seasonalDecompose(gapped, "b", "v", period = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    // interior buckets: full had 1..8; the gap removes {3,4,5} -> 1,2,6,7,8
+    assert(got.map(_._2).sum == 5L, got.toString)
+    assert(got.find(_._1 == 1L).get._3 == 5.0d, got.toString)
+    // duplicate observations in one bucket fold through the bucket MEAN
+    val dup = gapped.union(Seq((1L, 20.0d)).toDF("b", "v"))
+    val d = ChangeDetect.seasonalDecompose(dup, "b", "v", period = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(d == got, s"$d vs $got")
+    intercept[IllegalArgumentException](
+      ChangeDetect.seasonalDecompose(full, "b", "v", period = 1))
+    intercept[IllegalArgumentException](ChangeDetect.seasonalDecompose(
+      Seq((Option.empty[Long], 1.0)).toDF("b", "v"), "b", "v"))
+  }
+
+  test("seasonalDecompose: odd period uses the single centered window") {
+    // period 3, pattern 10,20,30 repeating, no trend: seasonal = -10,0,+10
+    val obs = (0L to 8L).map(b => (b, 10.0d * (b % 3 + 1))).toDF("b", "v")
+    val got = ChangeDetect.seasonalDecompose(obs, "b", "v", period = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => r._1 -> r._3).toMap ==
+      Map(0L -> -10.0d, 1L -> 0.0d, 2L -> 10.0d), got.toString)
+  }
 }
