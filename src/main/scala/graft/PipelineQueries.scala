@@ -1668,6 +1668,31 @@ object PipelineQueries {
       .orderBy($"stage")
   }
 
+  /** q229: cost-based GATE-ORDER planner
+    * ([[graft.ops.Curation.planGates]]) — the step BEFORE q192's
+    * attribution funnel: one pass measures each gate's independent pass
+    * rate over the same three oracle-proven gates, the plan orders the
+    * conjunction most-selective-first, and every row carries the exact
+    * order-invariance witness (n_out_final, measured once). The
+    * independence-model est_rows_in is an exact integer recurrence the
+    * oracle unrolls stage by stage. */
+  def gatePlanQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sig = docs.select($"doc_id")
+      .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select($"doc_id", $"keep".as("g_keep")), Seq("doc_id"))
+      .join(TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+          Seq("slow", "big", "broken"))
+        .select($"doc_id", $"keep".as("b_keep")), Seq("doc_id"))
+      .join(TextAnalysis.langIdScores(docs, "text")
+        .select($"doc_id", $"predicted"), Seq("doc_id"))
+    graft.ops.Curation.planGates(sig, Seq(
+      "gopher" -> ($"g_keep" === 1L),
+      "blocklist" -> ($"b_keep" === 1L),
+      "langid" -> ($"predicted" =!= "und")))
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2801,7 +2826,8 @@ object PipelineQueries {
     "q224_assortativity"  -> (nearDupAssortativity _),
     "q225_contamination_runs" -> (contaminationRunsReport _),
     "q226_kcore"          -> (nearDupKCore _),
-    "q227_textrank"       -> (textRankTop _))
+    "q227_textrank"       -> (textRankTop _),
+    "q229_gate_plan"      -> (gatePlanQuery _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -6135,32 +6161,7 @@ object PipelineQueries {
          |FROM pm, mac
          |ORDER BY class""".stripMargin,
     "q192_filter_funnel" ->
-      s"""WITH $langIdPredCtes,
-         |gt AS (
-         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
-         |  FROM documents),
-         |gs AS (
-         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
-         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
-         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
-         |  FROM gt WHERE len(w) > 0),
-         |gr AS (
-         |  SELECT doc_id,
-         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
-         |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
-         |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
-         |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS g_keep
-         |  FROM gs),
-         |bl AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(list_filter(string_split($norm, ' '),
-         |        t -> list_contains(['big', 'broken', 'slow'], t))) = 0
-         |      THEN 1 ELSE 0 END AS b_keep
-         |  FROM documents),
-         |sig AS (
-         |  SELECT p.doc_id, gr.g_keep, bl.b_keep, p.predicted
-         |  FROM p JOIN gr USING (doc_id) JOIN bl USING (doc_id)),
+      s"""WITH $funnelGateCtes,
          |fr AS (
          |  SELECT CASE WHEN g_keep = 0 THEN 0 WHEN b_keep = 0 THEN 1
          |    WHEN predicted = 'und' THEN 2 ELSE 3 END AS stage
@@ -6632,11 +6633,79 @@ object PipelineQueries {
          |SELECT r3.id AS token, r3.r AS pr_micro, d.deg
          |FROM r3 JOIN deg d ON r3.id = d.src
          |ORDER BY pr_micro DESC, token ASC LIMIT 25""".stripMargin
-    })
+    },
+    // q229: independent pass counts over the q192 gate replays, the
+    // (n_pass, gate) ordering, and the est recurrence unrolled per stage
+    "q229_gate_plan" ->
+      s"""WITH $funnelGateCtes,
+         |fl AS (
+         |  SELECT g_keep, b_keep,
+         |    CASE WHEN predicted <> 'und' THEN 1 ELSE 0 END AS l_keep
+         |  FROM sig),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(g_keep) AS BIGINT) AS p0,
+         |    CAST(SUM(b_keep) AS BIGINT) AS p1,
+         |    CAST(SUM(l_keep) AS BIGINT) AS p2,
+         |    CAST(SUM(g_keep * b_keep * l_keep) AS BIGINT) AS joint
+         |  FROM fl),
+         |np AS (
+         |  SELECT t.gate,
+         |    CASE t.gate WHEN 'gopher' THEN m.p0 WHEN 'blocklist' THEN m.p1
+         |      ELSE m.p2 END AS n_pass,
+         |    m.n, m.joint
+         |  FROM (VALUES ('gopher'), ('blocklist'), ('langid')) t(gate), m),
+         |r AS (
+         |  SELECT gate, n_pass, n, joint,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY n_pass, gate) AS BIGINT) AS planned_stage,
+         |    n_pass * 1000000 // n AS r_micro
+         |  FROM np),
+         |s1 AS (SELECT r_micro FROM r WHERE planned_stage = 1),
+         |s2 AS (SELECT r_micro FROM r WHERE planned_stage = 2)
+         |SELECT r.planned_stage, r.gate, r.n_pass,
+         |  CAST(r.r_micro AS DOUBLE) / 1000000 AS pass_rate,
+         |  CAST(CASE r.planned_stage
+         |    WHEN 1 THEN r.n
+         |    WHEN 2 THEN (r.n * s1.r_micro) // 1000000
+         |    ELSE (((r.n * s1.r_micro) // 1000000) * s2.r_micro) // 1000000
+         |  END AS BIGINT) AS est_rows_in,
+         |  r.joint AS n_out_final
+         |FROM r, s1, s2
+         |ORDER BY planned_stage""".stripMargin)
 
   /** Shared by q167 (live) and q168 (persisted-model serving): the
     * oracle replays the LIVE computation, so a q168 hash match proves
     * persisted ≡ live ≡ DuckDB. */
+  /** The q192/q229 three-gate replay (Gopher rules, blocklist, lang-id),
+    * ending in `sig(doc_id, g_keep, b_keep, predicted)`. */
+  private def funnelGateCtes: String =
+    s"""$langIdPredCtes,
+       |gt AS (
+       |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+       |  FROM documents),
+       |gs AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+       |  FROM gt WHERE len(w) > 0),
+       |gr AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
+       |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS g_keep
+       |  FROM gs),
+       |bl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_filter(string_split($norm, ' '),
+       |        t -> list_contains(['big', 'broken', 'slow'], t))) = 0
+       |      THEN 1 ELSE 0 END AS b_keep
+       |  FROM documents),
+       |sig AS (
+       |  SELECT p.doc_id, gr.g_keep, bl.b_keep, p.predicted
+       |  FROM p JOIN gr USING (doc_id) JOIN bl USING (doc_id))""".stripMargin
+
   /** The q42 marker-word lang-id replay, ending in `p(lang, predicted)`
     * — shared by the confusion matrix (q42), Cohen's κ (q187) and the
     * per-class report (q189). */

@@ -145,6 +145,68 @@ object Curation {
           .otherwise(lit(0.0d)), 6).as("reject_share"))
   }
 
+  /** GATE-ORDER planner — the cost-based step BEFORE [[filterFunnel]]'s
+    * attribution readout: measure every gate's INDEPENDENT pass rate in
+    * one corpus pass, then order the conjunctive pipeline most-selective-
+    * first (ascending pass count, name tiebreak) — the classic unit-cost
+    * predicate ordering that minimizes expected rows scanned by later
+    * gates. The plan is advisory about COST only: a conjunction's
+    * survivor set is order-invariant by construction, and the output
+    * carries the exact witness (`n_out_final` = docs passing ALL gates,
+    * measured once, identical under any order).
+    *
+    * One row per gate in planned order: (planned_stage 1-based, gate,
+    * n_pass, pass_rate, est_rows_in, n_out_final) — est_rows_in is the
+    * independence-model estimate of rows reaching that stage,
+    * est₁ = N, estᵢ₊₁ = ⌊estᵢ · rᵢ ∕ 10⁶⌋ with rᵢ = ⌊n_passᵢ·10⁶ ∕ N⌋ —
+    * an exact integer recurrence (no float products), replayable by the
+    * oracle; pass_rate = rᵢ∕10⁶ floated once. The estimate ignores gate
+    * correlation — that is the model, documented; the funnel's MEASURED
+    * n_in (run after adopting the plan) is the ground truth.
+    *
+    * NULL gate values fail typed (same contract and reason as
+    * [[filterFunnel]]); an empty corpus fails typed — there is nothing
+    * to plan from and every rate is 0∕0.
+    *
+    * Plan: ONE map-only pass with gates+2 conditional aggregates to a
+    * single row (combiner-friendly), pulled to the driver (1 row,
+    * bounded by the ≤ 64-gate ceiling) where the gates-sized ordering
+    * and recurrence run — the corpus is never shuffled at all. */
+  def planGates(df: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty && gates.size <= 64,
+      s"need 1..64 gates, got ${gates.size}")
+    require(gates.map(_._1).distinct.size == gates.size,
+      "gate names must be unique")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nulls = df.filter(gates.map(_._2.isNull).reduce(_ || _))
+      .limit(1).count()
+    require(nulls == 0L,
+      "planGates gates must be non-NULL booleans — a NULL row would " +
+        "silently vanish from the pass counts; fix the gate expressions")
+    val aggCols = gates.zipWithIndex.map { case ((_, pass), i) =>
+      sum(when(pass, 1L).otherwise(0L)).as(s"_p$i")
+    } ++ Seq(count(lit(1)).as("_n"),
+      sum(when(gates.map(_._2).reduce(_ && _), 1L).otherwise(0L))
+        .as("_joint"))
+    val row = df.agg(aggCols.head, aggCols.drop(1): _*).head()
+    val n = row.getAs[Long]("_n")
+    require(n > 0L, "planGates needs a non-empty corpus")
+    val joint = row.getAs[Long]("_joint")
+    val planned = gates.map(_._1).zipWithIndex
+      .map { case (name, i) => (name, row.getAs[Long](s"_p$i")) }
+      .sortBy { case (name, p) => (p, name) }
+    var est = n
+    val out = planned.zipWithIndex.map { case ((name, p), i) =>
+      val estIn = est
+      val rMicro = p * 1000000L / n
+      est = estIn * rMicro / 1000000L
+      (i + 1L, name, p, rMicro.toDouble / 1e6d, estIn, joint)
+    }
+    out.toDF("planned_stage", "gate", "n_pass", "pass_rate",
+      "est_rows_in", "n_out_final")
+  }
+
   /** k-anonymity audit over quasi-identifier columns: a release is
     * k-anonymous iff every quasi-identifier combination ("cell") has at
     * least k rows (Sweeney 2002). Returns one row per `groupCols` head

@@ -215,4 +215,43 @@ class CurationSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Curation.tClosenessProfile(
       df, Seq("grp"), Seq("cell"), "sens", t = 0.0))
   }
+
+  test("planGates: most-selective-first order, exact est recurrence, invariance witness") {
+    // 4 docs; gate a passes 1, b passes 3, c passes 2 -> plan a, c, b
+    val df = Seq(
+      (1L, true, true, true), (2L, false, true, true),
+      (3L, false, true, false), (4L, false, false, false))
+      .toDF("id", "a", "b", "c")
+    val gates = Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c"))
+    val got = Curation.planGates(df, gates)
+      .as[(Long, String, Long, Double, Long, Long)].collect().toSeq
+    // est: n=4; r_a=250000 -> est2 = 4*250000/1e6 = 1; r_c=500000 ->
+    // est3 = 1*500000/1e6 = 0; joint pass = doc 1 only
+    assert(got == Seq(
+      (1L, "a", 1L, 0.25d, 4L, 1L),
+      (2L, "c", 2L, 0.5d, 1L, 1L),
+      (3L, "b", 3L, 0.75d, 0L, 1L)), got.toString)
+    // the witness is the measured conjunction, not a model estimate
+    assert(got.head._6 ==
+      df.filter(col("a") && col("b") && col("c")).count())
+    // n_pass ties break on gate name; gate ORDER in the call is irrelevant
+    val tied = Curation.planGates(df,
+      Seq("z" -> col("c"), "y" -> col("c")))
+      .as[(Long, String, Long, Double, Long, Long)].collect().toSeq
+    assert(tied.map(_._2) == Seq("y", "z"), tied.toString)
+    assert(Curation.planGates(df, gates.reverse).collect()
+      .map(_.getString(1)).toSeq == got.map(_._2),
+      "plan must not depend on declaration order")
+  }
+
+  test("planGates: typed guards — NULL gate, empty corpus, dup names") {
+    val df = Seq((1L, Option(true)), (2L, Option.empty[Boolean]))
+      .toDF("id", "g")
+    intercept[IllegalArgumentException](
+      Curation.planGates(df, Seq("g" -> col("g"))))
+    intercept[IllegalArgumentException](Curation.planGates(
+      df.filter(col("id") < 0L), Seq("g" -> col("g").isNotNull)))
+    intercept[IllegalArgumentException](Curation.planGates(
+      df, Seq("g" -> col("g"), "g" -> col("g"))))
+  }
 }
