@@ -1693,6 +1693,28 @@ object PipelineQueries {
       "langid" -> ($"predicted" =!= "und")))
   }
 
+  /** q230: COCHRAN'S Q over the three curation gates
+    * ([[graft.ops.ClassifierEval.cochranQ]]) — q215's McNemar
+    * generalized to k gates the way q193's Fleiss κ generalizes
+    * Cohen's: are the Gopher rules, the blocklist and lang-id
+    * systematically DIFFERENT in strictness on the same documents?
+    * Unanimous documents cancel — the paired property raw pass-rate
+    * deltas lack. Exact integer moments, one final ratio. */
+  def gateCochranQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val fl = docs.select($"doc_id")
+      .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select($"doc_id", $"keep".as("g_keep")), Seq("doc_id"))
+      .join(TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+          Seq("slow", "big", "broken"))
+        .select($"doc_id", $"keep".as("b_keep")), Seq("doc_id"))
+      .join(TextAnalysis.langIdScores(docs, "text")
+        .select($"doc_id",
+          ($"predicted" =!= "und").cast("long").as("l_keep")), Seq("doc_id"))
+    graft.ops.ClassifierEval.cochranQ(fl, Seq("g_keep", "b_keep", "l_keep"))
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2827,7 +2849,8 @@ object PipelineQueries {
     "q225_contamination_runs" -> (contaminationRunsReport _),
     "q226_kcore"          -> (nearDupKCore _),
     "q227_textrank"       -> (textRankTop _),
-    "q229_gate_plan"      -> (gatePlanQuery _))
+    "q229_gate_plan"      -> (gatePlanQuery _),
+    "q230_cochran_q"      -> (gateCochranQ _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -6671,7 +6694,29 @@ object PipelineQueries {
          |  END AS BIGINT) AS est_rows_in,
          |  r.joint AS n_out_final
          |FROM r, s1, s2
-         |ORDER BY planned_stage""".stripMargin)
+         |ORDER BY planned_stage""".stripMargin,
+    "q230_cochran_q" ->
+      s"""WITH $funnelGateCtes,
+         |fl AS (
+         |  SELECT g_keep, b_keep,
+         |    CASE WHEN predicted <> 'und' THEN 1 ELSE 0 END AS l_keep
+         |  FROM sig),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(g_keep) AS HUGEINT) AS c0,
+         |    CAST(SUM(b_keep) AS HUGEINT) AS c1,
+         |    CAST(SUM(l_keep) AS HUGEINT) AS c2,
+         |    CAST(SUM(g_keep + b_keep + l_keep) AS HUGEINT) AS t,
+         |    CAST(SUM((g_keep + b_keep + l_keep) * (g_keep + b_keep + l_keep)) AS HUGEINT) AS sr2
+         |  FROM fl)
+         |SELECT n AS n_docs, CAST(3 AS BIGINT) AS k_gates,
+         |  CAST(2 AS BIGINT) AS dof,
+         |  CASE WHEN t * 3 - sr2 <= 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(
+         |      CAST(((c0*c0 + c1*c1 + c2*c2) * 3 - t * t) * 2 AS DOUBLE) /
+         |      CAST(t * 3 - sr2 AS DOUBLE), 6)
+         |  END AS q_stat
+         |FROM m""".stripMargin)
 
   /** Shared by q167 (live) and q168 (persisted-model serving): the
     * oracle replays the LIVE computation, so a q168 hash match proves

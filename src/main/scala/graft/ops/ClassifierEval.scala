@@ -613,4 +613,60 @@ object ClassifierEval {
         round(col("_fsum").cast("double") /
           (col("_k").cast("double") * 1e6d), 6).as("macro_f1"))
   }
+
+  /** COCHRAN'S Q — [[mcnemar]] generalized to k ≥ 2 correlated binary
+    * gates over the SAME documents (Cochran 1950), the way
+    * [[fleissKappa]] generalizes Cohen's κ: do the k gates differ in
+    * pass RATE at all, given that each document is its own control?
+    * κ answers "do they agree"; Q answers "is any gate systematically
+    * stricter" — three gates can agree badly yet have identical rates
+    * (κ low, Q ≈ 0) or agree often yet one gate be strictly harsher
+    * (κ high, Q large).
+    *
+    *   Q = (k−1)·(k·ΣⱼCⱼ² − T²) ∕ (k·T − ΣᵢRᵢ²)
+    * with Cⱼ the per-gate pass totals, Rᵢ the per-doc pass counts and
+    * T = ΣCⱼ = ΣRᵢ; under H₀ Q ~ χ²(k−1). Documents passing all or no
+    * gates contribute nothing (Rᵢ ∈ {0, k} cancels) — the paired-test
+    * property that makes Q sharper than comparing raw rates.
+    *
+    * One output row: (n_docs, k_gates, dof, q_stat). A degenerate
+    * denominator (every doc unanimous — no within-doc variation at
+    * all) reports q_stat = 0.0, documented rather than NaN.
+    *
+    * Determinism: all moments are exact integers in one combiner-
+    * friendly aggregate (DECIMAL past 2³¹ docs); the only double is one
+    * final fixed-order ratio, 6 dp. Gate values must be 0/1 — anything
+    * else (including NULL) fails typed, a NULL would silently shrink
+    * row sums. Plan: ONE map-only corpus pass to a 1-row frame; the
+    * k-term ΣCⱼ² fold is a column expression over that single row. */
+  def cochranQ(df: DataFrame, gateCols: Seq[String]): DataFrame = {
+    require(gateCols.size >= 2 && gateCols.size <= 64,
+      s"need 2..64 gate columns, got ${gateCols.size}")
+    require(gateCols.distinct.size == gateCols.size,
+      "gate columns must be unique")
+    val offDomain = df.filter(gateCols.map(c =>
+        col(c).isNull || (col(c) =!= 0L && col(c) =!= 1L)).reduce(_ || _))
+      .limit(1).count()
+    require(offDomain == 0L,
+      s"cochranQ needs 0/1 gate values in ${gateCols.mkString(", ")} — " +
+        "NULL or off-domain values would silently corrupt the row sums")
+    val dec = "decimal(38,0)"
+    val k = gateCols.size
+    val r = gateCols.map(c => col(c).cast("long")).reduce(_ + _)
+    val aggs = gateCols.zipWithIndex.map { case (c, i) =>
+      sum(col(c).cast("long")).as(s"_c$i")
+    } ++ Seq(count(lit(1)).as("n"),
+      sum(r.cast(dec)).as("_t"),
+      sum(r.cast(dec) * r).as("_sr2"))
+    val row = df.agg(aggs.head, aggs.drop(1): _*)
+    val sumC2 = gateCols.indices.map(i =>
+      col(s"_c$i").cast(dec) * col(s"_c$i")).reduce(_ + _)
+    val num = (sumC2 * k - col("_t") * col("_t")) * (k - 1)
+    val den = col("_t") * k - col("_sr2")
+    row.select(col("n").as("n_docs"),
+      lit(k.toLong).as("k_gates"), lit((k - 1).toLong).as("dof"),
+      when(den <= 0, lit(0.0d))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as("q_stat"))
+  }
 }

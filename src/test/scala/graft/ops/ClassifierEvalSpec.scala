@@ -269,4 +269,33 @@ class ClassifierEvalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](ClassifierEval.mcnemar(
       Seq((true, Option.empty[Boolean])).toDF("a", "b"), "a", "b"))
   }
+
+  test("cochranQ: hand-traced statistic; unanimous docs cancel") {
+    // C=(3,2,1), T=6, sumR2=14: Q = 2*(3*14-36)/(18-14) = 3.0
+    val df = Seq(
+      (1L, 1L, 1L, 1L), (2L, 1L, 0L, 0L),
+      (3L, 1L, 1L, 0L), (4L, 0L, 0L, 0L)).toDF("id", "a", "b", "c")
+    val got = ClassifierEval.cochranQ(df, Seq("a", "b", "c"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((4L, 3L, 2L, 3.0d)), got.toString)
+    // dropping the unanimous docs leaves Q unchanged (paired property)
+    val core = ClassifierEval.cochranQ(df.filter($"id" === 2L || $"id" === 3L),
+      Seq("a", "b", "c")).as[(Long, Long, Long, Double)].head()
+    assert(core._4 == 3.0d, core.toString)
+  }
+
+  test("cochranQ: degenerate all-unanimous input and typed guards") {
+    val unanimous = Seq((1L, 1L, 1L), (2L, 0L, 0L)).toDF("id", "a", "b")
+    val got = ClassifierEval.cochranQ(unanimous, Seq("a", "b"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((2L, 2L, 1L, 0.0d)), got.toString)
+    intercept[IllegalArgumentException](ClassifierEval.cochranQ(
+      Seq((1L, 2L, 1L)).toDF("id", "a", "b"), Seq("a", "b")))
+    intercept[IllegalArgumentException](ClassifierEval.cochranQ(
+      Seq((1L, Option.empty[Long], 1L)).toDF("id", "a", "b"), Seq("a", "b")))
+    intercept[IllegalArgumentException](ClassifierEval.cochranQ(
+      unanimous, Seq("a", "a")))
+    intercept[IllegalArgumentException](ClassifierEval.cochranQ(
+      unanimous, Seq("a")))
+  }
 }
