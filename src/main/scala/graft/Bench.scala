@@ -98,7 +98,8 @@ object Bench {
     "q219_isotonic", "q220_t_closeness", "q221_good_turing",
     "q222_token_label_mi", "q223_neyman", "q224_assortativity",
     "q225_contamination_runs", "q226_kcore", "q227_textrank",
-    "q228_seasonal", "q229_gate_plan", "q230_cochran_q")
+    "q228_seasonal", "q229_gate_plan", "q230_cochran_q",
+    "q232_capture_recapture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

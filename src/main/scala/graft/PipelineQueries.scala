@@ -1715,6 +1715,24 @@ object PipelineQueries {
     graft.ops.ClassifierEval.cochranQ(fl, Seq("g_keep", "b_keep", "l_keep"))
   }
 
+  /** q232: CAPTURE–RECAPTURE dedup recall audit
+    * ([[Dedup.captureRecapture]]) — Chapman's estimator over the
+    * MinHash-LSH and SimHash tiers as two "captures" of the unknown
+    * true duplicate-pair universe: estimates the pairs BOTH tiers miss
+    * without any ground truth, where q176's exact audit needs a bounded
+    * slice. Correlated tiers read optimistic — documented; the value is
+    * the corpus-version trend. Oracle replays both tiers (prefixed CTE
+    * namespaces) and the estimator. */
+  def dedupCaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Dedup.captureRecapture(
+      Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.4)
+        .select($"a_id", $"b_id"),
+      Dedup.simHashCandidates(docs, "doc_id", "text",
+        maxHamming = 3, bands = 4).select($"a_id", $"b_id"))
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2850,7 +2868,8 @@ object PipelineQueries {
     "q226_kcore"          -> (nearDupKCore _),
     "q227_textrank"       -> (textRankTop _),
     "q229_gate_plan"      -> (gatePlanQuery _),
-    "q230_cochran_q"      -> (gateCochranQ _))
+    "q230_cochran_q"      -> (gateCochranQ _),
+    "q232_capture_recapture" -> (dedupCaptureRecapture _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -2960,18 +2979,23 @@ object PipelineQueries {
 
   /** CTE chain `t → tok → th → d → fps(doc_id, simhash)`: 62-bit two-lane
     * SimHash fingerprints — the DuckDB re-derivation of Dedup.simHash. */
-  private def simhashCtes: String = {
+  private def simhashCtes: String = simhashCtesP("")
+
+  /** The simhash fingerprint replay with `p`-prefixed CTE names, so it
+    * can share a WITH clause with the MinHash fragment (both otherwise
+    * define `t`/`banded`) — q232 composes the two tiers. */
+  private def simhashCtesP(p: String): String = {
     val l1 = duckFold("tk", graft.expr.DedupKernel.B1)
     val l2 = duckFold("tk", graft.expr.DedupKernel.B2)
-    s"""t AS (SELECT doc_id, $norm AS nt FROM documents),
-       |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM t),
-       |th AS (SELECT doc_id, ($l1 << 31) | $l2 AS h FROM tok WHERE length(tk) > 0),
-       |d AS (SELECT doc_id, list(h) AS hs FROM th GROUP BY doc_id),
-       |fps AS (
+    s"""${p}t AS (SELECT doc_id, $norm AS nt FROM documents),
+       |${p}tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM ${p}t),
+       |${p}th AS (SELECT doc_id, ($l1 << 31) | $l2 AS h FROM ${p}tok WHERE length(tk) > 0),
+       |${p}d AS (SELECT doc_id, list(h) AS hs FROM ${p}th GROUP BY doc_id),
+       |${p}fps AS (
        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 61), j ->
        |    CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
-       |  FROM d)""".stripMargin
+       |  FROM ${p}d)""".stripMargin
   }
 
   /** DuckDB re-derivation of q64's full RAG pipeline: q62's chunk grid,
@@ -6716,7 +6740,38 @@ object PipelineQueries {
          |      CAST(((c0*c0 + c1*c1 + c2*c2) * 3 - t * t) * 2 AS DOUBLE) /
          |      CAST(t * 3 - sr2 AS DOUBLE), 6)
          |  END AS q_stat
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+    "q232_capture_recapture" ->
+      s"""WITH $minhashCtes,
+         |p1 AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(a_id, b_id) AS a, GREATEST(a_id, b_id) AS b
+         |  FROM cand WHERE a_id <> b_id),
+         |${simhashCtesP("s_")},
+         |s_banded AS (
+         |  SELECT doc_id, simhash, b.b AS band,
+         |    (simhash >> (b.b * 16)) & 65535 AS chunk
+         |  FROM s_fps, generate_series(0, 3) b(b)),
+         |p2 AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM s_banded x JOIN s_banded y
+         |    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |m AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p1) AS n_tier1,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM p2) AS n_tier2,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM p1 JOIN p2 USING (a, b)) AS n_both),
+         |m2 AS (
+         |  SELECT n_tier1, n_tier2, n_both,
+         |    (CAST(n_tier1 AS DOUBLE) + 1.0) * (CAST(n_tier2 AS DOUBLE) + 1.0) /
+         |      (CAST(n_both AS DOUBLE) + 1.0) - 1.0 AS est
+         |  FROM m)
+         |SELECT n_tier1, n_tier2, n_both,
+         |  ROUND(est, 6) AS est_total_pairs,
+         |  CASE WHEN est <= 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(CAST(n_tier1 AS DOUBLE) / est, 6) END AS recall_tier1,
+         |  CASE WHEN est <= 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(CAST(n_tier2 AS DOUBLE) / est, 6) END AS recall_tier2
+         |FROM m2""".stripMargin)
 
   /** Shared by q167 (live) and q168 (persisted-model serving): the
     * oracle replays the LIVE computation, so a q168 hash match proves

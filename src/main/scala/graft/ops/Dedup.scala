@@ -648,4 +648,55 @@ object Dedup {
         sum(expr("c * (c - 1) div 2")).as("candidate_pairs"),
         sum(col("c")).as("n_rows"))
   }
+
+  /** CAPTURE–RECAPTURE audit of dedup recall WITHOUT ground truth
+    * (Chapman's bias-corrected Lincoln–Petersen estimator): treat two
+    * independent near-dup tiers (e.g. [[minHashCandidates]] and
+    * [[simHashCandidates]]) as two "captures" of the same unknown
+    * universe of true duplicate pairs; from how often they catch the
+    * SAME pair, estimate how many pairs BOTH miss —
+    *   N̂ = (n₁+1)(n₂+1)∕(m+1) − 1,  recallᵢ = nᵢ∕N̂
+    * — the ecology trick that complements the exact-Jaccard audit
+    * (q176): that one needs a bounded ground-truth slice; this scales
+    * to the full corpus but leans on the independence assumption.
+    * MinHash (token shingles) and SimHash (global bit profile) are
+    * CORRELATED samplers — both key on text overlap — so N̂ is biased
+    * LOW and the recalls read OPTIMISTIC: treat them as a cheap upper
+    * bound and a trend line across corpus versions, not ground truth
+    * (documented, the standard capture–recapture caveat).
+    *
+    * One row: (n_tier1, n_tier2, n_both, est_total_pairs, recall_tier1,
+    * recall_tier2). Empty tiers degrade to zeros, never NaN.
+    *
+    * Determinism: pair sets are normalized (ordered ends, distinct) so
+    * all three counts are exact; N̂ and the recalls are fixed-order
+    * IEEE expressions over exact longs, 6 dp.
+    *
+    * Plan: two pair-frame normalizations + one equi-join on (a, b) for
+    * the overlap — everything is pairs-sized (≪ corpus); the corpus
+    * itself is only touched by whatever produced the input pairs. */
+  def captureRecapture(pairs1: DataFrame, pairs2: DataFrame): DataFrame = {
+    def norm(df: DataFrame) = df
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // counted AND joined
+    val e1 = norm(pairs1)
+    val e2 = norm(pairs2)
+    val est = (col("n_tier1").cast("double") + 1.0d) *
+      (col("n_tier2").cast("double") + 1.0d) /
+      (col("n_both").cast("double") + 1.0d) - 1.0d
+    e1.agg(count(lit(1)).as("n_tier1"))
+      .crossJoin(e2.agg(count(lit(1)).as("n_tier2")))
+      .crossJoin(e1.join(e2, Seq("a", "b")).agg(count(lit(1)).as("n_both")))
+      .select(col("n_tier1"), col("n_tier2"), col("n_both"),
+        round(est, 6).as("est_total_pairs"),
+        when(est <= 0.0d, lit(0.0d))
+          .otherwise(round(col("n_tier1").cast("double") / est, 6))
+          .as("recall_tier1"),
+        when(est <= 0.0d, lit(0.0d))
+          .otherwise(round(col("n_tier2").cast("double") / est, 6))
+          .as("recall_tier2"))
+  }
 }

@@ -145,6 +145,24 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("captureRecapture: hand-traced Chapman estimate; empty tiers degrade to zeros") {
+    // n1=3, n2=2, overlap=1: est = 4*3/2 - 1 = 5, recalls 0.6 / 0.4
+    val t1 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val t2 = Seq((2L, 1L), (4L, 5L), (4L, 5L), (5L, 5L)) // reversed + dup + self
+      .toDF("a_id", "b_id")
+    val got = Dedup.captureRecapture(t1, t2)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(got == ((3L, 2L, 1L, 5.0d, 0.6d, 0.4d)), got.toString)
+    val empty = t1.filter($"a_id" < 0L)
+    val zeros = Dedup.captureRecapture(empty, empty)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(zeros == ((0L, 0L, 0L, 0.0d, 0.0d, 0.0d)), zeros.toString)
+    // one empty tier: est = 1*(n2+1)/1 - 1 = n2; tier2 "caught everything"
+    val half = Dedup.captureRecapture(empty, t1)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(half == ((0L, 3L, 0L, 3.0d, 0.0d, 1.0d)), half.toString)
+  }
+
   test("chunkDedupGroups finds duplicated windows with a deterministic survivor") {
     val boiler = (1 to 4).map(i => s"w$i").mkString(" ") // one 4-token window
     val docs = Seq(
