@@ -1733,6 +1733,23 @@ object PipelineQueries {
         maxHamming = 3, bands = 4).select($"a_id", $"b_id"))
   }
 
+  /** q231: delete-one-SOURCE jackknife error bar
+    * ([[graft.ops.Sampling.jackknifeRate]]) for the Gopher keep rate —
+    * the cluster-honest uncertainty q153's per-doc bootstrap
+    * understates when documents within a source are correlated (one
+    * crawl, one template family): delete whole sources, watch the rate
+    * move. Exact per-source counts, nano-quantized LOO rates, one
+    * final sqrt. Oracle replays the gate, the per-source table and the
+    * quantized variance lattice. */
+  def jackknifeKeepRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val fl = docs.select($"doc_id", $"source")
+      .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select($"doc_id", $"keep"), Seq("doc_id"))
+    graft.ops.Sampling.jackknifeRate(fl, "source", "keep")
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2869,6 +2886,7 @@ object PipelineQueries {
     "q227_textrank"       -> (textRankTop _),
     "q229_gate_plan"      -> (gatePlanQuery _),
     "q230_cochran_q"      -> (gateCochranQ _),
+    "q231_jackknife"      -> (jackknifeKeepRate _),
     "q232_capture_recapture" -> (dedupCaptureRecapture _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -6741,6 +6759,30 @@ object PipelineQueries {
          |      CAST(t * 3 - sr2 AS DOUBLE), 6)
          |  END AS q_stat
          |FROM m""".stripMargin,
+    "q231_jackknife" ->
+      s"""WITH $gopherCtes,
+         |u AS (
+         |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS ns,
+         |    CAST(SUM(gr.g_keep) AS BIGINT) AS ts
+         |  FROM documents d JOIN gr ON d.doc_id = gr.doc_id
+         |  GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS s, CAST(SUM(ns) AS BIGINT) AS n,
+         |    CAST(SUM(ts) AS BIGINT) AS t
+         |  FROM u),
+         |q AS (
+         |  SELECT CAST(round(CAST(t - ts AS DOUBLE) / CAST(n - ns AS DOUBLE)
+         |    * 1000000000.0) AS BIGINT) AS q
+         |  FROM u, tot),
+         |a AS (
+         |  SELECT SUM(CAST(q AS HUGEINT)) AS sq,
+         |    SUM(CAST(q AS HUGEINT) * q) AS sqq
+         |  FROM q)
+         |SELECT tot.s AS n_units, tot.n AS n_docs,
+         |  ROUND(CAST(tot.t AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS rate,
+         |  ROUND(sqrt(CAST((tot.s * a.sqq - a.sq * a.sq) * (tot.s - 1) AS DOUBLE))
+         |    / CAST(tot.s AS DOUBLE) / 1000000000.0, 6) AS se_jack
+         |FROM tot, a""".stripMargin,
     "q232_capture_recapture" ->
       s"""WITH $minhashCtes,
          |p1 AS MATERIALIZED (
@@ -6776,11 +6818,11 @@ object PipelineQueries {
   /** Shared by q167 (live) and q168 (persisted-model serving): the
     * oracle replays the LIVE computation, so a q168 hash match proves
     * persisted ≡ live ≡ DuckDB. */
-  /** The q192/q229 three-gate replay (Gopher rules, blocklist, lang-id),
-    * ending in `sig(doc_id, g_keep, b_keep, predicted)`. */
-  private def funnelGateCtes: String =
-    s"""$langIdPredCtes,
-       |gt AS (
+  /** The q127 Gopher-rules replay alone, ending in `gr(doc_id, g_keep)`
+    * — shared by the gate composites (q192/q229/q230 via
+    * [[funnelGateCtes]]) and the q231 jackknife. */
+  private def gopherCtes: String =
+    s"""gt AS (
        |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
        |  FROM documents),
        |gs AS (
@@ -6795,7 +6837,13 @@ object PipelineQueries {
        |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
        |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
        |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS g_keep
-       |  FROM gs),
+       |  FROM gs)""".stripMargin
+
+  /** The q192/q229 three-gate replay (Gopher rules, blocklist, lang-id),
+    * ending in `sig(doc_id, g_keep, b_keep, predicted)`. */
+  private def funnelGateCtes: String =
+    s"""$langIdPredCtes,
+       |$gopherCtes,
        |bl AS (
        |  SELECT doc_id,
        |    CASE WHEN len(list_filter(string_split($norm, ' '),

@@ -422,4 +422,60 @@ object Sampling {
               col("_wt").cast("double")).cast("long"))).as("alloc_neyman"))
       .orderBy(col("stratum"))
   }
+
+  /** DELETE-ONE-GROUP JACKKNIFE standard error of a corpus rate (Quenouille
+    * 1956; the survey-statistics JK1 with clusters as deletion units) —
+    * the honest error bar for "82% of docs pass the gate" when documents
+    * within a SOURCE are correlated (one crawl, one template family):
+    * deleting whole sources and watching the rate move captures the
+    * cluster-level variance that a per-document binomial interval
+    * understates, and unlike q153's subsample bootstrap it needs no
+    * replica device — S leave-one-out replicas, S = distinct units.
+    *
+    *   θ̂₍₋ₛ₎ = (T−tₛ)∕(N−nₛ),  SE² = (S−1)∕S · Σₛ(θ̂₍₋ₛ₎ − θ̄)²
+    *
+    * One row: (n_units, n_docs, rate, se_jack).
+    *
+    * Determinism: per-unit counts are exact; each LOO rate is ONE
+    * fixed-order double ratio nano-quantized to a long, so the variance
+    * sum is exact DECIMAL on any partitioning; SE is a single sqrt of
+    * exact integers, 6 dp. Flags must be 0/1 (NULL/off-domain fail
+    * typed); fewer than 2 units fails typed — one unit has no
+    * leave-one-out resample and SE would be a silent 0.
+    *
+    * Plan: one corpus groupBy(unit) (map-side combined) to the units
+    * frame; everything after is units-sized (1-row totals broadcast,
+    * units-sized quantization, one final aggregate). */
+  def jackknifeRate(df: DataFrame, unitCol: String,
+      flagCol: String): DataFrame = {
+    val offDomain = df.filter(col(unitCol).isNull || col(flagCol).isNull ||
+        (col(flagCol) =!= 0L && col(flagCol) =!= 1L))
+      .limit(1).count()
+    require(offDomain == 0L,
+      s"jackknifeRate needs non-NULL '$unitCol' and 0/1 '$flagCol' values")
+    val dec = "decimal(38,0)"
+    val units = df.groupBy(col(unitCol))
+      .agg(count(lit(1)).as("_ns"), sum(col(flagCol).cast("long")).as("_ts"))
+      .localCheckpoint(true) // bounded (distinct units); read 3x
+    val s = units.count()
+    require(s >= 2L,
+      s"jackknifeRate needs >= 2 deletion units, got $s — one unit has " +
+        "no leave-one-out resample")
+    val tot = units.agg(sum(col("_ns")).as("_n"), sum(col("_ts")).as("_t"))
+    val q = units.crossJoin(broadcast(tot))
+      .select(col("_n"), col("_t"),
+        round((col("_t") - col("_ts")).cast("double") /
+          (col("_n") - col("_ns")).cast("double") * lit(1e9d))
+          .cast("long").as("_q"))
+    val a = q.agg(max(col("_n")).as("_n"), max(col("_t")).as("_t"),
+      sum(col("_q").cast(dec)).as("_sq"),
+      sum(col("_q").cast(dec) * col("_q")).as("_sqq"))
+    val va = (lit(s).cast(dec) * col("_sqq") - col("_sq") * col("_sq")) *
+      lit(s - 1L).cast(dec)
+    a.select(lit(s).as("n_units"), col("_n").as("n_docs"),
+      round(col("_t").cast("double") / col("_n").cast("double"), 6)
+        .as("rate"),
+      round(sqrt(va.cast("double")) / lit(s.toDouble) / lit(1e9d), 6)
+        .as("se_jack"))
+  }
 }

@@ -320,4 +320,34 @@ class SamplingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Sampling.neymanAllocation(
       Seq(("A", Option.empty[Double])).toDF("src", "v"), "src", "v", 10L))
   }
+
+  test("jackknifeRate: hand-traced two-source SE; identical units give 0") {
+    // u1 passes 2/2, u2 passes 0/2: rate 0.5, LOO rates 0 and 1,
+    // SE = sqrt(1*(2*1e18 - 1e18))/2/1e9 = 0.5
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 0L), ("b", 0L))
+      .toDF("src", "keep")
+    val got = Sampling.jackknifeRate(df, "src", "keep")
+      .as[(Long, Long, Double, Double)].head()
+    assert(got == ((2L, 4L, 0.5d, 0.5d)), got.toString)
+    // exchangeable units -> every LOO rate identical -> SE exactly 0
+    val same = Seq(("a", 1L), ("a", 0L), ("b", 1L), ("b", 0L))
+      .toDF("src", "keep")
+    val z = Sampling.jackknifeRate(same, "src", "keep")
+      .as[(Long, Long, Double, Double)].head()
+    assert(z == ((2L, 4L, 0.5d, 0.0d)), z.toString)
+    // partition invariance of the quantized variance lattice
+    val p = Sampling.jackknifeRate(same.repartition(7), "src", "keep")
+      .as[(Long, Long, Double, Double)].head()
+    assert(p == z)
+  }
+
+  test("jackknifeRate: typed guards — one unit, NULL, off-domain flag") {
+    intercept[IllegalArgumentException](Sampling.jackknifeRate(
+      Seq(("a", 1L), ("a", 0L)).toDF("src", "keep"), "src", "keep"))
+    intercept[IllegalArgumentException](Sampling.jackknifeRate(
+      Seq(("a", Option.empty[Long]), ("b", Option(1L))).toDF("src", "keep"),
+      "src", "keep"))
+    intercept[IllegalArgumentException](Sampling.jackknifeRate(
+      Seq(("a", 2L), ("b", 1L)).toDF("src", "keep"), "src", "keep"))
+  }
 }
