@@ -733,6 +733,21 @@ object RelationalQueries {
       "hour_idx", "value", period = 24)
   }
 
+  /** q233: least-squares CHANGE-POINT localization
+    * ([[graft.ops.ChangeDetect.changePoint]]) — q214's CUSUM says a
+    * persistent shift exists; this names the exact hour the level
+    * broke: the two-segment SSE-minimizing split of the hourly
+    * micro-mean series via prefix sums (O(buckets) candidates, O(1)
+    * each). Oracle replays grid, prefixes and the arg-max. */
+  def changePointHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.changePoint(
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp($"ts") / 3600).cast("long")
+          .as("hour_idx"), $"value"),
+      "hour_idx", "value")
+  }
+
   /** q142: freshness-weighted (exponentially decayed) event counts — the
     * recency signal behind trending/popularity features, with a 1-day
     * half-life. Determinism at scale: ages are bucketed to whole DAYS
@@ -1161,7 +1176,8 @@ object RelationalQueries {
     "q216_kendall_tau"     -> (kendallHourly _),
     "q217_theil_sen"       -> (theilSenHourly _),
     "q218_acf"             -> (acfHourly _),
-    "q228_seasonal"        -> (seasonalHourly _))
+    "q228_seasonal"        -> (seasonalHourly _),
+    "q233_change_point"    -> (changePointHourly _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -1920,5 +1936,41 @@ object RelationalQueries {
         |SELECT hod AS hour_of_day, CAST(COUNT(*) AS BIGINT) AS n_hours,
         |  ROUND(CAST(SUM(x) AS DOUBLE) /
         |    (CAST(COUNT(*) AS DOUBLE) * 48 * 1000000.0), 6) AS seasonal
-        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q233_change_point" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS m
+        |  FROM pb),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+        |    SUM(CAST(m AS HUGEINT)) AS s
+        |  FROM g),
+        |pre AS (
+        |  SELECT bucket,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bucket) AS BIGINT) AS n1,
+        |    SUM(CAST(m AS HUGEINT)) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+        |  FROM g),
+        |cand AS (
+        |  SELECT p.bucket, p.n1, p.s1, t.nb - p.n1 AS n2, t.s - p.s1 AS s2,
+        |    t.nb,
+        |    CAST(p.s1 AS DOUBLE) * CAST(p.s1 AS DOUBLE) / CAST(p.n1 AS DOUBLE)
+        |      + CAST(t.s - p.s1 AS DOUBLE) * CAST(t.s - p.s1 AS DOUBLE) /
+        |        CAST(t.nb - p.n1 AS DOUBLE) AS f
+        |  FROM pre p, tot t
+        |  WHERE p.n1 < t.nb)
+        |SELECT nb AS n_buckets, bucket AS break_bucket,
+        |  n1 AS n_before, n2 AS n_after,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0, 6) AS mean_before,
+        |  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000000.0, 6) AS mean_after,
+        |  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000000.0
+        |    - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0, 6) AS shift
+        |FROM cand
+        |ORDER BY f DESC, bucket LIMIT 1""".stripMargin)
 }

@@ -243,6 +243,67 @@ object ChangeDetect {
       .orderBy(col("lag"))
   }
 
+  /** LEAST-SQUARES change-point LOCALIZATION (binary-segmentation step;
+    * Scott & Knott 1974) — [[cusum]] says a persistent shift EXISTS and
+    * roughly when it crossed the alarm budget; this names the exact
+    * bucket the level broke: the split τ minimizing the two-segment
+    * SSE, found by maximizing f(τ) = S₁²∕n₁ + S₂²∕n₂ (equivalent since
+    * Σx² is constant) over every candidate split of the bucket-mean
+    * series.
+    *
+    * One row: (n_buckets, break_bucket, n_before, n_after, mean_before,
+    * mean_after, shift) — break_bucket is the LAST bucket of the first
+    * segment; shift = mean_after − mean_before in value units.
+    *
+    * Determinism: prefix sums over micro-quantized bucket means are
+    * exact; f is one fixed-order IEEE expression per candidate
+    * (identical on replay), arg-max tie-breaks on the earliest bucket;
+    * means are floated once, 6 dp. A constant series reports the
+    * earliest split with shift 0.0 — documented, not NaN.
+    *
+    * Plan: one grid aggregate, one bounded-grid prefix window (the
+    * [[cusum]] convention), one orderBy+limit(1) on the hours-sized
+    * candidate frame — candidates are O(buckets), each O(1) via the
+    * prefix sums, never the O(buckets²) two-sided rescan. */
+  def changePoint(df: DataFrame, bucketCol: String,
+      valueCol: String): DataFrame = {
+    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
+      .limit(1).count()
+    require(bad == 0L,
+      s"changePoint needs non-NULL '$bucketCol' and '$valueCol'")
+    val dec = "decimal(38,0)"
+    val grid = partialGrid(df, bucketCol, valueCol)
+      .withColumn("_mean",
+        round(col("_sm").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
+    val nb = grid.count()
+    require(nb >= 2L,
+      s"changePoint needs >= 2 buckets to split, got $nb")
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum(col("_mean").cast(dec)).as("_s"))
+    val cand = grid.select(col("bucket"),
+        row_number().over(Window.orderBy(col("bucket"))).as("_n1"),
+        sum(col("_mean").cast(dec)).over(w).as("_s1"))
+      .filter(col("_n1") < nb)
+      .crossJoin(broadcast(tot))
+      .withColumn("_n2", lit(nb) - col("_n1"))
+      .withColumn("_s2", col("_s") - col("_s1"))
+      .withColumn("_f",
+        col("_s1").cast("double") * col("_s1").cast("double") /
+          col("_n1").cast("double") +
+        col("_s2").cast("double") * col("_s2").cast("double") /
+          col("_n2").cast("double"))
+    val m1 = col("_s1").cast("double") / col("_n1").cast("double") / 1e6d
+    val m2 = col("_s2").cast("double") / col("_n2").cast("double") / 1e6d
+    cand.orderBy(col("_f").desc, col("bucket").asc).limit(1)
+      .select(lit(nb).as("n_buckets"), col("bucket").as("break_bucket"),
+        col("_n1").cast("long").as("n_before"), col("_n2").as("n_after"),
+        round(m1, 6).as("mean_before"), round(m2, 6).as("mean_after"),
+        round(m2 - m1, 6).as("shift"))
+  }
+
   /** CLASSICAL seasonal decomposition of a bucketed series (the moving-
     * average half of STL, kept exact): per-phase seasonal offsets after
     * removing a centered moving-average trend — the "is 3am ALWAYS

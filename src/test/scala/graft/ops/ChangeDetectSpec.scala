@@ -170,6 +170,35 @@ class ChangeDetectSpec extends SparkSpecBase {
       Seq((Option.empty[Long], 1.0)).toDF("b", "v"), "b", "v"))
   }
 
+  test("changePoint: planted step is localized exactly") {
+    // 10,10,10,30,30: split after bucket 2 -> means 10/30, shift 20
+    val obs = Seq((0L, 10.0d), (1L, 10.0d), (2L, 10.0d),
+      (3L, 30.0d), (4L, 30.0d)).toDF("b", "v")
+    val got = ChangeDetect.changePoint(obs, "b", "v")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(got == ((5L, 2L, 3L, 2L, 10.0d, 30.0d, 20.0d)), got.toString)
+    // partition invariance (prefix sums over the checkpointed grid)
+    val p = ChangeDetect.changePoint(obs.repartition(5), "b", "v")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(p == got)
+  }
+
+  test("changePoint: constant series tie-breaks earliest with shift 0") {
+    val flat = (0L to 4L).map((_, 7.0d)).toDF("b", "v")
+    val got = ChangeDetect.changePoint(flat, "b", "v")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(got == ((5L, 0L, 1L, 4L, 7.0d, 7.0d, 0.0d)), got.toString)
+    // within-bucket observations fold through the bucket mean first
+    val dup = Seq((0L, 5.0d), (0L, 15.0d), (1L, 30.0d)).toDF("b", "v")
+    val d = ChangeDetect.changePoint(dup, "b", "v")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(d == ((2L, 0L, 1L, 1L, 10.0d, 30.0d, 20.0d)), d.toString)
+    intercept[IllegalArgumentException](ChangeDetect.changePoint(
+      Seq((0L, 1.0d)).toDF("b", "v"), "b", "v"))
+    intercept[IllegalArgumentException](ChangeDetect.changePoint(
+      Seq((Option.empty[Long], 1.0d)).toDF("b", "v"), "b", "v"))
+  }
+
   test("seasonalDecompose: odd period uses the single centered window") {
     // period 3, pattern 10,20,30 repeating, no trend: seasonal = -10,0,+10
     val obs = (0L to 8L).map(b => (b, 10.0d * (b % 3 + 1))).toDF("b", "v")
