@@ -1750,6 +1750,38 @@ object PipelineQueries {
     graft.ops.Sampling.jackknifeRate(fl, "source", "keep")
   }
 
+  private val bpeIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once cache for the q234 PERSISTED tokenizer (the lmIndexFor
+    * discipline): trains q171's exact merge list once and commits it
+    * through the manifest protocol. */
+  private def bpeIndexFor(s: SparkSession, dir: String): String =
+    bpeIndexCache.computeIfAbsent(VectorQueries.corpusFingerprint(s, dir), _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_bpe_idx").toFile
+      d.deleteOnExit()
+      graft.ops.BpeIndex.build(Tables.documents(s, dir), "text", d.toString,
+        merges = 6, batchR = 2)
+      d.toString
+    })
+
+  /** q234: corpus encode from the PERSISTED tokenizer
+    * ([[graft.ops.BpeIndex.encode]]) — the q181 chain served from a
+    * manifest-committed merge-table artifact instead of in-session
+    * state, closing the artifact lifecycle across all four model
+    * families (LM counts, BM25 postings, IVF cells, now the
+    * tokenizer). Same oracle as q181 (the LIVE training + encode
+    * replay), so a hash match proves persisted ≡ live ≡ DuckDB. */
+  def bpePersistedEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.BpeIndex.encode(s, bpeIndexFor(s, dir),
+        Tables.documents(s, dir), "doc_id", "text")
+      .select($"doc_id", $"n_tokens",
+        concat_ws("_", transform($"token_ids", x => x.cast("string")))
+          .as("tokens_str"))
+      .orderBy($"doc_id")
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2887,7 +2919,8 @@ object PipelineQueries {
     "q229_gate_plan"      -> (gatePlanQuery _),
     "q230_cochran_q"      -> (gateCochranQ _),
     "q231_jackknife"      -> (jackknifeKeepRate _),
-    "q232_capture_recapture" -> (dedupCaptureRecapture _))
+    "q232_capture_recapture" -> (dedupCaptureRecapture _),
+    "q234_bpe_persisted"  -> (bpePersistedEncode _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -6759,6 +6792,15 @@ object PipelineQueries {
          |      CAST(t * 3 - sr2 AS DOUBLE), 6)
          |  END AS q_stat
          |FROM m""".stripMargin,
+    // q234: identical SQL to q181 — the oracle replays the LIVE
+    // training + encode, so the persisted-artifact serving path must
+    // hash-match it (persisted ≡ live ≡ DuckDB)
+    "q234_bpe_persisted" ->
+      s"""WITH $bpeBatchedCtes,
+         |$bpeEncodeCtes
+         |SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_transform(tids, x -> CAST(x AS VARCHAR)), '_') AS tokens_str
+         |FROM enc ORDER BY doc_id""".stripMargin,
     "q231_jackknife" ->
       s"""WITH $gopherCtes,
          |u AS (
