@@ -69,6 +69,21 @@ object ChangeDetect {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("_vm")).as("_sm"))
 
+  /** Merge stacked per-batch partials into the final micro-mean grid —
+    * a no-op re-aggregation on an already-final grid, the cross-batch
+    * combine on monitor state; every bucket-mean consumer
+    * ([[changePoint]], [[seasonalDecompose]], the streaming probes)
+    * shares this one definition so stream ≡ batch holds by
+    * construction. */
+  private[graft] def mergedMeanGrid(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"), sum(col("_sm")).as("_sm"))
+      .withColumn("_mean",
+        round(col("_sm").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
+
   /** The CUSUM statistic over a (possibly partial-per-bucket) grid:
     * re-aggregates per bucket first — a no-op on a final grid, the
     * cross-batch merge on stacked partials — then runs the drawup
@@ -271,12 +286,15 @@ object ChangeDetect {
       .limit(1).count()
     require(bad == 0L,
       s"changePoint needs non-NULL '$bucketCol' and '$valueCol'")
+    changePointFromPartials(partialGrid(df, bucketCol, valueCol))
+  }
+
+  /** [[changePoint]] over a (possibly partial-per-bucket) grid — the
+    * cross-batch merge first (a no-op on a final grid), then the same
+    * split search. Serves the streaming monitor's persisted state. */
+  private[graft] def changePointFromPartials(partials: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val grid = partialGrid(df, bucketCol, valueCol)
-      .withColumn("_mean",
-        round(col("_sm").cast("double") / col("n").cast("double"))
-          .cast("long"))
-      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
+    val grid = mergedMeanGrid(partials)
     val nb = grid.count()
     require(nb >= 2L,
       s"changePoint needs >= 2 buckets to split, got $nb")
@@ -343,12 +361,18 @@ object ChangeDetect {
       .limit(1).count()
     require(bad == 0L,
       s"seasonalDecompose needs non-NULL '$bucketCol' and '$valueCol'")
+    seasonalFromPartials(partialGrid(df, bucketCol, valueCol), period)
+  }
+
+  /** [[seasonalDecompose]] over a (possibly partial-per-bucket) grid —
+    * cross-batch merge first, then the same window arithmetic. Serves
+    * the streaming monitor's persisted state. */
+  private[graft] def seasonalFromPartials(partials: DataFrame,
+      period: Int): DataFrame = {
+    require(period >= 2 && period <= 8784,
+      s"period must be in [2, 8784], got $period")
     val dec = "decimal(38,0)"
-    val grid = partialGrid(df, bucketCol, valueCol)
-      .withColumn("_mean",
-        round(col("_sm").cast("double") / col("n").cast("double"))
-          .cast("long"))
-      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
+    val grid = mergedMeanGrid(partials)
     val h = period / 2
     // even: the two straddling windows of the 2xMA; odd: twice the one
     // centered window (sa = sb) — the unified x/(2*period) ratio holds

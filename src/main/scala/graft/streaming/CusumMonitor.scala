@@ -71,12 +71,31 @@ object CusumMonitor {
     * of all monitored batches, whatever the batch boundaries or event
     * arrival order. Typed failure before the first batch lands. */
   def cusumState(spark: SparkSession, gridDir: String,
-      target: Double, slack: Double, threshold: Double): DataFrame = {
+      target: Double, slack: Double, threshold: Double): DataFrame =
+    ChangeDetect.cusumFromPartials(partials(spark, gridDir),
+      target, slack, threshold)
+
+  /** CHANGE-POINT localization over the monitored state — q233's
+    * two-segment split search served from the SAME persisted grid the
+    * CUSUM probe reads: one state, many detectors. Identical rows to
+    * `ChangeDetect.changePoint` on the union of all monitored batches
+    * (spec-proven), under any batch boundaries or arrival order. */
+  def changePointState(spark: SparkSession, gridDir: String): DataFrame =
+    ChangeDetect.changePointFromPartials(partials(spark, gridDir))
+
+  /** SEASONAL profile over the monitored state — q228's centered-MA
+    * phase offsets from the same persisted grid. Identical rows to
+    * `ChangeDetect.seasonalDecompose` on the union (spec-proven). */
+  def seasonalState(spark: SparkSession, gridDir: String,
+      period: Int = 24): DataFrame =
+    ChangeDetect.seasonalFromPartials(partials(spark, gridDir), period)
+
+  /** The stacked per-batch partials — resolved once per probe; typed
+    * failure before the first batch lands. */
+  private def partials(spark: SparkSession, gridDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(gridDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no monitored batches under $gridDir yet")
-    ChangeDetect.cusumFromPartials(
-      spark.read.parquet(gridDir).select(col("bucket"), col("n"), col("_sm")),
-      target, slack, threshold)
+    spark.read.parquet(gridDir).select(col("bucket"), col("n"), col("_sm"))
   }
 }

@@ -61,4 +61,34 @@ class CusumMonitorSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](CusumMonitor.observeBatch(
       Seq((1L, Option.empty[Double])).toDF("b", "v"), 9L, grid, "b", "v"))
   }
+
+  test("changePoint and seasonal probes serve stream == batch from the same grid") {
+    // one persisted state, three detectors: build the monitor grid from
+    // two batches that SPLIT a bucket and back-fill late data, then
+    // every probe must match its batch twin on the union
+    val batch1 = Seq((0L, 10.0), (1L, 10.0), (2L, 10.0), (3L, 28.0))
+    val batch2 = Seq((3L, 32.0), (4L, 30.0), (5L, 30.0), (1L, 10.0))
+    val base = java.nio.file.Files.createTempDirectory("cusum_probes_").toString
+    val grid = s"$base/grid"
+    CusumMonitor.observeBatch(batch1.toDF("b", "v"), 0L, grid, "b", "v")
+    CusumMonitor.observeBatch(batch2.toDF("b", "v"), 1L, grid, "b", "v")
+    val union = (batch1 ++ batch2).toDF("b", "v")
+
+    val cpStream = CusumMonitor.changePointState(spark, grid)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    val cpBatch = ChangeDetect.changePoint(union, "b", "v")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(cpStream == cpBatch, s"$cpStream vs $cpBatch")
+    // the planted step (10 -> 30, split bucket 3 pooled to mean 30)
+    assert(cpStream._2 == 2L && cpStream._7 == 20.0d, cpStream.toString)
+
+    val seasStream = CusumMonitor.seasonalState(spark, grid, period = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    val seasBatch = ChangeDetect.seasonalDecompose(union, "b", "v", period = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(seasStream == seasBatch, s"$seasStream vs $seasBatch")
+
+    intercept[IllegalArgumentException](
+      CusumMonitor.changePointState(spark, s"$base/never"))
+  }
 }
