@@ -60,7 +60,11 @@ object DumpPlans {
     "q167_backoff_trigram" -> "stupid-backoff LM: per-branch micro-scores precomputed on vocab-sized model tables — THREE hot/cold corpus joins (one per n-gram order), was five",
     "q168_lm_index_score"  -> "LM serving: persisted tri/bi/uni deltas re-aggregated + the q167 three-join probe — the training corpus appears nowhere in the plan",
     "q172_components_append" -> "incremental components: affected-cluster star edges ∪ new pairs re-solved, untouched labels pass through — (id, label)-sized state only",
-    "q174_pca_project" -> "PCA projection: eigenvectors as literals in ONE map-only corpus pass — exact-long dots, DECIMAL norms, TakeOrderedAndProject top-N, no join")
+    "q174_pca_project" -> "PCA projection: eigenvectors as literals in ONE map-only corpus pass — exact-long dots, DECIMAL norms, TakeOrderedAndProject top-N, no join",
+    "q225_contamination_runs" -> "contamination runs: codegen positional n-gram kernel + broadcast eval-gram semi join — corpus text never shuffles; the window runs over HIT positions only",
+    "q227_textrank" -> "TextRank: corpus bigram explode collapses to the vocabulary-edge graph via DISTINCT before any PageRank round touches it",
+    "q229_gate_plan" -> "gate planner: ONE map-only pass to a single row of conditional aggregates — the corpus is never shuffled at all",
+    "q234_bpe_persisted" -> "persisted tokenizer serving: merge table read from the manifest, vocab-sized fold + hotColdJoin word lookup — training appears nowhere in the plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
