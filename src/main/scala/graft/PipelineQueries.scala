@@ -1782,6 +1782,18 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q235: token BURSTINESS ([[TextAnalysis.tokenBurstiness]]) — the
+    * dispersion axis next to q45's TF-IDF and q227's TextRank: which
+    * tokens concentrate their mass in FEW documents (topical bursts)
+    * vs Poisson scatter (function words, boilerplate noise). Exact
+    * integer moments with zeros included via the closed form; the
+    * nano-quantized Fano orders the top-25 deterministically. */
+  def burstinessTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.tokenBurstiness(Tables.documents(s, dir), "doc_id", "text",
+      topK = 25, minDf = 5L)
+  }
+
   /** Weekly cohort retention triangle over events (ops.Funnel.retention). */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2920,7 +2932,8 @@ object PipelineQueries {
     "q230_cochran_q"      -> (gateCochranQ _),
     "q231_jackknife"      -> (jackknifeKeepRate _),
     "q232_capture_recapture" -> (dedupCaptureRecapture _),
-    "q234_bpe_persisted"  -> (bpePersistedEncode _))
+    "q234_bpe_persisted"  -> (bpePersistedEncode _),
+    "q235_burstiness"     -> (burstinessTop _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -6792,6 +6805,27 @@ object PipelineQueries {
          |      CAST(t * 3 - sr2 AS DOUBLE), 6)
          |  END AS q_stat
          |FROM m""".stripMargin,
+    "q235_burstiness" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token
+         |  FROM documents),
+         |pd AS (
+         |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tk WHERE length(token) > 0 GROUP BY 1, 2),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |pt AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         |    CAST(SUM(c) AS BIGINT) AS tf,
+         |    SUM(CAST(c AS HUGEINT) * c) AS s2
+         |  FROM pd GROUP BY 1),
+         |f AS (
+         |  SELECT token, df, tf,
+         |    CAST(round(1000000000.0 *
+         |      CAST(CAST(nd.n AS HUGEINT) * s2 - CAST(tf AS HUGEINT) * tf AS DOUBLE) /
+         |      CAST(CAST(nd.n AS HUGEINT) * tf AS DOUBLE)) AS BIGINT) AS fn
+         |  FROM pt, nd WHERE df >= 5)
+         |SELECT token, df, tf, CAST(fn AS DOUBLE) / 1000000000.0 AS fano
+         |FROM f ORDER BY fn DESC, token LIMIT 25""".stripMargin,
     // q234: identical SQL to q181 — the oracle replays the LIVE
     // training + encode, so the persisted-artifact serving path must
     // hash-match it (persisted ≡ live ≡ DuckDB)

@@ -1694,6 +1694,58 @@ object TextAnalysis {
         round(col("_mi_nano").cast("double") / 1e9d, 6).as("mi"))
   }
 
+  /** Token BURSTINESS (index of dispersion / Fano factor; Church & Gale
+    * 1995) — the topicality axis the frequency axes miss: a corpus-rare
+    * token can be uniformly sprinkled (OCR noise, boilerplate tokens)
+    * or BURSTY (all its mass in few documents — a topical content
+    * word). Fano = var∕mean of the per-document count, zeros included:
+    *   F(t) = (N·Σc² − T²) ∕ (N·T)
+    * with N total documents, c the per-doc counts and T = Σc. F ≈ 1 is
+    * Poisson scatter (function words approach it), F ≫ 1 is burst —
+    * the signal behind stopword induction and topical-keyword cuts
+    * that complements [[tfidf]] (corpus-global, not per-doc) and
+    * [[textRankKeywords]] (adjacency, not dispersion).
+    *
+    * Top-`topK` rows by burstiness desc (ties → token asc):
+    * (token, df, tf, fano). `minDf` drops one-off tokens whose
+    * dispersion is noise (documented parameter, not a silent cut).
+    *
+    * Determinism: every moment is an exact integer from one
+    * (doc, token) groupBy; fano is nano-quantized to a long BEFORE the
+    * top-k order, then floated once — so the cut and the values replay
+    * bit-for-bit on any engine.
+    *
+    * Plan: one corpus explode → (token, doc) groupBy (map-side
+    * combined) → vocab-sized per-token aggregate × a broadcast 1-row
+    * doc count → TakeOrderedAndProject topK. Nothing after the first
+    * combine is corpus-sized. */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 25, minDf: Long = 5L): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    require(minDf >= 1L, s"need minDf >= 1, got $minDf")
+    val dec = "decimal(38,0)"
+    val tot = df.agg(count(lit(1)).as("_nd"))
+    val perDoc = df
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"), col("_id"))
+      .agg(count(lit(1)).as("_c"))
+    val perTok = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("_c")).as("tf"),
+        sum(col("_c").cast(dec) * col("_c")).as("_s2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(tot))
+    val fanoNano = round(lit(1e9d) *
+      (col("_nd").cast(dec) * col("_s2") - col("tf").cast(dec) * col("tf"))
+        .cast("double") /
+      (col("_nd").cast(dec) * col("tf")).cast("double")).cast("long")
+    perTok.withColumn("_fn", fanoNano)
+      .orderBy(col("_fn").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("df"), col("tf"),
+        (col("_fn").cast("double") / 1e9d).as("fano"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank over
     * the ADJACENT-token co-occurrence graph: a token matters when it
     * sits next to other tokens that matter, the unsupervised complement

@@ -854,6 +854,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](TextAnalysis.goodTuring(df, "text", 0))
   }
 
+  test("tokenBurstiness: bursty token outranks scattered; uniform scores 0") {
+    // x: [4,0,0,0] -> F = (4*16-16)/(4*4) = 3; u: [1,1,1,1] -> F = 0
+    // (sub-Poisson regularity); y: [2,0,2,0] -> (4*8-16)/(4*4) = 1
+    val df = Seq(
+      (1L, "x x x x u y y"), (2L, "u"), (3L, "u y y"), (4L, "u"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenBurstiness(df, "doc_id", "text",
+        topK = 10, minDf = 1L)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("x", "y", "u"), got.toString)
+    assert(got.map(r => math.round(r._4 * 1e9d)) ==
+      Seq(3000000000L, 1000000000L, 0L), got.toString)
+    assert(got.head == (("x", 1L, 4L, 3.0d)), got.toString)
+    // minDf cuts the rare token BEFORE the top-k order
+    val cut = TextAnalysis.tokenBurstiness(df, "doc_id", "text",
+        topK = 10, minDf = 2L)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(cut.map(_._1) == Seq("y", "u"), cut.toString)
+    intercept[IllegalArgumentException](
+      TextAnalysis.tokenBurstiness(df, "doc_id", "text", topK = 0))
+  }
+
   test("textRankKeywords: hub token outranks leaves, leaf ties break on token") {
     // star graph via bigrams: hub-x, hub-y, hub-z
     val df = Seq((1L, "hub x"), (2L, "hub y"), (3L, "hub z"))
