@@ -827,6 +827,38 @@ object RelationalQueries {
           sqrt($"_va" / $"n_a" + $"_vb" / $"n_b"), 6).as("welch_t"))
   }
 
+  /** q236: CUPED-adjusted A/B lift
+    * ([[graft.ops.ClassifierEval.cupedLift]]) — q154's experiment
+    * readout made sensitive: each user's post-period mean value is
+    * adjusted by their own PRE-period mean (periods split at the
+    * integer midpoint of the event time range, users present in both),
+    * θ and the variance reduction pooled across arms. Exact per-user
+    * micro means, exact DECIMAL moments, fixed-order lifts. */
+  def cupedExperiment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_timestamp($"ts").cast("long").as("ep"),
+        round($"value" * 1e6d).cast("long").as("vm"))
+    val mid = ev.agg(expr("(min(ep) + max(ep)) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"ep" < $"mid", 1L).otherwise(0L)).as("n_pre"),
+        sum(when($"ep" < $"mid", $"vm").otherwise(0L).cast(dec)).as("s_pre"),
+        sum(when($"ep" >= $"mid", 1L).otherwise(0L)).as("n_post"),
+        sum(when($"ep" >= $"mid", $"vm").otherwise(0L).cast(dec)).as("s_post"))
+      .filter($"n_pre" > 0L && $"n_post" > 0L)
+      .select($"user_id",
+        (round($"s_post".cast("double") / $"n_post".cast("double"))
+          .cast("long").cast("double") / 1e6d).as("y"),
+        (round($"s_pre".cast("double") / $"n_pre".cast("double"))
+          .cast("long").cast("double") / 1e6d).as("x"),
+        when(graft.ops.Sampling.hashBucket($"user_id") < 50, "A")
+          .otherwise("B").as("arm"))
+    graft.ops.ClassifierEval.cupedLift(per, "arm", "y", "x")
+  }
+
   /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
@@ -1177,7 +1209,8 @@ object RelationalQueries {
     "q217_theil_sen"       -> (theilSenHourly _),
     "q218_acf"             -> (acfHourly _),
     "q228_seasonal"        -> (seasonalHourly _),
-    "q233_change_point"    -> (changePointHourly _))
+    "q233_change_point"    -> (changePointHourly _),
+    "q236_cuped"           -> (cupedExperiment _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -1972,5 +2005,61 @@ object RelationalQueries {
         |  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000000.0
         |    - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0, 6) AS shift
         |FROM cand
-        |ORDER BY f DESC, bucket LIMIT 1""".stripMargin)
+        |ORDER BY f DESC, bucket LIMIT 1""".stripMargin,
+    "q236_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ep,
+        |    CAST(round(value * 1e6) AS HUGEINT) AS vm
+        |  FROM events),
+        |mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS mid FROM e),
+        |u AS (
+        |  SELECT user_id, mid.mid,
+        |    CAST(SUM(CASE WHEN ep < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |    SUM(CASE WHEN ep < mid THEN vm ELSE 0 END) AS s_pre,
+        |    CAST(SUM(CASE WHEN ep >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+        |    SUM(CASE WHEN ep >= mid THEN vm ELSE 0 END) AS s_post
+        |  FROM e, mid GROUP BY user_id, mid.mid),
+        |v AS (
+        |  SELECT user_id,
+        |    CAST(round(CAST(s_post AS DOUBLE) / CAST(n_post AS DOUBLE)) AS BIGINT) AS ymu,
+        |    CAST(round(CAST(s_pre AS DOUBLE) / CAST(n_pre AS DOUBLE)) AS BIGINT) AS xmu,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM u WHERE n_pre > 0 AND n_post > 0),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(ymu AS HUGEINT) ELSE 0 END) AS sya,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(ymu AS HUGEINT) ELSE 0 END) AS syb,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(xmu AS HUGEINT) ELSE 0 END) AS sxa,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(xmu AS HUGEINT) ELSE 0 END) AS sxb,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(xmu AS HUGEINT)) AS sx, SUM(CAST(ymu AS HUGEINT)) AS sy,
+        |    SUM(CAST(xmu AS HUGEINT) * ymu) AS sxy,
+        |    SUM(CAST(xmu AS HUGEINT) * xmu) AS sxx,
+        |    SUM(CAST(ymu AS HUGEINT) * ymu) AS syy
+        |  FROM v),
+        |m2 AS (
+        |  SELECT *,
+        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS denx,
+        |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS deny,
+        |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mya,
+        |    CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS myb,
+        |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mxa,
+        |    CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mxb,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM m),
+        |m3 AS (
+        |  SELECT *, CASE WHEN denx <= 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE num / denx END AS k
+        |  FROM m2)
+        |SELECT 'A' AS arm_a, 'B' AS arm_b, na AS n_a, nb AS n_b,
+        |  ROUND((myb - mya) / 1000000.0, 6) AS lift_raw,
+        |  ROUND(((myb - k * (mxb - xbar)) - (mya - k * (mxa - xbar))) / 1000000.0, 6) AS lift_cuped,
+        |  ROUND(k, 6) AS theta,
+        |  CASE WHEN denx <= 0 OR deny <= 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE ROUND(num * num / (denx * deny), 6) END AS var_reduction
+        |FROM m3""".stripMargin)
 }

@@ -614,6 +614,84 @@ object ClassifierEval {
           (col("_k").cast("double") * 1e6d), 6).as("macro_f1"))
   }
 
+  /** CUPED-adjusted experiment lift (Controlled-experiment Using
+    * Pre-Experiment Data; Deng et al. 2013) — the variance-reduction
+    * step that makes the q154 A/B readout sensitive enough for small
+    * curation-change effects: each unit's metric Y is adjusted by its
+    * own PRE-period covariate X, Y' = Y − θ·(X − X̄), with
+    * θ = cov(X,Y)∕var(X) pooled across arms. Unit-level pre-period
+    * behavior absorbs between-user variance the raw difference of
+    * means pays for; the residual variance is (1 − ρ²) of the
+    * original — reported so the reader knows what the adjustment
+    * bought.
+    *
+    * Input: ONE ROW PER UNIT (user), with the arm label, the
+    * experiment-period metric and the pre-period covariate. One output
+    * row: (arm_a, arm_b, n_a, n_b, lift_raw, lift_cuped, theta,
+    * var_reduction) — arms ordered lexicographically, lift = B − A.
+    *
+    * Zero covariate variance (or a degenerate metric) reports
+    * θ = 0 ∕ var_reduction = 0 and lift_cuped = lift_raw — no signal
+    * to exploit, documented rather than NaN. Exactly two arms and
+    * non-NULL values are typed requirements.
+    *
+    * Determinism: values are micro-quantized; all moment sums are
+    * exact DECIMAL on any partitioning; θ, ρ² and the two lifts are
+    * fixed-order IEEE expressions over exact components, 6 dp.
+    *
+    * Plan: one map-only pass with conditional aggregates to a 1-row
+    * frame (units never shuffle); the two arm labels are a bounded
+    * 2-row distinct pulled once. */
+  def cupedLift(df: DataFrame, armCol: String, yCol: String,
+      xCol: String): DataFrame = {
+    val nulls = df.filter(col(armCol).isNull || col(yCol).isNull ||
+      col(xCol).isNull).limit(1).count()
+    require(nulls == 0L,
+      s"cupedLift needs non-NULL '$armCol'/'$yCol'/'$xCol' values")
+    val arms = df.select(col(armCol).cast("string")).distinct()
+      .limit(3).collect().map(_.getString(0)).sorted.toSeq
+    require(arms.size == 2,
+      s"cupedLift needs exactly 2 arms, got ${arms.mkString(", ")}")
+    val Seq(armA, armB) = arms
+    val dec = "decimal(38,0)"
+    val ym = round(col(yCol).cast("double") * 1e6d).cast("long")
+    val xm = round(col(xCol).cast("double") * 1e6d).cast("long")
+    def armSum(a: String, v: org.apache.spark.sql.Column) =
+      sum(when(col(armCol) === a, v).otherwise(lit(0L)).cast(dec))
+    val m = df.agg(
+      sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("_na"),
+      sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("_nb"),
+      armSum(armA, ym).as("_sya"), armSum(armB, ym).as("_syb"),
+      armSum(armA, xm).as("_sxa"), armSum(armB, xm).as("_sxb"),
+      count(lit(1)).as("_n"),
+      sum(xm.cast(dec)).as("_sx"), sum(ym.cast(dec)).as("_sy"),
+      sum(xm.cast(dec) * ym).as("_sxy"),
+      sum(xm.cast(dec) * xm).as("_sxx"),
+      sum(ym.cast(dec) * ym).as("_syy"))
+    def d(c: String) = col(c).cast("double")
+    val num = (col("_n").cast(dec) * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("double")
+    val denX = (col("_n").cast(dec) * col("_sxx") - col("_sx") * col("_sx"))
+      .cast("double")
+    val denY = (col("_n").cast(dec) * col("_syy") - col("_sy") * col("_sy"))
+      .cast("double")
+    val k = when(denX <= 0.0d, lit(0.0d)).otherwise(num / denX)
+    val xbar = d("_sx") / d("_n")
+    val mya = d("_sya") / d("_na")
+    val myb = d("_syb") / d("_nb")
+    val mxa = d("_sxa") / d("_na")
+    val mxb = d("_sxb") / d("_nb")
+    m.select(lit(armA).as("arm_a"), lit(armB).as("arm_b"),
+      col("_na").as("n_a"), col("_nb").as("n_b"),
+      round((myb - mya) / 1e6d, 6).as("lift_raw"),
+      round(((myb - k * (mxb - xbar)) - (mya - k * (mxa - xbar))) / 1e6d, 6)
+        .as("lift_cuped"),
+      round(k, 6).as("theta"),
+      when(denX <= 0.0d || denY <= 0.0d, lit(0.0d))
+        .otherwise(round(num * num / (denX * denY), 6))
+        .as("var_reduction"))
+  }
+
   /** COCHRAN'S Q — [[mcnemar]] generalized to k ≥ 2 correlated binary
     * gates over the SAME documents (Cochran 1950), the way
     * [[fleissKappa]] generalizes Cohen's κ: do the k gates differ in

@@ -270,6 +270,42 @@ class ClassifierEvalSpec extends SparkSpecBase {
       Seq((true, Option.empty[Boolean])).toDF("a", "b"), "a", "b"))
   }
 
+  test("cupedLift: imbalanced pre-period is corrected toward the true effect") {
+    // Y = X + 5 for arm b, Y = X for arm a; but b's users happen to have
+    // higher pre-period X (12, 22 vs 10, 20) -> raw lift over-reads 7,
+    // CUPED pulls it to 2000/416 = 4.807692 with theta = 456/416
+    val df = Seq(
+      ("u1", "a", 10.0, 10.0), ("u2", "a", 20.0, 20.0),
+      ("u3", "b", 17.0, 12.0), ("u4", "b", 27.0, 22.0))
+      .toDF("u", "arm", "y", "x")
+    val got = ClassifierEval.cupedLift(df, "arm", "y", "x")
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .head()
+    assert(got._1 == "a" && got._2 == "b" && got._3 == 2L && got._4 == 2L)
+    assert(got._5 == 7.0d, s"raw lift: $got")
+    assert(math.abs(got._6 - 4.807692d) < 1e-6, s"cuped lift: $got")
+    assert(math.abs(got._7 - 1.096154d) < 1e-6, s"theta: $got")
+    assert(math.abs(got._8 - 207936.0d / 247936.0d) < 1e-6, s"rho2: $got")
+  }
+
+  test("cupedLift: zero covariate variance degrades to the raw lift") {
+    val df = Seq(("u1", "a", 10.0, 7.0), ("u2", "b", 16.0, 7.0))
+      .toDF("u", "arm", "y", "x")
+    val got = ClassifierEval.cupedLift(df, "arm", "y", "x")
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .head()
+    assert(got._5 == 6.0d && got._6 == 6.0d && got._7 == 0.0d &&
+      got._8 == 0.0d, got.toString)
+    intercept[IllegalArgumentException](ClassifierEval.cupedLift(
+      df.filter($"arm" === "a"), "arm", "y", "x"))
+    intercept[IllegalArgumentException](ClassifierEval.cupedLift(
+      df.union(Seq(("u3", "c", 1.0, 1.0)).toDF("u", "arm", "y", "x")),
+      "arm", "y", "x"))
+    intercept[IllegalArgumentException](ClassifierEval.cupedLift(
+      Seq(("u1", "a", Option.empty[Double], 1.0), ("u2", "b", Option(1.0), 1.0))
+        .toDF("u", "arm", "y", "x"), "arm", "y", "x"))
+  }
+
   test("cochranQ: hand-traced statistic; unanimous docs cancel") {
     // C=(3,2,1), T=6, sumR2=14: Q = 2*(3*14-36)/(18-14) = 3.0
     val df = Seq(
