@@ -100,7 +100,8 @@ object Bench {
     "q225_contamination_runs", "q226_kcore", "q227_textrank",
     "q228_seasonal", "q229_gate_plan", "q230_cochran_q",
     "q231_jackknife", "q232_capture_recapture", "q233_change_point",
-    "q234_bpe_persisted", "q235_burstiness", "q236_cuped")
+    "q234_bpe_persisted", "q235_burstiness", "q236_cuped",
+    "q237_ks_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

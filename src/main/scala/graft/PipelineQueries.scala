@@ -848,6 +848,27 @@ object PipelineQueries {
       "conf")
   }
 
+  /** q237: per-SOURCE score-drift KS
+    * ([[graft.ops.ClassifierEval.ksDistanceByGroup]]) — q203's global
+    * sup can hide a fully-drifted minority source under a stable
+    * majority; this names the offender: the same early/late cohorts,
+    * the same exact cross-multiplied sup, windows partitioned by
+    * source. Sources with an empty cohort report 0 with the zero count
+    * exposing why. */
+  def ksDriftBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .withColumn("early", $"doc_id" < 250)
+    graft.ops.ClassifierEval.ksDistanceByGroup(conf, "source", "early",
+        "conf")
+      .orderBy($"source")
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -2933,7 +2954,8 @@ object PipelineQueries {
     "q231_jackknife"      -> (jackknifeKeepRate _),
     "q232_capture_recapture" -> (dedupCaptureRecapture _),
     "q234_bpe_persisted"  -> (bpePersistedEncode _),
-    "q235_burstiness"     -> (burstinessTop _))
+    "q235_burstiness"     -> (burstinessTop _),
+    "q237_ks_by_source"   -> (ksDriftBySource _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -4269,6 +4291,39 @@ object PipelineQueries {
          |    (CAST(MIN(ta) AS DOUBLE) * CAST(MIN(tb) AS DOUBLE)), 6) AS d,
          |  ROUND(CAST(MIN(sm) AS DOUBLE) / 1e6, 6) AS d_at
          |FROM df, dm WHERE df.dn = dm.d""".stripMargin,
+    // q237: the q203 replay keyed by source — per-source grid CDFs,
+    // PARTITIONed windows, per-source sup with the same tie-break
+    "q237_ks_by_source" ->
+      s"""WITH $classifierPredCtes,
+         |ps AS (
+         |  SELECT d.source AS g, p.doc_id < 250 AS isa,
+         |    CAST(round(p.conf * 1e6) AS BIGINT) AS sm
+         |  FROM pred p JOIN documents d USING (doc_id)),
+         |cells AS (
+         |  SELECT g, sm,
+         |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS nb
+         |  FROM ps GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT g, sm,
+         |    CAST(SUM(na) OVER (PARTITION BY g ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+         |    CAST(SUM(nb) OVER (PARTITION BY g ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+         |  FROM cells),
+         |tt AS (SELECT g, MAX(ca) AS ta, MAX(cb) AS tb FROM cum GROUP BY 1),
+         |df2 AS (
+         |  SELECT cum.g, sm, ABS(ca * tb - cb * ta) AS dn, ta, tb
+         |  FROM cum JOIN tt USING (g)),
+         |dm AS (SELECT g, MAX(dn) AS dmx FROM df2 GROUP BY 1)
+         |SELECT d2.g AS source, MIN(ta) AS n_a, MIN(tb) AS n_b,
+         |  CASE WHEN MIN(ta) = 0 OR MIN(tb) = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(CAST(MIN(dn) AS DOUBLE) /
+         |      (CAST(MIN(ta) AS DOUBLE) * CAST(MIN(tb) AS DOUBLE)), 6) END AS d,
+         |  CASE WHEN MIN(ta) = 0 OR MIN(tb) = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(CAST(MIN(sm) AS DOUBLE) / 1e6, 6) END AS d_at
+         |FROM df2 d2 JOIN dm ON d2.g = dm.g AND d2.dn = dm.dmx
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q204: per-(source, length) counts, length-grid cumulative, the
     // exact grouped Gini identity in HUGEINT, one final divide
     "q204_token_gini" ->

@@ -450,6 +450,59 @@ object ClassifierEval {
         round(min(col("_sm")).cast("double") / 1e6d, 6).as("d_at"))
   }
 
+  /** Per-GROUP two-sample KS — [[ksDistance]] partitioned by a group
+    * column (source, shard, language): WHICH slice drifted, not just
+    * whether the corpus did. The global sup can hide a fully-drifted
+    * minority source under a stable majority; per-source sups name the
+    * offender. Cohort membership is a boolean column (true = side A),
+    * so one frame carries both samples.
+    *
+    * One row per group: (group, n_a, n_b, d, d_at) — same integer
+    * cross-multiplied sup and smallest-score argmax tie-break as
+    * [[ksDistance]], windows PARTITIONED by group (grid-sized per
+    * group, never corpus-wide). A group with an EMPTY cohort reports
+    * d = 0.0 ∕ d_at = 0.0 with the zero count exposing why — absence
+    * of evidence is not drift, and a silently dropped group would
+    * over-report stability exactly when ingest for it stopped (the
+    * rankingMetrics lesson). NULLs fail typed. */
+  def ksDistanceByGroup(df: DataFrame, groupCol: String, cohortCol: String,
+      confCol: String): DataFrame = {
+    val bad = df.filter(col(groupCol).isNull || col(cohortCol).isNull ||
+      col(confCol).isNull).limit(1).count()
+    require(bad == 0L,
+      s"ksDistanceByGroup needs non-NULL '$groupCol'/'$cohortCol'/'$confCol'")
+    val cells = df.select(col(groupCol).as("_g"),
+        col(cohortCol).cast("boolean").as("_a"),
+        round(col(confCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      .groupBy(col("_g"), col("_sm"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("_ca", sum(col("_na")).over(w))
+      .withColumn("_cb", sum(col("_nb")).over(w))
+      .localCheckpoint(true) // grid-sized, read twice (totals + argmax)
+    val tot = cum.groupBy(col("_g"))
+      .agg(max(col("_ca")).as("_ta"), max(col("_cb")).as("_tb"))
+    val diffs = cum.join(tot, Seq("_g"))
+      .withColumn("_dn", abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")))
+    val dMax = diffs.groupBy(col("_g")).agg(max(col("_dn")).as("_dm"))
+    val empty = col("n_a") === 0L || col("n_b") === 0L
+    diffs.join(dMax, Seq("_g")).filter(col("_dn") === col("_dm"))
+      .groupBy(col("_g"))
+      .agg(min(col("_ta")).as("n_a"), min(col("_tb")).as("n_b"),
+        min(col("_dn")).as("_d"), min(col("_sm")).as("_at"))
+      .select(col("_g").as(groupCol), col("n_a"), col("n_b"),
+        when(empty, lit(0.0d))
+          .otherwise(round(col("_d").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+          .as("d"),
+        when(empty, lit(0.0d))
+          .otherwise(round(col("_at").cast("double") / 1e6d, 6)).as("d_at"))
+  }
+
   /** Two-sample MANN–WHITNEY U test between two score snapshots — the
     * nonparametric twin of the q154 Welch t: does cohort A stochastically
     * outrank cohort B, with a significance readout that needs no

@@ -270,6 +270,32 @@ class ClassifierEvalSpec extends SparkSpecBase {
       Seq((true, Option.empty[Boolean])).toDF("a", "b"), "a", "b"))
   }
 
+  test("ksDistanceByGroup: per-group sup matches ksDistance; empty cohort reports 0") {
+    // g1: disjoint supports -> d = 1 at the lower score; g2: identical
+    // single-point cohorts -> d = 0; g3: only cohort B present -> zeros
+    val df = Seq(
+      ("g1", true, 0.1), ("g1", false, 0.9),
+      ("g2", true, 0.5), ("g2", false, 0.5),
+      ("g3", false, 0.3), ("g3", false, 0.7))
+      .toDF("src", "early", "conf")
+    val got = ClassifierEval.ksDistanceByGroup(df, "src", "early", "conf")
+      .orderBy($"src")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("g1", 1L, 1L, 1.0d, 0.1d),
+      ("g2", 1L, 1L, 0.0d, 0.5d),
+      ("g3", 0L, 2L, 0.0d, 0.0d)), got.toString)
+    // per-group rows agree with the global op run on that group alone
+    val solo = ClassifierEval.ksDistance(
+        df.filter($"src" === "g1" && $"early").select($"conf"),
+        df.filter($"src" === "g1" && !$"early").select($"conf"), "conf")
+      .as[(Long, Long, Double, Double)].head()
+    assert((got.head._2, got.head._3, got.head._4, got.head._5) == solo)
+    intercept[IllegalArgumentException](ClassifierEval.ksDistanceByGroup(
+      Seq(("g", Option.empty[Boolean], 0.5)).toDF("src", "early", "conf"),
+      "src", "early", "conf"))
+  }
+
   test("cupedLift: imbalanced pre-period is corrected toward the true effect") {
     // Y = X + 5 for arm b, Y = X for arm a; but b's users happen to have
     // higher pre-period X (12, 22 vs 10, 20) -> raw lift over-reads 7,
