@@ -869,6 +869,126 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q238: ADJUSTED RAND INDEX of the lang-id partition
+    * ([[graft.ops.ClassifierEval.adjustedRand]]) — the pair-counting
+    * companion to q206's NMI on the exact same (gold lang, predicted)
+    * pair: of all C(N,2) document pairs, does the unsupervised
+    * partition put the same pairs together as the gold labels, beyond
+    * what the marginals produce by chance? ARI can go NEGATIVE
+    * (worse-than-chance), which NMI structurally cannot — the two
+    * together separate "uninformative" from "anti-correlated". Oracle
+    * replays the prediction, the contingency cells and the four exact
+    * pair sums. */
+  def clusterAri(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.adjustedRand(
+      TextAnalysis.langIdScores(Tables.documents(s, dir), "text")
+        .select($"lang", $"predicted"),
+      "lang", "predicted")
+  }
+
+  /** q239: V-MEASURE of the lang-id partition
+    * ([[graft.ops.ClassifierEval.vMeasure]]) — the third face of the
+    * q206/q238 agreement triple: homogeneity (do predicted clusters
+    * mix gold languages?) and completeness (are gold languages split
+    * across clusters?) reported SEPARATELY, because lang-id's two
+    * failure modes — over-merging into 'und', over-splitting on
+    * borrowed stopwords — move the two numbers in opposite
+    * directions and a single symmetric score averages them away.
+    * Oracle replays the prediction, the cells and the three
+    * nano-quantized entropies. */
+  def clusterVMeasure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.vMeasure(
+      TextAnalysis.langIdScores(Tables.documents(s, dir), "text")
+        .select($"lang", $"predicted"),
+      "lang", "predicted")
+  }
+
+  /** q240: near-dup graph MODULARITY over the SOURCE partition
+    * ([[graft.ops.Components.modularity]]) — is duplication a
+    * within-source phenomenon? Q near its maximum means near-dup
+    * families live inside single sources (dedup can shard by source;
+    * a per-source pipeline loses nothing), Q ≈ 0 means duplicate
+    * edges ignore source boundaries (cross-source syndication — any
+    * per-source dedup silently misses most of the graph). The
+    * per-source terms name which sources' families leak. Oracle
+    * replays the MinHash candidates, both label joins, degree and
+    * intra-edge sums and the exact-integer q-terms. */
+  def nearDupModularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.ops.Components.modularity(
+      docs.select($"doc_id", $"source"), "doc_id", "source",
+      Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.4)
+        .select($"a_id", $"b_id"))
+  }
+
+  /** q241: bipartite HITS over the user × item interaction graph
+    * ([[graft.ops.Components.hitsBipartite]]) — hubs (users whose
+    * activity concentrates on consequential items) and authorities
+    * (items touched by consequential users) on the events table's
+    * (user_id, props.k) edges, the mutually-reinforcing double
+    * ranking q108's PageRank single score cannot express. L1-integer
+    * iteration on the parts-per-billion grid, 3 rounds. Oracle
+    * unrolls all six half-steps with exact floor-division
+    * renormalization. */
+  def eventHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.events(s, dir)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull)
+    graft.ops.Components.hitsBipartite(edges, "user_id", "item", iters = 3)
+  }
+
+  /** q242: MANTEL–HAENSZEL pooled odds ratio, length → quality gate
+    * across languages ([[graft.ops.ClassifierEval.mantelHaenszel]]) —
+    * "do long documents really pass the classifier gate more often,
+    * or is that the language mix talking?" Languages differ in both
+    * typical length and gate pass rate, so the crude 2×2 confounds;
+    * MH pools the five per-language tables into one
+    * direction-of-effect number while the per-stratum ORs expose any
+    * Simpson reversal. Exposure: n_chars > 300; outcome: q124
+    * classifier conf ≥ 0.5. Oracle replays the classifier, the
+    * stratified cells and the nano-quantized MH sums. */
+  def lengthGateMh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    graft.ops.ClassifierEval.mantelHaenszel(
+      docs.select($"doc_id", $"lang", ($"n_chars" > 300L).as("long_doc"))
+        .join(conf, Seq("doc_id"))
+        .withColumn("gate", $"conf" >= 0.5d),
+      "lang", "long_doc", "gate")
+  }
+
+  /** q243: permutation-test drift p-values with BENJAMINI–HOCHBERG
+    * FDR across all 20 sources
+    * ([[graft.ops.ClassifierEval.permutationDriftBh]]) — the
+    * multiple-testing closure of the q237 per-source grid: with 20
+    * sources at α = 0.05, one stable source flags by chance EVERY
+    * run; BH on the per-source permutation p-values (199 md5-seeded
+    * relabelings of the early/late cohorts, exact cross-multiplied
+    * mean-gap comparisons) bounds the false-discovery rate across
+    * the grid instead. Oracle replays the classifier, every
+    * relabeling, the exact comparisons and the integer BH cut. */
+  def sourceDriftBh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .withColumn("early", $"doc_id" < 250)
+    graft.ops.ClassifierEval.permutationDriftBh(conf, "source", "early",
+      "conf", "doc_id", b = 199)
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -2955,7 +3075,13 @@ object PipelineQueries {
     "q232_capture_recapture" -> (dedupCaptureRecapture _),
     "q234_bpe_persisted"  -> (bpePersistedEncode _),
     "q235_burstiness"     -> (burstinessTop _),
-    "q237_ks_by_source"   -> (ksDriftBySource _))
+    "q237_ks_by_source"   -> (ksDriftBySource _),
+    "q238_cluster_ari"    -> (clusterAri _),
+    "q239_v_measure"      -> (clusterVMeasure _),
+    "q240_modularity"     -> (nearDupModularity _),
+    "q241_hits"           -> (eventHits _),
+    "q242_mantel_haenszel" -> (lengthGateMh _),
+    "q243_drift_bh"       -> (sourceDriftBh _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -4324,6 +4450,223 @@ object PipelineQueries {
          |    ELSE ROUND(CAST(MIN(sm) AS DOUBLE) / 1e6, 6) END AS d_at
          |FROM df2 d2 JOIN dm ON d2.g = dm.g AND d2.dn = dm.dmx
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q238: lang-id replay, contingency cells, the four exact C(n,2)
+    // pair sums, one fixed-order ARI with the degenerate conventions
+    "q238_cluster_ari" ->
+      s"""WITH $langIdPredCtes,
+         |cells AS (
+         |  SELECT lang AS a, predicted AS b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |sij AS (
+         |  SELECT CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT) AS sij,
+         |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nn
+         |  FROM cells),
+         |sa AS (
+         |  SELECT CAST(COALESCE(SUM((m * (m - 1)) // 2), 0) AS BIGINT) AS sa
+         |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS m FROM cells GROUP BY a)),
+         |sb AS (
+         |  SELECT CAST(COALESCE(SUM((m * (m - 1)) // 2), 0) AS BIGINT) AS sb
+         |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS m FROM cells GROUP BY b))
+         |SELECT nn AS n, sij AS pairs_both, sa AS pairs_a, sb AS pairs_b,
+         |  CASE WHEN (nn * (nn - 1)) // 2 = 0 THEN CAST(1.0 AS DOUBLE)
+         |    WHEN abs((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0 -
+         |        CAST(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT) AS DOUBLE) /
+         |        CAST((nn * (nn - 1)) // 2 AS DOUBLE)) < 1e-12
+         |    THEN CASE WHEN CAST(sij AS DOUBLE) =
+         |        (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |    ELSE ROUND((CAST(sij AS DOUBLE) -
+         |        CAST(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT) AS DOUBLE) /
+         |        CAST((nn * (nn - 1)) // 2 AS DOUBLE)) /
+         |      ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0 -
+         |        CAST(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT) AS DOUBLE) /
+         |        CAST((nn * (nn - 1)) // 2 AS DOUBLE)), 6) END AS ari
+         |FROM sij, sa, sb""".stripMargin,
+    // q239: the q206 cells + a third (joint) nano-quantized entropy;
+    // homogeneity/completeness from integer entropy differences
+    "q239_v_measure" ->
+      s"""WITH $langIdPredCtes,
+         |cells AS (
+         |  SELECT lang AS a, predicted AS b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+         |ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+         |mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+         |hA AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(-((CAST(na AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |    ln(CAST(na AS DOUBLE) / CAST(nn AS DOUBLE))) * 1e9) AS BIGINT)), 0) AS BIGINT) AS ha
+         |  FROM ma, tot),
+         |hB AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(-((CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |    ln(CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE))) * 1e9) AS BIGINT)), 0) AS BIGINT) AS hb
+         |  FROM mb, tot),
+         |hAB AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(-((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |    ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))) * 1e9) AS BIGINT)), 0) AS BIGINT) AS hab
+         |  FROM cells, tot),
+         |vm AS (
+         |  SELECT nn, ha, hb, hab,
+         |    CASE WHEN ha = 0 THEN CAST(1.0 AS DOUBLE)
+         |      ELSE CAST(ha - (hab - hb) AS DOUBLE) / CAST(ha AS DOUBLE) END AS homc,
+         |    CASE WHEN hb = 0 THEN CAST(1.0 AS DOUBLE)
+         |      ELSE CAST(hb - (hab - ha) AS DOUBLE) / CAST(hb AS DOUBLE) END AS comc
+         |  FROM tot, hA, hB, hAB)
+         |SELECT nn AS n,
+         |  ROUND(CAST(ha AS DOUBLE) / 1e9, 6) AS h_a,
+         |  ROUND(CAST(hb AS DOUBLE) / 1e9, 6) AS h_b,
+         |  ROUND(CAST(hab AS DOUBLE) / 1e9, 6) AS h_ab,
+         |  ROUND(homc, 6) AS homogeneity,
+         |  ROUND(comc, 6) AS completeness,
+         |  CASE WHEN homc + comc <= 0.0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(2.0 * homc * comc / (homc + comc), 6) END AS v_measure
+         |FROM vm""".stripMargin,
+    // q240: MinHash candidates, canonical edges, two label joins,
+    // degree/intra sums per source, exact-integer q-terms
+    "q240_modularity" ->
+      s"""WITH $minhashCtes,
+         |e AS (
+         |  SELECT DISTINCT LEAST(a_id, b_id) AS a, GREATEST(a_id, b_id) AS b
+         |  FROM cand WHERE a_id <> b_id),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         |lab AS (SELECT doc_id AS id, source AS c FROM documents),
+         |j AS (
+         |  SELECT la.c AS ca, lb.c AS cb
+         |  FROM e JOIN lab la ON e.a = la.id JOIN lab lb ON e.b = lb.id),
+         |ds AS (
+         |  SELECT c, CAST(COUNT(*) AS BIGINT) AS d_sum
+         |  FROM (SELECT ca AS c FROM j UNION ALL SELECT cb AS c FROM j) u
+         |  GROUP BY 1),
+         |ei AS (
+         |  SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS e_within
+         |  FROM j WHERE ca = cb GROUP BY 1),
+         |nn AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1),
+         |per AS (
+         |  SELECT nn.c AS community, n_nodes,
+         |    CAST(COALESCE(d_sum, 0) AS BIGINT) AS d_sum,
+         |    CAST(COALESCE(e_within, 0) AS BIGINT) AS e_within,
+         |    ROUND(CAST(CAST(4 AS HUGEINT) * m * COALESCE(e_within, 0) -
+         |        CAST(COALESCE(d_sum, 0) AS HUGEINT) * COALESCE(d_sum, 0) AS DOUBLE) /
+         |      (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q_term
+         |  FROM nn LEFT JOIN ds ON nn.c = ds.c LEFT JOIN ei ON nn.c = ei.c, mm),
+         |qt AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(q_term * 1e9) AS BIGINT)), 0) AS BIGINT) AS qn
+         |  FROM per)
+         |SELECT community, n_nodes, d_sum, e_within, q_term,
+         |  ROUND(CAST(qn AS DOUBLE) / 1e9, 6) AS q_total
+         |FROM per, qt ORDER BY community""".stripMargin,
+    // q241: distinct bipartite edges, uniform ppb start, six unrolled
+    // half-steps with exact floor-division renormalization
+    "q241_hits" -> {
+      def half(k: Int, from: String, joinKey: String, groupKey: String,
+          out: String): String =
+        s"""${out}${k}r AS (
+           |  SELECT $groupKey, CAST(SUM($from) AS BIGINT) AS s
+           |  FROM ev JOIN ${if (out == "h") s"a${k - 1}" else s"h$k"} USING ($joinKey)
+           |  GROUP BY 1),
+           |${out}${k}t AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM ${out}${k}r),
+           |${out}$k AS (
+           |  SELECT $groupKey, (s * 1000000000) // t AS $out
+           |  FROM ${out}${k}r, ${out}${k}t)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT DISTINCT CAST(user_id AS BIGINT) AS hub,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS auth
+         |  FROM events
+         |  WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |hd AS (SELECT hub, CAST(COUNT(*) AS BIGINT) AS deg FROM ev GROUP BY 1),
+         |ad AS (SELECT auth, CAST(COUNT(*) AS BIGINT) AS deg FROM ev GROUP BY 1),
+         |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ad),
+         |a0 AS (SELECT auth, 1000000000 // n AS a FROM ad, na),
+         |${half(1, "a", "auth", "hub", "h")},
+         |${half(1, "h", "hub", "auth", "a")},
+         |${half(2, "a", "auth", "hub", "h")},
+         |${half(2, "h", "hub", "auth", "a")},
+         |${half(3, "a", "auth", "hub", "h")},
+         |${half(3, "h", "hub", "auth", "a")}
+         |SELECT side, id, score_ppb, deg FROM (
+         |  SELECT 'hub' AS side, hub AS id, h AS score_ppb, deg
+         |  FROM h3 JOIN hd USING (hub)
+         |  UNION ALL
+         |  SELECT 'auth' AS side, auth AS id, a AS score_ppb, deg
+         |  FROM a3 JOIN ad USING (auth)) u
+         |ORDER BY side, score_ppb DESC, id""".stripMargin
+    },
+    // q242: classifier replay, five stratified 2×2 cells, nano-quantized
+    // MH sums, per-stratum and pooled ORs with honest NULLs
+    "q242_mantel_haenszel" ->
+      s"""WITH $classifierPredCtes,
+         |cx AS (
+         |  SELECT d.lang AS stratum, (d.n_chars > 300) AS e, (p.conf >= 0.5) AS o
+         |  FROM documents d JOIN pred p USING (doc_id)),
+         |cells2 AS (
+         |  SELECT stratum,
+         |    CAST(COALESCE(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END), 0) AS BIGINT) AS expo_out,
+         |    CAST(COALESCE(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END), 0) AS BIGINT) AS expo_noout,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END), 0) AS BIGINT) AS unexp_out,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END), 0) AS BIGINT) AS unexp_noout,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cx GROUP BY 1),
+         |tm AS (
+         |  SELECT
+         |    CAST(COALESCE(SUM(CAST(round(CAST(expo_out AS DOUBLE) * CAST(unexp_noout AS DOUBLE) /
+         |      CAST(n AS DOUBLE) * 1e9) AS BIGINT)), 0) AS BIGINT) AS sad,
+         |    CAST(COALESCE(SUM(CAST(round(CAST(expo_noout AS DOUBLE) * CAST(unexp_out AS DOUBLE) /
+         |      CAST(n AS DOUBLE) * 1e9) AS BIGINT)), 0) AS BIGINT) AS sbc
+         |  FROM cells2)
+         |SELECT stratum, n, expo_out, expo_noout, unexp_out, unexp_noout,
+         |  CASE WHEN expo_noout * unexp_out = 0 THEN NULL
+         |    ELSE ROUND(CAST(expo_out AS DOUBLE) * CAST(unexp_noout AS DOUBLE) /
+         |      (CAST(expo_noout AS DOUBLE) * CAST(unexp_out AS DOUBLE)), 6) END AS or_stratum,
+         |  CASE WHEN sbc = 0 THEN NULL
+         |    ELSE ROUND(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6) END AS or_mh
+         |FROM cells2, tm ORDER BY stratum""".stripMargin,
+    // q243: classifier replay, 199 md5-seeded relabelings, exact
+    // HUGEINT cross-multiplied comparisons, integer BH cut
+    "q243_drift_bh" ->
+      s"""WITH $classifierPredCtes,
+         |bse AS (
+         |  SELECT d.source AS g, d.doc_id AS id, (d.doc_id < 250) AS inn,
+         |    CAST(round(p.conf * 1e6) AS BIGINT) AS sm
+         |  FROM documents d JOIN pred p USING (doc_id)),
+         |obs AS (
+         |  SELECT g,
+         |    CAST(COALESCE(SUM(CASE WHEN inn THEN sm END), 0) AS BIGINT) AS soa,
+         |    CAST(COALESCE(SUM(CASE WHEN inn THEN 1 ELSE 0 END), 0) AS BIGINT) AS coa,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT inn THEN sm END), 0) AS BIGINT) AS sob,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT inn THEN 1 ELSE 0 END), 0) AS BIGINT) AS cob
+         |  FROM bse GROUP BY 1),
+         |pr AS (
+         |  SELECT b.g, b.sm, o.coa, o.coa + o.cob AS n, r.r,
+         |    CAST(concat('0x', substr(md5(concat_ws(':', b.id, r.r)), 1, 8)) AS BIGINT) AS u
+         |  FROM bse b JOIN obs o USING (g) CROSS JOIN generate_series(1, 199) r(r)),
+         |pp AS (
+         |  SELECT g, r,
+         |    CAST(COALESCE(SUM(CASE WHEN u * n < coa * 4294967296 THEN sm END), 0) AS BIGINT) AS spa,
+         |    CAST(COALESCE(SUM(CASE WHEN u * n < coa * 4294967296 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cpa,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT (u * n < coa * 4294967296) THEN sm END), 0) AS BIGINT) AS spb,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT (u * n < coa * 4294967296) THEN 1 ELSE 0 END), 0) AS BIGINT) AS cpb
+         |  FROM pr GROUP BY 1, 2),
+         |geq AS (
+         |  SELECT pp.g, CAST(SUM(CASE WHEN cpa = 0 OR cpb = 0 THEN 1
+         |    WHEN abs(CAST(spa AS HUGEINT) * cpb - CAST(spb AS HUGEINT) * cpa) *
+         |        (CAST(coa AS HUGEINT) * cob) >=
+         |      abs(CAST(soa AS HUGEINT) * cob - CAST(sob AS HUGEINT) * coa) *
+         |        (CAST(cpa AS HUGEINT) * cpb) THEN 1 ELSE 0 END) AS BIGINT) AS perm_ge
+         |  FROM pp JOIN obs USING (g) GROUP BY 1),
+         |mg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM obs),
+         |rk AS (
+         |  SELECT o.g, o.soa, o.coa, o.sob, o.cob, x.perm_ge,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY x.perm_ge, o.g) AS BIGINT) AS p_rank
+         |  FROM obs o JOIN geq x USING (g)),
+         |km AS (
+         |  SELECT MAX(CASE WHEN (1 + perm_ge) * m * 20 <= p_rank * 1 * 200
+         |    THEN p_rank END) AS kmax
+         |  FROM rk, mg)
+         |SELECT g AS "group", coa AS n_a, cob AS n_b,
+         |  ROUND(abs(CAST(soa AS DOUBLE) / CAST(coa AS DOUBLE) -
+         |    CAST(sob AS DOUBLE) / CAST(cob AS DOUBLE)) / 1e6, 6) AS d_obs,
+         |  perm_ge, 1 + perm_ge AS p_num, CAST(200 AS BIGINT) AS p_den, p_rank,
+         |  (p_rank <= COALESCE(kmax, 0)) AS rejected
+         |FROM rk, km ORDER BY p_rank""".stripMargin,
     // q204: per-(source, length) counts, length-grid cumulative, the
     // exact grouped Gini identity in HUGEINT, one final divide
     "q204_token_gini" ->

@@ -393,6 +393,122 @@ object ClassifierEval {
           .otherwise(lit(0.0d)).as("nmi"))
   }
 
+  /** ADJUSTED RAND INDEX between two partitions of the same rows —
+    * the pair-counting twin of [[nmi]]: of all C(N,2) row pairs, how
+    * many do the two clusterings agree on (together/apart), corrected
+    * for the agreement the marginals alone would produce? ARI = 1 on
+    * identical partitions, ≈ 0 for independent ones, and — unlike NMI —
+    * can go NEGATIVE when the partitions agree less than chance, which
+    * is exactly the signal that an "approximate" clustering is actively
+    * anti-correlated with the exact one. One row:
+    * (n, pairs_both, pairs_a, pairs_b, ari).
+    *
+    * Determinism: every pair count is an EXACT integer — Σ C(nᵢⱼ,2)
+    * over the contingency cells and Σ C(aᵢ,2) / Σ C(bⱼ,2) over the
+    * marginals, all computed as n·(n−1) div 2 on longs; the marginal
+    * product routes through DECIMAL(38,0) (Σa·Σb overflows long around
+    * N ≈ 3·10⁹ pairs), and the final
+    * (SumIJ − Sa·Sb∕Sn) ∕ ((Sa+Sb)∕2 − Sa·Sb∕Sn) is one fixed-order
+    * double expression — bit-replayable in DuckDB.
+    *
+    * Plan: the same ONE corpus-scale groupBy as [[nmi]] to the
+    * |classes|²-bounded cell frame; marginals and the four pair sums
+    * are arithmetic on that bounded frame (broadcast 1-row combines).
+    * Degenerate inputs where the expected and maximum index coincide
+    * (both partitions all-singletons or single-cluster) define ARI = 1
+    * when the partitions agree perfectly and 0 otherwise — the sklearn
+    * convention, made explicit instead of 0∕0. */
+  def adjustedRand(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val c = cells(df, aCol, bCol).localCheckpoint(true) // read 3×
+    // n·(n−1) is even, so the right-shift IS the exact integer C(n,2)
+    def pairs(x: Column): Column =
+      shiftright((x * (x - lit(1L))).cast("long"), 1)
+    val sij = c.agg(coalesce(sum(pairs(col("n"))), lit(0L)).as("_sij"),
+      coalesce(sum(col("n")), lit(0L)).as("_n"))
+    val sa = c.groupBy(col("a")).agg(sum(col("n")).as("_m"))
+      .agg(coalesce(sum(pairs(col("_m"))), lit(0L)).as("_sa"))
+    val sb = c.groupBy(col("b")).agg(sum(col("n")).as("_m"))
+      .agg(coalesce(sum(pairs(col("_m"))), lit(0L)).as("_sb"))
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("_n").as("n"), col("_sij").as("pairs_both"),
+        col("_sa").as("pairs_a"), col("_sb").as("pairs_b"),
+        (pairs(col("_n"))).as("_sn"))
+      .select(col("n"), col("pairs_both"), col("pairs_a"), col("pairs_b"),
+        when(col("_sn") === 0L,
+          lit(1.0d)) // 0 or 1 row: a single pairless point agrees with itself
+        .otherwise({
+          // exp = Sa·Sb/Sn in double from an exact DECIMAL product;
+          // max = (Sa+Sb)/2. ARI = (Sij − exp)/(max − exp), with the
+          // degenerate max == exp case (both all-singleton or both
+          // one-cluster) defined as 1 on perfect agreement else 0.
+          val expd = (col("pairs_a").cast("decimal(38,0)") *
+            col("pairs_b").cast("decimal(38,0)")).cast("double") /
+            col("_sn").cast("double")
+          val maxd = (col("pairs_a").cast("double") +
+            col("pairs_b").cast("double")) / lit(2.0d)
+          when(abs(maxd - expd) < lit(1e-12d),
+            when(col("pairs_both").cast("double") === maxd, lit(1.0d))
+              .otherwise(lit(0.0d)))
+            .otherwise(round((col("pairs_both").cast("double") - expd) /
+              (maxd - expd), 6))
+        }).as("ari"))
+  }
+
+  /** V-MEASURE (homogeneity / completeness) between a reference
+    * partition `a` and a candidate partition `b` — the
+    * conditional-entropy view that [[nmi]]'s single symmetric number
+    * hides: homogeneity = 1 − H(A|B)∕H(A) penalizes clusters that MIX
+    * reference classes, completeness = 1 − H(B|A)∕H(B) penalizes
+    * classes SPLIT across clusters, and V is their harmonic mean. A
+    * near-dup clustering can score high completeness (every template
+    * family lands in one cluster) while terrible homogeneity (clusters
+    * glue unrelated families) — this readout separates the two failure
+    * modes. One row: (n, h_a, h_b, h_ab, homogeneity, completeness,
+    * v_measure).
+    *
+    * Determinism: the three entropies (marginal A, marginal B, joint)
+    * are nano-quantized integer sums exactly as in [[nmi]];
+    * H(A|B) = H(A,B) − H(B) and H(B|A) = H(A,B) − H(A) are integer
+    * differences; the two ratios and the harmonic mean are fixed-order
+    * double arithmetic — bit-replayable in DuckDB. Degenerate zero
+    * entropies follow the sklearn convention: H(A) = 0 ⟹
+    * homogeneity = 1, H(B) = 0 ⟹ completeness = 1, and V = 0 when
+    * h + c = 0.
+    *
+    * Plan: the same ONE corpus-scale groupBy to the bounded cell frame;
+    * three bounded-frame entropy aggregates, one 1-row combine. */
+  def vMeasure(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val c = cells(df, aCol, bCol).localCheckpoint(true) // read 4×
+    val tot = c.agg(sum(col("n")).as("_N"))
+    def entropy(marg: DataFrame) = marg
+      .crossJoin(broadcast(tot))
+      .select(round(negate((col("_m").cast("double") / col("_N").cast("double")) *
+        log(col("_m").cast("double") / col("_N").cast("double"))) * 1e9d)
+        .cast("long").as("_h"))
+      .agg(coalesce(sum(col("_h")), lit(0L)).as("_hsum"))
+    val ha = entropy(c.groupBy(col("a")).agg(sum(col("n")).as("_m")))
+    val hb = entropy(c.groupBy(col("b")).agg(sum(col("n")).as("_m")))
+    val hab = entropy(c.select(col("n").as("_m")))
+    val homC = when(col("_ha") === 0L, lit(1.0d))
+      .otherwise((col("_ha") - (col("_hab") - col("_hb"))).cast("double") /
+        col("_ha").cast("double"))
+    val comC = when(col("_hb") === 0L, lit(1.0d))
+      .otherwise((col("_hb") - (col("_hab") - col("_ha"))).cast("double") /
+        col("_hb").cast("double"))
+    tot.crossJoin(broadcast(ha.select(col("_hsum").as("_ha"))))
+      .crossJoin(broadcast(hb.select(col("_hsum").as("_hb"))))
+      .crossJoin(broadcast(hab.select(col("_hsum").as("_hab"))))
+      .select(col("_N").as("n"),
+        round(col("_ha").cast("double") / 1e9d, 6).as("h_a"),
+        round(col("_hb").cast("double") / 1e9d, 6).as("h_b"),
+        round(col("_hab").cast("double") / 1e9d, 6).as("h_ab"),
+        round(homC, 6).as("homogeneity"),
+        round(comC, 6).as("completeness"),
+        when(homC + comC <= lit(0.0d), lit(0.0d))
+          .otherwise(round(lit(2.0d) * homC * comC / (homC + comC), 6))
+          .as("v_measure"))
+  }
+
   /** Exact two-sample KOLMOGOROV–SMIRNOV distance between two score
     * snapshots — [[scoreDrift]]'s binned PSI made bin-free:
     * D = sup_x |F_A(x) − F_B(x)| over the empirical CDFs, the
@@ -799,5 +915,190 @@ object ClassifierEval {
       when(den <= 0, lit(0.0d))
         .otherwise(round(num.cast("double") / den.cast("double"), 6))
         .as("q_stat"))
+  }
+
+  /** MANTEL–HAENSZEL pooled odds ratio of a binary exposure → binary
+    * outcome association ACROSS strata — the confounder-controlled
+    * answer to "does the attribute actually move the gate, or is the
+    * crude 2×2 a mixture artifact?": each stratum (source, language,
+    * time bucket) contributes its own 2×2 table and
+    * OR_MH = Σₖ(aₖdₖ∕nₖ) ∕ Σₖ(bₖcₖ∕nₖ) pools them — Simpson's-paradox
+    * armor for per-source gate audits, where crude pooling can invert
+    * the direction of the effect. One row per stratum
+    * (stratum, n, expo_out, expo_noout, unexp_out, unexp_noout,
+    * or_stratum) plus the pooled `or_mh` repeated.
+    *
+    * Determinism: all eight cell counts are exact integers from ONE
+    * grouped aggregate; the two MH sums nano-quantize each stratum's
+    * aₖdₖ∕nₖ and bₖcₖ∕nₖ to the 10⁻⁹ grid (counts are
+    * stratum-bounded, the products fit long comfortably) and sum as
+    * longs; per-stratum and pooled ORs are single fixed-order double
+    * divisions — bit-replayable in DuckDB.
+    *
+    * Degenerate cases stay HONEST instead of silently finite:
+    * or_stratum is NULL when bₖcₖ = 0 (division by zero — the stratum
+    * still contributes its aₖdₖ∕nₖ to the pooled numerator, the
+    * classical MH behavior), and or_mh is NULL when the pooled
+    * denominator is zero. NULL stratum/exposure/outcome fail typed.
+    *
+    * Plan: one corpus-scale groupBy (map-side combined) to the
+    * |strata|-bounded cell frame; everything after is bounded-frame
+    * arithmetic + one broadcast 1-row pooled total. */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposureCol: String, outcomeCol: String): DataFrame = {
+    val nulls = df.filter(col(stratumCol).isNull || col(exposureCol).isNull ||
+      col(outcomeCol).isNull).limit(1).count()
+    require(nulls == 0L, "mantelHaenszel needs non-NULL " +
+      s"'$stratumCol'/'$exposureCol'/'$outcomeCol' — a NULL would " +
+      "silently vanish from its 2×2 cell while counting nowhere")
+    val e = col(exposureCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    def cell(p: Column): Column =
+      coalesce(sum(when(p, lit(1L)).otherwise(lit(0L))), lit(0L))
+    val cellsK = df.groupBy(col(stratumCol).as("stratum")).agg(
+        cell(e && o).as("expo_out"), cell(e && !o).as("expo_noout"),
+        cell(!e && o).as("unexp_out"), cell(!e && !o).as("unexp_noout"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true) // |strata|-bounded, read twice
+    def d(c: String) = col(c).cast("double")
+    val terms = cellsK.select(
+      round(d("expo_out") * d("unexp_noout") / d("n") * 1e9d)
+        .cast("long").as("_ad"),
+      round(d("expo_noout") * d("unexp_out") / d("n") * 1e9d)
+        .cast("long").as("_bc"))
+      .agg(coalesce(sum(col("_ad")), lit(0L)).as("_sad"),
+        coalesce(sum(col("_bc")), lit(0L)).as("_sbc"))
+    cellsK.crossJoin(broadcast(terms))
+      .select(col("stratum"), col("n"),
+        col("expo_out"), col("expo_noout"),
+        col("unexp_out"), col("unexp_noout"),
+        when(col("expo_noout") * col("unexp_out") === 0L,
+            lit(null).cast("double"))
+          .otherwise(round(d("expo_out") * d("unexp_noout") /
+            (d("expo_noout") * d("unexp_out")), 6)).as("or_stratum"),
+        when(col("_sbc") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("_sad").cast("double") /
+            col("_sbc").cast("double"), 6)).as("or_mh"))
+      .orderBy(col("stratum"))
+  }
+
+  /** PERMUTATION-TEST drift p-values per group with
+    * BENJAMINI–HOCHBERG FDR control across the group grid — the
+    * multiple-testing layer the per-source drift readouts
+    * ([[ksDistanceByGroup]], [[mannWhitney]]) stop short of: testing
+    * every source re-tests the same hypothesis m times, so at α = 0.05
+    * one in twenty stable sources WILL flag by chance; BH bounds the
+    * expected false-discovery fraction at α across the whole grid.
+    *
+    * Per group: the observed statistic is |mean(score | cohort) −
+    * mean(score | ¬cohort)|; the null is simulated by `b` deterministic
+    * pseudo-relabelings (doc i, replicate r assigns to the first cohort
+    * iff u(i,r)·n < n_A·2³², u = the first-8-hex-digit md5 integer —
+    * the repo's seedless RNG device, so the "permutation" is an i.i.d.
+    * relabeling at the observed rate: exchangeable under H₀, sizes
+    * binomial rather than fixed, fully bit-replayable). The p-value is
+    * the add-one estimate (1 + #{replicates ≥ observed}) ∕ (b + 1).
+    *
+    * Determinism: scores micro-quantize to the 10⁻⁶ grid; every
+    * "replicate ≥ observed" comparison is EXACT on cross-multiplied
+    * DECIMAL(38,0) integers (|sA·cB − sB·cA| · (coA·coB) vs the
+    * observed mirror — no division ever happens); a replicate whose
+    * pseudo-cohort is EMPTY counts as ≥ observed (the conservative
+    * choice — an undefined mean must not shrink p). p-values compare
+    * as integer numerators over the common denominator b+1, and the
+    * BH cut is the integer inequality (1+geₖ)·m·αden ≤ k·αnum·(b+1)
+    * evaluated on the p-sorted grid — no floats anywhere in the
+    * decision path.
+    *
+    * One row per group: (group, n_a, n_b, d_obs, perm_ge, p_num,
+    * p_den, p_rank, rejected), p-rank ascending. Plan: ONE
+    * corpus×b-row explode (map-side combined straight down to the
+    * (group, replicate)-bounded sum frame — the corpus is never
+    * shuffled at the exploded width), then everything is bounded-frame
+    * arithmetic; the BH scan is a |groups|-row window. NULLs fail
+    * typed; a group with an empty observed cohort fails typed (its
+    * observed mean is undefined — filter such groups first). */
+  def permutationDriftBh(df: DataFrame, groupCol: String,
+      cohortCol: String, scoreCol: String, idCol: String,
+      b: Int = 200, alphaNum: Int = 1, alphaDen: Int = 20): DataFrame = {
+    require(b >= 19 && b <= 10000, s"need 19 <= b <= 10000, got $b")
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum <= alphaDen,
+      s"need a valid FDR level, got $alphaNum/$alphaDen")
+    val nulls = df.filter(col(groupCol).isNull || col(cohortCol).isNull ||
+      col(scoreCol).isNull || col(idCol).isNull).limit(1).count()
+    require(nulls == 0L, "permutationDriftBh needs non-NULL " +
+      s"'$groupCol'/'$cohortCol'/'$scoreCol'/'$idCol'")
+    val dec = "decimal(38,0)"
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("_id"),
+        col(cohortCol).cast("boolean").as("_in"),
+        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      .localCheckpoint(true) // read 2×: observed + replicates
+    val obs = base.groupBy(col("g")).agg(
+      coalesce(sum(when(col("_in"), col("_sm"))), lit(0L)).as("_soa"),
+      coalesce(sum(when(col("_in"), lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("_coa"),
+      coalesce(sum(when(!col("_in"), col("_sm"))), lit(0L)).as("_sob"),
+      coalesce(sum(when(!col("_in"), lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("_cob"))
+      .localCheckpoint(true) // |groups|-bounded, read 4×
+    val degenerate = obs.filter(col("_coa") === 0L || col("_cob") === 0L)
+      .limit(1).count()
+    require(degenerate == 0L, "permutationDriftBh: a group has an empty " +
+      "observed cohort — its drift statistic is undefined; filter such " +
+      "groups first")
+    // replicates: md5-uniform relabeling at the group's observed rate
+    val perm = base.join(obs.select(col("g"), col("_coa"),
+        (col("_coa") + col("_cob")).as("_n")), Seq("g"))
+      .select(col("g"), col("_id"), col("_sm"), col("_coa"), col("_n"),
+        explode(sequence(lit(1), lit(b))).as("_r"))
+      .withColumn("_u", conv(substring(
+        md5(concat_ws(":", col("_id"), col("_r"))), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("_pa", col("_u") * col("_n") < col("_coa") * lit(4294967296L))
+      .groupBy(col("g"), col("_r")).agg(
+        coalesce(sum(when(col("_pa"), col("_sm"))), lit(0L)).as("_spa"),
+        coalesce(sum(when(col("_pa"), lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("_cpa"),
+        coalesce(sum(when(!col("_pa"), col("_sm"))), lit(0L)).as("_spb"),
+        coalesce(sum(when(!col("_pa"), lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("_cpb"))
+    // exact cross-multiplied compare: |spa/cpa − spb/cpb| ≥ |soa/coa − sob/cob|
+    val ge = perm.join(obs, Seq("g"))
+      .select(col("g"),
+        when(col("_cpa") === 0L || col("_cpb") === 0L, lit(1L)) // conservative
+          .otherwise(when(
+            abs(col("_spa").cast(dec) * col("_cpb") -
+              col("_spb").cast(dec) * col("_cpa")) *
+              (col("_coa").cast(dec) * col("_cob")) >=
+            abs(col("_soa").cast(dec) * col("_cob") -
+              col("_sob").cast(dec) * col("_coa")) *
+              (col("_cpa").cast(dec) * col("_cpb")), lit(1L))
+            .otherwise(lit(0L))).as("_ge"))
+      .groupBy(col("g")).agg(sum(col("_ge")).as("perm_ge"))
+    val m = obs.count() // |groups|-bounded driver scalar
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("perm_ge"), col("g"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("perm_ge"), col("g"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    def d(c: Column) = c.cast("double")
+    obs.join(ge, Seq("g"))
+      .withColumn("p_rank", row_number().over(w).cast("long"))
+      // BH: reject ranks ≤ max{k : (1+ge₍ₖ₎)·m·αden ≤ k·αnum·(b+1)}
+      .withColumn("_kmax", max(when(
+        (lit(1L) + col("perm_ge")) * lit(m) * lit(alphaDen.toLong) <=
+          col("p_rank") * lit(alphaNum.toLong) * lit((b + 1).toLong),
+        col("p_rank"))).over(wAll))
+      .select(col("g").as("group"),
+        col("_coa").as("n_a"), col("_cob").as("n_b"),
+        round(abs(d(col("_soa")) / d(col("_coa")) -
+          d(col("_sob")) / d(col("_cob"))) / 1e6d, 6).as("d_obs"),
+        col("perm_ge"),
+        (lit(1L) + col("perm_ge")).as("p_num"),
+        lit((b + 1).toLong).as("p_den"),
+        col("p_rank"),
+        (col("p_rank") <= coalesce(col("_kmax"), lit(0L))).as("rejected"))
+      .orderBy(col("p_rank"))
   }
 }

@@ -418,4 +418,157 @@ object Components {
       .select(col(idCol), col("component"), col("csize"),
         round(lit(1.0d) / col("csize").cast("double"), 6).as("weight"))
   }
+
+  /** NEWMAN MODULARITY of a GIVEN node partition over an undirected
+    * pair graph — "do the near-dup edges stay inside the communities?"
+    * With communities = the connected components the answer is trivially
+    * yes; the informative use labels nodes by an INDEPENDENT attribute
+    * (source, language, topic): Q ≈ high means duplication is a
+    * within-community phenomenon (safe to shard by that attribute),
+    * Q ≈ 0 means edges ignore the attribute (cross-source contamination
+    * — sharding by source will split duplicate families across shards).
+    *
+    * Q = Σ_c [e_c∕m − (d_c∕2m)²] over communities c, with e_c the
+    * intra-community edge count, d_c the community degree sum and m the
+    * edge count. Returns one row per community
+    * (community, n_nodes, d_sum, e_within, q_term, q_total) ordered by
+    * community — the per-community terms name WHICH community's term
+    * drags Q down, and q_total repeats the partition-level sum.
+    *
+    * Determinism: every count is an exact integer; each term is
+    * (4m·e_c − d_c²) ∕ (4m²) with the numerator in DECIMAL(38,0)
+    * (d_c ≤ 2m, so d_c² overflows long past m ≈ 1.5·10⁹ edges) and ONE
+    * fixed-order double division; q_total sums the nano-quantized
+    * per-community terms as longs — bit-replayable in DuckDB.
+    *
+    * Plan: canonical edges materialize once (the [[triangleCensus]]
+    * device); two edges⋈labels equi-joins, then everything is
+    * arithmetic on the |communities|-bounded frame. m is a bounded
+    * driver scalar (same footprint as [[pageRankInt]]'s node count).
+    * Typed failures: empty edge set (Q undefined, 0∕0) and any edge
+    * endpoint missing a community label (it would silently vanish from
+    * d_c but not m). */
+  def modularity(nodes: DataFrame, idCol: String, commCol: String,
+      pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val m = e.count()
+    require(m > 0L, "modularity needs a non-empty edge set — Q is 0/0 " +
+      "on a graph with no edges")
+    val nullLab = nodes
+      .filter(col(idCol).isNull || col(commCol).isNull).limit(1).count()
+    require(nullLab == 0L, s"modularity needs non-NULL '$idCol'/'$commCol'")
+    val lab = nodes.select(col(idCol).as("_id"), col(commCol).as("_c"))
+    val j = e
+      .join(lab.select(col("_id").as("a"), col("_c").as("_ca")), Seq("a"), "left")
+      .join(lab.select(col("_id").as("b"), col("_c").as("_cb")), Seq("b"), "left")
+      .localCheckpoint(true) // read 3×: probe, degrees, intra-edges
+    val unlabeled = j.filter(col("_ca").isNull || col("_cb").isNull)
+      .limit(1).count()
+    require(unlabeled == 0L, "modularity: an edge endpoint has no " +
+      s"community label in '$commCol' — it would drop from the degree " +
+      "sums while its edges count in m; label every endpoint first")
+    // community degree sums: each edge contributes 1 to both endpoints
+    val dSum = j.select(col("_ca").as("_c")).union(j.select(col("_cb").as("_c")))
+      .groupBy(col("_c")).agg(count(lit(1)).as("d_sum"))
+    val eIn = j.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("_c")).agg(count(lit(1)).as("e_within"))
+    val nNodes = lab.groupBy(col("_c")).agg(count(lit(1)).as("n_nodes"))
+    val per = nNodes
+      .join(dSum, Seq("_c"), "left")
+      .join(eIn, Seq("_c"), "left")
+      .select(col("_c").as("community"), col("n_nodes"),
+        coalesce(col("d_sum"), lit(0L)).as("d_sum"),
+        coalesce(col("e_within"), lit(0L)).as("e_within"))
+      .withColumn("q_term",
+        round(((lit(4L) * lit(m)).cast("decimal(38,0)") *
+          col("e_within").cast("decimal(38,0)") -
+          col("d_sum").cast("decimal(38,0)") *
+          col("d_sum").cast("decimal(38,0)")).cast("double") /
+          (lit(4.0d) * lit(m).cast("double") * lit(m).cast("double")), 6))
+      .localCheckpoint(true) // |communities|-bounded, read twice
+    val qTot = per
+      .select(round(col("q_term") * 1e9d).cast("long").as("_qn"))
+      .agg(coalesce(sum(col("_qn")), lit(0L)).as("_qt"))
+    per.crossJoin(broadcast(qTot))
+      .select(col("community"), col("n_nodes"), col("d_sum"),
+        col("e_within"), col("q_term"),
+        round(col("_qt").cast("double") / 1e9d, 6).as("q_total"))
+      .orderBy(col("community"))
+  }
+
+  /** BIPARTITE HITS (hubs & authorities, Kleinberg) over a two-sided
+    * edge list — the "which items matter, which actors matter"
+    * readout on interaction data: a user touching many high-authority
+    * items is a strong hub, an item touched by strong hubs is a strong
+    * authority. Unlike [[pageRankInt]]'s single score, the two sides
+    * reinforce each other: h = Σ_adj a, a′ = Σ_adj h, iterated a fixed
+    * `iters` rounds from the uniform start. Returns one row per node:
+    * (side: "hub"|"auth", id, score_ppb, deg), both sides together.
+    *
+    * Determinism (the [[pageRankInt]] integer device, extended with
+    * explicit renormalization): scores live on an integer
+    * parts-per-billion grid summing to M = 10⁹; each half-step's raw
+    * sums (each ≤ M, so raw·M ≤ 10¹⁸ stays in long) rescale by
+    * `(raw · M) div Σraw` — floor division, so every score is an exact
+    * integer function of the edge set and bit-replayable by an unrolled
+    * DuckDB CTE chain. L1 normalization replaces the classical L2 (a
+    * sqrt would leave the rational grid); the RANKING is identical —
+    * the two differ by a positive global factor.
+    *
+    * Plan: the edge list materializes once; each round is two
+    * node-sized equi-join+agg pairs plus two broadcast 1-row totals —
+    * no driver-side data, no collect. Node-sized intermediates
+    * checkpoint per round (lineage, not data, is the cost). Typed
+    * failures: NULL endpoints. Empty edge set returns the empty frame. */
+  def hitsBipartite(edges: DataFrame, hubCol: String, authCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val M = 1000000000L
+    val nulls = edges.filter(col(hubCol).isNull || col(authCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L, s"hitsBipartite needs non-NULL '$hubCol'/'$authCol'")
+    val e = edges.select(col(hubCol).cast("long").as("hub"),
+        col(authCol).cast("long").as("auth"))
+      .distinct()
+      .localCheckpoint(true)
+    if (e.isEmpty)
+      return e.select(lit("hub").as("side"), col("hub").as("id"),
+        lit(0L).as("score_ppb"), lit(0L).as("deg"))
+    val hubDeg = e.groupBy(col("hub")).agg(count(lit(1)).as("deg"))
+    val authDeg = e.groupBy(col("auth")).agg(count(lit(1)).as("deg"))
+    val nAuth = authDeg.agg(count(lit(1)).as("_n"))
+    // uniform integer start on the authority side: a₀ = M div |auth|
+    var a = authDeg.crossJoin(broadcast(nAuth))
+      .select(col("auth"), expr(s"${M}L div _n").as("a"))
+    var h: DataFrame = null
+    var it = 0
+    def rescale(raw: DataFrame, keyCol: String, out: String): DataFrame = {
+      val r = raw.localCheckpoint(true) // node-sized; read 2× (tot + scale)
+      val tot = r.agg(sum(col("_s")).as("_t"))
+      r.crossJoin(broadcast(tot))
+        .select(col(keyCol), expr(s"(_s * ${M}L) div _t").as(out))
+    }
+    while (it < iters) {
+      h = rescale(
+        e.join(a, Seq("auth")).groupBy(col("hub"))
+          .agg(sum(col("a")).as("_s")), "hub", "h")
+      a = rescale(
+        e.join(h, Seq("hub")).groupBy(col("auth"))
+          .agg(sum(col("h")).as("_s")), "auth", "a")
+      it += 1
+    }
+    h.join(hubDeg, Seq("hub"))
+      .select(lit("hub").as("side"), col("hub").as("id"),
+        col("h").as("score_ppb"), col("deg"))
+      .unionAll(
+        a.join(authDeg, Seq("auth"))
+          .select(lit("auth").as("side"), col("auth").as("id"),
+            col("a").as("score_ppb"), col("deg")))
+      .orderBy(col("side"), col("score_ppb").desc, col("id"))
+  }
 }

@@ -360,4 +360,151 @@ class ClassifierEvalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](ClassifierEval.cochranQ(
       unanimous, Seq("a")))
   }
+
+  test("adjustedRand matches the hand-traced pair counts") {
+    // A = [1,1,1,2,2,2], B = [1,1,2,2,3,3]: Sij = 2, Sa = 6, Sb = 3,
+    // Sn = 15 → exp = 1.2, max = 4.5 → ARI = 0.8/3.3 = 0.242424
+    val rows = Seq((1, 1), (1, 1), (1, 2), (2, 2), (2, 3), (2, 3))
+    val got = ClassifierEval.adjustedRand(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((6L, 2L, 6L, 3L, 0.242424d)), got.toString)
+  }
+
+  test("adjustedRand: identical = 1, independent-opposed < 0, degenerates") {
+    val same = Seq((1, 1), (1, 1), (2, 2), (2, 2)).toDF("a", "b")
+    assert(ClassifierEval.adjustedRand(same, "a", "b")
+      .select("ari").as[Double].head() == 1.0d)
+    // crossed 2×2 (every cell 1): Sij = 0, exp = 2/3, max = 2 → −0.5
+    val crossed = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("a", "b")
+    assert(ClassifierEval.adjustedRand(crossed, "a", "b")
+      .select("ari").as[Double].head() == -0.5d)
+    // both all-singletons: identical up to names → convention 1.0
+    val singl = Seq((1, 4), (2, 5), (3, 6)).toDF("a", "b")
+    assert(ClassifierEval.adjustedRand(singl, "a", "b")
+      .select("ari").as[Double].head() == 1.0d)
+    // singletons vs one cluster: Sij = 0, exp = 0, max = 1.5 → 0.0
+    val oneVs = Seq((1, 9), (2, 9), (3, 9)).toDF("a", "b")
+    assert(ClassifierEval.adjustedRand(oneVs, "a", "b")
+      .select("ari").as[Double].head() == 0.0d)
+    intercept[IllegalArgumentException](ClassifierEval.adjustedRand(
+      Seq((Some(1), 1), (None, 2)).toDF("a", "b"), "a", "b"))
+  }
+
+  test("vMeasure: identical = 1/1/1, independent = 0/0/0, one-cluster candidate") {
+    val same = Seq((1, 1), (1, 1), (2, 2), (2, 2)).toDF("a", "b")
+    val s = ClassifierEval.vMeasure(same, "a", "b")
+      .select("homogeneity", "completeness", "v_measure")
+      .as[(Double, Double, Double)].head()
+    assert(s == ((1.0d, 1.0d, 1.0d)), s.toString)
+    val crossed = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("a", "b")
+    val c = ClassifierEval.vMeasure(crossed, "a", "b")
+      .select("homogeneity", "completeness", "v_measure")
+      .as[(Double, Double, Double)].head()
+    assert(c == ((0.0d, 0.0d, 0.0d)), c.toString)
+    // candidate glues everything: H(B) = 0 → completeness 1 (convention),
+    // homogeneity 0 (clusters mix both classes), V = 0
+    val glued = Seq((1, 9), (1, 9), (2, 9), (2, 9)).toDF("a", "b")
+    val g = ClassifierEval.vMeasure(glued, "a", "b")
+      .select("homogeneity", "completeness", "v_measure")
+      .as[(Double, Double, Double)].head()
+    assert(g == ((0.0d, 1.0d, 0.0d)), g.toString)
+    intercept[IllegalArgumentException](ClassifierEval.vMeasure(
+      Seq((Some(1), 1), (None, 2)).toDF("a", "b"), "a", "b"))
+  }
+
+  test("mantelHaenszel: single stratum equals the crude OR; zero cells stay honest NULLs") {
+    // a=4 b=2 c=1 d=3, n=10: OR = 12/2 = 6; MH over one stratum = same
+    val rows = Seq.fill(4)(("s", true, true)) ++ Seq.fill(2)(("s", true, false)) ++
+      Seq.fill(1)(("s", false, true)) ++ Seq.fill(3)(("s", false, false))
+    val got = ClassifierEval.mantelHaenszel(
+      rows.toDF("st", "e", "o"), "st", "e", "o")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .head()
+    assert(got == (("s", 10L, 4L, 2L, 1L, 3L, Some(6.0d), Some(6.0d))),
+      got.toString)
+    // a zero b·c cell: or_stratum NULL, but its ad/n still pools
+    val z = Seq(("s1", true, true), ("s1", false, false),
+      ("s2", true, true), ("s2", true, false),
+      ("s2", false, true), ("s2", false, false))
+    val out = ClassifierEval.mantelHaenszel(
+      z.toDF("st", "e", "o"), "st", "e", "o")
+      .select("stratum", "or_stratum", "or_mh")
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    assert(out.head == (("s1", None, out.head._3)), out.toString)
+    assert(out.forall(_._3.isDefined), out.toString)
+    intercept[IllegalArgumentException](ClassifierEval.mantelHaenszel(
+      Seq(("s", Option.empty[Boolean], true)).toDF("st", "e", "o"),
+      "st", "e", "o"))
+  }
+
+  test("mantelHaenszel pools the two-stratum hand case") {
+    // s1: 10/5/4/8 n=27 → ad = 80/27, bc = 20/27
+    // s2: 2/6/3/9  n=20 → ad = 18/20, bc = 18/20
+    val rows =
+      Seq.fill(10)(("s1", true, true)) ++ Seq.fill(5)(("s1", true, false)) ++
+      Seq.fill(4)(("s1", false, true)) ++ Seq.fill(8)(("s1", false, false)) ++
+      Seq.fill(2)(("s2", true, true)) ++ Seq.fill(6)(("s2", true, false)) ++
+      Seq.fill(3)(("s2", false, true)) ++ Seq.fill(9)(("s2", false, false))
+    val orMh = ClassifierEval.mantelHaenszel(
+      rows.toDF("st", "e", "o"), "st", "e", "o")
+      .select("or_mh").as[Double].head()
+    val sad = math.round(80.0d / 27.0d * 1e9d) + math.round(18.0d / 20.0d * 1e9d)
+    val sbc = math.round(20.0d / 27.0d * 1e9d) + math.round(18.0d / 20.0d * 1e9d)
+    val want = BigDecimal(sad.toDouble / sbc.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(orMh == want, s"got $orMh want $want")
+  }
+
+  test("permutationDriftBh: planted separation rejects, determinism, BH prefix") {
+    // gA: cohort means 1.0 vs 0.0 (maximal gap); gB/gC: identical flat
+    // scores (gap 0 — every replicate ties or exceeds, p = 1)
+    def grp(g: String, hi: Boolean): Seq[(String, Long, Boolean, Double)] =
+      (0 until 20).map { i =>
+        val in = i < 10
+        val v =
+          if (g == "gA") { if (in) 1.0d else 0.0d } else 0.5d
+        (g, (g.hashCode.toLong & 0xffff) * 100 + i, in, v)
+      }
+    val df = (grp("gA", hi = true) ++ grp("gB", hi = false) ++
+      grp("gC", hi = false)).toDF("g", "id", "in", "s")
+    val out = ClassifierEval.permutationDriftBh(df, "g", "in", "s", "id",
+      b = 19).collect()
+    val byG = out.map(r => r.getString(0) ->
+      (r.getLong(4), r.getLong(5), r.getLong(7), r.getBoolean(8))).toMap
+    // flat groups: zero observed gap — every relabeling is ≥ → p = 1
+    assert(byG("gB")._2 == 20L && byG("gC")._2 == 20L, byG.toString)
+    assert(!byG("gB")._4 && !byG("gC")._4, byG.toString)
+    // planted group: p = 1/20 ≤ (1/3)·0.05·... BH with m=3: needs
+    // p₍₁₎ ≤ (1/3)·(1/20) → 1/20 ≤ 1/60 is FALSE → nothing rejected
+    // at α=0.05; at α=0.2 the cut passes (1/20 ≤ 1/15)
+    assert(byG("gA")._1 == 0L && byG("gA")._2 == 1L, byG.toString)
+    val out2 = ClassifierEval.permutationDriftBh(df, "g", "in", "s", "id",
+      b = 19, alphaNum = 1, alphaDen = 5).collect()
+    val rej = out2.map(r => r.getString(0) -> r.getBoolean(8)).toMap
+    assert(rej("gA") && !rej("gB") && !rej("gC"), rej.toString)
+    // determinism: the md5 device makes replicates a pure function
+    val again = ClassifierEval.permutationDriftBh(df, "g", "in", "s", "id",
+      b = 19).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // rejected rows form a p_rank prefix
+    val ranked = out2.sortBy(_.getLong(7))
+    assert(ranked.map(_.getBoolean(8)).dropWhile(identity).forall(!_))
+  }
+
+  test("permutationDriftBh: typed guards") {
+    import org.apache.spark.sql.functions.lit
+    val ok = Seq(("g", 1L, true, 0.5d), ("g", 2L, false, 0.4d))
+      .toDF("g", "id", "in", "s")
+    intercept[IllegalArgumentException](
+      ClassifierEval.permutationDriftBh(ok, "g", "in", "s", "id", b = 5))
+    intercept[IllegalArgumentException](
+      ClassifierEval.permutationDriftBh(
+        ok.withColumn("s", lit(null).cast("double")), "g", "in", "s", "id",
+        b = 19))
+    // one-cohort group: observed mean gap undefined → typed
+    intercept[IllegalArgumentException](
+      ClassifierEval.permutationDriftBh(
+        Seq(("g", 1L, true, 0.5d), ("g", 2L, true, 0.4d))
+          .toDF("g", "id", "in", "s"), "g", "in", "s", "id", b = 19))
+  }
 }

@@ -265,4 +265,81 @@ class ComponentsSpec extends SparkSpecBase {
       Components.kCore(path, k = 2, maxRounds = 2))
     intercept[IllegalArgumentException](Components.kCore(dup, k = 0))
   }
+
+  test("modularity matches the hand-traced two-community case") {
+    // edges (1,2),(3,4),(1,3); x={1,2}, y={3,4}: m=3, d_x=d_y=3,
+    // e_x=e_y=1 → each term = (4·3·1 − 9)/36 = 1/12 = 0.083333
+    val nodes = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"), (5L, "z"))
+      .toDF("id", "c")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("a_id", "b_id")
+    val got = Components.modularity(nodes, "id", "c", pairs)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("x", 2L, 3L, 1L, 0.083333d, 0.166666d),
+      ("y", 2L, 3L, 1L, 0.083333d, 0.166666d),
+      ("z", 1L, 0L, 0L, 0.0d, 0.166666d)), got.toString)
+  }
+
+  test("modularity: perfect split and anti-community; typed guards") {
+    val nodes = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y")).toDF("id", "c")
+    // all edges intra: Q = 1 − Σ(d_c/2m)² = 1 − 2·(1/2)² = 0.5
+    val intra = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    assert(Components.modularity(nodes, "id", "c", intra)
+      .select("q_total").as[Double].head() == 0.5d)
+    // all edges cross: e_c = 0, Q = −Σ(d_c/2m)² = −0.5
+    val cross = Seq((1L, 3L), (2L, 4L)).toDF("a_id", "b_id")
+    assert(Components.modularity(nodes, "id", "c", cross)
+      .select("q_total").as[Double].head() == -0.5d)
+    // duplicate/reversed/self edges collapse canonically
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (3L, 4L))
+      .toDF("a_id", "b_id")
+    assert(Components.modularity(nodes, "id", "c", noisy)
+      .select("q_total").as[Double].head() == 0.5d)
+    intercept[IllegalArgumentException](Components.modularity(
+      nodes, "id", "c", intra.limit(0)))
+    intercept[IllegalArgumentException](Components.modularity(
+      nodes.limit(2), "id", "c", cross)) // unlabeled endpoints
+    intercept[IllegalArgumentException](Components.modularity(
+      Seq((Option.empty[Long], "x")).toDF("id", "c"), "id", "c", intra))
+  }
+
+  test("hitsBipartite: symmetric complete graph is uniform; star ranks hub first") {
+    // complete 2×2: perfect symmetry — every hub and every authority
+    // holds exactly half the integer mass at every step
+    val complete = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("u", "i")
+    val c = Components.hitsBipartite(complete, "u", "i")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(c.forall(_._3 == 500000000L), c.toString)
+    assert(c.map(_._4).forall(_ == 2L), c.toString)
+    // u1 touches both items, u2 only i10: u1 outranks u2; i10 outranks i11
+    val star = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "i")
+    val s = Components.hitsBipartite(star, "u", "i")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val hubs = s.filter(_._1 == "hub")
+    val auths = s.filter(_._1 == "auth")
+    assert(hubs.head._2 == 1L && hubs(1)._2 == 2L, s.toString)
+    assert(auths.head._2 == 10L && auths(1)._2 == 11L, s.toString)
+    // the integer mass is conserved up to floor slack (< #nodes)
+    assert(hubs.map(_._3).sum > 1000000000L - 2 &&
+      hubs.map(_._3).sum <= 1000000000L, s.toString)
+    // determinism: pure function of the edge set
+    val again = Components.hitsBipartite(star, "u", "i")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(s == again)
+  }
+
+  test("hitsBipartite: duplicate edges collapse; empty and NULL guards") {
+    val dup = Seq((1L, 10L), (1L, 10L), (2L, 11L)).toDF("u", "i")
+    val clean = Seq((1L, 10L), (2L, 11L)).toDF("u", "i")
+    assert(Components.hitsBipartite(dup, "u", "i")
+        .as[(String, Long, Long, Long)].collect().toSeq ==
+      Components.hitsBipartite(clean, "u", "i")
+        .as[(String, Long, Long, Long)].collect().toSeq)
+    assert(Components.hitsBipartite(clean.limit(0), "u", "i").isEmpty)
+    intercept[IllegalArgumentException](Components.hitsBipartite(
+      Seq((Option.empty[Long], 10L)).toDF("u", "i"), "u", "i"))
+    intercept[IllegalArgumentException](Components.hitsBipartite(
+      clean, "u", "i", iters = 0))
+  }
 }
