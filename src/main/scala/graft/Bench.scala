@@ -101,7 +101,10 @@ object Bench {
     "q228_seasonal", "q229_gate_plan", "q230_cochran_q",
     "q231_jackknife", "q232_capture_recapture", "q233_change_point",
     "q234_bpe_persisted", "q235_burstiness", "q236_cuped",
-    "q237_ks_by_source")
+    "q237_ks_by_source", "q238_cluster_ari", "q239_v_measure",
+    "q240_modularity", "q241_hits", "q242_mantel_haenszel",
+    "q243_drift_bh", "q244_ccf", "q245_cronbach", "q246_benford",
+    "q247_hill_tail", "q248_balance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -989,6 +989,44 @@ object PipelineQueries {
       "conf", "doc_id", b = 199)
   }
 
+  /** q245: CRONBACH'S ALPHA of the curation gate battery
+    * ([[graft.ops.ClassifierEval.cronbachAlpha]]) — q230's Cochran Q
+    * says the three gates (Gopher, blocklist, lang-id) differ in pass
+    * rate; α asks the orthogonal reliability question: do they rank
+    * documents along ONE quality axis (a combined pass-count score is
+    * meaningful) or several (averaging them destroys signal)? Same
+    * exact integer cell sums, one fixed-order α. Oracle replays the
+    * gates and the cancelled-n² variance identity. */
+  def gateCronbach(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val fl = docs.select($"doc_id")
+      .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select($"doc_id", $"keep".as("g_keep")), Seq("doc_id"))
+      .join(TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+          Seq("slow", "big", "broken"))
+        .select($"doc_id", $"keep".as("b_keep")), Seq("doc_id"))
+      .join(TextAnalysis.langIdScores(docs, "text")
+        .select($"doc_id",
+          ($"predicted" =!= "und").cast("long").as("l_keep")), Seq("doc_id"))
+    graft.ops.ClassifierEval.cronbachAlpha(fl,
+      Seq("g_keep", "b_keep", "l_keep"))
+  }
+
+  /** q247: HILL heavy-tail exponent of document lengths
+    * ([[graft.ops.Sampling.hillTail]]) — the tail-risk number behind
+    * q73's packing and q149's budget planning: α ≤ 2 means the length
+    * distribution has infinite variance, so mean-based shard budgets
+    * are dominated by whichever giant document lands in the batch;
+    * α comfortably above 2 licenses the averages those planners use.
+    * Top-51 order statistics, exact long ratios, nano-quantized log
+    * sum. Oracle replays the selection and every term. */
+  def docLengthHill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sampling.hillTail(
+      Tables.documents(s, dir).select($"n_chars"), "n_chars", k = 50)
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3081,7 +3119,9 @@ object PipelineQueries {
     "q240_modularity"     -> (nearDupModularity _),
     "q241_hits"           -> (eventHits _),
     "q242_mantel_haenszel" -> (lengthGateMh _),
-    "q243_drift_bh"       -> (sourceDriftBh _))
+    "q243_drift_bh"       -> (sourceDriftBh _),
+    "q245_cronbach"       -> (gateCronbach _),
+    "q247_hill_tail"      -> (docLengthHill _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7203,6 +7243,48 @@ object PipelineQueries {
          |      CAST(t * 3 - sr2 AS DOUBLE), 6)
          |  END AS q_stat
          |FROM m""".stripMargin,
+    // q245: the q230 gate replay, cancelled-n² item/total variance
+    // integers, one fixed-order alpha
+    "q245_cronbach" ->
+      s"""WITH $funnelGateCtes,
+         |fl AS (
+         |  SELECT g_keep, b_keep,
+         |    CASE WHEN predicted <> 'und' THEN 1 ELSE 0 END AS l_keep
+         |  FROM sig),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(g_keep) AS HUGEINT) AS c0,
+         |    CAST(SUM(b_keep) AS HUGEINT) AS c1,
+         |    CAST(SUM(l_keep) AS HUGEINT) AS c2,
+         |    CAST(SUM(g_keep + b_keep + l_keep) AS HUGEINT) AS t,
+         |    CAST(SUM((g_keep + b_keep + l_keep) * (g_keep + b_keep + l_keep)) AS HUGEINT) AS st2
+         |  FROM fl)
+         |SELECT n AS n_docs, CAST(3 AS BIGINT) AS k_gates,
+         |  CASE WHEN CAST(n AS HUGEINT) * st2 - t * t <= 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ROUND(1.5 * (1.0 -
+         |      CAST((CAST(n AS HUGEINT) * c0 - c0 * c0) +
+         |        (CAST(n AS HUGEINT) * c1 - c1 * c1) +
+         |        (CAST(n AS HUGEINT) * c2 - c2 * c2) AS DOUBLE) /
+         |      CAST(CAST(n AS HUGEINT) * st2 - t * t AS DOUBLE)), 6)
+         |  END AS alpha
+         |FROM m""".stripMargin,
+    // q247: top-51 order statistics, nano-quantized log ratios, the
+    // Hill identity with an honest NULL on a flat tail
+    "q247_hill_tail" ->
+      """WITH t AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        |  ORDER BY x DESC LIMIT 51),
+        |tl AS (SELECT CAST(MIN(x) AS BIGINT) AS xt FROM t),
+        |sl AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(round(ln(CAST(x AS DOUBLE) /
+        |    CAST(xt AS DOUBLE)) * 1e9) AS BIGINT)), 0) AS BIGINT) AS sl
+        |  FROM t, tl WHERE x > xt),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        |SELECT CAST(50 AS BIGINT) AS k, n, xt AS x_tail,
+        |  ROUND(CAST(sl AS DOUBLE) / 50.0 / 1e9, 6) AS inv_alpha,
+        |  CASE WHEN sl = 0 THEN NULL
+        |    ELSE ROUND(50.0 * 1e9 / CAST(sl AS DOUBLE), 6) END AS alpha
+        |FROM nn, tl, sl""".stripMargin,
     "q235_burstiness" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token

@@ -859,6 +859,77 @@ object RelationalQueries {
     graft.ops.ClassifierEval.cupedLift(per, "arm", "y", "x")
   }
 
+  /** q244: hourly CROSS-correlation, errors × signups
+    * ([[graft.ops.ChangeDetect.ccf]]) — q218's ACF says each series
+    * remembers itself; this says whether error spikes LEAD signup dips
+    * (peak at positive lag = errors now, signups later): the
+    * incident-impact readout a per-series monitor cannot produce.
+    * Lags −6..+6 over the per-hour mean values of the two event types.
+    * Oracle replays both micro-mean grids, the lag joins and every
+    * fixed-order ratio. */
+  def errorSignupCcf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type",
+        floor(unix_timestamp($"ts") / 3600).cast("long").as("hour_idx"),
+        $"value")
+    graft.ops.ChangeDetect.ccf(
+      ev.filter($"event_type" === "error").select($"hour_idx", $"value"),
+      ev.filter($"event_type" === "signup").select($"hour_idx", $"value"),
+      "hour_idx", "value", maxLag = 6)
+  }
+
+  /** q246: BENFORD first-digit audit of event values
+    * ([[graft.ops.Integrity.benfordAudit]]) — the fabrication/unit-bug
+    * tripwire next to q144's checksums: a re-ingest that rescaled,
+    * capped or synthesized the `value` column moves the first-digit
+    * profile even when counts and sums still reconcile. The synthetic
+    * testdata is NOT Benford-distributed — the audit's honest reading
+    * here is a large `mad`, which is exactly the point: the number is
+    * a fingerprint to TREND across ingests, not a pass/fail gate.
+    * Oracle replays the micro-string digit extraction, the 9-digit
+    * spine and the closed-form expectations. */
+  def eventValueBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // zero-valued events (a real occurrence) have no first digit —
+    // filtered to the audit's documented domain; the op fails typed
+    // rather than silently binning them
+    graft.ops.Integrity.benfordAudit(
+      Tables.events(s, dir).select($"value")
+        .filter(round($"value" * 1e6d) >= 1.0d), "value")
+  }
+
+  /** q248: COVARIATE BALANCE of the q236 experiment split
+    * ([[graft.ops.ClassifierEval.covariateBalance]]) — the pre-flight
+    * audit CUPED assumes: are the hash-assigned arms actually
+    * exchangeable on the pre-period covariates (per-user pre-period
+    * mean value, pre-period activity count)? |SMD| < 0.1 says the
+    * randomization held; a failure here poisons q236's lift before any
+    * adjustment. Oracle replays the per-user frame, the per-arm DECIMAL
+    * moments and the fixed-order SMDs. */
+  def experimentBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_timestamp($"ts").cast("long").as("ep"),
+        round($"value" * 1e6d).cast("long").as("vm"))
+    val mid = ev.agg(expr("(min(ep) + max(ep)) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"ep" < $"mid", 1L).otherwise(0L)).as("n_pre"),
+        sum(when($"ep" < $"mid", $"vm").otherwise(0L).cast(dec)).as("s_pre"))
+      .filter($"n_pre" > 0L)
+      .select($"user_id",
+        (round($"s_pre".cast("double") / $"n_pre".cast("double"))
+          .cast("long").cast("double") / 1e6d).as("x_pre"),
+        $"n_pre".cast("double").as("n_events_pre"),
+        when(graft.ops.Sampling.hashBucket($"user_id") < 50, "A")
+          .otherwise("B").as("arm"))
+    graft.ops.ClassifierEval.covariateBalance(per, "arm",
+      Seq("x_pre", "n_events_pre"))
+  }
+
   /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
@@ -1210,7 +1281,10 @@ object RelationalQueries {
     "q218_acf"             -> (acfHourly _),
     "q228_seasonal"        -> (seasonalHourly _),
     "q233_change_point"    -> (changePointHourly _),
-    "q236_cuped"           -> (cupedExperiment _))
+    "q236_cuped"           -> (cupedExperiment _),
+    "q244_ccf"             -> (errorSignupCcf _),
+    "q246_benford"         -> (eventValueBenford _),
+    "q248_balance"         -> (experimentBalance _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -2061,5 +2135,150 @@ object RelationalQueries {
         |  ROUND(k, 6) AS theta,
         |  CASE WHEN denx <= 0 OR deny <= 0 THEN CAST(0.0 AS DOUBLE)
         |    ELSE ROUND(num * num / (denx * deny), 6) END AS var_reduction
-        |FROM m3""".stripMargin)
+        |FROM m3""".stripMargin,
+    // q244: two micro-mean grids, a ±6 lag spine, per-lag HUGEINT pair
+    // sums, full-series moments, one fixed-order ratio per lag
+    "q244_ccf" ->
+      """WITH pbx AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |gx AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS m
+        |  FROM pbx),
+        |pby AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |gy AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS m
+        |  FROM pby),
+        |totx AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nx, SUM(CAST(m AS HUGEINT)) AS sx,
+        |    SUM(CAST(m AS HUGEINT) * m) AS sxx
+        |  FROM gx),
+        |toty AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS ny, SUM(CAST(m AS HUGEINT)) AS sy,
+        |    SUM(CAST(m AS HUGEINT) * m) AS syy
+        |  FROM gy),
+        |lags AS (SELECT CAST(unnest(generate_series(-6, 6)) AS BIGINT) AS lag),
+        |pl AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    SUM(CAST(g1.m AS HUGEINT) * g2.m) AS sxy,
+        |    SUM(CAST(g1.m AS HUGEINT)) AS spx,
+        |    SUM(CAST(g2.m AS HUGEINT)) AS spy
+        |  FROM gx g1 CROSS JOIN lags l
+        |  JOIN gy g2 ON g2.bucket = g1.bucket + l.lag
+        |  GROUP BY 1)
+        |SELECT l.lag, CAST(COALESCE(pl.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CASE WHEN pl.n_pairs IS NULL OR pl.n_pairs = 0
+        |    OR CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE) <= 0
+        |    OR CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE) <= 0
+        |    THEN CAST(0.0 AS DOUBLE)
+        |    ELSE ROUND(
+        |      (CAST(pl.sxy AS DOUBLE) -
+        |        (CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE)) * CAST(pl.spx AS DOUBLE) -
+        |        (CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE)) * CAST(pl.spy AS DOUBLE) +
+        |        CAST(pl.n_pairs AS DOUBLE) *
+        |          (CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE)) *
+        |          (CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE))) /
+        |      sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |          CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE)) *
+        |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+        |          CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE))), 6) END AS ccf
+        |FROM lags l LEFT JOIN pl ON l.lag = pl.lag, totx, toty
+        |ORDER BY l.lag""".stripMargin,
+    // q246: micro-string first digits, 1..9 spine, closed-form Benford
+    // expectations, nano-summed mean absolute deviation
+    "q246_benford" ->
+      """WITH o AS (
+        |  SELECT CAST(substr(CAST(CAST(round(value * 1e6) AS BIGINT) AS VARCHAR),
+        |    1, 1) AS BIGINT) AS digit
+        |  FROM events WHERE round(value * 1e6) >= 1),
+        |obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+        |spine AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS digit),
+        |per AS (
+        |  SELECT s.digit, CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+        |    ROUND(CAST(COALESCE(n_obs, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_obs,
+        |    ROUND(ln(1.0 + 1.0 / CAST(s.digit AS DOUBLE)) / ln(10.0), 6) AS p_benford,
+        |    ROUND(abs(CAST(COALESCE(n_obs, 0) AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      ln(1.0 + 1.0 / CAST(s.digit AS DOUBLE)) / ln(10.0)), 6) AS abs_dev
+        |  FROM spine s LEFT JOIN obs USING (digit), tot),
+        |md AS (
+        |  SELECT CAST(SUM(CAST(round(abs_dev * 1e9) AS BIGINT)) AS BIGINT) AS sd
+        |  FROM per)
+        |SELECT digit, n_obs, frac_obs, p_benford, abs_dev,
+        |  ROUND(CAST(sd AS DOUBLE) / 9.0 / 1e9, 6) AS mad
+        |FROM per, md ORDER BY digit""".stripMargin,
+    // q248: the q236 per-user pre-period frame, per-arm HUGEINT moments
+    // per covariate, fixed-order sample variances and SMDs
+    "q248_balance" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ep,
+        |    CAST(round(value * 1e6) AS HUGEINT) AS vm
+        |  FROM events),
+        |mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS mid FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN ep < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |    SUM(CASE WHEN ep < mid THEN vm ELSE 0 END) AS s_pre
+        |  FROM e, mid GROUP BY user_id),
+        |v AS (
+        |  SELECT user_id,
+        |    CAST(round(CAST(s_pre AS DOUBLE) / CAST(n_pre AS DOUBLE)) AS BIGINT) AS xmu,
+        |    n_pre * 1000000 AS nmu,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM u WHERE n_pre > 0),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(xmu AS HUGEINT) ELSE 0 END) AS sxa,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(xmu AS HUGEINT) * xmu ELSE 0 END) AS qxa,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(xmu AS HUGEINT) ELSE 0 END) AS sxb,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(xmu AS HUGEINT) * xmu ELSE 0 END) AS qxb,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(nmu AS HUGEINT) ELSE 0 END) AS sna,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(nmu AS HUGEINT) * nmu ELSE 0 END) AS qna,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(nmu AS HUGEINT) ELSE 0 END) AS snb,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(nmu AS HUGEINT) * nmu ELSE 0 END) AS qnb
+        |  FROM v)
+        |SELECT 'x_pre' AS covariate, na AS n_a, nb AS n_b,
+        |  ROUND(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6, 6) AS mean_a,
+        |  ROUND(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6, 6) AS mean_b,
+        |  CASE WHEN ((CAST(qxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE) /
+        |      CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) +
+        |    (CAST(qxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE) /
+        |      CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / 2.0 <= 0.0
+        |    THEN NULL
+        |    ELSE ROUND((CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) -
+        |      CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |      sqrt(((CAST(qxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE) /
+        |          CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) +
+        |        (CAST(qxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE) /
+        |          CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / 2.0), 6) END AS smd
+        |FROM m
+        |UNION ALL
+        |SELECT 'n_events_pre', na, nb,
+        |  ROUND(CAST(sna AS DOUBLE) / CAST(na AS DOUBLE) / 1e6, 6),
+        |  ROUND(CAST(snb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6, 6),
+        |  CASE WHEN ((CAST(qna AS DOUBLE) - CAST(sna AS DOUBLE) * CAST(sna AS DOUBLE) /
+        |      CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) +
+        |    (CAST(qnb AS DOUBLE) - CAST(snb AS DOUBLE) * CAST(snb AS DOUBLE) /
+        |      CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / 2.0 <= 0.0
+        |    THEN NULL
+        |    ELSE ROUND((CAST(sna AS DOUBLE) / CAST(na AS DOUBLE) -
+        |      CAST(snb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |      sqrt(((CAST(qna AS DOUBLE) - CAST(sna AS DOUBLE) * CAST(sna AS DOUBLE) /
+        |          CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) +
+        |        (CAST(qnb AS DOUBLE) - CAST(snb AS DOUBLE) * CAST(snb AS DOUBLE) /
+        |          CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / 2.0), 6) END
+        |FROM m""".stripMargin)
 }

@@ -258,6 +258,82 @@ object ChangeDetect {
       .orderBy(col("lag"))
   }
 
+  /** CROSS-correlation function between two bucketed series at lags
+    * −maxLag..+maxLag — the lead/lag coupling readout [[acf]] cannot
+    * see: r(ℓ) = corr(x_t, y_{t+ℓ}), so a peak at POSITIVE ℓ means x
+    * LEADS y by ℓ buckets (errors now → signups dip later), a peak at
+    * negative ℓ means y leads x, and the ℓ = 0 column is plain Pearson.
+    * The classical normalization: pair covariances over the lag
+    * overlap, divided by the product of the FULL-series standard
+    * deviations — so the lags are comparable to each other and to the
+    * textbook CCF.
+    *
+    * One row per lag: (lag, n_pairs, ccf), lag ascending. Buckets
+    * missing from either series contribute no pair at the lags that
+    * would need them — documented, not imputed (the [[acf]] gap rule).
+    *
+    * Determinism: per-bucket micro-means are exact longs (the shared
+    * [[partialGrid]] device); per-lag pair sums and the two global
+    * moment sets run in DECIMAL; each r(ℓ) is one fixed-order double
+    * expression (micro scales cancel between numerator and the
+    * sqrt-product denominator) rounded to 6 dp — bit-replayable.
+    * Degenerate zero variance on either side reports 0.0 for every
+    * lag, never NaN. NULLs fail typed.
+    *
+    * Plan: two map-side-combined groupBys to the buckets-sized grids;
+    * the lag spine (2·maxLag+1 rows) broadcasts; one grid-sized
+    * equi-join per side; per-lag aggregates on the bounded pair frame;
+    * two broadcast 1-row global-moment combines. */
+  def ccf(dfA: DataFrame, dfB: DataFrame, bucketCol: String,
+      valueCol: String, maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    Seq(("x", dfA), ("y", dfB)).foreach { case (side, df) =>
+      val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
+        .limit(1).count()
+      require(bad == 0L,
+        s"ccf needs non-NULL '$bucketCol'/'$valueCol' on the $side side")
+    }
+    val dec = "decimal(38,0)"
+    def grid(df: DataFrame) = partialGrid(df, bucketCol, valueCol)
+      .withColumn("_mean",
+        round(col("_sm").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
+      .localCheckpoint(true)
+    val gx = grid(dfA)
+    val gy = grid(dfB)
+    def glob(g: DataFrame, n: String, s: String, ss: String) =
+      g.agg(count(lit(1)).as(n), sum(col("_mean").cast(dec)).as(s),
+        sum(col("_mean").cast(dec) * col("_mean")).as(ss))
+    val globX = glob(gx, "_nx", "_sx", "_sxx")
+    val globY = glob(gy, "_ny", "_sy", "_syy")
+    val lags = gx.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val pairs = gx.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("bucket") + col("lag")).as("bucket"),
+        col("_mean").as("_mx"))
+      .join(gy.withColumnRenamed("_mean", "_my"), Seq("bucket"))
+    val perLag = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_mx").cast(dec) * col("_my")).as("_sxy"),
+        sum(col("_mx").cast(dec)).as("_spx"),
+        sum(col("_my").cast(dec)).as("_spy"))
+    val out = broadcast(lags).join(perLag, Seq("lag"), "left")
+      .crossJoin(broadcast(globX)).crossJoin(broadcast(globY))
+    def d(c: String) = col(c).cast("double")
+    val xbar = d("_sx") / d("_nx")
+    val ybar = d("_sy") / d("_ny")
+    val denX = d("_sxx") - d("_sx") * d("_sx") / d("_nx")
+    val denY = d("_syy") - d("_sy") * d("_sy") / d("_ny")
+    val num = d("_sxy") - ybar * d("_spx") - xbar * d("_spy") +
+      d("n_pairs") * xbar * ybar
+    out.select(col("lag"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("n_pairs").isNull || col("n_pairs") === 0L ||
+            denX <= 0.0d || denY <= 0.0d, lit(0.0d))
+          .otherwise(round(num / sqrt(denX * denY), 6)).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
   /** LEAST-SQUARES change-point LOCALIZATION (binary-segmentation step;
     * Scott & Knott 1974) — [[cusum]] says a persistent shift EXISTS and
     * roughly when it crossed the alarm budget; this names the exact

@@ -1101,4 +1101,128 @@ object ClassifierEval {
         (col("p_rank") <= coalesce(col("_kmax"), lit(0L))).as("rejected"))
       .orderBy(col("p_rank"))
   }
+
+  /** CRONBACH'S ALPHA over a battery of 0/1 gate columns — the
+    * internal-consistency number beside [[cochranQ]] (do the gates
+    * DIFFER?) and [[fleissKappa]] (do they AGREE beyond chance?):
+    * α = k∕(k−1) · (1 − Σᵢvar(gateᵢ)∕var(Σgates)) asks whether the
+    * battery measures ONE underlying quality axis (α high — a combined
+    * pass-count score is meaningful) or several unrelated ones (α low —
+    * averaging the gates into one score destroys information).
+    *
+    * One row: (n_docs, k_gates, alpha). Determinism: with the n²
+    * variance scaling (n·Σx² − (Σx)²) the common factor cancels in the
+    * ratio, so both variance numerators are EXACT integers (DECIMAL
+    * sums — row totals ≤ 64 keep Σt² well inside range) and α is one
+    * fixed-order double expression rounded to 6 dp — bit-replayable.
+    * A zero total variance (every doc has the same pass pattern sum)
+    * reports 0.0, documented, never a division by zero. Off-domain or
+    * NULL gate values fail typed (the [[cochranQ]] guard).
+    *
+    * Plan: ONE corpus-scale aggregate (map-side combined) carrying the
+    * k per-gate (Σx, Σx²≡Σx for 0/1) sums and the row-total moments —
+    * everything after is 1-row arithmetic. */
+  def cronbachAlpha(df: DataFrame, gateCols: Seq[String]): DataFrame = {
+    require(gateCols.size >= 2 && gateCols.size <= 64,
+      s"need 2..64 gate columns, got ${gateCols.size}")
+    require(gateCols.distinct.size == gateCols.size,
+      "gate columns must be unique")
+    val offDomain = df.filter(gateCols.map(c =>
+        col(c).isNull || (col(c) =!= 0L && col(c) =!= 1L)).reduce(_ || _))
+      .limit(1).count()
+    require(offDomain == 0L,
+      s"cronbachAlpha needs 0/1 gate values in ${gateCols.mkString(", ")} — " +
+        "NULL or off-domain values would silently corrupt the variances")
+    val dec = "decimal(38,0)"
+    val k = gateCols.size
+    val t = gateCols.map(c => col(c).cast("long")).reduce(_ + _)
+    val aggs = gateCols.zipWithIndex.map { case (c, i) =>
+      sum(col(c).cast("long")).as(s"_c$i") // Σx = Σx² for 0/1 items
+    } ++ Seq(count(lit(1)).as("n"),
+      sum(t.cast(dec)).as("_t"),
+      sum(t.cast(dec) * t).as("_st2"))
+    val row = df.agg(aggs.head, aggs.drop(1): _*)
+    // n·Σx² − (Σx)² per item, summed; same scaling for the total — the
+    // n² factor cancels in the ratio
+    val itemVar = gateCols.indices.map(i =>
+      col("n").cast(dec) * col(s"_c$i") -
+        col(s"_c$i").cast(dec) * col(s"_c$i")).reduce(_ + _)
+    val totVar = col("n").cast(dec) * col("_st2") - col("_t") * col("_t")
+    row.select(col("n").as("n_docs"), lit(k.toLong).as("k_gates"),
+      when(totVar <= 0, lit(0.0d))
+        .otherwise(round(lit(k.toDouble / (k - 1).toDouble) *
+          (lit(1.0d) - itemVar.cast("double") / totVar.cast("double")), 6))
+        .as("alpha"))
+  }
+
+  /** STANDARDIZED MEAN DIFFERENCE covariate-balance audit between two
+    * arms — the pre-flight check [[cupedLift]] assumes and experiment
+    * reviews demand: for each covariate, SMD = (x̄_A − x̄_B) ∕
+    * √((s²_A + s²_B)∕2) in pooled-SD units, the scale-free imbalance
+    * number with the |SMD| < 0.1 rule of thumb. A covariate that fails
+    * here confounds any raw lift readout on the same split.
+    *
+    * One row per covariate: (covariate, n_a, n_b, mean_a, mean_b, smd)
+    * in the given column order. Determinism: values micro-quantize to
+    * exact longs; per-arm moment sums run in DECIMAL; means and the
+    * SMD are fixed-order double expressions rounded to 6 dp (micro
+    * scales cancel between the gap and the pooled SD) — bit-replayable.
+    * Sample (n−1) variances; a zero pooled variance reports NULL smd —
+    * honest, not ±Infinity. Arms with < 2 rows fail typed (sample
+    * variance undefined), as do NULL arms/values and a non-two-arm
+    * column.
+    *
+    * Plan: ONE corpus-scale aggregate per covariate list (map-side
+    * combined, k·arm cells) — everything after is bounded-frame
+    * arithmetic; no joins, no windows. */
+  def covariateBalance(df: DataFrame, armCol: String,
+      covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 64,
+      s"need 1..64 covariates, got ${covariates.size}")
+    require(covariates.distinct.size == covariates.size,
+      "covariates must be unique")
+    val nulls = df.filter((col(armCol).isNull +: covariates.map(col(_).isNull))
+      .reduce(_ || _)).limit(1).count()
+    require(nulls == 0L, s"covariateBalance needs non-NULL '$armCol' and " +
+      s"covariates ${covariates.mkString(", ")}")
+    val arms = df.select(col(armCol)).distinct().orderBy(col(armCol))
+      .limit(3).collect().map(_.get(0))
+    require(arms.length == 2,
+      s"covariateBalance needs exactly 2 arms in '$armCol', got " +
+        s"${arms.length}")
+    val (armA, armB) = (arms(0), arms(1))
+    val dec = "decimal(38,0)"
+    def m(c: String) = round(col(c).cast("double") * 1e6d).cast("long")
+    val aggs = covariates.zipWithIndex.flatMap { case (c, i) =>
+      def side(tag: String, isArm: Column) = Seq(
+        coalesce(sum(when(isArm, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as(s"_n$tag$i"),
+        coalesce(sum(when(isArm, m(c).cast(dec))), lit(0L).cast(dec))
+          .as(s"_s$tag$i"),
+        coalesce(sum(when(isArm, m(c).cast(dec) * m(c))), lit(0L).cast(dec))
+          .as(s"_q$tag$i"))
+      side("a", col(armCol) === lit(armA)) ++
+        side("b", col(armCol) === lit(armB))
+    }
+    val row = df.agg(aggs.head, aggs.drop(1): _*).localCheckpoint(true)
+    val small = covariates.indices
+      .map(i => col(s"_na$i") < 2L || col(s"_nb$i") < 2L).reduce(_ || _)
+    require(row.filter(small).isEmpty,
+      "covariateBalance: an arm has < 2 rows — sample variance undefined")
+    val perCov = covariates.zipWithIndex.map { case (c, i) =>
+      def d(n: String) = col(n).cast("double")
+      def varS(tag: String) =
+        (d(s"_q$tag$i") - d(s"_s$tag$i") * d(s"_s$tag$i") / d(s"_n$tag$i")) /
+          (d(s"_n$tag$i") - lit(1.0d))
+      val gap = d(s"_sa$i") / d(s"_na$i") - d(s"_sb$i") / d(s"_nb$i")
+      val pooled = (varS("a") + varS("b")) / lit(2.0d)
+      row.select(lit(c).as("covariate"),
+        col(s"_na$i").as("n_a"), col(s"_nb$i").as("n_b"),
+        round(d(s"_sa$i") / d(s"_na$i") / 1e6d, 6).as("mean_a"),
+        round(d(s"_sb$i") / d(s"_nb$i") / 1e6d, 6).as("mean_b"),
+        when(pooled <= lit(0.0d), lit(null).cast("double"))
+          .otherwise(round(gap / sqrt(pooled), 6)).as("smd"))
+    }
+    perCov.reduce(_ unionAll _)
+  }
 }

@@ -48,4 +48,64 @@ object Integrity {
         sum(col("_h")).cast("decimal(38,0)").cast("string").as("checksum"))
       .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
   }
+
+  /** BENFORD first-digit audit of a positive numeric column — the
+    * fabrication/pipeline-bug tripwire: naturally-grown magnitudes
+    * (transaction values, populations, file sizes) follow
+    * P(d) = log₁₀(1 + 1∕d), while generated, truncated, capped or
+    * unit-mangled data does not; a jump in the deviation flags an
+    * upstream change even when row counts and checksums still pass.
+    * One row per digit 1..9: (digit, n_obs, frac_obs, p_benford,
+    * abs_dev) plus the repeated summary `mad` (mean absolute
+    * deviation, the standard Benford conformity number: < 0.006 close,
+    * > 0.015 nonconformity).
+    *
+    * Determinism: the first significant digit comes from the DECIMAL
+    * STRING of the micro-quantized value — `substr(cast(round(v·10⁶)
+    * as string), 1, 1)` — never from log₁₀/floor (whose last-ulp
+    * behavior near powers of ten differs across engines); digits with
+    * no observations still emit a row (1..9 spine). p_benford is the
+    * closed form ln(1+1∕d)∕ln(10); fractions are fixed-order doubles
+    * rounded to 6 dp; `mad` sums the nano-quantized per-digit
+    * deviations as longs — bit-replayable. Values ≤ 0 or NULL fail
+    * typed (they have no Benford digit; filter or shift first).
+    *
+    * Plan: ONE map-side-combined groupBy to the 9-row digit frame,
+    * then spine-join + 1-row broadcast combines. The audit of 100 TB
+    * is a single scan with 9 counters. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val bad = df.filter(col(valueCol).isNull ||
+      round(col(valueCol).cast("double") * 1e6d) < 1.0d).limit(1).count()
+    require(bad == 0L, s"benfordAudit needs positive non-NULL '$valueCol' " +
+      "values on the micro grid (≥ 5·10⁻⁷) — zero/negative/sub-grid " +
+      "magnitudes have no quantized Benford first digit")
+    val obs = df
+      .select(substring(round(col(valueCol).cast("double") * 1e6d)
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val tot = obs.agg(coalesce(sum(col("n_obs")), lit(0L)).as("_n"))
+    val per = broadcast(spine).join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("_n"))
+      .withColumn("frac_obs",
+        round(col("n_obs").cast("double") / col("_n").cast("double"), 6))
+      .withColumn("p_benford", round(
+        log(lit(1.0d) + lit(1.0d) / col("digit").cast("double")) /
+          log(lit(10.0d)), 6))
+      .withColumn("abs_dev", round(abs(
+        col("n_obs").cast("double") / col("_n").cast("double") -
+          log(lit(1.0d) + lit(1.0d) / col("digit").cast("double")) /
+            log(lit(10.0d))), 6))
+      .localCheckpoint(true) // 9 rows, read twice
+    val mad = per
+      .select(round(col("abs_dev") * 1e9d).cast("long").as("_d"))
+      .agg(sum(col("_d")).as("_sd"))
+    per.crossJoin(broadcast(mad))
+      .select(col("digit"), col("n_obs"), col("frac_obs"),
+        col("p_benford"), col("abs_dev"),
+        round(col("_sd").cast("double") / lit(9.0d) / 1e9d, 6).as("mad"))
+      .orderBy(col("digit"))
+  }
 }

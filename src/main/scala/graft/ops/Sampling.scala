@@ -478,4 +478,56 @@ object Sampling {
       round(sqrt(va.cast("double")) / lit(s.toDouble) / lit(1e9d), 6)
         .as("se_jack"))
   }
+
+  /** HILL ESTIMATOR of the heavy-tail exponent of a positive metric
+    * (doc length, cluster size, user activity) — the number that says
+    * whether [[packSequences]]-style planning can trust averages: for a
+    * Pareto-ish tail P(X > x) ~ x^(−α),
+    * 1∕α̂ = (1∕k)·Σᵢ₌₁..k ln(X₍ᵢ₎∕X₍ₖ₊₁₎) over the top k+1 order
+    * statistics. α ≤ 2 means infinite variance — max-doc outliers
+    * dominate shard packing and mean-based budgets silently break;
+    * α large means the tail is benign. One row:
+    * (k, n, x_tail, inv_alpha, alpha) with x_tail = X₍ₖ₊₁₎.
+    *
+    * Determinism: the top-(k+1) selection is TakeOrderedAndProject on
+    * (value desc) — ties beyond the cut are interchangeable BY VALUE,
+    * which is all the estimator reads; each ln ratio of exact longs
+    * nano-quantizes before the k-term integer sum; inv_alpha and alpha
+    * are single fixed-order double expressions rounded to 6 dp —
+    * bit-replayable. A degenerate flat tail (X₍₁₎ = X₍ₖ₊₁₎ → 1∕α̂ = 0)
+    * reports NULL alpha — honest, not Infinity. NULL or non-positive
+    * values fail typed, as does a corpus smaller than k+1.
+    *
+    * Plan: one map-side top-(k+1) heap per partition merged to k+1
+    * rows (never a global sort), then (k+1)-row arithmetic with one
+    * broadcast 1-row tail value. */
+  def hillTail(df: DataFrame, valueCol: String, k: Int = 50): DataFrame = {
+    require(k >= 2 && k <= 10000, s"need 2 <= k <= 10000, got $k")
+    val bad = df.filter(col(valueCol).isNull ||
+      col(valueCol).cast("long") <= 0L).limit(1).count()
+    require(bad == 0L,
+      s"hillTail needs positive non-NULL integer '$valueCol' magnitudes")
+    val top = df.select(col(valueCol).cast("long").as("_x"))
+      .orderBy(col("_x").desc).limit(k + 1)
+      .localCheckpoint(true) // (k+1)-row bounded frame, read 3×
+    val n = df.count()
+    require(n >= (k + 1).toLong,
+      s"hillTail needs >= ${k + 1} rows for k = $k, got $n")
+    val tail = top.agg(min(col("_x")).as("_xt"))
+    val sumLn = top.crossJoin(broadcast(tail))
+      .filter(col("_x") > col("_xt")) // the k rows strictly above...
+      .select(round(log(col("_x").cast("double") /
+        col("_xt").cast("double")) * 1e9d).cast("long").as("_l"))
+      .agg(coalesce(sum(col("_l")), lit(0L)).as("_sl"))
+    // ...plus any top-k rows EQUAL to X₍ₖ₊₁₎, whose ln ratio is exactly
+    // 0 — the filter drops only zero terms, so the k-term sum is intact
+    tail.crossJoin(broadcast(sumLn))
+      .select(lit(k.toLong).as("k"), lit(n).as("n"),
+        col("_xt").as("x_tail"),
+        round(col("_sl").cast("double") / lit(k.toDouble) / 1e9d, 6)
+          .as("inv_alpha"),
+        when(col("_sl") === 0L, lit(null).cast("double"))
+          .otherwise(round(lit(k.toDouble) * 1e9d /
+            col("_sl").cast("double"), 6)).as("alpha"))
+  }
 }

@@ -207,4 +207,43 @@ class ChangeDetectSpec extends SparkSpecBase {
     assert(got.map(r => r._1 -> r._3).toMap ==
       Map(0L -> -10.0d, 1L -> 0.0d, 2L -> 10.0d), got.toString)
   }
+
+  test("ccf: a planted 2-bucket lead peaks at lag +2; identity peaks at 0 with 1.0") {
+    // y(bucket t) = x(bucket t−2): x LEADS y by 2 — the CCF maximum
+    // sits at lag +2 (a jagged signal, so no other lag aligns)
+    val sig = Seq(1.0d, 5.0d, 2.0d, 8.0d, 3.0d, 9.0d, 4.0d, 7.0d, 0.0d, 6.0d)
+    val x = sig.zipWithIndex.map { case (v, t) => (t.toLong, v) }.toDF("b", "v")
+    val y = sig.zipWithIndex.map { case (v, t) => (t + 2L, v) }.toDF("b", "v")
+    val got = ChangeDetect.ccf(x, y, "b", "v", maxLag = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == (-3L to 3L).toSeq, got.toString)
+    val byLag = got.map(r => r._1 -> r._3).toMap
+    assert(byLag(2L) == got.map(_._3).max && byLag(2L) > 0.9d, got.toString)
+    // exact identity case: two points, y = x → lag 0 is exactly 1.0
+    val two = Seq((0L, 0.0d), (1L, 10.0d)).toDF("b", "v")
+    val id = ChangeDetect.ccf(two, two, "b", "v", maxLag = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(id.find(_._1 == 0L).get._3 == 1.0d, id.toString)
+    // anti-correlated at lag 0
+    val neg = Seq((0L, 10.0d), (1L, 0.0d)).toDF("b", "v")
+    assert(ChangeDetect.ccf(two, neg, "b", "v", maxLag = 1)
+      .as[(Long, Long, Double)].collect()
+      .find(_._1 == 0L).get._3 == -1.0d)
+  }
+
+  test("ccf: zero variance reports 0.0; missing buckets make no pair; typed guards") {
+    val flat = Seq((0L, 5.0d), (1L, 5.0d), (2L, 5.0d)).toDF("b", "v")
+    val x = Seq((0L, 1.0d), (1L, 2.0d), (2L, 3.0d)).toDF("b", "v")
+    assert(ChangeDetect.ccf(x, flat, "b", "v", maxLag = 1)
+      .as[(Long, Long, Double)].collect().forall(_._3 == 0.0d))
+    // y covers only bucket 5: no overlap at any |lag| <= 1 → all 0 pairs
+    val far = Seq((5L, 1.0d)).toDF("b", "v")
+    val gaps = ChangeDetect.ccf(x, far, "b", "v", maxLag = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(gaps.forall(r => r._2 == 0L && r._3 == 0.0d), gaps.toString)
+    intercept[IllegalArgumentException](ChangeDetect.ccf(
+      x, Seq((Option.empty[Long], 1.0d)).toDF("b", "v"), "b", "v"))
+    intercept[IllegalArgumentException](
+      ChangeDetect.ccf(x, x, "b", "v", maxLag = 0))
+  }
 }

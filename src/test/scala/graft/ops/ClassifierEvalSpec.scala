@@ -507,4 +507,48 @@ class ClassifierEvalSpec extends SparkSpecBase {
         Seq(("g", 1L, true, 0.5d), ("g", 2L, true, 0.4d))
           .toDF("g", "id", "in", "s"), "g", "in", "s", "id", b = 19))
   }
+
+  test("cronbachAlpha: perfectly coupled gates = 1, independent = 0, constant-total degenerate") {
+    // identical items: itemVar = 4+4, totVar = 4·8 − 16 = 16 → α = 1
+    val coupled = Seq((1L, 1L), (1L, 1L), (0L, 0L), (0L, 0L)).toDF("a", "b")
+    assert(ClassifierEval.cronbachAlpha(coupled, Seq("a", "b"))
+      .select("alpha").as[Double].head() == 1.0d)
+    // orthogonal items: totVar = 4·6 − 16 = 8 = itemVar sum → α = 0
+    val indep = Seq((1L, 1L), (1L, 0L), (0L, 1L), (0L, 0L)).toDF("a", "b")
+    assert(ClassifierEval.cronbachAlpha(indep, Seq("a", "b"))
+      .select("alpha").as[Double].head() == 0.0d)
+    // anti-coupled: every row total 1 → zero total variance → 0.0
+    val anti = Seq((1L, 0L), (1L, 0L), (0L, 1L), (0L, 1L)).toDF("a", "b")
+    assert(ClassifierEval.cronbachAlpha(anti, Seq("a", "b"))
+      .select("alpha").as[Double].head() == 0.0d)
+    intercept[IllegalArgumentException](ClassifierEval.cronbachAlpha(
+      Seq((2L, 1L)).toDF("a", "b"), Seq("a", "b")))
+    intercept[IllegalArgumentException](ClassifierEval.cronbachAlpha(
+      coupled, Seq("a", "a")))
+    intercept[IllegalArgumentException](ClassifierEval.cronbachAlpha(
+      coupled, Seq("a")))
+  }
+
+  test("covariateBalance: hand-traced SMD, zero-variance NULL, typed guards") {
+    import org.apache.spark.sql.functions.{col, concat}
+    // A: x = 1,3 (mean 2, s² 2); B: x = 5,9 (mean 7, s² 8) →
+    // pooled 5, SMD = −5/√5 = −2.236068
+    val df = Seq(("A", 1.0d, 10.0d), ("A", 3.0d, 10.0d),
+      ("B", 5.0d, 10.0d), ("B", 9.0d, 10.0d)).toDF("arm", "x", "c")
+    val got = ClassifierEval.covariateBalance(df, "arm", Seq("x", "c"))
+      .as[(String, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(got.head == (("x", 2L, 2L, 2.0d, 7.0d, Some(-2.236068d))),
+      got.toString)
+    // constant covariate: means equal, pooled variance 0 → honest NULL
+    assert(got(1) == (("c", 2L, 2L, 10.0d, 10.0d, None)), got.toString)
+    intercept[IllegalArgumentException](ClassifierEval.covariateBalance(
+      df.withColumn("arm", concat(col("arm"), col("x").cast("string"))),
+      "arm", Seq("x"))) // 4 arms
+    intercept[IllegalArgumentException](ClassifierEval.covariateBalance(
+      Seq(("A", 1.0d), ("A", 2.0d), ("B", 3.0d)).toDF("arm", "x"),
+      "arm", Seq("x"))) // arm with < 2 rows
+    intercept[IllegalArgumentException](ClassifierEval.covariateBalance(
+      Seq(("A", Option.empty[Double])).toDF("arm", "x"), "arm", Seq("x")))
+  }
 }

@@ -350,4 +350,38 @@ class SamplingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Sampling.jackknifeRate(
       Seq(("a", 2L), ("b", 1L)).toDF("src", "keep"), "src", "keep"))
   }
+
+  test("hillTail: hand-traced geometric tail; flat tail reports NULL alpha") {
+    // top-3 at k=2: 8, 4, tail 2 → terms ln(4), ln(2) nano-summed
+    val vals = (Seq(8L, 4L, 2L) ++ Seq.fill(7)(1L)).toDF("v")
+    val got = Sampling.hillTail(vals, "v", k = 2)
+      .as[(Long, Long, Long, Double, Option[Double])].head()
+    val sl = math.round(math.log(4.0d) * 1e9d) + math.round(math.log(2.0d) * 1e9d)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((2L, 10L, 2L, r6(sl.toDouble / 2.0d / 1e9d),
+      Some(r6(2.0d * 1e9d / sl.toDouble)))), got.toString)
+    // all-equal tail: every ratio 1, ln 0 → inv_alpha 0, alpha NULL
+    val flat = Seq.fill(10)(5L).toDF("v")
+    val f = Sampling.hillTail(flat, "v", k = 2)
+      .as[(Long, Long, Long, Double, Option[Double])].head()
+    assert(f == ((2L, 10L, 5L, 0.0d, None)), f.toString)
+    // boundary ties: extra copies of the tail value contribute 0 terms
+    val ties = (Seq(8L, 2L, 2L, 2L) ++ Seq.fill(6)(1L)).toDF("v")
+    val t = Sampling.hillTail(ties, "v", k = 2)
+      .as[(Long, Long, Long, Double, Option[Double])].head()
+    val sl2 = math.round(math.log(4.0d) * 1e9d)
+    assert(t._3 == 2L && t._4 == r6(sl2.toDouble / 2.0d / 1e9d), t.toString)
+  }
+
+  test("hillTail: typed guards") {
+    val ok = (1L to 10L).toDF("v")
+    intercept[IllegalArgumentException](Sampling.hillTail(ok, "v", k = 1))
+    intercept[IllegalArgumentException](Sampling.hillTail(
+      (1L to 3L).toDF("v"), "v", k = 5))
+    intercept[IllegalArgumentException](Sampling.hillTail(
+      Seq(1L, 0L).toDF("v"), "v", k = 2))
+    intercept[IllegalArgumentException](Sampling.hillTail(
+      Seq(Option(1L), None).toDF("v"), "v", k = 2))
+  }
 }
