@@ -1027,6 +1027,78 @@ object PipelineQueries {
       Tables.documents(s, dir).select($"n_chars"), "n_chars", k = 50)
   }
 
+  /** q249: CUMULATIVE GAINS of the quality classifier against the
+    * Gopher labels ([[graft.ops.Calibration.gainCurve]]) — the
+    * budgeted-curation readout behind q185's AUC: reviewing only the
+    * top 10%…100% of documents by classifier score, what share of the
+    * actual Gopher-keeps is captured at each depth, and what lift over
+    * random? Ties never split inside a score. Oracle replays the
+    * classifier, labels, the score-grid prefixes and every bucket's
+    * whole-score cut. */
+  def qualityGainCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    graft.ops.Calibration.gainCurve(conf,
+      TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select($"doc_id", $"keep"),
+      "doc_id", "conf", "keep", buckets = 10)
+  }
+
+  /** q252: embedding-space ISOTROPY canary
+    * ([[graft.ops.Spectral.isotropy]]) — the one-row mean-pairwise
+    * cosine of the whole embeddings table via the ‖Σû‖² identity,
+    * never a pair join: the collapsed-space early warning for every
+    * ANN tier (q35…q111), SemDeDup (q94) and semantic decontamination
+    * (q155), whose thresholds all silently degrade when directions
+    * bunch. Oracle replays the normalization, the micro unit grid,
+    * per-dimension sums and both quadratic forms. */
+  def embeddingIsotropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Spectral.isotropy(Tables.embeddings(s, dir), "embedding")
+  }
+
+  /** q253: KRUSKAL–WALLIS omnibus source test
+    * ([[graft.ops.ClassifierEval.kruskalWallis]]) — does the
+    * classifier-score distribution differ across ANY source, in one
+    * k-sample test? The omnibus gate that caps the q243
+    * multiple-testing funnel: pairwise drilldowns (q210/q237) only
+    * run when this rejects. Doubled integer ranks on the score grid,
+    * exact DECIMAL rank sums, tie-corrected. Oracle replays the
+    * classifier, the rank grid and the div/mod quotient device. */
+  def sourceScoreKruskal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+    graft.ops.ClassifierEval.kruskalWallis(conf, "source", "conf")
+  }
+
+  /** q254: BROWN–FORSYTHE spread-homogeneity test
+    * ([[graft.ops.ClassifierEval.brownForsythe]]) — the dispersion
+    * complement of q253: do sources differ in score SPREAD even where
+    * centres agree? A fanned-out source signals a mixed-quality crawl
+    * at the same mean. ANOVA F on |score − per-source lower median|,
+    * every deviation an exact micro integer. Oracle replays the
+    * classifier, the per-source median scan and both quotient
+    * splits. */
+  def sourceScoreSpread(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+    graft.ops.ClassifierEval.brownForsythe(conf, "source", "conf")
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3121,7 +3193,11 @@ object PipelineQueries {
     "q242_mantel_haenszel" -> (lengthGateMh _),
     "q243_drift_bh"       -> (sourceDriftBh _),
     "q245_cronbach"       -> (gateCronbach _),
-    "q247_hill_tail"      -> (docLengthHill _))
+    "q247_hill_tail"      -> (docLengthHill _),
+    "q249_gain_curve"     -> (qualityGainCurve _),
+    "q252_isotropy"       -> (embeddingIsotropy _),
+    "q253_kruskal"        -> (sourceScoreKruskal _),
+    "q254_brown_forsythe" -> (sourceScoreSpread _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7285,6 +7361,172 @@ object PipelineQueries {
         |  CASE WHEN sl = 0 THEN NULL
         |    ELSE ROUND(50.0 * 1e9 / CAST(sl AS DOUBLE), 6) END AS alpha
         |FROM nn, tl, sl""".stripMargin,
+    // q249: classifier + Gopher-label replays, desc score-grid
+    // prefixes, whole-score bucket cuts (cp monotone in cd, so the
+    // max-pair IS the boundary row)
+    "q249_gain_curve" ->
+      s"""WITH $classifierPredCtes,
+         |$gopherLabCtes,
+         |grid AS (
+         |  SELECT CAST(round(p.conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(l.keep) AS BIGINT) AS pos
+         |  FROM pred p JOIN lab l USING (doc_id) GROUP BY 1),
+         |cum AS (
+         |  SELECT sm,
+         |    CAST(SUM(cnt) OVER (ORDER BY sm DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cd,
+         |    CAST(SUM(pos) OVER (ORDER BY sm DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+         |  FROM grid),
+         |tt AS (SELECT MAX(cd) AS nn, MAX(cp) AS pp FROM cum),
+         |sp AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS bucket)
+         |SELECT s.bucket, (s.bucket * tt.nn) // 10 AS cutoff_docs,
+         |  CAST(COALESCE(MAX(c.cd), 0) AS BIGINT) AS docs_used,
+         |  CAST(COALESCE(MAX(c.cp), 0) AS BIGINT) AS pos_captured,
+         |  ROUND(CAST(COALESCE(MAX(c.cp), 0) AS DOUBLE) / CAST(tt.pp AS DOUBLE), 6) AS gain,
+         |  CASE WHEN COALESCE(MAX(c.cd), 0) = 0 THEN NULL
+         |    ELSE ROUND((CAST(COALESCE(MAX(c.cp), 0) AS DOUBLE) / CAST(tt.pp AS DOUBLE)) /
+         |      (CAST(COALESCE(MAX(c.cd), 0) AS DOUBLE) / CAST(tt.nn AS DOUBLE)), 6) END AS lift
+         |FROM sp s CROSS JOIN tt
+         |LEFT JOIN cum c ON c.cd <= (s.bucket * tt.nn) // 10
+         |GROUP BY s.bucket, tt.nn, tt.pp
+         |ORDER BY s.bucket""".stripMargin,
+    // q252: left-fold norms, micro unit grid, per-dim HUGEINT sums,
+    // the ‖Σû‖² − Σ‖û‖² identity, two fixed-order ratios
+    "q252_isotropy" ->
+      """WITH nrm AS (
+        |  SELECT embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (acc, v) -> acc + v)) AS nv
+        |  FROM embeddings),
+        |uq AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) / nv * 1000000.0) AS BIGINT)) AS u
+        |  FROM nrm),
+        |ux AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(u)),
+        |    i -> struct_pack(i := i, v := u[i]))) AS x
+        |  FROM uq),
+        |pd AS (
+        |  SELECT x['i'] - 1 AS dim,
+        |    SUM(CAST(x['v'] AS HUGEINT)) AS s,
+        |    SUM(CAST(x['v'] AS HUGEINT) * x['v']) AS q
+        |  FROM ux GROUP BY 1),
+        |tt AS (
+        |  SELECT SUM(s * s) AS ss, SUM(q) AS qq,
+        |    CAST(COUNT(*) AS BIGINT) AS dim
+        |  FROM pd),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+        |SELECT n, dim,
+        |  ROUND(CAST(qq AS DOUBLE) / CAST(n AS DOUBLE) / 1e12, 6) AS mean_self,
+        |  ROUND(CAST(ss - qq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e12, 6)
+        |    AS mean_pairwise_cos
+        |FROM tt, nn""".stripMargin,
+    // q253: classifier replay, doubled integer ranks on the score
+    // grid, HUGEINT rank sums, the div/mod quotient device, tie term
+    "q253_kruskal" ->
+      s"""WITH $classifierPredCtes,
+         |j AS (SELECT d.source AS g, CAST(round(p.conf * 1e6) AS BIGINT) AS sm
+         |      FROM pred p JOIN documents d USING (doc_id)),
+         |gg AS (SELECT g, sm, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+         |gl AS (SELECT sm, CAST(SUM(c) AS BIGINT) AS t FROM gg GROUP BY 1),
+         |rk AS (
+         |  SELECT sm, 2 * CAST(COALESCE(SUM(t) OVER (ORDER BY sm
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    + t + 1 AS r2
+         |  FROM gl),
+         |per AS (
+         |  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         |    SUM(CAST(c AS HUGEINT) * r2) AS rr
+         |  FROM gg JOIN rk USING (sm) GROUP BY 1),
+         |pq AS (
+         |  SELECT n,
+         |    CAST((rr * rr) % CAST(n AS HUGEINT) AS BIGINT) AS r,
+         |    (rr * rr - (rr * rr) % CAST(n AS HUGEINT)) // CAST(n AS HUGEINT) AS q
+         |  FROM per),
+         |pf AS (SELECT n, q,
+         |    CAST(round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS f
+         |  FROM pq),
+         |tc AS (SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tc FROM gl),
+         |ag AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS k_groups,
+         |    SUM(q) AS qq, CAST(SUM(f) AS BIGINT) AS ff
+         |  FROM pf)
+         |SELECT n, k_groups, k_groups - 1 AS dof,
+         |  ROUND((CAST(qq AS DOUBLE) + CAST(ff AS DOUBLE) / 1e9) * 3.0 /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) -
+         |    (CAST(n AS DOUBLE) + 1.0) * 3.0, 6) AS h,
+         |  ROUND(1.0 - CAST(tc AS DOUBLE) / (CAST(n AS DOUBLE) *
+         |    CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)), 6)
+         |    AS tie_c,
+         |  CASE WHEN CAST(tc AS DOUBLE) < CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+         |      CAST(n AS DOUBLE) - CAST(n AS DOUBLE)
+         |    THEN ROUND(((CAST(qq AS DOUBLE) + CAST(ff AS DOUBLE) / 1e9) * 3.0 /
+         |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) -
+         |      (CAST(n AS DOUBLE) + 1.0) * 3.0) /
+         |      (1.0 - CAST(tc AS DOUBLE) / (CAST(n AS DOUBLE) *
+         |        CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+         |    ELSE NULL END AS h_adj
+         |FROM ag, tc""".stripMargin,
+    // q254: per-source lower-median scan, exact micro deviations,
+    // per-group and global div/mod quotient splits, fixed-order F
+    "q254_brown_forsythe" ->
+      s"""WITH $classifierPredCtes,
+         |j AS (SELECT d.source AS g, CAST(round(p.conf * 1e6) AS BIGINT) AS sm
+         |      FROM pred p JOIN documents d USING (doc_id)),
+         |gg AS (SELECT g, sm, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT g, sm, c, CAST(SUM(c) OVER (PARTITION BY g ORDER BY sm
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+         |  FROM gg),
+         |tg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM gg GROUP BY 1),
+         |med AS (SELECT g, MIN(sm) AS med
+         |  FROM cum JOIN tg USING (g) WHERE cm * 2 >= ng GROUP BY 1),
+         |per AS (
+         |  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         |    SUM(CAST(c AS HUGEINT) * abs(sm - med)) AS s,
+         |    SUM(CAST(c AS HUGEINT) * abs(sm - med) * abs(sm - med)) AS qz
+         |  FROM gg JOIN med USING (g) GROUP BY 1),
+         |pq AS (
+         |  SELECT n, qz, s,
+         |    CAST((s * s) % CAST(n AS HUGEINT) AS BIGINT) AS r,
+         |    (s * s - (s * s) % CAST(n AS HUGEINT)) // CAST(n AS HUGEINT) AS q
+         |  FROM per),
+         |pf AS (SELECT n, s, qz, q,
+         |    CAST(round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS f
+         |  FROM pq),
+         |ag AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS k_groups,
+         |    SUM(s) AS st, SUM(qz) AS qt, SUM(q) AS qn,
+         |    CAST(SUM(f) AS BIGINT) AS fn
+         |  FROM pf),
+         |a2 AS (
+         |  SELECT *,
+         |    CAST((st * st) % CAST(n AS HUGEINT) AS BIGINT) AS rt,
+         |    (st * st - (st * st) % CAST(n AS HUGEINT)) // CAST(n AS HUGEINT) AS qt2
+         |  FROM ag),
+         |a3 AS (SELECT *,
+         |    CAST(round(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS ft
+         |  FROM a2),
+         |a4 AS (
+         |  SELECT n, k_groups,
+         |    (CAST(qn AS DOUBLE) + CAST(fn AS DOUBLE) / 1e9) -
+         |      (CAST(qt2 AS DOUBLE) + CAST(ft AS DOUBLE) / 1e9) AS between_,
+         |    CAST(qt AS DOUBLE) -
+         |      (CAST(qn AS DOUBLE) + CAST(fn AS DOUBLE) / 1e9) AS within_
+         |  FROM a3)
+         |SELECT n, k_groups, k_groups - 1 AS dof1, n - k_groups AS dof2,
+         |  ROUND(between_ / 1e12, 6) AS ssb,
+         |  ROUND(within_ / 1e12, 6) AS ssw,
+         |  CASE WHEN within_ > 0.0
+         |    THEN ROUND((between_ / (CAST(k_groups AS DOUBLE) - 1.0)) /
+         |      (within_ / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6)
+         |    ELSE NULL END AS f
+         |FROM a4""".stripMargin,
     "q235_burstiness" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token

@@ -930,6 +930,49 @@ object RelationalQueries {
       Seq("x_pre", "n_events_pre"))
   }
 
+  /** q250: POWER ANALYSIS of the q236 experiment
+    * ([[graft.ops.ClassifierEval.powerAnalysis]]) — the planning
+    * closure of the A/B family: given the post-period lift and pooled
+    * variance q236 observed, how many users per arm would the NEXT
+    * run need at α = 0.05∕80% power? An n_required far above the
+    * actual arms says "underpowered", which is not "no effect". Same
+    * per-user post-mean frame and hash arms; z quantiles are baked
+    * literals, so the whole path is engine-exact. Oracle replays the
+    * frame, moments and the sizing formula. */
+  def experimentPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_timestamp($"ts").cast("long").as("ep"),
+        round($"value" * 1e6d).cast("long").as("vm"))
+    val mid = ev.agg(expr("(min(ep) + max(ep)) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"ep" >= $"mid", 1L).otherwise(0L)).as("n_post"),
+        sum(when($"ep" >= $"mid", $"vm").otherwise(0L).cast(dec)).as("s_post"))
+      .filter($"n_post" > 0L)
+      .select($"user_id",
+        (round($"s_post".cast("double") / $"n_post".cast("double"))
+          .cast("long").cast("double") / 1e6d).as("y"),
+        when(graft.ops.Sampling.hashBucket($"user_id") < 50, "A")
+          .otherwise("B").as("arm"))
+    graft.ops.ClassifierEval.powerAnalysis(per, "arm", "y")
+  }
+
+  /** q251: KAPLAN–MEIER user-lifetime survival
+    * ([[graft.ops.Funnel.kaplanMeier]]) — q87's retention triangle
+    * upgraded to the censoring-honest survival curve: users whose last
+    * activity sits in the final observed day are censored, not counted
+    * as churned, so the curve does not nosedive at the window edge.
+    * Day periods, KM steps at churn times, nano-ln running product.
+    * Oracle replays lifespans, the at-risk reverse cumulative and
+    * every survival factor. */
+  def userSurvival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Funnel.kaplanMeier(Tables.events(s, dir), "user_id", "ts")
+  }
+
   /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
@@ -1284,7 +1327,9 @@ object RelationalQueries {
     "q236_cuped"           -> (cupedExperiment _),
     "q244_ccf"             -> (errorSignupCcf _),
     "q246_benford"         -> (eventValueBenford _),
-    "q248_balance"         -> (experimentBalance _))
+    "q248_balance"         -> (experimentBalance _),
+    "q250_power"           -> (experimentPower _),
+    "q251_survival"        -> (userSurvival _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -2280,5 +2325,95 @@ object RelationalQueries {
         |          CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) +
         |        (CAST(qnb AS DOUBLE) - CAST(snb AS DOUBLE) * CAST(snb AS DOUBLE) /
         |          CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / 2.0), 6) END
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    // q250: the q236 post-period per-user frame, per-arm HUGEINT
+    // moments, pooled sample variance, the literal-z sizing formula
+    "q250_power" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ep,
+        |    CAST(round(value * 1e6) AS HUGEINT) AS vm
+        |  FROM events),
+        |mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS mid FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN ep >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+        |    SUM(CASE WHEN ep >= mid THEN vm ELSE 0 END) AS s_post
+        |  FROM e, mid GROUP BY user_id),
+        |v AS (
+        |  SELECT user_id,
+        |    CAST(round(CAST(s_post AS DOUBLE) / CAST(n_post AS DOUBLE)) AS BIGINT) AS ymu,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM u WHERE n_post > 0),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(ymu AS HUGEINT) ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN arm = 'A' THEN CAST(ymu AS HUGEINT) * ymu ELSE 0 END) AS qa,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(ymu AS HUGEINT) ELSE 0 END) AS sb,
+        |    SUM(CASE WHEN arm = 'B' THEN CAST(ymu AS HUGEINT) * ymu ELSE 0 END) AS qb
+        |  FROM v),
+        |m2 AS (
+        |  SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    ((CAST(na AS DOUBLE) - 1.0) *
+        |      ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) /
+        |        CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) +
+        |     (CAST(nb AS DOUBLE) - 1.0) *
+        |      ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) /
+        |        CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))) /
+        |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS pooled
+        |  FROM m),
+        |m3 AS (SELECT *, abs(ma - mb) AS delta FROM m2)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(ma / 1e6, 6) AS mean_a,
+        |  ROUND(mb / 1e6, 6) AS mean_b,
+        |  ROUND(delta / 1e6, 6) AS delta,
+        |  ROUND(sqrt(GREATEST(pooled, 0.0)) / 1e6, 6) AS sd_pooled,
+        |  CASE WHEN delta = 0.0 THEN NULL
+        |    ELSE CAST(CEIL(2.0 * GREATEST(pooled, 0.0) *
+        |      ((1.959964 + 0.841621) * (1.959964 + 0.841621)) /
+        |      (delta * delta)) AS BIGINT) END AS n_required
+        |FROM m3""".stripMargin,
+    // q251: day-bucket lifespans with horizon censoring, reverse
+    // cumulative at-risk counts, nano-ln running survival product
+    "q251_survival" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |a AS (
+        |  SELECT user_id,
+        |    (es - ((es % 86400) + 86400) % 86400) // 86400 AS p
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, MIN(p) AS fst, MAX(p) AS lst FROM a GROUP BY 1),
+        |hor AS (SELECT MAX(lst) AS h FROM per),
+        |byT AS (
+        |  SELECT lst - fst AS t, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CASE WHEN lst < h THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM per, hor GROUP BY 1),
+        |risk AS (
+        |  SELECT t, d,
+        |    CAST(SUM(cnt) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM byT),
+        |dth AS (
+        |  SELECT t, n_risk, d,
+        |    CASE WHEN d = n_risk THEN NULL
+        |      ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE) /
+        |        CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS lnq
+        |  FROM risk WHERE d > 0),
+        |cumv AS (
+        |  SELECT t, n_risk, d,
+        |    MAX(CASE WHEN lnq IS NULL THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit0,
+        |    CAST(SUM(COALESCE(lnq, 0)) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cl
+        |  FROM dth)
+        |SELECT t AS t_period, n_risk, d AS n_events,
+        |  ROUND(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6) AS hazard,
+        |  CASE WHEN hit0 = 1 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE ROUND(exp(CAST(cl AS DOUBLE) / 1e9), 6) END AS survival
+        |FROM cumv ORDER BY t_period""".stripMargin)
 }

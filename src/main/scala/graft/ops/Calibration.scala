@@ -421,4 +421,76 @@ object Calibration {
             (d("_syt") / d("_n")) * (lit(1.0d) - d("_syt") / d("_n"))), 6)
           .as("within_bin_resid"))
   }
+
+  /** CUMULATIVE GAINS curve of a binary targeting score — the
+    * operational readout behind [[binaryAuc]]'s single number: "if the
+    * pipeline can only afford to keep/review the top b∕10 of documents
+    * by classifier score, what fraction of the actual positives does
+    * it capture?" One row per bucket b = 1..buckets:
+    * (bucket, cutoff_docs, docs_used, pos_captured, gain, lift) with
+    * gain = captured∕total-positives and lift = gain ∕ (docs_used∕N)
+    * (lift 1.0 = no better than random at that depth).
+    *
+    * Tie honesty: documents NEVER split inside a score — each bucket
+    * reports the largest whole-score prefix with cum_docs ≤ the
+    * ⌊b·N∕buckets⌋ cutoff, and `docs_used` states the prefix actually
+    * taken (possibly < cutoff under heavy ties, 0 when even the top
+    * score overshoots). Interpolating inside a tie would manufacture
+    * resolution the score does not have.
+    *
+    * Determinism: scores micro-quantize to the integer grid; prefix
+    * counts are exact integers on the ≤10⁶-bounded grid; gain/lift are
+    * fixed-order double ratios rounded to 6 dp — bit-replayable. NULL
+    * scores/labels and off-domain labels fail typed (the Calibration
+    * NULL contract); zero positives fail typed (gain is 0∕0).
+    *
+    * Plan: one id-keyed equi-join, one corpus groupBy to the score
+    * grid, one bounded-grid cumulative window, a buckets-sized spine
+    * join with a max-struct per bucket — never a global row sort. */
+  def gainCurve(pred: DataFrame, labels: DataFrame, idCol: String,
+      confCol: String, labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"need 2 <= buckets <= 1000, got $buckets")
+    val j = pred.select(col(idCol), col(confCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val offDomain = j.filter(col(confCol).isNull || col(labelCol).isNull ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
+    require(offDomain == 0L, "gainCurve needs non-NULL scores and 0/1 " +
+      s"labels in '$confCol'/'$labelCol' — NULLs would silently shift " +
+      "every prefix")
+    val grid = j
+      .select(round(col(confCol).cast("double") * 1e6d).cast("long")
+        .as("_sm"), col(labelCol).cast("long").as("_y"))
+      .groupBy(col("_sm"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_pos"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_sm").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("_cd", sum(col("_cnt")).over(wDesc))
+      .withColumn("_cp", sum(col("_pos")).over(wDesc))
+      .localCheckpoint(true) // grid-bounded, read twice
+    val tot = cum.agg(max(col("_cd")).as("_n"), max(col("_cp")).as("_p"))
+    require(tot.filter(col("_p") >= 1L).limit(1).count() == 1L,
+      "gainCurve needs at least one positive label — gain is 0/0")
+    val spine = pred.sparkSession.range(1, buckets + 1L)
+      .select(col("id").as("bucket"))
+    def d(c: String) = col(c).cast("double")
+    broadcast(spine).crossJoin(broadcast(tot))
+      .withColumn("cutoff_docs", expr(s"(bucket * _n) div ${buckets}L"))
+      .join(cum, col("_cd") <= col("cutoff_docs"), "left")
+      .groupBy(col("bucket"), col("cutoff_docs"), col("_n"), col("_p"))
+      .agg(max(struct(col("_cd"), col("_cp"))).as("_best"))
+      .select(col("bucket"), col("cutoff_docs"),
+        coalesce(col("_best._cd"), lit(0L)).as("docs_used"),
+        coalesce(col("_best._cp"), lit(0L)).as("pos_captured"),
+        round(coalesce(col("_best._cp"), lit(0L)).cast("double") /
+          d("_p"), 6).as("gain"),
+        when(coalesce(col("_best._cd"), lit(0L)) === 0L,
+            lit(null).cast("double"))
+          .otherwise(round((coalesce(col("_best._cp"), lit(0L)).cast("double") /
+            d("_p")) / (coalesce(col("_best._cd"), lit(0L)).cast("double") /
+            d("_n")), 6)).as("lift"))
+      .orderBy(col("bucket"))
+  }
 }

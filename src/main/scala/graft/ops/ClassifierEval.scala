@@ -1225,4 +1225,232 @@ object ClassifierEval {
     }
     perCov.reduce(_ unionAll _)
   }
+
+  /** TWO-SAMPLE POWER ANALYSIS at the observed effect — "how many
+    * units per arm would the NEXT experiment need to detect the lift
+    * this one showed, at α = 0.05 two-sided with 80% power?" The
+    * normal-approximation sizing n = 2s²(z_{α∕2} + z_β)² ∕ δ² with s²
+    * the pooled sample variance and δ the observed mean gap — the
+    * honest planning follow-up to an underpowered [[cupedLift]]
+    * readout (a "null" result with n_required ≫ n is an undersized
+    * experiment, not evidence of no effect).
+    *
+    * One row: (n_a, n_b, mean_a, mean_b, delta, sd_pooled,
+    * n_required). The z constants are fixed double LITERALS
+    * (1.959964, 0.841621) — quantiles baked in, no transcendental
+    * inverse-CDF whose last ulp could differ across engines.
+    *
+    * Determinism: micro-quantized values, exact DECIMAL moments,
+    * fixed-order double arithmetic (micro scales cancel between s²
+    * and δ²), one final `ceil` to a long — bit-replayable. δ = 0
+    * reports NULL n_required (no finite experiment detects a zero
+    * effect); zero pooled variance with δ > 0 reports n_required = 0…
+    * strictly, the formula gives 0, kept as the honest limit. Typed
+    * failures: NULL arm/value, ≠ 2 arms, an arm with < 2 rows.
+    *
+    * Plan: ONE corpus-scale aggregate (map-side combined), then 1-row
+    * arithmetic — the [[covariateBalance]] shape for a single
+    * covariate. */
+  def powerAnalysis(df: DataFrame, armCol: String, yCol: String,
+      zAlpha: Double = 1.959964d, zBeta: Double = 0.841621d): DataFrame = {
+    require(zAlpha > 0.0d && zBeta >= 0.0d,
+      s"need z_alpha > 0 and z_beta >= 0, got $zAlpha/$zBeta")
+    val nulls = df.filter(col(armCol).isNull || col(yCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L, s"powerAnalysis needs non-NULL '$armCol'/'$yCol'")
+    val arms = df.select(col(armCol)).distinct().orderBy(col(armCol))
+      .limit(3).collect().map(_.get(0))
+    require(arms.length == 2,
+      s"powerAnalysis needs exactly 2 arms in '$armCol', got ${arms.length}")
+    val dec = "decimal(38,0)"
+    def m = round(col(yCol).cast("double") * 1e6d).cast("long")
+    def side(tag: String, isArm: Column) = Seq(
+      coalesce(sum(when(isArm, lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as(s"_n$tag"),
+      coalesce(sum(when(isArm, m.cast(dec))), lit(0L).cast(dec))
+        .as(s"_s$tag"),
+      coalesce(sum(when(isArm, m.cast(dec) * m)), lit(0L).cast(dec))
+        .as(s"_q$tag"))
+    val aggs = side("a", col(armCol) === lit(arms(0))) ++
+      side("b", col(armCol) === lit(arms(1)))
+    val row = df.agg(aggs.head, aggs.drop(1): _*).localCheckpoint(true)
+    require(row.filter(col("_na") < 2L || col("_nb") < 2L).isEmpty,
+      "powerAnalysis: an arm has < 2 rows — sample variance undefined")
+    def d(c: String) = col(c).cast("double")
+    def varS(tag: String) =
+      (d(s"_q$tag") - d(s"_s$tag") * d(s"_s$tag") / d(s"_n$tag")) /
+        (d(s"_n$tag") - lit(1.0d))
+    // pooled s² = ((na−1)s²a + (nb−1)s²b) / (na+nb−2), in micro² units
+    val pooled = ((d("_na") - lit(1.0d)) * varS("a") +
+      (d("_nb") - lit(1.0d)) * varS("b")) /
+      (d("_na") + d("_nb") - lit(2.0d))
+    val delta = abs(d("_sa") / d("_na") - d("_sb") / d("_nb"))
+    val z2 = lit((zAlpha + zBeta) * (zAlpha + zBeta))
+    row.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      round(d("_sa") / d("_na") / 1e6d, 6).as("mean_a"),
+      round(d("_sb") / d("_nb") / 1e6d, 6).as("mean_b"),
+      round(delta / 1e6d, 6).as("delta"),
+      round(sqrt(greatest(pooled, lit(0.0d))) / 1e6d, 6).as("sd_pooled"),
+      when(delta === lit(0.0d), lit(null).cast("long"))
+        .otherwise(ceil(lit(2.0d) * greatest(pooled, lit(0.0d)) * z2 /
+          (delta * delta)).cast("long")).as("n_required"))
+  }
+
+  /** KRUSKAL–WALLIS H test across ALL groups at once — the k-sample
+    * extension of [[mannWhitney]]: does the score distribution differ
+    * across ANY of the sources, before drilling into pairwise drift?
+    * The one-shot omnibus gate that caps the q243 multiple-testing
+    * funnel: run pairwise tests only when this rejects. One row:
+    * (n, k_groups, dof, h, tie_c, h_adj) with
+    * H = 12∕(N(N+1)) Σ R̄ terms − 3(N+1), the tie correction
+    * C = 1 − Σ(t³−t)∕(N³−N) and h_adj = H∕C (χ²_{k−1} under the null).
+    *
+    * Determinism: scores micro-quantize to the integer grid; average
+    * ranks ride as the INTEGER doubled rank 2R̄ = 2·cumBefore + t + 1,
+    * so each group's rank sum R2_g is an exact DECIMAL; each
+    * Σ R2_g²∕n_g splits into an exact integer quotient (DECIMAL
+    * div/mod) plus a nano-quantized remainder ratio, so the
+    * cross-group sum is order-free integer arithmetic; H is one
+    * fixed-order double expression on those integers. All scores
+    * identical → C = 0 → h_adj NULL, documented. NULL groups/scores
+    * and k < 2 fail typed.
+    *
+    * Plan: one corpus groupBy to the (group × score)-grid, one
+    * bounded-grid window for global ranks, one grid join, ONE final
+    * aggregate — never a data-sized sort. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      confCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nulls = df.filter(col(groupCol).isNull || col(confCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"kruskalWallis needs non-NULL '$groupCol'/'$confCol'")
+    val gg = df.select(col(groupCol).as("_g"),
+        round(col(confCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      .groupBy(col("_g"), col("_sm")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // grid-bounded, read three times
+    val k = gg.select(col("_g")).distinct().count()
+    require(k >= 2L, s"kruskalWallis needs >= 2 groups, got $k")
+    val glob = gg.groupBy(col("_sm")).agg(sum(col("_c")).as("_t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = glob
+      .withColumn("_r2",
+        lit(2L) * coalesce(sum(col("_t")).over(w), lit(0L)) +
+          col("_t") + lit(1L))
+    val per = gg.join(ranked.select(col("_sm"), col("_r2")), Seq("_sm"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n"),
+        sum(col("_c").cast(dec) * col("_r2")).as("_R2"))
+      .withColumn("_sq", col("_R2") * col("_R2"))
+      .withColumn("_r", expr("cast(_sq % cast(_n as decimal(38,0)) as long)"))
+      .withColumn("_q", expr(
+        "cast((_sq - _r) / cast(_n as decimal(38,0)) as decimal(38,0))"))
+      .withColumn("_f", round(col("_r").cast("double") /
+        col("_n").cast("double") * 1e9d).cast("long"))
+    val ties = glob.agg(
+      sum(col("_t").cast(dec) * col("_t") * col("_t") -
+        col("_t").cast(dec)).as("_tc")).localCheckpoint(true)
+    def d(c: String) = col(c).cast("double")
+    per.agg(sum(col("_n")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("_q").cast(dec)).as("_Q"), sum(col("_f")).as("_F"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("k_groups"),
+        (col("k_groups") - lit(1L)).as("dof"),
+        round((d("_Q") + d("_F") / 1e9d) * 3.0d /
+          (d("n") * (d("n") + 1.0d)) -
+          (d("n") + 1.0d) * 3.0d, 6).as("h"),
+        round(lit(1.0d) - d("_tc") /
+          (d("n") * d("n") * d("n") - d("n")), 6).as("tie_c"),
+        when(d("_tc") < d("n") * d("n") * d("n") - d("n"),
+          round(((d("_Q") + d("_F") / 1e9d) * 3.0d /
+            (d("n") * (d("n") + 1.0d)) -
+            (d("n") + 1.0d) * 3.0d) /
+            (lit(1.0d) - d("_tc") /
+              (d("n") * d("n") * d("n") - d("n"))), 6))
+          .otherwise(lit(null).cast("double")).as("h_adj"))
+  }
+
+  /** BROWN–FORSYTHE variance-homogeneity test across groups — the
+    * robust (median-centred) Levene: do sources differ in score
+    * SPREAD even when their centres agree? The dispersion complement
+    * of [[kruskalWallis]] (which detects location shifts): a source
+    * whose classifier scores fan out signals a mixed-quality crawl
+    * even at the same mean. One-way ANOVA F on the absolute deviations
+    * z = |x − med_g| from each group's EXACT LOWER MEDIAN (order
+    * statistic at rank ⌈n∕2⌉ — the engine-portable median convention
+    * used by the robust outlier stats, documented). One row:
+    * (n, k_groups, dof1, dof2, ssb, ssw, f).
+    *
+    * Determinism: scores micro-quantize, so every z is an exact
+    * integer; per-group (n, Σz, Σz²) are exact DECIMAL; both
+    * Σ S_g²∕n_g terms split into exact DECIMAL quotients plus
+    * nano-quantized remainder ratios (the [[kruskalWallis]] device),
+    * making the cross-group sums order-free; SSB/SSW/F are fixed-order
+    * double expressions, reported in original score² units (∕10¹²).
+    * Zero within-group variation reports NULL f, documented. NULL
+    * inputs, k < 2 and N ≤ k fail typed.
+    *
+    * Plan: one corpus groupBy to the (group × score)-grid, one
+    * grid-bounded window PARTITIONED by group for the median, one
+    * grid join, ONE final aggregate. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      confCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nulls = df.filter(col(groupCol).isNull || col(confCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"brownForsythe needs non-NULL '$groupCol'/'$confCol'")
+    val gg = df.select(col(groupCol).as("_g"),
+        round(col(confCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      .groupBy(col("_g"), col("_sm")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // grid-bounded, read three times
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+      .orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = gg.withColumn("_cum", sum(col("_c")).over(wg))
+    val tot = gg.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val med = cum.join(tot, Seq("_g"))
+      .filter(col("_cum") * 2L >= col("_ng"))
+      .groupBy(col("_g")).agg(min(col("_sm")).as("_med"))
+    val k = med.count()
+    require(k >= 2L, s"brownForsythe needs >= 2 groups, got $k")
+    val per = gg.join(med, Seq("_g"))
+      .withColumn("_z", abs(col("_sm") - col("_med")))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n"),
+        sum(col("_c").cast(dec) * col("_z")).as("_S"),
+        sum(col("_c").cast(dec) * col("_z") * col("_z")).as("_Qz"))
+      .withColumn("_sq", col("_S") * col("_S"))
+      .withColumn("_r", expr("cast(_sq % cast(_n as decimal(38,0)) as long)"))
+      .withColumn("_q", expr(
+        "cast((_sq - _r) / cast(_n as decimal(38,0)) as decimal(38,0))"))
+      .withColumn("_f", round(col("_r").cast("double") /
+        col("_n").cast("double") * 1e9d).cast("long"))
+    val agg = per.agg(sum(col("_n")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("_S")).as("_St"), sum(col("_Qz")).as("_Qt"),
+        sum(col("_q")).as("_Qn"), sum(col("_f")).as("_Fn"))
+      .withColumn("_sqt", col("_St") * col("_St"))
+      .withColumn("_rt", expr("cast(_sqt % cast(n as decimal(38,0)) as long)"))
+      .withColumn("_qt2", expr(
+        "cast((_sqt - _rt) / cast(n as decimal(38,0)) as decimal(38,0))"))
+      .withColumn("_ft", round(col("_rt").cast("double") /
+        col("n").cast("double") * 1e9d).cast("long"))
+      .localCheckpoint(true) // 1 row, read twice (guard + output)
+    require(agg.filter(col("n") > col("k_groups")).limit(1).count() == 1L,
+      "brownForsythe needs N > k rows for a within-group dof")
+    def d(c: String) = col(c).cast("double")
+    val between = (d("_Qn") + d("_Fn") / 1e9d) -
+      (d("_qt2") + d("_ft") / 1e9d)
+    val within = d("_Qt") - (d("_Qn") + d("_Fn") / 1e9d)
+    agg.select(col("n"), col("k_groups"),
+      (col("k_groups") - lit(1L)).as("dof1"),
+      (col("n") - col("k_groups")).as("dof2"),
+      round(between / 1e12d, 6).as("ssb"),
+      round(within / 1e12d, 6).as("ssw"),
+      when(within > 0.0d,
+        round((between / (d("k_groups") - 1.0d)) /
+          (within / (d("n") - d("k_groups"))), 6))
+        .otherwise(lit(null).cast("double")).as("f"))
+  }
 }

@@ -110,4 +110,70 @@ object Funnel {
     }: _*)).as("s"))
       .select(col("s.stage_idx"), col("s.stage"), col("s.n_users"))
   }
+
+  /** KAPLAN–MEIER user-lifetime survival with right-censoring — the
+    * statistically honest upgrade of [[retention]]'s raw triangle: a
+    * user whose last activity falls in the final observed period is
+    * CENSORED (still alive as far as the data can say), not counted as
+    * churned, so the survival curve is not biased down by the
+    * observation window's edge. Convention: a user churns when their
+    * last activity period precedes the global horizon (the max period
+    * in the data); the event/censor time is the active lifespan
+    * `last − first` in periods.
+    *
+    * One row per distinct churn time t (KM steps at event times only):
+    * (t_period, n_risk, n_events, hazard, survival) with
+    * n_risk = #{lifespan ≥ t}, hazard = d∕n and
+    * S(t) = Π_{tᵢ ≤ t}(1 − dᵢ∕nᵢ).
+    *
+    * Determinism: all counts are exact integers; each survival factor's
+    * ln((n−d)∕n) nano-quantizes to a long, the running product is a
+    * bounded-grid prefix SUM of those longs, and S floats once through
+    * exp — bit-replayable (the exp/ln parity every classifier oracle
+    * already relies on). A step where d = n drives S to exactly 0.0
+    * from that time on (ln 0 is handled by a flag, not −∞ arithmetic).
+    *
+    * Plan: events collapse to per-user (first, last) in one groupBy;
+    * everything after lives on the ≤ #periods-sized duration grid (two
+    * bounded-grid windows: reverse-cumulative at-risk counts, forward
+    * log-survival prefix). The 1-row horizon broadcasts. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      periodSec: Long = 24L * 3600): DataFrame = {
+    require(periodSec >= 1, s"period must be >= 1s, got $periodSec")
+    val bad = events.filter(col(userCol).isNull || col(tsCol).isNull)
+      .limit(1).count()
+    require(bad == 0L,
+      s"kaplanMeier needs non-NULL '$userCol' and '$tsCol'")
+    val per = events
+      .select(col(userCol).as("_u"), periodOf(tsCol, periodSec).as("_p"))
+      .groupBy(col("_u"))
+      .agg(min(col("_p")).as("_first"), max(col("_p")).as("_last"))
+    val hor = per.agg(max(col("_last")).as("_h"))
+    val byT = per.crossJoin(broadcast(hor))
+      .select((col("_last") - col("_first")).as("t"),
+        (col("_last") < col("_h")).cast("long").as("_death"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_death")).as("_d"))
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val risk = byT.withColumn("n_risk", sum(col("_cnt")).over(wDesc))
+      .filter(col("_d") > 0L)
+    val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    risk
+      .withColumn("_ln", when(col("_d") === col("n_risk"), lit(null))
+        .otherwise(round(log((col("n_risk") - col("_d")).cast("double") /
+          col("n_risk").cast("double")) * 1e9d).cast("long")))
+      .withColumn("_hitZero",
+        max(when(col("_ln").isNull, lit(1L)).otherwise(lit(0L))).over(wAsc))
+      .withColumn("_cl", sum(coalesce(col("_ln"), lit(0L))).over(wAsc))
+      .select(col("t").as("t_period"), col("n_risk"),
+        col("_d").as("n_events"),
+        round(col("_d").cast("double") / col("n_risk").cast("double"), 6)
+          .as("hazard"),
+        when(col("_hitZero") === 1L, lit(0.0d))
+          .otherwise(round(exp(col("_cl").cast("double") / 1e9d), 6))
+          .as("survival"))
+      .orderBy(col("t_period"))
+  }
 }

@@ -258,4 +258,56 @@ object Spectral {
         model.components.flatMap(c =>
           Seq(col(s"proj${c.comp}"), col(s"r2_${c.comp}"))): _*)
   }
+
+  /** EMBEDDING-SPACE ISOTROPY audit — mean pairwise cosine of the
+    * whole collection in ONE pass: Σᵢ≠ⱼ ûᵢ·ûⱼ = ‖Σû‖² − Σ‖û‖², so the
+    * all-pairs number needs only the per-dimension sums, never a pair
+    * join. A healthy embedding space sits near 0 (directions spread);
+    * a mean cosine drifting toward 1 is the collapsed/anisotropic
+    * space in which every ANN tier, SemDeDup threshold and semantic
+    * decontamination margin silently degrades — this is the one-row
+    * canary to trend per embedding-model version. One row:
+    * (n, dim, mean_self, mean_pairwise_cos); mean_self ≈ 1.0 is the
+    * quantization sanity readout.
+    *
+    * Determinism: each vector L2-normalizes once (left-fold double
+    * sum-of-squares — the engine-portable fold order — then one sqrt)
+    * and the UNIT components micro-quantize to longs; per-dim sums
+    * and both quadratic forms are exact DECIMAL integers; the two
+    * outputs are fixed-order double ratios on the 10¹² grid rounded
+    * to 6 dp — bit-replayable. Zero vectors fail typed (no
+    * direction), as do NULL vectors.
+    *
+    * Plan: one corpus-scale posexplode → dims-bounded groupBy
+    * (map-side combined — the shuffle carries dims rows per
+    * partition), then 1-row arithmetic. 100 TB of vectors audit in a
+    * single scan with dims counters. */
+  def isotropy(df: DataFrame, vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nulls = df.filter(col(vecCol).isNull).limit(1).count()
+    require(nulls == 0L, s"isotropy needs non-NULL '$vecCol' vectors")
+    val n = df.count()
+    require(n >= 2L, s"isotropy needs >= 2 vectors, got $n")
+    val withNorm = df.select(col(vecCol).as("_v"))
+      .withColumn("_nrm", sqrt(expr(
+        "aggregate(_v, cast(0.0 as double), " +
+          "(acc, x) -> acc + cast(x as double) * cast(x as double))")))
+    val zeros = withNorm.filter(col("_nrm") === 0.0d).limit(1).count()
+    require(zeros == 0L,
+      "isotropy: a zero vector has no direction — filter it first")
+    val perDim = withNorm
+      .select(posexplode(expr(
+        "transform(_v, x -> cast(round(cast(x as double) / _nrm * 1000000.0) as bigint))"))
+        .as(Seq("_dim", "_u")))
+      .groupBy(col("_dim"))
+      .agg(sum(col("_u").cast(dec)).as("_s"),
+        sum(col("_u").cast(dec) * col("_u")).as("_q"))
+    val tot = perDim.agg(sum(col("_s") * col("_s")).as("_ss"),
+      sum(col("_q")).as("_qq"), count(lit(1)).as("dim"))
+    def d(c: String) = col(c).cast("double")
+    tot.select(lit(n).as("n"), col("dim"),
+      round(d("_qq") / lit(n.toDouble) / 1e12d, 6).as("mean_self"),
+      round((d("_ss") - d("_qq")) / lit((n.toDouble) * (n - 1).toDouble) /
+        1e12d, 6).as("mean_pairwise_cos"))
+  }
 }

@@ -204,4 +204,34 @@ class CalibrationSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Calibration.isotonicCalibration(
       pred, Seq((1L, 2L)).toDF("id", "y"), "id", "conf", "y"))
   }
+
+  test("gainCurve: hand-traced deciles, whole-score tie honesty, typed guards") {
+    // distinct scores 0.1·i, positives at the top 3 and the bottom
+    val pred = (1 to 10).map(i => (i.toLong, i / 10.0d)).toDF("id", "conf")
+    val lab = (1 to 10).map(i =>
+      (i.toLong, if (i >= 8 || i == 1) 1L else 0L)).toDF("id", "y")
+    val got = Calibration.gainCurve(pred, lab, "id", "conf", "y")
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got.size == 10)
+    // bucket 1: top score only → 1 doc, 1 positive: gain 1/4, lift 2.5
+    assert(got.head == ((1L, 1L, 1L, 1L, 0.25d, Some(2.5d))), got.toString)
+    assert(got(2) == ((3L, 3L, 3L, 3L, 0.75d, Some(2.5d))), got.toString)
+    // bucket 10: everything → gain 1, lift 1
+    assert(got(9) == ((10L, 10L, 10L, 4L, 1.0d, Some(1.0d))), got.toString)
+    // one giant tie: no whole-score prefix fits any partial cutoff
+    val tied = (1 to 10).map(i => (i.toLong, 0.5d)).toDF("id", "conf")
+    val t = Calibration.gainCurve(tied, lab, "id", "conf", "y")
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(t.take(9).forall(r => r._3 == 0L && r._5 == 0.0d && r._6.isEmpty),
+      t.toString)
+    assert(t(9) == ((10L, 10L, 10L, 4L, 1.0d, Some(1.0d))), t.toString)
+    intercept[IllegalArgumentException](Calibration.gainCurve(
+      pred, (1 to 10).map(i => (i.toLong, 0L)).toDF("id", "y"),
+      "id", "conf", "y")) // zero positives
+    intercept[IllegalArgumentException](Calibration.gainCurve(
+      pred, Seq((1L, 2L)).toDF("id", "y"), "id", "conf", "y"))
+    intercept[IllegalArgumentException](Calibration.gainCurve(
+      Seq((1L, Option.empty[Double])).toDF("id", "conf"), lab,
+      "id", "conf", "y"))
+  }
 }

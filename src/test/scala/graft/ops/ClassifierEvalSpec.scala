@@ -551,4 +551,103 @@ class ClassifierEvalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](ClassifierEval.covariateBalance(
       Seq(("A", Option.empty[Double])).toDF("arm", "x"), "arm", Seq("x")))
   }
+
+  test("powerAnalysis: hand-traced normal-approximation sizing") {
+    // A: 1,2,3 (mean 2, s^2=1); B: 2,4 (mean 3, s^2=2)
+    // pooled = (2*1 + 1*2)/3 = 4/3; delta = 1
+    // n = ceil(2 * 4/3 * (1.959964+0.841621)^2 / 1) = ceil(20.930...) = 21
+    val df = Seq(("A", 1.0d), ("A", 2.0d), ("A", 3.0d),
+      ("B", 2.0d), ("B", 4.0d)).toDF("arm", "y")
+    val got = ClassifierEval.powerAnalysis(df, "arm", "y")
+      .as[(Long, Long, Double, Double, Double, Double, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq((3L, 2L, 2.0d, 3.0d, 1.0d, 1.154701d, Some(21L))),
+      got.toString)
+  }
+
+  test("powerAnalysis: zero observed effect reports NULL n_required") {
+    val df = Seq(("A", 1.0d), ("A", 3.0d), ("B", 2.0d), ("B", 2.0d))
+      .toDF("arm", "y")
+    val got = ClassifierEval.powerAnalysis(df, "arm", "y")
+      .as[(Long, Long, Double, Double, Double, Double, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq((2L, 2L, 2.0d, 2.0d, 0.0d, 1.0d, None)), got.toString)
+  }
+
+  test("powerAnalysis: typed guards") {
+    val ok = Seq(("A", 1.0d), ("A", 2.0d), ("B", 3.0d), ("B", 4.0d))
+    intercept[IllegalArgumentException](ClassifierEval.powerAnalysis(
+      (ok :+ (("C", 5.0d))).toDF("arm", "y"), "arm", "y")) // 3 arms
+    intercept[IllegalArgumentException](ClassifierEval.powerAnalysis(
+      Seq(("A", 1.0d), ("A", 2.0d), ("B", 3.0d)).toDF("arm", "y"),
+      "arm", "y")) // arm with < 2 rows
+    intercept[IllegalArgumentException](ClassifierEval.powerAnalysis(
+      Seq(("A", Option.empty[Double]), ("A", Some(2.0d)), ("B", Some(3.0d)),
+        ("B", Some(4.0d))).toDF("arm", "y"), "arm", "y"))
+    intercept[IllegalArgumentException](ClassifierEval.powerAnalysis(
+      ok.toDF("arm", "y"), "arm", "y", zAlpha = 0.0d))
+  }
+
+  test("kruskalWallis: tie-free and tied hand cases") {
+    // A {1,2}, B {3,4}: ranks 1..4, R_A=3, R_B=7 ->
+    // H = 12/20 * (2*1 + 2*1) = 2.4, no ties so h_adj = h
+    val df = Seq(("A", 1.0d), ("A", 2.0d), ("B", 3.0d), ("B", 4.0d))
+      .toDF("src", "conf")
+    val got = ClassifierEval.kruskalWallis(df, "src", "conf")
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq((4L, 2L, 1L, 2.4d, 1.0d, Some(2.4d))), got.toString)
+    // A {1,1}, B {1,2}: avg ranks 2,2,2,4 -> H = 0.6; tie term
+    // t=3 at value 1 -> C = 1 - 24/60 = 0.6 -> h_adj = 1.0
+    val tied = Seq(("A", 1.0d), ("A", 1.0d), ("B", 1.0d), ("B", 2.0d))
+      .toDF("src", "conf")
+    val t = ClassifierEval.kruskalWallis(tied, "src", "conf")
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(t == Seq((4L, 2L, 1L, 0.6d, 0.6d, Some(1.0d))), t.toString)
+  }
+
+  test("kruskalWallis: all-tied NULL h_adj, typed guards") {
+    val const = Seq(("A", 1.0d), ("A", 1.0d), ("B", 1.0d))
+      .toDF("src", "conf")
+    val got = ClassifierEval.kruskalWallis(const, "src", "conf")
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq((3L, 2L, 1L, 0.0d, 0.0d, None)), got.toString)
+    intercept[IllegalArgumentException](ClassifierEval.kruskalWallis(
+      Seq(("A", 1.0d), ("A", 2.0d)).toDF("src", "conf"), "src", "conf"))
+    intercept[IllegalArgumentException](ClassifierEval.kruskalWallis(
+      Seq(("A", Option.empty[Double]), ("B", Some(1.0d)))
+        .toDF("src", "conf"), "src", "conf"))
+  }
+
+  test("brownForsythe: hand-traced F on median absolute deviations") {
+    // A {0,2}: lower median 0, z {0,2}; B {1,5}: lower median 1, z {0,4}
+    // SSB = 10 - 9 = 1, SSW = 20 - 10 = 10, F = (1/1)/(10/2) = 0.2
+    val df = Seq(("A", 0.0d), ("A", 2.0d), ("B", 1.0d), ("B", 5.0d))
+      .toDF("src", "conf")
+    val got = ClassifierEval.brownForsythe(df, "src", "conf")
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq((4L, 2L, 1L, 2L, 1.0d, 10.0d, Some(0.2d))),
+      got.toString)
+  }
+
+  test("brownForsythe: zero within-spread NULL f, typed guards") {
+    // both groups constant: every z = 0 -> SSW = 0 -> F undefined
+    val const = Seq(("A", 1.0d), ("A", 1.0d), ("B", 2.0d), ("B", 2.0d))
+      .toDF("src", "conf")
+    val got = ClassifierEval.brownForsythe(const, "src", "conf")
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq((4L, 2L, 1L, 2L, 0.0d, 0.0d, None)), got.toString)
+    intercept[IllegalArgumentException](ClassifierEval.brownForsythe(
+      Seq(("A", 1.0d), ("A", 2.0d)).toDF("src", "conf"), "src", "conf"))
+    intercept[IllegalArgumentException](ClassifierEval.brownForsythe(
+      Seq(("A", 1.0d), ("B", 2.0d)).toDF("src", "conf"),
+      "src", "conf")) // N = k: no within dof
+    intercept[IllegalArgumentException](ClassifierEval.brownForsythe(
+      Seq(("A", Option.empty[Double]), ("B", Some(1.0d)))
+        .toDF("src", "conf"), "src", "conf"))
+  }
 }

@@ -106,4 +106,49 @@ class FunnelSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Funnel.stageTimes(events, "user_id", "ts", "event_type", Seq("a", "a")))
   }
+
+  test("kaplanMeier: hand-traced curve with horizon censoring") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00")
+    // u1: day 0 only (churn t=0); u2: days 0-1 (churn t=1); u3: days 0-3
+    // (censored, last=horizon); u4: days 1-3 (censored t=2); u5: day 3
+    // only (censored t=0)
+    val e = Seq(
+      (1L, d(0)),
+      (2L, d(0)), (2L, d(1)),
+      (3L, d(0)), (3L, d(3)),
+      (4L, d(1)), (4L, d(3)),
+      (5L, d(3))).toDF("user_id", "ts")
+    val got = Funnel.kaplanMeier(e, "user_id", "ts")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // steps at churn times only; t=0: 5 at risk, 1 event -> S=0.8;
+    // t=1: 3 at risk (u2,u3,u4), 1 event -> S=0.8*(2/3)=0.533333
+    assert(got == Seq(
+      (0L, 5L, 1L, 0.2d, 0.8d),
+      (1L, 3L, 1L, 0.333333d, 0.533333d)), got.toString)
+  }
+
+  test("kaplanMeier: d = n_risk step drives survival to exact 0") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00")
+    // u1,u2: day 0 only; u3: days 0-1 (churns, horizon=5); u4: day 5
+    // (censored, sets the horizon)
+    val e = Seq(
+      (1L, d(0)), (2L, d(0)),
+      (3L, d(0)), (3L, d(1)),
+      (4L, d(5))).toDF("user_id", "ts")
+    val got = Funnel.kaplanMeier(e, "user_id", "ts")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // t=0: risk {u1,u2,u3,u4}=4, d=2 -> S=0.5; t=1: risk {u3}=1, d=1 ->
+    // hazard 1, S exactly 0 (flag, not -inf arithmetic)
+    assert(got == Seq(
+      (0L, 4L, 2L, 0.5d, 0.5d),
+      (1L, 1L, 1L, 1.0d, 0.0d)), got.toString)
+  }
+
+  test("kaplanMeier: typed guards") {
+    intercept[IllegalArgumentException](Funnel.kaplanMeier(
+      Seq((Option.empty[Long], ts(1))).toDF("user_id", "ts"),
+      "user_id", "ts"))
+    intercept[IllegalArgumentException](Funnel.kaplanMeier(
+      events, "user_id", "ts", periodSec = 0L))
+  }
 }

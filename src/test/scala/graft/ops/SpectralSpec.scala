@@ -124,4 +124,33 @@ class SpectralSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Spectral.topComponent(df, "embedding", dims = 8, k = 9))
   }
+
+  test("isotropy: orthogonal cross reports -1/(n-1), clones report 1") {
+    // 4 unit vectors at the axes: sum cancels -> mean pairwise
+    // cosine = (0 - n)/(n(n-1)) = -1/3
+    val cross = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f)), (4L, Array(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val got = Spectral.isotropy(cross, "embedding")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((4L, 2L, 1.0d, -0.333333d)), got.toString)
+    // three clones of (2,0): every pair has cosine exactly 1
+    val clones = Seq((1L, Array(2f, 0f)), (2L, Array(2f, 0f)),
+      (3L, Array(2f, 0f))).toDF("vec_id", "embedding")
+    val c = Spectral.isotropy(clones, "embedding")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(c == Seq((3L, 2L, 1.0d, 1.0d)), c.toString)
+  }
+
+  test("isotropy: typed guards — zero vector, NULL, n < 2") {
+    intercept[IllegalArgumentException](Spectral.isotropy(
+      Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)))
+        .toDF("vec_id", "embedding"), "embedding"))
+    intercept[IllegalArgumentException](Spectral.isotropy(
+      Seq((1L, Option.empty[Array[Float]]), (2L, Some(Array(1f, 0f))))
+        .toDF("vec_id", "embedding"), "embedding"))
+    intercept[IllegalArgumentException](Spectral.isotropy(
+      Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"), "embedding"))
+  }
 }
