@@ -104,7 +104,9 @@ object Bench {
     "q237_ks_by_source", "q238_cluster_ari", "q239_v_measure",
     "q240_modularity", "q241_hits", "q242_mantel_haenszel",
     "q243_drift_bh", "q244_ccf", "q245_cronbach", "q246_benford",
-    "q247_hill_tail", "q248_balance")
+    "q247_hill_tail", "q248_balance", "q249_gain_curve", "q250_power",
+    "q251_survival", "q252_isotropy", "q253_kruskal",
+    "q254_brown_forsythe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
