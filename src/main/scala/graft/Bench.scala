@@ -106,7 +106,9 @@ object Bench {
     "q243_drift_bh", "q244_ccf", "q245_cronbach", "q246_benford",
     "q247_hill_tail", "q248_balance", "q249_gain_curve", "q250_power",
     "q251_survival", "q252_isotropy", "q253_kruskal",
-    "q254_brown_forsythe")
+    "q254_brown_forsythe", "q255_mann_kendall", "q256_chao1",
+    "q257_llr_keywords", "q258_burrows_delta", "q259_dispersion",
+    "q260_ngram_diversity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1099,6 +1099,72 @@ object PipelineQueries {
     graft.ops.ClassifierEval.brownForsythe(conf, "source", "conf")
   }
 
+  /** q256: CHAO1 vocabulary richness per source
+    * ([[graft.ops.TextAnalysis.chao1Richness]]) — how many distinct
+    * tokens each source REALLY has, crawled or not: the
+    * singleton/doubleton lower bound beside q208's Heaps fit and
+    * q232's capture-recapture. A source whose chao1 towers over its
+    * v_obs is under-crawled; one where they agree is exhausted.
+    * Oracle replays the token grid and the closed form. */
+  def sourceChao1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.chao1Richness(Tables.documents(s, dir), "source", "text")
+  }
+
+  /** q257: DUNNING G² keywords per source
+    * ([[graft.ops.TextAnalysis.keywordsLlr]]) — the
+    * frequency-AND-skew keyword extractor beside q72's TF-IDF (which
+    * rewards rarity alone) and q227's TextRank (graph centrality):
+    * tokens both frequent and overrepresented in the source vs the
+    * rest, ranked by the binomial log-likelihood ratio. Top-5 per
+    * source, nano-integer ranking. Oracle replays counts, the
+    * integer overrepresentation gate, the G² terms and the
+    * windowed cut. */
+  def sourceKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.keywordsLlr(Tables.documents(s, dir), "source", "text",
+      topK = 5)
+  }
+
+  /** q258: BURROWS' DELTA source-style distance
+    * ([[graft.ops.TextAnalysis.burrowsDelta]]) — the stylometric
+    * pair matrix beside q202's topical JSD: z-scored top-30-word
+    * rates catch crawl-template rhythm (function words, boilerplate
+    * cadence) that topic distributions miss. Oracle replays the
+    * top-word cut, nano rates, per-word moments and the pair
+    * sums. */
+  def sourceStyleDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.burrowsDelta(Tables.documents(s, dir), "source", "text",
+      topM = 30)
+  }
+
+  /** q259: GRIES' DP token dispersion
+    * ([[graft.ops.TextAnalysis.dispersionDp]]) — for the top-20
+    * corpus tokens, is the mass spread like the sources or supplied
+    * by one of them? High-frequency high-DP tokens are template
+    * chrome masquerading as vocabulary — the per-token complement of
+    * the per-source drift family, and a direct input to blocklist
+    * review (q160). Exact integer numerators, one final division.
+    * Oracle replays the top cut and every |v·N − n·f| term. */
+  def tokenDispersion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.dispersionDp(Tables.documents(s, dir), "source", "text",
+      topK = 20)
+  }
+
+  /** q260: DISTINCT-n DIVERSITY per source
+    * ([[graft.ops.TextAnalysis.ngramDiversity]]) — the distinct-1/2/3
+    * ratios that flag template spam before the n-gram dedup family
+    * (q79/q83) pays to confirm it: a collapsing distinct-2 ratio at
+    * healthy vocabulary is machine-generated or boilerplate text.
+    * N-grams never cross document boundaries; ratios NULL on empty
+    * orders. Oracle replays all three gram streams. */
+  def sourceNgramDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.ngramDiversity(Tables.documents(s, dir), "source", "text")
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3197,7 +3263,12 @@ object PipelineQueries {
     "q249_gain_curve"     -> (qualityGainCurve _),
     "q252_isotropy"       -> (embeddingIsotropy _),
     "q253_kruskal"        -> (sourceScoreKruskal _),
-    "q254_brown_forsythe" -> (sourceScoreSpread _))
+    "q254_brown_forsythe" -> (sourceScoreSpread _),
+    "q256_chao1"          -> (sourceChao1 _),
+    "q257_llr_keywords"   -> (sourceKeywords _),
+    "q258_burrows_delta"  -> (sourceStyleDelta _),
+    "q259_dispersion"     -> (tokenDispersion _),
+    "q260_ngram_diversity" -> (sourceNgramDiversity _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7527,6 +7598,169 @@ object PipelineQueries {
          |      (within_ / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6)
          |    ELSE NULL END AS f
          |FROM a4""".stripMargin,
+    // q256: clean token grid, per-source singleton/doubleton counts,
+    // the closed-form bias-corrected chao1
+    "q256_chao1" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(list_filter(string_split($norm, ' '),
+         |    x -> length(x) > 0)) AS w
+         |  FROM documents),
+         |gw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS v_obs,
+         |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM gw GROUP BY 1)
+         |SELECT source AS "group", v_obs, f1, f2,
+         |  ROUND(CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE) *
+         |    (CAST(f1 AS DOUBLE) - 1.0) /
+         |    ((CAST(f2 AS DOUBLE) + 1.0) * 2.0), 6) AS chao1
+         |FROM ag""".stripMargin,
+    // q257: exact counts, the integer overrepresentation cross-compare,
+    // one fixed-order G2 per row, nano ranking with token tie-break
+    "q257_llr_keywords" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(list_filter(string_split($norm, ' '),
+         |    x -> length(x) > 0)) AS w
+         |  FROM documents),
+         |gw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+         |  FROM tk GROUP BY 1, 2),
+         |vocab AS (SELECT w, CAST(SUM(a) AS BIGINT) AS cw FROM gw GROUP BY 1),
+         |marg AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ng
+         |  FROM gw GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(ng) AS BIGINT) AS nn FROM marg),
+         |cand AS (
+         |  SELECT gw.source AS grp, gw.w, gw.a, vocab.cw - gw.a AS b,
+         |    marg.ng, tt.nn - marg.ng AS n2, vocab.cw, tt.nn
+         |  FROM gw JOIN vocab USING (w) JOIN marg USING (source) CROSS JOIN tt
+         |  WHERE CAST(gw.a AS HUGEINT) * (tt.nn - marg.ng) >
+         |    CAST(vocab.cw - gw.a AS HUGEINT) * marg.ng),
+         |g2x AS (
+         |  SELECT grp, w, a, b,
+         |    CAST(round((CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) *
+         |        CAST(nn AS DOUBLE) / (CAST(cw AS DOUBLE) * CAST(ng AS DOUBLE)))
+         |      + CASE WHEN b = 0 THEN CAST(0.0 AS DOUBLE)
+         |          ELSE CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) *
+         |            CAST(nn AS DOUBLE) / (CAST(cw AS DOUBLE) *
+         |            CAST(n2 AS DOUBLE))) END) * 2e9) AS BIGINT) AS g2n
+         |  FROM cand),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+         |  ORDER BY g2n DESC, w ASC) AS r FROM g2x)
+         |SELECT grp AS "group", w AS token, a AS cnt, b AS rest_cnt,
+         |  ROUND(CAST(g2n AS DOUBLE) / 1e9, 6) AS g2
+         |FROM rk WHERE r <= 5""".stripMargin,
+    // q258: top-30 cut, nano rates on the M x k frame, per-word
+    // HUGEINT moments, nano |dz| pair sums
+    "q258_burrows_delta" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(list_filter(string_split($norm, ' '),
+         |    x -> length(x) > 0)) AS w
+         |  FROM documents),
+         |gw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |top AS (SELECT w FROM (
+         |    SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM gw GROUP BY 1)
+         |  ORDER BY cw DESC, w ASC LIMIT 30),
+         |marg AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ng
+         |  FROM gw GROUP BY 1),
+         |f AS (
+         |  SELECT t.w, m.source,
+         |    CAST(round(CAST(COALESCE(g.c, 0) AS DOUBLE) * 1e9 /
+         |      CAST(m.ng AS DOUBLE)) AS BIGINT) AS fq
+         |  FROM top t CROSS JOIN marg m
+         |  LEFT JOIN gw g ON g.w = t.w AND g.source = m.source),
+         |st AS (
+         |  SELECT w, SUM(CAST(fq AS HUGEINT)) AS s,
+         |    SUM(CAST(fq AS HUGEINT) * fq) AS q,
+         |    CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM f GROUP BY 1),
+         |kept AS (SELECT * FROM (
+         |    SELECT *, (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) *
+         |      CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE) AS var_
+         |    FROM st)
+         |  WHERE var_ > 0.0),
+         |m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM kept),
+         |z AS (
+         |  SELECT f.w, f.source,
+         |    (CAST(f.fq AS DOUBLE) - CAST(kept.s AS DOUBLE) /
+         |      CAST(kept.k AS DOUBLE)) / sqrt(kept.var_) AS zz
+         |  FROM f JOIN kept USING (w)),
+         |pr AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(SUM(CAST(round(abs(a.zz - b.zz) * 1e9) AS BIGINT))
+         |      AS BIGINT) AS sdz
+         |  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, m1.m AS n_words,
+         |  ROUND(CAST(sdz AS DOUBLE) / 1e9 / CAST(m1.m AS DOUBLE), 6) AS delta
+         |FROM pr, m1""".stripMargin,
+    // q259: top-20 cut, exact |v*N - n*f| HUGEINT numerators, one
+    // final double division
+    "q259_dispersion" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(list_filter(string_split($norm, ' '),
+         |    x -> length(x) > 0)) AS w
+         |  FROM documents),
+         |gw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM tk GROUP BY 1, 2),
+         |top AS (SELECT w, f FROM (
+         |    SELECT w, CAST(SUM(v) AS BIGINT) AS f FROM gw GROUP BY 1)
+         |  ORDER BY f DESC, w ASC LIMIT 20),
+         |marg AS (SELECT source, CAST(SUM(v) AS BIGINT) AS ng
+         |  FROM gw GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(ng) AS BIGINT) AS nn FROM marg),
+         |nm AS (
+         |  SELECT t.w, t.f, tt.nn,
+         |    abs(CAST(COALESCE(g.v, 0) AS HUGEINT) * tt.nn -
+         |      CAST(m.ng AS HUGEINT) * t.f) AS num
+         |  FROM top t CROSS JOIN marg m CROSS JOIN tt
+         |  LEFT JOIN gw g ON g.w = t.w AND g.source = m.source)
+         |SELECT w AS token, f AS total_cnt,
+         |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
+         |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
+         |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q260: three gram streams (never crossing document boundaries),
+    // per-order totals/distincts, NULL ratios on empty orders
+    "q260_ngram_diversity" ->
+      s"""WITH t AS (
+         |  SELECT source, list_filter(string_split($norm, ' '),
+         |    x -> length(x) > 0) AS w
+         |  FROM documents),
+         |u1 AS (SELECT source, unnest(w) AS g FROM t),
+         |a1 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t1,
+         |    CAST(COUNT(*) AS BIGINT) AS d1c
+         |  FROM (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM u1 GROUP BY 1, 2) GROUP BY 1),
+         |u2 AS (SELECT source, unnest(CASE WHEN len(w) >= 2
+         |    THEN list_transform(generate_series(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+         |a2 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t2,
+         |    CAST(COUNT(*) AS BIGINT) AS d2c
+         |  FROM (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM u2 GROUP BY 1, 2) GROUP BY 1),
+         |u3 AS (SELECT source, unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+         |a3 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t3,
+         |    CAST(COUNT(*) AS BIGINT) AS d3c
+         |  FROM (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM u3 GROUP BY 1, 2) GROUP BY 1),
+         |base AS (SELECT DISTINCT source FROM documents)
+         |SELECT b.source AS "group",
+         |  COALESCE(a1.t1, 0) AS n1_total, COALESCE(a1.d1c, 0) AS n1_distinct,
+         |  CASE WHEN COALESCE(a1.t1, 0) > 0 THEN ROUND(CAST(a1.d1c AS DOUBLE) /
+         |    CAST(a1.t1 AS DOUBLE), 6) ELSE NULL END AS d1,
+         |  COALESCE(a2.t2, 0) AS n2_total, COALESCE(a2.d2c, 0) AS n2_distinct,
+         |  CASE WHEN COALESCE(a2.t2, 0) > 0 THEN ROUND(CAST(a2.d2c AS DOUBLE) /
+         |    CAST(a2.t2 AS DOUBLE), 6) ELSE NULL END AS d2,
+         |  COALESCE(a3.t3, 0) AS n3_total, COALESCE(a3.d3c, 0) AS n3_distinct,
+         |  CASE WHEN COALESCE(a3.t3, 0) > 0 THEN ROUND(CAST(a3.d3c AS DOUBLE) /
+         |    CAST(a3.t3 AS DOUBLE), 6) ELSE NULL END AS d3
+         |FROM base b LEFT JOIN a1 USING (source) LEFT JOIN a2 USING (source)
+         |LEFT JOIN a3 USING (source)""".stripMargin,
     "q235_burstiness" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token

@@ -973,6 +973,23 @@ object RelationalQueries {
     graft.ops.Funnel.kaplanMeier(Tables.events(s, dir), "user_id", "ts")
   }
 
+  /** q255: MANN–KENDALL hourly trend significance
+    * ([[graft.ops.ChangeDetect.mannKendall]]) — the significance gate
+    * in front of q217's Theil–Sen slope: S counts concordant minus
+    * discordant hour pairs on the same micro-mean grid, with the
+    * tie-corrected variance and ±1 continuity correction. No
+    * distributional assumption, no linearity assumption — quote the
+    * slope only when this z clears the bar. Oracle replays the grid,
+    * the sign pairs, the tie term and the fixed-order z. */
+  def hourlyMannKendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.mannKendall(
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp($"ts") / 3600).cast("long")
+          .as("hour_idx"), $"value"),
+      "hour_idx", "value")
+  }
+
   /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
@@ -1329,7 +1346,8 @@ object RelationalQueries {
     "q246_benford"         -> (eventValueBenford _),
     "q248_balance"         -> (experimentBalance _),
     "q250_power"           -> (experimentPower _),
-    "q251_survival"        -> (userSurvival _))
+    "q251_survival"        -> (userSurvival _),
+    "q255_mann_kendall"    -> (hourlyMannKendall _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -2415,5 +2433,39 @@ object RelationalQueries {
         |  ROUND(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6) AS hazard,
         |  CASE WHEN hit0 = 1 THEN CAST(0.0 AS DOUBLE)
         |    ELSE ROUND(exp(CAST(cl AS DOUBLE) / 1e9), 6) END AS survival
-        |FROM cumv ORDER BY t_period""".stripMargin)
+        |FROM cumv ORDER BY t_period""".stripMargin,
+    // q255: the q217 micro-mean grid, sign pairs, tie term, the
+    // continuity-corrected z in fixed double order
+    "q255_mann_kendall" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS m
+        |  FROM pb),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM g),
+        |sx AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN g2.m > g1.m THEN 1
+        |    WHEN g2.m < g1.m THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+        |  FROM g g1 JOIN g g2 ON g1.bucket < g2.bucket),
+        |tt AS (
+        |  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)), 0) AS tc
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM g GROUP BY m)),
+        |v AS (
+        |  SELECT (CAST(h AS DOUBLE) * (CAST(h AS DOUBLE) - 1.0) *
+        |    (CAST(h AS DOUBLE) * 2.0 + 5.0) - CAST(tc AS DOUBLE)) / 18.0 AS var_
+        |  FROM n1, tt)
+        |SELECT n1.h AS n_points, n1.h * (n1.h - 1) // 2 AS n_pairs, sx.s AS s,
+        |  ROUND(v.var_, 6) AS var_s,
+        |  CASE WHEN v.var_ > 0.0 THEN
+        |    CASE WHEN sx.s > 0
+        |        THEN ROUND((CAST(sx.s AS DOUBLE) - 1.0) / sqrt(v.var_), 6)
+        |      WHEN sx.s < 0
+        |        THEN ROUND((CAST(sx.s AS DOUBLE) + 1.0) / sqrt(v.var_), 6)
+        |      ELSE CAST(0.0 AS DOUBLE) END
+        |  ELSE CAST(0.0 AS DOUBLE) END AS z
+        |FROM n1, sx, v""".stripMargin)
 }

@@ -474,4 +474,63 @@ object ChangeDetect {
             lit(1e6d)), 6).as("seasonal"))
       .orderBy(col("hour_of_day"))
   }
+
+  /** MANN–KENDALL trend test over the bucketed series — the
+    * SIGNIFICANCE companion of [[theilSen]] (which reports the robust
+    * slope but not whether it could be chance): S counts concordant
+    * minus discordant bucket pairs, the tie-corrected variance
+    * Var(S) = (n(n−1)(2n+5) − Σt(t−1)(2t+5))∕18, and z applies the
+    * standard ±1 continuity correction. Monotone-trend detection with
+    * NO distributional assumption on the values and no linearity
+    * assumption — the honest gate before quoting q217's slope. One
+    * row: (n_points, n_pairs, s, var_s, z).
+    *
+    * Determinism: the shared [[theilSen]] micro-mean grid makes every
+    * bucket value an exact long, so S and the tie term are exact
+    * integers (sign compares, never float subtraction); var_s/z are
+    * fixed-order double expressions rounded to 6 dp. All buckets
+    * tied → Var(S) = 0 → z = 0.0, documented.
+    *
+    * Plan: one map-side-combined bucket aggregate, one bounded
+    * grid×grid pair join (hours², never rows²), one tiny tie
+    * groupBy, 1-row arithmetic. */
+  def mannKendall(df: DataFrame, bucketCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
+      .limit(1).count()
+    require(bad == 0L,
+      s"mannKendall needs non-NULL '$bucketCol' buckets and '$valueCol' values")
+    val grid = partialGrid(df, bucketCol, valueCol)
+      .withColumn("_mean",
+        round(col("_sm").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
+      .localCheckpoint(true) // tiny grid, reused by three passes
+    val h = grid.count()
+    require(h >= 2L, s"mannKendall needs >= 2 buckets, got $h")
+    val g1 = grid.select(col("bucket").as("_b1"), col("_mean").as("_m1"))
+    val g2 = grid.select(col("bucket").as("_b2"), col("_mean").as("_m2"))
+    val sRow = g1.join(g2, col("_b1") < col("_b2"))
+      .agg(coalesce(sum(when(col("_m2") > col("_m1"), 1L)
+        .when(col("_m2") < col("_m1"), -1L).otherwise(0L)), lit(0L))
+        .as("s"))
+    val tieRow = grid.groupBy(col("_mean")).agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(col("_t").cast(dec) * (col("_t") - lit(1L)) *
+        (col("_t") * lit(2L) + lit(5L))), lit(0L).cast(dec)).as("_tt"))
+    def d(c: String) = col(c).cast("double")
+    val hd = lit(h.toDouble)
+    val varS = (hd * (hd - 1.0d) * (hd * 2.0d + 5.0d) - d("_tt")) / 18.0d
+    sRow.crossJoin(broadcast(tieRow))
+      .select(lit(h).as("n_points"), lit(h * (h - 1L) / 2L).as("n_pairs"),
+        col("s"),
+        round(varS, 6).as("var_s"),
+        when(varS > 0.0d,
+          when(col("s") > 0L,
+            round((d("s") - 1.0d) / sqrt(varS), 6))
+          .when(col("s") < 0L,
+            round((d("s") + 1.0d) / sqrt(varS), 6))
+          .otherwise(lit(0.0d)))
+        .otherwise(lit(0.0d)).as("z"))
+  }
 }

@@ -1783,4 +1783,262 @@ object TextAnalysis {
       .limit(topK)
       .select(col("id").as("token"), col("pr_micro"), col("deg"))
   }
+
+  /** Non-empty whitespace tokens — [[tokens]] with zero-length entries
+    * dropped, so empty/whitespace-only documents contribute nothing
+    * instead of a phantom "" token. */
+  private def cleanTokens(text: Column): Column =
+    filter(tokens(text), t => length(t) > 0)
+
+  /** CHAO1 vocabulary-richness estimator per group — "how many
+    * distinct tokens does this source REALLY have, including the ones
+    * the crawl hasn't surfaced yet?" The abundance-based lower bound
+    * V + f₁(f₁−1)∕(2(f₂+1)) (bias-corrected form, defined even with
+    * no doubletons) from the singleton/doubleton counts alone — the
+    * closed-form cousin of the q208 Heaps extrapolation and the
+    * q232 capture-recapture audit, per source in one pass. One row
+    * per group: (group, v_obs, f1, f2, chao1).
+    *
+    * Determinism: all counts are exact integers from one
+    * (group × token) groupBy; chao1 is a single fixed-order double
+    * expression rounded to 6 dp — bit-replayable. Groups with an
+    * empty token stream simply emit no row (nothing observed,
+    * nothing to estimate), documented.
+    *
+    * Plan: one corpus-scale explode → (group, token) groupBy
+    * (map-side combined), one vocabulary-sized groupBy — never a
+    * sort, never a join. */
+  def chao1Richness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    def d(c: String) = col(c).cast("double")
+    df.select(col(groupCol).as("group"),
+        explode(cleanTokens(col(textCol))).as("_w"))
+      .groupBy(col("group"), col("_w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("v_obs"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("_c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("group"), col("v_obs"), col("f1"), col("f2"),
+        round(d("v_obs") + d("f1") * (d("f1") - 1.0d) /
+          ((d("f2") + 1.0d) * 2.0d), 6).as("chao1"))
+      .orderBy(col("group"))
+  }
+
+  /** DUNNING log-likelihood-ratio (G²) KEYWORDS per group — the
+    * statistically grounded "what words make this source ITSELF"
+    * extractor: for each token, G² compares its rate inside the
+    * group against the rest of the corpus under the binomial LLR
+    * 2·(a·ln(a∕E_a) + b·ln(b∕E_b)), keeping only OVERREPRESENTED
+    * tokens (a·n₂ > b·n₁, an exact integer cross-compare). Unlike
+    * raw TF-IDF (q72) this does not reward mere rarity — a token
+    * must be both frequent and skewed. Top-k per group:
+    * (group, token, cnt, rest_cnt, g2).
+    *
+    * Determinism: all counts exact integers; each row's G² is ONE
+    * fixed-order double expression (no cross-row float sum); ranking
+    * uses the nano-quantized integer G² with token tie-break, so the
+    * top-k cut is portable. A b = 0 token contributes ta only
+    * (0·ln 0 = 0 by the standard convention, documented). Needs ≥ 2
+    * groups — typed failure otherwise.
+    *
+    * Plan: one explode → (group, token) groupBy; vocabulary and
+    * group marginals re-aggregate from it; one vocab-sized join,
+    * one window partitioned BY GROUP over candidate tokens — never
+    * a global sort. */
+  def keywordsLlr(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1 && topK <= 1000, s"need 1 <= topK <= 1000, got $topK")
+    val dec = "decimal(38,0)"
+    val gw = df.select(col(groupCol).as("group"),
+        explode(cleanTokens(col(textCol))).as("_w"))
+      .groupBy(col("group"), col("_w")).agg(count(lit(1)).as("_a"))
+      .localCheckpoint(true) // re-aggregated three ways
+    val k = gw.select(col("group")).distinct().count()
+    require(k >= 2L, s"keywordsLlr needs >= 2 groups, got $k")
+    val vocab = gw.groupBy(col("_w")).agg(sum(col("_a")).as("_cw"))
+    val marg = gw.groupBy(col("group")).agg(sum(col("_a")).as("_ng"))
+    val tot = marg.agg(sum(col("_ng")).as("_N"))
+    def d(c: String) = col(c).cast("double")
+    val cand = gw.join(vocab, Seq("_w")).join(marg, Seq("group"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_b", col("_cw") - col("_a"))
+      .withColumn("_n2", col("_N") - col("_ng"))
+      // overrepresented only: a/n1 > b/n2 as exact integer cross-product
+      .filter(col("_a").cast(dec) * col("_n2") >
+        col("_b").cast(dec) * col("_ng"))
+      .withColumn("_ta", d("_a") *
+        log(d("_a") * d("_N") / (d("_cw") * d("_ng"))))
+      .withColumn("_tb", when(col("_b") === 0L, lit(0.0d))
+        .otherwise(d("_b") *
+          log(d("_b") * d("_N") / (d("_cw") * d("_n2")))))
+      .withColumn("_g2n",
+        round((col("_ta") + col("_tb")) * 2e9d).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+      .orderBy(col("_g2n").desc, col("_w").asc)
+    cand.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= topK)
+      .select(col("group"), col("_w").as("token"), col("_a").as("cnt"),
+        col("_b").as("rest_cnt"),
+        round(col("_g2n").cast("double") / 1e9d, 6).as("g2"))
+      .orderBy(col("group"), col("token"))
+  }
+
+  /** BURROWS' DELTA stylometric distance between every group pair —
+    * the classic authorship-attribution measure applied to sources:
+    * z-score each of the top-M corpus words' relative frequencies
+    * ACROSS groups, then Delta(s,t) = mean_w |z_ws − z_wt|. Two
+    * sources with the same topical words but different function-word
+    * rhythm (the crawl-template fingerprint) show a large Delta while
+    * topic measures (q202 JSD) stay flat. One row per unordered pair:
+    * (src_a, src_b, n_words, delta).
+    *
+    * Determinism: relative frequencies quantize to the integer nano
+    * grid; per-word moments over groups are exact integer sums; each
+    * z is a fixed-order double; each pair's Σ|Δz| nano-quantizes
+    * per word and sums as integers (order-free). Words with zero
+    * cross-group variance carry no style signal and are DROPPED
+    * (documented — n_words reports the kept count). Needs ≥ 2 groups
+    * and ≥ 1 kept word, typed failures otherwise.
+    *
+    * Plan: one explode → (group, token) groupBy; the top-M cut is a
+    * TakeOrderedAndProject; everything after lives on M×k rows. */
+  def burrowsDelta(df: DataFrame, groupCol: String, textCol: String,
+      topM: Int = 30): DataFrame = {
+    require(topM >= 1 && topM <= 1000, s"need 1 <= topM <= 1000, got $topM")
+    val dec = "decimal(38,0)"
+    val gw = df.select(col(groupCol).as("group"),
+        explode(cleanTokens(col(textCol))).as("_w"))
+      .groupBy(col("group"), col("_w")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val k = gw.select(col("group")).distinct().count()
+    require(k >= 2L, s"burrowsDelta needs >= 2 groups, got $k")
+    val top = gw.groupBy(col("_w")).agg(sum(col("_c")).as("_cw"))
+      .orderBy(col("_cw").desc, col("_w").asc).limit(topM)
+      .select(col("_w"))
+    val marg = gw.groupBy(col("group")).agg(sum(col("_c")).as("_ng"))
+    def d(c: String) = col(c).cast("double")
+    val f = broadcast(top).crossJoin(marg)
+      .join(gw, Seq("_w", "group"), "left")
+      .withColumn("_f", round(coalesce(col("_c"), lit(0L)).cast("double") *
+        1e9d / d("_ng")).cast("long"))
+      .localCheckpoint(true) // M×k rows
+    val stats = f.groupBy(col("_w"))
+      .agg(sum(col("_f").cast(dec)).as("_S"),
+        sum(col("_f").cast(dec) * col("_f")).as("_Q"),
+        count(lit(1)).as("_k"))
+      .withColumn("_var", (d("_Q") - d("_S") * d("_S") / d("_k")) / d("_k"))
+      .filter(col("_var") > 0.0d) // constant-rate words carry no signal
+    val z = f.join(stats, Seq("_w"))
+      .select(col("_w"), col("group"),
+        ((d("_f") - d("_S") / d("_k")) / sqrt(col("_var"))).as("_z"))
+      .localCheckpoint(true)
+    val m = z.select(col("_w")).distinct().count()
+    require(m >= 1L,
+      "burrowsDelta: every top word has zero cross-group variance")
+    val za = z.select(col("_w"), col("group").as("src_a"), col("_z").as("_za"))
+    val zb = z.select(col("_w"), col("group").as("src_b"), col("_z").as("_zb"))
+    za.join(zb, Seq("_w"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("_dz", round(abs(col("_za") - col("_zb")) * 1e9d)
+        .cast("long"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("_dz")).as("_sdz"))
+      .select(col("src_a"), col("src_b"), lit(m).as("n_words"),
+        round(col("_sdz").cast("double") / 1e9d / lit(m.toDouble), 6)
+          .as("delta"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** GRIES' DP dispersion of the top-k corpus tokens — is a frequent
+    * token spread evenly across sources, or does one source supply
+    * all of it? DP = ½ Σ_s |v_s∕f − n_s∕N| ∈ [0, 1): 0 = distributed
+    * exactly like the source masses, →1 = concentrated in one tiny
+    * source. The per-TOKEN complement of the per-source drift
+    * family: a high-frequency high-DP token is a template artifact
+    * (boilerplate, navigation chrome) masquerading as vocabulary.
+    * One row per top token: (token, total_cnt, dp).
+    *
+    * Determinism: each |v_s·N − n_s·f| is an exact DECIMAL integer,
+    * the Σ over sources is an exact integer sum, and ONE double
+    * division by f·N ends the path — no per-source float adds at
+    * all. Plan: one explode → (group, token) groupBy, a top-k
+    * TakeOrderedAndProject, a k×topK-bounded join, one final
+    * groupBy. */
+  def dispersionDp(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 1000, s"need 1 <= topK <= 1000, got $topK")
+    val dec = "decimal(38,0)"
+    val gw = df.select(col(groupCol).as("group"),
+        explode(cleanTokens(col(textCol))).as("_w"))
+      .groupBy(col("group"), col("_w")).agg(count(lit(1)).as("_v"))
+      .localCheckpoint(true)
+    val top = gw.groupBy(col("_w")).agg(sum(col("_v")).as("_f"))
+      .orderBy(col("_f").desc, col("_w").asc).limit(topK)
+    val marg = gw.groupBy(col("group")).agg(sum(col("_v")).as("_ng"))
+    val tot = marg.agg(sum(col("_ng")).as("_N"))
+    broadcast(top).crossJoin(marg).crossJoin(broadcast(tot))
+      .join(gw, Seq("_w", "group"), "left")
+      .withColumn("_num", abs(coalesce(col("_v"), lit(0L)).cast(dec) *
+        col("_N") - col("_ng").cast(dec) * col("_f")))
+      .groupBy(col("_w"), col("_f"), col("_N"))
+      .agg(sum(col("_num")).as("_sn"))
+      .select(col("_w").as("token"), col("_f").as("total_cnt"),
+        round(col("_sn").cast("double") * 0.5d /
+          (col("_f").cast("double") * col("_N").cast("double")), 6)
+          .as("dp"))
+      .orderBy(col("total_cnt").desc, col("token").asc)
+  }
+
+  /** DISTINCT-n DIVERSITY per group — the li-et-al distinct-1/2/3
+    * readout over sources: what fraction of a source's unigram /
+    * bigram / trigram stream is unique? A source whose distinct-2
+    * ratio collapses is template spam even when its vocabulary looks
+    * healthy — the cheap early warning the n-gram dedup family
+    * (q79/q83) then confirms. One row per group:
+    * (group, n{1,2,3}_total, n{1,2,3}_distinct, d{1,2,3}).
+    *
+    * Determinism: totals and distincts are exact integers (n-grams
+    * compared as strings, never hashed — no collision risk in the
+    * denominator); ratios are single double divisions rounded to
+    * 6 dp. A group with no n-grams at order n (every doc shorter
+    * than n) reports NULL for that ratio (0∕0), documented.
+    *
+    * Plan: per order, one explode → (group, gram) groupBy
+    * (map-side combined) re-aggregated to group rows; three
+    * bounded-key joins assemble the group frame. N-grams never
+    * cross document boundaries. */
+  def ngramDiversity(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    def d(c: String) = col(c).cast("double")
+    val toks = df.select(col(groupCol).as("group"),
+      cleanTokens(col(textCol)).as("_ws"))
+    // sequence(1, 0) would DESCEND in Spark, so short docs need the guard
+    def order(n: Int): DataFrame = toks
+      .select(col("group"), explode(expr(
+        s"CASE WHEN size(_ws) >= $n THEN " +
+          s"transform(sequence(1, size(_ws) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(_ws, i, $n))) " +
+          "ELSE array() END")).as("_g"))
+      .groupBy(col("group"), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("group"))
+      .agg(sum(col("_c")).as(s"n${n}_total"),
+        count(lit(1)).as(s"n${n}_distinct"))
+    val base = df.select(col(groupCol).as("group")).distinct()
+    def ratio(n: Int) =
+      when(col(s"n${n}_total") > 0L,
+        round(d(s"n${n}_distinct") / d(s"n${n}_total"), 6))
+        .otherwise(lit(null).cast("double")).as(s"d$n")
+    Seq(1, 2, 3).foldLeft(base)((acc, n) =>
+        acc.join(order(n), Seq("group"), "left"))
+      .select(col("group") +:
+        Seq(1, 2, 3).flatMap(n => Seq(
+          coalesce(col(s"n${n}_total"), lit(0L)).as(s"n${n}_total"),
+          coalesce(col(s"n${n}_distinct"), lit(0L)).as(s"n${n}_distinct"))):
+        _*)
+      .select(col("group"), col("n1_total"), col("n1_distinct"), ratio(1),
+        col("n2_total"), col("n2_distinct"), ratio(2),
+        col("n3_total"), col("n3_distinct"), ratio(3))
+      .orderBy(col("group"))
+  }
 }

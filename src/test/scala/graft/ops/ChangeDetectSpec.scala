@@ -246,4 +246,36 @@ class ChangeDetectSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       ChangeDetect.ccf(x, x, "b", "v", maxLag = 0))
   }
+
+  test("mannKendall: monotone rise, tie correction, flat zero") {
+    // strictly rising 3 points: S = 3, var = 3*2*11/18 = 3.666667,
+    // z = (3-1)/sqrt(66/18) = 1.044466
+    val up = Seq((0L, 1.0d), (1L, 2.0d), (2L, 3.0d)).toDF("b", "v")
+    val got = ChangeDetect.mannKendall(up, "b", "v")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((3L, 3L, 3L, 3.666667d, 1.044466d)), got.toString)
+    // one tie (t=2): S = 2, var = (66 - 2*1*9)/18 = 2.666667,
+    // z = 1/sqrt(48/18) = 0.612372
+    val tied = Seq((0L, 1.0d), (1L, 1.0d), (2L, 2.0d)).toDF("b", "v")
+    val t = ChangeDetect.mannKendall(tied, "b", "v")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(t == Seq((3L, 3L, 2L, 2.666667d, 0.612372d)), t.toString)
+    // all tied: S = 0, var = 0, z = 0 (documented, no NaN)
+    val flat = Seq((0L, 5.0d), (1L, 5.0d)).toDF("b", "v")
+    val f = ChangeDetect.mannKendall(flat, "b", "v")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(f == Seq((2L, 1L, 0L, 0.0d, 0.0d)), f.toString)
+    // symmetric falling series: S and z negate
+    val dn = Seq((0L, 3.0d), (1L, 2.0d), (2L, 1.0d)).toDF("b", "v")
+    val g = ChangeDetect.mannKendall(dn, "b", "v")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(g == Seq((3L, 3L, -3L, 3.666667d, -1.044466d)), g.toString)
+  }
+
+  test("mannKendall: typed guards") {
+    intercept[IllegalArgumentException](ChangeDetect.mannKendall(
+      Seq((0L, 1.0d)).toDF("b", "v"), "b", "v")) // 1 bucket
+    intercept[IllegalArgumentException](ChangeDetect.mannKendall(
+      Seq((Option.empty[Long], Some(1.0d))).toDF("b", "v"), "b", "v"))
+  }
 }

@@ -939,4 +939,91 @@ class TextAnalysisSpec extends SparkSpecBase {
       Seq((1L, "x", 2L)).toDF("doc_id", "text", "y"),
       "doc_id", "text", "y"))
   }
+
+  test("chao1Richness: hand-traced singleton/doubleton correction") {
+    // A: tokens a a b c -> V=3, f1=2 (b,c), f2=1 (a)
+    // chao1 = 3 + 2*1/(2*2) = 3.5; B: d d -> V=1, f1=0, f2=1 -> 1.0
+    val df = Seq(("A", "a a b c"), ("B", "d d")).toDF("src", "text")
+    val got = TextAnalysis.chao1Richness(df, "src", "text")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(("A", 3L, 2L, 1L, 3.5d), ("B", 1L, 0L, 1L, 1.0d)),
+      got.toString)
+    // empty-text group emits no row
+    val e = TextAnalysis.chao1Richness(
+      Seq(("A", "x"), ("B", "  ")).toDF("src", "text"), "src", "text")
+      .select($"group").as[String].collect().toSeq
+    assert(e == Seq("A"), e.toString)
+  }
+
+  test("keywordsLlr: hand-traced G2, overrepresentation gate, guards") {
+    // A: x x y; B: y y z. A/x: a=2,b=0 -> g2 = 4 ln2 = 2.772589
+    // A/y dropped (underrepresented); B/y: g2 = 2(2 ln(4/3)+ln(2/3))
+    // = 0.339798; B/z: g2 = 2 ln2 = 1.386294
+    val df = Seq(("A", "x x y"), ("B", "y y z")).toDF("src", "text")
+    val got = TextAnalysis.keywordsLlr(df, "src", "text", topK = 5)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("A", "x", 2L, 0L, 2.772589d),
+      ("B", "z", 1L, 0L, 1.386294d),
+      ("B", "y", 2L, 1L, 0.339798d)), got.toString)
+    // topK cuts per group by g2 desc
+    val top1 = TextAnalysis.keywordsLlr(df, "src", "text", topK = 1)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(top1.map(r => (r._1, r._2)) == Set(("A", "x"), ("B", "z")),
+      top1.toString)
+    intercept[IllegalArgumentException](TextAnalysis.keywordsLlr(
+      Seq(("A", "x")).toDF("src", "text"), "src", "text")) // 1 group
+    intercept[IllegalArgumentException](TextAnalysis.keywordsLlr(
+      df, "src", "text", topK = 0))
+  }
+
+  test("burrowsDelta: hand-traced three-source pair distances") {
+    // A: x x x y (f: .75/.25), B: x y (.5/.5), C: y y (0/1)
+    // both words share sigma = 0.311805 -> deltas 0.801784 /
+    // 2.405351 / 1.603567
+    val df = Seq(("A", "x x x y"), ("B", "x y"), ("C", "y y"))
+      .toDF("src", "text")
+    val got = TextAnalysis.burrowsDelta(df, "src", "text", topM = 2)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("A", "B", 2L, 0.801784d),
+      ("A", "C", 2L, 2.405351d),
+      ("B", "C", 2L, 1.603567d)), got.toString)
+    // constant-rate words are dropped; all-constant fails typed
+    intercept[IllegalArgumentException](TextAnalysis.burrowsDelta(
+      Seq(("A", "x"), ("B", "x")).toDF("src", "text"), "src", "text"))
+    intercept[IllegalArgumentException](TextAnalysis.burrowsDelta(
+      Seq(("A", "x y")).toDF("src", "text"), "src", "text")) // 1 group
+  }
+
+  test("dispersionDp: exact integer numerators, hand-traced values") {
+    // A: x x y (mass 3), B: x z (mass 2), N = 5
+    // x: 0.5*(|10-9|+|5-6|)/15 = 0.066667; y: 0.5*(|5-3|+|0-2|)/5
+    // = 0.4; z: 0.5*(|0-3|+|5-2|)/5 = 0.6
+    val df = Seq(("A", "x x y"), ("B", "x z")).toDF("src", "text")
+    val got = TextAnalysis.dispersionDp(df, "src", "text", topK = 3)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("x", 3L, 0.066667d), ("y", 1L, 0.4d),
+      ("z", 1L, 0.6d)), got.toString)
+    // topK cuts by count desc then token asc
+    val t1 = TextAnalysis.dispersionDp(df, "src", "text", topK = 1)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(t1 == Seq(("x", 3L, 0.066667d)), t1.toString)
+    intercept[IllegalArgumentException](TextAnalysis.dispersionDp(
+      df, "src", "text", topK = 0))
+  }
+
+  test("ngramDiversity: per-order totals, distincts, NULL on no grams") {
+    // A: a b a -> uni 3/2, bi {a b, b a} 2/2, tri {a b a} 1/1
+    // B: c -> uni 1/1, bi 0 -> NULL ratio, tri 0 -> NULL
+    val df = Seq(("A", "a b a"), ("B", "c")).toDF("src", "text")
+    val got = TextAnalysis.ngramDiversity(df, "src", "text")
+      .as[(String, Long, Long, Option[Double], Long, Long, Option[Double],
+        Long, Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("A", 3L, 2L, Some(0.666667d), 2L, 2L, Some(1.0d),
+        1L, 1L, Some(1.0d)),
+      ("B", 1L, 1L, Some(1.0d), 0L, 0L, None, 0L, 0L, None)),
+      got.toString)
+  }
 }
