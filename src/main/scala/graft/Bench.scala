@@ -108,7 +108,8 @@ object Bench {
     "q251_survival", "q252_isotropy", "q253_kruskal",
     "q254_brown_forsythe", "q255_mann_kendall", "q256_chao1",
     "q257_llr_keywords", "q258_burrows_delta", "q259_dispersion",
-    "q260_ngram_diversity")
+    "q260_ngram_diversity", "q261_segmented_trend", "q262_skew_report",
+    "q263_importance_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

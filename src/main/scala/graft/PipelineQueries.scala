@@ -1165,6 +1165,21 @@ object PipelineQueries {
     TextAnalysis.ngramDiversity(Tables.documents(s, dir), "source", "text")
   }
 
+  /** q263: IMPORTANCE REWEIGHTING to the uniform source mixture
+    * ([[graft.ops.Sampling.importanceWeights]]) — the "reweight,
+    * don't resample" alternative beside q120's α-sampling and q125's
+    * DoReMi: per-source clipped weights toward equal effective mass,
+    * with the Kish ESS (q209's readout) reporting what the clip
+    * actually costs. ess_frac is the go/no-go number: reweighting
+    * that leaves a thin effective corpus loses to q129's capping.
+    * Oracle replays counts, the nano weight grid, the clip and both
+    * ESS moments. */
+  def sourceImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sampling.importanceWeights(Tables.documents(s, dir),
+      "source", wMax = 2.0d)
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3268,7 +3283,8 @@ object PipelineQueries {
     "q257_llr_keywords"   -> (sourceKeywords _),
     "q258_burrows_delta"  -> (sourceStyleDelta _),
     "q259_dispersion"     -> (tokenDispersion _),
-    "q260_ngram_diversity" -> (sourceNgramDiversity _))
+    "q260_ngram_diversity" -> (sourceNgramDiversity _),
+    "q263_importance_weights" -> (sourceImportanceWeights _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7720,6 +7736,34 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
          |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
          |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q263: group counts, the nano weight grid, the exact clip, both
+    // HUGEINT ESS moments, fixed-order readouts
+    "q263_importance_weights" ->
+      """WITH c AS (
+        |  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS nn,
+        |  CAST(COUNT(*) AS BIGINT) AS k FROM c),
+        |w AS (
+        |  SELECT grp, n_rows, t.nn, t.k,
+        |    CAST(round(CAST(t.nn AS DOUBLE) * 1e9 /
+        |      (CAST(t.k AS DOUBLE) * CAST(n_rows AS DOUBLE))) AS BIGINT)
+        |      AS wraw
+        |  FROM c, t),
+        |w2 AS (SELECT *, LEAST(wraw, 2000000000) AS wq FROM w),
+        |e AS (
+        |  SELECT SUM(CAST(n_rows AS HUGEINT) * wq) AS sw,
+        |    SUM(CAST(n_rows AS HUGEINT) * wq * wq) AS sw2
+        |  FROM w2),
+        |e2 AS (SELECT ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+        |  CAST(sw2 AS DOUBLE), 6) AS ess FROM e)
+        |SELECT grp AS "group", n_rows,
+        |  ROUND(CAST(n_rows AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS share,
+        |  ROUND(CAST(wraw AS DOUBLE) / 1e9, 6) AS raw_w,
+        |  ROUND(CAST(wq AS DOUBLE) / 1e9, 6) AS w,
+        |  e2.ess,
+        |  ROUND(e2.ess / CAST(nn AS DOUBLE), 6) AS ess_frac
+        |FROM w2, e2""".stripMargin,
     // q260: three gram streams (never crossing document boundaries),
     // per-order totals/distincts, NULL ratios on empty orders
     "q260_ngram_diversity" ->

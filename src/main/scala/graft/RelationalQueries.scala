@@ -990,6 +990,36 @@ object RelationalQueries {
       "hour_idx", "value")
   }
 
+  /** q261: SEGMENTED TREND around the q233 change point
+    * ([[graft.ops.ChangeDetect.segmentedTrend]]) — the quantifying
+    * closure of the change-point family: separate exact OLS fits
+    * before and after the SAME argmax split q233 reports, so "traffic
+    * shifted at hour τ" becomes "flat before, +k∕h after". Single-
+    * bucket sides report NULL fits. Oracle replays the grid, the
+    * split search and both fixed-order fits. */
+  def hourlySegmentedTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.segmentedTrend(
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp($"ts") / 3600).cast("long")
+          .as("hour_idx"), $"value"),
+      "hour_idx", "value")
+  }
+
+  /** q262: SKEW DIAGNOSIS of the events user_id key
+    * ([[graft.ops.Skew.skewReport]]) — the pre-flight audit behind
+    * every salted op (q56/q63) and the hot/cold router: which user
+    * keys would overload a 32-task shuffle, by how much, and what
+    * exact salt factor ⌈cnt·P∕N⌉ fixes each. One map-side-combined
+    * groupBy + a top-10 TakeOrderedAndProject — the report costs a
+    * scan, the un-diagnosed skew costs a straggler. Oracle replays
+    * counts and the integer ceiling. */
+  def eventKeySkew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Skew.skewReport(Tables.events(s, dir), "user_id",
+      partitions = 32, topK = 10)
+  }
+
   /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
@@ -1347,7 +1377,9 @@ object RelationalQueries {
     "q248_balance"         -> (experimentBalance _),
     "q250_power"           -> (experimentPower _),
     "q251_survival"        -> (userSurvival _),
-    "q255_mann_kendall"    -> (hourlyMannKendall _))
+    "q255_mann_kendall"    -> (hourlyMannKendall _),
+    "q261_segmented_trend" -> (hourlySegmentedTrend _),
+    "q262_skew_report"     -> (eventKeySkew _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -2467,5 +2499,93 @@ object RelationalQueries {
         |        THEN ROUND((CAST(sx.s AS DOUBLE) + 1.0) / sqrt(v.var_), 6)
         |      ELSE CAST(0.0 AS DOUBLE) END
         |  ELSE CAST(0.0 AS DOUBLE) END AS z
-        |FROM n1, sx, v""".stripMargin)
+        |FROM n1, sx, v""".stripMargin,
+    // q261: the q233 split search verbatim, then conditional HUGEINT
+    // OLS moments per side and the fixed-order slope/intercept ratios
+    "q261_segmented_trend" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS m
+        |  FROM pb),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+        |    SUM(CAST(m AS HUGEINT)) AS s
+        |  FROM g),
+        |pre AS (
+        |  SELECT bucket,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bucket) AS BIGINT) AS n1,
+        |    SUM(CAST(m AS HUGEINT)) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+        |  FROM g),
+        |cand AS (
+        |  SELECT p.bucket,
+        |    CAST(p.s1 AS DOUBLE) * CAST(p.s1 AS DOUBLE) / CAST(p.n1 AS DOUBLE)
+        |      + CAST(t.s - p.s1 AS DOUBLE) * CAST(t.s - p.s1 AS DOUBLE) /
+        |        CAST(t.nb - p.n1 AS DOUBLE) AS f
+        |  FROM pre p, tot t
+        |  WHERE p.n1 < t.nb),
+        |brk AS (SELECT bucket FROM cand ORDER BY f DESC, bucket LIMIT 1),
+        |sides AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g.bucket <= brk.bucket THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    SUM(CASE WHEN g.bucket <= brk.bucket THEN CAST(g.bucket AS HUGEINT) ELSE 0 END) AS sxp,
+        |    SUM(CASE WHEN g.bucket <= brk.bucket THEN CAST(g.m AS HUGEINT) ELSE 0 END) AS syp,
+        |    SUM(CASE WHEN g.bucket <= brk.bucket THEN CAST(g.bucket AS HUGEINT) * g.m ELSE 0 END) AS sxyp,
+        |    SUM(CASE WHEN g.bucket <= brk.bucket THEN CAST(g.bucket AS HUGEINT) * g.bucket ELSE 0 END) AS sxxp,
+        |    CAST(SUM(CASE WHEN g.bucket > brk.bucket THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+        |    SUM(CASE WHEN g.bucket > brk.bucket THEN CAST(g.bucket AS HUGEINT) ELSE 0 END) AS sxq,
+        |    SUM(CASE WHEN g.bucket > brk.bucket THEN CAST(g.m AS HUGEINT) ELSE 0 END) AS syq,
+        |    SUM(CASE WHEN g.bucket > brk.bucket THEN CAST(g.bucket AS HUGEINT) * g.m ELSE 0 END) AS sxyq,
+        |    SUM(CASE WHEN g.bucket > brk.bucket THEN CAST(g.bucket AS HUGEINT) * g.bucket ELSE 0 END) AS sxxq
+        |  FROM g, brk),
+        |fits AS (
+        |  SELECT np, nq,
+        |    CAST(np * sxyp - sxp * syp AS DOUBLE) AS nump,
+        |    CAST(np * sxxp - sxp * sxp AS DOUBLE) AS denp,
+        |    CAST(syp AS DOUBLE) / CAST(np AS DOUBLE) AS mypd,
+        |    CAST(sxp AS DOUBLE) / CAST(np AS DOUBLE) AS mxpd,
+        |    CAST(nq * sxyq - sxq * syq AS DOUBLE) AS numq,
+        |    CAST(nq * sxxq - sxq * sxq AS DOUBLE) AS denq,
+        |    CAST(syq AS DOUBLE) / CAST(nq AS DOUBLE) AS myqd,
+        |    CAST(sxq AS DOUBLE) / CAST(nq AS DOUBLE) AS mxqd
+        |  FROM sides)
+        |SELECT tot.nb AS n_buckets, brk.bucket AS break_bucket,
+        |  np AS n_pre,
+        |  CASE WHEN denp <> 0.0 THEN ROUND(nump / denp / 1e6, 6)
+        |    ELSE NULL END AS slope_pre,
+        |  CASE WHEN denp <> 0.0
+        |    THEN ROUND((mypd - nump / denp * mxpd) / 1e6, 6)
+        |    ELSE NULL END AS icpt_pre,
+        |  nq AS n_post,
+        |  CASE WHEN denq <> 0.0 THEN ROUND(numq / denq / 1e6, 6)
+        |    ELSE NULL END AS slope_post,
+        |  CASE WHEN denq <> 0.0
+        |    THEN ROUND((myqd - numq / denq * mxqd) / 1e6, 6)
+        |    ELSE NULL END AS icpt_post,
+        |  CASE WHEN denp <> 0.0 AND denq <> 0.0
+        |    THEN ROUND((numq / denq - nump / denp) / 1e6, 6)
+        |    ELSE NULL END AS slope_change
+        |FROM fits, tot, brk""".stripMargin,
+    // q262: per-key exact counts, fixed-order shares, the exact
+    // integer salt ceiling (cnt*P + N - 1) // N
+    "q262_skew_report" ->
+      """WITH c AS (
+        |  SELECT COALESCE(CAST(user_id AS VARCHAR), 'NULL') AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT key, cnt, t.n_rows, t.n_keys,
+        |  ROUND(CAST(cnt AS DOUBLE) / CAST(t.n_rows AS DOUBLE), 6) AS share,
+        |  ROUND(CAST(cnt AS DOUBLE) * 32.0 / CAST(t.n_rows AS DOUBLE), 6)
+        |    AS skew_x,
+        |  CAST((CAST(cnt AS HUGEINT) * 32 + t.n_rows - 1) // t.n_rows
+        |    AS BIGINT) AS salt
+        |FROM c, t
+        |ORDER BY cnt DESC, key ASC LIMIT 10""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -532,5 +532,71 @@ object ChangeDetect {
             round((d("s") + 1.0d) / sqrt(varS), 6))
           .otherwise(lit(0.0d)))
         .otherwise(lit(0.0d)).as("z"))
+  }
+
+  /** SEGMENTED (piecewise-linear) TREND around the change point — the
+    * quantifying follow-up to [[changePoint]]'s WHERE: separate exact
+    * OLS fits on the buckets before and after the detected break, so
+    * "traffic shifted at hour τ" becomes "flat before, +3.2∕h after".
+    * The break is the SAME argmax split [[changePoint]] reports (one
+    * definition, spec-proven), so the two queries never disagree. One
+    * row: (n_buckets, break_bucket, n_pre, slope_pre, icpt_pre,
+    * n_post, slope_post, icpt_post, slope_change).
+    *
+    * Determinism: bucket means are micro-quantized longs; each side's
+    * (n, Σx, Σy, Σxy, Σx²) are exact DECIMAL sums from ONE
+    * conditional aggregate; slope = (nΣxy − ΣxΣy)∕(nΣx² − (Σx)²) and
+    * intercept are fixed-order double ratios on those integers,
+    * reported in value units (∕10⁶), 6 dp. A single-bucket side has
+    * no slope → NULL for that side's fit and for slope_change,
+    * documented — never a 0∕0.
+    *
+    * Plan: one map-side-combined grid aggregate, the bounded-grid
+    * split search, ONE conditional aggregate over the grid. */
+  def segmentedTrend(df: DataFrame, bucketCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
+      .limit(1).count()
+    require(bad == 0L,
+      s"segmentedTrend needs non-NULL '$bucketCol' and '$valueCol'")
+    val partials = partialGrid(df, bucketCol, valueCol)
+      .localCheckpoint(true) // grid-sized, read by split search + fits
+    val grid = mergedMeanGrid(partials)
+    val nb = grid.count()
+    require(nb >= 2L, s"segmentedTrend needs >= 2 buckets, got $nb")
+    val brk = changePointFromPartials(partials)
+      .select(col("break_bucket")).first().getLong(0)
+    def side(tag: String, cond: Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"_n$tag"),
+      sum(when(cond, col("bucket").cast(dec))).as(s"_sx$tag"),
+      sum(when(cond, col("_mean").cast(dec))).as(s"_sy$tag"),
+      sum(when(cond, col("bucket").cast(dec) * col("_mean")))
+        .as(s"_sxy$tag"),
+      sum(when(cond, col("bucket").cast(dec) * col("bucket")))
+        .as(s"_sxx$tag"))
+    val aggs = side("p", col("bucket") <= lit(brk)) ++
+      side("q", col("bucket") > lit(brk))
+    val row = grid.agg(aggs.head, aggs.drop(1): _*)
+    def d(c: Column) = c.cast("double")
+    def num(t: String) = d(col(s"_n$t").cast(dec) * col(s"_sxy$t") -
+      col(s"_sx$t") * col(s"_sy$t"))
+    def den(t: String) = d(col(s"_n$t").cast(dec) * col(s"_sxx$t") -
+      col(s"_sx$t") * col(s"_sx$t"))
+    def slope(t: String) = num(t) / den(t)
+    def icpt(t: String) = d(col(s"_sy$t")) / d(col(s"_n$t")) -
+      slope(t) * (d(col(s"_sx$t")) / d(col(s"_n$t")))
+    def fit(t: String, out: Column => Column) =
+      when(den(t) =!= 0.0d, out(lit(0))).otherwise(lit(null).cast("double"))
+    row.select(lit(nb).as("n_buckets"), lit(brk).as("break_bucket"),
+      col("_np").as("n_pre"),
+      fit("p", _ => round(slope("p") / 1e6d, 6)).as("slope_pre"),
+      fit("p", _ => round(icpt("p") / 1e6d, 6)).as("icpt_pre"),
+      col("_nq").as("n_post"),
+      fit("q", _ => round(slope("q") / 1e6d, 6)).as("slope_post"),
+      fit("q", _ => round(icpt("q") / 1e6d, 6)).as("icpt_post"),
+      when(den("p") =!= 0.0d && den("q") =!= 0.0d,
+        round((slope("q") - slope("p")) / 1e6d, 6))
+        .otherwise(lit(null).cast("double")).as("slope_change"))
   }
 }

@@ -530,4 +530,59 @@ object Sampling {
           .otherwise(round(lit(k.toDouble) * 1e9d /
             col("_sl").cast("double"), 6)).as("alpha"))
   }
+
+  /** IMPORTANCE REWEIGHTING to the uniform group mixture with weight
+    * clipping — the "reweight, don't resample" alternative to
+    * [[alphaSample]]/[[domainMixture]]: per group, the raw weight
+    * N∕(k·n_g) that makes every group contribute equal EFFECTIVE mass,
+    * clipped at `wMax` so a tiny group cannot explode the variance,
+    * and the resulting row-level ESS = (Σw)²∕Σw² — the [[q209 Kish]]
+    * readout of what the clipped weights actually cost. A pipeline
+    * reads `ess_frac` before committing: reweighting that leaves 30%
+    * effective data is usually worse than [[domainMixture]] capping.
+    * One row per group: (group, n_rows, share, raw_w, w, ess,
+    * ess_frac) — ess/ess_frac are corpus-level, repeated per row for
+    * a self-contained report.
+    *
+    * Determinism: weights quantize to the integer nano grid BEFORE
+    * clipping (min of two exact longs); ESS moments are exact DECIMAL
+    * sums of nano integers; every readout is a fixed-order double
+    * ratio, 6 dp. NULL groups and wMax < 1 fail typed (a clip below
+    * the uniform weight of the LARGEST group would invert the
+    * ordering the caller asked for).
+    *
+    * Plan: ONE map-side-combined groupBy to group counts, 1-row
+    * totals broadcast, groups-sized arithmetic. */
+  def importanceWeights(df: DataFrame, groupCol: String,
+      wMax: Double = 10.0d): DataFrame = {
+    require(wMax >= 1.0d && wMax <= 1e6d,
+      s"need 1 <= wMax <= 1e6, got $wMax")
+    val dec = "decimal(38,0)"
+    val nulls = df.filter(col(groupCol).isNull).limit(1).count()
+    require(nulls == 0L, s"importanceWeights needs non-NULL '$groupCol'")
+    val counts = df.select(col(groupCol).as("group"))
+      .groupBy(col("group")).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(true) // groups-sized, read twice
+    val tot = counts.agg(sum(col("n_rows")).as("_N"),
+      count(lit(1)).as("_k"))
+    def d(c: String) = col(c).cast("double")
+    val g = counts.crossJoin(broadcast(tot))
+      .withColumn("_wraw",
+        round(d("_N") * 1e9d / (d("_k") * d("n_rows"))).cast("long"))
+      .withColumn("_wq", least(col("_wraw"), lit(math.round(wMax * 1e9d))))
+      .localCheckpoint(true) // groups-sized, read twice (ESS + output)
+    // weights are wq/1e9, so (Σn·w)²/(Σn·w²) = _sw²/_sw2 in row units
+    val essRow = g.agg(
+        sum(col("n_rows").cast(dec) * col("_wq")).as("_sw"),
+        sum(col("n_rows").cast(dec) * col("_wq") * col("_wq")).as("_sw2"))
+      .select(round(d("_sw") * d("_sw") / d("_sw2"), 6).as("ess"))
+    g.crossJoin(broadcast(essRow))
+      .select(col("group"), col("n_rows"),
+        round(d("n_rows") / d("_N"), 6).as("share"),
+        round(d("_wraw") / 1e9d, 6).as("raw_w"),
+        round(d("_wq") / 1e9d, 6).as("w"),
+        col("ess"),
+        round(col("ess") / d("_N"), 6).as("ess_frac"))
+      .orderBy(col("group"))
+  }
 }

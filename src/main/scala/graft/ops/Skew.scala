@@ -158,4 +158,49 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_psum")).as(s"sum_$valueCol"),
         sum(col("_pcnt")).as("n"))
+
+  /** SKEW DIAGNOSIS report — the pre-flight audit the other ops in
+    * this file act on: before shuffling on `key` across `partitions`
+    * tasks, which keys would overload their task, by how much, and
+    * what salt factor fixes each? One row per top-k key by mass:
+    * (key, cnt, n_rows, n_keys, share, skew_x, salt) where
+    * skew_x = cnt ∕ (N∕P) is the key's load relative to a perfectly
+    * balanced task and salt = ⌈cnt·P∕N⌉ is the [[saltedJoin]] /
+    * [[saltedSumCount]] splits that bring its per-split mass back
+    * under one balanced task. skew_x ≤ 1 keys need no salting —
+    * the report says so instead of hiding them.
+    *
+    * Determinism: counts are exact integers; salt is the exact
+    * integer ⌈cnt·P∕N⌉ = (cnt·P + N − 1) div N — never a float
+    * ceiling; share/skew_x are fixed-order double ratios, 6 dp; the
+    * top-k cut orders by (cnt desc, key asc) — a total order.
+    *
+    * Plan: ONE map-side-combined groupBy to per-key counts, a 1-row
+    * total, a top-k TakeOrderedAndProject — never a global sort. A
+    * NULL key is a real (and typically the hottest) join key; it is
+    * reported like any other under its string form 'NULL'. */
+  def skewReport(df: DataFrame, key: String, partitions: Int,
+      topK: Int = 10): DataFrame = {
+    require(partitions >= 1 && partitions <= 1000000,
+      s"need 1 <= partitions <= 1e6, got $partitions")
+    require(topK >= 1 && topK <= 1000, s"need 1 <= topK <= 1000, got $topK")
+    val counts = df
+      .select(coalesce(col(key).cast("string"), lit("NULL")).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // keys-sized, read twice (totals + top-k)
+    val tot = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    require(tot.filter(col("n_rows") > 0L).limit(1).count() == 1L,
+      "skewReport needs a non-empty input")
+    def d(c: String) = col(c).cast("double")
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"), col("n_rows"), col("n_keys"),
+        round(d("cnt") / d("n_rows"), 6).as("share"),
+        round(d("cnt") * lit(partitions.toDouble) / d("n_rows"), 6)
+          .as("skew_x"),
+        expr(s"(cast(cnt as decimal(38,0)) * $partitions + n_rows - 1) " +
+          "div cast(n_rows as decimal(38,0))").as("salt"))
+      .orderBy(col("cnt").desc, col("key").asc)
+  }
 }

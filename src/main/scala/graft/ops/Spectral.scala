@@ -282,12 +282,22 @@ object Spectral {
     * (map-side combined — the shuffle carries dims rows per
     * partition), then 1-row arithmetic. 100 TB of vectors audit in a
     * single scan with dims counters. */
-  def isotropy(df: DataFrame, vecCol: String): DataFrame = {
+  def isotropy(df: DataFrame, vecCol: String): DataFrame =
+    isotropyFromPartials(isotropyPartial(df, vecCol))
+
+  /** The dims-sized PARTIAL state of [[isotropy]] over a slice:
+    * one row per dimension `(_dim, _cnt, _s, _q)` with the exact
+    * integer count / unit-component sum / square sum. Partials from
+    * any number of micro-batches re-aggregate per dimension to the
+    * identical state, which is what makes the streaming monitor
+    * ([[graft.streaming.IsotropyMonitor]]) ≡ the batch op by
+    * construction. Typed failures (NULL / zero vectors) fire here,
+    * per slice, before anything persists. */
+  private[graft] def isotropyPartial(df: DataFrame,
+      vecCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val nulls = df.filter(col(vecCol).isNull).limit(1).count()
     require(nulls == 0L, s"isotropy needs non-NULL '$vecCol' vectors")
-    val n = df.count()
-    require(n >= 2L, s"isotropy needs >= 2 vectors, got $n")
     val withNorm = df.select(col(vecCol).as("_v"))
       .withColumn("_nrm", sqrt(expr(
         "aggregate(_v, cast(0.0 as double), " +
@@ -295,14 +305,37 @@ object Spectral {
     val zeros = withNorm.filter(col("_nrm") === 0.0d).limit(1).count()
     require(zeros == 0L,
       "isotropy: a zero vector has no direction — filter it first")
-    val perDim = withNorm
+    withNorm
       .select(posexplode(expr(
         "transform(_v, x -> cast(round(cast(x as double) / _nrm * 1000000.0) as bigint))"))
         .as(Seq("_dim", "_u")))
       .groupBy(col("_dim"))
-      .agg(sum(col("_u").cast(dec)).as("_s"),
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("_u").cast(dec)).as("_s"),
         sum(col("_u").cast(dec) * col("_u")).as("_q"))
-    val tot = perDim.agg(sum(col("_s") * col("_s")).as("_ss"),
+  }
+
+  /** [[isotropy]] over stacked (possibly per-batch partial) dim rows —
+    * the cross-batch merge first (a no-op on a final state), then the
+    * two quadratic forms. Output and determinism exactly as
+    * [[isotropy]]. RAGGED input — vectors of different lengths across
+    * slices — makes the per-dimension counts disagree and fails typed
+    * here, instead of silently averaging dimensions that only some
+    * vectors have. */
+  private[graft] def isotropyFromPartials(partials: DataFrame): DataFrame = {
+    val merged = partials.groupBy(col("_dim"))
+      .agg(sum(col("_cnt")).as("_cnt"), sum(col("_s")).as("_s"),
+        sum(col("_q")).as("_q"))
+      .localCheckpoint(true) // dims-sized, read twice (guard + forms)
+    val ns = merged.select(col("_cnt")).distinct()
+      .limit(2).collect().map(_.getLong(0))
+    require(ns.nonEmpty, "isotropy needs >= 2 vectors, got 0")
+    require(ns.length == 1,
+      "isotropy: ragged vector lengths — per-dimension counts disagree " +
+        s"(saw ${ns.mkString(", ")}, ...)")
+    val n = ns.head
+    require(n >= 2L, s"isotropy needs >= 2 vectors, got $n")
+    val tot = merged.agg(sum(col("_s") * col("_s")).as("_ss"),
       sum(col("_q")).as("_qq"), count(lit(1)).as("dim"))
     def d(c: String) = col(c).cast("double")
     tot.select(lit(n).as("n"), col("dim"),

@@ -272,6 +272,35 @@ class ChangeDetectSpec extends SparkSpecBase {
     assert(g == Seq((3L, 3L, -3L, 3.666667d, -1.044466d)), g.toString)
   }
 
+  test("segmentedTrend: hand-traced piecewise fits around the split") {
+    // 0,1 | 20,23: split lands after bucket 1 (same argmax as
+    // changePoint); pre fits y=x, post fits y=3x+14 -> change 2
+    val df = Seq((0L, 0.0d), (1L, 1.0d), (2L, 20.0d), (3L, 23.0d))
+      .toDF("b", "v")
+    val got = ChangeDetect.segmentedTrend(df, "b", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Long,
+        Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq((4L, 1L, 2L, Some(1.0d), Some(0.0d), 2L,
+      Some(3.0d), Some(14.0d), Some(2.0d))), got.toString)
+    // break agrees with changePoint by construction
+    val cp = ChangeDetect.changePoint(df, "b", "v")
+      .select($"break_bucket").as[Long].head()
+    assert(cp == got.head._2)
+  }
+
+  test("segmentedTrend: single-bucket side reports NULL fit, typed guards") {
+    val df = Seq((0L, 0.0d), (1L, 0.0d), (2L, 10.0d)).toDF("b", "v")
+    val got = ChangeDetect.segmentedTrend(df, "b", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Long,
+        Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq((3L, 1L, 2L, Some(0.0d), Some(0.0d), 1L,
+      None, None, None)), got.toString)
+    intercept[IllegalArgumentException](ChangeDetect.segmentedTrend(
+      Seq((0L, 1.0d)).toDF("b", "v"), "b", "v"))
+    intercept[IllegalArgumentException](ChangeDetect.segmentedTrend(
+      Seq((Option.empty[Long], Some(1.0d))).toDF("b", "v"), "b", "v"))
+  }
+
   test("mannKendall: typed guards") {
     intercept[IllegalArgumentException](ChangeDetect.mannKendall(
       Seq((0L, 1.0d)).toDF("b", "v"), "b", "v")) // 1 bucket

@@ -384,4 +384,27 @@ class SamplingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Sampling.hillTail(
       Seq(Option(1L), None).toDF("v"), "v", k = 2))
   }
+
+  test("importanceWeights: hand-traced clip and Kish ESS") {
+    // A: 8 rows, B: 2 -> raw 0.625 / 2.5; clip at 2 -> B w = 2
+    // ESS = (8*.625 + 2*2)^2 / (8*.625^2 + 2*4) = 81/11.125 = 7.280899
+    val df = (Seq.fill(8)("A") ++ Seq.fill(2)("B")).toDF("g")
+    val got = Sampling.importanceWeights(df, "g", wMax = 2.0d)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("A", 8L, 0.8d, 0.625d, 0.625d, 7.280899d, 0.72809d),
+      ("B", 2L, 0.2d, 2.5d, 2.0d, 7.280899d, 0.72809d)), got.toString)
+    // unclipped: ESS = 100/15.625 = 6.4
+    val un = Sampling.importanceWeights(df, "g", wMax = 10.0d)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(un == Seq(
+      ("A", 8L, 0.8d, 0.625d, 0.625d, 6.4d, 0.64d),
+      ("B", 2L, 0.2d, 2.5d, 2.5d, 6.4d, 0.64d)), un.toString)
+    intercept[IllegalArgumentException](Sampling.importanceWeights(
+      Seq(Option.empty[String], Some("A")).toDF("g"), "g"))
+    intercept[IllegalArgumentException](Sampling.importanceWeights(
+      df, "g", wMax = 0.5d))
+  }
 }

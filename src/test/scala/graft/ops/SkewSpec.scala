@@ -150,4 +150,30 @@ class SkewSpec extends SparkSpecBase {
       .select("_salt").distinct().count()
     assert(partials > 4, s"hot key only reached $partials salt groups")
   }
+
+  test("skewReport: hand-traced shares, exact integer salt ceiling") {
+    import spark.implicits._
+    // key a: 6 rows, b: 2, c: 1, NULL: 1 -> N=10, 4 keys; P=4:
+    // balanced task = 2.5; a: skew 2.4x -> salt ceil(6*4/10)=3;
+    // b: 0.8x -> salt 1; c/NULL: 0.4x -> salt 1
+    val df = (Seq.fill(6)(Some("a")) ++ Seq.fill(2)(Some("b")) ++
+      Seq(Some("c"), Option.empty[String])).toDF("k")
+    val got = graft.ops.Skew.skewReport(df, "k", partitions = 4)
+      .as[(String, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 6L, 10L, 4L, 0.6d, 2.4d, 3L),
+      ("b", 2L, 10L, 4L, 0.2d, 0.8d, 1L),
+      ("NULL", 1L, 10L, 4L, 0.1d, 0.4d, 1L),
+      ("c", 1L, 10L, 4L, 0.1d, 0.4d, 1L)), got.toString)
+    // topK cuts by mass with key tie-break
+    val t = graft.ops.Skew.skewReport(df, "k", partitions = 4, topK = 2)
+      .as[(String, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq.map(_._1)
+    assert(t == Seq("a", "b"), t.toString)
+    intercept[IllegalArgumentException](
+      graft.ops.Skew.skewReport(df.limit(0), "k", partitions = 4))
+    intercept[IllegalArgumentException](
+      graft.ops.Skew.skewReport(df, "k", partitions = 0))
+  }
 }
