@@ -1180,6 +1180,45 @@ object PipelineQueries {
       "source", wMax = 2.0d)
   }
 
+  /** q264: KS drift SIGNIFICANCE
+    * ([[graft.ops.ClassifierEval.ksTest]]) — q203's sup-distance with
+    * the number the gate can act on: the asymptotic Kolmogorov
+    * p-value from the 100-term alternating series on the pico grid.
+    * Same early/late cohorts, same exact cross-multiplied D; D = 0
+    * reports p = 1 exactly. Oracle replays the grid, the sup, λ and
+    * every quantized series term. */
+  def ksDriftTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
+        "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    graft.ops.ClassifierEval.ksTest(
+      conf.filter($"doc_id" < 250).select($"conf"),
+      conf.filter($"doc_id" >= 250).select($"conf"),
+      "conf")
+  }
+
+  /** q265: DeLONG confidence interval for the quality AUC
+    * ([[graft.ops.Calibration.delongAucCi]]) — the error bar q185's
+    * point estimate needs before two classifier versions are
+    * compared: structural-component variance on the exact score grid,
+    * doubled-integer placements, one DECIMAL deviation pass. Oracle
+    * replays the grid, both placements, a2 and both squared-deviation
+    * sums. */
+  def qualityAucCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    graft.ops.Calibration.delongAucCi(pred, lab, "doc_id", "conf", "keep")
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3284,7 +3323,9 @@ object PipelineQueries {
     "q258_burrows_delta"  -> (sourceStyleDelta _),
     "q259_dispersion"     -> (tokenDispersion _),
     "q260_ngram_diversity" -> (sourceNgramDiversity _),
-    "q263_importance_weights" -> (sourceImportanceWeights _))
+    "q263_importance_weights" -> (sourceImportanceWeights _),
+    "q264_ks_p"           -> (ksDriftTest _),
+    "q265_auc_ci"         -> (qualityAucCi _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7736,6 +7777,107 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
          |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
          |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q264: the q203 replay + lambda and the 100-term pico-quantized
+    // Kolmogorov series (order-free integer sum)
+    "q264_ks_p" ->
+      s"""WITH $classifierPredCtes,
+         |ga AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS na
+         |  FROM pred WHERE doc_id < 250 GROUP BY 1),
+         |gb AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM pred WHERE doc_id >= 250 GROUP BY 1),
+         |cells AS (
+         |  SELECT COALESCE(ga.sm, gb.sm) AS sm,
+         |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+         |  FROM ga FULL JOIN gb ON ga.sm = gb.sm),
+         |cum AS (
+         |  SELECT sm,
+         |    CAST(SUM(na) OVER (ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+         |    CAST(SUM(nb) OVER (ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+         |  FROM cells),
+         |tt AS (SELECT MAX(ca) AS ta, MAX(cb) AS tb FROM cum),
+         |df AS (SELECT sm, ABS(ca * tb - cb * ta) AS dn, ta, tb FROM cum, tt),
+         |dmx AS (SELECT MAX(dn) AS d FROM df),
+         |base AS (
+         |  SELECT MIN(ta) AS n_a, MIN(tb) AS n_b, MIN(dn) AS dmn,
+         |    MIN(sm) AS at
+         |  FROM df, dmx WHERE df.dn = dmx.d),
+         |lm AS (
+         |  SELECT *, sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+         |    (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) *
+         |    (CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+         |    AS lam
+         |  FROM base),
+         |ser AS (
+         |  SELECT n_a, n_b, dmn, at, lam,
+         |    CAST(SUM((CASE WHEN j % 2 = 1 THEN 1 ELSE -1 END) *
+         |      CAST(round(exp(-2.0 * CAST(j * j AS DOUBLE) * lam * lam)
+         |        * 1e12) AS BIGINT)) AS BIGINT) AS ps
+         |  FROM lm, (SELECT unnest(generate_series(1, 100)) AS j)
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT n_a, n_b,
+         |  ROUND(CAST(dmn AS DOUBLE) /
+         |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d,
+         |  ROUND(CAST(at AS DOUBLE) / 1e6, 6) AS d_at,
+         |  ROUND(lam, 6) AS lambda,
+         |  CASE WHEN dmn = 0 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE GREATEST(LEAST(ROUND(CAST(ps AS DOUBLE) * 2.0 / 1e12, 6),
+         |      CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) END AS p_value
+         |FROM ser""".stripMargin,
+    // q265: the q185 grid with doubled placements both ways, exact
+    // HUGEINT a2 and squared-deviation sums, fixed-order se/CI
+    "q265_auc_ci" ->
+      s"""WITH $classifierPredCtes,
+         |$gopherLabCtes,
+         |jj AS (SELECT p.conf, l.keep FROM pred p JOIN lab l USING (doc_id)),
+         |g AS (SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(SUM(keep) AS BIGINT) AS np,
+         |    CAST(SUM(1 - keep) AS BIGINT) AS nn
+         |  FROM jj GROUP BY 1),
+         |pl AS (
+         |  SELECT sm, np, nn,
+         |    2 * CAST(COALESCE(SUM(nn) OVER (ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + nn AS v10,
+         |    2 * CAST(COALESCE(SUM(np) OVER (ORDER BY sm DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + np AS v01
+         |  FROM g),
+         |tt AS (SELECT CAST(SUM(np) AS BIGINT) AS n1,
+         |    CAST(SUM(nn) AS BIGINT) AS n0,
+         |    SUM(CAST(np AS HUGEINT) * v10) AS a2
+         |  FROM pl),
+         |dv AS (
+         |  SELECT
+         |    SUM(CAST(np AS HUGEINT) * (CAST(v10 AS HUGEINT) * n1 - a2) *
+         |      (CAST(v10 AS HUGEINT) * n1 - a2)) AS s10n,
+         |    SUM(CAST(nn AS HUGEINT) * (CAST(v01 AS HUGEINT) * n0 - a2) *
+         |      (CAST(v01 AS HUGEINT) * n0 - a2)) AS s01n
+         |  FROM pl, tt),
+         |fin AS (
+         |  SELECT n1, n0,
+         |    CAST(a2 AS DOUBLE) /
+         |      (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) * 2.0) AS auc,
+         |    sqrt(
+         |      CAST(s10n AS DOUBLE) /
+         |        ((CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) * 2.0) *
+         |         (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) * 2.0)) /
+         |        (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) +
+         |      CAST(s01n AS DOUBLE) /
+         |        ((CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) * 2.0) *
+         |         (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) * 2.0)) /
+         |        (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE)) AS se
+         |  FROM tt, dv)
+         |SELECT n1 AS n_pos, n0 AS n_neg, ROUND(auc, 6) AS auc,
+         |  ROUND(se, 6) AS se,
+         |  ROUND(auc - 1.959964 * se, 6) AS lo95,
+         |  ROUND(auc + 1.959964 * se, 6) AS hi95
+         |FROM fin""".stripMargin,
     // q263: group counts, the nano weight grid, the exact clip, both
     // HUGEINT ESS moments, fixed-order readouts
     "q263_importance_weights" ->

@@ -493,4 +493,86 @@ object Calibration {
             d("_n")), 6)).as("lift"))
       .orderBy(col("bucket"))
   }
+
+  /** DeLONG CONFIDENCE INTERVAL for the ROC-AUC — the error bar
+    * [[binaryAuc]]'s point estimate needs before two classifier
+    * versions are compared: the nonparametric structural-component
+    * variance S₁₀∕n₁ + S₀₁∕n₀ (DeLong, DeLong & Clarke-Pearson 1988),
+    * where V₁₀(xᵢ) is each positive's placement among negatives and
+    * V₀₁ the mirror, and a 95% normal interval at the baked z
+    * literal. One row: (n_pos, n_neg, auc, se, lo95, hi95) — the
+    * interval is NOT clamped to [0, 1] (a clamped bound would hide
+    * how far the normal approximation was stretched), documented.
+    *
+    * Determinism: everything up to the final ratios is exact integer
+    * arithmetic on the score grid — placements ride DOUBLED
+    * (2·below + ties) so V components are integers; both component
+    * sums of squared deviations use the common denominator
+    * (2n₀n₁)² so each is ONE exact DECIMAL sum; se/CI are fixed-order
+    * doubles, 6 dp. Perfect separation reports se = 0 and a
+    * degenerate interval at the AUC, honestly. Needs ≥ 2 positives
+    * AND ≥ 2 negatives (sample variances) — typed failure otherwise.
+    *
+    * Plan: one id-keyed equi-join, one corpus groupBy to the score
+    * grid, two bounded-grid windows, a 1-row broadcast back for the
+    * deviation pass, ONE final aggregate. */
+  def delongAucCi(pred: DataFrame, labels: DataFrame, idCol: String,
+      confCol: String, labelCol: String,
+      zCrit: Double = 1.959964d): DataFrame = {
+    require(zCrit > 0.0d, s"need zCrit > 0, got $zCrit")
+    val dec = "decimal(38,0)"
+    val joined = pred.select(col(idCol), col(confCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val offRange = joined.filter(col(confCol).isNull ||
+        col(labelCol).isNull ||
+        (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
+    require(offRange == 0L,
+      "delongAucCi needs non-NULL scores and labels in {0, 1}")
+    val g = joined
+      .withColumn("_sm", round(col(confCol).cast("double") * 1e6d)
+        .cast("long"))
+      .groupBy(col("_sm"))
+      .agg(sum(col(labelCol).cast("long")).as("_np"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+    val wUp = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wDn = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_sm").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val placed = g
+      .withColumn("_nbelow", coalesce(sum(col("_nn")).over(wUp), lit(0L)))
+      .withColumn("_pabove", coalesce(sum(col("_np")).over(wDn), lit(0L)))
+      .withColumn("_v10", lit(2L) * col("_nbelow") + col("_nn"))
+      .withColumn("_v01", lit(2L) * col("_pabove") + col("_np"))
+      .localCheckpoint(true) // grid-sized, read twice (totals + devs)
+    val tot = placed.agg(sum(col("_np")).as("_n1"), sum(col("_nn")).as("_n0"),
+      sum(col("_np").cast(dec) * col("_v10")).as("_a2"))
+      .localCheckpoint(true)
+    require(tot.filter(col("_n1") >= 2L && col("_n0") >= 2L)
+        .limit(1).count() == 1L,
+      "delongAucCi needs >= 2 positives and >= 2 negatives — sample " +
+        "variances of the structural components are undefined")
+    def d(c: String) = col(c).cast("double")
+    val devs = placed.crossJoin(broadcast(tot))
+      .agg(
+        sum(col("_np").cast(dec) *
+          (col("_v10").cast(dec) * col("_n1") - col("_a2")) *
+          (col("_v10").cast(dec) * col("_n1") - col("_a2"))).as("_s10n"),
+        sum(col("_nn").cast(dec) *
+          (col("_v01").cast(dec) * col("_n0") - col("_a2")) *
+          (col("_v01").cast(dec) * col("_n0") - col("_a2"))).as("_s01n"))
+    val n1 = d("_n1")
+    val n0 = d("_n0")
+    val auc = d("_a2") / (n1 * n0 * 2.0d)
+    val den = n1 * n0 * 2.0d
+    val s10 = d("_s10n") / (den * den) / (n1 - 1.0d)
+    val s01 = d("_s01n") / (den * den) / (n0 - 1.0d)
+    val se = sqrt(s10 / n1 + s01 / n0)
+    devs.crossJoin(broadcast(tot))
+      .select(col("_n1").as("n_pos"), col("_n0").as("n_neg"),
+        round(auc, 6).as("auc"),
+        round(se, 6).as("se"),
+        round(auc - lit(zCrit) * se, 6).as("lo95"),
+        round(auc + lit(zCrit) * se, 6).as("hi95"))
+  }
 }

@@ -1296,6 +1296,75 @@ object ClassifierEval {
           (delta * delta)).cast("long")).as("n_required"))
   }
 
+  /** Two-sample KS test WITH the asymptotic p-value — [[ksDistance]]
+    * plus the number a gate can actually act on: the Kolmogorov
+    * Q(λ) = 2 Σ_{j≥1} (−1)^{j−1} e^{−2j²λ²} survival probability at
+    * λ = √(n_a·n_b∕(n_a+n_b))·D, truncated at j = 100 (terms decay as
+    * e^{−2λ²j²}; at any λ > 0 the tail past 100 is below the pico
+    * grid). One row: (n_a, n_b, d, d_at, lambda, p_value).
+    *
+    * Determinism: D's numerator is the exact integer cross-multiplied
+    * sup (the [[ksDistance]] device); λ is one fixed-order double
+    * expression on those integers; each series term pico-quantizes to
+    * a long and the 100-term sum is integer (order-free); p clamps to
+    * [0, 1] (the truncated alternating series can overshoot 1 by a
+    * hair at small λ, documented). D = 0 reports p = 1 exactly — the
+    * λ = 0 series does not converge and identical samples ARE the
+    * null. NULL scores and empty sides fail typed.
+    *
+    * Plan: [[ksDistance]]'s two grid aggregates + bounded-grid
+    * window, then a 1-row × 100 literal explode — never a join. */
+  def ksTest(predA: DataFrame, predB: DataFrame,
+      confCol: String): DataFrame = {
+    def grid(df: DataFrame, out: String) = {
+      val nulls = df.filter(col(confCol).isNull).limit(1).count()
+      require(nulls == 0L, s"ksTest needs non-NULL scores ($out side)")
+      require(df.limit(1).count() == 1L,
+        s"ksTest needs a non-empty $out side")
+      df.withColumn("_sm",
+          round(col(confCol).cast("double") * 1e6d).cast("long"))
+        .groupBy(col("_sm")).agg(count(lit(1)).as(out))
+    }
+    val cells = grid(predA, "_na").join(grid(predB, "_nb"), Seq("_sm"), "full")
+      .select(col("_sm"),
+        coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("_ca", sum(col("_na")).over(w))
+      .withColumn("_cb", sum(col("_nb")).over(w))
+      .localCheckpoint(true) // grid-sized, read twice (max + argmax)
+    val tot = cum.agg(max(col("_ca")).as("_ta"), max(col("_cb")).as("_tb"))
+    val diffs = cum.crossJoin(broadcast(tot))
+      .withColumn("_dn", abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")))
+    val dMax = diffs.agg(max(col("_dn")).as("_dm"))
+    val row = diffs.crossJoin(broadcast(dMax))
+      .filter(col("_dn") === col("_dm"))
+      .agg(first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"),
+        first(col("_dm")).as("_dm"), min(col("_sm")).as("_at"))
+      .localCheckpoint(true) // 1 row, read by the series explode
+    def d(c: String) = col(c).cast("double")
+    val lam = sqrt(d("n_a") * d("n_b") / (d("n_a") + d("n_b"))) *
+      (d("_dm") / (d("n_a") * d("n_b")))
+    row.withColumn("_lam", lam)
+      .select(col("*"), explode(expr("sequence(1, 100)")).as("_j"))
+      .withColumn("_t",
+        (when(pmod(col("_j"), lit(2)) === 1, 1L).otherwise(-1L)) *
+          round(exp(lit(-2.0d) * (col("_j") * col("_j")).cast("double") *
+            col("_lam") * col("_lam")) * 1e12d).cast("long"))
+      .groupBy(col("n_a"), col("n_b"), col("_dm"), col("_at"), col("_lam"))
+      .agg(sum(col("_t")).as("_ps"))
+      .select(col("n_a"), col("n_b"),
+        round(d("_dm") / (d("n_a") * d("n_b")), 6).as("d"),
+        round(d("_at") / 1e6d, 6).as("d_at"),
+        round(col("_lam"), 6).as("lambda"),
+        when(col("_dm") === 0L, lit(1.0d))
+          .otherwise(greatest(least(
+            round(d("_ps") * 2.0d / 1e12d, 6), lit(1.0d)), lit(0.0d)))
+          .as("p_value"))
+  }
+
   /** KRUSKAL–WALLIS H test across ALL groups at once — the k-sample
     * extension of [[mannWhitney]]: does the score distribution differ
     * across ANY of the sources, before drilling into pairwise drift?

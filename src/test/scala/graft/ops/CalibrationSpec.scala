@@ -205,6 +205,32 @@ class CalibrationSpec extends SparkSpecBase {
       pred, Seq((1L, 2L)).toDF("id", "y"), "id", "conf", "y"))
   }
 
+  test("delongAucCi: hand-traced variance, perfect separation, guards") {
+    // pos {0.3, 0.1}, neg {0.2, 0.0}: AUC = 0.75; V10 = {1, .5},
+    // V01 = {.5, 1} -> S10 = S01 = 0.125 -> var = 0.125,
+    // se = 0.353553, CI = 0.75 -/+ 1.959964*se
+    val pred = Seq((1L, 0.3d), (2L, 0.1d), (3L, 0.2d), (4L, 0.0d))
+      .toDF("id", "conf")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L)).toDF("id", "y")
+    val got = Calibration.delongAucCi(pred, lab, "id", "conf", "y")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((2L, 2L, 0.75d, 0.353553d, 0.057048d, 1.442952d)),
+      got.toString)
+    // perfect separation: se = 0, degenerate interval at the AUC
+    val perf = Calibration.delongAucCi(
+      Seq((1L, 0.9d), (2L, 0.8d), (3L, 0.2d), (4L, 0.1d)).toDF("id", "conf"),
+      lab, "id", "conf", "y")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(perf == Seq((2L, 2L, 1.0d, 0.0d, 1.0d, 1.0d)), perf.toString)
+    intercept[IllegalArgumentException](Calibration.delongAucCi(
+      pred, Seq((1L, 1L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("id", "y"),
+      "id", "conf", "y")) // 1 positive
+    intercept[IllegalArgumentException](Calibration.delongAucCi(
+      pred, Seq((1L, 2L)).toDF("id", "y"), "id", "conf", "y"))
+    intercept[IllegalArgumentException](Calibration.delongAucCi(
+      pred, lab, "id", "conf", "y", zCrit = 0.0d))
+  }
+
   test("gainCurve: hand-traced deciles, whole-score tie honesty, typed guards") {
     // distinct scores 0.1·i, positives at the top 3 and the bottom
     val pred = (1 to 10).map(i => (i.toLong, i / 10.0d)).toDF("id", "conf")

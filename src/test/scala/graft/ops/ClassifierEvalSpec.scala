@@ -588,6 +588,24 @@ class ClassifierEvalSpec extends SparkSpecBase {
       ok.toDF("arm", "y"), "arm", "y", zAlpha = 0.0d))
   }
 
+  test("ksTest: hand-traced Kolmogorov p at lambda = 1, D = 0 reports 1") {
+    // A {0.1, 0.2}, B {0.3, 0.4}: D = 1 at 0.2; ne = 1 -> lambda = 1
+    // p = 2(e^-2 - e^-8 + e^-18 - ...) = 0.27 on the pico grid
+    val a = Seq(0.1d, 0.2d).toDF("conf")
+    val b = Seq(0.3d, 0.4d).toDF("conf")
+    val got = ClassifierEval.ksTest(a, b, "conf")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((2L, 2L, 1.0d, 0.2d, 1.0d, 0.27d)), got.toString)
+    // identical samples: D = 0 -> p = 1 exactly (series excluded)
+    val same = ClassifierEval.ksTest(a, a, "conf")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(same.head._3 == 0.0d && same.head._6 == 1.0d, same.toString)
+    intercept[IllegalArgumentException](
+      ClassifierEval.ksTest(a, b.limit(0), "conf"))
+    intercept[IllegalArgumentException](ClassifierEval.ksTest(
+      Seq(Option.empty[Double]).toDF("conf"), b, "conf"))
+  }
+
   test("kruskalWallis: tie-free and tied hand cases") {
     // A {1,2}, B {3,4}: ranks 1..4, R_A=3, R_B=7 ->
     // H = 12/20 * (2*1 + 2*1) = 2.4, no ties so h_adj = h
