@@ -109,7 +109,8 @@ object Bench {
     "q254_brown_forsythe", "q255_mann_kendall", "q256_chao1",
     "q257_llr_keywords", "q258_burrows_delta", "q259_dispersion",
     "q260_ngram_diversity", "q261_segmented_trend", "q262_skew_report",
-    "q263_importance_weights", "q264_ks_p", "q265_auc_ci")
+    "q263_importance_weights", "q264_ks_p", "q265_auc_ci",
+    "q266_cosine_tf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1219,6 +1219,21 @@ object PipelineQueries {
     graft.ops.Calibration.delongAucCi(pred, lab, "doc_id", "conf", "keep")
   }
 
+  /** q266: WEIGHTED-COSINE near-dup join
+    * ([[graft.ops.Dedup.cosineTfJoin]]) — the AllPairs prefix-filtered
+    * TF-vector cosine at τ = 0.8 over 3-gram shingle features beside
+    * the set-based family (q31/q97): graded near-duplication — same
+    * phrases, shifted emphasis — that Jaccard flattens to membership
+    * (shingles, not unigrams: a template corpus makes unigram cosine
+    * dense and every pair a candidate). The oracle is
+    * the BRUTE-FORCE all-pairs join on the same quantized grid, so an
+    * oracle match proves the prefix filter complete end to end. */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.cosineTfJoin(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.8d, w = 3)
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3325,7 +3340,8 @@ object PipelineQueries {
     "q260_ngram_diversity" -> (sourceNgramDiversity _),
     "q263_importance_weights" -> (sourceImportanceWeights _),
     "q264_ks_p"           -> (ksDriftTest _),
-    "q265_auc_ci"         -> (qualityAucCi _))
+    "q265_auc_ci"         -> (qualityAucCi _),
+    "q266_cosine_tf"      -> (cosineNearDup _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7777,6 +7793,33 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
          |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
          |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q266: BRUTE-FORCE all-pairs cosine on the same quantized grid —
+    // a match proves the AllPairs prefix filter complete
+    "q266_cosine_tf" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '),
+         |    x -> length(x) > 0) AS t
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+         |      THEN list_transform(generate_series(1, len(t) - 2),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS w
+         |    FROM ws) GROUP BY 1, 2),
+         |nr AS (SELECT doc_id,
+         |    sqrt(SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE))) AS nrm
+         |  FROM tk GROUP BY 1),
+         |u AS (SELECT tk.doc_id, tk.w,
+         |    CAST(round(CAST(c AS DOUBLE) * 1e6 / nrm) AS BIGINT) AS u
+         |  FROM tk JOIN nr USING (doc_id)),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    SUM(CAST(a.u AS HUGEINT) * b.u) AS sim
+         |  FROM u a JOIN u b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, ROUND(CAST(sim AS DOUBLE) / 1e12, 6) AS cos
+         |FROM p WHERE sim >= 800000000000""".stripMargin,
     // q264: the q203 replay + lambda and the 100-term pico-quantized
     // Kolmogorov series (order-free integer sum)
     "q264_ks_p" ->

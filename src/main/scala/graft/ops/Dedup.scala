@@ -582,6 +582,102 @@ object Dedup {
       .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
   }
 
+  /** WEIGHTED-COSINE similarity self-join with AllPairs prefix
+    * filtering (Bayardo, Ma & Srikant, WWW 2007 "Scaling Up All Pairs
+    * Similarity Search") — the TF-vector companion of
+    * [[prefixJaccardJoin]]'s set filter: exact cosine ≥ τ pairs over
+    * L2-normalized token-count vectors WITHOUT the all-pairs cross
+    * product. Captures graded near-duplication (same words, shifted
+    * emphasis) that set Jaccard flattens to membership.
+    *
+    * Per document, tokens sort by ascending global document frequency
+    * (rarest first, token tie-break); a position stays in the PREFIX
+    * while the integer Cauchy–Schwarz bound says its tail could still
+    * reach τ against ANY document: tail₂(i)·max‖u‖² ≥ (τ·10¹²)², all
+    * exact DECIMAL — so frequent tokens never generate candidates and
+    * the filter is provably complete ON THE QUANTIZED VECTORS (the
+    * same grid the verify and the oracle use — no float gap for a
+    * pair to slip through). Candidates = prefix-token equi-join;
+    * verification = exact integer dot product. Output:
+    * (a_id, b_id, cos) for every pair with Σu_au_b ≥ τ·10¹² — the
+    * oracle computes the BRUTE-FORCE all-pairs join, so an oracle
+    * match proves filter completeness end to end.
+    *
+    * Determinism: unit components micro-quantize to longs; document
+    * frequency / tail sums / the dot product are exact integers;
+    * cos rounds once at 6 dp (quantization can overshoot 1 by ~1e-6
+    * on identical docs, reported honestly). Empty documents carry no
+    * features and emit no pairs.
+    *
+    * Scale: one shuffle for DF counts, one per-doc window, the
+    * candidate equi-join on RARE tokens only, a verify join linear in
+    * |candidates|·tokens-per-doc — the q31 all-pairs shape never
+    * appears. */
+  def cosineTfJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8d, w: Int = 1): DataFrame = {
+    require(threshold > 0.0d && threshold < 1.0d,
+      s"need 0 < threshold < 1, got $threshold")
+    require(w >= 1 && w <= 10, s"need 1 <= w <= 10, got $w")
+    val dec = "decimal(38,0)"
+    val tm = math.round(threshold * 1e12d)
+    // features = w-shingles WITH multiplicity (w = 1: plain tokens).
+    // On template-heavy corpora the unigram vocabulary is tiny and
+    // nearly every pair shares rare tokens, so real pipelines shingle
+    // first — the feature space explodes and only genuine near-dups
+    // collide.
+    val tok = df.select(col(idCol).as("_id"),
+        filter(split(normText(col(textCol)), " "),
+          t => length(t) > 0).as("_ws"))
+      .select(col("_id"), explode(expr(
+        s"CASE WHEN size(_ws) >= $w THEN " +
+          s"transform(sequence(1, size(_ws) - ${w - 1}), " +
+          s"i -> concat_ws(' ', slice(_ws, i, $w))) " +
+          "ELSE array() END")).as("_w"))
+      .groupBy(col("_id"), col("_w")).agg(count(lit(1)).as("_c"))
+    val feats = tok
+      .withColumn("_nrm", sqrt(sum(col("_c").cast("double") *
+        col("_c").cast("double")).over(Window.partitionBy(col("_id")))))
+      .withColumn("_u", round(col("_c").cast("double") * 1e6d / col("_nrm"))
+        .cast("long"))
+      .select(col("_id"), col("_w"), col("_u"))
+      .localCheckpoint(true) // reused: df counts, prefix, verify
+    val norm2 = feats.groupBy(col("_id"))
+      .agg(sum(col("_u") * col("_u")).as("_n2"))
+    val mx = norm2.agg(max(col("_n2")).as("_mx"))
+    val dfreq = feats.groupBy(col("_w")).agg(count(lit(1)).as("_df"))
+    val wTail = Window.partitionBy(col("_id"))
+      .orderBy(col("_df").desc, col("_w").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pref = feats.join(dfreq, Seq("_w"))
+      .withColumn("_tail2", sum(col("_u") * col("_u")).over(wTail))
+      .crossJoin(broadcast(mx))
+      .filter(col("_tail2").cast(dec) * col("_mx") >=
+        lit(tm).cast(dec) * lit(tm))
+      .select(col("_id"), col("_w"), col("_tail2"))
+    // pairwise tail bound (the PPJoin positional filter in norm form):
+    // a qualifying pair's EARLIEST shared token u has
+    // sim ≤ √(tail2_a(u))·√(tail2_b(u)), so a join row failing
+    // tail2_a·tail2_b ≥ τ² can never be that witness — pairs sharing
+    // only mutually-late tokens are pruned BEFORE the distinct,
+    // which is where a hot-token corpus explodes
+    val cand = pref.as("a").join(pref.as("b"), Seq("_w"))
+      .filter(col("a._id") < col("b._id"))
+      .filter(col("a._tail2").cast(dec) * col("b._tail2") >=
+        lit(tm).cast(dec) * lit(tm))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+      .distinct()
+    cand
+      .join(feats.as("fa"), col("a_id") === col("fa._id"))
+      .join(feats.as("fb"),
+        col("b_id") === col("fb._id") && col("fa._w") === col("fb._w"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("fa._u").cast(dec) * col("fb._u")).as("_sim"))
+      .filter(col("_sim") >= lit(tm).cast(dec))
+      .select(col("a_id"), col("b_id"),
+        round(col("_sim").cast("double") / 1e12d, 6).as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** ASYMMETRIC containment pairs: containment(a→b) = |Sₐ∩S_b| / |Sₐ|
     * over w-shingle sets — the "document a is mostly a copy/quote of b"
     * signal that Jaccard misses when b is much longer (a 100-word quote

@@ -180,13 +180,29 @@ object Skew {
     * NULL key is a real (and typically the hottest) join key; it is
     * reported like any other under its string form 'NULL'. */
   def skewReport(df: DataFrame, key: String, partitions: Int,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10): DataFrame =
+    skewReportFromCounts(skewPartial(df, key), partitions, topK)
+
+  /** The keys-sized PARTIAL state of [[skewReport]] over a slice —
+    * per-key counts, additive across any batch boundaries, which is
+    * what makes the streaming monitor
+    * ([[graft.streaming.SkewMonitor]]) ≡ the batch report by
+    * construction. */
+  private[graft] def skewPartial(df: DataFrame, key: String): DataFrame =
+    df.select(coalesce(col(key).cast("string"), lit("NULL")).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+
+  /** [[skewReport]] over stacked (possibly per-batch partial) counts —
+    * the cross-batch merge first (a no-op on a final state), then the
+    * same totals and top-k cut. Output and determinism exactly as
+    * [[skewReport]]. */
+  private[graft] def skewReportFromCounts(partials: DataFrame,
+      partitions: Int, topK: Int): DataFrame = {
     require(partitions >= 1 && partitions <= 1000000,
       s"need 1 <= partitions <= 1e6, got $partitions")
     require(topK >= 1 && topK <= 1000, s"need 1 <= topK <= 1000, got $topK")
-    val counts = df
-      .select(coalesce(col(key).cast("string"), lit("NULL")).as("key"))
-      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val counts = partials
+      .groupBy(col("key")).agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint(true) // keys-sized, read twice (totals + top-k)
     val tot = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
       count(lit(1)).as("n_keys"))

@@ -346,4 +346,54 @@ class DedupSpec extends SparkSpecBase {
       Dedup.prefixJaccardJoin(docs, "doc_id", "text", tauNum = 6, tauDen = 5)
     }
   }
+
+  test("cosineTfJoin: hand-traced quantized cosines at two thresholds") {
+    // docs 1,2 identical (x y), doc 3 shares only x -> cos(1,3) = 0.5
+    // on the micro grid (707107^2 overshoots 1 by ~6e-7, reported)
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"))
+      .toDF("doc_id", "text")
+    val hi = Dedup.cosineTfJoin(df, "doc_id", "text", threshold = 0.8d)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hi == Seq((1L, 2L, 1.000001d)), hi.toString)
+    val lo = Dedup.cosineTfJoin(df, "doc_id", "text", threshold = 0.45d)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(lo == Seq((1L, 2L, 1.000001d), (1L, 3L, 0.5d),
+      (2L, 3L, 0.5d)), lo.toString)
+    intercept[IllegalArgumentException](
+      Dedup.cosineTfJoin(df, "doc_id", "text", threshold = 1.0d))
+  }
+
+  test("cosineTfJoin completeness: prefix filter equals brute force") {
+    import org.apache.spark.sql.functions._
+    // 24 docs over a 10-token vocabulary with repeated + shifted
+    // emphasis — enough collisions that a broken prefix rule would
+    // visibly drop pairs
+    val vocab = "a b c d e f g h i j".split(" ")
+    val docs = (0 until 24).map { i =>
+      val words = (0 until 12).map(j => vocab((i * 7 + j * j + j) % 10))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.cosineTfJoin(docs, "doc_id", "text", threshold = 0.7d)
+      .as[(Long, Long, Double)].collect().toSet
+    // independent brute force on the same quantized grid
+    val tok = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val f = tok.withColumn("nrm", sqrt(sum(col("c").cast("double") *
+        col("c").cast("double")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")))))
+      .withColumn("u",
+        round(col("c").cast("double") * 1e6d / col("nrm")).cast("long"))
+    val brute = f.as("a").join(f.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.u").cast("decimal(38,0)") * col("b.u")).as("sim"))
+      .filter(col("sim") >= lit(700000000000L).cast("decimal(38,0)"))
+      .select(col("a_id"), col("b_id"),
+        round(col("sim").cast("double") / 1e12d, 6).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "degenerate test corpus — no brute pairs")
+    assert(got == brute,
+      s"filter dropped ${brute -- got} / invented ${got -- brute}")
+  }
 }
