@@ -1234,6 +1234,48 @@ object PipelineQueries {
       threshold = 0.8d, w = 3)
   }
 
+  /** q267: COCHRAN–ARMITAGE length trend of the Gopher gate
+    * ([[graft.ops.ClassifierEval.cochranArmitage]]) — does the keep
+    * rate TREND across fixed-width length buckets
+    * (min(n_chars∕500, 9)), not merely differ somewhere as q211's χ²
+    * asks with more degrees of freedom? A strong trend says the gate
+    * is partly a length re-measurement — the exact confound q268 then
+    * quantifies. Oracle replays labels, buckets and the cleared-
+    * denominator A∕B integers. */
+  def gopherLengthTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+      .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .select(least(expr("n_chars div 500"), lit(9L)).as("bucket"),
+        $"keep")
+    graft.ops.ClassifierEval.cochranArmitage(lab, "bucket", "keep")
+  }
+
+  /** q268: PARTIAL CORRELATION score ↔ keep ∣ length
+    * ([[graft.ops.ClassifierEval.partialCorrelation]]) — does the
+    * q124 classifier correlate with the Gopher gate BEYOND what raw
+    * document length explains? The confound check before anyone
+    * claims the model adds signal over a length heuristic: one
+    * corpus aggregate, nine exact DECIMAL moments, the first-order
+    * partial. Oracle replays the classifier, labels and every
+    * moment. */
+  def scoreKeepPartial(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val frame = conf
+      .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select($"doc_id", $"keep"), Seq("doc_id"))
+      .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+    graft.ops.ClassifierEval.partialCorrelation(frame, "conf", "keep",
+      "n_chars")
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3341,7 +3383,9 @@ object PipelineQueries {
     "q263_importance_weights" -> (sourceImportanceWeights _),
     "q264_ks_p"           -> (ksDriftTest _),
     "q265_auc_ci"         -> (qualityAucCi _),
-    "q266_cosine_tf"      -> (cosineNearDup _))
+    "q266_cosine_tf"      -> (cosineNearDup _),
+    "q267_ca_trend"       -> (gopherLengthTrend _),
+    "q268_partial_corr"   -> (scoreKeepPartial _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7793,6 +7837,86 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
          |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
          |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q267: gopher labels + fixed-width buckets, exact A/B integers,
+    // fixed-order t/var/z ratios
+    "q267_ca_trend" ->
+      s"""WITH $gopherLabCtes,
+         |f AS (
+         |  SELECT LEAST(d.n_chars // 500, 9) AS w, l.keep AS y
+         |  FROM lab l JOIN documents d USING (doc_id)),
+         |g AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS r
+         |  FROM f GROUP BY 1),
+         |ag AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS r,
+         |    CAST(COUNT(*) AS BIGINT) AS k_buckets,
+         |    SUM(CAST(w AS HUGEINT) * r) AS swr,
+         |    SUM(CAST(w AS HUGEINT) * n) AS swn,
+         |    SUM(CAST(w AS HUGEINT) * w * n) AS swwn
+         |  FROM g),
+         |ab AS (
+         |  SELECT *,
+         |    CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn AS a,
+         |    CAST(r AS HUGEINT) * (n - r) *
+         |      (CAST(n AS HUGEINT) * swwn - swn * swn) AS b
+         |  FROM ag)
+         |SELECT n, r, k_buckets,
+         |  ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6) AS t_stat,
+         |  ROUND(CAST(b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+         |    CAST(n AS DOUBLE)), 6) AS var_t,
+         |  CASE WHEN b > 0 THEN
+         |    ROUND((CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |      sqrt(CAST(b AS DOUBLE) / (CAST(n AS DOUBLE) *
+         |        CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         |    ELSE NULL END AS z
+         |FROM ab""".stripMargin,
+    // q268: classifier + gopher replays, micro grids for all three
+    // variables, nine HUGEINT moments, the first-order partial
+    "q268_partial_corr" ->
+      s"""WITH $classifierPredCtes,
+         |$gopherLabCtes,
+         |fr AS (
+         |  SELECT CAST(round(p.conf * 1e6) AS BIGINT) AS x,
+         |    CAST(round(CAST(l.keep AS DOUBLE) * 1e6) AS BIGINT) AS y,
+         |    CAST(round(CAST(d.n_chars AS DOUBLE) * 1e6) AS BIGINT) AS z
+         |  FROM pred p JOIN lab l USING (doc_id)
+         |  JOIN documents d USING (doc_id)),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |    SUM(CAST(z AS HUGEINT)) AS sz,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |    SUM(CAST(z AS HUGEINT) * z) AS szz,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * z) AS sxz,
+         |    SUM(CAST(y AS HUGEINT) * z) AS syz
+         |  FROM fr),
+         |rr AS (
+         |  SELECT n,
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+         |      CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) *
+         |      CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+         |      CAST(sy AS DOUBLE))) AS rxy,
+         |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) *
+         |      CAST(sz AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) *
+         |      CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |      (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) *
+         |      CAST(sz AS DOUBLE))) AS rxz,
+         |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) *
+         |      CAST(sz AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) *
+         |      CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) *
+         |      (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) *
+         |      CAST(sz AS DOUBLE))) AS ryz
+         |  FROM m)
+         |SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+         |  ROUND(ryz, 6) AS r_yz,
+         |  CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0
+         |    THEN ROUND((rxy - rxz * ryz) /
+         |      sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         |    ELSE NULL END AS r_partial
+         |FROM rr""".stripMargin,
     // q266: BRUTE-FORCE all-pairs cosine on the same quantized grid —
     // a match proves the AllPairs prefix filter complete
     "q266_cosine_tf" ->

@@ -1522,4 +1522,121 @@ object ClassifierEval {
           (within / (d("n") - d("k_groups"))), 6))
         .otherwise(lit(null).cast("double")).as("f"))
   }
+
+  /** COCHRAN–ARMITAGE trend test — does a binary gate's pass rate
+    * TREND across ordered buckets (length deciles, date cohorts,
+    * quality tiers), not merely differ somewhere ([[chiSquare]]
+    * answers that weaker question with more degrees of freedom)?
+    * Scores are the bucket values themselves (documented — equally
+    * spaced buckets give the classical linear scores). The
+    * no-continuity-correction z with Var(T) = p(1−p)(Σnw² − (Σnw)²∕N)
+    * — ONE formula, documented, so both engines agree. One row:
+    * (n, r, k_buckets, t_stat, var_t, z).
+    *
+    * Determinism: T and Var clear denominators to the exact DECIMAL
+    * integers A = N·Σwr − R·Σwn and B = R(N−R)(N·Σnw² − (Σnw)²);
+    * t_stat = A∕N, var_t = B∕N³ and z = (A∕N)∕√(B∕N³) are fixed-order
+    * double ratios, 6 dp. B = 0 (one bucket, or p ∈ {0, 1}) → NULL z,
+    * documented. NULL buckets/labels and off-domain labels fail
+    * typed.
+    *
+    * Plan: ONE map-side-combined groupBy to the buckets-sized grid,
+    * one grid aggregate, 1-row arithmetic. */
+  def cochranArmitage(df: DataFrame, bucketCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bad = df.filter(col(bucketCol).isNull || col(labelCol).isNull ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
+    require(bad == 0L, "cochranArmitage needs non-NULL buckets and " +
+      s"0/1 labels in '$bucketCol'/'$labelCol'")
+    val g = df.select(col(bucketCol).cast("long").as("_w"),
+        col(labelCol).cast("long").as("_y"))
+      .groupBy(col("_w"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_r"))
+    val agg = g.agg(
+      sum(col("_n")).as("n"), sum(col("_r")).as("r"),
+      count(lit(1)).as("k_buckets"),
+      sum(col("_w").cast(dec) * col("_r")).as("_swr"),
+      sum(col("_w").cast(dec) * col("_n")).as("_swn"),
+      sum(col("_w").cast(dec) * col("_w") * col("_n")).as("_swwn"))
+    def d(c: Column) = c.cast("double")
+    val a = col("n").cast(dec) * col("_swr") - col("r").cast(dec) * col("_swn")
+    val b = col("r").cast(dec) * (col("n") - col("r")) *
+      (col("n").cast(dec) * col("_swwn") - col("_swn") * col("_swn"))
+    val nd = d(col("n"))
+    agg.withColumn("_a", a).withColumn("_b", b)
+      .select(col("n"), col("r"), col("k_buckets"),
+        round(d(col("_a")) / nd, 6).as("t_stat"),
+        round(d(col("_b")) / (nd * nd * nd), 6).as("var_t"),
+        when(col("_b") > 0L,
+          round((d(col("_a")) / nd) /
+            sqrt(d(col("_b")) / (nd * nd * nd)), 6))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** PARTIAL CORRELATION r(x, y ∣ z) — the confounder-controlled
+    * association the raw Pearson can't give: "is the classifier score
+    * related to the gate label BEYOND what document length explains?"
+    * Computed from the three pairwise Pearsons via
+    * (r_xy − r_xz·r_yz) ∕ √((1−r_xz²)(1−r_yz²)) — the first-order
+    * partial, the workhorse confound check before anyone claims a
+    * quality model adds signal over a length heuristic. One row:
+    * (n, r_xy, r_xz, r_yz, r_partial).
+    *
+    * Determinism: all three variables micro-quantize to integer
+    * grids; every moment is an exact DECIMAL sum from ONE corpus
+    * aggregate; each Pearson and the partial are fixed-order double
+    * expressions on those integers, 6 dp. A zero-variance variable
+    * fails typed (no correlation is defined); |r_xz| = 1 or
+    * |r_yz| = 1 (z collinear with a margin) reports NULL r_partial,
+    * documented.
+    *
+    * Plan: ONE map-side-combined corpus aggregate (9 DECIMAL sums),
+    * 1-row arithmetic. */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bad = df.filter(col(xCol).isNull || col(yCol).isNull ||
+      col(zCol).isNull).limit(1).count()
+    require(bad == 0L,
+      s"partialCorrelation needs non-NULL '$xCol'/'$yCol'/'$zCol'")
+    def m(c: String) = round(col(c).cast("double") * 1e6d).cast("long")
+    val agg = df.select(m(xCol).as("_x"), m(yCol).as("_y"), m(zCol).as("_z"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum(col("_z").cast(dec)).as("_sz"),
+        sum(col("_x").cast(dec) * col("_x")).as("_sxx"),
+        sum(col("_y").cast(dec) * col("_y")).as("_syy"),
+        sum(col("_z").cast(dec) * col("_z")).as("_szz"),
+        sum(col("_x").cast(dec) * col("_y")).as("_sxy"),
+        sum(col("_x").cast(dec) * col("_z")).as("_sxz"),
+        sum(col("_y").cast(dec) * col("_z")).as("_syz"))
+      .localCheckpoint(true) // 1 row, read twice (guard + output)
+    def d(c: String) = col(c).cast("double")
+    def cov(sab: String, sa: String, sb: String) =
+      d("n") * d(sab) - d(sa) * d(sb)
+    def varOf(saa: String, sa: String) = d("n") * d(saa) - d(sa) * d(sa)
+    require(agg.filter(col("n") >= 2L).limit(1).count() == 1L,
+      "partialCorrelation needs >= 2 rows")
+    val zeroVar = agg.filter(
+      varOf("_sxx", "_sx") === 0.0d || varOf("_syy", "_sy") === 0.0d ||
+        varOf("_szz", "_sz") === 0.0d).limit(1).count()
+    require(zeroVar == 0L, "partialCorrelation: a zero-variance " +
+      "variable has no defined correlation — drop or fix it first")
+    val rxy = cov("_sxy", "_sx", "_sy") /
+      sqrt(varOf("_sxx", "_sx") * varOf("_syy", "_sy"))
+    val rxz = cov("_sxz", "_sx", "_sz") /
+      sqrt(varOf("_sxx", "_sx") * varOf("_szz", "_sz"))
+    val ryz = cov("_syz", "_sy", "_sz") /
+      sqrt(varOf("_syy", "_sy") * varOf("_szz", "_sz"))
+    val den = (lit(1.0d) - rxz * rxz) * (lit(1.0d) - ryz * ryz)
+    agg.select(col("n"),
+      round(rxy, 6).as("r_xy"),
+      round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      when(den > 0.0d,
+        round((rxy - rxz * ryz) / sqrt(den), 6))
+        .otherwise(lit(null).cast("double")).as("r_partial"))
+  }
 }

@@ -588,6 +588,51 @@ class ClassifierEvalSpec extends SparkSpecBase {
       ok.toDF("arm", "y"), "arm", "y", zAlpha = 0.0d))
   }
 
+  test("cochranArmitage: perfect trend z = 2, flat NULL, typed guards") {
+    // buckets 0,1,2 with n = 2 each, keeps 0,1,2: A = 12, B = 216
+    // -> t = 2, var = 1, z = 2 exactly
+    val df = Seq((0L, 0L), (0L, 0L), (1L, 0L), (1L, 1L), (2L, 1L),
+      (2L, 1L)).toDF("b", "y")
+    val got = ClassifierEval.cochranArmitage(df, "b", "y")
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq((6L, 3L, 3L, 2.0d, 1.0d, Some(2.0d))), got.toString)
+    // all-pass labels: p(1-p) = 0 -> NULL z (t_stat = 0 too)
+    val flat = ClassifierEval.cochranArmitage(
+      Seq((0L, 1L), (1L, 1L)).toDF("b", "y"), "b", "y")
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(flat == Seq((2L, 2L, 2L, 0.0d, 0.0d, None)), flat.toString)
+    intercept[IllegalArgumentException](ClassifierEval.cochranArmitage(
+      Seq((0L, 2L)).toDF("b", "y"), "b", "y"))
+    intercept[IllegalArgumentException](ClassifierEval.cochranArmitage(
+      Seq((Option.empty[Long], Some(1L))).toDF("b", "y"), "b", "y"))
+  }
+
+  test("partialCorrelation: hand-traced first-order partial, guards") {
+    // x = 1..4, z = 1,1,2,2, y = 0,1,1,3:
+    // r_xy = 0.923381, r_xz = 0.894427, r_yz = 0.688247 ->
+    // r_partial = 0.948683
+    val df = Seq((1.0d, 0.0d, 1.0d), (2.0d, 1.0d, 1.0d),
+      (3.0d, 1.0d, 2.0d), (4.0d, 3.0d, 2.0d)).toDF("x", "y", "z")
+    val got = ClassifierEval.partialCorrelation(df, "x", "y", "z")
+      .as[(Long, Double, Double, Double, Option[Double])].collect().toSeq
+    assert(got == Seq((4L, 0.923381d, 0.894427d, 0.688247d,
+      Some(0.948683d))), got.toString)
+    // z == x: |r_xz| = 1 -> NULL partial, documented
+    val coll = ClassifierEval.partialCorrelation(
+      Seq((1.0d, 0.0d, 1.0d), (2.0d, 1.0d, 2.0d), (3.0d, 1.0d, 3.0d))
+        .toDF("x", "y", "z"), "x", "y", "z")
+      .as[(Long, Double, Double, Double, Option[Double])].collect().toSeq
+    assert(coll.head._5.isEmpty && coll.head._3 == 1.0d, coll.toString)
+    intercept[IllegalArgumentException](ClassifierEval.partialCorrelation(
+      Seq((1.0d, 1.0d, 1.0d), (1.0d, 2.0d, 2.0d)).toDF("x", "y", "z"),
+      "x", "y", "z")) // zero-variance x
+    intercept[IllegalArgumentException](ClassifierEval.partialCorrelation(
+      Seq((Option.empty[Double], Some(1.0d), Some(1.0d)))
+        .toDF("x", "y", "z"), "x", "y", "z"))
+  }
+
   test("ksTest: hand-traced Kolmogorov p at lambda = 1, D = 0 reports 1") {
     // A {0.1, 0.2}, B {0.3, 0.4}: D = 1 at 0.2; ne = 1 -> lambda = 1
     // p = 2(e^-2 - e^-8 + e^-18 - ...) = 0.27 on the pico grid
