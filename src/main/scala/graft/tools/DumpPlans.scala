@@ -64,7 +64,10 @@ object DumpPlans {
     "q225_contamination_runs" -> "contamination runs: codegen positional n-gram kernel + broadcast eval-gram semi join — corpus text never shuffles; the window runs over HIT positions only",
     "q227_textrank" -> "TextRank: corpus bigram explode collapses to the vocabulary-edge graph via DISTINCT before any PageRank round touches it",
     "q229_gate_plan" -> "gate planner: ONE map-only pass to a single row of conditional aggregates — the corpus is never shuffled at all",
-    "q234_bpe_persisted" -> "persisted tokenizer serving: merge table read from the manifest, vocab-sized fold + hotColdJoin word lookup — training appears nowhere in the plan")
+    "q234_bpe_persisted" -> "persisted tokenizer serving: merge table read from the manifest, vocab-sized fold + hotColdJoin word lookup — training appears nowhere in the plan",
+    "q252_isotropy" -> "isotropy canary: corpus posexplode collapses to a dims-sized grid (map-side combined) before the two quadratic forms — the all-pairs cosine with no pair join",
+    "q262_skew_report" -> "skew report: ONE map-side-combined key count + top-k TakeOrderedAndProject — the report costs a scan, never a sort",
+    "q266_cosine_tf" -> "AllPairs cosine: prefix-token equi-join gated by two integer Cauchy-Schwarz bounds, then a candidate-linear verify join — the brute-force cross product appears nowhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
