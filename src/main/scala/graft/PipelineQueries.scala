@@ -1276,6 +1276,19 @@ object PipelineQueries {
       "n_chars")
   }
 
+  /** q270: FLESCH readability profile per source
+    * ([[graft.ops.TextAnalysis.readability]]) — the classic
+    * reading-ease gate feature beside q127's structural Gopher rules:
+    * vowel-group syllables, [.!?]+ sentences, all counts exact
+    * integers from codegen HOFs. A source whose ease collapses went
+    * jargon or boilerplate — style drift the structural gate passes.
+    * Oracle replays tokens, sentence splits, the syllable clamp and
+    * the fixed-order formula. */
+  def sourceReadability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.readability(Tables.documents(s, dir), "source", "text")
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3385,7 +3398,8 @@ object PipelineQueries {
     "q265_auc_ci"         -> (qualityAucCi _),
     "q266_cosine_tf"      -> (cosineNearDup _),
     "q267_ca_trend"       -> (gopherLengthTrend _),
-    "q268_partial_corr"   -> (scoreKeepPartial _))
+    "q268_partial_corr"   -> (scoreKeepPartial _),
+    "q270_readability"    -> (sourceReadability _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7837,6 +7851,42 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
          |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
          |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q270: clean tokens, [.!?]+ sentence splits, vowel-group syllable
+    // clamp, exact integer counts, fixed-order Flesch
+    "q270_readability" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    list_filter(string_split($norm, ' '), x -> length(x) > 0) AS ws,
+         |    $norm AS nt
+         |  FROM documents),
+         |f AS (SELECT source, ws, string_split_regex(nt, '[.!?]+') AS sents
+         |  FROM t WHERE len(ws) > 0),
+         |per AS (
+         |  SELECT source, CAST(len(ws) AS BIGINT) AS w,
+         |    CAST(GREATEST(1, len(list_filter(sents,
+         |      x -> length(trim(x)) > 0))) AS BIGINT) AS s,
+         |    CAST(list_sum(list_transform(ws,
+         |      x -> GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+         |      AS BIGINT) AS y
+         |  FROM f),
+         |ag AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(w) AS BIGINT) AS n_words,
+         |    CAST(SUM(s) AS BIGINT) AS n_sentences,
+         |    CAST(SUM(y) AS BIGINT) AS n_syllables
+         |  FROM per GROUP BY 1)
+         |SELECT source AS "group", n_docs, n_words, n_sentences, n_syllables,
+         |  ROUND(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)
+         |    AS words_per_sentence,
+         |  ROUND(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    AS syllables_per_word,
+         |  ROUND(CAST(206.835 AS DOUBLE) -
+         |    CAST(1.015 AS DOUBLE) *
+         |      (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+         |    CAST(84.6 AS DOUBLE) *
+         |      (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+         |    AS flesch
+         |FROM ag""".stripMargin,
     // q267: gopher labels + fixed-width buckets, exact A/B integers,
     // fixed-order t/var/z ratios
     "q267_ca_trend" ->

@@ -1020,6 +1020,23 @@ object RelationalQueries {
       partitions = 32, topK = 10)
   }
 
+  /** q269: SPRT error-rate trajectory
+    * ([[graft.ops.ChangeDetect.sprt]]) — Wald's sequential test on
+    * the hourly error stream: is the error rate p₁ = 0.25 rather than
+    * the in-control p₀ = 0.15, decided AS the hours arrive instead of
+    * at a fixed horizon (the q154/q250 designs)? Integer nano-LLR,
+    * integer boundary compares, first-crossing column. Oracle replays
+    * the grid, all four log constants and every compare. */
+  def hourlyErrorSprt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.sprt(
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp($"ts") / 3600).cast("long")
+          .as("hour_idx"),
+          when($"event_type" === "error", 1L).otherwise(0L).as("is_err")),
+      "hour_idx", "is_err", p0 = 0.15d, p1 = 0.25d)
+  }
+
   /** Robust (median/MAD) outlier stats — the heavy-tail-safe complement
     * of q106's z-score: per return flag, the EXACT lower median of the
     * price (order statistic at rank ⌈n/2⌉ — integer arithmetic, no
@@ -1379,7 +1396,8 @@ object RelationalQueries {
     "q251_survival"        -> (userSurvival _),
     "q255_mann_kendall"    -> (hourlyMannKendall _),
     "q261_segmented_trend" -> (hourlySegmentedTrend _),
-    "q262_skew_report"     -> (eventKeySkew _))
+    "q262_skew_report"     -> (eventKeySkew _),
+    "q269_sprt"            -> (hourlyErrorSprt _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -2571,6 +2589,43 @@ object RelationalQueries {
         |    THEN ROUND((numq / denq - nump / denp) / 1e6, 6)
         |    ELSE NULL END AS slope_change
         |FROM fits, tot, brk""".stripMargin,
+    // q269: hourly error grid, the four nano log constants, integer
+    // LLR and boundary compares, first-crossing window
+    "q269_sprt" ->
+      """WITH e AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(y) AS BIGINT) AS n_success
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT *,
+        |    CAST(SUM(n_obs) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n,
+        |    CAST(SUM(n_success) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_success
+        |  FROM g),
+        |k AS (SELECT
+        |    CAST(round(ln(0.25/0.15) * 1e9) AS BIGINT) AS lls,
+        |    CAST(round(ln((1.0 - 0.25)/(1.0 - 0.15)) * 1e9) AS BIGINT) AS llf,
+        |    CAST(round(ln((1.0 - 0.05)/0.05) * 1e9) AS BIGINT) AS la,
+        |    CAST(round(ln(0.05/(1.0 - 0.05)) * 1e9) AS BIGINT) AS lb),
+        |d AS (SELECT c.*, cum_success * lls + (cum_n - cum_success) * llf
+        |    AS llr9, la, lb
+        |  FROM c, k),
+        |d2 AS (SELECT *, CASE WHEN llr9 >= la THEN 'accept_h1'
+        |    WHEN llr9 <= lb THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |  FROM d)
+        |SELECT bucket, n_obs, n_success, cum_n, cum_success,
+        |  ROUND(CAST(llr9 AS DOUBLE) / 1e9, 6) AS llr, decision,
+        |  MIN(CASE WHEN decision <> 'continue' THEN bucket END)
+        |    OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stop_bucket
+        |FROM d2 ORDER BY bucket""".stripMargin,
     // q262: per-key exact counts, fixed-order shares, the exact
     // integer salt ceiling (cnt*P + N - 1) // N
     "q262_skew_report" ->

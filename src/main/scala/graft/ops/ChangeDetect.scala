@@ -534,6 +534,68 @@ object ChangeDetect {
         .otherwise(lit(0.0d)).as("z"))
   }
 
+  /** WALD'S SPRT trajectory over a bucketed binary stream — the
+    * sequential test that lets a gate rollout STOP as soon as the
+    * evidence is in, instead of waiting for a fixed-horizon q154/q250
+    * readout: per bucket, the cumulative log-likelihood ratio
+    * LLR_t = s_t·ln(p₁∕p₀) + f_t·ln((1−p₁)∕(1−p₀)) against the
+    * boundaries ln((1−β)∕α) (accept H₁: rate is p₁) and ln(β∕(1−α))
+    * (accept H₀). One row per bucket: (bucket, n_obs, n_success,
+    * cum_n, cum_success, llr, decision, stop_bucket) — stop_bucket is
+    * the FIRST boundary crossing (NULL while the test is still
+    * running), and rows after it keep reporting the trajectory so a
+    * monitor can show the overshoot.
+    *
+    * Determinism: per-success/failure log increments nano-quantize
+    * ONCE (the engine-parity ln device of the LM family), so every
+    * LLR is an exact integer sum and every boundary compare is an
+    * integer compare — bit-replayable. NULL buckets/outcomes and
+    * off-domain outcomes fail typed; p₀ ≥ p₁ or α, β outside (0, ½)
+    * fail typed.
+    *
+    * Plan: one map-side-combined groupBy to the buckets-sized grid,
+    * two bounded-grid windows (cumulatives + first crossing), one
+    * projection. */
+  def sprt(df: DataFrame, bucketCol: String, successCol: String,
+      p0: Double, p1: Double, alpha: Double = 0.05d,
+      beta: Double = 0.05d): DataFrame = {
+    require(p0 > 0.0d && p1 > p0 && p1 < 1.0d,
+      s"need 0 < p0 < p1 < 1, got $p0/$p1")
+    require(alpha > 0.0d && alpha < 0.5d && beta > 0.0d && beta < 0.5d,
+      s"need alpha, beta in (0, 0.5), got $alpha/$beta")
+    val bad = df.filter(col(bucketCol).isNull || col(successCol).isNull ||
+      (col(successCol) =!= 0L && col(successCol) =!= 1L)).limit(1).count()
+    require(bad == 0L, s"sprt needs non-NULL '$bucketCol' buckets and " +
+      s"0/1 outcomes in '$successCol'")
+    val g = df.select(col(bucketCol).cast("long").as("bucket"),
+        col(successCol).cast("long").as("_y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("_y")).as("n_success"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lls = round(log(lit(p1 / p0)) * 1e9d).cast("long")
+    val llf = round(log(lit((1.0d - p1) / (1.0d - p0))) * 1e9d).cast("long")
+    val lnA = round(log(lit((1.0d - beta) / alpha)) * 1e9d).cast("long")
+    val lnB = round(log(lit(beta / (1.0d - alpha))) * 1e9d).cast("long")
+    val cum = g
+      .withColumn("cum_n", sum(col("n_obs")).over(w))
+      .withColumn("cum_success", sum(col("n_success")).over(w))
+      .withColumn("_llr", col("cum_success") * lls +
+        (col("cum_n") - col("cum_success")) * llf)
+      .withColumn("decision",
+        when(col("_llr") >= lnA, "accept_h1")
+          .when(col("_llr") <= lnB, "accept_h0")
+          .otherwise("continue"))
+    cum
+      .withColumn("stop_bucket",
+        min(when(col("decision") =!= "continue", col("bucket"))).over(w))
+      .select(col("bucket"), col("n_obs"), col("n_success"),
+        col("cum_n"), col("cum_success"),
+        round(col("_llr").cast("double") / 1e9d, 6).as("llr"),
+        col("decision"), col("stop_bucket"))
+      .orderBy(col("bucket"))
+  }
+
   /** SEGMENTED (piecewise-linear) TREND around the change point — the
     * quantifying follow-up to [[changePoint]]'s WHERE: separate exact
     * OLS fits on the buckets before and after the detected break, so

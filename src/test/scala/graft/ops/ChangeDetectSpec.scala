@@ -272,6 +272,32 @@ class ChangeDetectSpec extends SparkSpecBase {
     assert(g == Seq((3L, 3L, -3L, 3.666667d, -1.044466d)), g.toString)
   }
 
+  test("sprt: symmetric boundaries, hand-traced crossing at bucket 3") {
+    // p0=0.2, p1=0.8: lls = ln4, llf = -ln4; lnA = ln19 = 2.944439
+    // all-success stream crosses H1 at bucket 3 (3 ln4 = 4.158883)
+    val up = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("b", "y")
+    val got = ChangeDetect.sprt(up, "b", "y", p0 = 0.2d, p1 = 0.8d)
+      .as[(Long, Long, Long, Long, Long, Double, String, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 1L, 1L, 1.386294d, "continue", None),
+      (2L, 1L, 1L, 2L, 2L, 2.772589d, "continue", None),
+      (3L, 1L, 1L, 3L, 3L, 4.158883d, "accept_h1", Some(3L)),
+      (4L, 1L, 1L, 4L, 4L, 5.545177d, "accept_h1", Some(3L))),
+      got.toString)
+    // all-failure stream accepts H0 symmetrically
+    val dn = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("b", "y")
+    val h0 = ChangeDetect.sprt(dn, "b", "y", p0 = 0.2d, p1 = 0.8d)
+      .as[(Long, Long, Long, Long, Long, Double, String, Option[Long])]
+      .collect().toSeq
+    assert(h0.map(_._7) == Seq("continue", "continue", "accept_h0") &&
+      h0.last._8 == Some(3L), h0.toString)
+    intercept[IllegalArgumentException](
+      ChangeDetect.sprt(up, "b", "y", p0 = 0.8d, p1 = 0.2d))
+    intercept[IllegalArgumentException](
+      ChangeDetect.sprt(Seq((1L, 2L)).toDF("b", "y"), "b", "y", 0.2d, 0.8d))
+  }
+
   test("segmentedTrend: hand-traced piecewise fits around the split") {
     // 0,1 | 20,23: split lands after bucket 1 (same argmax as
     // changePoint); pre fits y=x, post fits y=3x+14 -> change 2

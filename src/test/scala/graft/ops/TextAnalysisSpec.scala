@@ -940,6 +940,20 @@ class TextAnalysisSpec extends SparkSpecBase {
       "doc_id", "text", "y"))
   }
 
+  test("readability: hand-traced Flesch, no-vowel clamp, empty doc dropped") {
+    // doc1: 5 words / 2 sentences / 5 syllables; doc2: 2 words /
+    // 1 sentence / 2 syllables (vowel-less words clamp to 1)
+    val df = Seq(("A", "The cat sat. It ran!"), ("A", "xyz 7"),
+      ("A", "   ")).toDF("src", "text")
+    val got = TextAnalysis.readability(df, "src", "text")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // totals: 2 docs, 7 words, 3 sentences, 7 syllables ->
+    // flesch = 206.835 - 1.015*(7/3) - 84.6*1 = 119.866667
+    assert(got == Seq(("A", 2L, 7L, 3L, 7L, 2.333333d, 1.0d,
+      119.866667d)), got.toString)
+  }
+
   test("chao1Richness: hand-traced singleton/doubleton correction") {
     // A: tokens a a b c -> V=3, f1=2 (b,c), f2=1 (a)
     // chao1 = 3 + 2*1/(2*2) = 3.5; B: d d -> V=1, f1=0, f2=1 -> 1.0
