@@ -1289,6 +1289,34 @@ object PipelineQueries {
     TextAnalysis.readability(Tables.documents(s, dir), "source", "text")
   }
 
+  /** q271: per-LABEL isotropy
+    * ([[graft.ops.Spectral.isotropyByGroup]]) — q252's collapse
+    * canary sharded by the embedding label: a healthy global mean
+    * cosine can hide ONE label's cluster collapsing (poisoning its
+    * centroid (q25) and every k-NN label audit) while another
+    * spreads. Single-vector labels report NULL pairwise, honestly.
+    * Oracle replays the per-label grids and both quadratic forms. */
+  def labelIsotropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Spectral.isotropyByGroup(Tables.embeddings(s, dir),
+      "label", "embedding")
+  }
+
+  /** q272: WILSON keep-rate intervals per source
+    * ([[graft.ops.ClassifierEval.wilsonInterval]]) — the per-source
+    * Gopher keep-rate table with error bars that never leave [0, 1]
+    * and stay honest at extreme rates, where the Wald interval lies;
+    * the iid classic beside q231's cluster-robust jackknife. Oracle
+    * replays labels, counts and the fixed-order centre∕half-width. */
+  def sourceKeepWilson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val frame = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+    graft.ops.ClassifierEval.wilsonInterval(frame, "source", "keep")
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3399,7 +3427,9 @@ object PipelineQueries {
     "q266_cosine_tf"      -> (cosineNearDup _),
     "q267_ca_trend"       -> (gopherLengthTrend _),
     "q268_partial_corr"   -> (scoreKeepPartial _),
-    "q270_readability"    -> (sourceReadability _))
+    "q270_readability"    -> (sourceReadability _),
+    "q271_label_isotropy" -> (labelIsotropy _),
+    "q272_wilson"         -> (sourceKeepWilson _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7851,6 +7881,66 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
          |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
          |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q271: per-label norms, micro unit grids, per-(label, dim) sums,
+    // the quadratic-form identity per label, single-vector NULL
+    "q271_label_isotropy" ->
+      """WITH nrm AS (
+        |  SELECT label, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (acc, v) -> acc + v)) AS nv
+        |  FROM embeddings),
+        |uq AS (
+        |  SELECT label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) / nv * 1000000.0) AS BIGINT)) AS u
+        |  FROM nrm),
+        |ux AS (
+        |  SELECT label, unnest(list_transform(generate_series(1, len(u)),
+        |    i -> struct_pack(i := i, v := u[i]))) AS x
+        |  FROM uq),
+        |pd AS (
+        |  SELECT label, x['i'] - 1 AS dim,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    SUM(CAST(x['v'] AS HUGEINT)) AS s,
+        |    SUM(CAST(x['v'] AS HUGEINT) * x['v']) AS q
+        |  FROM ux GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT label, MAX(cnt) AS n, CAST(COUNT(*) AS BIGINT) AS dim,
+        |    SUM(s * s) AS ss, SUM(q) AS qq
+        |  FROM pd GROUP BY 1)
+        |SELECT label AS "group", n, dim,
+        |  ROUND(CAST(qq AS DOUBLE) / CAST(n AS DOUBLE) / 1e12, 6) AS mean_self,
+        |  CASE WHEN n >= 2 THEN
+        |    ROUND(CAST(ss - qq AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12, 6)
+        |    ELSE NULL END AS mean_pairwise_cos
+        |FROM tt ORDER BY "group"""".stripMargin,
+    // q272: gopher labels x source, exact counts, the fixed-order
+    // Wilson centre and half-width at the baked z literal
+    "q272_wilson" ->
+      s"""WITH $gopherLabCtes,
+         |f AS (SELECT d.source AS g, l.keep AS y
+         |  FROM lab l JOIN documents d USING (doc_id)),
+         |c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS r
+         |  FROM f GROUP BY 1),
+         |w AS (
+         |  SELECT g, n, r,
+         |    CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE) AS den
+         |  FROM c),
+         |w2 AS (
+         |  SELECT g, n, r, p,
+         |    (p + (1.959964 * 1.959964) / (CAST(n AS DOUBLE) * 2.0)) / den
+         |      AS center,
+         |    (1.959964 / den) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE) +
+         |      (1.959964 * 1.959964) /
+         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0)) AS half
+         |  FROM w)
+         |SELECT g AS "group", n, r, ROUND(p, 6) AS rate,
+         |  ROUND(center - half, 6) AS lo95,
+         |  ROUND(center + half, 6) AS hi95
+         |FROM w2 ORDER BY "group"""".stripMargin,
     // q270: clean tokens, [.!?]+ sentence splits, vowel-group syllable
     // clamp, exact integer counts, fixed-order Flesch
     "q270_readability" ->

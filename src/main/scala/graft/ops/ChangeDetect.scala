@@ -567,17 +567,42 @@ object ChangeDetect {
       (col(successCol) =!= 0L && col(successCol) =!= 1L)).limit(1).count()
     require(bad == 0L, s"sprt needs non-NULL '$bucketCol' buckets and " +
       s"0/1 outcomes in '$successCol'")
-    val g = df.select(col(bucketCol).cast("long").as("bucket"),
-        col(successCol).cast("long").as("_y"))
+    sprtFromPartials(partialGrid(df, bucketCol, successCol),
+      p0, p1, alpha, beta)
+  }
+
+  /** [[sprt]] over a (possibly partial-per-bucket) grid — the shared
+    * [[partialGrid]] state (a 0/1 stream's micro value sum is
+    * 10⁶·successes, recovered exactly), so the streaming monitor's
+    * ONE persisted grid also serves the sequential test. A grid whose
+    * value sums are not multiples of 10⁶ was not a 0/1 stream — typed
+    * failure, never a silent fractional success count. */
+  private[graft] def sprtFromPartials(partials: DataFrame,
+      p0: Double, p1: Double, alpha: Double, beta: Double): DataFrame = {
+    require(p0 > 0.0d && p1 > p0 && p1 < 1.0d,
+      s"need 0 < p0 < p1 < 1, got $p0/$p1")
+    require(alpha > 0.0d && alpha < 0.5d && beta > 0.0d && beta < 0.5d,
+      s"need alpha, beta in (0, 0.5), got $alpha/$beta")
+    val g = partials
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_obs"), sum(col("_y")).as("n_success"))
+      .agg(sum(col("n")).as("n_obs"),
+        sum(col("_sm").cast("decimal(38,0)")).as("_sm"))
+      .withColumn("bucket", col("bucket").cast("long"))
+      .localCheckpoint(true) // grid-sized, read twice (guard + run)
+    val frac = g.filter(expr("_sm % 1000000 != 0") ||
+      col("_sm") < 0 || expr("_sm div 1000000") > col("n_obs"))
+      .limit(1).count()
+    require(frac == 0L,
+      "sprt: the monitored values are not a 0/1 stream — per-bucket " +
+        "success mass is fractional or out of range")
+    val g2 = g.withColumn("n_success", expr("cast(_sm div 1000000 as long)"))
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val lls = round(log(lit(p1 / p0)) * 1e9d).cast("long")
     val llf = round(log(lit((1.0d - p1) / (1.0d - p0))) * 1e9d).cast("long")
     val lnA = round(log(lit((1.0d - beta) / alpha)) * 1e9d).cast("long")
     val lnB = round(log(lit(beta / (1.0d - alpha))) * 1e9d).cast("long")
-    val cum = g
+    val cum = g2
       .withColumn("cum_n", sum(col("n_obs")).over(w))
       .withColumn("cum_success", sum(col("n_success")).over(w))
       .withColumn("_llr", col("cum_success") * lls +

@@ -1574,6 +1574,46 @@ object ClassifierEval {
           .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** WILSON score interval per group — the per-proportion error bar
+    * the keep-rate tables need: unlike the Wald ±z√(p(1−p)∕n)
+    * interval it never leaves [0, 1], stays honest at p near 0∕1 and
+    * small n (exactly where curation gate rates live), and needs no
+    * resampling ([[graft.ops.Sampling.jackknifeRate]] is the
+    * cluster-robust cousin; Wilson is the iid per-group classic).
+    * One row per group: (group, n, r, rate, lo95, hi95).
+    *
+    * Determinism: counts exact integers from ONE groupBy; the
+    * centre/half-width are fixed-order double expressions with the
+    * z quantile a baked literal, 6 dp. NULL groups/labels and
+    * off-domain labels fail typed.
+    *
+    * Plan: one map-side-combined groupBy, groups-sized arithmetic. */
+  def wilsonInterval(df: DataFrame, groupCol: String, labelCol: String,
+      zCrit: Double = 1.959964d): DataFrame = {
+    require(zCrit > 0.0d, s"need zCrit > 0, got $zCrit")
+    val bad = df.filter(col(groupCol).isNull || col(labelCol).isNull ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
+    require(bad == 0L, s"wilsonInterval needs non-NULL '$groupCol' and " +
+      s"0/1 labels in '$labelCol'")
+    val g = df.select(col(groupCol).as("group"),
+        col(labelCol).cast("long").as("_y"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("r"))
+    def d(c: String) = col(c).cast("double")
+    val z2 = zCrit * zCrit
+    val p = d("r") / d("n")
+    val den = lit(1.0d) + lit(z2) / d("n")
+    val center = (p + lit(z2) / (d("n") * 2.0d)) / den
+    val half = (lit(zCrit) / den) *
+      sqrt(p * (lit(1.0d) - p) / d("n") +
+        lit(z2) / (d("n") * d("n") * 4.0d))
+    g.select(col("group"), col("n"), col("r"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("lo95"),
+        round(center + half, 6).as("hi95"))
+      .orderBy(col("group"))
+  }
+
   /** PARTIAL CORRELATION r(x, y ∣ z) — the confounder-controlled
     * association the raw Pearson can't give: "is the classifier score
     * related to the gate label BEYOND what document length explains?"

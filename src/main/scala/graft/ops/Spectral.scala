@@ -315,6 +315,61 @@ object Spectral {
         sum(col("_u").cast(dec) * col("_u")).as("_q"))
   }
 
+  /** Per-GROUP isotropy — [[isotropy]] sharded by a label/source
+    * column: WHICH subpopulation's directions collapsed, not just
+    * whether the corpus did (a healthy global mean cosine can hide
+    * one label's cluster collapsing while another spreads — exactly
+    * the failure that poisons per-label centroids (q25) and k-NN
+    * label audits). One row per group:
+    * (group, n, dim, mean_self, mean_pairwise_cos) —
+    * mean_pairwise_cos is NULL for single-vector groups (no pairs),
+    * documented.
+    *
+    * Determinism: the [[isotropy]] grid device per group — exact
+    * integer per-dimension sums, two quadratic forms, fixed-order
+    * ratios. Ragged vector lengths WITHIN a group fail typed. Plan:
+    * one corpus posexplode → (group × dims)-bounded groupBy
+    * (map-side combined), one groups-sized aggregate. */
+  def isotropyByGroup(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nulls = df.filter(col(groupCol).isNull || col(vecCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"isotropyByGroup needs non-NULL '$groupCol'/'$vecCol'")
+    val withNorm = df.select(col(groupCol).as("_g"), col(vecCol).as("_v"))
+      .withColumn("_nrm", sqrt(expr(
+        "aggregate(_v, cast(0.0 as double), " +
+          "(acc, x) -> acc + cast(x as double) * cast(x as double))")))
+    val zeros = withNorm.filter(col("_nrm") === 0.0d).limit(1).count()
+    require(zeros == 0L,
+      "isotropyByGroup: a zero vector has no direction — filter it first")
+    val byG = withNorm
+      .select(col("_g"), posexplode(expr(
+        "transform(_v, x -> cast(round(cast(x as double) / _nrm * 1000000.0) as bigint))"))
+        .as(Seq("_dim", "_u")))
+      .groupBy(col("_g"), col("_dim"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("_u").cast(dec)).as("_s"),
+        sum(col("_u").cast(dec) * col("_u")).as("_q"))
+      .groupBy(col("_g"))
+      .agg(min(col("_cnt")).as("_mn"), max(col("_cnt")).as("_mx"),
+        sum(col("_s") * col("_s")).as("_ss"), sum(col("_q")).as("_qq"),
+        count(lit(1)).as("dim"))
+      .localCheckpoint(true) // groups-sized, read twice (guard + output)
+    require(byG.filter(col("_mn") =!= col("_mx")).limit(1).count() == 0L,
+      "isotropyByGroup: ragged vector lengths within a group — " +
+        "per-dimension counts disagree")
+    def d(c: String) = col(c).cast("double")
+    byG.select(col("_g").as("group"), col("_mx").as("n"), col("dim"),
+        round(d("_qq") / d("_mx") / 1e12d, 6).as("mean_self"),
+        when(col("_mx") >= 2L,
+          round((d("_ss") - d("_qq")) /
+            (d("_mx") * (d("_mx") - lit(1.0d))) / 1e12d, 6))
+          .otherwise(lit(null).cast("double")).as("mean_pairwise_cos"))
+      .orderBy(col("group"))
+  }
+
   /** [[isotropy]] over stacked (possibly per-batch partial) dim rows —
     * the cross-batch merge first (a no-op on a final state), then the
     * two quadratic forms. Output and determinism exactly as

@@ -90,6 +90,18 @@ object CusumMonitor {
       period: Int = 24): DataFrame =
     ChangeDetect.seasonalFromPartials(partials(spark, gridDir), period)
 
+  /** SPRT trajectory over the monitored state — q269's sequential
+    * test served from the SAME persisted grid, when the monitored
+    * value is a 0/1 outcome (its micro value sum is 10⁶·successes,
+    * recovered exactly; anything else fails typed). The fourth
+    * detector on one state: identical rows to `ChangeDetect.sprt` on
+    * the union of all monitored batches (spec-proven). */
+  def sprtState(spark: SparkSession, gridDir: String,
+      p0: Double, p1: Double, alpha: Double = 0.05d,
+      beta: Double = 0.05d): DataFrame =
+    ChangeDetect.sprtFromPartials(partials(spark, gridDir),
+      p0, p1, alpha, beta)
+
   /** The stacked per-batch partials — resolved once per probe; typed
     * failure before the first batch lands. */
   private def partials(spark: SparkSession, gridDir: String): DataFrame = {

@@ -588,6 +588,22 @@ class ClassifierEvalSpec extends SparkSpecBase {
       ok.toDF("arm", "y"), "arm", "y", zAlpha = 0.0d))
   }
 
+  test("wilsonInterval: hand-traced bounds stay in [0, 1], typed guards") {
+    val df = (Seq.fill(50)(("A", 1L)) ++ Seq.fill(50)(("A", 0L)) ++
+      Seq.fill(10)(("B", 0L)) ++ Seq.fill(10)(("C", 1L)))
+      .toDF("g", "y")
+    val got = ClassifierEval.wilsonInterval(df, "g", "y")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 100L, 50L, 0.5d, 0.403832d, 0.596168d),
+      ("B", 10L, 0L, 0.0d, 0.0d, 0.277533d),
+      ("C", 10L, 10L, 1.0d, 0.722467d, 1.0d)), got.toString)
+    intercept[IllegalArgumentException](ClassifierEval.wilsonInterval(
+      Seq(("A", 2L)).toDF("g", "y"), "g", "y"))
+    intercept[IllegalArgumentException](ClassifierEval.wilsonInterval(
+      df, "g", "y", zCrit = 0.0d))
+  }
+
   test("cochranArmitage: perfect trend z = 2, flat NULL, typed guards") {
     // buckets 0,1,2 with n = 2 each, keeps 0,1,2: A = 12, B = 216
     // -> t = 2, var = 1, z = 2 exactly

@@ -153,4 +153,25 @@ class SpectralSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Spectral.isotropy(
       Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"), "embedding"))
   }
+
+  test("isotropyByGroup: per-group cross vs clones, single-vector NULL") {
+    val df = Seq(
+      ("cross", Array(1f, 0f)), ("cross", Array(0f, 1f)),
+      ("cross", Array(-1f, 0f)), ("cross", Array(0f, -1f)),
+      ("clone", Array(2f, 0f)), ("clone", Array(2f, 0f)),
+      ("solo", Array(0f, 3f)))
+      .toDF("label", "embedding")
+    val got = Spectral.isotropyByGroup(df, "label", "embedding")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("clone", 2L, 2L, 1.0d, Some(1.0d)),
+      ("cross", 4L, 2L, 1.0d, Some(-0.333333d)),
+      ("solo", 1L, 2L, 1.0d, None)), got.toString)
+    intercept[IllegalArgumentException](Spectral.isotropyByGroup(
+      Seq(("a", Array(1f, 0f)), ("a", Array(1f, 0f, 0f)))
+        .toDF("label", "embedding"), "label", "embedding")) // ragged
+    intercept[IllegalArgumentException](Spectral.isotropyByGroup(
+      Seq(("a", Array(0f, 0f))).toDF("label", "embedding"),
+      "label", "embedding"))
+  }
 }

@@ -91,4 +91,36 @@ class CusumMonitorSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       CusumMonitor.changePointState(spark, s"$base/never"))
   }
+
+  test("sprt probe serves stream == batch from the same grid; non-binary grid fails typed") {
+    // 0/1 outcome stream split across batches, bucket 2 split too
+    val batch1 = Seq((1L, 1.0), (2L, 1.0), (2L, 0.0))
+    val batch2 = Seq((2L, 1.0), (3L, 1.0), (4L, 1.0))
+    val base = java.nio.file.Files.createTempDirectory("sprtm_").toString
+    val grid = s"$base/grid"
+    CusumMonitor.observeBatch(batch1.toDF("b", "v"), 0L, grid, "b", "v")
+    CusumMonitor.observeBatch(batch2.toDF("b", "v"), 1L, grid, "b", "v")
+
+    val streamed = CusumMonitor.sprtState(spark, grid, 0.2d, 0.8d)
+      .as[(Long, Long, Long, Long, Long, Double, String, Option[Long])]
+      .collect().toSeq
+    val twin = ChangeDetect.sprt(
+      (batch1 ++ batch2).toDF("b", "v")
+        .selectExpr("b", "cast(v as long) as y"),
+      "b", "y", p0 = 0.2d, p1 = 0.8d)
+      .as[(Long, Long, Long, Long, Long, Double, String, Option[Long])]
+      .collect().toSeq
+    assert(streamed == twin, s"streamed $streamed vs twin $twin")
+    // bucket 2 pooled across batches: 3 obs, 2 successes
+    assert(streamed.find(_._1 == 2L).get._2 == 3L &&
+      streamed.find(_._1 == 2L).get._3 == 2L, streamed.toString)
+
+    // a non-binary monitored value cannot serve the SPRT probe
+    val grid2 = s"$base/grid2"
+    CusumMonitor.observeBatch(Seq((1L, 0.5)).toDF("b", "v"), 0L,
+      grid2, "b", "v")
+    val e = intercept[IllegalArgumentException](
+      CusumMonitor.sprtState(spark, grid2, 0.2d, 0.8d))
+    assert(e.getMessage.contains("0/1"), e.getMessage)
+  }
 }
