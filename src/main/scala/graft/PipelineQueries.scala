@@ -1317,6 +1317,41 @@ object PipelineQueries {
     graft.ops.ClassifierEval.wilsonInterval(frame, "source", "keep")
   }
 
+  /** q273: CRAMÉR–VON MISES score drift
+    * ([[graft.ops.ClassifierEval.cramerVonMises]]) — the whole-CDF
+    * companion of q203's KS sup on the same early/late cohorts: a
+    * distribution drifting a LITTLE EVERYWHERE hides under a modest
+    * sup while the integrated squared gap is already loud. Exact
+    * integer cross-multiplied terms, one final division; the 5%
+    * criterion is the documented asymptotic point. Oracle replays
+    * the grid and every squared term. */
+  def cvmDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
+        "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    graft.ops.ClassifierEval.cramerVonMises(
+      conf.filter($"doc_id" < 250).select($"conf"),
+      conf.filter($"doc_id" >= 250).select($"conf"),
+      "conf")
+  }
+
+  /** q274: CROSS-LABEL cosine separation matrix
+    * ([[graft.ops.Spectral.crossGroupCosine]]) — the full k×k
+    * between-cluster geometry of the embedding space from per-label
+    * per-dimension sums alone (NO pair join): diagonals ≫
+    * off-diagonals = separable labels; a label whose off-diagonal
+    * catches its diagonal bleeds into its neighbours — the geometry
+    * q156's k-NN label-noise audit then confirms pointwise. Oracle
+    * replays the per-label grids and every dot. */
+  def labelSeparation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Spectral.crossGroupCosine(Tables.embeddings(s, dir),
+      "label", "embedding")
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3429,7 +3464,9 @@ object PipelineQueries {
     "q268_partial_corr"   -> (scoreKeepPartial _),
     "q270_readability"    -> (sourceReadability _),
     "q271_label_isotropy" -> (labelIsotropy _),
-    "q272_wilson"         -> (sourceKeepWilson _))
+    "q272_wilson"         -> (sourceKeepWilson _),
+    "q273_cvm"            -> (cvmDrift _),
+    "q274_label_separation" -> (labelSeparation _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7881,6 +7918,91 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
          |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
          |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q273: the q203 grid with (na+nb)-weighted squared cross-mult
+    // terms, one final division, the asymptotic 5% criterion
+    "q273_cvm" ->
+      s"""WITH $classifierPredCtes,
+         |ga AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS na
+         |  FROM pred WHERE doc_id < 250 GROUP BY 1),
+         |gb AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM pred WHERE doc_id >= 250 GROUP BY 1),
+         |cells AS (
+         |  SELECT COALESCE(ga.sm, gb.sm) AS sm,
+         |    COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+         |  FROM ga FULL JOIN gb ON ga.sm = gb.sm),
+         |cum AS (
+         |  SELECT sm, na, nb,
+         |    CAST(SUM(na) OVER (ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+         |    CAST(SUM(nb) OVER (ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+         |  FROM cells),
+         |tt AS (SELECT MAX(ca) AS ta, MAX(cb) AS tb FROM cum),
+         |ag AS (
+         |  SELECT MIN(ta) AS n_a, MIN(tb) AS n_b,
+         |    SUM(CAST(na + nb AS HUGEINT) *
+         |      (CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta) *
+         |      (CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta)) AS ssq
+         |  FROM cum, tt)
+         |SELECT n_a, n_b,
+         |  ROUND(CAST(ssq AS DOUBLE) /
+         |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+         |     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+         |     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) AS t,
+         |  ROUND((1.0 + 1.0 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+         |    / 6.0, 6) AS mean_h0,
+         |  CAST(CASE WHEN CAST(ssq AS DOUBLE) /
+         |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+         |     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+         |     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) > 0.46136
+         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+         |FROM ag""".stripMargin,
+    // q274: the q271 per-label grids self-joined on dim — every pair
+    // dot an exact HUGEINT, diagonal via the isotropy identity
+    "q274_label_separation" ->
+      """WITH nrm AS (
+        |  SELECT label, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (acc, v) -> acc + v)) AS nv
+        |  FROM embeddings),
+        |uq AS (
+        |  SELECT label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) / nv * 1000000.0) AS BIGINT)) AS u
+        |  FROM nrm),
+        |ux AS (
+        |  SELECT label, unnest(list_transform(generate_series(1, len(u)),
+        |    i -> struct_pack(i := i, v := u[i]))) AS x
+        |  FROM uq),
+        |pd AS (
+        |  SELECT label, x['i'] - 1 AS dim,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    SUM(CAST(x['v'] AS HUGEINT)) AS s,
+        |    SUM(CAST(x['v'] AS HUGEINT) * x['v']) AS q
+        |  FROM ux GROUP BY 1, 2),
+        |tg AS (SELECT label, MAX(cnt) AS n FROM pd GROUP BY 1),
+        |pr AS (
+        |  SELECT a.label AS src_a, b.label AS src_b,
+        |    SUM(a.s * b.s) AS dot, SUM(a.q) AS qq
+        |  FROM pd a JOIN pd b ON a.dim = b.dim AND a.label <= b.label
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, ta.n AS n_a, tb.n AS n_b,
+        |  CASE WHEN src_a = src_b THEN
+        |    CASE WHEN ta.n >= 2 THEN
+        |      ROUND(CAST(dot - qq AS DOUBLE) /
+        |        (CAST(ta.n AS DOUBLE) * (CAST(ta.n AS DOUBLE) - 1.0)) / 1e12, 6)
+        |      ELSE NULL END
+        |    ELSE ROUND(CAST(dot AS DOUBLE) /
+        |      (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)) / 1e12, 6)
+        |  END AS mean_cos
+        |FROM pr
+        |JOIN tg ta ON pr.src_a = ta.label
+        |JOIN tg tb ON pr.src_b = tb.label
+        |ORDER BY src_a, src_b""".stripMargin,
     // q271: per-label norms, micro unit grids, per-(label, dim) sums,
     // the quadratic-form identity per label, single-vector NULL
     "q271_label_isotropy" ->

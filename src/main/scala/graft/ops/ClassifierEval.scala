@@ -1365,6 +1365,63 @@ object ClassifierEval {
           .as("p_value"))
   }
 
+  /** Two-sample CRAMÉR–VON MISES statistic — the whole-CDF companion
+    * of [[ksDistance]]: KS sees only the single worst gap, so a
+    * distribution that drifts a LITTLE EVERYWHERE (the typical slow
+    * quality rot) can hide under a modest sup while its integrated
+    * squared gap T = nm∕N² Σ c_x·(F_A − F_B)² is already loud. One
+    * row: (n_a, n_b, t, mean_h0, reject_05) — mean_h0 = (1+1∕N)∕6 is
+    * the exact null expectation, and reject_05 compares T against
+    * the ASYMPTOTIC 5% point 0.46136 (documented — the classical
+    * criterion, not a finite-sample table).
+    *
+    * Determinism: the integer cross-multiplied CDF device — each
+    * term c·(C_A·m − C_B·n)² is an exact DECIMAL integer, the sum is
+    * exact, and ONE final division by nm·N² ends the path. NULL
+    * scores and empty sides fail typed.
+    *
+    * Plan: two map-side-combined grid aggregates, one full-outer
+    * grid join, one bounded-grid window, ONE final aggregate. */
+  def cramerVonMises(predA: DataFrame, predB: DataFrame,
+      confCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def grid(df: DataFrame, out: String) = {
+      val nulls = df.filter(col(confCol).isNull).limit(1).count()
+      require(nulls == 0L,
+        s"cramerVonMises needs non-NULL scores ($out side)")
+      require(df.limit(1).count() == 1L,
+        s"cramerVonMises needs a non-empty $out side")
+      df.withColumn("_sm",
+          round(col(confCol).cast("double") * 1e6d).cast("long"))
+        .groupBy(col("_sm")).agg(count(lit(1)).as(out))
+    }
+    val cells = grid(predA, "_na").join(grid(predB, "_nb"), Seq("_sm"), "full")
+      .select(col("_sm"),
+        coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("_ca", sum(col("_na")).over(w))
+      .withColumn("_cb", sum(col("_nb")).over(w))
+      .localCheckpoint(true) // grid-sized, read twice (totals + terms)
+    val tot = cum.agg(max(col("_ca")).as("_ta"), max(col("_cb")).as("_tb"))
+    def d(c: String) = col(c).cast("double")
+    val agg = cum.crossJoin(broadcast(tot))
+      .withColumn("_dn", col("_ca").cast(dec) * col("_tb") -
+        col("_cb").cast(dec) * col("_ta"))
+      .agg(first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"),
+        sum((col("_na") + col("_nb")).cast(dec) * col("_dn") * col("_dn"))
+          .as("_ssq"))
+    val nm = d("n_a") * d("n_b")
+    val nn = d("n_a") + d("n_b")
+    val t = d("_ssq") / (nm * nn * nn)
+    agg.select(col("n_a"), col("n_b"),
+      round(t, 6).as("t"),
+      round((lit(1.0d) + lit(1.0d) / nn) / 6.0d, 6).as("mean_h0"),
+      when(t > 0.46136d, 1L).otherwise(0L).as("reject_05"))
+  }
+
   /** KRUSKAL–WALLIS H test across ALL groups at once — the k-sample
     * extension of [[mannWhitney]]: does the score distribution differ
     * across ANY of the sources, before drilling into pairwise drift?

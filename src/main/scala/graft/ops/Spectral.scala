@@ -370,6 +370,75 @@ object Spectral {
       .orderBy(col("group"))
   }
 
+  /** CROSS-GROUP mean-cosine matrix — the embedding-space SEPARATION
+    * audit: for every label pair, the mean pairwise cosine between
+    * their vectors via Σû_a·Σû_b ∕ (n_a·n_b) (and the
+    * [[isotropyByGroup]] identity on the diagonal), all from
+    * per-group per-dimension sums — the full k×k matrix of a
+    * corpus's between-cluster geometry with NO pair join anywhere.
+    * Diagonal ≫ off-diagonal = separable labels; a row whose
+    * off-diagonal catches its diagonal is a label bleeding into its
+    * neighbours — the geometry the k-NN label-noise audit (q156)
+    * then confirms point by point. One row per unordered pair
+    * (src_a ≤ src_b): (src_a, src_b, n_a, n_b, mean_cos); a
+    * single-vector diagonal reports NULL (no pairs), documented.
+    *
+    * Determinism: the [[isotropy]] micro unit grid; every dot of
+    * per-dim sums is an exact DECIMAL integer; one fixed-order
+    * division per pair, 6 dp. Ragged lengths within a group fail
+    * typed (via the shared grid build). Plan: one corpus posexplode
+    * → (group × dims) groupBy, one dims-keyed self-join bounded at
+    * k²·dims rows, one pair groupBy. */
+  def crossGroupCosine(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nulls = df.filter(col(groupCol).isNull || col(vecCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"crossGroupCosine needs non-NULL '$groupCol'/'$vecCol'")
+    val withNorm = df.select(col(groupCol).as("_g"), col(vecCol).as("_v"))
+      .withColumn("_nrm", sqrt(expr(
+        "aggregate(_v, cast(0.0 as double), " +
+          "(acc, x) -> acc + cast(x as double) * cast(x as double))")))
+    val zeros = withNorm.filter(col("_nrm") === 0.0d).limit(1).count()
+    require(zeros == 0L,
+      "crossGroupCosine: a zero vector has no direction — filter it first")
+    val gd = withNorm
+      .select(col("_g"), posexplode(expr(
+        "transform(_v, x -> cast(round(cast(x as double) / _nrm * 1000000.0) as bigint))"))
+        .as(Seq("_dim", "_u")))
+      .groupBy(col("_g"), col("_dim"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("_u").cast(dec)).as("_s"),
+        sum(col("_u").cast(dec) * col("_u")).as("_q"))
+      .localCheckpoint(true) // (groups x dims)-sized, read three ways
+    val ragged = gd.groupBy(col("_g"))
+      .agg(min(col("_cnt")).as("_mn"), max(col("_cnt")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).limit(1).count()
+    require(ragged == 0L, "crossGroupCosine: ragged vector lengths " +
+      "within a group — per-dimension counts disagree")
+    val a = gd.select(col("_g").as("src_a"), col("_dim"),
+      col("_cnt").as("_na"), col("_s").as("_sa"), col("_q").as("_qa"))
+    val b = gd.select(col("_g").as("src_b"), col("_dim"),
+      col("_cnt").as("_nb"), col("_s").as("_sb"))
+    def d(c: String) = col(c).cast("double")
+    a.join(b, Seq("_dim"))
+      .filter(col("src_a") <= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        sum(col("_sa") * col("_sb")).as("_dot"),
+        sum(col("_qa")).as("_qq"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        when(col("src_a") === col("src_b"),
+          when(col("n_a") >= 2L,
+            round((d("_dot") - d("_qq")) /
+              (d("n_a") * (d("n_a") - lit(1.0d))) / 1e12d, 6))
+            .otherwise(lit(null).cast("double")))
+          .otherwise(round(d("_dot") / (d("n_a") * d("n_b")) / 1e12d, 6))
+          .as("mean_cos"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** [[isotropy]] over stacked (possibly per-batch partial) dim rows —
     * the cross-batch merge first (a no-op on a final state), then the
     * two quadratic forms. Output and determinism exactly as

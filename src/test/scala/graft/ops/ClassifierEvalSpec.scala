@@ -649,6 +649,22 @@ class ClassifierEvalSpec extends SparkSpecBase {
         .toDF("x", "y", "z"), "x", "y", "z"))
   }
 
+  test("cramerVonMises: hand-traced integrated gap, identical zero") {
+    // A {1,2}, B {3,4}: terms 4+16+4+0 = 24 -> T = 24/(4*16) = 0.375
+    // mean_h0 = (1 + 1/4)/6 = 0.208333
+    val a = Seq(1.0d, 2.0d).toDF("conf")
+    val b = Seq(3.0d, 4.0d).toDF("conf")
+    val got = ClassifierEval.cramerVonMises(a, b, "conf")
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 0.375d, 0.208333d, 0L)), got.toString)
+    // identical samples integrate to exactly zero
+    val same = ClassifierEval.cramerVonMises(a, a, "conf")
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    assert(same.head._3 == 0.0d && same.head._5 == 0L, same.toString)
+    intercept[IllegalArgumentException](
+      ClassifierEval.cramerVonMises(a, b.limit(0), "conf"))
+  }
+
   test("ksTest: hand-traced Kolmogorov p at lambda = 1, D = 0 reports 1") {
     // A {0.1, 0.2}, B {0.3, 0.4}: D = 1 at 0.2; ne = 1 -> lambda = 1
     // p = 2(e^-2 - e^-8 + e^-18 - ...) = 0.27 on the pico grid

@@ -154,6 +154,29 @@ class SpectralSpec extends SparkSpecBase {
       Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"), "embedding"))
   }
 
+  test("crossGroupCosine: diagonal == isotropyByGroup, opposed groups -1") {
+    // group "e" along +x, group "w" along -x: between-cos exactly -1;
+    // diagonals are the clone value 1.000001 (quantization overshoot
+    // is absent here: unit axis vectors are exact on the micro grid)
+    val df = Seq(
+      ("e", Array(1f, 0f)), ("e", Array(2f, 0f)),
+      ("w", Array(-1f, 0f)), ("w", Array(-3f, 0f)),
+      ("solo", Array(0f, 1f)))
+      .toDF("label", "embedding")
+    val got = Spectral.crossGroupCosine(df, "label", "embedding")
+      .as[(String, String, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("e", "e", 2L, 2L, Some(1.0d)),
+      ("e", "solo", 2L, 1L, Some(0.0d)),
+      ("e", "w", 2L, 2L, Some(-1.0d)),
+      ("solo", "solo", 1L, 1L, None),
+      ("solo", "w", 1L, 2L, Some(0.0d)),
+      ("w", "w", 2L, 2L, Some(1.0d))), got.toString)
+    intercept[IllegalArgumentException](Spectral.crossGroupCosine(
+      Seq(("a", Array(1f, 0f)), ("a", Array(1f, 0f, 0f)))
+        .toDF("label", "embedding"), "label", "embedding"))
+  }
+
   test("isotropyByGroup: per-group cross vs clones, single-vector NULL") {
     val df = Seq(
       ("cross", Array(1f, 0f)), ("cross", Array(0f, 1f)),
