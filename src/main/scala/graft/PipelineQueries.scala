@@ -1352,6 +1352,26 @@ object PipelineQueries {
       "label", "embedding")
   }
 
+  /** q275: HELLINGER score drift per source
+    * ([[graft.ops.ClassifierEval.hellingerByGroup]]) — each source's
+    * classifier-score histogram against the corpus on the bounded
+    * [0, 1] Hellinger scale: PSI (q200) explodes on empty bins and KS
+    * (q237) sees only the worst gap; BC/H read the WHOLE shape and
+    * stay finite with zero-count bins contributing exactly 0. Oracle
+    * replays the classifier, the calibration binning and every
+    * nano-quantized √(p·q) term. */
+  def sourceHellinger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+    graft.ops.ClassifierEval.hellingerByGroup(conf, "source", "conf",
+      bins = 20)
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3466,7 +3486,8 @@ object PipelineQueries {
     "q271_label_isotropy" -> (labelIsotropy _),
     "q272_wilson"         -> (sourceKeepWilson _),
     "q273_cvm"            -> (cvmDrift _),
-    "q274_label_separation" -> (labelSeparation _))
+    "q274_label_separation" -> (labelSeparation _),
+    "q275_hellinger"      -> (sourceHellinger _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7918,6 +7939,35 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
          |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
          |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q275: classifier replay, calibration binning, nano sqrt(p*q)
+    // terms summed as integers, the clamp and H = sqrt(1-BC)
+    "q275_hellinger" ->
+      s"""WITH $classifierPredCtes,
+         |j AS (SELECT d.source AS g, p.conf
+         |  FROM pred p JOIN documents d USING (doc_id)),
+         |cells AS (
+         |  SELECT g, LEAST((CAST(round(conf * 1e6) AS BIGINT) * 20) // 1000000,
+         |    19) AS bin, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM j GROUP BY 1, 2),
+         |gl AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS gg FROM cells GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(gg) AS BIGINT) AS nn FROM gl),
+         |mg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+         |tm AS (
+         |  SELECT cells.g, mg.n,
+         |    CAST(round(sqrt(CAST(c AS DOUBLE) * CAST(gg AS DOUBLE) /
+         |      (CAST(mg.n AS DOUBLE) * CAST(tt.nn AS DOUBLE))) * 1e9)
+         |      AS BIGINT) AS t
+         |  FROM cells JOIN gl USING (bin) JOIN mg ON cells.g = mg.g
+         |  CROSS JOIN tt),
+         |ag AS (SELECT g, n, CAST(SUM(t) AS BIGINT) AS bc9
+         |  FROM tm GROUP BY 1, 2)
+         |SELECT g AS "group", n,
+         |  ROUND(LEAST(CAST(bc9 AS DOUBLE) / 1e9, CAST(1.0 AS DOUBLE)), 6)
+         |    AS bc,
+         |  ROUND(sqrt(GREATEST(CAST(1.0 AS DOUBLE) -
+         |    LEAST(CAST(bc9 AS DOUBLE) / 1e9, CAST(1.0 AS DOUBLE)),
+         |    CAST(0.0 AS DOUBLE))), 6) AS hellinger
+         |FROM ag ORDER BY "group"""".stripMargin,
     // q273: the q203 grid with (na+nb)-weighted squared cross-mult
     // terms, one final division, the asymptotic 5% criterion
     "q273_cvm" ->

@@ -1365,6 +1365,57 @@ object ClassifierEval {
           .as("p_value"))
   }
 
+  /** HELLINGER distance of each group's score histogram from the
+    * corpus — the bounded-[0, 1] geometry-honest drift number beside
+    * PSI (q200: unbounded, blows up on empty bins) and per-group KS
+    * (q237: sup-only): BC = Σ√(p_b·q_b) and H = √(1−BC) over fixed
+    * equal-width bins, zero-count bins contributing exactly 0 with
+    * no smoothing to argue about. One row per group:
+    * (group, n, bc, hellinger).
+    *
+    * Determinism: bin counts are exact integers ((cm·bins) div 10⁶,
+    * capped — the calibration binning); each bin's √(p·q) is ONE
+    * fixed-order double nano-quantized to a long, so the per-group
+    * sum is an order-free integer; BC clamps at 1 (quantization can
+    * overshoot by a hair, documented) and H = √(1−BC). NULL
+    * groups/scores and off-range scores fail typed.
+    *
+    * Plan: one corpus groupBy to (group × bins) cells, one
+    * bins-sized global re-aggregate broadcast back, one group-sized
+    * aggregate. */
+  def hellingerByGroup(df: DataFrame, groupCol: String, confCol: String,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"need 2 <= bins <= 1000, got $bins")
+    val bad = df.filter(col(groupCol).isNull || col(confCol).isNull ||
+      col(confCol) < 0.0d || col(confCol) > 1.0d).limit(1).count()
+    require(bad == 0L, s"hellingerByGroup needs non-NULL '$groupCol' " +
+      s"and '$confCol' scores in [0, 1]")
+    val cells = df
+      .withColumn("_cm", round(col(confCol).cast("double") * 1e6d)
+        .cast("long"))
+      .withColumn("_bin",
+        least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L))
+          .cast("long"))
+      .groupBy(col(groupCol).as("group"), col("_bin"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // (groups x bins)-sized, read twice
+    val glob = cells.groupBy(col("_bin")).agg(sum(col("_c")).as("_g"))
+    val tot = glob.agg(sum(col("_g")).as("_N"))
+    val marg = cells.groupBy(col("group")).agg(sum(col("_c")).as("n"))
+    def d(c: String) = col(c).cast("double")
+    cells.join(glob, Seq("_bin")).join(marg, Seq("group"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_t", round(sqrt(d("_c") * d("_g") /
+        (d("n") * d("_N"))) * 1e9d).cast("long"))
+      .groupBy(col("group"), col("n"))
+      .agg(sum(col("_t")).as("_bc9"))
+      .select(col("group"), col("n"),
+        round(least(d("_bc9") / 1e9d, lit(1.0d)), 6).as("bc"),
+        round(sqrt(greatest(lit(1.0d) - least(d("_bc9") / 1e9d, lit(1.0d)),
+          lit(0.0d))), 6).as("hellinger"))
+      .orderBy(col("group"))
+  }
+
   /** Two-sample CRAMÉR–VON MISES statistic — the whole-CDF companion
     * of [[ksDistance]]: KS sees only the single worst gap, so a
     * distribution that drifts a LITTLE EVERYWHERE (the typical slow

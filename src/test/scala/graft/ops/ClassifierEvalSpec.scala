@@ -649,6 +649,27 @@ class ClassifierEvalSpec extends SparkSpecBase {
         .toDF("x", "y", "z"), "x", "y", "z"))
   }
 
+  test("hellingerByGroup: hand-traced BC, identical group zero, guards") {
+    // A all in bin 0, B all in bin 1 (bins = 2): each group shares
+    // half the corpus mass in its one bin -> BC = sqrt(1/2),
+    // H = sqrt(1 - 0.707106781) = 0.541196
+    val df = Seq(("A", 0.1d), ("A", 0.1d), ("B", 0.9d), ("B", 0.9d))
+      .toDF("g", "conf")
+    val got = ClassifierEval.hellingerByGroup(df, "g", "conf", bins = 2)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", 2L, 0.707107d, 0.541196d),
+      ("B", 2L, 0.707107d, 0.541196d)), got.toString)
+    // a single group IS the corpus: BC clamps to 1, H = 0
+    val solo = ClassifierEval.hellingerByGroup(
+      Seq(("A", 0.1d), ("A", 0.7d)).toDF("g", "conf"), "g", "conf",
+      bins = 2).as[(String, Long, Double, Double)].collect().toSeq
+    assert(solo == Seq(("A", 2L, 1.0d, 0.0d)), solo.toString)
+    intercept[IllegalArgumentException](ClassifierEval.hellingerByGroup(
+      Seq(("A", 1.5d)).toDF("g", "conf"), "g", "conf"))
+    intercept[IllegalArgumentException](ClassifierEval.hellingerByGroup(
+      df, "g", "conf", bins = 1))
+  }
+
   test("cramerVonMises: hand-traced integrated gap, identical zero") {
     // A {1,2}, B {3,4}: terms 4+16+4+0 = 24 -> T = 24/(4*16) = 0.375
     // mean_h0 = (1 + 1/4)/6 = 0.208333
