@@ -1931,7 +1931,9 @@ object TextAnalysis {
   /** BURROWS' DELTA stylometric distance between every group pair —
     * the classic authorship-attribution measure applied to sources:
     * z-score each of the top-M corpus words' relative frequencies
-    * ACROSS groups, then Delta(s,t) = mean_w |z_ws − z_wt|. Two
+    * ACROSS groups, then Delta(s,t) = mean_w |z_ws − z_wt|. A group
+    * whose documents carry no tokens has no style to compare and
+    * appears in no pair (documented). Two
     * sources with the same topical words but different function-word
     * rhythm (the crawl-template fingerprint) show a large Delta while
     * topic measures (q202 JSD) stay flat. One row per unordered pair:
@@ -2001,7 +2003,8 @@ object TextAnalysis {
     * source. The per-TOKEN complement of the per-source drift
     * family: a high-frequency high-DP token is a template artifact
     * (boilerplate, navigation chrome) masquerading as vocabulary.
-    * One row per top token: (token, total_cnt, dp).
+    * One row per top token: (token, total_cnt, dp). Token-less
+    * groups carry no mass and no deviation term (documented).
     *
     * Determinism: each |v_s·N − n_s·f| is an exact DECIMAL integer,
     * the Σ over sources is an exact integer sum, and ONE double
