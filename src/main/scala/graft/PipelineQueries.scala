@@ -1372,6 +1372,22 @@ object PipelineQueries {
       bins = 20)
   }
 
+  /** q276: GWET AC1 lang-id agreement
+    * ([[graft.ops.ClassifierEval.gwetAc1]]) — q187's κ on the same
+    * (gold lang, predicted) frame, chance-corrected the
+    * prevalence-robust way: on a corpus dominated by one language κ
+    * can sink while raters agree on nearly every row (the kappa
+    * paradox); AC1 stays calibrated, and DISAGREEMENT between the two
+    * numbers is itself the skew warning. Oracle replays the cells,
+    * the union marginals and the cleared-denominator integer ratio. */
+  def langIdAc1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.gwetAc1(
+      TextAnalysis.langIdScores(Tables.documents(s, dir), "text")
+        .select($"lang", $"predicted"),
+      "lang", "predicted")
+  }
+
   /** q204: per-source token-mass GINI
     * ([[graft.ops.TextAnalysis.tokenGini]]) — how concentrated each
     * source's training-token mass is across its documents: the
@@ -3487,7 +3503,8 @@ object PipelineQueries {
     "q272_wilson"         -> (sourceKeepWilson _),
     "q273_cvm"            -> (cvmDrift _),
     "q274_label_separation" -> (labelSeparation _),
-    "q275_hellinger"      -> (sourceHellinger _))
+    "q275_hellinger"      -> (sourceHellinger _),
+    "q276_gwet_ac1"       -> (langIdAc1 _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7939,6 +7956,44 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(num) AS DOUBLE) * 0.5 /
          |    (CAST(f AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS dp
          |FROM nm GROUP BY w, f, nn""".stripMargin,
+    // q276: the q187 cells, union marginals m_k = na_k + nb_k, the
+    // cleared-denominator (4N(K-1)agree - S)/(4N^2(K-1) - S) ratio
+    "q276_gwet_ac1" ->
+      s"""WITH $langIdPredCtes,
+         |cells AS (
+         |  SELECT lang AS a, predicted AS b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         |    CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS BIGINT)
+         |      AS agree
+         |  FROM cells),
+         |ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY a),
+         |mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY b),
+         |mm AS (
+         |  SELECT COALESCE(na, 0) + COALESCE(nb, 0) AS m
+         |  FROM ma FULL JOIN mb ON ma.a = mb.b),
+         |ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_classes FROM mm),
+         |sx AS (
+         |  SELECT COALESCE(SUM(CAST(m AS HUGEINT) *
+         |    (CAST(t.n_total AS HUGEINT) * 2 - m)), 0) AS s
+         |  FROM mm, tot t)
+         |SELECT n_total AS n, k_classes, agree,
+         |  ROUND(CAST(agree AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS po,
+         |  CASE WHEN k_classes > 1 THEN
+         |    ROUND(CAST(s AS DOUBLE) / (CAST(n_total AS DOUBLE) *
+         |      CAST(n_total AS DOUBLE) * 4.0 *
+         |      (CAST(k_classes AS DOUBLE) - 1.0)), 6)
+         |    ELSE NULL END AS pe,
+         |  CASE WHEN k_classes > 1 AND
+         |      CAST(n_total AS HUGEINT) * n_total * 4 * (k_classes - 1) - s
+         |        <> 0
+         |    THEN ROUND(CAST(CAST(agree AS HUGEINT) * n_total * 4 *
+         |        (k_classes - 1) - s AS DOUBLE) /
+         |      CAST(CAST(n_total AS HUGEINT) * n_total * 4 *
+         |        (k_classes - 1) - s AS DOUBLE), 6)
+         |    ELSE CAST(1.0 AS DOUBLE) END AS ac1
+         |FROM tot, ks, sx""".stripMargin,
     // q275: classifier replay, calibration binning, nano sqrt(p*q)
     // terms summed as integers, the clamp and H = sqrt(1-BC)
     "q275_hellinger" ->

@@ -78,6 +78,63 @@ object ClassifierEval {
           .as("kappa"))
   }
 
+  /** GWET's AC1 agreement — the prevalence-robust companion of
+    * [[cohenKappa]]: on a skewed label distribution two raters can
+    * agree 90% of the time while κ goes NEGATIVE (the kappa paradox —
+    * chance correction explodes when one category dominates). AC1
+    * replaces κ's marginal-product chance term with
+    * pe = Σ_k π_k(1−π_k)∕(K−1), π_k the AVERAGE marginal, which stays
+    * calibrated under skew (Gwet 2008). Quote both: κ punishes
+    * marginal imbalance, AC1 does not — disagreement between them IS
+    * the prevalence warning. One row: (n, k_classes, agree, po, pe,
+    * ac1).
+    *
+    * Determinism: AC1 clears denominators to the exact integer ratio
+    * (4N(K−1)·agree − S) ∕ (4N²(K−1) − S) with
+    * S = Σ_k m_k(2N − m_k), m_k the summed marginals — ONE double
+    * division, 6 dp. A single-category table (denominator 0) reports
+    * ac1 = 1.0 (trivially perfect agreement), documented. NULL labels
+    * fail typed (via the shared cells frame).
+    *
+    * Plan: one corpus groupBy to the K² cells, two K-sized marginal
+    * aggregates full-outer-joined over the category union, 1-row
+    * arithmetic. */
+  def gwetAc1(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = cells(df, aCol, bCol).localCheckpoint(true)
+    val tot = c.agg(
+      sum(col("n")).as("n_total"),
+      coalesce(sum(when(col("a") === col("b"), col("n"))), lit(0L))
+        .as("agree"))
+    val m = c.groupBy(col("a")).agg(sum(col("n")).as("_na"))
+      .join(c.groupBy(col("b")).agg(sum(col("n")).as("_nb")),
+        col("a") === col("b"), "full")
+      .select((coalesce(col("_na"), lit(0L)) +
+        coalesce(col("_nb"), lit(0L))).as("_m"))
+      .localCheckpoint(true) // K rows, read twice (K + S)
+    val ks = m.agg(count(lit(1)).as("k_classes"))
+    def d(c2: Column) = c2.cast("double")
+    val s = tot.crossJoin(broadcast(ks))
+      .crossJoin(broadcast(m.crossJoin(broadcast(tot
+          .select(col("n_total").as("_N"))))
+        .agg(coalesce(sum(col("_m").cast(dec) *
+          (col("_N") * 2L - col("_m"))), lit(0L).cast(dec)).as("_S"))))
+    s.select(col("n_total").as("n"), col("k_classes"), col("agree"),
+      round(d(col("agree")) / d(col("n_total")), 6).as("po"),
+      when(col("k_classes") > 1L,
+        round(d(col("_S")) / (d(col("n_total")) * d(col("n_total")) *
+          4.0d * (d(col("k_classes")) - 1.0d)), 6))
+        .otherwise(lit(null).cast("double")).as("pe"),
+      when(col("k_classes") > 1L &&
+          col("n_total").cast(dec) * col("n_total") * 4L *
+            (col("k_classes") - 1L) - col("_S") =!= lit(0L).cast(dec),
+        round(d(col("agree").cast(dec) * col("n_total") * 4L *
+            (col("k_classes") - 1L) - col("_S")) /
+          d(col("n_total").cast(dec) * col("n_total") * 4L *
+            (col("k_classes") - 1L) - col("_S")), 6))
+        .otherwise(lit(1.0d)).as("ac1"))
+  }
+
   /** McNEMAR's test on two boolean gates over the SAME rows — the
     * paired-comparison answer to "is gate B actually stricter than gate
     * A, or do they just disagree symmetrically?" that an accuracy

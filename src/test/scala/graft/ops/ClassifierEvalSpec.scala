@@ -649,6 +649,27 @@ class ClassifierEvalSpec extends SparkSpecBase {
         .toDF("x", "y", "z"), "x", "y", "z"))
   }
 
+  test("gwetAc1: survives the kappa paradox; single-category degenerate") {
+    // 90 (y,y), 5 (y,n), 5 (n,y): po = 0.9 but kappa = -0.052632;
+    // AC1 = (4*100*90 - 3800)/(4*10000 - 3800) = 0.889503
+    val rows = Seq.fill(90)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(5)(("n", "y"))
+    val got = ClassifierEval.gwetAc1(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double, Option[Double], Double)]
+      .collect().toSeq
+    assert(got == Seq((100L, 2L, 90L, 0.9d, Some(0.095d), 0.889503d)),
+      got.toString)
+    val kap = ClassifierEval.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .select($"kappa").as[Double].head()
+    assert(kap == -0.052632d, s"the paradox table must sink kappa: $kap")
+    // single category: pe undefined, agreement trivially perfect
+    val solo = ClassifierEval.gwetAc1(
+      Seq.fill(7)(("x", "x")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double, Option[Double], Double)]
+      .collect().toSeq
+    assert(solo == Seq((7L, 1L, 7L, 1.0d, None, 1.0d)), solo.toString)
+  }
+
   test("hellingerByGroup: hand-traced BC, identical group zero, guards") {
     // A all in bin 0, B all in bin 1 (bins = 2): each group shares
     // half the corpus mass in its one bin -> BC = sqrt(1/2),
