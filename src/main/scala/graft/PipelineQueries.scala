@@ -4806,7 +4806,7 @@ object PipelineQueries {
          |      0.5 * q * ln(2.0 * q / (p + q))) * 1e9) AS BIGINT) AS jn
          |  FROM pr)
          |SELECT group_a, group_b, CAST(COUNT(*) AS BIGINT) AS n_types,
-         |  ROUND(CAST(SUM(jn) AS DOUBLE) / 1e9, 6) AS jsd
+         |  ROUND(CAST(SUM(jn) AS DOUBLE) / 1e9, 6) + 0.0 AS jsd
          |FROM tm GROUP BY 1, 2
          |ORDER BY group_a, group_b""".stripMargin,
     // q203: classifier replay split by cohort, grid CDFs, exact
@@ -4903,7 +4903,7 @@ object PipelineQueries {
          |        CAST((nn * (nn - 1)) // 2 AS DOUBLE)) /
          |      ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0 -
          |        CAST(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT) AS DOUBLE) /
-         |        CAST((nn * (nn - 1)) // 2 AS DOUBLE)), 6) END AS ari
+         |        CAST((nn * (nn - 1)) // 2 AS DOUBLE)), 6) + 0.0 END AS ari
          |FROM sij, sa, sb""".stripMargin,
     // q239: the q206 cells + a third (joint) nano-quantized entropy;
     // homogeneity/completeness from integer entropy differences
@@ -4969,13 +4969,13 @@ object PipelineQueries {
          |    CAST(COALESCE(e_within, 0) AS BIGINT) AS e_within,
          |    ROUND(CAST(CAST(4 AS HUGEINT) * m * COALESCE(e_within, 0) -
          |        CAST(COALESCE(d_sum, 0) AS HUGEINT) * COALESCE(d_sum, 0) AS DOUBLE) /
-         |      (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q_term
+         |      (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) + 0.0 AS q_term
          |  FROM nn LEFT JOIN ds ON nn.c = ds.c LEFT JOIN ei ON nn.c = ei.c, mm),
          |qt AS (
          |  SELECT CAST(COALESCE(SUM(CAST(round(q_term * 1e9) AS BIGINT)), 0) AS BIGINT) AS qn
          |  FROM per)
          |SELECT community, n_nodes, d_sum, e_within, q_term,
-         |  ROUND(CAST(qn AS DOUBLE) / 1e9, 6) AS q_total
+         |  ROUND(CAST(qn AS DOUBLE) / 1e9, 6) + 0.0 AS q_total
          |FROM per, qt ORDER BY community""".stripMargin,
     // q241: distinct bipartite edges, uniform ppb start, six unrolled
     // half-steps with exact floor-division renormalization
@@ -5187,10 +5187,10 @@ object PipelineQueries {
          |SELECT tot.nn AS n,
          |  ROUND(CAST(ha AS DOUBLE) / 1e9, 6) AS h_a,
          |  ROUND(CAST(hb AS DOUBLE) / 1e9, 6) AS h_b,
-         |  ROUND(CAST(mim AS DOUBLE) / 1e9, 6) AS mi,
+         |  ROUND(CAST(mim AS DOUBLE) / 1e9, 6) + 0.0 AS mi,
          |  CASE WHEN ha > 0 AND hb > 0
          |    THEN ROUND(CAST(mim AS DOUBLE) /
-         |      sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6)
+         |      sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6) + 0.0
          |    ELSE CAST(0.0 AS DOUBLE) END AS nmi
          |FROM tot, hA, hB, mi""".stripMargin,
     // q207: classifier + unigram-LM replays, doubled-average-rank
@@ -5255,7 +5255,7 @@ object PipelineQueries {
          |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
          |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
          |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
          |  ELSE CAST(0.0 AS DOUBLE) END AS rho
          |FROM t2""".stripMargin,
     // q208: tokenization, first-source word attribution, the bounded
@@ -5302,7 +5302,8 @@ object PipelineQueries {
          |b AS (SELECT points, var_x, var_y, cov, cov / var_x AS beta,
          |    (syd - cov / var_x * sxd) / CAST(points AS DOUBLE) AS ln_k
          |  FROM f)
-         |SELECT points, ROUND(beta, 6) AS beta, ROUND(ln_k, 6) AS ln_k,
+         |SELECT points, ROUND(beta, 6) + 0.0 AS beta,
+         |  ROUND(ln_k, 6) + 0.0 AS ln_k,
          |  ROUND(exp(ln_k), 6) AS k,
          |  CASE WHEN var_y > 0 THEN ROUND(cov * cov / (var_x * var_y), 6)
          |    ELSE CAST(1.0 AS DOUBLE) END AS r2
@@ -5378,7 +5379,7 @@ object PipelineQueries {
          |      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
          |        - CAST(tc AS DOUBLE) /
          |          ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-         |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))), 6)
+         |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))), 6) + 0.0
          |  ELSE CAST(0.0 AS DOUBLE) END AS z
          |FROM t2""".stripMargin,
     // q211: source×lang contingency INCLUDING zero-observed cells via
@@ -5556,7 +5557,7 @@ object PipelineQueries {
          |  ROUND(CAST(c2 AS DOUBLE) / CAST(nn * nn AS DOUBLE), 6) AS p_e,
          |  CASE WHEN nn * nn - c2 = 0 THEN ${d(1.0)}
          |    ELSE ROUND(CAST((s2 - nn) * nn - c2 * 2 AS DOUBLE) /
-         |      CAST(2 * (nn * nn - c2) AS DOUBLE), 6) END AS kappa
+         |      CAST(2 * (nn * nn - c2) AS DOUBLE), 6) + 0.0 END AS kappa
          |FROM fin, cat""".stripMargin
     },
     // q178 extends q177: the same two replays, swept over the literal
@@ -6377,7 +6378,7 @@ object PipelineQueries {
          |  ELSE ROUND((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) -
          |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
          |        (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) -
-         |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS zipf_slope
+         |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0 END AS zipf_slope
          |FROM s ORDER BY lang""".stripMargin,
 
     "q132_lexical_diversity" ->
@@ -6462,7 +6463,7 @@ object PipelineQueries {
          |    ua.n_w AS n_a, ub.n_w AS n_b
          |  FROM bi b JOIN uni ua ON b.wa = ua.wu JOIN uni ub ON b.wb = ub.wu)
          |SELECT wa || ' ' || wb AS bigram, n_ab,
-         |  ROUND(ln((CAST(n_ab AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * n_a * n_b)), 6) AS pmi
+         |  ROUND(ln((CAST(n_ab AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * n_a * n_b)), 6) + 0.0 AS pmi
          |FROM j, n1, n2
          |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
 
@@ -6550,7 +6551,7 @@ object PipelineQueries {
          |res AS (
          |  SELECT o.rnk, o.vec_id, c.rel,
          |    CASE WHEN o.rnk = 1 THEN ROUND(0.7 * c.rel, 6)
-         |    ELSE (SELECT ROUND(0.7 * MIN(cx.rel) - 0.3 * MAX(${sim("cx.v", "cy.v")}), 6)
+         |    ELSE (SELECT ROUND(0.7 * MIN(cx.rel) - 0.3 * MAX(${sim("cx.v", "cy.v")}), 6) + 0.0
          |          FROM cand cx, cand cy
          |          WHERE cx.vec_id = o.vec_id AND list_contains(o.ids[1:o.rnk - 1], cy.vec_id)) END AS mmr
          |  FROM ord o JOIN cand c ON c.vec_id = o.vec_id)
@@ -7060,7 +7061,7 @@ object PipelineQueries {
          |    (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS pe,
          |  CASE WHEN n_total * n_total - s = 0 THEN CAST(1.0 AS DOUBLE)
          |    ELSE ROUND(CAST(n_total * agree - s AS DOUBLE) /
-         |      CAST(n_total * n_total - s AS DOUBLE), 6) END AS kappa
+         |      CAST(n_total * n_total - s AS DOUBLE), 6) + 0.0 END AS kappa
          |FROM tot, sx""".stripMargin,
     "q189_langid_report" ->
       s"""WITH $langIdPredCtes,
@@ -7405,7 +7406,7 @@ object PipelineQueries {
          |    ) AS mi_nano
          |  FROM pt, tot WHERE df >= 5)
          |SELECT token, df, n11,
-         |  ROUND(CAST(mi_nano AS DOUBLE) / 1e9, 6) AS mi
+         |  ROUND(CAST(mi_nano AS DOUBLE) / 1e9, 6) + 0.0 AS mi
          |FROM mi ORDER BY mi_nano DESC, token LIMIT 25""".stripMargin,
 
     // q223: exact per-stratum moments over micro-quantized lengths,
@@ -7729,7 +7730,7 @@ object PipelineQueries {
         |SELECT n, dim,
         |  ROUND(CAST(qq AS DOUBLE) / CAST(n AS DOUBLE) / 1e12, 6) AS mean_self,
         |  ROUND(CAST(ss - qq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e12, 6)
-        |    AS mean_pairwise_cos
+        |    + 0.0 AS mean_pairwise_cos
         |FROM tt, nn""".stripMargin,
     // q253: classifier replay, doubled integer ranks on the score
     // grid, HUGEINT rank sums, the div/mod quotient device, tie term
@@ -7884,7 +7885,7 @@ object PipelineQueries {
          |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
          |  ORDER BY g2n DESC, w ASC) AS r FROM g2x)
          |SELECT grp AS "group", w AS token, a AS cnt, b AS rest_cnt,
-         |  ROUND(CAST(g2n AS DOUBLE) / 1e9, 6) AS g2
+         |  ROUND(CAST(g2n AS DOUBLE) / 1e9, 6) + 0.0 AS g2
          |FROM rk WHERE r <= 5""".stripMargin,
     // q258: top-30 cut, nano rates on the M x k frame, per-word
     // HUGEINT moments, nano |dz| pair sums
@@ -7991,7 +7992,7 @@ object PipelineQueries {
          |    THEN ROUND(CAST(CAST(agree AS HUGEINT) * n_total * 4 *
          |        (k_classes - 1) - s AS DOUBLE) /
          |      CAST(CAST(n_total AS HUGEINT) * n_total * 4 *
-         |        (k_classes - 1) - s AS DOUBLE), 6)
+         |        (k_classes - 1) - s AS DOUBLE), 6) + 0.0
          |    ELSE CAST(1.0 AS DOUBLE) END AS ac1
          |FROM tot, ks, sx""".stripMargin,
     // q275: classifier replay, calibration binning, nano sqrt(p*q)
@@ -8099,10 +8100,10 @@ object PipelineQueries {
         |  CASE WHEN src_a = src_b THEN
         |    CASE WHEN ta.n >= 2 THEN
         |      ROUND(CAST(dot - qq AS DOUBLE) /
-        |        (CAST(ta.n AS DOUBLE) * (CAST(ta.n AS DOUBLE) - 1.0)) / 1e12, 6)
+        |        (CAST(ta.n AS DOUBLE) * (CAST(ta.n AS DOUBLE) - 1.0)) / 1e12, 6) + 0.0
         |      ELSE NULL END
         |    ELSE ROUND(CAST(dot AS DOUBLE) /
-        |      (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)) / 1e12, 6)
+        |      (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)) / 1e12, 6) + 0.0
         |  END AS mean_cos
         |FROM pr
         |JOIN tg ta ON pr.src_a = ta.label
@@ -8139,7 +8140,7 @@ object PipelineQueries {
         |  ROUND(CAST(qq AS DOUBLE) / CAST(n AS DOUBLE) / 1e12, 6) AS mean_self,
         |  CASE WHEN n >= 2 THEN
         |    ROUND(CAST(ss - qq AS DOUBLE) /
-        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12, 6)
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12, 6) + 0.0
         |    ELSE NULL END AS mean_pairwise_cos
         |FROM tt ORDER BY "group"""".stripMargin,
     // q272: gopher labels x source, exact counts, the fixed-order
@@ -8165,7 +8166,7 @@ object PipelineQueries {
          |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0)) AS half
          |  FROM w)
          |SELECT g AS "group", n, r, ROUND(p, 6) AS rate,
-         |  ROUND(center - half, 6) AS lo95,
+         |  ROUND(center - half, 6) + 0.0 AS lo95,
          |  ROUND(center + half, 6) AS hi95
          |FROM w2 ORDER BY "group"""".stripMargin,
     // q270: clean tokens, [.!?]+ sentence splits, vowel-group syllable
@@ -8228,13 +8229,13 @@ object PipelineQueries {
          |      (CAST(n AS HUGEINT) * swwn - swn * swn) AS b
          |  FROM ag)
          |SELECT n, r, k_buckets,
-         |  ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6) AS t_stat,
+         |  ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS t_stat,
          |  ROUND(CAST(b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
          |    CAST(n AS DOUBLE)), 6) AS var_t,
          |  CASE WHEN b > 0 THEN
          |    ROUND((CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) /
          |      sqrt(CAST(b AS DOUBLE) / (CAST(n AS DOUBLE) *
-         |        CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         |        CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) + 0.0
          |    ELSE NULL END AS z
          |FROM ab""".stripMargin,
     // q268: classifier + gopher replays, micro grids for all three
@@ -8277,11 +8278,11 @@ object PipelineQueries {
          |      (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) *
          |      CAST(sz AS DOUBLE))) AS ryz
          |  FROM m)
-         |SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
-         |  ROUND(ryz, 6) AS r_yz,
+         |SELECT n, ROUND(rxy, 6) + 0.0 AS r_xy, ROUND(rxz, 6) + 0.0 AS r_xz,
+         |  ROUND(ryz, 6) + 0.0 AS r_yz,
          |  CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0
          |    THEN ROUND((rxy - rxz * ryz) /
-         |      sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         |      sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) + 0.0
          |    ELSE NULL END AS r_partial
          |FROM rr""".stripMargin,
     // q266: BRUTE-FORCE all-pairs cosine on the same quantized grid —
@@ -8409,7 +8410,7 @@ object PipelineQueries {
          |  FROM tt, dv)
          |SELECT n1 AS n_pos, n0 AS n_neg, ROUND(auc, 6) AS auc,
          |  ROUND(se, 6) AS se,
-         |  ROUND(auc - 1.959964 * se, 6) AS lo95,
+         |  ROUND(auc - 1.959964 * se, 6) + 0.0 AS lo95,
          |  ROUND(auc + 1.959964 * se, 6) AS hi95
          |FROM fin""".stripMargin,
     // q263: group counts, the nano weight grid, the exact clip, both

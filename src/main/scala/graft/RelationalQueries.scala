@@ -1501,7 +1501,7 @@ object RelationalQueries {
         |SELECT type_a, type_b, n,
         |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_v
+        |         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS corr_v
         |FROM p
         |ORDER BY type_a, type_b""".stripMargin,
     "q106_hourly_anomaly" ->
@@ -1880,10 +1880,10 @@ object RelationalQueries {
         |ORDER BY user_id, session_id""".stripMargin,
     "q48_stats_agg" ->
       """SELECT l_returnflag,
-        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
         |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
         |  ROUND(var_samp(l_quantity), 4) AS var_qty,
-        |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS cov_qty_price
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
@@ -1973,7 +1973,7 @@ object RelationalQueries {
         |    (CAST(q_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) / n) / (n - 1) AS variance
         |  FROM st)
         |SELECT a.n AS n_a, a.mean AS mean_a, b.n AS n_b, b.mean AS mean_b,
-        |  ROUND((a.mean - b.mean) / SQRT(a.variance / a.n + b.variance / b.n), 6) AS welch_t
+        |  ROUND((a.mean - b.mean) / SQRT(a.variance / a.n + b.variance / b.n), 6) + 0.0 AS welch_t
         |FROM w a, w b WHERE a.variant = 'A' AND b.variant = 'B'""".stripMargin,
     // q214: micro-quantized hourly means, integer deviations, the
     // prefix-sum/running-min drawup identity, alarm at h = 100
@@ -2046,7 +2046,7 @@ object RelationalQueries {
         |        AND CAST(n1.n * (n1.n - 1) // 2 - ties_y AS DOUBLE) > 0
         |    THEN ROUND(CAST(concordant - discordant AS DOUBLE) /
         |      sqrt(CAST(n1.n * (n1.n - 1) // 2 - ties_x AS DOUBLE) *
-        |           CAST(n1.n * (n1.n - 1) // 2 - ties_y AS DOUBLE)), 6)
+        |           CAST(n1.n * (n1.n - 1) // 2 - ties_y AS DOUBLE)), 6) + 0.0
         |    ELSE CAST(0.0 AS DOUBLE) END AS tau_b
         |FROM s, n1""".stripMargin,
     // q217: pairwise IEEE slopes over the micro-mean grid, two median
@@ -2083,8 +2083,8 @@ object RelationalQueries {
         |  SELECT SUM(e) / CAST(COUNT(*) AS DOUBLE) AS icpt
         |  FROM r2 WHERE rn >= (np + 1) // 2 AND rn <= (np + 2) // 2)
         |SELECT n1.h AS n_points, n1.h * (n1.h - 1) // 2 AS n_pairs,
-        |  ROUND(med.slope / 1e6, 6) AS slope,
-        |  ROUND(med2.icpt / 1e6, 6) AS intercept
+        |  ROUND(med.slope / 1e6, 6) + 0.0 AS slope,
+        |  ROUND(med2.icpt / 1e6, 6) + 0.0 AS intercept
         |FROM n1, med, med2""".stripMargin,
     // q218: micro-mean grid, lag equi-joins (gaps drop pairs), expanded
     // moments S1 - xbar*S2 + p*xbar^2 over full-series denominator
@@ -2124,7 +2124,7 @@ object RelationalQueries {
         |          (CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
         |          (CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE))) /
         |      (CAST(tot.sxx AS DOUBLE) - CAST(tot.sx AS DOUBLE) *
-        |        CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+        |        CAST(tot.sx AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6) + 0.0
         |  END AS acf
         |FROM lags l LEFT JOIN pl USING (lag), tot
         |ORDER BY lag""".stripMargin,
@@ -2187,10 +2187,10 @@ object RelationalQueries {
         |  WHERE p.n1 < t.nb)
         |SELECT nb AS n_buckets, bucket AS break_bucket,
         |  n1 AS n_before, n2 AS n_after,
-        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0, 6) AS mean_before,
-        |  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000000.0, 6) AS mean_after,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0, 6) + 0.0 AS mean_before,
+        |  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000000.0, 6) + 0.0 AS mean_after,
         |  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000000.0
-        |    - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0, 6) AS shift
+        |    - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0, 6) + 0.0 AS shift
         |FROM cand
         |ORDER BY f DESC, bucket LIMIT 1""".stripMargin,
     "q236_cuped" ->
@@ -2243,9 +2243,9 @@ object RelationalQueries {
         |    ELSE num / denx END AS k
         |  FROM m2)
         |SELECT 'A' AS arm_a, 'B' AS arm_b, na AS n_a, nb AS n_b,
-        |  ROUND((myb - mya) / 1000000.0, 6) AS lift_raw,
-        |  ROUND(((myb - k * (mxb - xbar)) - (mya - k * (mxa - xbar))) / 1000000.0, 6) AS lift_cuped,
-        |  ROUND(k, 6) AS theta,
+        |  ROUND((myb - mya) / 1000000.0, 6) + 0.0 AS lift_raw,
+        |  ROUND(((myb - k * (mxb - xbar)) - (mya - k * (mxa - xbar))) / 1000000.0, 6) + 0.0 AS lift_cuped,
+        |  ROUND(k, 6) + 0.0 AS theta,
         |  CASE WHEN denx <= 0 OR deny <= 0 THEN CAST(0.0 AS DOUBLE)
         |    ELSE ROUND(num * num / (denx * deny), 6) END AS var_reduction
         |FROM m3""".stripMargin,
@@ -2304,7 +2304,7 @@ object RelationalQueries {
         |      sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
         |          CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE)) *
         |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
-        |          CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE))), 6) END AS ccf
+        |          CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE))), 6) + 0.0 END AS ccf
         |FROM lags l LEFT JOIN pl ON l.lag = pl.lag, totx, toty
         |ORDER BY l.lag""".stripMargin,
     // q246: micro-string first digits, 1..9 spine, closed-form Benford
@@ -2512,9 +2512,9 @@ object RelationalQueries {
         |  ROUND(v.var_, 6) AS var_s,
         |  CASE WHEN v.var_ > 0.0 THEN
         |    CASE WHEN sx.s > 0
-        |        THEN ROUND((CAST(sx.s AS DOUBLE) - 1.0) / sqrt(v.var_), 6)
+        |        THEN ROUND((CAST(sx.s AS DOUBLE) - 1.0) / sqrt(v.var_), 6) + 0.0
         |      WHEN sx.s < 0
-        |        THEN ROUND((CAST(sx.s AS DOUBLE) + 1.0) / sqrt(v.var_), 6)
+        |        THEN ROUND((CAST(sx.s AS DOUBLE) + 1.0) / sqrt(v.var_), 6) + 0.0
         |      ELSE CAST(0.0 AS DOUBLE) END
         |  ELSE CAST(0.0 AS DOUBLE) END AS z
         |FROM n1, sx, v""".stripMargin,
@@ -2574,19 +2574,19 @@ object RelationalQueries {
         |  FROM sides)
         |SELECT tot.nb AS n_buckets, brk.bucket AS break_bucket,
         |  np AS n_pre,
-        |  CASE WHEN denp <> 0.0 THEN ROUND(nump / denp / 1e6, 6)
+        |  CASE WHEN denp <> 0.0 THEN ROUND(nump / denp / 1e6, 6) + 0.0
         |    ELSE NULL END AS slope_pre,
         |  CASE WHEN denp <> 0.0
-        |    THEN ROUND((mypd - nump / denp * mxpd) / 1e6, 6)
+        |    THEN ROUND((mypd - nump / denp * mxpd) / 1e6, 6) + 0.0
         |    ELSE NULL END AS icpt_pre,
         |  nq AS n_post,
-        |  CASE WHEN denq <> 0.0 THEN ROUND(numq / denq / 1e6, 6)
+        |  CASE WHEN denq <> 0.0 THEN ROUND(numq / denq / 1e6, 6) + 0.0
         |    ELSE NULL END AS slope_post,
         |  CASE WHEN denq <> 0.0
-        |    THEN ROUND((myqd - numq / denq * mxqd) / 1e6, 6)
+        |    THEN ROUND((myqd - numq / denq * mxqd) / 1e6, 6) + 0.0
         |    ELSE NULL END AS icpt_post,
         |  CASE WHEN denp <> 0.0 AND denq <> 0.0
-        |    THEN ROUND((numq / denq - nump / denp) / 1e6, 6)
+        |    THEN ROUND((numq / denq - nump / denp) / 1e6, 6) + 0.0
         |    ELSE NULL END AS slope_change
         |FROM fits, tot, brk""".stripMargin,
     // q269: hourly error grid, the four nano log constants, integer
@@ -2621,7 +2621,7 @@ object RelationalQueries {
         |    ELSE 'continue' END AS decision
         |  FROM d)
         |SELECT bucket, n_obs, n_success, cum_n, cum_success,
-        |  ROUND(CAST(llr9 AS DOUBLE) / 1e9, 6) AS llr, decision,
+        |  ROUND(CAST(llr9 AS DOUBLE) / 1e9, 6) + 0.0 AS llr, decision,
         |  MIN(CASE WHEN decision <> 'continue' THEN bucket END)
         |    OVER (ORDER BY bucket
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stop_bucket

@@ -1314,10 +1314,10 @@ object VectorQueries {
          |  GROUP BY x.vec_id
          |  HAVING SUM(CAST(x.vm[g.p + 1] AS HUGEINT) * x.vm[g.p + 1]) > 0)
          |SELECT vec_id,
-         |  ROUND(CAST(d1 AS DOUBLE) / 1e12, 6) AS proj1,
+         |  ROUND(CAST(d1 AS DOUBLE) / 1e12, 6) + 0.0 AS proj1,
          |  ROUND((CAST(d1 AS DOUBLE) * CAST(d1 AS DOUBLE)) /
          |    (CAST(n2 AS DOUBLE) * CAST(v2_1 AS DOUBLE)), 6) AS r2_1,
-         |  ROUND(CAST(d2 AS DOUBLE) / 1e12, 6) AS proj2,
+         |  ROUND(CAST(d2 AS DOUBLE) / 1e12, 6) + 0.0 AS proj2,
          |  ROUND((CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE)) /
          |    (CAST(n2 AS DOUBLE) * CAST(v2_2 AS DOUBLE)), 6) AS r2_2
          |FROM proj, v2s

@@ -220,12 +220,6 @@ object Ivf {
       path: String, sub: String): Seq[String] =
     filterSub(spark, path, Manifest.livePaths(spark, path), sub)
 
-  /** [[liveWith]] at an explicit retained manifest version — the
-    * time-travel resolution ([[Manifest.stateAt]]). */
-  private def liveWithAt(spark: org.apache.spark.sql.SparkSession,
-      path: String, version: Long, sub: String): Seq[String] =
-    filterSub(spark, path, Manifest.livePathsAt(spark, path, version), sub)
-
   private def filterSub(spark: org.apache.spark.sql.SparkSession,
       path: String, paths: Seq[String], sub: String): Seq[String] = {
     val fs = fsOf(spark, path)
@@ -235,41 +229,62 @@ object Ivf {
   /** The committed corpus: every live delta's `cells` unioned — probes,
     * audits and rebuilds all read through this one snapshot view. */
   def readCells(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    val live = liveWith(spark, path, "cells")
-    require(live.nonEmpty, s"no live IVF index under $path — writeIndex first")
-    live.map(p => spark.read.parquet(s"$p/cells")).reduce(_ unionAll _)
-  }
+      path: String): DataFrame =
+    cellsSnap(spark, path, Manifest.current(spark, path),
+      s"no live IVF index under $path — writeIndex first")
 
   /** [[readCells]] AS OF a retained manifest version (time travel). */
   def readCellsAt(spark: org.apache.spark.sql.SparkSession,
-      path: String, version: Long): DataFrame = {
-    val live = liveWithAt(spark, path, version, "cells")
-    require(live.nonEmpty,
+      path: String, version: Long): DataFrame =
+    cellsSnap(spark, path, Manifest.stateAt(spark, path, version),
       s"manifest version $version of $path lists no cells deltas")
-    live.map(p => spark.read.parquet(s"$p/cells")).reduce(_ unionAll _)
-  }
+
+  /** The union scan PLAN over one committed snapshot's cells deltas,
+    * cached by (dir, manifest version) — the plan (listing, existence
+    * probes, parquet schema resolution) is a pure function of the
+    * immutable snapshot, so repeat probes rebuild none of it; the DATA
+    * is deliberately NOT persisted (cells are corpus-sized — the scan
+    * itself stays partition-pruned per probe). */
+  private def cellsSnap(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: Manifest.State, emptyMsg: String): DataFrame =
+    SnapshotCache.getOrCompute(
+      SnapshotCache.key(spark, "ivf", path, snap.version, "cells")) {
+      val live =
+        filterSub(spark, path, snap.deltas.map(d => s"$path/$d"), "cells")
+      require(live.nonEmpty, emptyMsg)
+      live.map(p => spark.read.parquet(s"$p/cells")).reduce(_ unionAll _)
+    }()
 
   /** Load the coarse quantizer persisted by [[writeIndex]] — the newest
     * committed delta carrying a `model` (exactly one after any rebuild,
     * since builds commit `removeAll`). */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
-      path: String): IvfModel = {
-    val live = liveWith(spark, path, "model")
-    require(live.nonEmpty, s"no live IVF model under $path — writeIndex first")
-    modelFrom(spark, live.last)
-  }
+      path: String): IvfModel =
+    modelSnap(spark, path, Manifest.current(spark, path),
+      s"no live IVF model under $path — writeIndex first")
 
   /** [[loadModel]] AS OF a retained manifest version — after a
     * [[rebuildIfStale]] retrain this is the OLD quantizer, so a
     * time-travel probe reproduces pre-rebuild serving exactly. */
   def loadModelAt(spark: org.apache.spark.sql.SparkSession,
-      path: String, version: Long): IvfModel = {
-    val live = liveWithAt(spark, path, version, "model")
-    require(live.nonEmpty,
+      path: String, version: Long): IvfModel =
+    modelSnap(spark, path, Manifest.stateAt(spark, path, version),
       s"manifest version $version of $path lists no model delta")
-    modelFrom(spark, live.last)
-  }
+
+  /** The collected quantizer of one committed snapshot, cached by
+    * (dir, manifest version) — the centroid collect is a Spark job the
+    * r15 serving path re-ran on EVERY probe; the model is nc × dim
+    * floats (model-sized by construction). Rebuilds publish a new
+    * version → new key; time travel pins old versions. */
+  private def modelSnap(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: Manifest.State, emptyMsg: String): IvfModel =
+    SnapshotCache.getOrCompute(
+      SnapshotCache.key(spark, "ivf", path, snap.version, "model")) {
+      val live =
+        filterSub(spark, path, snap.deltas.map(d => s"$path/$d"), "model")
+      require(live.nonEmpty, emptyMsg)
+      modelFrom(spark, live.last)
+    }()
 
   private def modelFrom(spark: org.apache.spark.sql.SparkSession,
       delta: String): IvfModel = {
@@ -462,9 +477,18 @@ object Ivf {
     * should join on ivf_cell instead and rely on dynamic partition
     * pruning. Re-rank is identical to [[topK]]. */
   def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
-    probeFrom(loadModel(spark, path), readCells(spark, path),
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    // ONE pointer resolution for model + cells — the pair always reads
+    // the same committed snapshot (never a torn quantizer/corpus view
+    // across a concurrent rebuild)
+    val snap = Manifest.current(spark, path)
+    probeFrom(
+      modelSnap(spark, path, snap,
+        s"no live IVF model under $path — writeIndex first"),
+      cellsSnap(spark, path, snap,
+        s"no live IVF index under $path — writeIndex first"),
       queries, k, nprobe)
+  }
 
   /** TIME TRAVEL probing — [[LmIndex.scoreAt]] / [[TextIndex
     * .probeIndexAt]]'s contract for the vector family: probe the index
@@ -474,9 +498,15 @@ object Ivf {
     * the pre-append version is bit-equal to probing a fresh index built
     * on the historic corpus alone (q191 oracle + IvfSpec). */
   def probeIndexAt(spark: org.apache.spark.sql.SparkSession, path: String,
-      version: Long, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
-    probeFrom(loadModelAt(spark, path, version),
-      readCellsAt(spark, path, version), queries, k, nprobe)
+      version: Long, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val snap = Manifest.stateAt(spark, path, version)
+    probeFrom(
+      modelSnap(spark, path, snap,
+        s"manifest version $version of $path lists no model delta"),
+      cellsSnap(spark, path, snap,
+        s"manifest version $version of $path lists no cells deltas"),
+      queries, k, nprobe)
+  }
 
   private def probeFrom(m: IvfModel, allCells: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
@@ -510,12 +540,15 @@ object Ivf {
     * filter prunes at plan time instead. Results are identical. */
   def probeIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    val m = loadModel(spark, path)
+    val snap = Manifest.current(spark, path)
+    val m = modelSnap(spark, path, snap,
+      s"no live IVF model under $path — writeIndex first")
     val probes = queries
       .withColumn("_graft_qu", unit(col("qv")))
       .select(col("q_id"), col("qv"),
         explode(probeCellsUnit(col("_graft_qu"), m, nprobe)).as("ivf_cell"))
-    val cells = readCells(spark, path)
+    val cells = cellsSnap(spark, path, snap,
+      s"no live IVF index under $path — writeIndex first")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id"))
     cells.join(broadcast(probes), Seq("ivf_cell"))

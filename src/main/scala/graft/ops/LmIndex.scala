@@ -115,9 +115,9 @@ object LmIndex {
   def score(s: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
       alpha: Double = 0.4, hotK: Int = Skew.Auto): DataFrame = {
-    val paths = Manifest.livePaths(s, dir)
-    require(paths.nonEmpty, s"no live LM model under $dir — build() first")
-    scoreFrom(s, paths, batch, idCol, textCol, alpha, hotK)
+    val snap = Manifest.current(s, dir)
+    require(snap.deltas.nonEmpty, s"no live LM model under $dir — build() first")
+    scoreFrom(s, dir, snap, batch, idCol, textCol, alpha, hotK)
   }
 
   /** TIME TRAVEL serving: score against the model AS OF an explicit
@@ -133,26 +133,51 @@ object LmIndex {
   def scoreAt(s: SparkSession, dir: String, version: Long, batch: DataFrame,
       idCol: String, textCol: String,
       alpha: Double = 0.4, hotK: Int = Skew.Auto): DataFrame = {
-    val paths = Manifest.livePathsAt(s, dir, version)
-    require(paths.nonEmpty,
+    val snap = Manifest.stateAt(s, dir, version)
+    require(snap.deltas.nonEmpty,
       s"manifest version $version of $dir lists no deltas — empty model")
-    scoreFrom(s, paths, batch, idCol, textCol, alpha, hotK)
+    scoreFrom(s, dir, snap, batch, idCol, textCol, alpha, hotK)
   }
 
-  private def scoreFrom(s: SparkSession, paths: Seq[String], batch: DataFrame,
-      idCol: String, textCol: String,
-      alpha: Double, hotK: Int): DataFrame = {
+  /** The re-aggregated count tables of ONE committed snapshot,
+    * persisted and cached by (dir, manifest version) in
+    * [[SnapshotCache]] — deltas are immutable after commit, so the
+    * aggregation is a pure function of the snapshot and repeat probes
+    * against the same version read NOTHING from the delta stack (the
+    * r15 regression: every score call re-listed and re-aggregated).
+    * An append/compact/rebuild publishes a new version → new key;
+    * time travel pins old versions → their own keys. The tables are
+    * vocabulary-sized, so persisting them honors the cache's
+    * model-sized-only memory contract. */
+  private def modelTables(s: SparkSession, dir: String,
+      snap: Manifest.State): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    val paths = snap.deltas.map(d => s"$dir/$d")
+    SnapshotCache.getOrCompute(
+      SnapshotCache.key(s, "lm", dir, snap.version)) {
+      val tri = s.read.parquet(paths.map(p => s"$p/tri"): _*)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("c123")).as("c123"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bi = s.read.parquet(paths.map(p => s"$p/bi"): _*)
+        .groupBy(col("wa"), col("wb")).agg(sum(col("cab")).as("cab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val uni = s.read.parquet(paths.map(p => s"$p/uni"): _*)
+        .groupBy(col("w")).agg(sum(col("c")).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (tri, bi, uni)
+    } { case (t, b, u) =>
+      t.unpersist(false); b.unpersist(false); u.unpersist(false)
+    }
+  }
+
+  private def scoreFrom(s: SparkSession, dir: String, snap: Manifest.State,
+      batch: DataFrame, idCol: String, textCol: String,
+      alpha: Double, hotK: Int): DataFrame = {
+    val (tri, bi, uni) = modelTables(s, dir, snap)
     TextAnalysis.scoreBackoffTrigrams(
       TextAnalysis.docTrigrams(batch, idCol, textCol).localCheckpoint(true),
-      idCol,
-      s.read.parquet(paths.map(p => s"$p/tri"): _*)
-        .groupBy(col("w1"), col("w2"), col("w3"))
-        .agg(sum(col("c123")).as("c123")),
-      s.read.parquet(paths.map(p => s"$p/bi"): _*)
-        .groupBy(col("wa"), col("wb")).agg(sum(col("cab")).as("cab")),
-      s.read.parquet(paths.map(p => s"$p/uni"): _*)
-        .groupBy(col("w")).agg(sum(col("c")).as("c")),
-      alpha, hotK)
+      idCol, tri, bi, uni, alpha, hotK)
   }
 }

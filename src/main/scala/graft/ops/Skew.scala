@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Skew mitigation for joins and aggregations (SCALE.md): when one key
   * carries a disproportionate share of rows (a viral user_id, an empty-
@@ -82,33 +83,55 @@ object Skew {
     * a hard-coded 4096 over-broadcasts a small vocabulary and
     * under-protects a heavy-tailed one.
     *
-    * Cost: one vocab-sized aggregate + a TakeOrdered of `maxHotK`
-    * weights to the driver (a bounded, config-sized collect — the
-    * repo's accepted model/probe pattern) + a 1-row total. Because
-    * [[hotColdJoin]]'s routing never changes a value, ANY K gives
-    * row-identical results (SkewSpec property), so auto-K is purely a
-    * performance knob. */
+    * Cost: one vocab-sized aggregate (via [[rankedHead]] — the same
+    * single probe [[hotColdJoin]] reuses for its hot-key set, so Auto
+    * mode inside a join adds NO extra pass). Because [[hotColdJoin]]'s
+    * routing never changes a value, ANY K gives row-identical results
+    * (SkewSpec property), so auto-K is purely a performance knob. */
   def autoHotK(lookup: DataFrame, keys: Seq[String], weight: Column,
       massFrac: Double = 0.95, maxHotK: Int = 65536): Int = {
     require(massFrac > 0.0 && massFrac <= 1.0,
       s"massFrac must lie in (0, 1], got $massFrac")
     require(maxHotK >= 1, s"maxHotK must be >= 1, got $maxHotK")
+    val (total, head) = rankedHead(lookup, keys, weight, maxHotK)
+    massCoverK(head, total, massFrac)
+  }
+
+  /** ONE-job ranked-head probe shared by [[autoHotK]] and
+    * [[hotColdJoin]]: a vocab-sized (keys → max weight) aggregate whose
+    * FINAL aggregate computes both the total weight mass and the top
+    * `maxK` (keys…, weight) rows via the bounded-heap
+    * [[graft.expr.TopKBy]] — so deriving K and selecting the hot keys
+    * costs one aggregate job and one config-bounded driver collect,
+    * never a second TakeOrdered or total pass. Head rows come back
+    * sorted by weight desc, keys asc (the `-weight` ascending trick
+    * keeps the historical deterministic tie-break); null weights are
+    * excluded from both ranking and total. */
+  private def rankedHead(lookup: DataFrame, keys: Seq[String],
+      weight: Column, maxK: Int): (Double, Array[Row]) = {
     val kw = lookup
       .groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(max(weight).cast("double").as("__graft_w"))
-    val top = kw
-      .orderBy(col("__graft_w").desc +: keys.map(k => col(k).asc): _*)
-      .limit(maxHotK)
-      .select(col("__graft_w"))
-      .collect().map(_.getDouble(0))
-    if (top.isEmpty) return 1
-    val totalRow = kw.agg(sum(col("__graft_w"))).head()
-    val total = if (totalRow.isNullAt(0)) 0.0 else totalRow.getDouble(0)
-    if (total <= 0.0) return 1
+      .filter(col("__graft_w").isNotNull)
+    val ord = struct((-col("__graft_w")) +: keys.map(col).toIndexedSeq: _*)
+    val payload = struct(keys.map(col).toIndexedSeq :+ col("__graft_w"): _*)
+    val row = kw.agg(sum(col("__graft_w")).as("_t"),
+      graft.expr.TopKBy.bottom(payload, ord, maxK).as("_h")).head()
+    val total = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val head = row.getSeq[Row](1).toArray
+    (total, head)
+  }
+
+  /** Smallest K whose top-K weights cover `massFrac` of `total`,
+    * floored at 1 — the driver-side tail of [[autoHotK]] over an
+    * already-collected ranked head. */
+  private def massCoverK(head: Array[Row], total: Double,
+      massFrac: Double): Int = {
+    if (head.isEmpty || total <= 0.0) return 1
     var cum = 0.0
     var k = 0
-    while (k < top.length && cum < massFrac * total) {
-      cum += top(k); k += 1
+    while (k < head.length && cum < massFrac * total) {
+      cum += head(k).getDouble(head(k).length - 1); k += 1
     }
     math.max(k, 1)
   }
@@ -122,17 +145,19 @@ object Skew {
         !lookup.columns.contains("__graft_hot"),
       "hotColdJoin reserves the working column name __graft_hot")
     val lkp = lookup.localCheckpoint(eager = false)
-    // hotK <= 0 (the [[Auto]] sentinel): derive K from the checkpointed
-    // lookup's weight mass — results are K-invariant, only routing moves
-    val k = if (hotK > 0) hotK else autoHotK(lkp, keys, weight)
-    // top-K KEYS by max row weight (deterministic tie-break on the
-    // keys) — a map-side-combined vocab-sized aggregate + TakeOrdered
-    val hotKeys = lkp
-      .groupBy(keys.map(col).toIndexedSeq: _*)
-      .agg(max(weight).as("__graft_w"))
-      .orderBy(col("__graft_w").desc +: keys.map(k => col(k).asc): _*)
-      .limit(k)
-      .select(keys.map(col).toIndexedSeq: _*)
+    // ONE ranked-head probe serves both the Auto-K derivation and the
+    // hot KEY set (weight desc, keys asc — deterministic); results are
+    // K-invariant, only routing moves, so Auto's massFrac is purely a
+    // performance knob
+    val (total, head) = rankedHead(lkp, keys, weight,
+      if (hotK > 0) hotK else 65536)
+    val k = if (hotK > 0) hotK else massCoverK(head, total, 0.95)
+    // the hot keys are already on the driver — ship them back as a
+    // LOCAL relation (broadcast-ready, zero recompute of the ranking)
+    val keySchema = StructType(keys.map(n => lookup.schema(n)))
+    val hotRows: java.util.List[Row] = java.util.Arrays.asList(
+      head.take(k).map(r => Row.fromSeq(keys.indices.map(r.get))): _*)
+    val hotKeys = lookup.sparkSession.createDataFrame(hotRows, keySchema)
     val hot = lkp.join(broadcast(hotKeys), keys.toIndexedSeq)
     val tagged = left.join(
       broadcast(hot.withColumn("__graft_hot", lit(1))), keys.toIndexedSeq, "left")

@@ -1555,9 +1555,13 @@ object TextAnalysis {
     val cov = nD * s("_sxy") - s("_sx") * s("_sy")
     val beta = cov / varX
     val lnK = (s("_sy") - beta * s("_sx")) / nD
+    // `+ 0.0` after the final round canonicalizes IEEE −0.0 to +0.0
+    // (a flat curve gives cov an infinitesimal NEGATIVE zero whose sign
+    // bit survives rounding and breaks byte-hash replay against engines
+    // that keep it — SURVEY §7.4's signed-zero convention)
     sums.select(col("points"),
-      round(beta, 6).as("beta"),
-      round(lnK, 6).as("ln_k"),
+      (round(beta, 6) + lit(0.0d)).as("beta"),
+      (round(lnK, 6) + lit(0.0d)).as("ln_k"),
       round(exp(lnK), 6).as("k"),
       when(varY > 0.0d, round(cov * cov / (varX * varY), 6))
         .otherwise(lit(1.0d)).as("r2"))

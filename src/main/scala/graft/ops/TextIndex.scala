@@ -151,9 +151,10 @@ object TextIndex {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // ONE manifest resolution shared by postings/docstats/stats — a
     // consistent committed snapshot even while appends land concurrently
-    val live = Manifest.livePaths(s, path)
-    require(live.nonEmpty, s"no live text index under $path — writeIndex first")
-    probeFrom(s, live, idCol, queries, buckets, k1, b)
+    val snap = Manifest.current(s, path)
+    require(snap.deltas.nonEmpty,
+      s"no live text index under $path — writeIndex first")
+    probeFrom(s, path, snap, idCol, queries, buckets, k1, b)
   }
 
   /** TIME TRAVEL serving — [[LmIndex.scoreAt]]'s contract for the text
@@ -165,10 +166,10 @@ object TextIndex {
   def probeIndexAt(s: SparkSession, path: String, version: Long,
       idCol: String, queries: Seq[(Long, String)], buckets: Int = 64,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val live = Manifest.livePathsAt(s, path, version)
-    require(live.nonEmpty,
+    val snap = Manifest.stateAt(s, path, version)
+    require(snap.deltas.nonEmpty,
       s"manifest version $version of $path lists no deltas — empty index")
-    probeFrom(s, live, idCol, queries, buckets, k1, b)
+    probeFrom(s, path, snap, idCol, queries, buckets, k1, b)
   }
 
   /** Which documents entered or left the index between two retained
@@ -198,24 +199,44 @@ object TextIndex {
           .otherwise("same").as("change"))
   }
 
-  private def probeFrom(s: SparkSession, live: Seq[String], idCol: String,
-      queries: Seq[(Long, String)], buckets: Int,
+  /** One snapshot's serving plans, cached by (dir, manifest version):
+    * the unfiltered postings union PLAN (per-probe term/bucket filters
+    * apply on top and still push through the Union into each scan), the
+    * docstats plan, and the 1-row global stats aggregate PERSISTED (it
+    * is re-counted per probe otherwise — the only data small enough to
+    * hold under the cache's model-sized contract; postings stay an
+    * unpersisted plan, pruned per probe). */
+  private def snapPlans(s: SparkSession, path: String, snap: Manifest.State,
+      idCol: String): (DataFrame, DataFrame, DataFrame) =
+    SnapshotCache.getOrCompute(
+      SnapshotCache.key(s, "text", path, snap.version, idCol)) {
+      val live = snap.deltas.map(d => s"$path/$d")
+      val postings = live
+        .map(p => s.read.parquet(s"$p/postings")
+          .select(col("bucket"), col("token"), col(idCol), col("tf")))
+        .reduce(_ unionAll _)
+      val dl = s.read.parquet(live.map(p => s"$p/docstats"): _*)
+      val stats = s.read.parquet(live.map(p => s"$p/stats"): _*)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_len")).as("total_len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (postings, dl, stats)
+    } { case (_, _, st) => st.unpersist(false) }
+
+  private def probeFrom(s: SparkSession, path: String, snap: Manifest.State,
+      idCol: String, queries: Seq[(Long, String)], buckets: Int,
       k1: Double, b: Double): DataFrame = {
     val qTerms = queries
       .flatMap { case (q, t) => normTokens(t).distinct.map(q -> _) }.distinct
     val probeTerms = qTerms.map(_._2).distinct
     require(probeTerms.nonEmpty, "queries produced no probe terms")
     val bucketLits = probeTerms.map(termBucket(_, buckets)).distinct
-    val postings = live.map { p =>
-        s.read.parquet(s"$p/postings")
-          .filter(col("bucket").isin(bucketLits.map(x => x: Any): _*))
-          .filter(col("token").isin(probeTerms.map(x => x: Any): _*))
-          .select(col("token"), col(idCol), col("tf"))
-      }.reduce(_ unionAll _)
+    val (allPostings, dl, stats) = snapPlans(s, path, snap, idCol)
+    val postings = allPostings
+      .filter(col("bucket").isin(bucketLits.map(x => x: Any): _*))
+      .filter(col("token").isin(probeTerms.map(x => x: Any): _*))
+      .select(col("token"), col(idCol), col("tf"))
     val docFreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dl = s.read.parquet(live.map(p => s"$p/docstats"): _*)
-    val stats = s.read.parquet(live.map(p => s"$p/stats"): _*)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
     import s.implicits._
     val qt = qTerms.toDF("q_id", "token")
     postings.join(broadcast(docFreq), Seq("token"))

@@ -829,6 +829,39 @@ class TextAnalysisSpec extends SparkSpecBase {
       "cum_tokens", "cum_vocab"))
   }
 
+  test("heapsFit: a FLAT curve reads beta = canonical +0.0, never -0.0") {
+    // constant vocabulary across growing token totals — cov is an
+    // infinitesimal NEGATIVE (the q208 signed-zero replay hole): the
+    // readout must canonicalize to +0.0 so byte-hash replay against an
+    // engine that preserves ROUND's sign bit (DuckDB) still matches
+    val flat = Seq((100L, 31L), (250L, 31L), (700L, 31L), (1300L, 31L))
+      .toDF("cum_tokens", "cum_vocab")
+    val got = TextAnalysis.heapsFit(flat, "cum_tokens", "cum_vocab")
+      .select($"beta", $"ln_k").as[(Double, Double)].head()
+    assert(got._1 == 0.0d, got.toString)
+    assert(java.lang.Double.doubleToRawLongBits(got._1) == 0L,
+      s"beta must be +0.0 bit-for-bit, got raw bits " +
+        java.lang.Double.doubleToRawLongBits(got._1))
+    // intercept is the (rounded) mean of the constant ln V
+    assert(got._2 == 3.433987d, got.toString)
+  }
+
+  test("signed-zero convention: Spark round() normalizes -0.0 (SURVEY §7.4)") {
+    // the repo's replay convention rests on this: Spark's BigDecimal
+    // round can NEVER emit -0.0, so every rounded Spark readout is
+    // already canonical and only the DuckDB oracle side (whose ROUND
+    // preserves the sign bit) needs the `+ 0.0` normalization
+    val r = spark.range(1).select(
+      round(lit(-0.0d), 6).as("a"),
+      round(lit(-1e-9d), 6).as("b"),
+      round(lit(-4e-7d), 6).as("c")).head()
+    Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2)).foreach { v =>
+      assert(java.lang.Double.doubleToRawLongBits(v) == 0L,
+        s"expected canonical +0.0, got raw bits " +
+          java.lang.Double.doubleToRawLongBits(v))
+    }
+  }
+
   test("goodTuring: hand-traced count-of-counts, r*, missing mass") {
     // corpus "a a a b b c": counts a=3 b=2 c=1 -> N=6, N1=N2=N3=1
     // r=1: r* = 2*N2/N1 = 2, p = 2/6; r=2: r* = 3*N3/N2 = 3, p = 3/6

@@ -73,6 +73,31 @@ def main(sf_dir: str, out_dir: str) -> int:
             # DuckDB HUGEINT vs Spark int64 difference must fail here too.
             pd.testing.assert_frame_equal(g, w, check_dtype=True,
                                           check_exact=True)
+            # BIT-STRICT pass: value compare treats -0.0 == 0.0, the
+            # driver's byte hash does not (the q208 heaps-law miss) —
+            # re-compare float columns at the raw-bits level.
+            import numpy as np
+            bitfail = None
+            for c in g.columns:
+                if str(g[c].dtype).startswith("float"):
+                    gb = g[c].to_numpy()
+                    wb = w[c].to_numpy()
+                    gm, wm = np.isnan(gb), np.isnan(wb)
+                    neq = ~(gm & wm) & ((gm != wm) | (gb != wb) |
+                                        (np.signbit(gb) != np.signbit(wb)))
+                    if neq.any():
+                        i = int(np.argmax(neq))
+                        bitfail = (c, gb[i], wb[i],
+                                   bool(np.signbit(gb[i])),
+                                   bool(np.signbit(wb[i])))
+                        break
+            if bitfail is not None:
+                c, gv, wv, gs, ws = bitfail
+                print(f"FAIL {name}: BIT-STRICT mismatch in '{c}': "
+                      f"{gv!r} (signbit={gs}) vs {wv!r} (signbit={ws}) — "
+                      f"likely a -0.0 sign bit; SURVEY §7.4 convention")
+                n_fail += 1
+                continue
             print(f"PASS {name}: {len(g)} rows")
             n_pass += 1
         except AssertionError as e:
