@@ -51,8 +51,14 @@ object ClassifierEval {
     *
     * Degenerate input (both columns constant and equal — the only way
     * p_e = 1, by Cauchy–Schwarz it forces agree = N) reports κ = 1.0,
-    * documented rather than NaN. */
+    * documented rather than NaN.
+    *
+    * The N², N·agree and Σ nₐ·n_b products run in DECIMAL(38,0) (the
+    * [[gwetAc1]] discipline), so the statistic is exact at any row
+    * count a long can hold — not just below the ~3·10⁹ ceiling where
+    * a plain long N² wraps. */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val c = cells(df, aCol, bCol).localCheckpoint(true) // cells²-sized, read 3×
     val tot = c.agg(
       sum(col("n")).as("n_total"),
@@ -61,7 +67,8 @@ object ClassifierEval {
     val s = c.groupBy(col("a")).agg(sum(col("n")).as("na"))
       .join(c.groupBy(col("b")).agg(sum(col("n")).as("nb")),
         col("a") === col("b"))
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("s"))
+      .agg(coalesce(sum(col("na").cast(dec) * col("nb")),
+        lit(0L).cast(dec)).as("s"))
     tot.crossJoin(broadcast(s))
       .select(
         col("n_total").as("n"),
@@ -71,10 +78,13 @@ object ClassifierEval {
         round(col("s").cast("double") /
           (col("n_total").cast("double") * col("n_total").cast("double")), 6)
           .as("pe"),
-        when(col("n_total") * col("n_total") - col("s") === 0L, lit(1.0d))
+        when(col("n_total").cast(dec) * col("n_total") - col("s") ===
+            lit(0L).cast(dec), lit(1.0d))
           .otherwise(round(
-            (col("n_total") * col("agree") - col("s")).cast("double") /
-              (col("n_total") * col("n_total") - col("s")).cast("double"), 6))
+            (col("n_total").cast(dec) * col("agree") - col("s"))
+              .cast("double") /
+              (col("n_total").cast(dec) * col("n_total") - col("s"))
+                .cast("double"), 6))
           .as("kappa"))
   }
 
@@ -1111,7 +1121,12 @@ object ClassifierEval {
       .withColumn("_u", conv(substring(
         md5(concat_ws(":", col("_id"), col("_r"))), 1, 8), 16, 10)
         .cast("long"))
-      .withColumn("_pa", col("_u") * col("_n") < col("_coa") * lit(4294967296L))
+      // DECIMAL cross-multiply: _u is a 32-bit uniform (≤ ~4.3e9), so
+      // _u·n and _coa·2³² in plain long arithmetic would wrap past
+      // ~2.1e9 rows per group — route both through decimal(38,0) like
+      // every other cross-multiplied compare in this file
+      .withColumn("_pa", col("_u").cast(dec) * col("_n") <
+        col("_coa").cast(dec) * lit(4294967296L))
       .groupBy(col("g"), col("_r")).agg(
         coalesce(sum(when(col("_pa"), col("_sm"))), lit(0L)).as("_spa"),
         coalesce(sum(when(col("_pa"), lit(1L)).otherwise(lit(0L))), lit(0L))

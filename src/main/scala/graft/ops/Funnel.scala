@@ -126,6 +126,17 @@ object Funnel {
     * n_risk = #{lifespan ≥ t}, hazard = d∕n and
     * S(t) = Π_{tᵢ ≤ t}(1 − dᵢ∕nᵢ).
     *
+    * ALL-CENSORED contract (explicit, spec-pinned): when every user's
+    * last activity falls in the horizon period — single-period data, or
+    * a cohort with no churn — there are NO event times, so the curve
+    * has no steps and the output is an EMPTY frame. That reads as "no
+    * churn observed anywhere in the window" (S(t) = 1 throughout), not
+    * "no data": downstream consumers that need an explicit S = 1 row
+    * should treat zero rows as the flat unit curve. KM steps exist only
+    * at event times by definition; minting a synthetic t = 0 row would
+    * put a non-step into every NON-degenerate curve consumer's join
+    * keys too.
+    *
     * Determinism: all counts are exact integers; each survival factor's
     * ln((n−d)∕n) nano-quantizes to a long, the running product is a
     * bounded-grid prefix SUM of those longs, and S floats once through

@@ -346,6 +346,9 @@ object Ivf {
             .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
       }
     }
+    // exactly-once ingest markers ride the merge: a replayed streaming
+    // batch must still find its idempotency key after compaction
+    Manifest.copyMarkers(spark, path, cellsDeltas, staging)
     Manifest.commit(spark, path, Seq(staging), remove = cellsDeltas)
     Manifest.gc(spark, path)
   }

@@ -170,6 +170,63 @@ object Manifest {
     committed
   }
 
+  // ---- idempotency markers (streaming exactly-once appends) --------
+
+  private val MarkerPrefix = "_key_"
+
+  private def markerName(key: String): String = {
+    require(key.matches("[A-Za-z0-9_=.-]+"),
+      s"idempotency key must be filename-safe [A-Za-z0-9_=.-]+, got '$key'")
+    MarkerPrefix + key
+  }
+
+  /** Tag a STAGED delta with an idempotency key (an empty marker file at
+    * the delta root, sibling of its tables — parquet reads of
+    * `<delta>/<table>` never see it). Call before [[commit]]; after the
+    * commit the key is discoverable via [[isCommitted]], which is what
+    * makes a foreachBatch append EXACTLY-ONCE: a replayed micro-batch
+    * (crash after commit, before the stream checkpoint) finds its
+    * `batch=<id>` key already live and skips — the [[graft.streaming
+    * .CurationIngest]] `batch=` discipline, expressed on the manifest
+    * instead of on partition dirs. */
+  def mark(spark: SparkSession, stagingDir: String, key: String): Unit = {
+    val (fs, _) = fsOf(spark, stagingDir)
+    val out = fs.create(
+      new Path(stagingDir, markerName(key)), false)
+    out.close()
+  }
+
+  /** Whether any LIVE delta of the current snapshot carries `key` —
+    * the replay probe of the exactly-once append. O(live deltas)
+    * existence checks, driver-side. Compactions must carry markers
+    * forward ([[copyMarkers]]) or replays older than the last
+    * checkpoint could re-append (single-maintainer contract: compaction
+    * never races an active ingest checkpoint). */
+  def isCommitted(spark: SparkSession, dir: String, key: String): Boolean = {
+    val (fs, base) = fsOf(spark, dir)
+    val name = markerName(key)
+    current(spark, dir).deltas
+      .exists(d => fs.exists(new Path(new Path(base, d), name)))
+  }
+
+  /** Copy every idempotency marker from `fromDeltaNames` (live delta
+    * names) into `toStaging` — the compaction hook that keeps
+    * [[isCommitted]] true across a merge of marked deltas. */
+  def copyMarkers(spark: SparkSession, dir: String,
+      fromDeltaNames: Seq[String], toStaging: String): Unit = {
+    val (fs, base) = fsOf(spark, dir)
+    fromDeltaNames.foreach { d =>
+      val dp = new Path(base, d)
+      if (fs.exists(dp)) fs.listStatus(dp).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(MarkerPrefix)) {
+          val t = new Path(toStaging, n)
+          if (!fs.exists(t)) fs.create(t, false).close()
+        }
+      }
+    }
+  }
+
   /** The retained version history, oldest first — which snapshots
     * [[stateAt]] can still reach: one row per manifest file under
     * `_manifest/` that [[gc]] has not yet pruned. The operational

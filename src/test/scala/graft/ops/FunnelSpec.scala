@@ -144,6 +144,22 @@ class FunnelSpec extends SparkSpecBase {
       (1L, 1L, 1L, 1.0d, 0.0d)), got.toString)
   }
 
+  test("kaplanMeier: all-censored cohort = EMPTY frame (the documented " +
+      "'no churn observed' contract), never a crash") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00")
+    // every user's last activity falls in the horizon period (day 2):
+    // zero event times, zero KM steps — S(t) = 1 reads as zero rows
+    val e = Seq(
+      (1L, d(0)), (1L, d(2)),
+      (2L, d(1)), (2L, d(2)),
+      (3L, d(2))).toDF("user_id", "ts")
+    val got = Funnel.kaplanMeier(e, "user_id", "ts").collect()
+    assert(got.isEmpty, got.mkString(","))
+    // single-period data is the same degenerate case
+    val single = Seq((1L, d(0)), (2L, d(0))).toDF("user_id", "ts")
+    assert(Funnel.kaplanMeier(single, "user_id", "ts").collect().isEmpty)
+  }
+
   test("kaplanMeier: typed guards") {
     intercept[IllegalArgumentException](Funnel.kaplanMeier(
       Seq((Option.empty[Long], ts(1))).toDF("user_id", "ts"),
