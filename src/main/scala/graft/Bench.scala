@@ -111,7 +111,9 @@ object Bench {
     "q260_ngram_diversity", "q261_segmented_trend", "q262_skew_report",
     "q263_importance_weights", "q264_ks_p", "q265_auc_ci",
     "q266_cosine_tf", "q267_ca_trend", "q268_partial_corr",
-    "q269_sprt", "q270_readability", "q271_label_isotropy", "q272_wilson", "q273_cvm", "q274_label_separation", "q275_hellinger", "q276_gwet_ac1")
+    "q269_sprt", "q270_readability", "q271_label_isotropy", "q272_wilson",
+    "q273_cvm", "q274_label_separation", "q275_hellinger", "q276_gwet_ac1",
+    "q277_jarque_bera", "q284_effect_size", "q288_logrank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

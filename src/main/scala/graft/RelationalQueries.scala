@@ -973,6 +973,53 @@ object RelationalQueries {
     graft.ops.Funnel.kaplanMeier(Tables.events(s, dir), "user_id", "ts")
   }
 
+  /** q277: JARQUE–BERA normality audit of event value per type
+    * ([[graft.ops.ClassifierEval.jarqueBera]]) — the shape gate in
+    * front of the whole t/z family (q106 per-hour z, q154 Welch,
+    * q236 CUPED): moment skewness, excess kurtosis and the χ²₂ JB
+    * statistic per event_type, exactly the readout that says "this
+    * metric is heavy-tailed — use the rank tests". Oracle replays the
+    * milli grid, the rounded mean, all three exact central sums and
+    * the fixed-order readouts. */
+  def eventValueJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.jarqueBera(
+      Tables.events(s, dir).select($"event_type", $"value"),
+      "event_type", "value")
+  }
+
+  /** q284: STANDARDIZED EFFECT SIZES for the q154 A/B split
+    * ([[graft.ops.ClassifierEval.effectSizes]]) — Cohen's d, Hedges' g
+    * and Glass's Δ on the same hash-bucketed arms: the magnitude
+    * companion to q154's Welch t (significant ≠ large) and the input
+    * q250's power planner actually wants. Oracle replays the bucket
+    * split, the exact DECIMAL moments and the three fixed-order
+    * ratios. */
+  def experimentEffectSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.effectSizes(
+      Tables.events(s, dir).withColumn("variant",
+        when(graft.ops.Sampling.hashBucket($"user_id") < 50, "A")
+          .otherwise("B")),
+      "variant", "value", "A", "B")
+  }
+
+  /** q288: LOG-RANK survival comparison between the q154 arms
+    * ([[graft.ops.Funnel.logRank]]) — do A-bucket users churn at a
+    * different rate than B-bucket users, judged on the full KM curves
+    * rather than a point estimate? The hypergeometric O−E and variance
+    * accumulate nano-quantized on the event-time grid. Oracle replays
+    * the per-user collapse, the at-risk windows and both quantized
+    * sums. */
+  def cohortLogRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Funnel.logRank(
+      Tables.events(s, dir).withColumn("cohort",
+        when(graft.ops.Sampling.hashBucket($"user_id") < 50, "A")
+          .otherwise("B")),
+      "user_id", "ts", "cohort")
+  }
+
   /** q255: MANN–KENDALL hourly trend significance
     * ([[graft.ops.ChangeDetect.mannKendall]]) — the significance gate
     * in front of q217's Theil–Sen slope: S counts concordant minus
@@ -1397,7 +1444,10 @@ object RelationalQueries {
     "q255_mann_kendall"    -> (hourlyMannKendall _),
     "q261_segmented_trend" -> (hourlySegmentedTrend _),
     "q262_skew_report"     -> (eventKeySkew _),
-    "q269_sprt"            -> (hourlyErrorSprt _))
+    "q269_sprt"            -> (hourlyErrorSprt _),
+    "q277_jarque_bera"     -> (eventValueJarqueBera _),
+    "q284_effect_size"     -> (experimentEffectSizes _),
+    "q288_logrank"         -> (cohortLogRank _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -2484,6 +2534,150 @@ object RelationalQueries {
         |  CASE WHEN hit0 = 1 THEN CAST(0.0 AS DOUBLE)
         |    ELSE ROUND(exp(CAST(cl AS DOUBLE) / 1e9), 6) END AS survival
         |FROM cumv ORDER BY t_period""".stripMargin,
+    // q277: milli grid, rounded mean, three exact central sums, the
+    // fixed-order g1/g2/JB readouts (+0.0 on the signed ones)
+    "q277_jarque_bera" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1e3) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(round(CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mh
+        |  FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT v.g, n, mh,
+        |    SUM(CAST(v - mh AS HUGEINT) * (v - mh)) AS m2,
+        |    SUM(CAST(v - mh AS HUGEINT) * (v - mh) * (v - mh)) AS m3,
+        |    SUM(CAST(v - mh AS HUGEINT) * (v - mh) * (v - mh) * (v - mh)) AS m4
+        |  FROM v JOIN m USING (g) GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT g, n, mh, m2, m3, m4,
+        |    CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2d,
+        |    (CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      sqrt((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) AS g1,
+        |    (CAST(m4 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |       (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0 AS g2
+        |  FROM c)
+        |SELECT g AS "group", n,
+        |  ROUND(CAST(mh AS DOUBLE) / 1e3, 6) AS mean,
+        |  CASE WHEN m2 > 0 THEN ROUND(g1, 6) + 0.0
+        |    ELSE CAST(0.0 AS DOUBLE) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN ROUND(g2, 6) + 0.0
+        |    ELSE CAST(0.0 AS DOUBLE) END AS ex_kurtosis,
+        |  CASE WHEN m2 > 0 THEN
+        |      ROUND(CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS jb
+        |FROM f ORDER BY "group"""".stripMargin,
+    // q284: the q154 arms, exact DECIMAL moments, fixed-order pooled-sd
+    // d / Hedges correction / Glass denominator (+0.0: signed readouts)
+    "q284_effect_size" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        |    THEN 'A' ELSE 'B' END AS variant, value
+        |  FROM events),
+        |st AS (
+        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q
+        |  FROM e GROUP BY 1),
+        |w AS (
+        |  SELECT variant, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |      CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+        |  FROM st),
+        |j AS (
+        |  SELECT a.n AS n_a, b.n AS n_b, a.m AS ma, b.m AS mb,
+        |    a.v AS va, b.v AS vb,
+        |    ((CAST(a.n AS DOUBLE) - 1.0) * a.v +
+        |     (CAST(b.n AS DOUBLE) - 1.0) * b.v) /
+        |      (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0) AS pooled,
+        |    1.0 - 3.0 / (4.0 * (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)) - 9.0) AS corr
+        |  FROM w a, w b WHERE a.variant = 'A' AND b.variant = 'B')
+        |SELECT n_a, n_b, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  CASE WHEN pooled > 0 THEN ROUND((ma - mb) / sqrt(pooled), 6) + 0.0
+        |    ELSE NULL END AS cohen_d,
+        |  CASE WHEN pooled > 0
+        |    THEN ROUND((ma - mb) / sqrt(pooled) * corr, 6) + 0.0
+        |    ELSE NULL END AS hedges_g,
+        |  CASE WHEN vb > 0 THEN ROUND((ma - mb) / sqrt(vb), 6) + 0.0
+        |    ELSE NULL END AS glass_delta
+        |FROM j""".stripMargin,
+    // q288: per-user (cohort, first, last) collapse, the q251 at-risk
+    // windows per cohort, nano-quantized hypergeometric O-E/variance
+    // terms, one fixed-order chi-square
+    "q288_logrank" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        |      THEN 'A' ELSE 'B' END AS c,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, c,
+        |    (es - ((es % 86400) + 86400) % 86400) // 86400 AS p
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, MIN(c) AS c, MIN(p) AS fst, MAX(p) AS lst
+        |  FROM a GROUP BY 1),
+        |hor AS (SELECT MAX(lst) AS h FROM per),
+        |byu AS (
+        |  SELECT c, lst - fst AS t,
+        |    CASE WHEN lst < h THEN 1 ELSE 0 END AS death
+        |  FROM per, hor),
+        |sizes AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN c = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN c = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN c = 'A' THEN death ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(SUM(CASE WHEN c = 'B' THEN death ELSE 0 END) AS BIGINT) AS db
+        |  FROM byu),
+        |grid AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN c = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN c = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN c = 'A' THEN death ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN c = 'B' THEN death ELSE 0 END) AS BIGINT) AS d2
+        |  FROM byu GROUP BY 1),
+        |risk AS (
+        |  SELECT t, d1, d2,
+        |    CAST(SUM(c1) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n2
+        |  FROM grid),
+        |f AS (SELECT * FROM risk WHERE d1 + d2 > 0),
+        |terms AS (
+        |  SELECT
+        |    CAST(round((CAST(d1 AS DOUBLE) -
+        |      CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) /
+        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * 1e9) AS BIGINT)
+        |      AS oe9,
+        |    CASE WHEN n1 + n2 > 1 THEN
+        |      CAST(round((CAST(d1 + d2 AS DOUBLE) *
+        |        (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+        |        (1.0 - CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+        |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - CAST(d1 + d2 AS DOUBLE)) /
+        |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)) * 1e9) AS BIGINT)
+        |    ELSE 0 END AS v9
+        |  FROM f),
+        |t2 AS (
+        |  SELECT CAST(COALESCE(SUM(oe9), 0) AS BIGINT) AS oe,
+        |    CAST(COALESCE(SUM(v9), 0) AS BIGINT) AS v
+        |  FROM terms)
+        |SELECT 'A' AS cohort_a, 'B' AS cohort_b, na AS n_a, nb AS n_b,
+        |  da AS events_a, db AS events_b,
+        |  ROUND(CAST(oe AS DOUBLE) / 1e9, 6) + 0.0 AS o_minus_e,
+        |  ROUND(CAST(v AS DOUBLE) / 1e9, 6) AS var_lr,
+        |  CASE WHEN v > 0 THEN
+        |    ROUND((CAST(oe AS DOUBLE) / 1e9) * (CAST(oe AS DOUBLE) / 1e9) /
+        |      (CAST(v AS DOUBLE) / 1e9), 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS chi2
+        |FROM t2, sizes""".stripMargin,
     // q255: the q217 micro-mean grid, sign pairs, tie term, the
     // continuity-corrected z in fixed double order
     "q255_mann_kendall" ->

@@ -1859,4 +1859,122 @@ object ClassifierEval {
         round((rxy - rxz * ryz) / sqrt(den), 6))
         .otherwise(lit(null).cast("double")).as("r_partial"))
   }
+
+  /** JARQUE–BERA normality readout per group (Jarque & Bera 1980) —
+    * the distribution-shape audit next to [[ksDistance]]'s two-sample
+    * drift: the per-hour z gates (q106) and the t/CUPED family assume
+    * roughly symmetric, light-tailed metric distributions; this reports
+    * per group the moment-based skewness g1 = m3∕m2^{3∕2}, excess
+    * kurtosis g2 = m4∕m2² − 3 and JB = n∕6·(g1² + g2²∕4) (~χ²₂ under
+    * normality — JB ≳ 9.2 rejects at 1%). A heavy-tailed or skewed
+    * metric says "use the rank tests ([[mannWhitney]], [[kruskal]]),
+    * not the t family".
+    *
+    * Determinism: values milli-quantize to longs (the 4th-moment
+    * ceiling: |v| ≤ 5.6·10⁵ milli ⇒ d⁴ ≤ 10²³, exact in DECIMAL(38,0)
+    * past 10¹⁴ rows); the mean is the ROUNDED long m̂ = round(S1∕n)
+    * (the repo's micro-mean convention), central sums Σd², Σd³, Σd⁴
+    * run exact on d = v − m̂, and the readouts are fixed-order doubles
+    * of those exact sums, 6 dp. A zero-variance group reports
+    * g1 = g2 = jb = 0.0 (documented, not NaN). NULL groups/values fail
+    * typed.
+    *
+    * Plan: one corpus groupBy for (n, S1), one broadcast join of the
+    * groups-sized means back, one corpus groupBy for the central sums —
+    * two passes, both map-side combined, groups-sized state. */
+  def jarqueBera(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nulls = df.filter(col(groupCol).isNull || col(valueCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"jarqueBera needs non-NULL '$groupCol' and '$valueCol'")
+    val v = df.select(col(groupCol).as("g"),
+      round(col(valueCol).cast("double") * 1e3d).cast("long").as("_v"))
+    val means = v.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("_v").cast(dec)).as("_s1"))
+      .select(col("g"), col("n"),
+        round(col("_s1").cast("double") / col("n").cast("double"))
+          .cast("long").as("_m"))
+    val cm = v.join(broadcast(means), Seq("g"))
+      .withColumn("_d", col("_v") - col("_m"))
+      .groupBy(col("g"), col("n"), col("_m"))
+      .agg(
+        sum((col("_d").cast(dec) * col("_d"))).as("_m2"),
+        sum((col("_d").cast(dec) * col("_d") * col("_d"))).as("_m3"),
+        sum((col("_d").cast(dec) * col("_d") * col("_d") * col("_d")))
+          .as("_m4"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val m2 = d("_m2") / nD
+    val g1 = (d("_m3") / nD) / sqrt(m2 * m2 * m2)
+    val g2 = (d("_m4") / nD) / (m2 * m2) - lit(3.0d)
+    cm.select(col("g").as("group"), col("n"),
+      round(col("_m").cast("double") / 1e3d, 6).as("mean"),
+      when(col("_m2") > 0L, round(g1, 6)).otherwise(lit(0.0d))
+        .as("skewness"),
+      when(col("_m2") > 0L, round(g2, 6)).otherwise(lit(0.0d))
+        .as("ex_kurtosis"),
+      when(col("_m2") > 0L,
+        round(nD / lit(6.0d) * (g1 * g1 + g2 * g2 / lit(4.0d)), 6))
+        .otherwise(lit(0.0d)).as("jb"))
+      .orderBy(col("group"))
+  }
+
+  /** STANDARDIZED EFFECT SIZES between two arms (Cohen 1988; Hedges
+    * 1981) — the magnitude readout the q154 Welch t and q250 power
+    * math need but don't give: a significant t on 10⁸ rows can be a
+    * practically-zero difference. Reports Cohen's d (pooled-sd
+    * standardized mean difference), Hedges' g (the small-sample
+    * unbiased correction d·(1 − 3∕(4(nₐ+n_b) − 9))) and Glass's Δ
+    * (standardized by the CONTROL arm's sd alone — the right scale when
+    * the treatment changes the variance too).
+    *
+    * Determinism: the same exact DECIMAL (Σv, Σv²) machinery as the
+    * q154 t-test (values ≤ 2 decimal digits by fixture contract);
+    * variances and the three ratios are fixed-order doubles of exact
+    * components, 6 dp. Both arms must be present (typed failure);
+    * a zero-variance denominator reports NULL for the affected effect
+    * size (documented, not NaN — an effect size over a constant metric
+    * is undefined). `armB` is the control (Glass's denominator).
+    *
+    * Plan: one grouped aggregate to two 1-row arm summaries, one cross
+    * join, pure arithmetic. */
+  def effectSizes(df: DataFrame, armCol: String, valueCol: String,
+      armA: String, armB: String): DataFrame = {
+    val d2 = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val stats = df
+      .filter(col(armCol) === armA || col(armCol) === armB)
+      .groupBy(col(armCol))
+      .agg(count(lit(1)).as("n"), sum(d2).as("_s"),
+        sum(d2 * d2).as("_q"))
+      .withColumn("_mean", col("_s").cast("double") / col("n").cast("double"))
+      .withColumn("_var",
+        (col("_q").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double") /
+            col("n").cast("double")) / (col("n").cast("double") - 1.0d))
+    val a = stats.filter(col(armCol) === armA)
+      .select(col("n").as("n_a"), col("_mean").as("_ma"), col("_var").as("_va"))
+    val b = stats.filter(col(armCol) === armB)
+      .select(col("n").as("n_b"), col("_mean").as("_mb"), col("_var").as("_vb"))
+    val j = a.crossJoin(b)
+    val cnt = j.limit(1).count()
+    require(cnt == 1L, s"effectSizes needs both arms '$armA' and '$armB'")
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val pooled = ((nA - 1.0d) * col("_va") + (nB - 1.0d) * col("_vb")) /
+      (nA + nB - 2.0d)
+    val dEff = (col("_ma") - col("_mb")) / sqrt(pooled)
+    val corr = lit(1.0d) - lit(3.0d) / (lit(4.0d) * (nA + nB) - lit(9.0d))
+    val out = j.select(col("n_a"), col("n_b"),
+      round(col("_ma"), 6).as("mean_a"),
+      round(col("_mb"), 6).as("mean_b"),
+      when(pooled > 0.0d, round(dEff, 6))
+        .otherwise(lit(null).cast("double")).as("cohen_d"),
+      when(pooled > 0.0d, round(dEff * corr, 6))
+        .otherwise(lit(null).cast("double")).as("hedges_g"),
+      when(col("_vb") > 0.0d,
+        round((col("_ma") - col("_mb")) / sqrt(col("_vb")), 6))
+        .otherwise(lit(null).cast("double")).as("glass_delta"))
+    out
+  }
 }

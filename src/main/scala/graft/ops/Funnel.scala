@@ -187,4 +187,102 @@ object Funnel {
           .as("survival"))
       .orderBy(col("t_period"))
   }
+
+  /** LOG-RANK (Mantel–Cox) test between TWO user cohorts' survival
+    * curves — the significance companion to [[kaplanMeier]]'s single
+    * curve: did the B-arm users actually churn faster, or do the two
+    * KM curves differ only by censoring noise? Same lifespan/censoring
+    * convention as [[kaplanMeier]] (event = last activity before the
+    * global horizon, time = last − first in periods); at each event
+    * time t the observed cohort-A deaths d₁ₜ are compared to the
+    * hypergeometric expectation e₁ₜ = dₜ·n₁ₜ∕nₜ under "no difference",
+    * with variance dₜ·(n₁ₜ∕nₜ)(1 − n₁ₜ∕nₜ)(nₜ − dₜ)∕(nₜ − 1);
+    * χ² = (Σ(d₁ₜ − e₁ₜ))² ∕ ΣVₜ (~χ²₁ under H₀).
+    *
+    * One row: (cohort_a, cohort_b, n_a, n_b, events_a, events_b,
+    * o_minus_e, var_lr, chi2) — cohort_a is the lexicographically
+    * smaller label (deterministic orientation).
+    *
+    * Determinism: the per-time O−E and variance terms are fixed-order
+    * doubles of exact integer counts, nano-quantized to longs BEFORE
+    * the cross-time sum (order-free on any partitioning); χ² is one
+    * fixed-order double of the two exact sums, 6 dp. Exactly two
+    * cohorts and a per-user-constant cohort label are required (typed
+    * failure); an all-censored pair (no event times at all) reports
+    * o_minus_e = var_lr = chi2 = 0.0 with the cohort sizes (documented
+    * — "no churn anywhere" is a readout, not an error).
+    *
+    * Plan: one corpus groupBy to per-user (cohort, first, last), a
+    * 1-row horizon broadcast, then everything lives on the ≤ #periods
+    * event-time grid (two reverse-cumulative at-risk windows + one
+    * grid aggregate). */
+  def logRank(events: DataFrame, userCol: String, tsCol: String,
+      cohortCol: String, periodSec: Long = 24L * 3600): DataFrame = {
+    require(periodSec >= 1, s"period must be >= 1s, got $periodSec")
+    val bad = events.filter(col(userCol).isNull || col(tsCol).isNull ||
+      col(cohortCol).isNull).limit(1).count()
+    require(bad == 0L,
+      s"logRank needs non-NULL '$userCol', '$tsCol' and '$cohortCol'")
+    val per = events
+      .select(col(userCol).as("_u"), col(cohortCol).cast("string").as("_c"),
+        periodOf(tsCol, periodSec).as("_p"))
+      .groupBy(col("_u"))
+      .agg(countDistinct(col("_c")).as("_nc"), min(col("_c")).as("_c"),
+        min(col("_p")).as("_first"), max(col("_p")).as("_last"))
+    val mixed = per.filter(col("_nc") > 1L).limit(1).count()
+    require(mixed == 0L,
+      "logRank: a user carries more than one cohort label — the cohort " +
+        "must be a per-user property")
+    val cohorts = per.select(col("_c")).distinct()
+      .orderBy(col("_c")).collect().map(_.getString(0))
+    require(cohorts.length == 2,
+      s"logRank compares exactly 2 cohorts, got ${cohorts.length}: " +
+        cohorts.mkString(", "))
+    val (ca, cb) = (cohorts(0), cohorts(1))
+    val hor = per.agg(max(col("_last")).as("_h"))
+    val byU = per.crossJoin(broadcast(hor))
+      .select(col("_c"), (col("_last") - col("_first")).as("t"),
+        (col("_last") < col("_h")).cast("long").as("_death"))
+    val sizes = byU.groupBy(col("_c"))
+      .agg(count(lit(1)).as("_n"), sum(col("_death")).as("_d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val grid = byU.groupBy(col("t")).agg(
+      coalesce(sum(when(col("_c") === ca, lit(1L))), lit(0L)).as("_c1"),
+      coalesce(sum(when(col("_c") === cb, lit(1L))), lit(0L)).as("_c2"),
+      coalesce(sum(when(col("_c") === ca, col("_death"))), lit(0L))
+        .as("_d1"),
+      coalesce(sum(when(col("_c") === cb, col("_death"))), lit(0L))
+        .as("_d2"))
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val atRisk = grid
+      .withColumn("_n1", sum(col("_c1")).over(wDesc))
+      .withColumn("_n2", sum(col("_c2")).over(wDesc))
+      .filter(col("_d1") + col("_d2") > 0L)
+    val n1 = col("_n1").cast("double"); val n2 = col("_n2").cast("double")
+    val dt = (col("_d1") + col("_d2")).cast("double")
+    val nt = n1 + n2
+    val oeTerm = col("_d1").cast("double") - dt * n1 / nt
+    val varTerm = when(col("_n1") + col("_n2") > 1L,
+      dt * (n1 / nt) * (lit(1.0d) - n1 / nt) *
+        (nt - dt) / (nt - lit(1.0d))).otherwise(lit(0.0d))
+    val sums = atRisk.select(
+      round(oeTerm * 1e9d).cast("long").as("_oe9"),
+      round(varTerm * 1e9d).cast("long").as("_v9"))
+      .agg(coalesce(sum(col("_oe9")), lit(0L)).as("_oe"),
+        coalesce(sum(col("_v9")), lit(0L)).as("_v"))
+    val (na, da) = sizes.getOrElse(ca, (0L, 0L))
+    val (nb, db) = sizes.getOrElse(cb, (0L, 0L))
+    sums.select(lit(ca).as("cohort_a"), lit(cb).as("cohort_b"),
+      lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(da).as("events_a"), lit(db).as("events_b"),
+      round(col("_oe").cast("double") / 1e9d, 6).as("o_minus_e"),
+      round(col("_v").cast("double") / 1e9d, 6).as("var_lr"),
+      when(col("_v") > 0L,
+        round((col("_oe").cast("double") / 1e9d) *
+          (col("_oe").cast("double") / 1e9d) /
+          (col("_v").cast("double") / 1e9d), 6))
+        .otherwise(lit(0.0d)).as("chi2"))
+  }
 }

@@ -787,4 +787,58 @@ class ClassifierEvalSpec extends SparkSpecBase {
       Seq(("A", Option.empty[Double]), ("B", Some(1.0d)))
         .toDF("src", "conf"), "src", "conf"))
   }
+
+  test("jarqueBera: symmetric light-tail vs skewed; zero variance; guards") {
+    // symmetric around 2.0: skewness exactly 0, JB from kurtosis alone
+    val sym = Seq.fill(1)(1.0d) ++ Seq.fill(2)(2.0d) ++ Seq.fill(1)(3.0d)
+    // hard right skew
+    val skw = Seq(1.0d, 1.0d, 1.0d, 1.0d, 10.0d)
+    val df = (sym.map(("sym", _)) ++ skw.map(("skw", _)))
+      .toDF("g", "v")
+    val got = ClassifierEval.jarqueBera(df, "g", "v")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().map { case (g, n, m, s, k, j) => g -> ((n, m, s, k, j)) }
+      .toMap
+    val (n1, m1, s1, k1, j1) = got("sym")
+    assert(n1 == 4L && m1 == 2.0d && s1 == 0.0d, got.toString)
+    // m2 = 0.5, m4 = 0.5 -> kurtosis 2, excess -1, JB = 4/6 * (1/4)
+    assert(k1 == -1.0d && j1 == 0.166667d, got.toString)
+    val (_, _, s2, _, j2) = got("skw")
+    assert(s2 > 1.0d && j2 > 1.0d, got.toString)
+    // zero-variance group reads 0.0s, not NaN
+    val const = ClassifierEval.jarqueBera(
+      Seq(("c", 5.0d), ("c", 5.0d)).toDF("g", "v"), "g", "v")
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    assert(const == (("c", 2L, 5.0d, 0.0d, 0.0d, 0.0d)), const.toString)
+    intercept[IllegalArgumentException](ClassifierEval.jarqueBera(
+      Seq((Option.empty[String], 1.0d)).toDF("g", "v"), "g", "v"))
+  }
+
+  test("effectSizes: hand-traced d/g/Glass; degenerate variance; guards") {
+    // A: {3, 5} mean 4 var 2; B: {1, 1, 2, 2} mean 1.5 var 1/3
+    val df = (Seq(3.0d, 5.0d).map(("A", _)) ++
+      Seq(1.0d, 1.0d, 2.0d, 2.0d).map(("B", _))).toDF("arm", "v")
+    val got = ClassifierEval.effectSizes(df, "arm", "v", "A", "B")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double],
+        Option[Double])].head()
+    // pooled = (1*2 + 3*(1/3)) / 4 = 0.75; d = 2.5/sqrt(0.75)
+    val d = 2.5d / math.sqrt(0.75d)
+    val corr = 1.0d - 3.0d / (4.0d * 6.0d - 9.0d)
+    assert(got._1 == 2L && got._2 == 4L && got._3 == 4.0d && got._4 == 1.5d)
+    assert(got._5.contains(math.rint(d * 1e6d) / 1e6d), got.toString)
+    assert(got._6.contains(
+      BigDecimal(d * corr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble), got.toString)
+    assert(got._7.contains(
+      BigDecimal(2.5d / math.sqrt(1.0d / 3.0d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), got.toString)
+    // constant control arm: Glass undefined -> NULL; pooled still > 0
+    val degC = ClassifierEval.effectSizes(
+      (Seq(1.0d, 3.0d).map(("A", _)) ++ Seq(2.0d, 2.0d).map(("B", _)))
+        .toDF("arm", "v"), "arm", "v", "A", "B")
+      .select($"glass_delta").as[Option[Double]].head()
+    assert(degC.isEmpty)
+    intercept[IllegalArgumentException](ClassifierEval.effectSizes(
+      Seq(("A", 1.0d)).toDF("arm", "v"), "arm", "v", "A", "B"))
+  }
 }

@@ -160,6 +160,47 @@ class FunnelSpec extends SparkSpecBase {
     assert(Funnel.kaplanMeier(single, "user_id", "ts").collect().isEmpty)
   }
 
+  test("logRank: hand-traced two-cohort comparison; degenerate cases; guards") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00")
+    // cohort A: u1 churns t=0, u2 censored (last = horizon day 3)
+    // cohort B: u3 churns t=0, u4 churns t=1, u5 censored
+    val e = Seq(
+      (1L, "A", d(0)),
+      (2L, "A", d(0)), (2L, "A", d(3)),
+      (3L, "B", d(0)),
+      (4L, "B", d(1)), (4L, "B", d(2)),
+      (5L, "B", d(3))).toDF("user_id", "cohort", "ts")
+    val got = Funnel.logRank(e, "user_id", "ts", "cohort")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .head()
+    assert(got._1 == "A" && got._2 == "B")
+    assert((got._3, got._4, got._5, got._6) == ((2L, 3L, 1L, 2L)))
+    // t=0: at-risk nA=2 {u1,u2}, nB=3 {u3,u4,u5}; d=2 (u1,u3) ->
+    //      e1 = 2*2/5 = 0.8, oe = +0.2; v = 2*(2/5)(3/5)(5-2)/4 = 0.36
+    // t=1: at-risk {u2(A), u4(B)} (u5's lifespan is 0); d=1 (u4) ->
+    //      e1 = 0.5, oe = -0.5; v = 1*(1/2)(1/2)*1/1 = 0.25
+    assert(got._7 == -0.3d, got.toString)
+    assert(got._8 == 0.61d, got.toString)
+    assert(got._9 == 0.147541d, got.toString) // 0.09 / 0.61, 6 dp
+    // identical curves (relabel one cohort per user, same lifespans):
+    // mirrored fixture -> |oe| small but nonzero is fine; the REAL
+    // degenerate contract: all-censored pair reports zeros, not a crash
+    val flat = Seq((1L, "A", d(0)), (1L, "A", d(2)),
+      (2L, "B", d(1)), (2L, "B", d(2))).toDF("user_id", "cohort", "ts")
+    val z = Funnel.logRank(flat, "user_id", "ts", "cohort")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .head()
+    assert((z._5, z._6, z._7, z._8, z._9) == ((0L, 0L, 0.0d, 0.0d, 0.0d)),
+      z.toString)
+    // guards: 3 cohorts; per-user cohort must be constant
+    intercept[IllegalArgumentException](Funnel.logRank(
+      Seq((1L, "A", d(0)), (2L, "B", d(0)), (3L, "C", d(1)))
+        .toDF("user_id", "cohort", "ts"), "user_id", "ts", "cohort"))
+    intercept[IllegalArgumentException](Funnel.logRank(
+      Seq((1L, "A", d(0)), (1L, "B", d(1)), (2L, "B", d(1)))
+        .toDF("user_id", "cohort", "ts"), "user_id", "ts", "cohort"))
+  }
+
   test("kaplanMeier: typed guards") {
     intercept[IllegalArgumentException](Funnel.kaplanMeier(
       Seq((Option.empty[Long], ts(1))).toDF("user_id", "ts"),
