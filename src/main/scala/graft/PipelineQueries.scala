@@ -1460,6 +1460,57 @@ object PipelineQueries {
       "conf", "avg_logprob")
   }
 
+  /** q279: KENDALL's W concordance of THREE quality signals
+    * ([[graft.ops.ClassifierEval.kendallW]]) — q207's pairwise Spearman
+    * generalized to the whole signal panel: do the classifier
+    * confidence, the unigram-LM log-prob and raw document length rank
+    * the corpus concordantly (are the "quality" signals secretly one
+    * length signal — the q268 confound, asked panel-wide)? Friedman's
+    * χ² rides along. Oracle replays both score pipelines, the three
+    * doubled-rank grids, the tie cubes and the exact-integer W. */
+  def signalKendallW(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id", $"avg_logprob")
+    val wide = conf.join(lp, Seq("doc_id"))
+      .join(docs.select($"doc_id", $"n_chars".cast("double").as("len")),
+        Seq("doc_id"))
+    graft.ops.ClassifierEval.kendallW(wide, "doc_id",
+      Seq("conf", "avg_logprob", "len"))
+  }
+
+  /** q287: KRIPPENDORFF's α over the curation-gate panel WITH
+    * abstention ([[graft.ops.ClassifierEval.krippendorffAlpha]]) —
+    * the agreement coefficient q187's κ (2 raters) and q230's Cochran Q
+    * (complete panel) cannot give once a gate abstains: lang-id emits
+    * no vote on documents it cannot identify ('und'), so items have
+    * VARIABLE rater counts and the coincidence-matrix α is the right
+    * statistic. Oracle replays all three gates, the abstention, the
+    * per-item nano-quantized disagreement terms and the cleared
+    * expected-disagreement integers. */
+  def gateKrippendorff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val g = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", lit("gopher").as("rater"),
+        $"keep".cast("string").as("vote"))
+    val b = TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+        Seq("slow", "big", "broken"))
+      .select($"doc_id", lit("blocklist").as("rater"),
+        $"keep".cast("string").as("vote"))
+    val l = TextAnalysis.langIdScores(docs, "text")
+      .filter($"predicted" =!= "und") // abstains when it cannot identify
+      .select($"doc_id", lit("langid").as("rater"),
+        ($"predicted" === $"lang").cast("long").cast("string").as("vote"))
+    graft.ops.ClassifierEval.krippendorffAlpha(
+      g.unionByName(b).unionByName(l), "doc_id", "rater", "vote")
+  }
+
   /** q208: HEAPS'-LAW fit over the vocabulary-growth curve
     * ([[TextAnalysis.vocabGrowth]] → [[TextAnalysis.heapsFit]]) — the
     * saturation extrapolation next to q165's novelty curve and q198's
@@ -3504,7 +3555,9 @@ object PipelineQueries {
     "q273_cvm"            -> (cvmDrift _),
     "q274_label_separation" -> (labelSeparation _),
     "q275_hellinger"      -> (sourceHellinger _),
-    "q276_gwet_ac1"       -> (langIdAc1 _))
+    "q276_gwet_ac1"       -> (langIdAc1 _),
+    "q279_kendall_w"      -> (signalKendallW _),
+    "q287_krippendorff"   -> (gateKrippendorff _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -7995,6 +8048,135 @@ object PipelineQueries {
          |        (k_classes - 1) - s AS DOUBLE), 6) + 0.0
          |    ELSE CAST(1.0 AS DOUBLE) END AS ac1
          |FROM tot, ks, sx""".stripMargin,
+    // q279: classifier + unigram-LM + length replays, three doubled-rank
+    // grids with tie cubes, exact-integer S' and the cleared W denominator
+    "q279_kendall_w" ->
+      s"""WITH $classifierPredCtes,
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |uc AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+         |ut AS (SELECT COUNT(*) AS total FROM tk),
+         |um AS (
+         |  SELECT tk.doc_id,
+         |    CAST(round(ln(CAST(uc.cnt AS DOUBLE) / CAST(ut.total AS DOUBLE))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |  FROM tk JOIN uc USING (token), ut),
+         |lp AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(SUM(micro) AS DOUBLE) /
+         |      (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6) AS avg_logprob
+         |  FROM um GROUP BY doc_id),
+         |ga AS (
+         |  SELECT CAST(round(conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM pred GROUP BY 1),
+         |ra AS (
+         |  SELECT sm, 2 * CAST(COALESCE(SUM(t) OVER (ORDER BY sm ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    + t + 1 AS r0
+         |  FROM ga),
+         |ta AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+         |  AS HUGEINT) AS tt FROM ga),
+         |ja AS (SELECT p2.doc_id, ra.r0
+         |  FROM pred p2 JOIN ra ON CAST(round(p2.conf * 1e6) AS BIGINT) = ra.sm),
+         |gb2 AS (
+         |  SELECT CAST(round(avg_logprob * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM lp GROUP BY 1),
+         |rb2 AS (
+         |  SELECT sm, 2 * CAST(COALESCE(SUM(t) OVER (ORDER BY sm ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    + t + 1 AS r1
+         |  FROM gb2),
+         |tb2 AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+         |  AS HUGEINT) AS tt FROM gb2),
+         |jb2 AS (SELECT l.doc_id, rb2.r1
+         |  FROM lp l JOIN rb2 ON CAST(round(l.avg_logprob * 1e6) AS BIGINT) = rb2.sm),
+         |gc AS (
+         |  SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM documents GROUP BY 1),
+         |rc AS (
+         |  SELECT sm, 2 * CAST(COALESCE(SUM(t) OVER (ORDER BY sm ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    + t + 1 AS r2c
+         |  FROM gc),
+         |tc2 AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+         |  AS HUGEINT) AS tt FROM gc),
+         |jc AS (SELECT d.doc_id, rc.r2c
+         |  FROM documents d
+         |  JOIN rc ON CAST(round(CAST(d.n_chars AS DOUBLE) * 1e6) AS BIGINT) = rc.sm),
+         |jall AS (
+         |  SELECT ja.r0 + jb2.r1 + jc.r2c AS R
+         |  FROM ja JOIN jb2 USING (doc_id) JOIN jc USING (doc_id)),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM jall),
+         |s2 AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(R - 3 * (n + 1) AS HUGEINT) *
+         |    (R - 3 * (n + 1))), 0) AS HUGEINT) AS sp
+         |  FROM jall, nn),
+         |dn AS (
+         |  SELECT CAST(9 AS HUGEINT) * (CAST(n AS HUGEINT) * n * n - n)
+         |    - 3 * (ta.tt + tb2.tt + tc2.tt) AS den
+         |  FROM nn, ta, tb2, tc2)
+         |SELECT n AS n_items, CAST(3 AS BIGINT) AS m_rankers,
+         |  CASE WHEN den > 0 THEN
+         |      ROUND(3.0 * CAST(sp AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS w,
+         |  CASE WHEN den > 0 THEN
+         |      ROUND(3.0 * (CAST(n AS DOUBLE) - 1.0) *
+         |        (3.0 * CAST(sp AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS friedman_chi2
+         |FROM nn, s2, dn""".stripMargin,
+    // q287: the q230 gate replay with lang-id ABSTAINING on 'und',
+    // per-item nano disagreement terms, cleared D_e integers
+    "q287_krippendorff" ->
+      s"""WITH $funnelGateCtes,
+         |votes AS (
+         |  SELECT doc_id, CAST(g_keep AS VARCHAR) AS v FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, CAST(b_keep AS VARCHAR) AS v FROM sig
+         |  UNION ALL
+         |  SELECT p3.doc_id,
+         |    CAST(CASE WHEN p3.predicted = p3.lang THEN 1 ELSE 0 END AS VARCHAR) AS v
+         |  FROM p p3 WHERE p3.predicted <> 'und'),
+         |iv AS (
+         |  SELECT doc_id AS i, v, CAST(COUNT(*) AS BIGINT) AS nic
+         |  FROM votes GROUP BY 1, 2),
+         |mi AS (
+         |  SELECT i, CAST(SUM(nic) AS BIGINT) AS m,
+         |    CAST(SUM(CAST(nic AS HUGEINT) * nic) AS HUGEINT) AS sq
+         |  FROM iv GROUP BY 1 HAVING SUM(nic) >= 2),
+         |nt AS (
+         |  SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS n_items
+         |  FROM mi),
+         |dob AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(
+         |      CAST(CAST(m AS HUGEINT) * m - sq AS DOUBLE) /
+         |        (CAST(m AS DOUBLE) - 1.0) * 1e9) AS BIGINT)), 0) AS BIGINT)
+         |    AS do9
+         |  FROM mi),
+         |marg AS (
+         |  SELECT iv.v, CAST(SUM(iv.nic) AS BIGINT) AS nc
+         |  FROM iv JOIN mi ON iv.i = mi.i GROUP BY 1),
+         |de AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(nc AS HUGEINT) * nc), 0) AS HUGEINT)
+         |      AS sqc,
+         |    CAST(COUNT(*) AS BIGINT) AS n_values
+         |  FROM marg)
+         |SELECT n_items, n_values, n AS n_pairable,
+         |  ROUND((CAST(do9 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE), 6) AS d_o,
+         |  ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sqc AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS d_e,
+         |  CASE WHEN n >= 2 AND
+         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sqc AS DOUBLE)) /
+         |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0.0
+         |    THEN ROUND(1.0 - ((CAST(do9 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE)) /
+         |      ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sqc AS DOUBLE)) /
+         |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) + 0.0
+         |    ELSE CAST(1.0 AS DOUBLE) END AS alpha
+         |FROM nt, dob, de""".stripMargin,
     // q275: classifier replay, calibration binning, nano sqrt(p*q)
     // terms summed as integers, the clamp and H = sqrt(1-BC)
     "q275_hellinger" ->

@@ -744,7 +744,52 @@ object VectorQueries {
     "q166_pca_top"           -> (pcaTop _),
     "q169_embedding_drift"   -> (embeddingDrift _),
     "q173_pca_deflate"       -> (pcaDeflate _),
-    "q174_pca_project"       -> (pcaProject _))
+    "q174_pca_project"       -> (pcaProject _),
+    "q280_hubness"           -> (hubnessAudit _))
+
+  /** q280: HUBNESS audit of the exact k-NN graph (Radovanović et al.
+    * 2010) — the high-dimensional pathology every ANN/retrieval tier
+    * sits on: the k-occurrence distribution (how many times each vector
+    * appears in other vectors' top-k) grows a heavy right tail as
+    * intrinsic dimension rises — hub vectors surface in EVERYONE's
+    * neighbor list (polluting q23/q35/q52 candidate sets and q118's
+    * margin denominator), while antihubs (occurrence 0) become
+    * unreachable. Reports the occurrence distribution's moment shape
+    * ([[graft.ops.ClassifierEval.jarqueBera]] over the exact counts —
+    * mean is k by construction, the SKEWNESS is the hubness number)
+    * plus max occurrence and the antihub count. Oracle replays the
+    * full k-NN graph (6-dp cosine, n_id tie-break), the occurrence
+    * counts including zeros, and the moment readouts.
+    *
+    * Plan: one broadcast cross join (queries are the corpus itself) →
+    * per-query bounded top-k window → ONE corpus-sized occurrence
+    * groupBy; at 100 TB the graph comes from the IVF/LSH tiers instead
+    * (same audit over their candidate lists — q196's RBO pattern). */
+  def hubnessAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val c = e.select($"vec_id".as("n_id"), $"embedding".as("nv"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    val nn = c.crossJoin(broadcast(q))
+      .filter($"n_id" =!= $"q_id")
+      .withColumn("sim", round(VectorExprs.cosine($"nv", $"qv"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+    val occ = e.select($"vec_id")
+      .join(nn.groupBy($"n_id").agg(count(lit(1)).as("o")),
+        $"vec_id" === $"n_id", "left")
+      .select($"vec_id", coalesce($"o", lit(0L)).as("occ"))
+      .localCheckpoint(true) // corpus-sized ids + a long, read twice
+    val shape = graft.ops.ClassifierEval.jarqueBera(
+      occ.withColumn("g", lit("all")), "g", "occ")
+    val extremes = occ.agg(max($"occ").as("max_occ"),
+      coalesce(sum(when($"occ" === 0L, lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_antihubs"))
+    shape.crossJoin(broadcast(extremes))
+      .select($"n", lit(10L).as("k"), $"mean".as("mean_occ"),
+        $"skewness", $"ex_kurtosis", $"max_occ", $"n_antihubs")
+  }
 
   private val sqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1169,6 +1214,67 @@ object VectorQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q280: full exact k-NN graph (6-dp cosine, n_id tie-break),
+    // occurrence counts incl. zeros, then the q277 moment replay
+    "q280_hubness" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS dp,
+        |    SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) AS na,
+        |    SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)) AS nb
+        |  FROM embeddings q, embeddings c, generate_series(1, 64) i(i)
+        |  WHERE q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT q_id, n_id,
+        |    ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0
+        |      ELSE dp / (SQRT(na) * SQRT(nb)) END, 6) AS sim
+        |  FROM p),
+        |rk AS (
+        |  SELECT q_id, n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+        |  FROM r),
+        |oc AS (SELECT n_id, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM rk WHERE rnk <= 10 GROUP BY 1),
+        |occ AS (
+        |  SELECT e.vec_id, CAST(COALESCE(oc.o, 0) AS BIGINT) AS occ
+        |  FROM embeddings e LEFT JOIN oc ON e.vec_id = oc.n_id),
+        |v AS (SELECT CAST(round(CAST(occ AS DOUBLE) * 1e3) AS BIGINT) AS v
+        |  FROM occ),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(round(CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mh
+        |  FROM v),
+        |c2 AS (
+        |  SELECT n, mh,
+        |    SUM(CAST(v - mh AS HUGEINT) * (v - mh)) AS m2,
+        |    SUM(CAST(v - mh AS HUGEINT) * (v - mh) * (v - mh)) AS m3,
+        |    SUM(CAST(v - mh AS HUGEINT) * (v - mh) * (v - mh) * (v - mh)) AS m4
+        |  FROM v, m GROUP BY 1, 2),
+        |f AS (
+        |  SELECT n, mh, m2,
+        |    (CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      sqrt((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) AS g1,
+        |    (CAST(m4 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |       (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0 AS g2
+        |  FROM c2),
+        |ex AS (
+        |  SELECT CAST(MAX(occ) AS BIGINT) AS max_occ,
+        |    CAST(COALESCE(SUM(CASE WHEN occ = 0 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_antihubs
+        |  FROM occ)
+        |SELECT n, CAST(10 AS BIGINT) AS k,
+        |  ROUND(CAST(mh AS DOUBLE) / 1e3, 6) AS mean_occ,
+        |  CASE WHEN m2 > 0 THEN ROUND(g1, 6) + 0.0
+        |    ELSE CAST(0.0 AS DOUBLE) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN ROUND(g2, 6) + 0.0
+        |    ELSE CAST(0.0 AS DOUBLE) END AS ex_kurtosis,
+        |  max_occ, n_antihubs
+        |FROM f, ex""".stripMargin,
     "q118_margin_mining" ->
       """WITH p AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,

@@ -1921,6 +1921,155 @@ object ClassifierEval {
       .orderBy(col("group"))
   }
 
+  /** KENDALL's W concordance across m ≥ 2 score columns ranking the
+    * SAME items (Kendall & Babington Smith 1939) + Friedman's χ² — the
+    * many-ranker generalization of q207's pairwise Spearman: do the
+    * quality signals (classifier, LM, length …) order the corpus the
+    * same way AT ALL, before any pairwise drill-down? W = 1 is perfect
+    * concordance, W = 0 is no agreement; χ² = m(n−1)W tests it
+    * (~χ²_{n−1} under independence). Tie-corrected: each column's
+    * fractional (average) ranks come from the same micro-quantized
+    * doubled-rank grids as [[graft.ops.RankMetrics.spearman]], and the
+    * tie term ΣT_j = ΣΣ(t³ − t) enters the denominator exactly.
+    *
+    * One row: (n_items, m_rankers, w, friedman_chi2).
+    *
+    * Determinism: doubled average ranks are exact integers
+    * (2·below + t + 1); the rank-sum deviations square in
+    * DECIMAL(38,0) against the exact integer centre m(n+1); with
+    * doubled ranks S′ = 4S, so W = 3S′ ∕ (m²(n³−n) − m·ΣT) is ONE
+    * double division of exact integers, 6 dp. NULL ids/scores fail
+    * typed; n ≥ 2 items required. All-constant columns read W = 0.
+    *
+    * Plan: per column one corpus groupBy to its score grid + one
+    * grid-sized rank window + one broadcast join back; then one
+    * items-sized rank-sum aggregate. Grids are value-cardinality-
+    * bounded (micro-quantized scores), never corpus-sized windows. */
+  def kendallW(df: DataFrame, idCol: String,
+      scoreCols: Seq[String]): DataFrame = {
+    require(scoreCols.size >= 2,
+      s"kendallW needs >= 2 score columns, got ${scoreCols.size}")
+    val nulls = df.filter(scoreCols.map(c => col(c).isNull)
+      .foldLeft(col(idCol).isNull)(_ || _)).limit(1).count()
+    require(nulls == 0L, "kendallW needs non-NULL ids and scores")
+    val dec = "decimal(38,0)"
+    val m = scoreCols.size
+    // doubled average rank per column via the shared grid device
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def ranked(scoreCol: String, out: String): (DataFrame, DataFrame) = {
+      val sm = df.select(col(idCol),
+        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      val grid = sm.groupBy(col("_sm")).agg(count(lit(1)).as("_t"))
+      val ranks = grid.withColumn(out,
+        lit(2L) * coalesce(sum(col("_t")).over(w0), lit(0L)) +
+          col("_t") + 1L)
+      val ties = grid.agg(coalesce(sum(
+        col("_t").cast(dec) * col("_t") * col("_t") - col("_t")),
+        lit(0L).cast(dec)).as(s"_T$out"))
+      (sm.join(broadcast(ranks.select(col("_sm"), col(out))), Seq("_sm"))
+        .select(col(idCol), col(out)), ties)
+    }
+    val parts = scoreCols.zipWithIndex.map { case (c, i) => ranked(c, s"_r$i") }
+    val joined = parts.map(_._1).reduce((a, b) => a.join(b, Seq(idCol)))
+    val rsum = scoreCols.indices.map(i => col(s"_r$i"))
+      .reduce(_ + _).as("_R")
+    val nRow = joined.agg(count(lit(1)).as("n")).head()
+    val n = nRow.getLong(0)
+    require(n >= 2L, s"kendallW needs >= 2 items, got $n")
+    val centre = m.toLong * (n + 1L) // m(n+1) in doubled-rank units
+    val s2 = joined.select(rsum)
+      .agg(coalesce(sum((col("_R") - centre).cast(dec) *
+        (col("_R") - centre)), lit(0L).cast(dec)).as("_S2"))
+    val tieSum = parts.map(_._2).reduce(_ crossJoin _)
+      .select(scoreCols.indices.map(i => col(s"_T_r$i"))
+        .reduce(_ + _).as("_T"))
+    val denomBase = // m²(n³−n) as exact decimal
+      java.math.BigDecimal.valueOf(m.toLong * m.toLong)
+        .multiply(java.math.BigDecimal.valueOf(n).pow(3)
+          .subtract(java.math.BigDecimal.valueOf(n)))
+    s2.crossJoin(broadcast(tieSum))
+      .select(lit(n).as("n_items"), lit(m.toLong).as("m_rankers"),
+        (lit(denomBase.toPlainString).cast(dec) -
+          lit(m.toLong) * col("_T")).as("_den"),
+        col("_S2"))
+      .select(col("n_items"), col("m_rankers"),
+        when(col("_den") > 0L,
+          round(lit(3.0d) * col("_S2").cast("double") /
+            col("_den").cast("double"), 6))
+          .otherwise(lit(0.0d)).as("w"),
+        when(col("_den") > 0L,
+          round(lit(m.toDouble) * (lit(n.toDouble) - 1.0d) *
+            (lit(3.0d) * col("_S2").cast("double") /
+              col("_den").cast("double")), 6))
+          .otherwise(lit(0.0d)).as("friedman_chi2"))
+  }
+
+  /** KRIPPENDORFF's α (nominal metric) over long-format
+    * (item, rater, value) labels (Krippendorff 1970) — the agreement
+    * coefficient that, unlike [[cohenKappa]] (2 raters) and Fleiss κ
+    * (constant panel), handles ANY number of raters, VARIABLE raters
+    * per item, and missing labels: exactly the shape of a labeling
+    * pipeline where gates abstain. α = 1 − D_o∕D_e over the coincidence
+    * matrix; items with fewer than 2 ratings are unpairable and drop
+    * (the standard convention). α = 1 is perfect, 0 is chance, negative
+    * is systematic disagreement.
+    *
+    * One row: (n_items, n_pairable, agree_pairs? → ) —
+    * (n_items, n_values, d_o, d_e, alpha).
+    *
+    * Determinism: per-item disagreement Σ_{c<k} n_ic·n_ik is an exact
+    * integer; its 2∕(m_i−1) scaling nano-quantizes per item BEFORE the
+    * cross-item sum (order-free); D_e clears to exact integer products
+    * Σ_{c<k} n_c·n_k in DECIMAL. α is a fixed-order double of those
+    * exact components, 6 dp — and can be exactly −0.0-adjacent, so the
+    * oracle carries the signed-zero canonicalization. NULLs fail typed.
+    *
+    * Plan: one groupBy to (item, value) counts, one items-sized
+    * aggregate, one values-sized marginal aggregate — never a pairs
+    * expansion. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nulls = df.filter(col(itemCol).isNull || col(raterCol).isNull ||
+      col(valueCol).isNull).limit(1).count()
+    require(nulls == 0L,
+      s"krippendorffAlpha needs non-NULL '$itemCol'/'$raterCol'/'$valueCol'")
+    val iv = df.groupBy(col(itemCol).as("_i"),
+        col(valueCol).cast("string").as("_v"))
+      .agg(count(lit(1)).as("_nic"))
+    val mi = iv.groupBy(col("_i")).agg(sum(col("_nic")).as("_mi"),
+      // Σ_{c<k} n_ic·n_ik = (m_i² − Σ n_ic²) / 2, exact integers
+      ((sum(col("_nic").cast(dec) * col("_nic")))).as("_sq"))
+      .filter(col("_mi") >= 2L)
+      .localCheckpoint(true) // items-sized, read 3×
+    val pairable = iv.join(mi.select(col("_i")), Seq("_i"))
+    val nTot = mi.agg(coalesce(sum(col("_mi")), lit(0L)).as("_n"),
+      count(lit(1)).as("n_items"))
+    val doTerm = mi.select(
+      round((col("_mi").cast(dec) * col("_mi") - col("_sq")).cast("double") /
+        (col("_mi").cast("double") - 1.0d) * 1e9d).cast("long").as("_t9"))
+      .agg(coalesce(sum(col("_t9")), lit(0L)).as("_do9"))
+    val marg = pairable.groupBy(col("_v"))
+      .agg(sum(col("_nic")).as("_nc"))
+    val de = marg.agg(coalesce(sum(col("_nc").cast(dec) * col("_nc")),
+        lit(0L).cast(dec)).as("_sqc"),
+      count(lit(1)).as("n_values"))
+    val row = nTot.crossJoin(broadcast(doTerm)).crossJoin(broadcast(de))
+    val nD = col("_n").cast("double")
+    // D_o = (Σ_i [m_i² − Σc n_ic²]/(m_i−1)) / n   (the /1e9 undoes the
+    // per-item quantization); D_e = (n² − Σc n_c²) / (n(n−1))
+    val dObs = (col("_do9").cast("double") / 1e9d) / nD
+    val dExp = (nD * nD - col("_sqc").cast("double")) / (nD * (nD - 1.0d))
+    row.select(col("n_items"), col("n_values"), col("_n").as("n_pairable"),
+      round(dObs, 6).as("d_o"),
+      round(dExp, 6).as("d_e"),
+      when(col("_n") >= 2L && dExp > 0.0d,
+        round(lit(1.0d) - dObs / dExp, 6))
+        .otherwise(lit(1.0d)).as("alpha"))
+  }
+
   /** STANDARDIZED EFFECT SIZES between two arms (Cohen 1988; Hedges
     * 1981) — the magnitude readout the q154 Welch t and q250 power
     * math need but don't give: a significant t on 10⁸ rows can be a

@@ -788,6 +788,68 @@ class ClassifierEvalSpec extends SparkSpecBase {
         .toDF("src", "conf"), "src", "conf"))
   }
 
+  test("kendallW: perfect / zero concordance, tie correction, guards") {
+    // perfect concordance, no ties: W = 1, Friedman chi2 = m(n-1)W = 4
+    val perfect = Seq((1L, 1.0d, 10.0d), (2L, 2.0d, 20.0d), (3L, 3.0d, 30.0d))
+      .toDF("id", "x", "y")
+    val p = ClassifierEval.kendallW(perfect, "id", Seq("x", "y"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(p == ((3L, 2L, 1.0d, 4.0d)), p.toString)
+    // exactly reversed: rank sums all equal -> S = 0 -> W = 0
+    val rev = Seq((1L, 1.0d, 30.0d), (2L, 2.0d, 20.0d), (3L, 3.0d, 10.0d))
+      .toDF("id", "x", "y")
+    assert(ClassifierEval.kendallW(rev, "id", Seq("x", "y"))
+      .select($"w").as[Double].head() == 0.0d)
+    // hand-traced tie correction: x = (1,1,2) doubled ranks (3,3,6);
+    // y = (5,6,7) doubled (2,4,6); R' = (5,7,12), centre 8, S' = 26;
+    // denom = 4*24 - 2*(8-2) = 84 -> W = 78/84
+    val tied = Seq((1L, 1.0d, 5.0d), (2L, 1.0d, 6.0d), (3L, 2.0d, 7.0d))
+      .toDF("id", "x", "y")
+    val t = ClassifierEval.kendallW(tied, "id", Seq("x", "y"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(t._3 == 0.928571d && t._4 == 3.714286d, t.toString)
+    intercept[IllegalArgumentException](
+      ClassifierEval.kendallW(perfect, "id", Seq("x")))
+    intercept[IllegalArgumentException](ClassifierEval.kendallW(
+      Seq((1L, 1.0d, 2.0d)).toDF("id", "x", "y"), "id", Seq("x", "y")))
+    intercept[IllegalArgumentException](ClassifierEval.kendallW(
+      Seq((1L, Option.empty[Double], 2.0d), (2L, Some(1.0d), 3.0d))
+        .toDF("id", "x", "y"), "id", Seq("x", "y")))
+  }
+
+  test("krippendorffAlpha: textbook trace, abstention drop, degenerate") {
+    // 2 raters, 3 items: (a,a) (a,b) (b,b) -> D_o = 1/3, D_e = 0.6,
+    // alpha = 1 - (1/3)/0.6 = 0.444444
+    val base = Seq(
+      (1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "a"), (2L, "r2", "b"),
+      (3L, "r1", "b"), (3L, "r2", "b")).toDF("item", "rater", "v")
+    val got = ClassifierEval.krippendorffAlpha(base, "item", "rater", "v")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(got == ((3L, 2L, 6L, 0.333333d, 0.6d, 0.444444d)), got.toString)
+    // an item with a single rating is unpairable and DROPS (the
+    // abstention case) - identical alpha, n_items unchanged
+    val withLonely = base.unionByName(
+      Seq((4L, "r1", "a")).toDF("item", "rater", "v"))
+    val g2 = ClassifierEval.krippendorffAlpha(withLonely, "item", "rater", "v")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(g2 == got, g2.toString)
+    // single fully-disagreeing pairable item: alpha = 0 exactly
+    val dis = ClassifierEval.krippendorffAlpha(
+      Seq((1L, "r1", "a"), (1L, "r2", "b")).toDF("item", "rater", "v"),
+      "item", "rater", "v").select($"alpha").as[Double].head()
+    assert(dis == 0.0d)
+    // one category everywhere: D_e = 0 -> alpha = 1.0 (documented)
+    val uni = ClassifierEval.krippendorffAlpha(
+      Seq((1L, "r1", "a"), (1L, "r2", "a"), (2L, "r1", "a"), (2L, "r2", "a"))
+        .toDF("item", "rater", "v"), "item", "rater", "v")
+      .select($"alpha").as[Double].head()
+    assert(uni == 1.0d)
+    intercept[IllegalArgumentException](ClassifierEval.krippendorffAlpha(
+      Seq((1L, Option.empty[String], "a")).toDF("item", "rater", "v"),
+      "item", "rater", "v"))
+  }
+
   test("jarqueBera: symmetric light-tail vs skewed; zero variance; guards") {
     // symmetric around 2.0: skewness exactly 0, JB from kurtosis alone
     val sym = Seq.fill(1)(1.0d) ++ Seq.fill(2)(2.0d) ++ Seq.fill(1)(3.0d)
