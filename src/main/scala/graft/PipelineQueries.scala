@@ -1511,6 +1511,31 @@ object PipelineQueries {
       g.unionByName(b).unionByName(l), "doc_id", "rater", "vote")
   }
 
+  /** q283: COUNT–MIN SKETCH frequency audit ([[graft.ops.CountMin]]) —
+    * the fixed-memory token-frequency summary vs exact truth: the d×w
+    * counter table is built in one pass over the corpus tokens, the
+    * top-25 tokens (by exact count, deterministic tie-break) are
+    * point-estimated back through the sketch, and the CMS guarantee
+    * (est ≥ exact, bounded overshoot) is the readout — the shape a
+    * vocabulary monitor takes when the exact q45 top-terms table stops
+    * fitting. Oracle rebuilds the sketch bit-for-bit (polynomial item
+    * codes, the shared (a,b) hash rows, integer mod arithmetic). */
+  def tokenCountMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .localCheckpoint(true) // corpus tokens, read by build + exact
+    val code = graft.ops.Dedup.polyHashCol("token", 31L)
+    val sketch = graft.ops.CountMin.build(toks, code)
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"token").limit(25)
+    graft.ops.CountMin.estimate(top, code, sketch)
+      .select($"token", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overshoot"))
+      .orderBy($"exact_cnt".desc, $"token")
+  }
+
   /** q208: HEAPS'-LAW fit over the vocabulary-growth curve
     * ([[TextAnalysis.vocabGrowth]] → [[TextAnalysis.heapsFit]]) — the
     * saturation extrapolation next to q165's novelty curve and q198's
@@ -3557,6 +3582,7 @@ object PipelineQueries {
     "q275_hellinger"      -> (sourceHellinger _),
     "q276_gwet_ac1"       -> (langIdAc1 _),
     "q279_kendall_w"      -> (signalKendallW _),
+    "q283_countmin"       -> (tokenCountMin _),
     "q287_krippendorff"   -> (gateKrippendorff _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -8128,6 +8154,41 @@ object PipelineQueries {
          |        (3.0 * CAST(sp AS DOUBLE) / CAST(den AS DOUBLE)), 6)
          |    ELSE CAST(0.0 AS DOUBLE) END AS friedman_chi2
          |FROM nn, s2, dn""".stripMargin,
+    // q283: bit-exact CMS rebuild — polynomial item codes, the shared
+    // (a,b) hash rows, integer mod buckets, min-over-rows estimate
+    "q283_countmin" -> {
+      val P = graft.expr.DedupKernel.P
+      val hjRows = (0 until 4).map { j =>
+        val (a, b) = graft.expr.DedupKernel.perm(j)
+        s"($j, CAST($a AS BIGINT), CAST($b AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split($norm, ' ')) AS token FROM documents),
+         |tk AS (SELECT token FROM toks WHERE length(token) > 0),
+         |cd AS (SELECT token, ${duckFold("token", 31L)} AS code FROM tk),
+         |hj AS (SELECT * FROM (VALUES $hjRows) t(j, a, b)),
+         |cells AS (
+         |  SELECT hj.j, (cd.code * hj.a + hj.b) % $P % 1024 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM cd, hj GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM tk GROUP BY 1
+         |  ORDER BY exact_cnt DESC, token LIMIT 25),
+         |dd AS (SELECT DISTINCT token, code FROM cd),
+         |pb AS (
+         |  SELECT ex.token, ex.exact_cnt, hj.j,
+         |    (dd.code * hj.a + hj.b) % $P % 1024 AS bucket
+         |  FROM ex JOIN dd USING (token), hj),
+         |es AS (
+         |  SELECT pb.token, pb.exact_cnt,
+         |    CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS cms_est
+         |  FROM pb LEFT JOIN cells ON cells.j = pb.j AND cells.bucket = pb.bucket
+         |  GROUP BY 1, 2)
+         |SELECT token, exact_cnt, cms_est,
+         |  CAST(cms_est - exact_cnt AS BIGINT) AS overshoot
+         |FROM es ORDER BY exact_cnt DESC, token""".stripMargin
+    },
     // q287: the q230 gate replay with lang-id ABSTAINING on 'und',
     // per-item nano disagreement terms, cleared D_e integers
     "q287_krippendorff" ->

@@ -1004,6 +1004,36 @@ object RelationalQueries {
       "variant", "value", "A", "B")
   }
 
+  /** q282: EDIT-DISTANCE SIMILARITY JOIN over part names
+    * ([[graft.ops.Dedup.editNeighborJoin]]) — every unordered pair of
+    * distinct p_name values within Levenshtein distance 1, found via
+    * deletion-neighborhood blocking (equi-join on (L+1) signatures per
+    * string, never all pairs) + exact verify: the typo/near-spelling
+    * join an entity-resolution or vocabulary-normalization pass runs,
+    * where q92 gives only the per-pair metric. Oracle is the BRUTE
+    * FORCE all-pairs join — a match proves the blocking complete. */
+  def partNameEditJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Dedup.editNeighborJoin(
+      Tables.part(s, dir).select($"p_name"), "p_name")
+      .orderBy($"a", $"b")
+  }
+
+  /** q294: QUANTILE TREATMENT EFFECTS for the q154 A/B split
+    * ([[graft.ops.ClassifierEval.quantileTreatmentEffects]]) — the
+    * per-decile difference of the two arms' exact value quantiles: the
+    * readout that catches a tail-only treatment effect q284's pooled-sd
+    * d averages away. Oracle replays the arm grids, the cumulative
+    * windows and the exact integer rank thresholds. */
+  def experimentQte(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.quantileTreatmentEffects(
+      Tables.events(s, dir).withColumn("variant",
+        when(graft.ops.Sampling.hashBucket($"user_id") < 50, "A")
+          .otherwise("B")),
+      "variant", "value", "A", "B")
+  }
+
   /** q288: LOG-RANK survival comparison between the q154 arms
     * ([[graft.ops.Funnel.logRank]]) — do A-bucket users churn at a
     * different rate than B-bucket users, judged on the full KM curves
@@ -1446,8 +1476,10 @@ object RelationalQueries {
     "q262_skew_report"     -> (eventKeySkew _),
     "q269_sprt"            -> (hourlyErrorSprt _),
     "q277_jarque_bera"     -> (eventValueJarqueBera _),
+    "q282_edit_join"       -> (partNameEditJoin _),
     "q284_effect_size"     -> (experimentEffectSizes _),
-    "q288_logrank"         -> (cohortLogRank _))
+    "q288_logrank"         -> (cohortLogRank _),
+    "q294_qte"             -> (experimentQte _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
     * with the probe side dropped map-side by a bloom of the build keys
@@ -2534,6 +2566,52 @@ object RelationalQueries {
         |  CASE WHEN hit0 = 1 THEN CAST(0.0 AS DOUBLE)
         |    ELSE ROUND(exp(CAST(cl AS DOUBLE) / 1e9), 6) END AS survival
         |FROM cumv ORDER BY t_period""".stripMargin,
+    // q282: BRUTE-FORCE all-pairs edit join — a match proves the
+    // deletion-neighborhood blocking complete
+    "q282_edit_join" ->
+      """WITH d AS (
+        |  SELECT DISTINCT p_name AS s FROM part
+        |  WHERE p_name IS NOT NULL AND length(p_name) >= 2)
+        |SELECT a.s AS a, b.s AS b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY a, b""".stripMargin,
+    // q294: per-arm micro grids, cumulative windows, exact integer
+    // ceil-rank thresholds, quantum-aligned decile differences
+    "q294_qte" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        |    THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(round(value * 1e6) AS BIGINT) AS sm
+        |  FROM events),
+        |g AS (SELECT variant, sm, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |cumt AS (
+        |  SELECT variant, sm,
+        |    CAST(SUM(c) OVER (PARTITION BY variant ORDER BY sm ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM g),
+        |nn AS (SELECT variant, CAST(MAX(cum) AS BIGINT) AS n
+        |  FROM cumt GROUP BY 1),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k FROM generate_series(1, 9) t(k)),
+        |qa AS (
+        |  SELECT ks.k, CAST(MIN(c.sm) AS BIGINT) AS va, CAST(MIN(nn.n) AS BIGINT) AS na
+        |  FROM ks, cumt c JOIN nn USING (variant)
+        |  WHERE c.variant = 'A' AND c.cum >= (ks.k * nn.n + 9) // 10
+        |  GROUP BY 1),
+        |qb AS (
+        |  SELECT ks.k, CAST(MIN(c.sm) AS BIGINT) AS vb, CAST(MIN(nn.n) AS BIGINT) AS nb
+        |  FROM ks, cumt c JOIN nn USING (variant)
+        |  WHERE c.variant = 'B' AND c.cum >= (ks.k * nn.n + 9) // 10
+        |  GROUP BY 1)
+        |SELECT CAST(qa.k AS DOUBLE) / 10.0 AS q,
+        |  na AS n_a, nb AS n_b,
+        |  CAST(va AS DOUBLE) / 1e6 AS val_a,
+        |  CAST(vb AS DOUBLE) / 1e6 AS val_b,
+        |  CAST(va - vb AS DOUBLE) / 1e6 AS qte
+        |FROM qa JOIN qb USING (k)
+        |ORDER BY q""".stripMargin,
     // q277: milli grid, rounded mean, three exact central sums, the
     // fixed-order g1/g2/JB readouts (+0.0 on the signed ones)
     "q277_jarque_bera" ->

@@ -2070,6 +2070,65 @@ object ClassifierEval {
         .otherwise(lit(1.0d)).as("alpha"))
   }
 
+  /** QUANTILE TREATMENT EFFECTS at the deciles (Doksum 1974) — the
+    * distributional companion to [[effectSizes]]' single pooled-sd
+    * number: a treatment that moves only the tail (latency p90, heavy
+    * spenders) reads ~0 in Cohen's d while QTE(0.9) shows it plainly.
+    * For q ∈ {0.1 … 0.9}: the per-arm type-1 (lower) sample quantile —
+    * the value at exact rank ⌈q·n⌉ on the micro-quantized grid — and
+    * their difference.
+    *
+    * One row per decile: (q, n_a, n_b, val_a, val_b, qte).
+    *
+    * Determinism: grids are micro-quantized longs; the rank threshold
+    * ⌈q·n⌉ = (k·n + 9) div 10 is exact integer arithmetic (k = decile
+    * index — no float rank); the quantile is the MIN grid value whose
+    * cumulative count reaches it; qte = (vA − vB)∕10⁶ is quantum-
+    * aligned (a nonzero integer difference can never round to a signed
+    * zero). Both arms must be non-empty (typed failure).
+    *
+    * Plan: one grouped grid per arm (value-cardinality-bounded), one
+    * grid-sized cumulative window each, a 9-row decile spine joined
+    * with grid-sized min-aggregates — never a corpus sort. */
+  def quantileTreatmentEffects(df: DataFrame, armCol: String,
+      valueCol: String, armA: String, armB: String): DataFrame = {
+    val spark = df.sparkSession
+    def gridOf(arm: String): (DataFrame, Long) = {
+      val g = df.filter(col(armCol) === arm)
+        .select(round(col(valueCol).cast("double") * 1e6d).cast("long")
+          .as("_sm"))
+        .groupBy(col("_sm")).agg(count(lit(1)).as("_c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = g.withColumn("_cum", sum(col("_c")).over(w))
+        .localCheckpoint(true) // grid-sized, read 9×
+      val nRow = cum.agg(coalesce(max(col("_cum")), lit(0L))).head()
+      (cum, nRow.getLong(0))
+    }
+    val (ga, na) = gridOf(armA)
+    val (gb, nb) = gridOf(armB)
+    require(na > 0L && nb > 0L,
+      s"quantileTreatmentEffects needs both arms '$armA' and '$armB' " +
+        "non-empty")
+    import spark.implicits._
+    val deciles = (1 to 9).map(_.toLong).toDF("_k")
+    def qv(grid: DataFrame, n: Long, out: String) =
+      deciles.crossJoin(grid)
+        // ⌈k·n/10⌉ in pure integer arithmetic (Column `/` would be a
+        // double divide)
+        .filter(col("_cum") >= expr(s"(_k * ${n}L + 9L) div 10L"))
+        .groupBy(col("_k")).agg(min(col("_sm")).as(out))
+    qv(ga, na, "_va").join(qv(gb, nb, "_vb"), Seq("_k"))
+      .select(
+        (col("_k").cast("double") / 10.0d).as("q"),
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        (col("_va").cast("double") / 1e6d).as("val_a"),
+        (col("_vb").cast("double") / 1e6d).as("val_b"),
+        ((col("_va") - col("_vb")).cast("double") / 1e6d).as("qte"))
+      .orderBy(col("q"))
+  }
+
   /** STANDARDIZED EFFECT SIZES between two arms (Cohen 1988; Hedges
     * 1981) — the magnitude readout the q154 Welch t and q250 power
     * math need but don't give: a significant t on 10⁸ rows can be a

@@ -795,4 +795,48 @@ object Dedup {
           .otherwise(round(col("n_tier2").cast("double") / est, 6))
           .as("recall_tier2"))
   }
+
+  /** EDIT-DISTANCE SIMILARITY JOIN at threshold 1 via DELETION
+    * NEIGHBORHOODS (the FastSS/PassJoin blocking idea, Bocek et al.
+    * 2007): two strings with Levenshtein distance ≤ 1 MUST share a
+    * member of each other's deletion neighborhood {s} ∪ {s minus one
+    * character} — substitution at i collides on both sides' delete-i,
+    * insertion/deletion collides the shorter string with a deletion of
+    * the longer, equality collides on s itself. So candidates are an
+    * EQUI-join on the exploded signatures (O(N·L) rows, never all
+    * pairs) and only candidates pay the exact `levenshtein` verify —
+    * the typo/near-spelling join a vocabulary normalizer or
+    * entity-resolution pass needs (q92's pairwise edit distance is the
+    * per-pair metric; this is the scalable JOIN that finds the pairs).
+    *
+    * Output: one row per distinct unordered pair (a, b) with
+    * lev(a, b) ≤ 1 and a < b (lexicographic orientation), plus the
+    * exact distance. Input rows are deduplicated on `strCol` first —
+    * the join is over the distinct string UNIVERSE (attach ids by
+    * joining back, exactly like the fingerprint dedup pattern).
+    *
+    * At 100 TB: signatures are (L+1) short strings per distinct value;
+    * the equi-join shuffles signature-sized keys and AQE handles the
+    * skew of a hot signature (very short strings → cap via minLength).
+    * Verification is candidate-bounded. Never quadratic. */
+  def editNeighborJoin(df: DataFrame, strCol: String,
+      minLength: Int = 2): DataFrame = {
+    require(minLength >= 1, s"minLength must be >= 1, got $minLength")
+    val strs = df.select(col(strCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= minLength)
+      .distinct()
+    // {s} ∪ one-character deletions, as (signature, s) rows
+    val sigs = strs.select(col("s"), explode(array_union(
+      array(col("s")),
+      expr("transform(sequence(1, length(s)), i -> " +
+        "concat(substring(s, 1, i - 1), substring(s, i + 1, length(s))))")))
+      .as("sig"))
+    val cands = sigs.as("x").join(sigs.as("y"),
+        col("x.sig") === col("y.sig") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b"))
+      .distinct()
+    cands
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dist") <= 1L)
+  }
 }

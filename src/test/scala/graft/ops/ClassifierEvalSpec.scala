@@ -850,6 +850,36 @@ class ClassifierEvalSpec extends SparkSpecBase {
       "item", "rater", "v"))
   }
 
+  test("quantileTreatmentEffects: exact type-1 deciles, tail-only effect") {
+    // A = 1..10 -> decile k reads exactly k; B = constant 5
+    val df = ((1 to 10).map(v => ("A", v.toDouble)) ++
+      (1 to 4).map(_ => ("B", 5.0d))).toDF("arm", "v")
+    val got = ClassifierEval.quantileTreatmentEffects(df, "arm", "v", "A", "B")
+      .as[(Double, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.size == 9)
+    got.zipWithIndex.foreach { case ((q, na, nb, va, vb, qte), i) =>
+      val k = i + 1
+      assert(q == k / 10.0d && na == 10L && nb == 4L)
+      assert(va == k.toDouble && vb == 5.0d && qte == (k - 5).toDouble,
+        s"decile $k: $va $vb $qte")
+    }
+    // tail-only effect: identical low deciles, shifted p90 (the type-1
+    // rank-9 value of 10 points)
+    val tail = ((1 to 8).map(v => ("A", v.toDouble)) ++
+      Seq(("A", 90.0d), ("A", 100.0d)) ++
+      (1 to 8).map(v => ("B", v.toDouble)) ++
+      Seq(("B", 9.0d), ("B", 10.0d))).toDF("arm", "v")
+    val t9 = ClassifierEval.quantileTreatmentEffects(tail, "arm", "v",
+      "A", "B")
+    assert(t9.filter($"q" === 0.9d).select($"qte").as[Double].head()
+      == 81.0d)
+    assert(t9.filter($"q" === 0.5d).select($"qte").as[Double].head()
+      == 0.0d)
+    intercept[IllegalArgumentException](
+      ClassifierEval.quantileTreatmentEffects(
+        Seq(("A", 1.0d)).toDF("arm", "v"), "arm", "v", "A", "B"))
+  }
+
   test("jarqueBera: symmetric light-tail vs skewed; zero variance; guards") {
     // symmetric around 2.0: skewness exactly 0, JB from kurtosis alone
     val sym = Seq.fill(1)(1.0d) ++ Seq.fill(2)(2.0d) ++ Seq.fill(1)(3.0d)

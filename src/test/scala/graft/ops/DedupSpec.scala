@@ -396,4 +396,38 @@ class DedupSpec extends SparkSpecBase {
     assert(got == brute,
       s"filter dropped ${brute -- got} / invented ${got -- brute}")
   }
+
+  test("editNeighborJoin: hand-traced pairs, blocking ≡ brute force") {
+    val names = Seq("cat", "cut", "cats", "dog", "ca", "c", "cat")
+    val got = Dedup.editNeighborJoin(names.toDF("s"), "s")
+      .as[(String, String, Long)].collect().toSet
+    // "c" is under minLength; duplicate "cat" rows collapse
+    assert(got == Set(("ca", "cat", 1L), ("cat", "cats", 1L),
+      ("cat", "cut", 1L)), got.toString)
+    // brute-force equivalence on a randomized small-alphabet corpus —
+    // proves the deletion-neighborhood blocking COMPLETE for k = 1
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 120)
+      .map(_ => (2 + rnd.nextInt(4)) match {
+        case n => (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      })
+    val blocked = Dedup.editNeighborJoin(corpus.toDF("s"), "s")
+      .as[(String, String, Long)].collect().toSet
+    val distinct = corpus.distinct.filter(_.length >= 2)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute2 = (for {
+      a <- distinct; b <- distinct
+      if a < b && lev(a, b) <= 1
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(blocked == brute2,
+      s"missed ${brute2 -- blocked} / invented ${blocked -- brute2}")
+  }
 }
