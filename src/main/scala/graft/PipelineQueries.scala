@@ -1511,6 +1511,34 @@ object PipelineQueries {
       g.unionByName(b).unionByName(l), "doc_id", "rater", "vote")
   }
 
+  /** q290: JELINEK–MERCER λ sweep ([[TextAnalysis.jmSweep]]) — the
+    * LM family's fixed constants (backoff α = 0.4, KN discount 0.75)
+    * tuned empirically for once: train the bigram/unigram ML tables on
+    * the q168 split (doc_id % 10 ≠ 0), score the held-out tenth under
+    * every λ in 0.1…0.9, and flag the mixing weight the held-out
+    * likelihood prefers. Oracle replays the split, both count tables,
+    * the OOV drop and every per-(pair, λ) micro term. */
+  def jmLambdaSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.jmSweep(
+      docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+      "doc_id", "text")
+  }
+
+  /** q291: GREEDY MAXIMUM-COVERAGE selection
+    * ([[graft.ops.Curation.greedyVocabCover]]) — the 8 documents that
+    * together cover the most corpus vocabulary, picked by the classic
+    * (1−1∕e) greedy: the exact-word-space twin of q137's embedding MMR
+    * and the seed-set move behind coverage-targeted eval slices.
+    * Oracle replays the greedy argmax chain (recursive CTE, the q137
+    * device) and attributes each word to its first covering pick. */
+  def vocabSetCover(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Curation.greedyVocabCover(
+      Tables.documents(s, dir), "doc_id", "text", k = 8)
+  }
+
   /** q283: COUNT–MIN SKETCH frequency audit ([[graft.ops.CountMin]]) —
     * the fixed-memory token-frequency summary vs exact truth: the d×w
     * counter table is built in one pass over the corpus tokens, the
@@ -3583,7 +3611,9 @@ object PipelineQueries {
     "q276_gwet_ac1"       -> (langIdAc1 _),
     "q279_kendall_w"      -> (signalKendallW _),
     "q283_countmin"       -> (tokenCountMin _),
-    "q287_krippendorff"   -> (gateKrippendorff _))
+    "q287_krippendorff"   -> (gateKrippendorff _),
+    "q290_jm_sweep"       -> (jmLambdaSweep _),
+    "q291_set_cover"      -> (vocabSetCover _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -8154,6 +8184,106 @@ object PipelineQueries {
          |        (3.0 * CAST(sp AS DOUBLE) / CAST(den AS DOUBLE)), 6)
          |    ELSE CAST(0.0 AS DOUBLE) END AS friedman_chi2
          |FROM nn, s2, dn""".stripMargin,
+    // q290: the q168 split, ML bigram/unigram tables, OOV drop, one
+    // micro term per (pair, lambda), exact sums, argmax flag
+    "q290_jm_sweep" -> {
+      val lams = (1 to 9).map(i => s"CAST(${i / 10.0d} AS DOUBLE)")
+        .mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+         |  WHERE len(string_split($norm, ' ')) >= 2),
+         |bitr AS (
+         |  SELECT b['p'] AS p, b['c'] AS c FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(p := ws[i], c := ws[i + 1]))) AS b
+         |    FROM w WHERE doc_id % 10 <> 0)),
+         |pc AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS cpc
+         |  FROM bitr GROUP BY 1, 2),
+         |cx AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cp
+         |  FROM bitr GROUP BY 1),
+         |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+         |    SELECT unnest(string_split($norm, ' ')) AS t FROM documents
+         |    WHERE doc_id % 10 <> 0) u
+         |  WHERE length(t) > 0 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS nw FROM uni),
+         |hob AS (
+         |  SELECT b['p'] AS p, b['c'] AS c, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(p := ws[i], c := ws[i + 1]))) AS b
+         |    FROM w WHERE doc_id % 10 = 0)
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT hob.p, hob.c, hob.n,
+         |    CASE WHEN pc.cpc IS NOT NULL AND cx.cp IS NOT NULL
+         |      THEN CAST(pc.cpc AS DOUBLE) / CAST(cx.cp AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS pbi,
+         |    CASE WHEN uni.cw IS NOT NULL
+         |      THEN CAST(uni.cw AS DOUBLE) / CAST(tot.nw AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS puni
+         |  FROM hob LEFT JOIN pc USING (p, c) LEFT JOIN cx USING (p)
+         |  LEFT JOIN uni ON uni.t = hob.c, tot),
+         |oov AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_oov
+         |  FROM sc WHERE puni <= 0.0),
+         |ls AS (SELECT unnest([$lams]) AS lambda),
+         |pl AS (
+         |  SELECT ls.lambda, CAST(SUM(sc.n) AS BIGINT) AS n_scored,
+         |    CAST(SUM(sc.n * CAST(round(ln(ls.lambda * sc.pbi +
+         |      (1.0 - ls.lambda) * sc.puni) * 1e6) AS BIGINT)) AS BIGINT) AS smm
+         |  FROM sc, ls WHERE sc.puni > 0.0 GROUP BY 1),
+         |av AS (
+         |  SELECT lambda, n_scored,
+         |    ROUND(CAST(smm AS DOUBLE) /
+         |      (CAST(n_scored AS DOUBLE) * 1e6), 6) AS avg_logprob
+         |  FROM pl),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, lambda)
+         |  AS rn FROM av)
+         |SELECT lambda, n_scored, n_oov, avg_logprob,
+         |  ROUND(exp(-avg_logprob), 6) AS perplexity,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+         |FROM rk, oov ORDER BY lambda""".stripMargin
+    },
+    // q291: recursive greedy argmax (the q137 device) + first-covering-
+    // pick word attribution for the gain/cumulative readouts
+    "q291_set_cover" ->
+      s"""WITH RECURSIVE
+         |dw AS (
+         |  SELECT doc_id, unnest(list_distinct(list_filter(
+         |    string_split($norm, ' '), x -> length(x) > 0))) AS w
+         |  FROM documents),
+         |dd AS (SELECT DISTINCT doc_id FROM dw),
+         |sel(it, ids) AS (
+         |  SELECT 1, [(SELECT doc_id FROM (
+         |    SELECT d.doc_id,
+         |      (SELECT COUNT(*) FROM dw x WHERE x.doc_id = d.doc_id) AS gain
+         |    FROM dd d)
+         |    ORDER BY gain DESC, doc_id LIMIT 1)]
+         |  UNION ALL
+         |  SELECT it + 1, list_append(ids, (SELECT doc_id FROM (
+         |    SELECT d.doc_id,
+         |      (SELECT COUNT(*) FROM dw x WHERE x.doc_id = d.doc_id
+         |        AND NOT EXISTS (SELECT 1 FROM dw cc
+         |          WHERE list_contains(s.ids, cc.doc_id) AND cc.w = x.w)) AS gain
+         |    FROM dd d WHERE NOT list_contains(s.ids, d.doc_id))
+         |    ORDER BY gain DESC, doc_id LIMIT 1))
+         |  FROM sel s WHERE it < 8),
+         |fin AS (SELECT ids FROM sel WHERE it = 8),
+         |ord AS (
+         |  SELECT CAST(g.o AS BIGINT) AS rank, CAST(ids[g.o] AS BIGINT) AS doc_id
+         |  FROM fin, generate_series(1, 8) g(o)),
+         |fw AS (
+         |  SELECT x.w, CAST(MIN(o.rank) AS BIGINT) AS fr
+         |  FROM dw x JOIN ord o USING (doc_id) GROUP BY 1),
+         |gains AS (
+         |  SELECT fr AS rank, CAST(COUNT(*) AS BIGINT) AS new_words
+         |  FROM fw GROUP BY 1)
+         |SELECT o.rank, o.doc_id,
+         |  CAST(COALESCE(g.new_words, 0) AS BIGINT) AS new_words,
+         |  CAST(SUM(COALESCE(g.new_words, 0)) OVER (ORDER BY o.rank
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_words
+         |FROM ord o LEFT JOIN gains g USING (rank)
+         |ORDER BY o.rank""".stripMargin,
     // q283: bit-exact CMS rebuild — polynomial item codes, the shared
     // (a,b) hash rows, integer mod buckets, min-over-rows estimate
     "q283_countmin" -> {

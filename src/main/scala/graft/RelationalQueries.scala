@@ -1034,6 +1034,22 @@ object RelationalQueries {
       "variant", "value", "A", "B")
   }
 
+  /** q289: PAGE–HINKLEY self-referenced drift monitor
+    * ([[graft.ops.ChangeDetect.pageHinkley]]) — q214's CUSUM needs a
+    * calibrated target level; this needs NOTHING: the reference is the
+    * hourly series' own running mean, so it is the drift alarm you can
+    * deploy on a metric you've never seen. Oracle replays the
+    * micro-mean grid, the running-mean terms (milli-quantized before
+    * the prefix sum) and the drawup-from-running-min readout. */
+  def hourlyPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.pageHinkley(
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp($"ts") / 3600).cast("long")
+          .as("hour_idx"), $"value"),
+      "hour_idx", "value", delta = 0.0d, lambda = 5.0d)
+  }
+
   /** q288: LOG-RANK survival comparison between the q154 arms
     * ([[graft.ops.Funnel.logRank]]) — do A-bucket users churn at a
     * different rate than B-bucket users, judged on the full KM curves
@@ -1479,6 +1495,7 @@ object RelationalQueries {
     "q282_edit_join"       -> (partNameEditJoin _),
     "q284_effect_size"     -> (experimentEffectSizes _),
     "q288_logrank"         -> (cohortLogRank _),
+    "q289_page_hinkley"    -> (hourlyPageHinkley _),
     "q294_qte"             -> (experimentQte _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
@@ -2612,6 +2629,45 @@ object RelationalQueries {
         |  CAST(va - vb AS DOUBLE) / 1e6 AS qte
         |FROM qa JOIN qb USING (k)
         |ORDER BY q""".stripMargin,
+    // q289: hourly micro-mean grid, running-mean terms milli-quantized
+    // BEFORE the prefix sum, drawup from the running minimum
+    "q289_page_hinkley" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mm
+        |  FROM pb),
+        |w1 AS (
+        |  SELECT bucket, mm,
+        |    CAST(COUNT(*) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS i,
+        |    CAST(SUM(mm) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM g),
+        |t AS (
+        |  SELECT bucket, mm,
+        |    CAST(round((CAST(mm AS DOUBLE) - CAST(s AS DOUBLE) / CAST(i AS DOUBLE)
+        |      - 0.0) * 1e3) AS BIGINT) AS t3
+        |  FROM w1),
+        |c AS (
+        |  SELECT bucket, mm,
+        |    CAST(SUM(t3) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+        |  FROM t),
+        |c2 AS (
+        |  SELECT bucket, mm, m,
+        |    CAST(MIN(m) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mn
+        |  FROM c)
+        |SELECT bucket, ROUND(CAST(mm AS DOUBLE) / 1e6, 6) AS mean,
+        |  ROUND(CAST(m - mn AS DOUBLE) / 1e9, 6) AS ph,
+        |  CAST(CASE WHEN CAST(m - mn AS DOUBLE) / 1e9 > 5.0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alarm
+        |FROM c2 ORDER BY bucket""".stripMargin,
     // q277: milli grid, rounded mean, three exact central sums, the
     // fixed-order g1/g2/JB readouts (+0.0 on the signed ones)
     "q277_jarque_bera" ->

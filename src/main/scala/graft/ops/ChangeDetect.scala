@@ -686,4 +686,52 @@ object ChangeDetect {
         round((slope("q") - slope("p")) / 1e6d, 6))
         .otherwise(lit(null).cast("double")).as("slope_change"))
   }
+
+  /** PAGE–HINKLEY increase test (Page 1954; the sequential form drift
+    * detectors like DDM/ADWIN cite) over the bucketed micro-mean series
+    * — [[cusum]]'s cousin for the case with NO known target level: the
+    * reference is the series' own RUNNING mean, so the monitor needs
+    * zero calibration. m_t = Σ_{i≤t}(x_i − x̄_i − δ) with x̄_i the mean
+    * of x_1..x_i; PH_t = m_t − min_{j≤t} m_j alarms past λ when the
+    * level has risen ≳ δ-persistently above its own history.
+    *
+    * One row per bucket, time-ordered: (bucket, mean, ph, alarm) —
+    * mean is the bucket's micro-mean, ph ≥ 0 by construction (drawup
+    * from the running minimum), alarm = ph > λ.
+    *
+    * Determinism: bucket means are micro longs; x̄_i = S_i∕i is a
+    * double ratio of exact integers; each term (x_i − S_i∕i − δ)
+    * milli-quantizes (of micro units) to a long BEFORE the prefix sum
+    * — order-free, replayed exactly. ph floats once, 6 dp.
+    *
+    * Plan: one corpus groupBy to the grid; two grid-sized prefix
+    * windows (running sum, running min). Stateless per-corpus batch
+    * twin of a streaming monitor: the grid is additive across batches
+    * (the [[cusum]] partial-grid discipline applies verbatim). */
+  def pageHinkley(df: DataFrame, bucketCol: String, valueCol: String,
+      delta: Double = 0.0d, lambda: Double = 50.0d): DataFrame = {
+    require(delta >= 0.0d, s"delta must be >= 0, got $delta")
+    require(lambda > 0.0d, s"lambda must be > 0, got $lambda")
+    val grid = mergedMeanGrid(partialGrid(df, bucketCol, valueCol))
+    val dq = math.round(delta * 1e6d) // δ in micro units, exact
+    val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withIdx = grid
+      .withColumn("_i", count(lit(1)).over(wAsc))
+      .withColumn("_s", sum(col("_mean")).over(wAsc))
+    val term = withIdx.withColumn("_t3",
+      round((col("_mean").cast("double") -
+        col("_s").cast("double") / col("_i").cast("double") -
+        lit(dq.toDouble)) * 1e3d).cast("long"))
+    val cum = term
+      .withColumn("_m", sum(col("_t3")).over(wAsc))
+      .withColumn("_mn", min(col("_m")).over(wAsc))
+    cum.select(col("bucket"),
+      round(col("_mean").cast("double") / 1e6d, 6).as("mean"),
+      round((col("_m") - col("_mn")).cast("double") / 1e9d, 6).as("ph"),
+      ((col("_m") - col("_mn")).cast("double") / 1e9d >
+        lit(lambda)).cast("long").as("alarm"))
+      .orderBy(col("bucket"))
+  }
 }

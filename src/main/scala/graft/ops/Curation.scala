@@ -341,4 +341,64 @@ object Curation {
         sum(when(col("_tvd_micro") > tMicro, col("_nc")).otherwise(0L))
           .as("n_risky_rows"))
   }
+
+  /** GREEDY MAXIMUM-COVERAGE document selection (the classic (1−1∕e)
+    * greedy for submodular coverage, Nemhauser et al. 1978) — the
+    * curation move MMR (q137) makes in embedding space, made exact in
+    * VOCABULARY space: pick `k` documents one at a time, each maximizing
+    * the count of corpus words not covered by the picks so far — the
+    * smallest demo/eval slice that still exercises the corpus
+    * vocabulary, or the seed set for a coverage-targeted curriculum.
+    *
+    * One row per pick, in pick order: (rank, doc_id, new_words,
+    * cum_words) — new_words is the pick's marginal gain, cum_words the
+    * running union size. Ties break on the smaller doc id; zero-gain
+    * picks are legal (k exceeds what coverage needs — reported, not
+    * hidden).
+    *
+    * Plan: the corpus collapses ONCE to distinct (doc, word) rows
+    * (checkpointed); each of the k rounds is a words-sized anti-join +
+    * doc-sized aggregate + a 1-row argmax collect — k is a small
+    * constant by contract (driver loop, the q137/IVF-train pattern),
+    * never data-sized. At 100 TB run it on a candidate pool (e.g. the
+    * q129 per-source caps), not the raw corpus. */
+  def greedyVocabCover(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64] (driver loop), got $k")
+    val spark = df.sparkSession
+    val dw = df
+      .select(col(idCol).as("_d"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .distinct()
+      .localCheckpoint(true) // (doc, word) rows, read k+1 times
+    val docs = dw.select(col("_d")).distinct().localCheckpoint(true)
+    var covered = dw.select(col("_w")).limit(0).localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    var cum = 0L
+    val rounds = math.min(k.toLong, docs.count())
+    var r = 1L
+    while (r <= rounds) {
+      val gains = dw.join(covered, Seq("_w"), "left_anti")
+        .groupBy(col("_d")).agg(count(lit(1)).as("_g"))
+      val best = docs.join(gains, Seq("_d"), "left")
+        .select(col("_d"), coalesce(col("_g"), lit(0L)).as("_g"))
+        .filter(!col("_d").isin(chosen.toSeq: _*))
+        .orderBy(col("_g").desc, col("_d").asc)
+        .limit(1).head()
+      val (d, g) = (best.getLong(0), best.getLong(1))
+      cum += g
+      picked += ((r, d, g))
+      chosen += d
+      covered = covered
+        .unionByName(dw.filter(col("_d") === d).select(col("_w")))
+        .distinct().localCheckpoint(true)
+      r += 1
+    }
+    import spark.implicits._
+    val cums = picked.scanLeft(0L) { case (acc, (_, _, g)) => acc + g }.drop(1)
+    picked.zip(cums).map { case ((rk, d, g), c) => (rk, d, g, c) }
+      .toSeq.toDF("rank", "doc_id", "new_words", "cum_words")
+  }
 }

@@ -530,6 +530,86 @@ object TextAnalysis {
       .select(col(idCol), col("_b.p").as("p"), col("_b.c").as("c"))
       .groupBy(col(idCol), col("p"), col("c")).agg(count(lit(1)).as("_n"))
 
+  /** JELINEK–MERCER interpolation sweep (Jelinek & Mercer 1980) — the
+    * tuning loop the LM family's fixed α/discount constants skip: score
+    * a HELD-OUT corpus under the interpolated bigram model
+    * P(w|p) = λ·P_ML(w|p) + (1−λ)·P_ML(w) for every λ in the grid, in
+    * ONE pass, and read off which mixing weight the data actually
+    * prefers (argmax held-out log-likelihood) — the hyperparameter
+    * readout behind choosing [[stupidBackoffTrigram]]'s α or
+    * [[knBigramLogProb]]'s discount empirically instead of by folklore.
+    *
+    * One row per λ: (lambda, n_scored, n_oov, avg_logprob, perplexity,
+    * is_best) — n_oov counts held-out bigram tokens whose WORD is
+    * outside the training vocabulary (P = 0 under every λ; dropped
+    * from scoring, reported, never silently imputed); is_best flags
+    * the best λ (ties → smaller λ, deterministic).
+    *
+    * Determinism: P_ML ratios are doubles of exact integer counts; the
+    * interpolated log micro-quantizes per (pair, λ) BEFORE the exact
+    * integer sum (order-free); λ values are literals, bit-identical in
+    * both engines; avg/perplexity are fixed-order readouts, 6 dp.
+    *
+    * Plan: train count tables are vocabulary-sized and derived map-side;
+    * the held-out corpus pools to its own bigram-vocabulary-sized
+    * (p, c, n) table BEFORE any join; the λ grid explodes that bounded
+    * table ×|grid| — never the corpus. */
+  def jmSweep(train: DataFrame, heldOut: DataFrame, idCol: String,
+      textCol: String,
+      lambdas: Seq[Double] = (1 to 9).map(_ / 10.0d)): DataFrame = {
+    require(lambdas.nonEmpty && lambdas.forall(l => l > 0.0 && l < 1.0),
+      s"lambdas must lie in (0, 1), got ${lambdas.mkString(",")}")
+    val trBi = docBigrams(train, idCol, textCol)
+      .groupBy(col("p"), col("c")).agg(sum(col("_n")).as("cpc"))
+    val trCtx = trBi.groupBy(col("p")).agg(sum(col("cpc")).as("cp"))
+    val trUni = train
+      .select(explode(tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("cw"))
+    val trTot = trUni.agg(sum(col("cw")).as("nw"))
+    val hoBi = docBigrams(heldOut, idCol, textCol)
+      .groupBy(col("p"), col("c")).agg(sum(col("_n")).as("n"))
+    val scored = hoBi
+      .join(trBi, Seq("p", "c"), "left")
+      .join(trCtx, Seq("p"), "left")
+      .join(trUni.select(col("t").as("c"), col("cw")), Seq("c"), "left")
+      .crossJoin(broadcast(trTot))
+      .withColumn("_pbi",
+        when(col("cp").isNotNull && col("cpc").isNotNull,
+          col("cpc").cast("double") / col("cp").cast("double"))
+          .otherwise(lit(0.0d)))
+      .withColumn("_puni",
+        when(col("cw").isNotNull,
+          col("cw").cast("double") / col("nw").cast("double"))
+          .otherwise(lit(0.0d)))
+      .localCheckpoint(true) // held-out-bigram-vocab-sized, read per λ
+    val oov = scored.filter(col("_puni") <= 0.0d)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_oov"))
+    val sess = train.sparkSession
+    import sess.implicits._
+    val lamDf = lambdas.toDF("lambda")
+    val perL = scored.filter(col("_puni") > 0.0d)
+      .crossJoin(broadcast(lamDf))
+      .withColumn("_micro",
+        round(log(col("lambda") * col("_pbi") +
+          (lit(1.0d) - col("lambda")) * col("_puni")) * 1e6d).cast("long"))
+      .groupBy(col("lambda"))
+      .agg(sum(col("n")).as("n_scored"),
+        sum(col("n") * col("_micro")).as("_sum"))
+      .withColumn("avg_logprob",
+        round(col("_sum").cast("double") /
+          (col("n_scored").cast("double") * 1e6d), 6))
+      .withColumn("perplexity", round(exp(negate(col("avg_logprob"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_logprob").desc, col("lambda").asc)
+    perL.crossJoin(broadcast(oov))
+      .withColumn("is_best",
+        (row_number().over(w) === 1).cast("long"))
+      .select(col("lambda"), col("n_scored"), col("n_oov"),
+        col("avg_logprob"), col("perplexity"), col("is_best"))
+      .orderBy(col("lambda"))
+  }
+
   /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; the
     * interpolated fixed-discount form of Chen & Goodman 1999) — the
     * smoothing real n-gram LMs ship with, one rung above add-one

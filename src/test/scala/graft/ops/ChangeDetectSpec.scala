@@ -333,4 +333,28 @@ class ChangeDetectSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](ChangeDetect.mannKendall(
       Seq((Option.empty[Long], Some(1.0d))).toDF("b", "v"), "b", "v"))
   }
+
+  test("pageHinkley: flat series stays silent; a step alarms; hand trace") {
+    val flat = (1L to 6L).map(b => (b, 3.0d)).toDF("b", "v")
+    val quiet = ChangeDetect.pageHinkley(flat, "b", "v", lambda = 1.0d)
+      .select($"ph", $"alarm").as[(Double, Long)].collect()
+    assert(quiet.forall { case (p, a) => p == 0.0d && a == 0L },
+      quiet.mkString(","))
+    // 0,0,0,10: running means 0,0,0,2.5 -> term_4 = 7.5 -> ph_4 = 7.5
+    val step = Seq((1L, 0.0d), (2L, 0.0d), (3L, 0.0d), (4L, 10.0d))
+      .toDF("b", "v")
+    val got = ChangeDetect.pageHinkley(step, "b", "v", lambda = 5.0d)
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 0.0d, 0.0d, 0L), (2L, 0.0d, 0.0d, 0L),
+      (3L, 0.0d, 0.0d, 0L), (4L, 10.0d, 7.5d, 1L)), got.toString)
+    // delta eats small drifts: with delta 10 the step term goes negative
+    val damped = ChangeDetect.pageHinkley(step, "b", "v",
+      delta = 10.0d, lambda = 5.0d)
+      .filter($"bucket" === 4L).select($"alarm").as[Long].head()
+    assert(damped == 0L)
+    intercept[IllegalArgumentException](
+      ChangeDetect.pageHinkley(flat, "b", "v", delta = -1.0d))
+    intercept[IllegalArgumentException](
+      ChangeDetect.pageHinkley(flat, "b", "v", lambda = 0.0d))
+  }
 }

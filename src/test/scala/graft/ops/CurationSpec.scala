@@ -254,4 +254,24 @@ class CurationSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Curation.planGates(
       df, Seq("g" -> col("g"), "g" -> col("g"))))
   }
+
+  test("greedyVocabCover: hand-traced greedy chain, zero-gain tail, k cap") {
+    val docs = Seq((1L, "a b c"), (2L, "c d"), (3L, "e"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Curation.greedyVocabCover(docs, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // pick 1 (gain 3) -> tie(2: d, 3: e) -> min id 2 -> 3 -> 4 (gain 0)
+    assert(got == Seq((1L, 1L, 3L, 3L), (2L, 2L, 1L, 4L),
+      (3L, 3L, 1L, 5L), (4L, 4L, 0L, 5L)), got.toString)
+    // k larger than the doc count stops at the doc count
+    val capped = Curation.greedyVocabCover(docs, "doc_id", "text", k = 10)
+    assert(capped.count() == 4L)
+    // duplicate words inside a doc count once
+    val dup = Curation.greedyVocabCover(
+      Seq((1L, "a a a"), (2L, "b c")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 2).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(dup == Seq((1L, 2L, 2L, 2L), (2L, 1L, 1L, 3L)), dup.toString)
+    intercept[IllegalArgumentException](
+      Curation.greedyVocabCover(docs, "doc_id", "text", k = 0))
+  }
 }

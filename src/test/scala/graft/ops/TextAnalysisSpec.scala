@@ -846,6 +846,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got._2 == 3.433987d, got.toString)
   }
 
+  test("jmSweep: hand-traced interpolation, OOV drop, argmax flag") {
+    // train "a b a b": bigrams (a,b)x2 (b,a)x1; c(a)=c(b)=2, N=4
+    // held "a b": pbi = 2/2 = 1.0, puni(b) = 0.5 ->
+    // score(l) = ln(l + (1-l)*0.5), maximized at the largest l
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val held = Seq((2L, "a b"), (3L, "a z")).toDF("doc_id", "text")
+    val got = TextAnalysis.jmSweep(train, held, "doc_id", "text")
+      .as[(Double, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got.size == 9)
+    // (a,z): z is OOV -> dropped and counted
+    assert(got.forall(r => r._2 == 1L && r._3 == 1L), got.toString)
+    val best = got.filter(_._6 == 1L)
+    assert(best.size == 1 && best.head._1 == 0.9d, got.toString)
+    // hand value at l = 0.5: ln(0.75) = -0.287682 -> ppl = exp(0.287682)
+    val mid = got.find(_._1 == 0.5d).get
+    assert(mid._4 == -0.287682d, mid.toString)
+    assert(mid._5 == BigDecimal(math.exp(0.287682d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, mid.toString)
+    // avg_logprob strictly improves with lambda here (pbi > puni)
+    val byL = got.sortBy(_._1).map(_._4)
+    assert(byL.zip(byL.tail).forall { case (lo, hi) => lo < hi }, got.toString)
+    intercept[IllegalArgumentException](TextAnalysis.jmSweep(
+      train, held, "doc_id", "text", lambdas = Seq(0.0d)))
+  }
+
   test("signed-zero convention: Spark round() normalizes -0.0 (SURVEY §7.4)") {
     // the repo's replay convention rests on this: Spark's BigDecimal
     // round can NEVER emit -0.0, so every rounded Spark readout is
