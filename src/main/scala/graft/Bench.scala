@@ -115,8 +115,9 @@ object Bench {
     "q273_cvm", "q274_label_separation", "q275_hellinger", "q276_gwet_ac1",
     "q277_jarque_bera", "q279_kendall_w", "q280_hubness",
     "q282_edit_join", "q283_countmin", "q284_effect_size",
-    "q287_krippendorff", "q288_logrank", "q289_page_hinkley",
-    "q290_jm_sweep", "q291_set_cover", "q294_qte")
+    "q285_mw_matrix", "q287_krippendorff", "q288_logrank",
+    "q289_page_hinkley", "q290_jm_sweep", "q291_set_cover",
+    "q292_theil", "q293_runs_test", "q294_qte")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1511,6 +1511,36 @@ object PipelineQueries {
       g.unionByName(b).unionByName(l), "doc_id", "rater", "vote")
   }
 
+  /** q285: PAIRWISE Mann–Whitney matrix across sources
+    * ([[graft.ops.ClassifierEval.mannWhitneyMatrix]]) — q253's Kruskal
+    * says the sources differ SOMEWHERE on classifier confidence; this
+    * says which pairs, with tie-corrected z and rank-biserial effect
+    * size per pair (q243's BH machinery is the multiple-testing
+    * closure). Oracle replays the classifier, the per-source grids,
+    * every pair's doubled-rank sums and the fixed-order z. */
+  def sourceMwMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+    graft.ops.ClassifierEval.mannWhitneyMatrix(conf, "source", "conf")
+  }
+
+  /** q292: THEIL T token-mass inequality, decomposed by source
+    * ([[TextAnalysis.theilDecomposition]]) — q204's Gini says HOW
+    * concentrated; Theil's additive decomposition says WHERE: giant
+    * documents inside sources (within) vs giant sources (between) —
+    * the number that decides whether a cap should act per-document or
+    * per-source. Oracle replays the length grid, every nano term and
+    * the cleared share/identity arithmetic. */
+  def sourceTheil(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.theilDecomposition(Tables.documents(s, dir),
+      "source", "text")
+  }
+
   /** q290: JELINEK–MERCER λ sweep ([[TextAnalysis.jmSweep]]) — the
     * LM family's fixed constants (backoff α = 0.4, KN discount 0.75)
     * tuned empirically for once: train the bigram/unigram ML tables on
@@ -3612,8 +3642,10 @@ object PipelineQueries {
     "q279_kendall_w"      -> (signalKendallW _),
     "q283_countmin"       -> (tokenCountMin _),
     "q287_krippendorff"   -> (gateKrippendorff _),
+    "q285_mw_matrix"      -> (sourceMwMatrix _),
     "q290_jm_sweep"       -> (jmLambdaSweep _),
-    "q291_set_cover"      -> (vocabSetCover _))
+    "q291_set_cover"      -> (vocabSetCover _),
+    "q292_theil"          -> (sourceTheil _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -8184,6 +8216,107 @@ object PipelineQueries {
          |        (3.0 * CAST(sp AS DOUBLE) / CAST(den AS DOUBLE)), 6)
          |    ELSE CAST(0.0 AS DOUBLE) END AS friedman_chi2
          |FROM nn, s2, dn""".stripMargin,
+    // q285: classifier replay + source join, per-source grids, pair
+    // expansion, doubled-rank HUGEINT sums, fixed-order z per pair
+    "q285_mw_matrix" ->
+      s"""WITH $classifierPredCtes,
+         |sg AS (
+         |  SELECT d.source AS gsrc, CAST(round(p2.conf * 1e6) AS BIGINT) AS sm,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pred p2 JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |ss AS (SELECT DISTINCT gsrc FROM sg),
+         |prs AS (SELECT x.gsrc AS sa, y.gsrc AS sb
+         |  FROM ss x JOIN ss y ON x.gsrc < y.gsrc),
+         |ga AS (SELECT prs.sa, prs.sb, sg.sm, sg.c AS na
+         |  FROM prs JOIN sg ON sg.gsrc = prs.sa),
+         |gb AS (SELECT prs.sa, prs.sb, sg.sm, sg.c AS nb
+         |  FROM prs JOIN sg ON sg.gsrc = prs.sb),
+         |cells AS (
+         |  SELECT COALESCE(ga.sa, gb.sa) AS sa, COALESCE(ga.sb, gb.sb) AS sb,
+         |    COALESCE(ga.sm, gb.sm) AS sm,
+         |    CAST(COALESCE(na, 0) AS BIGINT) AS na,
+         |    CAST(COALESCE(nb, 0) AS BIGINT) AS nb
+         |  FROM ga FULL JOIN gb
+         |  ON ga.sa = gb.sa AND ga.sb = gb.sb AND ga.sm = gb.sm),
+         |wnd AS (
+         |  SELECT sa, sb, na, nb,
+         |    CAST(COALESCE(SUM(nb) OVER (PARTITION BY sa, sb ORDER BY sm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cb
+         |  FROM cells),
+         |t2 AS (
+         |  SELECT sa, sb, CAST(SUM(na) AS BIGINT) AS n_a,
+         |    CAST(SUM(nb) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(na AS HUGEINT) * (2 * cb + nb)) AS HUGEINT) AS u2,
+         |    CAST(SUM(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+         |      - (na + nb)) AS HUGEINT) AS tc
+         |  FROM wnd GROUP BY 1, 2)
+         |SELECT sa AS src_a, sb AS src_b, n_a, n_b,
+         |  ROUND(CAST(u2 AS DOUBLE) / 2.0, 6) AS u_a,
+         |  ROUND(CAST(u2 AS DOUBLE) /
+         |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0, 6) + 0.0
+         |    AS rank_biserial,
+         |  CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+         |      (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) + 1.0)
+         |        - CAST(tc AS DOUBLE) /
+         |          ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+         |           ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 1.0))) > 0.0
+         |    THEN ROUND((CAST(u2 AS DOUBLE) / 2.0
+         |        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+         |      sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+         |        (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) + 1.0)
+         |          - CAST(tc AS DOUBLE) /
+         |            ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+         |             ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 1.0)))), 6)
+         |      + 0.0
+         |    ELSE CAST(0.0 AS DOUBLE) END AS z
+         |FROM t2 ORDER BY src_a, src_b""".stripMargin,
+    // q292: the q204 length grid, nano within/total/between Theil
+    // terms, cleared shares (+0.0: quantized relative entropies)
+    "q292_theil" ->
+      s"""WITH t AS (
+         |  SELECT source AS grp,
+         |    CAST(len(string_split($norm, ' ')) AS BIGINT) AS len
+         |  FROM documents),
+         |g AS (
+         |  SELECT grp, len, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM t WHERE len > 0 GROUP BY 1, 2),
+         |gr AS (
+         |  SELECT grp, CAST(SUM(c) AS BIGINT) AS n_docs,
+         |    CAST(SUM(c * len) AS BIGINT) AS xg
+         |  FROM g GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+         |  CAST(SUM(xg) AS BIGINT) AS x FROM gr),
+         |win AS (
+         |  SELECT g.grp, CAST(COALESCE(SUM(CAST(round(
+         |      CAST(g.c AS DOUBLE) * CAST(g.len AS DOUBLE) *
+         |      ln(CAST(gr.n_docs AS DOUBLE) * CAST(g.len AS DOUBLE) /
+         |        CAST(gr.xg AS DOUBLE)) * 1e9) AS BIGINT)), 0) AS BIGINT)
+         |    AS wsum
+         |  FROM g JOIN gr USING (grp) GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(
+         |      CAST(g.c AS DOUBLE) * CAST(g.len AS DOUBLE) *
+         |      ln(CAST(tt.n AS DOUBLE) * CAST(g.len AS DOUBLE) /
+         |        CAST(tt.x AS DOUBLE)) * 1e9) AS BIGINT)), 0) AS BIGINT)
+         |    AS tsum
+         |  FROM g, tt),
+         |btw AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(round(
+         |      (CAST(gr.xg AS DOUBLE) / CAST(tt.x AS DOUBLE)) *
+         |      ln(CAST(gr.xg AS DOUBLE) * CAST(tt.n AS DOUBLE) /
+         |        (CAST(tt.x AS DOUBLE) * CAST(gr.n_docs AS DOUBLE))) * 1e9)
+         |      AS BIGINT)), 0) AS BIGINT) AS bsum
+         |  FROM gr, tt)
+         |SELECT gr.grp AS "group", gr.n_docs, gr.xg AS total_tokens,
+         |  ROUND(CAST(gr.xg AS DOUBLE) / CAST(tt.x AS DOUBLE), 6) AS share,
+         |  ROUND(CAST(win.wsum AS DOUBLE) /
+         |    (1e9 * CAST(gr.xg AS DOUBLE)), 6) + 0.0 AS theil_within,
+         |  ROUND(CAST(btw.bsum AS DOUBLE) / 1e9, 6) + 0.0 AS theil_between,
+         |  ROUND(CAST(tot.tsum AS DOUBLE) /
+         |    (1e9 * CAST(tt.x AS DOUBLE)), 6) + 0.0 AS theil_total
+         |FROM gr JOIN win ON gr.grp = win.grp, tt, tot, btw
+         |ORDER BY "group"""".stripMargin,
     // q290: the q168 split, ML bigram/unigram tables, OOV drop, one
     // micro term per (pair, lambda), exact sums, argmax flag
     "q290_jm_sweep" -> {

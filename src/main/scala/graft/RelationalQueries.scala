@@ -1034,6 +1034,22 @@ object RelationalQueries {
       "variant", "value", "A", "B")
   }
 
+  /** q293: WALD–WOLFOWITZ runs test on the hourly series
+    * ([[graft.ops.ChangeDetect.runsTest]]) — is the hour-to-hour
+    * movement around the median RANDOM at all? Too few runs = sticky
+    * regimes (q218's ACF shows where), too many = oscillation; either
+    * kills the q106 z-gate's independence assumption. Oracle replays
+    * the micro-mean grid, the rank median, the sign drops and the lag
+    * run count. */
+  def hourlyRunsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ChangeDetect.runsTest(
+      Tables.events(s, dir)
+        .select(floor(unix_timestamp($"ts") / 3600).cast("long")
+          .as("hour_idx"), $"value"),
+      "hour_idx", "value")
+  }
+
   /** q289: PAGE–HINKLEY self-referenced drift monitor
     * ([[graft.ops.ChangeDetect.pageHinkley]]) — q214's CUSUM needs a
     * calibrated target level; this needs NOTHING: the reference is the
@@ -1496,6 +1512,7 @@ object RelationalQueries {
     "q284_effect_size"     -> (experimentEffectSizes _),
     "q288_logrank"         -> (cohortLogRank _),
     "q289_page_hinkley"    -> (hourlyPageHinkley _),
+    "q293_runs_test"       -> (hourlyRunsTest _),
     "q294_qte"             -> (experimentQte _))
 
   /** Bloom-pruned semi-join (ops.BloomJoin): lineitems of URGENT orders,
@@ -2629,6 +2646,56 @@ object RelationalQueries {
         |  CAST(va - vb AS DOUBLE) / 1e6 AS qte
         |FROM qa JOIN qb USING (k)
         |ORDER BY q""".stripMargin,
+    // q293: micro-mean grid, rank median, equal-drops, lag run count,
+    // fixed-order mu/sigma z (+0.0: signed)
+    "q293_runs_test" ->
+      """WITH pb AS (
+        |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mm
+        |  FROM pb),
+        |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM g),
+        |rk AS (SELECT mm,
+        |  ROW_NUMBER() OVER (ORDER BY CAST(mm AS DOUBLE)) AS rn FROM g),
+        |md AS (
+        |  SELECT SUM(CAST(mm AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) AS med
+        |  FROM rk, n0 WHERE rn >= (h + 1) // 2 AND rn <= (h + 2) // 2),
+        |sg AS (
+        |  SELECT bucket,
+        |    CAST(CASE WHEN CAST(mm AS DOUBLE) > med THEN 1 ELSE 0 END
+        |      AS BIGINT) AS s
+        |  FROM g, md WHERE CAST(mm AS DOUBLE) <> med),
+        |lg AS (SELECT s, LAG(s) OVER (ORDER BY bucket) AS prev FROM sg),
+        |ag AS (
+        |  SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_above,
+        |    CAST(COALESCE(SUM(1 - s), 0) AS BIGINT) AS n_below,
+        |    CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND prev <> s
+        |        THEN 1 ELSE 0 END), 0)
+        |      + CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_runs
+        |  FROM lg),
+        |f AS (
+        |  SELECT n_above, n_below, n_runs,
+        |    2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) /
+        |      (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) + 1.0 AS mu,
+        |    2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) *
+        |      (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |        - (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))) /
+        |      ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) *
+        |       (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) *
+        |       ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) - 1.0))
+        |      AS v
+        |  FROM ag)
+        |SELECT n_above, n_below, n_runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 THEN ROUND(mu, 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS expected_runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 AND v > 0.0
+        |    THEN ROUND((CAST(n_runs AS DOUBLE) - mu) / sqrt(v), 6) + 0.0
+        |    ELSE CAST(0.0 AS DOUBLE) END AS z
+        |FROM f""".stripMargin,
     // q289: hourly micro-mean grid, running-mean terms milli-quantized
     // BEFORE the prefix sum, drawup from the running minimum
     "q289_page_hinkley" ->

@@ -687,6 +687,60 @@ object ChangeDetect {
         .otherwise(lit(null).cast("double")).as("slope_change"))
   }
 
+  /** WALD–WOLFOWITZ RUNS TEST around the series median (Wald &
+    * Wolfowitz 1940) — the randomness check in front of the whole
+    * monitoring stack: too FEW runs of above/below-median hours means
+    * the series is sticky (trend/regime — [[acf]] will show where),
+    * too MANY means oscillation (load-balancer flapping, alternating
+    * batch sources); either way the per-bucket z-gate's independence
+    * assumption is dead. One row: (n_above, n_below, n_runs,
+    * expected_runs, z) with z = (R − μ)∕σ, μ = 2n₁n₂∕n + 1,
+    * σ² = 2n₁n₂(2n₁n₂ − n)∕(n²(n − 1)).
+    *
+    * Determinism: bucket means are micro longs; the median is the
+    * [[medianOf]] rank pick; equal-to-median buckets are DROPPED (the
+    * standard convention — they carry no sign); runs count by one lag
+    * window over the bounded grid; z is one fixed-order double, 6 dp,
+    * signed (the oracle carries the signed-zero canonicalization).
+    * A single-sign series (n₁ = 0 or n₂ = 0) has no variability and
+    * reports z = 0.0 with its counts, documented. ≥ 2 buckets
+    * required (typed). */
+  def runsTest(df: DataFrame, bucketCol: String,
+      valueCol: String): DataFrame = {
+    val grid = mergedMeanGrid(partialGrid(df, bucketCol, valueCol))
+      .localCheckpoint(true) // bounded grid, read twice
+    val h = grid.count()
+    require(h >= 2L, s"runsTest needs >= 2 buckets, got $h")
+    val med = medianOf(grid.select(col("_mean").cast("double").as("_v")),
+      "_v").first().getDouble(0)
+    val signed = grid
+      .filter(col("_mean").cast("double") =!= med)
+      .withColumn("_s",
+        (col("_mean").cast("double") > med).cast("long"))
+    val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    val runs = signed
+      .withColumn("_prev", lag(col("_s"), 1).over(wAsc))
+      .agg(
+        coalesce(sum(col("_s")), lit(0L)).as("n_above"),
+        coalesce(sum(lit(1L) - col("_s")), lit(0L)).as("n_below"),
+        (coalesce(sum(when(col("_prev").isNotNull &&
+          col("_prev") =!= col("_s"), 1L).otherwise(0L)), lit(0L)) +
+          when(count(lit(1)) > 0L, lit(1L)).otherwise(lit(0L)))
+          .as("n_runs"))
+    def d(c: String) = col(c).cast("double")
+    val n1 = d("n_above"); val n2 = d("n_below")
+    val n = n1 + n2
+    val mu = lit(2.0d) * n1 * n2 / n + lit(1.0d)
+    val v = lit(2.0d) * n1 * n2 * (lit(2.0d) * n1 * n2 - n) /
+      (n * n * (n - lit(1.0d)))
+    runs.select(col("n_above"), col("n_below"), col("n_runs"),
+      when(col("n_above") > 0L && col("n_below") > 0L, round(mu, 6))
+        .otherwise(lit(0.0d)).as("expected_runs"),
+      when(col("n_above") > 0L && col("n_below") > 0L && v > 0.0d,
+        round((col("n_runs").cast("double") - mu) / sqrt(v), 6))
+        .otherwise(lit(0.0d)).as("z"))
+  }
+
   /** PAGE–HINKLEY increase test (Page 1954; the sequential form drift
     * detectors like DDM/ADWIN cite) over the bucketed micro-mean series
     * — [[cusum]]'s cousin for the case with NO known target level: the
@@ -709,10 +763,20 @@ object ChangeDetect {
     * twin of a streaming monitor: the grid is additive across batches
     * (the [[cusum]] partial-grid discipline applies verbatim). */
   def pageHinkley(df: DataFrame, bucketCol: String, valueCol: String,
-      delta: Double = 0.0d, lambda: Double = 50.0d): DataFrame = {
+      delta: Double = 0.0d, lambda: Double = 50.0d): DataFrame =
+    pageHinkleyFromPartials(partialGrid(df, bucketCol, valueCol),
+      delta, lambda)
+
+  /** [[pageHinkley]] over stacked per-batch partials — the streaming
+    * monitor's serving path ([[graft.streaming.CusumMonitor
+    * .pageHinkleyState]]): re-merges the additive grid first, so
+    * stream ≡ batch holds bit-for-bit under any batch boundaries or
+    * arrival order. */
+  private[graft] def pageHinkleyFromPartials(partials: DataFrame,
+      delta: Double, lambda: Double): DataFrame = {
     require(delta >= 0.0d, s"delta must be >= 0, got $delta")
     require(lambda > 0.0d, s"lambda must be > 0, got $lambda")
-    val grid = mergedMeanGrid(partialGrid(df, bucketCol, valueCol))
+    val grid = mergedMeanGrid(partials)
     val dq = math.round(delta * 1e6d) // δ in micro units, exact
     val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
       .rowsBetween(

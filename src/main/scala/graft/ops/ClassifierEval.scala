@@ -752,6 +752,78 @@ object ClassifierEval {
         .otherwise(lit(0.0d)).as("z"))
   }
 
+  /** PAIRWISE Mann–Whitney MATRIX across k groups — the drill-down
+    * behind [[kruskal]]'s single "somewhere differs" verdict: for every
+    * unordered group pair, the tie-corrected z and rank-biserial effect
+    * size of [[mannWhitney]], so a mixture audit reads WHICH sources
+    * pull apart and by how much (feed the |z| column to the q243 BH
+    * machinery for the multiple-testing closure). One row per pair
+    * (src_a < src_b lexicographically): (src_a, src_b, n_a, n_b, u_a,
+    * rank_biserial, z).
+    *
+    * Determinism: identical integer machinery to [[mannWhitney]] —
+    * per-group micro grids built ONCE, pair-expanded by equi-joins
+    * (never a groups × corpus blow-up), doubled-rank sums in
+    * DECIMAL(38,0), one fixed-order z per pair.
+    *
+    * Plan: one corpus groupBy to the (group, value) grid; pair
+    * expansion is pairs × grid-rows (bounded by k²·|grid|); one
+    * per-pair window + aggregate. k is source-count-sized. */
+  def mannWhitneyMatrix(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nulls = df.filter(col(groupCol).isNull || col(scoreCol).isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"mannWhitneyMatrix needs non-NULL '$groupCol' and '$scoreCol'")
+    val g = df.select(col(groupCol).cast("string").as("_g"),
+        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      .groupBy(col("_g"), col("_sm")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // grids, read by both pair sides
+    val srcs = g.select(col("_g")).distinct()
+    val nG = srcs.count()
+    require(nG >= 2L, s"mannWhitneyMatrix needs >= 2 groups, got $nG")
+    val pairs = srcs.select(col("_g").as("_a"))
+      .join(srcs.select(col("_g").as("_b")), col("_a") < col("_b"))
+    val ga = pairs.join(g.select(col("_g").as("_a"), col("_sm"),
+      col("_c").as("_na")), Seq("_a"))
+    val gb = pairs.join(g.select(col("_g").as("_b"), col("_sm"),
+      col("_c").as("_nb")), Seq("_b"))
+    val cells = ga.join(gb, Seq("_a", "_b", "_sm"), "full")
+      .select(col("_a"), col("_b"), col("_sm"),
+        coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_a"), col("_b")).orderBy(col("_sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sums = cells
+      .withColumn("_cb", coalesce(sum(col("_nb")).over(w), lit(0L)))
+      .groupBy(col("_a"), col("_b"))
+      .agg(
+        sum(col("_na")).as("n_a"),
+        sum(col("_nb")).as("n_b"),
+        sum(col("_na").cast(dec) * (lit(2L) * col("_cb") + col("_nb")))
+          .as("_u2"),
+        sum((col("_na") + col("_nb")).cast(dec) *
+          (col("_na") + col("_nb")) * (col("_na") + col("_nb")) -
+          (col("_na") + col("_nb")).cast(dec)).as("_tcorr"))
+    def d(c: String) = col(c).cast("double")
+    val n1 = d("n_a")
+    val n2 = d("n_b")
+    val n = n1 + n2
+    val u = d("_u2") / 2.0d
+    val varU = n1 * n2 / 12.0d *
+      ((n + 1.0d) - d("_tcorr") / (n * (n - 1.0d)))
+    sums.select(col("_a").as("src_a"), col("_b").as("src_b"),
+      col("n_a"), col("n_b"),
+      round(u, 6).as("u_a"),
+      round(d("_u2") / (n1 * n2) - 1.0d, 6).as("rank_biserial"),
+      when(varU > 0.0d,
+        round((u - n1 * n2 / 2.0d) / sqrt(varU), 6))
+        .otherwise(lit(0.0d)).as("z"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** PEARSON χ² test of independence between two labelings — the
     * mixture-audit significance readout next to [[nmi]] (which measures
     * HOW MUCH the partitions share, not whether the association could

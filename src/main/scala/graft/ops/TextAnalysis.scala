@@ -312,6 +312,77 @@ object TextAnalysis {
           .as("gini"))
   }
 
+  /** THEIL T inequality of per-document token mass, DECOMPOSED by group
+    * (Theil 1967) — what [[tokenGini]]'s single number cannot say: is
+    * the corpus's token concentration driven by giant documents INSIDE
+    * sources (within) or by giant SOURCES (between)? Theil's T is the
+    * unique inequality index that decomposes additively:
+    * T_total = T_between + Σ_g s_g·T_g with s_g the group's token
+    * share — so the per-source rows and the two global readouts are
+    * one consistent accounting (identity spec-checked to quantization
+    * tolerance).
+    *
+    * One row per group: (group, n_docs, total_tokens, share,
+    * theil_within, theil_between, theil_total) — the last two repeat
+    * (frame-level readouts riding the group rows, the q208 points
+    * convention).
+    *
+    * Determinism: per-(group, length) cells carry exact integer
+    * (c, len); each cell's c·len·ln(·) term nano-quantizes to a long
+    * before the exact sum (ceiling: cell token mass ·|ln| ·10⁹ must
+    * fit a long — cells of ≲10⁸ tokens; shard larger groups by length
+    * first). Readouts are fixed-order doubles, 6 dp; T values are
+    * relative entropies (≥ 0), but quantization can land an
+    * all-equal corpus at −ε∕10⁹ — the oracle carries the signed-zero
+    * canonicalization. Zero-token documents are excluded (documented,
+    * matching [[tokenGini]]). */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val lens = df
+      .select(col(groupCol).as("group"),
+        tokenCount(col(textCol)).cast("long").as("_len"))
+      .filter(col("_len") > 0)
+      .groupBy(col("group"), col("_len")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // (group × length)-sized, read 3×
+    val grp = lens.groupBy(col("group"))
+      .agg(sum(col("_c")).as("n_docs"),
+        sum(col("_c") * col("_len")).as("_xg"))
+      .localCheckpoint(true)
+    val tot = grp.agg(sum(col("n_docs")).as("_n"), sum(col("_xg")).as("_x"))
+    val withG = lens.join(grp, Seq("group")).crossJoin(broadcast(tot))
+    val winTerm = withG.select(col("group"),
+      round(col("_c").cast("double") * col("_len").cast("double") *
+        log(col("n_docs").cast("double") * col("_len").cast("double") /
+          col("_xg").cast("double")) * 1e9d).cast("long").as("_w9"))
+      .groupBy(col("group"))
+      .agg(coalesce(sum(col("_w9")), lit(0L)).as("_wsum"))
+    val totTerm = withG.select(
+      round(col("_c").cast("double") * col("_len").cast("double") *
+        log(col("_n").cast("double") * col("_len").cast("double") /
+          col("_x").cast("double")) * 1e9d).cast("long").as("_t9"))
+      .agg(coalesce(sum(col("_t9")), lit(0L)).as("_tsum"))
+    val btwTerm = grp.crossJoin(broadcast(tot)).select(
+      round((col("_xg").cast("double") / col("_x").cast("double")) *
+        log(col("_xg").cast("double") * col("_n").cast("double") /
+          (col("_x").cast("double") * col("n_docs").cast("double"))) * 1e9d)
+        .cast("long").as("_b9"))
+      .agg(coalesce(sum(col("_b9")), lit(0L)).as("_bsum"))
+    grp.join(winTerm, Seq("group"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(totTerm))
+      .crossJoin(broadcast(btwTerm))
+      .select(col("group"), col("n_docs"),
+        col("_xg").as("total_tokens"),
+        round(col("_xg").cast("double") / col("_x").cast("double"), 6)
+          .as("share"),
+        round(col("_wsum").cast("double") /
+          (lit(1e9d) * col("_xg").cast("double")), 6).as("theil_within"),
+        round(col("_bsum").cast("double") / 1e9d, 6).as("theil_between"),
+        round(col("_tsum").cast("double") /
+          (lit(1e9d) * col("_x").cast("double")), 6).as("theil_total"))
+      .orderBy(col("group"))
+  }
+
   /** DSIR-style importance log-ratio per document (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score each document by the average per-token

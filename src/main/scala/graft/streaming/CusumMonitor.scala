@@ -102,6 +102,18 @@ object CusumMonitor {
     ChangeDetect.sprtFromPartials(partials(spark, gridDir),
       p0, p1, alpha, beta)
 
+  /** PAGE–HINKLEY trajectory over the monitored state — the
+    * self-referenced (running-mean baseline, zero-calibration) drift
+    * test served from the SAME persisted grid: the fifth detector on
+    * one state, for the metric nobody has calibrated a CUSUM target
+    * for yet. Identical rows to `ChangeDetect.pageHinkley` on the
+    * union of all monitored batches (spec-proven), under any batch
+    * boundaries or arrival order. */
+  def pageHinkleyState(spark: SparkSession, gridDir: String,
+      delta: Double = 0.0d, lambda: Double = 50.0d): DataFrame =
+    ChangeDetect.pageHinkleyFromPartials(partials(spark, gridDir),
+      delta, lambda)
+
   /** The stacked per-batch partials — resolved once per probe; typed
     * failure before the first batch lands. */
   private def partials(spark: SparkSession, gridDir: String): DataFrame = {

@@ -334,6 +334,37 @@ class ChangeDetectSpec extends SparkSpecBase {
       Seq((Option.empty[Long], Some(1.0d))).toDF("b", "v"), "b", "v"))
   }
 
+  test("runsTest: hand-traced runs, oscillation vs regime, degenerate") {
+    // values 1,9,1,9,1,9 around median 5: signs 0,1,0,1,0,1 -> 6 runs,
+    // n1 = n2 = 3, mu = 2*9/6 + 1 = 4, v = 18*(18-6)/(36*5) = 1.2
+    val osc = (1L to 6L).map(b => (b, if (b % 2 == 0) 9.0d else 1.0d))
+      .toDF("b", "v")
+    val o = ChangeDetect.runsTest(osc, "b", "v")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(o._1 == 3L && o._2 == 3L && o._3 == 6L && o._4 == 4.0d)
+    val z = (6.0d - 4.0d) / math.sqrt(1.2d)
+    assert(o._5 == BigDecimal(z).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, o.toString)
+    // a regime series (1,1,1,9,9,9) has the MINIMUM 2 runs -> negative z
+    val reg = (1L to 6L).map(b => (b, if (b <= 3) 1.0d else 9.0d))
+      .toDF("b", "v")
+    val r = ChangeDetect.runsTest(reg, "b", "v")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r._3 == 2L && r._5 < 0.0d, r.toString)
+    // equal-to-median buckets drop: median of (1,5,9) is 5 -> 2 signed
+    val withMed = Seq((1L, 1.0d), (2L, 5.0d), (3L, 9.0d)).toDF("b", "v")
+    val m = ChangeDetect.runsTest(withMed, "b", "v")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(m._1 == 1L && m._2 == 1L && m._3 == 2L, m.toString)
+    // constant series: all equal the median -> zero counts, z = 0.0
+    val const = (1L to 4L).map(b => (b, 7.0d)).toDF("b", "v")
+    val c = ChangeDetect.runsTest(const, "b", "v")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(c == ((0L, 0L, 0L, 0.0d, 0.0d)), c.toString)
+    intercept[IllegalArgumentException](ChangeDetect.runsTest(
+      Seq((1L, 1.0d)).toDF("b", "v"), "b", "v"))
+  }
+
   test("pageHinkley: flat series stays silent; a step alarms; hand trace") {
     val flat = (1L to 6L).map(b => (b, 3.0d)).toDF("b", "v")
     val quiet = ChangeDetect.pageHinkley(flat, "b", "v", lambda = 1.0d)

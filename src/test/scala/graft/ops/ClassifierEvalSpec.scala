@@ -788,6 +788,33 @@ class ClassifierEvalSpec extends SparkSpecBase {
         .toDF("src", "conf"), "src", "conf"))
   }
 
+  test("mannWhitneyMatrix: pairwise rows ≡ the single-pair op; guards") {
+    val df = (Seq(0.1d, 0.2d, 0.3d).map(("s1", _)) ++
+      Seq(0.4d, 0.5d).map(("s2", _)) ++
+      Seq(0.2d, 0.4d, 0.6d).map(("s3", _))).toDF("src", "conf")
+    val got = ClassifierEval.mannWhitneyMatrix(df, "src", "conf")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    // every pair row must equal the dedicated two-sample op
+    got.foreach { case (a, b, na, nb, u, rb, z) =>
+      val one = ClassifierEval.mannWhitney(
+        df.filter($"src" === a).select($"conf"),
+        df.filter($"src" === b).select($"conf"), "conf")
+        .as[(Long, Long, Double, Double, Double)].head()
+      assert((na, nb, u, rb, z) == one, s"pair ($a,$b): $one")
+    }
+    // s1 fully below s2: U_a = 0, rank-biserial = -1
+    val p12 = got.find(r => r._1 == "s1" && r._2 == "s2").get
+    assert(p12._5 == 0.0d && p12._6 == -1.0d, p12.toString)
+    intercept[IllegalArgumentException](ClassifierEval.mannWhitneyMatrix(
+      Seq(("s1", 0.5d)).toDF("src", "conf"), "src", "conf"))
+    intercept[IllegalArgumentException](ClassifierEval.mannWhitneyMatrix(
+      Seq(("s1", Option.empty[Double]), ("s2", Some(1.0d)))
+        .toDF("src", "conf"), "src", "conf"))
+  }
+
   test("kendallW: perfect / zero concordance, tie correction, guards") {
     // perfect concordance, no ties: W = 1, Friedman chi2 = m(n-1)W = 4
     val perfect = Seq((1L, 1.0d, 10.0d), (2L, 2.0d, 20.0d), (3L, 3.0d, 30.0d))

@@ -846,6 +846,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got._2 == 3.433987d, got.toString)
   }
 
+  test("theilDecomposition: decomposition identity, equal-mass zeros") {
+    // two sources: a = docs of 2 and 6 tokens, b = docs of 4 and 4
+    val docs = Seq(
+      (1L, "w w", "a"), (2L, "w w w w w w", "a"),
+      (3L, "w w w w", "b"), (4L, "w w w w", "b")).toDF("doc_id", "text", "src")
+    val got = TextAnalysis.theilDecomposition(docs, "src", "text")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    val a = got.find(_._1 == "a").get
+    val b = got.find(_._1 == "b").get
+    assert(a._2 == 2L && a._3 == 8L && a._4 == 0.5d)
+    assert(b._3 == 8L && b._4 == 0.5d)
+    // b is perfectly equal inside: T_b(within) = 0; equal shares and
+    // equal doc counts: between = 0; identity T = sum s_g T_g holds
+    assert(b._5 == 0.0d && a._6 == 0.0d, got.toString)
+    // a: x = (2, 6), mean 4: T_a = (2/8)ln(2/4) + (6/8)ln(6/4)
+    val ta = 0.25d * math.log(0.5d) + 0.75d * math.log(1.5d)
+    assert(math.abs(a._5 - ta) < 1e-5, s"${a._5} vs $ta")
+    assert(math.abs(a._7 - 0.5d * ta) < 1e-5, s"total ${a._7}")
+    // all-equal corpus: every index reads canonical 0.0 (never -0.0)
+    val eq = TextAnalysis.theilDecomposition(
+      Seq((1L, "w w", "a"), (2L, "w w", "a")).toDF("doc_id", "text", "src"),
+      "src", "text")
+      .select($"theil_within", $"theil_between", $"theil_total")
+      .as[(Double, Double, Double)].head()
+    assert(eq == ((0.0d, 0.0d, 0.0d)), eq.toString)
+  }
+
   test("jmSweep: hand-traced interpolation, OOV drop, argmax flag") {
     // train "a b a b": bigrams (a,b)x2 (b,a)x1; c(a)=c(b)=2, N=4
     // held "a b": pbi = 2/2 = 1.0, puni(b) = 0.5 ->

@@ -90,6 +90,17 @@ class CusumMonitorSpec extends SparkSpecBase {
 
     intercept[IllegalArgumentException](
       CusumMonitor.changePointState(spark, s"$base/never"))
+
+    // the Page-Hinkley probe rides the SAME grid: stream == batch
+    // bit-for-bit, and the planted 10 -> 30 step alarms at lambda = 5
+    val phStream = CusumMonitor.pageHinkleyState(spark, grid,
+        delta = 0.0d, lambda = 5.0d)
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    val phBatch = ChangeDetect.pageHinkley(union, "b", "v",
+        delta = 0.0d, lambda = 5.0d)
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(phStream == phBatch, s"$phStream vs $phBatch")
+    assert(phStream.exists(_._4 == 1L), phStream.toString)
   }
 
   test("sprt probe serves stream == batch from the same grid; non-binary grid fails typed") {
