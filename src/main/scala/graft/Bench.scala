@@ -115,7 +115,7 @@ object Bench {
     "q273_cvm", "q274_label_separation", "q275_hellinger", "q276_gwet_ac1",
     "q277_jarque_bera", "q279_kendall_w", "q280_hubness",
     "q282_edit_join", "q283_countmin", "q284_effect_size",
-    "q285_mw_matrix", "q287_krippendorff", "q288_logrank",
+    "q285_mw_matrix", "q286_perm_auc", "q287_krippendorff", "q288_logrank",
     "q289_page_hinkley", "q290_jm_sweep", "q291_set_cover",
     "q292_theil", "q293_runs_test", "q294_qte")
 

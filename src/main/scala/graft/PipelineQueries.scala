@@ -1511,6 +1511,33 @@ object PipelineQueries {
       g.unionByName(b).unionByName(l), "doc_id", "rater", "vote")
   }
 
+  /** q286: PERMUTATION-NULL AUC importance of the quality signals
+    * ([[graft.ops.ClassifierEval.permutationAucNull]]) — for each of
+    * the three q279 signals (classifier confidence, LM log-prob, raw
+    * length), its exact AUC against the Gopher gate AND the AUC after
+    * a deterministic md5-bucket permutation: the empirical null that
+    * separates real discrimination from shape. Oracle replays both
+    * score pipelines, the gate, the bucketed permutation bijection and
+    * all six exact U-statistics. */
+  def signalPermAucNull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
+      .withColumn("conf",
+        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+      .select($"doc_id", $"conf")
+    val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id", $"avg_logprob")
+    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    val wide = conf.join(lp, Seq("doc_id"))
+      .join(docs.select($"doc_id", $"n_chars".cast("double").as("len")),
+        Seq("doc_id"))
+      .join(lab, Seq("doc_id"))
+    graft.ops.ClassifierEval.permutationAucNull(wide, "doc_id", "keep",
+      Seq("avg_logprob", "conf", "len"))
+  }
+
   /** q285: PAIRWISE Mann–Whitney matrix across sources
     * ([[graft.ops.ClassifierEval.mannWhitneyMatrix]]) — q253's Kruskal
     * says the sources differ SOMEWHERE on classifier confidence; this
@@ -3643,6 +3670,7 @@ object PipelineQueries {
     "q283_countmin"       -> (tokenCountMin _),
     "q287_krippendorff"   -> (gateKrippendorff _),
     "q285_mw_matrix"      -> (sourceMwMatrix _),
+    "q286_perm_auc"       -> (signalPermAucNull _),
     "q290_jm_sweep"       -> (jmLambdaSweep _),
     "q291_set_cover"      -> (vocabSetCover _),
     "q292_theil"          -> (sourceTheil _))
@@ -8216,6 +8244,105 @@ object PipelineQueries {
          |        (3.0 * CAST(sp AS DOUBLE) / CAST(den AS DOUBLE)), 6)
          |    ELSE CAST(0.0 AS DOUBLE) END AS friedman_chi2
          |FROM nn, s2, dn""".stripMargin,
+    // q286: classifier + LM + gopher replays, the md5-bucket
+    // permutation bijection, six exact U-statistic AUC blocks
+    "q286_perm_auc" -> {
+      // one exact-AUC block over `src`(sm BIGINT, keep) → `<p>auc`(auc)
+      def aucBlock(p: String, src: String): String =
+        s"""${p}g AS (
+           |  SELECT sm, CAST(SUM(keep) AS BIGINT) AS np,
+           |    CAST(SUM(1 - keep) AS BIGINT) AS nn
+           |  FROM $src GROUP BY sm),
+           |${p}c AS (
+           |  SELECT np, nn,
+           |    CAST(COALESCE(SUM(nn) OVER (ORDER BY sm
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS below
+           |  FROM ${p}g),
+           |${p}auc AS (
+           |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+           |    CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+           |      ROUND(CAST(SUM(np * (2 * below + nn)) AS DOUBLE) /
+           |        (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)), 6)
+           |      ELSE CAST(0.5 AS DOUBLE) END AS auc
+           |  FROM ${p}c)""".stripMargin
+      // per signal: real grid, permuted assignment, permuted grid
+      def signalBlocks(p: String, valExpr: String): String =
+        s"""${p}r AS (
+           |  SELECT CAST(round($valExpr * 1e6) AS BIGINT) AS sm, w0.keep
+           |  FROM wide w0),
+           |${aucBlock(p + "r", p + "r")},
+           |${p}pv AS (
+           |  SELECT bkt, ROW_NUMBER() OVER (PARTITION BY bkt
+           |      ORDER BY doc_id) AS pos,
+           |    CAST(round($valExpr * 1e6) AS BIGINT) AS sm
+           |  FROM wide w0),
+           |${p}ps AS (
+           |  SELECT doc_id, bkt, ROW_NUMBER() OVER (PARTITION BY bkt
+           |    ORDER BY md5v) AS pos
+           |  FROM wide w0),
+           |${p}p AS (
+           |  SELECT s2.sm, w1.keep
+           |  FROM ${p}ps s1 JOIN ${p}pv s2 USING (bkt, pos)
+           |  JOIN wide w1 ON w1.doc_id = s1.doc_id),
+           |${aucBlock(p + "p", p + "p")}""".stripMargin
+      s"""WITH $classifierPredCtes,
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents),
+         |tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         |uc AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+         |ut AS (SELECT COUNT(*) AS total FROM tk),
+         |um AS (
+         |  SELECT tk.doc_id,
+         |    CAST(round(ln(CAST(uc.cnt AS DOUBLE) / CAST(ut.total AS DOUBLE))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+         |  FROM tk JOIN uc USING (token), ut),
+         |lp AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(SUM(micro) AS DOUBLE) /
+         |      (CAST(COUNT(*) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)), 6)
+         |      AS avg_logprob
+         |  FROM um GROUP BY doc_id),
+         |tg AS (
+         |  SELECT doc_id, list_filter(string_split($norm, ' '), x -> length(x) > 0) AS w
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+         |  FROM tg WHERE len(w) > 0),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    * CAST(CASE WHEN n_stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |  FROM sg),
+         |wide AS (
+         |  SELECT p2.doc_id, p2.conf, lp.avg_logprob,
+         |    CAST(d.n_chars AS DOUBLE) AS len, lab.keep,
+         |    md5(CAST(p2.doc_id AS VARCHAR)) AS md5v,
+         |    CAST(concat('0x', substr(md5(CAST(p2.doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 256 AS bkt
+         |  FROM pred p2 JOIN lp USING (doc_id)
+         |  JOIN documents d USING (doc_id) JOIN lab USING (doc_id)),
+         |${signalBlocks("a", "w0.avg_logprob")},
+         |${signalBlocks("b", "w0.conf")},
+         |${signalBlocks("c", "w0.len")}
+         |SELECT * FROM (
+         |  SELECT 'avg_logprob' AS signal, arauc.n_pos, arauc.n_neg,
+         |    arauc.auc, apauc.auc AS auc_null, arauc.auc - apauc.auc AS delta
+         |  FROM arauc, apauc
+         |  UNION ALL
+         |  SELECT 'conf', brauc.n_pos, brauc.n_neg, brauc.auc, bpauc.auc,
+         |    brauc.auc - bpauc.auc FROM brauc, bpauc
+         |  UNION ALL
+         |  SELECT 'len', crauc.n_pos, crauc.n_neg, crauc.auc, cpauc.auc,
+         |    crauc.auc - cpauc.auc FROM crauc, cpauc)
+         |ORDER BY signal""".stripMargin
+    },
     // q285: classifier replay + source join, per-source grids, pair
     // expansion, doubled-rank HUGEINT sums, fixed-order z per pair
     "q285_mw_matrix" ->

@@ -752,6 +752,63 @@ object ClassifierEval {
         .otherwise(lit(0.0d)).as("z"))
   }
 
+  /** PERMUTATION-NULL AUC diagnostic (Breiman 2001's permutation
+    * importance, applied to ranking signals): for each score column,
+    * the exact rank-sum AUC against the binary label AND the AUC after
+    * a DETERMINISTIC within-bucket permutation of the scores — the
+    * empirical null that answers "is this signal's discrimination
+    * real, or would any column this shape score that much?" (a
+    * near-0.5 null is also the sanity check that no id leakage rides
+    * the signal). delta = auc − auc_null is the importance.
+    *
+    * One row per signal: (signal, n_pos, n_neg, auc, auc_null, delta).
+    *
+    * The permutation is portable and bounded: docs land in `buckets`
+    * md5 buckets (the q154 hash device, byte-identical in DuckDB);
+    * within a bucket the scores, ordered by id, are reassigned to the
+    * ids ordered by md5 — a bijection whose windows are bucket-sized
+    * (never a corpus-wide sort), asymptotically equivalent to a full
+    * permutation for the null. AUC is [[Calibration.binaryAuc]]'s
+    * exact integer U-statistic on micro grids. Labels outside {0, 1}
+    * and NULLs fail typed (via binaryAuc). */
+  def permutationAucNull(df: DataFrame, idCol: String, labelCol: String,
+      scoreCols: Seq[String], buckets: Int = 256): DataFrame = {
+    require(scoreCols.nonEmpty, "permutationAucNull needs >= 1 score column")
+    require(buckets >= 2, s"need >= 2 permutation buckets, got $buckets")
+    val base = df.select(
+        (col(idCol) +: col(labelCol) +: scoreCols.map(col)).toIndexedSeq: _*)
+      .withColumn("_md5", md5(col(idCol).cast("string")))
+      .withColumn("_bkt", pmod(
+        conv(substring(col("_md5"), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+      .localCheckpoint(true) // read 2× per signal
+    val labels = base.select(col(idCol), col(labelCol))
+    val wIds = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bkt")).orderBy(col("_md5"))
+    val wVals = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bkt")).orderBy(col(idCol))
+    val out = scoreCols.map { s =>
+      val real = Calibration.binaryAuc(base.select(col(idCol), col(s)),
+        labels, idCol, s, labelCol)
+      val slots = base.select(col(idCol), col("_bkt"),
+        row_number().over(wIds).as("_pos"))
+      val vals = base.select(col(s), col("_bkt"),
+        row_number().over(wVals).as("_pos"))
+      val permuted = slots.join(vals, Seq("_bkt", "_pos"))
+        .select(col(idCol), col(s))
+      val nullAuc = Calibration.binaryAuc(permuted, labels, idCol, s,
+        labelCol)
+      real.select(col("n_pos"), col("n_neg"), col("auc"))
+        .crossJoin(broadcast(nullAuc.select(col("auc").as("auc_null"))))
+        .select(lit(s).as("signal"), col("n_pos"), col("n_neg"),
+          col("auc"), col("auc_null"),
+          // both terms are already 6-dp; the difference is exact and
+          // (x − x) = +0.0 canonically in IEEE
+          (col("auc") - col("auc_null")).as("delta"))
+    }
+    out.reduce(_ unionByName _).orderBy(col("signal"))
+  }
+
   /** PAIRWISE Mann–Whitney MATRIX across k groups — the drill-down
     * behind [[kruskal]]'s single "somewhere differs" verdict: for every
     * unordered group pair, the tie-corrected z and rank-biserial effect

@@ -788,6 +788,41 @@ class ClassifierEvalSpec extends SparkSpecBase {
         .toDF("src", "conf"), "src", "conf"))
   }
 
+  test("permutationAucNull: real signal vs destroyed null; bijection") {
+    // a perfectly separating signal: ids 1..40, label = id > 20,
+    // score = id/100 -> auc = 1.0; the permuted null must not stay 1.0
+    val df = (1L to 40L)
+      .map(i => (i, if (i > 20) 1L else 0L, i.toDouble / 100.0d))
+      .toDF("id", "keep", "sig")
+    val got = ClassifierEval.permutationAucNull(df, "id", "keep",
+      Seq("sig"), buckets = 4)
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(got._1 == "sig" && got._2 == 20L && got._3 == 20L)
+    assert(got._4 == 1.0d, got.toString)
+    assert(got._5 < 0.9d, s"null AUC should collapse: ${got._5}")
+    assert(got._6 == got._4 - got._5)
+    // determinism: same input twice -> identical rows (the permutation
+    // is a pure function of ids)
+    val again = ClassifierEval.permutationAucNull(df, "id", "keep",
+      Seq("sig"), buckets = 4)
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(again == got)
+    // a constant signal is its own permutation: auc = null = 0.5-ish
+    // (single tie group -> u2/(2 n+ n-) = 0.5 exactly)
+    val const = ClassifierEval.permutationAucNull(
+      df.withColumn("sig", org.apache.spark.sql.functions.lit(0.7d)), "id", "keep", Seq("sig"))
+      .select($"auc", $"auc_null", $"delta")
+      .as[(Double, Double, Double)].head()
+    assert(const == ((0.5d, 0.5d, 0.0d)), const.toString)
+    assert(java.lang.Double.doubleToRawLongBits(const._3) == 0L,
+      "delta of equal AUCs must be canonical +0.0")
+    intercept[IllegalArgumentException](
+      ClassifierEval.permutationAucNull(df, "id", "keep", Seq.empty))
+    intercept[IllegalArgumentException](
+      ClassifierEval.permutationAucNull(df, "id", "keep", Seq("sig"),
+        buckets = 1))
+  }
+
   test("mannWhitneyMatrix: pairwise rows ≡ the single-pair op; guards") {
     val df = (Seq(0.1d, 0.2d, 0.3d).map(("s1", _)) ++
       Seq(0.4d, 0.5d).map(("s2", _)) ++
