@@ -641,12 +641,8 @@ object PipelineQueries {
   def calibrationAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val pred = confFor(s, dir)
+    val lab = gopherKeepFor(s, dir)
     graft.ops.Calibration.reliability(pred, lab, "doc_id", "conf", "keep",
         bins = 10)
       .orderBy($"bin")
@@ -662,12 +658,8 @@ object PipelineQueries {
   def qualityAuc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val pred = confFor(s, dir)
+    val lab = gopherKeepFor(s, dir)
     graft.ops.Calibration.binaryAuc(pred, lab, "doc_id", "conf", "keep")
   }
 
@@ -684,8 +676,7 @@ object PipelineQueries {
     val docs = Tables.documents(s, dir)
     val pred = QualityModel.classifierScore(docs, "doc_id", "text")
       .select($"doc_id", $"score")
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val lab = gopherKeepFor(s, dir)
     graft.ops.Calibration.temperatureSweep(pred, lab, "doc_id", "score",
         "keep", bins = 10)
       .orderBy($"t")
@@ -762,12 +753,8 @@ object PipelineQueries {
   def conformalAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val pred = confFor(s, dir)
+    val lab = gopherKeepFor(s, dir)
     graft.ops.ClassifierEval.conformal(pred, lab, "doc_id", "conf", "keep",
       calPred = $"doc_id" % 2 === 1, alpha = 0.1d)
   }
@@ -781,11 +768,7 @@ object PipelineQueries {
     * split, integer binning, add-one smoothing and every PSI term. */
   def scoreDriftAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
-        "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
     graft.ops.ClassifierEval.scoreDrift(
         conf.filter($"doc_id" < 250).select($"conf"),
         conf.filter($"doc_id" >= 250).select($"conf"),
@@ -805,12 +788,8 @@ object PipelineQueries {
   def qualityAp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val pred = confFor(s, dir)
+    val lab = gopherKeepFor(s, dir)
     graft.ops.Calibration.averagePrecision(pred, lab, "doc_id", "conf", "keep")
   }
 
@@ -837,11 +816,7 @@ object PipelineQueries {
     * exact cross-multiplied sup selection. */
   def ksDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
-        "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
     graft.ops.ClassifierEval.ksDistance(
       conf.filter($"doc_id" < 250).select($"conf"),
       conf.filter($"doc_id" >= 250).select($"conf"),
@@ -858,10 +833,7 @@ object PipelineQueries {
   def ksDriftBySource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
       .withColumn("early", $"doc_id" < 250)
     graft.ops.ClassifierEval.ksDistanceByGroup(conf, "source", "early",
@@ -955,10 +927,7 @@ object PipelineQueries {
   def lengthGateMh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
     graft.ops.ClassifierEval.mantelHaenszel(
       docs.select($"doc_id", $"lang", ($"n_chars" > 300L).as("long_doc"))
         .join(conf, Seq("doc_id"))
@@ -979,10 +948,7 @@ object PipelineQueries {
   def sourceDriftBh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
       .withColumn("early", $"doc_id" < 250)
     graft.ops.ClassifierEval.permutationDriftBh(conf, "source", "early",
@@ -1038,10 +1004,7 @@ object PipelineQueries {
   def qualityGainCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
     graft.ops.Calibration.gainCurve(conf,
       TextAnalysis.gopherRules(docs, "doc_id", "text")
         .select($"doc_id", $"keep"),
@@ -1072,10 +1035,7 @@ object PipelineQueries {
   def sourceScoreKruskal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
     graft.ops.ClassifierEval.kruskalWallis(conf, "source", "conf")
   }
@@ -1091,10 +1051,7 @@ object PipelineQueries {
   def sourceScoreSpread(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
     graft.ops.ClassifierEval.brownForsythe(conf, "source", "conf")
   }
@@ -1189,11 +1146,7 @@ object PipelineQueries {
     * every quantized series term. */
   def ksDriftTest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
-        "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
     graft.ops.ClassifierEval.ksTest(
       conf.filter($"doc_id" < 250).select($"conf"),
       conf.filter($"doc_id" >= 250).select($"conf"),
@@ -1210,12 +1163,8 @@ object PipelineQueries {
   def qualityAucCi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val pred = confFor(s, dir)
+    val lab = gopherKeepFor(s, dir)
     graft.ops.Calibration.delongAucCi(pred, lab, "doc_id", "conf", "keep")
   }
 
@@ -1245,8 +1194,7 @@ object PipelineQueries {
   def gopherLengthTrend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val lab = gopherKeepFor(s, dir)
       .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
       .select(least(expr("n_chars div 500"), lit(9L)).as("bucket"),
         $"keep")
@@ -1264,10 +1212,7 @@ object PipelineQueries {
   def scoreKeepPartial(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
     val frame = conf
       .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
         .select($"doc_id", $"keep"), Seq("doc_id"))
@@ -1311,8 +1256,7 @@ object PipelineQueries {
   def sourceKeepWilson(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val frame = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val frame = gopherKeepFor(s, dir)
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
     graft.ops.ClassifierEval.wilsonInterval(frame, "source", "keep")
   }
@@ -1327,11 +1271,7 @@ object PipelineQueries {
     * the grid and every squared term. */
   def cvmDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
-        "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
     graft.ops.ClassifierEval.cramerVonMises(
       conf.filter($"doc_id" < 250).select($"conf"),
       conf.filter($"doc_id" >= 250).select($"conf"),
@@ -1363,10 +1303,7 @@ object PipelineQueries {
   def sourceHellinger(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
     graft.ops.ClassifierEval.hellingerByGroup(conf, "source", "conf",
       bins = 20)
@@ -1412,12 +1349,8 @@ object PipelineQueries {
   def rrfBlend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
-      .select($"doc_id", $"avg_logprob")
+    val conf = confFor(s, dir)
+    val lp = lpFor(s, dir)
     graft.ops.RankMetrics.rrfFuse(conf, lp, "doc_id",
         "conf", "avg_logprob", k0 = 60, topN = 50)
       .orderBy($"rrf_nano".desc, $"doc_id")
@@ -1450,12 +1383,8 @@ object PipelineQueries {
   def spearmanSignals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
-      .select($"doc_id", $"avg_logprob")
+    val conf = confFor(s, dir)
+    val lp = lpFor(s, dir)
     graft.ops.RankMetrics.spearman(conf, lp, "doc_id",
       "conf", "avg_logprob")
   }
@@ -1471,12 +1400,8 @@ object PipelineQueries {
   def signalKendallW(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
-      .select($"doc_id", $"avg_logprob")
+    val conf = confFor(s, dir)
+    val lp = lpFor(s, dir)
     val wide = conf.join(lp, Seq("doc_id"))
       .join(docs.select($"doc_id", $"n_chars".cast("double").as("len")),
         Seq("doc_id"))
@@ -1522,14 +1447,9 @@ object PipelineQueries {
   def signalPermAucNull(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
-      .select($"doc_id", $"avg_logprob")
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val conf = confFor(s, dir)
+    val lp = lpFor(s, dir)
+    val lab = gopherKeepFor(s, dir)
     val wide = conf.join(lp, Seq("doc_id"))
       .join(docs.select($"doc_id", $"n_chars".cast("double").as("len")),
         Seq("doc_id"))
@@ -1665,11 +1585,7 @@ object PipelineQueries {
     * exact-integer 2U and tie sums and the fixed-order z. */
   def mannWhitneyDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val conf = QualityModel.classifierScore(Tables.documents(s, dir),
-        "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
+    val conf = confFor(s, dir)
     graft.ops.ClassifierEval.mannWhitney(
       conf.filter($"doc_id" < 250).select($"conf"),
       conf.filter($"doc_id" >= 250).select($"conf"),
@@ -1698,12 +1614,8 @@ object PipelineQueries {
   def brierAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val pred = confFor(s, dir)
+    val lab = gopherKeepFor(s, dir)
     graft.ops.Calibration.brierDecomposition(pred, lab, "doc_id",
       "conf", "keep", bins = 10)
   }
@@ -1819,12 +1731,8 @@ object PipelineQueries {
   def isotonicAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val pred = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
-      .select($"doc_id", $"conf")
-    val lab = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select($"doc_id", $"keep")
+    val pred = confFor(s, dir)
+    val lab = gopherKeepFor(s, dir)
     graft.ops.Calibration.isotonicCalibration(pred, lab, "doc_id", "conf",
         "keep", bins = 10)
       .orderBy($"bin")
@@ -3146,6 +3054,50 @@ object PipelineQueries {
         .orderBy($"iter").select($"pair", $"merged")
         .as[(String, String)].collect().toSeq
     })
+
+  private val signalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Build-once per-corpus CLASSIFIER CONFIDENCE (doc_id, conf) — the
+    * q124 sigmoid readout that ~15 eval entries re-derive from scratch
+    * (each re-derivation is a full corpus featurize+score pass);
+    * localCheckpoint pins ONE scoring pass per corpus, the
+    * [[bpeEncodedFor]] discipline. Values identical by construction —
+    * this is plan reuse, not a semantic change. */
+  private def confFor(s: SparkSession, dir: String): DataFrame =
+    signalCache.computeIfAbsent(
+      "conf|" + VectorQueries.corpusFingerprint(s, dir), _ => {
+        import s.implicits._
+        QualityModel.classifierScore(Tables.documents(s, dir),
+            "doc_id", "text")
+          .withColumn("conf",
+            round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+          .select($"doc_id", $"conf")
+          .localCheckpoint(true)
+      })
+
+  /** Build-once per-corpus UNIGRAM LM log-prob (doc_id, avg_logprob) —
+    * the q78 signal shared by the fusion/agreement entries. */
+  private def lpFor(s: SparkSession, dir: String): DataFrame =
+    signalCache.computeIfAbsent(
+      "lp|" + VectorQueries.corpusFingerprint(s, dir), _ => {
+        import s.implicits._
+        TextAnalysis.unigramLogProb(Tables.documents(s, dir),
+            "doc_id", "text")
+          .select($"doc_id", $"avg_logprob")
+          .localCheckpoint(true)
+      })
+
+  /** Build-once per-corpus GOPHER gate labels (doc_id, keep) — the
+    * q127 rule verdicts the classifier-eval family scores against. */
+  private def gopherKeepFor(s: SparkSession, dir: String): DataFrame =
+    signalCache.computeIfAbsent(
+      "gopher|" + VectorQueries.corpusFingerprint(s, dir), _ => {
+        import s.implicits._
+        TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+          .select($"doc_id", $"keep")
+          .localCheckpoint(true)
+      })
 
   private val bpeEncCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
