@@ -86,9 +86,17 @@ object LmIndex {
     s.read.parquet(paths.map(p => s"$p/uni"): _*)
       .groupBy(col("w")).agg(sum(col("c")).as("c"))
       .write.mode("overwrite").parquet(s"$staging/uni")
+    // streaming-ingest idempotency keys survive the merge
+    Manifest.copyMarkers(s, dir, snap.deltas, staging)
     Manifest.commit(s, dir, Seq(staging), remove = snap.deltas)
     Manifest.gc(s, dir)
   }
+
+  /** Staging hook for the streaming exactly-once ingest
+    * ([[graft.streaming.IndexIngest]]): stage a delta WITHOUT
+    * committing, so the caller can [[Manifest.mark]] it first. */
+  private[graft] def stageDeltaFor(df: DataFrame, textCol: String,
+      dir: String): String = stageDelta(df, textCol, dir)
 
   /** Write the batch's three count tables under an invisible staging
     * dir; returns the staging path for [[Manifest.commit]]. */

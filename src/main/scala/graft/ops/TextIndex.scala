@@ -61,6 +61,10 @@ object TextIndex {
 
   /** Write one delta's three tables under an invisible staging dir;
     * returns the staging path for [[Manifest.commit]]. */
+  private[graft] def stageDeltaFor(df: DataFrame, idCol: String,
+      textCol: String, path: String, buckets: Int): String =
+    stageDelta(df, idCol, textCol, path, buckets)
+
   private def stageDelta(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int): String = {
     require(buckets >= 1, s"need >= 1 buckets, got $buckets")
@@ -136,6 +140,8 @@ object TextIndex {
     s.read.parquet(paths.map(p => s"$p/stats"): _*)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
       .write.mode("overwrite").parquet(s"$staging/stats")
+    // streaming-ingest idempotency keys survive the merge
+    Manifest.copyMarkers(s, path, snap.deltas, staging)
     Manifest.commit(s, path, Seq(staging), remove = snap.deltas)
     Manifest.gc(s, path)
   }
