@@ -117,7 +117,7 @@ object Bench {
     "q282_edit_join", "q283_countmin", "q284_effect_size",
     "q285_mw_matrix", "q286_perm_auc", "q287_krippendorff", "q288_logrank",
     "q289_page_hinkley", "q290_jm_sweep", "q291_set_cover",
-    "q292_theil", "q293_runs_test", "q294_qte")
+    "q292_theil", "q293_runs_test", "q294_qte", "q295_mcc_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

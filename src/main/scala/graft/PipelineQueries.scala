@@ -1436,6 +1436,19 @@ object PipelineQueries {
       g.unionByName(b).unionByName(l), "doc_id", "rater", "vote")
   }
 
+  /** q295: MCC/Youden threshold sweep of the quality classifier
+    * ([[graft.ops.ClassifierEval.mccSweep]]) — q185 says the classifier
+    * RANKS; this picks the threshold to SHIP: per distinct confidence,
+    * the exact confusion matrix against the Gopher gate, the
+    * skew-robust Matthews correlation, Youden's J, and the MCC-argmax
+    * flag. Oracle replays classifier, gate, the reverse-cumulative
+    * confusion grid and both readouts. */
+  def classifierMccSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.ClassifierEval.mccSweep(confFor(s, dir),
+      gopherKeepFor(s, dir), "doc_id", "conf", "keep")
+  }
+
   /** q286: PERMUTATION-NULL AUC importance of the quality signals
     * ([[graft.ops.ClassifierEval.permutationAucNull]]) — for each of
     * the three q279 signals (classifier confidence, LM log-prob, raw
@@ -3625,7 +3638,8 @@ object PipelineQueries {
     "q286_perm_auc"       -> (signalPermAucNull _),
     "q290_jm_sweep"       -> (jmLambdaSweep _),
     "q291_set_cover"      -> (vocabSetCover _),
-    "q292_theil"          -> (sourceTheil _))
+    "q292_theil"          -> (sourceTheil _),
+    "q295_mcc_sweep"      -> (classifierMccSweep _))
 
   private val norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -8196,6 +8210,54 @@ object PipelineQueries {
          |        (3.0 * CAST(sp AS DOUBLE) / CAST(den AS DOUBLE)), 6)
          |    ELSE CAST(0.0 AS DOUBLE) END AS friedman_chi2
          |FROM nn, s2, dn""".stripMargin,
+    // q295: classifier + gopher replays, reverse-cumulative confusion
+    // grid, DECIMAL-exact MCC numerator, fixed-order sqrt denominator
+    "q295_mcc_sweep" ->
+      s"""WITH $classifierPredCtes,
+         |$gopherLabCtes,
+         |j AS (
+         |  SELECT CAST(round(p2.conf * 1e6) AS BIGINT) AS sm, lab.keep
+         |  FROM pred p2 JOIN lab USING (doc_id)),
+         |g AS (
+         |  SELECT sm, CAST(SUM(keep) AS BIGINT) AS np,
+         |    CAST(SUM(1 - keep) AS BIGINT) AS nn
+         |  FROM j GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS p,
+         |  CAST(SUM(nn) AS BIGINT) AS n FROM g),
+         |cum AS (
+         |  SELECT sm,
+         |    CAST(SUM(np) OVER (ORDER BY sm DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |    CAST(SUM(nn) OVER (ORDER BY sm DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+         |  FROM g),
+         |cf AS (
+         |  SELECT sm, tp, fp, p - tp AS fn, n - fp AS tn, p, n
+         |  FROM cum, tot),
+         |r AS (
+         |  SELECT sm, tp, fp, fn, tn,
+         |    CASE WHEN sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) *
+         |        (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) *
+         |        (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)) *
+         |        (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))) > 0.0
+         |      THEN ROUND(CAST(CAST(tp AS HUGEINT) * tn
+         |          - CAST(fp AS HUGEINT) * fn AS DOUBLE) /
+         |        sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) *
+         |          (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) *
+         |          (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)) *
+         |          (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6) + 0.0
+         |      ELSE CAST(0.0 AS DOUBLE) END AS mcc,
+         |    CASE WHEN p > 0 AND n > 0
+         |      THEN ROUND(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) +
+         |        CAST(tn AS DOUBLE) / CAST(n AS DOUBLE) - 1.0, 6) + 0.0
+         |      ELSE CAST(0.0 AS DOUBLE) END AS youden_j
+         |  FROM cf),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY mcc DESC, sm ASC)
+         |  AS rn FROM r)
+         |SELECT CAST(sm AS DOUBLE) / 1e6 AS threshold, tp, fp, fn, tn,
+         |  mcc, youden_j,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+         |FROM rk ORDER BY threshold""".stripMargin,
     // q286: classifier + LM + gopher replays, the md5-bucket
     // permutation bijection, six exact U-statistic AUC blocks
     "q286_perm_auc" -> {

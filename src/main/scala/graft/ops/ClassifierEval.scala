@@ -752,6 +752,72 @@ object ClassifierEval {
         .otherwise(lit(0.0d)).as("z"))
   }
 
+  /** MCC / YOUDEN THRESHOLD SWEEP (Matthews 1975; Youden 1950) — the
+    * operating-point picker the threshold-free AUC (q185) cannot give:
+    * for EVERY distinct score as the keep-threshold, the full confusion
+    * matrix, the Matthews correlation (the balanced single number that
+    * survives class skew where accuracy and even F1 mislead) and
+    * Youden's J = TPR + TNR − 1; the MCC-argmax row is flagged — the
+    * threshold to ship. One row per distinct score, ascending:
+    * (threshold, tp, fp, fn, tn, mcc, youden_j, is_best).
+    *
+    * Determinism: thresholds are the micro-quantized distinct scores;
+    * confusion counts are reverse-cumulative exact longs on that grid;
+    * MCC's numerator tp·tn − fp·fn routes through DECIMAL(38,0) (exact
+    * at any long count), the denominator √ of four marginal products is
+    * fixed-order double (its magnitude ~N⁴ exceeds every integer type;
+    * the ~2⁵³ double mantissa is the documented precision there); both
+    * readouts 6 dp, signed (the oracle carries the signed-zero
+    * canonicalization). A zero marginal reports mcc = 0.0 (the
+    * standard convention). is_best ties break on the SMALLER
+    * threshold. Labels outside {0,1} / NULLs fail typed. */
+  def mccSweep(pred: DataFrame, labels: DataFrame, idCol: String,
+      confCol: String, labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val joined = pred.select(col(idCol), col(confCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val offRange = joined.filter(col(confCol).isNull ||
+        col(labelCol).isNull ||
+        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
+      .limit(1).count()
+    require(offRange == 0L,
+      "mccSweep needs non-NULL scores and labels in {0, 1}")
+    val g = joined
+      .withColumn("_sm", round(col(confCol).cast("double") * 1e6d).cast("long"))
+      .groupBy(col("_sm"))
+      .agg(sum(col(labelCol).cast("long")).as("_np"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+    // predict positive when score >= threshold: TP/FP are reverse
+    // cumulative counts INCLUDING the threshold's own tie group
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = g.agg(sum(col("_np")).as("_p"), sum(col("_nn")).as("_n"))
+    val cum = g
+      .withColumn("tp", sum(col("_np")).over(wDesc))
+      .withColumn("fp", sum(col("_nn")).over(wDesc))
+      .crossJoin(broadcast(tot))
+      .withColumn("fn", col("_p") - col("tp"))
+      .withColumn("tn", col("_n") - col("fp"))
+    def d(c: String) = col(c).cast("double")
+    val num = (col("tp").cast(dec) * col("tn") -
+      col("fp").cast(dec) * col("fn")).cast("double")
+    val den = sqrt((d("tp") + d("fp")) * (d("tp") + d("fn")) *
+      (d("tn") + d("fp")) * (d("tn") + d("fn")))
+    val mcc = when(den > 0.0d, round(num / den, 6)).otherwise(lit(0.0d))
+    val youden = when(col("_p") > 0L && col("_n") > 0L,
+      round(d("tp") / d("_p") + d("tn") / d("_n") - lit(1.0d), 6))
+      .otherwise(lit(0.0d))
+    val scored = cum.select(
+      (col("_sm").cast("double") / 1e6d).as("threshold"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      mcc.as("mcc"), youden.as("youden_j"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mcc").desc, col("threshold").asc)
+    scored
+      .withColumn("is_best", (row_number().over(wBest) === 1).cast("long"))
+      .orderBy(col("threshold"))
+  }
+
   /** PERMUTATION-NULL AUC diagnostic (Breiman 2001's permutation
     * importance, applied to ranking signals): for each score column,
     * the exact rank-sum AUC against the binary label AND the AUC after

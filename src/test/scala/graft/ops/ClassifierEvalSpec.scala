@@ -788,6 +788,35 @@ class ClassifierEvalSpec extends SparkSpecBase {
         .toDF("src", "conf"), "src", "conf"))
   }
 
+  test("mccSweep: hand-traced confusion grid, argmax flag, conventions") {
+    // scores .1 .2 .3 .4 with labels 0 0 1 1: threshold .3 is perfect
+    val pred = Seq((1L, 0.1d), (2L, 0.2d), (3L, 0.3d), (4L, 0.4d))
+      .toDF("id", "conf")
+    val lab = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "keep")
+    val got = ClassifierEval.mccSweep(pred, lab, "id", "conf", "keep")
+      .as[(Double, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    assert(got.map(_._1) == Seq(0.1d, 0.2d, 0.3d, 0.4d))
+    val best = got.filter(_._8 == 1L)
+    assert(best.size == 1 && best.head._1 == 0.3d, got.toString)
+    assert(best.head._6 == 1.0d && best.head._7 == 1.0d, best.toString)
+    // threshold .1 keeps everything: tp=2 fp=2 fn=0 tn=0 -> a zero
+    // marginal -> mcc 0.0 by convention; youden = 1 + 0 - 1 = 0
+    val t1 = got.head
+    assert((t1._2, t1._3, t1._4, t1._5) == ((2L, 2L, 0L, 0L)))
+    assert(t1._6 == 0.0d && t1._7 == 0.0d, t1.toString)
+    // anti-correlated scores: best MCC still flagged (deterministic),
+    // and the .4-threshold row has negative-signal mcc < 0
+    val anti = ClassifierEval.mccSweep(pred,
+      Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L)).toDF("id", "keep"),
+      "id", "conf", "keep")
+      .as[(Double, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    assert(anti.exists(r => r._6 < 0.0d), anti.toString)
+    intercept[IllegalArgumentException](ClassifierEval.mccSweep(pred,
+      Seq((1L, 2L)).toDF("id", "keep"), "id", "conf", "keep"))
+  }
+
   test("permutationAucNull: real signal vs destroyed null; bijection") {
     // a perfectly separating signal: ids 1..40, label = id > 20,
     // score = id/100 -> auc = 1.0; the permuted null must not stay 1.0
