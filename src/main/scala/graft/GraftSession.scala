@@ -15,6 +15,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (TopKBy bounded heaps, collect_list) falls
+      // back to SORT-based aggregation after 128 distinct groups by
+      // default — a top-k-per-query aggregate over >128 query groups
+      // would silently sort the whole product it exists to avoid. Every
+      // object-aggregate state in this repo is bounded (k-heaps,
+      // config-capped lists), so a 64 Ki hash map is still model-sized;
+      // scale-safe because the cap is per-task GROUP COUNT, not bytes.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

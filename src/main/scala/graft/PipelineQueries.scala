@@ -1481,9 +1481,10 @@ object PipelineQueries {
   def sourceMwMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val conf = QualityModel.classifierScore(docs, "doc_id", "text")
-      .withColumn("conf",
-        round(lit(1.0d) / (lit(1.0d) + exp(negate($"score"))), 6))
+    // r16: the q124 confidence signal comes from the shared build-once
+    // cache (identical values by construction — same expression tree as
+    // confFor) instead of a from-scratch featurize+score pass per call
+    val conf = confFor(s, dir)
       .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
     graft.ops.ClassifierEval.mannWhitneyMatrix(conf, "source", "conf")
   }
@@ -2240,12 +2241,17 @@ object PipelineQueries {
     val keep = docs
       .select(md5(Dedup.normText($"text")).as("_fp"), $"doc_id")
       .groupBy($"_fp").agg(min($"doc_id").as("doc_id"))
-    val surv = docs.join(keep.select($"doc_id"), "doc_id")
+    // r16: pin the survivor ids (one dedup pass instead of one per
+    // downstream signal) and the scored frame (it feeds BOTH the
+    // quantile bounds and the final bucket join — unpinned, the langid
+    // and LM passes each ran twice)
+    val surv = docs.join(
+      keep.select($"doc_id").localCheckpoint(true), "doc_id")
     val lang = TextAnalysis.langIdScores(surv, "text")
       .select($"doc_id", $"predicted")
     val lp = TextAnalysis.unigramLogProb(surv, "doc_id", "text")
       .select($"doc_id", $"avg_logprob")
-    val scored = lang.join(lp, "doc_id")
+    val scored = lang.join(lp, "doc_id").localCheckpoint(true)
     val bounds = graft.ops.HistogramQuantile.quantiles(
       scored, "predicted", "avg_logprob", Seq(1.0 / 3, 2.0 / 3))
     val bb = bounds.groupBy($"predicted").agg(

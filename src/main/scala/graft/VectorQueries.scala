@@ -761,21 +761,38 @@ object VectorQueries {
     * full k-NN graph (6-dp cosine, n_id tie-break), the occurrence
     * counts including zeros, and the moment readouts.
     *
-    * Plan: one broadcast cross join (queries are the corpus itself) →
-    * per-query bounded top-k window → ONE corpus-sized occurrence
-    * groupBy; at 100 TB the graph comes from the IVF/LSH tiers instead
-    * (same audit over their candidate lists — q196's RBO pattern). */
+    * Plan (r16): one broadcast cross join (queries are the corpus
+    * itself) over a parallelism-floored corpus side
+    * ([[graft.ops.Layout.spread]] — the product is flops-bound and must
+    * not run in one scan task) → per-query top-k via the BOUNDED-HEAP
+    * [[graft.expr.TopKBy]] aggregate (map-side partial heaps; the
+    * O(n²) product is consumed where it is generated and NEVER crosses
+    * an exchange — r16 replaced the row_number window, which shuffled
+    * and sorted all n·(n−1) product rows, with heaps that shuffle at
+    * most queries × k rows; selection identical: smallest k by
+    * (−sim, n_id) ≡ row_number over (sim desc, n_id asc) ≤ k) → ONE
+    * corpus-sized occurrence groupBy; at 100 TB the graph comes from
+    * the IVF/LSH tiers instead (same audit over their candidate lists —
+    * q196's RBO pattern). */
   def hubnessAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     val q = e.select($"vec_id".as("q_id"), $"embedding".as("qv"))
     val c = e.select($"vec_id".as("n_id"), $"embedding".as("nv"))
-    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
-    val nn = c.crossJoin(broadcast(q))
+    // heap order (−sim, n_id) packed into ONE long so the 4M-row product
+    // pays a primitive compare instead of a per-row struct alloc +
+    // interpreted struct ordering: sim is already 6-dp, so its micro form
+    // is an exact integer in [−10⁶, 10⁶]; vec_ids are < 4·10⁹ by the
+    // testdata contract (and the packing is order-isomorphic to the
+    // lexicographic (−sim, n_id) whenever they are)
+    val ordPacked = (lit(1000000L) -
+      round($"sim" * 1e6d, 0).cast("long")) * lit(4000000000L) + $"n_id"
+    val nn = graft.ops.Layout.spread(c).crossJoin(broadcast(q))
       .filter($"n_id" =!= $"q_id")
       .withColumn("sim", round(VectorExprs.cosine($"nv", $"qv"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 10)
+      .groupBy($"q_id")
+      .agg(graft.expr.TopKBy.bottom($"n_id", ordPacked, 10).as("_top"))
+      .select(explode($"_top").as("n_id"))
     val occ = e.select($"vec_id")
       .join(nn.groupBy($"n_id").agg(count(lit(1)).as("o")),
         $"vec_id" === $"n_id", "left")

@@ -99,17 +99,25 @@ object Calibration {
       confCol: String, labelCol: String): DataFrame = {
     val joined = pred.select(col(idCol), col(confCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
-        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
+    // guard FUSED into the grid aggregate (r16): the old freestanding
+    // filter+count was a full extra pass over the joined input. A NULL
+    // score lands in the null _sm group; NULL / off-range labels are
+    // counted per group; the check then reads the ≤ 10⁶+1-row grid.
+    val g0 = joined
+      .withColumn("_sm", round(col(confCol).cast("double") * 1e6d).cast("long"))
+      .groupBy(col("_sm"))
+      .agg(sum(col(labelCol).cast("long")).as("_np"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"),
+        sum(when(col(labelCol).isNull ||
+            (col(labelCol) =!= 0L && col(labelCol) =!= 1L), lit(1L))
+          .otherwise(lit(0L))).as("_bad"))
+      .localCheckpoint(true) // grid-sized; guard + final window below
+    val offRange = g0.filter(col("_sm").isNull || col("_bad") > 0L)
       .limit(1).count()
     require(offRange == 0L,
       "AUC needs non-NULL scores and labels in {0, 1} — found NULL or " +
         "out-of-range rows")
-    val g = joined
-      .withColumn("_sm", round(col(confCol).cast("double") * 1e6d).cast("long"))
-      .groupBy(col("_sm"))
-      .agg(sum(col(labelCol).cast("long")).as("_np"),
-        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+    val g = g0.drop("_bad")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     g.withColumn("_below", coalesce(sum(col("_nn")).over(w), lit(0L)))

@@ -853,16 +853,22 @@ object ClassifierEval {
       .partitionBy(col("_bkt")).orderBy(col("_md5"))
     val wVals = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_bkt")).orderBy(col(idCol))
+    // ONE permutation join carries ALL score columns (r16): the slot and
+    // value rank windows are signal-independent (both order by id/md5
+    // within a bucket), so building the permuted frame per signal ran
+    // the same two windows + join three times for identical bijections
+    val slots = base.select(col(idCol), col("_bkt"),
+      row_number().over(wIds).as("_pos"))
+    val vals = base.select(
+      (col("_bkt") +: row_number().over(wVals).as("_pos") +:
+        scoreCols.map(col)).toIndexedSeq: _*)
+    val permutedAll = slots.join(vals, Seq("_bkt", "_pos"))
+      .localCheckpoint(true) // corpus-rows × few columns; read per signal
     val out = scoreCols.map { s =>
       val real = Calibration.binaryAuc(base.select(col(idCol), col(s)),
         labels, idCol, s, labelCol)
-      val slots = base.select(col(idCol), col("_bkt"),
-        row_number().over(wIds).as("_pos"))
-      val vals = base.select(col(s), col("_bkt"),
-        row_number().over(wVals).as("_pos"))
-      val permuted = slots.join(vals, Seq("_bkt", "_pos"))
-        .select(col(idCol), col(s))
-      val nullAuc = Calibration.binaryAuc(permuted, labels, idCol, s,
+      val nullAuc = Calibration.binaryAuc(
+        permutedAll.select(col(idCol), col(s)), labels, idCol, s,
         labelCol)
       real.select(col("n_pos"), col("n_neg"), col("auc"))
         .crossJoin(broadcast(nullAuc.select(col("auc").as("auc_null"))))
@@ -895,14 +901,16 @@ object ClassifierEval {
   def mannWhitneyMatrix(df: DataFrame, groupCol: String,
       scoreCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val nulls = df.filter(col(groupCol).isNull || col(scoreCol).isNull)
-      .limit(1).count()
-    require(nulls == 0L,
-      s"mannWhitneyMatrix needs non-NULL '$groupCol' and '$scoreCol'")
     val g = df.select(col(groupCol).cast("string").as("_g"),
         round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
       .groupBy(col("_g"), col("_sm")).agg(count(lit(1)).as("_c"))
       .localCheckpoint(true) // grids, read by both pair sides
+    // guard fused into the grid (r16): NULL group/score surface as null
+    // group keys — the check reads the bounded grid, not the input
+    val nulls = g.filter(col("_g").isNull || col("_sm").isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"mannWhitneyMatrix needs non-NULL '$groupCol' and '$scoreCol'")
     val srcs = g.select(col("_g")).distinct()
     val nG = srcs.count()
     require(nG >= 2L, s"mannWhitneyMatrix needs >= 2 groups, got $nG")
@@ -2144,7 +2152,13 @@ object ClassifierEval {
       scoreCols: Seq[String]): DataFrame = {
     require(scoreCols.size >= 2,
       s"kendallW needs >= 2 score columns, got ${scoreCols.size}")
-    val nulls = df.filter(scoreCols.map(c => col(c).isNull)
+    // r16: pin the projected input ONCE — the guard, the m per-signal
+    // grids and the two final aggregates all re-evaluated the caller's
+    // join lineage (≈ 7 passes); one narrow checkpoint feeds them all
+    val base = df
+      .select((col(idCol) +: scoreCols.map(col)).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    val nulls = base.filter(scoreCols.map(c => col(c).isNull)
       .foldLeft(col(idCol).isNull)(_ || _)).limit(1).count()
     require(nulls == 0L, "kendallW needs non-NULL ids and scores")
     val dec = "decimal(38,0)"
@@ -2154,7 +2168,7 @@ object ClassifierEval {
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     def ranked(scoreCol: String, out: String): (DataFrame, DataFrame) = {
-      val sm = df.select(col(idCol),
+      val sm = base.select(col(idCol),
         round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
       val grid = sm.groupBy(col("_sm")).agg(count(lit(1)).as("_t"))
       val ranks = grid.withColumn(out,
@@ -2227,13 +2241,23 @@ object ClassifierEval {
   def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
       valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val nulls = df.filter(col(itemCol).isNull || col(raterCol).isNull ||
-      col(valueCol).isNull).limit(1).count()
+    // null guard FUSED into the first aggregate (r16): the old
+    // freestanding filter+count was a full extra pass over the input —
+    // for this op's callers that lineage is three corpus-sized gate
+    // computations, so the guard alone doubled the query. NULL item or
+    // value surface as null group keys, a NULL rater as a counted flag;
+    // the check then runs on the items×values-sized grid for free.
+    val iv0 = df.groupBy(col(itemCol).as("_i"),
+        col(valueCol).cast("string").as("_v"))
+      .agg(count(lit(1)).as("_nic"),
+        sum(when(col(raterCol).isNull, lit(1L)).otherwise(lit(0L)))
+          .as("_badr"))
+      .localCheckpoint(true) // items×values-sized; guard + 2 reads below
+    val nulls = iv0.filter(col("_i").isNull || col("_v").isNull ||
+      col("_badr") > 0L).limit(1).count()
     require(nulls == 0L,
       s"krippendorffAlpha needs non-NULL '$itemCol'/'$raterCol'/'$valueCol'")
-    val iv = df.groupBy(col(itemCol).as("_i"),
-        col(valueCol).cast("string").as("_v"))
-      .agg(count(lit(1)).as("_nic"))
+    val iv = iv0.drop("_badr")
     val mi = iv.groupBy(col("_i")).agg(sum(col("_nic")).as("_mi"),
       // Σ_{c<k} n_ic·n_ik = (m_i² − Σ n_ic²) / 2, exact integers
       ((sum(col("_nic").cast(dec) * col("_nic")))).as("_sq"))

@@ -373,14 +373,21 @@ object Curation {
       .distinct()
       .localCheckpoint(true) // (doc, word) rows, read k+1 times
     val docs = dw.select(col("_d")).distinct().localCheckpoint(true)
-    var covered = dw.select(col("_w")).limit(0).localCheckpoint(true)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val chosen = scala.collection.mutable.Set.empty[Long]
     var cum = 0L
     val rounds = math.min(k.toLong, docs.count())
     var r = 1L
     while (r <= rounds) {
-      val gains = dw.join(covered, Seq("_w"), "left_anti")
+      // r16: ONE job per round — the covered-word set is derived inside
+      // the round's own plan from the ≤ k chosen ids (a filter of the
+      // pinned (doc, word) table + distinct) instead of being maintained
+      // as a separately union+distinct+checkpointed frame, which cost a
+      // second synchronous job every round. Same greedy, same values:
+      // covered ≡ the union of the chosen docs' word sets by definition.
+      val coveredWords = dw.filter(col("_d").isin(chosen.toSeq: _*))
+        .select(col("_w")).distinct()
+      val gains = dw.join(coveredWords, Seq("_w"), "left_anti")
         .groupBy(col("_d")).agg(count(lit(1)).as("_g"))
       val best = docs.join(gains, Seq("_d"), "left")
         .select(col("_d"), coalesce(col("_g"), lit(0L)).as("_g"))
@@ -391,9 +398,6 @@ object Curation {
       cum += g
       picked += ((r, d, g))
       chosen += d
-      covered = covered
-        .unionByName(dw.filter(col("_d") === d).select(col("_w")))
-        .distinct().localCheckpoint(true)
       r += 1
     }
     import spark.implicits._

@@ -219,16 +219,25 @@ object Funnel {
   def logRank(events: DataFrame, userCol: String, tsCol: String,
       cohortCol: String, periodSec: Long = 24L * 3600): DataFrame = {
     require(periodSec >= 1, s"period must be >= 1s, got $periodSec")
-    val bad = events.filter(col(userCol).isNull || col(tsCol).isNull ||
-      col(cohortCol).isNull).limit(1).count()
-    require(bad == 0L,
-      s"logRank needs non-NULL '$userCol', '$tsCol' and '$cohortCol'")
-    val per = events
+    // r16: ONE corpus pass — the null guard is fused into the per-user
+    // aggregate (null user → null group key; null ts/cohort → counted
+    // flags) and the users-sized result is pinned: unpinned, the five
+    // downstream consumers (mixed guard, cohort collect, horizon, sizes,
+    // grid) each re-ran the corpus groupBy.
+    val per0 = events
       .select(col(userCol).as("_u"), col(cohortCol).cast("string").as("_c"),
         periodOf(tsCol, periodSec).as("_p"))
       .groupBy(col("_u"))
       .agg(countDistinct(col("_c")).as("_nc"), min(col("_c")).as("_c"),
-        min(col("_p")).as("_first"), max(col("_p")).as("_last"))
+        min(col("_p")).as("_first"), max(col("_p")).as("_last"),
+        sum(when(col("_p").isNull, lit(1L)).otherwise(lit(0L))).as("_badp"),
+        sum(when(col("_c").isNull, lit(1L)).otherwise(lit(0L))).as("_badc"))
+      .localCheckpoint(true) // users-sized; read by every step below
+    val bad = per0.filter(col("_u").isNull || col("_badp") > 0L ||
+      col("_badc") > 0L).limit(1).count()
+    require(bad == 0L,
+      s"logRank needs non-NULL '$userCol', '$tsCol' and '$cohortCol'")
+    val per = per0.drop("_badp", "_badc")
     val mixed = per.filter(col("_nc") > 1L).limit(1).count()
     require(mixed == 0L,
       "logRank: a user carries more than one cohort label — the cohort " +

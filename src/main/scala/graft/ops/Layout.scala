@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Raise a frame's partition count to the session's default parallelism
+    * when the source supplies fewer splits than cores — the parallelism
+    * floor for FLOPS-BOUND broadcast products (all-pairs similarity, k-NN
+    * graphs): a corpus that arrives as one parquet row group would
+    * otherwise generate the whole O(n·m) product inside ONE task while
+    * every other core idles (guide §2.6 — stragglers / idle capacity).
+    * At scale the scan already has ≥ cores splits and this is the
+    * identity — the repartition (a round-robin exchange of the small
+    * side's rows, NEVER of the product) only fires when the input is
+    * narrower than the machine, so the production plan is untouched.
+    * Row-content no-op: partitioning moves rows, not values. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Morton (Z-order) interleave of two non-negative integer columns,
     * `bits` low bits each: result bit 2i = bit i of x, bit 2i+1 = bit i
     * of y. Inputs must already be bounded to `bits` bits (mask or bucket

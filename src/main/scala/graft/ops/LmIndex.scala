@@ -101,11 +101,16 @@ object LmIndex {
   /** Write the batch's three count tables under an invisible staging
     * dir; returns the staging path for [[Manifest.commit]]. */
   private def stageDelta(df: DataFrame, textCol: String, dir: String): String = {
+    import scala.collection.parallel.CollectionConverters._
     val staging = Manifest.stage(dir)
     val (tri, bi, uni) = TextAnalysis.trigramModel(df, textCol)
-    tri.write.mode("overwrite").parquet(s"$staging/tri")
-    bi.write.mode("overwrite").parquet(s"$staging/bi")
-    uni.write.mode("overwrite").parquet(s"$staging/uni")
+    // the three order aggregates are independent reads of the one
+    // pinned token pass — overlap their write jobs (guide §2.6) instead
+    // of serializing three small aggregate+write barriers
+    Seq("tri" -> tri, "bi" -> bi, "uni" -> uni).par.foreach {
+      case (name, t) =>
+        t.write.mode("overwrite").parquet(s"$staging/$name")
+    }
     staging
   }
 
@@ -180,12 +185,47 @@ object LmIndex {
     }
   }
 
+  /** The per-branch backoff MICRO tables of one committed snapshot —
+    * like [[modelTables]] a pure function of (dir, version) plus alpha,
+    * so they are pinned in [[SnapshotCache]] too (r16): without this,
+    * every probe re-ran the three vocab × vocab enrichment joins that
+    * turn counts into branch micro-scores. Vocabulary-sized, honoring
+    * the cache's model-sized-only contract. */
+  private def microTables(s: SparkSession, dir: String,
+      snap: Manifest.State, alpha: Double, hotK: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame,
+        (Skew.HotSet, Skew.HotSet, Skew.HotSet)) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.storage.StorageLevel
+    SnapshotCache.getOrCompute(
+      SnapshotCache.key(s, "lm", dir, snap.version, s"micro|$alpha|$hotK")) {
+      val (tri, bi, uni) = modelTables(s, dir, snap)
+      val (m1p, m2p, m3p, nvp) =
+        TextAnalysis.backoffMicroPlans(tri, bi, uni, alpha)
+      val m1 = m1p.persist(StorageLevel.MEMORY_AND_DISK)
+      val m2 = m2p.persist(StorageLevel.MEMORY_AND_DISK)
+      val m3 = m3p.persist(StorageLevel.MEMORY_AND_DISK)
+      val nv = nvp.persist(StorageLevel.MEMORY_AND_DISK)
+      // the hot-key routing sets are snapshot functions too: derive the
+      // three ranked heads ONCE here instead of once per probe (results
+      // are K-invariant — routing only — so caching cannot change them)
+      val hots = (
+        Skew.hotSet(m1, Seq("w1", "w2", "w3"), col("c123"), hotK),
+        Skew.hotSet(m2, Seq("w2", "w3"), col("c23"), hotK),
+        Skew.hotSet(m3, Seq("w3"), col("c3"), hotK))
+      (m1, m2, m3, nv, hots)
+    } { case (a, b, c, d, _) =>
+      a.unpersist(false); b.unpersist(false); c.unpersist(false)
+      d.unpersist(false)
+    }
+  }
+
   private def scoreFrom(s: SparkSession, dir: String, snap: Manifest.State,
       batch: DataFrame, idCol: String, textCol: String,
       alpha: Double, hotK: Int): DataFrame = {
-    val (tri, bi, uni) = modelTables(s, dir, snap)
-    TextAnalysis.scoreBackoffTrigrams(
+    val (m1, m2, m3, nv, hots) = microTables(s, dir, snap, alpha, hotK)
+    TextAnalysis.scoreBackoffTrigramsOn(
       TextAnalysis.docTrigrams(batch, idCol, textCol).localCheckpoint(true),
-      idCol, tri, bi, uni, alpha, hotK)
+      idCol, m1, m2, m3, nv, alpha, hotK, Some(hots))
   }
 }

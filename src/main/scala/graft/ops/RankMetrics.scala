@@ -159,13 +159,19 @@ object RankMetrics {
     require(topN >= 1 && topN <= 100000,
       s"topN must be in [1, 100000], got $topN")
     def ranked(df: DataFrame, scoreCol: String, out: String) = {
-      val nulls = df.filter(col(idCol).isNull || col(scoreCol).isNull)
+      val sm = df.select(col(idCol),
+        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      // guard FUSED into the grid aggregate (r16): a NULL score lands in
+      // the null _sm group, NULL ids are counted per group, and the
+      // check reads the bounded grid — no extra pass over the input
+      val grid = sm.groupBy(col("_sm")).agg(count(lit(1)).as("_n"),
+          sum(when(col(idCol).isNull, lit(1L)).otherwise(lit(0L)))
+            .as("_badid"))
+        .localCheckpoint(true) // grid-sized; guard + rank window below
+      val nulls = grid.filter(col("_sm").isNull || col("_badid") > 0L)
         .limit(1).count()
       require(nulls == 0L,
         s"rrfFuse needs non-NULL ids and '$scoreCol' scores")
-      val sm = df.select(col(idCol),
-        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
-      val grid = sm.groupBy(col("_sm")).agg(count(lit(1)).as("_n"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").desc)
         .rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -211,13 +217,17 @@ object RankMetrics {
   def spearman(a: DataFrame, b: DataFrame, idCol: String,
       scoreColA: String, scoreColB: String): DataFrame = {
     def ranked2(df: DataFrame, scoreCol: String, out: String) = {
-      val nulls = df.filter(col(idCol).isNull || col(scoreCol).isNull)
+      val sm = df.select(col(idCol),
+        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
+      // guard fused into the grid aggregate (r16) — see rrfFuse
+      val grid = sm.groupBy(col("_sm")).agg(count(lit(1)).as("_n"),
+          sum(when(col(idCol).isNull, lit(1L)).otherwise(lit(0L)))
+            .as("_badid"))
+        .localCheckpoint(true) // grid-sized; guard + rank window below
+      val nulls = grid.filter(col("_sm").isNull || col("_badid") > 0L)
         .limit(1).count()
       require(nulls == 0L,
         s"spearman needs non-NULL ids and '$scoreCol' scores")
-      val sm = df.select(col(idCol),
-        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
-      val grid = sm.groupBy(col("_sm")).agg(count(lit(1)).as("_n"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").asc)
         .rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -136,20 +136,22 @@ object Skew {
     math.max(k, 1)
   }
 
-  def hotColdJoin(
-      left: DataFrame, lookup: DataFrame, keys: Seq[String],
-      weight: Column, hotK: Int, joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left",
-      s"hotColdJoin supports inner/left, got $joinType")
-    require(!left.columns.contains("__graft_hot") &&
-        !lookup.columns.contains("__graft_hot"),
-      "hotColdJoin reserves the working column name __graft_hot")
-    val lkp = lookup.localCheckpoint(eager = false)
-    // ONE ranked-head probe serves both the Auto-K derivation and the
-    // hot KEY set (weight desc, keys asc — deterministic); results are
-    // K-invariant, only routing moves, so Auto's massFrac is purely a
-    // performance knob
-    val (total, head) = rankedHead(lkp, keys, weight,
+  /** A DERIVED hot-key routing set — K plus the hot keys as a
+    * broadcast-ready local relation, the driver-side product of ONE
+    * [[rankedHead]] probe. A pure function of (lookup, keys, weight,
+    * hotK policy), split out (r16) so persisted-model serving
+    * ([[LmIndex]]) can derive it once per committed snapshot and reuse
+    * it across probes instead of re-ranking the lookup per call. */
+  final case class HotSet(k: Int, keys: DataFrame)
+
+  /** Derive the [[HotSet]] for (lookup, keys, weight, hotK): one
+    * ranked-head probe serves both the Auto-K derivation and the hot
+    * KEY selection (weight desc, keys asc — deterministic). Results of
+    * the downstream join are K-invariant — routing only — so any
+    * caching of this set is purely a performance knob. */
+  def hotSet(lookup: DataFrame, keys: Seq[String], weight: Column,
+      hotK: Int): HotSet = {
+    val (total, head) = rankedHead(lookup, keys, weight,
       if (hotK > 0) hotK else 65536)
     val k = if (hotK > 0) hotK else massCoverK(head, total, 0.95)
     // the hot keys are already on the driver — ship them back as a
@@ -157,10 +159,31 @@ object Skew {
     val keySchema = StructType(keys.map(n => lookup.schema(n)))
     val hotRows: java.util.List[Row] = java.util.Arrays.asList(
       head.take(k).map(r => Row.fromSeq(keys.indices.map(r.get))): _*)
-    val hotKeys = lookup.sparkSession.createDataFrame(hotRows, keySchema)
-    val hot = lkp.join(broadcast(hotKeys), keys.toIndexedSeq)
+    HotSet(k, lookup.sparkSession.createDataFrame(hotRows, keySchema))
+  }
+
+  def hotColdJoin(
+      left: DataFrame, lookup: DataFrame, keys: Seq[String],
+      weight: Column, hotK: Int, joinType: String = "inner"): DataFrame = {
+    val lkp = lookup.localCheckpoint(eager = false)
+    hotColdJoinWith(left, lkp, keys, hotSet(lkp, keys, weight, hotK), joinType)
+  }
+
+  /** [[hotColdJoin]] with a PRECOMPUTED [[HotSet]] over an
+    * already-pinned lookup (the caller owns materialization — the
+    * serving path passes snapshot-cached persisted tables). Routing and
+    * results exactly as [[hotColdJoin]]. */
+  def hotColdJoinWith(
+      left: DataFrame, lkp: DataFrame, keys: Seq[String],
+      hot: HotSet, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"hotColdJoin supports inner/left, got $joinType")
+    require(!left.columns.contains("__graft_hot") &&
+        !lkp.columns.contains("__graft_hot"),
+      "hotColdJoin reserves the working column name __graft_hot")
+    val hotRows = lkp.join(broadcast(hot.keys), keys.toIndexedSeq)
     val tagged = left.join(
-      broadcast(hot.withColumn("__graft_hot", lit(1))), keys.toIndexedSeq, "left")
+      broadcast(hotRows.withColumn("__graft_hot", lit(1))), keys.toIndexedSeq, "left")
     val fromHot = tagged.filter(col("__graft_hot").isNotNull).drop("__graft_hot")
     val coldLeft = tagged.filter(col("__graft_hot").isNull)
       .select(left.columns.map(col).toIndexedSeq: _*)

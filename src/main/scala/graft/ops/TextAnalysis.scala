@@ -467,10 +467,14 @@ object TextAnalysis {
     * key at any scale. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
       hotK: Int = 4096): DataFrame = {
+    // r16: pin the (doc, token, n) probe table — the count/ranked-head
+    // lineage and the final hot/cold join otherwise each re-ran the
+    // tokenize+explode+aggregate pass
     val docTok = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
     val counts = docTok.groupBy(col("token")).agg(sum(col("_n")).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     val tokMicro = counts.crossJoin(broadcast(total))
@@ -507,13 +511,27 @@ object TextAnalysis {
     * carry no bigrams and are absent from the result. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
       hotK: Int = 4096): DataFrame = {
-    val docBi = docBigrams(df, idCol, textCol)
+    // r16: ONE tokenize pass (pinned arrays) shared by the bigram table
+    // and the vocabulary count, and the (doc, p, c, n) probe table is
+    // pinned too — unpinned, the ranked-head probe and the final join
+    // each re-ran tokenize+explode+aggregate. Expression trees unchanged.
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_w"))
+      .localCheckpoint(true)
+    val docBi = toks
+      .filter(size(col("_w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_w) - 1), " +
+          "i -> named_struct('p', element_at(_w, i), 'c', element_at(_w, i + 1)))"))
+        .as("_b"))
+      .select(col(idCol), col("_b.p").as("p"), col("_b.c").as("c"))
+      .groupBy(col(idCol), col("p"), col("c")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
     val pairCnt = docBi.groupBy(col("p"), col("c")).agg(sum(col("_n")).as("cpc"))
     val ctxCnt = pairCnt.groupBy(col("p")).agg(sum(col("cpc")).as("cp"))
     // V over the FULL corpus (single-token docs still contribute
     // vocabulary even though they carry no bigrams)
-    val vocab = df
-      .select(explode(tokens(col(textCol))).as("t"))
+    val vocab = toks
+      .select(explode(col("_w")).as("t"))
       .filter(length(col("t")) > 0)
       .agg(countDistinct(col("t")).as("v"))
     val pairMicro = pairCnt.join(ctxCnt, Seq("p"))
@@ -711,7 +729,9 @@ object TextAnalysis {
       discount: Double = 0.75, hotK: Int = 4096): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"absolute discount must lie in (0, 1), got $discount")
-    val docBi = docBigrams(df, idCol, textCol)
+    // r16: pin the (doc, p, c, n) probe table — the ranked-head probe
+    // and the final join otherwise each re-ran tokenize+explode+agg
+    val docBi = docBigrams(df, idCol, textCol).localCheckpoint(true)
     val pairCnt = docBi.groupBy(col("p"), col("c")).agg(sum(col("_n")).as("cpc"))
     val ctx = pairCnt.groupBy(col("p"))
       .agg(sum(col("cpc")).as("cp"), count(lit(1)).as("n1p"))
@@ -807,16 +827,32 @@ object TextAnalysis {
     * the training text per n-gram order. */
   def trigramModel(train: DataFrame, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val tri = w3Stream(train, textCol, Seq.empty)
+    // ONE tokenize pass shared by all three orders (r16): the regex
+    // normalization inside [[tokens]] is the CPU cost of model building
+    // at any scale, and the previous per-order derivations re-tokenized
+    // the train corpus three times. The pinned token arrays are read by
+    // three map-side-combined aggregates whose expression trees are
+    // UNCHANGED from the per-order forms (same explode/transform, same
+    // filters), so every count — and the oracle hash — is identical.
+    val toks = train.select(tokens(col(textCol)).as("_w"))
+      .localCheckpoint(true)
+    val tri = toks
+      .filter(size(col("_w")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(_w) - 2), i -> named_struct(" +
+          "'w1', element_at(_w, i), 'w2', element_at(_w, i + 1), " +
+          "'w3', element_at(_w, i + 2)))")).as("_t"))
+      .select(col("_t.w1").as("w1"), col("_t.w2").as("w2"),
+        col("_t.w3").as("w3"))
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
-    val bi = train.select(tokens(col(textCol)).as("_w"))
+    val bi = toks
       .filter(size(col("_w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(_w) - 1), i -> named_struct(" +
           "'wa', element_at(_w, i), 'wb', element_at(_w, i + 1)))")).as("_b"))
       .groupBy(col("_b.wa").as("wa"), col("_b.wb").as("wb"))
       .agg(count(lit(1)).as("cab"))
-    val uni = train.select(explode(tokens(col(textCol))).as("w"))
+    val uni = toks.select(explode(col("_w")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     (tri, bi, uni)
@@ -832,51 +868,83 @@ object TextAnalysis {
   def scoreBackoffTrigrams(docTri: DataFrame, idCol: String,
       tri: DataFrame, bi: DataFrame, uni: DataFrame,
       alpha: Double = 0.4, hotK: Int = 4096): DataFrame = {
+    val (m1, m2, m3, nv) = backoffMicroPlans(tri, bi, uni, alpha)
+    scoreBackoffTrigramsOn(docTri, idCol,
+      m1.localCheckpoint(true), m2.localCheckpoint(true),
+      m3.localCheckpoint(true), nv, alpha, hotK)
+  }
+
+  /** The LAZY per-branch micro-score tables of the backoff model —
+    * pure functions of (tri, bi, uni, alpha), split out (r16) so the
+    * persisted-serving path ([[graft.ops.LmIndex]]) can pin them ONCE
+    * per committed snapshot in [[graft.ops.SnapshotCache]] instead of
+    * re-running the three vocab × vocab enrichment joins on every probe;
+    * the live path pins them per run with localCheckpoint exactly as
+    * before. Expression trees unchanged — every micro value (and the
+    * oracle hash) is identical.
+    *
+    * Per-BRANCH micro-scores precomputed on the MODEL side (all three
+    * enrichment joins are vocab × vocab): each backoff branch needs
+    * counts from at most two adjacent n-gram orders, and those live on
+    * the model row the probe key selects — so the corpus makes one
+    * hot/cold pass per ORDER (three), not one per count column (the
+    * previous five).
+    *  branch 1 (trigram seen):  c123/c12          keyed (w1, w2, w3)
+    *  branch 2 (bigram seen):   α · c23/c2        keyed (w2, w3)
+    *  branch 3 (unigram floor): α² · (c3+1)/(N+V) keyed (w3)
+    *  fallback (w3 unseen):     α² · 1/(N+V)      constant per job */
+  private[graft] def backoffMicroPlans(tri: DataFrame, bi: DataFrame,
+      uni: DataFrame, alpha: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must lie in (0, 1], got $alpha")
     val nv = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    // Per-BRANCH micro-scores precomputed on the MODEL side (all three
-    // enrichment joins are vocab × vocab): each backoff branch needs
-    // counts from at most two adjacent n-gram orders, and those live on
-    // the model row the probe key selects — so the corpus makes one
-    // hot/cold pass per ORDER (three), not one per count column (the
-    // previous five). The expressions are the exact trees the old
-    // corpus-side CASE evaluated, so every micro value (and the oracle
-    // hash) is unchanged.
-    //  branch 1 (trigram seen):  c123/c12          keyed (w1, w2, w3)
-    //  branch 2 (bigram seen):   α · c23/c2        keyed (w2, w3)
-    //  branch 3 (unigram floor): α² · (c3+1)/(N+V) keyed (w3)
-    //  fallback (w3 unseen):     α² · 1/(N+V)      constant per job
     val m1tab = tri
       .join(bi.select(col("wa").as("w1"), col("wb").as("w2"), col("cab").as("c12")),
         Seq("w1", "w2"))
       .select(col("w1"), col("w2"), col("w3"), col("c123"),
         round(log(col("c123").cast("double") / col("c12").cast("double")) * 1e6d)
           .cast("long").as("_m1"))
-      .localCheckpoint(true)
     val m2tab = bi
       .select(col("wa").as("w2"), col("wb").as("w3"), col("cab").as("c23"))
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
       .select(col("w2"), col("w3"), col("c23"),
         round(log(lit(alpha) * (col("c23").cast("double") / col("c2").cast("double"))) * 1e6d)
           .cast("long").as("_m2"))
-      .localCheckpoint(true)
     val m3tab = uni
       .crossJoin(broadcast(nv))
       .select(col("w").as("w3"), col("c").as("c3"),
         round(log(lit(alpha) * lit(alpha) *
           ((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double"))) * 1e6d)
           .cast("long").as("_m3"))
-      .localCheckpoint(true)
+    (m1tab, m2tab, m3tab, nv)
+  }
+
+  /** The probe half of [[scoreBackoffTrigrams]] over ALREADY-PINNED
+    * micro tables (see [[backoffMicroPlans]]): three hot/cold LEFT
+    * joins — one per n-gram order — then the per-document exact
+    * micro-nat aggregate. */
+  private[graft] def scoreBackoffTrigramsOn(docTri: DataFrame, idCol: String,
+      m1tab: DataFrame, m2tab: DataFrame, m3tab: DataFrame, nv: DataFrame,
+      alpha: Double, hotK: Int,
+      hots: Option[(Skew.HotSet, Skew.HotSet, Skew.HotSet)] = None)
+      : DataFrame = {
+    // hot-key routing sets: derived per call for the live path, passed
+    // in PRECOMPUTED by the persisted-serving path (r16 — they are pure
+    // snapshot functions, so re-ranking the vocab per probe was waste)
+    val (h1, h2, h3) = hots.getOrElse((
+      Skew.hotSet(m1tab, Seq("w1", "w2", "w3"), col("c123"), hotK),
+      Skew.hotSet(m2tab, Seq("w2", "w3"), col("c23"), hotK),
+      Skew.hotSet(m3tab, Seq("w3"), col("c3"), hotK)))
     // checkpoint every OTHER stage: the hot/cold union doubles the left
     // lineage per level, so an un-materialized k-stage chain recomputes
     // 2^k times; one checkpoint mid-chain caps the three-stage factor
-    val joined = Skew.hotColdJoin(docTri, m1tab, Seq("w1", "w2", "w3"),
-        col("c123"), hotK, "left")
-      .transform(d => Skew.hotColdJoin(d, m2tab,
-        Seq("w2", "w3"), col("c23"), hotK, "left").localCheckpoint(true))
-      .transform(d => Skew.hotColdJoin(d, m3tab,
-        Seq("w3"), col("c3"), hotK, "left"))
+    val joined = Skew.hotColdJoinWith(docTri, m1tab, Seq("w1", "w2", "w3"),
+        h1, "left")
+      .transform(d => Skew.hotColdJoinWith(d, m2tab,
+        Seq("w2", "w3"), h2, "left").localCheckpoint(true))
+      .transform(d => Skew.hotColdJoinWith(d, m3tab,
+        Seq("w3"), h3, "left"))
       .crossJoin(broadcast(nv))
     joined
       .withColumn("_micro",
