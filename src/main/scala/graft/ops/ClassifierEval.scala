@@ -864,7 +864,11 @@ object ClassifierEval {
         scoreCols.map(col)).toIndexedSeq: _*)
     val permutedAll = slots.join(vals, Seq("_bkt", "_pos"))
       .localCheckpoint(true) // corpus-rows × few columns; read per signal
-    val out = scoreCols.map { s =>
+    // per-signal AUC pairs are independent — overlap their grid jobs
+    // (guide §2.6); .par preserves result order, so the union below is
+    // deterministic
+    import scala.collection.parallel.CollectionConverters._
+    val out = scoreCols.par.map { s =>
       val real = Calibration.binaryAuc(base.select(col(idCol), col(s)),
         labels, idCol, s, labelCol)
       val nullAuc = Calibration.binaryAuc(
@@ -878,7 +882,7 @@ object ClassifierEval {
           // (x − x) = +0.0 canonically in IEEE
           (col("auc") - col("auc_null")).as("delta"))
     }
-    out.reduce(_ unionByName _).orderBy(col("signal"))
+    out.toList.reduce(_ unionByName _).orderBy(col("signal"))
   }
 
   /** PAIRWISE Mann–Whitney MATRIX across k groups — the drill-down

@@ -67,13 +67,22 @@ object Components {
       // (labels start as ids and min() only selects existing ones), so the
       // inner self-join is total; labels are non-increasing, so
       // shortcutting preserves correctness.
+      // r16: the round's cut is LAZY for the plain rounds — the `changed`
+      // count right below is the single first action, so it materializes
+      // the cache in ITS job and the separate eager-checkpoint barrier
+      // disappears (one job per round instead of two). The pointer-
+      // doubling rounds keep an EAGER cut before the self-join: its two
+      // references would otherwise race-compute the same partitions.
+      def cutLazy(df: DataFrame): DataFrame =
+        if (checkpointDir.isDefined) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
       val next =
-        if (iter < 2) cut(minRoundPlan)
+        if (iter < 2) cutLazy(minRoundPlan)
         else {
           // materialized before the self-join — referencing the plan twice
           // without the cut would run the union+aggregate pipeline twice
           val mr = cut(minRoundPlan)
-          cut(mr
+          cutLazy(mr
             .join(
               mr.select(col("id").as("component"), col("component").as("_c2")),
               Seq("component"))
@@ -540,18 +549,27 @@ object Components {
       return e.select(lit("hub").as("side"), col("hub").as("id"),
         lit(0L).as("score_ppb"), lit(0L).as("deg"))
     val hubDeg = e.groupBy(col("hub")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
     val authDeg = e.groupBy(col("auth")).agg(count(lit(1)).as("deg"))
-    val nAuth = authDeg.agg(count(lit(1)).as("_n"))
+      .localCheckpoint(eager = false)
+    val nAuth = authDeg.agg(count(lit(1)).as("_n")).head().getLong(0)
     // uniform integer start on the authority side: a₀ = M div |auth|
-    var a = authDeg.crossJoin(broadcast(nAuth))
-      .select(col("auth"), expr(s"${M}L div _n").as("a"))
+    var a = authDeg.select(col("auth"), expr(s"${M}L div ${nAuth}L").as("a"))
     var h: DataFrame = null
     var it = 0
     def rescale(raw: DataFrame, keyCol: String, out: String): DataFrame = {
-      val r = raw.localCheckpoint(true) // node-sized; read 2× (tot + scale)
-      val tot = r.agg(sum(col("_s")).as("_t"))
-      r.crossJoin(broadcast(tot))
-        .select(col(keyCol), expr(s"(_s * ${M}L) div _t").as(out))
+      // r16: ONE job per half-step — the lazy pin materializes inside the
+      // total aggregate's job, and the total (a single scalar either way)
+      // comes back as a driver literal instead of a broadcast join, so
+      // the old eager-checkpoint + broadcast-build pair of barriers is
+      // gone. Floor-div semantics (incl. the div-by-zero → NULL edge on
+      // an all-zero round) are byte-identical.
+      val r = raw.localCheckpoint(eager = false) // node-sized; read 2×
+      val totRow = r.agg(sum(col("_s")).as("_t")).head()
+      // empty input → NULL sum; 0 divisor reproduces the old NULL-score
+      // behavior of `div _t` with a NULL/zero total
+      val tot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      r.select(col(keyCol), expr(s"(_s * ${M}L) div ${tot}L").as(out))
     }
     while (it < iters) {
       h = rescale(

@@ -76,16 +76,21 @@ object LmIndex {
     if (snap.deltas.size <= 1) return
     val paths = snap.deltas.map(d => s"$dir/$d")
     val staging = Manifest.stage(dir)
-    s.read.parquet(paths.map(p => s"$p/tri"): _*)
-      .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(sum(col("c123")).as("c123"))
-      .write.mode("overwrite").parquet(s"$staging/tri")
-    s.read.parquet(paths.map(p => s"$p/bi"): _*)
-      .groupBy(col("wa"), col("wb")).agg(sum(col("cab")).as("cab"))
-      .write.mode("overwrite").parquet(s"$staging/bi")
-    s.read.parquet(paths.map(p => s"$p/uni"): _*)
-      .groupBy(col("w")).agg(sum(col("c")).as("c"))
-      .write.mode("overwrite").parquet(s"$staging/uni")
+    // the three merged-table writes are independent — overlap them
+    // (guide §2.6), same as stageDelta
+    import scala.collection.parallel.CollectionConverters._
+    Seq(
+      () => s.read.parquet(paths.map(p => s"$p/tri"): _*)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("c123")).as("c123"))
+        .write.mode("overwrite").parquet(s"$staging/tri"),
+      () => s.read.parquet(paths.map(p => s"$p/bi"): _*)
+        .groupBy(col("wa"), col("wb")).agg(sum(col("cab")).as("cab"))
+        .write.mode("overwrite").parquet(s"$staging/bi"),
+      () => s.read.parquet(paths.map(p => s"$p/uni"): _*)
+        .groupBy(col("w")).agg(sum(col("c")).as("c"))
+        .write.mode("overwrite").parquet(s"$staging/uni")
+    ).par.foreach(_.apply())
     // streaming-ingest idempotency keys survive the merge
     Manifest.copyMarkers(s, dir, snap.deltas, staging)
     Manifest.commit(s, dir, Seq(staging), remove = snap.deltas)

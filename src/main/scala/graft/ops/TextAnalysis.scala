@@ -793,13 +793,17 @@ object TextAnalysis {
       testPred: Column, alpha: Double = 0.4, hotK: Int = 4096): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"backoff alpha must lie in (0, 1], got $alpha")
+    import scala.collection.parallel.CollectionConverters._
     val train = df.filter(!testPred)
     val (tri, bi, uni) = trigramModel(train, textCol)
-    scoreBackoffTrigrams(
-      docTrigrams(df.filter(testPred), idCol, textCol).localCheckpoint(true),
-      idCol,
-      tri, bi.localCheckpoint(true),
-      uni.localCheckpoint(true), alpha, hotK)
+    // the three pins are independent jobs over the one pinned token pass
+    // — overlap them (guide §2.6) instead of three serial barriers
+    val pins = Seq(
+      () => docTrigrams(df.filter(testPred), idCol, textCol)
+        .localCheckpoint(true),
+      () => bi.localCheckpoint(true),
+      () => uni.localCheckpoint(true)).par.map(_.apply()).toIndexedSeq
+    scoreBackoffTrigrams(pins(0), idCol, tri, pins(1), pins(2), alpha, hotK)
   }
 
   private def w3Stream(src: DataFrame, textCol: String,
@@ -868,10 +872,22 @@ object TextAnalysis {
   def scoreBackoffTrigrams(docTri: DataFrame, idCol: String,
       tri: DataFrame, bi: DataFrame, uni: DataFrame,
       alpha: Double = 0.4, hotK: Int = 4096): DataFrame = {
+    import scala.collection.parallel.CollectionConverters._
     val (m1, m2, m3, nv) = backoffMicroPlans(tri, bi, uni, alpha)
+    // pin each micro table AND derive its hot-key routing set in one
+    // parallel task per order — the three (pin, ranked-head) pairs are
+    // independent, so overlapping them collapses six serial job
+    // barriers into two waves (guide §2.6)
+    val prepped = Seq(
+      ("m1", m1, Seq("w1", "w2", "w3"), "c123"),
+      ("m2", m2, Seq("w2", "w3"), "c23"),
+      ("m3", m3, Seq("w3"), "c3")).par.map { case (_, m, keys, w) =>
+      val pinned = m.localCheckpoint(true)
+      (pinned, Skew.hotSet(pinned, keys, col(w), hotK))
+    }.toIndexedSeq
     scoreBackoffTrigramsOn(docTri, idCol,
-      m1.localCheckpoint(true), m2.localCheckpoint(true),
-      m3.localCheckpoint(true), nv, alpha, hotK)
+      prepped(0)._1, prepped(1)._1, prepped(2)._1, nv, alpha, hotK,
+      Some((prepped(0)._2, prepped(1)._2, prepped(2)._2)))
   }
 
   /** The LAZY per-branch micro-score tables of the backoff model —

@@ -127,19 +127,25 @@ object TextIndex {
     if (snap.deltas.size <= 1) return
     val paths = snap.deltas.map(d => s"$path/$d")
     val staging = Manifest.stage(path)
-    paths.map(p => s.read.parquet(s"$p/postings")
-        .select(col("token"), col(idCol), col("tf")))
-      .reduce(_ unionAll _)
-      .groupBy(col("token"), col(idCol))
-      .agg(sum(col("tf")).as("tf"))
-      .withColumn("bucket", termBucketCol(col("token"), buckets))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$staging/postings")
-    s.read.parquet(paths.map(p => s"$p/docstats"): _*)
-      .write.mode("overwrite").parquet(s"$staging/docstats")
-    s.read.parquet(paths.map(p => s"$p/stats"): _*)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
-      .write.mode("overwrite").parquet(s"$staging/stats")
+    // the three merged-table writes are independent — overlap them
+    // (guide §2.6), same as LmIndex.compact
+    import scala.collection.parallel.CollectionConverters._
+    Seq(
+      () => paths.map(p => s.read.parquet(s"$p/postings")
+          .select(col("token"), col(idCol), col("tf")))
+        .reduce(_ unionAll _)
+        .groupBy(col("token"), col(idCol))
+        .agg(sum(col("tf")).as("tf"))
+        .withColumn("bucket", termBucketCol(col("token"), buckets))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$staging/postings"),
+      () => s.read.parquet(paths.map(p => s"$p/docstats"): _*)
+        .write.mode("overwrite").parquet(s"$staging/docstats"),
+      () => s.read.parquet(paths.map(p => s"$p/stats"): _*)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_len")).as("total_len"))
+        .write.mode("overwrite").parquet(s"$staging/stats")
+    ).par.foreach(_.apply())
     // streaming-ingest idempotency keys survive the merge
     Manifest.copyMarkers(s, path, snap.deltas, staging)
     Manifest.commit(s, path, Seq(staging), remove = snap.deltas)
