@@ -89,3 +89,30 @@ class TopKByAggregateSpec extends SparkSpecBase {
     assert(!plan.contains("Sort "), plan)
   }
 }
+
+/** r16 focused spec for the q280 rewrite: bottom-k by the PACKED
+  * (−sim_micro, id) long selects exactly the rows
+  * row_number() OVER (ORDER BY sim DESC, id) ≤ k selects. */
+class TopKByPackedOrderSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  test("packed long order ≡ (sim desc, id asc) window selection, per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for (g <- 1 to 17; i <- 1 to 50) yield
+      (g.toLong, i.toLong, math.rint(rnd.nextDouble() * 2e6 - 1e6) / 1e6)
+    val df = rows.toDF("g", "id", "sim")
+    val w = Window.partitionBy($"g").orderBy($"sim".desc, $"id")
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10).select($"g", $"id")
+      .as[(Long, Long)].collect().toSet
+    val ord = (lit(1000000L) -
+      round($"sim" * 1e6d, 0).cast("long")) * lit(4000000000L) + $"id"
+    val viaHeap = df.groupBy($"g")
+      .agg(graft.expr.TopKBy.bottom($"id", ord, 10).as("top"))
+      .select($"g", explode($"top").as("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaHeap == viaWindow)
+  }
+}

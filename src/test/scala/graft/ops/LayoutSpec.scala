@@ -86,3 +86,28 @@ class LayoutSpec extends SparkSpecBase {
       s"x-sort cannot prune on y: $xEnv")
   }
 }
+
+/** r16: the parallelism floor used by flops-bound broadcast products
+  * (q280 hubness). Row-content no-op; partition count only ever rises. */
+class LayoutSpreadSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  test("spread raises a narrow frame to default parallelism, rows identical") {
+    import spark.implicits._
+    val df = (1 to 97).toDF("v").coalesce(1)
+    assert(df.rdd.getNumPartitions == 1)
+    val out = Layout.spread(df)
+    assert(out.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(out.select(sum($"v")).head.getLong(0) == (1 to 97).sum.toLong)
+    assert(out.count() == 97L)
+  }
+
+  test("spread is the identity when the source already has enough splits") {
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    val df = (1 to 100).toDF("v").repartition(p + 3)
+    val out = Layout.spread(df)
+    assert(out.rdd.getNumPartitions == p + 3) // untouched — no extra exchange
+  }
+}
