@@ -2,7 +2,20 @@ package graft
 
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * {"metric":"total","value":N,"unit":"sec","errors":{...},"spread":{...},
+  * "total_sec":N,"n_queries":N,"n_errors":N,"sf":...}.
+  *
+  * r17 stdout-contract fix (VERDICT r16 item #1, disclosed in
+  * OPTIMIZATION_r17.md): the driver keeps only a 2000-char stdout TAIL,
+  * and a 289-entry per-query map is ~10 KB — both r15 and r16 PERF
+  * comparisons came back EMPTY because the driver's parser only ever saw
+  * a truncated line. The stdout line is now the COMPACT record only
+  * (totals, errors, the worst spreads) so it always fits and parses; the
+  * full per-query record (best/spread/warm-up/every timed run, every
+  * query) is written to BENCH_TIMES_c&lt;cpus&gt;.json — keyed by the core
+  * count so the driver's low-core scaling run no longer clobbers the
+  * 32-core audit record (VERDICT item #8). Timing methodology is
+  * UNCHANGED: same queries, same scale factor, same warm-up+best-of-3.
   *
   * Headline set = all declared queries, so every CORRECTNESS entry has a
   * timing (q31 runs exact Jaccard on a bounded doc_id &lt; 200 slice — its
@@ -12,12 +25,7 @@ package graft
   * three disagree by more than 2× (max/min), TWO extra runs are added
   * before taking the min — r11 graded two queries as 5×/4× "regressions"
   * that an isolated re-run showed to be pure sandbox noise, so noisy
-  * queries get more samples instead of a false verdict. Per-query spread
-  * (max/min of the timed runs) is emitted both in BENCH_TIMES.json and,
-  * for any query with spread &gt; 1.5, in a compact "spread" object near
-  * the END of the stdout JSON line — the driver keeps only a 2000-char
-  * stdout tail, so the trailing keys (spread, total_sec, sf) survive
-  * truncation even though the 112-entry queries map does not.
+  * queries get more samples instead of a false verdict.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -172,38 +180,43 @@ object Bench {
       val timedRuns = all.tail // head is the warm-up
       math.round(timedRuns.max / timedRuns.min * 100.0) / 100.0
     }
-    val qJson = ok.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
     val eJson = failed.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     // max/min ratio of the timed runs for queries whose samples disagree
-    // by >1.5× — small enough to survive the driver's 2000-char tail
-    val sJson = runs.collect {
-      case (n, Right((_, all))) if spreadOf(all) > 1.5 =>
-        jstr(n) + ":" + spreadOf(all)
-    }.mkString("{", ",", "}")
+    // by >1.5×, capped at the 20 WORST so the one stdout line always fits
+    // the driver's 2000-char tail (289 spreads in a noisy session would
+    // overflow it just like the old queries map did)
+    val spreads = runs.collect {
+      case (n, Right((_, all))) if spreadOf(all) > 1.5 => n -> spreadOf(all)
+    }
+    val sJson = spreads.sortBy(-_._2).take(20)
+      .map { case (n, s) => jstr(n) + ":" + s }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    // the driver keeps only a 2000-char stdout tail — the full per-query
-    // record (warm-up + all timed runs + spread, one line per query,
-    // every query) goes to BENCH_TIMES.json so regressions are auditable
+    // the full per-query record (warm-up + all timed runs + spread, one
+    // line per query, every query) goes to BENCH_TIMES_c<cpus>.json so
+    // regressions are auditable — keyed by the core count so a low-core
+    // scaling run and the 32-core audit record coexist
     val fileLines = runs.map {
       case (n, Right((best, all))) =>
         s"""  ${jstr(n)}: {"best": $best, "spread": ${spreadOf(all)}, "warmup": ${all.head}, "runs": [${all.tail.mkString(", ")}]}"""
       case (n, Left(err)) =>
         s"""  ${jstr(n)}: {"error": ${jstr(err)}}"""
     }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     // a FILTERED dev run must not clobber the full-suite audit record —
     // it goes to a scratch file instead (this bit round 12: a one-query
     // probe overwrote the 116-query record)
     val timesFile =
-      if (args.nonEmpty) "BENCH_TIMES_dev.json" else "BENCH_TIMES.json"
+      if (args.nonEmpty) "BENCH_TIMES_dev.json" else s"BENCH_TIMES_c$cpus.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(timesFile),
-      (s"""{"sf": ${jstr(sfDir)}, "total_best_sec": $total, "queries": {""" + "\n" +
+      (s"""{"sf": ${jstr(sfDir)}, "cpus": $cpus, "total_best_sec": $total, "queries": {""" + "\n" +
         fileLines.mkString(",\n") + "\n}}\n").getBytes("UTF-8"))
-    // trailing keys repeat the headline numbers so they stay visible in
-    // the driver's stdout tail even after the queries map is truncated
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"spread":$sJson,"total_sec":$total,"n_queries":${ok.size},"n_errors":${failed.size},"sf":"$sfDir"}""")
+    // ONE compact JSON line (~300-1100 chars): parses whole from the
+    // driver's 2000-char stdout tail; per-query numbers live in the
+    // times file above, not here
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$eJson,"spread":$sJson,"total_sec":$total,"n_queries":${ok.size},"n_errors":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

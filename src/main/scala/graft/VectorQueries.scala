@@ -784,9 +784,21 @@ object VectorQueries {
     // interpreted struct ordering: sim is already 6-dp, so its micro form
     // is an exact integer in [−10⁶, 10⁶]; vec_ids are < 4·10⁹ by the
     // testdata contract (and the packing is order-isomorphic to the
-    // lexicographic (−sim, n_id) whenever they are)
+    // lexicographic (−sim, n_id) whenever they are). r17 (advisor): the
+    // contract is now ENFORCED per row — an out-of-range id would bleed
+    // into the sim component (or invert the tie-break) and silently
+    // corrupt neighbor selection, so it raises instead; the branch is a
+    // codegen-friendly comparison, negligible next to the cosine.
+    // NULL similarities cannot occur here by design: embeddings are a
+    // non-null table column and the 6-dp cosine of two non-null arrays
+    // is non-null, so TopKBy's skip-NULL-order-keys rule never fires
+    // (and a null embedding upstream should be filtered, not ranked).
+    val packedId = when($"n_id" >= 0L && $"n_id" < 4000000000L, $"n_id")
+      .otherwise(raise_error(concat(
+        lit("hubnessAudit: vec_id outside the packed-order contract " +
+          "[0, 4e9): "), $"n_id".cast("string"))).cast("long"))
     val ordPacked = (lit(1000000L) -
-      round($"sim" * 1e6d, 0).cast("long")) * lit(4000000000L) + $"n_id"
+      round($"sim" * 1e6d, 0).cast("long")) * lit(4000000000L) + packedId
     val nn = graft.ops.Layout.spread(c).crossJoin(broadcast(q))
       .filter($"n_id" =!= $"q_id")
       .withColumn("sim", round(VectorExprs.cosine($"nv", $"qv"), 6))

@@ -909,15 +909,24 @@ object ClassifierEval {
         round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
       .groupBy(col("_g"), col("_sm")).agg(count(lit(1)).as("_c"))
       .localCheckpoint(true) // grids, read by both pair sides
-    // guard fused into the grid (r16): NULL group/score surface as null
-    // group keys — the check reads the bounded grid, not the input
-    val nulls = g.filter(col("_g").isNull || col("_sm").isNull)
-      .limit(1).count()
-    require(nulls == 0L,
+    // r17: guard + group enumeration fused into ONE groups-sized collect
+    // (was two separate driver barriers: a guarded grid count plus a
+    // distinct().count()). The group list is source-count-sized by
+    // contract, so the driver holds it and the pair grid below becomes a
+    // broadcast local relation — the old grid-distinct Exchange and its
+    // pair self-join shuffle disappear from the plan.
+    val perG = g.groupBy(col("_g")).agg(
+        sum(when(col("_sm").isNull, lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .collect()
+    require(!perG.exists(r => r.isNullAt(0) || r.getLong(1) > 0L),
       s"mannWhitneyMatrix needs non-NULL '$groupCol' and '$scoreCol'")
-    val srcs = g.select(col("_g")).distinct()
-    val nG = srcs.count()
+    val nG = perG.length.toLong
     require(nG >= 2L, s"mannWhitneyMatrix needs >= 2 groups, got $nG")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // pair orientation stays Spark's own string `<` (not a driver-side
+    // sort) so the emitted pair set is bit-identical to the r16 self-join
+    val srcs = spark.createDataset(perG.map(_.getString(0)).toSeq).toDF("_g")
     val pairs = srcs.select(col("_g").as("_a"))
       .join(srcs.select(col("_g").as("_b")), col("_a") < col("_b"))
     val ga = pairs.join(g.select(col("_g").as("_a"), col("_sm"),
@@ -2388,7 +2397,11 @@ object ClassifierEval {
       .select(col("n").as("n_a"), col("_mean").as("_ma"), col("_var").as("_va"))
     val b = stats.filter(col(armCol) === armB)
       .select(col("n").as("n_b"), col("_mean").as("_mb"), col("_var").as("_vb"))
-    val j = a.crossJoin(b)
+    // r17: pin the ≤1-row arm stats — the guard below used to run the
+    // corpus aggregate once and the readout ran it AGAIN (two full input
+    // passes per call); now the single pass materializes here and both
+    // the guard and the readout re-read one pinned row
+    val j = a.crossJoin(b).localCheckpoint(true)
     val cnt = j.limit(1).count()
     require(cnt == 1L, s"effectSizes needs both arms '$armA' and '$armB'")
     val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")

@@ -29,7 +29,14 @@ object Layout {
     * identity — the repartition (a round-robin exchange of the small
     * side's rows, NEVER of the product) only fires when the input is
     * narrower than the machine, so the production plan is untouched.
-    * Row-content no-op: partitioning moves rows, not values. */
+    * Row-content no-op: partitioning moves rows, not values.
+    *
+    * RESTRICTION (r17, advisor note): the input must be EXCHANGE-FREE
+    * (a bare scan/projection). The split count comes from `df.rdd`, and
+    * with AQE enabled accessing `.rdd` on a plan containing exchanges
+    * eagerly EXECUTES its shuffle stages at plan-construction time —
+    * fine for the scan-only call sites this utility serves, wrong for
+    * anything downstream of a shuffle. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df

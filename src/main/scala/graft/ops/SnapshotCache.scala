@@ -30,9 +30,16 @@ object SnapshotCache {
 
   private final case class Entry(value: AnyRef, cleanup: () => Unit)
 
-  // access-order LRU; all access synchronized (serving-path calls are
+  // access-order LRU; map access synchronized (serving-path calls are
   // driver-side and cheap relative to the jobs they avoid)
   private val entries = mutable.LinkedHashMap.empty[String, Entry]
+
+  // r17: per-key build latches — a compute can run Spark jobs (persist,
+  // ranked-head collects), so it must NOT hold the map lock: concurrent
+  // probes of DIFFERENT snapshots used to serialize behind one cache
+  // build (guide §2.6). Same-key callers still wait and build once.
+  private val building =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Composite key for a served snapshot: one cache line per
     * (application, family, index dir, manifest version, facet). */
@@ -41,28 +48,44 @@ object SnapshotCache {
     s"${spark.sparkContext.applicationId}|$family|$dir|v$version|$facet"
 
   /** Cached value for `k`, computing (and registering `cleanup` for
-    * eviction) on miss. Compute runs under the lock — callers pass
-    * model-sized work (a bounded collect, a plan build), never
-    * corpus-sized jobs. */
+    * eviction) on miss. The compute runs under a PER-KEY latch, never
+    * the map lock, so builds of distinct snapshots overlap; two callers
+    * racing on the same key still compute exactly once. */
   def getOrCompute[T <: AnyRef](k: String)(compute: => T)(
-      cleanup: T => Unit = (_: T) => ()): T = entries.synchronized {
-    entries.get(k) match {
-      case Some(e) =>
+      cleanup: T => Unit = (_: T) => ()): T = {
+    def hit(): Option[AnyRef] = entries.synchronized {
+      entries.get(k).map { e =>
         // refresh LRU position
         entries.remove(k); entries.put(k, e)
-        e.value.asInstanceOf[T]
+        e.value
+      }
+    }
+    hit() match {
+      case Some(v) => v.asInstanceOf[T]
       case None =>
-        val v = compute
-        entries.put(k, Entry(v, () => cleanup(v)))
-        while (entries.size > MaxEntries) {
-          val (oldK, oldE) = entries.head
-          entries.remove(oldK)
-          // unpersist-on-evict is safe: cached frames are persist()ed,
-          // never checkpoint-truncated, so they recompute from their
-          // immutable deltas if a stale reference is still in flight
-          try oldE.cleanup() catch { case _: Throwable => () }
+        val latch = building.computeIfAbsent(k, _ => new Object)
+        latch.synchronized {
+          // a same-key racer may have built while this thread waited
+          hit() match {
+            case Some(v) => v.asInstanceOf[T]
+            case None =>
+              val v = compute
+              entries.synchronized {
+                entries.put(k, Entry(v, () => cleanup(v)))
+                while (entries.size > MaxEntries) {
+                  val (oldK, oldE) = entries.head
+                  entries.remove(oldK)
+                  // unpersist-on-evict is safe: cached frames are
+                  // persist()ed, never checkpoint-truncated, so they
+                  // recompute from their immutable deltas if a stale
+                  // reference is still in flight
+                  try oldE.cleanup() catch { case _: Throwable => () }
+                }
+              }
+              building.remove(k)
+              v
+          }
         }
-        v
     }
   }
 

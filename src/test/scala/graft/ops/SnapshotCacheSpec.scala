@@ -20,6 +20,63 @@ class SnapshotCacheSpec extends SparkSpecBase {
     assert(computes == 2)
   }
 
+  test("distinct-key computes OVERLAP (per-key latches, r17): a slow build " +
+      "of one snapshot does not serialize a probe of another") {
+    SnapshotCache.clear()
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var overlapped = false
+    @volatile var aFailed: Throwable = null
+    val tA = new Thread(() => {
+      try SnapshotCache.getOrCompute("latchSpecA") {
+        aStarted.countDown()
+        // B's whole getOrCompute must complete while A is mid-compute —
+        // impossible under the old global compute lock
+        overlapped = bDone.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        "a": AnyRef
+      }()
+      catch { case t: Throwable => aFailed = t }
+    })
+    tA.start()
+    assert(aStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    SnapshotCache.getOrCompute("latchSpecB") { "b": AnyRef }()
+    bDone.countDown()
+    tA.join(15000)
+    assert(aFailed == null, s"thread A failed: $aFailed")
+    assert(overlapped, "key B's compute should finish while key A builds")
+    // both values cached normally afterwards
+    assert(SnapshotCache.getOrCompute[AnyRef]("latchSpecA")(
+      fail("must be a hit"))() == "a")
+    assert(SnapshotCache.getOrCompute[AnyRef]("latchSpecB")(
+      fail("must be a hit"))() == "b")
+  }
+
+  test("same-key racers compute exactly once (per-key latch, r17)") {
+    SnapshotCache.clear()
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    def get(): AnyRef = SnapshotCache.getOrCompute("sameKeyRace") {
+      computes.incrementAndGet()
+      entered.countDown()
+      release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      new java.lang.Object
+    }()
+    val r1 = new java.util.concurrent.atomic.AtomicReference[AnyRef]()
+    val r2 = new java.util.concurrent.atomic.AtomicReference[AnyRef]()
+    val t1 = new Thread(() => r1.set(get()))
+    t1.start()
+    assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val t2 = new Thread(() => r2.set(get()))
+    t2.start()
+    Thread.sleep(50) // let t2 reach the latch
+    release.countDown()
+    t1.join(15000); t2.join(15000)
+    assert(computes.get() == 1, "same key must build once")
+    assert(r1.get() != null && (r1.get() eq r2.get()),
+      "both racers must see the one built instance")
+  }
+
   test("LM serving caches per manifest version; append invalidates by key") {
     SnapshotCache.clear()
     val dir = Files.createTempDirectory("lmcache").toString
