@@ -785,20 +785,25 @@ object VectorQueries {
     // is an exact integer in [−10⁶, 10⁶]; vec_ids are < 4·10⁹ by the
     // testdata contract (and the packing is order-isomorphic to the
     // lexicographic (−sim, n_id) whenever they are). r17 (advisor): the
-    // contract is now ENFORCED per row — an out-of-range id would bleed
-    // into the sim component (or invert the tie-break) and silently
-    // corrupt neighbor selection, so it raises instead; the branch is a
-    // codegen-friendly comparison, negligible next to the cosine.
+    // contract is now ENFORCED — an out-of-range id would bleed into the
+    // sim component (or invert the tie-break) and silently corrupt
+    // neighbor selection. The check is ONE tiny min/max job over the
+    // corpus ids, NOT a per-row branch: the order key is evaluated
+    // interpreted inside the heap aggregate (TypedImperativeAggregate),
+    // so a per-row guard there cost a measured ~0.3 s on the 4M-row
+    // product while this job is ~10 ms.
     // NULL similarities cannot occur here by design: embeddings are a
     // non-null table column and the 6-dp cosine of two non-null arrays
     // is non-null, so TopKBy's skip-NULL-order-keys rule never fires
     // (and a null embedding upstream should be filtered, not ranked).
-    val packedId = when($"n_id" >= 0L && $"n_id" < 4000000000L, $"n_id")
-      .otherwise(raise_error(concat(
-        lit("hubnessAudit: vec_id outside the packed-order contract " +
-          "[0, 4e9): "), $"n_id".cast("string"))).cast("long"))
+    val idRange = e.agg(min($"vec_id").as("_mn"), max($"vec_id").as("_mx"))
+      .head()
+    require(idRange.isNullAt(0) ||
+        (idRange.getLong(0) >= 0L && idRange.getLong(1) < 4000000000L),
+      "hubnessAudit: vec_id outside the packed-order contract [0, 4e9) — " +
+        s"saw [${idRange.get(0)}, ${idRange.get(1)}]")
     val ordPacked = (lit(1000000L) -
-      round($"sim" * 1e6d, 0).cast("long")) * lit(4000000000L) + packedId
+      round($"sim" * 1e6d, 0).cast("long")) * lit(4000000000L) + $"n_id"
     val nn = graft.ops.Layout.spread(c).crossJoin(broadcast(q))
       .filter($"n_id" =!= $"q_id")
       .withColumn("sim", round(VectorExprs.cosine($"nv", $"qv"), 6))

@@ -41,23 +41,28 @@ object Calibration {
     // NULLs must fail typed too: a bare range predicate evaluates to NULL
     // on NULL inputs and the row would slip past the probe, then bin into
     // the top bin (least() skips NULLs) while the sums skip it — silent
-    // corruption of n_docs/mean_conf/frac_pos/ECE.
-    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
-        col(confCol) < 0.0d || col(confCol) > 1.0d ||
-        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
-      .limit(1).count()
-    require(offRange == 0L,
-      "calibration audit needs non-NULL confidences in [0, 1] and labels in " +
-        "{0, 1} — found NULL or out-of-range rows; fix the prediction/label " +
-        "columns first")
-    val perBin = joined
+    // corruption of n_docs/mean_conf/frac_pos/ECE. r17: the check is a
+    // counted flag on the pinned bins-sized frame (guide §1.2), no
+    // longer its own full pass over the joined input.
+    val offCond = col(confCol).isNull || col(labelCol).isNull ||
+      col(confCol) < 0.0d || col(confCol) > 1.0d ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)
+    val perBin0 = joined
       .withColumn("_cm", round(col(confCol).cast("double") * 1e6d).cast("long"))
       .withColumn("bin",
         least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L)).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_cm")).as("_sc"),
-        sum(col(labelCol).cast("long")).as("_sp"))
+        sum(col(labelCol).cast("long")).as("_sp"),
+        sum(when(offCond, lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .persist() // ≤ bins rows; guard + total + readout read the cache
+    val offRange = perBin0.filter(col("_bad") > 0L).count()
+    require(offRange == 0L,
+      "calibration audit needs non-NULL confidences in [0, 1] and labels in " +
+        "{0, 1} — found NULL or out-of-range rows; fix the prediction/label " +
+        "columns first")
+    val perBin = perBin0
       .withColumn("mean_conf",
         round(col("_sc").cast("double") / (col("n_docs").cast("double") * 1e6d), 6))
       .withColumn("frac_pos",
@@ -156,17 +161,23 @@ object Calibration {
       confCol: String, labelCol: String): DataFrame = {
     val joined = pred.select(col(idCol), col(confCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
-        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
-      .limit(1).count()
-    require(offRange == 0L,
-      "average precision needs non-NULL scores and labels in {0, 1} — " +
-        "found NULL or out-of-range rows")
-    val g = joined
+    // r17: guard fused into the grid aggregate (the binaryAuc r16
+    // pattern) — a NULL score is the null _sm group, bad labels a
+    // counted flag; the check reads the pinned grid, not the input
+    val g0 = joined
       .withColumn("_sm", round(col(confCol).cast("double") * 1e6d).cast("long"))
       .groupBy(col("_sm"))
       .agg(sum(col(labelCol).cast("long")).as("_np"),
-        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"),
+        sum(when(col(labelCol).isNull ||
+            (col(labelCol) =!= 0L && col(labelCol) =!= 1L), lit(1L))
+          .otherwise(lit(0L))).as("_bad"))
+      .persist() // grid-sized; guard + final window read the cache
+    val offRange = g0.filter(col("_sm").isNull || col("_bad") > 0L).count()
+    require(offRange == 0L,
+      "average precision needs non-NULL scores and labels in {0, 1} — " +
+        "found NULL or out-of-range rows")
+    val g = g0.drop("_bad")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     g.withColumn("_ctp", sum(col("_np")).over(w))
@@ -212,15 +223,13 @@ object Calibration {
     require(tGrid.distinct.size == tGrid.size, "temperature grid has duplicates")
     val joined = pred.select(col(idCol), col(scoreCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offRange = joined
-      .filter(col(scoreCol).isNull || col(labelCol).isNull ||
-        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
-      .limit(1).count()
-    require(offRange == 0L,
-      "temperature sweep needs non-NULL scores and labels in {0, 1} — " +
-        "found NULL or out-of-range rows")
     val grid = array(tGrid.map(t => lit(t)): _*)
-    val perTBin = joined
+    // r17: guard fused into the (T, bin) aggregate as a counted flag
+    // (guide §1.2) — the check reads the pinned (T × bins)-sized frame,
+    // not the corpus
+    val offCond = col(scoreCol).isNull || col(labelCol).isNull ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)
+    val perTBin0 = joined
       .withColumn("_t", explode(grid))
       .withColumn("_cm", round(
         round(lit(1.0d) / (lit(1.0d) +
@@ -231,7 +240,14 @@ object Calibration {
       .groupBy(col("_t"), col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("_cm")).as("_sc"),
-        sum(col(labelCol).cast("long")).as("_sp"))
+        sum(col(labelCol).cast("long")).as("_sp"),
+        sum(when(offCond, lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .persist() // (T × bins)-sized; guard + sweep read the cache
+    val offRange = perTBin0.filter(col("_bad") > 0L).count()
+    require(offRange == 0L,
+      "temperature sweep needs non-NULL scores and labels in {0, 1} — " +
+        "found NULL or out-of-range rows")
+    val perTBin = perTBin0
       .withColumn("_gap_micro",
         round(abs(col("_sc").cast("double") / (col("n").cast("double") * 1e6d) -
           col("_sp").cast("double") / col("n").cast("double")) * 1e6d)
@@ -286,13 +302,11 @@ object Calibration {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
     val joined = pred.select(col(idCol), col(confCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
-        col(confCol) < 0.0d || col(confCol) > 1.0d ||
-        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
-      .limit(1).count()
-    require(offRange == 0L,
-      "isotonic calibration needs non-NULL confidences in [0, 1] and labels " +
-        "in {0, 1} — found NULL or out-of-range rows")
+    // r17: guard fused into the bin aggregate as a counted flag (guide
+    // §1.2) — the check reads the pinned bins-sized frame, not the input
+    val offCond = col(confCol).isNull || col(labelCol).isNull ||
+      col(confCol) < 0.0d || col(confCol) > 1.0d ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)
     val perBin = joined
       .withColumn("_cm", round(col(confCol).cast("double") * 1e6d).cast("long"))
       .withColumn("bin",
@@ -300,8 +314,13 @@ object Calibration {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_cm")).as("_sc"),
-        sum(col(labelCol).cast("long")).as("_sp"))
+        sum(col(labelCol).cast("long")).as("_sp"),
+        sum(when(offCond, lit(1L)).otherwise(lit(0L))).as("_bad"))
       .localCheckpoint(true) // bins-sized; seeds four bounded passes
+    val offRange = perBin.filter(col("_bad") > 0L).limit(1).count()
+    require(offRange == 0L,
+      "isotonic calibration needs non-NULL confidences in [0, 1] and labels " +
+        "in {0, 1} — found NULL or out-of-range rows")
     val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
     val wCum = wOrd.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -377,14 +396,12 @@ object Calibration {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
     val joined = pred.select(col(idCol), col(confCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
-        col(confCol) < 0.0d || col(confCol) > 1.0d ||
-        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
-      .limit(1).count()
-    require(offRange == 0L,
-      "brierDecomposition needs non-NULL confidences in [0, 1] and labels " +
-        "in {0, 1} — found NULL or out-of-range rows")
     val dec = "decimal(38,0)"
+    // r17: guard fused into the bin aggregate as a counted flag (guide
+    // §1.2) — the check reads the pinned bins-sized frame, not the input
+    val offCond = col(confCol).isNull || col(labelCol).isNull ||
+      col(confCol) < 0.0d || col(confCol) > 1.0d ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)
     val perBin = joined
       .withColumn("_cm", round(col(confCol).cast("double") * 1e6d).cast("long"))
       .withColumn("_y", col(labelCol).cast("long"))
@@ -395,8 +412,13 @@ object Calibration {
         sum(col("_cm")).as("_sc"),
         sum(col("_y")).as("_sy"),
         sum((col("_cm") - col("_y") * lit(1000000L)).cast(dec) *
-          (col("_cm") - col("_y") * lit(1000000L))).as("_sq"))
+          (col("_cm") - col("_y") * lit(1000000L))).as("_sq"),
+        sum(when(offCond, lit(1L)).otherwise(lit(0L))).as("_bad"))
       .localCheckpoint(true) // bins-sized, read twice (totals + terms)
+    val offRange = perBin.filter(col("_bad") > 0L).limit(1).count()
+    require(offRange == 0L,
+      "brierDecomposition needs non-NULL confidences in [0, 1] and labels " +
+        "in {0, 1} — found NULL or out-of-range rows")
     val tot = perBin.agg(
       sum(col("_nk")).as("_n"),
       sum(col("_sy")).as("_syt"),
@@ -461,16 +483,17 @@ object Calibration {
       s"need 2 <= buckets <= 1000, got $buckets")
     val j = pred.select(col(idCol), col(confCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offDomain = j.filter(col(confCol).isNull || col(labelCol).isNull ||
-      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
-    require(offDomain == 0L, "gainCurve needs non-NULL scores and 0/1 " +
-      s"labels in '$confCol'/'$labelCol' — NULLs would silently shift " +
-      "every prefix")
+    // r17: guard fused into the score-grid aggregate as a counted flag
+    // (guide §1.2) — the check reads the pinned grid, not the input
+    val offCond = col(confCol).isNull || col(labelCol).isNull ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)
     val grid = j
       .select(round(col(confCol).cast("double") * 1e6d).cast("long")
-        .as("_sm"), col(labelCol).cast("long").as("_y"))
+        .as("_sm"), col(labelCol).cast("long").as("_y"),
+        offCond.as("_badrow"))
       .groupBy(col("_sm"))
-      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_pos"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_pos"),
+        sum(when(col("_badrow"), lit(1L)).otherwise(lit(0L))).as("_bad"))
     val wDesc = org.apache.spark.sql.expressions.Window
       .orderBy(col("_sm").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -478,6 +501,10 @@ object Calibration {
       .withColumn("_cd", sum(col("_cnt")).over(wDesc))
       .withColumn("_cp", sum(col("_pos")).over(wDesc))
       .localCheckpoint(true) // grid-bounded, read twice
+    val offDomain = cum.filter(col("_bad") > 0L).limit(1).count()
+    require(offDomain == 0L, "gainCurve needs non-NULL scores and 0/1 " +
+      s"labels in '$confCol'/'$labelCol' — NULLs would silently shift " +
+      "every prefix")
     val tot = cum.agg(max(col("_cd")).as("_n"), max(col("_cp")).as("_p"))
     require(tot.filter(col("_p") >= 1L).limit(1).count() == 1L,
       "gainCurve needs at least one positive label — gain is 0/0")
@@ -531,17 +558,18 @@ object Calibration {
     val dec = "decimal(38,0)"
     val joined = pred.select(col(idCol), col(confCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offRange = joined.filter(col(confCol).isNull ||
-        col(labelCol).isNull ||
-        (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
-    require(offRange == 0L,
-      "delongAucCi needs non-NULL scores and labels in {0, 1}")
+    // r17: guard fused into the score-grid aggregate (the binaryAuc
+    // pattern) — the check reads the pinned placement frame, not the
+    // joined input
     val g = joined
       .withColumn("_sm", round(col(confCol).cast("double") * 1e6d)
         .cast("long"))
       .groupBy(col("_sm"))
       .agg(sum(col(labelCol).cast("long")).as("_np"),
-        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"),
+        sum(when(col(labelCol).isNull ||
+            (col(labelCol) =!= 0L && col(labelCol) =!= 1L), lit(1L))
+          .otherwise(lit(0L))).as("_bad"))
     val wUp = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val wDn = org.apache.spark.sql.expressions.Window
@@ -553,6 +581,10 @@ object Calibration {
       .withColumn("_v10", lit(2L) * col("_nbelow") + col("_nn"))
       .withColumn("_v01", lit(2L) * col("_pabove") + col("_np"))
       .localCheckpoint(true) // grid-sized, read twice (totals + devs)
+    val offRange = placed.filter(col("_sm").isNull || col("_bad") > 0L)
+      .limit(1).count()
+    require(offRange == 0L,
+      "delongAucCi needs non-NULL scores and labels in {0, 1}")
     val tot = placed.agg(sum(col("_np")).as("_n1"), sum(col("_nn")).as("_n0"),
       sum(col("_np").cast(dec) * col("_v10")).as("_a2"))
       .localCheckpoint(true)

@@ -46,14 +46,10 @@ object ChangeDetect {
     *                  is absorbed, not accumulated
     * @param threshold alarm level h > 0 on the accumulated drift */
   def cusum(df: DataFrame, bucketCol: String, valueCol: String,
-      target: Double, slack: Double, threshold: Double): DataFrame = {
-    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(bad == 0L,
-      s"cusum needs non-NULL '$bucketCol' buckets and '$valueCol' values")
-    cusumFromPartials(partialGrid(df, bucketCol, valueCol),
+      target: Double, slack: Double, threshold: Double): DataFrame =
+    cusumFromPartials(guardedPartials(df, bucketCol, valueCol,
+        s"cusum needs non-NULL '$bucketCol' buckets and '$valueCol' values"),
       target, slack, threshold)
-  }
 
   /** Per-bucket PARTIAL aggregate `(bucket, n, _sm)` — the mergeable
     * state [[cusumFromPartials]] folds: partials from any number of
@@ -68,6 +64,46 @@ object ChangeDetect {
           .as("_vm"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("_vm")).as("_sm"))
+
+  /** [[partialGrid]] with the typed null guard FUSED into the same
+    * aggregate (r17, guide §1.2 — the freestanding
+    * `filter(nulls).limit(1).count()` was a full extra pass over the
+    * corpus before the real one): bad values surface as a counted flag
+    * on the buckets-sized grid and NULL buckets land in the null group
+    * key, so the guard reads the PINNED grid, not the input. Returns
+    * the checkpointed partial grid with the guard column dropped;
+    * `badValue` lets [[sprt]] extend the check to off-domain outcomes.
+    * Error type/message identical to the old freestanding guard. */
+  private[graft] def guardedPartials(df: DataFrame, bucketCol: String,
+      valueCol: String, msg: => String,
+      badValue: Column => Column = _.isNull): DataFrame = {
+    // persist (not localCheckpoint): the guard's full count below is
+    // ONE action, so AQE runs the aggregate's stages inside one job
+    // set and the result lands in the cache for every later pass —
+    // an eager checkpoint would materialize stage-by-stage with a
+    // driver barrier per exchange (measured ~2× slower on q192/q214)
+    val g = df.select(col(bucketCol).as("bucket"),
+        round(col(valueCol).cast("double") * 1e6d).cast("decimal(38,0)")
+          .as("_vm"),
+        badValue(col(valueCol)).as("_badv"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_vm")).as("_sm"),
+        sum(when(col("_badv"), lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .persist() // buckets-sized; guard + every pass below
+    val bad = g.filter(col("bucket").isNull || col("_bad") > 0L).count()
+    require(bad == 0L, msg)
+    g.drop("_bad")
+  }
+
+  /** The micro-mean grid of a pinned partial grid — a grid-sized
+    * projection per read (callers read it a handful of times; the
+    * heavy corpus aggregate is already materialized underneath). */
+  private def meanGridOf(partials: DataFrame): DataFrame =
+    partials
+      .withColumn("_mean",
+        round(col("_sm").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
 
   /** Merge stacked per-batch partials into the final micro-mean grid —
     * a no-op re-aggregation on an already-final grid, the cross-batch
@@ -149,16 +185,8 @@ object ChangeDetect {
     * Corpus size only enters through the first aggregate. */
   def theilSen(df: DataFrame, bucketCol: String,
       valueCol: String): DataFrame = {
-    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(bad == 0L,
-      s"theilSen needs non-NULL '$bucketCol' buckets and '$valueCol' values")
-    val grid = partialGrid(df, bucketCol, valueCol)
-      .withColumn("_mean",
-        round(col("_sm").cast("double") / col("n").cast("double"))
-          .cast("long"))
-      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
-      .localCheckpoint(true) // tiny grid, reused by three passes
+    val grid = meanGridOf(guardedPartials(df, bucketCol, valueCol,
+      s"theilSen needs non-NULL '$bucketCol' buckets and '$valueCol' values"))
     val h = grid.count()
     require(h >= 2L, s"theilSen needs >= 2 buckets, got $h")
     val g1 = grid.select(col("bucket").as("_b1"), col("_mean").as("_m1"))
@@ -219,17 +247,9 @@ object ChangeDetect {
   def acf(df: DataFrame, bucketCol: String, valueCol: String,
       maxLag: Int = 6): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(bad == 0L,
-      s"acf needs non-NULL '$bucketCol' buckets and '$valueCol' values")
     val dec = "decimal(38,0)"
-    val grid = partialGrid(df, bucketCol, valueCol)
-      .withColumn("_mean",
-        round(col("_sm").cast("double") / col("n").cast("double"))
-          .cast("long"))
-      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
-      .localCheckpoint(true)
+    val grid = meanGridOf(guardedPartials(df, bucketCol, valueCol,
+      s"acf needs non-NULL '$bucketCol' buckets and '$valueCol' values"))
     val glob = grid.agg(count(lit(1)).as("_n"),
       sum(col("_mean").cast(dec)).as("_sx"),
       sum(col("_mean").cast(dec) * col("_mean")).as("_sxx"))
@@ -287,21 +307,12 @@ object ChangeDetect {
   def ccf(dfA: DataFrame, dfB: DataFrame, bucketCol: String,
       valueCol: String, maxLag: Int = 6): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    Seq(("x", dfA), ("y", dfB)).foreach { case (side, df) =>
-      val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
-        .limit(1).count()
-      require(bad == 0L,
-        s"ccf needs non-NULL '$bucketCol'/'$valueCol' on the $side side")
-    }
     val dec = "decimal(38,0)"
-    def grid(df: DataFrame) = partialGrid(df, bucketCol, valueCol)
-      .withColumn("_mean",
-        round(col("_sm").cast("double") / col("n").cast("double"))
-          .cast("long"))
-      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
-      .localCheckpoint(true)
-    val gx = grid(dfA)
-    val gy = grid(dfB)
+    def grid(side: String, df: DataFrame) =
+      meanGridOf(guardedPartials(df, bucketCol, valueCol,
+        s"ccf needs non-NULL '$bucketCol'/'$valueCol' on the $side side"))
+    val gx = grid("x", dfA)
+    val gy = grid("y", dfB)
     def glob(g: DataFrame, n: String, s: String, ss: String) =
       g.agg(count(lit(1)).as(n), sum(col("_mean").cast(dec)).as(s),
         sum(col("_mean").cast(dec) * col("_mean")).as(ss))
@@ -357,13 +368,9 @@ object ChangeDetect {
     * candidate frame — candidates are O(buckets), each O(1) via the
     * prefix sums, never the O(buckets²) two-sided rescan. */
   def changePoint(df: DataFrame, bucketCol: String,
-      valueCol: String): DataFrame = {
-    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(bad == 0L,
-      s"changePoint needs non-NULL '$bucketCol' and '$valueCol'")
-    changePointFromPartials(partialGrid(df, bucketCol, valueCol))
-  }
+      valueCol: String): DataFrame =
+    changePointFromPartials(guardedPartials(df, bucketCol, valueCol,
+      s"changePoint needs non-NULL '$bucketCol' and '$valueCol'"))
 
   /** [[changePoint]] over a (possibly partial-per-bucket) grid — the
     * cross-batch merge first (a no-op on a final grid), then the same
@@ -433,11 +440,9 @@ object ChangeDetect {
       period: Int = 24): DataFrame = {
     require(period >= 2 && period <= 8784,
       s"period must be in [2, 8784], got $period")
-    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(bad == 0L,
-      s"seasonalDecompose needs non-NULL '$bucketCol' and '$valueCol'")
-    seasonalFromPartials(partialGrid(df, bucketCol, valueCol), period)
+    seasonalFromPartials(guardedPartials(df, bucketCol, valueCol,
+      s"seasonalDecompose needs non-NULL '$bucketCol' and '$valueCol'"),
+      period)
   }
 
   /** [[seasonalDecompose]] over a (possibly partial-per-bucket) grid —
@@ -497,16 +502,9 @@ object ChangeDetect {
   def mannKendall(df: DataFrame, bucketCol: String,
       valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(bad == 0L,
-      s"mannKendall needs non-NULL '$bucketCol' buckets and '$valueCol' values")
-    val grid = partialGrid(df, bucketCol, valueCol)
-      .withColumn("_mean",
-        round(col("_sm").cast("double") / col("n").cast("double"))
-          .cast("long"))
-      .select(col("bucket").cast("long").as("bucket"), col("_mean"))
-      .localCheckpoint(true) // tiny grid, reused by three passes
+    val grid = meanGridOf(guardedPartials(df, bucketCol, valueCol,
+      s"mannKendall needs non-NULL '$bucketCol' buckets and " +
+        s"'$valueCol' values"))
     val h = grid.count()
     require(h >= 2L, s"mannKendall needs >= 2 buckets, got $h")
     val g1 = grid.select(col("bucket").as("_b1"), col("_mean").as("_m1"))
@@ -563,11 +561,10 @@ object ChangeDetect {
       s"need 0 < p0 < p1 < 1, got $p0/$p1")
     require(alpha > 0.0d && alpha < 0.5d && beta > 0.0d && beta < 0.5d,
       s"need alpha, beta in (0, 0.5), got $alpha/$beta")
-    val bad = df.filter(col(bucketCol).isNull || col(successCol).isNull ||
-      (col(successCol) =!= 0L && col(successCol) =!= 1L)).limit(1).count()
-    require(bad == 0L, s"sprt needs non-NULL '$bucketCol' buckets and " +
-      s"0/1 outcomes in '$successCol'")
-    sprtFromPartials(partialGrid(df, bucketCol, successCol),
+    sprtFromPartials(guardedPartials(df, bucketCol, successCol,
+        s"sprt needs non-NULL '$bucketCol' buckets and " +
+          s"0/1 outcomes in '$successCol'",
+        c => c.isNull || (c =!= 0L && c =!= 1L)),
       p0, p1, alpha, beta)
   }
 
@@ -643,12 +640,8 @@ object ChangeDetect {
   def segmentedTrend(df: DataFrame, bucketCol: String,
       valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val bad = df.filter(col(bucketCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(bad == 0L,
+    val partials = guardedPartials(df, bucketCol, valueCol,
       s"segmentedTrend needs non-NULL '$bucketCol' and '$valueCol'")
-    val partials = partialGrid(df, bucketCol, valueCol)
-      .localCheckpoint(true) // grid-sized, read by split search + fits
     val grid = mergedMeanGrid(partials)
     val nb = grid.count()
     require(nb >= 2L, s"segmentedTrend needs >= 2 buckets, got $nb")

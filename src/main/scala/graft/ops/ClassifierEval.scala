@@ -30,16 +30,21 @@ import org.apache.spark.sql.functions._
 object ClassifierEval {
 
   /** The |classes|²-bounded confusion-cell frame (a, b, n) with a typed
-    * NULL probe — shared by both readouts. */
+    * NULL probe — shared by both readouts. r17: the probe reads the
+    * PINNED cell frame (NULL labels are null group keys), not the
+    * corpus (guide §1.2 — the freestanding guard was a full extra
+    * pass), and the frame comes back checkpointed so callers no longer
+    * re-pin it. */
   private def cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val nulls = df.filter(col(aCol).isNull || col(bCol).isNull)
-      .limit(1).count()
+    val c = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // cells²-sized; guard + caller reads hit the cache
+    val nulls = c.filter(col("a").isNull || col("b").isNull).count()
     require(nulls == 0L,
       s"agreement stats need non-NULL '$aCol'/'$bCol' labels — a NULL " +
         "would drop from the class marginals while counting in N; filter " +
         "or impute first")
-    df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("n"))
+    c
   }
 
   /** Cohen's κ between two label columns (annotator A vs annotator B,
@@ -59,7 +64,7 @@ object ClassifierEval {
     * a plain long N² wraps. */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val c = cells(df, aCol, bCol).localCheckpoint(true) // cells²-sized, read 3×
+    val c = cells(df, aCol, bCol) // pinned inside cells(); read 3×
     val tot = c.agg(
       sum(col("n")).as("n_total"),
       coalesce(sum(when(col("a") === col("b"), col("n"))), lit(0L))
@@ -111,7 +116,7 @@ object ClassifierEval {
     * arithmetic. */
   def gwetAc1(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val c = cells(df, aCol, bCol).localCheckpoint(true)
+    val c = cells(df, aCol, bCol) // pinned inside cells()
     val tot = c.agg(
       sum(col("n")).as("n_total"),
       coalesce(sum(when(col("a") === col("b"), col("n"))), lit(0L))
@@ -164,18 +169,22 @@ object ClassifierEval {
     * numerator at 0 (the standard convention — one disagreement is no
     * evidence). NULL gate values fail typed. */
   def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val nulls = df.filter(col(aCol).isNull || col(bCol).isNull)
-      .limit(1).count()
-    require(nulls == 0L,
-      s"mcnemar needs non-NULL boolean '$aCol'/'$bCol' gate outcomes")
     val a = col(aCol).cast("boolean")
     val b = col(bCol).cast("boolean")
+    // r17: null guard fused into the one cell aggregate (guide §1.2) —
+    // the check reads the pinned 1-row result, not the corpus
     val cellsRow = df.agg(
       count(lit(1)).as("n"),
       sum(when(a && b, 1L).otherwise(0L)).as("both_pass"),
       sum(when(a && !b, 1L).otherwise(0L)).as("only_a"),
       sum(when(!a && b, 1L).otherwise(0L)).as("only_b"),
-      sum(when(!a && !b, 1L).otherwise(0L)).as("neither"))
+      sum(when(!a && !b, 1L).otherwise(0L)).as("neither"),
+      sum(when(col(aCol).isNull || col(bCol).isNull, lit(1L))
+        .otherwise(lit(0L))).as("_badn"))
+      .persist() // 1 row; guard + readout read the cache
+    val nulls = cellsRow.filter(col("_badn") > 0L).count()
+    require(nulls == 0L,
+      s"mcnemar needs non-NULL boolean '$aCol'/'$bCol' gate outcomes")
     val diff = abs(col("only_a") - col("only_b")) - 1L
     val disagree = col("only_a") + col("only_b")
     cellsRow.select(col("n"), col("both_pass"), col("only_a"),
@@ -212,17 +221,20 @@ object ClassifierEval {
     require(raterCols.distinct.size == raterCols.size,
       "rater columns must be distinct")
     val n = raterCols.size.toLong
-    val nulls = df.filter(raterCols.map(col(_).isNull).reduce(_ || _))
-      .limit(1).count()
-    require(nulls == 0L,
-      "fleissKappa needs non-NULL rater labels — a NULL would shrink an " +
-        "item's rating count and silently corrupt the agreement")
     val melted = raterCols.map(rc =>
         df.select(col(itemCol).as("_item"), col(rc).cast("string").as("_lab")))
       .reduce(_ unionAll _)
     val cells = melted.groupBy(col("_item"), col("_lab"))
       .agg(count(lit(1)).as("_nij"))
       .localCheckpoint(true) // items×labels-sized, read twice
+    // r17: a NULL rater label is a null _lab group key on the pinned
+    // cell frame — the typed check reads it, not the melted corpus
+    // (the freestanding guard was one more full pass on top of the
+    // n-rater melt)
+    val nulls = cells.filter(col("_lab").isNull).limit(1).count()
+    require(nulls == 0L,
+      "fleissKappa needs non-NULL rater labels — a NULL would shrink an " +
+        "item's rating count and silently corrupt the agreement")
     val tot = cells.agg(
       sum(col("_nij") * col("_nij")).as("_s2"),
       (sum(col("_nij")) / n).cast("long").as("_n_items"))
@@ -268,20 +280,28 @@ object ClassifierEval {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
     val joined = pred.select(col(idCol), col(confCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offRange = joined.filter(col(confCol).isNull || col(labelCol).isNull ||
-        col(confCol) < 0.0d || col(confCol) > 1.0d ||
-        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
-      .limit(1).count()
-    require(offRange == 0L,
-      "conformal calibration needs non-NULL confidences in [0, 1] and " +
-        "labels in {0, 1} — found NULL or out-of-range rows")
+    // r17: the domain guard rides the pinned scored frame as a flag
+    // column, and guard + both split counts come from ONE job (was: a
+    // full guard pass plus two separate count jobs)
     val scored = joined.withColumn("_sm",
         abs(col(labelCol).cast("long") * lit(1000000L) -
           round(col(confCol).cast("double") * 1e6d).cast("long")))
       .withColumn("_cal", calPred)
+      .withColumn("_badrow",
+        col(confCol).isNull || col(labelCol).isNull ||
+          col(confCol) < 0.0d || col(confCol) > 1.0d ||
+          (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
       .localCheckpoint(true) // grid aggregate + eval count share one pass
-    val nCal = scored.filter(col("_cal")).count()
-    val nEval = scored.filter(!col("_cal")).count()
+    val chk = scored.agg(
+      sum(when(col("_badrow"), lit(1L)).otherwise(lit(0L))).as("_nb"),
+      sum(when(col("_cal"), lit(1L)).otherwise(lit(0L))).as("_ncal"),
+      sum(when(!col("_cal"), lit(1L)).otherwise(lit(0L))).as("_neval"))
+      .head()
+    require(chk.isNullAt(0) || chk.getLong(0) == 0L,
+      "conformal calibration needs non-NULL confidences in [0, 1] and " +
+        "labels in {0, 1} — found NULL or out-of-range rows")
+    val nCal = if (chk.isNullAt(1)) 0L else chk.getLong(1)
+    val nEval = if (chk.isNullAt(2)) 0L else chk.getLong(2)
     require(nCal > 0L && nEval > 0L,
       s"both splits must be non-empty, got cal=$nCal eval=$nEval")
     // k = ⌈(n_cal+1)(1−α)⌉ in EXACT integer arithmetic (α micro-quantized):
@@ -365,17 +385,22 @@ object ClassifierEval {
     * drift readouts and the streaming monitor's frozen reference. */
   private[graft] def binCounts(df: DataFrame, confCol: String, bins: Int,
       out: String): DataFrame = {
-    val nulls = df.filter(col(confCol).isNull ||
-        col(confCol) < 0.0d || col(confCol) > 1.0d)
-      .limit(1).count()
-    require(nulls == 0L,
-      s"scoreDrift needs non-NULL confidences in [0, 1] ($out side)")
-    df.withColumn("_cm",
+    // r17: guard fused into the histogram aggregate as a counted flag
+    // (guide §1.2) — the check reads the pinned bins-sized frame
+    val g = df.withColumn("_cm",
         round(col(confCol).cast("double") * 1e6d).cast("long"))
       .withColumn("bin",
         least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L))
           .cast("long"))
-      .groupBy(col("bin")).agg(count(lit(1)).as(out))
+      .groupBy(col("bin")).agg(count(lit(1)).as(out),
+        sum(when(col(confCol).isNull ||
+            col(confCol) < 0.0d || col(confCol) > 1.0d, lit(1L))
+          .otherwise(lit(0L))).as("_bad"))
+      .persist() // ≤ bins rows; guard + the PSI join read the cache
+    val nulls = g.filter(col("_bad") > 0L).count()
+    require(nulls == 0L,
+      s"scoreDrift needs non-NULL confidences in [0, 1] ($out side)")
+    g.drop("_bad")
   }
 
   /** Shares, per-bin PSI terms and the carried total over a sparse
@@ -428,7 +453,7 @@ object ClassifierEval {
     * (map-side combined); marginals, entropies and the MI sum are
     * arithmetic on that bounded frame with 1-row broadcasts. */
   def nmi(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val c = cells(df, aCol, bCol).localCheckpoint(true) // read 3×
+    val c = cells(df, aCol, bCol) // pinned inside cells(); read 3×
     val tot = c.agg(sum(col("n")).as("_N"))
     def entropy(marg: DataFrame) = marg
       .crossJoin(broadcast(tot))
@@ -486,7 +511,7 @@ object ClassifierEval {
     * when the partitions agree perfectly and 0 otherwise — the sklearn
     * convention, made explicit instead of 0∕0. */
   def adjustedRand(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val c = cells(df, aCol, bCol).localCheckpoint(true) // read 3×
+    val c = cells(df, aCol, bCol) // pinned inside cells(); read 3×
     // n·(n−1) is even, so the right-shift IS the exact integer C(n,2)
     def pairs(x: Column): Column =
       shiftright((x * (x - lit(1L))).cast("long"), 1)
@@ -545,7 +570,7 @@ object ClassifierEval {
     * Plan: the same ONE corpus-scale groupBy to the bounded cell frame;
     * three bounded-frame entropy aggregates, one 1-row combine. */
   def vMeasure(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val c = cells(df, aCol, bCol).localCheckpoint(true) // read 4×
+    val c = cells(df, aCol, bCol) // pinned inside cells(); read 4×
     val tot = c.agg(sum(col("n")).as("_N"))
     def entropy(marg: DataFrame) = marg
       .crossJoin(broadcast(tot))
@@ -599,14 +624,21 @@ object ClassifierEval {
   def ksDistance(predA: DataFrame, predB: DataFrame,
       confCol: String): DataFrame = {
     def grid(df: DataFrame, out: String) = {
-      val nulls = df.filter(col(confCol).isNull).limit(1).count()
-      require(nulls == 0L, s"ksDistance needs non-NULL scores ($out side)")
-      require(df.limit(1).count() == 1L,
-        s"ksDistance needs a non-empty $out side — the sup over an empty " +
-          "CDF is undefined")
-      df.withColumn("_sm",
+      // r17: null + non-empty guards read the pinned grid (one corpus
+      // pass; was three — guard scan, empty probe, grid aggregate)
+      val g = df.withColumn("_sm",
           round(col(confCol).cast("double") * 1e6d).cast("long"))
         .groupBy(col("_sm")).agg(count(lit(1)).as(out))
+        .persist() // grid-sized; guards agg materializes the cache
+      val chk = g.agg(
+        sum(when(col("_sm").isNull, lit(1L)).otherwise(lit(0L))).as("_nb"),
+        count(lit(1)).as("_n")).head()
+      require(chk.isNullAt(0) || chk.getLong(0) == 0L,
+        s"ksDistance needs non-NULL scores ($out side)")
+      require(chk.getLong(1) >= 1L,
+        s"ksDistance needs a non-empty $out side — the sup over an empty " +
+          "CDF is undefined")
+      g
     }
     val cells = grid(predA, "_na").join(grid(predB, "_nb"), Seq("_sm"), "full")
       .select(col("_sm"),
@@ -650,16 +682,17 @@ object ClassifierEval {
     * rankingMetrics lesson). NULLs fail typed. */
   def ksDistanceByGroup(df: DataFrame, groupCol: String, cohortCol: String,
       confCol: String): DataFrame = {
-    val bad = df.filter(col(groupCol).isNull || col(cohortCol).isNull ||
-      col(confCol).isNull).limit(1).count()
-    require(bad == 0L,
-      s"ksDistanceByGroup needs non-NULL '$groupCol'/'$cohortCol'/'$confCol'")
+    // r17: guard fused into the per-group grid aggregate (guide §1.2) —
+    // null group/score surface as null keys, a null cohort as a counted
+    // flag, and the check reads the pinned cumulative grid
     val cells = df.select(col(groupCol).as("_g"),
         col(cohortCol).cast("boolean").as("_a"),
-        round(col(confCol).cast("double") * 1e6d).cast("long").as("_sm"))
+        round(col(confCol).cast("double") * 1e6d).cast("long").as("_sm"),
+        col(cohortCol).isNull.as("_badc"))
       .groupBy(col("_g"), col("_sm"))
       .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
-        sum(when(!col("_a"), 1L).otherwise(0L)).as("_nb"))
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_nb"),
+        sum(when(col("_badc"), lit(1L)).otherwise(lit(0L))).as("_bad"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_g")).orderBy(col("_sm"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -667,6 +700,10 @@ object ClassifierEval {
       .withColumn("_ca", sum(col("_na")).over(w))
       .withColumn("_cb", sum(col("_nb")).over(w))
       .localCheckpoint(true) // grid-sized, read twice (totals + argmax)
+    val bad = cum.filter(col("_g").isNull || col("_sm").isNull ||
+      col("_bad") > 0L).limit(1).count()
+    require(bad == 0L,
+      s"ksDistanceByGroup needs non-NULL '$groupCol'/'$cohortCol'/'$confCol'")
     val tot = cum.groupBy(col("_g"))
       .agg(max(col("_ca")).as("_ta"), max(col("_cb")).as("_tb"))
     val diffs = cum.join(tot, Seq("_g"))
@@ -712,13 +749,20 @@ object ClassifierEval {
   def mannWhitney(predA: DataFrame, predB: DataFrame,
       confCol: String): DataFrame = {
     def grid(df: DataFrame, out: String) = {
-      val nulls = df.filter(col(confCol).isNull).limit(1).count()
-      require(nulls == 0L, s"mannWhitney needs non-NULL scores ($out side)")
-      require(df.limit(1).count() == 1L,
-        s"mannWhitney needs a non-empty $out side")
-      df.withColumn("_sm",
+      // r17: null + non-empty guards read the pinned grid (one corpus
+      // pass; was three — guard scan, empty probe, grid aggregate)
+      val g = df.withColumn("_sm",
           round(col(confCol).cast("double") * 1e6d).cast("long"))
         .groupBy(col("_sm")).agg(count(lit(1)).as(out))
+        .persist() // grid-sized; guards agg materializes the cache
+      val chk = g.agg(
+        sum(when(col("_sm").isNull, lit(1L)).otherwise(lit(0L))).as("_nb"),
+        count(lit(1)).as("_n")).head()
+      require(chk.isNullAt(0) || chk.getLong(0) == 0L,
+        s"mannWhitney needs non-NULL scores ($out side)")
+      require(chk.getLong(1) >= 1L,
+        s"mannWhitney needs a non-empty $out side")
+      g
     }
     val dec = "decimal(38,0)"
     val cells = grid(predA, "_na").join(grid(predB, "_nb"), Seq("_sm"), "full")
@@ -776,17 +820,21 @@ object ClassifierEval {
     val dec = "decimal(38,0)"
     val joined = pred.select(col(idCol), col(confCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val offRange = joined.filter(col(confCol).isNull ||
-        col(labelCol).isNull ||
-        (col(labelCol) =!= 0L && col(labelCol) =!= 1L))
-      .limit(1).count()
-    require(offRange == 0L,
-      "mccSweep needs non-NULL scores and labels in {0, 1}")
+    // r17: guard fused into the score-grid aggregate and the grid
+    // PINNED (guide §1.2) — one corpus pass; the old shape paid three
+    // (guard scan + unpinned grid recomputed for totals and cumsums)
     val g = joined
       .withColumn("_sm", round(col(confCol).cast("double") * 1e6d).cast("long"))
       .groupBy(col("_sm"))
       .agg(sum(col(labelCol).cast("long")).as("_np"),
-        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+        sum(lit(1L) - col(labelCol).cast("long")).as("_nn"),
+        sum(when(col(labelCol).isNull ||
+            (col(labelCol) =!= 0L && col(labelCol) =!= 1L), lit(1L))
+          .otherwise(lit(0L))).as("_bad"))
+      .persist() // grid-sized; guard + totals + sweep read the cache
+    val offRange = g.filter(col("_sm").isNull || col("_bad") > 0L).count()
+    require(offRange == 0L,
+      "mccSweep needs non-NULL scores and labels in {0, 1}")
     // predict positive when score >= threshold: TP/FP are reverse
     // cumulative counts INCLUDING the threshold's own tie group
     val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("_sm").desc)
@@ -989,7 +1037,7 @@ object ClassifierEval {
     * marginal aggregates, one |A|·|B|-bounded broadcast cross join,
     * ONE final aggregate. */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val c = cells(df, aCol, bCol).localCheckpoint(true)
+    val c = cells(df, aCol, bCol) // pinned inside cells()
     val ma = c.groupBy(col("a")).agg(sum(col("n")).as("_na"))
     val mb = c.groupBy(col("b")).agg(sum(col("n")).as("_nb"))
     val tot = c.agg(sum(col("n")).as("_N"))
@@ -1037,7 +1085,7 @@ object ClassifierEval {
     * per-class F1s (exact integer sum, one final divide). */
   def classificationReport(df: DataFrame, labelCol: String,
       predCol: String): DataFrame = {
-    val c = cells(df, labelCol, predCol).localCheckpoint(true)
+    val c = cells(df, labelCol, predCol) // pinned inside cells()
     val truth = c.groupBy(col("a").as("class")).agg(sum(col("n")).as("n_true"))
     val pred = c.groupBy(col("b").as("class")).agg(sum(col("n")).as("n_pred"))
     val tp = c.filter(col("a") === col("b"))
@@ -1096,12 +1144,14 @@ object ClassifierEval {
     * 2-row distinct pulled once. */
   def cupedLift(df: DataFrame, armCol: String, yCol: String,
       xCol: String): DataFrame = {
-    val nulls = df.filter(col(armCol).isNull || col(yCol).isNull ||
-      col(xCol).isNull).limit(1).count()
-    require(nulls == 0L,
+    // r17: the y/x null guard is fused into the moment aggregate below
+    // (one pass saved); a NULL arm surfaces in the bounded distinct and
+    // fails here with the same typed message
+    val armRows = df.select(col(armCol).cast("string")).distinct()
+      .limit(3).collect()
+    require(armRows.forall(!_.isNullAt(0)),
       s"cupedLift needs non-NULL '$armCol'/'$yCol'/'$xCol' values")
-    val arms = df.select(col(armCol).cast("string")).distinct()
-      .limit(3).collect().map(_.getString(0)).sorted.toSeq
+    val arms = armRows.map(_.getString(0)).sorted.toSeq
     require(arms.size == 2,
       s"cupedLift needs exactly 2 arms, got ${arms.mkString(", ")}")
     val Seq(armA, armB) = arms
@@ -1119,7 +1169,13 @@ object ClassifierEval {
       sum(xm.cast(dec)).as("_sx"), sum(ym.cast(dec)).as("_sy"),
       sum(xm.cast(dec) * ym).as("_sxy"),
       sum(xm.cast(dec) * xm).as("_sxx"),
-      sum(ym.cast(dec) * ym).as("_syy"))
+      sum(ym.cast(dec) * ym).as("_syy"),
+      sum(when(col(yCol).isNull || col(xCol).isNull, lit(1L))
+        .otherwise(lit(0L))).as("_badn"))
+      .persist() // 1 row; guard + readout read the cache
+    val nulls = m.filter(col("_badn") > 0L).count()
+    require(nulls == 0L,
+      s"cupedLift needs non-NULL '$armCol'/'$yCol'/'$xCol' values")
     def d(c: String) = col(c).cast("double")
     val num = (col("_n").cast(dec) * col("_sxy") - col("_sx") * col("_sy"))
       .cast("double")
@@ -1174,21 +1230,25 @@ object ClassifierEval {
       s"need 2..64 gate columns, got ${gateCols.size}")
     require(gateCols.distinct.size == gateCols.size,
       "gate columns must be unique")
-    val offDomain = df.filter(gateCols.map(c =>
-        col(c).isNull || (col(c) =!= 0L && col(c) =!= 1L)).reduce(_ || _))
-      .limit(1).count()
-    require(offDomain == 0L,
-      s"cochranQ needs 0/1 gate values in ${gateCols.mkString(", ")} — " +
-        "NULL or off-domain values would silently corrupt the row sums")
     val dec = "decimal(38,0)"
     val k = gateCols.size
     val r = gateCols.map(c => col(c).cast("long")).reduce(_ + _)
+    // r17: the domain guard rides the SAME single-row aggregate as the
+    // moments (guide §1.2) — one corpus pass instead of two
     val aggs = gateCols.zipWithIndex.map { case (c, i) =>
       sum(col(c).cast("long")).as(s"_c$i")
     } ++ Seq(count(lit(1)).as("n"),
       sum(r.cast(dec)).as("_t"),
-      sum(r.cast(dec) * r).as("_sr2"))
+      sum(r.cast(dec) * r).as("_sr2"),
+      sum(when(gateCols.map(c =>
+          col(c).isNull || (col(c) =!= 0L && col(c) =!= 1L)).reduce(_ || _),
+        lit(1L)).otherwise(lit(0L))).as("_badn"))
     val row = df.agg(aggs.head, aggs.drop(1): _*)
+      .persist() // 1 row; guard + readout read the cache
+    val offDomain = row.filter(col("_badn") > 0L).count()
+    require(offDomain == 0L,
+      s"cochranQ needs 0/1 gate values in ${gateCols.mkString(", ")} — " +
+        "NULL or off-domain values would silently corrupt the row sums")
     val sumC2 = gateCols.indices.map(i =>
       col(s"_c$i").cast(dec) * col(s"_c$i")).reduce(_ + _)
     val num = (sumC2 * k - col("_t") * col("_t")) * (k - 1)
@@ -1229,20 +1289,25 @@ object ClassifierEval {
     * arithmetic + one broadcast 1-row pooled total. */
   def mantelHaenszel(df: DataFrame, stratumCol: String,
       exposureCol: String, outcomeCol: String): DataFrame = {
-    val nulls = df.filter(col(stratumCol).isNull || col(exposureCol).isNull ||
-      col(outcomeCol).isNull).limit(1).count()
-    require(nulls == 0L, "mantelHaenszel needs non-NULL " +
-      s"'$stratumCol'/'$exposureCol'/'$outcomeCol' — a NULL would " +
-      "silently vanish from its 2×2 cell while counting nowhere")
     val e = col(exposureCol).cast("boolean")
     val o = col(outcomeCol).cast("boolean")
     def cell(p: Column): Column =
       coalesce(sum(when(p, lit(1L)).otherwise(lit(0L))), lit(0L))
+    // r17: guard fused into the stratum aggregate (guide §1.2) — a NULL
+    // stratum is the null group key, NULL exposure/outcome a counted
+    // flag; the check reads the pinned |strata|-bounded frame
     val cellsK = df.groupBy(col(stratumCol).as("stratum")).agg(
         cell(e && o).as("expo_out"), cell(e && !o).as("expo_noout"),
         cell(!e && o).as("unexp_out"), cell(!e && !o).as("unexp_noout"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        sum(when(col(exposureCol).isNull || col(outcomeCol).isNull,
+          lit(1L)).otherwise(lit(0L))).as("_badn"))
       .localCheckpoint(true) // |strata|-bounded, read twice
+    val nulls = cellsK.filter(col("stratum").isNull || col("_badn") > 0L)
+      .limit(1).count()
+    require(nulls == 0L, "mantelHaenszel needs non-NULL " +
+      s"'$stratumCol'/'$exposureCol'/'$outcomeCol' — a NULL would " +
+      "silently vanish from its 2×2 cell while counting nowhere")
     def d(c: String) = col(c).cast("double")
     val terms = cellsK.select(
       round(d("expo_out") * d("unexp_noout") / d("n") * 1e9d)
@@ -1307,14 +1372,16 @@ object ClassifierEval {
     require(b >= 19 && b <= 10000, s"need 19 <= b <= 10000, got $b")
     require(alphaNum > 0 && alphaDen > 0 && alphaNum <= alphaDen,
       s"need a valid FDR level, got $alphaNum/$alphaDen")
-    val nulls = df.filter(col(groupCol).isNull || col(cohortCol).isNull ||
-      col(scoreCol).isNull || col(idCol).isNull).limit(1).count()
-    require(nulls == 0L, "permutationDriftBh needs non-NULL " +
-      s"'$groupCol'/'$cohortCol'/'$scoreCol'/'$idCol'")
     val dec = "decimal(38,0)"
+    // r17: null guard fused into the observed aggregate (guide §1.2) —
+    // a NULL group is the null key, NULL cohort/score/id a counted
+    // flag; the check reads the pinned |groups|-bounded frame instead
+    // of making its own pass over the corpus
     val base = df.select(col(groupCol).as("g"), col(idCol).as("_id"),
         col(cohortCol).cast("boolean").as("_in"),
-        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"))
+        round(col(scoreCol).cast("double") * 1e6d).cast("long").as("_sm"),
+        (col(cohortCol).isNull || col(scoreCol).isNull ||
+          col(idCol).isNull).as("_badrow"))
       .localCheckpoint(true) // read 2×: observed + replicates
     val obs = base.groupBy(col("g")).agg(
       coalesce(sum(when(col("_in"), col("_sm"))), lit(0L)).as("_soa"),
@@ -1322,8 +1389,13 @@ object ClassifierEval {
         .as("_coa"),
       coalesce(sum(when(!col("_in"), col("_sm"))), lit(0L)).as("_sob"),
       coalesce(sum(when(!col("_in"), lit(1L)).otherwise(lit(0L))), lit(0L))
-        .as("_cob"))
+        .as("_cob"),
+      sum(when(col("_badrow"), lit(1L)).otherwise(lit(0L))).as("_badn"))
       .localCheckpoint(true) // |groups|-bounded, read 4×
+    val nulls = obs.filter(col("g").isNull || col("_badn") > 0L)
+      .limit(1).count()
+    require(nulls == 0L, "permutationDriftBh needs non-NULL " +
+      s"'$groupCol'/'$cohortCol'/'$scoreCol'/'$idCol'")
     val degenerate = obs.filter(col("_coa") === 0L || col("_cob") === 0L)
       .limit(1).count()
     require(degenerate == 0L, "permutationDriftBh: a group has an empty " +
@@ -1415,21 +1487,25 @@ object ClassifierEval {
       s"need 2..64 gate columns, got ${gateCols.size}")
     require(gateCols.distinct.size == gateCols.size,
       "gate columns must be unique")
-    val offDomain = df.filter(gateCols.map(c =>
-        col(c).isNull || (col(c) =!= 0L && col(c) =!= 1L)).reduce(_ || _))
-      .limit(1).count()
-    require(offDomain == 0L,
-      s"cronbachAlpha needs 0/1 gate values in ${gateCols.mkString(", ")} — " +
-        "NULL or off-domain values would silently corrupt the variances")
     val dec = "decimal(38,0)"
     val k = gateCols.size
     val t = gateCols.map(c => col(c).cast("long")).reduce(_ + _)
+    // r17: the domain guard rides the SAME single-row aggregate as the
+    // moments (guide §1.2) — one corpus pass instead of two
     val aggs = gateCols.zipWithIndex.map { case (c, i) =>
       sum(col(c).cast("long")).as(s"_c$i") // Σx = Σx² for 0/1 items
     } ++ Seq(count(lit(1)).as("n"),
       sum(t.cast(dec)).as("_t"),
-      sum(t.cast(dec) * t).as("_st2"))
+      sum(t.cast(dec) * t).as("_st2"),
+      sum(when(gateCols.map(c =>
+          col(c).isNull || (col(c) =!= 0L && col(c) =!= 1L)).reduce(_ || _),
+        lit(1L)).otherwise(lit(0L))).as("_badn"))
     val row = df.agg(aggs.head, aggs.drop(1): _*)
+      .persist() // 1 row; guard + readout read the cache
+    val offDomain = row.filter(col("_badn") > 0L).count()
+    require(offDomain == 0L,
+      s"cronbachAlpha needs 0/1 gate values in ${gateCols.mkString(", ")} — " +
+        "NULL or off-domain values would silently corrupt the variances")
     // n·Σx² − (Σx)² per item, summed; same scaling for the total — the
     // n² factor cancels in the ratio
     val itemVar = gateCols.indices.map(i =>
@@ -1469,12 +1545,15 @@ object ClassifierEval {
       s"need 1..64 covariates, got ${covariates.size}")
     require(covariates.distinct.size == covariates.size,
       "covariates must be unique")
-    val nulls = df.filter((col(armCol).isNull +: covariates.map(col(_).isNull))
-      .reduce(_ || _)).limit(1).count()
-    require(nulls == 0L, s"covariateBalance needs non-NULL '$armCol' and " +
-      s"covariates ${covariates.mkString(", ")}")
-    val arms = df.select(col(armCol)).distinct().orderBy(col(armCol))
-      .limit(3).collect().map(_.get(0))
+    // r17: the covariate null guard rides the moment aggregate below
+    // (one pass saved); a NULL arm surfaces in the bounded distinct and
+    // fails here with the same typed message
+    val armRows = df.select(col(armCol)).distinct().orderBy(col(armCol))
+      .limit(3).collect()
+    require(armRows.forall(!_.isNullAt(0)),
+      s"covariateBalance needs non-NULL '$armCol' and " +
+        s"covariates ${covariates.mkString(", ")}")
+    val arms = armRows.map(_.get(0))
     require(arms.length == 2,
       s"covariateBalance needs exactly 2 arms in '$armCol', got " +
         s"${arms.length}")
@@ -1491,8 +1570,12 @@ object ClassifierEval {
           .as(s"_q$tag$i"))
       side("a", col(armCol) === lit(armA)) ++
         side("b", col(armCol) === lit(armB))
-    }
+    } :+ sum(when(covariates.map(col(_).isNull).reduce(_ || _), lit(1L))
+      .otherwise(lit(0L))).as("_badn")
     val row = df.agg(aggs.head, aggs.drop(1): _*).localCheckpoint(true)
+    require(row.filter(col("_badn") > 0L).isEmpty,
+      s"covariateBalance needs non-NULL '$armCol' and " +
+        s"covariates ${covariates.mkString(", ")}")
     val small = covariates.indices
       .map(i => col(s"_na$i") < 2L || col(s"_nb$i") < 2L).reduce(_ || _)
     require(row.filter(small).isEmpty,
@@ -1543,11 +1626,14 @@ object ClassifierEval {
       zAlpha: Double = 1.959964d, zBeta: Double = 0.841621d): DataFrame = {
     require(zAlpha > 0.0d && zBeta >= 0.0d,
       s"need z_alpha > 0 and z_beta >= 0, got $zAlpha/$zBeta")
-    val nulls = df.filter(col(armCol).isNull || col(yCol).isNull)
-      .limit(1).count()
-    require(nulls == 0L, s"powerAnalysis needs non-NULL '$armCol'/'$yCol'")
-    val arms = df.select(col(armCol)).distinct().orderBy(col(armCol))
-      .limit(3).collect().map(_.get(0))
+    // r17: the y null guard rides the moment aggregate below (one pass
+    // saved); a NULL arm surfaces in the bounded distinct and fails
+    // here with the same typed message
+    val armRows = df.select(col(armCol)).distinct().orderBy(col(armCol))
+      .limit(3).collect()
+    require(armRows.forall(!_.isNullAt(0)),
+      s"powerAnalysis needs non-NULL '$armCol'/'$yCol'")
+    val arms = armRows.map(_.get(0))
     require(arms.length == 2,
       s"powerAnalysis needs exactly 2 arms in '$armCol', got ${arms.length}")
     val dec = "decimal(38,0)"
@@ -1560,8 +1646,11 @@ object ClassifierEval {
       coalesce(sum(when(isArm, m.cast(dec) * m)), lit(0L).cast(dec))
         .as(s"_q$tag"))
     val aggs = side("a", col(armCol) === lit(arms(0))) ++
-      side("b", col(armCol) === lit(arms(1)))
+      side("b", col(armCol) === lit(arms(1))) :+
+      sum(when(col(yCol).isNull, lit(1L)).otherwise(lit(0L))).as("_badn")
     val row = df.agg(aggs.head, aggs.drop(1): _*).localCheckpoint(true)
+    require(row.filter(col("_badn") > 0L).isEmpty,
+      s"powerAnalysis needs non-NULL '$armCol'/'$yCol'")
     require(row.filter(col("_na") < 2L || col("_nb") < 2L).isEmpty,
       "powerAnalysis: an arm has < 2 rows — sample variance undefined")
     def d(c: String) = col(c).cast("double")
@@ -1605,13 +1694,20 @@ object ClassifierEval {
   def ksTest(predA: DataFrame, predB: DataFrame,
       confCol: String): DataFrame = {
     def grid(df: DataFrame, out: String) = {
-      val nulls = df.filter(col(confCol).isNull).limit(1).count()
-      require(nulls == 0L, s"ksTest needs non-NULL scores ($out side)")
-      require(df.limit(1).count() == 1L,
-        s"ksTest needs a non-empty $out side")
-      df.withColumn("_sm",
+      // r17: null + non-empty guards read the pinned grid (one corpus
+      // pass; was three — guard scan, empty probe, grid aggregate)
+      val g = df.withColumn("_sm",
           round(col(confCol).cast("double") * 1e6d).cast("long"))
         .groupBy(col("_sm")).agg(count(lit(1)).as(out))
+        .persist() // grid-sized; guards agg materializes the cache
+      val chk = g.agg(
+        sum(when(col("_sm").isNull, lit(1L)).otherwise(lit(0L))).as("_nb"),
+        count(lit(1)).as("_n")).head()
+      require(chk.isNullAt(0) || chk.getLong(0) == 0L,
+        s"ksTest needs non-NULL scores ($out side)")
+      require(chk.getLong(1) >= 1L,
+        s"ksTest needs a non-empty $out side")
+      g
     }
     val cells = grid(predA, "_na").join(grid(predB, "_nb"), Seq("_sm"), "full")
       .select(col("_sm"),
@@ -1674,10 +1770,10 @@ object ClassifierEval {
   def hellingerByGroup(df: DataFrame, groupCol: String, confCol: String,
       bins: Int = 20): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"need 2 <= bins <= 1000, got $bins")
-    val bad = df.filter(col(groupCol).isNull || col(confCol).isNull ||
-      col(confCol) < 0.0d || col(confCol) > 1.0d).limit(1).count()
-    require(bad == 0L, s"hellingerByGroup needs non-NULL '$groupCol' " +
-      s"and '$confCol' scores in [0, 1]")
+    // r17: guard fused into the (group × bin) aggregate (guide §1.2) —
+    // the check reads the pinned cell frame, not the corpus
+    val offCond = col(confCol).isNull ||
+      col(confCol) < 0.0d || col(confCol) > 1.0d
     val cells = df
       .withColumn("_cm", round(col(confCol).cast("double") * 1e6d)
         .cast("long"))
@@ -1685,8 +1781,13 @@ object ClassifierEval {
         least(expr(s"(_cm * $bins) div 1000000"), lit(bins - 1L))
           .cast("long"))
       .groupBy(col(groupCol).as("group"), col("_bin"))
-      .agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("_c"),
+        sum(when(offCond, lit(1L)).otherwise(lit(0L))).as("_bad"))
       .localCheckpoint(true) // (groups x bins)-sized, read twice
+    val bad = cells.filter(col("group").isNull || col("_bad") > 0L)
+      .limit(1).count()
+    require(bad == 0L, s"hellingerByGroup needs non-NULL '$groupCol' " +
+      s"and '$confCol' scores in [0, 1]")
     val glob = cells.groupBy(col("_bin")).agg(sum(col("_c")).as("_g"))
     val tot = glob.agg(sum(col("_g")).as("_N"))
     val marg = cells.groupBy(col("group")).agg(sum(col("_c")).as("n"))
@@ -1725,14 +1826,20 @@ object ClassifierEval {
       confCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     def grid(df: DataFrame, out: String) = {
-      val nulls = df.filter(col(confCol).isNull).limit(1).count()
-      require(nulls == 0L,
-        s"cramerVonMises needs non-NULL scores ($out side)")
-      require(df.limit(1).count() == 1L,
-        s"cramerVonMises needs a non-empty $out side")
-      df.withColumn("_sm",
+      // r17: null + non-empty guards read the pinned grid (one corpus
+      // pass; was three — guard scan, empty probe, grid aggregate)
+      val g = df.withColumn("_sm",
           round(col(confCol).cast("double") * 1e6d).cast("long"))
         .groupBy(col("_sm")).agg(count(lit(1)).as(out))
+        .persist() // grid-sized; guards agg materializes the cache
+      val chk = g.agg(
+        sum(when(col("_sm").isNull, lit(1L)).otherwise(lit(0L))).as("_nb"),
+        count(lit(1)).as("_n")).head()
+      require(chk.isNullAt(0) || chk.getLong(0) == 0L,
+        s"cramerVonMises needs non-NULL scores ($out side)")
+      require(chk.getLong(1) >= 1L,
+        s"cramerVonMises needs a non-empty $out side")
+      g
     }
     val cells = grid(predA, "_na").join(grid(predB, "_nb"), Seq("_sm"), "full")
       .select(col("_sm"),
@@ -1786,15 +1893,20 @@ object ClassifierEval {
   def kruskalWallis(df: DataFrame, groupCol: String,
       confCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val nulls = df.filter(col(groupCol).isNull || col(confCol).isNull)
-      .limit(1).count()
-    require(nulls == 0L,
-      s"kruskalWallis needs non-NULL '$groupCol'/'$confCol'")
+    // r17: null guard + group count fused into ONE job over the pinned
+    // grid (null group/score surface as null keys; was a corpus guard
+    // pass plus a separate distinct-count job)
     val gg = df.select(col(groupCol).as("_g"),
         round(col(confCol).cast("double") * 1e6d).cast("long").as("_sm"))
       .groupBy(col("_g"), col("_sm")).agg(count(lit(1)).as("_c"))
       .localCheckpoint(true) // grid-bounded, read three times
-    val k = gg.select(col("_g")).distinct().count()
+    val chk = gg.agg(
+      sum(when(col("_g").isNull || col("_sm").isNull, lit(1L))
+        .otherwise(lit(0L))).as("_nb"),
+      countDistinct(col("_g")).as("_k")).head()
+    require(chk.isNullAt(0) || chk.getLong(0) == 0L,
+      s"kruskalWallis needs non-NULL '$groupCol'/'$confCol'")
+    val k = chk.getLong(1)
     require(k >= 2L, s"kruskalWallis needs >= 2 groups, got $k")
     val glob = gg.groupBy(col("_sm")).agg(sum(col("_c")).as("_t"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("_sm"))
@@ -1862,14 +1974,16 @@ object ClassifierEval {
   def brownForsythe(df: DataFrame, groupCol: String,
       confCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val nulls = df.filter(col(groupCol).isNull || col(confCol).isNull)
-      .limit(1).count()
-    require(nulls == 0L,
-      s"brownForsythe needs non-NULL '$groupCol'/'$confCol'")
+    // r17: null guard reads the pinned grid (null group/score surface
+    // as null keys) instead of making its own corpus pass
     val gg = df.select(col(groupCol).as("_g"),
         round(col(confCol).cast("double") * 1e6d).cast("long").as("_sm"))
       .groupBy(col("_g"), col("_sm")).agg(count(lit(1)).as("_c"))
       .localCheckpoint(true) // grid-bounded, read three times
+    val nulls = gg.filter(col("_g").isNull || col("_sm").isNull)
+      .limit(1).count()
+    require(nulls == 0L,
+      s"brownForsythe needs non-NULL '$groupCol'/'$confCol'")
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
       .orderBy(col("_sm"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1941,20 +2055,27 @@ object ClassifierEval {
   def cochranArmitage(df: DataFrame, bucketCol: String,
       labelCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val bad = df.filter(col(bucketCol).isNull || col(labelCol).isNull ||
-      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
-    require(bad == 0L, "cochranArmitage needs non-NULL buckets and " +
-      s"0/1 labels in '$bucketCol'/'$labelCol'")
+    // r17: guard fused into the bucket aggregate (guide §1.2) — a NULL
+    // bucket is the null group key, bad labels a counted flag; the
+    // check reads the pinned 1-row moment frame, not the corpus
+    val badCond = col(bucketCol).isNull || col(labelCol).isNull ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)
     val g = df.select(col(bucketCol).cast("long").as("_w"),
-        col(labelCol).cast("long").as("_y"))
+        col(labelCol).cast("long").as("_y"), badCond.as("_badrow"))
       .groupBy(col("_w"))
-      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_r"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_r"),
+        sum(when(col("_badrow"), lit(1L)).otherwise(lit(0L))).as("_bad"))
     val agg = g.agg(
       sum(col("_n")).as("n"), sum(col("_r")).as("r"),
       count(lit(1)).as("k_buckets"),
       sum(col("_w").cast(dec) * col("_r")).as("_swr"),
       sum(col("_w").cast(dec) * col("_n")).as("_swn"),
-      sum(col("_w").cast(dec) * col("_w") * col("_n")).as("_swwn"))
+      sum(col("_w").cast(dec) * col("_w") * col("_n")).as("_swwn"),
+      sum(col("_bad")).as("_badn"))
+      .persist() // 1 row; guard + readout read the cache
+    val bad = agg.filter(col("_badn") > 0L).count()
+    require(bad == 0L, "cochranArmitage needs non-NULL buckets and " +
+      s"0/1 labels in '$bucketCol'/'$labelCol'")
     def d(c: Column) = c.cast("double")
     val a = col("n").cast(dec) * col("_swr") - col("r").cast(dec) * col("_swn")
     val b = col("r").cast(dec) * (col("n") - col("r")) *
@@ -1987,14 +2108,19 @@ object ClassifierEval {
   def wilsonInterval(df: DataFrame, groupCol: String, labelCol: String,
       zCrit: Double = 1.959964d): DataFrame = {
     require(zCrit > 0.0d, s"need zCrit > 0, got $zCrit")
-    val bad = df.filter(col(groupCol).isNull || col(labelCol).isNull ||
-      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
+    // r17: guard fused into the group aggregate (guide §1.2) — the
+    // check reads the pinned groups-sized frame, not the corpus
+    val badCond = col(labelCol).isNull ||
+      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)
+    val g = df.select(col(groupCol).as("group"),
+        col(labelCol).cast("long").as("_y"), badCond.as("_badrow"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("r"),
+        sum(when(col("_badrow"), lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .persist() // groups-sized; guard + readout read the cache
+    val bad = g.filter(col("group").isNull || col("_bad") > 0L).count()
     require(bad == 0L, s"wilsonInterval needs non-NULL '$groupCol' and " +
       s"0/1 labels in '$labelCol'")
-    val g = df.select(col(groupCol).as("group"),
-        col(labelCol).cast("long").as("_y"))
-      .groupBy(col("group"))
-      .agg(count(lit(1)).as("n"), sum(col("_y")).as("r"))
     def d(c: String) = col(c).cast("double")
     val z2 = zCrit * zCrit
     val p = d("r") / d("n")
@@ -2032,13 +2158,14 @@ object ClassifierEval {
   def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
       zCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val bad = df.filter(col(xCol).isNull || col(yCol).isNull ||
-      col(zCol).isNull).limit(1).count()
-    require(bad == 0L,
-      s"partialCorrelation needs non-NULL '$xCol'/'$yCol'/'$zCol'")
+    // r17: null guard rides the SAME single-row moment aggregate
+    // (guide §1.2) — one corpus pass instead of two
     def m(c: String) = round(col(c).cast("double") * 1e6d).cast("long")
-    val agg = df.select(m(xCol).as("_x"), m(yCol).as("_y"), m(zCol).as("_z"))
+    val agg = df.select(m(xCol).as("_x"), m(yCol).as("_y"), m(zCol).as("_z"),
+        (col(xCol).isNull || col(yCol).isNull || col(zCol).isNull)
+          .as("_badrow"))
       .agg(count(lit(1)).as("n"),
+        sum(when(col("_badrow"), lit(1L)).otherwise(lit(0L))).as("_badn"),
         sum(col("_x").cast(dec)).as("_sx"),
         sum(col("_y").cast(dec)).as("_sy"),
         sum(col("_z").cast(dec)).as("_sz"),
@@ -2049,6 +2176,9 @@ object ClassifierEval {
         sum(col("_x").cast(dec) * col("_z")).as("_sxz"),
         sum(col("_y").cast(dec) * col("_z")).as("_syz"))
       .localCheckpoint(true) // 1 row, read twice (guard + output)
+    val bad = agg.filter(col("_badn") > 0L).limit(1).count()
+    require(bad == 0L,
+      s"partialCorrelation needs non-NULL '$xCol'/'$yCol'/'$zCol'")
     def d(c: String) = col(c).cast("double")
     def cov(sab: String, sa: String, sb: String) =
       d("n") * d(sab) - d(sa) * d(sb)
@@ -2101,18 +2231,24 @@ object ClassifierEval {
   def jarqueBera(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val nulls = df.filter(col(groupCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(nulls == 0L,
-      s"jarqueBera needs non-NULL '$groupCol' and '$valueCol'")
+    // r17: null guard fused into the means aggregate (guide §1.2) — a
+    // NULL group is the null key, a NULL value a counted flag; the
+    // check reads the pinned groups-sized means, not the corpus (the
+    // freestanding guard was a third full pass next to the two
+    // documented ones)
     val v = df.select(col(groupCol).as("g"),
       round(col(valueCol).cast("double") * 1e3d).cast("long").as("_v"))
     val means = v.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), sum(col("_v").cast(dec)).as("_s1"))
+      .agg(count(lit(1)).as("n"), sum(col("_v").cast(dec)).as("_s1"),
+        sum(when(col("_v").isNull, lit(1L)).otherwise(lit(0L))).as("_bad"))
       .select(col("g"), col("n"),
         round(col("_s1").cast("double") / col("n").cast("double"))
-          .cast("long").as("_m"))
-    val cm = v.join(broadcast(means), Seq("g"))
+          .cast("long").as("_m"), col("_bad"))
+      .persist() // groups-sized; guard + broadcast join read the cache
+    val nulls = means.filter(col("g").isNull || col("_bad") > 0L).count()
+    require(nulls == 0L,
+      s"jarqueBera needs non-NULL '$groupCol' and '$valueCol'")
+    val cm = v.join(broadcast(means.drop("_bad")), Seq("g"))
       .withColumn("_d", col("_v") - col("_m"))
       .groupBy(col("g"), col("n"), col("_m"))
       .agg(
@@ -2401,8 +2537,8 @@ object ClassifierEval {
     // corpus aggregate once and the readout ran it AGAIN (two full input
     // passes per call); now the single pass materializes here and both
     // the guard and the readout re-read one pinned row
-    val j = a.crossJoin(b).localCheckpoint(true)
-    val cnt = j.limit(1).count()
+    val j = a.crossJoin(b).persist()
+    val cnt = j.count()
     require(cnt == 1L, s"effectSizes needs both arms '$armA' and '$armB'")
     val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
     val pooled = ((nA - 1.0d) * col("_va") + (nB - 1.0d) * col("_vb")) /

@@ -468,10 +468,19 @@ object Components {
     val m = e.count()
     require(m > 0L, "modularity needs a non-empty edge set — Q is 0/0 " +
       "on a graph with no edges")
-    val nullLab = nodes
-      .filter(col(idCol).isNull || col(commCol).isNull).limit(1).count()
-    require(nullLab == 0L, s"modularity needs non-NULL '$idCol'/'$commCol'")
+    // r17: the node null guard is fused into the community-size
+    // aggregate (guide §1.2) — null labels land in the null group key
+    // and null ids in a counted flag on the |communities|-sized frame,
+    // so the check no longer makes its own full pass over the nodes
     val lab = nodes.select(col(idCol).as("_id"), col(commCol).as("_c"))
+    val nNodes = nodes
+      .select(col(commCol).as("_c"), col(idCol).isNull.as("_badid"))
+      .groupBy(col("_c")).agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("_badid"), lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .persist() // |communities|-bounded; guard + join read the cache
+    val nullLab = nNodes.filter(col("_c").isNull || col("_bad") > 0L)
+      .count()
+    require(nullLab == 0L, s"modularity needs non-NULL '$idCol'/'$commCol'")
     val j = e
       .join(lab.select(col("_id").as("a"), col("_c").as("_ca")), Seq("a"), "left")
       .join(lab.select(col("_id").as("b"), col("_c").as("_cb")), Seq("b"), "left")
@@ -486,8 +495,7 @@ object Components {
       .groupBy(col("_c")).agg(count(lit(1)).as("d_sum"))
     val eIn = j.filter(col("_ca") === col("_cb"))
       .groupBy(col("_ca").as("_c")).agg(count(lit(1)).as("e_within"))
-    val nNodes = lab.groupBy(col("_c")).agg(count(lit(1)).as("n_nodes"))
-    val per = nNodes
+    val per = nNodes.drop("_bad")
       .join(dSum, Seq("_c"), "left")
       .join(eIn, Seq("_c"), "left")
       .select(col("_c").as("community"), col("n_nodes"),
@@ -538,13 +546,18 @@ object Components {
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val M = 1000000000L
-    val nulls = edges.filter(col(hubCol).isNull || col(authCol).isNull)
-      .limit(1).count()
-    require(nulls == 0L, s"hitsBipartite needs non-NULL '$hubCol'/'$authCol'")
-    val e = edges.select(col(hubCol).cast("long").as("hub"),
-        col(authCol).cast("long").as("auth"))
-      .distinct()
+    // r17: null guard fused into the edge-distinct aggregate (guide
+    // §1.2) — the flag rides the groupBy that distinct() was anyway,
+    // so the check reads the pinned edge set, not the raw input
+    val e0 = edges.select(col(hubCol).cast("long").as("hub"),
+        col(authCol).cast("long").as("auth"),
+        (col(hubCol).isNull || col(authCol).isNull).as("_badrow"))
+      .groupBy(col("hub"), col("auth"))
+      .agg(max(col("_badrow")).as("_bad"))
       .localCheckpoint(true)
+    val nulls = e0.filter(col("_bad")).limit(1).count()
+    require(nulls == 0L, s"hitsBipartite needs non-NULL '$hubCol'/'$authCol'")
+    val e = e0.drop("_bad")
     if (e.isEmpty)
       return e.select(lit("hub").as("side"), col("hub").as("id"),
         lit(0L).as("score_ppb"), lit(0L).as("deg"))

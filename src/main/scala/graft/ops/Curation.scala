@@ -114,18 +114,24 @@ object Curation {
       "gate names must be unique")
     val spark = df.sparkSession
     import spark.implicits._
-    val nulls = df.filter(gates.map(_._2.isNull).reduce(_ || _))
-      .limit(1).count()
-    require(nulls == 0L,
-      "filterFunnel gates must be non-NULL booleans — a NULL would " +
-        "silently fall through to a later stage (misattribution); fix " +
-        "the gate expressions first")
     val firstReject = coalesce(
       gates.zipWithIndex.map { case ((_, pass), i) =>
         when(!pass, lit(i.toLong))
       } :+ lit(gates.size.toLong): _*)
-    val counts = df.select(firstReject.as("stage"))
+    // r17: the NULL-gate guard is fused into the one funnel aggregate
+    // (guide §1.2) — a row with any NULL gate lands on sentinel stage
+    // −1 of the (gates+2)-sized pinned counts frame instead of being
+    // hunted by a second full corpus pass
+    val anyNull = gates.map(_._2.isNull).reduce(_ || _)
+    val counts = df.select(
+        when(anyNull, lit(-1L)).otherwise(firstReject).as("stage"))
       .groupBy(col("stage")).agg(count(lit(1)).as("_rej"))
+      .persist() // bounded (≤ gates+2 rows); guard + chain read the cache
+    val nulls = counts.filter(col("stage") === -1L).count()
+    require(nulls == 0L,
+      "filterFunnel gates must be non-NULL booleans — a NULL would " +
+        "silently fall through to a later stage (misattribution); fix " +
+        "the gate expressions first")
     val names = gates.map(_._1).zipWithIndex
       .map { case (g, i) => (i.toLong, g) }.toDF("stage", "gate")
     val tot = counts.agg(sum(col("_rej")).as("_total"))
@@ -179,17 +185,21 @@ object Curation {
       "gate names must be unique")
     val spark = df.sparkSession
     import spark.implicits._
-    val nulls = df.filter(gates.map(_._2.isNull).reduce(_ || _))
-      .limit(1).count()
-    require(nulls == 0L,
-      "planGates gates must be non-NULL booleans — a NULL row would " +
-        "silently vanish from the pass counts; fix the gate expressions")
+    // r17: the NULL-gate guard rides the SAME single-row aggregate as
+    // the pass counts (guide §1.2) — one corpus pass instead of two
     val aggCols = gates.zipWithIndex.map { case ((_, pass), i) =>
       sum(when(pass, 1L).otherwise(0L)).as(s"_p$i")
     } ++ Seq(count(lit(1)).as("_n"),
       sum(when(gates.map(_._2).reduce(_ && _), 1L).otherwise(0L))
-        .as("_joint"))
+        .as("_joint"),
+      sum(when(gates.map(_._2.isNull).reduce(_ || _), 1L).otherwise(0L))
+        .as("_nulls"))
     val row = df.agg(aggCols.head, aggCols.drop(1): _*).head()
+    val nulls = if (row.isNullAt(row.fieldIndex("_nulls"))) 0L
+      else row.getAs[Long]("_nulls")
+    require(nulls == 0L,
+      "planGates gates must be non-NULL booleans — a NULL row would " +
+        "silently vanish from the pass counts; fix the gate expressions")
     val n = row.getAs[Long]("_n")
     require(n > 0L, "planGates needs a non-empty corpus")
     val joint = row.getAs[Long]("_joint")
@@ -248,11 +258,14 @@ object Curation {
   def lDiversityProfile(df: DataFrame, groupCols: Seq[String],
       cellCols: Seq[String], sensitiveCol: String, l: Int): DataFrame = {
     require(l > 1, s"l must exceed 1, got $l")
-    val nulls = df.filter(col(sensitiveCol).isNull).limit(1).count()
-    require(nulls == 0L, s"lDiversityProfile needs non-NULL " +
-      s"'$sensitiveCol' values — a NULL is not a diversity class")
+    // r17: a NULL sensitive value is a null group key on the pinned
+    // (cell × value) frame — the typed check reads it, not the corpus
     val vals = df.groupBy((groupCols ++ cellCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("_nv"))
+      .persist() // (cells × values)-sized; guard + both uses
+    val nulls = vals.filter(col(sensitiveCol).isNull).count()
+    require(nulls == 0L, s"lDiversityProfile needs non-NULL " +
+      s"'$sensitiveCol' values — a NULL is not a diversity class")
     val cellTot = vals.groupBy((groupCols ++ cellCols).map(col): _*)
       .agg(sum(col("_nv")).as("_n"), count(lit(1)).as("_ldist"))
     val cells = vals.join(cellTot, groupCols ++ cellCols)
@@ -306,14 +319,16 @@ object Curation {
   def tClosenessProfile(df: DataFrame, groupCols: Seq[String],
       cellCols: Seq[String], sensitiveCol: String, t: Double): DataFrame = {
     require(t > 0.0d && t < 1.0d, s"t must be in (0, 1), got $t")
-    val nulls = df.filter(col(sensitiveCol).isNull).limit(1).count()
-    require(nulls == 0L, s"tClosenessProfile needs non-NULL " +
-      s"'$sensitiveCol' values — a NULL is not a sensitive class")
     val dec = "decimal(38,0)"
     val cellKey = groupCols ++ cellCols
     val vals = df.groupBy((cellKey :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("_ncv"))
       .localCheckpoint(true) // (cells × values)-sized; seeds all frames
+    // r17: a NULL sensitive value is a null group key on the pinned
+    // frame — the typed check reads it, not the corpus
+    val nulls = vals.filter(col(sensitiveCol).isNull).limit(1).count()
+    require(nulls == 0L, s"tClosenessProfile needs non-NULL " +
+      s"'$sensitiveCol' values — a NULL is not a sensitive class")
     val glob = vals.groupBy(col(sensitiveCol))
       .agg(sum(col("_ncv")).as("_gv"))
     val nTotal = vals.agg(sum(col("_ncv"))).first().getLong(0)

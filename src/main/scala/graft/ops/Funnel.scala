@@ -151,14 +151,20 @@ object Funnel {
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
       periodSec: Long = 24L * 3600): DataFrame = {
     require(periodSec >= 1, s"period must be >= 1s, got $periodSec")
-    val bad = events.filter(col(userCol).isNull || col(tsCol).isNull)
-      .limit(1).count()
+    // r17: ONE corpus pass (guide §1.2) — the null guard is fused into
+    // the per-user aggregate (null user → null group key; null ts →
+    // counted flag) and the users-sized result is pinned: unpinned, the
+    // guard, horizon and duration grid each re-scanned the corpus
+    val per = events
+      .select(col(userCol).as("_u"), periodOf(tsCol, periodSec).as("_p"),
+        col(tsCol).isNull.as("_badts"))
+      .groupBy(col("_u"))
+      .agg(min(col("_p")).as("_first"), max(col("_p")).as("_last"),
+        sum(when(col("_badts"), lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .persist() // users-sized; guard + horizon + grid read the cache
+    val bad = per.filter(col("_u").isNull || col("_bad") > 0L).count()
     require(bad == 0L,
       s"kaplanMeier needs non-NULL '$userCol' and '$tsCol'")
-    val per = events
-      .select(col(userCol).as("_u"), periodOf(tsCol, periodSec).as("_p"))
-      .groupBy(col("_u"))
-      .agg(min(col("_p")).as("_first"), max(col("_p")).as("_last"))
     val hor = per.agg(max(col("_last")).as("_h"))
     val byT = per.crossJoin(broadcast(hor))
       .select((col("_last") - col("_first")).as("t"),

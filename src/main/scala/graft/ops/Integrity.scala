@@ -74,15 +74,22 @@ object Integrity {
     * then spine-join + 1-row broadcast combines. The audit of 100 TB
     * is a single scan with 9 counters. */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
-    val bad = df.filter(col(valueCol).isNull ||
-      round(col(valueCol).cast("double") * 1e6d) < 1.0d).limit(1).count()
+    // r17: ONE corpus pass (guide §1.2) — the typed guard rides the
+    // digit aggregate as a counted flag and the ≤10-row digit frame is
+    // pinned (the old shape paid a guard pass PLUS two recomputations
+    // of the unpinned digit groupBy for the total and the spine join)
+    val obs = df
+      .select(substring(round(col(valueCol).cast("double") * 1e6d)
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"),
+        (col(valueCol).isNull ||
+          round(col(valueCol).cast("double") * 1e6d) < 1.0d).as("_badrow"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"),
+        sum(when(col("_badrow"), lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .persist() // ≤ 10 rows; guard + total + spine join read the cache
+    val bad = obs.filter(col("_bad") > 0L).count()
     require(bad == 0L, s"benfordAudit needs positive non-NULL '$valueCol' " +
       "values on the micro grid (≥ 5·10⁻⁷) — zero/negative/sub-grid " +
       "magnitudes have no quantized Benford first digit")
-    val obs = df
-      .select(substring(round(col(valueCol).cast("double") * 1e6d)
-        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
     val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
     val tot = obs.agg(coalesce(sum(col("n_obs")), lit(0L)).as("_n"))
     val per = broadcast(spine).join(obs, Seq("digit"), "left")

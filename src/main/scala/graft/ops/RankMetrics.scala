@@ -288,16 +288,24 @@ object RankMetrics {
     * for H grid rows), ONE final aggregate. */
   def kendallTau(df: DataFrame, keyCol: String,
       xCol: String, yCol: String): DataFrame = {
-    val bad = df.filter(col(keyCol).isNull || col(xCol).isNull ||
-      col(yCol).isNull).limit(1).count()
-    require(bad == 0L, s"kendallTau needs non-NULL '$keyCol', " +
-      s"'$xCol', '$yCol'")
     val g = df.select(col(keyCol).as("_k"),
         round(col(xCol).cast("double") * 1e6d).cast("long").as("_x"),
-        round(col(yCol).cast("double") * 1e6d).cast("long").as("_y"))
+        round(col(yCol).cast("double") * 1e6d).cast("long").as("_y"),
+        (col(keyCol).isNull || col(xCol).isNull || col(yCol).isNull)
+          .as("_badrow"))
       .localCheckpoint(true)
-    val n = g.count()
-    require(g.select(col("_k")).distinct().count() == n,
+    // r17: null guard, row count and key-distinctness check fused into
+    // ONE job over the pinned grid (was three: a full guard pass plus
+    // two counts)
+    val chk = g.agg(
+      sum(when(col("_badrow"), lit(1L)).otherwise(lit(0L))).as("_nb"),
+      count(lit(1)).as("_n"),
+      countDistinct(col("_k")).as("_nd")).head()
+    require(chk.isNullAt(0) || chk.getLong(0) == 0L,
+      s"kendallTau needs non-NULL '$keyCol', " +
+        s"'$xCol', '$yCol'")
+    val n = chk.getLong(1)
+    require(chk.getLong(2) == n,
       s"kendallTau needs distinct '$keyCol' keys")
     val p1 = g.select(col("_k").as("_k1"), col("_x").as("_x1"),
       col("_y").as("_y1"))

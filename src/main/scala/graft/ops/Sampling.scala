@@ -334,19 +334,26 @@ object Sampling {
     * touched exactly once. */
   def effectiveSampleSize(df: DataFrame, groupCol: String,
       weightCol: String): DataFrame = {
-    val bad = df.filter(col(weightCol).isNull || col(groupCol).isNull ||
-        col(weightCol) <= 0.0d || col(weightCol) > 1e6d)
-      .limit(1).count()
-    require(bad == 0L, s"effectiveSampleSize needs non-NULL groups and " +
-      s"'$weightCol' weights in (0, 1e6] — zero/negative weights are " +
-      "removals, not weights")
+    // r17: guard fused into the one groupBy (guide §1.2) — off-domain
+    // weights surface as a counted flag and NULL groups as the null
+    // group key on the PINNED groups-sized frame, so the typed check
+    // no longer makes its own full pass over the corpus
     val wq = round(col(weightCol).cast("double") * 1e6d).cast("long")
-    df.select(col(groupCol).as("group"), wq.as("_wq"))
+    val badW = col(weightCol).isNull ||
+      col(weightCol) <= 0.0d || col(weightCol) > 1e6d
+    val g = df.select(col(groupCol).as("group"), wq.as("_wq"),
+        badW.as("_badw"))
       .groupBy(col("group"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_wq")).as("_sw"),
-        sum(col("_wq").cast("decimal(19,0)") * col("_wq")).as("_sw2"))
-      .select(col("group"), col("n_docs"),
+        sum(col("_wq").cast("decimal(19,0)") * col("_wq")).as("_sw2"),
+        sum(when(col("_badw"), lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .persist() // groups-sized; guard + readout read the cache
+    val bad = g.filter(col("group").isNull || col("_bad") > 0L).count()
+    require(bad == 0L, s"effectiveSampleSize needs non-NULL groups and " +
+      s"'$weightCol' weights in (0, 1e6] — zero/negative weights are " +
+      "removals, not weights")
+    g.select(col("group"), col("n_docs"),
         round(col("_sw").cast("double") / 1e6d, 6).as("sum_w"),
         round(col("_sw").cast("double") * col("_sw").cast("double") /
           col("_sw2").cast("double"), 6).as("ess"),
@@ -385,19 +392,19 @@ object Sampling {
   def neymanAllocation(df: DataFrame, stratumCol: String,
       valueCol: String, budget: Long): DataFrame = {
     require(budget >= 1L, s"budget must be >= 1, got $budget")
-    val bad = df.filter(col(stratumCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(bad == 0L,
-      s"neymanAllocation needs non-NULL '$stratumCol' strata and " +
-        s"'$valueCol' values")
     val dec = "decimal(38,0)"
-    val strata = df
+    // r17: guard fused into the one strata groupBy (guide §1.2); the
+    // typed check reads the pinned strata frame, not the corpus
+    val strata0 = df
       .select(col(stratumCol).as("stratum"),
-        round(col(valueCol).cast("double") * 1e6d).cast("long").as("_vm"))
+        round(col(valueCol).cast("double") * 1e6d).cast("long").as("_vm"),
+        col(valueCol).isNull.as("_badv"))
       .groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("_vm").cast(dec)).as("_sv"),
-        sum(col("_vm").cast(dec) * col("_vm")).as("_sv2"))
+        sum(col("_vm").cast(dec) * col("_vm")).as("_sv2"),
+        sum(when(col("_badv"), lit(1L)).otherwise(lit(0L))).as("_bad"))
+    val strata = strata0
       .withColumn("_var",
         (col("_sv2").cast("double") -
           col("_sv").cast("double") * col("_sv").cast("double") /
@@ -405,7 +412,12 @@ object Sampling {
       .withColumn("_sig_micro",
         round(sqrt(greatest(col("_var"), lit(0.0d)))).cast("long"))
       .withColumn("_w", col("n_rows").cast(dec) * col("_sig_micro"))
-      .localCheckpoint(true) // strata-sized; read twice
+      .localCheckpoint(true) // strata-sized; guard + read twice
+    val bad = strata.filter(col("stratum").isNull || col("_bad") > 0L)
+      .limit(1).count()
+    require(bad == 0L,
+      s"neymanAllocation needs non-NULL '$stratumCol' strata and " +
+        s"'$valueCol' values")
     val tot = strata.agg(sum(col("_w")).as("_wt"),
       sum(col("n_rows")).as("_nt"))
     strata.crossJoin(broadcast(tot))
@@ -448,16 +460,23 @@ object Sampling {
     * units-sized quantization, one final aggregate). */
   def jackknifeRate(df: DataFrame, unitCol: String,
       flagCol: String): DataFrame = {
-    val offDomain = df.filter(col(unitCol).isNull || col(flagCol).isNull ||
-        (col(flagCol) =!= 0L && col(flagCol) =!= 1L))
-      .limit(1).count()
-    require(offDomain == 0L,
-      s"jackknifeRate needs non-NULL '$unitCol' and 0/1 '$flagCol' values")
     val dec = "decimal(38,0)"
+    // r17: guard fused into the one unit groupBy (guide §1.2); the
+    // typed checks AND the unit count come from ONE job over the
+    // pinned units frame instead of two extra corpus/grid passes
     val units = df.groupBy(col(unitCol))
-      .agg(count(lit(1)).as("_ns"), sum(col(flagCol).cast("long")).as("_ts"))
+      .agg(count(lit(1)).as("_ns"), sum(col(flagCol).cast("long")).as("_ts"),
+        sum(when(col(flagCol).isNull ||
+          (col(flagCol) =!= 0L && col(flagCol) =!= 1L), lit(1L))
+          .otherwise(lit(0L))).as("_bad"))
       .localCheckpoint(true) // bounded (distinct units); read 3x
-    val s = units.count()
+    val chk = units.agg(
+      sum(when(col(unitCol).isNull || col("_bad") > 0L, lit(1L))
+        .otherwise(lit(0L))).as("_nb"),
+      count(lit(1)).as("_s")).head()
+    require(chk.isNullAt(0) || chk.getLong(0) == 0L,
+      s"jackknifeRate needs non-NULL '$unitCol' and 0/1 '$flagCol' values")
+    val s = if (chk.isNullAt(1)) 0L else chk.getLong(1)
     require(s >= 2L,
       s"jackknifeRate needs >= 2 deletion units, got $s — one unit has " +
         "no leave-one-out resample")
@@ -503,32 +522,40 @@ object Sampling {
     * broadcast 1-row tail value. */
   def hillTail(df: DataFrame, valueCol: String, k: Int = 50): DataFrame = {
     require(k >= 2 && k <= 10000, s"need 2 <= k <= 10000, got $k")
-    val bad = df.filter(col(valueCol).isNull ||
-      col(valueCol).cast("long") <= 0L).limit(1).count()
-    require(bad == 0L,
+    // r17: ONE corpus pass (guide §1.2) — the old shape paid THREE
+    // (freestanding guard scan + TakeOrdered top-(k+1) + df.count());
+    // now a single global aggregate carries the bounded (k+1)-heap
+    // ([[graft.expr.TopKBy]] — selection by VALUE, identical multiset
+    // to orderBy desc limit k+1), the row count and the bad-row flag.
+    val xCast = col(valueCol).cast("long")
+    val one = df.agg(
+      graft.expr.TopKBy.top(xCast, xCast, k + 1).as("_top"),
+      count(lit(1)).as("_n"),
+      sum(when(col(valueCol).isNull || xCast <= 0L, lit(1L))
+        .otherwise(lit(0L))).as("_nb")).head()
+    val nBad = if (one.isNullAt(2)) 0L else one.getLong(2)
+    require(nBad == 0L,
       s"hillTail needs positive non-NULL integer '$valueCol' magnitudes")
-    val top = df.select(col(valueCol).cast("long").as("_x"))
-      .orderBy(col("_x").desc).limit(k + 1)
-      .localCheckpoint(true) // (k+1)-row bounded frame, read 3×
-    val n = df.count()
+    val n = one.getLong(1)
     require(n >= (k + 1).toLong,
       s"hillTail needs >= ${k + 1} rows for k = $k, got $n")
-    val tail = top.agg(min(col("_x")).as("_xt"))
-    val sumLn = top.crossJoin(broadcast(tail))
-      .filter(col("_x") > col("_xt")) // the k rows strictly above...
-      .select(round(log(col("_x").cast("double") /
-        col("_xt").cast("double")) * 1e9d).cast("long").as("_l"))
-      .agg(coalesce(sum(col("_l")), lit(0L)).as("_sl"))
-    // ...plus any top-k rows EQUAL to X₍ₖ₊₁₎, whose ln ratio is exactly
-    // 0 — the filter drops only zero terms, so the k-term sum is intact
-    tail.crossJoin(broadcast(sumLn))
+    val xs = one.getSeq[Long](0)
+    val xt = xs.min
+    // k rows strictly above X₍ₖ₊₁₎ contribute a nano-quantized ln ratio;
+    // top-k rows EQUAL to it contribute exactly 0 — the k-term integer
+    // sum is intact (math.round == HALF_UP for the non-negative ratios)
+    val sl = xs.iterator.filter(_ > xt)
+      .map(x => math.round(math.log(x.toDouble / xt.toDouble) * 1e9d)).sum
+    // same fixed-order readout expressions as before, on the exact
+    // integers — only their inputs moved from a 1-row frame to literals
+    df.sparkSession.range(1)
       .select(lit(k.toLong).as("k"), lit(n).as("n"),
-        col("_xt").as("x_tail"),
-        round(col("_sl").cast("double") / lit(k.toDouble) / 1e9d, 6)
+        lit(xt).as("x_tail"),
+        round(lit(sl).cast("double") / lit(k.toDouble) / 1e9d, 6)
           .as("inv_alpha"),
-        when(col("_sl") === 0L, lit(null).cast("double"))
+        when(lit(sl) === 0L, lit(null).cast("double"))
           .otherwise(round(lit(k.toDouble) * 1e9d /
-            col("_sl").cast("double"), 6)).as("alpha"))
+            lit(sl).cast("double"), 6)).as("alpha"))
   }
 
   /** IMPORTANCE REWEIGHTING to the uniform group mixture with weight
@@ -558,11 +585,13 @@ object Sampling {
     require(wMax >= 1.0d && wMax <= 1e6d,
       s"need 1 <= wMax <= 1e6, got $wMax")
     val dec = "decimal(38,0)"
-    val nulls = df.filter(col(groupCol).isNull).limit(1).count()
-    require(nulls == 0L, s"importanceWeights needs non-NULL '$groupCol'")
     val counts = df.select(col(groupCol).as("group"))
       .groupBy(col("group")).agg(count(lit(1)).as("n_rows"))
       .localCheckpoint(true) // groups-sized, read twice
+    // r17: a NULL group surfaces as the null group key on the pinned
+    // groups frame — the typed check reads it, not the corpus
+    val nulls = counts.filter(col("group").isNull).limit(1).count()
+    require(nulls == 0L, s"importanceWeights needs non-NULL '$groupCol'")
     val tot = counts.agg(sum(col("n_rows")).as("_N"),
       count(lit(1)).as("_k"))
     def d(c: String) = col(c).cast("double")

@@ -293,26 +293,50 @@ object Spectral {
     * ([[graft.streaming.IsotropyMonitor]]) ≡ the batch op by
     * construction. Typed failures (NULL / zero vectors) fire here,
     * per slice, before anything persists. */
+  /** Guarded unit-component explode shared by the isotropy family
+    * (r17, guide §1.2): a NULL vector explodes to the SENTINEL dim −1
+    * and a zero-norm vector to −2 (real dims are array positions,
+    * always ≥ 0), so both typed guards read the bounded per-dim grid
+    * instead of each making its own full pass over the corpus. The
+    * value expression for real rows is byte-identical to the old
+    * posexplode(transform(...)) form. */
+  private val unitGridExplode =
+    "inline(CASE " +
+      "WHEN _v IS NULL THEN " +
+      "array(named_struct('_dim', -1, '_u', CAST(0 AS BIGINT))) " +
+      "WHEN _nrm = CAST(0.0 AS DOUBLE) THEN " +
+      "array(named_struct('_dim', -2, '_u', CAST(0 AS BIGINT))) " +
+      "ELSE transform(_v, (x, i) -> named_struct('_dim', i, " +
+      "'_u', CAST(round(CAST(x AS DOUBLE) / _nrm * 1000000.0) AS BIGINT))) " +
+      "END)"
+
+  private def withNormOf(df: DataFrame): DataFrame =
+    df.withColumn("_nrm", sqrt(expr(
+      "aggregate(_v, cast(0.0 as double), " +
+        "(acc, x) -> acc + cast(x as double) * cast(x as double))")))
+
   private[graft] def isotropyPartial(df: DataFrame,
       vecCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val nulls = df.filter(col(vecCol).isNull).limit(1).count()
-    require(nulls == 0L, s"isotropy needs non-NULL '$vecCol' vectors")
-    val withNorm = df.select(col(vecCol).as("_v"))
-      .withColumn("_nrm", sqrt(expr(
-        "aggregate(_v, cast(0.0 as double), " +
-          "(acc, x) -> acc + cast(x as double) * cast(x as double))")))
-    val zeros = withNorm.filter(col("_nrm") === 0.0d).limit(1).count()
-    require(zeros == 0L,
-      "isotropy: a zero vector has no direction — filter it first")
-    withNorm
-      .select(posexplode(expr(
-        "transform(_v, x -> cast(round(cast(x as double) / _nrm * 1000000.0) as bigint))"))
-        .as(Seq("_dim", "_u")))
+    // r17: guards fused into the one explode aggregate — the checks
+    // read the PINNED dims-sized grid (sentinel dims −1/−2), not the
+    // corpus (was: two freestanding full passes before the real one)
+    val g = withNormOf(df.select(col(vecCol).as("_v")))
+      .select(expr(unitGridExplode))
       .groupBy(col("_dim"))
       .agg(count(lit(1)).as("_cnt"),
         sum(col("_u").cast(dec)).as("_s"),
         sum(col("_u").cast(dec) * col("_u")).as("_q"))
+      .persist() // dims-sized; the guard agg materializes the cache
+    val flags = g.agg(
+      sum(when(col("_dim") === -1, lit(1L)).otherwise(lit(0L))).as("_b1"),
+      sum(when(col("_dim") === -2, lit(1L)).otherwise(lit(0L))).as("_b2"))
+      .head()
+    require(flags.isNullAt(0) || flags.getLong(0) == 0L,
+      s"isotropy needs non-NULL '$vecCol' vectors")
+    require(flags.isNullAt(1) || flags.getLong(1) == 0L,
+      "isotropy: a zero vector has no direction — filter it first")
+    g
   }
 
   /** Per-GROUP isotropy — [[isotropy]] sharded by a label/source
@@ -333,21 +357,12 @@ object Spectral {
   def isotropyByGroup(df: DataFrame, groupCol: String,
       vecCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val nulls = df.filter(col(groupCol).isNull || col(vecCol).isNull)
-      .limit(1).count()
-    require(nulls == 0L,
-      s"isotropyByGroup needs non-NULL '$groupCol'/'$vecCol'")
-    val withNorm = df.select(col(groupCol).as("_g"), col(vecCol).as("_v"))
-      .withColumn("_nrm", sqrt(expr(
-        "aggregate(_v, cast(0.0 as double), " +
-          "(acc, x) -> acc + cast(x as double) * cast(x as double))")))
-    val zeros = withNorm.filter(col("_nrm") === 0.0d).limit(1).count()
-    require(zeros == 0L,
-      "isotropyByGroup: a zero vector has no direction — filter it first")
-    val byG = withNorm
-      .select(col("_g"), posexplode(expr(
-        "transform(_v, x -> cast(round(cast(x as double) / _nrm * 1000000.0) as bigint))"))
-        .as(Seq("_dim", "_u")))
+    // r17: both typed guards fused into the explode aggregate (sentinel
+    // dims −1/−2, see [[unitGridExplode]]) — the checks read the pinned
+    // groups-sized frame, not the corpus (was: two extra full passes)
+    val byG = withNormOf(
+        df.select(col(groupCol).as("_g"), col(vecCol).as("_v")))
+      .select(col("_g"), expr(unitGridExplode))
       .groupBy(col("_g"), col("_dim"))
       .agg(count(lit(1)).as("_cnt"),
         sum(col("_u").cast(dec)).as("_s"),
@@ -355,8 +370,19 @@ object Spectral {
       .groupBy(col("_g"))
       .agg(min(col("_cnt")).as("_mn"), max(col("_cnt")).as("_mx"),
         sum(col("_s") * col("_s")).as("_ss"), sum(col("_q")).as("_qq"),
-        count(lit(1)).as("dim"))
+        count(lit(1)).as("dim"),
+        sum(when(col("_dim") === -1, lit(1L)).otherwise(lit(0L))).as("_b1"),
+        sum(when(col("_dim") === -2, lit(1L)).otherwise(lit(0L))).as("_b2"))
       .localCheckpoint(true) // groups-sized, read twice (guard + output)
+    val flags = byG.agg(
+      sum(when(col("_g").isNull || col("_b1") > 0L, lit(1L))
+        .otherwise(lit(0L))).as("_n1"),
+      sum(when(col("_b2") > 0L, lit(1L)).otherwise(lit(0L))).as("_n2"))
+      .head()
+    require(flags.isNullAt(0) || flags.getLong(0) == 0L,
+      s"isotropyByGroup needs non-NULL '$groupCol'/'$vecCol'")
+    require(flags.isNullAt(1) || flags.getLong(1) == 0L,
+      "isotropyByGroup: a zero vector has no direction — filter it first")
     require(byG.filter(col("_mn") =!= col("_mx")).limit(1).count() == 0L,
       "isotropyByGroup: ragged vector lengths within a group — " +
         "per-dimension counts disagree")
@@ -392,26 +418,26 @@ object Spectral {
   def crossGroupCosine(df: DataFrame, groupCol: String,
       vecCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val nulls = df.filter(col(groupCol).isNull || col(vecCol).isNull)
-      .limit(1).count()
-    require(nulls == 0L,
-      s"crossGroupCosine needs non-NULL '$groupCol'/'$vecCol'")
-    val withNorm = df.select(col(groupCol).as("_g"), col(vecCol).as("_v"))
-      .withColumn("_nrm", sqrt(expr(
-        "aggregate(_v, cast(0.0 as double), " +
-          "(acc, x) -> acc + cast(x as double) * cast(x as double))")))
-    val zeros = withNorm.filter(col("_nrm") === 0.0d).limit(1).count()
-    require(zeros == 0L,
-      "crossGroupCosine: a zero vector has no direction — filter it first")
-    val gd = withNorm
-      .select(col("_g"), posexplode(expr(
-        "transform(_v, x -> cast(round(cast(x as double) / _nrm * 1000000.0) as bigint))"))
-        .as(Seq("_dim", "_u")))
+    // r17: both typed guards fused into the explode aggregate (sentinel
+    // dims −1/−2, see [[unitGridExplode]]) — the checks read the pinned
+    // (groups × dims) grid, not the corpus (was: two extra full passes)
+    val gd = withNormOf(
+        df.select(col(groupCol).as("_g"), col(vecCol).as("_v")))
+      .select(col("_g"), expr(unitGridExplode))
       .groupBy(col("_g"), col("_dim"))
       .agg(count(lit(1)).as("_cnt"),
         sum(col("_u").cast(dec)).as("_s"),
         sum(col("_u").cast(dec) * col("_u")).as("_q"))
       .localCheckpoint(true) // (groups x dims)-sized, read three ways
+    val flags = gd.agg(
+      sum(when(col("_g").isNull || col("_dim") === -1, lit(1L))
+        .otherwise(lit(0L))).as("_n1"),
+      sum(when(col("_dim") === -2, lit(1L)).otherwise(lit(0L))).as("_n2"))
+      .head()
+    require(flags.isNullAt(0) || flags.getLong(0) == 0L,
+      s"crossGroupCosine needs non-NULL '$groupCol'/'$vecCol'")
+    require(flags.isNullAt(1) || flags.getLong(1) == 0L,
+      "crossGroupCosine: a zero vector has no direction — filter it first")
     val ragged = gd.groupBy(col("_g"))
       .agg(min(col("_cnt")).as("_mn"), max(col("_cnt")).as("_mx"))
       .filter(col("_mn") =!= col("_mx")).limit(1).count()

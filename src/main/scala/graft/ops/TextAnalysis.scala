@@ -1532,15 +1532,22 @@ object TextAnalysis {
     val wordSubs = words
       .select(col("w"), col("freq"),
         posexplode(split(symN, " ")).as(Seq("subpos", "sub")))
-    val unseen = wordSubs.join(broadcast(vocabDf), Seq("sub"), "left_anti")
-      .limit(1).count()
+    // r17: the typed vocab probe is fused into the id-assembly join
+    // (guide §1.2) — one LEFT join instead of an anti-join probe PLUS
+    // an inner join, so the vocab-sized merge fold over `wordSubs`
+    // runs once, and the check reads the pinned per-word result
+    val wordIds0 = wordSubs.join(broadcast(vocabDf), Seq("sub"), "left")
+      .groupBy(col("w"), col("freq"))
+      .agg(collect_list(struct(col("subpos"), col("tok_id"))).as("_sl"),
+        sum(when(col("tok_id").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("_bad"))
+      .persist() // vocab-sized; guard + the hot-cold join read the cache
+    val unseen = wordIds0.filter(col("_bad") > 0L).count()
     require(unseen == 0L,
       "bpeEncode: a folded subword is neither a base character nor a " +
         "minted merge output — the merge list is internally inconsistent " +
         "(merged strings must equal their pair without the space)")
-    val wordIds = wordSubs.join(broadcast(vocabDf), Seq("sub"))
-      .groupBy(col("w"), col("freq"))
-      .agg(collect_list(struct(col("subpos"), col("tok_id"))).as("_sl"))
+    val wordIds = wordIds0
       .select(col("w"), col("freq"),
         transform(array_sort(col("_sl")), s => s.getField("tok_id")).as("ids"))
     Skew.hotColdJoin(docToks, wordIds, Seq("w"), col("freq"), Skew.Auto)
@@ -1601,18 +1608,22 @@ object TextAnalysis {
       vocab: DataFrame): DataFrame = {
     val ids = encoded
       .select(col(idCol), posexplode(col(idsCol)).as(Seq("pos", "tok_id")))
-    val unknown = ids.join(broadcast(vocab), Seq("tok_id"), "left_anti")
-      .limit(1).count()
+    // r17: the typed unknown-id probe is fused into the reassembly join
+    // (guide §1.2) — one LEFT join + counted miss flag instead of an
+    // anti-join probe pass PLUS the inner join pass over the ids
+    val dec0 = ids.join(broadcast(vocab), Seq("tok_id"), "left")
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("sub"))).as("_sl"),
+        sum(when(col("sub").isNull, lit(1L)).otherwise(lit(0L))).as("_bad"))
+      .persist() // docs-sized (the op's output frame); 2 cached reads
+    val unknown = dec0.filter(col("_bad") > 0L).count()
     require(unknown == 0L,
       "bpeDecode: a token id does not resolve in the vocab — the id " +
         "sequences were encoded under a different corpus/merge list")
-    ids.join(broadcast(vocab), Seq("tok_id"))
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("pos"), col("sub"))).as("_sl"))
-      .select(col(idCol),
-        concat_ws("",
-          transform(array_sort(col("_sl")), s => s.getField("sub")))
-          .as("decoded"))
+    dec0.select(col(idCol),
+      concat_ws("",
+        transform(array_sort(col("_sl")), s => s.getField("sub")))
+        .as("decoded"))
   }
 
   /** VOCABULARY COVERAGE curve — the tokenizer/vocab SIZING readout:
@@ -1764,25 +1775,40 @@ object TextAnalysis {
     * aggregate. */
   def heapsFit(curve: DataFrame, tokensCol: String,
       vocabCol: String): DataFrame = {
-    val bad = curve.filter(col(tokensCol).isNull || col(vocabCol).isNull ||
-        col(tokensCol) <= 0L || col(vocabCol) <= 0L)
-      .limit(1).count()
-    require(bad == 0L, s"heapsFit needs positive non-NULL '$tokensCol' " +
-      s"and '$vocabCol' on every curve point")
-    val distinctX = curve.select(col(tokensCol)).distinct().limit(2).count()
-    require(distinctX >= 2L,
-      "heapsFit needs >= 2 curve points with distinct token totals")
+    // r17: both typed guards ride the SAME single-row aggregate as the
+    // OLS moment sums (guide §1.2) — the curve's (possibly corpus-sized)
+    // lineage is evaluated ONCE instead of three times (guard pass +
+    // distinct probe + sums); the moment sums come back as exact longs
+    // and feed the identical fixed-order readout expressions below
     val x9 = round(log(col(tokensCol).cast("double")) * 1e9d).cast("long")
     val y9 = round(log(col(vocabCol).cast("double")) * 1e9d).cast("long")
+    val badRow = col(tokensCol).isNull || col(vocabCol).isNull ||
+      col(tokensCol) <= 0L || col(vocabCol) <= 0L
     val pts = curve.select(
       (x9.cast("double") / 1e9d).as("_x"),
-      (y9.cast("double") / 1e9d).as("_y"))
-    val sums = pts.agg(count(lit(1)).as("points"),
+      (y9.cast("double") / 1e9d).as("_y"),
+      badRow.as("_badrow"), col(tokensCol).as("_t"))
+    val row = pts.agg(count(lit(1)).as("points"),
       sum(round(col("_x") * 1e9d).cast("long")).as("_sx"),
       sum(round(col("_y") * 1e9d).cast("long")).as("_sy"),
       sum(round(col("_x") * col("_x") * 1e9d).cast("long")).as("_sxx"),
       sum(round(col("_y") * col("_y") * 1e9d).cast("long")).as("_syy"),
-      sum(round(col("_x") * col("_y") * 1e9d).cast("long")).as("_sxy"))
+      sum(round(col("_x") * col("_y") * 1e9d).cast("long")).as("_sxy"),
+      sum(when(col("_badrow"), lit(1L)).otherwise(lit(0L))).as("_nb"),
+      countDistinct(col("_t")).as("_dx")).head()
+    require(row.isNullAt(row.fieldIndex("_nb")) ||
+        row.getLong(row.fieldIndex("_nb")) == 0L,
+      s"heapsFit needs positive non-NULL '$tokensCol' " +
+        s"and '$vocabCol' on every curve point")
+    require(row.getLong(row.fieldIndex("_dx")) >= 2L,
+      "heapsFit needs >= 2 curve points with distinct token totals")
+    val sums = curve.sparkSession.range(1).select(
+      lit(row.getLong(row.fieldIndex("points"))).as("points"),
+      lit(row.getLong(row.fieldIndex("_sx"))).as("_sx"),
+      lit(row.getLong(row.fieldIndex("_sy"))).as("_sy"),
+      lit(row.getLong(row.fieldIndex("_sxx"))).as("_sxx"),
+      lit(row.getLong(row.fieldIndex("_syy"))).as("_syy"),
+      lit(row.getLong(row.fieldIndex("_sxy"))).as("_sxy"))
     val nD = col("points").cast("double")
     def s(c: String) = col(c).cast("double") / 1e9d
     val varX = nD * s("_sxx") - s("_sx") * s("_sx")
@@ -1893,13 +1919,20 @@ object TextAnalysis {
   def tokenLabelMI(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, topK: Int = 25, minDf: Long = 5L): DataFrame = {
     require(topK >= 1 && topK <= 10000, s"topK must be in [1, 10000], got $topK")
-    val bad = df.filter(col(labelCol).isNull ||
-      (col(labelCol) =!= 0L && col(labelCol) =!= 1L)).limit(1).count()
-    require(bad == 0L,
-      s"tokenLabelMI needs non-NULL '$labelCol' labels in {0, 1}")
     val docs = df.select(col(idCol), col(textCol), col(labelCol))
-    val tot = docs.agg(count(lit(1)).as("_nd"),
-      sum(col(labelCol).cast("long")).as("_n1"))
+    // r17: the label-domain guard rides the same single-row aggregate
+    // as the (N, N₁) totals (guide §1.2) — one docs pass instead of two
+    val trow = docs.agg(count(lit(1)).as("_nd"),
+      sum(col(labelCol).cast("long")).as("_n1"),
+      sum(when(col(labelCol).isNull ||
+        (col(labelCol) =!= 0L && col(labelCol) =!= 1L), lit(1L))
+        .otherwise(lit(0L))).as("_nb")).head()
+    require(trow.isNullAt(2) || trow.getLong(2) == 0L,
+      s"tokenLabelMI needs non-NULL '$labelCol' labels in {0, 1}")
+    val tot = df.sparkSession.range(1).select(
+      lit(trow.getLong(0)).as("_nd"),
+      (if (trow.isNullAt(1)) lit(null).cast("long")
+       else lit(trow.getLong(1))).as("_n1"))
     val docTok = docs
       .select(col(idCol), col(labelCol).cast("long").as("_y"),
         explode(tokens(col(textCol))).as("token"))

@@ -38,12 +38,13 @@ object CusumMonitor {
     * closure so the replay-idempotence spec can drive it directly. */
   def observeBatch(batch: DataFrame, batchId: Long, gridDir: String,
       bucketCol: String, valueCol: String): Unit = {
-    val bad = batch.filter(col(bucketCol).isNull || col(valueCol).isNull)
-      .limit(1).count()
-    require(bad == 0L,
-      s"cusum monitor needs non-NULL '$bucketCol' buckets and " +
-        s"'$valueCol' values")
-    ChangeDetect.partialGrid(batch, bucketCol, valueCol)
+    // r17: guard fused into the partial aggregate (guide §1.2) — the
+    // freestanding null check was a second full pass over every
+    // micro-batch; the typed failure still fires BEFORE anything
+    // persists (the guard reads the pinned partial, the write follows)
+    ChangeDetect.guardedPartials(batch, bucketCol, valueCol,
+        s"cusum monitor needs non-NULL '$bucketCol' buckets and " +
+          s"'$valueCol' values")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$gridDir/batch=$batchId")
   }
